@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Session settings every query needs regardless of who built the
+   * SparkSession (the driver smoke-checks `entry` with its own). */
+  def prepare(spark: SparkSession): SparkSession = {
+    // The driver's events.ts is parquet TIMESTAMP(NANOS); surface as LONG.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Naive parquet timestamps (orders/lineitem dates) as TIMESTAMP in the
+    // UTC session, not TIMESTAMP_NTZ — keeps unix_millis/date arithmetic
+    // available and matches the oracle's naive-timestamp view byte for byte.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark
+  }
+
+  private def groups: Seq[QueryGroup] = Seq(LogQueries, RelationalQueries)
+
+  private lazy val allDefs: Map[String, QueryDef] =
+    groups.flatMap(_.defs).toMap
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+   * the TableView materialization (latest value per key) of the events topic. */
+  def entry(spark: SparkSession): DataFrame = {
+    prepare(spark)
+    allDefs("a5_tableview").fn(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map { case (name, qd) =>
+      name -> ((s: SparkSession, dir: String) => qd.fn(prepare(s), dir))
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case (name, QueryDef(_, Some(sql))) => name -> sql }
 }

@@ -1,0 +1,173 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Canonical message-envelope model of the engine.
+ *
+ * A "topic" is an ordered, keyed event-log table: every message is one row
+ * of this envelope schema, totally ordered within a partition by
+ * (ledger_id, entry_id, batch_index) — mirroring the reference's
+ * MessageIdData (reference: pulsar-common/src/main/proto/PulsarApi.proto:59-69)
+ * and MessageMetadata (PulsarApi.proto:107-185).
+ *
+ * The engine is columnar by construction (Parquet + Tungsten); the reference
+ * stores row-oriented serialized entries in ledgers. Capabilities, not
+ * architecture, are reproduced.
+ */
+final case class MessageEnvelope(
+    topic: String,
+    partition_id: Int,
+    ledger_id: Long,
+    entry_id: Long,
+    batch_index: Int,
+    msg_offset: Long, // dense total order within the log (engine-side convenience)
+    producer_name: String,
+    sequence_id: Long,
+    publish_ms: Long, // epoch millis (timestamps kept integral for engine determinism)
+    event_ms: Long,
+    key: String,
+    value: Double,
+    properties: String, // JSON map<string,string>
+    schema_version: Long,
+    deliver_at_ms: Long,
+    marker_type: Option[Int],
+    replicated_from: Option[String],
+    txn_group: Option[Long],
+    attempts: Int,
+    uuid_group: Long,
+    chunk_id: Int,
+    tombstone: Boolean // null_value in the reference wire format
+)
+
+object Envelope {
+
+  /** Envelope StructType (see SURVEY.md §1.4). */
+  val schema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("partition_id", IntegerType, nullable = false),
+    StructField("ledger_id", LongType, nullable = false),
+    StructField("entry_id", LongType, nullable = false),
+    StructField("batch_index", IntegerType, nullable = false),
+    StructField("msg_offset", LongType, nullable = false),
+    StructField("producer_name", StringType, nullable = false),
+    StructField("sequence_id", LongType, nullable = false),
+    StructField("publish_ms", LongType, nullable = false),
+    StructField("event_ms", LongType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("properties", StringType, nullable = true),
+    StructField("schema_version", LongType, nullable = false),
+    StructField("deliver_at_ms", LongType, nullable = false),
+    StructField("marker_type", IntegerType, nullable = true),
+    StructField("replicated_from", StringType, nullable = true),
+    StructField("txn_group", LongType, nullable = true),
+    StructField("attempts", IntegerType, nullable = false),
+    StructField("uuid_group", LongType, nullable = false),
+    StructField("chunk_id", IntegerType, nullable = false),
+    StructField("tombstone", BooleanType, nullable = false)
+  ))
+
+  /** Total log order within a partition (MessageId order). */
+  def messageIdOrder: Seq[Column] =
+    Seq(col("ledger_id"), col("entry_id"), col("batch_index"))
+}
+
+/**
+ * Deterministic mapping of the driver's `events` table onto the envelope.
+ *
+ * events(event_id, ts, user_id, event_type, value, props) is the
+ * topic-shaped fixture (FIXTURES.md §A): event_id is the log order,
+ * user_id is the message key, ts is both publish and (shifted) event time.
+ * Every derived column below is a pure arithmetic function of the source
+ * row so the DuckDB oracle can reproduce it exactly.
+ */
+object EventLog {
+
+  /**
+   * Read the raw events table for a scale-factor dir. The driver's `ts` is
+   * parquet TIMESTAMP(NANOS), which Spark's reader rejects by default —
+   * `nanosAsLong` surfaces it as an epoch-nanos LONG, which the engine
+   * prefers anyway: all time arithmetic stays integral and engine/oracle
+   * parity is exact.
+   */
+  def raw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  /**
+   * events → envelope. Deterministic, SQL-mirrorable derivation:
+   *  - 3 topics (`events-0..2`), 4 partitions, ledger = offset/100.
+   *  - producer p0..p4 with pseudo-random per-producer sequence ids
+   *    (so dedup has real replays to reject).
+   *  - event time shifted behind publish time (out-of-order stream).
+   *  - tombstones on `error` events; txn tags on `purchase` events;
+   *    broker markers every 50th offset; replicated rows every 7th.
+   */
+  def asTopic(events: DataFrame): DataFrame = {
+    // ts is epoch NANOS as LONG; integer division keeps exactness (a
+    // double round-trip would lose bits above 2^53).
+    val pubMs = expr("ts div 1000000")
+    events.select(
+      concat(lit("events-"), col("user_id") % 3).as("topic"),
+      (col("user_id") % 4).cast(IntegerType).as("partition_id"),
+      (col("event_id") / 100).cast(LongType).as("ledger_id"),
+      (col("event_id") % 100).as("entry_id"),
+      lit(0).as("batch_index"),
+      col("event_id").as("msg_offset"),
+      concat(lit("p"), col("user_id") % 5).as("producer_name"),
+      ((col("event_id") * 37) % 1000).as("sequence_id"),
+      pubMs.as("publish_ms"),
+      (pubMs - (col("event_id") % 10) * 60000L).as("event_ms"),
+      col("user_id").cast(StringType).as("key"),
+      col("value"),
+      col("props").as("properties"),
+      (col("event_id") % 2).as("schema_version"),
+      (pubMs + (col("event_id") % 5) * 60000L).as("deliver_at_ms"),
+      when(col("event_id") % 50 === 0, lit(1)).cast(IntegerType).as("marker_type"),
+      when(col("event_id") % 7 === 0, lit("west")).as("replicated_from"),
+      when(col("event_type") === "purchase", col("event_id") % 20).as("txn_group"),
+      (col("event_id") % 5).cast(IntegerType).as("attempts"),
+      (col("event_id") / 4).cast(LongType).as("uuid_group"),
+      (col("event_id") % 4).cast(IntegerType).as("chunk_id"),
+      (col("event_type") === "error").as("tombstone")
+    )
+  }
+
+  def topic(spark: SparkSession, sfDir: String): DataFrame = asTopic(raw(spark, sfDir))
+
+  /**
+   * The same derivation as a DuckDB CTE, textually embedded in every oracle
+   * query. Kept in one place so Spark and oracle can never drift.
+   */
+  val oracleCte: String =
+    """WITH env AS (
+      |  SELECT
+      |    'events-' || CAST(user_id % 3 AS VARCHAR)          AS topic,
+      |    CAST(user_id % 4 AS INT)                            AS partition_id,
+      |    event_id // 100                                     AS ledger_id,
+      |    event_id % 100                                      AS entry_id,
+      |    0                                                   AS batch_index,
+      |    event_id                                            AS msg_offset,
+      |    'p' || CAST(user_id % 5 AS VARCHAR)                 AS producer_name,
+      |    (event_id * 37) % 1000                              AS sequence_id,
+      |    epoch_ms(ts)                                        AS publish_ms,
+      |    epoch_ms(ts) - (event_id % 10) * 60000              AS event_ms,
+      |    CAST(user_id AS VARCHAR)                            AS key,
+      |    value                                               AS value,
+      |    props                                               AS properties,
+      |    event_id % 2                                        AS schema_version,
+      |    epoch_ms(ts) + (event_id % 5) * 60000               AS deliver_at_ms,
+      |    CASE WHEN event_id % 50 = 0 THEN 1 END              AS marker_type,
+      |    CASE WHEN event_id % 7 = 0 THEN 'west' END          AS replicated_from,
+      |    CASE WHEN event_type = 'purchase' THEN event_id % 20 END AS txn_group,
+      |    CAST(event_id % 5 AS INT)                           AS attempts,
+      |    event_id // 4                                       AS uuid_group,
+      |    CAST(event_id % 4 AS INT)                           AS chunk_id,
+      |    (event_type = 'error')                              AS tombstone
+      |  FROM events
+      |)""".stripMargin
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Broker-side log transforms: TTL, retention, delayed delivery, seeks,
+ * peeks, ack bookkeeping, DLQ routing, marker filtering, replication
+ * loop-breaking, dispatch rate limiting. All are declarative predicates or
+ * bounded scans — Catalyst pushes them into the Parquet scan, which is the
+ * whole point at 100 TB (partition pruning + min/max stats replace the
+ * reference's ledger-granularity narrowing, PersistentMessageFinder.java:69).
+ */
+object LogOps {
+
+  /** F1 — TTL expiry: only messages newer than the TTL horizon survive
+   * (reference: PersistentMessageExpiryMonitor.java:102). */
+  def applyTtl(env: DataFrame, asOfMs: Long, ttlMs: Long): DataFrame =
+    env.filter(col("publish_ms") >= asOfMs - ttlMs)
+
+  /** F2 — size-based retention per topic: newest-first cumulative size cap
+   * (reference: RetentionPolicies; ledger-granular in the reference, row-
+   * granular here). */
+  def retainBySize(env: DataFrame, maxBytesPerTopic: Long): DataFrame = {
+    val w = Window.partitionBy(col("topic")).orderBy(col("msg_offset").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    env.withColumn("_size", octet_length(col("properties")) + lit(8))
+      .withColumn("_cum", sum(col("_size")).over(w))
+      .filter(col("_cum") <= maxBytesPerTopic)
+      .drop("_size", "_cum")
+  }
+
+  /** F3/F4 — delayed delivery: a message is invisible until its
+   * deliver-at time (reference: InMemoryDelayedDeliveryTracker.java:221;
+   * bucketed variant scales the same predicate). */
+  def dueMessages(env: DataFrame, asOfMs: Long): DataFrame =
+    env.filter(col("deliver_at_ms") <= asOfMs)
+
+  /** O2 — seek to timestamp: resume the log at the first message published
+   * at or after `tsMs` (reference: Consumer.seek(timestamp), broker
+   * PersistentMessageFinder). */
+  def seekByTime(env: DataFrame, tsMs: Long): DataFrame =
+    env.filter(col("publish_ms") >= tsMs)
+
+  /** O3 — find-by-timestamp: the seek position itself (min offset ≥ ts). */
+  def findByTime(env: DataFrame, tsMs: Long): DataFrame =
+    seekByTime(env, tsMs).agg(min(col("msg_offset")).as("seek_offset"))
+
+  /** O4 — peekMessages(n): first n messages of a topic in MessageId order. */
+  def peek(env: DataFrame, topic: String, n: Int): DataFrame =
+    env.filter(col("topic") === topic).orderBy(col("msg_offset")).limit(n)
+
+  /** A10 — getLastMessageId per partition. */
+  def lastMessageIds(env: DataFrame): DataFrame =
+    env.groupBy(col("topic"), col("partition_id"))
+      .agg(max(col("msg_offset")).as("last_offset"),
+        max_by(struct(col("ledger_id"), col("entry_id")), col("msg_offset")).as("last_id"))
+      .select(col("topic"), col("partition_id"), col("last_offset"),
+        col("last_id.ledger_id").as("last_ledger_id"),
+        col("last_id.entry_id").as("last_entry_id"))
+
+  /** A9 — per-topic backlog/stats aggregation (counts, bytes, rates are
+   * sums over the log — reference PersistentTopicMetrics). */
+  def topicStats(env: DataFrame): DataFrame =
+    env.groupBy(col("topic")).agg(
+      count(lit(1)).as("msg_count"),
+      sum(octet_length(col("properties")) + lit(8)).as("storage_bytes"),
+      max(col("msg_offset")).as("head_offset"),
+      min(col("msg_offset")).as("first_offset"),
+      countDistinct(col("producer_name")).as("producer_count"))
+
+  /** F10 — server-internal marker messages never reach consumers
+   * (reference: PulsarApi.proto:149; dispatcher filter at
+   * PersistentDispatcherMultipleConsumers.sendMessagesToConsumers:762). */
+  def dropMarkers(env: DataFrame): DataFrame =
+    env.filter(col("marker_type").isNull)
+
+  /** F6 — individual-ack backlog: the log minus the acked-id set
+   * (a running `except`, kept as an anti join so it stays a shuffle-free
+   * broadcast when the ack set is small). */
+  def unackedBacklog(env: DataFrame, ackedOffsets: DataFrame): DataFrame =
+    env.join(ackedOffsets.withColumnRenamed(ackedOffsets.columns.head, "_acked"),
+      col("msg_offset") === col("_acked"), "left_anti")
+
+  /** F9 — dead-letter routing: messages that exhausted maxRedeliverCount go
+   * to the DLQ view (reference: DeadLetterPolicy.java:46-64). */
+  def deadLetter(env: DataFrame, maxRedeliver: Int): DataFrame =
+    env.filter(col("attempts") >= maxRedeliver)
+
+  /** F9 — the retry-eligible complement. */
+  def retryable(env: DataFrame, maxRedeliver: Int): DataFrame =
+    env.filter(col("attempts") < maxRedeliver)
+
+  /** S14 — replication loop-breaking: only locally-originated messages are
+   * replicated onward (reference: PulsarApi.proto:115 replicated_from;
+   * PersistentReplicator). */
+  def replicationOutbound(env: DataFrame): DataFrame =
+    env.filter(col("replicated_from").isNull)
+
+  /** O6 — dispatch rate limiting: micro-batch planning caps messages per
+   * trigger; batch emulation assigns each message its trigger batch. */
+  def rateLimitBatches(env: DataFrame, maxPerTrigger: Long): DataFrame = {
+    val w = Window.partitionBy(col("topic")).orderBy(col("msg_offset"))
+    env.withColumn("trigger_batch",
+      ((row_number().over(w) - 1) / maxPerTrigger).cast("long"))
+  }
+}

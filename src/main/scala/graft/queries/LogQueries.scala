@@ -1,0 +1,499 @@
+package graft.queries
+
+import graft.functions.Murmur3x86
+import graft.model.{EventLog, MessageEnvelope}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The SURVEY §2 operator inventory over the `events` topic fixture —
+ * each entry is the Spark operator applied to the envelope log plus the
+ * equivalent DuckDB SQL on the raw events table. Query names carry the
+ * SURVEY §2 row ids (a1 = publish-order compaction, f5 = dedup, …).
+ */
+object LogQueries extends QueryGroup {
+
+  private def env(s: SparkSession, dir: String): DataFrame = EventLog.topic(s, dir)
+  private val E = EventLog.oracleCte
+
+  private val DAY_MS = 86400000L
+  private val H6_MS = 21600000L
+
+  // ---------------------------------------------------------------- A: compaction / views
+
+  private val a1 = QueryDef(
+    (s, d) => Compaction.publishOrder(env(s, d))
+      .select(col("key"), col("msg_offset").as("last_offset"),
+        round(col("value"), 4).as("last_value"))
+      .orderBy(col("key")),
+    Some(s"""$E, c AS (
+      |  SELECT key, msg_offset, value, tombstone,
+      |         row_number() OVER (PARTITION BY key ORDER BY msg_offset DESC) AS rn
+      |  FROM env WHERE marker_type IS NULL)
+      |SELECT key, msg_offset AS last_offset, round(value, 4) AS last_value
+      |FROM c WHERE rn = 1 AND NOT tombstone ORDER BY key""".stripMargin))
+
+  private val a2 = QueryDef(
+    (s, d) => Compaction.eventTimeOrder(env(s, d))
+      .select(col("key"), col("msg_offset").as("last_offset"),
+        col("event_ms").as("last_event_ms"), round(col("value"), 4).as("last_value"))
+      .orderBy(col("key")),
+    Some(s"""$E, c AS (
+      |  SELECT key, msg_offset, event_ms, value, tombstone,
+      |         row_number() OVER (PARTITION BY key ORDER BY event_ms DESC, msg_offset DESC) AS rn
+      |  FROM env WHERE marker_type IS NULL)
+      |SELECT key, msg_offset AS last_offset, event_ms AS last_event_ms, round(value, 4) AS last_value
+      |FROM c WHERE rn = 1 AND NOT tombstone ORDER BY key""".stripMargin))
+
+  private val a3 = QueryDef(
+    (s, d) => {
+      import s.implicits._
+      val ds = env(s, d).as[MessageEnvelope]
+      val merged = Compaction.strategic[MessageEnvelope](ds, _.key,
+        (a, b) =>
+          if (a.value > b.value || (a.value == b.value && a.msg_offset > b.msg_offset)) a
+          else b)
+      merged.map { case (k, m) => (k, m.msg_offset, m.value) }
+        .toDF("key", "chosen_offset", "chosen_value")
+        .withColumn("chosen_value", round(col("chosen_value"), 4))
+        .orderBy(col("key"))
+    },
+    Some(s"""$E, c AS (
+      |  SELECT key, msg_offset, value,
+      |         row_number() OVER (PARTITION BY key ORDER BY value DESC, msg_offset DESC) AS rn
+      |  FROM env)
+      |SELECT key, msg_offset AS chosen_offset, round(value, 4) AS chosen_value
+      |FROM c WHERE rn = 1 ORDER BY key""".stripMargin))
+
+  private val a5 = QueryDef(
+    (s, d) => Compaction.tableView(env(s, d))
+      .withColumn("latest_value", round(col("latest_value"), 4))
+      .orderBy(col("key")),
+    Some(s"""$E, c AS (
+      |  SELECT key, value, publish_ms, msg_offset, tombstone,
+      |         row_number() OVER (PARTITION BY key ORDER BY msg_offset DESC) AS rn
+      |  FROM env WHERE marker_type IS NULL)
+      |SELECT key, round(value, 4) AS latest_value, publish_ms AS updated_ms, msg_offset AS last_offset
+      |FROM c WHERE rn = 1 AND NOT tombstone ORDER BY key""".stripMargin))
+
+  private val a8 = QueryDef(
+    (s, d) => Dedup.snapshot(env(s, d)).orderBy(col("producer_name")),
+    Some(s"""$E, ded AS (
+      |  SELECT producer_name, sequence_id,
+      |         max(sequence_id) OVER (PARTITION BY producer_name ORDER BY msg_offset
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM env)
+      |SELECT producer_name, max(sequence_id) AS highest_sequence_persisted,
+      |       count(*) AS persisted_count
+      |FROM ded WHERE prev_max IS NULL OR sequence_id > prev_max
+      |GROUP BY producer_name ORDER BY producer_name""".stripMargin))
+
+  private val a9 = QueryDef(
+    (s, d) => LogOps.topicStats(env(s, d)).orderBy(col("topic")),
+    Some(s"""$E
+      |SELECT topic, count(*) AS msg_count,
+      |       CAST(sum(length(properties) + 8) AS BIGINT) AS storage_bytes,
+      |       max(msg_offset) AS head_offset, min(msg_offset) AS first_offset,
+      |       count(DISTINCT producer_name) AS producer_count
+      |FROM env GROUP BY topic ORDER BY topic""".stripMargin))
+
+  private val a10 = QueryDef(
+    (s, d) => LogOps.lastMessageIds(env(s, d)).orderBy(col("topic"), col("partition_id")),
+    Some(s"""$E, r AS (
+      |  SELECT topic, partition_id, msg_offset, ledger_id, entry_id,
+      |         row_number() OVER (PARTITION BY topic, partition_id ORDER BY msg_offset DESC) AS rn
+      |  FROM env)
+      |SELECT topic, partition_id, msg_offset AS last_offset,
+      |       ledger_id AS last_ledger_id, entry_id AS last_entry_id
+      |FROM r WHERE rn = 1 ORDER BY topic, partition_id""".stripMargin))
+
+  // ---------------------------------------------------------------- F: log-transform filters
+
+  private val f1 = QueryDef(
+    (s, d) => {
+      val e = env(s, d)
+      val horizon = e.agg(max(col("publish_ms")).as("_mx"))
+      LogOps.dropMarkers(e).crossJoin(horizon)
+        .filter(col("publish_ms") >= col("_mx") - lit(7 * DAY_MS))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("surviving_count"), min(col("msg_offset")).as("oldest_offset"))
+        .orderBy(col("topic"))
+    },
+    Some(s"""$E
+      |SELECT topic, count(*) AS surviving_count, min(msg_offset) AS oldest_offset
+      |FROM env
+      |WHERE marker_type IS NULL
+      |  AND publish_ms >= (SELECT max(publish_ms) FROM env) - ${7 * DAY_MS}
+      |GROUP BY topic ORDER BY topic""".stripMargin))
+
+  private val f2 = QueryDef(
+    (s, d) => LogOps.retainBySize(env(s, d), 2000L)
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("retained_count"), min(col("msg_offset")).as("earliest_retained"))
+      .orderBy(col("topic")),
+    Some(s"""$E, sized AS (
+      |  SELECT topic, msg_offset,
+      |         sum(length(properties) + 8) OVER (PARTITION BY topic ORDER BY msg_offset DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM env)
+      |SELECT topic, count(*) AS retained_count, min(msg_offset) AS earliest_retained
+      |FROM sized WHERE cum <= 2000 GROUP BY topic ORDER BY topic""".stripMargin))
+
+  private val f3 = QueryDef(
+    (s, d) => {
+      val e = env(s, d)
+      val asOf = e.agg(((min(col("publish_ms")) + max(col("publish_ms"))) / 2).cast("long").as("_asof"))
+      e.crossJoin(asOf).filter(col("deliver_at_ms") <= col("_asof"))
+        .select(col("msg_offset"), col("deliver_at_ms"))
+        .orderBy(col("msg_offset"))
+    },
+    Some(s"""$E
+      |SELECT msg_offset, deliver_at_ms FROM env
+      |WHERE deliver_at_ms <= (SELECT (min(publish_ms) + max(publish_ms)) // 2 FROM env)
+      |ORDER BY msg_offset""".stripMargin))
+
+  private val f5 = QueryDef(
+    (s, d) => Dedup.dropReplays(env(s, d))
+      .select(col("msg_offset"), col("producer_name"), col("sequence_id"))
+      .orderBy(col("msg_offset")),
+    Some(s"""$E, ded AS (
+      |  SELECT msg_offset, producer_name, sequence_id,
+      |         max(sequence_id) OVER (PARTITION BY producer_name ORDER BY msg_offset
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM env)
+      |SELECT msg_offset, producer_name, sequence_id FROM ded
+      |WHERE prev_max IS NULL OR sequence_id > prev_max ORDER BY msg_offset""".stripMargin))
+
+  private val f6 = QueryDef(
+    (s, d) => {
+      val e = env(s, d)
+      val acked = e.filter(col("msg_offset") % 3 === 0).select(col("msg_offset"))
+      LogOps.unackedBacklog(e, acked)
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("backlog_count"), min(col("msg_offset")).as("next_unacked"))
+        .orderBy(col("topic"))
+    },
+    Some(s"""$E
+      |SELECT topic, count(*) AS backlog_count, min(msg_offset) AS next_unacked
+      |FROM env WHERE msg_offset % 3 <> 0 GROUP BY topic ORDER BY topic""".stripMargin))
+
+  private val f9 = QueryDef(
+    (s, d) => env(s, d).groupBy(col("topic")).agg(
+      sum(when(col("attempts") >= 3, 1L).otherwise(0L)).as("dlq_count"),
+      sum(when(col("attempts") < 3, 1L).otherwise(0L)).as("retry_count"))
+      .orderBy(col("topic")),
+    Some(s"""$E
+      |SELECT topic,
+      |       CAST(sum(CASE WHEN attempts >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS dlq_count,
+      |       CAST(sum(CASE WHEN attempts < 3 THEN 1 ELSE 0 END) AS BIGINT) AS retry_count
+      |FROM env GROUP BY topic ORDER BY topic""".stripMargin))
+
+  private val f10 = QueryDef(
+    (s, d) => {
+      val e = env(s, d)
+      e.agg(
+        sum(when(col("marker_type").isNotNull, 1L).otherwise(0L)).as("n_markers"),
+        sum(when(col("marker_type").isNull, 1L).otherwise(0L)).as("n_visible"))
+    },
+    Some(s"""$E
+      |SELECT CAST(sum(CASE WHEN marker_type IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_markers,
+      |       CAST(sum(CASE WHEN marker_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_visible
+      |FROM env""".stripMargin))
+
+  private val f13 = QueryDef(
+    (s, d) => ChunkBatch.reassembleChunks(env(s, d)).orderBy(col("uuid_group")),
+    Some(s"""$E, ch AS (
+      |  SELECT uuid_group, chunk_id, msg_offset,
+      |         CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS payload
+      |  FROM env)
+      |SELECT uuid_group, count(*) AS num_chunks,
+      |       string_agg(payload, '|' ORDER BY chunk_id) AS assembled,
+      |       min(msg_offset) AS first_offset
+      |FROM ch GROUP BY uuid_group ORDER BY uuid_group""".stripMargin))
+
+  private val f14 = QueryDef(
+    (s, d) => ChunkBatch.batchRoundtrip(env(s, d))
+      .select(col("topic"), col("ledger_id"), col("batch_index"), col("msg_offset"), col("key"))
+      .orderBy(col("topic"), col("ledger_id"), col("batch_index")),
+    Some(s"""$E
+      |SELECT topic, ledger_id,
+      |       CAST(row_number() OVER (PARTITION BY topic, ledger_id ORDER BY msg_offset) - 1 AS INT) AS batch_index,
+      |       msg_offset, key
+      |FROM env ORDER BY topic, ledger_id, batch_index""".stripMargin))
+
+  // ---------------------------------------------------------------- S: sources / unions / replication
+
+  private val s5 = QueryDef(
+    (s, d) => {
+      val e = env(s, d)
+      val start = e.agg((max(col("msg_offset")) / 2).cast("long").as("_start"))
+      e.crossJoin(start).filter(col("msg_offset") >= col("_start"))
+        .agg(count(lit(1)).as("n"), min(col("msg_offset")).as("first_offset"),
+          max(col("msg_offset")).as("last_offset"))
+    },
+    Some(s"""$E
+      |SELECT count(*) AS n, min(msg_offset) AS first_offset, max(msg_offset) AS last_offset
+      |FROM env WHERE msg_offset >= (SELECT max(msg_offset) // 2 FROM env)""".stripMargin))
+
+  private val s7 = QueryDef(
+    (s, d) => {
+      val e = env(s, d)
+      val t0 = e.filter(col("topic") === "events-0")
+      val t1 = e.filter(col("topic") === "events-1")
+      t0.unionByName(t1)
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"), max(col("msg_offset")).as("head_offset"))
+        .orderBy(col("topic"))
+    },
+    Some(s"""$E
+      |SELECT topic, count(*) AS n, max(msg_offset) AS head_offset
+      |FROM env WHERE topic IN ('events-0', 'events-1')
+      |GROUP BY topic ORDER BY topic""".stripMargin))
+
+  private val s8 = QueryDef(
+    (s, d) => env(s, d).filter(col("topic").rlike("^events-[01]$"))
+      .groupBy(col("topic")).agg(count(lit(1)).as("n"))
+      .orderBy(col("topic")),
+    Some(s"""$E
+      |SELECT topic, count(*) AS n FROM env
+      |WHERE regexp_matches(topic, '^events-[01]$$')
+      |GROUP BY topic ORDER BY topic""".stripMargin))
+
+  private val s14 = QueryDef(
+    (s, d) => LogOps.replicationOutbound(env(s, d))
+      .groupBy(col("topic")).agg(count(lit(1)).as("outbound_count"))
+      .orderBy(col("topic")),
+    Some(s"""$E
+      |SELECT topic, count(*) AS outbound_count FROM env
+      |WHERE replicated_from IS NULL GROUP BY topic ORDER BY topic""".stripMargin))
+
+  // ---------------------------------------------------------------- R: routing
+
+  private val r1 = QueryDef(
+    (s, d) => Routing.roundRobin(env(s, d), 6)
+      .groupBy(col("route_partition")).agg(count(lit(1)).as("n"))
+      .orderBy(col("route_partition")),
+    Some(s"""$E
+      |SELECT CAST(msg_offset % 6 AS INT) AS route_partition, count(*) AS n
+      |FROM env GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Reference murmur3(seed=0) routing table for the 15 stable fixture keys,
+   * generated from the engine's own hash (itself pinned to the public
+   * MurmurHash3 test vectors in Murmur3Spec). */
+  private def keyRouteValues(nPart: Int): String =
+    (0 to 14).map { k =>
+      val h = Murmur3x86.positive(k.toString.getBytes("UTF-8"), 0)
+      s"('$k', ${h % nPart})"
+    }.mkString(", ")
+
+  private def keyBucketValues(consumers: Int): String =
+    (0 to 14).map { k =>
+      val h = Murmur3x86.positive(k.toString.getBytes("UTF-8"), 0)
+      val bucket = h % 65536
+      val size = 65536
+      val c = (0 until consumers).find { i =>
+        bucket >= i * size / consumers && bucket <= (i + 1) * size / consumers - 1
+      }.get
+      s"('$k', $bucket, 'consumer-$c')"
+    }.mkString(", ")
+
+  private val r2 = QueryDef(
+    (s, d) => Routing.keyHash(env(s, d).filter(col("key").cast("long") < 15), 6)
+      .groupBy(col("key"), col("route_partition")).agg(count(lit(1)).as("n"))
+      .orderBy(col("key")),
+    Some(s"""$E, m(key, route_partition) AS (SELECT * FROM (VALUES ${keyRouteValues(6)})),
+      |cnt AS (SELECT key, count(*) AS n FROM env WHERE CAST(key AS BIGINT) < 15 GROUP BY key)
+      |SELECT cnt.key AS key, CAST(m.route_partition AS INT) AS route_partition, cnt.n AS n
+      |FROM cnt JOIN m ON cnt.key = m.key ORDER BY key""".stripMargin))
+
+  private val r5 = QueryDef(
+    (s, d) => Routing.assignConsumers(
+      env(s, d).filter(col("key").cast("long") < 15), Routing.evenRanges(s, 3))
+      .groupBy(col("key"), col("sticky_bucket"), col("consumer")).agg(count(lit(1)).as("n"))
+      .orderBy(col("key")),
+    Some(s"""$E, m(key, sticky_bucket, consumer) AS (SELECT * FROM (VALUES ${keyBucketValues(3)})),
+      |cnt AS (SELECT key, count(*) AS n FROM env WHERE CAST(key AS BIGINT) < 15 GROUP BY key)
+      |SELECT cnt.key AS key, CAST(m.sticky_bucket AS INT) AS sticky_bucket,
+      |       m.consumer AS consumer, cnt.n AS n
+      |FROM cnt JOIN m ON cnt.key = m.key ORDER BY key""".stripMargin))
+
+  private val r10 = QueryDef(
+    (s, d) => Routing.sharedSpread(env(s, d), 3)
+      .groupBy(col("partition_id"), col("consumer")).agg(count(lit(1)).as("n"))
+      .orderBy(col("partition_id"), col("consumer")),
+    Some(s"""$E, sp AS (
+      |  SELECT partition_id,
+      |         'consumer-' || CAST((row_number() OVER (PARTITION BY partition_id ORDER BY msg_offset) - 1) % 3 AS VARCHAR) AS consumer
+      |  FROM env)
+      |SELECT partition_id, consumer, count(*) AS n
+      |FROM sp GROUP BY partition_id, consumer ORDER BY partition_id, consumer""".stripMargin))
+
+  // ---------------------------------------------------------------- O: seeks / limits
+
+  private def midPublish = "(SELECT (min(publish_ms) + max(publish_ms)) // 2 FROM env)"
+
+  private val o2 = QueryDef(
+    (s, d) => {
+      val e = env(s, d)
+      val mid = e.agg(((min(col("publish_ms")) + max(col("publish_ms"))) / 2).cast("long").as("_mid"))
+      e.crossJoin(mid).filter(col("publish_ms") >= col("_mid"))
+        .select(col("msg_offset"), col("key"), col("publish_ms"))
+        .orderBy(col("msg_offset")).limit(20)
+    },
+    Some(s"""$E
+      |SELECT msg_offset, key, publish_ms FROM env
+      |WHERE publish_ms >= $midPublish
+      |ORDER BY msg_offset LIMIT 20""".stripMargin))
+
+  private val o3 = QueryDef(
+    (s, d) => {
+      val e = env(s, d)
+      val mid = e.agg(((min(col("publish_ms")) + max(col("publish_ms"))) / 2).cast("long").as("_mid"))
+      e.crossJoin(mid).filter(col("publish_ms") >= col("_mid"))
+        .agg(min(col("msg_offset")).as("seek_offset"))
+    },
+    Some(s"""$E
+      |SELECT min(msg_offset) AS seek_offset FROM env
+      |WHERE publish_ms >= $midPublish""".stripMargin))
+
+  private val o4 = QueryDef(
+    (s, d) => LogOps.peek(env(s, d), "events-0", 10)
+      .select(col("msg_offset"), col("key"), round(col("value"), 4).as("payload")),
+    Some(s"""$E
+      |SELECT msg_offset, key, round(value, 4) AS payload FROM env
+      |WHERE topic = 'events-0' ORDER BY msg_offset LIMIT 10""".stripMargin))
+
+  private val o6 = QueryDef(
+    (s, d) => LogOps.rateLimitBatches(env(s, d), 100L)
+      .groupBy(col("topic"), col("trigger_batch")).agg(count(lit(1)).as("n"))
+      .orderBy(col("topic"), col("trigger_batch")),
+    Some(s"""$E, rb AS (
+      |  SELECT topic,
+      |         (row_number() OVER (PARTITION BY topic ORDER BY msg_offset) - 1) // 100 AS trigger_batch
+      |  FROM env)
+      |SELECT topic, trigger_batch, count(*) AS n
+      |FROM rb GROUP BY topic, trigger_batch ORDER BY topic, trigger_batch""".stripMargin))
+
+  // ---------------------------------------------------------------- W: windows
+
+  private val w1 = QueryDef(
+    (s, d) => TimeWindows.tumbling(env(s, d), H6_MS,
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")),
+      Seq(col("topic")))
+      .select(col("window_start_ms"), col("topic"), col("n"), col("sum_v"))
+      .orderBy(col("window_start_ms"), col("topic")),
+    Some(s"""$E
+      |SELECT (event_ms // $H6_MS) * $H6_MS AS window_start_ms, topic,
+      |       count(*) AS n, round(sum(value), 2) AS sum_v
+      |FROM env GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  private val w2 = QueryDef(
+    (s, d) => TimeWindows.sliding(env(s, d), 2 * H6_MS, H6_MS,
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")))
+      .select(col("window_start_ms"), col("n"), col("sum_v"))
+      .orderBy(col("window_start_ms")),
+    Some(s"""$E, sel AS (
+      |  SELECT (event_ms // $H6_MS) * $H6_MS AS ws, value FROM env
+      |  UNION ALL
+      |  SELECT (event_ms // $H6_MS) * $H6_MS - $H6_MS AS ws, value FROM env)
+      |SELECT ws AS window_start_ms, count(*) AS n, round(sum(value), 2) AS sum_v
+      |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val w3t = QueryDef(
+    (s, d) => TimeWindows.countTumblingPerKey(env(s, d), 5,
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"),
+        min(col("msg_offset")).as("first_offset")))
+      .orderBy(col("key"), col("window_id")),
+    Some(s"""$E, win AS (
+      |  SELECT key, value, msg_offset,
+      |         (row_number() OVER (PARTITION BY key ORDER BY msg_offset) - 1) // 5 AS window_id
+      |  FROM env)
+      |SELECT key, window_id, count(*) AS n, round(sum(value), 2) AS sum_v,
+      |       min(msg_offset) AS first_offset
+      |FROM win GROUP BY key, window_id ORDER BY key, window_id""".stripMargin))
+
+  private val w3s = QueryDef(
+    (s, d) => TimeWindows.countSliding(env(s, d), 5, 2,
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")))
+      .orderBy(col("window_start")),
+    Some(s"""$E, idx AS (
+      |  SELECT value, row_number() OVER (ORDER BY msg_offset) - 1 AS i FROM env),
+      |js AS (
+      |  SELECT value, unnest(generate_series(greatest((i - 3) // 2, 0), i // 2)) AS j
+      |  FROM idx)
+      |SELECT 2 * j AS window_start, count(*) AS n, round(sum(value), 2) AS sum_v
+      |FROM js GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val w6 = QueryDef(
+    (s, d) => TimeWindows.lateData(env(s, d), 60000L)
+      .select(col("msg_offset"), col("topic"), col("event_ms"), col("watermark_ms"))
+      .orderBy(col("msg_offset")),
+    Some(s"""$E, wm AS (
+      |  SELECT msg_offset, topic, event_ms,
+      |         max(event_ms) OVER (PARTITION BY topic ORDER BY msg_offset
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 60000 AS watermark_ms
+      |  FROM env)
+      |SELECT msg_offset, topic, event_ms, watermark_ms
+      |FROM wm WHERE event_ms < watermark_ms ORDER BY msg_offset""".stripMargin))
+
+  // ---------------------------------------------------------------- T: transactions
+
+  private val t2 = QueryDef(
+    (s, d) => Transactions.fixtureStatus(env(s, d)).orderBy(col("txn_id")),
+    Some(s"""$E
+      |SELECT DISTINCT txn_group AS txn_id,
+      |       CASE WHEN txn_group % 4 = 0 THEN 'ABORTED' ELSE 'COMMITTED' END AS status
+      |FROM env WHERE txn_group IS NOT NULL ORDER BY txn_id""".stripMargin))
+
+  private val t3 = QueryDef(
+    (s, d) => {
+      val e = env(s, d)
+      Transactions.visible(e, Transactions.fixtureStatus(e))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("visible_count"), round(sum(col("value")), 2).as("visible_sum"))
+        .orderBy(col("topic"))
+    },
+    Some(s"""$E
+      |SELECT topic, count(*) AS visible_count, round(sum(value), 2) AS visible_sum
+      |FROM env WHERE txn_group IS NULL OR txn_group % 4 <> 0
+      |GROUP BY topic ORDER BY topic""".stripMargin))
+
+  override val defs: Map[String, QueryDef] = Map(
+    "a1_compact_publish" -> a1,
+    "a2_compact_eventtime" -> a2,
+    "a3_compact_strategic" -> a3,
+    "a5_tableview" -> a5,
+    "a8_dedup_snapshot" -> a8,
+    "a9_topic_stats" -> a9,
+    "a10_last_message_ids" -> a10,
+    "f1_ttl_expiry" -> f1,
+    "f2_retention_size" -> f2,
+    "f3_delayed_due" -> f3,
+    "f5_dedup" -> f5,
+    "f6_unacked_backlog" -> f6,
+    "f9_dlq_routing" -> f9,
+    "f10_marker_filter" -> f10,
+    "f13_chunk_reassembly" -> f13,
+    "f14_batch_roundtrip" -> f14,
+    "s5_reader_from_mid" -> s5,
+    "s7_union_topics" -> s7,
+    "s8_regex_topics" -> s8,
+    "s14_replication_outbound" -> s14,
+    "r1_round_robin" -> r1,
+    "r2_key_hash_route" -> r2,
+    "r5_key_shared_buckets" -> r5,
+    "r10_shared_spread" -> r10,
+    "o2_seek_by_time" -> o2,
+    "o3_find_by_time" -> o3,
+    "o4_peek_messages" -> o4,
+    "o6_rate_limit_batches" -> o6,
+    "w1_tumbling_agg" -> w1,
+    "w2_sliding_agg" -> w2,
+    "w3_count_tumbling" -> w3t,
+    "w3_count_sliding" -> w3s,
+    "w6_watermark_late" -> w6,
+    "t2_txn_status" -> t2,
+    "t3_txn_visibility" -> t3
+  )
+}
