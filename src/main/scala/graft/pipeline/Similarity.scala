@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** One scored neighbor. */
+case class Scored(id: Long, score: Double)
+
+/**
+ * Bounded top-k aggregator with map-side partial aggregation: each partition
+ * keeps only its local top-k, merges are k+k → k. At 100 TB this is the
+ * difference between shuffling k rows per query and shuffling the whole
+ * scored corpus (what a window/rank formulation would do).
+ */
+class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  private def top(xs: Seq[Scored]): Seq[Scored] =
+    xs.sortBy(s => (-s.score, s.id)).take(k)
+  override def zero: Seq[Scored] = Nil
+  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = top(b :+ a)
+  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = top(x ++ y)
+  override def finish(r: Seq[Scored]): Seq[Scored] = r
+  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+}
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`array<float>`): brute-force cosine as the exact baseline, and a
+ * sign-bit LSH (IVF-style coarse quantizer) as the scale path that probes
+ * one bucket instead of the whole corpus.
+ */
+object Similarity {
+
+  /** Cosine similarity of two float vectors, computed in double with a
+   * left-to-right fold (deterministic, oracle-reproducible). */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column): Column = transform(c, x => x.cast("double"))
+    val da = d(a); val db = d(b)
+    val dot = aggregate(zip_with(da, db, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(da, lit(0d), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(db, lit(0d), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Sign-bit coarse bucket over the first `bits` dimensions — a random-
+   * hyperplane LSH specialization (hyperplanes = axis planes), giving 2^bits
+   * buckets. */
+  def signBucket(v: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      when(element_at(v, i + 1) >= 0f, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** All (query, corpus) pairs above a cosine threshold — brute force, one
+   * broadcast of the (small) query side, single pass over the corpus. */
+  def thresholdJoin(queries: DataFrame, corpus: DataFrame, threshold: Double): DataFrame =
+    corpus.as("c").join(broadcast(queries.as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("sim", round(cosine(col("q.embedding"), col("c.embedding")), 3))
+      .filter(col("sim") >= threshold)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), col("sim"))
+
+  /** Brute-force cosine top-k per query: score in one broadcast pass, then
+   * the bounded TopKAggregator (partial top-k per partition, k-bounded
+   * shuffle). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = corpus.as("c").join(broadcast(queries.as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("score"))
+    val agg = new TopKAggregator(k).toColumn
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => Scored(t._2, t._3))
+      .agg(agg.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("rank", "n")))
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("n.id").as("neighbor_id"), round(col("n.score"), 3).as("sim"))
+  }
+
+  /** IVF/LSH-bucketed ANN: queries probe only their own sign bucket —
+   * the corpus is hash-partitioned by bucket, so each query touches one
+   * partition-worth of candidates instead of everything. Approximate:
+   * recall < 1 by construction. */
+  def bucketedAnn(queries: DataFrame, corpus: DataFrame, threshold: Double,
+      bits: Int = 8): DataFrame = {
+    val qb = queries.withColumn("bucket", signBucket(col("embedding"), bits))
+    val cb = corpus.withColumn("bucket", signBucket(col("embedding"), bits))
+    cb.as("c").join(broadcast(qb.as("q")),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("sim", round(cosine(col("q.embedding"), col("c.embedding")), 3))
+      .filter(col("sim") >= threshold)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("c.bucket").as("bucket"), col("sim"))
+  }
+}

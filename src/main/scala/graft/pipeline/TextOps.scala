@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for large-scale training-data pipelines: normalization,
+ * token statistics, quality scoring, document fingerprinting, language ID.
+ *
+ * Everything here is a pure column expression — codegen'd, shuffle-free,
+ * and embarrassingly parallel over document partitions, which is the shape
+ * that survives 100 TB (no UDFs, no driver-side state).
+ */
+object TextOps {
+
+  /** Lowercase, strip non-alphanumerics, collapse whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def words(text: Column): Column = split(normalized(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish token estimate: alpha runs, digit runs, and single symbols
+   * each count as one token (a cheap stand-in for a real tokenizer with
+   * the same plumbing shape). */
+  def tokenEstimate(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** English stopword slice used by quality scoring and language ID. */
+  val stopwordsEn: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+  private def countIn(ws: Column, lexicon: Seq[String]): Column =
+    size(filter(ws, w => w.isin(lexicon.map(lit): _*)))
+
+  /**
+   * Quality features: char/word counts, mean word length, stopword ratio,
+   * and a composite score — the length/stopword heuristics of standard
+   * corpus-filtering recipes.
+   */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val ws = words(text)
+    val nWords = size(ws)
+    val charsInWords = length(regexp_replace(normalized(text), " ", ""))
+    val stopCount = countIn(ws, stopwordsEn)
+    df.withColumn("n_chars", length(text).cast("long"))
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("avg_word_len", round(charsInWords.cast("double") / nWords, 4))
+      .withColumn("stop_ratio", round(stopCount.cast("double") / nWords, 4))
+      .withColumn("quality_score",
+        round(least(nWords.cast("double") / 100, lit(1.0)) * (lit(1.0) - col("stop_ratio")), 4))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (stable across
+   * whitespace/case variants — the oracle-checkable cousin of the rolling
+   * hash in [[DedupOps.simhash]]). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Per-language stopword lexicons for the n-gram/stopword language-ID
+   * heuristic. */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> stopwordsEn,
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans", "que", "pour", "sur")
+  )
+
+  /**
+   * Language ID: argmax of per-language stopword hits (ties resolved in
+   * lexicon order, 'und' when nothing matches). A real model would slot in
+   * behind the same column contract.
+   */
+  def languageId(text: Column): Column = {
+    val ws = words(text)
+    val scores = lexicons.map { case (lang, lex) => lang -> countIn(ws, lex) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}
