@@ -95,7 +95,7 @@ object DedupOps {
       }: _*).as("sig"))
     val banded = sig.select(col("doc"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          hash(slice(col("sig"), b * rows + 1, rows)))).as(Seq("band", "band_hash")))
+          hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc") < col("b.doc"))
