@@ -18,7 +18,7 @@ object SparkEntry {
     spark
   }
 
-  private def groups: Seq[QueryGroup] = Seq(LogQueries, RelationalQueries)
+  private def groups: Seq[QueryGroup] = Seq(LogQueries, RelationalQueries, PipelineQueries)
 
   private lazy val allDefs: Map[String, QueryDef] =
     groups.flatMap(_.defs).toMap

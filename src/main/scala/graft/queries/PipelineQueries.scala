@@ -1,0 +1,294 @@
+package graft.queries
+
+import graft.functions.Murmur3x86
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The LLM-training-data pipeline operators over the `documents` and
+ * `embeddings` fixtures — deduplication (exact / normalized / n-gram
+ * Jaccard / MinHash-LSH / SimHash), similarity search (brute-force and
+ * LSH-bucketed ANN), text analysis (quality, language ID, tokens), and the
+ * multimodal decode plumbing. Every query has a DuckDB oracle; where an
+ * operator is hash-based the oracle either (a) only depends on hash
+ * *equality classes* (dedup counts — any correct md5 partitions docs the
+ * same way), (b) verifies the approximate path against the exact
+ * formulation (MinHash-LSH vs the inverted-index Jaccard join), or (c)
+ * embeds a word→murmur3 VALUES table generated from Murmur3x86, which is
+ * itself pinned to the public MurmurHash3 test vectors in Murmur3Spec.
+ */
+object PipelineQueries extends QueryGroup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** DuckDB mirror of TextOps.normalized. */
+  private val NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  /** DuckDB mirror of TextOps.words (split of the collapsed normal form). */
+  private val WORDS = s"string_split($NORM, ' ')"
+
+  // ---------------------------------------------------------------- dedup
+
+  private val p1 = QueryDef(
+    (s, d) => {
+      val base = docs(s, d)
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("doc_count"),
+          countDistinct(md5(col("text").cast("binary"))).as("distinct_count"))
+        .withColumn("dup_count", col("doc_count") - col("distinct_count"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, count(*) AS doc_count,
+      |       count(DISTINCT md5(text)) AS distinct_count,
+      |       count(*) - count(DISTINCT md5(text)) AS dup_count
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  private val p2 = QueryDef(
+    (s, d) => docs(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(TextOps.fingerprint(col("text"))).as("distinct_count"))
+      .withColumn("dup_count", col("doc_count") - col("distinct_count"))
+      .orderBy(col("source")),
+    Some(s"""SELECT source, count(*) AS doc_count,
+      |       count(DISTINCT md5($NORM)) AS distinct_count,
+      |       count(*) - count(DISTINCT md5($NORM)) AS dup_count
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Shared oracle for the exact Jaccard join and its MinHash-LSH
+   * approximation (which confirms candidates exactly — see
+   * DedupOps.minhashLshVerifiedPairs). */
+  private val jaccardOracle: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, $WORDS AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |  FROM w WHERE len(ws) >= 3),
+      |inv AS (SELECT doc_id, len(s) AS set_size, unnest(s) AS shingle FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.set_size AS sa, b.set_size AS sb, count(*) AS inter
+      |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b,
+      |       round(inter::DOUBLE / (sa + sb - inter), 4) AS jaccard
+      |FROM pairs
+      |WHERE round(inter::DOUBLE / (sa + sb - inter), 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val p3 = QueryDef(
+    (s, d) => DedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(jaccardOracle))
+
+  private val p4 = QueryDef(
+    (s, d) => DedupOps.minhashLshVerifiedPairs(docs(s, d), "doc_id", "text",
+      n = 3, k = 64, bands = 32, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(jaccardOracle))
+
+  /** Every word in the documents fixtures (all scale factors) with its
+   * murmur3-32(seed 0) hash — lets DuckDB reproduce the SimHash votes. */
+  private val vocabWords: Seq[String] = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+  private def vocabValues: String = vocabWords
+    .map(w => s"('$w', ${Murmur3x86.positive(w.getBytes("UTF-8"), 0)})")
+    .mkString(", ")
+
+  private val p5 = QueryDef(
+    (s, d) => DedupOps.simhashBuckets(
+      docs(s, d).filter(length(TextOps.normalized(col("text"))) > 0),
+      "doc_id", "text", bits = 16)
+      .select(col("simhash"), col("bucket_size"), col("representative"))
+      .orderBy(col("simhash")),
+    Some(s"""WITH vocab(word, h) AS (SELECT * FROM (VALUES $vocabValues)),
+      |w AS (
+      |  SELECT doc_id, unnest($WORDS) AS word
+      |  FROM documents WHERE length($NORM) > 0),
+      |j AS (SELECT w.doc_id, v.h FROM w JOIN vocab v ON w.word = v.word),
+      |votes AS (
+      |  SELECT doc_id, b.b AS bit,
+      |         CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |              THEN (1::BIGINT << b.b) ELSE 0::BIGINT END AS contrib
+      |  FROM j CROSS JOIN (SELECT unnest(range(0, 16)) AS b) b
+      |  GROUP BY doc_id, b.b),
+      |sh AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS simhash
+      |       FROM votes GROUP BY doc_id)
+      |SELECT simhash, count(*) AS bucket_size, min(doc_id) AS representative
+      |FROM sh GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""".stripMargin))
+
+  // ---------------------------------------------------------------- similarity / ANN
+
+  /** DuckDB mirror of Similarity.cosine: double fold over the zipped
+   * vectors — same element order, so bit-identical to Spark's aggregate. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+      | (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
+      |  sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
+
+  private val p6 = QueryDef(
+    (s, d) => {
+      val e = embs(s, d)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+      |         ${cosSql("q.embedding", "c.embedding")} AS score
+      |  FROM embeddings c, q WHERE q.vec_id <> c.vec_id),
+      |r AS (SELECT query_id, id, score,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
+      |      FROM scored)
+      |SELECT query_id, CAST(rn - 1 AS INT) AS rank, id AS neighbor_id,
+      |       round(score, 3) AS sim
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  private val p7 = QueryDef(
+    (s, d) => {
+      val e = embs(s, d)
+      Similarity.thresholdJoin(e.filter(col("vec_id") < 10), e, 0.3)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10)
+      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |       round(${cosSql("q.embedding", "c.embedding")}, 3) AS sim
+      |FROM embeddings c, q
+      |WHERE q.vec_id <> c.vec_id
+      |  AND round(${cosSql("q.embedding", "c.embedding")}, 3) >= 0.3
+      |ORDER BY query_id, neighbor_id""".stripMargin))
+
+  /** DuckDB mirror of Similarity.signBucket over the first 8 dims. */
+  private val bucketSql: String =
+    """CAST(list_sum(list_transform(range(1, 9),
+      |  i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 1))
+      |            ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
+
+  private val p8 = QueryDef(
+    (s, d) => {
+      val e = embs(s, d)
+      Similarity.bucketedAnn(e.filter(col("vec_id") < 50), e, 0.2, bits = 8)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    },
+    Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+      |q AS (SELECT * FROM b WHERE vec_id < 50)
+      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket AS bucket,
+      |       round(${cosSql("q.embedding", "c.embedding")}, 3) AS sim
+      |FROM b c, q
+      |WHERE q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      |  AND round(${cosSql("q.embedding", "c.embedding")}, 3) >= 0.2
+      |ORDER BY query_id, neighbor_id""".stripMargin))
+
+  // ---------------------------------------------------------------- text analysis
+
+  private val stopList: String =
+    TextOps.stopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val p9 = QueryDef(
+    (s, d) => TextOps.qualityFeatures(docs(s, d), col("text"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"),
+        col("avg_word_len"), col("stop_ratio"), col("quality_score"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH f AS (
+      |  SELECT doc_id, length(text) AS n_chars, $WORDS AS ws, $NORM AS norm
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, n_chars, len(ws) AS n_words,
+      |         round(length(replace(norm, ' ', ''))::DOUBLE / len(ws), 4) AS avg_word_len,
+      |         round(len(list_filter(ws, x -> list_contains($stopList, x)))::DOUBLE
+      |               / len(ws), 4) AS stop_ratio
+      |  FROM f WHERE len(ws) > 0)
+      |SELECT doc_id, n_chars, n_words, avg_word_len, stop_ratio,
+      |       round(least(n_words / 100.0, 1.0) * (1.0 - stop_ratio), 4) AS quality_score
+      |FROM g ORDER BY doc_id""".stripMargin))
+
+  private val langCase: String = {
+    val counts = TextOps.lexicons.map { case (lang, lex) =>
+      lang -> s"len(list_filter(ws, x -> list_contains(${lex.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))"
+    }
+    val best = counts.map(_._2).mkString("greatest(", ", ", ")")
+    // mirror TextOps.languageId: first lexicon (in order) hitting the max wins
+    counts.map { case (lang, c) => s"WHEN $c = $best AND $best > 0 THEN '$lang'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  private val p10 = QueryDef(
+    (s, d) => docs(s, d)
+      .withColumn("lang_pred", TextOps.languageId(col("text")))
+      .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang_pred")),
+    Some(s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+      |p AS (SELECT doc_id, $langCase AS lang_pred FROM w)
+      |SELECT lang_pred, count(*) AS n FROM p
+      |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin))
+
+  private val p11 = QueryDef(
+    (s, d) => docs(s, d)
+      .withColumn("tc", TextOps.tokenCount(col("text")))
+      .withColumn("te", TextOps.tokenEstimate(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tc")).cast("long").as("sum_tokens"),
+        sum(col("te")).cast("long").as("sum_token_est"),
+        round(avg(col("tc")), 4).as("avg_tokens"))
+      .orderBy(col("source")),
+    Some(s"""WITH t AS (
+      |  SELECT source, len($WORDS) AS tc,
+      |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS te
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(tc) AS BIGINT) AS sum_tokens,
+      |       CAST(sum(te) AS BIGINT) AS sum_token_est,
+      |       round(avg(tc), 4) AS avg_tokens
+      |FROM t GROUP BY source ORDER BY source""".stripMargin))
+
+  // ---------------------------------------------------------------- multimodal plumbing
+
+  private val mediaTypeSql =
+    "['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]"
+
+  private val p12 = QueryDef(
+    (s, d) => Multimodal.decodeDocuments(docs(s, d)).orderBy(col("doc_id")),
+    Some(s"""WITH a AS (
+      |  SELECT doc_id, $mediaTypeSql AS media_type,
+      |         octet_length(encode(text)) AS byte_len, text
+      |  FROM documents)
+      |SELECT doc_id, media_type, byte_len,
+      |       CAST(64 + byte_len % 512 AS INT) AS width,
+      |       CAST(64 + (byte_len * 7) % 512 AS INT) AS height,
+      |       CAST(1 + byte_len % 10 AS INT) AS n_frames,
+      |       md5(text) AS checksum
+      |FROM a ORDER BY doc_id""".stripMargin))
+
+  private val p13 = QueryDef(
+    (s, d) => Multimodal.sampleFrames(Multimodal.asAssets(docs(s, d)), stride = 8, frames = 4)
+      .orderBy(col("doc_id"), col("frame_idx")),
+    Some(s"""SELECT doc_id, $mediaTypeSql AS media_type,
+      |       CAST(i AS INT) AS frame_idx,
+      |       upper(hex(encode(substring(text, 1 + 8 * i, 4)))) AS frame_token
+      |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+      |ORDER BY doc_id, frame_idx""".stripMargin))
+
+  override val defs: Map[String, QueryDef] = Map(
+    "p1_exact_dedup" -> p1,
+    "p2_norm_dedup" -> p2,
+    "p3_ngram_jaccard" -> p3,
+    "p4_minhash_lsh" -> p4,
+    "p5_simhash_buckets" -> p5,
+    "p6_ann_topk" -> p6,
+    "p7_ann_threshold" -> p7,
+    "p8_ann_bucketed" -> p8,
+    "p9_quality_features" -> p9,
+    "p10_language_id" -> p10,
+    "p11_token_stats" -> p11,
+    "p12_media_decode" -> p12,
+    "p13_media_frames" -> p13
+  )
+}
