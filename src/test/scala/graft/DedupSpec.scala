@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Semantic ports of the reference's producer-dedup scenarios
+ * (pulsar-broker/src/test/java/org/apache/pulsar/broker/service/persistent/
+ * MessageDuplicationTest.java): a message is rejected unless its sequence id
+ * exceeds the highest already persisted for its producer
+ * (MessageDeduplication.java:112-123), and the snapshot records the
+ * per-producer running max (:266-269).
+ */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val log = env(Seq(
+    //  off producer seq   key  value event tomb marker
+    (0L, "p0", 0L, "k", 1.0, 0L, false, None),
+    (1L, "p0", 1L, "k", 1.0, 0L, false, None),
+    (2L, "p0", 1L, "k", 1.0, 0L, false, None), // replay of seq 1 → dropped
+    (3L, "p0", 5L, "k", 1.0, 0L, false, None),
+    (4L, "p0", 3L, "k", 1.0, 0L, false, None), // below running max 5 → dropped
+    (5L, "p1", 0L, "k", 1.0, 0L, false, None), // independent producer
+    (6L, "p1", 0L, "k", 1.0, 0L, false, None)  // replay → dropped
+  ))
+
+  test("replayed and out-of-order sequence ids are rejected per producer") {
+    val kept = Dedup.dropReplays(log).select("msg_offset")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(0L, 1L, 3L, 5L))
+  }
+
+  test("dedup snapshot records the highest persisted sequence per producer") {
+    val snap = Dedup.snapshot(log).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(snap.toSeq === Seq(("p0", 5L, 3L), ("p1", 0L, 1L)))
+  }
+
+  test("dedup is idempotent (re-running drops nothing new)") {
+    val once = Dedup.dropReplays(log)
+    val twice = Dedup.dropReplays(once)
+    assert(once.count() === twice.count())
+  }
+}

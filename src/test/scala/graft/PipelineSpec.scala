@@ -1,0 +1,90 @@
+package graft
+
+import graft.pipeline.{DedupOps, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The LLM-pipeline operators against the sf0.001 fixtures: the approximate
+ * paths must agree with their exact formulations, and the column-expression
+ * text ops must match hand-computed values. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("MinHash-LSH verified pairs equal the exact Jaccard join") {
+    val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .orderBy("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lsh = DedupOps.minhashLshVerifiedPairs(docs, "doc_id", "text", 3, 64, 32, 0.5)
+      .orderBy("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(exact.nonEmpty, "fixture should contain near-duplicate pairs")
+    assert(lsh.toSeq === exact.toSeq)
+  }
+
+  test("identical word multisets share a simhash bucket") {
+    import spark.implicits._
+    val d = Seq((0L, "spark scan table"), (1L, "spark  SCAN table!"),
+      (2L, "totally different words here")).toDF("doc_id", "text")
+    val buckets = DedupOps.simhashBuckets(d, "doc_id", "text", 16).collect()
+    assert(buckets.length === 1)
+    assert(buckets.head.getAs[Long]("bucket_size") === 2)
+    assert(buckets.head.getAs[Long]("representative") === 0L)
+  }
+
+  test("brute-force top-k matches a driver-side exact computation") {
+    val e = embs.filter(col("vec_id") < 30)
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (0L until 3L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(i => (i, cos(vecs(q), vecs(i))))
+        .sortBy { case (i, s) => (-s, i) }.take(5).map(_._1)
+    }.toMap
+    val got = Similarity.bruteForceTopK(e.filter(col("vec_id") < 3), e, 5)
+      .orderBy("query_id", "rank").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSeq).toMap
+    (0L until 3L).foreach { q => assert(got(q) === expected(q), s"query $q") }
+  }
+
+  test("bucketed ANN only pairs vectors within one sign bucket") {
+    val out = Similarity.bucketedAnn(embs.filter(col("vec_id") < 20), embs, 0.0, 8)
+    val q = embs.withColumn("b", Similarity.signBucket(col("embedding"), 8))
+      .select("vec_id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.select("query_id", "neighbor_id", "bucket").collect().foreach { r =>
+      assert(q(r.getLong(0)) === r.getLong(2))
+      assert(q(r.getLong(1)) === r.getLong(2))
+    }
+  }
+
+  test("text ops compute hand-checked values") {
+    import spark.implicits._
+    val d = Seq((0L, "The quick, quick fox!")).toDF("doc_id", "text")
+    val row = d.select(
+      TextOps.normalized(col("text")).as("norm"),
+      TextOps.tokenCount(col("text")).as("tc"),
+      TextOps.tokenEstimate(col("text")).as("te"),
+      TextOps.fingerprint(col("text")).as("fp")).head()
+    assert(row.getAs[String]("norm") === "the quick quick fox")
+    assert(row.getAs[Int]("tc") === 4)
+    // alpha runs: the, quick, quick, fox = 4; symbols: ',', '!' = 2
+    assert(row.getAs[Int]("te") === 6)
+    assert(row.getAs[String]("fp").length === 32)
+  }
+
+  test("language ID picks the lexicon with the most stopword hits") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "the cat is on the mat"),
+      (1L, "el gato y la casa en un dia"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextOps.languageId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(0L -> "en", 1L -> "es", 2L -> "de", 3L -> "und"))
+  }
+}
