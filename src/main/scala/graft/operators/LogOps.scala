@@ -21,15 +21,14 @@ object LogOps {
 
   /** F2 — size-based retention per topic: newest-first cumulative size cap
    * (reference: RetentionPolicies; ledger-granular in the reference, row-
-   * granular here). */
-  def retainBySize(env: DataFrame, maxBytesPerTopic: Long): DataFrame = {
-    val w = Window.partitionBy(col("topic")).orderBy(col("msg_offset").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    env.withColumn("_size", octet_length(col("properties")) + lit(8))
-      .withColumn("_cum", sum(col("_size")).over(w))
+   * granular here). The running sum is two-level (per-ledger blocks +
+   * prefix of newer ledgers — see [[Sequencing.keyedCumSumDesc]]) so no
+   * task ever sorts a whole topic. */
+  def retainBySize(env: DataFrame, maxBytesPerTopic: Long): DataFrame =
+    Sequencing.keyedCumSumDesc(env, Seq("topic"), "ledger_id", "msg_offset",
+      octet_length(col("properties")) + lit(8), "_cum")
       .filter(col("_cum") <= maxBytesPerTopic)
-      .drop("_size", "_cum")
-  }
+      .drop("_cum")
 
   /** F3/F4 — delayed delivery: a message is invisible until its
    * deliver-at time (reference: InMemoryDelayedDeliveryTracker.java:221;
@@ -99,10 +98,11 @@ object LogOps {
     env.filter(col("replicated_from").isNull)
 
   /** O6 — dispatch rate limiting: micro-batch planning caps messages per
-   * trigger; batch emulation assigns each message its trigger batch. */
-  def rateLimitBatches(env: DataFrame, maxPerTrigger: Long): DataFrame = {
-    val w = Window.partitionBy(col("topic")).orderBy(col("msg_offset"))
-    env.withColumn("trigger_batch",
-      ((row_number().over(w) - 1) / maxPerTrigger).cast("long"))
-  }
+   * trigger; batch emulation assigns each message its trigger batch. The
+   * per-topic sequence is two-level (see [[Sequencing.keyedSequence]]) —
+   * a 3-value `topic` window would otherwise serialize the whole log. */
+  def rateLimitBatches(env: DataFrame, maxPerTrigger: Long): DataFrame =
+    Sequencing.keyedSequence(env, Seq("topic"), "ledger_id", "msg_offset", "_seq")
+      .withColumn("trigger_batch", (col("_seq") / maxPerTrigger).cast("long"))
+      .drop("_seq")
 }

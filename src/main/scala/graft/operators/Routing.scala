@@ -68,10 +68,11 @@ object Routing {
     stickyBucket(env).repartitionByRange(buckets, col("sticky_bucket"))
 
   /** R10 — Shared-subscription fair spread: work-queue assignment of
-   * messages to n consumers, order not preserved across consumers. */
-  def sharedSpread(env: DataFrame, consumers: Int): DataFrame = {
-    val w = Window.partitionBy(col("partition_id")).orderBy(col("msg_offset"))
-    env.withColumn("consumer",
-      concat(lit("consumer-"), ((row_number().over(w) - 1) % consumers)))
-  }
+   * messages to n consumers, order not preserved across consumers. The
+   * per-partition sequence is two-level ([[Sequencing.keyedSequence]]) so
+   * a 4-value partition_id never serializes the log through 4 tasks. */
+  def sharedSpread(env: DataFrame, consumers: Int): DataFrame =
+    Sequencing.keyedSequence(env, Seq("partition_id"), "ledger_id", "msg_offset", "_seq")
+      .withColumn("consumer", concat(lit("consumer-"), col("_seq") % consumers))
+      .drop("_seq")
 }

@@ -48,11 +48,14 @@ object TimeWindows {
    * row i (0-based, MessageId order) belongs to window starts
    * s ∈ {ceil((i-L+1)/S)*S .. floor(i/S)*S}; generated with `sequence` —
    * a narrow explode, no self-join. */
-  def countSliding(env: DataFrame, length: Int, slide: Int, aggs: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(col("msg_offset"))
-    // Materialize the row index first: a generator argument cannot embed a
-    // window function.
-    val indexed = env.withColumn("_i", row_number().over(w) - 1)
+  def countSliding(env: DataFrame, length: Int, slide: Int, aggs: Seq[Column],
+      indexCol: Column = col("msg_offset")): DataFrame = {
+    // The row index comes from the data model, not a global window: the
+    // envelope's msg_offset IS the dense 0-based log position (a
+    // no-partition Window.orderBy would drag the entire log through one
+    // task). Callers with a non-dense order pass their own dense index
+    // (e.g. Sequencing.keyedSequence over a constant key).
+    val indexed = env.withColumn("_i", indexCol)
     val loJ = greatest(
       ceil((col("_i") - length + 1).cast("double") / slide).cast("long"), lit(0L))
     val hiJ = floor(col("_i").cast("double") / slide).cast("long")
@@ -73,16 +76,17 @@ object TimeWindows {
    * of the per-topic columns.) Returns the input plus
    * (watermark_ms, is_late).
    */
-  def withLateness(env: DataFrame, lagMs: Long): DataFrame = {
-    val perTopic = Window.partitionBy(col("topic")).orderBy(col("msg_offset"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    env.withColumn("_topic_max", max(col("event_ms")).over(perTopic))
+  def withLateness(env: DataFrame, lagMs: Long): DataFrame =
+    // Two-level running max (Sequencing.keyedRunningMaxExcl): the per-topic
+    // watermark scan parallelizes over (topic, ledger) blocks instead of
+    // dragging each topic through one task.
+    Sequencing.keyedRunningMaxExcl(env, Seq("topic"), "ledger_id",
+      "msg_offset", col("event_ms"), "_topic_max")
       .withColumn("watermark_ms",
         when(col("_topic_max").isNotNull, col("_topic_max") - lagMs))
       .withColumn("is_late",
         coalesce(col("event_ms") < col("watermark_ms"), lit(false)))
       .drop("_topic_max")
-  }
 
   /** W7 — the late-data side topic. */
   def lateData(env: DataFrame, lagMs: Long): DataFrame =
