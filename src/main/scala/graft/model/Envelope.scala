@@ -39,7 +39,11 @@ final case class MessageEnvelope(
     attempts: Int,
     uuid_group: Long,
     chunk_id: Int,
-    tombstone: Boolean // null_value in the reference wire format
+    tombstone: Boolean, // null_value in the reference wire format
+    ordering_key: Option[Array[Byte]], // overrides key for Key_Shared (PulsarApi.proto:141)
+    uuid: String, // chunk-correlation id (PulsarApi.proto:160)
+    num_chunks: Int, // num_chunks_from_msg (PulsarApi.proto:162)
+    compacted_out: Boolean // set by compaction, false on the wire (PulsarApi.proto:191)
 )
 
 object Envelope {
@@ -67,7 +71,11 @@ object Envelope {
     StructField("attempts", IntegerType, nullable = false),
     StructField("uuid_group", LongType, nullable = false),
     StructField("chunk_id", IntegerType, nullable = false),
-    StructField("tombstone", BooleanType, nullable = false)
+    StructField("tombstone", BooleanType, nullable = false),
+    StructField("ordering_key", BinaryType, nullable = true),
+    StructField("uuid", StringType, nullable = false),
+    StructField("num_chunks", IntegerType, nullable = false),
+    StructField("compacted_out", BooleanType, nullable = false)
   ))
 
   /** Total log order within a partition (MessageId order). */
@@ -133,7 +141,12 @@ object EventLog {
       (col("event_id") % 5).cast(IntegerType).as("attempts"),
       (col("event_id") / 4).cast(LongType).as("uuid_group"),
       (col("event_id") % 4).cast(IntegerType).as("chunk_id"),
-      (col("event_type") === "error").as("tombstone")
+      (col("event_type") === "error").as("tombstone"),
+      when(col("event_id") % 3 === 0,
+        encode(concat(lit("ok-"), col("user_id") % 7), "UTF-8")).as("ordering_key"),
+      concat(lit("uuid-"), (col("event_id") / 4).cast(LongType)).as("uuid"),
+      lit(4).as("num_chunks"),
+      lit(false).as("compacted_out")
     )
   }
 
@@ -167,7 +180,12 @@ object EventLog {
       |    CAST(event_id % 5 AS INT)                           AS attempts,
       |    event_id // 4                                       AS uuid_group,
       |    CAST(event_id % 4 AS INT)                           AS chunk_id,
-      |    (event_type = 'error')                              AS tombstone
+      |    (event_type = 'error')                              AS tombstone,
+      |    CASE WHEN event_id % 3 = 0
+      |         THEN 'ok-' || CAST(user_id % 7 AS VARCHAR) END AS ordering_key,
+      |    'uuid-' || CAST(event_id // 4 AS VARCHAR)           AS uuid,
+      |    4                                                   AS num_chunks,
+      |    FALSE                                               AS compacted_out
       |  FROM events
       |)""".stripMargin
 }

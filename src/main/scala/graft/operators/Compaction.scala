@@ -74,6 +74,23 @@ object Compaction {
       col("msg_offset").as("last_offset"))
 
   /**
+   * F11 — mark messages that compaction would drop: every non-marker
+   * message that is not its key's latest, plus latest-but-tombstoned
+   * (reference: PulsarApi.proto:191 compacted_out; CompactedTopicUtils).
+   * The winners side is a key-sized hash aggregate — broadcast when small,
+   * never a per-key sort of the log.
+   */
+  def markCompactedOut(env: DataFrame): DataFrame = {
+    val winners = compactionInput(env).groupBy(col("key").as("_k"))
+      .agg(max(col("msg_offset")).as("_winner_offset"))
+    env.join(winners, col("key") === col("_k"), "left")
+      .withColumn("compacted_out",
+        col("marker_type").isNull &&
+          (col("msg_offset") < col("_winner_offset") || col("tombstone")))
+      .drop("_k", "_winner_offset")
+  }
+
+  /**
    * A4 — compacted read: compacted view unioned with the uncompacted tail
    * past the compaction horizon (reference: CompactedTopicImpl.java:103-131).
    */

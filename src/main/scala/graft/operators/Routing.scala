@@ -32,9 +32,12 @@ object Routing {
     env.withColumn("route_partition", lit(thePartition))
 
   /** R5/R8 — Key_Shared sticky bucket: 16-bit ring position of the
-   * effective key (ordering_key overrides key, PulsarApi.proto:141). */
+   * effective key — ordering_key (bytes) overrides key
+   * (PulsarApi.proto:141); murmur3 of a string hashes its UTF-8 bytes, so
+   * the coalesce over `encode(key)` is exact parity. */
   def stickyBucket(env: DataFrame): DataFrame =
-    env.withColumn("sticky_bucket", keySharedBucket(col("key")))
+    env.withColumn("sticky_bucket",
+      keySharedBucket(coalesce(col("ordering_key"), encode(col("key"), "UTF-8"))))
 
   /**
    * R5-R7 — assign messages to consumers by hash-range: ranges is a small

@@ -77,6 +77,50 @@ object LogQueries extends QueryGroup {
       |SELECT key, round(value, 4) AS latest_value, publish_ms AS updated_ms, msg_offset AS last_offset
       |FROM c WHERE rn = 1 AND NOT tombstone ORDER BY key""".stripMargin))
 
+  private val a4 = QueryDef(
+    (s, d) => {
+      val e = env(s, d)
+      val h = e.agg((max(col("msg_offset")) / 2).cast("long").as("_h"))
+      val withH = e.crossJoin(h)
+      val head = Compaction.publishOrder(withH.filter(col("msg_offset") <= col("_h")))
+        .select(col("key"), col("msg_offset"))
+      val tail = withH.filter(col("msg_offset") > col("_h") && col("marker_type").isNull)
+        .select(col("key"), col("msg_offset"))
+      head.unionByName(tail).orderBy(col("msg_offset"), col("key"))
+    },
+    Some(s"""$E, h AS (SELECT max(msg_offset) // 2 AS horizon FROM env),
+      |head AS (
+      |  SELECT key, msg_offset FROM (
+      |    SELECT key, msg_offset, tombstone,
+      |           row_number() OVER (PARTITION BY key ORDER BY msg_offset DESC) AS rn
+      |    FROM env, h WHERE marker_type IS NULL AND msg_offset <= horizon)
+      |  WHERE rn = 1 AND NOT tombstone),
+      |tail AS (
+      |  SELECT key, msg_offset FROM env, h
+      |  WHERE msg_offset > horizon AND marker_type IS NULL)
+      |SELECT * FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
+      |ORDER BY msg_offset, key""".stripMargin))
+
+  private val f11 = QueryDef(
+    (s, d) => Compaction.markCompactedOut(env(s, d))
+      .groupBy(col("topic"))
+      .agg(sum(when(col("compacted_out"), 1L).otherwise(0L)).as("compacted_out_count"),
+        sum(when(!col("compacted_out") && col("marker_type").isNull, 1L).otherwise(0L))
+          .as("retained_count"))
+      .orderBy(col("topic")),
+    Some(s"""$E, w AS (
+      |  SELECT key, max(msg_offset) AS winner FROM env
+      |  WHERE marker_type IS NULL GROUP BY key)
+      |SELECT topic,
+      |  CAST(sum(CASE WHEN marker_type IS NULL
+      |                 AND (msg_offset < winner OR tombstone) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS compacted_out_count,
+      |  CAST(sum(CASE WHEN marker_type IS NULL
+      |                 AND NOT (msg_offset < winner OR tombstone) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS retained_count
+      |FROM env LEFT JOIN w USING (key)
+      |GROUP BY topic ORDER BY topic""".stripMargin))
+
   private val a8 = QueryDef(
     (s, d) => Dedup.snapshot(env(s, d)).orderBy(col("producer_name")),
     Some(s"""$E, ded AS (
@@ -308,15 +352,71 @@ object LogQueries extends QueryGroup {
       |FROM cnt JOIN m ON cnt.key = m.key ORDER BY key""".stripMargin))
 
   private val r5 = QueryDef(
+    // ordering_key-free slice: the override path is r8's query.
     (s, d) => Routing.assignConsumers(
-      env(s, d).filter(col("key").cast("long") < 15), Routing.evenRanges(s, 3))
+      env(s, d).filter(col("key").cast("long") < 15 && col("ordering_key").isNull),
+      Routing.evenRanges(s, 3))
       .groupBy(col("key"), col("sticky_bucket"), col("consumer")).agg(count(lit(1)).as("n"))
       .orderBy(col("key")),
     Some(s"""$E, m(key, sticky_bucket, consumer) AS (SELECT * FROM (VALUES ${keyBucketValues(3)})),
-      |cnt AS (SELECT key, count(*) AS n FROM env WHERE CAST(key AS BIGINT) < 15 GROUP BY key)
+      |cnt AS (SELECT key, count(*) AS n FROM env
+      |        WHERE CAST(key AS BIGINT) < 15 AND ordering_key IS NULL GROUP BY key)
       |SELECT cnt.key AS key, CAST(m.sticky_bucket AS INT) AS sticky_bucket,
       |       m.consumer AS consumer, cnt.n AS n
       |FROM cnt JOIN m ON cnt.key = m.key ORDER BY key""".stripMargin))
+
+  /** Effective-key → 16-bit bucket VALUES for r8: both the plain fixture
+   * keys and the ordering-key tags, from the spec-pinned hash. */
+  private def effectiveBucketValues: String = {
+    val tags = (0 to 14).map(_.toString) ++ (0 to 6).map(k => s"ok-$k")
+    tags.map { t =>
+      val h = Murmur3x86.positive(t.getBytes("UTF-8"), 0)
+      s"('$t', ${h % 65536})"
+    }.mkString(", ")
+  }
+
+  private val r8 = QueryDef(
+    (s, d) => Routing.stickyBucket(
+      env(s, d).filter(col("ordering_key").isNotNull || col("key").cast("long") < 15))
+      .withColumn("effective_key",
+        coalesce(decode(col("ordering_key"), "UTF-8"), col("key")))
+      .groupBy(col("effective_key"), col("sticky_bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("effective_key")),
+    Some(s"""$E, m(effective_key, sticky_bucket) AS (SELECT * FROM (VALUES $effectiveBucketValues)),
+      |cnt AS (
+      |  SELECT coalesce(ordering_key, key) AS effective_key, count(*) AS n
+      |  FROM env WHERE ordering_key IS NOT NULL OR CAST(key AS BIGINT) < 15
+      |  GROUP BY 1)
+      |SELECT cnt.effective_key AS effective_key,
+      |       CAST(m.sticky_bucket AS INT) AS sticky_bucket, cnt.n AS n
+      |FROM cnt JOIN m ON cnt.effective_key = m.effective_key
+      |ORDER BY effective_key""".stripMargin))
+
+  private val r3 = QueryDef(
+    (s, d) => Routing.singlePartition(env(s, d), 2)
+      .groupBy(col("route_partition")).agg(count(lit(1)).as("n")),
+    Some(s"""$E
+      |SELECT CAST(2 AS INT) AS route_partition, count(*) AS n FROM env""".stripMargin))
+
+  private val r9 = QueryDef(
+    // PIP-486 entry bucketing: range-partition by sticky bucket; the
+    // deterministic output is the 8-way bucket-range histogram.
+    (s, d) => Routing.entryBucketed(
+      env(s, d).filter(col("key").cast("long") < 15 && col("ordering_key").isNull), 8)
+      .withColumn("bucket_range", (col("sticky_bucket") / 8192).cast("int"))
+      .groupBy(col("bucket_range"))
+      .agg(count(lit(1)).as("n"), min(col("sticky_bucket")).as("min_bucket"),
+        max(col("sticky_bucket")).as("max_bucket"))
+      .orderBy(col("bucket_range")),
+    Some(s"""$E, m(key, sticky_bucket, consumer) AS (SELECT * FROM (VALUES ${keyBucketValues(3)})),
+      |b AS (
+      |  SELECT env.key, m.sticky_bucket, m.sticky_bucket // 8192 AS bucket_range
+      |  FROM env JOIN m ON env.key = m.key
+      |  WHERE CAST(env.key AS BIGINT) < 15 AND env.ordering_key IS NULL)
+      |SELECT CAST(bucket_range AS INT) AS bucket_range, count(*) AS n,
+      |       CAST(min(sticky_bucket) AS INT) AS min_bucket,
+      |       CAST(max(sticky_bucket) AS INT) AS max_bucket
+      |FROM b GROUP BY bucket_range ORDER BY bucket_range""".stripMargin))
 
   private val r10 = QueryDef(
     (s, d) => Routing.sharedSpread(env(s, d), 3)
@@ -373,6 +473,36 @@ object LogQueries extends QueryGroup {
       |         (row_number() OVER (PARTITION BY topic ORDER BY msg_offset) - 1) // 100 AS trigger_batch
       |  FROM env)
       |SELECT topic, trigger_batch, count(*) AS n
+      |FROM rb GROUP BY topic, trigger_batch ORDER BY topic, trigger_batch""".stripMargin))
+
+  private val o5 = QueryDef(
+    (s, d) => env(s, d).groupBy(col("topic"))
+      .agg(min(col("msg_offset")).as("earliest_start"),
+        (max(col("msg_offset")) + 1).as("latest_start"))
+      .orderBy(col("topic")),
+    Some(s"""$E
+      |SELECT topic, min(msg_offset) AS earliest_start,
+      |       max(msg_offset) + 1 AS latest_start
+      |FROM env GROUP BY topic ORDER BY topic""".stripMargin))
+
+  private val s4 = QueryDef(
+    // batchReceive policy emulation: count-capped receive batches with
+    // per-batch byte totals (maxNumBytes/timeout are trigger options in
+    // the streaming path).
+    (s, d) => LogOps.rateLimitBatches(env(s, d), 50L)
+      .groupBy(col("topic"), col("trigger_batch"))
+      .agg(count(lit(1)).as("n"),
+        sum(octet_length(col("properties")) + lit(8)).cast("long").as("batch_bytes"),
+        min(col("msg_offset")).as("first_offset"),
+        max(col("msg_offset")).as("last_offset"))
+      .orderBy(col("topic"), col("trigger_batch")),
+    Some(s"""$E, rb AS (
+      |  SELECT topic, msg_offset, length(properties) + 8 AS sz,
+      |         (row_number() OVER (PARTITION BY topic ORDER BY msg_offset) - 1) // 50 AS trigger_batch
+      |  FROM env)
+      |SELECT topic, trigger_batch, count(*) AS n,
+      |       CAST(sum(sz) AS BIGINT) AS batch_bytes,
+      |       min(msg_offset) AS first_offset, max(msg_offset) AS last_offset
       |FROM rb GROUP BY topic, trigger_batch ORDER BY topic, trigger_batch""".stripMargin))
 
   // ---------------------------------------------------------------- W: windows
@@ -463,7 +593,14 @@ object LogQueries extends QueryGroup {
     "a1_compact_publish" -> a1,
     "a2_compact_eventtime" -> a2,
     "a3_compact_strategic" -> a3,
+    "a4_read_compacted" -> a4,
     "a5_tableview" -> a5,
+    "f11_compacted_out" -> f11,
+    "o5_initial_position" -> o5,
+    "s4_batch_receive" -> s4,
+    "r3_single_partition" -> r3,
+    "r8_ordering_key" -> r8,
+    "r9_entry_buckets" -> r9,
     "a8_dedup_snapshot" -> a8,
     "a9_topic_stats" -> a9,
     "a10_last_message_ids" -> a10,

@@ -27,7 +27,9 @@ object TestSpark {
         value = v, properties = "{}", schema_version = 0L,
         deliver_at_ms = 1000000L + off * 1000, marker_type = marker,
         replicated_from = None, txn_group = None, attempts = 0,
-        uuid_group = off / 4, chunk_id = (off % 4).toInt, tombstone = tomb)
+        uuid_group = off / 4, chunk_id = (off % 4).toInt, tombstone = tomb,
+        ordering_key = None, uuid = s"uuid-${off / 4}", num_chunks = 4,
+        compacted_out = false)
     }.toDF()
   }
 }
