@@ -1,0 +1,127 @@
+package graft
+
+import graft.model.{EventLog, MessageEnvelope}
+import graft.operators.{Compaction, Dedup, TimeWindows}
+import graft.streaming.{StreamingOps, TopicStream}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import java.nio.file.Files
+
+/**
+ * Streaming smoke: replays the events fixture through deterministic
+ * micro-batches and checks that every streaming operator converges to its
+ * batch twin on the same data —
+ *
+ *   1. TableView (A5): update-mode max_by → client map == batch tableView
+ *   2. Producer dedup (F5): keyed-state filter == batch dropReplays
+ *   3. Windowed agg (W1/W4/W6): watermarked tumbling counts == batch window
+ *   4. Subscription cursor (S3/M4): a checkpointed file-stream consumes the
+ *      topic exactly once; restarting from the checkpoint re-reads nothing.
+ *
+ * Exits nonzero on any mismatch.
+ */
+object StreamingSmoke {
+
+  private val H6_MS = 21600000L
+  private var failures = 0
+
+  private def check(name: String, ok: Boolean, detail: => String = ""): Unit = {
+    if (ok) println(s"[stream-smoke] $name OK")
+    else { failures += 1; println(s"[stream-smoke] $name MISMATCH $detail") }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-streaming-smoke")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    SparkEntry.prepare(spark)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val batchDf = EventLog.topic(spark, sfDir).cache()
+    val envs = batchDf.as[MessageEnvelope].collect().sortBy(_.msg_offset)
+    val chunks = envs.grouped(math.max(1, envs.length / 5 + 1)).toSeq
+    def ckpt() = Files.createTempDirectory("graft-ckpt-").toString
+
+    // -- 1. streaming TableView converges to the batch view ---------------
+    val s1 = MemoryStream[MessageEnvelope]
+    val (q1, view) = StreamingOps.tableViewStream(s1.toDF(), ckpt())
+    chunks.foreach { c => s1.addData(c); q1.processAllAvailable() }
+    q1.stop()
+    val batchView = Compaction.tableView(batchDf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    val streamView = view.snapshot.map { case (k, e) => k -> (e.value, e.publish_ms, e.msg_offset) }
+    check("tableview", streamView == batchView,
+      s"stream=${streamView.size} keys batch=${batchView.size} keys")
+
+    // -- 2. keyed-state dedup converges to the batch dedup ----------------
+    val s2 = MemoryStream[MessageEnvelope]
+    val q2 = StreamingOps.dropReplaysStream(s2.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt()).start()
+    chunks.foreach { c => s2.addData(c); q2.processAllAvailable() }
+    q2.stop()
+    val streamKept = spark.table("dedup_out").select("msg_offset")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batchKept = Dedup.dropReplays(batchDf).select("msg_offset")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    check("dedup", streamKept == batchKept,
+      s"stream=${streamKept.size} rows batch=${batchKept.size} rows")
+
+    // -- 3. watermarked tumbling window == batch window -------------------
+    val s3 = MemoryStream[MessageEnvelope]
+    val q3 = StreamingOps.tumblingCounts(s3.toDF(), H6_MS, "10 days")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", ckpt()).start()
+    chunks.foreach { c => s3.addData(c); q3.processAllAvailable() }
+    q3.stop()
+    val streamWin = spark.table("win_out")
+      .select("window_start_ms", "topic", "n", "sum_v").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batchWin = TimeWindows.tumbling(batchDf, H6_MS,
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")), Seq(col("topic")))
+      .select("window_start_ms", "topic", "n", "sum_v").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val winOk = streamWin.keySet == batchWin.keySet && streamWin.forall {
+      case (k, (n, s)) => batchWin(k)._1 == n && math.abs(batchWin(k)._2 - s) < 1e-6
+    }
+    check("window", winOk, s"stream=${streamWin.size} windows batch=${batchWin.size}")
+
+    // -- 4. subscription = checkpointed query (cursor survives restart) ---
+    val topicDir = Files.createTempDirectory("graft-topic-").toString
+    // three appends = three "ledgers" on disk
+    chunks.grouped(2).zipWithIndex.foreach { case (g, _) =>
+      g.flatten.toSeq.toDS().write.mode("append").parquet(topicDir)
+    }
+    val subCkpt = ckpt()
+    def consumeOnce(): Long = {
+      val counter = new java.util.concurrent.atomic.AtomicLong
+      val q = TopicStream.subscribe(spark, topicDir, maxFilesPerTrigger = 1)
+        .writeStream.option("checkpointLocation", subCkpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          counter.addAndGet(b.count()); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      counter.get()
+    }
+    val firstRun = consumeOnce()
+    val secondRun = consumeOnce() // same checkpoint: cursor already at head
+    check("subscription", firstRun == envs.length && secondRun == 0L,
+      s"first=$firstRun (want ${envs.length}) second=$secondRun (want 0)")
+
+    if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
+    println(s"[stream-smoke] all 4 converged to batch twins OK")
+    spark.stop()
+  }
+}
