@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The produce path — S1 (Producer.send) and S2 (TypedMessageBuilder).
+ *
+ * Reference flow: the builder stamps envelope fields (TypedMessageBuilder
+ * .java:96-214), a router picks the partition — keyed messages by
+ * murmur3(key) % n, keyless round-robin
+ * (RoundRobinPartitionMessageRouterImpl.java:74) — the broker stamps
+ * sequence/ledger/entry ids and rejects replays
+ * (MessageDeduplication.java:112-123), then the entry is durably written.
+ *
+ * Spark-first: stamping is pure column arithmetic over a caller-named
+ * order column, so ids are deterministic and reproducible (no
+ * monotonically_increasing_id, no driver state); the per-partition entry
+ * sequence and the global sequence use the two-level [[Sequencing]]
+ * helpers, so no task ever sorts the whole batch; durability is the
+ * Parquet append (the BookKeeper-quorum replacement).
+ */
+object Produce {
+
+  /**
+   * S2 — build envelope messages from a raw batch with columns
+   * (`orderCol`, key STRING nullable, value DOUBLE, optional event_ms,
+   * optional properties). Keyed rows route murmur3(key) % n; keyless rows
+   * round-robin on their global position. `deliverAfterMs` > 0 sets the
+   * delayed-delivery timestamp (TypedMessageBuilder.deliverAfter).
+   */
+  def build(batch: DataFrame, topic: String, producerName: String,
+      numPartitions: Int, orderCol: String, nowMs: Long,
+      startOffset: Long = 0L, startSeq: Long = 0L,
+      deliverAfterMs: Long = 0L, ledgerSize: Long = 1000L): DataFrame = {
+    val withBlk = batch
+      .withColumn("_one", lit(0))
+      .withColumn("_blk", (col(orderCol) / ledgerSize).cast("long"))
+    val global = Sequencing.keyedSequence(withBlk, Seq("_one"), "_blk", orderCol, "_g")
+    val routed = global.withColumn("_pt",
+      when(col("key").isNotNull, keyHashPartition(col("key"), numPartitions))
+        .otherwise(pmod(col("_g"), lit(numPartitions)).cast("int")))
+    val sequenced = Sequencing.keyedSequence(routed, Seq("_pt"), "_blk", orderCol, "_entry")
+    val eventMs = if (batch.columns.contains("event_ms")) col("event_ms") else lit(nowMs)
+    val props = if (batch.columns.contains("properties")) col("properties") else lit("{}")
+    sequenced.select(
+      lit(topic).as("topic"),
+      col("_pt").as("partition_id"),
+      col("_blk").as("ledger_id"),
+      col("_entry").as("entry_id"),
+      lit(0).as("batch_index"),
+      (col("_g") + startOffset).as("msg_offset"),
+      lit(producerName).as("producer_name"),
+      (col("_g") + startSeq).as("sequence_id"),
+      lit(nowMs).as("publish_ms"),
+      eventMs.as("event_ms"),
+      col("key").cast("string").as("key"),
+      col("value").cast("double").as("value"),
+      props.as("properties"),
+      lit(0L).as("schema_version"),
+      lit(nowMs + deliverAfterMs).as("deliver_at_ms"),
+      lit(null).cast("int").as("marker_type"),
+      lit(null).cast("string").as("replicated_from"),
+      lit(null).cast("long").as("txn_group"),
+      lit(0).as("attempts"),
+      (col("_g") + startOffset).as("uuid_group"),
+      lit(0).as("chunk_id"),
+      lit(false).as("tombstone"),
+      lit(null).cast("binary").as("ordering_key"),
+      concat(lit(s"$topic-"), col("_g") + startOffset).as("uuid"),
+      lit(1).as("num_chunks"),
+      lit(false).as("compacted_out"))
+  }
+
+  /**
+   * F5 at the write boundary — drop messages the topic has already
+   * persisted: intra-batch replays first, then anti-filter against the
+   * existing per-producer high-water snapshot (a producer-count-sized
+   * broadcast, exactly the broker's `highestSequencedPushed` map).
+   */
+  def dedupAgainst(newMsgs: DataFrame, existing: DataFrame): DataFrame = {
+    val snap = Dedup.snapshot(existing)
+      .select(col("producer_name").as("_p"),
+        col("highest_sequence_persisted").as("_hi"))
+    Dedup.dropReplays(newMsgs)
+      .join(broadcast(snap), col("producer_name") === col("_p"), "left")
+      .filter(col("_hi").isNull || col("sequence_id") > col("_hi"))
+      .drop("_p", "_hi")
+  }
+
+  /** S1 — durable append of built messages to the topic table. */
+  def append(msgs: DataFrame, topicDir: String): Unit =
+    msgs.write.mode("append").parquet(topicDir)
+
+  /** S1 + F5 — append with dedup-on-write: replays of already-persisted
+   * (producer, sequence) pairs are rejected, like the broker's
+   * isDuplicate check before asyncAddEntry. Returns appended count. */
+  def appendDedup(spark: SparkSession, msgs: DataFrame, topicDir: String): Long = {
+    val exists = new java.io.File(topicDir).listFiles() != null &&
+      new java.io.File(topicDir).listFiles().nonEmpty
+    val toWrite =
+      if (exists) dedupAgainst(msgs, spark.read.parquet(topicDir))
+      else Dedup.dropReplays(msgs)
+    val n = toWrite.count()
+    if (n > 0) append(toWrite, topicDir)
+    n
+  }
+}

@@ -268,6 +268,65 @@ object LogQueries extends QueryGroup {
 
   // ---------------------------------------------------------------- S: sources / unions / replication
 
+  /** Keyed sub-batch of the raw events table used by the produce-path
+   * queries (keys < 15 so the routing VALUES table stays small). */
+  private def produceInput(s: SparkSession, d: String): DataFrame =
+    EventLog.raw(s, d).filter(col("event_id") < 3000 && col("user_id") < 15)
+      .select(col("event_id"), col("user_id").cast("string").as("key"), col("value"))
+
+  private val produceInputSql =
+    """inp AS (
+      |  SELECT event_id, CAST(user_id AS VARCHAR) AS key, value
+      |  FROM events WHERE event_id < 3000 AND user_id < 15)""".stripMargin
+
+  private val s1 = QueryDef(
+    (s, d) => {
+      val msgs = Produce.build(produceInput(s, d), "produced", "w0",
+        numPartitions = 6, orderCol = "event_id", nowMs = 0L)
+      val dir = java.nio.file.Files.createTempDirectory("graft-produce-").toString
+      Produce.appendDedup(s, msgs, dir)
+      val second = Produce.appendDedup(s, msgs, dir) // all replays → rejected
+      s.read.parquet(dir)
+        .groupBy(col("partition_id"))
+        .agg(count(lit(1)).as("n"), max(col("entry_id")).as("max_entry"),
+          max(col("sequence_id")).as("max_seq"))
+        .withColumn("second_append", lit(second))
+        .orderBy(col("partition_id"))
+    },
+    Some(s"""WITH $produceInputSql,
+      |m(key, pt) AS (SELECT * FROM (VALUES ${keyRouteValues(6)})),
+      |r AS (SELECT inp.event_id, inp.key, m.pt FROM inp JOIN m USING (key)),
+      |e AS (SELECT pt,
+      |        row_number() OVER (PARTITION BY pt ORDER BY event_id) - 1 AS entry,
+      |        row_number() OVER (ORDER BY event_id) - 1 AS seq
+      |      FROM r)
+      |SELECT CAST(pt AS INT) AS partition_id, count(*) AS n,
+      |       max(entry) AS max_entry, max(seq) AS max_seq,
+      |       CAST(0 AS BIGINT) AS second_append
+      |FROM e GROUP BY pt ORDER BY partition_id""".stripMargin))
+
+  private val s2 = QueryDef(
+    (s, d) => Produce.build(produceInput(s, d), "produced", "w0",
+      numPartitions = 6, orderCol = "event_id", nowMs = 1700000000000L,
+      deliverAfterMs = 60000L)
+      .select(col("partition_id"), col("msg_offset"), col("sequence_id"),
+        col("ledger_id"), col("entry_id"), col("key"), col("publish_ms"),
+        col("deliver_at_ms"))
+      .orderBy(col("msg_offset")).limit(30),
+    Some(s"""WITH $produceInputSql,
+      |m(key, pt) AS (SELECT * FROM (VALUES ${keyRouteValues(6)})),
+      |r AS (SELECT inp.event_id, inp.key, m.pt FROM inp JOIN m USING (key)),
+      |g AS (SELECT event_id, key, pt,
+      |        row_number() OVER (ORDER BY event_id) - 1 AS gidx,
+      |        row_number() OVER (PARTITION BY pt ORDER BY event_id) - 1 AS entry
+      |      FROM r)
+      |SELECT CAST(pt AS INT) AS partition_id, gidx AS msg_offset,
+      |       gidx AS sequence_id, event_id // 1000 AS ledger_id,
+      |       entry AS entry_id, key,
+      |       CAST(1700000000000 AS BIGINT) AS publish_ms,
+      |       CAST(1700000060000 AS BIGINT) AS deliver_at_ms
+      |FROM g ORDER BY msg_offset LIMIT 30""".stripMargin))
+
   private val s5 = QueryDef(
     (s, d) => {
       val e = env(s, d)
@@ -597,6 +656,8 @@ object LogQueries extends QueryGroup {
     "a5_tableview" -> a5,
     "f11_compacted_out" -> f11,
     "o5_initial_position" -> o5,
+    "s1_produce_roundtrip" -> s1,
+    "s2_message_builder" -> s2,
     "s4_batch_receive" -> s4,
     "r3_single_partition" -> r3,
     "r8_ordering_key" -> r8,
