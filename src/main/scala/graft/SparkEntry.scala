@@ -18,7 +18,8 @@ object SparkEntry {
     spark
   }
 
-  private def groups: Seq[QueryGroup] = Seq(LogQueries, RelationalQueries, PipelineQueries)
+  private def groups: Seq[QueryGroup] =
+    Seq(LogQueries, RelationalQueries, PipelineQueries, SchemaQueries)
 
   private lazy val allDefs: Map[String, QueryDef] =
     groups.flatMap(_.defs).toMap

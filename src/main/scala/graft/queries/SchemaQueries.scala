@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.model.EventLog
+import graft.schema.{CompatibilityStrategy, SchemaCompat}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Schema-registry queries (M1): the compatibility checker evaluated over
+ * the evolution scenarios of the reference's compatibility test suites
+ * (pulsar-broker/src/test/java/.../schema/BaseAvroSchemaCompatibilityTest
+ * .java and friends), and version-keyed decode driven by the envelope's
+ * schema_version column. The m1 oracle is a hand-derived truth table —
+ * the expected outcomes under Avro reader/writer rules — so the checker
+ * is pinned to independent ground truth, not to itself.
+ */
+object SchemaQueries extends QueryGroup {
+
+  private def req(n: String, t: DataType) = StructField(n, t, nullable = false)
+  private def opt(n: String, t: DataType) = StructField(n, t, nullable = true)
+
+  /** (name, existing versions, candidate) — each is one reference test
+   * scenario; the last exercises transitive-vs-latest divergence. */
+  private val scenarios: Seq[(String, Seq[StructType], StructType)] = {
+    val base = StructType(Seq(req("id", LongType), opt("name", StringType)))
+    Seq(
+      ("identical", Seq(base), base),
+      ("add_nullable_field", Seq(base),
+        StructType(base.fields :+ opt("tag", StringType))),
+      ("add_required_field", Seq(base),
+        StructType(base.fields :+ req("tag", StringType))),
+      ("delete_nullable_field", Seq(base), StructType(Seq(req("id", LongType)))),
+      ("delete_required_field",
+        Seq(StructType(Seq(req("id", LongType), req("tag", StringType)))),
+        StructType(Seq(req("id", LongType)))),
+      ("widen_int_to_long", Seq(StructType(Seq(req("n", IntegerType)))),
+        StructType(Seq(req("n", LongType)))),
+      ("narrow_long_to_int", Seq(StructType(Seq(req("n", LongType)))),
+        StructType(Seq(req("n", IntegerType)))),
+      ("rename_required_field", Seq(StructType(Seq(req("a", LongType)))),
+        StructType(Seq(req("b", LongType)))),
+      ("transitive_narrowed",
+        Seq(StructType(Seq(req("n", LongType))), StructType(Seq(req("n", IntegerType)))),
+        StructType(Seq(req("n", IntegerType))))
+    )
+  }
+
+  private val m1 = QueryDef(
+    (s, _) => {
+      import s.implicits._
+      // checker evaluation is a control-plane (driver-side) operation, like
+      // the reference's registry service
+      scenarios.flatMap { case (name, existing, candidate) =>
+        CompatibilityStrategy.all.map { strat =>
+          (name, strat.name, SchemaCompat.isCompatible(existing, candidate, strat))
+        }
+      }.toDF("scenario", "strategy", "compatible")
+        .orderBy(col("scenario"), col("strategy"))
+    },
+    Some {
+      // expected truth table under Avro reader/writer rules:
+      // per scenario (B = candidate reads old, F = old reads candidate)
+      val bf = Map(
+        "identical" -> (true, true), "add_nullable_field" -> (true, true),
+        "add_required_field" -> (false, true),
+        "delete_nullable_field" -> (true, true),
+        "delete_required_field" -> (true, false),
+        "widen_int_to_long" -> (true, false),
+        "narrow_long_to_int" -> (false, true),
+        "rename_required_field" -> (false, false))
+      val rows = bf.toSeq.flatMap { case (sc, (b, f)) =>
+        Seq(
+          (sc, "ALWAYS_COMPATIBLE", true), (sc, "ALWAYS_INCOMPATIBLE", false),
+          (sc, "BACKWARD", b), (sc, "FORWARD", f), (sc, "FULL", b && f),
+          (sc, "BACKWARD_TRANSITIVE", b), (sc, "FORWARD_TRANSITIVE", f),
+          (sc, "FULL_TRANSITIVE", b && f))
+      } ++ Seq( // latest accepts, transitive rejects vs the long v0
+        ("transitive_narrowed", "ALWAYS_COMPATIBLE", true),
+        ("transitive_narrowed", "ALWAYS_INCOMPATIBLE", false),
+        ("transitive_narrowed", "BACKWARD", true),
+        ("transitive_narrowed", "FORWARD", true),
+        ("transitive_narrowed", "FULL", true),
+        ("transitive_narrowed", "BACKWARD_TRANSITIVE", false),
+        ("transitive_narrowed", "FORWARD_TRANSITIVE", true),
+        ("transitive_narrowed", "FULL_TRANSITIVE", false))
+      val values = rows.map { case (sc, st, ok) => s"('$sc', '$st', $ok)" }.mkString(", ")
+      s"""SELECT scenario, strategy, compatible
+        |FROM (VALUES $values) AS t(scenario, strategy, compatible)
+        |ORDER BY scenario, strategy""".stripMargin
+    })
+
+  /** Version-keyed decode: schema v0 reads props.k as LONG, v1 as DOUBLE
+   * (a BACKWARD-compatible widening) — the `schema_version` column picks
+   * the decoder per row, SURVEY §1.3's `from_json(value, schema_for(v))`. */
+  private val m2 = QueryDef(
+    (s, d) => {
+      val v0 = StructType(Seq(StructField("k", LongType)))
+      val v1 = StructType(Seq(StructField("k", DoubleType)))
+      EventLog.topic(s, d)
+        .withColumn("decoded_k",
+          when(col("schema_version") === 0,
+            from_json(col("properties"), v0).getField("k").cast("double"))
+            .otherwise(from_json(col("properties"), v1).getField("k")))
+        .groupBy(col("schema_version"))
+        .agg(count(lit(1)).as("n"), round(sum(col("decoded_k")), 1).as("sum_k"),
+          max(col("decoded_k")).as("max_k"))
+        .orderBy(col("schema_version"))
+    },
+    Some(s"""${EventLog.oracleCte}
+      |SELECT schema_version, count(*) AS n,
+      |       round(sum(CAST(regexp_extract(properties, '"k": ([0-9]+)', 1) AS DOUBLE)), 1) AS sum_k,
+      |       max(CAST(regexp_extract(properties, '"k": ([0-9]+)', 1) AS DOUBLE)) AS max_k
+      |FROM env GROUP BY schema_version ORDER BY schema_version""".stripMargin))
+
+  override val defs: Map[String, QueryDef] = Map(
+    "m1_schema_compat" -> m1,
+    "m2_versioned_decode" -> m2
+  )
+}
