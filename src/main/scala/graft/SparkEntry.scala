@@ -19,7 +19,7 @@ object SparkEntry {
   }
 
   private def groups: Seq[QueryGroup] =
-    Seq(LogQueries, RelationalQueries, PipelineQueries, SchemaQueries)
+    Seq(LogQueries, RelationalQueries, PipelineQueries, SchemaQueries, FunctionQueries)
 
   private lazy val allDefs: Map[String, QueryDef] =
     groups.flatMap(_.defs).toMap

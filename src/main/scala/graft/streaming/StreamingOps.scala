@@ -11,6 +11,9 @@ import scala.collection.mutable.ArrayBuffer
 /** One TableView entry (latest value per key). */
 case class TableViewEntry(value: Double, publish_ms: Long, msg_offset: Long)
 
+/** One emitted count window (W5). */
+case class CountWindow(key: String, window_id: Long, n: Long, sum_v: Double)
+
 /**
  * The client-side latest-value-per-key map the streaming TableView
  * maintains — the Spark twin of the reference's ConcurrentMap-backed view
@@ -121,6 +124,65 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .withColumn("window_start_ms", unix_millis(col("window.start")))
       .drop("window")
+
+  /**
+   * A6 streaming — durable keyed counters (context.incrCounter/getCounter,
+   * BaseContext.java:161-187): mapGroupsWithState holds one Long per
+   * counter key; each micro-batch emits the updated totals.
+   */
+  def keyedCounters(env: Dataset[MessageEnvelope],
+      counterKey: MessageEnvelope => String): Dataset[(String, Long)] = {
+    import env.sparkSession.implicits._
+    env.groupByKey(counterKey)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (key, n)
+      }
+  }
+
+  /**
+   * A7 streaming — byte KV state (context.putState/getState,
+   * BaseContext.java:115-153): opaque Array[Byte] per key, folded with a
+   * user update function in msg_offset order.
+   */
+  def byteState(env: Dataset[MessageEnvelope],
+      update: (Array[Byte], MessageEnvelope) => Array[Byte]): Dataset[(String, Array[Byte])] = {
+    import env.sparkSession.implicits._
+    env.groupByKey(_.key)
+      .mapGroupsWithState[Array[Byte], (String, Array[Byte])](GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val st = rows.toSeq.sortBy(_.msg_offset)
+            .foldLeft(state.getOption.orNull)(update)
+          state.update(st)
+          (key, st)
+      }
+  }
+
+  /**
+   * W5 streaming — count-tumbling windows per key with keyed buffering
+   * (WatermarkCountTriggerPolicy / CountEvictionPolicy): a window emits
+   * exactly when its Nth record arrives; the partial tail stays in state.
+   */
+  def countWindowStream(env: Dataset[MessageEnvelope], n: Int): Dataset[CountWindow] = {
+    import env.sparkSession.implicits._
+    env.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Seq[Double]), CountWindow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val (emitted, pending) = state.getOption.getOrElse((0L, Seq.empty[Double]))
+          val buf = pending ++ rows.toSeq.sortBy(_.msg_offset).map(_.value)
+          val complete = buf.size / n
+          val out = buf.take(complete * n).grouped(n).zipWithIndex.map {
+            case (g, i) =>
+              CountWindow(key, emitted + i, n.toLong,
+                math.round(g.sum * 100.0) / 100.0)
+          }.toList
+          state.update((emitted + complete, buf.drop(complete * n)))
+          out.iterator
+      }
+  }
 
   /** Run a streaming DataFrame to a named in-memory table until all
    * currently-available input is processed. */
