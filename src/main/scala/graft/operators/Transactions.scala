@@ -37,4 +37,66 @@ object Transactions {
     env.filter(col("txn_group").isNotNull)
       .select(col("txn_group").as("txn_id")).distinct()
       .withColumn("status", when(col("txn_id") % 4 === 0, "ABORTED").otherwise("COMMITTED"))
+
+  /** Marker types of the txn end markers (PulsarApi.proto:149-153). */
+  val TxnCommitMarker = 22
+  val TxnAbortMarker = 23
+
+  /** T1 — stage a built batch into an open transaction: the rows carry
+   * their txn id and stay invisible until a commit marker lands
+   * (Transaction.java:86; Producer.newMessage(Transaction):193). */
+  def produceInTxn(msgs: DataFrame, txnId: Long): DataFrame =
+    msgs.withColumn("txn_group", lit(txnId))
+
+  /** T1 — the commit/abort control record appended to the topic log. */
+  def txnMarker(spark: org.apache.spark.sql.SparkSession, topic: String,
+      txnId: Long, commit: Boolean, markerOffset: Long): DataFrame = {
+    import spark.implicits._
+    Seq(graft.model.MessageEnvelope(
+      topic = topic, partition_id = 0, ledger_id = markerOffset / 1000,
+      entry_id = markerOffset % 1000, batch_index = 0, msg_offset = markerOffset,
+      producer_name = "txn-coordinator", sequence_id = markerOffset,
+      publish_ms = 0L, event_ms = 0L, key = s"txn-$txnId", value = 0.0,
+      properties = "{}", schema_version = 0L, deliver_at_ms = 0L,
+      marker_type = Some(if (commit) TxnCommitMarker else TxnAbortMarker),
+      replicated_from = None, txn_group = Some(txnId), attempts = 0,
+      uuid_group = markerOffset, chunk_id = 0, tombstone = false,
+      ordering_key = None, uuid = s"txn-$txnId", num_chunks = 1,
+      compacted_out = false)).toDF()
+  }
+
+  /** T2 — coordinator status recovered from the txn end markers in the
+   * log (the marker IS the durable 2PC decision; open txns have none). */
+  def statusFromMarkers(env: DataFrame): DataFrame =
+    env.filter(col("marker_type").isin(TxnCommitMarker, TxnAbortMarker) &&
+        col("txn_group").isNotNull)
+      .groupBy(col("txn_group").as("txn_id"))
+      .agg(max(when(col("marker_type") === TxnCommitMarker, 1).otherwise(0)).as("_c"))
+      .withColumn("status", when(col("_c") === 1, "COMMITTED").otherwise("ABORTED"))
+      .drop("_c")
+
+  /** T3 strict — reference visibility: txn messages are invisible until
+   * COMMIT (open AND aborted both hidden); non-txn messages always show. */
+  def visibleCommitted(env: DataFrame): DataFrame = {
+    val committed = statusFromMarkers(env)
+      .filter(col("status") === "COMMITTED").select(col("txn_id"))
+    val nonTxn = env.filter(col("marker_type").isNull && col("txn_group").isNull)
+    val txnRows = env.filter(col("marker_type").isNull && col("txn_group").isNotNull)
+      .join(broadcast(committed), col("txn_group") === col("txn_id"), "left_semi")
+    nonTxn.unionByName(txnRows)
+  }
+
+  /** T4 — pending acks: an ack performed inside a transaction takes
+   * effect only when that transaction commits (PendingAckHandle); acks of
+   * aborted or open txns are discarded/held. `ackLog` columns:
+   * (msg_offset, ack_txn nullable). */
+  def effectiveAcks(ackLog: DataFrame, txnStatus: DataFrame): DataFrame = {
+    val committed = txnStatus.filter(col("status") === "COMMITTED")
+      .select(col("txn_id").as("_t"))
+    val immediate = ackLog.filter(col("ack_txn").isNull).select(col("msg_offset"))
+    val inTxn = ackLog.filter(col("ack_txn").isNotNull)
+      .join(broadcast(committed), col("ack_txn") === col("_t"), "left_semi")
+      .select(col("msg_offset"))
+    immediate.unionByName(inTxn)
+  }
 }

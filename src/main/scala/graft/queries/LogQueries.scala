@@ -648,7 +648,70 @@ object LogQueries extends QueryGroup {
       |FROM env WHERE txn_group IS NULL OR txn_group % 4 <> 0
       |GROUP BY topic ORDER BY topic""".stripMargin))
 
+  private val t1 = QueryDef(
+    // T1 round-trip: stage two txn batches + commit one / abort the other
+    // via log markers; visibility flips exactly for the committed one.
+    (s, d) => {
+      val base = EventLog.raw(s, d).filter(col("user_id") < 15)
+      def slice(lo: Long, hi: Long): DataFrame =
+        base.filter(col("event_id") >= lo && col("event_id") < hi)
+          .select(col("event_id"), col("user_id").cast("string").as("key"), col("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-txn-").toString
+      Produce.append(Transactions.produceInTxn(
+        Produce.build(slice(0, 1000), "txn-topic", "w0", 4, "event_id", 0L), 100L), dir)
+      Produce.append(Transactions.produceInTxn(
+        Produce.build(slice(1000, 2000), "txn-topic", "w0", 4, "event_id", 0L,
+          startOffset = 10000L), 101L), dir)
+      Produce.append(Transactions.txnMarker(s, "txn-topic", 100L, commit = true, 99998L), dir)
+      Produce.append(Transactions.txnMarker(s, "txn-topic", 101L, commit = false, 99999L), dir)
+      val log = s.read.parquet(dir)
+      val status = Transactions.statusFromMarkers(log)
+      val staged = log.filter(col("marker_type").isNull && col("txn_group").isNotNull)
+        .groupBy(col("txn_group")).agg(count(lit(1)).as("n_staged"))
+      val visible = Transactions.visibleCommitted(log)
+        .filter(col("txn_group").isNotNull)
+        .groupBy(col("txn_group").as("_vt")).agg(count(lit(1)).as("n_visible"))
+      status.join(staged, col("txn_id") === col("txn_group"))
+        .join(visible, col("txn_id") === col("_vt"), "left")
+        .select(col("txn_id"), col("status"), col("n_staged"),
+          coalesce(col("n_visible"), lit(0L)).as("n_visible"))
+        .orderBy(col("txn_id"))
+    },
+    Some("""WITH inp AS (
+      |  SELECT CASE WHEN event_id < 1000 THEN 100 ELSE 101 END AS txn_id
+      |  FROM events WHERE user_id < 15 AND event_id < 2000)
+      |SELECT CAST(txn_id AS BIGINT) AS txn_id,
+      |       CASE WHEN txn_id = 100 THEN 'COMMITTED' ELSE 'ABORTED' END AS status,
+      |       count(*) AS n_staged,
+      |       CAST(CASE WHEN txn_id = 100 THEN count(*) ELSE 0 END AS BIGINT) AS n_visible
+      |FROM inp GROUP BY txn_id ORDER BY txn_id""".stripMargin))
+
+  private val t4 = QueryDef(
+    // T4: every 3rd offset is acked; acks on 15-divisible offsets happen
+    // inside txn (offset % 20), which takes effect only if that txn
+    // commits (txn % 4 <> 0 in the fixture ledger).
+    (s, d) => {
+      val e = env(s, d)
+      val acks = e.filter(col("msg_offset") % 3 === 0)
+        .select(col("msg_offset"),
+          when(col("msg_offset") % 5 === 0, col("msg_offset") % 20).as("ack_txn"))
+      val status = s.range(20).select(col("id").as("txn_id"),
+        when(col("id") % 4 === 0, "ABORTED").otherwise("COMMITTED").as("status"))
+      val backlog = LogOps.unackedBacklog(e, Transactions.effectiveAcks(acks, status))
+      backlog.groupBy(col("topic"))
+        .agg(count(lit(1)).as("pending_count"), min(col("msg_offset")).as("oldest_pending"))
+        .orderBy(col("topic"))
+    },
+    Some(s"""$E
+      |SELECT topic, count(*) AS pending_count, min(msg_offset) AS oldest_pending
+      |FROM env
+      |WHERE NOT (msg_offset % 3 = 0 AND
+      |           (msg_offset % 5 <> 0 OR (msg_offset % 20) % 4 <> 0))
+      |GROUP BY topic ORDER BY topic""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "t1_txn_roundtrip" -> t1,
+    "t4_pending_acks" -> t4,
     "a1_compact_publish" -> a1,
     "a2_compact_eventtime" -> a2,
     "a3_compact_strategic" -> a3,
