@@ -19,7 +19,8 @@ object SparkEntry {
   }
 
   private def groups: Seq[QueryGroup] =
-    Seq(LogQueries, RelationalQueries, PipelineQueries, SchemaQueries, FunctionQueries)
+    Seq(LogQueries, RelationalQueries, PipelineQueries, SchemaQueries,
+      FunctionQueries, SurfaceQueries)
 
   private lazy val allDefs: Map[String, QueryDef] =
     groups.flatMap(_.defs).toMap

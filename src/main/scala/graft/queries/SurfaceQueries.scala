@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.model.{EventLog, MessageEnvelope}
+import graft.operators._
+import graft.sources.{DataGeneratorSource, GraftIO}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The remaining SURVEY §2 surface rows as oracle-checked queries: raw
+ * reader (S6), Source SPI + data generator (S9/S11), shadow topics (S15),
+ * per-partition MessageId order (O1), bucketed delayed tracker (F4),
+ * negative-ack backoff (F7), ack-timeout redelivery (F8), entry filters
+ * (F12), interceptors (F17), payload processor (F18), timestamp
+ * extractor (W8) and window context metadata (W9).
+ */
+object SurfaceQueries extends QueryGroup {
+
+  private def env(s: SparkSession, dir: String): DataFrame = EventLog.topic(s, dir)
+  private val E = EventLog.oracleCte
+  private val H6_MS = 21600000L
+  private def midPublish = "(SELECT (min(publish_ms) + max(publish_ms)) // 2 FROM env)"
+
+  private val s6 = QueryDef(
+    // S6 — raw entry scan, no envelope decode (compaction's input path).
+    (s, d) => EventLog.raw(s, d)
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id")),
+    Some("""SELECT count(*) AS n, min(event_id) AS first_id, max(event_id) AS last_id
+      |FROM events""".stripMargin))
+
+  private val s11 = QueryDef(
+    // S9+S11 — the data-generator connector through the Source SPI:
+    // open/read/close per partition, 4 partitions × 250 records.
+    (s, _) => GraftIO.fromSource(s, new DataGeneratorSource(250L, 4))(
+      org.apache.spark.sql.Encoders.product[graft.sources.GenRecord]).toDF()
+      .agg(count(lit(1)).as("n"), countDistinct(col("name")).as("names"),
+        round(sum(col("score")), 2).as("sum_score"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged")),
+    Some("""WITH g AS (SELECT unnest(range(0, 1000)) AS id)
+      |SELECT count(*) AS n,
+      |       count(DISTINCT 'name-' || CAST(id % 7 AS VARCHAR)) AS names,
+      |       round(sum((id % 100) / 10.0), 2) AS sum_score,
+      |       CAST(sum(CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      |FROM g""".stripMargin))
+
+  private val s15 = QueryDef(
+    // S15 — shadow topic: a read-only renamed view of the source topic.
+    (s, d) => env(s, d).filter(col("topic") === "events-0")
+      .withColumn("topic", concat(col("topic"), lit("-shadow")))
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n"), max(col("msg_offset")).as("head_offset")),
+    Some(s"""$E
+      |SELECT topic || '-shadow' AS topic, count(*) AS n,
+      |       max(msg_offset) AS head_offset
+      |FROM env WHERE topic = 'events-0' GROUP BY topic""".stripMargin))
+
+  private val o1 = QueryDef(
+    // O1 — per-partition total order: MessageId (ledger, entry) must be
+    // consistent with the offset order; violations = 0.
+    (s, d) => env(s, d).groupBy(col("partition_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ledger_id") * 100 + col("entry_id") =!= col("msg_offset"), 1L)
+          .otherwise(0L)).as("order_violations"))
+      .orderBy(col("partition_id")),
+    Some(s"""$E
+      |SELECT partition_id, count(*) AS n,
+      |       CAST(sum(CASE WHEN ledger_id * 100 + entry_id <> msg_offset
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS order_violations
+      |FROM env GROUP BY partition_id ORDER BY partition_id""".stripMargin))
+
+  private val f4 = QueryDef(
+    // F4 — bucketed delayed index: hour buckets; a bucket whose upper
+    // bound passed the as-of dispatches wholesale (partition pruning).
+    (s, d) => {
+      val e = env(s, d)
+      val asOf = e.agg(((min(col("publish_ms")) + max(col("publish_ms"))) / 2)
+        .cast("long").as("_asof"))
+      Redelivery.delayedBuckets(e, 3600000L).crossJoin(asOf)
+        .groupBy(col("delay_bucket"))
+        .agg(count(lit(1)).as("n"),
+          max(when((col("delay_bucket") + 1) * 3600000L - 1 <= col("_asof"), 1)
+            .otherwise(0)).as("fully_due"))
+        .orderBy(col("delay_bucket"))
+    },
+    Some(s"""$E
+      |SELECT deliver_at_ms // 3600000 AS delay_bucket, count(*) AS n,
+      |       max(CASE WHEN (deliver_at_ms // 3600000 + 1) * 3600000 - 1 <= $midPublish
+      |                THEN 1 ELSE 0 END) AS fully_due
+      |FROM env GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val f7 = QueryDef(
+    // F7 — multiplier backoff schedule per attempt count.
+    (s, d) => Redelivery.negativeAckSchedule(env(s, d), 1000L, 2.0, 60000L)
+      .groupBy(col("attempts"))
+      .agg(count(lit(1)).as("n"),
+        max(col("redeliver_at_ms") - col("publish_ms")).as("backoff_ms"))
+      .orderBy(col("attempts")),
+    Some(s"""$E
+      |SELECT attempts, count(*) AS n,
+      |       CAST(least(1000 * power(2.0, attempts), 60000) AS BIGINT) AS backoff_ms
+      |FROM env GROUP BY attempts ORDER BY attempts""".stripMargin))
+
+  private val f8 = QueryDef(
+    // F8 — ack-timeout: unacked messages past the 6h timeout at mid-log.
+    (s, d) => {
+      val e = env(s, d)
+      val acked = e.filter(col("msg_offset") % 3 === 0).select(col("msg_offset"))
+      val asOf = e.agg(((min(col("publish_ms")) + max(col("publish_ms"))) / 2)
+        .cast("long").as("_asof"))
+      Redelivery.ackTimeoutRedelivery(e.crossJoin(asOf), acked, H6_MS, col("_asof"))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("redeliver_count"), min(col("msg_offset")).as("first_redelivery"))
+        .orderBy(col("topic"))
+    },
+    Some(s"""$E
+      |SELECT topic, count(*) AS redeliver_count, min(msg_offset) AS first_redelivery
+      |FROM env
+      |WHERE msg_offset % 3 <> 0 AND publish_ms + $H6_MS <= $midPublish
+      |GROUP BY topic ORDER BY topic""".stripMargin))
+
+  private val f12 = QueryDef(
+    // F12 — entry-filter chain: all predicates must accept.
+    (s, d) => Extensions.entryFilters(env(s, d), Seq(
+      col("marker_type").isNull,
+      get_json_object(col("properties"), "$.k").cast("long") < 50))
+      .groupBy(col("topic")).agg(count(lit(1)).as("n"))
+      .orderBy(col("topic")),
+    Some(s"""$E
+      |SELECT topic, count(*) AS n FROM env
+      |WHERE marker_type IS NULL
+      |  AND CAST(regexp_extract(properties, '"k": ([0-9]+)', 1) AS BIGINT) < 50
+      |GROUP BY topic ORDER BY topic""".stripMargin))
+
+  private val f17 = QueryDef(
+    // F17 — producer interceptor tags on send; consumer interceptor
+    // filters on receive; chained with transform composition.
+    (s, d) => Extensions.intercept(env(s, d), Seq(
+      df => df.withColumn("send_tag", concat(col("topic"), lit("#sent"))),
+      df => df.filter(col("value") > 0.5)))
+      .groupBy(col("send_tag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .orderBy(col("send_tag")),
+    Some(s"""$E
+      |SELECT topic || '#sent' AS send_tag, count(*) AS n,
+      |       round(sum(value), 2) AS sum_v
+      |FROM env WHERE value > 0.5 GROUP BY topic ORDER BY send_tag""".stripMargin))
+
+  private val f18 = QueryDef(
+    // F18 — payload processor: one stored message → N decoded units.
+    (s, d) => {
+      import s.implicits._
+      Extensions.processPayload(env(s, d).as[MessageEnvelope], { m =>
+        val k = "\"k\": ([0-9]+)".r.findFirstMatchIn(m.properties)
+          .map(_.group(1).toLong).getOrElse(0L)
+        (0L to k % 3).map(u => (m.topic, u))
+      }).toDF("topic", "unit")
+        .groupBy(col("topic")).agg(count(lit(1)).as("units"))
+        .orderBy(col("topic"))
+    },
+    Some(s"""$E
+      |SELECT topic,
+      |       CAST(sum(CAST(regexp_extract(properties, '"k": ([0-9]+)', 1) AS BIGINT) % 3 + 1) AS BIGINT) AS units
+      |FROM env GROUP BY topic ORDER BY topic""".stripMargin))
+
+  private val w8 = QueryDef(
+    // W8 — TimestampExtractor: windows over a caller-chosen time column
+    // (publish time here) instead of the default event time.
+    (s, d) => env(s, d)
+      .groupBy(((col("publish_ms") / H6_MS).cast("long") * H6_MS).as("window_start_ms"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("window_start_ms")),
+    Some(s"""$E
+      |SELECT (publish_ms // $H6_MS) * $H6_MS AS window_start_ms, count(*) AS n
+      |FROM env GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val w9 = QueryDef(
+    // W9 — WindowContext: window metadata (id, bounds, record positions)
+    // available to the windowed function.
+    (s, d) => TimeWindows.tumbling(env(s, d), H6_MS,
+      Seq(count(lit(1)).as("record_count"), min(col("msg_offset")).as("first_offset"),
+        max(col("msg_offset")).as("last_offset")))
+      .withColumn("window_id", (col("window_start_ms") / H6_MS).cast("long"))
+      .withColumn("window_end_ms", col("window_start_ms") + H6_MS)
+      .select(col("window_id"), col("window_start_ms"), col("window_end_ms"),
+        col("record_count"), col("first_offset"), col("last_offset"))
+      .orderBy(col("window_id")),
+    Some(s"""$E
+      |SELECT (event_ms // $H6_MS) AS window_id,
+      |       (event_ms // $H6_MS) * $H6_MS AS window_start_ms,
+      |       (event_ms // $H6_MS) * $H6_MS + $H6_MS AS window_end_ms,
+      |       count(*) AS record_count, min(msg_offset) AS first_offset,
+      |       max(msg_offset) AS last_offset
+      |FROM env GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  override val defs: Map[String, QueryDef] = Map(
+    "s6_raw_reader" -> s6,
+    "s11_datagen_source" -> s11,
+    "s15_shadow_topic" -> s15,
+    "o1_message_id_order" -> o1,
+    "f4_delayed_buckets" -> f4,
+    "f7_negative_ack_backoff" -> f7,
+    "f8_ack_timeout" -> f8,
+    "f12_entry_filters" -> f12,
+    "f17_interceptors" -> f17,
+    "f18_payload_processor" -> f18,
+    "w8_timestamp_extractor" -> w8,
+    "w9_window_context" -> w9
+  )
+}

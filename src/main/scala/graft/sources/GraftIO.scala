@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+
+/**
+ * The connector SPI (SURVEY §2.1 S9/S10) — the engine-facing shape of the
+ * reference's Pulsar IO interfaces: a Source opens, yields records, and
+ * closes (pulsar-io/core/.../Source.java); a Sink opens, consumes records,
+ * flushes (Sink.java). Spark-native connectors should use DataSource V2 /
+ * readStream directly; this SPI is the porting shim for connector code
+ * written against the reference interfaces.
+ */
+trait GraftSource[T] extends Serializable {
+  def open(config: Map[String, String]): Unit = {}
+  /** Deterministic record stream for one partition of the source. */
+  def read(partition: Int): Iterator[T]
+  def numPartitions: Int = 1
+  def close(): Unit = {}
+}
+
+trait GraftSink[T] extends Serializable {
+  def open(config: Map[String, String]): Unit = {}
+  def write(record: T): Unit
+  def flush(): Unit = {}
+  def close(): Unit = {}
+}
+
+object GraftIO {
+
+  /** S9 — run a Source distributed: one task per source partition, the
+   * open/read/close lifecycle per task (the connector contract). */
+  def fromSource[T: Encoder](spark: SparkSession, source: GraftSource[T],
+      config: Map[String, String] = Map.empty): Dataset[T] = {
+    import spark.implicits._
+    spark.range(source.numPartitions).as[Long].mapPartitions { parts =>
+      parts.flatMap { p =>
+        source.open(config)
+        val it = source.read(p.toInt)
+        new Iterator[T] {
+          override def hasNext: Boolean = { val h = it.hasNext; if (!h) source.close(); h }
+          override def next(): T = it.next()
+        }
+      }
+    }
+  }
+
+  /** S10 — drain a Dataset into a Sink: one sink instance per partition,
+   * open/write*/
+  def toSink[T](ds: Dataset[T], sink: GraftSink[T],
+      config: Map[String, String] = Map.empty): Unit =
+    ds.foreachPartition { (it: Iterator[T]) =>
+      sink.open(config)
+      it.foreach(sink.write)
+      sink.flush()
+      sink.close()
+    }
+}
+
+/**
+ * S11 — the built-in data-generator source (pulsar-io/data-generator):
+ * deterministic synthetic typed records, partition-parallel.
+ */
+case class GenRecord(record_id: Long, name: String, score: Double, flag: Boolean)
+
+class DataGeneratorSource(rowsPerPartition: Long, partitions: Int)
+    extends GraftSource[GenRecord] {
+  override def numPartitions: Int = partitions
+  override def read(partition: Int): Iterator[GenRecord] =
+    (0L until rowsPerPartition).iterator.map { i =>
+      val id = partition * rowsPerPartition + i
+      GenRecord(id, s"name-${id % 7}", (id % 100) / 10.0, id % 3 == 0)
+    }
+}
