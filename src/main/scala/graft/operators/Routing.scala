@@ -31,6 +31,13 @@ object Routing {
   def singlePartition(env: DataFrame, thePartition: Int): DataFrame =
     env.withColumn("route_partition", lit(thePartition))
 
+  /** R4 — custom MessageRouter SPI: the user supplies choosePartition as
+   * an arbitrary column expression over the message
+   * (pulsar-client-api/.../MessageRouter.java); distributed write =
+   * `repartition(n, expr)`. */
+  def customRouter(env: DataFrame, choosePartition: org.apache.spark.sql.Column): DataFrame =
+    env.withColumn("route_partition", choosePartition.cast("int"))
+
   /** R5/R8 — Key_Shared sticky bucket: 16-bit ring position of the
    * effective key — ordering_key (bytes) overrides key
    * (PulsarApi.proto:141); murmur3 of a string hashes its UTF-8 bytes, so

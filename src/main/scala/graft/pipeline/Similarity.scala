@@ -15,11 +15,23 @@ case class Scored(id: Long, score: Double)
  * scored corpus (what a window/rank formulation would do).
  */
 class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-  private def top(xs: Seq[Scored]): Seq[Scored] =
-    xs.sortBy(s => (-s.score, s.id)).take(k)
+  // buffer invariant: sorted by (-score, id), length ≤ k — so reduce is a
+  // bounded ordered insert (O(k) worst case, O(1) reject for the common
+  // below-threshold row), not a re-sort per row
+  private def worseThanLast(b: Seq[Scored], a: Scored): Boolean = {
+    val last = b.last
+    a.score < last.score || (a.score == last.score && a.id > last.id)
+  }
   override def zero: Seq[Scored] = Nil
-  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = top(b :+ a)
-  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = top(x ++ y)
+  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+    if (b.size >= k && worseThanLast(b, a)) b
+    else {
+      val i = b.indexWhere(s => s.score < a.score || (s.score == a.score && s.id > a.id))
+      val inserted = if (i < 0) b :+ a else (b.take(i) :+ a) ++ b.drop(i)
+      if (inserted.size > k) inserted.take(k) else inserted
+    }
+  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] =
+    y.foldLeft(x)(reduce)
   override def finish(r: Seq[Scored]): Seq[Scored] = r
   override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()

@@ -451,6 +451,18 @@ object LogQueries extends QueryGroup {
       |FROM cnt JOIN m ON cnt.effective_key = m.effective_key
       |ORDER BY effective_key""".stripMargin))
 
+  private val r4 = QueryDef(
+    // a user router: partition by key parity + delivery urgency
+    (s, d) => Routing.customRouter(env(s, d),
+      (col("key").cast("long") % 2) * 2 + when(col("attempts") >= 3, 1).otherwise(0))
+      .groupBy(col("route_partition")).agg(count(lit(1)).as("n"))
+      .orderBy(col("route_partition")),
+    Some(s"""$E
+      |SELECT CAST((CAST(key AS BIGINT) % 2) * 2 +
+      |            CASE WHEN attempts >= 3 THEN 1 ELSE 0 END AS INT) AS route_partition,
+      |       count(*) AS n
+      |FROM env GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val r3 = QueryDef(
     (s, d) => Routing.singlePartition(env(s, d), 2)
       .groupBy(col("route_partition")).agg(count(lit(1)).as("n")),
@@ -723,6 +735,7 @@ object LogQueries extends QueryGroup {
     "s2_message_builder" -> s2,
     "s4_batch_receive" -> s4,
     "r3_single_partition" -> r3,
+    "r4_custom_router" -> r4,
     "r8_ordering_key" -> r8,
     "r9_entry_buckets" -> r9,
     "a8_dedup_snapshot" -> a8,
