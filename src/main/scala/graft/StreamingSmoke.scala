@@ -120,8 +120,23 @@ object StreamingSmoke {
     check("subscription", firstRun == envs.length && secondRun == 0L,
       s"first=$firstRun (want ${envs.length}) second=$secondRun (want 0)")
 
+    // -- 5. effectively-once: replayed delivery + dedup-on-write sink -----
+    // (U5: at-least-once delivery into an idempotent sink — the second,
+    // duplicate delivery of every batch must append nothing)
+    val outDir = Files.createTempDirectory("graft-sink-").toString
+    val msgs = graft.operators.Produce.build(
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .filter(col("user_id") < 15)
+        .select(col("event_id"), col("user_id").cast("string").as("key"), col("value")),
+      "smoke-out", "w0", 4, "event_id", nowMs = 0L)
+    val firstAppend = graft.operators.Produce.appendDedup(spark, msgs, outDir)
+    val dupAppend = graft.operators.Produce.appendDedup(spark, msgs, outDir)
+    val finalCount = spark.read.parquet(outDir).count()
+    check("effectively-once", dupAppend == 0L && finalCount == firstAppend,
+      s"first=$firstAppend dup=$dupAppend final=$finalCount")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 4 converged to batch twins OK")
+    println(s"[stream-smoke] all 5 converged to batch twins OK")
     spark.stop()
   }
 }

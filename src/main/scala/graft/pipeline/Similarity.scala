@@ -94,6 +94,34 @@ object Similarity {
         col("n.id").as("neighbor_id"), round(col("n.score"), 3).as("sim"))
   }
 
+  /** IVF coarse quantizer: assign every vector to its nearest centroid
+   * (highest cosine, ties to the lowest centroid id). Centroids are a
+   * small broadcast side; the assignment is one |corpus|×|centroids|
+   * codegen'd pass with a map-side max_by — no shuffle of the corpus. */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("_aff", cosine(col("embedding"), col("cembedding")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"), struct(col("_aff"), -col("centroid_id")))
+        .as("cluster"),
+        first(col("embedding")).as("embedding"))
+
+  /** IVF ANN: queries probe only their own centroid's inverted list —
+   * at scale the corpus is partitioned by cluster, so a query touches
+   * 1/|centroids| of the data (nprobe=1; recall < 1 by construction,
+   * raise nprobe by unioning nearest clusters). */
+  def ivfAnn(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val qa = ivfAssign(queries, centroids)
+    val ca = ivfAssign(corpus, centroids)
+    ca.as("c").join(broadcast(qa.as("q")),
+        col("q.cluster") === col("c.cluster") && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("sim", round(cosine(col("q.embedding"), col("c.embedding")), 3))
+      .filter(col("sim") >= threshold)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("c.cluster").as("cluster"), col("sim"))
+  }
+
   /** IVF/LSH-bucketed ANN: queries probe only their own sign bucket —
    * the corpus is hash-partitioned by bucket, so each query touches one
    * partition-worth of candidates instead of everything. Approximate:

@@ -193,6 +193,33 @@ object PipelineQueries extends QueryGroup {
       |  AND round(${cosSql("q.embedding", "c.embedding")}, 3) >= 0.2
       |ORDER BY query_id, neighbor_id""".stripMargin))
 
+  private val p14 = QueryDef(
+    // IVF ANN with deterministic centroids (every 50th vector) — the
+    // coarse-quantizer scale path: a query probes one inverted list.
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+      Similarity.ivfAnn(e.filter(col("vec_id") < 20), e, centroids, 0.2)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      |aff AS (
+      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
+      |  FROM embeddings e, cent c),
+      |asg AS (
+      |  SELECT vec_id, embedding, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+      |    FROM aff) WHERE rn = 1),
+      |q AS (SELECT * FROM asg WHERE vec_id < 20)
+      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cid AS cluster,
+      |       round(${cosSql("q.embedding", "c.embedding")}, 3) AS sim
+      |FROM asg c, q
+      |WHERE q.cid = c.cid AND q.vec_id <> c.vec_id
+      |  AND round(${cosSql("q.embedding", "c.embedding")}, 3) >= 0.2
+      |ORDER BY query_id, neighbor_id""".stripMargin))
+
   // ---------------------------------------------------------------- text analysis
 
   private val stopList: String =
@@ -296,6 +323,7 @@ object PipelineQueries extends QueryGroup {
     "p10_language_id" -> p10,
     "p11_token_stats" -> p11,
     "p12_media_decode" -> p12,
-    "p13_media_frames" -> p13
+    "p13_media_frames" -> p13,
+    "p14_ann_ivf" -> p14
   )
 }
