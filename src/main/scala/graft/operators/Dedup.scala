@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -12,20 +11,19 @@ import org.apache.spark.sql.functions._
  * (reference: pulsar-broker/.../persistent/MessageDeduplication.java:112-123);
  * a snapshot of the per-producer max is persisted periodically (:266-269).
  *
- * The running-max is inherently sequential per producer but parallel across
- * producers — `Window.partitionBy(producer)` shuffles once on the producer
- * key and scales with the number of producers.
+ * The running-max is per producer, and producer counts can be small — the
+ * two-level [[Sequencing.keyedRunningMaxExcl]] parallelizes the scan over
+ * (producer, ledger) blocks, so a handful of hot producers never caps
+ * parallelism at the producer count.
  */
 object Dedup {
 
   /** F5 — keep only messages whose sequence id beats the producer's running max. */
-  def dropReplays(env: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("producer_name")).orderBy(col("msg_offset"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    env.withColumn("_prev_max_seq", max(col("sequence_id")).over(w))
+  def dropReplays(env: DataFrame): DataFrame =
+    Sequencing.keyedRunningMaxExcl(env, Seq("producer_name"), "ledger_id",
+      "msg_offset", col("sequence_id"), "_prev_max_seq")
       .filter(col("_prev_max_seq").isNull || col("sequence_id") > col("_prev_max_seq"))
       .drop("_prev_max_seq")
-  }
 
   /** A8 — dedup snapshot: highest persisted sequence id per producer. */
   def snapshot(env: DataFrame): DataFrame =

@@ -184,6 +184,28 @@ object StreamingOps {
       }
   }
 
+  /**
+   * F3/F4 streaming — delayed delivery with keyed state: messages are
+   * held per partition until the group's clock (max publish time seen —
+   * the deterministic stand-in for the tracker's tick) passes their
+   * deliver-at time; due messages release in offset order
+   * (InMemoryDelayedDeliveryTracker.getScheduledMessages :221).
+   */
+  def delayedDeliveryStream(env: Dataset[MessageEnvelope]): Dataset[MessageEnvelope] = {
+    import env.sparkSession.implicits._
+    env.groupByKey(_.partition_id)
+      .flatMapGroupsWithState[(Long, Seq[MessageEnvelope]), MessageEnvelope](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          val (clock0, pending0) = state.getOption.getOrElse((Long.MinValue, Seq.empty[MessageEnvelope]))
+          val rs = rows.toSeq
+          val clock = (clock0 +: rs.map(_.publish_ms)).max
+          val (due, hold) = (pending0 ++ rs).partition(_.deliver_at_ms <= clock)
+          state.update((clock, hold))
+          due.sortBy(_.msg_offset).iterator
+      }
+  }
+
   /** Run a streaming DataFrame to a named in-memory table until all
    * currently-available input is processed. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode,
