@@ -137,7 +137,7 @@ object LogQueries extends QueryGroup {
     (s, d) => LogOps.topicStats(env(s, d)).orderBy(col("topic")),
     Some(s"""$E
       |SELECT topic, count(*) AS msg_count,
-      |       CAST(sum(length(properties) + 8) AS BIGINT) AS storage_bytes,
+      |       CAST(sum(strlen(properties) + 8) AS BIGINT) AS storage_bytes,
       |       max(msg_offset) AS head_offset, min(msg_offset) AS first_offset,
       |       count(DISTINCT producer_name) AS producer_count
       |FROM env GROUP BY topic ORDER BY topic""".stripMargin))
@@ -178,7 +178,7 @@ object LogQueries extends QueryGroup {
       .orderBy(col("topic")),
     Some(s"""$E, sized AS (
       |  SELECT topic, msg_offset,
-      |         sum(length(properties) + 8) OVER (PARTITION BY topic ORDER BY msg_offset DESC
+      |         sum(strlen(properties) + 8) OVER (PARTITION BY topic ORDER BY msg_offset DESC
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM env)
       |SELECT topic, count(*) AS retained_count, min(msg_offset) AS earliest_retained
@@ -568,7 +568,7 @@ object LogQueries extends QueryGroup {
         max(col("msg_offset")).as("last_offset"))
       .orderBy(col("topic"), col("trigger_batch")),
     Some(s"""$E, rb AS (
-      |  SELECT topic, msg_offset, length(properties) + 8 AS sz,
+      |  SELECT topic, msg_offset, strlen(properties) + 8 AS sz,
       |         (row_number() OVER (PARTITION BY topic ORDER BY msg_offset) - 1) // 50 AS trigger_batch
       |  FROM env)
       |SELECT topic, trigger_batch, count(*) AS n,

@@ -43,7 +43,9 @@ def main(sfdir, outdir):
             try:
                 if a.dtype.kind in "fc" or b.dtype.kind in "fc":
                     import numpy as np
-                    if not np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True):
+                    # tiny atol: parallel double aggregation order is
+                    # nondeterministic, so rounded sums can differ by 1 ULP
+                    if not np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True):
                         ok = False
                 else:
                     av, bv = a.astype(object), b.astype(object)
