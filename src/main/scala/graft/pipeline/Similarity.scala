@@ -106,13 +106,24 @@ object Similarity {
         .as("cluster"),
         first(col("embedding")).as("embedding"))
 
-  /** IVF ANN: queries probe only their own centroid's inverted list —
-   * at scale the corpus is partitioned by cluster, so a query touches
-   * 1/|centroids| of the data (nprobe=1; recall < 1 by construction,
-   * raise nprobe by unioning nearest clusters). */
+  /** A query's `nprobe` nearest centroids (rank 1 = nearest; ties to the
+   * lower centroid id) — the probe list of the IVF search. */
+  def ivfProbes(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("_aff", cosine(col("embedding"), col("cembedding")))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("_aff").desc, col("centroid_id"))))
+      .filter(col("_rk") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster"))
+
+  /** IVF ANN: corpus vectors live in their nearest centroid's inverted
+   * list; each query probes its `nprobe` nearest lists — touching
+   * nprobe/|centroids| of the corpus instead of everything. The
+   * per-query probe window partitions on vec_id (high cardinality). */
   def ivfAnn(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      threshold: Double): DataFrame = {
-    val qa = ivfAssign(queries, centroids)
+      threshold: Double, nprobe: Int = 1): DataFrame = {
+    val qa = ivfProbes(queries, centroids, nprobe)
     val ca = ivfAssign(corpus, centroids)
     ca.as("c").join(broadcast(qa.as("q")),
         col("q.cluster") === col("c.cluster") && col("q.vec_id") =!= col("c.vec_id"))

@@ -500,6 +500,23 @@ object LogQueries extends QueryGroup {
       |SELECT partition_id, consumer, count(*) AS n
       |FROM sp GROUP BY partition_id, consumer ORDER BY partition_id, consumer""".stripMargin))
 
+  private val r10b = QueryDef(
+    (s, d) => {
+      val e = env(s, d)
+      val mid = e.agg((max(col("msg_offset")) / 2).cast("long").as("_mid"))
+      e.crossJoin(mid)
+        .withColumn("consumer",
+          when(col("msg_offset") < col("_mid"), "consumer-0").otherwise("consumer-1"))
+        .groupBy(col("partition_id"), col("consumer"))
+        .agg(count(lit(1)).as("n"), min(col("msg_offset")).as("first_offset"))
+        .orderBy(col("partition_id"), col("consumer"))
+    },
+    Some(s"""$E, m AS (SELECT max(msg_offset) // 2 AS mid FROM env)
+      |SELECT partition_id,
+      |       CASE WHEN msg_offset < mid THEN 'consumer-0' ELSE 'consumer-1' END AS consumer,
+      |       count(*) AS n, min(msg_offset) AS first_offset
+      |FROM env, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   // ---------------------------------------------------------------- O: seeks / limits
 
   private def midPublish = "(SELECT (min(publish_ms) + max(publish_ms)) // 2 FROM env)"
@@ -758,6 +775,7 @@ object LogQueries extends QueryGroup {
     "r2_key_hash_route" -> r2,
     "r5_key_shared_buckets" -> r5,
     "r10_shared_spread" -> r10,
+    "r10b_failover" -> r10b,
     "o2_seek_by_time" -> o2,
     "o3_find_by_time" -> o3,
     "o4_peek_messages" -> o4,

@@ -200,7 +200,7 @@ object PipelineQueries extends QueryGroup {
       val e = embs(s, d)
       val centroids = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
-      Similarity.ivfAnn(e.filter(col("vec_id") < 20), e, centroids, 0.2)
+      Similarity.ivfAnn(e.filter(col("vec_id") < 20), e, centroids, 0.2, nprobe = 3)
         .orderBy(col("query_id"), col("neighbor_id"))
     },
     Some(s"""WITH cent AS (
@@ -208,11 +208,10 @@ object PipelineQueries extends QueryGroup {
       |aff AS (
       |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
       |  FROM embeddings e, cent c),
-      |asg AS (
-      |  SELECT vec_id, embedding, cid FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-      |    FROM aff) WHERE rn = 1),
-      |q AS (SELECT * FROM asg WHERE vec_id < 20)
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+      |       FROM aff),
+      |asg AS (SELECT vec_id, embedding, cid FROM rk WHERE rn = 1),
+      |q AS (SELECT vec_id, embedding, cid FROM rk WHERE rn <= 3 AND vec_id < 20)
       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cid AS cluster,
       |       round(${cosSql("q.embedding", "c.embedding")}, 3) AS sim
       |FROM asg c, q

@@ -61,6 +61,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("approximate ANN recall vs the brute-force truth") {
+    // ground truth: all pairs with cosine >= 0.2 among the first 50 queries
+    val truth = Similarity.thresholdJoin(embs.filter(col("vec_id") < 50), embs, 0.2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val bucketed = Similarity.bucketedAnn(embs.filter(col("vec_id") < 50), embs, 0.2, 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centroids = embs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+    val ivf = Similarity.ivfAnn(embs.filter(col("vec_id") < 50), embs, centroids, 0.2, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // approximate methods must return only true pairs (no false positives —
+    // every emitted pair passed the exact cosine threshold)…
+    assert(bucketed.subsetOf(truth))
+    assert(ivf.subsetOf(truth))
+    // …and nonzero recall (axis-plane buckets are a coarse v1; IVF with
+    // nprobe=1 trades recall for a 1/|centroids| scan)
+    val bucketedRecall = bucketed.size.toDouble / truth.size
+    val ivfRecall = ivf.size.toDouble / truth.size
+    info(f"bucketed recall=$bucketedRecall%.3f ivf recall=$ivfRecall%.3f over ${truth.size} pairs")
+    assert(bucketedRecall > 0.0)
+    assert(ivfRecall > 0.0)
+  }
+
   test("text ops compute hand-checked values") {
     import spark.implicits._
     val d = Seq((0L, "The quick, quick fox!")).toDF("doc_id", "text")
