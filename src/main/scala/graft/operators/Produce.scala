@@ -44,11 +44,15 @@ object Produce {
     val sequenced = Sequencing.keyedSequence(routed, Seq("_pt"), "_blk", orderCol, "_entry")
     val eventMs = if (batch.columns.contains("event_ms")) col("event_ms") else lit(nowMs)
     val props = if (batch.columns.contains("properties")) col("properties") else lit("{}")
+    // MessageId is per-partition (ledger, entry): ledgers roll every
+    // `ledgerSize` entries WITHIN a partition and entry ids reset per
+    // ledger, matching the reference's checkpointable (ledger, entry)
+    // coordinates (MessageIdImpl.java).
     sequenced.select(
       lit(topic).as("topic"),
       col("_pt").as("partition_id"),
-      col("_blk").as("ledger_id"),
-      col("_entry").as("entry_id"),
+      (col("_entry") / ledgerSize).cast("long").as("ledger_id"),
+      (col("_entry") % ledgerSize).as("entry_id"),
       lit(0).as("batch_index"),
       (col("_g") + startOffset).as("msg_offset"),
       lit(producerName).as("producer_name"),
@@ -97,13 +101,18 @@ object Produce {
    * (producer, sequence) pairs are rejected, like the broker's
    * isDuplicate check before asyncAddEntry. Returns appended count. */
   def appendDedup(spark: SparkSession, msgs: DataFrame, topicDir: String): Long = {
-    val exists = new java.io.File(topicDir).listFiles() != null &&
-      new java.io.File(topicDir).listFiles().nonEmpty
+    val files = new java.io.File(topicDir).listFiles()
+    val exists = files != null && files.nonEmpty
     val toWrite =
       if (exists) dedupAgainst(msgs, spark.read.parquet(topicDir))
       else Dedup.dropReplays(msgs)
-    val n = toWrite.count()
-    if (n > 0) append(toWrite, topicDir)
-    n
+    // cache so the anti-join + sequencing plan evaluates once: the count
+    // (the producer's ack) and the durable write share the materialization
+    toWrite.persist()
+    try {
+      val n = toWrite.count()
+      if (n > 0) append(toWrite, topicDir)
+      n
+    } finally toWrite.unpersist()
   }
 }

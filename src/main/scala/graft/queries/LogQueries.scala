@@ -268,6 +268,18 @@ object LogQueries extends QueryGroup {
 
   // ---------------------------------------------------------------- S: sources / unions / replication
 
+  /** Scratch topic dir for the write-path queries. Reusing one fixed path
+   * per tag and wiping it on entry keeps repeated Verify/Bench/Explain
+   * invocations from accumulating temp parquet dirs. */
+  private def freshDir(tag: String): String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-$tag")
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+    }
+    rm(dir); dir.mkdirs()
+    dir.toString
+  }
+
   /** Keyed sub-batch of the raw events table used by the produce-path
    * queries (keys < 15 so the routing VALUES table stays small). */
   private def produceInput(s: SparkSession, d: String): DataFrame =
@@ -283,7 +295,7 @@ object LogQueries extends QueryGroup {
     (s, d) => {
       val msgs = Produce.build(produceInput(s, d), "produced", "w0",
         numPartitions = 6, orderCol = "event_id", nowMs = 0L)
-      val dir = java.nio.file.Files.createTempDirectory("graft-produce-").toString
+      val dir = freshDir("produce")
       Produce.appendDedup(s, msgs, dir)
       val second = Produce.appendDedup(s, msgs, dir) // all replays → rejected
       s.read.parquet(dir)
@@ -321,8 +333,8 @@ object LogQueries extends QueryGroup {
       |        row_number() OVER (PARTITION BY pt ORDER BY event_id) - 1 AS entry
       |      FROM r)
       |SELECT CAST(pt AS INT) AS partition_id, gidx AS msg_offset,
-      |       gidx AS sequence_id, event_id // 1000 AS ledger_id,
-      |       entry AS entry_id, key,
+      |       gidx AS sequence_id, entry // 1000 AS ledger_id,
+      |       entry % 1000 AS entry_id, key,
       |       CAST(1700000000000 AS BIGINT) AS publish_ms,
       |       CAST(1700000060000 AS BIGINT) AS deliver_at_ms
       |FROM g ORDER BY msg_offset LIMIT 30""".stripMargin))
@@ -685,7 +697,7 @@ object LogQueries extends QueryGroup {
       def slice(lo: Long, hi: Long): DataFrame =
         base.filter(col("event_id") >= lo && col("event_id") < hi)
           .select(col("event_id"), col("user_id").cast("string").as("key"), col("value"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-txn-").toString
+      val dir = freshDir("txn")
       Produce.append(Transactions.produceInTxn(
         Produce.build(slice(0, 1000), "txn-topic", "w0", 4, "event_id", 0L), 100L), dir)
       Produce.append(Transactions.produceInTxn(
