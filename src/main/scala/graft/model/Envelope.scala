@@ -29,8 +29,9 @@ final case class MessageEnvelope(
     publish_ms: Long, // epoch millis (timestamps kept integral for engine determinism)
     event_ms: Long,
     key: String,
-    value: Double,
-    properties: String, // JSON map<string,string>
+    value: Double, // decoded numeric view (engine-side convenience)
+    value_bin: Array[Byte] = null, // the wire payload (PulsarApi.proto: the entry's payload bytes)
+    properties: String = "{}", // JSON map<string,string>
     schema_version: Long,
     deliver_at_ms: Long,
     marker_type: Option[Int],
@@ -62,6 +63,7 @@ object Envelope {
     StructField("event_ms", LongType, nullable = false),
     StructField("key", StringType, nullable = false),
     StructField("value", DoubleType, nullable = false),
+    StructField("value_bin", BinaryType, nullable = true),
     StructField("properties", StringType, nullable = true),
     StructField("schema_version", LongType, nullable = false),
     StructField("deliver_at_ms", LongType, nullable = false),
@@ -132,6 +134,19 @@ object EventLog {
       (pubMs - (col("event_id") % 10) * 60000L).as("event_ms"),
       col("user_id").cast(StringType).as("key"),
       col("value"),
+      // The wire payload: a version-keyed JSON record serialized to UTF-8
+      // bytes (SchemaType.JSON analog, SchemaType.java:66). v1 adds a
+      // nullable field over v0 — a BACKWARD-compatible evolution — so the
+      // decode lattice has real per-version work to do. Integer cents keep
+      // Spark/DuckDB byte parity exact (double→string formatting differs).
+      encode(concat(
+        lit("{\"amount_c\":"),
+        floor(col("value") * 100).cast(LongType).cast(StringType),
+        lit(",\"origin\":\"p"), (col("user_id") % 5).cast(StringType), lit("\""),
+        when(col("event_id") % 2 === 1,
+          concat(lit(",\"attempts\":"), (col("event_id") % 5).cast(StringType)))
+          .otherwise(lit("")),
+        lit("}")), "UTF-8").as("value_bin"),
       col("props").as("properties"),
       (col("event_id") % 2).as("schema_version"),
       (pubMs + (col("event_id") % 5) * 60000L).as("deliver_at_ms"),
@@ -171,6 +186,11 @@ object EventLog {
       |    epoch_ms(ts) - (event_id % 10) * 60000              AS event_ms,
       |    CAST(user_id AS VARCHAR)                            AS key,
       |    value                                               AS value,
+      |    encode('{"amount_c":' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) ||
+      |      ',"origin":"p' || CAST(user_id % 5 AS VARCHAR) || '"' ||
+      |      CASE WHEN event_id % 2 = 1
+      |           THEN ',"attempts":' || CAST(event_id % 5 AS VARCHAR)
+      |           ELSE '' END || '}')                           AS value_bin,
       |    props                                               AS properties,
       |    event_id % 2                                        AS schema_version,
       |    epoch_ms(ts) + (event_id % 5) * 60000               AS deliver_at_ms,

@@ -14,23 +14,25 @@ import org.apache.spark.sql.functions._
  */
 object ChunkBatch {
 
-  /** F13 — reassemble uuid-correlated chunks into one logical payload.
-   * One hash aggregation; `sort_array` orders chunks inside each group
-   * without a global sort. */
-  def reassembleChunks(env: DataFrame): DataFrame = {
-    // Chunk payload rendered as an exact integer (value ×100) — double→string
-    // formatting is engine-specific, integers are not.
-    val payload = round(col("value") * 100).cast("long").cast("string").as("payload")
+  /** F13 — reassemble uuid-correlated chunks into one logical payload:
+   * a binary fold over the chunks' wire bytes in chunk order, exactly the
+   * consumer-side buffer concat (ConsumerImpl chunk handling,
+   * PulsarApi.proto:160-163). One hash aggregation; `array_sort` orders
+   * chunks inside each group without a global sort. */
+  def reassembleChunks(env: DataFrame): DataFrame =
     env.groupBy(col("uuid_group"))
       .agg(
         count(lit(1)).as("num_chunks"),
-        array_join(
+        aggregate(
           transform(
-            array_sort(collect_list(struct(col("chunk_id"), payload))),
+            array_sort(collect_list(struct(col("chunk_id"),
+              col("value_bin").as("payload")))),
             c => c.getField("payload")),
-          "|").as("assembled"),
+          lit(Array.empty[Byte]),
+          (acc, x) => concat(acc, x)).as("assembled_bin"),
         min(col("msg_offset")).as("first_offset"))
-  }
+      .withColumn("assembled", col("assembled_bin").cast("string"))
+      .drop("assembled_bin")
 
   /** F14a — pack messages into batch entries keyed by (topic, ledger_id):
    * the producer-side batch container (BatchMessageContainerImpl). */

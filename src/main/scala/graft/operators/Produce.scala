@@ -61,6 +61,12 @@ object Produce {
       eventMs.as("event_ms"),
       col("key").cast("string").as("key"),
       col("value").cast("double").as("value"),
+      // wire payload: the v0 JSON record of the schema lattice (see
+      // graft.schema.PayloadCodec) serialized to UTF-8 bytes
+      encode(concat(
+        lit("{\"amount_c\":"),
+        floor(col("value").cast("double") * 100).cast("long").cast("string"),
+        lit(s""","origin":"$producerName"}""")), "UTF-8").as("value_bin"),
       props.as("properties"),
       lit(0L).as("schema_version"),
       lit(nowMs + deliverAfterMs).as("deliver_at_ms"),

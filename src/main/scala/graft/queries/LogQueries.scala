@@ -247,14 +247,11 @@ object LogQueries extends QueryGroup {
 
   private val f13 = QueryDef(
     (s, d) => ChunkBatch.reassembleChunks(env(s, d)).orderBy(col("uuid_group")),
-    Some(s"""$E, ch AS (
-      |  SELECT uuid_group, chunk_id, msg_offset,
-      |         CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS payload
-      |  FROM env)
+    Some(s"""$E
       |SELECT uuid_group, count(*) AS num_chunks,
-      |       string_agg(payload, '|' ORDER BY chunk_id) AS assembled,
+      |       string_agg(decode(value_bin), '' ORDER BY chunk_id) AS assembled,
       |       min(msg_offset) AS first_offset
-      |FROM ch GROUP BY uuid_group ORDER BY uuid_group""".stripMargin))
+      |FROM env GROUP BY uuid_group ORDER BY uuid_group""".stripMargin))
 
   private val f14 = QueryDef(
     (s, d) => ChunkBatch.batchRoundtrip(env(s, d))

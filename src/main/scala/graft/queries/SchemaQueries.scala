@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.EventLog
-import graft.schema.{CompatibilityStrategy, SchemaCompat}
+import graft.schema.{CompatibilityStrategy, PayloadCodec, SchemaCompat}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -113,8 +113,92 @@ object SchemaQueries extends QueryGroup {
       |       max(CAST(regexp_extract(properties, '"k": ([0-9]+)', 1) AS DOUBLE)) AS max_k
       |FROM env GROUP BY schema_version ORDER BY schema_version""".stripMargin))
 
+  /** M3 — typed struct decode of the BINARY wire payload, writer schema
+   * selected per row by schema_version (SchemaType.JSON; the v0→v1
+   * evolution is the registry's add_nullable_field scenario). The oracle
+   * re-derives the decoded fields from the base columns independently, so
+   * a failed/misaligned parse cannot agree with it. */
+  private val m3 = QueryDef(
+    (s, d) => PayloadCodec.decodeTyped(EventLog.topic(s, d))
+      .groupBy(col("origin"))
+      .agg(count(lit(1)).as("n"), sum(col("amount_c")).as("sum_cents"),
+        sum(col("rec_attempts")).as("sum_attempts"))
+      .orderBy(col("origin")),
+    Some(s"""${EventLog.oracleCte}
+      |SELECT producer_name AS origin, count(*) AS n,
+      |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(sum(CASE WHEN schema_version = 1 THEN attempts END) AS BIGINT) AS sum_attempts
+      |FROM env GROUP BY producer_name ORDER BY origin""".stripMargin))
+
+  /** M4 — KEY_VALUE INLINE: build the reference's length-prefixed frame
+   * ([keyLen][key][valLen][value], KeyValue.java) and decode it back with
+   * binary intrinsics. Group keys and sums only come out right if the
+   * frame arithmetic is byte-exact. */
+  private val m4 = QueryDef(
+    (s, d) => {
+      val kv = PayloadCodec.kvEncodeInline(
+        encode(col("key"), "UTF-8"), col("value_bin"))
+      val dec = PayloadCodec.kvDecodeInline(col("kv"))
+      EventLog.topic(s, d)
+        .withColumn("kv", kv)
+        .select(col("kv"),
+          dec.getField("key").cast("string").as("kv_key"),
+          dec.getField("value").cast("string").as("kv_json"))
+        .groupBy(col("kv_key"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("kv"))).as("frame_bytes"),
+          sum(get_json_object(col("kv_json"), "$.amount_c").cast("long")).as("sum_cents"))
+        .orderBy(col("kv_key"))
+    },
+    Some(s"""${EventLog.oracleCte}
+      |SELECT key AS kv_key, count(*) AS n,
+      |       CAST(sum(8 + octet_length(encode(key)) + octet_length(value_bin)) AS BIGINT) AS frame_bytes,
+      |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM env GROUP BY key ORDER BY kv_key""".stripMargin))
+
+  /** M5 — AUTO_CONSUME: schema-less generic-record view (field→text map);
+   * field inventory per version + a field access without a reader schema. */
+  private val m5 = QueryDef(
+    (s, d) => PayloadCodec.autoConsume(EventLog.topic(s, d))
+      .select(col("schema_version"),
+        array_join(array_sort(map_keys(col("record_map"))), ",").as("fields"),
+        col("record_map").getItem("origin").as("origin"))
+      .groupBy(col("schema_version"), col("fields"))
+      .agg(count(lit(1)).as("n"), max(col("origin")).as("max_origin"))
+      .orderBy(col("schema_version")),
+    Some(s"""${EventLog.oracleCte}
+      |SELECT schema_version,
+      |       CASE WHEN schema_version = 0 THEN 'amount_c,origin'
+      |            ELSE 'amount_c,attempts,origin' END AS fields,
+      |       count(*) AS n, max(producer_name) AS max_origin
+      |FROM env GROUP BY 1, 2 ORDER BY schema_version""".stripMargin))
+
+  /** M6 — KEY_VALUE SEPARATED: key bytes ride the message-key slot
+   * base64-coded, payload keeps the value schema; decode recovers both. */
+  private val m6 = QueryDef(
+    (s, d) => {
+      val dec = PayloadCodec.kvDecodeSeparated(col("transport_key"), col("value_bin"))
+      EventLog.topic(s, d)
+        .withColumn("transport_key",
+          PayloadCodec.kvKeySeparated(encode(col("key"), "UTF-8")))
+        .select(dec.getField("key").cast("string").as("kv_key"),
+          col("transport_key"),
+          length(dec.getField("value")).as("payload_bytes"))
+        .groupBy(col("kv_key"), col("transport_key"))
+        .agg(count(lit(1)).as("n"), sum(col("payload_bytes")).as("payload_total"))
+        .orderBy(col("kv_key"))
+    },
+    Some(s"""${EventLog.oracleCte}
+      |SELECT key AS kv_key, base64(encode(key)) AS transport_key, count(*) AS n,
+      |       CAST(sum(octet_length(value_bin)) AS BIGINT) AS payload_total
+      |FROM env GROUP BY 1, 2 ORDER BY kv_key""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "m1_schema_compat" -> m1,
-    "m2_versioned_decode" -> m2
+    "m2_versioned_decode" -> m2,
+    "m3_typed_decode" -> m3,
+    "m4_keyvalue_inline" -> m4,
+    "m5_auto_consume" -> m5,
+    "m6_keyvalue_separated" -> m6
   )
 }

@@ -24,7 +24,10 @@ object TestSpark {
         ledger_id = off / 100, entry_id = off % 100, batch_index = 0,
         msg_offset = off, producer_name = prod, sequence_id = seq,
         publish_ms = 1000000L + off * 1000, event_ms = evMs, key = key,
-        value = v, properties = "{}", schema_version = 0L,
+        value = v,
+        value_bin = s"""{"amount_c":${math.floor(v * 100).toLong},"origin":"$prod"}"""
+          .getBytes("UTF-8"),
+        properties = "{}", schema_version = 0L,
         deliver_at_ms = 1000000L + off * 1000, marker_type = marker,
         replicated_from = None, txn_group = None, attempts = 0,
         uuid_group = off / 4, chunk_id = (off % 4).toInt, tombstone = tomb,
