@@ -50,17 +50,15 @@ object DedupOps {
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("set_size", size(col("sh")))
-    val inv = sh.select(col("doc"), col("set_size"), explode(col("sh")).as("shingle"))
-    val pairs = inv.as("a").join(inv.as("b"),
+    val shRows = shingleRows(docs, idCol, textCol, n)
+    val pairs = shRows.as("a").join(shRows.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.set_size").as("size_a"), col("b.set_size").as("size_b"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    val sizes = shRows.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
     pairs
+      .join(sizes.select(col("doc").as("doc_a"), col("set_size").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("set_size").as("size_b")), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")), 4))
@@ -68,13 +66,61 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signature: for each of k hash functions (murmur3 with seed i),
-   * the min over the document's shingles. Computed without explode —
-   * array_min over a transformed shingle array, fully codegen'd. */
+  /** Mersenne prime 2^31-1 for the affine MinHash family. */
+  private val MersenneP = 2147483647L
+
+  /** MinHash function i as an affine transform (aᵢ·h + bᵢ mod p) of one
+   * shared murmur3 base hash — the standard universal-hashing construction
+   * (Broder '97, Carter-Wegman). Each shingle pays ONE string hash; the k
+   * rehashes are 3 long ops each, fully codegen'd. */
+  private def affineHash(h: Column, i: Int): Column = {
+    val a = ((i * 2654435761L) % MersenneP) | 1L // odd multiplier, Knuth constant
+    val b = (i * 40503L) % MersenneP
+    pmod(h * a + b, lit(MersenneP))
+  }
+
+  /**
+   * Exploded (doc, shingle, h) relation — the workhorse layout. Array-typed
+   * higher-order functions (`transform`/`array_min`) evaluate interpreted,
+   * outside whole-stage codegen; exploding the shingle set into rows keeps
+   * everything downstream (murmur3, affine rehashes, min aggregates) inside
+   * codegen'd hash aggregates.
+   *
+   * Two deliberate exchanges: the first spreads a few-file scan across the
+   * cluster BEFORE the compute-heavy shingle construction; the second hash-
+   * partitions the *computed* rows by doc, so (a) every groupBy(doc)
+   * downstream is exchange-free, and (b) the plans that consume this
+   * relation several times (LSH banding self-join + exact confirm + set
+   * sizes) reuse one materialized shuffle instead of re-deriving shingles
+   * per consumer (Catalyst's ReuseExchange matches the identical subplan).
+   * Shuffling the shingle relation once to save 5-6 recomputations of it
+   * is the right trade at any scale.
+   */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    // explicit partition counts: these exchanges carry few BYTES but gate
+    // heavy downstream COMPUTE — AQE's size-based coalescing would fold
+    // them to one partition and serialize the shingle construction
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    docs.repartition(parts, col(idCol))
+      .select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("shingle"))
+      .withColumn("h", murmur3Positive(col("shingle"), 0).cast("long"))
+      .repartition(parts, col("doc"))
+  }
+
+  /** k-function MinHash signature per doc: one codegen'd hash aggregate
+   * with k min buffers over the affine rehashes. */
+  private def signatures(shRows: DataFrame, k: Int): DataFrame =
+    shRows.groupBy(col("doc")).agg(
+      array((0 until k).map(i => min(affineHash(col("h"), i))): _*).as("sig"))
+
+  /** MinHash signature of a text column: k min-hashes over its n-gram
+   * shingles (array form, for per-row use; the relational paths above are
+   * the corpus-scale layout). */
   def minhashSignature(text: Column, n: Int, k: Int): Column = {
-    val sh = shingles(text, n)
-    array((0 until k).map { seed =>
-      array_min(transform(sh, s => murmur3Positive(s, seed)))
+    val base = transform(shingles(text, n), s => murmur3Positive(s, 0).cast("long"))
+    array((0 until k).map { i =>
+      array_min(transform(base, h => affineHash(h, i)))
     }: _*)
   }
 
@@ -87,12 +133,7 @@ object DedupOps {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sig = docs
-      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0) // drop docs too short to shingle
-      .select(col("doc"), array((0 until k).map { seed =>
-        array_min(transform(col("sh"), s => murmur3Positive(s, seed)))
-      }: _*).as("sig"))
+    val sig = signatures(shingleRows(docs, idCol, textCol, n), k)
     val banded = sig.select(col("doc"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
@@ -122,12 +163,8 @@ object DedupOps {
   def minhashLshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sh = docs
-      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = sh.select(col("doc"), array((0 until k).map { seed =>
-      array_min(transform(col("sh"), s => murmur3Positive(s, seed)))
-    }: _*).as("sig"))
+    val shRows = shingleRows(docs, idCol, textCol, n)
+    val sig = signatures(shRows, k)
     val banded = sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
@@ -136,12 +173,19 @@ object DedupOps {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    candidates
-      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    // exact confirm on the exploded relation: only candidate pairs pay the
+    // intersection count (the candidate set broadcasts; zero-intersection
+    // pairs drop out, which can't reach any positive threshold anyway)
+    val inter = candidates
+      .join(shRows.select(col("doc").as("doc_a"), col("shingle")), "doc_a")
+      .join(shRows.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val sizes = shRows.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("set_size").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("set_size").as("size_b")), "doc_b")
       .withColumn("jaccard", round(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+        (col("size_a") + col("size_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -152,10 +196,12 @@ object DedupOps {
    * Hamming distance; equal simhash = near-dup bucket.
    */
   def simhash(text: Column, bits: Int = 16): Column = {
-    val ws = TextOps.words(text)
+    // hash each word ONCE; the b bit-votes then read bits of that hash —
+    // string hashing is the expensive part, bit tests are free
+    val hs = transform(TextOps.words(text), w => murmur3Positive(w, 0))
     val weights = (0 until bits).map { b =>
-      aggregate(ws, lit(0L), (acc, w) =>
-        acc + when(shiftright(murmur3Positive(w, 0), b).bitwiseAND(1) === 1, 1L)
+      aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L)
           .otherwise(-1L))
     }
     weights.zipWithIndex.map { case (wgt, b) =>

@@ -62,9 +62,9 @@ object PipelineQueries extends QueryGroup {
    * DedupOps.minhashLshVerifiedPairs). The doc_id bound caps the exact
    * join's quadratic blowup at bench scales; it covers every document at
    * the correctness scales (sf ≤ 0.01 has 500 docs). */
-  private val jaccardOracle: String =
+  private def jaccardOracleFor(docFilter: String): String =
     s"""WITH w AS (
-      |  SELECT doc_id, $WORDS AS ws FROM documents WHERE doc_id < 1000),
+      |  SELECT doc_id, $WORDS AS ws FROM documents $docFilter),
       |sh AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(range(1, len(ws) - 1),
@@ -82,6 +82,8 @@ object PipelineQueries extends QueryGroup {
       |WHERE round(inter::DOUBLE / (sa + sb - inter), 4) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  private val jaccardOracle: String = jaccardOracleFor("WHERE doc_id < 1000")
+
   private val p3 = QueryDef(
     (s, d) => DedupOps.ngramJaccardPairs(
       docs(s, d).filter(col("doc_id") < 1000), "doc_id", "text", 3, 0.5)
@@ -97,6 +99,19 @@ object PipelineQueries extends QueryGroup {
       n = 3, k = 64, bands = 16, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b")),
     Some(jaccardOracle))
+
+  private val p15 = QueryDef(
+    // The UNBOUNDED production path: MinHash-LSH banding + exact confirm
+    // over the whole corpus — no doc_id cap, so the sf0.1 bench covers all
+    // 5,000 docs. At the correctness scales (≤500 docs) the full corpus is
+    // within the exact-join oracle's reach, so the result is checked
+    // pair-for-pair against the inverted-index Jaccard join. Signatures
+    // pay ONE murmur3 per shingle (affine rehash family) — the knob that
+    // makes full-corpus signatures linear-cheap at 100 TB.
+    (s, d) => DedupOps.minhashLshVerifiedPairs(
+      docs(s, d), "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(jaccardOracleFor("")))
 
   /** Every word in the documents fixtures (all scale factors) with its
    * murmur3-32(seed 0) hash — lets DuckDB reproduce the SimHash votes. */
@@ -323,6 +338,7 @@ object PipelineQueries extends QueryGroup {
     "p11_token_stats" -> p11,
     "p12_media_decode" -> p12,
     "p13_media_frames" -> p13,
-    "p14_ann_ivf" -> p14
+    "p14_ann_ivf" -> p14,
+    "p15_minhash_full" -> p15
   )
 }
