@@ -70,6 +70,61 @@ object Routing {
     }.toDF("consumer", "lo", "hi")
   }
 
+  /** One consumer's contiguous slice of the 16-bit Key_Shared ring. */
+  final case class HashRange(consumer: String, lo: Int, hi: Int)
+
+  /**
+   * R6 — DYNAMIC auto-split: fold a consumer join/leave event sequence
+   * into the ring's range table, the reference's
+   * HashRangeAutoSplitStickyKeyConsumerSelector behavior: a joining
+   * consumer splits the LARGEST current range in half (ties broken toward
+   * the lowest lo) and takes its lower half; a leaving consumer's range
+   * merges into its lower neighbor (the lowest range merges upward).
+   * Membership changes are control-plane events — a tiny driver-side fold,
+   * like the reference's in-broker selector; the resulting table is the
+   * broadcast side of [[assignConsumers]].
+   *
+   * Invariant (property-tested): after every event the ranges exactly tile
+   * [0, 65536) — every bucket maps to exactly one consumer.
+   */
+  def autoSplitFold(events: Seq[(String, String)]): Seq[HashRange] = {
+    val size = 65536
+    events.foldLeft(Vector.empty[HashRange]) { case (ranges, (op, c)) =>
+      op match {
+        case "join" =>
+          if (ranges.isEmpty) Vector(HashRange(c, 0, size - 1))
+          else {
+            val idx = ranges.indices.maxBy(i =>
+              (ranges(i).hi - ranges(i).lo, -ranges(i).lo))
+            val r = ranges(idx)
+            val mid = (r.lo + r.hi) >>> 1
+            ranges.patch(idx,
+              Seq(HashRange(c, r.lo, mid), HashRange(r.consumer, mid + 1, r.hi)), 1)
+          }
+        case "leave" =>
+          val idx = ranges.indexWhere(_.consumer == c)
+          if (idx < 0) ranges
+          else if (ranges.size == 1) Vector.empty
+          else if (idx > 0) {
+            val freed = ranges(idx)
+            ranges.patch(idx - 1, Seq(ranges(idx - 1).copy(hi = freed.hi)), 2)
+          } else {
+            val freed = ranges(0)
+            ranges.patch(0, Seq(ranges(1).copy(lo = freed.lo)), 2)
+          }
+        case other => throw new IllegalArgumentException(s"unknown op: $other")
+      }
+    }
+  }
+
+  /** [[autoSplitFold]] as the broadcastable (consumer, lo, hi) table. */
+  def autoSplitRanges(spark: org.apache.spark.sql.SparkSession,
+      events: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    autoSplitFold(events).map(r => (r.consumer, r.lo, r.hi))
+      .toDF("consumer", "lo", "hi")
+  }
+
   /**
    * R9 — PIP-486 entry-bucketing: whole entries routed by 16-bit bucket;
    * in Spark this is key-range partitioning, giving row-group locality.

@@ -399,6 +399,13 @@ object LogQueries extends QueryGroup {
       s"('$k', ${h % nPart})"
     }.mkString(", ")
 
+  /** Plain key → 16-bit ring bucket VALUES (no consumer mapping). */
+  private def keyRingValues: String =
+    (0 to 14).map { k =>
+      val h = Murmur3x86.positive(k.toString.getBytes("UTF-8"), 0)
+      s"('$k', ${h % 65536})"
+    }.mkString(", ")
+
   private def keyBucketValues(consumers: Int): String =
     (0 to 14).map { k =>
       val h = Murmur3x86.positive(k.toString.getBytes("UTF-8"), 0)
@@ -432,6 +439,41 @@ object LogQueries extends QueryGroup {
       |SELECT cnt.key AS key, CAST(m.sticky_bucket AS INT) AS sticky_bucket,
       |       m.consumer AS consumer, cnt.n AS n
       |FROM cnt JOIN m ON cnt.key = m.key ORDER BY key""".stripMargin))
+
+  private val r6 = QueryDef(
+    // R6 dynamic auto-split: fold a membership history (4 joins, 1 leave,
+    // 1 re-split) into the range table, then dispatch the keyed slice over
+    // the resulting ranges. The oracle's range table is derived BY HAND
+    // from the reference algorithm (split largest / merge into lower
+    // neighbor), so the fold is checked against independent ground truth.
+    (s, d) => {
+      val events = Seq("join" -> "consumer-A", "join" -> "consumer-B",
+        "join" -> "consumer-C", "join" -> "consumer-D",
+        "leave" -> "consumer-B", "join" -> "consumer-E")
+      val ranges = Routing.autoSplitRanges(s, events)
+      val assigned = Routing.assignConsumers(
+        env(s, d).filter(col("key").cast("long") < 15 && col("ordering_key").isNull),
+        ranges)
+        .groupBy(col("consumer")).agg(count(lit(1)).as("n"))
+      ranges.join(assigned, Seq("consumer"), "left")
+        .select(col("consumer"), col("lo"), col("hi"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("lo"))
+    },
+    Some(s"""$E, m(key, bucket) AS (SELECT * FROM (VALUES $keyRingValues)),
+      |r(consumer, lo, hi) AS (SELECT * FROM (VALUES
+      |  ('consumer-E', 0, 16383), ('consumer-C', 16384, 32767),
+      |  ('consumer-D', 32768, 49151), ('consumer-A', 49152, 65535))),
+      |cnt AS (
+      |  SELECT r2.consumer AS consumer, count(*) AS n
+      |  FROM env JOIN m ON env.key = m.key
+      |           JOIN r r2 ON m.bucket BETWEEN r2.lo AND r2.hi
+      |  WHERE CAST(env.key AS BIGINT) < 15 AND env.ordering_key IS NULL
+      |  GROUP BY r2.consumer)
+      |SELECT r.consumer, r.lo, r.hi,
+      |       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+      |FROM r LEFT JOIN cnt ON r.consumer = cnt.consumer
+      |ORDER BY r.lo""".stripMargin))
 
   /** Effective-key → 16-bit bucket VALUES for r8: both the plain fixture
    * keys and the ordering-key tags, from the spec-pinned hash. */
@@ -667,7 +709,21 @@ object LogQueries extends QueryGroup {
   // ---------------------------------------------------------------- T: transactions
 
   private val t2 = QueryDef(
-    (s, d) => Transactions.fixtureStatus(env(s, d)).orderBy(col("txn_id")),
+    // T2 through the REAL recovery mechanism: append one coordinator
+    // end-marker per txn group to the log (the durable 2PC decision —
+    // abort when txn % 4 = 0, the fixture's decision ledger), then derive
+    // status purely from the markers (TopicTransactionBuffer recovery),
+    // NOT from the decision rule.
+    (s, d) => {
+      val e = env(s, d)
+      val markers = e.filter(col("txn_group").isNotNull)
+        .select(col("txn_group")).distinct()
+        .select(col("txn_group"),
+          when(col("txn_group") % 4 === 0, lit(Transactions.TxnAbortMarker))
+            .otherwise(lit(Transactions.TxnCommitMarker)).cast("int").as("marker_type"))
+      val log = e.select(col("txn_group"), col("marker_type")).unionByName(markers)
+      Transactions.statusFromMarkers(log).orderBy(col("txn_id"))
+    },
     Some(s"""$E
       |SELECT DISTINCT txn_group AS txn_id,
       |       CASE WHEN txn_group % 4 = 0 THEN 'ABORTED' ELSE 'COMMITTED' END AS status
@@ -783,6 +839,7 @@ object LogQueries extends QueryGroup {
     "r1_round_robin" -> r1,
     "r2_key_hash_route" -> r2,
     "r5_key_shared_buckets" -> r5,
+    "r6_auto_split" -> r6,
     "r10_shared_spread" -> r10,
     "r10b_failover" -> r10b,
     "o2_seek_by_time" -> o2,

@@ -45,6 +45,50 @@ object RoutingProps extends Properties("Routing") {
         ranges.last._2 == size - 1 && contiguous)
     }
 
+  /** Dynamic auto-split (R6): after EVERY join/leave event, the ranges
+   * exactly tile [0, 65536) — each bucket maps to exactly one consumer —
+   * and consumers hold one contiguous range each
+   * (HashRangeAutoSplitStickyKeyConsumerSelector invariant). */
+  property("auto-split ranges tile the ring after every event") = {
+    // membership scripts: joins of fresh consumers interleaved with leaves
+    // of a uniformly chosen *present* consumer
+    val script: Gen[Seq[(String, String)]] =
+      Gen.listOf(Gen.chooseNum(0, 2)).map { moves =>
+        var present = Vector.empty[String]
+        var nextId = 0
+        moves.flatMap { m =>
+          if (m < 2) { // join twice as likely as leave
+            val c = s"c$nextId"; nextId += 1; present :+= c
+            Some("join" -> c)
+          } else if (present.nonEmpty) {
+            val c = present((m * 7919 + nextId) % present.size)
+            present = present.filterNot(_ == c)
+            Some("leave" -> c)
+          } else None
+        }
+      }
+    forAll(script) { events =>
+      (1 to events.size).forall { n =>
+        val ranges = graft.operators.Routing.autoSplitFold(events.take(n))
+        val present = events.take(n).foldLeft(Set.empty[String]) {
+          case (s, ("join", c)) => s + c
+          case (s, (_, c)) => s - c
+        }
+        if (present.isEmpty) ranges.isEmpty
+        else {
+          val sorted = ranges.sortBy(_.lo)
+          sorted.head.lo == 0 && sorted.last.hi == 65535 &&
+            sorted.sliding(2).forall {
+              case Seq(a, b) => b.lo == a.hi + 1
+              case _ => true
+            } &&
+            sorted.map(_.consumer).toSet == present &&
+            sorted.size == present.size // one contiguous range per consumer
+        }
+      }
+    }
+  }
+
   /** Keyed routing is uniform-ish: over many random keys no partition of 8
    * takes more than twice its fair share (a loose bound — catches
    * byte-order/masking bugs that collapse the distribution). */
