@@ -20,6 +20,11 @@ import java.nio.file.Files
  *   3. Windowed agg (W1/W4/W6): watermarked tumbling counts == batch window
  *   4. Subscription cursor (S3/M4): a checkpointed file-stream consumes the
  *      topic exactly once; restarting from the checkpoint re-reads nothing.
+ *   5. Effectively-once (U5): duplicate delivery appends nothing.
+ *   6. Processing-time windows (W2): wall-clock trigger converges to the
+ *      batch twin on the deterministic processing clock.
+ *   7. Replication (S14): dual-sink tail stamps replicated_from on the
+ *      remote copy; re-consuming the remote replicates nothing (loop break).
  *
  * Exits nonzero on any mismatch.
  */
@@ -120,6 +125,49 @@ object StreamingSmoke {
     check("subscription", firstRun == envs.length && secondRun == 0L,
       s"first=$firstRun (want ${envs.length}) second=$secondRun (want 0)")
 
+    // -- 6. processing-time windows under a wall-clock trigger ------------
+    // (W2: Trigger.ProcessingTime fires micro-batches on cadence like the
+    // reference's TimeTriggerPolicy; the deterministic processing clock is
+    // publish_ms, so the converged table equals the batch twin)
+    val s6 = MemoryStream[MessageEnvelope]
+    val q6 = StreamingOps.runToMemoryProcessing(
+      StreamingOps.processingTimeCounts(s6.toDF(), H6_MS),
+      "proc_win_out", OutputMode.Complete(), ckpt())
+    chunks.foreach { c => s6.addData(c); q6.processAllAvailable() }
+    q6.stop()
+    val streamProc = spark.table("proc_win_out")
+      .select("window_start_ms", "n", "sum_v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batchProc = TimeWindows.processingTumbling(batchDf, H6_MS,
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")))
+      .select("window_start_ms", "n", "sum_v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val procOk = streamProc.keySet == batchProc.keySet && streamProc.forall {
+      case (k, (n, s)) => batchProc(k)._1 == n && math.abs(batchProc(k)._2 - s) < 1e-6
+    }
+    check("processing-time-window", procOk,
+      s"stream=${streamProc.size} windows batch=${batchProc.size}")
+
+    // -- 7. dual-sink replication with loop break (S14) -------------------
+    // one source, two topic dirs; remote copies carry replicated_from =
+    // local cluster; re-consuming the remote replicates NOTHING onward
+    val localDir = Files.createTempDirectory("graft-repl-local-").toString
+    val remoteDir = Files.createTempDirectory("graft-repl-remote-").toString
+    val s7 = MemoryStream[MessageEnvelope]
+    val q7 = graft.streaming.Replication.replicateStream(
+      s7.toDF(), "east", localDir, remoteDir, ckpt())
+    chunks.foreach { c => s7.addData(c); q7.processAllAvailable() }
+    q7.stop()
+    val localN = spark.read.parquet(localDir).count()
+    val remote = spark.read.parquet(remoteDir).cache()
+    val expectedOutbound = envs.count(_.replicated_from.isEmpty).toLong
+    val remoteStamped = remote.filter(col("replicated_from") === "east").count()
+    val loopBroken = graft.streaming.Replication.outbound(remote, "east").count()
+    check("replication",
+      localN == envs.length && remote.count() == expectedOutbound &&
+        remoteStamped == expectedOutbound && loopBroken == 0L,
+      s"local=$localN remote=${remote.count()} stamped=$remoteStamped loop=$loopBroken")
+
     // -- 5. effectively-once: replayed delivery + dedup-on-write sink -----
     // (U5: at-least-once delivery into an idempotent sink — the second,
     // duplicate delivery of every batch must append nothing)
@@ -136,7 +184,7 @@ object StreamingSmoke {
       s"first=$firstAppend dup=$dupAppend final=$finalCount")
 
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 5 converged to batch twins OK")
+    println(s"[stream-smoke] all 7 converged to batch twins OK")
     spark.stop()
   }
 }

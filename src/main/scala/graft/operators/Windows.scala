@@ -35,6 +35,32 @@ object TimeWindows {
       .withColumn("window_start_ms", unix_millis(col("window.start")))
       .drop("window")
 
+  /**
+   * W2 processing-time variant — the reference's TimeTriggerPolicy and
+   * TimeEvictionPolicy fire on WALL-CLOCK time
+   * (pulsar-functions/instance/.../windowing/triggers/TimeTriggerPolicy
+   * .java), windowing messages by arrival instant, not event time. The
+   * engine's deterministic processing clock is `publish_ms` — the
+   * broker-stamped receipt time — so results are reproducible across
+   * re-runs (the reference has the same redelivery-shifts-windows
+   * property). The streaming twin runs the same groupBy under
+   * `Trigger.ProcessingTime` (StreamingOps.processingTimeCounts).
+   */
+  def processingTumbling(env: DataFrame, windowMs: Long, aggs: Seq[Column]): DataFrame =
+    env.groupBy(window(timestamp_millis(col("publish_ms")), s"$windowMs milliseconds"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start_ms", unix_millis(col("window.start")))
+      .drop("window")
+
+  /** W2 processing-time sliding window (see [[processingTumbling]]). */
+  def processingSliding(env: DataFrame, lengthMs: Long, slideMs: Long,
+      aggs: Seq[Column]): DataFrame =
+    env.groupBy(window(timestamp_millis(col("publish_ms")),
+        s"$lengthMs milliseconds", s"$slideMs milliseconds"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start_ms", unix_millis(col("window.start")))
+      .drop("window")
+
   /** W3 — count-based tumbling window per key: every N messages of a key
    * form one window (CountTriggerPolicy/CountEvictionPolicy). */
   def countTumblingPerKey(env: DataFrame, n: Int, aggs: Seq[Column]): DataFrame = {

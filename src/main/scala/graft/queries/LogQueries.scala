@@ -669,6 +669,21 @@ object LogQueries extends QueryGroup {
       |SELECT ws AS window_start_ms, count(*) AS n, round(sum(value), 2) AS sum_v
       |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val w2b = QueryDef(
+    // W2 processing-time variant: same sliding shape as w2 but windowed on
+    // the deterministic processing clock (publish_ms — broker receipt),
+    // the reference's wall-clock TimeTriggerPolicy semantics.
+    (s, d) => TimeWindows.processingSliding(env(s, d), 2 * H6_MS, H6_MS,
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")))
+      .select(col("window_start_ms"), col("n"), col("sum_v"))
+      .orderBy(col("window_start_ms")),
+    Some(s"""$E, sel AS (
+      |  SELECT (publish_ms // $H6_MS) * $H6_MS AS ws, value FROM env
+      |  UNION ALL
+      |  SELECT (publish_ms // $H6_MS) * $H6_MS - $H6_MS AS ws, value FROM env)
+      |SELECT ws AS window_start_ms, count(*) AS n, round(sum(value), 2) AS sum_v
+      |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val w3t = QueryDef(
     (s, d) => TimeWindows.countTumblingPerKey(env(s, d), 5,
       Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"),
@@ -780,6 +795,23 @@ object LogQueries extends QueryGroup {
       |       CAST(CASE WHEN txn_id = 100 THEN count(*) ELSE 0 END AS BIGINT) AS n_visible
       |FROM inp GROUP BY txn_id ORDER BY txn_id""".stripMargin))
 
+  private val o7 = QueryDef(
+    // Hot-key aggregation through the explicit two-phase salted form
+    // (Skew.saltedAggregate): the whole log concentrates on 5 producer
+    // keys; phase 1 spreads each over 16 salted reducers, phase 2 merges
+    // the partials (count→sum, sum→sum, max→max). The plan shows two
+    // HashAggregate exchanges — no single reducer ever sees a whole key.
+    (s, d) => Skew.saltedAggregate(env(s, d), Seq("producer_name"), 16,
+      Seq(count(lit(1)).as("_n"), sum(col("value")).as("_s"),
+        max(col("msg_offset")).as("_m")),
+      Seq(sum(col("_n")).as("n"), round(sum(col("_s")), 2).as("sum_v"),
+        max(col("_m")).as("last_offset")))
+      .orderBy(col("producer_name")),
+    Some(s"""$E
+      |SELECT producer_name, count(*) AS n, round(sum(value), 2) AS sum_v,
+      |       max(msg_offset) AS last_offset
+      |FROM env GROUP BY producer_name ORDER BY producer_name""".stripMargin))
+
   private val t4 = QueryDef(
     // T4: every 3rd offset is acked; acks on 15-divisible offsets happen
     // inside txn (offset % 20), which takes effect only if that txn
@@ -846,8 +878,10 @@ object LogQueries extends QueryGroup {
     "o3_find_by_time" -> o3,
     "o4_peek_messages" -> o4,
     "o6_rate_limit_batches" -> o6,
+    "o7_salted_agg" -> o7,
     "w1_tumbling_agg" -> w1,
     "w2_sliding_agg" -> w2,
+    "w2b_processing_sliding" -> w2b,
     "w3_count_tumbling" -> w3t,
     "w3_count_sliding" -> w3s,
     "w6_watermark_late" -> w6,

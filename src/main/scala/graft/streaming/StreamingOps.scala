@@ -28,17 +28,20 @@ final class TableView {
   private val map = TrieMap.empty[String, TableViewEntry]
   private val listeners = ArrayBuffer.empty[(String, Option[TableViewEntry]) => Unit]
 
-  def upsert(key: String, e: TableViewEntry): Unit = {
+  // listener registration races the streaming thread's upsert/remove —
+  // the reference's TableViewImpl serializes listener handling the same
+  // way, so replay-then-subscribe can't miss or double-deliver a change
+  def upsert(key: String, e: TableViewEntry): Unit = synchronized {
     map.put(key, e); listeners.foreach(_(key, Some(e)))
   }
-  def remove(key: String): Unit = {
+  def remove(key: String): Unit = synchronized {
     map.remove(key); listeners.foreach(_(key, None))
   }
   def get(key: String): Option[TableViewEntry] = map.get(key)
   def snapshot: Map[String, TableViewEntry] = map.toMap
   def size: Int = map.size
   /** forEachAndListen: replay current state, then subscribe to changes. */
-  def forEachAndListen(f: (String, Option[TableViewEntry]) => Unit): Unit = {
+  def forEachAndListen(f: (String, Option[TableViewEntry]) => Unit): Unit = synchronized {
     map.foreach { case (k, v) => f(k, Some(v)) }
     listeners += f
   }
@@ -155,7 +158,8 @@ object StreamingOps {
         (key, rows, state) =>
           val st = rows.toSeq.sortBy(_.msg_offset)
             .foldLeft(state.getOption.orNull)(update)
-          state.update(st)
+          // a null fold result models deletion — GroupState.update(null) throws
+          if (st == null) state.remove() else state.update(st)
           (key, st)
       }
   }
@@ -205,6 +209,33 @@ object StreamingOps {
           due.sortBy(_.msg_offset).iterator
       }
   }
+
+  /**
+   * W2 streaming — processing-time windows under a wall-clock trigger
+   * (TimeTriggerPolicy.java): the aggregation keys on the deterministic
+   * processing clock (publish_ms) so the converged result matches the
+   * batch TimeWindows.processingTumbling; the TRIGGER is real wall-clock
+   * (`Trigger.ProcessingTime`), firing micro-batches on cadence like the
+   * reference's scheduled task.
+   */
+  def processingTimeCounts(env: DataFrame, windowMs: Long): DataFrame =
+    env.groupBy(window(timestamp_millis(col("publish_ms")), s"$windowMs milliseconds"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .withColumn("window_start_ms", unix_millis(col("window.start")))
+      .drop("window")
+
+  /** Run a streaming DataFrame to a named in-memory table on a wall-clock
+   * cadence (Trigger.ProcessingTime); caller drains with
+   * processAllAvailable() then stops. */
+  def runToMemoryProcessing(df: DataFrame, name: String, mode: OutputMode,
+      checkpointDir: String, intervalMs: Long = 50L): StreamingQuery =
+    df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
 
   /** Run a streaming DataFrame to a named in-memory table until all
    * currently-available input is processed. */
