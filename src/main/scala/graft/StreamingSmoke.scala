@@ -176,7 +176,7 @@ object StreamingSmoke {
       spark.read.parquet(s"$sfDir/events.parquet")
         .filter(col("user_id") < 15)
         .select(col("event_id"), col("user_id").cast("string").as("key"), col("value")),
-      "smoke-out", "w0", 4, "event_id", nowMs = 0L)
+      "smoke-out", "w0", 4, "event_id", nowMs = 0L, allKeyed = true)
     val firstAppend = graft.operators.Produce.appendDedup(spark, msgs, outDir)
     val dupAppend = graft.operators.Produce.appendDedup(spark, msgs, outDir)
     val finalCount = spark.read.parquet(outDir).count()

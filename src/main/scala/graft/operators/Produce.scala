@@ -33,15 +33,22 @@ object Produce {
   def build(batch: DataFrame, topic: String, producerName: String,
       numPartitions: Int, orderCol: String, nowMs: Long,
       startOffset: Long = 0L, startSeq: Long = 0L,
-      deliverAfterMs: Long = 0L, ledgerSize: Long = 1000L): DataFrame = {
+      deliverAfterMs: Long = 0L, ledgerSize: Long = 1000L,
+      allKeyed: Boolean = false): DataFrame = {
     val withBlk = batch
-      .withColumn("_one", lit(0))
       .withColumn("_blk", (col(orderCol) / ledgerSize).cast("long"))
-    val global = Sequencing.keyedSequence(withBlk, Seq("_one"), "_blk", orderCol, "_g")
-    val routed = global.withColumn("_pt",
-      when(col("key").isNotNull, keyHashPartition(col("key"), numPartitions))
-        .otherwise(pmod(col("_g"), lit(numPartitions)).cast("int")))
-    val sequenced = Sequencing.keyedSequence(routed, Seq("_pt"), "_blk", orderCol, "_entry")
+    val sequenced =
+      if (allKeyed) buildKeyedSequences(withBlk, numPartitions, orderCol)
+      else {
+        // keyless round-robin routes on the global position, so the
+        // sequencing has to happen in two rounds: global first, then
+        // per-routed-partition
+        val global = Sequencing.globalSequence(withBlk, "_blk", orderCol, "_g")
+        val routed = global.withColumn("_pt",
+          when(col("key").isNotNull, keyHashPartition(col("key"), numPartitions))
+            .otherwise(pmod(col("_g"), lit(numPartitions)).cast("int")))
+        Sequencing.keyedSequence(routed, Seq("_pt"), "_blk", orderCol, "_entry")
+      }
     val eventMs = if (batch.columns.contains("event_ms")) col("event_ms") else lit(nowMs)
     val props = if (batch.columns.contains("properties")) col("properties") else lit("{}")
     // MessageId is per-partition (ledger, entry): ledgers roll every
@@ -84,13 +91,50 @@ object Produce {
   }
 
   /**
+   * All-keyed fast path: when every row is keyed (a keyed producer's
+   * batch, the reference's common case), the route is key-pure, so BOTH
+   * sequences — global `_g` and per-partition `_entry` — derive from ONE
+   * cached (partition, block) count summary: two broadcast offset joins
+   * and two partitioned window passes over a single scan of the batch,
+   * instead of the two-round chain the keyless router forces.
+   */
+  private def buildKeyedSequences(withBlk: DataFrame, numPartitions: Int,
+      orderCol: String): DataFrame = {
+    val routed = withBlk.withColumn("_pt", keyHashPartition(col("key"), numPartitions))
+    val summary = routed.groupBy(col("_blk"), col("_pt"))
+      .agg(count(lit(1)).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gOff = Sequencing.exclusiveBlockPrefix(
+      summary.groupBy(col("_blk")).agg(sum(col("_n")).as("_val")),
+      Seq.empty, "_blk", isMax = false, desc = false, "_gpfx", persistInput = false)
+    val pOff = Sequencing.exclusiveBlockPrefix(
+      summary.select(col("_pt"), col("_blk"), col("_n").as("_val")),
+      Seq("_pt"), "_blk", isMax = false, desc = false, "_ppfx", persistInput = false)
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_blk")).orderBy(col(orderCol))
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pt"), col("_blk")).orderBy(col(orderCol))
+    routed.join(broadcast(gOff), Seq("_blk"))
+      .join(broadcast(pOff), Seq("_pt", "_blk"))
+      .withColumn("_g", col("_gpfx") + row_number().over(wG) - 1)
+      .withColumn("_entry", col("_ppfx") + row_number().over(wP) - 1)
+      .drop("_gpfx", "_ppfx")
+  }
+
+  /**
    * F5 at the write boundary — drop messages the topic has already
    * persisted: intra-batch replays first, then anti-filter against the
    * existing per-producer high-water snapshot (a producer-count-sized
    * broadcast, exactly the broker's `highestSequencedPushed` map).
    */
   def dedupAgainst(newMsgs: DataFrame, existing: DataFrame): DataFrame = {
-    val snap = Dedup.snapshot(existing)
+    // `existing` was written through this same dedup gate, so it holds no
+    // replays — the broker's recovery of `highestSequencedPersisted` from
+    // an already-deduplicated ledger is a plain per-producer max
+    // (MessageDeduplication.recoverSequenceIdsMap), not the full replay
+    // scan Dedup.snapshot does over an arbitrary log.
+    val snap = existing.groupBy(col("producer_name"))
+      .agg(max(col("sequence_id")).as("highest_sequence_persisted"))
       .select(col("producer_name").as("_p"),
         col("highest_sequence_persisted").as("_hi"))
     Dedup.dropReplays(newMsgs)

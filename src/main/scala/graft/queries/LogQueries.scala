@@ -291,10 +291,12 @@ object LogQueries extends QueryGroup {
   private val s1 = QueryDef(
     (s, d) => {
       val msgs = Produce.build(produceInput(s, d), "produced", "w0",
-        numPartitions = 6, orderCol = "event_id", nowMs = 0L)
+        numPartitions = 6, orderCol = "event_id", nowMs = 0L, allKeyed = true)
+        .persist() // two appends + their dedup scans share one build
       val dir = freshDir("produce")
       Produce.appendDedup(s, msgs, dir)
       val second = Produce.appendDedup(s, msgs, dir) // all replays → rejected
+      msgs.unpersist()
       s.read.parquet(dir)
         .groupBy(col("partition_id"))
         .agg(count(lit(1)).as("n"), max(col("entry_id")).as("max_entry"),
@@ -317,7 +319,7 @@ object LogQueries extends QueryGroup {
   private val s2 = QueryDef(
     (s, d) => Produce.build(produceInput(s, d), "produced", "w0",
       numPartitions = 6, orderCol = "event_id", nowMs = 1700000000000L,
-      deliverAfterMs = 60000L)
+      deliverAfterMs = 60000L, allKeyed = true)
       .select(col("partition_id"), col("msg_offset"), col("sequence_id"),
         col("ledger_id"), col("entry_id"), col("key"), col("publish_ms"),
         col("deliver_at_ms"))
@@ -767,10 +769,11 @@ object LogQueries extends QueryGroup {
           .select(col("event_id"), col("user_id").cast("string").as("key"), col("value"))
       val dir = freshDir("txn")
       Produce.append(Transactions.produceInTxn(
-        Produce.build(slice(0, 1000), "txn-topic", "w0", 4, "event_id", 0L), 100L), dir)
+        Produce.build(slice(0, 1000), "txn-topic", "w0", 4, "event_id", 0L,
+          allKeyed = true), 100L), dir)
       Produce.append(Transactions.produceInTxn(
         Produce.build(slice(1000, 2000), "txn-topic", "w0", 4, "event_id", 0L,
-          startOffset = 10000L), 101L), dir)
+          startOffset = 10000L, allKeyed = true), 101L), dir)
       Produce.append(Transactions.txnMarker(s, "txn-topic", 100L, commit = true, 99998L), dir)
       Produce.append(Transactions.txnMarker(s, "txn-topic", 101L, commit = false, 99999L), dir)
       val log = s.read.parquet(dir)
