@@ -21,4 +21,25 @@ object GraftFunctions {
   /** Keyed-router partition choice: murmur3(key) mod numPartitions (R2). */
   def keyHashPartition(key: Column, numPartitions: Int): Column =
     pmod(murmur3Positive(key), lit(numPartitions)).cast("int")
+
+  /** F15 — zlib-compress a BINARY payload (CompressionCodecZLib). */
+  def zlibDeflate(payload: Column, level: Int = 6): Column =
+    GraftSqlBridge.column(ZlibDeflate(GraftSqlBridge.expression(payload), level))
+
+  /** F15 — zlib-decompress a BINARY payload. */
+  def zlibInflate(payload: Column): Column =
+    GraftSqlBridge.column(ZlibInflate(GraftSqlBridge.expression(payload)))
+
+  /** F15 — compress with the codec named by a per-row column
+   * (NONE/LZ4/ZLIB/ZSTD/SNAPPY — CompressionCodecProvider's switch). */
+  def payloadCompress(payload: Column, codec: Column, level: Int = 6): Column =
+    GraftSqlBridge.column(PayloadCompress(
+      GraftSqlBridge.expression(payload), GraftSqlBridge.expression(codec), level))
+
+  /** F15 — decompress by the stamped codec, validating against the
+   * stamped `uncompressed_size` (LZ4/ZSTD require it, as on the wire). */
+  def payloadDecompress(payload: Column, codec: Column, size: Column): Column =
+    GraftSqlBridge.column(PayloadDecompress(
+      GraftSqlBridge.expression(payload), GraftSqlBridge.expression(codec),
+      GraftSqlBridge.expression(size)))
 }

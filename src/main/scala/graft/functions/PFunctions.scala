@@ -41,20 +41,26 @@ final class FunctionContext(val userConfig: Map[String, String] = Map.empty)
 
 object PFunctions {
 
-  /** U1/U2 — apply a function instance per partition; null results filter. */
+  /** U1/U2 — apply a function instance per partition; null results filter.
+   * close() is bracketed via the task-completion listener, so it fires
+   * exactly once even when the consumer abandons the iterator early
+   * (limit/take) or the task fails — the reference's instance teardown. */
   def transform[X, T: Encoder](ds: Dataset[X], fn: PFunction[X, T],
       config: Map[String, String] = Map.empty): Dataset[T] =
     ds.mapPartitions { it =>
       val ctx = new FunctionContext(config)
       fn.initialize(ctx)
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; fn.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       new Iterator[T] {
         private var nextVal: Option[T] = None
-        private var closed = false
         private def advance(): Unit = {
           nextVal = None
           while (nextVal.isEmpty && it.hasNext)
             nextVal = Option(fn.process(it.next(), ctx))
-          if (nextVal.isEmpty && !closed) { closed = true; fn.close() }
+          if (nextVal.isEmpty) closeOnce()
         }
         override def hasNext: Boolean = {
           if (nextVal.isEmpty) advance(); nextVal.isDefined

@@ -133,6 +133,27 @@ object Similarity {
         col("c.cluster").as("cluster"), col("sim"))
   }
 
+  /**
+   * Embedding-cosine NEAR-DUP pairs over the whole corpus — the
+   * embedding-space member of the dedup family (exact / MinHash / SimHash
+   * / cosine). Both sides are the corpus, so there is no broadcast side:
+   * the self-join is a co-partitioned shuffle on the sign-LSH bucket, and
+   * candidate generation is within-bucket only — never all-pairs. Each
+   * unordered pair is emitted once (a < b). A pathological hot bucket
+   * is the usual LSH skew story: raise `bits` or salt (Skew.saltedJoin);
+   * AQE's skew-join split handles the moderate case.
+   */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      bits: Int = 8): DataFrame = {
+    val b = corpus.withColumn("bucket", signBucket(col("embedding"), bits))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(cosine(col("a.embedding"), col("b.embedding")), 3))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"), col("sim"))
+  }
+
   /** IVF/LSH-bucketed ANN: queries probe only their own sign bucket —
    * the corpus is hash-partitioned by bucket, so each query touches one
    * partition-worth of candidates instead of everything. Approximate:

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 
 /**
@@ -58,6 +58,33 @@ object TextOps {
    * whitespace/case variants — the oracle-checkable cousin of the rolling
    * hash in [[DedupOps.simhash]]). */
   def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /**
+   * Winnowing document fingerprints (Schleimer, Wilkinson, Aiken —
+   * "Winnowing: Local Algorithms for Document Fingerprinting",
+   * SIGMOD'03): hash every k-gram of the normalized text, then keep the
+   * minimum hash of each w-length window. Guarantees at least one shared
+   * fingerprint for any match of length ≥ w + k − 1, which is the
+   * plagiarism/near-dup detection primitive (MOSS). The k-gram hash is a
+   * base-131 polynomial over char codes — exact in 64-bit for k = 8
+   * (max ≈ 8.2e16), so Spark and the DuckDB oracle compute bit-identical
+   * values with no modular reduction.
+   */
+  val winnowK = 8
+  val winnowW = 4
+  /** 131^0 .. 131^(k-1), most-significant first in the hash — used to
+   * generate the engine-independent oracle SQL. */
+  val pow131: IndexedSeq[Long] =
+    Iterator.iterate(1L)(_ * 131L).take(winnowK).toIndexedSeq
+
+  /** Distinct winnowed fingerprints of an ALREADY-normalized text column:
+   * one codegen'd streaming pass per document (rolling polynomial +
+   * monotonic-deque window minima — see [[graft.functions.WinnowOps]]).
+   * A `substr`-per-gram array formulation re-scans the string per access
+   * and goes quadratic in document length; this stays O(len). */
+  def winnowFingerprints(norm: Column): Column =
+    GraftSqlBridge.column(graft.functions.WinnowFingerprints(
+      GraftSqlBridge.expression(norm), winnowK, winnowW))
 
   /** Per-language stopword lexicons for the n-gram/stopword language-ID
    * heuristic. */

@@ -263,6 +263,34 @@ object LogQueries extends QueryGroup {
       |       msg_offset, key
       |FROM env ORDER BY topic, ledger_id, batch_index""".stripMargin))
 
+  private val f15 = QueryDef(
+    // F15 wire-payload codec roundtrip across ALL five reference codecs
+    // (NONE/LZ4/ZLIB/ZSTD/SNAPPY, rotated per message like a mixed
+    // producer fleet): producer-side compress + consumer-side decompress
+    // dispatched on the stamped `compression`, with the
+    // uncompressed_size validity check; n_roundtrip counts rows whose
+    // decompressed payload is byte-equal to the original, which the
+    // oracle knows must be every row.
+    (s, d) => {
+      val orig = env(s, d).withColumn("_orig", col("value_bin"))
+      val codec = element_at(
+        array(Compression.codecs.map(lit): _*),
+        (pmod(col("msg_offset"), lit(5)) + 1).cast("int"))
+      Compression.decompress(Compression.compress(orig, codec))
+        .groupBy(col("compression"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value_bin") === col("_orig") && col("size_ok"), 1L)
+            .otherwise(0L)).as("n_roundtrip"),
+          sum(octet_length(col("value_bin")).cast("long")).as("payload_bytes"))
+        .orderBy(col("compression"))
+    },
+    Some(s"""$E
+      |SELECT ['NONE','LZ4','ZLIB','ZSTD','SNAPPY'][CAST(msg_offset % 5 + 1 AS INT)]
+      |         AS compression,
+      |       count(*) AS n, count(*) AS n_roundtrip,
+      |       CAST(sum(octet_length(value_bin)) AS BIGINT) AS payload_bytes
+      |FROM env GROUP BY 1 ORDER BY compression""".stripMargin))
+
   // ---------------------------------------------------------------- S: sources / unions / replication
 
   /** Scratch topic dir for the write-path queries. Reusing one fixed path
@@ -337,6 +365,34 @@ object LogQueries extends QueryGroup {
       |       CAST(1700000000000 AS BIGINT) AS publish_ms,
       |       CAST(1700000060000 AS BIGINT) AS deliver_at_ms
       |FROM g ORDER BY msg_offset LIMIT 30""".stripMargin))
+
+  private val s2b = QueryDef(
+    // Keyless produce: the round-robin router assigns partitions from the
+    // GLOBAL position (RoundRobinPartitionMessageRouterImpl), which forces
+    // the two-round sequencing path (global sequence first, then
+    // per-partition entries) — the branch allKeyed batches skip.
+    (s, d) => {
+      val keyless = EventLog.raw(s, d)
+        .filter(col("event_id") < 3000 && col("user_id") < 15)
+        .select(col("event_id"), lit(null).cast("string").as("key"), col("value"))
+      Produce.build(keyless, "produced", "w0", numPartitions = 6,
+        orderCol = "event_id", nowMs = 0L)
+        .groupBy(col("partition_id"))
+        .agg(count(lit(1)).as("n"), min(col("msg_offset")).as("first_offset"),
+          max(col("msg_offset")).as("last_offset"),
+          max(col("entry_id")).as("max_entry"))
+        .orderBy(col("partition_id"))
+    },
+    Some("""WITH inp AS (
+      |  SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS g
+      |  FROM events WHERE event_id < 3000 AND user_id < 15),
+      |r AS (SELECT g, g % 6 AS pt,
+      |        row_number() OVER (PARTITION BY g % 6 ORDER BY g) - 1 AS entry
+      |      FROM inp)
+      |SELECT CAST(pt AS INT) AS partition_id, count(*) AS n,
+      |       min(g) AS first_offset, max(g) AS last_offset,
+      |       max(entry % 1000) AS max_entry
+      |FROM r GROUP BY pt ORDER BY partition_id""".stripMargin))
 
   private val s5 = QueryDef(
     (s, d) => {
@@ -850,6 +906,7 @@ object LogQueries extends QueryGroup {
     "o5_initial_position" -> o5,
     "s1_produce_roundtrip" -> s1,
     "s2_message_builder" -> s2,
+    "s2b_keyless_rr" -> s2b,
     "s4_batch_receive" -> s4,
     "r3_single_partition" -> r3,
     "r4_custom_router" -> r4,
@@ -867,6 +924,7 @@ object LogQueries extends QueryGroup {
     "f10_marker_filter" -> f10,
     "f13_chunk_reassembly" -> f13,
     "f14_batch_roundtrip" -> f14,
+    "f15_compression" -> f15,
     "s5_reader_from_mid" -> s5,
     "s7_union_topics" -> s7,
     "s8_regex_topics" -> s8,

@@ -234,6 +234,19 @@ object PipelineQueries extends QueryGroup {
       |  AND round(${cosSql("q.embedding", "c.embedding")}, 3) >= 0.2
       |ORDER BY query_id, neighbor_id""".stripMargin))
 
+  private val p17 = QueryDef(
+    // Embedding-cosine near-dup over the WHOLE corpus (no query side):
+    // sign-LSH bucketed self-join, within-bucket candidates only. The
+    // oracle reproduces the bucket + the cosine fold bit-for-bit.
+    (s, d) => Similarity.cosineNearDupPairs(embs(s, d), threshold = 0.3, bits = 8)
+      .orderBy(col("vec_a"), col("vec_b")),
+    Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+      |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket,
+      |       round(${cosSql("x.embedding", "y.embedding")}, 3) AS sim
+      |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      |WHERE round(${cosSql("x.embedding", "y.embedding")}, 3) >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin))
+
   // ---------------------------------------------------------------- text analysis
 
   private val stopList: String =
@@ -297,6 +310,46 @@ object PipelineQueries extends QueryGroup {
       |       round(avg(tc), 4) AS avg_tokens
       |FROM t GROUP BY source ORDER BY source""".stripMargin))
 
+  /** DuckDB mirror of TextOps.kgramHashes: the base-131 polynomial over
+   * the k-gram's char codes, exact in 64-bit (no modular reduction), so
+   * both engines produce identical fingerprints. */
+  private val kgramSql: String = (0 until TextOps.winnowK).map { j =>
+    s"ascii(substr(norm, CAST(i + ${j + 1} AS INT), 1))::BIGINT * ${TextOps.pow131(TextOps.winnowK - 1 - j)}"
+  }.mkString(" + ")
+
+  private val p16 = QueryDef(
+    // Winnowing document fingerprints (SIGMOD'03 / MOSS): k-gram hashes →
+    // per-window minima → distinct fingerprint set per doc; docs sharing a
+    // fingerprint land in the same bucket (the near-dup primitive). The
+    // fingerprint set is ONE codegen'd streaming pass per document
+    // (WinnowOps: rolling hash + deque minima, O(len)); the only shuffle
+    // is the final fingerprint→bucket hash-agg.
+    (s, d) => {
+      val minLen = TextOps.winnowK + TextOps.winnowW - 1
+      docs(s, d)
+        .withColumn("norm", TextOps.normalized(col("text")))
+        .filter(length(col("norm")) >= minLen)
+        .withColumn("fp", explode(TextOps.winnowFingerprints(col("norm"))))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("representative"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("fp"))
+    },
+    Some(s"""WITH nrm AS (SELECT doc_id, $NORM AS norm FROM documents),
+      |f AS (SELECT doc_id, norm FROM nrm
+      |      WHERE length(norm) >= ${TextOps.winnowK + TextOps.winnowW - 1}),
+      |g AS (SELECT doc_id,
+      |        list_transform(range(0, length(norm) - ${TextOps.winnowK - 1}),
+      |          i -> $kgramSql) AS gs
+      |      FROM f),
+      |w AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(0, len(gs) - ${TextOps.winnowW - 1}),
+      |          i -> list_min(list_slice(gs, i + 1, i + ${TextOps.winnowW})))) AS fps
+      |      FROM g),
+      |u AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+      |SELECT fp, count(*) AS n_docs, min(doc_id) AS representative
+      |FROM u GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin))
+
   // ---------------------------------------------------------------- multimodal plumbing
 
   private val mediaTypeSql =
@@ -339,6 +392,8 @@ object PipelineQueries extends QueryGroup {
     "p12_media_decode" -> p12,
     "p13_media_frames" -> p13,
     "p14_ann_ivf" -> p14,
-    "p15_minhash_full" -> p15
+    "p15_minhash_full" -> p15,
+    "p16_winnow_fingerprint" -> p16,
+    "p17_cosine_neardup" -> p17
   )
 }

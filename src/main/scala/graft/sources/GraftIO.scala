@@ -33,11 +33,19 @@ object GraftIO {
       config: Map[String, String] = Map.empty): Dataset[T] = {
     import spark.implicits._
     spark.range(source.numPartitions).as[Long].mapPartitions { parts =>
+      // close() via the task-completion listener: fires exactly once even
+      // when the consumer stops early (limit/take) or the task fails, and
+      // extra hasNext calls after exhaustion can't re-invoke it
+      var opened = false
+      var closed = false
+      def closeOnce(): Unit = if (opened && !closed) { closed = true; source.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       parts.flatMap { p =>
-        source.open(config)
+        source.open(config); opened = true
         val it = source.read(p.toInt)
         new Iterator[T] {
-          override def hasNext: Boolean = { val h = it.hasNext; if (!h) source.close(); h }
+          override def hasNext: Boolean = { val h = it.hasNext; if (!h) closeOnce(); h }
           override def next(): T = it.next()
         }
       }
@@ -50,9 +58,10 @@ object GraftIO {
       config: Map[String, String] = Map.empty): Unit =
     ds.foreachPartition { (it: Iterator[T]) =>
       sink.open(config)
-      it.foreach(sink.write)
-      sink.flush()
-      sink.close()
+      try {
+        it.foreach(sink.write)
+        sink.flush()
+      } finally sink.close()
     }
 }
 
