@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.EventLog
-import graft.schema.{CompatibilityStrategy, PayloadCodec, SchemaCompat}
+import graft.schema.{AvroWire, CompatibilityStrategy, PayloadCodec, SchemaCompat}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -193,12 +193,62 @@ object SchemaQueries extends QueryGroup {
       |       CAST(sum(octet_length(value_bin)) AS BIGINT) AS payload_total
       |FROM env GROUP BY 1, 2 ORDER BY kv_key""".stripMargin))
 
+  /** M7 — SchemaType.AVRO: real Avro binary encode on the producer side,
+   * decode through reader/writer schema RESOLUTION (reader is one
+   * evolution ahead; its added `region` field materializes from the
+   * default). The oracle independently prices every record's exact Avro
+   * binary size — union branch byte + length-varint + UTF-8 bytes for the
+   * key, 8 bytes for the double, zigzag-varint for the long — so a codec
+   * that isn't bit-for-bit Avro can't match `avro_bytes`, and the field
+   * sums pin the decoded values to the originals. One Codec per
+   * partition via mapPartitions (serde instance lifecycle). */
+  private val m7 = QueryDef(
+    (s, d) => {
+      import s.implicits._
+      val rows = EventLog.topic(s, d)
+        .select(col("key"), col("value"), col("msg_offset"))
+        .as[(String, Double, Long)]
+      val round = rows.mapPartitions { it =>
+        val codec = new AvroWire.Codec
+        it.map { case (k, v, off) =>
+          val bytes = codec.encode(k, v, off)
+          val rec = codec.decode(bytes)
+          val dk = Option(rec.get("k")).map(_.toString).orNull
+          val dv = rec.get("v").asInstanceOf[Double]
+          val doff = rec.get("off").asInstanceOf[Long]
+          val region = rec.get("region").toString
+          val ok = dk == k && doff == off &&
+            java.lang.Double.doubleToLongBits(dv) == java.lang.Double.doubleToLongBits(v)
+          (dv, doff, region, ok, bytes.length)
+        }
+      }.toDF("v", "off", "region", "ok", "nbytes")
+      round.groupBy(col("region"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_roundtrip"),
+          sum(col("off")).as("sum_off"),
+          sum(floor(col("v") * 100).cast("long")).as("sum_cents"),
+          sum(col("nbytes").cast("long")).as("avro_bytes"))
+        .orderBy(col("region"))
+    },
+    Some(s"""${EventLog.oracleCte}
+      |SELECT 'unset' AS region, count(*) AS n, count(*) AS n_roundtrip,
+      |       CAST(sum(msg_offset) AS BIGINT) AS sum_off,
+      |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(sum(2 + octet_length(encode(key)) + 8 +
+      |         CASE WHEN msg_offset * 2 < 128 THEN 1
+      |              WHEN msg_offset * 2 < 16384 THEN 2
+      |              WHEN msg_offset * 2 < 2097152 THEN 3
+      |              WHEN msg_offset * 2 < 268435456 THEN 4
+      |              ELSE 5 END) AS BIGINT) AS avro_bytes
+      |FROM env GROUP BY 1 ORDER BY region""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "m1_schema_compat" -> m1,
     "m2_versioned_decode" -> m2,
     "m3_typed_decode" -> m3,
     "m4_keyvalue_inline" -> m4,
     "m5_auto_consume" -> m5,
-    "m6_keyvalue_separated" -> m6
+    "m6_keyvalue_separated" -> m6,
+    "m7_avro_roundtrip" -> m7
   )
 }
