@@ -91,6 +91,32 @@ object LogOps {
   def retryable(env: DataFrame, maxRedeliver: Int): DataFrame =
     env.filter(col("attempts") < maxRedeliver)
 
+  /**
+   * U10 — the full reconsumeLater lifecycle (reference:
+   * RetryMessageUtil.java:23-41, ConsumerImpl#doReconsumeLater:683-735):
+   * a failed delivery is republished to `<topic>-<sub>-RETRY` with
+   * RECONSUMETIMES incremented and a delivery delay; once the count
+   * exceeds maxRedeliverCount it routes to `<topic>-<sub>-DLQ`
+   * immediately. REAL_TOPIC / ORIGIN_MESSAGE_ID ride along so the
+   * original can always be traced. Pure column transforms — narrow,
+   * shuffle-free, codegen'd.
+   */
+  def retryLetter(env: DataFrame, subscription: String, maxRedeliver: Int,
+      delayMs: Long): DataFrame = {
+    val reconsume = col("attempts") + 1
+    env.withColumn("reconsumetimes", reconsume)
+      .withColumn("dest_topic",
+        when(reconsume > maxRedeliver,
+          concat(col("topic"), lit(s"-$subscription-DLQ")))
+          .otherwise(concat(col("topic"), lit(s"-$subscription-RETRY"))))
+      .withColumn("real_topic", col("topic"))
+      .withColumn("origin_message_id",
+        concat_ws(":", col("ledger_id"), col("entry_id")))
+      .withColumn("deliver_at_ms",
+        when(reconsume > maxRedeliver, col("publish_ms"))
+          .otherwise(col("publish_ms") + delayMs))
+  }
+
   /** S14 — replication loop-breaking: only locally-originated messages are
    * replicated onward (reference: PulsarApi.proto:115 replicated_from;
    * PersistentReplicator). */

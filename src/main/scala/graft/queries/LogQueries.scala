@@ -233,6 +233,31 @@ object LogQueries extends QueryGroup {
       |       CAST(sum(CASE WHEN attempts < 3 THEN 1 ELSE 0 END) AS BIGINT) AS retry_count
       |FROM env GROUP BY topic ORDER BY topic""".stripMargin))
 
+  private val u10 = QueryDef(
+    // The reconsumeLater lifecycle end-to-end: every message routes to its
+    // retry letter (<topic>-sub-RETRY with delay) or dead letter
+    // (<topic>-sub-DLQ, immediate) with RECONSUMETIMES/ORIGIN stamped —
+    // the oracle re-derives the routing, the counter, the lexicographic
+    // first origin id, and the total scheduled delay independently.
+    (s, d) => LogOps.retryLetter(env(s, d), "sub", maxRedeliver = 3,
+      delayMs = 60000L)
+      .groupBy(col("dest_topic"))
+      .agg(count(lit(1)).as("n"),
+        max(col("reconsumetimes")).as("max_reconsume"),
+        min(col("origin_message_id")).as("first_origin"),
+        sum(col("deliver_at_ms") - col("publish_ms")).as("delay_total_ms"))
+      .orderBy(col("dest_topic")),
+    Some(s"""$E
+      |SELECT topic || CASE WHEN attempts + 1 > 3 THEN '-sub-DLQ'
+      |                     ELSE '-sub-RETRY' END AS dest_topic,
+      |       count(*) AS n,
+      |       CAST(max(attempts + 1) AS INT) AS max_reconsume,
+      |       min(CAST(ledger_id AS VARCHAR) || ':' || CAST(entry_id AS VARCHAR))
+      |         AS first_origin,
+      |       CAST(sum(CASE WHEN attempts + 1 > 3 THEN 0 ELSE 60000 END) AS BIGINT)
+      |         AS delay_total_ms
+      |FROM env GROUP BY 1 ORDER BY dest_topic""".stripMargin))
+
   private val f10 = QueryDef(
     (s, d) => {
       val e = env(s, d)
@@ -921,6 +946,7 @@ object LogQueries extends QueryGroup {
     "f5_dedup" -> f5,
     "f6_unacked_backlog" -> f6,
     "f9_dlq_routing" -> f9,
+    "u10_retry_letter" -> u10,
     "f10_marker_filter" -> f10,
     "f13_chunk_reassembly" -> f13,
     "f14_batch_roundtrip" -> f14,
