@@ -173,17 +173,23 @@ object DedupOps {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    // exact confirm on the exploded relation: only candidate pairs pay the
-    // intersection count (the candidate set broadcasts; zero-intersection
-    // pairs drop out, which can't reach any positive threshold anyway)
-    val inter = candidates
-      .join(shRows.select(col("doc").as("doc_a"), col("shingle")), "doc_a")
-      .join(shRows.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val sizes = shRows.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
-    inter
-      .join(sizes.select(col("doc").as("doc_a"), col("set_size").as("size_a")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("set_size").as("size_b")), "doc_b")
+    // exact confirm against per-doc shingle SETS, not the exploded
+    // relation: the candidate pair set is near-linear and small, so
+    // joining it twice against a |docs|-row (doc → shingle array) relation
+    // and intersecting arrays per pair costs far less than re-shuffling
+    // the full exploded (doc, shingle) relation by (doc, shingle) — the
+    // set relation has ~shingles-per-doc× fewer rows, and the exchange-
+    // free groupBy(doc) reuses shRows' partitioning. Zero-intersection
+    // candidates just score 0 and drop at the threshold.
+    val docSets = shRows.groupBy(col("doc")).agg(
+      collect_list(col("shingle")).as("sh"), // distinct per doc by construction
+      count(lit(1)).as("set_size"))
+    candidates
+      .join(docSets.select(col("doc").as("doc_a"),
+        col("sh").as("sh_a"), col("set_size").as("size_a")), "doc_a")
+      .join(docSets.select(col("doc").as("doc_b"),
+        col("sh").as("sh_b"), col("set_size").as("size_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("size_a") + col("size_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
