@@ -215,11 +215,25 @@ object DedupOps {
     }.reduce(_ + _)
   }
 
-  /** SimHash near-dup buckets: groups of documents with identical simhash. */
-  def simhashBuckets(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
-    docs.select(col(idCol).as("doc"), simhash(col(textCol), bits).as("simhash"))
+  /** SimHash near-dup buckets: groups of documents with identical simhash.
+   * Relational layout, same trick as [[shingleRows]]: the array-HOF
+   * [[simhash]] evaluates interpreted per row; exploding words into rows
+   * keeps the murmur3 and all `bits` vote sums inside one codegen'd
+   * two-phase hash aggregate (map-side partials, one shuffle on doc). */
+  def simhashBuckets(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val words = docs.repartition(parts, col(idCol))
+      .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("word"))
+      .withColumn("h", murmur3Positive(col("word"), 0))
+    val voteCols = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"_w$b"))
+    val packed = (0 until bits).map(b =>
+      when(col(s"_w$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))).reduce(_ + _)
+    words.groupBy(col("doc")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc"), packed.as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("bucket_size"), min(col("doc")).as("representative"),
         sort_array(collect_list(col("doc"))).as("members"))
       .filter(col("bucket_size") > 1)
+  }
 }
