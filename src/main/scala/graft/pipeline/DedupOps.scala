@@ -197,6 +197,53 @@ object DedupOps {
   }
 
   /**
+   * Duplicate CLUSTERS from pairwise near-dup edges: connected components
+   * by iterative min-label propagation (each node adopts the smallest
+   * label among itself and its neighbors until fixpoint). This is the
+   * step that turns a pair list into dedup decisions — keep the
+   * representative (= component minimum), drop the rest.
+   *
+   * Scale shape: every iteration is one shuffle join + hash aggregate
+   * over the EDGE list (edges ≪ corpus after LSH pruning), and the
+   * iteration count is the component diameter — near-dup families are
+   * near-cliques, so 2–3 passes in practice, never |V|. The driver sees
+   * only the per-iteration changed-count (the convergence test), exactly
+   * like a Pregel superstep — no collect of nodes or edges.
+   */
+  def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .persist(MEMORY_AND_DISK) // materialize the (expensive) edge derivation once
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(MEMORY_AND_DISK)
+    var iterating = true
+    var iter = 0
+    while (iterating && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("dst"), col("label").as("_nl")), "dst")
+        .groupBy(col("src")).agg(min(col("_nl")).as("_nbr"))
+        .select(col("src").as("node"), col("_nbr"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"),
+          col("label").as("_prev"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.filter(col("label") < col("_prev")).count()
+      labels.unpersist()
+      labels = next.select(col("node"), col("label"))
+      iterating = changed > 0
+      iter += 1
+    }
+    sym.unpersist() // labels are materialized; the final agg reads only them
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc"))
+      .select(col("label").as("cluster_rep"), col("cluster_size"), col("max_doc"))
+  }
+
+  /**
    * SimHash (b-bit): per word, murmur3 bits vote ±1 into b counters; the
    * sign vector packed into a LONG. Near-duplicates cluster at small
    * Hamming distance; equal simhash = near-dup bucket.

@@ -62,8 +62,8 @@ object PipelineQueries extends QueryGroup {
    * DedupOps.minhashLshVerifiedPairs). The doc_id bound caps the exact
    * join's quadratic blowup at bench scales; it covers every document at
    * the correctness scales (sf ≤ 0.01 has 500 docs). */
-  private def jaccardOracleFor(docFilter: String): String =
-    s"""WITH w AS (
+  private def jaccardCtes(docFilter: String): String =
+    s"""w AS (
       |  SELECT doc_id, $WORDS AS ws FROM documents $docFilter),
       |sh AS (
       |  SELECT doc_id,
@@ -75,12 +75,16 @@ object PipelineQueries extends QueryGroup {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         a.set_size AS sa, b.set_size AS sb, count(*) AS inter
       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3, 4)
-      |SELECT doc_a, doc_b,
-      |       round(inter::DOUBLE / (sa + sb - inter), 4) AS jaccard
-      |FROM pairs
-      |WHERE round(inter::DOUBLE / (sa + sb - inter), 4) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  GROUP BY 1, 2, 3, 4),
+      |jp AS (
+      |  SELECT doc_a, doc_b,
+      |         round(inter::DOUBLE / (sa + sb - inter), 4) AS jaccard
+      |  FROM pairs
+      |  WHERE round(inter::DOUBLE / (sa + sb - inter), 4) >= 0.5)""".stripMargin
+
+  private def jaccardOracleFor(docFilter: String): String =
+    s"""WITH ${jaccardCtes(docFilter)}
+      |SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b""".stripMargin
 
   private val jaccardOracle: String = jaccardOracleFor("WHERE doc_id < 1000")
 
@@ -112,6 +116,30 @@ object PipelineQueries extends QueryGroup {
       docs(s, d), "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b")),
     Some(jaccardOracleFor("")))
+
+  private val p18 = QueryDef(
+    // Dedup DECISION stage: LSH near-dup pairs → connected components →
+    // one row per duplicate family with its canonical representative.
+    // The oracle computes the same components via a recursive transitive
+    // closure over the exact-Jaccard pair list (tractable because dup
+    // families are small; the engine's label propagation is the shape
+    // that survives when they aren't).
+    (s, d) => DedupOps.dupClusters(
+      DedupOps.minhashLshVerifiedPairs(docs(s, d), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5))
+      .orderBy(col("cluster_rep")),
+    Some(s"""WITH RECURSIVE ${jaccardCtes("")},
+      |sym AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+      |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jp),
+      |reach AS (
+      |  SELECT src AS a, dst AS b FROM sym
+      |  UNION
+      |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+      |lab AS (SELECT a AS node, least(a, min(b)) AS label
+      |        FROM reach GROUP BY a)
+      |SELECT label AS cluster_rep, count(*) AS cluster_size,
+      |       max(node) AS max_doc
+      |FROM lab GROUP BY label ORDER BY cluster_rep""".stripMargin))
 
   /** Every word in the documents fixtures (all scale factors) with its
    * murmur3-32(seed 0) hash — lets DuckDB reproduce the SimHash votes. */
@@ -394,6 +422,7 @@ object PipelineQueries extends QueryGroup {
     "p14_ann_ivf" -> p14,
     "p15_minhash_full" -> p15,
     "p16_winnow_fingerprint" -> p16,
-    "p17_cosine_neardup" -> p17
+    "p17_cosine_neardup" -> p17,
+    "p18_dup_clusters" -> p18
   )
 }

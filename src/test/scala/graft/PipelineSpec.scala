@@ -114,4 +114,17 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(0L -> "en", 1L -> "es", 2L -> "de", 3L -> "und"))
   }
+
+  test("dup clusters: min-label propagation finds connected components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter forces >1 iteration), triangle 10-11-12
+    // (+ redundant edge), isolated pair 20-21
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.dupClusters(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 4L, 4L), (10L, 3L, 12L), (20L, 2L, 21L)))
+  }
 }
