@@ -16,10 +16,12 @@ case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Long,
  *
  * The Spark-side plumbing is real — binary envelope schema, partition-
  * parallel `mapPartitions` decode (the Scala shape of a `mapInPandas`
- * batch UDF), deterministic feature schema. The codec itself is a STUB:
- * this container has no image/audio libraries, so `decodeStub` derives
- * fake-but-deterministic dimensions from the payload. Swapping in a real
- * decoder changes only the function body, not the pipeline.
+ * batch UDF), deterministic feature schema. The perceptual codec here is
+ * a STUB: this container has no image/audio libraries, so `decodeStub`
+ * derives fake-but-deterministic dimensions from the payload. Swapping
+ * in a real decoder changes only the function body, not the pipeline —
+ * [[WavCodec]] demonstrates that with a REAL container format
+ * (PCM WAV/RIFF build + chunk-walking parse, p19_wav_decode).
  */
 object Multimodal {
 

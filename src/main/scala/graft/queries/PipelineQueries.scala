@@ -405,6 +405,39 @@ object PipelineQueries extends QueryGroup {
       |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
       |ORDER BY doc_id, frame_idx""".stripMargin))
 
+  private val p19 = QueryDef(
+    // Real container-format decode for the audio path: build a canonical
+    // PCM WAV per document (deterministic rate, mono 8-bit), parse it
+    // back with the RIFF chunk walker, and emit format fields + payload
+    // hash. The oracle re-derives every field arithmetically — the
+    // engine only matches if the 44-byte framing, the chunk walk, and
+    // the sample accounting are exactly RIFF. (Perceptual codecs stay
+    // stubbed in p12/p13 — no media libs in this environment.)
+    (s, d) => {
+      import s.implicits._
+      val in = docs(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm"))
+        .as[(Long, Array[Byte])]
+      in.mapPartitions { it =>
+        it.map { case (id, pcm) =>
+          val rate = 8000 + (id % 8).toInt * 1000
+          val info = WavCodec.parse(WavCodec.build(rate, 1, 8, pcm))
+          (id, info.sampleRate, info.nSamples, info.durationMs,
+            info.pcmMd5, info.fileBytes)
+        }
+      }.toDF("doc_id", "sample_rate", "n_samples", "duration_ms",
+          "pcm_md5", "file_bytes")
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      |       CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+      |       CAST(octet_length(encode(text)) * 1000
+      |            // (8000 + (doc_id % 8) * 1000) AS BIGINT) AS duration_ms,
+      |       md5(text) AS pcm_md5,
+      |       CAST(44 + octet_length(encode(text)) AS INT) AS file_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
@@ -423,6 +456,7 @@ object PipelineQueries extends QueryGroup {
     "p15_minhash_full" -> p15,
     "p16_winnow_fingerprint" -> p16,
     "p17_cosine_neardup" -> p17,
-    "p18_dup_clusters" -> p18
+    "p18_dup_clusters" -> p18,
+    "p19_wav_decode" -> p19
   )
 }
