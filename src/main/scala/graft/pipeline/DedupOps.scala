@@ -162,12 +162,19 @@ object DedupOps {
    */
   def minhashLshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val rows = k / bands
     val shRows = shingleRows(docs, idCol, textCol, n)
     val sig = signatures(shRows, k)
+    // both self-join sides and both confirm joins re-derive their input
+    // otherwise: exchange reuse dedupes the SHUFFLE, but the 64-min
+    // signature aggregate and the set collection would still run once per
+    // side. The cached relations are |docs|-scale (tiny next to the
+    // exploded shingles), the canonical persist-what-fans-out trade.
     val banded = sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
+      .persist(MEMORY_AND_DISK)
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc") < col("b.doc"))
@@ -184,6 +191,7 @@ object DedupOps {
     val docSets = shRows.groupBy(col("doc")).agg(
       collect_list(col("shingle")).as("sh"), // distinct per doc by construction
       count(lit(1)).as("set_size"))
+      .persist(MEMORY_AND_DISK)
     candidates
       .join(docSets.select(col("doc").as("doc_a"),
         col("sh").as("sh_a"), col("set_size").as("size_a")), "doc_a")
