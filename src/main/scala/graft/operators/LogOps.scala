@@ -69,6 +69,20 @@ object LogOps {
       min(col("msg_offset")).as("first_offset"),
       countDistinct(col("producer_name")).as("producer_count"))
 
+  /** A9 — per-SUBSCRIPTION backlog: each cursor's mark-delete position
+   * against its topic's log (reference: SubscriptionStatsImpl.msgBacklog,
+   * ManagedCursorImpl.getNumberOfEntriesInBacklog). The cursor table is
+   * a |subscriptions|-row dimension — broadcast join, the log side never
+   * shuffles; backlog = messages strictly after the mark-delete offset. */
+  def subscriptionBacklog(env: DataFrame, cursors: DataFrame): DataFrame =
+    env.filter(col("marker_type").isNull)
+      .join(broadcast(cursors), Seq("topic"))
+      .filter(col("msg_offset") > col("mark_delete_offset"))
+      .groupBy(col("topic"), col("subscription"))
+      .agg(count(lit(1)).as("msg_backlog"),
+        min(col("msg_offset")).as("next_offset"),
+        max(col("msg_offset")).as("head_offset"))
+
   /** F10 — server-internal marker messages never reach consumers
    * (reference: PulsarApi.proto:149; dispatcher filter at
    * PersistentDispatcherMultipleConsumers.sendMessagesToConsumers:762). */

@@ -142,6 +142,31 @@ object LogQueries extends QueryGroup {
       |       count(DISTINCT producer_name) AS producer_count
       |FROM env GROUP BY topic ORDER BY topic""".stripMargin))
 
+  private val a9b = QueryDef(
+    // Per-subscription backlog: each cursor's mark-delete position joined
+    // (broadcast) against its topic's log — SubscriptionStatsImpl
+    // .msgBacklog / getNumberOfEntriesInBacklog semantics. Markers never
+    // count toward client-visible backlog.
+    (s, d) => {
+      import s.implicits._
+      val cursors = Seq(
+        ("events-0", "subA", 1000L), ("events-0", "subB", 2500L),
+        ("events-1", "subA", 0L), ("events-2", "tail", 4000L))
+        .toDF("topic", "subscription", "mark_delete_offset")
+      LogOps.subscriptionBacklog(env(s, d), cursors)
+        .orderBy(col("topic"), col("subscription"))
+    },
+    Some(s"""$E
+      |SELECT e.topic, c.subscription, count(*) AS msg_backlog,
+      |       min(e.msg_offset) AS next_offset, max(e.msg_offset) AS head_offset
+      |FROM env e JOIN (VALUES ('events-0', 'subA', 1000), ('events-0', 'subB', 2500),
+      |                        ('events-1', 'subA', 0), ('events-2', 'tail', 4000))
+      |       AS c(topic, subscription, mark_delete_offset)
+      |  ON e.topic = c.topic
+      |WHERE e.marker_type IS NULL AND e.msg_offset > c.mark_delete_offset
+      |GROUP BY e.topic, c.subscription
+      |ORDER BY e.topic, c.subscription""".stripMargin))
+
   private val a10 = QueryDef(
     (s, d) => LogOps.lastMessageIds(env(s, d)).orderBy(col("topic"), col("partition_id")),
     Some(s"""$E, r AS (
@@ -939,6 +964,7 @@ object LogQueries extends QueryGroup {
     "r9_entry_buckets" -> r9,
     "a8_dedup_snapshot" -> a8,
     "a9_topic_stats" -> a9,
+    "a9b_subscription_backlog" -> a9b,
     "a10_last_message_ids" -> a10,
     "f1_ttl_expiry" -> f1,
     "f2_retention_size" -> f2,

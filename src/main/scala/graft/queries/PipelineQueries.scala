@@ -438,6 +438,48 @@ object PipelineQueries extends QueryGroup {
       |       CAST(44 + octet_length(encode(text)) AS INT) AS file_bytes
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  private val p20 = QueryDef(
+    // Image sibling of p19: canonical 24bpp BMP per document, parsed back
+    // with the validating header reader. The oracle re-derives the
+    // geometry arithmetically — including the 4-byte row-stride padding
+    // rule, which only a real BMP layout reproduces. `roundtrip` is the
+    // engine-side payload-hash check (oracle knows it must hold).
+    (s, d) => {
+      import s.implicits._
+      val in = docs(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+        .as[(Long, Array[Byte])]
+      in.mapPartitions { it =>
+        it.map { case (id, px) =>
+          val width = 16 + (id % 32).toInt
+          val bmp = BmpCodec.build(width, px)
+          val info = BmpCodec.parse(bmp)
+          val padded = px ++ Array.fill(info.dataBytes - px.length)(0.toByte)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(padded).map("%02x".format(_)).mkString
+          (id, info.width, info.height, info.stride, info.dataBytes,
+            info.fileBytes, info.pixelMd5 == md5)
+        }
+      }.toDF("doc_id", "width", "height", "stride", "data_bytes",
+          "file_bytes", "roundtrip")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH g AS (
+      |  SELECT doc_id,
+      |         CAST(16 + doc_id % 32 AS INT) AS width,
+      |         octet_length(encode(text)) AS len
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, width,
+      |         CAST(((width * 3 + 3) // 4) * 4 AS INT) AS stride, len
+      |  FROM g)
+      |SELECT doc_id, width,
+      |       CAST((len + stride - 1) // stride AS INT) AS height, stride,
+      |       CAST(((len + stride - 1) // stride) * stride AS INT) AS data_bytes,
+      |       CAST(54 + ((len + stride - 1) // stride) * stride AS INT) AS file_bytes,
+      |       TRUE AS roundtrip
+      |FROM h ORDER BY doc_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
@@ -457,6 +499,7 @@ object PipelineQueries extends QueryGroup {
     "p16_winnow_fingerprint" -> p16,
     "p17_cosine_neardup" -> p17,
     "p18_dup_clusters" -> p18,
-    "p19_wav_decode" -> p19
+    "p19_wav_decode" -> p19,
+    "p20_bmp_decode" -> p20
   )
 }
