@@ -14,6 +14,9 @@ case class TableViewEntry(value: Double, publish_ms: Long, msg_offset: Long)
 /** One emitted count window (W5). */
 case class CountWindow(key: String, window_id: Long, n: Long, sum_v: Double)
 
+/** One fully reassembled chunked message (F13 streaming output row). */
+case class AssembledMessage(uuid: Long, n_chunks: Long, payload: String, first_offset: Long)
+
 /**
  * The client-side latest-value-per-key map the streaming TableView
  * maintains — the Spark twin of the reference's ConcurrentMap-backed view
@@ -261,27 +264,29 @@ object StreamingOps {
    */
   def reassembleChunksStream(env: Dataset[MessageEnvelope]): Dataset[AssembledMessage] = {
     import env.sparkSession.implicits._
+    // State per uuid: buffered (chunk_id, payload, offset, declared num_chunks).
+    // The declared count rides on every chunk (PulsarApi.proto:162
+    // num_chunks_from_msg), so any chunk in the buffer can tell us when the
+    // group is complete — no fixture constant.
     env.groupByKey(_.uuid_group)
-      .flatMapGroupsWithState[Seq[(Int, Array[Byte], Long)], AssembledMessage](
+      .flatMapGroupsWithState[Seq[(Int, Array[Byte], Long, Int)], AssembledMessage](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uuid, rows, state) =>
           val buf = state.getOption.getOrElse(Seq.empty) ++
-            rows.map(m => (m.chunk_id, m.value_bin, m.msg_offset))
-          val declared = buf.length // emit once every piece is present
-          if (rows.isEmpty || buf.isEmpty) { state.update(buf); Iterator.empty }
-          else if (declared >= 1 && buf.length >= numChunksOf(buf)) {
-            state.remove()
-            val sorted = buf.sortBy(_._1)
-            Iterator.single(AssembledMessage(uuid, buf.length.toLong,
-              new String(sorted.flatMap(_._2).toArray, "UTF-8"),
-              buf.map(_._3).min))
-          } else { state.update(buf); Iterator.empty }
+            rows.map(m => (m.chunk_id, m.value_bin, m.msg_offset, m.num_chunks))
+          if (buf.isEmpty) { state.update(buf); Iterator.empty }
+          else {
+            val declared = buf.head._4
+            if (buf.length >= declared) {
+              state.remove()
+              val sorted = buf.sortBy(_._1)
+              Iterator.single(AssembledMessage(uuid, declared.toLong,
+                new String(sorted.flatMap(_._2).toArray, "UTF-8"),
+                buf.map(_._3).min))
+            } else { state.update(buf); Iterator.empty }
+          }
       }
   }
-
-  /** The declared piece count is carried by every chunk; the fixture's
-   * num_chunks is constant per group. */
-  private def numChunksOf(buf: Seq[(Int, Array[Byte], Long)]): Int = 4
 
   /**
    * W2 streaming — processing-time windows under a wall-clock trigger
