@@ -25,6 +25,8 @@ import java.nio.file.Files
  *      batch twin on the deterministic processing clock.
  *   7. Replication (S14): dual-sink tail stamps replicated_from on the
  *      remote copy; re-consuming the remote replicates nothing (loop break).
+ *   8. Chunk reassembly (F13): keyed-state buffer across micro-batches ==
+ *      batch concat, honoring each group's declared num_chunks.
  *
  * Exits nonzero on any mismatch.
  */
@@ -183,8 +185,28 @@ object StreamingSmoke {
     check("effectively-once", dupAppend == 0L && finalCount == firstAppend,
       s"first=$firstAppend dup=$dupAppend final=$finalCount")
 
+    // -- 8. chunk reassembly: keyed state == batch concat (F13) -----------
+    // chunks of a uuid arrive across micro-batches; the assembled payload
+    // must match the batch reassembler group-for-group, honoring each
+    // group's own declared num_chunks (sizes vary 2..5 in the fixture).
+    val s8 = MemoryStream[MessageEnvelope]
+    val q8 = StreamingOps.reassembleChunksStream(s8.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("chunks_out")
+      .option("checkpointLocation", ckpt()).start()
+    chunks.foreach { c => s8.addData(c); q8.processAllAvailable() }
+    q8.stop()
+    val streamAsm = spark.table("chunks_out")
+      .select("uuid", "n_chunks", "payload", "first_offset").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    val batchAsm = graft.operators.ChunkBatch.reassembleChunks(batchDf)
+      .select("uuid_group", "num_chunks", "assembled", "first_offset").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    check("chunk-reassembly", streamAsm == batchAsm,
+      s"stream=${streamAsm.size} groups batch=${batchAsm.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 7 converged to batch twins OK")
+    println(s"[stream-smoke] all 8 converged to batch twins OK")
     spark.stop()
   }
 }

@@ -121,6 +121,17 @@ object EventLog {
     // ts is epoch NANOS as LONG; integer division keeps exactness (a
     // double round-trip would lose bits above 2^53).
     val pubMs = expr("ts div 1000000")
+    // Chunk layout: group sizes cycle 2,3,4,5 over 14-event super-blocks so
+    // reassembly must honor the declared num_chunks, not a constant
+    // (PulsarApi.proto:160-163 carries the count on every chunk).
+    val chunkPos = col("event_id") % 14
+    val chunkSub = when(chunkPos < 2, 0L).when(chunkPos < 5, 1L)
+      .when(chunkPos < 9, 2L).otherwise(3L)
+    val chunkGroup = (col("event_id") / 14).cast(LongType) * 4 + chunkSub
+    val chunkId = when(chunkPos < 2, chunkPos).when(chunkPos < 5, chunkPos - 2)
+      .when(chunkPos < 9, chunkPos - 5).otherwise(chunkPos - 9)
+    val chunkN = when(chunkPos < 2, 2).when(chunkPos < 5, 3)
+      .when(chunkPos < 9, 4).otherwise(5)
     events.select(
       concat(lit("events-"), col("user_id") % 3).as("topic"),
       (col("user_id") % 4).cast(IntegerType).as("partition_id"),
@@ -154,13 +165,13 @@ object EventLog {
       when(col("event_id") % 7 === 0, lit("west")).as("replicated_from"),
       when(col("event_type") === "purchase", col("event_id") % 20).as("txn_group"),
       (col("event_id") % 5).cast(IntegerType).as("attempts"),
-      (col("event_id") / 4).cast(LongType).as("uuid_group"),
-      (col("event_id") % 4).cast(IntegerType).as("chunk_id"),
+      chunkGroup.as("uuid_group"),
+      chunkId.cast(IntegerType).as("chunk_id"),
       (col("event_type") === "error").as("tombstone"),
       when(col("event_id") % 3 === 0,
         encode(concat(lit("ok-"), col("user_id") % 7), "UTF-8")).as("ordering_key"),
-      concat(lit("uuid-"), (col("event_id") / 4).cast(LongType)).as("uuid"),
-      lit(4).as("num_chunks"),
+      concat(lit("uuid-"), chunkGroup).as("uuid"),
+      chunkN.as("num_chunks"),
       lit(false).as("compacted_out")
     )
   }
@@ -198,13 +209,25 @@ object EventLog {
       |    CASE WHEN event_id % 7 = 0 THEN 'west' END          AS replicated_from,
       |    CASE WHEN event_type = 'purchase' THEN event_id % 20 END AS txn_group,
       |    CAST(event_id % 5 AS INT)                           AS attempts,
-      |    event_id // 4                                       AS uuid_group,
-      |    CAST(event_id % 4 AS INT)                           AS chunk_id,
+      |    (event_id // 14) * 4 + CASE WHEN event_id % 14 < 2 THEN 0
+      |                                WHEN event_id % 14 < 5 THEN 1
+      |                                WHEN event_id % 14 < 9 THEN 2
+      |                                ELSE 3 END              AS uuid_group,
+      |    CAST(CASE WHEN event_id % 14 < 2 THEN event_id % 14
+      |              WHEN event_id % 14 < 5 THEN event_id % 14 - 2
+      |              WHEN event_id % 14 < 9 THEN event_id % 14 - 5
+      |              ELSE event_id % 14 - 9 END AS INT)        AS chunk_id,
       |    (event_type = 'error')                              AS tombstone,
       |    CASE WHEN event_id % 3 = 0
       |         THEN 'ok-' || CAST(user_id % 7 AS VARCHAR) END AS ordering_key,
-      |    'uuid-' || CAST(event_id // 4 AS VARCHAR)           AS uuid,
-      |    4                                                   AS num_chunks,
+      |    'uuid-' || CAST((event_id // 14) * 4 + CASE WHEN event_id % 14 < 2 THEN 0
+      |                                WHEN event_id % 14 < 5 THEN 1
+      |                                WHEN event_id % 14 < 9 THEN 2
+      |                                ELSE 3 END AS VARCHAR)  AS uuid,
+      |    CAST(CASE WHEN event_id % 14 < 2 THEN 2
+      |              WHEN event_id % 14 < 5 THEN 3
+      |              WHEN event_id % 14 < 9 THEN 4
+      |              ELSE 5 END AS INT)                        AS num_chunks,
       |    FALSE                                               AS compacted_out
       |  FROM events
       |)""".stripMargin

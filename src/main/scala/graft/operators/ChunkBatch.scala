@@ -18,11 +18,14 @@ object ChunkBatch {
    * a binary fold over the chunks' wire bytes in chunk order, exactly the
    * consumer-side buffer concat (ConsumerImpl chunk handling,
    * PulsarApi.proto:160-163). One hash aggregation; `array_sort` orders
-   * chunks inside each group without a global sort. */
+   * chunks inside each group without a global sort. Groups missing pieces
+   * (buffered count below the declared num_chunks_from_msg) never emit —
+   * the consumer discards incomplete chunked messages on expiry. */
   def reassembleChunks(env: DataFrame): DataFrame =
     env.groupBy(col("uuid_group"))
       .agg(
         count(lit(1)).as("num_chunks"),
+        min(col("num_chunks")).as("declared_chunks"),
         aggregate(
           transform(
             array_sort(collect_list(struct(col("chunk_id"),
@@ -31,8 +34,9 @@ object ChunkBatch {
           lit(Array.empty[Byte]),
           (acc, x) => concat(acc, x)).as("assembled_bin"),
         min(col("msg_offset")).as("first_offset"))
+      .filter(col("num_chunks") === col("declared_chunks"))
       .withColumn("assembled", col("assembled_bin").cast("string"))
-      .drop("assembled_bin")
+      .drop("assembled_bin", "declared_chunks")
 
   /** F14a — pack messages into batch entries keyed by (topic, ledger_id):
    * the producer-side batch container (BatchMessageContainerImpl). */

@@ -301,7 +301,8 @@ object LogQueries extends QueryGroup {
       |SELECT uuid_group, count(*) AS num_chunks,
       |       string_agg(decode(value_bin), '' ORDER BY chunk_id) AS assembled,
       |       min(msg_offset) AS first_offset
-      |FROM env GROUP BY uuid_group ORDER BY uuid_group""".stripMargin))
+      |FROM env GROUP BY uuid_group
+      |HAVING count(*) = min(num_chunks) ORDER BY uuid_group""".stripMargin))
 
   private val f14 = QueryDef(
     (s, d) => ChunkBatch.batchRoundtrip(env(s, d))
