@@ -78,8 +78,9 @@ object Routing {
    * into the ring's range table, the reference's
    * HashRangeAutoSplitStickyKeyConsumerSelector behavior: a joining
    * consumer splits the LARGEST current range in half (ties broken toward
-   * the lowest lo) and takes its lower half; a leaving consumer's range
-   * merges into its lower neighbor (the lowest range merges upward).
+   * the lowest lo) and takes its lower half; a leaving consumer's range is
+   * absorbed by its upper neighbor (ceilingEntry select after the entry is
+   * removed) — only the topmost range merges into its lower neighbor.
    * Membership changes are control-plane events — a tiny driver-side fold,
    * like the reference's in-broker selector; the resulting table is the
    * broadcast side of [[assignConsumers]].
@@ -102,15 +103,19 @@ object Routing {
               Seq(HashRange(c, r.lo, mid), HashRange(r.consumer, mid + 1, r.hi)), 1)
           }
         case "leave" =>
+          // Removing the range entry means hashes in the freed span resolve
+          // to the next-higher boundary (ceilingEntry select): the UPPER
+          // neighbor absorbs the freed range. Only a topmost leaver has no
+          // upper neighbor — its lower neighbor extends up to the top.
           val idx = ranges.indexWhere(_.consumer == c)
           if (idx < 0) ranges
           else if (ranges.size == 1) Vector.empty
-          else if (idx > 0) {
+          else if (idx < ranges.size - 1) {
+            val freed = ranges(idx)
+            ranges.patch(idx, Seq(ranges(idx + 1).copy(lo = freed.lo)), 2)
+          } else {
             val freed = ranges(idx)
             ranges.patch(idx - 1, Seq(ranges(idx - 1).copy(hi = freed.hi)), 2)
-          } else {
-            val freed = ranges(0)
-            ranges.patch(0, Seq(ranges(1).copy(lo = freed.lo)), 2)
           }
         case other => throw new IllegalArgumentException(s"unknown op: $other")
       }

@@ -553,8 +553,9 @@ object LogQueries extends QueryGroup {
     // R6 dynamic auto-split: fold a membership history (4 joins, 1 leave,
     // 1 re-split) into the range table, then dispatch the keyed slice over
     // the resulting ranges. The oracle's range table is derived BY HAND
-    // from the reference algorithm (split largest / merge into lower
-    // neighbor), so the fold is checked against independent ground truth.
+    // from the reference algorithm (split largest / upper neighbor absorbs
+    // a leaver's range), so the fold is checked against independent ground
+    // truth.
     (s, d) => {
       val events = Seq("join" -> "consumer-A", "join" -> "consumer-B",
         "join" -> "consumer-C", "join" -> "consumer-D",
@@ -571,7 +572,7 @@ object LogQueries extends QueryGroup {
     },
     Some(s"""$E, m(key, bucket) AS (SELECT * FROM (VALUES $keyRingValues)),
       |r(consumer, lo, hi) AS (SELECT * FROM (VALUES
-      |  ('consumer-E', 0, 16383), ('consumer-C', 16384, 32767),
+      |  ('consumer-C', 0, 16383), ('consumer-E', 16384, 32767),
       |  ('consumer-D', 32768, 49151), ('consumer-A', 49152, 65535))),
       |cnt AS (
       |  SELECT r2.consumer AS consumer, count(*) AS n
