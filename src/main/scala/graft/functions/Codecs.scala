@@ -85,6 +85,19 @@ object WireCodecs {
       case "SNAPPY" => org.xerial.snappy.Snappy.uncompress(in)
       case other => throw new IllegalArgumentException(s"unknown codec: $other")
     }
+
+  /** [[decompress]] that degrades a malformed payload to NULL instead of
+   * throwing, so one corrupt row marks itself (size_ok=false / DLQ path)
+   * rather than failing the whole scan. An unknown codec name is still a
+   * programming error and propagates. */
+  def decompressOrNull(codec: String, in: Array[Byte], uncompressedSize: Int): Array[Byte] =
+    if (!codecNames.contains(codec))
+      throw new IllegalArgumentException(s"unknown codec: $codec")
+    else
+      try decompress(codec, in, uncompressedSize)
+      catch { case scala.util.control.NonFatal(_) => null }
+
+  private val codecNames = Set("NONE", "ZLIB", "LZ4", "ZSTD", "SNAPPY")
 }
 
 /** Codegen'd `payload_compress(payload, codec)` — the producer side;
@@ -126,15 +139,18 @@ case class PayloadDecompress(first: Expression, second: Expression, third: Expre
         s"payload_decompress needs (BINARY, STRING, INT), got (${f.sql}, ${s.sql}, ${t.sql})")
     }
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // malformed payloads degrade to NULL
   override def prettyName: String = "payload_decompress"
 
   override def nullSafeEval(payload: Any, codec: Any, size: Any): Any =
-    WireCodecs.decompress(codec.asInstanceOf[UTF8String].toString,
+    WireCodecs.decompressOrNull(codec.asInstanceOf[UTF8String].toString,
       payload.asInstanceOf[Array[Byte]], size.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (p, c, s) =>
-      s"graft.functions.WireCodecs.decompress($c.toString(), $p, $s)")
+    nullSafeCodeGen(ctx, ev, (p, c, s) => s"""
+      ${ev.value} = graft.functions.WireCodecs.decompressOrNull($c.toString(), $p, $s);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): PayloadDecompress =

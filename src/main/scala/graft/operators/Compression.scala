@@ -31,9 +31,10 @@ object Compression {
         payloadCompress(col("value_bin"), col("compression"), level))
 
   /** Consumer side: decompress by the stamped codec and validate against
-   * `uncompressed_size` (a mismatch marks the row corrupt instead of
-   * failing the scan — the reference's size check discards to the DLQ
-   * path). Unstamped rows pass through as NONE. */
+   * `uncompressed_size` (a mismatch or malformed stream marks the row
+   * corrupt — `value_bin` NULL / size_ok false — instead of failing the
+   * scan; the reference's size check discards to the DLQ path). Unstamped
+   * rows pass through as NONE. */
   def decompress(env: DataFrame): DataFrame =
     env.withColumn("value_bin",
       payloadDecompress(col("value_bin"),
@@ -41,5 +42,6 @@ object Compression {
         coalesce(col("uncompressed_size"), octet_length(col("value_bin")))))
       .withColumn("size_ok",
         col("uncompressed_size").isNull ||
-          octet_length(col("value_bin")) === col("uncompressed_size"))
+          (col("value_bin").isNotNull &&
+            octet_length(col("value_bin")) === col("uncompressed_size")))
 }

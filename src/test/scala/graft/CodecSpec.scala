@@ -69,6 +69,22 @@ class CodecSpec extends AnyFunSuite {
       WireCodecs.compress("BROTLI", Array[Byte](1, 2, 3), 6)
     }
   }
+
+  test("malformed payloads degrade to null per row, not a thrown scan") {
+    val good = "payload".getBytes("UTF-8")
+    for (codec <- Seq("LZ4", "ZLIB", "ZSTD", "SNAPPY")) {
+      val garbage = Array.tabulate(64)(i => (i * 7 + 13).toByte)
+      assert(WireCodecs.decompressOrNull(codec, garbage, good.length) == null,
+        s"$codec should null out garbage bytes")
+      val ok = WireCodecs.decompressOrNull(codec,
+        WireCodecs.compress(codec, good, 6), good.length)
+      assert(ok != null && ok.sameElements(good), s"$codec intact payload survives")
+    }
+    // unknown codec stays a programming error even on the lenient path
+    intercept[IllegalArgumentException] {
+      WireCodecs.decompressOrNull("BROTLI", good, good.length)
+    }
+  }
 }
 
 object CodecProps extends Properties("ZlibCodec") {
