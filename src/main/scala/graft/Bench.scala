@@ -29,6 +29,7 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      finally CacheScope.releaseAll() // free per-query fan-out caches
       val sec = (System.nanoTime() - t0) / 1e9
       println(s"BENCHQ $name ${fmt(sec)}")
       name -> sec

@@ -101,9 +101,9 @@ object Produce {
   private def buildKeyedSequences(withBlk: DataFrame, numPartitions: Int,
       orderCol: String): DataFrame = {
     val routed = withBlk.withColumn("_pt", keyHashPartition(col("key"), numPartitions))
-    val summary = routed.groupBy(col("_blk"), col("_pt"))
-      .agg(count(lit(1)).as("_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val summary = graft.CacheScope.track(
+      routed.groupBy(col("_blk"), col("_pt"))
+        .agg(count(lit(1)).as("_n")))
     val gOff = Sequencing.exclusiveBlockPrefix(
       summary.groupBy(col("_blk")).agg(sum(col("_n")).as("_val")),
       Seq.empty, "_blk", isMax = false, desc = false, "_gpfx", persistInput = false)

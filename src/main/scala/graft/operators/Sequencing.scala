@@ -50,8 +50,7 @@ object Sequencing {
     // Callers whose `blocks` already reads a cache pass persistInput=false.
     val bucketed = blocks.withColumn("_bkt", floor(col(blockCol) / BucketWidth))
     val withBkt =
-      if (persistInput)
-        bucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (persistInput) graft.CacheScope.track(bucketed)
       else bucketed
     val ord = if (desc) col(blockCol).desc else col(blockCol).asc
     val inW = Window.partitionBy(grp: _*).orderBy(ord)

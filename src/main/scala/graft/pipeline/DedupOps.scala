@@ -171,10 +171,11 @@ object DedupOps {
     // signature aggregate and the set collection would still run once per
     // side. The cached relations are |docs|-scale (tiny next to the
     // exploded shingles), the canonical persist-what-fans-out trade.
-    val banded = sig.select(col("doc"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash")))
-      .persist(MEMORY_AND_DISK)
+    val banded = graft.CacheScope.track(
+      sig.select(col("doc"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash"))),
+      MEMORY_AND_DISK)
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc") < col("b.doc"))
@@ -188,10 +189,11 @@ object DedupOps {
     // set relation has ~shingles-per-doc× fewer rows, and the exchange-
     // free groupBy(doc) reuses shRows' partitioning. Zero-intersection
     // candidates just score 0 and drop at the threshold.
-    val docSets = shRows.groupBy(col("doc")).agg(
-      collect_list(col("shingle")).as("sh"), // distinct per doc by construction
-      count(lit(1)).as("set_size"))
-      .persist(MEMORY_AND_DISK)
+    val docSets = graft.CacheScope.track(
+      shRows.groupBy(col("doc")).agg(
+        collect_list(col("shingle")).as("sh"), // distinct per doc by construction
+        count(lit(1)).as("set_size")),
+      MEMORY_AND_DISK)
     candidates
       .join(docSets.select(col("doc").as("doc_a"),
         col("sh").as("sh_a"), col("set_size").as("size_a")), "doc_a")
@@ -246,6 +248,9 @@ object DedupOps {
       iter += 1
     }
     sym.unpersist() // labels are materialized; the final agg reads only them
+    // the converged labels stay cached for the returned plan; the harness
+    // releases them once the caller has materialized it
+    graft.CacheScope.track(labels)
     labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc"))
       .select(col("label").as("cluster_rep"), col("cluster_size"), col("max_doc"))
