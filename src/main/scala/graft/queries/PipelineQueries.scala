@@ -95,12 +95,14 @@ object PipelineQueries extends QueryGroup {
     Some(jaccardOracle))
 
   private val p4 = QueryDef(
-    // 4-row bands: candidate false positives drop ~cubically vs 2-row
-    // bands while pairs at the fixture's ≥0.85 jaccard still collide in
-    // some band w.p. ≈ 1 - 4e-6 — and every emitted pair is exact-confirmed.
+    // 2-row bands (k=64, 32 bands): candidate recall at the j=0.5 output
+    // threshold is 1-(1-0.25)^32 ≈ 0.99999, so LSH candidate generation
+    // loses no pair the exact-Jaccard oracle contains even at the
+    // threshold boundary — and every candidate is exact-confirmed, so
+    // false positives cost only confirm work, never wrong output.
     (s, d) => DedupOps.minhashLshVerifiedPairs(
       docs(s, d).filter(col("doc_id") < 1000), "doc_id", "text",
-      n = 3, k = 64, bands = 16, threshold = 0.5)
+      n = 3, k = 64, bands = 32, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b")),
     Some(jaccardOracle))
 
@@ -109,11 +111,13 @@ object PipelineQueries extends QueryGroup {
     // over the whole corpus — no doc_id cap, so the sf0.1 bench covers all
     // 5,000 docs. At the correctness scales (≤500 docs) the full corpus is
     // within the exact-join oracle's reach, so the result is checked
-    // pair-for-pair against the inverted-index Jaccard join. Signatures
-    // pay ONE murmur3 per shingle (affine rehash family) — the knob that
-    // makes full-corpus signatures linear-cheap at 100 TB.
+    // pair-for-pair against the inverted-index Jaccard join — 2-row bands
+    // keep candidate recall ≈1 at the threshold, so that parity is robust,
+    // not a fixture accident. Signatures pay ONE murmur3 per shingle
+    // (affine rehash family) — the knob that makes full-corpus signatures
+    // linear-cheap at 100 TB.
     (s, d) => DedupOps.minhashLshVerifiedPairs(
-      docs(s, d), "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.5)
+      docs(s, d), "doc_id", "text", n = 3, k = 64, bands = 32, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b")),
     Some(jaccardOracleFor("")))
 
@@ -126,7 +130,7 @@ object PipelineQueries extends QueryGroup {
     // that survives when they aren't).
     (s, d) => DedupOps.dupClusters(
       DedupOps.minhashLshVerifiedPairs(docs(s, d), "doc_id", "text",
-        n = 3, k = 64, bands = 16, threshold = 0.5))
+        n = 3, k = 64, bands = 32, threshold = 0.5))
       .orderBy(col("cluster_rep")),
     Some(s"""WITH RECURSIVE ${jaccardCtes("")},
       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM jp
