@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.EventLog
-import graft.schema.{AvroWire, CompatibilityStrategy, PayloadCodec, SchemaCompat}
+import graft.schema.{AvroWire, CompatibilityStrategy, PayloadCodec, ProtoCompat, ProtoWire, SchemaCompat}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -46,16 +46,35 @@ object SchemaQueries extends QueryGroup {
     )
   }
 
+  /** PROTOBUF_NATIVE scenarios: the reference checker only pins the root
+   * message name (ProtobufNativeSchemaCompatibilityCheck.java:67-75), so
+   * field evolution under the same root passes every directional strategy
+   * while a root rename fails them all. */
+  private val protoScenarios: Seq[(String, Seq[ProtoCompat.ProtoDescriptor], ProtoCompat.ProtoDescriptor)] = {
+    import ProtoCompat.ProtoDescriptor
+    val v0 = ProtoDescriptor("graft.Msg", Set(1, 2, 3))
+    Seq(
+      ("proto_identical", Seq(v0), v0),
+      ("proto_field_evolution", Seq(v0), ProtoDescriptor("graft.Msg", Set(1, 2, 3, 4))),
+      ("proto_renamed_root", Seq(v0), ProtoDescriptor("graft.MsgV2", Set(1, 2, 3))))
+  }
+
   private val m1 = QueryDef(
     (s, _) => {
       import s.implicits._
       // checker evaluation is a control-plane (driver-side) operation, like
       // the reference's registry service
-      scenarios.flatMap { case (name, existing, candidate) =>
+      val avroRows = scenarios.flatMap { case (name, existing, candidate) =>
         CompatibilityStrategy.all.map { strat =>
           (name, strat.name, SchemaCompat.isCompatible(existing, candidate, strat))
         }
-      }.toDF("scenario", "strategy", "compatible")
+      }
+      val protoRows = protoScenarios.flatMap { case (name, existing, candidate) =>
+        CompatibilityStrategy.all.map { strat =>
+          (name, strat.name, ProtoCompat.isCompatible(existing, candidate, strat))
+        }
+      }
+      (avroRows ++ protoRows).toDF("scenario", "strategy", "compatible")
         .orderBy(col("scenario"), col("strategy"))
     },
     Some {
@@ -83,7 +102,18 @@ object SchemaQueries extends QueryGroup {
         ("transitive_narrowed", "FULL", true),
         ("transitive_narrowed", "BACKWARD_TRANSITIVE", false),
         ("transitive_narrowed", "FORWARD_TRANSITIVE", true),
-        ("transitive_narrowed", "FULL_TRANSITIVE", false))
+        ("transitive_narrowed", "FULL_TRANSITIVE", false)) ++ {
+        // PROTOBUF_NATIVE: root-name pin only — same-root scenarios pass
+        // every directional strategy, a root rename fails them all
+        def protoRow(sc: String, directional: Boolean) = Seq(
+          (sc, "ALWAYS_COMPATIBLE", true), (sc, "ALWAYS_INCOMPATIBLE", false),
+          (sc, "BACKWARD", directional), (sc, "FORWARD", directional),
+          (sc, "FULL", directional), (sc, "BACKWARD_TRANSITIVE", directional),
+          (sc, "FORWARD_TRANSITIVE", directional), (sc, "FULL_TRANSITIVE", directional))
+        protoRow("proto_identical", directional = true) ++
+          protoRow("proto_field_evolution", directional = true) ++
+          protoRow("proto_renamed_root", directional = false)
+      }
       val values = rows.map { case (sc, st, ok) => s"('$sc', '$st', $ok)" }.mkString(", ")
       s"""SELECT scenario, strategy, compatible
         |FROM (VALUES $values) AS t(scenario, strategy, compatible)
@@ -242,6 +272,66 @@ object SchemaQueries extends QueryGroup {
       |              ELSE 5 END) AS BIGINT) AS avro_bytes
       |FROM env GROUP BY 1 ORDER BY region""".stripMargin))
 
+  /** M8 — SchemaType.PROTOBUF_NATIVE: real protobuf wire-format encode
+   * (tag varints, length-delimited UTF-8, fixed64 LE double, zigzag
+   * sint64) and tag-walking decode through the v1 reader. Even offsets are
+   * written by the v0 writer (fields 1-3); odd offsets by a NEWER writer
+   * that also stamps unknown field 5, which the reader must SKIP by wire
+   * type — the proto forward-compat contract. The reader's evolution field
+   * `region` (4) materializes its default, mirroring m7's Avro resolution.
+   * The oracle independently prices every record's exact wire size —
+   * 1-byte tags (numbers < 16), length-varint + UTF-8 for the key, 8-byte
+   * double, zigzag-varint for the offset, plus the skipped field's tag +
+   * varint on odd rows — so a codec that isn't bit-for-bit protobuf can't
+   * match `proto_bytes`, and `n_skipped` pins the unknown-field walk. */
+  private val m8 = QueryDef(
+    (s, d) => {
+      import s.implicits._
+      val rows = EventLog.topic(s, d)
+        .select(col("key"), col("value"), col("msg_offset"))
+        .as[(String, Double, Long)]
+      val round = rows.mapPartitions { it =>
+        val codec = new ProtoWire.Codec
+        it.map { case (k, v, off) =>
+          val bytes =
+            if (off % 2 == 1) codec.encodeNewer(k, v, off, extra = off)
+            else codec.encode(k, v, off)
+          val dec = codec.decode(bytes)
+          val ok = dec.k == k && dec.off == off && dec.region == "unset" &&
+            java.lang.Double.doubleToLongBits(dec.v) ==
+              java.lang.Double.doubleToLongBits(v) &&
+            dec.skipped == (if (off % 2 == 1) 1 else 0)
+          (dec.v, dec.off, dec.region, ok, dec.skipped, bytes.length)
+        }
+      }.toDF("v", "off", "region", "ok", "skipped", "nbytes")
+      round.groupBy(col("region"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_roundtrip"),
+          sum(col("off")).as("sum_off"),
+          sum(floor(col("v") * 100).cast("long")).as("sum_cents"),
+          sum(col("skipped").cast("long")).as("n_skipped"),
+          sum(col("nbytes").cast("long")).as("proto_bytes"))
+        .orderBy(col("region"))
+    },
+    Some {
+      // varint length of zigzag(off) = 2*off for off >= 0 (same pricing
+      // CASE as m7's Avro long, which zigzags identically)
+      val vlen =
+        """CASE WHEN msg_offset * 2 < 128 THEN 1
+          |            WHEN msg_offset * 2 < 16384 THEN 2
+          |            WHEN msg_offset * 2 < 2097152 THEN 3
+          |            WHEN msg_offset * 2 < 268435456 THEN 4
+          |            ELSE 5 END""".stripMargin
+      s"""${EventLog.oracleCte}
+        |SELECT 'unset' AS region, count(*) AS n, count(*) AS n_roundtrip,
+        |       CAST(sum(msg_offset) AS BIGINT) AS sum_off,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(sum(CASE WHEN msg_offset % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        |       CAST(sum(12 + octet_length(encode(key)) + $vlen +
+        |         CASE WHEN msg_offset % 2 = 1 THEN 1 + $vlen ELSE 0 END) AS BIGINT) AS proto_bytes
+        |FROM env GROUP BY 1 ORDER BY region""".stripMargin
+    })
+
   override val defs: Map[String, QueryDef] = Map(
     "m1_schema_compat" -> m1,
     "m2_versioned_decode" -> m2,
@@ -249,6 +339,7 @@ object SchemaQueries extends QueryGroup {
     "m4_keyvalue_inline" -> m4,
     "m5_auto_consume" -> m5,
     "m6_keyvalue_separated" -> m6,
-    "m7_avro_roundtrip" -> m7
+    "m7_avro_roundtrip" -> m7,
+    "m8_protobuf_decode" -> m8
   )
 }
