@@ -24,9 +24,15 @@ object Bench {
       graft.model.EventLog.topic(spark, sfDir)
         .groupBy("topic").count().collect()
     } catch { case _: Throwable => }
+    // optional comma-separated name filter for local profiling runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     // one human/judge-readable line per query as it completes, so the
     // stdout tail is useful even if the final summary line is clipped
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       finally CacheScope.releaseAll() // free per-query fan-out caches

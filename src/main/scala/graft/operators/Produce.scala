@@ -114,8 +114,10 @@ object Produce {
       .partitionBy(col("_blk")).orderBy(col(orderCol))
     val wP = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pt"), col("_blk")).orderBy(col(orderCol))
-    routed.join(broadcast(gOff), Seq("_blk"))
-      .join(broadcast(pOff), Seq("_pt", "_blk"))
+    // Both offset relations are block-count-sized; pre-joining them on _blk
+    // means the batch pays ONE broadcast join instead of two.
+    val offs = pOff.join(gOff.select(col("_blk"), col("_gpfx")), Seq("_blk"))
+    routed.join(broadcast(offs), Seq("_pt", "_blk"))
       .withColumn("_g", col("_gpfx") + row_number().over(wG) - 1)
       .withColumn("_entry", col("_ppfx") + row_number().over(wP) - 1)
       .drop("_gpfx", "_ppfx")
@@ -156,13 +158,11 @@ object Produce {
     val toWrite =
       if (exists) dedupAgainst(msgs, spark.read.parquet(topicDir))
       else Dedup.dropReplays(msgs)
-    // cache so the anti-join + sequencing plan evaluates once: the count
-    // (the producer's ack) and the durable write share the materialization
-    toWrite.persist()
-    try {
-      val n = toWrite.count()
-      if (n > 0) append(toWrite, topicDir)
-      n
-    } finally toWrite.unpersist()
+    // single evaluation: the accepted-count (the producer's ack) rides the
+    // durable write as an observed metric, so the dedup plan never runs a
+    // second pass and nothing has to be cached
+    val obs = org.apache.spark.sql.Observation()
+    toWrite.observe(obs, count(lit(1)).as("n")).write.mode("append").parquet(topicDir)
+    obs.get("n").asInstanceOf[Long]
   }
 }

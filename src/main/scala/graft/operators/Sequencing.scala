@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
  *      within `bucketWidth`-sized block ranges — windows partitioned by
  *      (key, bucket), still parallel even for one hot key;
  *   3. only bucket totals — |blocks|/bucketWidth rows, ~100 rows for
- *      100 TB of log at 1k-entry ledgers and 2^20-block buckets — pay a
- *      broadcast non-equi prefix join, which never shuffles and has no
- *      window at all.
+ *      100 TB of log at 1k-entry ledgers and 2^20-block buckets — pay one
+ *      window per key over that ~100-row relation: the single-task window
+ *      holds exactly the rows a broadcast of the totals would have shipped
+ *      to every executor anyway, at a third of the exchanges.
  *
  * The summary join back to the log is an equi-join on (key, block), which
  * AQE broadcasts when small.
@@ -58,13 +59,16 @@ object Sequencing {
     def fold(c: Column) = if (isMax) max(c) else sum(c)
     val withIn = withBkt.withColumn("_pfx_in", fold(col("_val")).over(inW))
     val totals = withBkt.groupBy(grp: _*).agg(fold(col("_val")).as("_bval"))
-    val earlier = totals.select(
-      keyCols.map(k => col(k).as(s"_e_$k")) :+
-        col("_bkt").as("_e_bkt") :+ col("_bval").as("_e_val"): _*)
-    val range = if (desc) col("_e_bkt") > col("_bkt") else col("_e_bkt") < col("_bkt")
-    val cond = keyCols.map(k => col(k) === col(s"_e_$k")).foldLeft(range)(_ && _)
-    val bucketPrefix = totals.join(broadcast(earlier), cond, "left")
-      .groupBy(grp: _*).agg(fold(col("_e_val")).as("_pfx_bkt"))
+    // Prefix over buckets of the same key: a window partitioned by the key
+    // alone. Unpartitioned/single-task is fine HERE — its input is the
+    // bucket-totals relation (~100 rows per key at 100 TB), the same tiny
+    // set the former broadcast non-equi join shipped whole to every task.
+    val ordBkt = if (desc) col("_bkt").desc else col("_bkt").asc
+    val bw = Window.partitionBy(keyCols.map(col): _*).orderBy(ordBkt)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = totals
+      .withColumn("_pfx_bkt", fold(col("_bval")).over(bw))
+      .drop("_bval")
     val combined =
       if (isMax) greatest(
         coalesce(col("_pfx_in"), lit(Long.MinValue)),

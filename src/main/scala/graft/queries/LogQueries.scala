@@ -876,14 +876,18 @@ object LogQueries extends QueryGroup {
         base.filter(col("event_id") >= lo && col("event_id") < hi)
           .select(col("event_id"), col("user_id").cast("string").as("key"), col("value"))
       val dir = freshDir("txn")
-      Produce.append(Transactions.produceInTxn(
+      // The four log segments (two staged batches, two markers) are one
+      // append: the log's order lives in the (offset, sequence) columns,
+      // not in write-call order, so a single write job replaces four.
+      val toStage = Transactions.produceInTxn(
         Produce.build(slice(0, 1000), "txn-topic", "w0", 4, "event_id", 0L,
-          allKeyed = true), 100L), dir)
-      Produce.append(Transactions.produceInTxn(
-        Produce.build(slice(1000, 2000), "txn-topic", "w0", 4, "event_id", 0L,
-          startOffset = 10000L, allKeyed = true), 101L), dir)
-      Produce.append(Transactions.txnMarker(s, "txn-topic", 100L, commit = true, 99998L), dir)
-      Produce.append(Transactions.txnMarker(s, "txn-topic", 101L, commit = false, 99999L), dir)
+          allKeyed = true), 100L)
+        .unionByName(Transactions.produceInTxn(
+          Produce.build(slice(1000, 2000), "txn-topic", "w0", 4, "event_id", 0L,
+            startOffset = 10000L, allKeyed = true), 101L))
+      val markers = Transactions.txnMarker(s, "txn-topic", 100L, commit = true, 99998L)
+        .unionByName(Transactions.txnMarker(s, "txn-topic", 101L, commit = false, 99999L))
+      Produce.append(toStage.unionByName(markers.select(toStage.columns.map(col): _*)), dir)
       val log = s.read.parquet(dir)
       val status = Transactions.statusFromMarkers(log)
       val staged = log.filter(col("marker_type").isNull && col("txn_group").isNotNull)
