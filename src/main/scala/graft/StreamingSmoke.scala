@@ -27,6 +27,10 @@ import java.nio.file.Files
  *      remote copy; re-consuming the remote replicates nothing (loop break).
  *   8. Chunk reassembly (F13): keyed-state buffer across micro-batches ==
  *      batch concat, honoring each group's declared num_chunks.
+ *   9. Late-data side topic (W7): foreachBatch watermark router's -LATE
+ *      split == batch TimeWindows.lateData on the same log.
+ *  10. Compacted-table sink (A5 at scale): the bucket-partitioned parquet
+ *      table converges to the batch tableView with no driver-side state.
  *
  * Exits nonzero on any mismatch.
  */
@@ -205,8 +209,45 @@ object StreamingSmoke {
     check("chunk-reassembly", streamAsm == batchAsm,
       s"stream=${streamAsm.size} groups batch=${batchAsm.size}")
 
+    // -- 9. late-data side topic: watermark router == batch lateData ------
+    // (W7: on-time rows land in the main topic, late rows in the -LATE
+    // topic; the union is the whole log and the late set matches the batch
+    // watermark operator row-for-row)
+    val lateLag = 5000L // yields a nonempty late set at sf0.001
+    val mainDir = Files.createTempDirectory("graft-late-main-").toString
+    val lateDir = Files.createTempDirectory("graft-late-side-").toString
+    val s9 = MemoryStream[MessageEnvelope]
+    val (q9, _) = graft.streaming.LateData.routeStream(
+      s9.toDF(), lateLag, mainDir, lateDir, ckpt())
+    chunks.foreach { c => s9.addData(c); q9.processAllAvailable() }
+    q9.stop()
+    val streamLate = spark.read.parquet(lateDir)
+      .select("msg_offset").collect().map(_.getLong(0)).toSet
+    val streamMainN = spark.read.parquet(mainDir).count()
+    val batchLate = TimeWindows.lateData(batchDf, lateLag)
+      .select("msg_offset").collect().map(_.getLong(0)).toSet
+    check("late-data-route",
+      streamLate == batchLate && streamMainN + streamLate.size == envs.length &&
+        streamLate.nonEmpty,
+      s"streamLate=${streamLate.size} batchLate=${batchLate.size} " +
+        s"main=$streamMainN total=${envs.length}")
+
+    // -- 10. compacted-table sink converges to the batch view -------------
+    // (A5 at data-plane scale: same update-mode delta as #1, merged into a
+    // bucket-partitioned parquet table; only changed buckets rewrite)
+    val tableDir = Files.createTempDirectory("graft-ctable-").toString + "/t"
+    val s10 = MemoryStream[MessageEnvelope]
+    val q10 = StreamingOps.compactedTableStream(s10.toDF(), ckpt(), tableDir)
+    chunks.foreach { c => s10.addData(c); q10.processAllAvailable() }
+    q10.stop()
+    val tableRows = StreamingOps.compactedTable(spark, tableDir)
+      .select("key", "value", "publish_ms", "msg_offset").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    check("compacted-table", tableRows == batchView,
+      s"table=${tableRows.size} keys batch=${batchView.size} keys")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 8 converged to batch twins OK")
+    println(s"[stream-smoke] all 10 converged to batch twins OK")
     spark.stop()
   }
 }

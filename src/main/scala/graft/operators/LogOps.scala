@@ -145,4 +145,16 @@ object LogOps {
     Sequencing.keyedSequence(env, Seq("topic"), "ledger_id", "msg_offset", "_seq")
       .withColumn("trigger_batch", (col("_seq") / maxPerTrigger).cast("long"))
       .drop("_seq")
+
+  /** S4/O6 — the BYTES cap of the batch-receive policy (reference:
+   * pulsar-client-api/.../BatchReceivePolicy.java:60-66 `maxNumBytes`,
+   * and `maxBytesPerTrigger` on the streaming source): each trigger
+   * drains up to `maxBytesPerTrigger` of queue bytes per topic; a message
+   * belongs to the trigger batch its FIRST byte falls in. Same two-level
+   * prefix machinery as the count cap — no per-topic single-task scan. */
+  def rateLimitBytes(env: DataFrame, maxBytesPerTrigger: Long): DataFrame =
+    Sequencing.keyedCumSumExcl(env, Seq("topic"), "ledger_id", "msg_offset",
+      octet_length(col("properties")).cast("long") + lit(8L), "_pfx_bytes")
+      .withColumn("trigger_batch", (col("_pfx_bytes") / maxBytesPerTrigger).cast("long"))
+      .drop("_pfx_bytes")
 }

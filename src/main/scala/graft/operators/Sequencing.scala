@@ -133,6 +133,28 @@ object Sequencing {
   }
 
   /**
+   * Oldest-first EXCLUSIVE running sum of `valueExpr` per key in
+   * (blockCol, orderCol) order — for each row, the total of all strictly
+   * earlier rows of its key (0 for the first). The byte-quota shape:
+   * which fixed-size bucket does this row's first byte fall in.
+   */
+  def keyedCumSumExcl(env: DataFrame, keyCols: Seq[String], blockCol: String,
+      orderCol: String, valueExpr: Column, outCol: String): DataFrame = {
+    val sized = env.withColumn("_rowval", valueExpr)
+    val blocks = sized.groupBy((keyCols :+ blockCol).map(col): _*)
+      .agg(sum(col("_rowval")).as("_val"))
+    val offsets = exclusiveBlockPrefix(blocks, keyCols, blockCol,
+      isMax = false, desc = false, "_blk_prefix")
+    val withinW = Window.partitionBy((keyCols :+ blockCol).map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sized.join(offsets, keyCols :+ blockCol)
+      .withColumn(outCol,
+        col("_blk_prefix") + coalesce(sum(col("_rowval")).over(withinW), lit(0L)))
+      .drop("_rowval", "_blk_prefix")
+  }
+
+  /**
    * Newest-first running sum of `valueExpr` per key (retention-style
    * cumulative size): within-block running sum + the bucketed prefix
    * total of all newer blocks.

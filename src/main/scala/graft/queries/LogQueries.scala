@@ -754,6 +754,29 @@ object LogQueries extends QueryGroup {
       |       min(msg_offset) AS first_offset, max(msg_offset) AS last_offset
       |FROM rb GROUP BY topic, trigger_batch ORDER BY topic, trigger_batch""".stripMargin))
 
+  private val s4b = QueryDef(
+    // The byte-cap twin of s4 (BatchReceivePolicy.maxNumBytes): batches
+    // close on a 4 KiB byte quota instead of a 50-message count; a message
+    // joins the batch its first byte falls in.
+    (s, d) => LogOps.rateLimitBytes(env(s, d), 4096L)
+      .groupBy(col("topic"), col("trigger_batch"))
+      .agg(count(lit(1)).as("n"),
+        sum(octet_length(col("properties")) + lit(8)).cast("long").as("batch_bytes"),
+        min(col("msg_offset")).as("first_offset"),
+        max(col("msg_offset")).as("last_offset"))
+      .orderBy(col("topic"), col("trigger_batch")),
+    Some(s"""$E, rb AS (
+      |  SELECT topic, msg_offset, strlen(properties) + 8 AS sz,
+      |         CAST(coalesce(sum(strlen(properties) + 8) OVER (
+      |             PARTITION BY topic ORDER BY msg_offset
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
+      |           AS BIGINT) AS trigger_batch
+      |  FROM env)
+      |SELECT topic, trigger_batch, count(*) AS n,
+      |       CAST(sum(sz) AS BIGINT) AS batch_bytes,
+      |       min(msg_offset) AS first_offset, max(msg_offset) AS last_offset
+      |FROM rb GROUP BY topic, trigger_batch ORDER BY topic, trigger_batch""".stripMargin))
+
   // ---------------------------------------------------------------- W: windows
 
   private val w1 = QueryDef(
@@ -964,6 +987,7 @@ object LogQueries extends QueryGroup {
     "s2_message_builder" -> s2,
     "s2b_keyless_rr" -> s2b,
     "s4_batch_receive" -> s4,
+    "s4b_bytes_receive" -> s4b,
     "r3_single_partition" -> r3,
     "r4_custom_router" -> r4,
     "r8_ordering_key" -> r8,

@@ -26,6 +26,14 @@ case class AssembledMessage(uuid: Long, n_chunks: Long, payload: String, first_o
  * definition, not a scale bug — its size is |keys|, and the heavy work
  * (per-key latest) runs distributed in the update-mode aggregation that
  * feeds it.
+ *
+ * MEMORY BOUND — this map is O(|keys| × entry size) in ONE process,
+ * exactly the reference's bound (TableViewImpl keeps every key in its
+ * ConcurrentMap). Keep it out of data-plane paths: it is a control-plane
+ * lookup view. For key cardinalities that do not fit a driver, use
+ * [[StreamingOps.compactedTableStream]], which maintains the same
+ * latest-per-key contract as a bucket-partitioned parquet table with no
+ * driver-side state at all.
  */
 final class TableView {
   private val map = TrieMap.empty[String, TableViewEntry]
@@ -60,14 +68,7 @@ object StreamingOps {
    */
   def tableViewStream(env: DataFrame, checkpointDir: String): (StreamingQuery, TableView) = {
     val view = new TableView
-    val latest = env.filter(col("marker_type").isNull)
-      .groupBy(col("key"))
-      .agg(max_by(
-        struct(col("value"), col("publish_ms"), col("msg_offset"), col("tombstone")),
-        col("msg_offset")).as("m"))
-      .select(col("key"), col("m.value").as("value"), col("m.publish_ms").as("publish_ms"),
-        col("m.msg_offset").as("msg_offset"), col("m.tombstone").as("tombstone"))
-    val query = latest.writeStream
+    val query = latestPerKeyDelta(env).writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -81,6 +82,83 @@ object StreamingOps {
       .start()
     (query, view)
   }
+
+  /** The shared update-mode latest-per-key delta behind both TableView
+   * sinks: only keys whose latest changed appear in each micro-batch. */
+  private def latestPerKeyDelta(env: DataFrame): DataFrame =
+    env.filter(col("marker_type").isNull)
+      .groupBy(col("key"))
+      .agg(max_by(
+        struct(col("value"), col("publish_ms"), col("msg_offset"), col("tombstone")),
+        col("msg_offset")).as("m"))
+      .select(col("key"), col("m.value").as("value"), col("m.publish_ms").as("publish_ms"),
+        col("m.msg_offset").as("msg_offset"), col("m.tombstone").as("tombstone"))
+
+  /**
+   * A5 at data-plane scale — the compacted-TABLE sink: the same
+   * update-mode latest-per-key delta as [[tableViewStream]], but merged
+   * into a parquet table partitioned by a key-hash bucket instead of a
+   * driver map, so the view's size is bounded by storage, not one heap.
+   *
+   * Per micro-batch the merge touches ONLY the buckets containing changed
+   * keys: read those buckets, fold in the delta (per-key max_by, tombstones
+   * delete), and dynamic-partition-overwrite exactly those buckets — the
+   * reference's TwoPhaseCompactor ledger rewrite
+   * (pulsar-broker/.../compaction/TwoPhaseCompactor.java) amortized per
+   * batch. Work per batch is O(delta + touched buckets), never O(table).
+   */
+  def compactedTableStream(env: DataFrame, checkpointDir: String,
+      tableDir: String, numBuckets: Int = 64): StreamingQuery =
+    latestPerKeyDelta(env).writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (delta: DataFrame, _: Long) =>
+        val spark = delta.sparkSession
+        val bucketed = delta
+          .withColumn("_bucket", pmod(xxhash64(col("key")), lit(numBuckets)))
+          .persist()
+        try {
+          val touched = bucketed.select(col("_bucket")).distinct()
+            .collect().map(_.getLong(0)).toSeq // ≤ numBuckets values
+          if (touched.nonEmpty) {
+            val dirFile = new java.io.File(tableDir)
+            val existing =
+              if (dirFile.exists() && dirFile.listFiles() != null &&
+                  dirFile.listFiles().nonEmpty)
+                spark.read.parquet(tableDir)
+                  .filter(col("_bucket").isin(touched: _*))
+              else bucketed.limit(0)
+            val merged = existing.unionByName(bucketed)
+              .groupBy(col("key"))
+              .agg(max_by(struct(col("value"), col("publish_ms"), col("msg_offset"),
+                col("tombstone"), col("_bucket")), col("msg_offset")).as("m"))
+              .select(col("key"), col("m.value").as("value"),
+                col("m.publish_ms").as("publish_ms"),
+                col("m.msg_offset").as("msg_offset"),
+                col("m.tombstone").as("tombstone"), col("m._bucket").as("_bucket"))
+              // tombstones STAY in the stored table (the compacted ledger
+              // keeps the latest delete marker too): dropping them here
+              // could leave a touched bucket with zero output rows, and
+              // dynamic overwrite never rewrites a partition it doesn't
+              // write — the stale bucket would survive. Readers filter.
+              //
+              // localCheckpoint breaks the read→overwrite lineage on the
+              // same path; it materializes touched buckets, not the table.
+              .localCheckpoint(true)
+            merged.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("_bucket")
+              .parquet(tableDir)
+          }
+        } finally { bucketed.unpersist(); () }
+      }
+      .start()
+
+  /** Read back the compacted table maintained by [[compactedTableStream]]
+   * (latest delete markers are stored; the view excludes them). */
+  def compactedTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): DataFrame =
+    spark.read.parquet(tableDir).filter(!col("tombstone")).drop("_bucket")
 
   /**
    * F5 streaming — producer-dedup with keyed state: per producer, the
