@@ -14,6 +14,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // A 100+-query session accumulates shuffle files and broadcasts that
+      // ContextCleaner only reclaims after a JVM GC — which a large heap
+      // rarely triggers on its own. Late queries then run against a machine
+      // whose disk/page cache is full of dead shuffle state (p18 measured
+      // 2.6x slower at query #95 than standalone). Periodic cleaner GC
+      // bounds that drift.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer startup shouldn't be
@@ -57,6 +64,7 @@ object Bench {
     } catch { case _: Throwable => }
     // summary JSON is the last stdout line (tail-capture friendly)
     println(json)
+    CacheScope.releaseRun()
     spark.stop()
   }
 }

