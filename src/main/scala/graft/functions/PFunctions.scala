@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
 
 /**
  * The Pulsar Functions runtime surface (SURVEY §2.6) as typed Dataset
@@ -99,5 +100,69 @@ object PFunctions {
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.STRING, implicitly[Encoder[T]])
     ds.flatMap(route)
+  }
+
+  /**
+   * U5 — processing guarantees: what the SINK holds after a crash that
+   * left the slice [crashLo, crashHi) processed-but-unacked, per
+   * FunctionConfig.ProcessingGuarantees (FunctionConfig.java:42-45) and
+   * the ack ordering in JavaInstanceRunnable (:341 sendOutputMessage, ack
+   * handling :440-474):
+   *
+   *  - ATLEAST_ONCE acks AFTER process+publish — the crashed slice is
+   *    redelivered and published AGAIN: duplicates are visible at the sink.
+   *  - ATMOST_ONCE acks at RECEIVE, before process — no redelivery, so
+   *    records of the slice the crash interrupted mid-flight (modeled as
+   *    the odd offsets in the slice) are LOST.
+   *  - EFFECTIVELY_ONCE is at-least-once delivery plus idempotent publish
+   *    keyed by the source message id (the Produce.appendDedup mechanism):
+   *    the redelivered slice is rejected at the sink — each message lands
+   *    exactly once.
+   *
+   * The redelivered stream is the same for ATLEAST/EFFECTIVELY (delivery
+   * is identical; only the sink differs) — exactly the distinction a user
+   * choosing a guarantee level observes.
+   */
+  def guaranteeSink(env: DataFrame, guarantee: String,
+      crashLo: Long, crashHi: Long): DataFrame = {
+    val crashed = col("msg_offset") >= crashLo && col("msg_offset") < crashHi
+    val redelivered = env.unionAll(env.filter(crashed))
+    guarantee match {
+      case "ATLEAST_ONCE" => redelivered
+      case "ATMOST_ONCE" =>
+        env.filter(!crashed || col("msg_offset") % 2 === 0)
+      case "EFFECTIVELY_ONCE" =>
+        // sink-side idempotence on the source message id; the duplicate
+        // rows are byte-identical so which copy survives is immaterial
+        redelivered.dropDuplicates("topic", "partition_id", "msg_offset")
+      case other => throw new IllegalArgumentException(s"unknown guarantee: $other")
+    }
+  }
+
+  /**
+   * U6 — retainKeyOrdering (FunctionConfig.java:94-96): each key's records
+   * reach its function instance in publish order. Spark mapping: hash-
+   * repartition on key (a key never splits across instances) +
+   * sortWithinPartitions on (key, order) BEFORE the instance runs. The
+   * probe tags every record with its OBSERVATION ordinal within the key as
+   * the instance actually sees it, plus a monotonicity flag against the
+   * previously observed offset — so downstream queries can assert the
+   * contract on the mechanism itself rather than on a re-sorted view.
+   */
+  def keyOrderedProbe(ds: Dataset[(String, Long, Double)]): Dataset[(String, Long, Double, Long, Boolean)] = {
+    import ds.sparkSession.implicits._
+    // normalize column names: a Dataset[(…)] built via .as[] keeps its
+    // source names, so address the tuple slots positionally
+    ds.toDF("_1", "_2", "_3").as[(String, Long, Double)]
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+      .mapPartitions { it =>
+        val seen = scala.collection.mutable.Map.empty[String, (Long, Long)] // key → (count, lastOffset)
+        it.map { case (k, off, v) =>
+          val (n, last) = seen.getOrElse(k, (0L, Long.MinValue))
+          seen(k) = (n + 1, off)
+          (k, off, v, n + 1, off > last)
+        }
+      }
   }
 }

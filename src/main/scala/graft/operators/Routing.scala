@@ -131,6 +131,45 @@ object Routing {
   }
 
   /**
+   * R7 — EXCLUSIVE sticky ranges: consumers pin their own hash ranges
+   * (KeySharedPolicy STICKY, KeySharedPolicy.java:86-96); the broker only
+   * validates and stores them. Admission mirrors the reference
+   * (HashRangeExclusiveStickyKeyConsumerSelector.java:117-154,
+   * findConflictingConsumer :156-176): a request is rejected whole if any
+   * range has start > end, its own ranges overlap, or any range overlaps a
+   * previously admitted consumer's — rejected consumers hold NO ranges.
+   * Unlike auto-split, nobody re-tiles the ring: coverage gaps are the
+   * user's problem (class doc :35-38).
+   */
+  def exclusiveRangesFold(requests: Seq[(String, Seq[(Int, Int)])]): Seq[HashRange] =
+    requests.foldLeft(Vector.empty[HashRange]) { case (acc, (c, rs)) =>
+      val sorted = rs.sortBy(_._1)
+      val selfOk = rs.forall { case (lo, hi) => lo <= hi } &&
+        sorted.zip(sorted.drop(1)).forall { case (a, b) => a._2 < b._1 }
+      val othersOk = !rs.exists { case (lo, hi) =>
+        acc.exists(e => math.max(lo, e.lo) <= math.min(hi, e.hi))
+      }
+      if (selfOk && othersOk) acc ++ rs.map { case (lo, hi) => HashRange(c, lo, hi) }
+      else acc
+    }
+
+  /** [[exclusiveRangesFold]] as the broadcastable (consumer, lo, hi) table. */
+  def exclusiveRanges(spark: org.apache.spark.sql.SparkSession,
+      requests: Seq[(String, Seq[(Int, Int)])]): DataFrame = {
+    import spark.implicits._
+    exclusiveRangesFold(requests).map(r => (r.consumer, r.lo, r.hi))
+      .toDF("consumer", "lo", "hi")
+  }
+
+  /** R7 — dispatch over user-pinned ranges: a key whose bucket falls in a
+   * coverage gap has NO consumer (select returns null,
+   * HashRangeExclusiveStickyKeyConsumerSelector.java:100-115) — surfaced
+   * as 'parked' so the undelivered slice is a first-class query result. */
+  def assignExclusive(env: DataFrame, ranges: DataFrame): DataFrame =
+    assignConsumers(env, ranges)
+      .withColumn("consumer", coalesce(col("consumer"), lit("parked")))
+
+  /**
    * R9 — PIP-486 entry-bucketing: whole entries routed by 16-bit bucket;
    * in Spark this is key-range partitioning, giving row-group locality.
    */

@@ -85,6 +85,70 @@ object FunctionQueries extends QueryGroup {
       |FROM env WHERE marker_type IS NULL AND value * 10 >= 5
       |GROUP BY topic ORDER BY topic""".stripMargin))
 
+  private val u5 = QueryDef(
+    // U5 — the three guarantee levels over ONE replayed-slice fixture:
+    // the crash leaves [200, 300) processed-but-unacked. The sink stats
+    // make the user-visible distinction concrete: ATLEAST shows the
+    // duplicates (n_sink > n_msgs), ATMOST loses the interrupted half
+    // (n_sink < base count), EFFECTIVELY dedups back to exactly the base.
+    // sum_out is the published-payload checksum — ATLEAST's includes the
+    // double-published slice.
+    (s, d) => {
+      val base = env(s, d).filter(col("msg_offset") < 500)
+      val stats = Seq("ATLEAST_ONCE", "ATMOST_ONCE", "EFFECTIVELY_ONCE").map { g =>
+        PFunctions.guaranteeSink(base, g, 200L, 300L)
+          .agg(count(lit(1)).as("n_sink"),
+            countDistinct(col("topic"), col("partition_id"), col("msg_offset"))
+              .as("n_msgs"),
+            round(sum(col("value") * 2), 2).as("sum_out"))
+          .select(lit(g).as("guarantee"), col("n_sink"), col("n_msgs"), col("sum_out"))
+      }
+      stats.reduce(_ unionAll _).orderBy(col("guarantee"))
+    },
+    Some(s"""$E, base AS (SELECT * FROM env WHERE msg_offset < 500),
+      |crash AS (SELECT * FROM base WHERE msg_offset >= 200 AND msg_offset < 300),
+      |amo AS (SELECT * FROM base
+      |        WHERE msg_offset < 200 OR msg_offset >= 300 OR msg_offset % 2 = 0),
+      |alo AS (SELECT * FROM base UNION ALL SELECT * FROM crash)
+      |SELECT * FROM (
+      |  SELECT 'ATLEAST_ONCE' AS guarantee, count(*) AS n_sink,
+      |         count(DISTINCT msg_offset) AS n_msgs,
+      |         round(sum(value * 2), 2) AS sum_out FROM alo
+      |  UNION ALL
+      |  SELECT 'ATMOST_ONCE', count(*), count(DISTINCT msg_offset),
+      |         round(sum(value * 2), 2) FROM amo
+      |  UNION ALL
+      |  SELECT 'EFFECTIVELY_ONCE', count(*), count(DISTINCT msg_offset),
+      |         round(sum(value * 2), 2) FROM base)
+      |ORDER BY guarantee""".stripMargin))
+
+  private val u6 = QueryDef(
+    // U6 — retainKeyOrdering: the probe's observation ordinal (assigned by
+    // the function instance AS ROWS ARRIVE) must advance in msg_offset
+    // order per key. violations pins the monotone flag to zero;
+    // order_checksum = sum(ordinal × value) differs from the oracle's
+    // row_number()-over-msg_offset version for ANY other observation order.
+    (s, d) => {
+      import s.implicits._
+      val in = env(s, d).filter(col("key").cast("long") < 15)
+        .select(col("key"), col("msg_offset"), col("value"))
+        .as[(String, Long, Double)]
+      PFunctions.keyOrderedProbe(in)
+        .toDF("key", "msg_offset", "value", "obs_seq", "monotone")
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(!col("monotone"), 1L).otherwise(0L)).as("violations"),
+          round(sum(col("obs_seq") * col("value")), 2).as("order_checksum"))
+        .orderBy(col("key"))
+    },
+    Some(s"""$E, r AS (
+      |  SELECT key, value,
+      |         row_number() OVER (PARTITION BY key ORDER BY msg_offset) AS seq
+      |  FROM env WHERE CAST(key AS BIGINT) < 15)
+      |SELECT key, count(*) AS n, CAST(0 AS BIGINT) AS violations,
+      |       round(sum(seq * value), 2) AS order_checksum
+      |FROM r GROUP BY key ORDER BY key""".stripMargin))
+
   private val a6 = QueryDef(
     // A6 batch twin of StreamingOps.keyedCounters: counter per producer of
     // processed (non-marker) records.
@@ -138,6 +202,8 @@ object FunctionQueries extends QueryGroup {
     "u1_scalar_fn" -> u1,
     "u3_side_outputs" -> u3,
     "u4_composition" -> u4,
+    "u5_guarantees" -> u5,
+    "u6_key_ordering" -> u6,
     "a6_counters" -> a6,
     "a7_byte_state" -> a7,
     "w5_count_watermark" -> w5

@@ -585,6 +585,46 @@ object LogQueries extends QueryGroup {
       |FROM r LEFT JOIN cnt ON r.consumer = cnt.consumer
       |ORDER BY r.lo""".stripMargin))
 
+  private val r7 = QueryDef(
+    // R7 exclusive sticky ranges: three consumers pin disjoint ranges that
+    // deliberately leave gaps ([16001,19999], [45001,51999], [60001,65535]);
+    // a fourth requests [30000,55000], which conflicts with both c-mid and
+    // c-high and is REJECTED at add time — so buckets inside its request
+    // still route to the original owners (key 6 @ 31936 → c-mid) or park.
+    // Keys 0 (bucket 49279) and 12 (61205) fall in gaps → 'parked' (the
+    // reference's select() == null). Oracle = hand-applied reference
+    // algorithm over the spec-pinned key buckets.
+    (s, d) => {
+      val requests = Seq(
+        "c-low" -> Seq((0, 16000)),
+        "c-mid" -> Seq((20000, 45000)),
+        "c-high" -> Seq((52000, 60000)),
+        "c-bad" -> Seq((30000, 55000))) // overlap → rejected, holds no ranges
+      Routing.assignExclusive(
+        env(s, d).filter(col("key").cast("long") < 15 && col("ordering_key").isNull),
+        Routing.exclusiveRanges(s, requests))
+        .groupBy(col("key"), col("sticky_bucket"), col("consumer"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("key"))
+    },
+    Some {
+      val assign = Map( // hand-derived: bucket → pinned range owner or parked
+        0 -> "parked", 1 -> "c-mid", 2 -> "c-high", 3 -> "c-mid",
+        4 -> "c-high", 5 -> "c-low", 6 -> "c-mid", 7 -> "c-mid",
+        8 -> "c-low", 9 -> "c-high", 10 -> "c-low", 11 -> "c-high",
+        12 -> "parked", 13 -> "c-mid", 14 -> "c-high")
+      val values = (0 to 14).map { k =>
+        val b = Murmur3x86.positive(k.toString.getBytes("UTF-8"), 0) % 65536
+        s"('$k', $b, '${assign(k)}')"
+      }.mkString(", ")
+      s"""$E, m(key, sticky_bucket, consumer) AS (SELECT * FROM (VALUES $values)),
+        |cnt AS (SELECT key, count(*) AS n FROM env
+        |        WHERE CAST(key AS BIGINT) < 15 AND ordering_key IS NULL GROUP BY key)
+        |SELECT cnt.key AS key, CAST(m.sticky_bucket AS INT) AS sticky_bucket,
+        |       m.consumer AS consumer, cnt.n AS n
+        |FROM cnt JOIN m ON cnt.key = m.key ORDER BY key""".stripMargin
+    })
+
   /** Effective-key → 16-bit bucket VALUES for r8: both the plain fixture
    * keys and the ordering-key tags, from the spec-pinned hash. */
   private def effectiveBucketValues: String = {
@@ -1014,6 +1054,7 @@ object LogQueries extends QueryGroup {
     "r1_round_robin" -> r1,
     "r2_key_hash_route" -> r2,
     "r5_key_shared_buckets" -> r5,
+    "r7_exclusive_ranges" -> r7,
     "r6_auto_split" -> r6,
     "r10_shared_spread" -> r10,
     "r10b_failover" -> r10b,

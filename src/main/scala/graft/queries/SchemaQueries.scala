@@ -332,8 +332,77 @@ object SchemaQueries extends QueryGroup {
         |FROM env GROUP BY 1 ORDER BY region""".stripMargin
     })
 
+  /** M9 — PERSISTED schema registry: an evolution script runs against a
+   * parquet-backed registry, the registry is then REOPENED (a second
+   * instance on the same path — the "broker restart") and evolved again,
+   * and the result is what actually survived on disk: the catalog of
+   * admitted versions plus the append-only audit ledger. The rejected
+   * incompatible write appears in the audit trail but never in the
+   * catalog, and version numbering is contiguous across the reopen —
+   * the SchemaRegistryServiceImpl durability contract (:182, :311).
+   * Oracle = the hand-derived expected catalog + ledger. */
+  private val m9 = QueryDef(
+    (s, _) => {
+      // fixed scratch path, wiped on entry (same pattern as the
+      // produce-path queries) so repeated runs are deterministic
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-m9-registry")
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+      }
+      rm(dir); dir.mkdirs()
+      val path = dir.toString
+
+      val base = StructType(Seq(req("id", LongType), opt("name", StringType)))
+      val v1 = StructType(base.fields :+ opt("tag", StringType))
+      val bad = StructType(v1.fields :+ req("amount", LongType))
+      val v2 = StructType(v1.fields :+ opt("note", StringType))
+      val auditT = StructType(Seq(req("k", StringType)))
+
+      import graft.schema.{CompatibilityStrategy => CS}
+      val reg = new graft.schema.PersistedSchemaRegistry(s, path)
+      reg.putSchemaIfAbsent("orders-t", base, CS.Backward)  // admitted v0
+      reg.putSchemaIfAbsent("orders-t", v1, CS.Backward)    // admitted v1
+      reg.putSchemaIfAbsent("orders-t", bad, CS.Backward)   // rejected (required add)
+      reg.putSchemaIfAbsent("orders-t", base, CS.Backward)  // idempotent → v0
+      reg.putSchemaIfAbsent("audit-t", auditT, CS.AlwaysIncompatible) // admitted v0
+      reg.putSchemaIfAbsent("audit-t",                      // rejected (strategy)
+        StructType(auditT.fields :+ opt("extra", StringType)), CS.AlwaysIncompatible)
+
+      // reopen from disk: persisted v1 must drive the compat check
+      val reopened = new graft.schema.PersistedSchemaRegistry(s, path)
+      reopened.putSchemaIfAbsent("orders-t", v2, CS.Backward) // admitted v2
+
+      reopened.catalog()
+        .select(lit("catalog").as("kind"), col("topic"),
+          col("version").as("seq"), col("fields").as("detail"))
+        .unionAll(reopened.audit()
+          .select(lit("attempt").as("kind"), col("topic"),
+            col("attempt").as("seq"), col("outcome").as("detail")))
+        .orderBy(col("kind"), col("topic"), col("seq"))
+    },
+    Some {
+      val rows = Seq(
+        ("attempt", "audit-t", 0, "admitted version 0"),
+        ("attempt", "audit-t", 1, "rejected: incompatible with ALWAYS_INCOMPATIBLE at version 1"),
+        ("attempt", "orders-t", 0, "admitted version 0"),
+        ("attempt", "orders-t", 1, "admitted version 1"),
+        ("attempt", "orders-t", 2, "rejected: incompatible with BACKWARD at version 2"),
+        ("attempt", "orders-t", 3, "idempotent version 0"),
+        ("attempt", "orders-t", 4, "admitted version 2"),
+        ("catalog", "audit-t", 0, "k"),
+        ("catalog", "orders-t", 0, "id,name"),
+        ("catalog", "orders-t", 1, "id,name,tag"),
+        ("catalog", "orders-t", 2, "id,name,tag,note"))
+      val values = rows.map { case (k, t, q, dt) => s"('$k', '$t', $q, '$dt')" }
+        .mkString(", ")
+      s"""SELECT kind, topic, CAST(seq AS INT) AS seq, detail
+        |FROM (VALUES $values) AS t(kind, topic, seq, detail)
+        |ORDER BY kind, topic, seq""".stripMargin
+    })
+
   override val defs: Map[String, QueryDef] = Map(
     "m1_schema_compat" -> m1,
+    "m9_registry_persist" -> m9,
     "m2_versioned_decode" -> m2,
     "m3_typed_decode" -> m3,
     "m4_keyvalue_inline" -> m4,

@@ -1,5 +1,6 @@
 package graft.schema
 
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 import scala.collection.concurrent.TrieMap
@@ -122,4 +123,91 @@ final class SchemaRegistry {
     store.toSeq.flatMap { case (t, vs) =>
       vs.zipWithIndex.map { case (s, i) => (t, i, s.json) }
     }
+}
+
+/**
+ * DURABLE versioned schema store: the catalog is a parquet metadata table
+ * (`topic`, `version`, `fields`, `schema_json`) plus an append-only audit
+ * ledger of put attempts — mirroring the reference, where every version is
+ * persisted to the schema ledger and survives the broker process
+ * (SchemaRegistryServiceImpl.putSchemaIfAbsent :182 reads the stored
+ * versions back before admitting; checkCompatible :311). A new
+ * [[PersistedSchemaRegistry]] opened on the same path sees — and
+ * compat-checks against — every version admitted by any earlier instance.
+ *
+ * Scale notes: this is a CONTROL-PLANE table (a few rows per topic, like
+ * the reference's ledger) — reads collect to the driver exactly as the
+ * reference registry materializes `schemaRegistry` state in the broker;
+ * the data plane never touches it per row. Admissions append one parquet
+ * file each, the versioned-log layout whose compaction story is the same
+ * as any metadata table's.
+ */
+final class PersistedSchemaRegistry(spark: SparkSession, path: String) {
+
+  private val catalogDir = s"$path/catalog"
+  private val auditDir = s"$path/audit"
+
+  private val catalogSchema = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("fields", StringType, nullable = false),
+    StructField("schema_json", StringType, nullable = false)))
+  private val auditSchema = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("attempt", IntegerType, nullable = false),
+    StructField("outcome", StringType, nullable = false)))
+
+  private def readTable(dir: String, schema: StructType): DataFrame =
+    if (new java.io.File(dir).exists())
+      spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** The persisted catalog (one row per admitted version). */
+  def catalog(): DataFrame = readTable(catalogDir, catalogSchema)
+
+  /** The persisted put-attempt ledger (admitted / idempotent / rejected). */
+  def audit(): DataFrame = readTable(auditDir, auditSchema)
+
+  private def append(dir: String, schema: StructType, row: Row): Unit =
+    spark.createDataFrame(java.util.List.of(row), schema)
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  /** Stored versions of a topic, oldest first, parsed back to StructTypes. */
+  def versions(topic: String): Vector[StructType] =
+    catalog().filter(s"topic = '$topic'").orderBy("version")
+      .select("schema_json").collect()
+      .map(r => DataType.fromJson(r.getString(0)).asInstanceOf[StructType])
+      .toVector
+
+  def latest(topic: String): Option[(Int, StructType)] = {
+    val v = versions(topic); v.lastOption.map(s => (v.size - 1, s))
+  }
+
+  /**
+   * Admit a schema against the PERSISTED versions: idempotent on an
+   * already-stored schema, compat-checked under the topic strategy
+   * otherwise; a rejected candidate writes nothing to the catalog. Every
+   * attempt (either way) lands in the audit ledger.
+   */
+  def putSchemaIfAbsent(topic: String, schema: StructType,
+      strategy: CompatibilityStrategy): Either[String, Int] = synchronized {
+    val existing = versions(topic)
+    val attempt = audit().filter(s"topic = '$topic'").count().toInt
+    val result = existing.indexOf(schema) match {
+      case i if i >= 0 => Right(i)
+      case _ =>
+        if (SchemaCompat.isCompatible(existing, schema, strategy)) {
+          append(catalogDir, catalogSchema, Row(topic, existing.size,
+            schema.fields.map(_.name).mkString(","), schema.json))
+          Right(existing.size)
+        } else Left(s"incompatible with ${strategy.name} at version ${existing.size}")
+    }
+    val outcome = result match {
+      case Right(v) if v < existing.size => s"idempotent version $v"
+      case Right(v) => s"admitted version $v"
+      case Left(reason) => s"rejected: $reason"
+    }
+    append(auditDir, auditSchema, Row(topic, attempt, outcome))
+    result
+  }
 }
