@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-rehearsal data generator: replicate a driver fixture dir `factor`×
+ * with key-shifted copies (`key → key * factor + replica`), preserving
+ * every intra-replica join (orders↔lineitem, customer↔orders, part/supp)
+ * and the shared dimension tables (nation/region keep one copy, and FK
+ * columns to them are NOT shifted). Used to validate the "linear shuffle"
+ * scaling claims empirically — see PLAN_AUDIT.md — since the driver only
+ * materializes sf ≤ 0.1.
+ *
+ * Usage: runMain graft.ScaleGen <srcDir> <outDir> <factor>
+ */
+object ScaleGen {
+
+  /** Columns to shift per table; absent tables copy through unchanged. */
+  private val shiftCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "customer" -> Seq("c_custkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def replicate(df: DataFrame, cols: Seq[String], factor: Int): DataFrame =
+    // one explode instead of a factor-way union: a single scan, and the
+    // shifted key preserves each column's original integral type
+    df.withColumn("_rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select(df.columns.map { c =>
+        if (cols.contains(c)) (col(c) * factor + col("_rep")).cast(df.schema(c).dataType).as(c)
+        else col(c)
+      }: _*)
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, f) = args.take(3)
+    val factor = f.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tables.foreach { t =>
+      val in = spark.read.parquet(s"$src/$t.parquet")
+      val outDf = shiftCols.get(t) match {
+        case Some(cols) => replicate(in, cols, factor)
+        case None => in
+      }
+      outDf.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scalegen] $t: ${outDf.count()} rows")
+    }
+    spark.stop()
+  }
+}

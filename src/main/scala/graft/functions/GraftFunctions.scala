@@ -22,6 +22,12 @@ object GraftFunctions {
   def keyHashPartition(key: Column, numPartitions: Int): Column =
     pmod(murmur3Positive(key), lit(numPartitions)).cast("int")
 
+  /** Codegen'd cosine similarity of two float/double vectors (see
+   * [[CosineSim]]) — bit-identical to the left-to-right HOF fold. */
+  def cosineSim(a: Column, b: Column): Column =
+    GraftSqlBridge.column(CosineSim(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** F15 — zlib-compress a BINARY payload (CompressionCodecZLib). */
   def zlibDeflate(payload: Column, level: Int = 6): Column =
     GraftSqlBridge.column(ZlibDeflate(GraftSqlBridge.expression(payload), level))

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Tight-loop vector kernels for the embedding operators.
+ *
+ * The similarity family (ANN top-k / threshold / IVF / near-dup pairs) is
+ * dominated by cosine evaluations: |corpus| × |queries or centroids| calls
+ * of a 64-element dot product. The array higher-order functions
+ * (`aggregate`/`zip_with`/`transform`) evaluate INTERPRETED — one Catalyst
+ * eval tree walk plus boxing per element — which at the 10× scale
+ * rehearsal made IVF assignment 60× slower than sf0.1 instead of ~10×.
+ * This kernel is one static call per row inside whole-stage codegen.
+ *
+ * The fold order is EXACTLY the HOF formulation it replaces (left-to-right
+ * double accumulation, `dot / (sqrt(na) * sqrt(nb))`), so results are
+ * bit-identical and the DuckDB oracles (`list_sum(list_transform(...))`,
+ * same order) keep matching.
+ */
+object VectorMath {
+
+  /** Cosine over array<float> inputs, accumulated in double. Returns null
+   * (mirroring the zip_with null-propagation semantics) on length mismatch
+   * or a null element. */
+  def cosineFloat(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0d; var na = 0d; var nb = 0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** array<double> variant of [[cosineFloat]]. */
+  def cosineDouble(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0d; var na = 0d; var nb = 0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/**
+ * Codegen'd cosine similarity over two array<float> / array<double>
+ * columns (both sides must share the element type). Null inputs, length
+ * mismatches, and null elements yield null — the same contract as the
+ * HOF formulation it replaces.
+ */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim needs two arrays of FLOAT or of DOUBLE, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  private def isFloat: Boolean = elemType(left).contains(FloatType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r =
+      if (isFloat) VectorMath.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      else VectorMath.cosineDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "cosineFloat" else "cosineDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.VectorMath.$fn($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}

@@ -46,15 +46,12 @@ class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]
 object Similarity {
 
   /** Cosine similarity of two float vectors, computed in double with a
-   * left-to-right fold (deterministic, oracle-reproducible). */
-  def cosine(a: Column, b: Column): Column = {
-    def d(c: Column): Column = transform(c, x => x.cast("double"))
-    val da = d(a); val db = d(b)
-    val dot = aggregate(zip_with(da, db, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(da, lit(0d), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(db, lit(0d), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+   * left-to-right fold (deterministic, oracle-reproducible). One codegen'd
+   * kernel call per row ([[graft.functions.CosineSim]]) — the HOF
+   * formulation (`aggregate`/`zip_with`) evaluates interpreted per element
+   * and was the dominant cost of every ANN query at the 10× rehearsal. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
 
   /** Sign-bit coarse bucket over the first `bits` dimensions — a random-
    * hyperplane LSH specialization (hyperplanes = axis planes), giving 2^bits
