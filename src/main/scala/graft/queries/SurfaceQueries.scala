@@ -55,6 +55,45 @@ object SurfaceQueries extends QueryGroup {
       |       max(msg_offset) AS head_offset
       |FROM env WHERE topic = 'events-0' GROUP BY topic""".stripMargin))
 
+  private val m10 = QueryDef(
+    // M10 — the SQL surface: the engine's custom expressions registered as
+    // SQL functions (GraftSql.register / spark.sql.extensions=
+    // graft.GraftExtensions) and exercised through pure `spark.sql` text
+    // over a topic view — routing hash, ring bucket, cosine kernel, and a
+    // zlib roundtrip guard (any codec corruption turns payload_bytes
+    // negative). The oracle re-derives the hashes from the spec-pinned
+    // Murmur3x86 and the cosine from the same-order double fold.
+    (s, d) => {
+      graft.GraftSql.register(s)
+      env(s, d).createOrReplaceTempView("graft_topic")
+      s.sql("""
+        SELECT key, key_shared_bucket(key) AS bucket,
+               CAST(murmur3_32_positive(key, 0) % 6 AS INT) AS route_partition,
+               count(*) AS n,
+               round(sum(cosine_sim(array(value, 1.0D), array(1.0D, 1.0D))), 3) AS sum_cos,
+               sum(CASE WHEN zlib_inflate(zlib_deflate(value_bin)) = value_bin
+                        THEN octet_length(value_bin) ELSE -1000000 END) AS payload_bytes
+        FROM graft_topic
+        WHERE CAST(key AS BIGINT) < 15
+        GROUP BY key ORDER BY key""")
+    },
+    Some {
+      val values = (0 to 14).map { k =>
+        val h = graft.functions.Murmur3x86.positive(k.toString.getBytes("UTF-8"), 0)
+        s"('$k', ${h % 65536}, ${h % 6})"
+      }.mkString(", ")
+      s"""$E, m(key, bucket, pt) AS (SELECT * FROM (VALUES $values)),
+        |cnt AS (
+        |  SELECT key, count(*) AS n,
+        |    round(sum((value + 1.0) / (sqrt(value * value + 1.0) * sqrt(2.0))), 3) AS sum_cos,
+        |    CAST(sum(octet_length(value_bin)) AS BIGINT) AS payload_bytes
+        |  FROM env WHERE CAST(key AS BIGINT) < 15 GROUP BY key)
+        |SELECT cnt.key AS key, CAST(m.bucket AS INT) AS bucket,
+        |       CAST(m.pt AS INT) AS route_partition, cnt.n AS n,
+        |       cnt.sum_cos AS sum_cos, cnt.payload_bytes AS payload_bytes
+        |FROM cnt JOIN m ON cnt.key = m.key ORDER BY key""".stripMargin
+    })
+
   private val o1 = QueryDef(
     // O1 — per-partition total order: MessageId (ledger, entry) must be
     // consistent with the offset order; violations = 0.
@@ -197,6 +236,7 @@ object SurfaceQueries extends QueryGroup {
     "s6_raw_reader" -> s6,
     "s11_datagen_source" -> s11,
     "s15_shadow_topic" -> s15,
+    "m10_sql_surface" -> m10,
     "o1_message_id_order" -> o1,
     "f4_delayed_buckets" -> f4,
     "f7_negative_ack_backoff" -> f7,

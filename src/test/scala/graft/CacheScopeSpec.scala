@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scope semantics of the cache registry: per-query `track` entries fall
+ * to `releaseAll`, run-scoped `memoRun` entries survive it (that is the
+ * point — shared derivations outlive query boundaries) and fall only to
+ * `releaseRun`. */
+class CacheScopeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("memoRun memoizes per key and survives releaseAll") {
+    CacheScope.releaseRun()
+    var builds = 0
+    def build() = { builds += 1; spark.range(10).toDF() }
+    val a = CacheScope.memoRun("spec:memo1")(build())
+    val b = CacheScope.memoRun("spec:memo1")(build())
+    assert(builds === 1)
+    assert(a eq b)
+    assert(CacheScope.runSize === 1)
+    CacheScope.releaseAll() // per-query release must NOT evict run scope
+    assert(CacheScope.runSize === 1)
+    val c = CacheScope.memoRun("spec:memo1")(build())
+    assert(builds === 1 && (c eq a))
+    CacheScope.releaseRun()
+    assert(CacheScope.runSize === 0)
+    val d = CacheScope.memoRun("spec:memo1")(build())
+    assert(builds === 2)
+    assert(d.storageLevel.useMemory) // re-built entry is persisted again
+    CacheScope.releaseRun()
+  }
+
+  test("track entries fall to releaseAll; memoRun entries stay cached") {
+    CacheScope.releaseRun()
+    // distinct plans: Spark's cache is keyed by analyzed plan, so two
+    // datasets over the SAME plan would alias each other's persist state
+    val t = CacheScope.track(spark.range(5).toDF())
+    val m = CacheScope.memoRun("spec:memo2")(spark.range(7).toDF())
+    t.count(); m.count()
+    assert(t.storageLevel.useMemory && m.storageLevel.useMemory)
+    CacheScope.releaseAll()
+    assert(!t.storageLevel.useMemory)
+    assert(m.storageLevel.useMemory)
+    CacheScope.releaseRun()
+    assert(!m.storageLevel.useMemory)
+  }
+}
