@@ -172,12 +172,32 @@ final class PersistedSchemaRegistry(spark: SparkSession, path: String) {
     spark.createDataFrame(java.util.List.of(row), schema)
       .coalesce(1).write.mode("append").parquet(dir)
 
-  /** Stored versions of a topic, oldest first, parsed back to StructTypes. */
-  def versions(topic: String): Vector[StructType] =
-    catalog().filter(s"topic = '$topic'").orderBy("version")
-      .select("schema_json").collect()
-      .map(r => DataType.fromJson(r.getString(0)).asInstanceOf[StructType])
-      .toVector
+  /** In-memory mirror of the durable state, read ONCE at open and
+   * maintained write-through — the reference registry's shape too: the
+   * broker serves schema lookups from memory over the BookKeeper ledger
+   * (`SchemaRegistryServiceImpl` caches `schemaRegistry` state). A
+   * registry instance is the single writer of its path (like the topic's
+   * owning broker); a reopened instance re-reads whatever any earlier
+   * writer persisted. */
+  private lazy val stateAtOpen
+      : (collection.mutable.Map[String, Vector[StructType]], collection.mutable.Map[String, Int]) = {
+    val vs = collection.mutable.Map.empty[String, Vector[StructType]]
+    catalog().orderBy("topic", "version").collect().foreach { r =>
+      val t = r.getString(0)
+      vs(t) = vs.getOrElse(t, Vector.empty) :+
+        DataType.fromJson(r.getString(3)).asInstanceOf[StructType]
+    }
+    val at = collection.mutable.Map.empty[String, Int]
+    audit().groupBy("topic").count().collect().foreach { r =>
+      at(r.getString(0)) = r.getLong(1).toInt
+    }
+    (vs, at)
+  }
+
+  /** Stored versions of a topic, oldest first. */
+  def versions(topic: String): Vector[StructType] = synchronized {
+    stateAtOpen._1.getOrElse(topic, Vector.empty)
+  }
 
   def latest(topic: String): Option[(Int, StructType)] = {
     val v = versions(topic); v.lastOption.map(s => (v.size - 1, s))
@@ -192,13 +212,14 @@ final class PersistedSchemaRegistry(spark: SparkSession, path: String) {
   def putSchemaIfAbsent(topic: String, schema: StructType,
       strategy: CompatibilityStrategy): Either[String, Int] = synchronized {
     val existing = versions(topic)
-    val attempt = audit().filter(s"topic = '$topic'").count().toInt
+    val attempt = stateAtOpen._2.getOrElse(topic, 0)
     val result = existing.indexOf(schema) match {
       case i if i >= 0 => Right(i)
       case _ =>
         if (SchemaCompat.isCompatible(existing, schema, strategy)) {
           append(catalogDir, catalogSchema, Row(topic, existing.size,
             schema.fields.map(_.name).mkString(","), schema.json))
+          stateAtOpen._1(topic) = existing :+ schema // write-through
           Right(existing.size)
         } else Left(s"incompatible with ${strategy.name} at version ${existing.size}")
     }
@@ -208,6 +229,7 @@ final class PersistedSchemaRegistry(spark: SparkSession, path: String) {
       case Left(reason) => s"rejected: $reason"
     }
     append(auditDir, auditSchema, Row(topic, attempt, outcome))
+    stateAtOpen._2(topic) = attempt + 1
     result
   }
 }
