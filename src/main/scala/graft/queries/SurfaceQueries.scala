@@ -55,6 +55,35 @@ object SurfaceQueries extends QueryGroup {
       |       max(msg_offset) AS head_offset
       |FROM env WHERE topic = 'events-0' GROUP BY topic""".stripMargin))
 
+  private val s16 = QueryDef(
+    // S16 — bucketed topic storage: the topic and its per-key head-offset
+    // dim persisted hash-bucketed by key, then consumed through an
+    // EXCHANGE-FREE co-located join + key aggregation (the 100 TB read
+    // layout; zero-shuffle property asserted in BucketedTopicSpec). The
+    // oracle only checks the answer — same as the direct formulation.
+    (s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-s16")
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+      }
+      rm(dir)
+      val e = env(s, d).select(col("key"), col("msg_offset"), col("value"))
+      GraftIO.writeBucketedTopic(e, "graft_s16_log", s"$dir/log",
+        Seq("key"), 8, sortCols = Seq("key"))
+      GraftIO.writeBucketedTopic(
+        e.groupBy(col("key")).agg(max(col("msg_offset")).as("head_offset")),
+        "graft_s16_heads", s"$dir/heads", Seq("key"), 8, sortCols = Seq("key"))
+      s.table("graft_s16_log").join(s.table("graft_s16_heads"), "key")
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"),
+          max(col("head_offset")).as("head_offset"))
+        .orderBy(col("key"))
+    },
+    Some(s"""$E
+      |SELECT key, count(*) AS n, round(sum(value), 2) AS sum_v,
+      |       max(msg_offset) AS head_offset
+      |FROM env GROUP BY key ORDER BY key""".stripMargin))
+
   private val m10 = QueryDef(
     // M10 — the SQL surface: the engine's custom expressions registered as
     // SQL functions (GraftSql.register / spark.sql.extensions=
@@ -237,6 +266,7 @@ object SurfaceQueries extends QueryGroup {
     "s11_datagen_source" -> s11,
     "s15_shadow_topic" -> s15,
     "m10_sql_surface" -> m10,
+    "s16_bucketed_topic" -> s16,
     "o1_message_id_order" -> o1,
     "f4_delayed_buckets" -> f4,
     "f7_negative_ack_backoff" -> f7,

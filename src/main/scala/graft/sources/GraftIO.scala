@@ -63,6 +63,30 @@ object GraftIO {
         sink.flush()
       } finally sink.close()
     }
+
+  /**
+   * Bucketed topic storage — the co-located layout for the 100 TB read
+   * path. Persisting a topic hash-bucketed (and optionally sorted) by its
+   * key makes every downstream key-join and key-aggregation EXCHANGE-FREE:
+   * Spark's bucketed scan reports HashPartitioning, so joins between
+   * same-bucketed tables and groupBy(key) skip their shuffles entirely
+   * (asserted in BucketedTopicSpec against the physical plan). This is the
+   * engine's equivalent of the reference's per-key topic partitioning —
+   * the key→bucket placement is done once at write time and every
+   * consumer inherits it. `numBuckets` is the scale knob: ≈ target
+   * cluster parallelism at the expected table size.
+   */
+  def writeBucketedTopic(df: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write.format("parquet").option("path", path)
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }
 
 /**
