@@ -4,8 +4,7 @@ import graft.functions._
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, Pmod}
-import org.apache.spark.sql.types.{IntegerType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.IntegerType
 
 /**
  * The engine's SQL surface: every custom Catalyst expression registered as
@@ -36,7 +35,10 @@ object GraftSql {
       case Seq(e) => Murmur3Positive(e, 0)
       case Seq(e, s) => Murmur3Positive(e, intArg(s, "seed"))
     },
-    reg("key_shared_bucket", classOf[Murmur3Positive],
+    // composed expression (Cast∘Pmod∘Murmur3Positive): report the registrar
+    // as the implementing class — naming any single expression would
+    // mislead DESCRIBE FUNCTION
+    reg("key_shared_bucket", GraftSql.getClass,
       "_FUNC_(key) - 16-bit Key_Shared ring bucket: murmur3(key) mod 65536") {
       case Seq(e) => Cast(Pmod(Murmur3Positive(e, 0), Literal(65536)), IntegerType)
     },
@@ -84,9 +86,6 @@ object GraftSql {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
-
-  /** Helper for m10-style fixtures: UTF8String literal. */
-  private[graft] def utf8(s: String): Literal = Literal(UTF8String.fromString(s), StringType)
 }
 
 /**

@@ -42,13 +42,7 @@ object ProfileProduce {
         .filter(col("event_id") < 3000 && col("user_id") < 15)
         .select(col("event_id"), col("user_id").cast("string").as("key"), col("value"))
 
-    def freshDir(tag: String): String = {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-prof-$tag")
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
-      }
-      rm(dir); dir.mkdirs(); dir.toString
-    }
+    def freshDir(tag: String): String = Scratch.freshDir(s"prof-$tag")
 
     (1 to 3).foreach { round =>
       if (round == 3) {

@@ -57,7 +57,9 @@ object ScaleGen {
         case None => in
       }
       outDf.write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[scalegen] $t: ${outDf.count()} rows")
+      // count the WRITTEN files (footer metadata), not the derivation —
+      // re-running the explode pipeline just for a log line doubles the cost
+      println(s"[scalegen] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
     spark.stop()
   }

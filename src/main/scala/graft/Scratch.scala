@@ -1,0 +1,28 @@
+package graft
+
+/** Scratch-dir helper for write-path queries and profiling harnesses: one
+ * fixed path per tag under the system tmpdir, wiped on entry so repeated
+ * Verify/Bench/Explain invocations never accumulate temp parquet dirs. */
+object Scratch {
+
+  private def rm(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rm)
+    f.delete(): Unit
+  }
+
+  /** Wipe and recreate the tag's scratch dir; returns its path. */
+  def freshDir(tag: String): String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-$tag")
+    rm(dir); dir.mkdirs()
+    dir.toString
+  }
+
+  /** Wipe the tag's scratch dir WITHOUT recreating it (for callers whose
+   * writers create the directory themselves, e.g. saveAsTable). */
+  def clearDir(tag: String): String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-$tag")
+    rm(dir)
+    dir.toString
+  }
+}

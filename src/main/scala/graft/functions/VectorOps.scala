@@ -85,7 +85,9 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
-  private def isFloat: Boolean = elemType(left).contains(FloatType)
+  // resolved once per expression instance: interpreted-mode eval calls
+  // this per row, and the point of the kernel is zero per-row overhead
+  private lazy val isFloat: Boolean = elemType(left).contains(FloatType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val r =

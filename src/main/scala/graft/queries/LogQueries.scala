@@ -344,17 +344,8 @@ object LogQueries extends QueryGroup {
 
   // ---------------------------------------------------------------- S: sources / unions / replication
 
-  /** Scratch topic dir for the write-path queries. Reusing one fixed path
-   * per tag and wiping it on entry keeps repeated Verify/Bench/Explain
-   * invocations from accumulating temp parquet dirs. */
-  private def freshDir(tag: String): String = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-$tag")
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
-    }
-    rm(dir); dir.mkdirs()
-    dir.toString
-  }
+  /** Scratch topic dir for the write-path queries (see [[graft.Scratch]]). */
+  private def freshDir(tag: String): String = graft.Scratch.freshDir(tag)
 
   /** Keyed sub-batch of the raw events table used by the produce-path
    * queries (keys < 15 so the routing VALUES table stays small). */

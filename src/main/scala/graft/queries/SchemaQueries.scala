@@ -345,12 +345,7 @@ object SchemaQueries extends QueryGroup {
     (s, _) => {
       // fixed scratch path, wiped on entry (same pattern as the
       // produce-path queries) so repeated runs are deterministic
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-m9-registry")
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
-      }
-      rm(dir); dir.mkdirs()
-      val path = dir.toString
+      val path = graft.Scratch.freshDir("m9-registry")
 
       val base = StructType(Seq(req("id", LongType), opt("name", StringType)))
       val v1 = StructType(base.fields :+ opt("tag", StringType))

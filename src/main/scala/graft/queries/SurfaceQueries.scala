@@ -62,11 +62,7 @@ object SurfaceQueries extends QueryGroup {
     // layout; zero-shuffle property asserted in BucketedTopicSpec). The
     // oracle only checks the answer — same as the direct formulation.
     (s, d) => {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft-s16")
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
-      }
-      rm(dir)
+      val dir = graft.Scratch.clearDir("s16")
       val e = env(s, d).select(col("key"), col("msg_offset"), col("value"))
       GraftIO.writeBucketedTopic(e, "graft_s16_log", s"$dir/log",
         Seq("key"), 8, sortCols = Seq("key"))

@@ -12,13 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class BucketedTopicSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def tmp(tag: String): String = {
-    val d = new java.io.File(sys.props("java.io.tmpdir"), s"graft-bucket-$tag")
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
-    }
-    rm(d); d.toString
-  }
+  private def tmp(tag: String): String = Scratch.clearDir(s"bucket-$tag")
 
   private def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
     df.collect() // materialize so AQE settles on the final plan
