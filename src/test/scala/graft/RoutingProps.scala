@@ -89,6 +89,49 @@ object RoutingProps extends Properties("Routing") {
     }
   }
 
+  /** Exclusive (user-pinned) ranges, R7: whatever the request sequence,
+   * the admitted table never overlaps; admission is all-or-nothing per
+   * consumer; and a request is rejected IFF it is self-invalid or
+   * conflicts with the already-admitted table
+   * (HashRangeExclusiveStickyKeyConsumerSelector add validation). */
+  property("exclusive ranges: admitted table is conflict-free, admission is exact") = {
+    val range: Gen[(Int, Int)] = for {
+      a <- Gen.chooseNum(0, 65535); b <- Gen.chooseNum(0, 65535)
+      flip <- Gen.prob(0.9) // mostly valid (lo <= hi), sometimes inverted
+    } yield if (flip) (math.min(a, b), math.max(a, b)) else (math.max(a, b) + 1, math.min(a, b))
+    val requests: Gen[Seq[(String, Seq[(Int, Int)])]] =
+      Gen.listOf(Gen.listOfN(2, range)).map(_.zipWithIndex.map {
+        case (rs, i) => s"c$i" -> rs.take(1 + i % 2)
+      })
+    forAll(requests) { reqs =>
+      val admitted = graft.operators.Routing.exclusiveRangesFold(reqs)
+      val sorted = admitted.sortBy(_.lo)
+      val noOverlap = sorted.sliding(2).forall {
+        case Seq(a, b) => a.hi < b.lo
+        case _ => true
+      }
+      val allOrNothing = reqs.forall { case (c, rs) =>
+        val mine = admitted.filter(_.consumer == c)
+        mine.isEmpty || mine.map(r => (r.lo, r.hi)).sortBy(_._1) == rs.sortBy(_._1)
+      }
+      // replay: each request must be admitted iff valid against the
+      // table admitted BEFORE it (prefix-fold equivalence)
+      val admissionExact = reqs.indices.forall { i =>
+        val before = graft.operators.Routing.exclusiveRangesFold(reqs.take(i))
+        val after = graft.operators.Routing.exclusiveRangesFold(reqs.take(i + 1))
+        val (c, rs) = reqs(i)
+        val srt = rs.sortBy(_._1)
+        val selfOk = rs.forall { case (lo, hi) => lo <= hi } &&
+          srt.zip(srt.drop(1)).forall { case (x, y) => x._2 < y._1 }
+        val conflict = rs.exists { case (lo, hi) =>
+          before.exists(e => math.max(lo, e.lo) <= math.min(hi, e.hi)) }
+        val got = after.exists(_.consumer == c)
+        got == (selfOk && !conflict)
+      }
+      Prop(noOverlap && allOrNothing && admissionExact)
+    }
+  }
+
   /** Keyed routing is uniform-ish: over many random keys no partition of 8
    * takes more than twice its fair share (a loose bound — catches
    * byte-order/masking bugs that collapse the distribution). */

@@ -51,4 +51,42 @@ class SchemaSpec extends AnyFunSuite {
       StructType(Seq(req("id", LongType), opt("x", StringType))),
       AlwaysIncompatible).isLeft)
   }
+
+  test("persisted registry agrees with the in-memory model across reopens") {
+    // model-based check: drive BOTH registries through the same
+    // deterministic pseudo-random evolution script, reopening the
+    // persisted one every few puts — every putSchemaIfAbsent result and
+    // every topic's version vector must agree throughout.
+    val spark = TestSpark.spark
+    val path = Scratch.freshDir("schema-model")
+    val model = new SchemaRegistry
+    var persisted = new PersistedSchemaRegistry(spark, path)
+    val fieldPool = Vector(
+      req("id", LongType), opt("name", StringType), opt("tag", StringType),
+      req("amount", LongType), opt("note", StringType), req("n", IntegerType),
+      opt("extra", DoubleType))
+    val strategies = CompatibilityStrategy.all
+    val rnd = new scala.util.Random(7)
+    val topics = Vector("t-a", "t-b")
+    (0 until 40).foreach { i =>
+      val topic = topics(rnd.nextInt(topics.size))
+      // random subset of the pool, order-preserving → plausible evolutions
+      val fields = fieldPool.filter(_ => rnd.nextBoolean())
+      val schema = StructType(if (fields.isEmpty) fieldPool.take(1) else fields)
+      val strat = strategies(rnd.nextInt(strategies.size))
+      val got = persisted.putSchemaIfAbsent(topic, schema, strat)
+      val want = model.putSchemaIfAbsent(topic, schema, strat)
+      assert(got === want, s"step $i: $topic ${strat.name} ${schema.simpleString}")
+      if (i % 7 == 6) { // broker restart
+        persisted = new PersistedSchemaRegistry(spark, path)
+        topics.foreach { t =>
+          assert(persisted.versions(t) === model.versions(t), s"reopen at step $i: $t")
+        }
+      }
+    }
+    topics.foreach { t =>
+      assert(persisted.versions(t) === model.versions(t))
+      assert(persisted.latest(t) === model.latest(t))
+    }
+  }
 }
