@@ -31,6 +31,8 @@ import java.nio.file.Files
  *      split == batch TimeWindows.lateData on the same log.
  *  10. Compacted-table sink (A5 at scale): the bucket-partitioned parquet
  *      table converges to the batch tableView with no driver-side state.
+ *  11. Key-ordered consumption (U6): stateful per-key ordinals across
+ *      micro-batches == batch keyOrderedProbe, zero order violations.
  *
  * Exits nonzero on any mismatch.
  */
@@ -246,8 +248,31 @@ object StreamingSmoke {
     check("compacted-table", tableRows == batchView,
       s"table=${tableRows.size} keys batch=${batchView.size} keys")
 
+    // -- 11. key-ordered consumption (U6): streaming ordinals == batch ----
+    // the stateful instance observes every key in offset order across
+    // micro-batches; its (key, offset) → ordinal map must equal the batch
+    // keyOrderedProbe and the final violation count must be zero
+    val s11 = MemoryStream[MessageEnvelope]
+    val q11 = StreamingOps.keyOrderedStream(s11.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("keyord_out")
+      .option("checkpointLocation", ckpt()).start()
+    chunks.foreach { c => s11.addData(c); q11.processAllAvailable() }
+    q11.stop()
+    val streamOrd = spark.table("keyord_out")
+      .select("key", "msg_offset", "obs_seq").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamViol = spark.table("keyord_out").agg(max(col("violations")))
+      .head().getLong(0)
+    val batchOrd = graft.functions.PFunctions.keyOrderedProbe(
+      batchDf.select(col("key"), col("msg_offset"), col("value"))
+        .as[(String, Long, Double)])
+      .collect().map { case (k, off, _, seq, _) => (k, off) -> seq }.toMap
+    check("key-ordering", streamOrd == batchOrd && streamViol == 0L,
+      s"stream=${streamOrd.size} batch=${batchOrd.size} violations=$streamViol")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 10 converged to batch twins OK")
+    println(s"[stream-smoke] all 11 converged to batch twins OK")
     spark.stop()
   }
 }

@@ -269,6 +269,39 @@ object StreamingOps {
       }
   }
 
+  /** One observed record of the key-ordered stream: the ordinal the
+   * function instance assigned at observation time, plus the running
+   * violation count (order breaches seen so far for the key). */
+  final case class KeyOrdered(key: String, msg_offset: Long, obs_seq: Long, violations: Long)
+
+  /**
+   * U6 streaming — retainKeyOrdering (FunctionConfig.java:94-96): each
+   * key's records reach its (stateful) function instance in publish
+   * order. groupByKey pins a key to one instance; within a micro-batch
+   * the instance restores offset order before processing (Spark does not
+   * order rows through the state shuffle — imposing it IS the
+   * semantic); across micro-batches, state carries the last offset so
+   * the monotonicity contract is checked over the whole stream, not per
+   * batch. The batch twin is PFunctions.keyOrderedProbe.
+   */
+  def keyOrderedStream(env: Dataset[MessageEnvelope]): Dataset[KeyOrdered] = {
+    import env.sparkSession.implicits._
+    env.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Long), KeyOrdered](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          var (last, seq, viol) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          val out = rows.toSeq.sortBy(_.msg_offset).map { m =>
+            seq += 1
+            if (m.msg_offset <= last) viol += 1
+            last = m.msg_offset
+            KeyOrdered(key, m.msg_offset, seq, viol)
+          }
+          state.update((last, seq, viol))
+          out.iterator
+      }
+  }
+
   /**
    * F3/F4 streaming — delayed delivery with keyed state: messages are
    * held per partition until the group's clock (max publish time seen —
