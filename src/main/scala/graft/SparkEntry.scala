@@ -20,7 +20,7 @@ object SparkEntry {
 
   private def groups: Seq[QueryGroup] =
     Seq(LogQueries, RelationalQueries, PipelineQueries, SchemaQueries,
-      FunctionQueries, SurfaceQueries)
+      FunctionQueries, SurfaceQueries, CorpusQueries)
 
   private lazy val allDefs: Map[String, QueryDef] =
     groups.flatMap(_.defs).toMap

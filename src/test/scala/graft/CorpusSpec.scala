@@ -1,0 +1,145 @@
+package graft
+
+import graft.pipeline.CorpusOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-curation operators (p21–p27) against hand fixtures and the
+ * sf0.001 tables: the in-row bigram-mode fold must agree with a naive
+ * group-count, redaction/quantization invariants must hold row-by-row,
+ * and sampling must be deterministic. */
+class CorpusSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val embs =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("bigram-mode fold matches a naive driver-side group-count") {
+    val sample = docs.filter(col("doc_id") < 50)
+    val got = CorpusOps.repetitionStats(sample, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("top_bigram_count"))).toMap
+    val naive = sample.select("doc_id", "text").collect().map { r =>
+      val ws = r.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", " ")
+        .trim.split(" ")
+      val grams = ws.sliding(2).map(_.mkString(" ")).toSeq
+      r.getLong(0) -> (grams.size.toLong,
+        grams.groupBy(identity).values.map(_.size).max.toLong)
+    }.toMap
+    naive.foreach { case (id, exp) => assert(got(id) === exp, s"doc $id") }
+  }
+
+  test("repetition stats flag a template-spam document") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "click here click here click here click here click here"),
+      (1L, "a genuinely varied sentence with no repeated bigrams at all"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.repetitionStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("top_bigram_frac")).toMap
+    assert(out(0L) > 0.5, "spam doc should be dominated by one bigram")
+    assert(out(1L) < 0.2, "varied doc should not be")
+  }
+
+  test("PII redaction counts and replaces every pattern occurrence") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "mail a@b.io and c.d+x@e.org, host 192.168.0.1, call +1-555-0199"),
+      (1L, "no pii here at all"))
+      .toDF("doc_id", "payload")
+    val out = CorpusOps.piiRedact(d, "doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Int]("n_emails") === 2)
+    assert(out(0L).getAs[Int]("n_ips") === 1)
+    assert(out(0L).getAs[Int]("n_phones") === 1)
+    assert(out(1L).getAs[Int]("n_emails") === 0)
+    // the redacted text of row 0 must hash like its fully-scrubbed form
+    val expected = "mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE>"
+    val expMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0L).getAs[String]("redacted_md5") === expMd5)
+  }
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    def run() = CorpusOps.stratifiedSample(docs,
+      stratum = col("source"),
+      threshold = when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
+        lit("19")).otherwise(lit("33")),
+      id = col("doc_id"), text = col("text"))
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val a = run(); val b = run()
+    assert(a.toSeq === b.toSeq, "same key, same sample — bit-for-bit")
+    // pooled across strata the empirical rate must sit near the blended
+    // expectation (26/256 and 52/256); per-stratum counts are too small
+    // for a tight bound at sf0.001
+    val (n, k) = (a.map(_._2).sum.toDouble, a.map(_._3).sum.toDouble)
+    assert(k / n > 0.05 && k / n < 0.30, s"pooled rate ${k / n}")
+  }
+
+  test("token-budget mix never exceeds the budget and is ranked by key") {
+    val out = CorpusOps.tokenBudgetMix(docs, col("source"), 300L,
+      col("doc_id"), col("text")).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("tokens_kept") <= 300L,
+        s"stratum ${r.getString(0)} over budget")
+    }
+    assert(out.map(_.getAs[Long]("n_docs_kept")).sum > 0)
+  }
+
+  test("decontamination flags exactly the documents sharing an n-gram") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon more tail"), // shares
+      (2L, "completely unrelated content with other words entirely"), // clean
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))          // shares
+      .toDF("doc_id", "text")
+    val got = CorpusOps.decontaminate(corpus, bench, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq === Seq(1L, 3L))
+    // doc 3 contains both benchmark 5-grams; doc 1 only the first
+    assert(got.toMap.apply(1L) === 1L)
+    assert(got.toMap.apply(3L) === 2L)
+  }
+
+  test("chunk dedup counts duplicated chunks with multiplicity") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, "srcA", shared + " " + (21 to 40).map(i => s"a$i").mkString(" ")),
+      (1L, "srcA", shared + " " + (21 to 40).map(i => s"b$i").mkString(" ")),
+      (2L, "srcB", (1 to 40).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.chunkDupStats(d, "doc_id", "text", "source", 20)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // srcA: 4 chunks, the shared 20-word chunk appears twice (both dup),
+    // both docs touched; srcB: 2 chunks, none duplicated
+    assert(got.toSeq === Seq(("srcA", 4L, 2L, 2L), ("srcB", 2L, 0L, 0L)))
+  }
+
+  test("quantization bounds: q in [0,255], reconstruction within scale/2") {
+    val rows = embs.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val got = CorpusOps.quantizeStats(embs.filter(col("vec_id") < 20),
+      "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("q_sum"), r.getAs[Int]("q_first")))
+      .toMap
+    rows.foreach { case (id, v) =>
+      val mn = v.min; val mx = v.max; val scale = (mx - mn) / 255.0
+      val q = v.map(x => math.floor((x - mn) / scale + 0.5))
+      assert(q.forall(x => x >= 0 && x <= 255), s"vec $id out of int8 range")
+      // dequantized values reconstruct within half a quantization step
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(mn + qi * scale - x) <= scale / 2 + 1e-12)
+      }
+      assert(got(id)._1 === q.sum.toLong, s"vec $id q_sum")
+      assert(got(id)._2 === q.head.toInt, s"vec $id q_first")
+    }
+  }
+}
