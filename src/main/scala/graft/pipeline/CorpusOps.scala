@@ -169,7 +169,14 @@ object CorpusOps {
    */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
+    // explicit repartition before the gram explode: the scan is a few
+    // parquet files, and AQE would otherwise run the compute-heavy
+    // n-gram construction on that handful of input splits (same
+    // rationale as DedupOps.shingleRows)
+    val parts = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     def grams(df: DataFrame): DataFrame = df
+      .repartition(parts, col(idCol))
       .select(col(idCol), TextOps.words(col(textCol)).as("ws"))
       .where(size(col("ws")) >= n)
       .select(col(idCol), explode(ngramSet(col("ws"), n)).as("gram"))

@@ -31,6 +31,29 @@ class CorpusSpec extends AnyFunSuite {
     naive.foreach { case (id, exp) => assert(got(id) === exp, s"doc $id") }
   }
 
+  test("bigram fold edge shapes: all-equal, two-word, and seeded-random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val randomDocs = (10L to 49L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val d = (Seq(
+      0L -> "same same same same same", // one bigram repeated n-1 times
+      1L -> "left right") ++ randomDocs).toDF("doc_id", "text")
+    val got = CorpusOps.repetitionStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("top_bigram_count"))).toMap
+    assert(got(0L) === ((4L, 4L)))
+    assert(got(1L) === ((1L, 1L)))
+    randomDocs.foreach { case (id, text) =>
+      val grams = text.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+      val exp = (grams.size.toLong,
+        grams.groupBy(identity).values.map(_.size).max.toLong)
+      assert(got(id) === exp, s"doc $id: '$text'")
+    }
+  }
+
   test("repetition stats flag a template-spam document") {
     import spark.implicits._
     val d = Seq(
