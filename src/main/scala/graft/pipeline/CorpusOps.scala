@@ -82,7 +82,9 @@ object CorpusOps {
    * regex over each row, no shuffle, no UDF.
    */
   def piiRedact(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val p = col(payloadCol)
+    // null-safe: a null payload must count 0 and hash like the empty
+    // string, not propagate size(null) = -1 into the counts
+    val p = coalesce(col(payloadCol), lit(""))
     val redacted =
       regexp_replace(
         regexp_replace(
@@ -102,7 +104,8 @@ object CorpusOps {
    * across engines and runs (md5, not a seeded RNG — reproducible sampling
    * is a hard requirement for training-data lineage). */
   def sampleKey(text: Column, id: Column): Column =
-    md5(concat(text, lit(":"), id.cast("string")).cast("binary"))
+    md5(concat(coalesce(text, lit("")), lit(":"), id.cast("string"))
+      .cast("binary"))
 
   /**
    * Stratified deterministic Bernoulli sample: each stratum keeps rows
@@ -202,8 +205,12 @@ object CorpusOps {
    */
   def chunkDupStats(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, chunkWords: Int): DataFrame = {
+    // null-safe: null text chunks like the empty string; without the
+    // coalesce, size(null) = -1 turns the chunk-index sequence into
+    // sequence(0, -1) = [0, -1] and emits two phantom null chunks
     val chunks = df
-      .select(col(idCol), col(sourceCol), TextOps.words(col(textCol)).as("ws"))
+      .select(col(idCol), col(sourceCol),
+        TextOps.words(coalesce(col(textCol), lit(""))).as("ws"))
       .select(col(idCol), col(sourceCol), explode(expr(
         s"""transform(sequence(0, cast(ceil(size(ws) / ${chunkWords}.0) as int) - 1),
            |  i -> concat_ws(' ', slice(ws, i * $chunkWords + 1, $chunkWords)))"""
@@ -239,7 +246,9 @@ object CorpusOps {
     df.select(col(idCol),
       floor(scale * lit(1000000.0)).cast("long").as("scale_ppm"),
       aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
-      element_at(q, 1).cast("int").as("q_first"),
+      // try_: an empty (zero-dim) vector yields NULL, not a thrown
+      // INVALID_ARRAY_INDEX from deep inside a 100 TB scan
+      try_element_at(q, lit(1)).cast("int").as("q_first"),
       size(e).as("dim"))
   }
 }

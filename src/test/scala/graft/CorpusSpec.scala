@@ -145,6 +145,50 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("srcA", 4L, 2L, 2L), ("srcB", 2L, 0L, 0L)))
   }
 
+  test("null and empty text degrade gracefully, never to -1 counts or crashes") {
+    import spark.implicits._
+    val d = Seq((0L, "srcA", null.asInstanceOf[String]), (1L, "srcA", ""),
+      (2L, "srcB", "ok words here more tail")).toDF("doc_id", "source", "text")
+
+    // PII: null payload counts 0 and hashes like ""
+    val pii = CorpusOps.piiRedact(
+      d.withColumnRenamed("text", "payload"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(pii(0L).getAs[Int]("n_emails") === 0)
+    assert(pii(0L).getAs[String]("redacted_md5") ===
+      pii(1L).getAs[String]("redacted_md5"))
+
+    // repetition: null/empty docs are filtered (not crashed on)
+    val rep = CorpusOps.repetitionStats(d, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(rep === Set(2L))
+
+    // chunk dedup: null text chunks like "" — no phantom [0,-1] chunks
+    val ch = CorpusOps.chunkDupStats(d, "doc_id", "text", "source", 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch("srcA") === 2L, "null and empty each yield exactly one chunk")
+    assert(ch("srcB") === 1L)
+
+    // sampling + budget mix: null text rows participate deterministically
+    val samp = CorpusOps.stratifiedSample(d, col("source"), lit("ff"),
+      col("doc_id"), col("text")).collect()
+    assert(samp.map(_.getAs[Long]("n_sampled")).sum === 3L,
+      "threshold ff keeps every row, including the null-text one")
+    val mix = CorpusOps.tokenBudgetMix(d, col("source"), 100L,
+      col("doc_id"), col("text")).collect()
+    assert(mix.map(_.getAs[Long]("tokens_kept")).forall(_ >= 0L))
+
+    // quantization: null/empty embeddings null-propagate, keep the row
+    val e = Seq((0L, null.asInstanceOf[Array[Float]]),
+      (1L, Array[Float]()), (2L, Array(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val q = CorpusOps.quantizeStats(e, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(q.size === 3)
+    assert(q(0L).isNullAt(q(0L).fieldIndex("q_sum")))
+    assert(q(2L).getAs[Long]("q_sum") === (0L + 128L + 255L))
+  }
+
   test("quantization bounds: q in [0,255], reconstruction within scale/2") {
     val rows = embs.filter(col("vec_id") < 20)
       .select("vec_id", "embedding").collect()
