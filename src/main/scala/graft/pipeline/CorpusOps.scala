@@ -251,4 +251,175 @@ object CorpusOps {
       try_element_at(q, lit(1)).cast("int").as("q_first"),
       size(e).as("dim"))
   }
+
+  // -------------------------------------------------- heuristic filtering
+
+  /** Stopwords whose presence the Gopher rules require (Rae et al. 2021
+   * §A1.1 uses {the, be, to, of, and, that, have, with}; restricted here
+   * to the engine's lexicon so filter and language-ID share one list). */
+  val requiredStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+  /**
+   * Gopher-style document quality filter (Rae et al. 2021 §A1.1, the
+   * MassiveText rule battery; C4 — Raffel et al. 2020 §2.2 — contributes
+   * the symbol screens): word-count bounds, mean-word-length band,
+   * symbol-to-word ratio, alphabetic-word fraction, and a required-
+   * stopword floor. Emits every feature plus per-rule verdicts, not just
+   * the final bit, because at 100 TB the *rule mix* is what gets tuned —
+   * re-running the whole scan per threshold change is the anti-pattern.
+   *
+   * Shape: pure column expressions over each document — zero shuffle,
+   * embarrassingly parallel, whole-stage codegen.
+   */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val ws = TextOps.words(text)
+    // raw whitespace tokens (pre-normalization): the alpha screen must see
+    // the symbols that normalization strips
+    val raw = split(text, "\\s+")
+    val base = df.select(col(idCol),
+      size(ws).cast("long").as("n_words"),
+      (length(regexp_replace(TextOps.normalized(text), " ", ""))
+        / size(ws).cast("double")).as("mwl_raw"),
+      (size(regexp_extract_all(text, lit("\\.\\.\\.|#"), lit(0)))
+        / size(ws).cast("double")).as("sym_raw"),
+      (size(filter(raw, w => w.rlike("[a-zA-Z]")))
+        / size(raw).cast("double")).as("alpha_raw"),
+      size(array_intersect(array_distinct(ws),
+        array(requiredStopwords.map(lit): _*))).as("stop_hits"))
+    base.select(col(idCol), col("n_words"),
+      round(col("mwl_raw"), 4).as("mean_word_len"),
+      round(col("sym_raw"), 4).as("symbol_ratio"),
+      round(col("alpha_raw"), 4).as("alpha_frac"),
+      col("stop_hits"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mwl_raw") >= 3.0 && col("mwl_raw") <= 10.0 &&
+        col("sym_raw") <= 0.1 &&
+        col("alpha_raw") >= 0.8 &&
+        col("stop_hits") >= 2).as("keep"))
+  }
+
+  // ----------------------------------------------------- tf-idf keywords
+
+  /**
+   * Per-document top-k keywords by TF-IDF — the classic relevance
+   * signal, used in curation for topic balancing and per-domain term
+   * drift monitoring. score = tf · ln(N / df).
+   *
+   * Shape: the token explode is corpus-sized but linear; tf is one hash
+   * agg on (doc, word); df reduces the ALREADY per-doc-distinct tf
+   * relation on word (vocabulary-sized, Zipf-skewed — map-side partials
+   * absorb the hot head since a combine input is one row per doc); the
+   * per-doc top-k window partitions on doc_id (high cardinality, no
+   * skew). N comes in via a 1-row cross join — never a driver action.
+   */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val toks = df
+      .repartition(parts, col(idCol))
+      .select(col(idCol), explode(TextOps.words(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+    val tf = toks.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("word"))
+      .crossJoin(nDocs)
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("word"))))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("int").as("rank"),
+        col("word"), col("score"))
+  }
+
+  // ------------------------------------------------------------- novelty
+
+  /**
+   * Document novelty: the fraction of a document's distinct word n-grams
+   * whose FIRST corpus occurrence (minimum doc id over all documents
+   * containing the gram) is this document — a cheap proxy for "how much
+   * genuinely new text does this doc add", used to rank crawl snapshots
+   * and prune stale re-crawls.
+   *
+   * Shape: the inverted (gram, doc) relation is corpus-sized but linear;
+   * first-occurrence is one hash agg on the gram (map-side partials), and
+   * the join back is co-partitioned on the same key, so the corpus
+   * shuffles twice on gram and never all-pairs.
+   */
+  def noveltyStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val grams = df
+      .repartition(parts, col(idCol))
+      .select(col(idCol), TextOps.words(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col(idCol), explode(ngramSet(col("ws"), n)).as("gram"))
+    val first = grams.groupBy(col("gram"))
+      .agg(min(col(idCol)).as("first_doc"))
+    grams.join(first, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), // grams are distinct per doc
+        sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_frac",
+        round(col("n_novel") / col("n_grams"), 4))
+  }
+
+  // ------------------------------------------------- end-to-end curation
+
+  /**
+   * The whole curation stage as ONE composed plan — quality filter
+   * ([[gopherFilter]]), exact dedup (first normalized-fingerprint
+   * occurrence wins), and benchmark decontamination
+   * ([[decontaminate]]) — reduced to per-source survivor statistics with
+   * an exact-membership digest. This is the query a data-curation team
+   * actually ships: every stage above is a column on the same corpus
+   * scan or a linear-shuffle side table, so Catalyst fuses the rule
+   * evaluation into the scan and the whole thing remains three linear
+   * shuffles (fingerprint agg, benchmark-gram join, final source agg) at
+   * any corpus size.
+   */
+  def curationPipeline(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, sourceCol: String,
+      ngram: Int): DataFrame = {
+    val quality = gopherFilter(corpus, idCol, textCol)
+      .select(col(idCol), col("n_words"), col("keep"))
+    // first occurrence per normalized fingerprint wins (ids are stable,
+    // so "lowest id" is the deterministic representative rule)
+    val keeper = corpus
+      .select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp")).agg(min(col(idCol)).as("rep"))
+    val contaminated = decontaminate(corpus, benchmark, idCol, textCol, ngram)
+      .select(col(idCol))
+    corpus
+      .select(col(idCol), col(sourceCol).as("source"),
+        TextOps.fingerprint(col(textCol)).as("fp"))
+      .join(quality, Seq(idCol))
+      .join(keeper, Seq("fp"))
+      .join(contaminated.withColumn("contaminated", lit(true)),
+        Seq(idCol), "left")
+      .withColumn("survives",
+        col("keep") && col(idCol) === col("rep") &&
+          coalesce(!col("contaminated"), lit(true)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("survives"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("survives"), col("n_words")).otherwise(0L))
+          .as("tokens_kept"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(when(col("survives"),
+            col(idCol)))), x => x.cast("string"))).cast("binary"))
+          .as("kept_md5"))
+  }
 }

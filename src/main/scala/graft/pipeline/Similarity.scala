@@ -166,4 +166,40 @@ object Similarity {
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         col("c.bucket").as("bucket"), col("sim"))
   }
+
+  /**
+   * Semantic deduplication (SemDeDup — Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the corpus with the IVF coarse quantizer,
+   * then within each cluster drop every vector whose cosine similarity to
+   * a LOWER-id cluster-mate reaches the threshold, keeping one
+   * representative per semantic-duplicate neighborhood. This is the
+   * embedding-space analogue of MinHash dedup: candidate pairs come only
+   * from within a cluster, never from an all-pairs join.
+   *
+   * Shape at 100 TB: the assignment is the broadcast map-side pass of
+   * [[ivfAssign]] (no corpus shuffle); the within-cluster self-join
+   * shuffles the corpus once on the cluster id; per-vector reduction is a
+   * hash agg with map-side partials. With nlist ≈ √N the expected cluster
+   * population is √N, so within-cluster pair work is ~N^1.5 ≪ N² — and a
+   * pathological hot cluster is the usual skew story (more centroids, or
+   * `Skew.saltedJoin` / AQE skew split).
+   *
+   * Output: one row per corpus vector — its cluster, the max similarity
+   * to any lower-id cluster-mate (NULL when it is the cluster's lowest
+   * id), and the keep/drop decision.
+   */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val asg = ivfAssign(corpus, centroids)
+    val prior = asg.as("a").join(asg.as("b"),
+        col("a.cluster") === col("b.cluster") && col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 3).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_prior_sim"))
+    asg.select(col("vec_id"), col("cluster"))
+      .join(prior, Seq("vec_id"), "left")
+      .withColumn("dropped",
+        coalesce(col("max_prior_sim") >= threshold, lit(false)))
+  }
 }

@@ -225,6 +225,142 @@ object CorpusQueries extends QueryGroup {
       |FROM s JOIN embeddings e ON s.vec_id = e.vec_id
       |ORDER BY s.vec_id""".stripMargin))
 
+  // ------------------------------------------------ p29 Gopher filtering
+
+  private val stopsSql: String =
+    CorpusOps.requiredStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared rule-feature CTE body (doc_id, n_words, mwl, sym, alpha,
+   * stop_hits) over a relation `f(doc_id, text, ws, norm, raw)`. */
+  private val ruleFeatures: String =
+    """SELECT doc_id,
+      |    len(ws) AS n_words,
+      |    length(replace(norm, ' ', ''))::DOUBLE / len(ws) AS mwl,
+      |    len(regexp_extract_all(coalesce(text, ''), '\.\.\.|#'))::DOUBLE
+      |      / len(ws) AS sym,
+      |    len(list_filter(raw, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+      |      / len(raw) AS alpha,""".stripMargin
+
+  private val keepSql: String =
+    "(n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0" +
+      " AND sym <= 0.1 AND alpha >= 0.8 AND stop_hits >= 2)"
+
+  private val p29 = QueryDef(
+    (s, d) => CorpusOps.gopherFilter(docs(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH f AS (
+      |  SELECT doc_id, text, $WORDS AS ws, $NORM AS norm,
+      |         regexp_split_to_array(coalesce(text, ''), '\\s+') AS raw
+      |  FROM documents),
+      |g AS (
+      |  $ruleFeatures
+      |    len(list_intersect(list_distinct(ws), $stopsSql)) AS stop_hits
+      |  FROM f)
+      |SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len,
+      |       round(sym, 4) AS symbol_ratio, round(alpha, 4) AS alpha_frac,
+      |       stop_hits, $keepSql AS keep
+      |FROM g ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------- p30 tf-idf keywords
+
+  private val p30 = QueryDef(
+    (s, d) => CorpusOps.tfidfKeywords(docs(s, d), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank")),
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, unnest(list_filter($WORDS, w -> length(w) > 0)) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      |sc AS (
+      |  SELECT doc_id, word,
+      |         round(tf * ln(n_docs::DOUBLE / df), 4) AS score
+      |  FROM tf JOIN df USING (word) CROSS JOIN n),
+      |r AS (SELECT doc_id, word, score,
+      |             row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY score DESC, word) AS rn
+      |      FROM sc)
+      |SELECT doc_id, CAST(rn AS INT) AS rank, word, score
+      |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin))
+
+  // ------------------------------------------------------- p31 novelty
+
+  private val p31 = QueryDef(
+    (s, d) => CorpusOps.noveltyStats(docs(s, d), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      |  FROM w WHERE len(ws) >= 3),
+      |inv AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+      |fo AS (SELECT gram, min(doc_id) AS first_doc FROM inv GROUP BY 1)
+      |SELECT i.doc_id, count(*) AS n_grams,
+      |       CAST(sum(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_novel,
+      |       round(sum(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+      |         ::DOUBLE / count(*), 4) AS novelty_frac
+      |FROM inv i JOIN fo f USING (gram)
+      |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin))
+
+  // -------------------------------------- p32 end-to-end curation stage
+
+  private val p32 = QueryDef(
+    // The whole curation stage in one composed plan: Gopher quality
+    // rules + exact dedup (first fingerprint occurrence wins) + 5-gram
+    // benchmark decontamination (held-out slice = every 50th doc),
+    // reduced to per-source survivor stats with an exact-membership
+    // digest. The oracle recomposes all three stages in SQL.
+    (s, d) => {
+      val all = docs(s, d)
+      CorpusOps.curationPipeline(
+        corpus = all.filter(col("doc_id") % 50 =!= 0),
+        benchmark = all.filter(col("doc_id") % 50 === 0),
+        idCol = "doc_id", textCol = "text", sourceCol = "source",
+        ngram = 5)
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH f AS (
+      |  SELECT doc_id, source, text, $WORDS AS ws, $NORM AS norm,
+      |         regexp_split_to_array(coalesce(text, ''), '\\s+') AS raw
+      |  FROM documents WHERE doc_id % 50 <> 0),
+      |q AS (
+      |  $ruleFeatures
+      |    len(list_intersect(list_distinct(ws), $stopsSql)) AS stop_hits
+      |  FROM f),
+      |k AS (SELECT doc_id, n_words, $keepSql AS keep FROM q),
+      |fp AS (SELECT doc_id, md5(norm) AS fp FROM f),
+      |rep AS (SELECT fp, min(doc_id) AS rep FROM fp GROUP BY fp),
+      |w5 AS (SELECT doc_id, $WORDS AS ws FROM documents),
+      |g5 AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(ws) - 3),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+      |                || ws[i+3] || ' ' || ws[i+4])) AS gs
+      |  FROM w5 WHERE len(ws) >= 5),
+      |inv AS (SELECT doc_id, unnest(gs) AS gram FROM g5),
+      |bench AS (SELECT DISTINCT gram FROM inv WHERE doc_id % 50 = 0),
+      |cont AS (SELECT DISTINCT i.doc_id FROM inv i JOIN bench b
+      |         ON i.gram = b.gram WHERE i.doc_id % 50 <> 0),
+      |s AS (
+      |  SELECT f.doc_id, f.source, k.n_words,
+      |         (k.keep AND f.doc_id = r.rep AND c.doc_id IS NULL) AS survives
+      |  FROM f
+      |  JOIN k ON f.doc_id = k.doc_id
+      |  JOIN fp ON f.doc_id = fp.doc_id
+      |  JOIN rep r ON fp.fp = r.fp
+      |  LEFT JOIN cont c ON f.doc_id = c.doc_id)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN survives THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_kept,
+      |       CAST(sum(CASE WHEN survives THEN n_words ELSE 0 END) AS BIGINT)
+      |         AS tokens_kept,
+      |       md5(coalesce(string_agg(
+      |         CASE WHEN survives THEN CAST(doc_id AS VARCHAR) END,
+      |         ',' ORDER BY doc_id), '')) AS kept_md5
+      |FROM s GROUP BY source ORDER BY source""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -232,6 +368,10 @@ object CorpusQueries extends QueryGroup {
     "p24_token_budget_mix" -> p24,
     "p25_decontaminate" -> p25,
     "p26_chunk_dedup" -> p26,
-    "p27_embed_quantize" -> p27
+    "p27_embed_quantize" -> p27,
+    "p29_gopher_filter" -> p29,
+    "p30_tfidf_keywords" -> p30,
+    "p31_novelty_stats" -> p31,
+    "p32_curation_pipeline" -> p32
   )
 }

@@ -288,6 +288,38 @@ object PipelineQueries extends QueryGroup {
       |WHERE round(${cosSql("x.embedding", "y.embedding")}, 3) >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin))
 
+  private val p28 = QueryDef(
+    // SemDeDup: IVF-cluster the corpus (same deterministic centroid rule
+    // as p14), then within each cluster drop every vector whose cosine to
+    // a lower-id cluster-mate reaches the threshold. The oracle re-derives
+    // the assignment with a rank window and the prune with a within-
+    // cluster self-join — candidate generation is cluster-local on both
+    // sides, never all-pairs.
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+      Similarity.semanticDedup(e, centroids, threshold = 0.3)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      |aff AS (
+      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
+      |  FROM embeddings e, cent c),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+      |       FROM aff),
+      |asg AS (SELECT vec_id, embedding, cid AS cluster FROM rk WHERE rn = 1),
+      |prior AS (
+      |  SELECT a.vec_id, max(round(${cosSql("a.embedding", "b.embedding")}, 3))
+      |           AS max_prior_sim
+      |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+      |  GROUP BY a.vec_id)
+      |SELECT asg.vec_id, cluster, max_prior_sim,
+      |       coalesce(max_prior_sim >= 0.3, false) AS dropped
+      |FROM asg LEFT JOIN prior ON asg.vec_id = prior.vec_id
+      |ORDER BY asg.vec_id""".stripMargin))
+
   // ---------------------------------------------------------------- text analysis
 
   private val stopList: String =
@@ -513,6 +545,7 @@ object PipelineQueries extends QueryGroup {
     "p17_cosine_neardup" -> p17,
     "p18_dup_clusters" -> p18,
     "p19_wav_decode" -> p19,
-    "p20_bmp_decode" -> p20
+    "p20_bmp_decode" -> p20,
+    "p28_semantic_dedup" -> p28
   )
 }

@@ -209,4 +209,102 @@ class CorpusSpec extends AnyFunSuite {
       assert(got(id)._2 === q.head.toInt, s"vec $id q_first")
     }
   }
+
+  // ------------------------------------------------------- gopher filter
+
+  /** 50 words, 5 required stopwords, mean word length ≈ 4.7 — passes
+   * every Gopher rule. */
+  private val goodText: String =
+    "the and of to in " + (1 to 45).map(i => s"word$i").mkString(" ")
+
+  test("gopher filter: each rule trips independently") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, goodText), // all rules pass
+      (1L, "the and just a few words here"), // < 50 words
+      (2L, "aa bb " * 30 + "the and of to in"), // mean word length < 3
+      (3L, goodText + " # # # # # #"), // 6 '#' / 50 words = 0.12 > 0.1
+      (4L, goodText + " " + (1 to 13).map(i => s"${i}00").mkString(" ")), // digit tokens: alpha 50/63 < 0.8
+      (5L, (1 to 50).map(i => s"plain$i").mkString(" ")) // zero stopwords
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.gopherFilter(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Boolean]("keep"))
+    assert(!got(1L).getAs[Boolean]("keep") && got(1L).getAs[Long]("n_words") < 50)
+    assert(!got(2L).getAs[Boolean]("keep") && got(2L).getAs[Double]("mean_word_len") < 3.0)
+    assert(!got(3L).getAs[Boolean]("keep") && got(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!got(4L).getAs[Boolean]("keep") && got(4L).getAs[Double]("alpha_frac") < 0.8)
+    assert(!got(5L).getAs[Boolean]("keep") && got(5L).getAs[Int]("stop_hits") === 0)
+    // the '#' doc still passes the alpha screen (50 lettered / 56 raw)
+    assert(got(3L).getAs[Double]("alpha_frac") >= 0.8)
+  }
+
+  // ------------------------------------------------------------- tf-idf
+
+  test("tf-idf keywords: scores and rank order match hand computation") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "apple apple banana"),
+      (1L, "banana cherry"),
+      (2L, "cherry durian apple")).toDF("doc_id", "text")
+    val got = CorpusOps.tfidfKeywords(d, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3)))
+      .toMap
+    def s(tf: Int, df: Int) =
+      BigDecimal(tf * math.log(3.0 / df))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // d0: apple tf=2 df=2 → 0.8109 beats banana 0.4055
+    assert(got((0L, 1)) === (("apple", s(2, 2))))
+    assert(got((0L, 2)) === (("banana", s(1, 2))))
+    // d2: durian df=1 → ln 3 wins; apple/cherry tie broken alphabetically
+    assert(got((2L, 1)) === (("durian", s(1, 1))))
+    assert(got((2L, 2)) === (("apple", s(1, 2))))
+    assert(got((2L, 3)) === (("cherry", s(1, 2))))
+  }
+
+  // ------------------------------------------------------------ novelty
+
+  test("novelty: first corpus occurrence of each n-gram wins") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c d"),  // both 3-grams first seen here
+      (1L, "a b c d"),  // exact re-crawl: zero novel
+      (2L, "b c d e")). // "b c d" seen in doc 0, "c d e" new
+      toDF("doc_id", "text")
+    val got = CorpusOps.noveltyStats(d, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty_frac"))).toMap
+    assert(got(0L) === ((2L, 2L, 1.0)))
+    assert(got(1L) === ((2L, 0L, 0.0)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+  }
+
+  // -------------------------------------------------- curation pipeline
+
+  test("curation pipeline: quality, dedup, and contamination compose") {
+    import spark.implicits._
+    val gram = "alpha beta gamma delta epsilon"
+    val corpus = Seq(
+      (1L, "s", goodText),                       // survives
+      (2L, "s", goodText),                       // exact dup of 1 → dropped
+      (3L, "s", goodText + " " + gram),          // contaminated → dropped
+      (4L, "s", "too short to pass the rules"),  // quality fail → dropped
+      (5L, "s", goodText + " extra tail words here")) // survives
+      .toDF("doc_id", "source", "text")
+    val bench = Seq((100L, "b", s"held out benchmark text containing $gram"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.curationPipeline(corpus, bench,
+      "doc_id", "text", "source", ngram = 5).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_kept") === 2L) // docs 1 and 5
+    // digest is over exactly {1,5}
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("1,5".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("kept_md5") === expectedMd5)
+  }
 }

@@ -127,4 +127,48 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(out.toSeq === Seq((1L, 4L, 4L), (10L, 3L, 12L), (20L, 2L, 21L)))
   }
+
+  test("semantic dedup matches a driver-side brute-force replay") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+    val got = Similarity.semanticDedup(e, centroids, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // driver-side replay: same assignment rule (max cosine, ties to the
+    // lowest centroid id), same within-cluster lower-id prune
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val cents = vecs.filter(_._1 % 50 == 0)
+    val assign = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, aff) => (-aff, cid) }._1
+    }.toMap
+    val byCluster = vecs.groupBy { case (id, _) => assign(id) }
+    vecs.foreach { case (id, v) =>
+      val mates = byCluster(assign(id)).filter(_._1 < id)
+      val maxPrior = mates.map { case (_, mv) =>
+        BigDecimal(cos(v, mv)).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }.maxOption
+      val row = got(id)
+      assert(row.getAs[Long]("cluster") === assign(id), s"vec $id cluster")
+      assert(row.getAs[Boolean]("dropped") === maxPrior.exists(_ >= 0.3),
+        s"vec $id dropped")
+      maxPrior match {
+        case Some(m) =>
+          assert(math.abs(row.getAs[Double]("max_prior_sim") - m) < 2e-3,
+            s"vec $id max_prior_sim")
+        case None =>
+          assert(row.isNullAt(row.fieldIndex("max_prior_sim")), s"vec $id null")
+      }
+    }
+    // every cluster's lowest-id member survives
+    assert(got.values.forall(r => !r.getAs[Boolean]("dropped") ||
+      r.getAs[Double]("max_prior_sim") >= 0.3))
+  }
 }
