@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{EventLog, MessageEnvelope}
 import graft.operators.{Compaction, Dedup, TimeWindows}
-import graft.streaming.{StreamingOps, TopicStream}
+import graft.streaming.{DocIngest, StreamingOps, TopicStream}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -271,8 +271,32 @@ object StreamingSmoke {
     check("key-ordering", streamOrd == batchOrd && streamViol == 0L,
       s"stream=${streamOrd.size} batch=${batchOrd.size} violations=$streamViol")
 
+    // -- 12. streaming corpus-ingest dedup (first fingerprint wins) -------
+    // documents arrive id-ordered across micro-batches; the stateful
+    // dedup must converge to the batch min-id-per-fingerprint rule
+    val docIngest = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        graft.pipeline.TextOps.fingerprint(col("text")).as("fp"))
+      .as[DocIngest].collect().sortBy(_.doc_id)
+    val s12 = MemoryStream[DocIngest]
+    val q12 = StreamingOps.corpusDedupStream(s12.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("corpus_dedup_out")
+      .option("checkpointLocation", ckpt()).start()
+    docIngest.grouped(math.max(1, docIngest.length / 5 + 1))
+      .foreach { c => s12.addData(c); q12.processAllAvailable() }
+    q12.stop()
+    val streamSurv = spark.table("corpus_dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batchSurv = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy(graft.pipeline.TextOps.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    check("corpus-dedup", streamSurv == batchSurv,
+      s"stream=${streamSurv.size} survivors batch=${batchSurv.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 11 converged to batch twins OK")
+    println(s"[stream-smoke] all 12 converged to batch twins OK")
     spark.stop()
   }
 }

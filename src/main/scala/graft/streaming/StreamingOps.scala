@@ -17,6 +17,9 @@ case class CountWindow(key: String, window_id: Long, n: Long, sum_v: Double)
 /** One fully reassembled chunked message (F13 streaming output row). */
 case class AssembledMessage(uuid: Long, n_chunks: Long, payload: String, first_offset: Long)
 
+/** One streamed corpus-ingest document (id + content fingerprint). */
+case class DocIngest(doc_id: Long, fp: String)
+
 /**
  * The client-side latest-value-per-key map the streaming TableView
  * maintains — the Spark twin of the reference's ConcurrentMap-backed view
@@ -284,6 +287,35 @@ object StreamingOps {
    * the monotonicity contract is checked over the whole stream, not per
    * batch. The batch twin is PFunctions.keyOrderedProbe.
    */
+  /**
+   * Streaming corpus-ingest exact dedup — the curation twin of
+   * [[graft.pipeline.DedupOps.exactDuplicates]] for a continuously
+   * arriving crawl: the FIRST document bearing a given content
+   * fingerprint survives; every later arrival is dropped. Within one
+   * micro-batch the lowest doc id wins, so an id-ordered feed converges
+   * exactly to the batch min-id-per-fingerprint rule.
+   *
+   * State is one long (the surviving doc id) per distinct fingerprint —
+   * the minimum any exact-dedup ingest must remember. At 100 TB the
+   * state store shards by fingerprint across executors (it is the same
+   * hash layout as the batch groupBy), and a TTL policy
+   * (GroupStateTimeout) bounds it when the ingest horizon allows.
+   */
+  def corpusDedupStream(docs: Dataset[DocIngest]): Dataset[DocIngest] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fp)
+      .flatMapGroupsWithState[Long, DocIngest](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(_.doc_id)
+            state.update(first.doc_id)
+            Iterator.single(first)
+          }
+      }
+  }
+
   def keyOrderedStream(env: Dataset[MessageEnvelope]): Dataset[KeyOrdered] = {
     import env.sparkSession.implicits._
     env.groupByKey(_.key)
