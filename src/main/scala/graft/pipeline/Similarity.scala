@@ -190,7 +190,10 @@ object Similarity {
    */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame,
       threshold: Double): DataFrame = {
-    val asg = ivfAssign(corpus, centroids)
+    // the assignment fans out three ways (both self-join sides + the
+    // final left join); without the persist each consumer would re-run
+    // the full |corpus|x|centroids| cosine pass
+    val asg = graft.CacheScope.track(ivfAssign(corpus, centroids))
     val prior = asg.as("a").join(asg.as("b"),
         col("a.cluster") === col("b.cluster") && col("b.vec_id") < col("a.vec_id"))
       .select(col("a.vec_id").as("vec_id"),
