@@ -225,6 +225,45 @@ object CorpusOps {
         countDistinct(when(col("c") > 1, col(idCol))).as("n_docs_with_dup"))
   }
 
+  /**
+   * Sub-document dedup WITH RECONSTRUCTION (RefinedWeb §3.3 exact-substring
+   * removal, at chunk granularity): every chunk keeps only its FIRST
+   * corpus occurrence — ordered by (doc id, position) — and each document
+   * is rebuilt from its surviving chunks. [[chunkDupStats]] measures the
+   * duplication; this operator actually removes it and emits the cleaned
+   * text (as an exact-membership digest, so the oracle check is
+   * byte-for-byte).
+   *
+   * Shape: two linear shuffles — a row_number window partitioned on the
+   * chunk hash (near-unique ⇒ skew-free) decides first occurrence in one
+   * pass with no join-back, then one aggregation on the doc id rebuilds
+   * documents. The corpus is never joined against itself.
+   */
+  def chunkScrub(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int): DataFrame = {
+    val chunks = df
+      .select(col(idCol),
+        TextOps.words(coalesce(col(textCol), lit(""))).as("ws"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(ws) / ${chunkWords}.0) as int) - 1),
+           |  i -> concat_ws(' ', slice(ws, i * $chunkWords + 1, $chunkWords)))"""
+          .stripMargin)).as(Seq("idx", "chunk")))
+      .withColumn("h", md5(col("chunk").cast("binary")))
+    val firstWin = Window.partitionBy(col("h"))
+      .orderBy(col(idCol), col("idx"))
+    chunks
+      .withColumn("rn", row_number().over(firstWin))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("idx"), col("chunk"))))),
+            s => s.getField("chunk"))).cast("binary")).as("cleaned_md5"))
+  }
+
   // --------------------------------------------------------- quantization
 
   /**

@@ -361,6 +361,36 @@ object CorpusQueries extends QueryGroup {
       |         ',' ORDER BY doc_id), '')) AS kept_md5
       |FROM s GROUP BY source ORDER BY source""".stripMargin))
 
+  // ------------------------------------------- p33 chunk scrub (rebuild)
+
+  private val p33 = QueryDef(
+    // Sub-document dedup with reconstruction: every 20-word chunk keeps
+    // only its first corpus occurrence (by doc id, then position) and
+    // each document is rebuilt from its survivors. The digest prices the
+    // rebuilt text byte-for-byte.
+    (s, d) => CorpusOps.chunkScrub(docs(s, d), "doc_id", "text", chunkWords)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(
+      |           range(0, CAST(ceil(len(ws) / $chunkWords.0) AS INT)),
+      |           i -> struct_pack(idx := i,
+      |             chunk := array_to_string(
+      |               ws[i * $chunkWords + 1 : i * $chunkWords + $chunkWords],
+      |               ' ')))) AS s
+      |  FROM w),
+      |f AS (SELECT doc_id, s.idx AS idx, s.chunk AS chunk,
+      |             md5(s.chunk) AS h FROM c),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY h
+      |        ORDER BY doc_id, idx) AS rn FROM f)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_kept,
+      |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
+      |         ' ' ORDER BY idx), '')) AS cleaned_md5
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -372,6 +402,7 @@ object CorpusQueries extends QueryGroup {
     "p29_gopher_filter" -> p29,
     "p30_tfidf_keywords" -> p30,
     "p31_novelty_stats" -> p31,
-    "p32_curation_pipeline" -> p32
+    "p32_curation_pipeline" -> p32,
+    "p33_chunk_scrub" -> p33
   )
 }

@@ -282,6 +282,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2L) === ((2L, 1L, 0.5)))
   }
 
+  // -------------------------------------------------------- chunk scrub
+
+  test("chunk scrub keeps first occurrence and rebuilds the cleaned text") {
+    import spark.implicits._
+    // 2-word chunks: doc 0 = [a b][c d][a b] (3rd repeats its own 1st);
+    // doc 1 = [c d][e f] (1st already seen in doc 0)
+    val d = Seq(
+      (0L, "a b c d a b"),
+      (1L, "c d e f")).toDF("doc_id", "text")
+    val got = CorpusOps.chunkScrub(d, "doc_id", "text", chunkWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("cleaned_md5"))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0L) === ((3L, 2L, md5("a b c d"))))
+    assert(got(1L) === ((2L, 1L, md5("e f"))))
+  }
+
   // -------------------------------------------------- curation pipeline
 
   test("curation pipeline: quality, dedup, and contamination compose") {
