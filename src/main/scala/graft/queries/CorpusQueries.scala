@@ -391,6 +391,21 @@ object CorpusQueries extends QueryGroup {
       |         ' ' ORDER BY idx), '')) AS cleaned_md5
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------------- p34 real BPE tokenizer
+
+  private val p34 = QueryDef(
+    // Real byte-pair encoding: merges learned from THIS corpus's word
+    // frequencies (one corpus shuffle; the merge loop runs on the
+    // vocabulary-sized count table), then applied by rank per partition.
+    // BPE training is iterative/sequential — not ANSI-SQL-expressible —
+    // so this is a declared rows-only check; correctness is pinned by
+    // BpeSpec (Sennrich fixture, GPT-2 apply loop, exact detokenization
+    // roundtrip property).
+    (s, d) => graft.pipeline.BpeTokenizer
+      .tokenize(docs(s, d), "doc_id", "text", numMerges = 50)
+      .toDF().orderBy(col("doc_id")),
+    None)
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -403,6 +418,7 @@ object CorpusQueries extends QueryGroup {
     "p30_tfidf_keywords" -> p30,
     "p31_novelty_stats" -> p31,
     "p32_curation_pipeline" -> p32,
-    "p33_chunk_scrub" -> p33
+    "p33_chunk_scrub" -> p33,
+    "p34_bpe_tokenize" -> p34
   )
 }
