@@ -156,12 +156,6 @@ object CorpusOps {
 
   // ------------------------------------------------------ decontamination
 
-  /** Distinct word n-grams of a document as an array column. */
-  private def ngramSet(ws: Column, n: Int): Column =
-    array_distinct(expr(
-      s"transform(sequence(1, size(ws) - ${n - 1})," +
-        s" i -> concat_ws(' ', slice(ws, i, $n)))"))
-
   /**
    * Benchmark decontamination (GPT-3 appendix C / PaLM §8 style): flag
    * corpus documents sharing any word n-gram with a held-out benchmark
@@ -180,9 +174,10 @@ object CorpusOps {
       .get("spark.sql.shuffle.partitions", "32").toInt
     def grams(df: DataFrame): DataFrame = df
       .repartition(parts, col(idCol))
-      .select(col(idCol), TextOps.words(col(textCol)).as("ws"))
-      .where(size(col("ws")) >= n)
-      .select(col(idCol), explode(ngramSet(col("ws"), n)).as("gram"))
+      // single-pass codegen'd kernel; < n words ⇒ empty ⇒ explodes to no
+      // rows, same as the old size(ws) >= n filter
+      .select(col(idCol),
+        explode(TextOps.wordNGrams(col(textCol), n)).as("gram"))
     val benchGrams = grams(benchmark).select(col("gram")).distinct()
     grams(corpus)
       .join(broadcast(benchGrams), Seq("gram"), "inner")
@@ -400,9 +395,8 @@ object CorpusOps {
       .get("spark.sql.shuffle.partitions", "32").toInt
     val grams = df
       .repartition(parts, col(idCol))
-      .select(col(idCol), TextOps.words(col(textCol)).as("ws"))
-      .where(size(col("ws")) >= n)
-      .select(col(idCol), explode(ngramSet(col("ws"), n)).as("gram"))
+      .select(col(idCol),
+        explode(TextOps.wordNGrams(col(textCol), n)).as("gram"))
     val first = grams.groupBy(col("gram"))
       .agg(min(col(idCol)).as("first_doc"))
     grams.join(first, Seq("gram"))

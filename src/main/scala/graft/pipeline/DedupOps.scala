@@ -18,14 +18,10 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   /** Word n-gram shingles (distinct) of a text column; rows with fewer than
-   * n words get no shingles. */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = TextOps.words(text)
-    when(size(ws) >= n,
-      array_distinct(transform(sequence(lit(0), size(ws) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+   * n words get no shingles. Single-pass codegen'd kernel — see
+   * [[graft.functions.NGramOps]] for why this beats the composed
+   * array_distinct∘transform∘sequence formulation. */
+  def shingles(text: Column, n: Int): Column = TextOps.wordNGrams(text, n)
 
   /** Exact duplicate groups by md5 of the raw text: one row per group with
    * >1 member — the representative is the smallest doc id. */

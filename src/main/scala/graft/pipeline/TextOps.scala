@@ -20,6 +20,15 @@ object TextOps {
   /** Whitespace tokens of the normalized text. */
   def words(text: Column): Column = split(normalized(text), " ")
 
+  /** Distinct word n-grams of the normalized text, first-occurrence
+   * order — single-pass codegen'd kernel ([[graft.functions.NGramOps]]);
+   * identical semantics to composing [[words]] + transform + distinct.
+   * NULL text yields an empty array (no shingles), like the composed
+   * form. */
+  def wordNGrams(text: Column, n: Int): Column =
+    GraftSqlBridge.column(graft.functions.WordNGrams(
+      GraftSqlBridge.expression(coalesce(text, lit(""))), n))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text))
 
