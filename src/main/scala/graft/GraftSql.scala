@@ -50,6 +50,10 @@ object GraftSql {
       "_FUNC_(text, k, w) - winnowing fingerprint set (k-gram hashes, window minima)") {
       case Seq(t, k, w) => WinnowFingerprints(t, intArg(k, "k"), intArg(w, "w"))
     },
+    reg("word_ngrams", classOf[WordNGrams],
+      "_FUNC_(text, n) - distinct word n-grams of the normalized text (single-pass shingle kernel)") {
+      case Seq(t, n) => WordNGrams(t, intArg(n, "n"))
+    },
     reg("zlib_deflate", classOf[ZlibDeflate],
       "_FUNC_(bin[, level]) - zlib-compress a BINARY payload") {
       case Seq(e) => ZlibDeflate(e)

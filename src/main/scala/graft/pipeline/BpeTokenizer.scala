@@ -128,8 +128,10 @@ object BpeTokenizer {
     val merges = trainFromCounts(counts.toSeq, numMerges)
     val ranks = spark.sparkContext.broadcast(
       merges.zipWithIndex.toMap)
+    // null text → empty word list (split of "" is [""], filtered below),
+    // never a null Seq inside the typed row
     df.select(col(idCol).as("doc_id"),
-        TextOps.words(col(textCol)).as("ws"))
+        TextOps.words(coalesce(col(textCol), lit(""))).as("ws"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val r = ranks.value

@@ -189,6 +189,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(q(2L).getAs[Long]("q_sum") === (0L + 128L + 255L))
   }
 
+  test("round-5 ops degrade gracefully on null/empty text too") {
+    import spark.implicits._
+    val d = Seq((0L, "srcA", null.asInstanceOf[String]), (1L, "srcA", ""),
+      (2L, "srcB", "the and of to in " + (1 to 45).map(i => s"word$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+
+    // gopher filter: null/empty text is a (rejected) row, never a crash
+    val g = CorpusOps.gopherFilter(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(g === Map(0L -> false, 1L -> false, 2L -> true))
+
+    // tf-idf: wordless docs simply produce no keyword rows
+    val tf = CorpusOps.tfidfKeywords(d, "doc_id", "text", 3)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(tf === Set(2L))
+
+    // novelty: wordless docs drop out; the real doc is fully novel
+    val nv = CorpusOps.noveltyStats(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("novelty_frac")).toMap
+    assert(nv === Map(2L -> 1.0))
+
+    // chunk scrub: null chunks like "" (doc 0 keeps, doc 1's dup dropped)
+    val cs = CorpusOps.chunkScrub(d, "doc_id", "text", 20)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_kept")).toMap
+    assert(cs(0L) + cs(1L) === 1L && cs(2L) >= 1L)
+
+    // curation pipeline end-to-end with nulls present
+    val cp = CorpusOps.curationPipeline(d, d.limit(0),
+      "doc_id", "text", "source", 5).collect()
+    assert(cp.map(_.getAs[Long]("n_kept")).sum === 1L)
+
+    // BPE: wordless docs tokenize to zero tokens, digest of ""
+    val bp = graft.pipeline.BpeTokenizer.tokenize(d, "doc_id", "text", 10)
+      .collect().map(b => b.doc_id -> b.n_tokens).toMap
+    assert(bp(0L) === 0L && bp(1L) === 0L && bp(2L) > 0L)
+  }
+
   test("quantization bounds: q in [0,255], reconstruction within scale/2") {
     val rows = embs.filter(col("vec_id") < 20)
       .select("vec_id", "embedding").collect()
