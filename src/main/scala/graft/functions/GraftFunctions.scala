@@ -28,6 +28,12 @@ object GraftFunctions {
     GraftSqlBridge.column(CosineSim(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Codegen'd squared-L2 distance of two float/double vectors (see
+   * [[L2Sq]]) — the PQ assignment kernel. */
+  def l2Sq(a: Column, b: Column): Column =
+    GraftSqlBridge.column(L2Sq(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** F15 — zlib-compress a BINARY payload (CompressionCodecZLib). */
   def zlibDeflate(payload: Column, level: Int = 6): Column =
     GraftSqlBridge.column(ZlibDeflate(GraftSqlBridge.expression(payload), level))

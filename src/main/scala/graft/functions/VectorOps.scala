@@ -42,6 +42,38 @@ object VectorMath {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Squared Euclidean distance over array<float>, accumulated in double
+   * (left-to-right, matching the HOF/oracle fold). Null on length
+   * mismatch or null element. The PQ assignment kernel. */
+  def l2sqFloat(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** array<double> variant of [[l2sqFloat]]. */
+  def l2sqDouble(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** array<double> variant of [[cosineFloat]]. */
   def cosineDouble(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -112,5 +144,55 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd squared-L2 distance over two float/double arrays — same
+ * contract and fold order as [[CosineSim]]; the PQ assignment kernel. */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"l2_sq needs two arrays of FLOAT or of DOUBLE, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_sq"
+
+  private lazy val isFloat: Boolean = elemType(left).contains(FloatType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r =
+      if (isFloat) VectorMath.l2sqFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      else VectorMath.l2sqDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "l2sqFloat" else "l2sqDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.VectorMath.$fn($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
     copy(left = newLeft, right = newRight)
 }

@@ -286,6 +286,37 @@ object CorpusOps {
       size(e).as("dim"))
   }
 
+  // ----------------------------------------------------- sequence packing
+
+  /**
+   * Training-sequence packing: documents are concatenated in a
+   * deterministic order (ascending id within stratum — crawl order) and
+   * the token stream is split into fixed-`budget` sequences, the way
+   * pretraining batches are actually formed. Emits each document's
+   * placement: its first sequence, offset within it, and how many
+   * sequences it spans — the lineage a trainer needs to map a sequence
+   * back to its source documents.
+   *
+   * Shape: one shuffle on the stratum key; the running sum is an
+   * in-partition window (strata larger than a task ⇒ the two-level
+   * cum-sum pattern of `LogOps.retainBySize`, unchanged).
+   */
+  def sequencePack(df: DataFrame, stratum: Column, budget: Long,
+      id: Column, text: Column): DataFrame = {
+    val w = Window.partitionBy(col("stratum")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(stratum.as("stratum"), id.as("id"),
+        TextOps.tokenCount(text).cast("long").as("n_tok"))
+      .withColumn("excl", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("stratum"), col("id").as("doc_id"), col("n_tok"),
+        floor(col("excl") / lit(budget.toDouble)).cast("int").as("seq_first"),
+        (col("excl") % budget).as("offset_in_seq"),
+        (floor((col("excl") + col("n_tok") - 1) / lit(budget.toDouble))
+          .cast("int")
+          - floor(col("excl") / lit(budget.toDouble)).cast("int") + 1)
+          .as("n_seqs_spanned"))
+  }
+
   // -------------------------------------------------- heuristic filtering
 
   /** Stopwords whose presence the Gopher rules require (Rae et al. 2021

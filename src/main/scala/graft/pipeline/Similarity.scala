@@ -188,6 +188,42 @@ object Similarity {
    * to any lower-id cluster-mate (NULL when it is the cluster's lowest
    * id), and the keep/drop decision.
    */
+  /**
+   * Product quantization (Jégou, Douze, Schmid 2011, "Product
+   * Quantization for Nearest Neighbor Search"): split each vector into
+   * `m` subvectors of `dsub` dims and quantize each against its
+   * segment's codebook (argmin squared L2, ties to the lowest code) —
+   * the standard ANN-index compression from 4 bytes/dim to m bytes/vec,
+   * one step beyond [[graft.pipeline.CorpusOps.quantizeStats]]'s scalar
+   * path.
+   *
+   * Shape at 100 TB: codebooks are m×ks rows — broadcast; assignment is
+   * one map-side pass over the corpus (|corpus| × m × ks kernel calls,
+   * codegen'd [[graft.functions.L2Sq]]) followed by two hash aggs keyed
+   * on (vec, segment) then vec. The corpus never shuffles on anything
+   * wider than its own id.
+   *
+   * Output: one row per vector — its m codes (CSV, segment order) and
+   * the total squared reconstruction error.
+   */
+  def pqQuantize(corpus: DataFrame, codebooks: DataFrame,
+      dsub: Int): DataFrame = {
+    val dist = graft.functions.GraftFunctions.l2Sq(
+      slice(col("embedding"), col("segment") * dsub + lit(1), lit(dsub)),
+      col("subvec"))
+    corpus.crossJoin(broadcast(codebooks))
+      .withColumn("dist", dist)
+      .groupBy(col("vec_id"), col("segment"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
+        min(col("dist")).as("sdist"))
+      .groupBy(col("vec_id"))
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("segment"), col("code")))),
+          s => s.getField("code").cast("string"))).as("codes_csv"),
+        round(sum(col("sdist")), 3).as("err"))
+  }
+
   def semanticDedup(corpus: DataFrame, centroids: DataFrame,
       threshold: Double): DataFrame = {
     // the assignment fans out three ways (both self-join sides + the

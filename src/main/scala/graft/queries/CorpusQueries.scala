@@ -391,6 +391,32 @@ object CorpusQueries extends QueryGroup {
       |         ' ' ORDER BY idx), '')) AS cleaned_md5
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // ----------------------------------------------- p36 sequence packing
+
+  private val packBudget = 512L
+
+  private val p36 = QueryDef(
+    // Training-sequence packing: concatenate per source in id order,
+    // split at fixed token budgets, emit each doc's placement lineage.
+    (s, d) => CorpusOps.sequencePack(docs(s, d), col("source"), packBudget,
+      col("doc_id"), col("text"))
+      .orderBy(col("stratum"), col("doc_id")),
+    Some(s"""WITH t AS (
+      |  SELECT source, doc_id, CAST(len($WORDS) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY source
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) AS excl
+      |  FROM t)
+      |SELECT source AS stratum, doc_id, n_tok,
+      |       CAST(floor(excl / $packBudget.0) AS INT) AS seq_first,
+      |       CAST(excl % $packBudget AS BIGINT) AS offset_in_seq,
+      |       CAST(CAST(floor((excl + n_tok - 1) / $packBudget.0) AS INT)
+      |         - CAST(floor(excl / $packBudget.0) AS INT) + 1 AS INT)
+      |         AS n_seqs_spanned
+      |FROM c ORDER BY stratum, doc_id""".stripMargin))
+
   // --------------------------------------------- p34 real BPE tokenizer
 
   private val p34 = QueryDef(
@@ -419,6 +445,7 @@ object CorpusQueries extends QueryGroup {
     "p31_novelty_stats" -> p31,
     "p32_curation_pipeline" -> p32,
     "p33_chunk_scrub" -> p33,
-    "p34_bpe_tokenize" -> p34
+    "p34_bpe_tokenize" -> p34,
+    "p36_sequence_pack" -> p36
   )
 }

@@ -320,6 +320,49 @@ object PipelineQueries extends QueryGroup {
       |FROM asg LEFT JOIN prior ON asg.vec_id = prior.vec_id
       |ORDER BY asg.vec_id""".stripMargin))
 
+  private val p35 = QueryDef(
+    // Product quantization: m=4 segments × dsub=16 dims, ks≤16 codewords
+    // per segment (codebook = the first ≤16 centroid-rule vectors'
+    // subvectors — a deterministic stand-in for per-segment k-means,
+    // same fixture philosophy as p14's centroids). The codebook build's
+    // global rank window runs on a ≤16-row dimension table.
+    (s, d) => {
+      val e = embs(s, d)
+      val ranked = e.filter(col("vec_id") % 50 === 0)
+        .withColumn("code", (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+          .cast("int"))
+        .filter(col("code") < 16)
+      val segs = s.range(0, 4).select(col("id").cast("int").as("segment"))
+      val codebooks = ranked.crossJoin(segs)
+        .select(col("segment"), col("code"),
+          slice(col("embedding"), col("segment") * 16 + lit(1), lit(16))
+            .as("subvec"))
+      Similarity.pqQuantize(e, codebooks, dsub = 16).orderBy(col("vec_id"))
+    },
+    Some("""WITH ranked AS (
+      |  SELECT embedding,
+      |         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |cb AS (
+      |  SELECT s.s AS segment, code,
+      |         list_transform(range(1, 17), i -> embedding[s.s * 16 + i]) AS subvec
+      |  FROM ranked CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+      |  WHERE code < 16),
+      |d AS (
+      |  SELECT e.vec_id, c.segment, c.code,
+      |         list_sum(list_transform(range(1, 17), i ->
+      |           (e.embedding[c.segment * 16 + i]::DOUBLE - c.subvec[i]::DOUBLE) *
+      |           (e.embedding[c.segment * 16 + i]::DOUBLE - c.subvec[i]::DOUBLE)))
+      |           AS dist
+      |  FROM embeddings e CROSS JOIN cb c),
+      |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id, segment
+      |        ORDER BY dist, code) AS rn FROM d)
+      |SELECT vec_id,
+      |       string_agg(CAST(code AS VARCHAR), ',' ORDER BY segment) AS codes_csv,
+      |       round(sum(dist), 3) AS err
+      |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+
   // ---------------------------------------------------------------- text analysis
 
   private val stopList: String =
@@ -546,6 +589,7 @@ object PipelineQueries extends QueryGroup {
     "p18_dup_clusters" -> p18,
     "p19_wav_decode" -> p19,
     "p20_bmp_decode" -> p20,
-    "p28_semantic_dedup" -> p28
+    "p28_semantic_dedup" -> p28,
+    "p35_embed_pq" -> p35
   )
 }

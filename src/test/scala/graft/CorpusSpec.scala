@@ -319,6 +319,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2L) === ((2L, 1L, 0.5)))
   }
 
+  // --------------------------------------------------- sequence packing
+
+  test("sequence packing places and spans documents correctly") {
+    import spark.implicits._
+    def words(k: Int) = (1 to k).map(i => s"t$i").mkString(" ")
+    // one stratum, budget 10, token counts 4, 5, 3, 12:
+    // excl 0,4,9,12 → first seq 0,0,0,1; doc 2 straddles 0→1, doc 3 spans 2
+    val d = Seq(
+      (0L, "s", words(4)), (1L, "s", words(5)),
+      (2L, "s", words(3)), (3L, "s", words(12))).toDF("doc_id", "source", "text")
+    val got = CorpusOps.sequencePack(d, col("source"), 10L,
+      col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(1) ->
+        (r.getInt(3), r.getLong(4), r.getInt(5))).toMap
+    assert(got(0L) === ((0, 0L, 1)))
+    assert(got(1L) === ((0, 4L, 1)))
+    assert(got(2L) === ((0, 9L, 2))) // tokens 9..11 straddle the boundary
+    assert(got(3L) === ((1, 2L, 2))) // tokens 12..23 fill seq 1 into seq 2
+  }
+
   // -------------------------------------------------------- chunk scrub
 
   test("chunk scrub keeps first occurrence and rebuilds the cleaned text") {

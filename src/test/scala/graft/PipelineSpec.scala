@@ -128,6 +128,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 4L, 4L), (10L, 3L, 12L), (20L, 2L, 21L)))
   }
 
+  test("product quantization picks the argmin codeword per segment") {
+    import spark.implicits._
+    // dim 4, m=2 segments × dsub=2; codebook: 2 codewords per segment
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)),
+      (1L, Array(0f, 1f, 1f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0.2f, 0.8f))).toDF("vec_id", "embedding")
+    val codebooks = Seq(
+      (0, 0, Array(1f, 0f)), (0, 1, Array(0f, 1f)),
+      (1, 0, Array(0f, 1f)), (1, 1, Array(1f, 0f)))
+      .toDF("segment", "code", "subvec")
+    val got = Similarity.pqQuantize(corpus, codebooks, dsub = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2))).toMap
+    assert(got(0L)._1 === "0,0") // (1,0)→code0 seg0; (0,1)→code0 seg1
+    assert(got(1L)._1 === "1,1")
+    assert(got(2L)._1 === "0,0")
+    assert(got(0L)._2 === 0.0) // exact codewords: zero reconstruction error
+    assert(got(1L)._2 === 0.0)
+    // vec 2: (0.9-1)²+(0.1-0)² + (0.2-0)²+(0.8-1)² = 0.02+0.08 = 0.1
+    assert(math.abs(got(2L)._2 - 0.1) < 1e-6)
+  }
+
   test("semantic dedup matches a driver-side brute-force replay") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = e.filter(col("vec_id") % 50 === 0)
