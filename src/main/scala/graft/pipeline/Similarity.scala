@@ -206,7 +206,10 @@ object Similarity {
    * Output: one row per vector — its m codes (CSV, segment order) and
    * the total squared reconstruction error.
    */
-  def pqQuantize(corpus: DataFrame, codebooks: DataFrame,
+  /** Per-(vector, segment) PQ code assignment: argmin squared L2 against
+   * the segment's codebook, ties to the lowest code. The shared stage
+   * under [[pqQuantize]] (compression) and [[pqAdcTopK]] (search). */
+  def pqAssign(corpus: DataFrame, codebooks: DataFrame,
       dsub: Int): DataFrame = {
     val dist = graft.functions.GraftFunctions.l2Sq(
       slice(col("embedding"), col("segment") * dsub + lit(1), lit(dsub)),
@@ -216,12 +219,55 @@ object Similarity {
       .groupBy(col("vec_id"), col("segment"))
       .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
         min(col("dist")).as("sdist"))
+  }
+
+  def pqQuantize(corpus: DataFrame, codebooks: DataFrame,
+      dsub: Int): DataFrame =
+    pqAssign(corpus, codebooks, dsub)
       .groupBy(col("vec_id"))
       .agg(
         concat_ws(",", transform(
           array_sort(collect_list(struct(col("segment"), col("code")))),
           s => s.getField("code").cast("string"))).as("codes_csv"),
         round(sum(col("sdist")), 3).as("err"))
+
+  /**
+   * PQ search by Asymmetric Distance Computation (Jégou 2011 §III-B) —
+   * the lookup trick that makes PQ fast: each query precomputes an
+   * m × ks table of (query subvector ↔ codeword) distances, and a corpus
+   * vector's approximate distance is the SUM of m table lookups over its
+   * codes — the corpus side never touches float vectors at query time,
+   * only its m-byte codes.
+   *
+   * Shape at 100 TB: the LUT is |queries| × m × ks rows — broadcast; the
+   * corpus-code relation joins it map-side and reduces per (query, vec)
+   * with map-side partials; top-k per query is a rank window (the
+   * k-bounded [[TopKAggregator]] of the cosine path applies identically
+   * when |queries| × k must stay shuffle-bounded).
+   */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
+      dsub: Int, k: Int): DataFrame = {
+    val codes = pqAssign(corpus, codebooks, dsub)
+      .select(col("vec_id"), col("segment"), col("code"))
+    val lut = queries.crossJoin(broadcast(codebooks))
+      .select(col("vec_id").as("qid"), col("segment"), col("code"),
+        graft.functions.GraftFunctions.l2Sq(
+          slice(col("embedding"), col("segment") * dsub + lit(1), lit(dsub)),
+          col("subvec")).as("d"))
+    codes.join(broadcast(lut), Seq("segment", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      // rank on the ROUNDED distance: the m-lookup sum's float add order
+      // is engine/run-dependent, so raw-double ordering flips near-exact
+      // ties between runs; at 3 decimals ties collapse and break on the
+      // deterministic vec_id instead
+      .agg(round(sum(col("d")), 3).as("adc"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("adc").as("adc_dist"))
   }
 
   def semanticDedup(corpus: DataFrame, centroids: DataFrame,

@@ -320,27 +320,29 @@ object PipelineQueries extends QueryGroup {
       |FROM asg LEFT JOIN prior ON asg.vec_id = prior.vec_id
       |ORDER BY asg.vec_id""".stripMargin))
 
-  private val p35 = QueryDef(
-    // Product quantization: m=4 segments × dsub=16 dims, ks≤16 codewords
-    // per segment (codebook = the first ≤16 centroid-rule vectors'
-    // subvectors — a deterministic stand-in for per-segment k-means,
-    // same fixture philosophy as p14's centroids). The codebook build's
-    // global rank window runs on a ≤16-row dimension table.
-    (s, d) => {
-      val e = embs(s, d)
-      val ranked = e.filter(col("vec_id") % 50 === 0)
-        .withColumn("code", (row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
-          .cast("int"))
-        .filter(col("code") < 16)
-      val segs = s.range(0, 4).select(col("id").cast("int").as("segment"))
-      val codebooks = ranked.crossJoin(segs)
-        .select(col("segment"), col("code"),
-          slice(col("embedding"), col("segment") * 16 + lit(1), lit(16))
-            .as("subvec"))
-      Similarity.pqQuantize(e, codebooks, dsub = 16).orderBy(col("vec_id"))
-    },
-    Some("""WITH ranked AS (
+  /** PQ fixture codebooks: m=4 segments × dsub=16 dims, ks≤16 codewords
+   * per segment (the first ≤16 centroid-rule vectors' subvectors — a
+   * deterministic stand-in for per-segment k-means, same fixture
+   * philosophy as p14's centroids). The rank window runs on a ≤16-row
+   * dimension table. */
+  private def pqCodebooks(s: SparkSession, e: DataFrame): DataFrame = {
+    val ranked = e.filter(col("vec_id") % 50 === 0)
+      .withColumn("code", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+        .cast("int"))
+      .filter(col("code") < 16)
+    val segs = s.range(0, 4).select(col("id").cast("int").as("segment"))
+    ranked.crossJoin(segs)
+      .select(col("segment"), col("code"),
+        slice(col("embedding"), col("segment") * 16 + lit(1), lit(16))
+          .as("subvec"))
+  }
+
+  /** Shared oracle CTEs: codebooks (`cb`) and the per-(vec, segment)
+   * code assignment (`asg`) — the SQL mirror of [[pqCodebooks]] +
+   * `Similarity.pqAssign`. */
+  private val pqSqlCtes: String =
+    """ranked AS (
       |  SELECT embedding,
       |         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
       |  FROM embeddings WHERE vec_id % 50 = 0),
@@ -357,11 +359,50 @@ object PipelineQueries extends QueryGroup {
       |           AS dist
       |  FROM embeddings e CROSS JOIN cb c),
       |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id, segment
-      |        ORDER BY dist, code) AS rn FROM d)
+      |        ORDER BY dist, code) AS rn FROM d)""".stripMargin
+
+  private val p35 = QueryDef(
+    (s, d) => {
+      val e = embs(s, d)
+      Similarity.pqQuantize(e, pqCodebooks(s, e), dsub = 16)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH $pqSqlCtes
       |SELECT vec_id,
       |       string_agg(CAST(code AS VARCHAR), ',' ORDER BY segment) AS codes_csv,
       |       round(sum(dist), 3) AS err
       |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+
+  private val p37 = QueryDef(
+    // PQ search via Asymmetric Distance Computation: queries (vec_id<10)
+    // precompute per-segment LUTs; corpus distance = sum of m lookups
+    // over its codes. Oracle recomputes codes + LUTs + the lookup sum.
+    (s, d) => {
+      val e = embs(s, d)
+      Similarity.pqAdcTopK(e.filter(col("vec_id") < 10), e,
+        pqCodebooks(s, e), dsub = 16, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH $pqSqlCtes,
+      |asg AS (SELECT vec_id, segment, code FROM a WHERE rn = 1),
+      |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |lut AS (
+      |  SELECT q.vec_id AS qid, c.segment, c.code,
+      |         list_sum(list_transform(range(1, 17), i ->
+      |           (q.embedding[c.segment * 16 + i]::DOUBLE - c.subvec[i]::DOUBLE) *
+      |           (q.embedding[c.segment * 16 + i]::DOUBLE - c.subvec[i]::DOUBLE)))
+      |           AS dd
+      |  FROM q CROSS JOIN cb c),
+      |ad AS (
+      |  SELECT l.qid, g.vec_id, round(sum(l.dd), 3) AS adc
+      |  FROM asg g JOIN lut l ON g.segment = l.segment AND g.code = l.code
+      |  WHERE g.vec_id <> l.qid
+      |  GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY adc, vec_id) AS rk FROM ad)
+      |SELECT qid AS query_id, CAST(rk AS INT) AS rank,
+      |       vec_id AS neighbor_id, adc AS adc_dist
+      |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin))
 
   // ---------------------------------------------------------------- text analysis
 
@@ -590,6 +631,7 @@ object PipelineQueries extends QueryGroup {
     "p19_wav_decode" -> p19,
     "p20_bmp_decode" -> p20,
     "p28_semantic_dedup" -> p28,
-    "p35_embed_pq" -> p35
+    "p35_embed_pq" -> p35,
+    "p37_pq_adc_topk" -> p37
   )
 }

@@ -151,6 +151,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(got(2L)._2 - 0.1) < 1e-6)
   }
 
+  test("ADC distances are sums of per-segment LUT lookups") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)),
+      (1L, Array(0f, 1f, 1f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0.2f, 0.8f))).toDF("vec_id", "embedding")
+    val codebooks = Seq(
+      (0, 0, Array(1f, 0f)), (0, 1, Array(0f, 1f)),
+      (1, 0, Array(0f, 1f)), (1, 1, Array(1f, 0f)))
+      .toDF("segment", "code", "subvec")
+    val got = Similarity.pqAdcTopK(corpus.filter(col("vec_id") === 2),
+      corpus, codebooks, dsub = 2, k = 2)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    // vec0 codes (0,0): lut = l2((.9,.1),(1,0)) + l2((.2,.8),(0,1)) = 0.02+0.08
+    assert(got(1)._1 === 0L && math.abs(got(1)._2 - 0.1) < 1e-9)
+    // vec1 codes (1,1): 1.62 + 1.28
+    assert(got(2)._1 === 1L && math.abs(got(2)._2 - 2.9) < 1e-9)
+  }
+
   test("semantic dedup matches a driver-side brute-force replay") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = e.filter(col("vec_id") % 50 === 0)
