@@ -33,6 +33,7 @@ object NGramOps {
     (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
 
   def wordNGrams(s: UTF8String, n: Int): ArrayData = {
+    if (n < 1) return new GenericArrayData(Array.empty[Any])
     val bytes = s.toLowerCase.getBytes
     val len = bytes.length
     // token runs: starts(i), ends(i) exclusive

@@ -83,8 +83,9 @@ object BpeTokenizer {
       else {
         val best = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
         merges += best
+        // merged keys never collide: the symbol concatenation always
+        // equals word + EndOfWord, which mergePair preserves
         vocab = vocab.map { case (syms, c) => mergePair(syms, best) -> c }
-          .groupBy(_._1).map { case (s, m) => s -> m.values.sum }
         i += 1
       }
     }
@@ -135,14 +136,15 @@ object BpeTokenizer {
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val r = ranks.value
-        // per-partition memo: Zipf means few distinct words dominate
+        // per-partition memo: Zipf means few distinct words dominate;
+        // one digest instance per partition (digest() resets it)
         val memo = scala.collection.mutable.Map.empty[String, Vector[String]]
+        val md5 = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, ws) =>
           val words = ws.filter(_.nonEmpty)
           val toks = words.flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, r)))
           BpeDoc(id, words.length.toLong, toks.length.toLong,
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(toks.mkString(" ").getBytes("UTF-8"))
+            md5.digest(toks.mkString(" ").getBytes("UTF-8"))
               .map("%02x".format(_)).mkString)
         }
       }

@@ -306,7 +306,9 @@ object CorpusOps {
     val w = Window.partitionBy(col("stratum")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(stratum.as("stratum"), id.as("id"),
-        TextOps.tokenCount(text).cast("long").as("n_tok"))
+        // null text packs like "" (one empty token) — without the
+        // coalesce, size(null) = -1 corrupts every later doc's offset
+        TextOps.tokenCount(coalesce(text, lit(""))).cast("long").as("n_tok"))
       .withColumn("excl", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .select(col("stratum"), col("id").as("doc_id"), col("n_tok"),
         floor(col("excl") / lit(budget.toDouble)).cast("int").as("seq_first"),
@@ -458,16 +460,18 @@ object CorpusOps {
       ngram: Int): DataFrame = {
     val quality = gopherFilter(corpus, idCol, textCol)
       .select(col(idCol), col("n_words"), col("keep"))
+    // null text fingerprints like "" — a null fp would silently DROP the
+    // row at the inner fp join below, undercounting n_docs
+    val fp = TextOps.fingerprint(coalesce(col(textCol), lit("")))
     // first occurrence per normalized fingerprint wins (ids are stable,
     // so "lowest id" is the deterministic representative rule)
     val keeper = corpus
-      .select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+      .select(col(idCol), fp.as("fp"))
       .groupBy(col("fp")).agg(min(col(idCol)).as("rep"))
     val contaminated = decontaminate(corpus, benchmark, idCol, textCol, ngram)
       .select(col(idCol))
     corpus
-      .select(col(idCol), col(sourceCol).as("source"),
-        TextOps.fingerprint(col(textCol)).as("fp"))
+      .select(col(idCol), col(sourceCol).as("source"), fp.as("fp"))
       .join(quality, Seq(idCol))
       .join(keeper, Seq("fp"))
       .join(contaminated.withColumn("contaminated", lit(true)),

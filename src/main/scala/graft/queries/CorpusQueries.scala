@@ -330,7 +330,7 @@ object CorpusQueries extends QueryGroup {
       |    len(list_intersect(list_distinct(ws), $stopsSql)) AS stop_hits
       |  FROM f),
       |k AS (SELECT doc_id, n_words, $keepSql AS keep FROM q),
-      |fp AS (SELECT doc_id, md5(norm) AS fp FROM f),
+      |fp AS (SELECT doc_id, md5(coalesce(norm, '')) AS fp FROM f),
       |rep AS (SELECT fp, min(doc_id) AS rep FROM fp GROUP BY fp),
       |w5 AS (SELECT doc_id, $WORDS AS ws FROM documents),
       |g5 AS (
@@ -402,7 +402,8 @@ object CorpusQueries extends QueryGroup {
       col("doc_id"), col("text"))
       .orderBy(col("stratum"), col("doc_id")),
     Some(s"""WITH t AS (
-      |  SELECT source, doc_id, CAST(len($WORDS) AS BIGINT) AS n_tok
+      |  SELECT source, doc_id,
+      |         coalesce(CAST(len($WORDS) AS BIGINT), 1) AS n_tok
       |  FROM documents),
       |c AS (
       |  SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY source

@@ -75,7 +75,10 @@ object PayloadCodec {
    * `getField(name)` shape most consumers actually use: streaming JSON
    * functions that never build the full map (profiled 3.4× cheaper than
    * a map materialization reused twice, since Catalyst re-evaluates a
-   * `from_json` per referencing expression). */
+   * `from_json` per referencing expression). One semantic difference
+   * from the map view: a payload with DUPLICATE keys lists each
+   * occurrence here (document order) where the map deduplicates —
+   * irrelevant for well-formed producers, noted for completeness. */
   def genericFieldNames(payload: Column): Column =
     json_object_keys(payload.cast("string"))
 

@@ -215,10 +215,20 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_kept")).toMap
     assert(cs(0L) + cs(1L) === 1L && cs(2L) >= 1L)
 
-    // curation pipeline end-to-end with nulls present
+    // curation pipeline end-to-end with nulls present: the null-text row
+    // must still be COUNTED (as rejected), not silently dropped at the
+    // fingerprint join
     val cp = CorpusOps.curationPipeline(d, d.limit(0),
       "doc_id", "text", "source", 5).collect()
     assert(cp.map(_.getAs[Long]("n_kept")).sum === 1L)
+    assert(cp.map(_.getAs[Long]("n_docs")).sum === 3L)
+
+    // sequence packing: null text packs like one empty token, later
+    // docs' offsets stay consistent
+    val sp = CorpusOps.sequencePack(d, col("source"), 10L,
+      col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(sp(0L) === 1L && sp(1L) === 1L && sp(2L) === 50L)
 
     // BPE: wordless docs tokenize to zero tokens, digest of ""
     val bp = graft.pipeline.BpeTokenizer.tokenize(d, "doc_id", "text", 10)
