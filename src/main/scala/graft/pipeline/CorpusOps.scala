@@ -286,6 +286,40 @@ object CorpusOps {
       size(e).as("dim"))
   }
 
+  // ------------------------------------------------- incremental dedup
+
+  /**
+   * Cross-snapshot incremental dedup — the daily-crawl-increment story:
+   * classify every NEW document against the EXISTING corpus and its own
+   * batch. Verdicts: `dup_of_base` (fingerprint already in the base
+   * corpus, representative = base minimum id), `dup_in_batch` (first
+   * seen earlier in this batch), `fresh` (novel — its own
+   * representative). The batch twin of [[graft.streaming.StreamingOps
+   * .corpusDedupStream]], with provenance.
+   *
+   * Shape: the base side reduces to a (fingerprint → min id) table —
+   * one hash agg — and both joins are on the near-unique fingerprint
+   * (skew-free); the base corpus is NEVER rescanned per new doc. At
+   * 100 TB the fp→rep table is what a production system would maintain
+   * as a bucketed/sorted table (s16) keyed by fingerprint.
+   */
+  def incrementalDedup(newDocs: DataFrame, base: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fp = TextOps.fingerprint(coalesce(col(textCol), lit("")))
+    val baseRep = base.select(fp.as("fp"), col(idCol))
+      .groupBy(col("fp")).agg(min(col(idCol)).as("base_rep"))
+    val batchRep = newDocs.select(fp.as("fp"), col(idCol))
+      .groupBy(col("fp")).agg(min(col(idCol)).as("batch_rep"))
+    newDocs.select(col(idCol), fp.as("fp"))
+      .join(baseRep, Seq("fp"), "left")
+      .join(batchRep, Seq("fp"))
+      .select(col(idCol),
+        when(col("base_rep").isNotNull, lit("dup_of_base"))
+          .when(col("batch_rep") < col(idCol), lit("dup_in_batch"))
+          .otherwise(lit("fresh")).as("verdict"),
+        coalesce(col("base_rep"), col("batch_rep")).as("rep_id"))
+  }
+
   // ----------------------------------------------------- sequence packing
 
   /**

@@ -391,6 +391,37 @@ object CorpusQueries extends QueryGroup {
       |         ' ' ORDER BY idx), '')) AS cleaned_md5
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // --------------------------------------------- p38 incremental dedup
+
+  private val p38 = QueryDef(
+    // Daily-crawl increment: docs with id % 10 == 0 are "today's batch",
+    // the rest the existing corpus; classify each new doc as
+    // dup_of_base / dup_in_batch / fresh with its representative.
+    (s, d) => {
+      val all = docs(s, d)
+      CorpusOps.incrementalDedup(
+        newDocs = all.filter(col("doc_id") % 10 === 0),
+        base = all.filter(col("doc_id") % 10 =!= 0),
+        idCol = "doc_id", textCol = "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH fp AS (
+      |  SELECT doc_id, md5(coalesce($NORM, '')) AS fp FROM documents),
+      |base AS (SELECT fp, min(doc_id) AS base_rep FROM fp
+      |         WHERE doc_id % 10 <> 0 GROUP BY 1),
+      |batch AS (SELECT fp, min(doc_id) AS batch_rep FROM fp
+      |          WHERE doc_id % 10 = 0 GROUP BY 1)
+      |SELECT f.doc_id,
+      |       CASE WHEN b.base_rep IS NOT NULL THEN 'dup_of_base'
+      |            WHEN t.batch_rep < f.doc_id THEN 'dup_in_batch'
+      |            ELSE 'fresh' END AS verdict,
+      |       coalesce(b.base_rep, t.batch_rep) AS rep_id
+      |FROM fp f
+      |LEFT JOIN base b ON f.fp = b.fp
+      |JOIN batch t ON f.fp = t.fp
+      |WHERE f.doc_id % 10 = 0
+      |ORDER BY f.doc_id""".stripMargin))
+
   // ----------------------------------------------- p36 sequence packing
 
   private val packBudget = 512L
@@ -447,6 +478,7 @@ object CorpusQueries extends QueryGroup {
     "p32_curation_pipeline" -> p32,
     "p33_chunk_scrub" -> p33,
     "p34_bpe_tokenize" -> p34,
-    "p36_sequence_pack" -> p36
+    "p36_sequence_pack" -> p36,
+    "p38_incremental_dedup" -> p38
   )
 }

@@ -329,6 +329,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2L) === ((2L, 1L, 0.5)))
   }
 
+  // -------------------------------------------------- incremental dedup
+
+  test("incremental dedup classifies against base and within batch") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha text"),  // dup of base doc 1
+      (11L, "gamma text"),  // fresh
+      (12L, "gamma text"),  // dup of doc 11 within the batch
+      (13L, "delta text")). // fresh
+      toDF("doc_id", "text")
+    val got = CorpusOps.incrementalDedup(batch, base, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(10L) === (("dup_of_base", 1L)))
+    assert(got(11L) === (("fresh", 11L)))
+    assert(got(12L) === (("dup_in_batch", 11L)))
+    assert(got(13L) === (("fresh", 13L)))
+  }
+
   // --------------------------------------------------- sequence packing
 
   test("sequence packing places and spans documents correctly") {
