@@ -33,6 +33,9 @@ import java.nio.file.Files
  *      table converges to the batch tableView with no driver-side state.
  *  11. Key-ordered consumption (U6): stateful per-key ordinals across
  *      micro-batches == batch keyOrderedProbe, zero order violations.
+ *  12. Corpus-ingest dedup: id-ordered document stream through the
+ *      stateful first-fingerprint-wins filter == batch min-id-per-
+ *      fingerprint survivors.
  *
  * Exits nonzero on any mismatch.
  */

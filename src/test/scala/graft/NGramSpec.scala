@@ -55,6 +55,29 @@ class NGramSpec extends AnyFunSuite {
     }
   }
 
+  test("pure-JVM kernel matches a naive Scala reference on random input") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def naive(s: String, n: Int): Seq[String] = {
+      val ws = s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+      if (ws.length < n) Seq.empty
+      else ws.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    }
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abc01 ,.-\t"
+    for (_ <- 1 to 500; n <- Seq(1, 2, 4)) {
+      val s = (0 until rnd.nextInt(60))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val fast = {
+        val a = graft.functions.NGramOps
+          .wordNGrams(UTF8String.fromString(s), n)
+        (0 until a.numElements()).map(i =>
+          a.getUTF8String(i).toString)
+      }
+      assert(fast === naive(s, n), s"input '$s' n=$n")
+    }
+  }
+
   test("null text yields an empty gram array") {
     import spark.implicits._
     val df = Seq((1L, null: String), (2L, "a b c")).toDF("id", "t")
