@@ -117,4 +117,42 @@ object TextOps {
       when(score === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /**
+   * Feature-hashing ("hashing trick") document embedding — Weinberger et
+   * al. 2009: every token maps to dimension `murmur3(w) mod dim` with a
+   * hash-derived sign, giving a fixed-width integer vector with NO
+   * vocabulary table — the text→vector bridge that lets the ANN family
+   * (p6–p8, p14, p17, p28, p35/p37) run over raw documents. Integer
+   * weights keep the representation (and its oracle) exact; a consumer
+   * normalizes at use time.
+   *
+   * Shape: one explode (linear) + one (doc, dim) hash agg + one per-doc
+   * agg — the token relation shuffles once on the doc id it already
+   * carries. Emits the sparse vector as a "dim:weight" CSV (dim-ordered)
+   * plus exact integer invariants, so the driver's hash compare needs no
+   * float or array tolerance.
+   */
+  def hashEmbedding(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    val h = graft.functions.GraftFunctions
+      .murmur3Positive(col("word"), 0).cast("long")
+    df.select(col(idCol), explode(words(coalesce(col(textCol), lit(""))))
+        .as("word"))
+      .where(length(col("word")) > 0)
+      .select(col(idCol), (h % dim).as("d"),
+        when(shiftright(h, 6).bitwiseAND(1) === 0, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col(idCol), col("d"))
+      .agg(sum(col("sgn")).as("w"))
+      .where(col("w") =!= 0) // cancelled dims drop from the sparse form
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("nnz"),
+        sum(abs(col("w"))).as("l1"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("d"), col("w")))),
+          s => concat(s.getField("d").cast("string"), lit(":"),
+            s.getField("w").cast("string")))).as("sparse_csv"))
+  }
 }

@@ -373,6 +373,26 @@ object PipelineQueries extends QueryGroup {
       |       round(sum(dist), 3) AS err
       |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin))
 
+  private val p39 = QueryDef(
+    // Feature-hashing doc embeddings: tokens → murmur3 % 64 dims with a
+    // hash-derived sign. The oracle reproduces the hash via the pinned
+    // vocab table (fixture docs draw from exactly these 31 words — the
+    // same totality p5 relies on).
+    (s, d) => TextOps.hashEmbedding(docs(s, d), "doc_id", "text", dim = 64)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH vocab(word, h) AS (SELECT * FROM (VALUES $vocabValues)),
+      |t AS (SELECT doc_id, unnest(list_filter($WORDS, w -> length(w) > 0))
+      |        AS word FROM documents),
+      |j AS (SELECT doc_id, h % 64 AS d,
+      |             CASE WHEN ((h >> 6) & 1) = 0 THEN 1 ELSE -1 END AS sgn
+      |      FROM t JOIN vocab USING (word)),
+      |w AS (SELECT doc_id, d, CAST(sum(sgn) AS BIGINT) AS w
+      |      FROM j GROUP BY 1, 2),
+      |nz AS (SELECT * FROM w WHERE w <> 0)
+      |SELECT doc_id, count(*) AS nnz, CAST(sum(abs(w)) AS BIGINT) AS l1,
+      |       string_agg(d || ':' || w, ',' ORDER BY d) AS sparse_csv
+      |FROM nz GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   private val p37 = QueryDef(
     // PQ search via Asymmetric Distance Computation: queries (vec_id<10)
     // precompute per-segment LUTs; corpus distance = sum of m lookups
@@ -632,6 +652,7 @@ object PipelineQueries extends QueryGroup {
     "p20_bmp_decode" -> p20,
     "p28_semantic_dedup" -> p28,
     "p35_embed_pq" -> p35,
-    "p37_pq_adc_topk" -> p37
+    "p37_pq_adc_topk" -> p37,
+    "p39_hash_embedding" -> p39
   )
 }

@@ -151,6 +151,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(got(2L)._2 - 0.1) < 1e-6)
   }
 
+  test("hash embedding: signed counts land on murmur3-derived dims") {
+    import spark.implicits._
+    val d = Seq((0L, "spark spark table"), (1L, ""), (2L, "spark")).toDF("doc_id", "text")
+    val got = TextOps.hashEmbedding(d, "doc_id", "text", dim = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def hp(w: String) = graft.functions.Murmur3x86
+      .positive(w.getBytes("UTF-8"), 0).toLong
+    def entry(w: String, c: Long) = {
+      val h = hp(w)
+      (h % 64) -> (if (((h >> 6) & 1) == 0) c else -c)
+    }
+    val exp0 = Seq(entry("spark", 2L), entry("table", 1L))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      .filter(_._2 != 0).toSeq.sortBy(_._1)
+    assert(got(0L)._1 === exp0.size.toLong)
+    assert(got(0L)._2 === exp0.map(e => math.abs(e._2)).sum)
+    assert(got(0L)._3 === exp0.map { case (k, v) => s"$k:$v" }.mkString(","))
+    assert(!got.contains(1L)) // wordless doc has no embedding row
+    assert(got(2L)._1 === 1L && got(2L)._2 === 1L)
+  }
+
   test("ADC distances are sums of per-segment LUT lookups") {
     import spark.implicits._
     val corpus = Seq(
