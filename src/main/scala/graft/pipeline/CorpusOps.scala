@@ -308,9 +308,15 @@ object CorpusOps {
     val fp = TextOps.fingerprint(coalesce(col(textCol), lit("")))
     val baseRep = base.select(fp.as("fp"), col(idCol))
       .groupBy(col("fp")).agg(min(col(idCol)).as("base_rep"))
-    val batchRep = newDocs.select(fp.as("fp"), col(idCol))
+    // one fingerprint pass over the batch, persisted: it fans out into
+    // the batch-rep aggregation AND the final classification join, and
+    // the two consumers' plans differ enough that exchange reuse is not
+    // guaranteed to dedupe the normalize+md5 scan
+    val batchFp = graft.CacheScope.track(
+      newDocs.select(col(idCol), fp.as("fp")))
+    val batchRep = batchFp
       .groupBy(col("fp")).agg(min(col(idCol)).as("batch_rep"))
-    newDocs.select(col(idCol), fp.as("fp"))
+    batchFp
       .join(baseRep, Seq("fp"), "left")
       .join(batchRep, Seq("fp"))
       .select(col(idCol),

@@ -135,14 +135,20 @@ object TextOps {
    */
   def hashEmbedding(df: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
+    require(dim > 0, s"hashEmbedding dim must be positive, got $dim")
     val h = graft.functions.GraftFunctions
       .murmur3Positive(col("word"), 0).cast("long")
+    // the sign comes from an INDEPENDENT hash (seed 1), not from bits of
+    // the dimension hash — reusing the dim hash's bits couples sign to
+    // dimension index for any dim that consumes those bits, which breaks
+    // the unbiased-inner-product property the hashing trick exists for
+    val hs = graft.functions.GraftFunctions
+      .murmur3Positive(col("word"), 1).cast("long")
     df.select(col(idCol), explode(words(coalesce(col(textCol), lit(""))))
         .as("word"))
       .where(length(col("word")) > 0)
       .select(col(idCol), (h % dim).as("d"),
-        when(shiftright(h, 6).bitwiseAND(1) === 0, lit(1L))
-          .otherwise(lit(-1L)).as("sgn"))
+        when(hs % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("sgn"))
       .groupBy(col(idCol), col("d"))
       .agg(sum(col("sgn")).as("w"))
       .where(col("w") =!= 0) // cancelled dims drop from the sparse form

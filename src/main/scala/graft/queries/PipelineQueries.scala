@@ -165,6 +165,13 @@ object PipelineQueries extends QueryGroup {
     .map(w => s"('$w', ${Murmur3x86.positive(w.getBytes("UTF-8"), 0)})")
     .mkString(", ")
 
+  /** (word, seed-0 hash, seed-1 hash) — p39 needs the independent sign
+   * hash alongside the dimension hash. */
+  private def vocabValues2: String = vocabWords
+    .map(w => s"('$w', ${Murmur3x86.positive(w.getBytes("UTF-8"), 0)}, " +
+      s"${Murmur3x86.positive(w.getBytes("UTF-8"), 1)})")
+    .mkString(", ")
+
   private val p5 = QueryDef(
     (s, d) => DedupOps.simhashBuckets(
       docs(s, d).filter(length(TextOps.normalized(col("text"))) > 0),
@@ -380,11 +387,11 @@ object PipelineQueries extends QueryGroup {
     // same totality p5 relies on).
     (s, d) => TextOps.hashEmbedding(docs(s, d), "doc_id", "text", dim = 64)
       .orderBy(col("doc_id")),
-    Some(s"""WITH vocab(word, h) AS (SELECT * FROM (VALUES $vocabValues)),
+    Some(s"""WITH vocab(word, h, hs) AS (SELECT * FROM (VALUES $vocabValues2)),
       |t AS (SELECT doc_id, unnest(list_filter($WORDS, w -> length(w) > 0))
       |        AS word FROM documents),
       |j AS (SELECT doc_id, h % 64 AS d,
-      |             CASE WHEN ((h >> 6) & 1) = 0 THEN 1 ELSE -1 END AS sgn
+      |             CASE WHEN hs % 2 = 0 THEN 1 ELSE -1 END AS sgn
       |      FROM t JOIN vocab USING (word)),
       |w AS (SELECT doc_id, d, CAST(sum(sgn) AS BIGINT) AS w
       |      FROM j GROUP BY 1, 2),

@@ -159,9 +159,10 @@ class PipelineSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getString(3))).toMap
     def hp(w: String) = graft.functions.Murmur3x86
       .positive(w.getBytes("UTF-8"), 0).toLong
+    def hs(w: String) = graft.functions.Murmur3x86
+      .positive(w.getBytes("UTF-8"), 1).toLong
     def entry(w: String, c: Long) = {
-      val h = hp(w)
-      (h % 64) -> (if (((h >> 6) & 1) == 0) c else -c)
+      (hp(w) % 64) -> (if (hs(w) % 2 == 0) c else -c)
     }
     val exp0 = Seq(entry("spark", 2L), entry("table", 1L))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
