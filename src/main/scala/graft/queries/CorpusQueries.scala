@@ -391,6 +391,44 @@ object CorpusQueries extends QueryGroup {
       |         ' ' ORDER BY idx), '')) AS cleaned_md5
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------ p40 KMV cardinality
+
+  private val kmvK = 32
+
+  private val p40 = QueryDef(
+    // Distinct 3-gram cardinality per source: KMV sketch (k smallest
+    // md5-prefix hashes) vs the exact count. The estimator is a pure
+    // function of the deterministic hash set, so the oracle reproduces
+    // it exactly — no approximation tolerance needed.
+    (s, d) => {
+      val grams = docs(s, d).select(col("source"),
+        explode(graft.pipeline.TextOps.wordNGrams(col("text"), 3)).as("gram"))
+      graft.pipeline.Sketches.kmvDistinct(grams, col("source"),
+        graft.pipeline.Sketches.md5Hash32(col("gram")), kmvK)
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH w AS (SELECT source, doc_id, $WORDS AS ws FROM documents),
+      |g AS (
+      |  SELECT source, doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+      |  FROM w WHERE len(ws) >= 3),
+      |h AS (SELECT DISTINCT source,
+      |        CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) AS hv
+      |      FROM g),
+      |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source
+      |        ORDER BY hv) AS rn FROM h),
+      |kset AS (SELECT source, count(*) AS n_kept, max(hv) AS kth
+      |         FROM r WHERE rn <= $kmvK GROUP BY source),
+      |ex AS (SELECT source, count(*) AS exact_distinct FROM h GROUP BY source)
+      |SELECT k.source, CAST(n_kept AS INT) AS n_kept,
+      |       CAST(kth AS BIGINT) AS kth_min,
+      |       CASE WHEN n_kept < $kmvK THEN CAST(n_kept AS DOUBLE)
+      |            ELSE round(${kmvK - 1} * 4294967296.0 / kth, 2) END
+      |         AS est_distinct,
+      |       CAST(exact_distinct AS BIGINT) AS exact_distinct
+      |FROM kset k JOIN ex USING (source) ORDER BY source""".stripMargin))
+
   // --------------------------------------------- p38 incremental dedup
 
   private val p38 = QueryDef(
@@ -479,6 +517,7 @@ object CorpusQueries extends QueryGroup {
     "p33_chunk_scrub" -> p33,
     "p34_bpe_tokenize" -> p34,
     "p36_sequence_pack" -> p36,
-    "p38_incremental_dedup" -> p38
+    "p38_incremental_dedup" -> p38,
+    "p40_kmv_distinct" -> p40
   )
 }
