@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
  * element, which is what an exact distinct count pays.
  */
 class KMinAggregator(k: Int)
-    extends Aggregator[(String, Long), Seq[Long], Seq[Long]] {
+    extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  require(k >= 1, s"KMV needs k >= 1, got $k")
   override def zero: Seq[Long] = Nil
-  override def reduce(b: Seq[Long], in: (String, Long)): Seq[Long] = {
-    val a = in._2
+  override def reduce(b: Seq[Long], a: Long): Seq[Long] =
     if (b.length >= k && a >= b.last) b
     else {
       val i = b.indexWhere(_ >= a)
@@ -27,9 +27,8 @@ class KMinAggregator(k: Int)
         if (ins.length > k) ins.take(k) else ins
       }
     }
-  }
   override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
-    y.foldLeft(x)((b, a) => reduce(b, ("", a)))
+    y.foldLeft(x)(reduce)
   override def finish(r: Seq[Long]): Seq[Long] = r
   override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
@@ -57,22 +56,18 @@ object Sketches {
 
   /**
    * Per-group KMV distinct estimate over `valueHash` (a 32-bit hash
-   * column), with the exact distinct count alongside (verification-scale
-   * luxury — the sketch exists so production does NOT pay it).
+   * column). The production shape: the only shuffle ships ≤ k longs per
+   * (group, partition).
    */
   def kmvDistinct(df: DataFrame, group: Column, valueHash: Column,
       k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = df.select(group.cast("string").as("g"),
-      valueHash.cast("long").as("h"))
-    val mins = pairs.as[(String, Long)]
-      .groupByKey(_._1)
+    df.select(group.cast("string").as("g"), valueHash.cast("long").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
       .agg(new KMinAggregator(k).toColumn.name("mins"))
       .toDF("source", "mins")
-    val exact = pairs.groupBy(col("g").as("source"))
-      .agg(countDistinct(col("h")).as("exact_distinct"))
-    mins
       .select(col("source"),
         size(col("mins")).as("n_kept"),
         element_at(col("mins"), -1).as("kth_min"))
@@ -80,6 +75,21 @@ object Sketches {
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(round(
             lit((k - 1).toDouble * HashRange) / col("kth_min"), 2)))
-      .join(exact, Seq("source"))
+  }
+
+  /**
+   * [[kmvDistinct]] plus the exact distinct count alongside — the
+   * VERIFICATION-scale variant (the exact side pays the full
+   * distinct-hash shuffle the sketch exists to avoid; production calls
+   * [[kmvDistinct]]). The hashed relation is persisted so both branches
+   * share one scan.
+   */
+  def kmvDistinctVerified(df: DataFrame, group: Column, valueHash: Column,
+      k: Int): DataFrame = {
+    val pairs = graft.CacheScope.track(
+      df.select(group.cast("string").as("g"), valueHash.cast("long").as("h")))
+    val exact = pairs.groupBy(col("g").as("source"))
+      .agg(countDistinct(col("h")).as("exact_distinct"))
+    kmvDistinct(pairs, col("g"), col("h"), k).join(exact, Seq("source"))
   }
 }

@@ -403,7 +403,7 @@ object CorpusQueries extends QueryGroup {
     (s, d) => {
       val grams = docs(s, d).select(col("source"),
         explode(graft.pipeline.TextOps.wordNGrams(col("text"), 3)).as("gram"))
-      graft.pipeline.Sketches.kmvDistinct(grams, col("source"),
+      graft.pipeline.Sketches.kmvDistinctVerified(grams, col("source"),
         graft.pipeline.Sketches.md5Hash32(col("gram")), kmvK)
         .orderBy(col("source"))
     },

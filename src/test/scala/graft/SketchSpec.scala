@@ -15,13 +15,13 @@ class SketchSpec extends AnyFunSuite {
     val agg = new KMinAggregator(8)
     for (_ <- 1 to 50) {
       val values = Seq.fill(100)(rnd.nextInt(40).toLong) // heavy duplicates
-      val buf = values.foldLeft(agg.zero)((b, v) => agg.reduce(b, ("g", v)))
+      val buf = values.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
       val expected = values.distinct.sorted.take(8)
       assert(buf === expected)
       // merge of a random split reproduces the same buffer
       val (l, r) = values.splitAt(rnd.nextInt(values.size))
-      val bl = l.foldLeft(agg.zero)((b, v) => agg.reduce(b, ("g", v)))
-      val br = r.foldLeft(agg.zero)((b, v) => agg.reduce(b, ("g", v)))
+      val bl = l.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+      val br = r.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
       assert(agg.merge(bl, br) === expected)
     }
   }
@@ -30,7 +30,7 @@ class SketchSpec extends AnyFunSuite {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val grams = docs.select(col("source"),
       explode(graft.pipeline.TextOps.wordNGrams(col("text"), 3)).as("gram"))
-    val out = Sketches.kmvDistinct(grams, col("source"),
+    val out = Sketches.kmvDistinctVerified(grams, col("source"),
       Sketches.md5Hash32(col("gram")), 32).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
