@@ -128,6 +128,40 @@ object CorpusOps {
   }
 
   /**
+   * Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+   * "Weighted random sampling with a reservoir"): each row draws
+   * u ∈ (0,1) from its deterministic hash and ranks by key = u^(1/w);
+   * the top-k keys per stratum are a weighted-without-replacement sample
+   * — how a curation mix over-samples high-quality or long documents
+   * reproducibly. The key is rounded to 9 dp before ranking so JVM-vs-
+   * libm `pow` last-ulp differences can never flip an order (ties break
+   * on the id).
+   *
+   * Shape: one hash + one pow per row, a single stratum-key shuffle for
+   * the rank window; at 100 TB per-stratum top-k switches to the bounded
+   * [[Similarity.TopKAggregator]] shape (k rows per stratum shuffled,
+   * not the corpus).
+   */
+  def weightedSample(df: DataFrame, stratum: Column, weight: Column,
+      k: Int, id: Column, text: Column): DataFrame = {
+    val u = (conv(substring(sampleKey(text, id), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = round(pow(u, lit(1.0) / weight.cast("double")), 9)
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("ky").desc, col("id"))
+    df.select(stratum.as("stratum"), id.as("id"), key.as("ky"),
+        weight.cast("double").as("w"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= k, col("w")).otherwise(0.0)).as("weight_sampled"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(when(col("rn") <= k, col("id")))),
+            x => x.cast("string"))).cast("binary")).as("sampled_md5"))
+  }
+
+  /**
    * Token-budget mixing: within each stratum, rank documents by the
    * deterministic sample key and keep the prefix whose cumulative token
    * count stays within the budget — how a training mix hits "N tokens of

@@ -391,6 +391,32 @@ object CorpusQueries extends QueryGroup {
       |         ' ' ORDER BY idx), '')) AS cleaned_md5
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------ p41 weighted sampling
+
+  private val p41 = QueryDef(
+    // Efraimidis–Spirakis weighted sample: 10 docs per source, weighted
+    // by token count + 1 — longer docs proportionally likelier. The
+    // membership digest makes the exact sample checkable.
+    (s, d) => CorpusOps.weightedSample(docs(s, d), col("source"),
+      weight = graft.pipeline.TextOps.tokenCount(col("text")) + lit(1),
+      k = 10, id = col("doc_id"), text = col("text"))
+      .orderBy(col("stratum")),
+    Some(s"""WITH t AS (
+      |  SELECT source, doc_id,
+      |         CAST(len($WORDS) + 1 AS DOUBLE) AS w,
+      |         (CAST(('0x' || substr(md5(text || ':' || doc_id), 1, 8))
+      |            AS UBIGINT) + 0.5) / 4294967296.0 AS u
+      |  FROM documents),
+      |s AS (SELECT *, round(pow(u, 1.0 / w), 9) AS ky FROM t),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source
+      |        ORDER BY ky DESC, doc_id) AS rn FROM s)
+      |SELECT source AS stratum, count(*) AS n_docs,
+      |       sum(CASE WHEN rn <= 10 THEN w ELSE 0 END) AS weight_sampled,
+      |       md5(coalesce(string_agg(
+      |         CASE WHEN rn <= 10 THEN CAST(doc_id AS VARCHAR) END,
+      |         ',' ORDER BY doc_id), '')) AS sampled_md5
+      |FROM r GROUP BY source ORDER BY stratum""".stripMargin))
+
   // ------------------------------------------------ p40 KMV cardinality
 
   private val kmvK = 32
@@ -518,6 +544,7 @@ object CorpusQueries extends QueryGroup {
     "p34_bpe_tokenize" -> p34,
     "p36_sequence_pack" -> p36,
     "p38_incremental_dedup" -> p38,
-    "p40_kmv_distinct" -> p40
+    "p40_kmv_distinct" -> p40,
+    "p41_weighted_sample" -> p41
   )
 }

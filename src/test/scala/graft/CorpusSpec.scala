@@ -329,6 +329,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2L) === ((2L, 1L, 0.5)))
   }
 
+  // --------------------------------------------------- weighted sample
+
+  test("weighted sample is deterministic and biased toward heavy rows") {
+    import spark.implicits._
+    // one stratum; half the rows carry 50x the weight of the other half
+    val d = (0L until 200L).map(i =>
+      (i, "s", s"doc $i", if (i < 100) 50.0 else 1.0))
+      .toDF("doc_id", "source", "text", "w")
+    def run() = CorpusOps.weightedSample(d, col("source"), col("w"),
+      k = 20, id = col("doc_id"), text = col("text")).collect().head
+    val a = run(); val b = run()
+    assert(a.getAs[String]("sampled_md5") === b.getAs[String]("sampled_md5"))
+    assert(a.getAs[Long]("n_docs") === 200L)
+    // E[heavy fraction] = 50/51 per slot; with k=20 seeing < 13 heavy
+    // rows would be a > 5-sigma fluke for this fixed hash sequence
+    val heavyWeight = a.getAs[Double]("weight_sampled")
+    val heavyCount = ((heavyWeight - 20.0) / 49.0).round // h*50+(20-h)*1
+    assert(heavyCount >= 13, s"only $heavyCount of 20 sampled rows are heavy")
+  }
+
   // -------------------------------------------------- incremental dedup
 
   test("incremental dedup classifies against base and within batch") {
