@@ -3,7 +3,7 @@ package graft
 import graft.functions._
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, Pmod}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Expression, ExpressionInfo, Literal, Pmod}
 import org.apache.spark.sql.types.IntegerType
 
 /**
@@ -51,8 +51,10 @@ object GraftSql {
       case Seq(t, k, w) => WinnowFingerprints(t, intArg(k, "k"), intArg(w, "w"))
     },
     reg("word_ngrams", classOf[WordNGrams],
-      "_FUNC_(text, n) - distinct word n-grams of the normalized text (single-pass shingle kernel)") {
-      case Seq(t, n) => WordNGrams(t, intArg(n, "n"))
+      "_FUNC_(text, n) - distinct word n-grams of the normalized text (single-pass shingle kernel); NULL text yields an empty array") {
+      // NULL coalesced to '' so the SQL surface agrees with
+      // TextOps.wordNGrams (empty array, not NULL, for NULL input)
+      case Seq(t, n) => WordNGrams(Coalesce(Seq(t, Literal(""))), intArg(n, "n"))
     },
     reg("zlib_deflate", classOf[ZlibDeflate],
       "_FUNC_(bin[, level]) - zlib-compress a BINARY payload") {

@@ -209,19 +209,38 @@ object DedupOps {
    * step that turns a pair list into dedup decisions — keep the
    * representative (= component minimum), drop the rest.
    *
-   * Scale shape: every iteration is one shuffle join + hash aggregate
-   * over the EDGE list (edges ≪ corpus after LSH pruning), and the
-   * iteration count is the component diameter — near-dup families are
-   * near-cliques, so 2–3 passes in practice, never |V|. The driver sees
-   * only the per-iteration changed-count (the convergence test), exactly
-   * like a Pregel superstep — no collect of nodes or edges.
+   * Scale shape, two regimes keyed on the MEASURED edge count (the pair
+   * list is persisted anyway — its size is one cheap count on the cached
+   * relation, the same number a production pipeline logs when it
+   * checkpoints the "find pairs" stage):
+   *  - edges ≤ `localMaxEdges` (default 10M ≈ a few hundred MB): one
+   *    single-task union-find pass. After LSH confirm the edge list is
+   *    orders of magnitude smaller than the corpus, so even a 100 TB
+   *    corpus usually lands here — and 3 distributed supersteps over a
+   *    relation that fits in one task's memory measure the scheduler,
+   *    not the algorithm.
+   *  - larger: iterative min-label propagation (each node adopts the
+   *    smallest label among itself and its neighbors until fixpoint).
+   *    Every iteration is one shuffle join + hash aggregate over the
+   *    EDGE list, and the iteration count is the component diameter —
+   *    near-dup families are near-cliques, so 2–3 passes in practice,
+   *    never |V|. The driver sees only the per-iteration changed-count
+   *    (the convergence test), exactly like a Pregel superstep — no
+   *    collect of nodes or edges.
+   * Both paths emit identical rows; DedupSpec pins them against each
+   * other by forcing `localMaxEdges = 0`.
    */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+      bCol: String = "doc_b", maxIter: Int = 50,
+      localMaxEdges: Long = 10_000_000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .persist(MEMORY_AND_DISK) // materialize the (expensive) edge derivation once
+    if (sym.count() <= 2 * localMaxEdges) {
+      graft.CacheScope.track(sym)
+      return localUnionFind(sym)
+    }
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(MEMORY_AND_DISK)
@@ -250,6 +269,42 @@ object DedupOps {
     labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc"))
       .select(col("label").as("cluster_rep"), col("cluster_size"), col("max_doc"))
+  }
+
+  /** Single-task exact connected components over a symmetric edge list
+   * that fits in one executor: classic union-find with path compression,
+   * roots kept at the component MINIMUM so the representative falls out
+   * of the structure (same rows as the superstep path's converged
+   * labels). One narrow repartition(1) of the edge list, zero shuffles
+   * after it. */
+  private def localUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    sym.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression: point the walked chain at the root
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val (ra, rb) = (find(a), find(b))
+        // attach the LARGER root under the smaller: the root stays the
+        // component minimum, so rep = root with no second pass
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val stats = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      parent.keysIterator.foreach { n =>
+        val r = find(n)
+        val (s, m) = stats.getOrElse(r, (0L, Long.MinValue))
+        stats(r) = (s + 1, math.max(m, n))
+      }
+      stats.iterator.map { case (rep, (size, mx)) => (rep, size, mx) }
+    }.toDF("cluster_rep", "cluster_size", "max_doc")
   }
 
   /**

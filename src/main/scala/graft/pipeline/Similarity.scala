@@ -167,27 +167,21 @@ object Similarity {
         col("c.bucket").as("bucket"), col("sim"))
   }
 
-  /**
-   * Semantic deduplication (SemDeDup — Abbas et al. 2023,
-   * arXiv:2303.09540): cluster the corpus with the IVF coarse quantizer,
-   * then within each cluster drop every vector whose cosine similarity to
-   * a LOWER-id cluster-mate reaches the threshold, keeping one
-   * representative per semantic-duplicate neighborhood. This is the
-   * embedding-space analogue of MinHash dedup: candidate pairs come only
-   * from within a cluster, never from an all-pairs join.
-   *
-   * Shape at 100 TB: the assignment is the broadcast map-side pass of
-   * [[ivfAssign]] (no corpus shuffle); the within-cluster self-join
-   * shuffles the corpus once on the cluster id; per-vector reduction is a
-   * hash agg with map-side partials. With nlist ≈ √N the expected cluster
-   * population is √N, so within-cluster pair work is ~N^1.5 ≪ N² — and a
-   * pathological hot cluster is the usual skew story (more centroids, or
-   * `Skew.saltedJoin` / AQE skew split).
-   *
-   * Output: one row per corpus vector — its cluster, the max similarity
-   * to any lower-id cluster-mate (NULL when it is the cluster's lowest
-   * id), and the keep/drop decision.
-   */
+  /** Per-(vector, segment) PQ code assignment: argmin squared L2 against
+   * the segment's codebook, ties to the lowest code. The shared stage
+   * under [[pqQuantize]] (compression) and [[pqAdcTopK]] (search). */
+  def pqAssign(corpus: DataFrame, codebooks: DataFrame,
+      dsub: Int): DataFrame = {
+    val dist = graft.functions.GraftFunctions.l2Sq(
+      slice(col("embedding"), col("segment") * dsub + lit(1), lit(dsub)),
+      col("subvec"))
+    corpus.crossJoin(broadcast(codebooks))
+      .withColumn("dist", dist)
+      .groupBy(col("vec_id"), col("segment"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
+        min(col("dist")).as("sdist"))
+  }
+
   /**
    * Product quantization (Jégou, Douze, Schmid 2011, "Product
    * Quantization for Nearest Neighbor Search"): split each vector into
@@ -206,21 +200,6 @@ object Similarity {
    * Output: one row per vector — its m codes (CSV, segment order) and
    * the total squared reconstruction error.
    */
-  /** Per-(vector, segment) PQ code assignment: argmin squared L2 against
-   * the segment's codebook, ties to the lowest code. The shared stage
-   * under [[pqQuantize]] (compression) and [[pqAdcTopK]] (search). */
-  def pqAssign(corpus: DataFrame, codebooks: DataFrame,
-      dsub: Int): DataFrame = {
-    val dist = graft.functions.GraftFunctions.l2Sq(
-      slice(col("embedding"), col("segment") * dsub + lit(1), lit(dsub)),
-      col("subvec"))
-    corpus.crossJoin(broadcast(codebooks))
-      .withColumn("dist", dist)
-      .groupBy(col("vec_id"), col("segment"))
-      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
-        min(col("dist")).as("sdist"))
-  }
-
   def pqQuantize(corpus: DataFrame, codebooks: DataFrame,
       dsub: Int): DataFrame =
     pqAssign(corpus, codebooks, dsub)
@@ -270,6 +249,27 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("adc").as("adc_dist"))
   }
 
+  /**
+   * Semantic deduplication (SemDeDup — Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the corpus with the IVF coarse quantizer,
+   * then within each cluster drop every vector whose cosine similarity to
+   * a LOWER-id cluster-mate reaches the threshold, keeping one
+   * representative per semantic-duplicate neighborhood. This is the
+   * embedding-space analogue of MinHash dedup: candidate pairs come only
+   * from within a cluster, never from an all-pairs join.
+   *
+   * Shape at 100 TB: the assignment is the broadcast map-side pass of
+   * [[ivfAssign]] (no corpus shuffle); the within-cluster self-join
+   * shuffles the corpus once on the cluster id; per-vector reduction is a
+   * hash agg with map-side partials. With nlist ≈ √N the expected cluster
+   * population is √N, so within-cluster pair work is ~N^1.5 ≪ N² — and a
+   * pathological hot cluster is the usual skew story (more centroids, or
+   * `Skew.saltedJoin` / AQE skew split).
+   *
+   * Output: one row per corpus vector — its cluster, the max similarity
+   * to any lower-id cluster-mate (NULL when it is the cluster's lowest
+   * id), and the keep/drop decision.
+   */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame,
       threshold: Double): DataFrame = {
     // the assignment fans out three ways (both self-join sides + the

@@ -396,16 +396,19 @@ object CorpusQueries extends QueryGroup {
   private val p41 = QueryDef(
     // Efraimidis–Spirakis weighted sample: 10 docs per source, weighted
     // by token count + 1 — longer docs proportionally likelier. The
-    // membership digest makes the exact sample checkable.
+    // membership digest makes the exact sample checkable. NULL text is
+    // coalesced on BOTH sides (key hash and weight) so a NULL-text doc
+    // gets the same key and weight in Spark and DuckDB.
     (s, d) => CorpusOps.weightedSample(docs(s, d), col("source"),
-      weight = graft.pipeline.TextOps.tokenCount(col("text")) + lit(1),
+      weight = coalesce(graft.pipeline.TextOps.tokenCount(col("text")),
+        lit(1)) + lit(1),
       k = 10, id = col("doc_id"), text = col("text"))
       .orderBy(col("stratum")),
     Some(s"""WITH t AS (
       |  SELECT source, doc_id,
-      |         CAST(len($WORDS) + 1 AS DOUBLE) AS w,
-      |         (CAST(('0x' || substr(md5(text || ':' || doc_id), 1, 8))
-      |            AS UBIGINT) + 0.5) / 4294967296.0 AS u
+      |         CAST(coalesce(len($WORDS), 1) + 1 AS DOUBLE) AS w,
+      |         (CAST(('0x' || substr(md5(coalesce(text, '') || ':' || doc_id),
+      |            1, 8)) AS UBIGINT) + 0.5) / 4294967296.0 AS u
       |  FROM documents),
       |s AS (SELECT *, round(pow(u, 1.0 / w), 9) AS ky FROM t),
       |r AS (SELECT *, row_number() OVER (PARTITION BY source

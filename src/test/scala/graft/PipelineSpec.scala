@@ -126,6 +126,11 @@ class PipelineSpec extends AnyFunSuite {
     val out = DedupOps.dupClusters(edges).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(out.toSeq === Seq((1L, 4L, 4L), (10L, 3L, 12L), (20L, 2L, 21L)))
+    // distributed superstep path (forced past the union-find cutover)
+    // emits the identical rows
+    val big = DedupOps.dupClusters(edges, localMaxEdges = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(big.toSeq === out.toSeq)
   }
 
   test("product quantization picks the argmin codeword per segment") {
