@@ -3,9 +3,13 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** One tokenized document: subword token count and an exact digest of the
- * token stream (space-joined), so correctness is byte-checkable. */
-case class BpeDoc(doc_id: Long, n_words: Long, n_tokens: Long, tokens_md5: String)
+/** One tokenized document: subword token count, an exact digest of the
+ * token stream (space-joined), and a digest of the DETOKENIZED text
+ * (tokens concatenated, `</w>` back to spaces) — which must equal the
+ * normalized source text, so an oracle can recompute it without running
+ * BPE at all. */
+case class BpeDoc(doc_id: Long, n_words: Long, n_tokens: Long,
+    tokens_md5: String, detok_md5: String)
 
 /**
  * Byte-pair encoding (Sennrich, Haddow, Birch 2016, arXiv:1508.07909) —
@@ -143,8 +147,14 @@ object BpeTokenizer {
         it.map { case (id, ws) =>
           val words = ws.filter(_.nonEmpty)
           val toks = words.flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, r)))
+          // detok: merges only ever concatenate a word's own symbols, so
+          // gluing tokens and turning `</w>` back into spaces MUST
+          // reproduce the normalized text exactly (roundtrip invariant)
+          val detok = toks.mkString("").replace(EndOfWord, " ").trim
           BpeDoc(id, words.length.toLong, toks.length.toLong,
             md5.digest(toks.mkString(" ").getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString,
+            md5.digest(detok.getBytes("UTF-8"))
               .map("%02x".format(_)).mkString)
         }
       }

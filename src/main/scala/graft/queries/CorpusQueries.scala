@@ -24,6 +24,10 @@ object CorpusQueries extends QueryGroup {
    * PipelineQueries — kept private there, restated here). */
   private val NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private val WORDS = s"string_split($NORM, ' ')"
+  // NULL-text-safe variants (match the Spark side's coalesce-to-'' paths)
+  private val NORMC =
+    "trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))"
+  private val WORDSC = s"string_split($NORMC, ' ')"
 
   // ------------------------------------------------- p21 repetition stats
 
@@ -518,18 +522,54 @@ object CorpusQueries extends QueryGroup {
 
   // --------------------------------------------- p34 real BPE tokenizer
 
+  /** Expected (tag, doc_id, n_tokens, tokens_md5) rows for p34, computed
+   * by an INDEPENDENT Python implementation of the same public algorithm
+   * (tools/gen_bpe_fixture.py — rerun it to regenerate) on the sf0.001
+   * and sf0.01 fixture corpora. Embedded as a VALUES table in the oracle
+   * SQL: BPE training is iterative and not ANSI-SQL-expressible, so the
+   * oracle's token counts/digests come from the second implementation
+   * rather than a SQL derivation — two from-scratch implementations of
+   * Sennrich BPE agreeing bit-for-bit. */
+  private lazy val bpeExpectedValues: String = {
+    def rows(tag: String): List[String] = {
+      val in = getClass.getResourceAsStream(s"/graft/bpe_expected_$tag.csv")
+      require(in != null, s"missing BPE fixture resource for $tag")
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { ln =>
+        val Array(id, nt, md) = ln.split(',')
+        s"('$tag',$id,$nt,'$md')"
+      }.toList
+      finally in.close()
+    }
+    (rows("sf0.001") ++ rows("sf0.01")).mkString(",\n")
+  }
+
   private val p34 = QueryDef(
     // Real byte-pair encoding: merges learned from THIS corpus's word
     // frequencies (one corpus shuffle; the merge loop runs on the
     // vocabulary-sized count table), then applied by rank per partition.
-    // BPE training is iterative/sequential — not ANSI-SQL-expressible —
-    // so this is a declared rows-only check; correctness is pinned by
-    // BpeSpec (Sennrich fixture, GPT-2 apply loop, exact detokenization
-    // roundtrip property).
+    // Checked two ways: n_tokens/tokens_md5 against the independent
+    // Python implementation's fixture (see bpeExpectedValues), and
+    // n_words/detok_md5 against a pure SQL derivation (detokenized BPE
+    // output must equal the normalized source text — the roundtrip
+    // invariant, which DuckDB recomputes without running BPE). The
+    // fixture rows are keyed by corpus (text-length-sum discriminator)
+    // so the oracle holds at both verification scales.
     (s, d) => graft.pipeline.BpeTokenizer
       .tokenize(docs(s, d), "doc_id", "text", numMerges = 50)
       .toDF().orderBy(col("doc_id")),
-    None)
+    Some(s"""WITH exp(tag, doc_id, n_tokens, tokens_md5) AS (VALUES
+      |$bpeExpectedValues),
+      |sel AS (SELECT CASE WHEN sum(len(coalesce(text, ''))) = 153156
+      |          THEN 'sf0.001' ELSE 'sf0.01' END AS tag FROM documents),
+      |base AS (SELECT doc_id,
+      |    CAST(len(list_filter($WORDSC, x -> x <> '')) AS BIGINT) AS n_words,
+      |    md5($NORMC) AS detok_md5
+      |  FROM documents)
+      |SELECT b.doc_id, b.n_words, CAST(e.n_tokens AS BIGINT) AS n_tokens,
+      |       e.tokens_md5, b.detok_md5
+      |FROM base b JOIN exp e
+      |  ON e.doc_id = b.doc_id AND e.tag = (SELECT tag FROM sel)
+      |ORDER BY b.doc_id""".stripMargin))
 
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,

@@ -70,5 +70,15 @@ class BpeSpec extends AnyFunSuite {
     val totalTokens = a.values.map(_.n_tokens).sum
     val totalChars = driver.values.map(_.count(_ != ' ').toLong).sum
     assert(totalTokens < totalChars)
+    // detokenization digest equals the normalized source text's digest
+    // (roundtrip invariant recomputed here without running BPE)
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    a.foreach { case (id, dd) =>
+      val norm = driver(id).toLowerCase
+        .replaceAll("[^a-z0-9]+", " ").trim
+      val expect = mdig.digest(norm.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(dd.detok_md5 === expect, s"doc $id detok")
+    }
   }
 }
