@@ -165,4 +165,22 @@ object Produce {
     toWrite.observe(obs, count(lit(1)).as("n")).write.mode("append").parquet(topicDir)
     obs.get("n").asInstanceOf[Long]
   }
+
+  /** AUTO_PRODUCE_BYTES append (Schema.java:450-462): raw `value_bin`
+   * payloads are validated against the topic's CURRENT registered schema
+   * at the write boundary — schema-invalid rows never reach the log, the
+   * valid remainder goes through the normal dedup-on-write gate. Returns
+   * (appended, schemaRejected). The verdict is a columnar expression
+   * ([[graft.schema.PayloadCodec.autoProduceOk]]) evaluated inside the
+   * same scan as the write; the rejected count is observed on a second
+   * pass over only the rejected slice (producer-ack bookkeeping, not a
+   * data-path cost). */
+  def appendAutoProduce(spark: SparkSession, msgs: DataFrame,
+      topicDir: String,
+      current: org.apache.spark.sql.types.StructType): (Long, Long) = {
+    val ok = graft.schema.PayloadCodec.autoProduceOk(col("value_bin"), current)
+    val appended = appendDedup(spark, msgs.filter(ok), topicDir)
+    val rejected = msgs.filter(!ok).count()
+    (appended, rejected)
+  }
 }

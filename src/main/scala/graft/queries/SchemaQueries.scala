@@ -401,8 +401,91 @@ object SchemaQueries extends QueryGroup {
         |ORDER BY kind, topic, seq""".stripMargin
     })
 
+  /** M11 — AUTO_PRODUCE_BYTES write-side enforcement
+   * (Schema.java:450-462): a producer of raw bytes is validated against
+   * the topic's CURRENT registered schema before publish. The batch
+   * carries six deterministic wire classes — full v1 record, v0 core
+   * (nullable add absent), unknown-extra-field (ignored, like Avro
+   * writer projection) all accepted; required-field-missing,
+   * required-field-wrong-type, truncated JSON all rejected. The result
+   * reads the topic BACK from disk, proving rejected classes never
+   * reached the log. */
+  private val m11 = QueryDef(
+    (s, d) => {
+      import graft.operators.Produce
+      import graft.schema.{CompatibilityStrategy => CS}
+      val reg = new graft.schema.SchemaRegistry
+      val v0 = StructType(Seq(req("amount_c", LongType), req("origin", StringType)))
+      val v1 = StructType(v0.fields :+ opt("attempts", LongType))
+      require(reg.putSchemaIfAbsent("produced", v0, CS.Backward).isRight)
+      require(reg.putSchemaIfAbsent("produced", v1, CS.Backward).isRight)
+      val current = reg.latest("produced").get._2
+
+      val cls = col("event_id") % 7
+      val amount = floor(col("value") * 100).cast(LongType).cast(StringType)
+      val origin = concat(lit("\"p"), (col("user_id") % 5).cast(StringType), lit("\""))
+      val attempts = (col("event_id") % 5).cast(StringType)
+      val payload =
+        when(cls === 3, concat(lit("{\"amount_c\":"), amount, lit("}")))
+          .when(cls === 4, concat(lit("{\"amount_c\":\"oops\",\"origin\":"),
+            origin, lit("}")))
+          .when(cls === 5, concat(lit("{\"amount_c\":"), amount)) // truncated
+          .when(cls === 6, concat(lit("{\"amount_c\":"), amount,
+            lit(",\"origin\":"), origin, lit(",\"extra\":1}")))
+          .when(cls === 1, concat(lit("{\"amount_c\":"), amount,
+            lit(",\"origin\":"), origin, lit(",\"attempts\":"), attempts, lit("}")))
+          .otherwise(concat(lit("{\"amount_c\":"), amount,
+            lit(",\"origin\":"), origin, lit("}")))
+      val wireClass =
+        when(cls === 3, "missing_required").when(cls === 4, "wrong_type")
+          .when(cls === 5, "malformed").when(cls === 6, "extra_field")
+          .when(cls === 1, "v1_full").otherwise("v0_core")
+      val msgs = graft.CacheScope.track(
+        EventLog.raw(s, d).filter(col("event_id") < 3000)
+          .select(col("event_id").as("msg_offset"),
+            (col("event_id") / 1000).cast(LongType).as("ledger_id"),
+            lit("w0").as("producer_name"),
+            col("event_id").as("sequence_id"),
+            encode(payload, "UTF-8").as("value_bin"),
+            wireClass.as("wire_class")))
+
+      val dir = graft.Scratch.freshDir("auto-produce")
+      val (acc, rej) = Produce.appendAutoProduce(s, msgs, dir, current)
+      val persisted = s.read.parquet(dir).groupBy(col("wire_class"))
+        .agg(count(lit(1)).as("n_persisted"))
+      msgs.groupBy(col("wire_class")).agg(count(lit(1)).as("n_sent"))
+        .join(persisted, Seq("wire_class"), "left")
+        .na.fill(0L, Seq("n_persisted"))
+        .withColumn("accepted", col("n_persisted") === col("n_sent"))
+        .withColumn("n_appended_total", lit(acc))
+        .withColumn("n_rejected_total", lit(rej))
+        .orderBy(col("wire_class"))
+    },
+    Some("""WITH inp AS (
+      |  SELECT event_id % 7 AS cls FROM events WHERE event_id < 3000),
+      |c AS (SELECT CASE WHEN cls = 3 THEN 'missing_required'
+      |             WHEN cls = 4 THEN 'wrong_type'
+      |             WHEN cls = 5 THEN 'malformed'
+      |             WHEN cls = 6 THEN 'extra_field'
+      |             WHEN cls = 1 THEN 'v1_full'
+      |             ELSE 'v0_core' END AS wire_class,
+      |        CASE WHEN cls IN (3, 4, 5) THEN 0 ELSE 1 END AS ok
+      |      FROM inp),
+      |g AS (SELECT wire_class, count(*) AS n_sent,
+      |        CAST(CASE WHEN max(ok) = 1 THEN count(*) ELSE 0 END AS BIGINT)
+      |          AS n_persisted,
+      |        max(ok) = 1 AS accepted
+      |      FROM c GROUP BY wire_class),
+      |t AS (SELECT CAST(sum(n_persisted) AS BIGINT) AS acc,
+      |             CAST(sum(n_sent - n_persisted) AS BIGINT) AS rej FROM g)
+      |SELECT wire_class, n_sent, n_persisted, accepted,
+      |       (SELECT acc FROM t) AS n_appended_total,
+      |       (SELECT rej FROM t) AS n_rejected_total
+      |FROM g ORDER BY wire_class""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "m1_schema_compat" -> m1,
+    "m11_auto_produce" -> m11,
     "m9_registry_persist" -> m9,
     "m2_versioned_decode" -> m2,
     "m3_typed_decode" -> m3,

@@ -85,6 +85,37 @@ object PayloadCodec {
   def genericField(payload: Column, name: String): Column =
     get_json_object(payload.cast("string"), s"$$.$name")
 
+  // --------------------- AUTO_PRODUCE_BYTES ----------------------------
+
+  /**
+   * Write-side schema enforcement (AUTO_PRODUCE_BYTES — reference
+   * Schema.java:450-462: raw bytes are validated against the topic's
+   * CURRENT schema before publish; mismatches are rejected at the
+   * producer). A payload is admitted iff it parses as a record of the
+   * current schema AND every field the schema marks non-nullable decodes
+   * non-null. Nullable fields may be absent (the registry's
+   * add-nullable-field evolution), and unknown extra fields are ignored
+   * (writer-compat projection, like Avro). Returns the reject reason:
+   * NULL = accepted, 'malformed' = not a record at all, 'incomplete' =
+   * a required field missing or of the wrong type.
+   *
+   * Pure `from_json` + null tests — codegen-friendly, zero shuffle, so
+   * the gate costs one columnar pass at any produce volume.
+   */
+  def autoProduceReason(payload: Column, current: StructType): Column = {
+    val rec = from_json(payload.cast("string"), current)
+    val required = current.fields.filterNot(_.nullable).map(_.name)
+    val incomplete = required
+      .map(f => rec.getField(f).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    when(rec.isNull, "malformed")
+      .when(incomplete, "incomplete")
+  }
+
+  /** Boolean admit verdict of [[autoProduceReason]]. */
+  def autoProduceOk(payload: Column, current: StructType): Column =
+    autoProduceReason(payload, current).isNull
+
   // ------------------------- KEY_VALUE ---------------------------------
 
   /** 4-byte big-endian length prefix of a binary column. */

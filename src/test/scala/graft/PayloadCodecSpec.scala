@@ -73,4 +73,31 @@ class PayloadCodecSpec extends AnyFunSuite {
       .select(col("record_map")).head().getMap[String, String](0)
     assert(m("origin") === "p0" && m("amount_c") === "7" && m("attempts") === "4")
   }
+
+  test("AUTO_PRODUCE_BYTES verdicts per payload shape") {
+    import org.apache.spark.sql.types._
+    val current = StructType(Seq(
+      StructField("amount_c", LongType, nullable = false),
+      StructField("origin", StringType, nullable = false),
+      StructField("attempts", LongType, nullable = true)))
+    val cases = Seq(
+      ("""{"amount_c":7,"origin":"p0","attempts":4}""", true), // full record
+      ("""{"amount_c":7,"origin":"p0"}""", true), // nullable add absent
+      ("""{"amount_c":7,"origin":"p0","zz":1}""", true), // unknown ignored
+      ("""{"amount_c":7}""", false), // required missing
+      ("""{"amount_c":"oops","origin":"p0"}""", false), // wrong type
+      ("""{"amount_c":7,"origin"""", false), // truncated
+      ("""not json at all""", false))
+    val got = cases.map(_._1).toDF("txt")
+      .withColumn("value_bin", encode(col("txt"), "UTF-8"))
+      .select(col("txt"),
+        PayloadCodec.autoProduceOk(col("value_bin"), current).as("ok"),
+        PayloadCodec.autoProduceReason(col("value_bin"), current).as("why"))
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    cases.foreach { case (txt, expect) =>
+      assert(got(txt)._1 === expect, s"payload $txt")
+      if (expect) assert(got(txt)._2 === null, s"payload $txt reason")
+      else assert(got(txt)._2 !== null, s"payload $txt reason")
+    }
+  }
 }
