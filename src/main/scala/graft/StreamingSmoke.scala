@@ -298,8 +298,40 @@ object StreamingSmoke {
     check("corpus-dedup", streamSurv == batchSurv,
       s"stream=${streamSurv.size} survivors batch=${batchSurv.size}")
 
+    // -- 13. pattern subscription discovers topics created MID-STREAM -----
+    // (S8 streaming: PatternMultiTopicsConsumerImpl.recheckTopicsChange —
+    // a topic matching the pattern that appears after subscribe must join
+    // the union; a non-matching topic must not, even when created late)
+    val nsRoot = Files.createTempDirectory("graft-ns-").toString
+    def writeTopic(name: String, rows: Seq[MessageEnvelope]): Unit =
+      rows.map(_.copy(topic = name)).toDS()
+        .write.mode("append").parquet(s"$nsRoot/$name")
+    val half = envs.length / 2
+    writeTopic("events-a", envs.take(half).toSeq)
+    writeTopic("other-x", envs.take(20).toSeq) // pre-existing non-match
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val q13 = TopicStream.subscribePattern(spark, nsRoot, "^events-.*")
+      .writeStream.option("checkpointLocation", ckpt())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.groupBy("topic").count().collect().foreach { r =>
+          seen.merge(r.getString(0), r.getLong(1), (a, bb) => a + bb)
+        }; ()
+      }.start()
+    q13.processAllAvailable()
+    val seenBeforeLate = seen.getOrDefault("events-a", 0L)
+    writeTopic("events-b", envs.drop(half).toSeq) // created mid-stream
+    writeTopic("other-y", envs.take(20).toSeq) // late non-match
+    q13.processAllAvailable()
+    q13.stop()
+    check("pattern-discovery",
+      seenBeforeLate == half &&
+        seen.getOrDefault("events-a", 0L) == half &&
+        seen.getOrDefault("events-b", 0L) == (envs.length - half).toLong &&
+        !seen.containsKey("other-x") && !seen.containsKey("other-y"),
+      s"seen=$seen want events-a=$half events-b=${envs.length - half} no other-*")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 12 converged to batch twins OK")
+    println(s"[stream-smoke] all 13 converged to batch twins OK")
     spark.stop()
   }
 }

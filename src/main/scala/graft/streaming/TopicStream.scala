@@ -41,4 +41,25 @@ object TopicStream {
   /** S7 — multi-topic subscribe: union of per-topic streams. */
   def subscribeMany(spark: SparkSession, topicDirs: Seq[String]): DataFrame =
     topicDirs.map(subscribe(spark, _)).reduce(_ unionByName _)
+
+  /**
+   * S8 — pattern subscription WITH mid-stream topic auto-discovery: the
+   * source is the whole namespace glob, and Structured Streaming's file
+   * source re-lists it on EVERY micro-batch — so a topic directory
+   * created after the query starts joins the union at the next trigger,
+   * the reference's PatternMultiTopicsConsumerImpl discovery-timer
+   * behavior (pulsar-client/.../PatternMultiTopicsConsumerImpl.java,
+   * recheckTopicsChange) without needing a timer. Topics that do not
+   * match the regex are dropped by the predicate on the envelope's topic
+   * column; in a `ns/topic=X/` partitioned layout the identical
+   * predicate becomes partition pruning and the non-matching files are
+   * never read.
+   */
+  def subscribePattern(spark: SparkSession, namespaceRoot: String,
+      topicRegex: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(Envelope.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"$namespaceRoot/*")
+      .filter(col("topic").rlike(topicRegex))
 }
