@@ -21,14 +21,41 @@ object LogOps {
 
   /** F2 — size-based retention per topic: newest-first cumulative size cap
    * (reference: RetentionPolicies; ledger-granular in the reference, row-
-   * granular here). The running sum is two-level (per-ledger blocks +
-   * prefix of newer ledgers — see [[Sequencing.keyedCumSumDesc]]) so no
-   * task ever sorts a whole topic. */
-  def retainBySize(env: DataFrame, maxBytesPerTopic: Long): DataFrame =
-    Sequencing.keyedCumSumDesc(env, Seq("topic"), "ledger_id", "msg_offset",
-      octet_length(col("properties")) + lit(8), "_cum")
-      .filter(col("_cum") <= maxBytesPerTopic)
-      .drop("_cum")
+   * granular here). Ledger-first evaluation: per-ledger size totals
+   * (one hash-agg over the log) classify every ledger from its
+   * newest-first prefix as keep-all / drop-all / BOUNDARY, and only the
+   * boundary ledger of each topic — one ledger's worth of rows — pays a
+   * row-level running-sum window. The full log never shuffles for the
+   * window: retained ledgers pass through a broadcast summary join, which
+   * is exactly how the reference trims (ledger-granular first, then the
+   * position inside the boundary ledger). */
+  def retainBySize(env: DataFrame, maxBytesPerTopic: Long): DataFrame = {
+    val sized = env.withColumn("_rowval",
+      octet_length(col("properties")) + lit(8))
+    val blocks = sized.groupBy(col("topic"), col("ledger_id"))
+      .agg(sum(col("_rowval")).as("_val"))
+    val classified = Sequencing.exclusiveBlockPrefix(blocks, Seq("topic"),
+      "ledger_id", isMax = false, desc = true, "_pfx", keepVal = true)
+      .select(col("topic"), col("ledger_id"),
+        coalesce(col("_pfx"), lit(0L)).as("_pfx"), col("_val"))
+      .withColumn("_cls",
+        when(col("_pfx") + col("_val") <= maxBytesPerTopic, 0) // whole ledger fits
+          .when(col("_pfx") >= maxBytesPerTopic, 2) // quota gone before it
+          .otherwise(1)) // boundary: row-level decision
+    // the retained summary is quota-bounded (≈ quota/ledgerSize ledgers
+    // per topic), far below |blocks| — AQE broadcasts it when it fits.
+    // The join drops the dropped-ledger rows BEFORE the window, so only
+    // output-scale rows shuffle for the row-level running sum; for
+    // keep-whole ledgers the window value is computed but unused (the
+    // _cls = 0 disjunct admits them without it).
+    val w = Window.partitionBy(col("topic"), col("ledger_id"))
+      .orderBy(col("msg_offset").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sized.join(classified.filter(col("_cls") < 2), Seq("topic", "ledger_id"))
+      .withColumn("_cum", col("_pfx") + sum(col("_rowval")).over(w))
+      .filter(col("_cls") === 0 || col("_cum") <= maxBytesPerTopic)
+      .select(env.columns.map(col): _*)
+  }
 
   /** F3/F4 — delayed delivery: a message is invisible until its
    * deliver-at time (reference: InMemoryDelayedDeliveryTracker.java:221;

@@ -40,7 +40,7 @@ object Sequencing {
    */
   private[operators] def exclusiveBlockPrefix(blocks: DataFrame, keyCols: Seq[String],
       blockCol: String, isMax: Boolean, desc: Boolean, outCol: String,
-      persistInput: Boolean = true): DataFrame = {
+      persistInput: Boolean = true, keepVal: Boolean = false): DataFrame = {
     val grp = (keyCols :+ "_bkt").map(col)
     // The summary is referenced by three downstream branches (in-bucket
     // window, bucket totals, earlier-buckets broadcast); without a cache
@@ -77,9 +77,11 @@ object Sequencing {
     val asNull =
       if (isMax) when(combined === Long.MinValue, lit(null)).otherwise(combined)
       else combined
+    val dropped = if (keepVal) Seq("_bkt", "_pfx_in", "_pfx_bkt")
+      else Seq("_bkt", "_pfx_in", "_pfx_bkt", "_val")
     withIn.join(bucketPrefix, keyCols :+ "_bkt")
       .withColumn(outCol, asNull)
-      .drop("_bkt", "_pfx_in", "_pfx_bkt", "_val")
+      .drop(dropped: _*)
   }
 
   /**
