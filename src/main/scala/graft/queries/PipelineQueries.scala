@@ -636,6 +636,92 @@ object PipelineQueries extends QueryGroup {
       |       TRUE AS roundtrip
       |FROM h ORDER BY doc_id""".stripMargin))
 
+  private val p42 = QueryDef(
+    // Perceptual feature over the DECODED image, not a stub: average-hash
+    // (aHash) of each document's BMP — build the container, parse it
+    // back, then point-sample the pixel grid (nearest-neighbor 8×8
+    // downsample over the data-row layout), threshold each sample
+    // against the 64-sample mean (integer form: gray*64 > sum, so no
+    // float ties), and pack row-major MSB-first into 16 hex chars. The
+    // oracle replays the identical arithmetic over the same source
+    // bytes in SQL — geometry, stride padding, sampling and threshold.
+    // One mapPartitions pass, no shuffle: the 100 TB shape for
+    // byte-level feature extraction.
+    (s, d) => {
+      import s.implicits._
+      val in = docs(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+        .as[(Long, Array[Byte])]
+      in.mapPartitions { it =>
+        it.map { case (id, px) =>
+          val bmp = BmpCodec.build(16 + (id % 32).toInt, px)
+          val info = BmpCodec.parse(bmp)
+          val dataOffset = bmp.length - info.dataBytes
+          def b(o: Int): Int = bmp(dataOffset + o) & 0xFF
+          val gray = Array.tabulate(8, 8) { (i, j) =>
+            val y = ((2 * i + 1) * info.height) / 16
+            val x = ((2 * j + 1) * info.width) / 16
+            val o = y * info.stride + x * 3
+            b(o) + b(o + 1) + b(o + 2)
+          }
+          val sum = gray.map(_.sum).sum
+          val bits = gray.map(_.map(g => if (g * 64 > sum) 1 else 0))
+          val hash = bits
+            .map(row => f"${row.foldLeft(0)((a, bt) => (a << 1) | bt)}%02x")
+            .mkString
+          (id, info.width, info.height, hash, bits.map(_.sum).sum.toLong)
+        }
+      }.toDF("doc_id", "width", "height", "ahash", "n_above")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH g AS (
+      |  SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS w,
+      |         octet_length(encode(text)) AS len, text
+      |  FROM documents),
+      |h AS (SELECT *, CAST(((w * 3 + 3) // 4) * 4 AS INT) AS stride,
+      |             CAST((octet_length(encode(text)) + ((w * 3 + 3) // 4) * 4 - 1)
+      |               // (((w * 3 + 3) // 4) * 4) AS INT) AS hgt
+      |      FROM g),
+      |cell AS (
+      |  SELECT doc_id, w, hgt, stride, len, text, i, j,
+      |         ((2 * i + 1) * hgt) // 16 AS y,
+      |         ((2 * j + 1) * w) // 16 AS x
+      |  FROM h
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+      |gray AS (
+      |  SELECT doc_id, i, j,
+      |         (CASE WHEN y * stride + x * 3 < len
+      |               THEN ord(substr(text, CAST(y * stride + x * 3 + 1 AS INT), 1))
+      |               ELSE 0 END +
+      |          CASE WHEN y * stride + x * 3 + 1 < len
+      |               THEN ord(substr(text, CAST(y * stride + x * 3 + 2 AS INT), 1))
+      |               ELSE 0 END +
+      |          CASE WHEN y * stride + x * 3 + 2 < len
+      |               THEN ord(substr(text, CAST(y * stride + x * 3 + 3 AS INT), 1))
+      |               ELSE 0 END) AS g3
+      |  FROM cell),
+      |tot AS (SELECT doc_id, sum(g3) AS s64 FROM gray GROUP BY doc_id),
+      |bits AS (
+      |  SELECT gray.doc_id, i, j,
+      |         CASE WHEN g3 * 64 > s64 THEN 1 ELSE 0 END AS bit
+      |  FROM gray JOIN tot ON gray.doc_id = tot.doc_id),
+      |rows_ AS (
+      |  SELECT doc_id, i,
+      |         CAST(sum(bit * power(2, 7 - j)) AS INT) AS rowbyte,
+      |         CAST(sum(bit) AS BIGINT) AS nb
+      |  FROM bits GROUP BY doc_id, i),
+      |packed AS (
+      |  SELECT doc_id,
+      |         string_agg(lpad(lower(hex(rowbyte)), 2, '0'), '' ORDER BY i)
+      |           AS ahash,
+      |         sum(nb) AS n_above
+      |  FROM rows_ GROUP BY doc_id)
+      |SELECT h.doc_id, w AS width, hgt AS height, ahash,
+      |       CAST(n_above AS BIGINT) AS n_above
+      |FROM h JOIN packed ON h.doc_id = packed.doc_id
+      |ORDER BY h.doc_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
@@ -657,6 +743,7 @@ object PipelineQueries extends QueryGroup {
     "p18_dup_clusters" -> p18,
     "p19_wav_decode" -> p19,
     "p20_bmp_decode" -> p20,
+    "p42_image_ahash" -> p42,
     "p28_semantic_dedup" -> p28,
     "p35_embed_pq" -> p35,
     "p37_pq_adc_topk" -> p37,

@@ -483,9 +483,38 @@ object SchemaQueries extends QueryGroup {
       |       (SELECT rej FROM t) AS n_rejected_total
       |FROM g ORDER BY wire_class""".stripMargin))
 
+  /** M12 — EXTERNAL schema (SchemaType.java:155): the schema lives
+   * outside the registry, the engine never decodes. The topic carries
+   * opaque bytes (asserted: zero registry versions), engine-side stats
+   * see only byte lengths, and the record content is reachable solely
+   * through the user's decoder hook — whose sums the oracle reproduces
+   * from the source column the payload was built from, proving the hook
+   * (and nothing in the engine) owns interpretation. */
+  private val m12 = QueryDef(
+    (s, d) => {
+      val env = EventLog.topic(s, d)
+      val reg = new graft.schema.SchemaRegistry
+      require(reg.versions("events-external").isEmpty) // nothing registered
+      PayloadCodec.externalDecode(env,
+          bin => get_json_object(bin.cast("string"), "$.amount_c").cast("long"),
+          as = "user_amount")
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n_msgs"),
+          sum(octet_length(col("value_bin"))).as("payload_bytes"),
+          sum(col("user_amount")).as("user_sum_cents"))
+        .orderBy(col("topic"))
+    },
+    Some(s"""${EventLog.oracleCte}
+      |SELECT topic, count(*) AS n_msgs,
+      |       CAST(sum(octet_length(value_bin)) AS BIGINT) AS payload_bytes,
+      |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+      |         AS user_sum_cents
+      |FROM env GROUP BY topic ORDER BY topic""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "m1_schema_compat" -> m1,
     "m11_auto_produce" -> m11,
+    "m12_external_schema" -> m12,
     "m9_registry_persist" -> m9,
     "m2_versioned_decode" -> m2,
     "m3_typed_decode" -> m3,

@@ -85,6 +85,22 @@ object PayloadCodec {
   def genericField(payload: Column, name: String): Column =
     get_json_object(payload.cast("string"), s"$$.$name")
 
+  // -------------------------- EXTERNAL ---------------------------------
+
+  /**
+   * EXTERNAL schema (SchemaType.java:155): payload whose schema is
+   * stored and managed OUTSIDE the registry. The engine stores, routes,
+   * compacts and retains the bytes as opaque BINARY — no registry entry,
+   * no decode lattice, no write-side validation — and interpretation
+   * happens only through a USER-supplied decoder expression applied at
+   * the read edge. The decoder is a Column→Column hook, so whatever the
+   * user plugs in (their own from_json, a custom Expression, a codec
+   * chain) stays inside codegen like every native decode path.
+   */
+  def externalDecode(env: DataFrame, decoder: Column => Column,
+      as: String = "decoded"): DataFrame =
+    env.withColumn(as, decoder(col("value_bin")))
+
   // --------------------- AUTO_PRODUCE_BYTES ----------------------------
 
   /**
