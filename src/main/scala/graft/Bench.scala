@@ -23,20 +23,36 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/codegen/parquet-footer startup shouldn't be
+    // untimed spin-up: JVM/codegen/parquet-footer startup shouldn't be
     // attributed to whichever query happens to run first
     try {
       SparkEntry.prepare(spark)
       spark.read.parquet(s"$sfDir/events.parquet").count()
-      graft.model.EventLog.topic(spark, sfDir)
-        .groupBy("topic").count().collect()
     } catch { case _: Throwable => }
+    // TIMED, NAMED warmup: run-scoped shared derivations (the envelope
+    // view ~80 queries start from; the LSH verified-pair relation p15/p18
+    // consume). Charging them to an explicit "_warmup_shared" entry —
+    // included in the reported total — keeps per-query timings comparable
+    // across rounds instead of loading the cost onto whichever consumer
+    // sorts first (r5 postmortem: p10/p16 absorbed 4-10x apparent
+    // regressions that were really shared-cache population).
     // optional comma-separated name filter for local profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    val w0 = System.nanoTime()
+    try {
+      graft.model.EventLog.topic(spark, sfDir)
+        .groupBy("topic").count().collect()
+      // the LSH pair derivation only warms when a consumer is selected,
+      // so SPARK_GRAFT_ONLY profiling runs of other queries don't pay it
+      if (only.forall(n => n("p15_minhash_full") || n("p18_dup_clusters")))
+        graft.queries.PipelineQueries.warmShared(spark, sfDir)
+    } catch { case _: Throwable => }
+    val warmupSec = (System.nanoTime() - w0) / 1e9
+    println(s"BENCHQ _warmup_shared ${fmt(warmupSec)}")
     // one human/judge-readable line per query as it completes, so the
     // stdout tail is useful even if the final summary line is clipped.
     // Sorted name order: Map iteration order shifts whenever a query is
@@ -44,14 +60,23 @@ object Bench {
     // page-cache state to different queries between rounds (r4→r5 saw a
     // 6x swing on one query from ordering alone). Deterministic order
     // makes per-query timings comparable across rounds.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val perQuery = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, NOT count(): count() lets Catalyst prune every column,
+      // so a projection-shaped query (regex redaction, quantization
+      // arithmetic) would be measured as a row count of its input — the
+      // 100x rehearsal caught p22/p27/p29 "scaling" flat because none of
+      // their compute survived the count. The noop sink evaluates every
+      // output column and discards the rows (the standard Spark
+      // benchmarking sink).
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
       finally CacheScope.releaseAll() // free per-query fan-out caches
       val sec = (System.nanoTime() - t0) / 1e9
       println(s"BENCHQ $name ${fmt(sec)}")
       name -> sec
     }
+    val results = ("_warmup_shared" -> warmupSec) +: perQuery
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -119,6 +119,14 @@ object PipelineQueries extends QueryGroup {
         docs(s, d), "doc_id", "text", n = 3, k = 64, bands = 32, threshold = 0.5)
     }
 
+  /** Populate the run-scoped shared derivations of this group (the LSH
+   * verified-pair relation) so a harness can charge them to an explicit,
+   * NAMED warmup step instead of whichever consumer runs first — see
+   * graft.Bench. */
+  def warmShared(s: SparkSession, d: String): Unit = {
+    verifiedPairsFull(s, d).count(): Unit
+  }
+
   private val p15 = QueryDef(
     // The UNBOUNDED production path: MinHash-LSH banding + exact confirm
     // over the whole corpus — no doc_id cap, so the sf0.1 bench covers all
