@@ -92,4 +92,100 @@ object Sketches {
       .agg(countDistinct(col("h")).as("exact_distinct"))
     kmvDistinct(pairs, col("g"), col("h"), k).join(exact, Seq("source"))
   }
+
+  // ------------------------------ HyperLogLog ---------------------------
+
+  /** 60-bit uniform hash from the md5 prefix (15 hex chars — fits a
+   * signed long exactly, computable identically in both engines). */
+  def md5Hash60(v: Column): Column =
+    conv(substring(md5(v.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** α₆₄ (Flajolet et al. 2007, HyperLogLog, Table 1 / §4). */
+  private val Alpha64 = 0.709
+
+  /**
+   * HyperLogLog distinct estimate per group, b index bits (m = 2^b
+   * registers, default 64). Registers are a RELATIONAL (group, idx) max:
+   * that relation is the sketch — m rows per group, mergeable by
+   * construction (a distributed HLL union IS this same groupBy-max), and
+   * the map-side partial aggregation ships at most m rows per group per
+   * partition. ρ (position of the first 1-bit of the non-index bits) is
+   * computed through the binary-STRING length, not floating log₂, so
+   * Spark and an independent SQL engine agree bit-for-bit; the estimate
+   * applies the standard small-range linear-counting correction and
+   * rounds to 2 dp (sub-ulp pow/ln differences collapse, the repo's
+   * rounded-float convention).
+   */
+  def hllDistinct(df: DataFrame, group: Column, valueHash60: Column,
+      b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 16, s"HLL needs 4 <= b <= 16, got $b")
+    val m = 1 << b
+    val remBits = 60 - b
+    // bit ops, not `/`: Spark's Divide is DOUBLE division, which loses
+    // exactness above 2^53 — a 60-bit hash would mis-bucket
+    val idx = shiftright(valueHash60, remBits).cast("int")
+    val rem = valueHash60.bitwiseAND(lit((1L << remBits) - 1))
+    val rho = when(rem === 0, lit(remBits + 1))
+      .otherwise(lit(remBits + 1) - length(bin(rem)))
+    val regs = df
+      .select(group.cast("string").as("source"), idx.as("idx"), rho.as("rho"))
+      .groupBy(col("source"), col("idx")).agg(max(col("rho")).as("r"))
+    regs.groupBy(col("source"))
+      .agg(sum(pow(lit(2.0), -col("r"))).as("_inv"),
+        count(lit(1)).as("_present"))
+      // absent registers hold 0 → each contributes 2^0 = 1 to the
+      // denominator; zeros also drive the linear-counting branch
+      .withColumn("_zeros", lit(m) - col("_present"))
+      .withColumn("_raw",
+        lit(Alpha64 * m * m) / (col("_inv") + col("_zeros")))
+      .withColumn("est_distinct", round(
+        when(col("_raw") <= lit(2.5 * m) && col("_zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")))
+          .otherwise(col("_raw")), 2))
+      .select(col("source"), col("est_distinct"),
+        col("_zeros").cast("int").as("zero_registers"))
+  }
+
+  // ---------------------------- Count-Min sketch ------------------------
+
+  /** Salted 32-bit row hash for CM row `i`: md5 of "<value>#<i>". */
+  private def cmsHash(v: Column, i: Int): Column =
+    conv(substring(md5(concat(v.cast("string"), lit(s"#$i")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+
+  /**
+   * Count-Min sketch counters (Cormode & Muthukrishnan 2005): d salted
+   * hash rows × w counters, built with ONE explode-by-d + hash aggregate
+   * over the items — the counter table is a fixed d·w rows regardless of
+   * input size (the 100 TB shape: mergeable by +, broadcastable for
+   * lookups). Returns (row_i, slot, cnt).
+   */
+  def cmsCounters(df: DataFrame, item: Column, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 2, s"CM needs 1<=d<=8, w>=2; got d=$d w=$w")
+    val rows = explode(array((0 until d).map { i =>
+      struct(lit(i).as("row_i"), (cmsHash(item, i) % w).cast("int").as("slot"))
+    }: _*))
+    df.select(rows.as("rs"))
+      .select(col("rs.row_i").as("row_i"), col("rs.slot").as("slot"))
+      .groupBy(col("row_i"), col("slot")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Count-Min point estimates for a set of candidate items: est(x) =
+   * min over rows of counter[i][h_i(x)] — always ≥ the true count, the
+   * overcount being hash-collision mass. The counter table broadcasts
+   * (d·w rows); candidates never shuffle more than once.
+   */
+  def cmsEstimates(counters: DataFrame, candidates: DataFrame,
+      item: Column, d: Int, w: Int): DataFrame = {
+    val keyed = candidates.select(item.cast("string").as("item"))
+      .distinct()
+      .select(col("item"), explode(array((0 until d).map { i =>
+        struct(lit(i).as("row_i"), (cmsHash(col("item"), i) % w).cast("int").as("slot"))
+      }: _*)).as("rs"))
+      .select(col("item"), col("rs.row_i").as("row_i"), col("rs.slot").as("slot"))
+    keyed.join(broadcast(counters), Seq("row_i", "slot"))
+      .groupBy(col("item"))
+      .agg(min(col("cnt")).as("est_count"))
+  }
 }

@@ -462,6 +462,92 @@ object CorpusQueries extends QueryGroup {
       |       CAST(exact_distinct AS BIGINT) AS exact_distinct
       |FROM kset k JOIN ex USING (source) ORDER BY source""".stripMargin))
 
+  // ---------------------------------------------- p43 HLL cardinality
+
+  private val p43 = QueryDef(
+    // HyperLogLog distinct 3-grams per source (b=6, 64 registers) vs the
+    // exact count — the constant-memory sibling of p40's KMV. ρ comes
+    // from the binary-string length of the md5-prefix hash, so the
+    // register table — and therefore the estimate — is reproduced
+    // bit-for-bit by the oracle; the float estimate rounds to 2 dp.
+    (s, d) => {
+      val grams = graft.CacheScope.track(docs(s, d).select(col("source"),
+        explode(graft.pipeline.TextOps.wordNGrams(col("text"), 3)).as("gram")))
+      val est = graft.pipeline.Sketches.hllDistinct(grams, col("source"),
+        graft.pipeline.Sketches.md5Hash60(col("gram")))
+      val exact = grams.groupBy(col("source").cast("string").as("source"))
+        .agg(countDistinct(col("gram")).as("exact_distinct"))
+      est.join(exact, Seq("source")).orderBy(col("source"))
+    },
+    Some(s"""WITH w AS (SELECT source, doc_id, $WORDS AS ws FROM documents),
+      |g AS (
+      |  SELECT source, doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+      |  FROM w WHERE len(ws) >= 3),
+      |hh AS (SELECT source, gram,
+      |         CAST(('0x' || substr(md5(gram), 1, 15)) AS UBIGINT) AS hv
+      |       FROM g),
+      |reg AS (SELECT source, CAST(hv // 18014398509481984 AS INT) AS idx,
+      |          max(CASE WHEN hv % 18014398509481984 = 0 THEN 55
+      |               ELSE 55 - length(bin(hv % 18014398509481984)) END) AS r
+      |        FROM hh GROUP BY source, idx),
+      |e AS (SELECT source, sum(power(2.0, -r)) AS inv, count(*) AS present
+      |      FROM reg GROUP BY source),
+      |f AS (SELECT source, 64 - present AS zeros,
+      |             0.709 * 64 * 64 / (inv + (64 - present)) AS raw
+      |      FROM e),
+      |ex AS (SELECT source, count(DISTINCT gram) AS exact_distinct
+      |       FROM g GROUP BY source)
+      |SELECT f.source,
+      |       round(CASE WHEN raw <= 160.0 AND zeros > 0
+      |                  THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 2)
+      |         AS est_distinct,
+      |       CAST(zeros AS INT) AS zero_registers,
+      |       CAST(exact_distinct AS BIGINT) AS exact_distinct
+      |FROM f JOIN ex ON f.source = ex.source ORDER BY f.source""".stripMargin))
+
+  // ------------------------------------------ p44 CM heavy hitters
+
+  private val p44 = QueryDef(
+    // Count-Min heavy hitters: global top-20 words by CM point estimate
+    // (d=4 rows × w=256 counters) with the exact count beside — the
+    // overcount column IS the sketch's collision mass, non-negative by
+    // construction. Counters and estimates are integer-exact functions
+    // of md5-prefix hashes, so the oracle rebuilds the identical sketch.
+    (s, d) => {
+      val words = graft.CacheScope.track(docs(s, d)
+        .select(explode(graft.pipeline.TextOps.words(
+          coalesce(col("text"), lit("")))).as("word"))
+        .filter(length(col("word")) > 0))
+      val counters = graft.pipeline.Sketches.cmsCounters(
+        words, col("word"), d = 4, w = 256)
+      val exact = words.groupBy(col("word").as("item"))
+        .agg(count(lit(1)).as("exact_count"))
+      graft.pipeline.Sketches.cmsEstimates(counters, words, col("word"), 4, 256)
+        .join(exact, Seq("item"))
+        .withColumn("overcount", col("est_count") - col("exact_count"))
+        .orderBy(col("est_count").desc, col("item")).limit(20)
+    },
+    Some(s"""WITH ww AS (
+      |  SELECT unnest($WORDSC) AS word FROM documents),
+      |wd AS (SELECT word FROM ww WHERE len(word) > 0),
+      |k AS (SELECT word, i,
+      |        CAST(('0x' || substr(md5(word || '#' || CAST(i AS VARCHAR)),
+      |          1, 8)) AS UBIGINT) % 256 AS slot
+      |      FROM wd CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+      |c AS (SELECT i, slot, count(*) AS cnt FROM k GROUP BY i, slot),
+      |ck AS (SELECT DISTINCT word, i, slot FROM k),
+      |est AS (SELECT word AS item, min(cnt) AS est_count
+      |        FROM ck JOIN c USING (i, slot) GROUP BY word),
+      |ex AS (SELECT word AS item, count(*) AS exact_count
+      |       FROM wd GROUP BY word)
+      |SELECT est.item, CAST(est_count AS BIGINT) AS est_count,
+      |       CAST(exact_count AS BIGINT) AS exact_count,
+      |       CAST(est_count - exact_count AS BIGINT) AS overcount
+      |FROM est JOIN ex ON est.item = ex.item
+      |ORDER BY est_count DESC, est.item LIMIT 20""".stripMargin))
+
   // --------------------------------------------- p38 incremental dedup
 
   private val p38 = QueryDef(
@@ -588,6 +674,8 @@ object CorpusQueries extends QueryGroup {
     "p36_sequence_pack" -> p36,
     "p38_incremental_dedup" -> p38,
     "p40_kmv_distinct" -> p40,
-    "p41_weighted_sample" -> p41
+    "p41_weighted_sample" -> p41,
+    "p43_hll_distinct" -> p43,
+    "p44_cms_heavy_hitters" -> p44
   )
 }

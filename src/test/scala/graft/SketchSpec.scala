@@ -45,4 +45,52 @@ class SketchSpec extends AnyFunSuite {
     val totalExact = out.map(_.getAs[Long]("exact_distinct")).sum.toDouble
     assert(math.abs(totalEst - totalExact) / totalExact < 0.2)
   }
+
+  test("HLL estimate lands near the exact distinct count on the corpus") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val grams = docs.select(col("source"),
+      explode(graft.pipeline.TextOps.wordNGrams(col("text"), 3)).as("gram"))
+    val est = Sketches.hllDistinct(grams, col("source"),
+      Sketches.md5Hash60(col("gram"))).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+    val exact = grams.groupBy("source").agg(countDistinct("gram").as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet && est.nonEmpty)
+    exact.foreach { case (src, x) =>
+      // m=64 registers → ~1.04/8 ≈ 13% relative standard error
+      assert(math.abs(est(src) - x) / x < 0.5, s"$src: est=${est(src)} exact=$x")
+    }
+    // tiny-cardinality path: linear counting is near-exact
+    val small = Seq("a b c d e f g h i j").toDF("text")
+      .select(lit("s").as("source"),
+        explode(graft.pipeline.TextOps.wordNGrams(col("text"), 3)).as("gram"))
+    val smallEst = Sketches.hllDistinct(small, col("source"),
+      Sketches.md5Hash60(col("gram"))).head().getAs[Double]("est_distinct")
+    assert(math.abs(smallEst - 8.0) < 1.0) // 8 distinct 3-grams
+  }
+
+  test("CM sketch estimates are exact-or-over, never under") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = docs.select(explode(graft.pipeline.TextOps.words(
+        coalesce(col("text"), lit("")))).as("word"))
+      .filter(length(col("word")) > 0)
+    val counters = Sketches.cmsCounters(words, col("word"), d = 4, w = 256)
+    // fixed-size counter table, total mass conserved
+    val rows = counters.collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).distinct.length == rows.length)
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 4 &&
+      r.getInt(1) >= 0 && r.getInt(1) < 256))
+    val total = words.count()
+    assert(rows.filter(_.getInt(0) == 0).map(_.getLong(2)).sum === total)
+    val est = Sketches.cmsEstimates(counters, words, col("word"), 4, 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = words.groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet === est.keySet)
+    exact.foreach { case (w, x) =>
+      assert(est(w) >= x, s"CM under-counted $w: ${est(w)} < $x")
+    }
+  }
 }
