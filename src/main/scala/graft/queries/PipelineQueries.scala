@@ -730,6 +730,80 @@ object PipelineQueries extends QueryGroup {
       |FROM h JOIN packed ON h.doc_id = packed.doc_id
       |ORDER BY h.doc_id""".stripMargin))
 
+  private val p45 = QueryDef(
+    // Audio sibling of p42: frame-level features over the DECODED PCM —
+    // build the canonical WAV, walk the RIFF chunks back, then compute
+    // per-frame energy (sum of squared bias-removed 8-bit samples,
+    // 100-sample frames) and whole-stream zero crossings. Everything is
+    // integer arithmetic on decoded samples, so the oracle replays it
+    // exactly from the source bytes; peak frame ties break on the lowest
+    // index. One mapPartitions pass, zero shuffle.
+    (s, d) => {
+      import s.implicits._
+      val frame = 100
+      val in = docs(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm"))
+        .as[(Long, Array[Byte])]
+      in.mapPartitions { it =>
+        it.map { case (id, pcm) =>
+          val rate = 8000 + (id % 8).toInt * 1000
+          val wav = WavCodec.build(rate, 1, 8, pcm)
+          val info = WavCodec.parse(wav)
+          val n = info.nSamples.toInt
+          val data = wav.slice(wav.length - n, wav.length)
+          def v(i: Int): Int = (data(i) & 0xFF) - 128
+          val nFrames = (n + frame - 1) / frame
+          var peakFrame = 0
+          var peakSsq = Long.MinValue
+          var crossings = 0L
+          var f = 0
+          while (f < nFrames) {
+            var ssq = 0L
+            var i = f * frame
+            val end = math.min(i + frame, n)
+            while (i < end) { ssq += v(i).toLong * v(i); i += 1 }
+            if (ssq > peakSsq) { peakSsq = ssq; peakFrame = f }
+            f += 1
+          }
+          var j = 0
+          while (j < n - 1) {
+            if (v(j) * v(j + 1) < 0) crossings += 1
+            j += 1
+          }
+          (id, n.toLong, nFrames.toLong, peakFrame.toLong, peakSsq, crossings)
+        }
+      }.toDF("doc_id", "n_samples", "n_frames", "peak_frame", "peak_ssq",
+          "n_crossings")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH s AS (
+      |  SELECT doc_id, CAST(pos AS INT) AS pos,
+      |         ord(substr(text, CAST(pos AS INT), 1)) - 128 AS v
+      |  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS pos
+      |        FROM documents)),
+      |f AS (SELECT doc_id, (pos - 1) // 100 AS frame,
+      |             sum(CAST(v AS BIGINT) * v) AS ssq
+      |      FROM s GROUP BY doc_id, frame),
+      |pk AS (SELECT doc_id, frame, ssq, row_number() OVER (
+      |         PARTITION BY doc_id ORDER BY ssq DESC, frame) AS rn
+      |       FROM f),
+      |s2 AS (SELECT doc_id, v, lead(v) OVER (
+      |         PARTITION BY doc_id ORDER BY pos) AS nv FROM s),
+      |cr AS (SELECT doc_id,
+      |         sum(CASE WHEN v * nv < 0 THEN 1 ELSE 0 END) AS nc
+      |       FROM s2 GROUP BY doc_id),
+      |fr AS (SELECT doc_id, count(*) AS n_frames FROM f GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_samples,
+      |       CAST(fr.n_frames AS BIGINT) AS n_frames,
+      |       CAST(pk.frame AS BIGINT) AS peak_frame,
+      |       CAST(pk.ssq AS BIGINT) AS peak_ssq,
+      |       CAST(cr.nc AS BIGINT) AS n_crossings
+      |FROM documents d
+      |JOIN fr ON fr.doc_id = d.doc_id
+      |JOIN pk ON pk.doc_id = d.doc_id AND pk.rn = 1
+      |JOIN cr ON cr.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
@@ -752,6 +826,7 @@ object PipelineQueries extends QueryGroup {
     "p19_wav_decode" -> p19,
     "p20_bmp_decode" -> p20,
     "p42_image_ahash" -> p42,
+    "p45_audio_energy" -> p45,
     "p28_semantic_dedup" -> p28,
     "p35_embed_pq" -> p35,
     "p37_pq_adc_topk" -> p37,
