@@ -293,6 +293,61 @@ object CorpusOps {
             s => s.getField("chunk"))).cast("binary")).as("cleaned_md5"))
   }
 
+  /**
+   * Repeated-SPAN scrub (Lee et al. 2021, "Deduplicating Training Data
+   * Makes Language Models Better", arXiv:2107.06499 — exact-substring
+   * removal, here at word-n-gram granularity): any word n-gram occurring
+   * at least `minCount` times across the corpus marks every position it
+   * covers, and each document drops its covered words. Unlike
+   * [[chunkScrub]]'s aligned-chunk rule, spans OVERLAP — a word is
+   * removed when ANY covering n-gram is corpus-frequent, which is the
+   * boilerplate/template-removal semantics.
+   *
+   * Shape: one in-row gram construction (no corpus self-join), one
+   * vocabulary-scale frequency aggregation on the gram, a gram-keyed
+   * join-back that touches only frequent-gram OCCURRENCES (dup mass, not
+   * corpus mass), and one per-doc rebuild aggregation. All joins are on
+   * near-unique or frequency-pruned keys; at 100 TB the frequent-gram
+   * table is the broadcast side.
+   */
+  def repeatedSpanScrub(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minCount: Int = 3): DataFrame = {
+    val toks = graft.CacheScope.track(df.select(col(idCol).as("doc_id"),
+      filter(TextOps.words(coalesce(col(textCol), lit(""))),
+        w => length(w) > 0).as("ws")))
+    // guard short docs: sequence(0, size-n) with size < n would count DOWN
+    val grams = toks
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("ws"), i + 1, lit(n))).as("gram")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("gram"))
+    val covered = grams.join(freq, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("cpos"))
+      .distinct()
+    val words = toks.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos", "word")))
+    val kept = words.join(
+      covered.select(col("doc_id").as("_cd"), col("cpos")),
+      col("doc_id") === col("_cd") && col("pos") === col("cpos"), "left_anti")
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            s => s.getField("word"))).cast("binary")).as("kept_md5"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        // a fully-scrubbed doc digests the empty string (md5("") constant)
+        coalesce(col("kept_md5"),
+          lit("d41d8cd98f00b204e9800998ecf8427e")).as("kept_md5"))
+  }
+
   // --------------------------------------------------------- quantization
 
   /**

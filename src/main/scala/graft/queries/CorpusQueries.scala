@@ -548,6 +548,59 @@ object CorpusQueries extends QueryGroup {
       |FROM est JOIN ex ON est.item = ex.item
       |ORDER BY est_count DESC, est.item LIMIT 20""".stripMargin))
 
+  // --------------------------------------- p46 repeated-span scrub
+
+  private val p46 = QueryDef(
+    // Exact-substring removal at word-5-gram granularity (Lee et al.
+    // 2021): every 5-gram occurring ≥3 times corpus-wide marks the
+    // positions it covers; documents drop covered words and the rebuild
+    // digest pins the exact surviving text. Spans overlap — the
+    // template/boilerplate-removal semantics aligned chunks (p33) can't
+    // express. Per-source rollup keeps the output compact while the
+    // per-doc digests stay inside the aggregation.
+    (s, d) => graft.pipeline.CorpusOps
+      .repeatedSpanScrub(docs(s, d), "doc_id", "text", n = 5, minCount = 3)
+      .join(docs(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_kept")).as("n_kept"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("kept_md5")))),
+            x => x.getField("kept_md5"))).cast("binary")).as("scrub_md5"))
+      .orderBy(col("source")),
+    Some(s"""WITH w AS (
+      |  SELECT doc_id, source,
+      |         list_filter($WORDSC, x -> len(x) > 0) AS ws
+      |  FROM documents),
+      |t AS (SELECT doc_id, CAST(pos - 1 AS INT) AS pos, ws[CAST(pos AS INT)] AS word
+      |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM w)),
+      |g AS (SELECT doc_id, CAST(pos - 1 AS INT) AS pos,
+      |        ws[CAST(pos AS INT)] || ' ' || ws[CAST(pos+1 AS INT)] || ' ' ||
+      |        ws[CAST(pos+2 AS INT)] || ' ' || ws[CAST(pos+3 AS INT)] || ' ' ||
+      |        ws[CAST(pos+4 AS INT)] AS gram
+      |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS pos
+      |            FROM w WHERE len(ws) >= 5)),
+      |fq AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 3),
+      |cov AS (SELECT DISTINCT g.doc_id, g.pos + k.k AS cpos
+      |        FROM g JOIN fq USING (gram)
+      |        CROSS JOIN (SELECT unnest(range(0, 5)) AS k) k),
+      |kept AS (SELECT t.doc_id, t.pos, t.word FROM t
+      |         LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.cpos = t.pos
+      |         WHERE cov.doc_id IS NULL),
+      |kd AS (SELECT doc_id, count(*) AS n_kept,
+      |         md5(string_agg(word, ' ' ORDER BY pos)) AS kept_md5
+      |       FROM kept GROUP BY doc_id),
+      |per AS (SELECT w.doc_id, w.source, len(w.ws) AS n_words,
+      |          coalesce(kd.n_kept, 0) AS n_kept,
+      |          coalesce(kd.kept_md5, md5('')) AS kept_md5
+      |        FROM w LEFT JOIN kd ON kd.doc_id = w.doc_id)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_words) AS BIGINT) AS n_words,
+      |       CAST(sum(n_kept) AS BIGINT) AS n_kept,
+      |       md5(string_agg(kept_md5, ',' ORDER BY doc_id)) AS scrub_md5
+      |FROM per GROUP BY source ORDER BY source""".stripMargin))
+
   // --------------------------------------------- p38 incremental dedup
 
   private val p38 = QueryDef(
@@ -676,6 +729,7 @@ object CorpusQueries extends QueryGroup {
     "p40_kmv_distinct" -> p40,
     "p41_weighted_sample" -> p41,
     "p43_hll_distinct" -> p43,
-    "p44_cms_heavy_hitters" -> p44
+    "p44_cms_heavy_hitters" -> p44,
+    "p46_repeated_span_scrub" -> p46
   )
 }
