@@ -65,8 +65,12 @@ object TextOps {
 
   /** Document fingerprint: md5 of the normalized text (stable across
    * whitespace/case variants — the oracle-checkable cousin of the rolling
-   * hash in [[DedupOps.simhash]]). */
-  def fingerprint(text: Column): Column = md5(normalized(text))
+   * hash in [[DedupOps.simhash]]). NULL text fingerprints like the empty
+   * string — the library-wide convention ([[wordNGrams]],
+   * [[graft.pipeline.CorpusOps.incrementalDedup]]); a NULL fingerprint
+   * would silently drop the doc from inner joins on the key. */
+  def fingerprint(text: Column): Column =
+    md5(normalized(coalesce(text, lit(""))))
 
   /**
    * Winnowing document fingerprints (Schleimer, Wilkinson, Aiken —

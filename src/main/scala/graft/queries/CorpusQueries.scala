@@ -22,12 +22,15 @@ object CorpusQueries extends QueryGroup {
 
   /** DuckDB mirror of TextOps.normalized / TextOps.words (same strings as
    * PipelineQueries — kept private there, restated here). */
-  private val NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-  private val WORDS = s"string_split($NORM, ' ')"
-  // NULL-text-safe variants (match the Spark side's coalesce-to-'' paths)
-  private val NORMC =
+  // coalesced: NULL text normalizes like '' (the library-wide convention,
+  // matching TextOps.fingerprint/wordNGrams), so no oracle can diverge on
+  // a NULL-text row
+  private val NORM =
     "trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))"
-  private val WORDSC = s"string_split($NORMC, ' ')"
+  private val WORDS = s"string_split($NORM, ' ')"
+  // historical aliases (same expression since the coalesce moved into NORM)
+  private val NORMC = NORM
+  private val WORDSC = WORDS
 
   // ------------------------------------------------- p21 repetition stats
 

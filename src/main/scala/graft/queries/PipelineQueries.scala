@@ -26,7 +26,11 @@ object PipelineQueries extends QueryGroup {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** DuckDB mirror of TextOps.normalized. */
-  private val NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  // coalesced: NULL text normalizes like '' (the library-wide convention,
+  // matching TextOps.fingerprint/wordNGrams), so no oracle can diverge on
+  // a NULL-text row
+  private val NORM =
+    "trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))"
   /** DuckDB mirror of TextOps.words (split of the collapsed normal form). */
   private val WORDS = s"string_split($NORM, ' ')"
 

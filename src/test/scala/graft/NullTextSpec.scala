@@ -1,0 +1,67 @@
+package graft
+
+import graft.pipeline.{CorpusOps, DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** NULL/empty-text hardening: the fixtures contain no NULL text, so only
+ * a dedicated spec catches the `size(null) = -1` / silent-join-drop
+ * class of bug (it has produced latent divergence twice in review; see
+ * p23/p24/p41 history). Every text operator must treat NULL text exactly
+ * like the empty string — same row counts, no nulls leaking into keys,
+ * no thrown errors. */
+class NullTextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mixed = Seq(
+    (0L, null.asInstanceOf[String], "a"),
+    (1L, "", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog", "b"),
+    (3L, "   ", "b"))
+    .toDF("doc_id", "text", "source")
+
+  test("word/ngram/token operators: null == empty, no rows lost") {
+    val out = mixed.select(col("doc_id"),
+      TextOps.wordNGrams(col("text"), 3).as("g3"),
+      coalesce(TextOps.tokenCount(col("text")), lit(1)).as("tc"),
+      TextOps.fingerprint(coalesce(col("text"), lit(""))).as("fp"),
+      CorpusOps.sampleKey(col("text"), col("doc_id")).as("sk"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 4) // nothing dropped
+    // null and empty agree on every derived value except the id-keyed hash
+    assert(out(0L).getSeq[String](1) === out(1L).getSeq[String](1))
+    assert(out(0L).getAs[Int]("tc") === out(1L).getAs[Int]("tc"))
+    assert(out(0L).getString(3) === out(1L).getString(3))
+    out.values.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(3) && !r.isNullAt(4),
+        s"doc ${r.getLong(0)} leaked a NULL derivation")
+    }
+  }
+
+  test("dedup operators group null-text docs as empty-text duplicates") {
+    // null, "", and whitespace-only all normalize to the same NON-NULL
+    // fingerprint: one duplicate family with doc 0 as representative (a
+    // NULL fingerprint would instead silently drop them from joins)
+    val fams = DedupOps.normalizedDuplicates(mixed, "doc_id", "text")
+      .collect()
+    assert(fams.length === 1)
+    assert(fams.head.getAs[Long]("dup_count") === 3L)
+    assert(fams.head.getAs[Long]("representative") === 0L)
+    assert(fams.head.getString(0) != null)
+  }
+
+  test("repeated-span scrub and BPE tokenize are total over null text") {
+    val scrub = CorpusOps.repeatedSpanScrub(mixed, "doc_id", "text",
+      n = 2, minCount = 2).collect().map(r => r.getLong(0) -> r).toMap
+    assert(scrub.size === 4)
+    assert(scrub(0L).getAs[Long]("n_words") === 0L)
+    assert(scrub(0L).getAs[String]("kept_md5") ===
+      "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    val bpe = graft.pipeline.BpeTokenizer
+      .tokenize(mixed, "doc_id", "text", numMerges = 5)
+      .collect().map(b => b.doc_id -> b).toMap
+    assert(bpe.size === 4)
+    assert(bpe(0L).n_tokens === 0L && bpe(0L).tokens_md5 === bpe(1L).tokens_md5)
+  }
+}
