@@ -330,8 +330,40 @@ object StreamingSmoke {
         !seen.containsKey("other-x") && !seen.containsKey("other-y"),
       s"seen=$seen want events-a=$half events-b=${envs.length - half} no other-*")
 
+    // -- 14. streaming HLL registers converge to the batch sketch ---------
+    // (the register relation IS the sketch, and its merge IS the same
+    // groupBy-max — so an incremental stream over the gram hashes must
+    // land on the identical registers, hence the identical estimate)
+    val gramRows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"),
+        explode(graft.pipeline.TextOps.wordNGrams(col("text"), 3)).as("gram"))
+      .select(col("source"),
+        graft.pipeline.Sketches.md5Hash60(col("gram")).as("h"))
+      .as[(String, Long)].collect()
+    val s14 = MemoryStream[(String, Long)]
+    val q14 = graft.pipeline.Sketches
+      .hllRegisters(s14.toDF().toDF("source", "h"), col("source"), col("h"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("hll_regs")
+      .option("checkpointLocation", ckpt()).start()
+    gramRows.grouped(math.max(1, gramRows.length / 5 + 1))
+      .foreach { c => s14.addData(c); q14.processAllAvailable() }
+    q14.stop()
+    def estKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("est_distinct"), r.getAs[Int]("zero_registers"))).toMap
+    val streamEst = estKey(graft.pipeline.Sketches
+      .hllEstimateFromRegisters(spark.table("hll_regs")))
+    val batchEst = estKey(graft.pipeline.Sketches.hllDistinct(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("source"),
+          explode(graft.pipeline.TextOps.wordNGrams(col("text"), 3)).as("gram")),
+      col("source"), graft.pipeline.Sketches.md5Hash60(col("gram"))))
+    check("hll-registers", streamEst == batchEst,
+      s"stream=$streamEst batch=$batchEst")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 13 converged to batch twins OK")
+    println(s"[stream-smoke] all 14 converged to batch twins OK")
     spark.stop()
   }
 }

@@ -117,9 +117,16 @@ object Sketches {
    * rounded-float convention).
    */
   def hllDistinct(df: DataFrame, group: Column, valueHash60: Column,
+      b: Int = 6): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, group, valueHash60, b), b)
+
+  /** The HLL register relation: (source, idx, r) with r = max ρ seen for
+   * that register. This IS the sketch — mergeable by the same groupBy-max
+   * (a streaming Complete-mode aggregation over it converges to the batch
+   * registers, checked by StreamingSmoke), m rows per group. */
+  def hllRegisters(df: DataFrame, group: Column, valueHash60: Column,
       b: Int = 6): DataFrame = {
     require(b >= 4 && b <= 16, s"HLL needs 4 <= b <= 16, got $b")
-    val m = 1 << b
     val remBits = 60 - b
     // bit ops, not `/`: Spark's Divide is DOUBLE division, which loses
     // exactness above 2^53 — a 60-bit hash would mis-bucket
@@ -127,9 +134,13 @@ object Sketches {
     val rem = valueHash60.bitwiseAND(lit((1L << remBits) - 1))
     val rho = when(rem === 0, lit(remBits + 1))
       .otherwise(lit(remBits + 1) - length(bin(rem)))
-    val regs = df
-      .select(group.cast("string").as("source"), idx.as("idx"), rho.as("rho"))
+    df.select(group.cast("string").as("source"), idx.as("idx"), rho.as("rho"))
       .groupBy(col("source"), col("idx")).agg(max(col("rho")).as("r"))
+  }
+
+  /** Estimate from a register relation — a pure function of the sketch. */
+  def hllEstimateFromRegisters(regs: DataFrame, b: Int = 6): DataFrame = {
+    val m = 1 << b
     regs.groupBy(col("source"))
       .agg(sum(pow(lit(2.0), -col("r"))).as("_inv"),
         count(lit(1)).as("_present"))

@@ -29,6 +29,32 @@ object SurfaceQueries extends QueryGroup {
     Some("""SELECT count(*) AS n, min(event_id) AS first_id, max(event_id) AS last_id
       |FROM events""".stripMargin))
 
+  private val s10 = QueryDef(
+    // S10 — the Sink SPI driven end to end: the envelope drains through
+    // a per-partition LineFileSink (open/write/flush/close against the
+    // local FS as the "external system"), and the RESULT is read back
+    // from what the sink actually wrote — count, offset sum, and
+    // producer spread must survive the full connector contract. The
+    // oracle computes the same aggregates from the source table.
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.Scratch.freshDir("s10-sink")
+      val lines = env(s, d)
+        .select(concat_ws(",", col("msg_offset"), col("producer_name"))
+          .as("line")).as[String]
+      GraftIO.toSink(lines, new graft.sources.LineFileSink(dir))
+      s.read.text(dir)
+        .select(split(col("value"), ",").as("f"))
+        .select(col("f").getItem(0).cast("long").as("off"),
+          col("f").getItem(1).as("producer"))
+        .agg(count(lit(1)).as("n"), sum(col("off")).as("sum_off"),
+          countDistinct(col("producer")).as("producers"))
+    },
+    Some(s"""$E
+      |SELECT count(*) AS n, CAST(sum(msg_offset) AS BIGINT) AS sum_off,
+      |       count(DISTINCT producer_name) AS producers
+      |FROM env""".stripMargin))
+
   private val s11 = QueryDef(
     // S9+S11 — the data-generator connector through the Source SPI:
     // open/read/close per partition, 4 partitions × 250 records.
@@ -259,6 +285,7 @@ object SurfaceQueries extends QueryGroup {
 
   override val defs: Map[String, QueryDef] = Map(
     "s6_raw_reader" -> s6,
+    "s10_sink_roundtrip" -> s10,
     "s11_datagen_source" -> s11,
     "s15_shadow_topic" -> s15,
     "m10_sql_surface" -> m10,

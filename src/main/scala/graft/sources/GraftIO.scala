@@ -90,6 +90,28 @@ object GraftIO {
 }
 
 /**
+ * S10 — a line-file sink: each partition's sink instance appends one
+ * text line per record to its own file under `dir` (partition +
+ * task-attempt suffixed, so speculative retries never interleave). The
+ * local filesystem is the observable "external system", which makes the
+ * full open/write/flush/close contract oracle-checkable: whatever
+ * landed in the directory IS what the sink was handed.
+ */
+class LineFileSink(dir: String) extends GraftSink[String] {
+  @transient private var w: java.io.Writer = _
+  override def open(config: Map[String, String]): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    val name = s"part-${tc.partitionId()}-${tc.taskAttemptId()}.txt"
+    new java.io.File(dir).mkdirs()
+    w = new java.io.BufferedWriter(
+      new java.io.FileWriter(new java.io.File(dir, name)))
+  }
+  override def write(record: String): Unit = { w.write(record); w.write('\n') }
+  override def flush(): Unit = w.flush()
+  override def close(): Unit = if (w != null) w.close()
+}
+
+/**
  * S11 — the built-in data-generator source (pulsar-io/data-generator):
  * deterministic synthetic typed records, partition-parallel.
  */
