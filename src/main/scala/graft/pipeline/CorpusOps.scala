@@ -626,4 +626,114 @@ object CorpusOps {
             col(idCol)))), x => x.cast("string"))).cast("binary"))
           .as("kept_md5"))
   }
+
+  // ------------------------------------------------------ exact quantiles
+
+  /**
+   * EXACT per-group quantiles by order-statistic selection over a value
+   * HISTOGRAM — never a global sort. Quantiles are given as exact
+   * rationals (num, den); the selected value is the smallest v whose
+   * cumulative count reaches rank = ceil(q·n), computed in pure integer
+   * arithmetic ((num·n + den − 1) div den) so no float ceil can disagree
+   * across engines.
+   *
+   * Shape: the corpus collapses to (group, value, count) in one hash
+   * aggregate with map-side partials — histogram-scale, not row-scale
+   * (a 100 TB corpus of document lengths has thousands of distinct
+   * values, not trillions). The running-count window and the
+   * quantile-rank join both run on that small relation. Contrast with
+   * sort-based quantiles (a full shuffle-sort of every row) or
+   * approx_percentile (no exactness guarantee): this is the shape that
+   * answers "exact p99 doc length per source" at any corpus size whose
+   * value domain is bounded.
+   */
+  def exactQuantiles(df: DataFrame, group: Column, value: Column,
+      quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty &&
+      quantiles.forall { case (n, d) => n >= 0 && n <= d && d > 0 },
+      s"quantiles must be rationals in [0,1], got $quantiles")
+    // one corpus scan: the histogram feeds both the running count and
+    // the per-group totals (it is tiny — distinct values, not rows)
+    val hist = graft.CacheScope.track(df
+      .select(group.cast("string").as("source"), value.cast("long").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c")))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("v"))))
+    val totals = hist.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val qdf = totals
+      .select(col("source"), col("n"), explode(array(quantiles.map {
+        case (num, den) => struct(lit(num.toLong).as("qnum"),
+          lit(den.toLong).as("qden"))
+      }: _*)).as("qq"))
+      .select(col("source"), col("n"),
+        round(col("qq.qnum") / col("qq.qden"), 4).as("q"),
+        expr("(qq.qnum * n + qq.qden - 1) div qq.qden").as("rank"))
+    qdf.join(cum, Seq("source"))
+      .where(col("cum") >= col("rank"))
+      .groupBy(col("source"), col("q"), col("n"), col("rank"))
+      .agg(min(col("v")).as("value"))
+      .select(col("source"), col("q"), col("n"), col("rank"), col("value"))
+  }
+
+  // ------------------------------------------------ LM perplexity filter
+
+  /**
+   * CCNet-style language-model quality filter (Wenzek et al. 2019,
+   * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+   * Data"): train an add-one-smoothed bigram LM on a trusted slice,
+   * score every document by perplexity, keep the low-perplexity (i.e.
+   * target-language, fluent) ones. P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V).
+   *
+   * Engine-parity design: per-bigram log-probabilities are rounded to
+   * 4 dp and summed as SCALED LONGS (×10⁴), so the document score is an
+   * integer — exact under any partial-aggregation order, reproducible
+   * by any engine — and only the final exp() back to perplexity is
+   * float (rounded 2 dp, the repo convention).
+   *
+   * Shape: the LM tables are vocabulary-scale hash aggregates over the
+   * train slice; scoring is two linear joins of the corpus bigram
+   * relation against them on the gram/word keys (co-partitioned, never
+   * all-pairs), then one per-doc hash aggregate. V rides a 1-row cross
+   * join. At 100 TB the bigram table is the only super-vocabulary
+   * relation, and it is |corpus|-linear.
+   */
+  def lmPerplexity(corpus: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, keepBelow: Double = 1500.0): DataFrame = {
+    // (w1, gram) pairs from a pre-tokenized `ws` array column
+    def bigrams(df: DataFrame, extra: Seq[Column]): DataFrame = df
+      .select(extra :+ explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> named_struct('w1', element_at(ws, i),
+          |                    'g', concat_ws(' ', element_at(ws, i),
+          |                                   element_at(ws, i + 1))))"""
+          .stripMargin)).as("b"): _*)
+      .select(extra :+ col("b.w1").as("w1") :+ col("b.g").as("g"): _*)
+    def tokenized(df: DataFrame, extra: Seq[Column]): DataFrame = df
+      .select(extra :+ TextOps.words(col(textCol)).as("ws"): _*)
+      .where(size(col("ws")) >= 2)
+    // one train scan: the tokenized arrays feed bigram counts, unigram
+    // counts, and the vocabulary size
+    val tws = graft.CacheScope.track(tokenized(train, Nil))
+    val cb = bigrams(tws, Nil).groupBy(col("g")).agg(count(lit(1)).as("cb"))
+    // unigram counts and vocabulary over the SAME bigram-eligible docs
+    val tw = tws.select(explode(col("ws")).as("w"))
+    val c1 = tw.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = tw.agg(countDistinct(col("w")).as("vsz"))
+    val scored = bigrams(tokenized(corpus, Seq(col(idCol))), Seq(col(idCol)))
+      .join(cb, Seq("g"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .withColumn("lp", round(log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("c1"), lit(0L)) + col("vsz"))) * 10000.0, 0)
+        .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cb").isNull, 1L).otherwise(0L)).as("oov_bigrams"),
+        sum(col("lp")).as("lp_sum"))
+    scored
+      .withColumn("ppl", round(exp(-col("lp_sum") /
+        (lit(10000.0) * col("n_bigrams"))), 2))
+      .select(col(idCol), col("n_bigrams"), col("oov_bigrams"), col("ppl"),
+        (col("ppl") <= keepBelow).as("keep"))
+  }
 }

@@ -199,4 +199,67 @@ object Sketches {
       .groupBy(col("item"))
       .agg(min(col("cnt")).as("est_count"))
   }
+
+  // ------------------------------ Bloom filter --------------------------
+
+  /** The k Kirsch–Mitzenmacher positions h1 + j·h2 (mod m) as an
+   * exploded (j, pos) struct array. h1/h2 are independent md5-prefix
+   * 32-bit hashes, so an external SQL engine reproduces every position
+   * exactly. */
+  private def bloomPositions(value: Column, mBits: Int, k: Int): Column = {
+    val h1 = conv(substring(md5(value.cast("binary")), 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(md5(value.cast("binary")), 9, 8), 16, 10).cast("long")
+    explode(array((0 until k).map { j =>
+      ((h1 + lit(j.toLong) * h2) % mBits).as(s"p$j")
+    }: _*))
+  }
+
+  /**
+   * Bloom-filter bit relation (Bloom 1970; positions via the
+   * Kirsch–Mitzenmacher double-hashing scheme, 2006): per group, m bits
+   * packed 32 per word as (source, widx, bits) — 32-bit words in a LONG
+   * so every mask stays positive and sign semantics can never diverge
+   * between engines. The relation IS the filter: built with one
+   * explode-by-k + bit_or hash aggregate (map-side partials ship at most
+   * m/32 rows per group per partition), merged across corpora by the
+   * same groupBy-bit_or, and small enough to broadcast for probing
+   * (m=16384 → 512 rows/group). The 100 TB role: a membership gate
+   * that replaces a full anti-join against a seen-set (URL dedup,
+   * incremental-crawl "have I ingested this fingerprint").
+   */
+  def bloomBits(df: DataFrame, group: Column, value: Column,
+      mBits: Int, k: Int): DataFrame = {
+    require(mBits % 32 == 0 && mBits >= 64, s"mBits must be a multiple of 32, got $mBits")
+    require(k >= 1 && k <= 8, s"Bloom needs 1 <= k <= 8, got $k")
+    df.select(group.cast("string").as("source"),
+        bloomPositions(value, mBits, k).as("pos"))
+      .select(col("source"), (col("pos") / 32).cast("int").as("widx"),
+        expr("shiftleft(1L, cast(pos % 32 as int))").as("mask"))
+      .groupBy(col("source"), col("widx"))
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /**
+   * Probe a Bloom bit relation: for each (source, item) candidate, true
+   * iff ALL k bits are set — never a false negative, false positives
+   * bounded by the classic (1-e^{-kn/m})^k. The filter side broadcasts;
+   * the probe stream shuffles once on (source, item) to regroup its k
+   * bit lookups.
+   */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, group: Column,
+      value: Column, mBits: Int, k: Int): DataFrame = {
+    val keyed = probes
+      .select(group.cast("string").as("source"), value.as("item"))
+      .distinct()
+      .select(col("source"), col("item"),
+        bloomPositions(col("item"), mBits, k).as("pos"))
+      .select(col("source"), col("item"),
+        (col("pos") / 32).cast("int").as("widx"),
+        expr("shiftleft(1L, cast(pos % 32 as int))").as("mask"))
+    keyed.join(broadcast(bits), Seq("source", "widx"), "left")
+      .withColumn("hit", coalesce(col("bits"), lit(0L))
+        .bitwiseAND(col("mask")) =!= 0)
+      .groupBy(col("source"), col("item"))
+      .agg(min(col("hit")).as("bloom_positive"))
+  }
 }

@@ -713,6 +713,181 @@ object CorpusQueries extends QueryGroup {
       |  ON e.doc_id = b.doc_id AND e.tag = (SELECT tag FROM sel)
       |ORDER BY b.doc_id""".stripMargin))
 
+  // ------------------------------------------ p47 exact quantiles
+
+  private val p47 = QueryDef(
+    // Exact per-source doc-length quantiles by order-statistic selection
+    // over the (source, n_chars) histogram — no global sort, ranks in
+    // pure integer arithmetic (num·n + den − 1) div den. The oracle
+    // takes the OPPOSITE route (full sort + row_number) so parity checks
+    // the selection algorithm, not a shared formulation.
+    (s, d) => CorpusOps.exactQuantiles(docs(s, d), col("source"),
+      col("n_chars"), Seq((1, 2), (9, 10), (99, 100)))
+      .orderBy(col("source"), col("q")),
+    Some("""WITH q(qnum, qden) AS (VALUES (1, 2), (9, 10), (99, 100)),
+      |n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |r AS (SELECT source, n_chars AS v,
+      |        row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn
+      |      FROM documents)
+      |SELECT r.source, round(CAST(qnum AS DOUBLE) / qden, 4) AS q,
+      |       n.n AS n,
+      |       CAST((qnum * n.n + qden - 1) // qden AS BIGINT) AS rank,
+      |       min(r.v) AS value
+      |FROM r JOIN n USING (source) CROSS JOIN q
+      |WHERE rn >= (qnum * n.n + qden - 1) // qden
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY 1, 2""".stripMargin))
+
+  // ------------------------------------------ p48 Bloom membership
+
+  private val p48 = QueryDef(
+    // Per-source Bloom filter (m=16384 bits, k=4 double-hashed md5
+    // positions) over the source's distinct words, probed with every
+    // distinct word of the zh slice against EVERY source's filter:
+    // exact membership sits beside the filter verdict, so the oracle
+    // proves both the packed bit relation (bit-for-bit) and the
+    // no-false-negative invariant (false_negatives must be 0 on every
+    // row; false_positives is the filter's honest error mass).
+    (s, d) => {
+      val m = 16384; val k = 4
+      val words = graft.CacheScope.track(docs(s, d)
+        .select(col("source"),
+          explode(graft.pipeline.TextOps.words(
+            coalesce(col("text"), lit("")))).as("word"))
+        .filter(length(col("word")) > 0).distinct())
+      val bits = graft.pipeline.Sketches.bloomBits(
+        words, col("source"), col("word"), m, k)
+      val zh = docs(s, d).where(col("lang") === "zh")
+        .select(explode(graft.pipeline.TextOps.words(
+          coalesce(col("text"), lit("")))).as("item"))
+        .filter(length(col("item")) > 0).distinct()
+      val probes = words.select(col("source")).distinct().crossJoin(zh)
+      val verdicts = graft.pipeline.Sketches.bloomProbe(
+        bits, probes, col("source"), col("item"), m, k)
+      val per = verdicts
+        .join(words.withColumnRenamed("word", "item")
+          .withColumn("present", lit(true)), Seq("source", "item"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("present"), 1L).otherwise(0L)).as("exact_present"),
+          sum(when(col("bloom_positive"), 1L).otherwise(0L))
+            .as("bloom_positive"),
+          sum(when(col("bloom_positive") &&
+            !coalesce(col("present"), lit(false)), 1L).otherwise(0L))
+            .as("false_positives"),
+          sum(when(coalesce(col("present"), lit(false)) &&
+            !col("bloom_positive"), 1L).otherwise(0L)).as("false_negatives"))
+      val nItems = words.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_items"))
+      val bitsSet = bits.groupBy(col("source"))
+        .agg(sum(bit_count(col("bits"))).cast("long").as("bits_set"))
+      per.join(nItems, Seq("source")).join(bitsSet, Seq("source"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH dw AS (
+      |  SELECT DISTINCT source, w AS word
+      |  FROM (SELECT source, unnest($WORDS) AS w FROM documents)
+      |  WHERE w <> ''),
+      |hh AS (SELECT source, word,
+      |         CAST(('0x' || substr(md5(word), 1, 8)) AS UBIGINT) AS h1,
+      |         CAST(('0x' || substr(md5(word), 9, 8)) AS UBIGINT) AS h2
+      |       FROM dw),
+      |pos AS (SELECT source, word,
+      |          unnest([(h1 + 0*h2) % 16384, (h1 + 1*h2) % 16384,
+      |                  (h1 + 2*h2) % 16384, (h1 + 3*h2) % 16384]) AS pos
+      |        FROM hh),
+      |bits AS (SELECT source, CAST(pos // 32 AS INT) AS widx,
+      |           bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      |         FROM pos GROUP BY 1, 2),
+      |nb AS (SELECT source, count(*) AS n_items FROM dw GROUP BY 1),
+      |bs AS (SELECT source, CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set
+      |       FROM bits GROUP BY 1),
+      |zw AS (SELECT DISTINCT w AS item
+      |       FROM (SELECT unnest($WORDS) AS w FROM documents
+      |             WHERE lang = 'zh')
+      |       WHERE w <> ''),
+      |pr AS (SELECT s.source, z.item
+      |       FROM (SELECT DISTINCT source FROM dw) s CROSS JOIN zw z),
+      |ph AS (SELECT source, item, pos,
+      |         CAST(pos // 32 AS INT) AS widx,
+      |         CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS mask
+      |       FROM (SELECT source, item,
+      |               unnest([(h1 + 0*h2) % 16384, (h1 + 1*h2) % 16384,
+      |                       (h1 + 2*h2) % 16384, (h1 + 3*h2) % 16384]) AS pos
+      |             FROM (SELECT source, item,
+      |                     CAST(('0x' || substr(md5(item), 1, 8)) AS UBIGINT) AS h1,
+      |                     CAST(('0x' || substr(md5(item), 9, 8)) AS UBIGINT) AS h2
+      |                   FROM pr))),
+      |pj AS (SELECT ph.source, ph.item,
+      |         min(CASE WHEN (coalesce(b.bits, 0) & ph.mask) <> 0
+      |              THEN 1 ELSE 0 END) AS hit
+      |       FROM ph LEFT JOIN bits b
+      |         ON b.source = ph.source AND b.widx = ph.widx
+      |       GROUP BY 1, 2),
+      |ex AS (SELECT source, word AS item, true AS present FROM dw),
+      |per AS (
+      |  SELECT pj.source,
+      |         count(*) AS n_probes,
+      |         CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS exact_present,
+      |         CAST(sum(hit) AS BIGINT) AS bloom_positive,
+      |         CAST(sum(CASE WHEN hit = 1 AND present IS NULL
+      |              THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+      |         CAST(sum(CASE WHEN coalesce(present, false) AND hit = 0
+      |              THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
+      |  FROM pj LEFT JOIN ex ON ex.source = pj.source AND ex.item = pj.item
+      |  GROUP BY 1)
+      |SELECT per.*, nb.n_items, bs.bits_set
+      |FROM per JOIN nb ON nb.source = per.source
+      |         JOIN bs ON bs.source = per.source
+      |ORDER BY per.source""".stripMargin))
+
+  // ------------------------------------------ p49 LM perplexity filter
+
+  private val p49 = QueryDef(
+    // CCNet-style bigram-LM quality filter: train add-one-smoothed
+    // bigram counts on the English slice, score every doc by perplexity
+    // (scaled-integer log-prob sums, so partial-aggregation order can
+    // never move the answer), keep the fluent-English tail. Non-English
+    // docs surface as high-OOV / high-perplexity — the lang column sits
+    // beside the verdict to make that visible.
+    (s, d) => CorpusOps.lmPerplexity(docs(s, d),
+        docs(s, d).where(col("lang") === "en"), "doc_id", "text")
+      .join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("oov_bigrams"), col("ppl"), col("keep"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH tw AS (SELECT $WORDS AS ws FROM documents
+      |         WHERE lang = 'en' AND len($WORDS) >= 2),
+      |tu AS (SELECT unnest(ws) AS w FROM tw),
+      |c1 AS (SELECT w AS w1, count(*) AS c1 FROM tu GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS vsz FROM tu),
+      |tb AS (SELECT unnest(list_transform(range(1, len(ws)),
+      |         i -> ws[i] || ' ' || ws[i+1])) AS g FROM tw),
+      |cb AS (SELECT g, count(*) AS cb FROM tb GROUP BY 1),
+      |dw AS (SELECT doc_id, lang, $WORDS AS ws FROM documents),
+      |db AS (SELECT doc_id, lang,
+      |         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |         unnest(list_transform(range(1, len(ws)),
+      |           i -> ws[i] || ' ' || ws[i+1])) AS g
+      |       FROM dw WHERE len(ws) >= 2),
+      |sc AS (SELECT doc_id, any_value(lang) AS lang,
+      |         count(*) AS n_bigrams,
+      |         CAST(sum(CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS oov_bigrams,
+      |         sum(CAST(round(ln((coalesce(cb.cb, 0) + 1.0) /
+      |               (coalesce(c1.c1, 0) + v.vsz)) * 10000.0, 0)
+      |             AS BIGINT)) AS lp
+      |       FROM db LEFT JOIN cb USING (g) LEFT JOIN c1 USING (w1)
+      |       CROSS JOIN v
+      |       GROUP BY doc_id)
+      |SELECT doc_id, lang, n_bigrams, oov_bigrams,
+      |       round(exp(-CAST(lp AS DOUBLE) / (10000.0 * n_bigrams)), 2)
+      |         AS ppl,
+      |       round(exp(-CAST(lp AS DOUBLE) / (10000.0 * n_bigrams)), 2)
+      |         <= 1500.0 AS keep
+      |FROM sc ORDER BY doc_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -733,6 +908,9 @@ object CorpusQueries extends QueryGroup {
     "p41_weighted_sample" -> p41,
     "p43_hll_distinct" -> p43,
     "p44_cms_heavy_hitters" -> p44,
-    "p46_repeated_span_scrub" -> p46
+    "p46_repeated_span_scrub" -> p46,
+    "p47_exact_quantiles" -> p47,
+    "p48_bloom_membership" -> p48,
+    "p49_lm_perplexity" -> p49
   )
 }

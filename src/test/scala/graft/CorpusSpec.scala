@@ -432,4 +432,63 @@ class CorpusSpec extends AnyFunSuite {
       .digest("1,5".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(r.getAs[String]("kept_md5") === expectedMd5)
   }
+
+  test("exact quantiles match a naive sort-and-select on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      n = 1 + rnd.nextInt(200)
+      _ <- 1 to n
+    } yield (g, rnd.nextInt(50).toLong) // heavy ties on purpose
+    val qs = Seq((0, 1), (1, 2), (9, 10), (99, 100), (1, 1))
+    val got = CorpusOps.exactQuantiles(rows.toDF("g", "v"), col("g"),
+      col("v"), qs).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("value")).toMap
+    val byG = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted.toIndexedSeq }
+    for ((g, sorted) <- byG; (num, den) <- qs) {
+      val n = sorted.length.toLong
+      val rank = (num * n + den - 1) / den
+      val expected = sorted(math.max(rank, 1L).toInt - 1)
+      assert(got((g, rank)) === expected,
+        s"g=$g q=$num/$den rank=$rank")
+    }
+  }
+
+  test("LM perplexity: hand-computed bigram scores, OOV and keep flag") {
+    import spark.implicits._
+    // train: words [a b a b a]; bigrams {a b:2, b a:2}; unigrams a:3 b:2; V=2
+    val train = Seq((100L, "a b a b a")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b x"),   // P(b|a)=(2+1)/(3+2)=0.6, P(x|b)=(0+1)/(2+2)=0.25
+      (2L, "a b a b"), // fluent: all seen bigrams
+      (3L, "x y z"),   // fully OOV: each P=(0+1)/(0+2)=0.5
+      (4L, "solo"))    // <2 words: no row
+      .toDF("doc_id", "text")
+    val got = CorpusOps.lmPerplexity(corpus, train, "doc_id", "text",
+      keepBelow = 1.8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(4L))
+    def scaled(p: Double): Long =
+      BigDecimal(math.log(p) * 10000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def ppl(ps: Seq[Double]): Double = {
+      val lp = ps.map(scaled).sum
+      BigDecimal(math.exp(-lp.toDouble / (10000.0 * ps.length)))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1L).getAs[Long]("oov_bigrams") === 1L)
+    assert(got(1L).getAs[Double]("ppl") === ppl(Seq(0.6, 0.25)))
+    assert(got(2L).getAs[Long]("oov_bigrams") === 0L)
+    // middle bigram is "b a": (2+1)/(c1(b)=2 + V=2) = 0.75
+    assert(got(2L).getAs[Double]("ppl") === ppl(Seq(0.6, 0.75, 0.6)))
+    assert(got(3L).getAs[Long]("oov_bigrams") === 2L)
+    assert(got(3L).getAs[Double]("ppl") === ppl(Seq(0.5, 0.5)))
+    // fluent text scores lower perplexity than OOV text, and the
+    // threshold separates them
+    assert(got(2L).getAs[Double]("ppl") < got(3L).getAs[Double]("ppl"))
+    assert(got(2L).getAs[Boolean]("keep") && !got(3L).getAs[Boolean]("keep"))
+  }
 }

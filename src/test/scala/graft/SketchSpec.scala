@@ -93,4 +93,34 @@ class SketchSpec extends AnyFunSuite {
       assert(est(w) >= x, s"CM under-counted $w: ${est(w)} < $x")
     }
   }
+
+  test("Bloom filter: no false negatives, bounded false positives, mergeable") {
+    import spark.implicits._
+    val m = 4096; val k = 4
+    val members = (1 to 300).map(i => ("g", s"member-$i"))
+    val strangers = (1 to 1000).map(i => ("g", s"stranger-$i"))
+    val bits = Sketches.bloomBits(members.toDF("g", "v"), col("g"), col("v"), m, k)
+    // every member must probe positive — the defining invariant
+    val memberHits = Sketches.bloomProbe(bits,
+        members.toDF("g", "v"), col("g"), col("v"), m, k)
+      .collect().map(_.getAs[Boolean]("bloom_positive"))
+    assert(memberHits.length === 300 && memberHits.forall(identity))
+    // strangers: fpr ≈ (1 - e^{-kn/m})^k ≈ 0.65% at n=300, m=4096, k=4;
+    // 1000 probes should see well under 5%
+    val fp = Sketches.bloomProbe(bits,
+        strangers.toDF("g", "v"), col("g"), col("v"), m, k)
+      .collect().count(_.getAs[Boolean]("bloom_positive"))
+    assert(fp <= 50, s"false positives $fp / 1000")
+    // merge = same groupBy-bit_or over the union of the two halves' bits
+    val (l, r) = members.splitAt(150)
+    val merged = Sketches
+      .bloomBits(l.toDF("g", "v"), col("g"), col("v"), m, k)
+      .union(Sketches.bloomBits(r.toDF("g", "v"), col("g"), col("v"), m, k))
+      .groupBy(col("source"), col("widx"))
+      .agg(expr("bit_or(bits)").as("bits"))
+      .collect().map(x => (x.getString(0), x.getInt(1)) -> x.getLong(2)).toMap
+    val whole = bits.collect()
+      .map(x => (x.getString(0), x.getInt(1)) -> x.getLong(2)).toMap
+    assert(merged === whole)
+  }
 }
