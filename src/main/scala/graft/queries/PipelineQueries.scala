@@ -206,6 +206,42 @@ object PipelineQueries extends QueryGroup {
       |SELECT simhash, count(*) AS bucket_size, min(doc_id) AS representative
       |FROM sh GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""".stripMargin))
 
+  private val p50 = QueryDef(
+    // Manku block-permutation near-dup JOIN: every pair at Hamming
+    // distance ≤ 3 over the 28-bit simhash, found via 4-block bucket
+    // self-join (pigeonhole: d ≤ blocks−1 pairs must share a block).
+    // The oracle brute-forces ALL pairs the O(n²) way — parity proves
+    // the index misses nothing, which is the entire claim of the
+    // block-index design. The doc_id bound follows the p3/p4 precedent:
+    // it covers every document at the correctness scales (sf ≤ 0.01 has
+    // 500 docs) and caps the BENCH-scale output volume, which for this
+    // fixture's 31-word vocabulary is quadratically dense (~750k true
+    // pairs at sf0.1 unbounded — pair enumeration is inherently
+    // |family|² and the operator itself stays unbounded).
+    (s, d) => DedupOps.hammingNearDupPairs(
+      docs(s, d).filter(col("doc_id") < 1000 &&
+        length(TextOps.normalized(col("text"))) > 0),
+      "doc_id", "text", bits = 28, maxDist = 3, blocks = 4)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH vocab(word, h) AS (SELECT * FROM (VALUES $vocabValues)),
+      |w AS (
+      |  SELECT doc_id, unnest($WORDS) AS word
+      |  FROM documents WHERE doc_id < 1000 AND length($NORM) > 0),
+      |j AS (SELECT w.doc_id, v.h FROM w JOIN vocab v ON w.word = v.word),
+      |votes AS (
+      |  SELECT doc_id, b.b AS bit,
+      |         CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |              THEN (1::BIGINT << b.b) ELSE 0::BIGINT END AS contrib
+      |  FROM j CROSS JOIN (SELECT unnest(range(0, 28)) AS b) b
+      |  GROUP BY doc_id, b.b),
+      |sh AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS simhash
+      |       FROM votes GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
   // ---------------------------------------------------------------- similarity / ANN
 
   /** DuckDB mirror of Similarity.cosine: double fold over the zipped
@@ -814,6 +850,7 @@ object PipelineQueries extends QueryGroup {
     "p3_ngram_jaccard" -> p3,
     "p4_minhash_lsh" -> p4,
     "p5_simhash_buckets" -> p5,
+    "p50_hamming_pairs" -> p50,
     "p6_ann_topk" -> p6,
     "p7_ann_threshold" -> p7,
     "p8_ann_bucketed" -> p8,

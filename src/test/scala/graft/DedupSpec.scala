@@ -42,4 +42,29 @@ class DedupSpec extends AnyFunSuite {
     val twice = Dedup.dropReplays(once)
     assert(once.count() === twice.count())
   }
+
+  test("Manku block index finds exactly the brute-force Hamming pairs") {
+    import TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (0L until 120L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }.toDF("doc_id", "text")
+    val got = graft.pipeline.DedupOps
+      .hammingNearDupPairs(docs, "doc_id", "text",
+        bits = 28, maxDist = 3, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force over the same simhash relation: every pair, no index
+    val sims = graft.pipeline.DedupOps.simhashes(docs, "doc_id", "text", 28)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val expected = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty, "fixture should produce at least one pair")
+  }
 }
