@@ -232,6 +232,17 @@ object DedupOps {
    */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 50,
+      localMaxEdges: Long = 10_000_000L): DataFrame =
+    dupLabels(pairs, aCol, bCol, maxIter, localMaxEdges)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc"))
+      .select(col("label").as("cluster_rep"), col("cluster_size"), col("max_doc"))
+
+  /** The per-node component labels (node, label) behind [[dupClusters]] —
+   * label = the component's minimum doc id. Exposed for consumers that
+   * need the MEMBERSHIP, not the summary (e.g. the leakage-free split). */
+  def dupLabels(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 50,
       localMaxEdges: Long = 10_000_000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
@@ -266,9 +277,7 @@ object DedupOps {
     // the converged labels stay cached for the returned plan; the harness
     // releases them once the caller has materialized it
     graft.CacheScope.track(labels)
-    labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc"))
-      .select(col("label").as("cluster_rep"), col("cluster_size"), col("max_doc"))
+    labels
   }
 
   /** Single-task exact connected components over a symmetric edge list
@@ -276,7 +285,7 @@ object DedupOps {
    * roots kept at the component MINIMUM so the representative falls out
    * of the structure (same rows as the superstep path's converged
    * labels). One narrow repartition(1) of the edge list, zero shuffles
-   * after it. */
+   * after it. Emits (node, label). */
   private def localUnionFind(sym: DataFrame): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._
@@ -297,14 +306,40 @@ object DedupOps {
         // component minimum, so rep = root with no second pass
         if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
       }
-      val stats = scala.collection.mutable.Map.empty[Long, (Long, Long)]
-      parent.keysIterator.foreach { n =>
-        val r = find(n)
-        val (s, m) = stats.getOrElse(r, (0L, Long.MinValue))
-        stats(r) = (s + 1, math.max(m, n))
-      }
-      stats.iterator.map { case (rep, (size, mx)) => (rep, size, mx) }
-    }.toDF("cluster_rep", "cluster_size", "max_doc")
+      parent.keysIterator.map(n => (n, find(n))).toSeq.iterator
+    }.toDF("node", "label")
+  }
+
+  /**
+   * Leakage-free train/validation/test split: the split is a hash of the
+   * document's DUP-CLUSTER representative, not of the document — so an
+   * entire near-duplicate family always lands in ONE split and no test
+   * example has a near-dup twin in train (the classic contamination
+   * vector that inflates eval scores). Docs outside any cluster are
+   * their own representative. Thresholds are integer md5-prefix cuts
+   * (trainPct/valPct of 2³²), exact in any engine.
+   *
+   * Shape: labels are the [[dupLabels]] relation (|pair-connected docs|
+   * rows, ≪ corpus); the corpus takes one left join against it on the id
+   * and a pure-projection hash — no other shuffle.
+   */
+  def leakageFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"bad split percentages: $trainPct/$valPct")
+    val Range = 4294967296L // 2^32
+    val trainTh = Range * trainPct / 100
+    val valTh = Range * (trainPct + valPct) / 100
+    val labels = dupLabels(pairs)
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("label"), col(idCol)))
+      .withColumn("u", conv(substring(md5(concat(col("rep").cast("string"),
+        lit(":split")).cast("binary")), 1, 8), 16, 10).cast("long"))
+      .withColumn("split",
+        when(col("u") < trainTh, "train")
+          .when(col("u") < valTh, "val").otherwise("test"))
+      .select(col(idCol), col("rep"), col("split"))
   }
 
   /**

@@ -166,6 +166,37 @@ object PipelineQueries extends QueryGroup {
       |       max(node) AS max_doc
       |FROM lab GROUP BY label ORDER BY cluster_rep""".stripMargin))
 
+  private val p51 = QueryDef(
+    // Leakage-free split: train/val/test assigned by hashing the dup-
+    // CLUSTER representative, so a near-dup family can never straddle
+    // splits (the eval-contamination vector). Thresholds are integer
+    // 2³²-scale cuts (80/10/10); the oracle re-derives the clusters via
+    // the recursive closure over the exact-Jaccard pairs and replays the
+    // md5 arithmetic — every doc's assignment matches row-for-row.
+    (s, d) => DedupOps.leakageFreeSplit(docs(s, d), "doc_id",
+        verifiedPairsFull(s, d), trainPct = 80, valPct = 10)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE ${jaccardCtes("")},
+      |sym AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+      |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jp),
+      |reach AS (
+      |  SELECT src AS a, dst AS b FROM sym
+      |  UNION
+      |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+      |lab AS (SELECT a AS node, least(a, min(b)) AS label
+      |        FROM reach GROUP BY a),
+      |base AS (SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS rep
+      |         FROM documents d LEFT JOIN lab ON lab.node = d.doc_id),
+      |uu AS (SELECT doc_id, rep,
+      |         CAST(('0x' || substr(md5(CAST(rep AS VARCHAR) || ':split'),
+      |           1, 8)) AS UBIGINT) AS u
+      |       FROM base)
+      |SELECT doc_id, rep,
+      |       CASE WHEN u < 3435973836 THEN 'train'
+      |            WHEN u < 3865470566 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM uu ORDER BY doc_id""".stripMargin))
+
   /** Every word in the documents fixtures (all scale factors) with its
    * murmur3-32(seed 0) hash — lets DuckDB reproduce the SimHash votes. */
   private val vocabWords: Seq[String] = Seq(
@@ -851,6 +882,7 @@ object PipelineQueries extends QueryGroup {
     "p4_minhash_lsh" -> p4,
     "p5_simhash_buckets" -> p5,
     "p50_hamming_pairs" -> p50,
+    "p51_leakage_free_split" -> p51,
     "p6_ann_topk" -> p6,
     "p7_ann_threshold" -> p7,
     "p8_ann_bucketed" -> p8,

@@ -67,4 +67,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expected)
     assert(expected.nonEmpty, "fixture should produce at least one pair")
   }
+
+  test("leakage-free split: families never straddle splits; singletons spread") {
+    import TestSpark.spark
+    import spark.implicits._
+    // components: {1,2,3} (chain), {10,11}; 1000 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val docs = ((1L to 3L) ++ Seq(10L, 11L) ++ (100L until 1100L))
+      .toDF("doc_id")
+    val out = graft.pipeline.DedupOps
+      .leakageFreeSplit(docs, "doc_id", pairs, trainPct = 80, valPct = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // family members share rep AND split
+    assert(Seq(1L, 2L, 3L).map(out).distinct.size === 1)
+    assert(out(1L)._1 === 1L)
+    assert(Seq(10L, 11L).map(out).distinct.size === 1)
+    assert(out(10L)._1 === 10L)
+    // singleton mass lands near 80/10/10
+    val singles = (100L until 1100L).map(out(_)._2)
+    val train = singles.count(_ == "train")
+    val value = singles.count(_ == "val")
+    assert(train > 700 && train < 900, s"train=$train")
+    assert(value > 40 && value < 180, s"val=$value")
+    // deterministic: rerun is identical
+    val again = graft.pipeline.DedupOps
+      .leakageFreeSplit(docs, "doc_id", pairs, trainPct = 80, valPct = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again === out)
+  }
 }
