@@ -436,6 +436,52 @@ object LogQueries extends QueryGroup {
       |       max(entry % 1000) AS max_entry
       |FROM r GROUP BY pt ORDER BY partition_id""".stripMargin))
 
+  private val s3 = QueryDef(
+    // S3 — the consumer receive loop as a batch twin (the streaming
+    // cursor-restart semantics live in StreamingSmoke's `subscription`
+    // check): per (topic, partition), with the subscription cursor at
+    // mid-stream, receive the next ≤100 messages in offset order
+    // (receiverQueueSize), advance the read position past the last
+    // received, and report the backlog left behind — the
+    // receive → ack → cursor-advance contract, oracle-checked.
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = env(s, d)
+      val cur = e.groupBy(col("topic"), col("partition_id"))
+        .agg((max(col("msg_offset")) / 2).cast("long").as("cursor"))
+      val w = Window.partitionBy(col("topic"), col("partition_id"))
+        .orderBy(col("msg_offset"))
+      e.join(cur, Seq("topic", "partition_id"))
+        .filter(col("msg_offset") >= col("cursor"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("topic"), col("partition_id"))
+        .agg(
+          sum(when(col("rn") <= 100, 1L).otherwise(0L)).as("received"),
+          min(when(col("rn") <= 100, col("msg_offset"))).as("first_offset"),
+          max(when(col("rn") <= 100, col("msg_offset"))).as("last_offset"),
+          (max(when(col("rn") <= 100, col("msg_offset"))) + 1L).as("next_read"),
+          sum(when(col("rn") > 100, 1L).otherwise(0L)).as("backlog_after"))
+        .orderBy(col("topic"), col("partition_id"))
+    },
+    Some(s"""$E,
+      |cur AS (SELECT topic, partition_id, max(msg_offset) // 2 AS cursor
+      |        FROM env GROUP BY 1, 2),
+      |r AS (SELECT e.topic, e.partition_id, e.msg_offset,
+      |        row_number() OVER (PARTITION BY e.topic, e.partition_id
+      |                           ORDER BY e.msg_offset) AS rn
+      |      FROM env e JOIN cur c
+      |        ON e.topic = c.topic AND e.partition_id = c.partition_id
+      |      WHERE e.msg_offset >= c.cursor)
+      |SELECT topic, partition_id,
+      |       CAST(sum(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS received,
+      |       min(CASE WHEN rn <= 100 THEN msg_offset END) AS first_offset,
+      |       max(CASE WHEN rn <= 100 THEN msg_offset END) AS last_offset,
+      |       max(CASE WHEN rn <= 100 THEN msg_offset END) + 1 AS next_read,
+      |       CAST(sum(CASE WHEN rn > 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS backlog_after
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   private val s5 = QueryDef(
     (s, d) => {
       val e = env(s, d)
@@ -1038,6 +1084,7 @@ object LogQueries extends QueryGroup {
     "f13_chunk_reassembly" -> f13,
     "f14_batch_roundtrip" -> f14,
     "f15_compression" -> f15,
+    "s3_consumer_receive" -> s3,
     "s5_reader_from_mid" -> s5,
     "s7_union_topics" -> s7,
     "s8_regex_topics" -> s8,
