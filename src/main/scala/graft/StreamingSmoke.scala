@@ -362,8 +362,41 @@ object StreamingSmoke {
     check("hll-registers", streamEst == batchEst,
       s"stream=$streamEst batch=$batchEst")
 
+    // -- 15. streaming Bloom bits converge to the batch filter ------------
+    // (same argument as 14: the packed bit relation IS the filter, and
+    // the merge IS the same groupBy-bit_or — an incremental ingest stream
+    // must land on the identical words, hence identical membership)
+    val wordRows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"),
+        explode(graft.pipeline.TextOps.words(
+          coalesce(col("text"), lit("")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .as[(String, String)].collect()
+    val s15 = MemoryStream[(String, String)]
+    val q15 = graft.pipeline.Sketches
+      .bloomBits(s15.toDF().toDF("source", "word"),
+        col("source"), col("word"), mBits = 4096, k = 4)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("bloom_bits")
+      .option("checkpointLocation", ckpt()).start()
+    wordRows.grouped(math.max(1, wordRows.length / 5 + 1))
+      .foreach { c => s15.addData(c); q15.processAllAvailable() }
+    q15.stop()
+    def bitsKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val streamBits = bitsKey(spark.table("bloom_bits"))
+    val batchBits = bitsKey(graft.pipeline.Sketches.bloomBits(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("source"),
+          explode(graft.pipeline.TextOps.words(
+            coalesce(col("text"), lit("")))).as("word"))
+        .filter(length(col("word")) > 0),
+      col("source"), col("word"), mBits = 4096, k = 4))
+    check("bloom-bits", streamBits == batchBits,
+      s"stream words=${streamBits.size} batch words=${batchBits.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 14 converged to batch twins OK")
+    println(s"[stream-smoke] all 15 converged to batch twins OK")
     spark.stop()
   }
 }

@@ -103,6 +103,28 @@ object Similarity {
         .as("cluster"),
         first(col("embedding")).as("embedding"))
 
+  /**
+   * One Lloyd iteration of k-means (Lloyd 1982) — the training step that
+   * produces the centroids the IVF quantizer (p14) and SemDeDup (p28)
+   * consume. Assignment is [[ivfAssign]] (broadcast centroids, no corpus
+   * shuffle); the update is ONE (cluster, dim) hash aggregate over the
+   * pos-exploded corpus — linear, map-side partials, k·dim output rows.
+   * Iterating = calling this with the previous step's `c_new` relation;
+   * means round to 4 dp so partial-sum order can never move the result.
+   * Returns (cluster, pos, size, c_new, c_old).
+   */
+  def kmeansStep(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(vecs, centroids)
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("p0", "v")))
+      .select(col("cluster"), (col("p0") + 1).cast("int").as("pos"),
+        col("v").cast("double").as("v"))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(count(lit(1)).as("size"), round(avg(col("v")), 4).as("c_new"))
+      .join(broadcast(centroids), col("cluster") === col("centroid_id"))
+      .select(col("cluster"), col("pos"), col("size"), col("c_new"),
+        round(element_at(col("cembedding"), col("pos")).cast("double"), 4)
+          .as("c_old"))
+
   /** A query's `nprobe` nearest centroids (rank 1 = nearest; ties to the
    * lower centroid id) — the probe list of the IVF search. */
   def ivfProbes(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =

@@ -406,6 +406,38 @@ object PipelineQueries extends QueryGroup {
       |FROM asg LEFT JOIN prior ON asg.vec_id = prior.vec_id
       |ORDER BY asg.vec_id""".stripMargin))
 
+  private val p52 = QueryDef(
+    // One Lloyd k-means iteration (the step that TRAINS the centroids
+    // p14/p28 consume): broadcast-assign every vector to its nearest
+    // centroid, recompute each cluster mean as a (cluster, dim) hash
+    // aggregate. The oracle replays assignment with the identical
+    // fixed-order dot products (bit-exact across engines) and averages
+    // with its own sum order — the 4-dp round is the engine-parity
+    // contract for the only float aggregate here.
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+      Similarity.kmeansStep(e, centroids)
+        .orderBy(col("cluster"), col("pos"))
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      |aff AS (
+      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
+      |  FROM embeddings e, cent c),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+      |       FROM aff),
+      |asg AS (SELECT vec_id, embedding, cid AS cluster FROM rk WHERE rn = 1),
+      |pe AS (SELECT cluster, CAST(i.i AS INT) AS pos, embedding[i.i]::DOUBLE AS v
+      |       FROM asg CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+      |upd AS (SELECT cluster, pos, count(*) AS size, round(avg(v), 4) AS c_new
+      |        FROM pe GROUP BY 1, 2)
+      |SELECT u.cluster, u.pos, u.size, u.c_new,
+      |       round(c.ce[u.pos]::DOUBLE, 4) AS c_old
+      |FROM upd u JOIN cent c ON c.cid = u.cluster
+      |ORDER BY u.cluster, u.pos""".stripMargin))
+
   /** PQ fixture codebooks: m=4 segments × dsub=16 dims, ks≤16 codewords
    * per segment (the first ≤16 centroid-rule vectors' subvectors — a
    * deterministic stand-in for per-segment k-means, same fixture
@@ -883,6 +915,7 @@ object PipelineQueries extends QueryGroup {
     "p5_simhash_buckets" -> p5,
     "p50_hamming_pairs" -> p50,
     "p51_leakage_free_split" -> p51,
+    "p52_kmeans_step" -> p52,
     "p6_ann_topk" -> p6,
     "p7_ann_threshold" -> p7,
     "p8_ann_bucketed" -> p8,

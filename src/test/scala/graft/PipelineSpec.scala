@@ -241,4 +241,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.forall(r => !r.getAs[Boolean]("dropped") ||
       r.getAs[Double]("max_prior_sim") >= 0.3))
   }
+
+  test("kmeans step: cluster means exact on a two-pole fixture") {
+    import TestSpark.spark
+    import spark.implicits._
+    // two tight groups around opposite poles; centroid seeds 0 and 3 sit
+    // one in each group, so assignment is unambiguous
+    val vs: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f, 0f),
+      2L -> Seq(0.8f, 0.2f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0f),
+      4L -> Seq(0f, 0f, 0.9f, 0.1f))
+    val e = vs.toDF("vec_id", "embedding")
+    val cents = e.filter(col("vec_id").isin(0L, 3L))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+    val got = graft.pipeline.Similarity.kmeansStep(e, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def mean(ids: Seq[Long], pos: Int): Double = {
+      val m = ids.map(id => vs.find(_._1 == id).get._2(pos - 1).toDouble)
+        .sum / ids.size
+      BigDecimal(m).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (pos <- 1 to 4) {
+      assert(got((0L, pos)) === ((3L, mean(Seq(0L, 1L, 2L), pos))), s"c0 pos=$pos")
+      assert(got((3L, pos)) === ((2L, mean(Seq(3L, 4L), pos))), s"c3 pos=$pos")
+    }
+  }
 }
