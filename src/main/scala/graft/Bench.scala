@@ -48,7 +48,8 @@ object Bench {
         .groupBy("topic").count().collect()
       // the LSH pair derivation only warms when a consumer is selected,
       // so SPARK_GRAFT_ONLY profiling runs of other queries don't pay it
-      if (only.forall(n => n("p15_minhash_full") || n("p18_dup_clusters")))
+      if (only.forall(n => n("p15_minhash_full") || n("p18_dup_clusters") ||
+          n("p51_leakage_free_split")))
         graft.queries.PipelineQueries.warmShared(spark, sfDir)
     } catch { case _: Throwable => }
     val warmupSec = (System.nanoTime() - w0) / 1e9

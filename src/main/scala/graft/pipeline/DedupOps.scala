@@ -421,17 +421,18 @@ object DedupOps {
       }: _*)).as("b"))
       .select(col("doc"), col("simhash"),
         col("b.bi").as("bi"), col("b.bv").as("bv"))
-    val cands = blk.select(col("bi"), col("bv"),
+    blk.select(col("bi"), col("bv"),
         col("doc").as("doc_a"), col("simhash").as("sim_a"))
       .join(blk.select(col("bi"), col("bv"),
         col("doc").as("doc_b"), col("simhash").as("sim_b")), Seq("bi", "bv"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
-      .distinct() // a pair can agree on several blocks
-    cands
+      // distance check BEFORE the dedup shuffle (a pair can agree on
+      // several blocks): only true near-dup pairs reach the distinct, so
+      // the widest shuffled relation is output-sized, not candidate-sized
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 }
