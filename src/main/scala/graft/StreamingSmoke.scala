@@ -395,8 +395,38 @@ object StreamingSmoke {
     check("bloom-bits", streamBits == batchBits,
       s"stream words=${streamBits.size} batch words=${batchBits.size}")
 
+    // -- 16. streaming Count-Min counters converge to the batch sketch ----
+    // (the counter table IS the sketch, and CM merge IS addition — a
+    // Complete-mode count over the streamed items must land on the
+    // identical d×w table)
+    val cmWords = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.pipeline.TextOps.words(
+        coalesce(col("text"), lit("")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .as[String].collect()
+    val s16 = MemoryStream[String]
+    val q16 = graft.pipeline.Sketches
+      .cmsCounters(s16.toDF().toDF("word"), col("word"), d = 4, w = 256)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("cms_counters")
+      .option("checkpointLocation", ckpt()).start()
+    cmWords.grouped(math.max(1, cmWords.length / 5 + 1))
+      .foreach { c => s16.addData(c); q16.processAllAvailable() }
+    q16.stop()
+    def cmKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val streamCm = cmKey(spark.table("cms_counters"))
+    val batchCm = cmKey(graft.pipeline.Sketches.cmsCounters(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(graft.pipeline.TextOps.words(
+          coalesce(col("text"), lit("")))).as("word"))
+        .filter(length(col("word")) > 0),
+      col("word"), d = 4, w = 256))
+    check("cms-counters", streamCm == batchCm,
+      s"stream slots=${streamCm.size} batch slots=${batchCm.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 15 converged to batch twins OK")
+    println(s"[stream-smoke] all 16 converged to batch twins OK")
     spark.stop()
   }
 }

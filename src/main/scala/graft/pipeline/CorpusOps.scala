@@ -675,6 +675,37 @@ object CorpusOps {
       .select(col("source"), col("q"), col("n"), col("rank"), col("value"))
   }
 
+  // ------------------------------------------------- n-gram overlap report
+
+  /**
+   * Train→test n-gram overlap measurement (the GPT-3 appendix-C style
+   * contamination REPORT — [[decontaminate]] is the removal twin): for
+   * every test document, the fraction of its distinct word n-grams that
+   * occur anywhere in the train slice. High-overlap test docs are the
+   * ones whose eval scores are suspect.
+   *
+   * Shape: one distinct-gram relation per slice, joined on the gram key
+   * (co-partitioned, linear) and re-aggregated per test doc — the same
+   * two-shuffle discipline as [[noveltyStats]]; nothing is ever
+   * all-pairs and the train side collapses to DISTINCT grams before the
+   * join.
+   */
+  def ngramOverlap(corpus: DataFrame, idCol: String, textCol: String,
+      isTrain: Column, n: Int): DataFrame = {
+    val grams = corpus
+      .select(col(idCol), isTrain.as("is_train"),
+        explode(TextOps.wordNGrams(col(textCol), n)).as("gram"))
+    val trainGrams = grams.where(col("is_train"))
+      .select(col("gram")).distinct().withColumn("seen", lit(true))
+    grams.where(!col("is_train"))
+      .join(trainGrams, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen"), 1L).otherwise(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        round(col("n_overlap") / col("n_grams"), 4))
+  }
+
   // ------------------------------------------------ LM perplexity filter
 
   /**

@@ -888,6 +888,32 @@ object CorpusQueries extends QueryGroup {
       |         <= 1500.0 AS keep
       |FROM sc ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------ p53 n-gram overlap report
+
+  private val p53 = QueryDef(
+    // Train→test contamination MEASUREMENT (p25 is the removal twin):
+    // per test doc (doc_id%10 ≥ 8), the fraction of its distinct
+    // 3-grams seen anywhere in the train slice. Integer counts + one
+    // 4-dp ratio; the oracle recomputes both gram relations from
+    // scratch.
+    (s, d) => CorpusOps.ngramOverlap(docs(s, d), "doc_id", "text",
+        isTrain = col("doc_id") % 10 < 8, n = 3)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+      |      FROM w WHERE len(ws) >= 3),
+      |tg AS (SELECT DISTINCT gram, true AS seen FROM g WHERE doc_id % 10 < 8)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |       CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_overlap,
+      |       round(sum(CASE WHEN seen THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+      |         AS overlap_frac
+      |FROM g LEFT JOIN tg USING (gram)
+      |WHERE g.doc_id % 10 >= 8
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -911,6 +937,7 @@ object CorpusQueries extends QueryGroup {
     "p46_repeated_span_scrub" -> p46,
     "p47_exact_quantiles" -> p47,
     "p48_bloom_membership" -> p48,
-    "p49_lm_perplexity" -> p49
+    "p49_lm_perplexity" -> p49,
+    "p53_ngram_overlap" -> p53
   )
 }
