@@ -425,8 +425,38 @@ object StreamingSmoke {
     check("cms-counters", streamCm == batchCm,
       s"stream slots=${streamCm.size} batch slots=${batchCm.size}")
 
+    // -- 17. streaming KMV buffers converge to the batch sketch -----------
+    // (the typed KMinAggregator is order-insensitive by construction —
+    // its streaming state after any chunking must equal the batch buffer,
+    // hence the identical kth_min and estimate; completes the
+    // streaming-convergence story for all four sketch families)
+    val kmvRows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"),
+        explode(graft.pipeline.TextOps.wordNGrams(col("text"), 3)).as("gram"))
+      .select(col("source"),
+        graft.pipeline.Sketches.md5Hash32(col("gram")).as("h"))
+      .as[(String, Long)].collect()
+    val s17 = MemoryStream[(String, Long)]
+    val q17 = graft.pipeline.Sketches
+      .kmvDistinct(s17.toDF().toDF("source", "h"), col("source"), col("h"),
+        k = 32)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("kmv_sketch")
+      .option("checkpointLocation", ckpt()).start()
+    kmvRows.grouped(math.max(1, kmvRows.length / 5 + 1))
+      .foreach { c => s17.addData(c); q17.processAllAvailable() }
+    q17.stop()
+    def kmvKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getAs[Int]("n_kept"),
+        r.getAs[Long]("kth_min"), r.getAs[Double]("est_distinct"))).toMap
+    val streamKmv = kmvKey(spark.table("kmv_sketch"))
+    val batchKmv = kmvKey(graft.pipeline.Sketches.kmvDistinct(
+      kmvRows.toSeq.toDF("source", "h"), col("source"), col("h"), k = 32))
+    check("kmv-sketch", streamKmv == batchKmv,
+      s"stream=$streamKmv batch=$batchKmv")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 16 converged to batch twins OK")
+    println(s"[stream-smoke] all 17 converged to batch twins OK")
     spark.stop()
   }
 }
