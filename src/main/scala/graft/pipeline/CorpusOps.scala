@@ -653,9 +653,13 @@ object CorpusOps {
       quantiles.forall { case (n, d) => n >= 0 && n <= d && d > 0 },
       s"quantiles must be rationals in [0,1], got $quantiles")
     // one corpus scan: the histogram feeds both the running count and
-    // the per-group totals (it is tiny — distinct values, not rows)
+    // the per-group totals (it is tiny — distinct values, not rows).
+    // NULL values are excluded EXPLICITLY: Spark windows order NULLS
+    // FIRST, DuckDB NULLS LAST, so a null value would silently shift
+    // every rank between engines — the quantile domain is non-null.
     val hist = graft.CacheScope.track(df
       .select(group.cast("string").as("source"), value.cast("long").as("v"))
+      .where(col("v").isNotNull)
       .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c")))
     val cum = hist.withColumn("cum",
       sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("v"))))

@@ -725,10 +725,11 @@ object CorpusQueries extends QueryGroup {
       col("n_chars"), Seq((1, 2), (9, 10), (99, 100)))
       .orderBy(col("source"), col("q")),
     Some("""WITH q(qnum, qden) AS (VALUES (1, 2), (9, 10), (99, 100)),
-      |n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |n AS (SELECT source, count(*) AS n FROM documents
+      |      WHERE n_chars IS NOT NULL GROUP BY 1),
       |r AS (SELECT source, n_chars AS v,
       |        row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn
-      |      FROM documents)
+      |      FROM documents WHERE n_chars IS NOT NULL)
       |SELECT r.source, round(CAST(qnum AS DOUBLE) / qden, 4) AS q,
       |       n.n AS n,
       |       CAST((qnum * n.n + qden - 1) // qden AS BIGINT) AS rank,
