@@ -125,6 +125,44 @@ object Similarity {
         round(element_at(col("cembedding"), col("pos")).cast("double"), 4)
           .as("c_old"))
 
+  /**
+   * Johnson–Lindenstrauss random projection (Achlioptas 2003 — database-
+   * friendly ±1 signs): reduce `dimIn` embeddings to `dimOut` via a
+   * deterministic sign matrix, sign(i,j) = parity of an md5 bit for the
+   * (i,j) cell — so any engine rebuilds the identical matrix and the
+   * identical projection. Scaled by 1/√dimOut, which preserves expected
+   * norms (the JL guarantee that makes downstream ANN distances honest).
+   *
+   * Shape: the sign matrix is dimIn×dimOut rows — a BROADCAST dimension
+   * table, built once; the corpus pos-explodes (dimIn rows per vector),
+   * joins the matrix on the input position, and re-aggregates per
+   * (vector, output dim) — one linear explode + one hash aggregate with
+   * map-side partials, no corpus shuffle wider than dimOut doubles per
+   * vector. Results round to 4 dp (the repo's float-sum convention).
+   */
+  def randomProjection(vecs: DataFrame, dimIn: Int, dimOut: Int): DataFrame = {
+    require(dimOut >= 1 && dimIn >= dimOut, s"need 1 <= dimOut <= dimIn")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // sign(i, j): +1 iff the low bit of md5("i:j")'s first hex nibble is
+    // set — one bit of an engine-portable uniform hash
+    val signs = (for { i <- 1 to dimIn; j <- 1 to dimOut } yield (i, j))
+      .toDF("pos", "j")
+      .withColumn("sign",
+        when(conv(substring(md5(concat_ws(":", col("pos"), col("j"))
+          .cast("binary")), 1, 1), 16, 10).cast("int") % 2 === 1, 1.0)
+          .otherwise(-1.0))
+    // divide by √dimOut (not multiply by a reciprocal): for square
+    // dimOut both engines hold the divisor exactly
+    val scale = math.sqrt(dimOut.toDouble)
+    vecs.select(col("vec_id"), posexplode(col("embedding")).as(Seq("p0", "v")))
+      .select(col("vec_id"), (col("p0") + 1).cast("int").as("pos"),
+        col("v").cast("double").as("v"))
+      .join(broadcast(signs), Seq("pos"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(round(sum(col("v") * col("sign")) / scale, 4).as("proj"))
+  }
+
   /** A query's `nprobe` nearest centroids (rank 1 = nearest; ties to the
    * lower centroid id) — the probe list of the IVF search. */
   def ivfProbes(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =

@@ -438,6 +438,27 @@ object PipelineQueries extends QueryGroup {
       |FROM upd u JOIN cent c ON c.cid = u.cluster
       |ORDER BY u.cluster, u.pos""".stripMargin))
 
+  private val p54 = QueryDef(
+    // Johnson–Lindenstrauss projection 64→16 with a deterministic md5
+    // sign matrix (Achlioptas ±1): the matrix is a broadcast dimension
+    // table both engines rebuild cell-for-cell; the projection is one
+    // explode + join + hash aggregate, rounded 4 dp.
+    (s, d) => Similarity.randomProjection(embs(s, d), dimIn = 64, dimOut = 16)
+      .orderBy(col("vec_id"), col("j")),
+    Some("""WITH sg AS (
+      |  SELECT i.i AS pos, j.j AS j,
+      |    CASE WHEN CAST(('0x' || substr(md5(i.i || ':' || j.j), 1, 1)) AS INT)
+      |              % 2 = 1
+      |         THEN 1.0 ELSE -1.0 END AS sign
+      |  FROM (SELECT unnest(range(1, 65)) AS i) i,
+      |       (SELECT unnest(range(1, 17)) AS j) j),
+      |pe AS (SELECT vec_id, i.i AS pos, embedding[i.i]::DOUBLE AS v
+      |       FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i)
+      |SELECT pe.vec_id, CAST(sg.j AS INT) AS j,
+      |       round(sum(pe.v * sg.sign) / sqrt(16.0), 4) AS proj
+      |FROM pe JOIN sg ON pe.pos = sg.pos
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** PQ fixture codebooks: m=4 segments × dsub=16 dims, ks≤16 codewords
    * per segment (the first ≤16 centroid-rule vectors' subvectors — a
    * deterministic stand-in for per-segment k-means, same fixture
@@ -916,6 +937,7 @@ object PipelineQueries extends QueryGroup {
     "p50_hamming_pairs" -> p50,
     "p51_leakage_free_split" -> p51,
     "p52_kmeans_step" -> p52,
+    "p54_random_projection" -> p54,
     "p6_ann_topk" -> p6,
     "p7_ann_threshold" -> p7,
     "p8_ann_bucketed" -> p8,

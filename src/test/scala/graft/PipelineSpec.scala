@@ -269,4 +269,27 @@ class PipelineSpec extends AnyFunSuite {
       assert(got((3L, pos)) === ((2L, mean(Seq(3L, 4L), pos))), s"c3 pos=$pos")
     }
   }
+
+  test("JL projection preserves norms within the expected band") {
+    import TestSpark.spark
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val inNorm = e.collect().map { r =>
+      r.getLong(0) -> math.sqrt(
+        r.getSeq[Float](1).map(v => v.toDouble * v).sum)
+    }.toMap
+    val proj = graft.pipeline.Similarity
+      .randomProjection(e, dimIn = 64, dimOut = 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> math.sqrt(rows.map(r => { val p = r.getDouble(2); p * p }).sum)
+      }
+    assert(proj.size === inNorm.size)
+    // E[||proj||²] = ||v||²; k=16 gives ~1/√8 ≈ 35% std on the SQUARED
+    // norm — individual ratios stay in a generous band, the mean tight
+    val ratios = proj.map { case (id, n) => n / inNorm(id) }.toSeq
+    assert(ratios.forall(r => r > 0.3 && r < 2.2),
+      s"worst ratios: ${ratios.min} / ${ratios.max}")
+    val meanSq = ratios.map(r => r * r).sum / ratios.size
+    assert(meanSq > 0.8 && meanSq < 1.25, s"mean squared ratio $meanSq")
+  }
 }
