@@ -292,4 +292,26 @@ class PipelineSpec extends AnyFunSuite {
     val meanSq = ratios.map(r => r * r).sum / ratios.size
     assert(meanSq > 0.8 && meanSq < 1.25, s"mean squared ratio $meanSq")
   }
+
+  test("IVF ANN recall vs brute force is measured, not guessed") {
+    import TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 20)
+    val centroids = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+    // ground truth: brute-force neighbors above the same threshold
+    val truth = graft.pipeline.Similarity
+      .thresholdJoin(queries, e, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.pipeline.Similarity
+      .ivfAnn(queries, e, centroids, threshold = 0.2, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // IVF must never invent a pair (its candidates are exact-scored) —
+    // recall itself is measured by the sibling "approximate ANN recall"
+    // test; this pins the SOUNDNESS half of the contract
+    assert(ivf.subsetOf(truth), s"false positives: ${ivf -- truth}")
+    val recall = ivf.size.toDouble / truth.size
+    assert(truth.nonEmpty && recall >= 0.4, s"recall $recall (${ivf.size}/${truth.size})")
+  }
 }
