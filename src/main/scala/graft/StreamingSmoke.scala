@@ -455,8 +455,45 @@ object StreamingSmoke {
     check("kmv-sketch", streamKmv == batchKmv,
       s"stream=$streamKmv batch=$batchKmv")
 
+    // -- 18. streaming session windows converge to the batch sessions -----
+    // (the hard half of sessionization: merging-interval state under
+    // incremental arrival. Events stream in time order; a far-future
+    // sentinel advances the watermark so every real session closes and
+    // emits in Append mode — the emitted set must equal the batch
+    // session_window result)
+    val sessRows = graft.model.EventLog.topic(spark, sfDir)
+      .select(col("key"), col("publish_ms"))
+      .as[(String, Long)].collect().sortBy(_._2)
+    val sentinelMs = sessRows.map(_._2).max + 30L * 86400000L
+    val s18 = MemoryStream[(String, Long)]
+    def sessionize(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"), timestamp_millis(col("ms")).as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("key"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("key"), unix_millis(col("w.start")).as("s"),
+        unix_millis(col("w.end")).as("e"), col("n_events"))
+    val q18 = sessionize(s18.toDF().toDF("key", "ms"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions")
+      .option("checkpointLocation", ckpt()).start()
+    sessRows.grouped(math.max(1, sessRows.length / 5 + 1))
+      .foreach { c => s18.addData(c); q18.processAllAvailable() }
+    s18.addData(("zz-sentinel", sentinelMs)); q18.processAllAvailable()
+    s18.addData(("zz-sentinel", sentinelMs + 1)); q18.processAllAvailable()
+    q18.stop()
+    def sessKey(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("key") =!= "zz-sentinel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val streamSess = sessKey(spark.table("sessions"))
+    val batchSess = sessKey(sessionize(
+      sessRows.toSeq.toDF("key", "ms")))
+    check("session-windows", streamSess == batchSess && streamSess.nonEmpty,
+      s"stream=${streamSess.size} batch=${batchSess.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 17 converged to batch twins OK")
+    println(s"[stream-smoke] all 18 converged to batch twins OK")
     spark.stop()
   }
 }

@@ -283,8 +283,42 @@ object SurfaceQueries extends QueryGroup {
       |       max(msg_offset) AS last_offset
       |FROM env GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val w10 = QueryDef(
+    // W10 — SESSION windows (the gap-based member of the window family,
+    // beside tumbling/sliding/count): per key, events within 30 min of
+    // the previous event share a session; the session ends 30 min after
+    // its last event. The engine uses Spark's native session_window
+    // (merging-interval state); the oracle sessionizes the classic SQL
+    // way — lag + break flag + running sum — so parity checks two
+    // entirely different algorithms. Pure integer math, no floats.
+    (s, d) => env(s, d)
+      .select(col("key"), timestamp_millis(col("publish_ms")).as("ts"))
+      .groupBy(col("key"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("key"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"))
+      .orderBy(col("key"), col("session_start_ms")),
+    Some(s"""$E,
+      |x AS (SELECT key, publish_ms,
+      |        CASE WHEN publish_ms - lag(publish_ms) OVER
+      |               (PARTITION BY key ORDER BY publish_ms) >= 1800000
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM env),
+      |g AS (SELECT key, publish_ms,
+      |        sum(brk) OVER (PARTITION BY key ORDER BY publish_ms
+      |          ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM x)
+      |SELECT key, min(publish_ms) AS session_start_ms,
+      |       max(publish_ms) + 1800000 AS session_end_ms,
+      |       count(*) AS n_events
+      |FROM g GROUP BY key, sid
+      |ORDER BY key, session_start_ms""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "s6_raw_reader" -> s6,
+    "w10_session_windows" -> w10,
     "s10_sink_roundtrip" -> s10,
     "s11_datagen_source" -> s11,
     "s15_shadow_topic" -> s15,
