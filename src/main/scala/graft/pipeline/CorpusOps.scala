@@ -679,6 +679,39 @@ object CorpusOps {
       .select(col("source"), col("q"), col("n"), col("rank"), col("value"))
   }
 
+  // ------------------------------------------------- character entropy
+
+  /**
+   * Per-document Shannon entropy of the normalized character
+   * distribution — the classic gibberish/boilerplate signal (random
+   * bytes → high entropy, "aaaa…" spam → near zero; natural language
+   * sits in a stable band). Complements the word-level Gopher rules
+   * (p29) at the sub-token level.
+   *
+   * Shape: explode to (doc, char) — alphabet ≤ 37 symbols after
+   * normalization — one (doc, char) count aggregate with map-side
+   * partials, one join-back on the doc id for totals. All float work is
+   * p·ln p over exact rational p, rounded 4 dp.
+   */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol),
+        explode(split(TextOps.normalized(coalesce(col(textCol), lit(""))),
+          "")).as("ch"))
+      .where(length(col("ch")) > 0)
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("distinct_chars"))
+    counts.join(totals, Seq(idCol))
+      .withColumn("plogp",
+        (col("c") / col("n_chars")) * log(col("c") / col("n_chars")))
+      .groupBy(col(idCol))
+      .agg(first(col("n_chars")).as("n_chars"),
+        first(col("distinct_chars")).as("distinct_chars"),
+        round(-sum(col("plogp")), 4).as("entropy"))
+  }
+
   // ------------------------------------------------- n-gram overlap report
 
   /**

@@ -915,6 +915,30 @@ object CorpusQueries extends QueryGroup {
       |WHERE g.doc_id % 10 >= 8
       |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ------------------------------------------ p55 character entropy
+
+  private val p55 = QueryDef(
+    // Shannon entropy of each doc's normalized character distribution —
+    // the sub-token gibberish/boilerplate signal beside p29's word
+    // rules. p·ln p over exact rationals, rounded 4 dp.
+    (s, d) => CorpusOps.charEntropy(docs(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH ch AS (
+      |  SELECT doc_id, c FROM (
+      |    SELECT doc_id, unnest(string_split($NORM, '')) AS c
+      |    FROM documents) t
+      |  WHERE c <> ''),
+      |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+      |          count(*) AS distinct_chars
+      |        FROM cnt GROUP BY 1)
+      |SELECT cnt.doc_id, any_value(n_chars) AS n_chars,
+      |       any_value(distinct_chars) AS distinct_chars,
+      |       round(-sum((n::DOUBLE / n_chars) * ln(n::DOUBLE / n_chars)), 4)
+      |         AS entropy
+      |FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+      |GROUP BY cnt.doc_id ORDER BY cnt.doc_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -939,6 +963,7 @@ object CorpusQueries extends QueryGroup {
     "p47_exact_quantiles" -> p47,
     "p48_bloom_membership" -> p48,
     "p49_lm_perplexity" -> p49,
-    "p53_ngram_overlap" -> p53
+    "p53_ngram_overlap" -> p53,
+    "p55_char_entropy" -> p55
   )
 }

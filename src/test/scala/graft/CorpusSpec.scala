@@ -433,6 +433,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(r.getAs[String]("kept_md5") === expectedMd5)
   }
 
+  test("char entropy: zero for constant text, ln(k) for uniform alphabets") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aaaaaaaa"),            // one symbol → H = 0
+      (2L, "abcdabcdabcd"),        // uniform over 4 → H = ln 4
+      (3L, "ab"),                  // uniform over 2 → H = ln 2
+      (4L, null.asInstanceOf[String])) // no chars → no row
+      .toDF("doc_id", "text")
+    val got = CorpusOps.charEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("distinct_chars"),
+          r.getAs[Double]("entropy"))).toMap
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(!got.contains(4L))
+    assert(got(1L) === ((8L, 1L, 0.0)))
+    assert(got(2L) === ((12L, 4L, r4(math.log(4)))))
+    assert(got(3L) === ((2L, 2L, r4(math.log(2)))))
+  }
+
   test("exact quantiles match a naive sort-and-select on random groups") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
