@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.model.EventLog
+import graft.operators.{AsofJoin, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -109,11 +110,119 @@ object RelationalQueries extends QueryGroup {
       |FROM orders GROUP BY o_custkey
       |ORDER BY total DESC, o_custkey LIMIT 10""".stripMargin))
 
+  /** J4 — backward as-of join (AsofJoin): each click enriched with the
+   * user's latest purchase at-or-before it, 3-day tolerance. The oracle
+   * takes DuckDB's native ASOF LEFT JOIN — an entirely different
+   * algorithm (per-key binary search) than the engine's union+window
+   * plan, so parity is a real two-implementation check. Timestamps stay
+   * at full microsecond precision for the match; outputs truncate to ms
+   * exactly like epoch_ms. */
+  private val j4 = QueryDef(
+    (s, d) => {
+      // ts is epoch NANOS as LONG (see EventLog.raw); match at full
+      // precision, truncate to ms only at output (== epoch_ms).
+      val ev = EventLog.raw(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      // right side unique per (key, ts): tied-instant purchases pre-merge
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .agg(max(col("value")).as("pv"))
+      val tolMs = 3L * 86400000L
+      AsofJoin.asofJoin(clicks, purch, Seq("user_id"), "ts_us", "ts_us")
+        .withColumn("click_ms", expr("ts_us div 1000"))
+        .withColumn("purchase_ms", expr("asof_ts div 1000"))
+        .withColumn("ok",
+          col("asof_ts").isNotNull && col("click_ms") - col("purchase_ms") <= tolMs)
+        .select(col("event_id"), col("user_id"), col("click_ms"),
+          when(col("ok"), round(col("pv"), 2)).as("purchase_value"),
+          when(col("ok"), col("click_ms") - col("purchase_ms")).as("lag_ms"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      |), purch AS (
+      |  SELECT user_id, ts, max(value) AS pv FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id, ts
+      |)
+      |SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS click_ms,
+      |       CASE WHEN p.ts IS NOT NULL
+      |                 AND epoch_ms(c.ts) - epoch_ms(p.ts) <= 259200000
+      |            THEN round(p.pv, 2) END AS purchase_value,
+      |       CASE WHEN p.ts IS NOT NULL
+      |                 AND epoch_ms(c.ts) - epoch_ms(p.ts) <= 259200000
+      |            THEN epoch_ms(c.ts) - epoch_ms(p.ts) END AS lag_ms
+      |FROM clicks c ASOF LEFT JOIN purch p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin))
+
+  /** J4b — forward as-of join: each signup matched to the user's first
+   * error at-or-after it (no tolerance: the pure forward frame). */
+  private val j4b = QueryDef(
+    (s, d) => {
+      val ev = EventLog.raw(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val errs = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .agg(min(col("event_id")).as("err_id"))
+      AsofJoin.asofJoin(signups, errs, Seq("user_id"), "ts_us", "ts_us",
+          forward = true)
+        .select(col("event_id"), col("user_id"),
+          expr("ts_us div 1000").as("signup_ms"), col("err_id"),
+          (expr("asof_ts div 1000") - expr("ts_us div 1000")).as("wait_ms"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH signups AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+      |), err AS (
+      |  SELECT user_id, ts, min(event_id) AS err_id FROM events
+      |  WHERE event_type = 'error' GROUP BY user_id, ts
+      |)
+      |SELECT s.event_id, s.user_id, epoch_ms(s.ts) AS signup_ms, e.err_id,
+      |       epoch_ms(e.ts) - epoch_ms(s.ts) AS wait_ms
+      |FROM signups s ASOF LEFT JOIN err e
+      |  ON s.user_id = e.user_id AND s.ts <= e.ts
+      |ORDER BY s.event_id""".stripMargin))
+
+  /** J5 — bin-bucketed range join (RangeJoin): urgent orders define
+   * 3-day shipping windows; returned lineitems land in every window
+   * containing their ship date. The engine quantizes to 3-day bins and
+   * equi-joins (each pair meets in exactly one bin); the oracle hands
+   * DuckDB the bare inequality join (IEJoin) — again two different
+   * algorithms agreeing. */
+  private val j5 = QueryDef(
+    (s, d) => {
+      val win = 3L * 86400000L
+      val pts = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select(unix_millis(col("l_shipdate")).as("ship_ms"), col("l_quantity"))
+      val iv = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), unix_millis(col("o_orderdate")).as("win_start"))
+        .withColumn("win_end", col("win_start") + win)
+      RangeJoin.pointInInterval(pts, iv, "ship_ms", "win_start", "win_end",
+          binWidth = win)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_in_window"),
+          round(sum(col("l_quantity")), 1).as("qty_in_window"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, count(*) AS n_in_window,
+      |       round(sum(l_quantity), 1) AS qty_in_window
+      |FROM orders JOIN lineitem
+      |  ON l_shipdate >= o_orderdate
+      | AND l_shipdate < o_orderdate + INTERVAL 3 DAY
+      |WHERE o_orderpriority = '1-URGENT' AND l_returnflag = 'R'
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "q1_pricing_summary" -> q1,
     "q3_shipping_priority" -> q3,
     "j1_semi_anti_orders" -> j1,
     "j2_enrich_events" -> j2,
-    "j3_topk_customers" -> j3
+    "j3_topk_customers" -> j3,
+    "j4_asof_backward" -> j4,
+    "j4b_asof_forward" -> j4b,
+    "j5_range_join" -> j5
   )
 }
