@@ -492,8 +492,36 @@ object StreamingSmoke {
     check("session-windows", streamSess == batchSess && streamSess.nonEmpty,
       s"stream=${streamSess.size} batch=${batchSess.size}")
 
+    // -- 19. streaming DDSketch buckets converge to the batch sketch ------
+    // (the bucket relation IS the sketch and DDSketch merge IS count
+    // addition — a Complete-mode count over streamed (source, value)
+    // rows must land on the identical (source, bucket, n) relation,
+    // closing the streaming-convergence story for the fifth sketch
+    // family)
+    val ddRows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("n_chars"))
+      .as[(String, Long)].collect()
+    val s19 = MemoryStream[(String, Long)]
+    val q19 = graft.pipeline.Sketches
+      .ddBuckets(s19.toDF().toDF("source", "n_chars"),
+        col("source"), col("n_chars"), alpha = 0.02)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("dd_buckets")
+      .option("checkpointLocation", ckpt()).start()
+    ddRows.grouped(math.max(1, ddRows.length / 5 + 1))
+      .foreach { c => s19.addData(c); q19.processAllAvailable() }
+    q19.stop()
+    def ddKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamDd = ddKey(spark.table("dd_buckets"))
+    val batchDd = ddKey(graft.pipeline.Sketches.ddBuckets(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      col("source"), col("n_chars"), alpha = 0.02))
+    check("ddsketch-buckets", streamDd == batchDd && streamDd.nonEmpty,
+      s"stream buckets=${streamDd.size} batch buckets=${batchDd.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 18 converged to batch twins OK")
+    println(s"[stream-smoke] all 19 converged to batch twins OK")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /**
@@ -261,5 +261,79 @@ object Sketches {
         .bitwiseAND(col("mask")) =!= 0)
       .groupBy(col("source"), col("item"))
       .agg(min(col("hit")).as("bloom_positive"))
+  }
+
+  // ------------------------------ DDSketch ------------------------------
+
+  /**
+   * DDSketch bucket relation (Masson, Lee & Rim, VLDB 2019): a
+   * relative-error quantile sketch. Positive values map to bucket
+   * ⌈log_γ(x)⌉ with γ = (1+α)/(1−α); every value in bucket i lies within
+   * α relative error of the bucket's midpoint estimate 2γ^i/(γ+1). The
+   * (group, bucket, count) relation IS the sketch: bucket count is
+   * O(log(max/min)/α) regardless of input size, it merges across
+   * partitions/corpora by plain count addition (the groupBy is the
+   * merge — a streaming Complete-mode count over the same keys converges
+   * to it), and map-side partials ship at most the bucket count per
+   * group. The 100 TB role: percentiles over any positive measure
+   * (doc lengths, latencies, token counts) in one linear pass — the
+   * guaranteed-relative-error alternative to [[CorpusOps.exactQuantiles]]'
+   * order-statistic selection.
+   *
+   * Determinism: log_γ is ln(x) divided by a PRE-COMPUTED double ln(γ)
+   * (the same literal on the engine and oracle sides), and the ratio is
+   * rounded to 9 dp before ⌈·⌉ so sub-ulp ln() differences between
+   * engines can never flip a bucket (repo rounded-float convention).
+   * Non-positive / null values are excluded by contract (DDSketch's
+   * domain is x > 0; callers route zeros to a separate counter).
+   */
+  def ddBuckets(df: DataFrame, group: Column, value: Column,
+      alpha: Double = 0.01): DataFrame = {
+    val lnGamma = lnGammaOf(alpha)
+    df.filter(value.isNotNull && value > 0)
+      .select(group.cast("string").as("source"),
+        ceil(round(log(value.cast("double")) / lnGamma, 9)).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** ln γ for a given α, computed once so engine and oracle divide by the
+   * identical double literal. */
+  def lnGammaOf(alpha: Double): Double = {
+    require(alpha > 0 && alpha < 1, s"DDSketch needs 0 < alpha < 1, got $alpha")
+    math.log((1 + alpha) / (1 - alpha))
+  }
+
+  /** γ for a given α (the estimate-side constant, same both engines). */
+  def gammaOf(alpha: Double): Double = (1 + alpha) / (1 - alpha)
+
+  /**
+   * Quantile estimates from a DDSketch bucket relation — a pure function
+   * of the sketch. For each requested q: rank r = ⌊q·(n−1)⌋ (0-based,
+   * the paper's convention); the answer bucket is the lowest whose
+   * cumulative count exceeds r; the estimate is the bucket midpoint
+   * 2γ^b/(γ+1), rounded to 4 dp so pow() sub-ulp differences collapse.
+   * Window work is bucket-scale (hundreds of rows per group), never
+   * data-scale.
+   */
+  def ddQuantiles(buckets: DataFrame, qs: Seq[Double],
+      alpha: Double = 0.01): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad qs: $qs")
+    val gamma = gammaOf(alpha)
+    val byBucket = Window.partitionBy(col("source")).orderBy(col("bucket"))
+    val cum = buckets
+      .withColumn("cum", sum(col("n")).over(byBucket))
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("source"))))
+    val qdf = buckets.sparkSession.range(1)
+      .select(explode(array(qs.map(lit(_)): _*)).as("q"))
+    cum.crossJoin(broadcast(qdf))
+      .filter(col("cum") > floor(col("q") * (col("total") - 1)))
+      .groupBy(col("source"), col("q"))
+      .agg(min(col("bucket")).as("bucket"), max(col("total")).as("n_values"))
+      .withColumn("est",
+        round(lit(2.0) * pow(lit(gamma), col("bucket")) / lit(gamma + 1), 4))
+      .select(col("source"), col("q"), col("bucket"), col("est"),
+        col("n_values"))
   }
 }

@@ -939,6 +939,50 @@ object CorpusQueries extends QueryGroup {
       |FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
       |GROUP BY cnt.doc_id ORDER BY cnt.doc_id""".stripMargin))
 
+  // ------------------------------------------ p56 DDSketch quantiles
+
+  private val ddAlpha = 0.02
+  private val ddLnGamma = graft.pipeline.Sketches.lnGammaOf(ddAlpha)
+  private val ddGamma = graft.pipeline.Sketches.gammaOf(ddAlpha)
+
+  private val p56 = QueryDef(
+    // DDSketch (Masson 2019) relative-error quantiles over the SAME
+    // per-source doc-length domain as p47's exact selection — the
+    // sketch-vs-exact split of the quantile family (as p40/p43 are for
+    // cardinality). Buckets are ⌈ln(x)/lnγ⌉ with both constants embedded
+    // as identical double literals on both sides and the ratio rounded
+    // to 9 dp, so the oracle rebuilds the bucket relation bit-for-bit;
+    // estimates round to 4 dp (the α=2% guarantee is asserted against
+    // exact quantiles in SketchSpec).
+    (s, d) => {
+      val b = graft.pipeline.Sketches.ddBuckets(
+        docs(s, d), col("source"), col("n_chars"), ddAlpha)
+      graft.pipeline.Sketches.ddQuantiles(b, Seq(0.5, 0.9, 0.99), ddAlpha)
+        .orderBy(col("source"), col("q"))
+    },
+    Some(s"""WITH v AS (
+      |  SELECT source, n_chars FROM documents
+      |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |b AS (SELECT source,
+      |        CAST(ceil(round(ln(CAST(n_chars AS DOUBLE)) / $ddLnGamma, 9))
+      |          AS BIGINT) AS bucket,
+      |        count(*) AS n
+      |      FROM v GROUP BY 1, 2),
+      |c AS (SELECT source, bucket, n,
+      |        sum(n) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+      |        sum(n) OVER (PARTITION BY source) AS total
+      |      FROM b),
+      |qs AS (SELECT unnest([0.5e0, 0.9e0, 0.99e0]) AS q),
+      |sel AS (SELECT source, q, min(bucket) AS bucket,
+      |          CAST(max(total) AS BIGINT) AS n_values
+      |        FROM c CROSS JOIN qs
+      |        WHERE cum > floor(q * (total - 1))
+      |        GROUP BY source, q)
+      |SELECT source, q, bucket,
+      |       round(2.0 * power($ddGamma, bucket) / ${ddGamma + 1}, 4) AS est,
+      |       n_values
+      |FROM sel ORDER BY source, q""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -964,6 +1008,7 @@ object CorpusQueries extends QueryGroup {
     "p48_bloom_membership" -> p48,
     "p49_lm_perplexity" -> p49,
     "p53_ngram_overlap" -> p53,
-    "p55_char_entropy" -> p55
+    "p55_char_entropy" -> p55,
+    "p56_ddsketch_quantiles" -> p56
   )
 }

@@ -123,4 +123,46 @@ class SketchSpec extends AnyFunSuite {
       .map(x => (x.getString(0), x.getInt(1)) -> x.getLong(2)).toMap
     assert(merged === whole)
   }
+
+  test("DDSketch estimates honor the relative-error guarantee vs exact quantiles") {
+    import spark.implicits._
+    val alpha = 0.02
+    // log-uniform-ish positive values with duplicates and a long tail
+    val rnd = new scala.util.Random(11)
+    val values = Seq.fill(5000)(math.exp(rnd.nextDouble() * 9).toLong + 1)
+    val df = values.map(("g", _)).toDF("g", "v")
+    val buckets = Sketches.ddBuckets(df, col("g"), col("v"), alpha)
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val est = Sketches.ddQuantiles(buckets, qs, alpha).collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+    val sorted = values.sorted
+    qs.foreach { q =>
+      // DDSketch answers the value at rank floor(q·(n−1)) within α
+      val exact = sorted(math.floor(q * (values.size - 1)).toInt).toDouble
+      val rel = math.abs(est(q) - exact) / exact
+      assert(rel <= alpha + 1e-9, s"q=$q est=${est(q)} exact=$exact rel=$rel")
+    }
+    // sketch size is bucket-scale, not data-scale
+    assert(buckets.count() < 600)
+  }
+
+  test("DDSketch merge is count addition over the bucket relation") {
+    import spark.implicits._
+    val alpha = 0.02
+    val a = (1 to 700).map(i => ("g", (i * 7 % 500 + 1).toLong))
+    val b = (1 to 900).map(i => ("g", (i * 13 % 800 + 1).toLong))
+    val merged = Sketches.ddBuckets(a.toDF("g", "v"), col("g"), col("v"), alpha)
+      .union(Sketches.ddBuckets(b.toDF("g", "v"), col("g"), col("v"), alpha))
+      .groupBy(col("source"), col("bucket")).agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.ddBuckets((a ++ b).toDF("g", "v"), col("g"), col("v"), alpha)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === whole && whole.nonEmpty)
+    // non-positive and null values are excluded by contract
+    val withBad = Seq(("g", Some(5L)), ("g", Some(0L)), ("g", Some(-3L)), ("g", None))
+      .toDF("g", "v")
+    val kept = Sketches.ddBuckets(withBad, col("g"), col("v"), alpha)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(kept === 1L)
+  }
 }
