@@ -804,4 +804,41 @@ object CorpusOps {
       .select(col(idCol), col("n_bigrams"), col("oov_bigrams"), col("ppl"),
         (col("ppl") <= keepBelow).as("keep"))
   }
+
+  /**
+   * CCNet-style per-language perplexity bucketing (Wenzek et al. 2019,
+   * §4.4): split each language slice into head/middle/tail thirds by LM
+   * perplexity — the standard "keep the head, maybe the middle, drop the
+   * tail" curation knob. Buckets come from per-language VALUE CUTOFFS
+   * (the smallest ppl whose cumulative count reaches ⌈n/3⌉ and ⌈2n/3⌉),
+   * not a per-doc rank: tied perplexities land in the same bucket, and —
+   * the 100 TB point — no language-wide sort of the corpus ever runs.
+   * The cutoff selection is the same order-statistic-over-histogram
+   * trick as [[exactQuantiles]]: one (lang, ppl) count aggregation
+   * (histogram-scale, ppl is rounded to 2 dp), a histogram-scale window
+   * for the cumulative counts, and a broadcast join back. The corpus
+   * shuffles only for its per-doc LM scoring.
+   */
+  def perplexityBuckets(corpus: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame = {
+    val scored = graft.CacheScope.track(
+      lmPerplexity(corpus, train, idCol, textCol)
+        .join(corpus.select(col(idCol), col(langCol)), Seq(idCol)))
+    val hist = scored.groupBy(col(langCol), col("ppl"))
+      .agg(count(lit(1)).as("hn"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("hn")).over(Window.partitionBy(col(langCol)).orderBy(col("ppl"))))
+      .withColumn("n", sum(col("hn")).over(Window.partitionBy(col(langCol))))
+    val cuts = cum.groupBy(col(langCol)).agg(
+      min(when(col("cum") >= expr("(n + 2) div 3"), col("ppl"))).as("t1"),
+      min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("ppl"))).as("t2"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .withColumn("bucket",
+        when(col("ppl") <= col("t1"), "head")
+          .when(col("ppl") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(langCol), col("ppl"), col("t1"), col("t2"),
+        col("bucket"))
+  }
 }

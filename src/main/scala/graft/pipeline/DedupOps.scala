@@ -407,12 +407,24 @@ object DedupOps {
    * brute-force every pair and prove the index misses nothing.
    */
   def hammingNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, maxDist: Int = 3, blocks: Int = 4): DataFrame = {
+      bits: Int = 16, maxDist: Int = 3, blocks: Int = 4): DataFrame =
+    hammingPairs(
+      graft.CacheScope.track(simhashes(docs, idCol, textCol, bits)),
+      "doc", "simhash", bits, maxDist, blocks)
+
+  /**
+   * The Manku block index over ANY precomputed b-bit hash column (long,
+   * non-negative): text simhashes (p50), perceptual image hashes (p58) —
+   * whatever carries a meaningful Hamming metric. Same completeness
+   * argument and shuffle shape as [[hammingNearDupPairs]].
+   */
+  def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxDist: Int, blocks: Int): DataFrame = {
     require(bits % blocks == 0, s"blocks must divide bits: $bits/$blocks")
     require(maxDist < blocks,
       s"pigeonhole completeness needs maxDist < blocks: $maxDist/$blocks")
     val bw = bits / blocks
-    val sims = graft.CacheScope.track(simhashes(docs, idCol, textCol, bits))
+    val sims = hashed.select(col(idCol).as("doc"), col(hashCol).as("simhash"))
     val blk = sims.select(col("doc"), col("simhash"),
       explode(array((0 until blocks).map { i =>
         struct(lit(i).as("bi"),

@@ -858,7 +858,16 @@ object CorpusQueries extends QueryGroup {
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
         col("oov_bigrams"), col("ppl"), col("keep"))
       .orderBy(col("doc_id")),
-    Some(s"""WITH tw AS (SELECT $WORDS AS ws FROM documents
+    Some(s"""$lmScoreCte
+      |SELECT doc_id, lang, n_bigrams, oov_bigrams, ppl,
+      |       ppl <= 1500.0 AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin))
+
+  /** The p49 bigram-LM scoring pipeline as a reusable oracle CTE ending
+   * in `scored(doc_id, lang, n_bigrams, oov_bigrams, ppl)` — shared by
+   * p49 (the filter) and p57 (the CCNet bucketing). */
+  private lazy val lmScoreCte: String =
+    s"""WITH tw AS (SELECT $WORDS AS ws FROM documents
       |         WHERE lang = 'en' AND len($WORDS) >= 2),
       |tu AS (SELECT unnest(ws) AS w FROM tw),
       |c1 AS (SELECT w AS w1, count(*) AS c1 FROM tu GROUP BY 1),
@@ -881,13 +890,40 @@ object CorpusQueries extends QueryGroup {
       |             AS BIGINT)) AS lp
       |       FROM db LEFT JOIN cb USING (g) LEFT JOIN c1 USING (w1)
       |       CROSS JOIN v
-      |       GROUP BY doc_id)
-      |SELECT doc_id, lang, n_bigrams, oov_bigrams,
-      |       round(exp(-CAST(lp AS DOUBLE) / (10000.0 * n_bigrams)), 2)
-      |         AS ppl,
-      |       round(exp(-CAST(lp AS DOUBLE) / (10000.0 * n_bigrams)), 2)
-      |         <= 1500.0 AS keep
-      |FROM sc ORDER BY doc_id""".stripMargin))
+      |       GROUP BY doc_id),
+      |scored AS (SELECT doc_id, lang, n_bigrams, oov_bigrams,
+      |         round(exp(-CAST(lp AS DOUBLE) / (10000.0 * n_bigrams)), 2)
+      |           AS ppl
+      |       FROM sc)""".stripMargin
+
+  // ------------------------------------------ p57 CCNet ppl buckets
+
+  private val p57 = QueryDef(
+    // CCNet head/middle/tail bucketing (Wenzek 2019 §4.4) on p49's LM
+    // scores: per-language VALUE cutoffs at ⌈n/3⌉/⌈2n/3⌉ cumulative
+    // ranks over the (lang, ppl) histogram — tied perplexities share a
+    // bucket, and no language-wide sort of the corpus runs (the same
+    // order-statistic-over-histogram selection as p47). Pure integer
+    // rank arithmetic over 2-dp ppl values; the oracle replays it.
+    (s, d) => CorpusOps.perplexityBuckets(docs(s, d),
+        docs(s, d).where(col("lang") === "en"), "doc_id", "text", "lang")
+      .orderBy(col("doc_id")),
+    Some(s"""$lmScoreCte,
+      |h AS (SELECT lang, ppl, count(*) AS hn FROM scored GROUP BY 1, 2),
+      |c AS (SELECT lang, ppl, hn,
+      |        sum(hn) OVER (PARTITION BY lang ORDER BY ppl) AS cum,
+      |        sum(hn) OVER (PARTITION BY lang) AS n
+      |      FROM h),
+      |cuts AS (SELECT lang,
+      |           min(CASE WHEN cum >= (n + 2) // 3 THEN ppl END) AS t1,
+      |           min(CASE WHEN cum >= (2 * n + 2) // 3 THEN ppl END) AS t2
+      |         FROM c GROUP BY 1)
+      |SELECT s.doc_id, s.lang, s.ppl, cuts.t1, cuts.t2,
+      |       CASE WHEN s.ppl <= cuts.t1 THEN 'head'
+      |            WHEN s.ppl <= cuts.t2 THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM scored s JOIN cuts USING (lang)
+      |ORDER BY s.doc_id""".stripMargin))
 
   // ------------------------------------------ p53 n-gram overlap report
 
@@ -1009,6 +1045,7 @@ object CorpusQueries extends QueryGroup {
     "p49_lm_perplexity" -> p49,
     "p53_ngram_overlap" -> p53,
     "p55_char_entropy" -> p55,
-    "p56_ddsketch_quantiles" -> p56
+    "p56_ddsketch_quantiles" -> p56,
+    "p57_ppl_buckets" -> p57
   )
 }

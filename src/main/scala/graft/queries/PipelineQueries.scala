@@ -928,6 +928,178 @@ object PipelineQueries extends QueryGroup {
       |JOIN cr ON cr.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin))
 
+  // ------------------------------------------ p59 audio silence segments
+
+  private val p59 = QueryDef(
+    // Silence detection / trim over the DECODED PCM (the standard audio
+    // preprocessing step before feature extraction): a sample is silent
+    // when |v| ≤ 16 after bias removal; maximal silent runs of ≥ 3
+    // samples are segments; leading/trailing silence of ANY length
+    // yields the trimmed length. One mapPartitions pass over the parsed
+    // WAV, zero shuffle; the oracle takes the opposite route — a
+    // gaps-and-islands window (pos − row_number per silence flag) over
+    // exploded sample positions — so parity checks the run semantics,
+    // not a shared loop.
+    (s, d) => {
+      import s.implicits._
+      val thr = 16; val minLen = 3
+      val in = docs(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm"))
+        .as[(Long, Array[Byte])]
+      in.mapPartitions { it =>
+        it.map { case (id, pcm) =>
+          val rate = 8000 + (id % 8).toInt * 1000
+          val wav = WavCodec.build(rate, 1, 8, pcm)
+          val info = WavCodec.parse(wav)
+          val n = info.nSamples.toInt
+          val data = wav.slice(wav.length - n, wav.length)
+          def silent(i: Int): Boolean =
+            math.abs((data(i) & 0xFF) - 128) <= thr
+          var i = 0; var nSilent = 0L; var nSeg = 0L; var longest = 0L
+          var lead = 0L; var tail = 0L
+          while (i < n) {
+            if (silent(i)) {
+              var j = i
+              while (j < n && silent(j)) j += 1
+              val len = (j - i).toLong
+              nSilent += len
+              if (len >= minLen) { nSeg += 1; if (len > longest) longest = len }
+              if (i == 0) lead = len
+              if (j == n) tail = len
+              i = j
+            } else i += 1
+          }
+          val trimmed = if (lead == n) 0L else n - lead - tail
+          (id, n.toLong, nSilent, nSeg, longest, lead, tail, trimmed)
+        }
+      }.toDF("doc_id", "n_samples", "n_silent", "n_segments", "longest_run",
+          "lead_silence", "tail_silence", "trimmed_len")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH s AS (
+      |  SELECT doc_id, pos,
+      |         abs(ord(substr(text, pos, 1)) - 128) <= 16 AS sil
+      |  FROM (SELECT doc_id, text,
+      |          CAST(unnest(range(1, len(text) + 1)) AS INT) AS pos
+      |        FROM documents)),
+      |r AS (SELECT doc_id, pos, sil,
+      |        pos - row_number() OVER (
+      |          PARTITION BY doc_id, sil ORDER BY pos) AS grp
+      |      FROM s),
+      |runs AS (SELECT doc_id, min(pos) AS a, max(pos) AS b,
+      |           count(*) AS len
+      |         FROM r WHERE sil GROUP BY doc_id, grp),
+      |nn AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_samples
+      |       FROM documents),
+      |agg AS (SELECT runs.doc_id,
+      |          sum(len) AS n_silent,
+      |          sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS n_segments,
+      |          max(CASE WHEN len >= 3 THEN len ELSE 0 END) AS longest_run,
+      |          max(CASE WHEN a = 1 THEN len ELSE 0 END) AS lead_silence,
+      |          max(CASE WHEN b = nn.n_samples THEN len ELSE 0 END)
+      |            AS tail_silence
+      |        FROM runs JOIN nn ON runs.doc_id = nn.doc_id
+      |        GROUP BY runs.doc_id)
+      |SELECT nn.doc_id, nn.n_samples,
+      |       CAST(coalesce(agg.n_silent, 0) AS BIGINT) AS n_silent,
+      |       CAST(coalesce(agg.n_segments, 0) AS BIGINT) AS n_segments,
+      |       CAST(coalesce(agg.longest_run, 0) AS BIGINT) AS longest_run,
+      |       CAST(coalesce(agg.lead_silence, 0) AS BIGINT) AS lead_silence,
+      |       CAST(coalesce(agg.tail_silence, 0) AS BIGINT) AS tail_silence,
+      |       CAST(CASE WHEN coalesce(agg.lead_silence, 0) = nn.n_samples
+      |                 THEN 0
+      |                 ELSE nn.n_samples - coalesce(agg.lead_silence, 0)
+      |                      - coalesce(agg.tail_silence, 0) END AS BIGINT)
+      |         AS trimmed_len
+      |FROM nn LEFT JOIN agg ON nn.doc_id = agg.doc_id
+      |ORDER BY nn.doc_id""".stripMargin))
+
+  // ------------------------------------------ p58 image dHash near-dups
+
+  private val p58 = QueryDef(
+    // Image near-duplicate detection end to end: dHash (gradient hash)
+    // over each document's DECODED BMP — sample the same 8×8 grid as
+    // p42's aHash, emit a bit per horizontally-adjacent sample pair
+    // (gray[i][j] < gray[i][j+1]), 56 bits so the packed hash stays in
+    // the positive signed-64 range where Spark's and DuckDB's integer
+    // arithmetic agree exactly — then ALL pairs at Hamming distance ≤ 7
+    // via the Manku 8-block pigeonhole index (reusing p50's machinery
+    // over a perceptual hash instead of a text simhash). The oracle
+    // recomputes every dHash from the raw bytes in SQL and brute-forces
+    // ALL O(n²) pairs, so parity proves both the hash arithmetic and
+    // that the index misses nothing.
+    (s, d) => {
+      import s.implicits._
+      val in = docs(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+        .as[(Long, Array[Byte])]
+      val hashed = in.mapPartitions { it =>
+        it.map { case (id, px) =>
+          val bmp = BmpCodec.build(16 + (id % 32).toInt, px)
+          val info = BmpCodec.parse(bmp)
+          val dataOffset = bmp.length - info.dataBytes
+          def b(o: Int): Int = bmp(dataOffset + o) & 0xFF
+          def gray(i: Int, j: Int): Int = {
+            val y = ((2 * i + 1) * info.height) / 16
+            val x = ((2 * j + 1) * info.width) / 16
+            val o = y * info.stride + x * 3
+            b(o) + b(o + 1) + b(o + 2)
+          }
+          var h = 0L
+          for (i <- 0 until 8; j <- 0 until 7)
+            h = (h << 1) | (if (gray(i, j) < gray(i, j + 1)) 1L else 0L)
+          (id, h)
+        }
+      }.toDF("doc_id", "dhash")
+      DedupOps.hammingPairs(hashed, "doc_id", "dhash",
+          bits = 56, maxDist = 7, blocks = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH g AS (
+      |  SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS w,
+      |         octet_length(encode(text)) AS len, text
+      |  FROM documents),
+      |h AS (SELECT *, CAST(((w * 3 + 3) // 4) * 4 AS INT) AS stride,
+      |             CAST((octet_length(encode(text)) + ((w * 3 + 3) // 4) * 4 - 1)
+      |               // (((w * 3 + 3) // 4) * 4) AS INT) AS hgt
+      |      FROM g),
+      |cell AS (
+      |  SELECT doc_id, w, hgt, stride, len, text, i, j,
+      |         ((2 * i + 1) * hgt) // 16 AS y,
+      |         ((2 * j + 1) * w) // 16 AS x
+      |  FROM h
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+      |gray AS (
+      |  SELECT doc_id, i, j,
+      |         (CASE WHEN y * stride + x * 3 < len
+      |               THEN ord(substr(text, CAST(y * stride + x * 3 + 1 AS INT), 1))
+      |               ELSE 0 END +
+      |          CASE WHEN y * stride + x * 3 + 1 < len
+      |               THEN ord(substr(text, CAST(y * stride + x * 3 + 2 AS INT), 1))
+      |               ELSE 0 END +
+      |          CASE WHEN y * stride + x * 3 + 2 < len
+      |               THEN ord(substr(text, CAST(y * stride + x * 3 + 3 AS INT), 1))
+      |               ELSE 0 END) AS g3
+      |  FROM cell),
+      |bits AS (
+      |  SELECT a.doc_id, a.i, a.j,
+      |         CASE WHEN a.g3 < b.g3 THEN 1 ELSE 0 END AS bit
+      |  FROM gray a JOIN gray b
+      |    ON a.doc_id = b.doc_id AND a.i = b.i AND b.j = a.j + 1
+      |  WHERE a.j < 7),
+      |hh AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CAST(bit AS BIGINT) *
+      |           CAST(power(2, CAST((7 - i) * 7 + (6 - j) AS INT)) AS BIGINT))
+      |           AS BIGINT) AS dhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+      |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
@@ -955,6 +1127,8 @@ object PipelineQueries extends QueryGroup {
     "p20_bmp_decode" -> p20,
     "p42_image_ahash" -> p42,
     "p45_audio_energy" -> p45,
+    "p58_image_dhash_pairs" -> p58,
+    "p59_audio_silence" -> p59,
     "p28_semantic_dedup" -> p28,
     "p35_embed_pq" -> p35,
     "p37_pq_adc_topk" -> p37,

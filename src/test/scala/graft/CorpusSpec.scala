@@ -511,4 +511,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2L).getAs[Double]("ppl") < got(3L).getAs[Double]("ppl"))
     assert(got(2L).getAs[Boolean]("keep") && !got(3L).getAs[Boolean]("keep"))
   }
+
+  test("perplexity buckets: value cutoffs split thirds, ties share a bucket") {
+    import spark.implicits._
+    val train = Seq((100L, "a b a b a b a b a")).toDF("doc_id", "text")
+    // 9 corpus docs per lang: 3 fluent, 3 mixed, 3 OOV — plus a second
+    // language whose cutoffs must be computed independently
+    val corpus = ((1L to 3L).map(i => (i, "a b a b", "en")) ++
+      (4L to 6L).map(i => (i, "a b x y", "en")) ++
+      (7L to 9L).map(i => (i, "x y z w", "en")) ++
+      (11L to 13L).map(i => (i, "a b a b a b", "fr")) ++
+      (14L to 16L).map(i => (i, "q r s t q r", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val got = CorpusOps.perplexityBuckets(corpus, train,
+      "doc_id", "text", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("bucket"), r.getAs[Double]("ppl"))).toMap
+    assert(got.size === 15)
+    // en: three distinct ppl levels with 3 docs each → cutoffs land
+    // exactly on the tie groups; every tied doc shares its bucket.
+    // (Add-one smoothing scores the all-OOV docs 7-9 at P=0.5/bigram —
+    // BETTER than the mixed docs 4-6 whose seen-prefix bigrams divide
+    // by a large c1+V — so the order is fluent < OOV < mixed.)
+    (1L to 3L).foreach(i => assert(got(i)._1 === "head", s"doc $i: ${got(i)}"))
+    (7L to 9L).foreach(i => assert(got(i)._1 === "middle", s"doc $i: ${got(i)}"))
+    (4L to 6L).foreach(i => assert(got(i)._1 === "tail", s"doc $i: ${got(i)}"))
+    // fr: two tie groups over 6 docs — the 3-doc head group fills head
+    // exactly (cum 3 ≥ ⌈6/3⌉ = 2), and the whole second group lands in
+    // ONE bucket (middle: cum 6 ≥ ⌈12/3⌉ = 4) — a rank-based ntile
+    // would have split it
+    (11L to 13L).foreach(i => assert(got(i)._1 === "head", s"doc $i: ${got(i)}"))
+    (14L to 16L).foreach(i => assert(got(i)._1 === "middle", s"doc $i: ${got(i)}"))
+  }
 }
