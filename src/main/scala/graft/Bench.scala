@@ -51,6 +51,9 @@ object Bench {
       if (only.forall(n => n("p15_minhash_full") || n("p18_dup_clusters") ||
           n("p51_leakage_free_split")))
         graft.queries.PipelineQueries.warmShared(spark, sfDir)
+      // the LM scored relation p49/p57 share, same attribution rule
+      if (only.forall(n => n("p49_lm_perplexity") || n("p57_ppl_buckets")))
+        graft.queries.CorpusQueries.warmShared(spark, sfDir)
     } catch { case _: Throwable => }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     println(s"BENCHQ _warmup_shared ${fmt(warmupSec)}")

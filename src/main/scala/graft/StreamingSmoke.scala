@@ -492,6 +492,69 @@ object StreamingSmoke {
     check("session-windows", streamSess == batchSess && streamSess.nonEmpty,
       s"stream=${streamSess.size} batch=${batchSess.size}")
 
+    // -- 20 (run before 19 shares its input): stream-stream interval join -
+    // Two independent streams — clicks and purchases — joined per user
+    // under the watermarked time-range condition purchase ∈ (click−6h,
+    // click]: the canonical stream-stream join, state bounded by the
+    // watermark on BOTH sides. Events arrive time-ordered in chunks; a
+    // far-future sentinel flushes remaining state. Append-mode inner
+    // join must emit exactly the batch interval join of the same log.
+    val ssRows = EventLog.topic(spark, sfDir)
+      .filter(col("marker_type").isNull)
+      .select(col("key"), col("publish_ms"), col("value"),
+        (col("msg_offset") % 2 === 0).as("is_click"))
+      .as[(String, Long, Double, Boolean)].collect().sortBy(_._2)
+    val ssSentinel = ssRows.map(_._2).max + 30L * 86400000L
+    def ssJoin(clicks: org.apache.spark.sql.DataFrame,
+        purchases: org.apache.spark.sql.DataFrame) = {
+      val c = clicks
+        .select(col("key"), timestamp_millis(col("ms")).as("cts"),
+          col("v").as("cv"))
+        .withWatermark("cts", "0 seconds")
+      val p = purchases
+        .select(col("key").as("pkey"), timestamp_millis(col("ms")).as("pts"),
+          col("v").as("pv"))
+        .withWatermark("pts", "0 seconds")
+      c.join(p, col("key") === col("pkey") &&
+        col("pts") > col("cts") - expr(s"INTERVAL $H6_MS MILLISECONDS") &&
+        col("pts") <= col("cts"))
+    }
+    val s20c = MemoryStream[(String, Long, Double)]
+    val s20p = MemoryStream[(String, Long, Double)]
+    val q20 = ssJoin(s20c.toDF().toDF("key", "ms", "v"),
+        s20p.toDF().toDF("key", "ms", "v"))
+      .select(col("key"), unix_millis(col("cts")).as("cms"),
+        unix_millis(col("pts")).as("pms"), col("cv"), col("pv"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join")
+      .option("checkpointLocation", ckpt()).start()
+    ssRows.grouped(math.max(1, ssRows.length / 5 + 1)).foreach { chunk =>
+      s20c.addData(chunk.filter(_._4).map(r => (r._1, r._2, r._3)))
+      s20p.addData(chunk.filterNot(_._4).map(r => (r._1, r._2, r._3)))
+      q20.processAllAvailable()
+    }
+    s20c.addData(("zz-sentinel", ssSentinel, 0.0))
+    s20p.addData(("zz-sentinel", ssSentinel, 0.0))
+    q20.processAllAvailable()
+    s20c.addData(("zz-sentinel", ssSentinel + 1, 0.0))
+    s20p.addData(("zz-sentinel", ssSentinel + 1, 0.0))
+    q20.processAllAvailable()
+    q20.stop()
+    def ssKey(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("key") =!= "zz-sentinel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val streamSs = ssKey(spark.table("ss_join"))
+    val batchSs = ssKey(ssJoin(
+        ssRows.toSeq.filter(_._4).map(r => (r._1, r._2, r._3))
+          .toDF("key", "ms", "v"),
+        ssRows.toSeq.filterNot(_._4).map(r => (r._1, r._2, r._3))
+          .toDF("key", "ms", "v"))
+      .select(col("key"), unix_millis(col("cts")).as("cms"),
+        unix_millis(col("pts")).as("pms"), col("cv"), col("pv")))
+    check("stream-stream-join", streamSs == batchSs && streamSs.nonEmpty,
+      s"stream=${streamSs.size} batch=${batchSs.size}")
+
     // -- 19. streaming DDSketch buckets converge to the batch sketch ------
     // (the bucket relation IS the sketch and DDSketch merge IS count
     // addition — a Complete-mode count over streamed (source, value)
@@ -521,7 +584,7 @@ object StreamingSmoke {
       s"stream buckets=${streamDd.size} batch buckets=${batchDd.size}")
 
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 19 converged to batch twins OK")
+    println(s"[stream-smoke] all 20 converged to batch twins OK")
     spark.stop()
   }
 }

@@ -820,10 +820,18 @@ object CorpusOps {
    * shuffles only for its per-doc LM scoring.
    */
   def perplexityBuckets(corpus: DataFrame, train: DataFrame, idCol: String,
-      textCol: String, langCol: String): DataFrame = {
-    val scored = graft.CacheScope.track(
-      lmPerplexity(corpus, train, idCol, textCol)
-        .join(corpus.select(col(idCol), col(langCol)), Seq(idCol)))
+      textCol: String, langCol: String): DataFrame =
+    perplexityBucketsScored(
+      graft.CacheScope.track(
+        lmPerplexity(corpus, train, idCol, textCol)
+          .join(corpus.select(col(idCol), col(langCol)), Seq(idCol))),
+      idCol, langCol)
+
+  /** The bucketing half over an already-scored (and ideally persisted)
+   * relation carrying `ppl` — the scoring is the expensive stage, and a
+   * harness that also runs the p49 filter shares it run-scoped. */
+  def perplexityBucketsScored(scored: DataFrame, idCol: String,
+      langCol: String): DataFrame = {
     val hist = scored.groupBy(col(langCol), col("ppl"))
       .agg(count(lit(1)).as("hn"))
     val cum = hist
@@ -840,5 +848,72 @@ object CorpusOps {
           .otherwise("tail"))
       .select(col(idCol), col(langCol), col("ppl"), col("t1"), col("t2"),
         col("bucket"))
+  }
+
+  /**
+   * DSIR — data selection via importance resampling (Xie et al. 2023,
+   * arXiv:2302.03169): score every corpus doc by the log likelihood
+   * ratio of a TARGET bag-of-hashed-ngrams model over the RAW corpus
+   * model, then keep the top-k. Features are unigrams + bigrams hashed
+   * into m buckets (§3.2 of the paper); both models are add-one-smoothed
+   * bucket frequencies.
+   *
+   * Determinism: per-bucket log ratios are scaled integers
+   * (round(ln·10⁴), the p49 convention) so partial-aggregation order
+   * can never move a doc's score, and selection uses a VALUE cutoff (the
+   * k-th highest score via the order-statistic-over-histogram trick of
+   * [[exactQuantiles]]/[[perplexityBuckets]]) — boundary ties all keep,
+   * so the answer is a pure function of the data.
+   *
+   * Shape at 100 TB: the bucket models are m rows (broadcast); the
+   * corpus explodes once to its features and aggregates back to one
+   * score row per doc — two linear shuffles, no corpus-wide sort; the
+   * cutoff window runs over the score histogram, not the corpus.
+   */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, m: Int = 1024, topK: Int = 100): DataFrame = {
+    require(m > 0 && topK > 0, s"need m > 0, topK > 0; got m=$m topK=$topK")
+    def feats(df: DataFrame, extra: Seq[Column]): DataFrame = {
+      val bigrams = when(size(col("ws")) >= 2, expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"""
+          .stripMargin))
+        .otherwise(expr("array()").cast("array<string>"))
+      df.select(extra :+ TextOps.words(col(textCol)).as("ws"): _*)
+        .select(extra :+ explode(concat(col("ws"), bigrams)).as("g"): _*)
+        .filter(length(col("g")) > 0)
+        .withColumn("b", Sketches.md5Hash32(col("g")) % m)
+    }
+    val corpusFeats = graft.CacheScope.track(
+      feats(corpus, Seq(col(idCol))))
+    val rawModel = corpusFeats.groupBy(col("b")).agg(count(lit(1)).as("qn"))
+    val rawTotal = rawModel.agg(sum(col("qn")).as("qtot"))
+    val targetModel = feats(target, Nil).groupBy(col("b"))
+      .agg(count(lit(1)).as("tn"))
+    val targetTotal = targetModel.agg(sum(col("tn")).as("ttot"))
+    // per-bucket scaled-integer log ratio: the products stay < 2^53 so
+    // both engines' double arithmetic is exact up to the final ln
+    val li = rawModel
+      .join(targetModel, Seq("b"), "left")
+      .crossJoin(rawTotal).crossJoin(targetTotal)
+      .withColumn("li", round(
+        log(((coalesce(col("tn"), lit(0L)) + lit(1.0)) *
+          (col("qtot") + lit(m.toDouble))) /
+          ((col("qn") + lit(1.0)) * (col("ttot") + lit(m.toDouble))))
+          * 10000.0, 0).cast("long"))
+      .select(col("b"), col("li"))
+    val scores = corpusFeats.join(broadcast(li), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("li")).as("score"))
+    // k-th-highest-score cutoff over the score histogram (desc cum-sum)
+    val hist = scores.groupBy(col("score")).agg(count(lit(1)).as("hn"))
+    val cum = hist.withColumn("cum",
+      sum(col("hn")).over(Window.orderBy(col("score").desc)))
+    val cut = cum.agg(max(when(col("cum") >= topK, col("score"))).as("cutoff"))
+    // a corpus smaller than topK has no cutoff row → keep everything
+    scores.crossJoin(broadcast(cut))
+      .select(col(idCol), col("n_feats"), col("score"),
+        (col("cutoff").isNull || col("score") >= col("cutoff"))
+          .as("selected"))
   }
 }

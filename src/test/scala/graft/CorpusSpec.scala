@@ -543,4 +543,33 @@ class CorpusSpec extends AnyFunSuite {
     (11L to 13L).foreach(i => assert(got(i)._1 === "head", s"doc $i: ${got(i)}"))
     (14L to 16L).foreach(i => assert(got(i)._1 === "middle", s"doc $i: ${got(i)}"))
   }
+
+  test("DSIR: target-like docs outrank off-target docs; cutoff keeps ties") {
+    import spark.implicits._
+    // corpus: 4 docs speak the target's vocabulary, 4 speak another
+    val corpus = ((1L to 4L).map(i => (i, "alpha beta gamma alpha beta")) ++
+      (5L to 8L).map(i => (i, "omega psi chi omega psi")))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta alpha gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.dsirSelect(corpus, target, "doc_id", "text",
+      m = 64, topK = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score"), r.getAs[Boolean]("selected"))).toMap
+    assert(got.size === 8)
+    // every target-speaking doc scores strictly above every off-target doc
+    val inScores = (1L to 4L).map(got(_)._1)
+    val outScores = (5L to 8L).map(got(_)._1)
+    assert(inScores.min > outScores.max, s"in=$inScores out=$outScores")
+    // the 4 target-like docs are identical → identical scores → the
+    // topK=2 cutoff lands inside the tie group and keeps ALL of it
+    assert(inScores.distinct.size === 1)
+    (1L to 4L).foreach(i => assert(got(i)._2, s"doc $i should be selected"))
+    (5L to 8L).foreach(i => assert(!got(i)._2, s"doc $i should not be selected"))
+    // a corpus smaller than topK keeps everything
+    val tiny = CorpusOps.dsirSelect(
+      Seq((1L, "a b")).toDF("doc_id", "text"), target, "doc_id", "text",
+      m = 64, topK = 5).collect()
+    assert(tiny.length === 1 && tiny.head.getAs[Boolean]("selected"))
+  }
 }
