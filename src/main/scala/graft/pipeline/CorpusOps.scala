@@ -916,4 +916,44 @@ object CorpusOps {
         (col("cutoff").isNull || col("score") >= col("cutoff"))
           .as("selected"))
   }
+
+  /**
+   * Epoch-weighted mixture expansion + deterministic shard plan — the
+   * writer stage at the end of a curation pipeline. Mixture weights
+   * (GPT-3 §2.2 / Llama-style source upsampling) repeat each source's
+   * docs `weight` times; every copy then gets a shard and a
+   * pseudo-random within-shard position, ALL pure md5 functions of
+   * (doc, copy) — so the training order is reproducible, resumable, and
+   * independent of partitioning or engine.
+   *
+   * Shape at 100 TB: the explode multiplies rows by each source's small
+   * integer weight (map-side, no shuffle); shard assignment is a hash
+   * projection; the within-shard position window is partitioned by
+   * shard — exactly the per-output-file sort a sharded writer performs
+   * anyway, corpus/shards rows per partition, never a global sort.
+   */
+  def mixtureShardPlan(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Int], shards: Int): DataFrame = {
+    require(shards > 0 && weights.values.forall(_ >= 0),
+      s"need shards > 0 and non-negative weights")
+    val wcol = weights.foldLeft(lit(1): Column) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    val keyed = df
+      .withColumn("epochs", wcol)
+      .filter(col("epochs") >= 1)
+      .withColumn("copy", explode(sequence(lit(1), col("epochs"))))
+      .withColumn("ord_key",
+        md5(concat(col(idCol).cast("string"), lit(":"),
+          col("copy").cast("string"))))
+      .withColumn("shard",
+        (Sketches.md5Hash32(concat(col(idCol).cast("string"), lit("#"),
+          col("copy").cast("string"))) % shards).cast("int"))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("ord_key"), col(idCol), col("copy"))).cast("long"))
+      .select(col(idCol), col(sourceCol), col("epochs"), col("copy"),
+        col("shard"), col("pos"), col("ord_key"))
+  }
 }

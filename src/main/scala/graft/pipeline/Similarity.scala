@@ -104,6 +104,38 @@ object Similarity {
         first(col("embedding")).as("embedding"))
 
   /**
+   * Cluster-local kNN graph — the "build the neighbor graph" stage that
+   * graph-based clustering and dedup (and diversity filtering à la
+   * SemDeDup's pruning) consume: every vector's top-k neighbors among
+   * its IVF cell mates, ranked by cosine.
+   *
+   * Shape at 100 TB: assignment is the broadcast map-side pass of
+   * [[ivfAssign]] (no corpus shuffle); the self-join shuffles the corpus
+   * once on the cell id; with nlist ≈ √N the within-cell pair work is
+   * ~N^1.5 ≪ N² (p28's analysis); the per-vector top-k is a window over
+   * each vector's own candidate list, partitioned by vector — never a
+   * global sort. Rank on the 3-dp-ROUNDED similarity with an id
+   * tie-break (repo convention: never rank a raw float fold).
+   */
+  def knnGraph(vecs: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val asg = graft.CacheScope.track(ivfAssign(vecs, centroids))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    asg.as("a")
+      .join(asg.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.cluster").as("cluster"),
+        col("b.vec_id").as("neighbor_id"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 3).as("sim"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cluster"), col("sim"))
+  }
+
+  /**
    * One Lloyd iteration of k-means (Lloyd 1982) — the training step that
    * produces the centroids the IVF quantizer (p14) and SemDeDup (p28)
    * consume. Assignment is [[ivfAssign]] (broadcast centroids, no corpus

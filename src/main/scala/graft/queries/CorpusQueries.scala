@@ -1078,6 +1078,45 @@ object CorpusQueries extends QueryGroup {
       |       (cutoff IS NULL OR score >= cutoff) AS selected
       |FROM sc CROSS JOIN cut ORDER BY sc.doc_id""".stripMargin))
 
+  // ------------------------------------------ p62 mixture shard plan
+
+  private val p62 = QueryDef(
+    // Epoch-weighted mixture + shard plan: en docs ×3, de ×2, everything
+    // else ×1, 16 shards, positions from pure md5 order keys — the
+    // reproducible "write the training set" stage. The oracle replays
+    // every hash and the per-shard position window.
+    (s, d) => CorpusOps.mixtureShardPlan(
+        docs(s, d).withColumn("mix",
+          when(col("lang") === "en", "en").when(col("lang") === "de", "de")
+            .otherwise("rest")),
+        "doc_id", "mix", Map("en" -> 3, "de" -> 2, "rest" -> 1), shards = 16)
+      .orderBy(col("shard"), col("pos")),
+    Some("""WITH w AS (
+      |  SELECT doc_id,
+      |         CASE WHEN lang = 'en' THEN 'en'
+      |              WHEN lang = 'de' THEN 'de' ELSE 'rest' END AS mix,
+      |         CASE WHEN lang = 'en' THEN 3
+      |              WHEN lang = 'de' THEN 2 ELSE 1 END AS epochs
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, mix, epochs,
+      |         CAST(unnest(range(1, epochs + 1)) AS INT) AS copy
+      |  FROM w),
+      |k AS (
+      |  SELECT doc_id, mix, epochs, copy,
+      |         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR))
+      |           AS ord_key,
+      |         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+      |           CAST(copy AS VARCHAR)), 1, 8)) AS UBIGINT) % 16 AS INT)
+      |           AS shard
+      |  FROM x)
+      |SELECT doc_id, mix, epochs, copy, shard,
+      |       CAST(row_number() OVER (
+      |         PARTITION BY shard ORDER BY ord_key, doc_id, copy) AS BIGINT)
+      |         AS pos,
+      |       ord_key
+      |FROM k ORDER BY shard, pos""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -1106,6 +1145,7 @@ object CorpusQueries extends QueryGroup {
     "p55_char_entropy" -> p55,
     "p56_ddsketch_quantiles" -> p56,
     "p57_ppl_buckets" -> p57,
-    "p60_dsir_select" -> p60
+    "p60_dsir_select" -> p60,
+    "p62_mixture_shards" -> p62
   )
 }

@@ -361,6 +361,37 @@ object PipelineQueries extends QueryGroup {
       |  AND round(${cosSql("q.embedding", "c.embedding")}, 3) >= 0.2
       |ORDER BY query_id, neighbor_id""".stripMargin))
 
+  private val p61 = QueryDef(
+    // Cluster-local kNN graph over the whole embedding corpus (same
+    // deterministic centroid rule as p14/p28): each vector's top-3 cell
+    // mates by 3-dp cosine, id tie-break. The oracle re-derives the
+    // assignment and ranks with an independent window formulation.
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+      Similarity.knnGraph(e, centroids, k = 3)
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      |aff AS (
+      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
+      |  FROM embeddings e, cent c),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+      |       FROM aff),
+      |asg AS (SELECT vec_id, embedding, cid FROM rk WHERE rn = 1),
+      |pair AS (
+      |  SELECT x.vec_id, x.cid AS cluster, y.vec_id AS neighbor_id,
+      |         round(${cosSql("x.embedding", "y.embedding")}, 3) AS sim
+      |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+      |top AS (SELECT *, row_number() OVER (
+      |          PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+      |        FROM pair)
+      |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cluster, sim
+      |FROM top WHERE rank <= 3
+      |ORDER BY vec_id, rank""".stripMargin))
+
   private val p17 = QueryDef(
     // Embedding-cosine near-dup over the WHOLE corpus (no query side):
     // sign-LSH bucketed self-join, within-bucket candidates only. The
@@ -1129,6 +1160,7 @@ object PipelineQueries extends QueryGroup {
     "p45_audio_energy" -> p45,
     "p58_image_dhash_pairs" -> p58,
     "p59_audio_silence" -> p59,
+    "p61_knn_graph" -> p61,
     "p28_semantic_dedup" -> p28,
     "p35_embed_pq" -> p35,
     "p37_pq_adc_topk" -> p37,

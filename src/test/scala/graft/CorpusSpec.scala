@@ -572,4 +572,33 @@ class CorpusSpec extends AnyFunSuite {
       m = 64, topK = 5).collect()
     assert(tiny.length === 1 && tiny.head.getAs[Boolean]("selected"))
   }
+
+  test("mixture shard plan: epoch counts, dense positions, determinism") {
+    import spark.implicits._
+    val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"), (5L, "xx"))
+      .toDF("doc_id", "src")
+    val w = Map("en" -> 3, "de" -> 2, "fr" -> 1, "xx" -> 0)
+    def run() = CorpusOps.mixtureShardPlan(df, "doc_id", "src", w, shards = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("copy"),
+        r.getAs[Int]("shard"), r.getAs[Long]("pos"), r.getAs[String]("ord_key")))
+    val got = run()
+    // weight-0 source dropped; each doc appears exactly `weight` times
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byDoc === Map(1L -> Seq(1, 2, 3), 2L -> Seq(1, 2, 3),
+      3L -> Seq(1, 2), 4L -> Seq(1)))
+    // shards in range; positions dense 1..n within each shard
+    assert(got.forall(t => t._3 >= 0 && t._3 < 4))
+    got.groupBy(_._3).foreach { case (sh, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $sh positions not dense")
+    }
+    // pure functions of (doc, copy): a rerun is bit-identical
+    assert(run().sortBy(t => (t._1, t._2)).toSeq ===
+      got.sortBy(t => (t._1, t._2)).toSeq)
+    // position order within a shard follows the md5 ord_key
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._4).map(_._5).toSeq
+      assert(byPos === byPos.sorted)
+    }
+  }
 }

@@ -293,6 +293,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(meanSq > 0.8 && meanSq < 1.25, s"mean squared ratio $meanSq")
   }
 
+  test("kNN graph matches a driver-side per-cluster brute force") {
+    val e = embs.filter(col("vec_id") < 200)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cids = vecs.keys.filter(_ % 50 == 0).toSeq.sorted
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // assignment: highest raw cosine, ties to lowest centroid id
+    val asg = vecs.map { case (id, v) =>
+      id -> cids.map(c => c -> cos(v, vecs(c))).maxBy { case (c, a) => (a, -c) }._1
+    }
+    val expect = vecs.keys.flatMap { id =>
+      val mates = asg.collect { case (o, c) if c == asg(id) && o != id => o }
+      mates.toSeq
+        .map(o => (o, BigDecimal(cos(vecs(id), vecs(o)))
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (o, s) => (-s, o) }.take(3).zipWithIndex
+        .map { case ((o, s), i) => (id, i + 1L, o, s) }
+    }.toSet
+    val got = graft.pipeline.Similarity.knnGraph(e, cents, k = 3).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSet
+    assert(got === expect)
+  }
+
   test("IVF ANN recall vs brute force is measured, not guessed") {
     import TestSpark.spark
     import org.apache.spark.sql.functions._
