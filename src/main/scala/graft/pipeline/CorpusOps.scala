@@ -932,6 +932,38 @@ object CorpusOps {
    * shard — exactly the per-output-file sort a sharded writer performs
    * anyway, corpus/shards rows per partition, never a global sort.
    */
+  /**
+   * Per-source percentile quality gate (the FineWeb/RefinedWeb recipe:
+   * score every document, then keep each source's top (1−q) mass by
+   * VALUE cutoff rather than a global threshold — a fixed global bar
+   * over-prunes clean-but-different sources and under-prunes noisy
+   * ones). Score = the composite [[TextOps.qualityFeatures]] signal,
+   * scaled to an exact integer (×10⁴) so the cutoff arithmetic is
+   * engine-independent; the per-source cutoff is the q-quantile of the
+   * score distribution via [[exactQuantiles]]' order-statistic-over-
+   * histogram selection. Boundary docs (score == cutoff) are KEPT.
+   *
+   * Shape at 100 TB: scoring is a zero-shuffle projection; the cutoff
+   * derivation collapses the corpus to a (source, score, count)
+   * histogram in one map-side-partial agg; the cutoffs relation is
+   * source-count rows and broadcasts back — the corpus is never sorted
+   * and never shuffles on anything but the histogram keys.
+   */
+  def percentileQualityGate(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, qnum: Int, qden: Int): DataFrame = {
+    val scored = graft.CacheScope.track(
+      TextOps.qualityFeatures(df, col(textCol))
+        .where(col("n_words") > 0)
+        .select(col(idCol), col(sourceCol).cast("string").as("source"),
+          round(col("quality_score") * 10000).cast("long").as("score")))
+    val cuts = exactQuantiles(scored, col("source"), col("score"),
+        Seq((qnum, qden)))
+      .select(col("source"), col("value").as("cutoff"))
+    scored.join(broadcast(cuts), Seq("source"))
+      .select(col(idCol), col("source"), col("score"), col("cutoff"),
+        (col("score") >= col("cutoff")).as("kept"))
+  }
+
   def mixtureShardPlan(df: DataFrame, idCol: String, sourceCol: String,
       weights: Map[String, Int], shards: Int): DataFrame = {
     require(shards > 0 && weights.values.forall(_ >= 0),

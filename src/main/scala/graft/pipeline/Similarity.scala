@@ -136,6 +136,78 @@ object Similarity {
   }
 
   /**
+   * Mutual-kNN graph clustering: keep only RECIPROCATED neighbor edges
+   * (a in b's top-k AND b in a's top-k, cosine ≥ `minSim`), then label
+   * connected components — the graph-clustering stage diversity-aware
+   * curation builds on the neighbor graph (mutuality is the classic
+   * noise gate: a hub vector that merely appears in many lists does not
+   * glue unrelated regions together).
+   *
+   * Shape at 100 TB: the kNN graph is [[knnGraph]]'s one corpus shuffle;
+   * the mutuality check is a self-join of the N·k edge list on the
+   * (vec, neighbor) pair key — edge-scale, not corpus-scale; components
+   * run on the (much smaller) mutual edge list via [[DedupOps.dupLabels]]
+   * (measured-size union-find fast path, superstep escape above it).
+   * Singletons stay their own component via the left join back to vecs.
+   */
+  def mutualKnnComponents(vecs: DataFrame, centroids: DataFrame, k: Int,
+      minSim: Double): DataFrame = {
+    val g = knnGraph(vecs, centroids, k).filter(col("sim") >= minSim)
+    val mutual = g.as("x").join(g.as("y"),
+        col("x.vec_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.vec_id"))
+      .filter(col("x.vec_id") < col("x.neighbor_id"))
+      .select(col("x.vec_id").as("a"), col("x.neighbor_id").as("b"))
+    val labels = graft.pipeline.DedupOps.dupLabels(mutual, "a", "b")
+      .select(col("node").as("vec_id"), col("label"))
+    vecs.select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("component"))
+  }
+
+  /**
+   * kNN label-purity audit (deep-kNN label-noise detection, à la
+   * Confident Learning / cleanlab's kNN filter): for every labeled
+   * vector, how many of its cell-local k nearest neighbors share its
+   * label, what the neighborhood majority is, and whether the point is
+   * SUSPECT (majority disagrees, or agreement below `minFrac`) — the
+   * label-quality gate a curation pipeline runs before training on
+   * labeled data.
+   *
+   * Shape at 100 TB: two key-partitioned joins of the N·k edge list
+   * against the (vec_id, label) relation — linear, no corpus self-join
+   * beyond [[knnGraph]]'s cell-bounded one; the majority vote is a
+   * two-level hash agg on (vec, label) then (vec). Majority ties break
+   * to the SMALLEST label (max_by on (count, -label)) so both engines
+   * agree deterministically.
+   */
+  def knnLabelPurity(vecs: DataFrame, centroids: DataFrame, k: Int,
+      minFrac: Double): DataFrame = {
+    val g = knnGraph(vecs, centroids, k)
+    val lbl = vecs.select(col("vec_id"), col("label"))
+    val perLabel = g
+      .join(lbl.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nbr_label")), Seq("neighbor_id"))
+      .groupBy(col("vec_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n"))
+    val voted = perLabel.groupBy(col("vec_id"))
+      .agg(sum(col("n")).as("k_eff"),
+        max_by(col("nbr_label"),
+          struct(col("n"), -col("nbr_label"))).as("majority_label"))
+    lbl.join(voted, Seq("vec_id"))
+      .join(perLabel.withColumnRenamed("nbr_label", "label")
+        .withColumnRenamed("n", "same_n"), Seq("vec_id", "label"), "left")
+      .select(col("vec_id"), col("label"), col("k_eff"),
+        coalesce(col("same_n"), lit(0L)).as("same_n"),
+        col("majority_label"))
+      .withColumn("same_frac",
+        round(col("same_n").cast("double") / col("k_eff"), 4))
+      .withColumn("suspect",
+        col("majority_label") =!= col("label") || col("same_frac") < minFrac)
+  }
+
+  /**
    * One Lloyd iteration of k-means (Lloyd 1982) — the training step that
    * produces the centroids the IVF quantizer (p14) and SemDeDup (p28)
    * consume. Assignment is [[ivfAssign]] (broadcast centroids, no corpus

@@ -1078,6 +1078,45 @@ object CorpusQueries extends QueryGroup {
       |       (cutoff IS NULL OR score >= cutoff) AS selected
       |FROM sc CROSS JOIN cut ORDER BY sc.doc_id""".stripMargin))
 
+  // ------------------------------------------ p65 percentile quality gate
+
+  private val p65stop: String =
+    graft.pipeline.TextOps.stopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val p65 = QueryDef(
+    // FineWeb-style per-source quality gate: integer-scaled composite
+    // quality score, per-source P30 VALUE cutoff by order-statistic
+    // selection over the score histogram, keep score ≥ cutoff. The
+    // oracle rebuilds the score from the raw text and derives the cutoff
+    // by the opposite algorithm (full sort + row_number), so parity
+    // checks both the scoring arithmetic and the selection.
+    (s, d) => CorpusOps.percentileQualityGate(
+        docs(s, d).withColumn("text", coalesce(col("text"), lit(""))),
+        "doc_id", "text", "source", qnum = 30, qden = 100)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH f AS (
+      |  SELECT doc_id, source, $WORDS AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, len(ws) AS n_words,
+      |         round(len(list_filter(ws, x -> list_contains($p65stop, x)))::DOUBLE
+      |               / len(ws), 4) AS stop_ratio
+      |  FROM f WHERE len(ws) > 0),
+      |sc AS (
+      |  SELECT doc_id, source,
+      |         CAST(round(round(least(n_words / 100.0, 1.0) * (1.0 - stop_ratio), 4)
+      |              * 10000) AS BIGINT) AS score
+      |  FROM g),
+      |n AS (SELECT source, count(*) AS n FROM sc GROUP BY 1),
+      |r AS (SELECT source, score,
+      |        row_number() OVER (PARTITION BY source ORDER BY score) AS rn
+      |      FROM sc),
+      |cut AS (SELECT r.source, min(r.score) AS cutoff
+      |        FROM r JOIN n USING (source)
+      |        WHERE rn >= (30 * n.n + 100 - 1) // 100 GROUP BY 1)
+      |SELECT sc.doc_id, sc.source, sc.score, cut.cutoff,
+      |       sc.score >= cut.cutoff AS kept
+      |FROM sc JOIN cut USING (source) ORDER BY sc.doc_id""".stripMargin))
+
   // ------------------------------------------ p62 mixture shard plan
 
   private val p62 = QueryDef(
@@ -1146,6 +1185,7 @@ object CorpusQueries extends QueryGroup {
     "p56_ddsketch_quantiles" -> p56,
     "p57_ppl_buckets" -> p57,
     "p60_dsir_select" -> p60,
-    "p62_mixture_shards" -> p62
+    "p62_mixture_shards" -> p62,
+    "p65_quality_gate" -> p65
   )
 }

@@ -392,6 +392,102 @@ object PipelineQueries extends QueryGroup {
       |FROM top WHERE rank <= 3
       |ORDER BY vec_id, rank""".stripMargin))
 
+  private val p63 = QueryDef(
+    // Mutual-kNN graph clustering: reciprocated top-3 edges at cosine
+    // ≥0.2 → connected components; singletons are their own component.
+    // The oracle rebuilds the kNN graph, the mutuality join, and the
+    // components via a recursive transitive closure — a completely
+    // different components algorithm from the engine's union-find /
+    // min-label propagation.
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+      Similarity.mutualKnnComponents(e, centroids, k = 3, minSim = 0.2)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      |aff AS (
+      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
+      |  FROM embeddings e, cent c),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+      |       FROM aff),
+      |asg AS (SELECT vec_id, embedding, cid FROM rk WHERE rn = 1),
+      |pair AS (
+      |  SELECT x.vec_id, y.vec_id AS neighbor_id,
+      |         round(${cosSql("x.embedding", "y.embedding")}, 3) AS sim
+      |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+      |top AS (SELECT *, row_number() OVER (
+      |          PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+      |        FROM pair),
+      |g AS (SELECT vec_id, neighbor_id FROM top WHERE rank <= 3 AND sim >= 0.2),
+      |m AS (SELECT x.vec_id AS a, x.neighbor_id AS b
+      |      FROM g x JOIN g y ON x.vec_id = y.neighbor_id
+      |                       AND x.neighbor_id = y.vec_id
+      |      WHERE x.vec_id < x.neighbor_id),
+      |sym AS (SELECT a AS src, b AS dst FROM m
+      |        UNION ALL SELECT b AS src, a AS dst FROM m),
+      |reach AS (
+      |  SELECT src AS a, dst AS b FROM sym
+      |  UNION
+      |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+      |lab AS (SELECT a AS node, least(a, min(b)) AS label
+      |        FROM reach GROUP BY a)
+      |SELECT e.vec_id, coalesce(lab.label, e.vec_id) AS component
+      |FROM embeddings e LEFT JOIN lab ON lab.node = e.vec_id
+      |ORDER BY e.vec_id""".stripMargin))
+
+  private val p64 = QueryDef(
+    // kNN label-purity audit over the labeled embedding corpus: each
+    // vector's 5 cell-local nearest neighbors vote; majority ties break
+    // to the smallest label; suspect = majority disagrees or same-label
+    // agreement < 0.5. The oracle replays the graph, both vote levels,
+    // and the flag arithmetic independently.
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+      Similarity.knnLabelPurity(e, centroids, k = 5, minFrac = 0.5)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      |aff AS (
+      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
+      |  FROM embeddings e, cent c),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+      |       FROM aff),
+      |asg AS (SELECT vec_id, embedding, cid FROM rk WHERE rn = 1),
+      |pair AS (
+      |  SELECT x.vec_id, y.vec_id AS neighbor_id,
+      |         round(${cosSql("x.embedding", "y.embedding")}, 3) AS sim
+      |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+      |top AS (SELECT *, row_number() OVER (
+      |          PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+      |        FROM pair),
+      |nb AS (SELECT t.vec_id, n.label AS nbr_label
+      |       FROM top t JOIN embeddings n ON n.vec_id = t.neighbor_id
+      |       WHERE t.rank <= 5),
+      |per AS (SELECT vec_id, nbr_label, CAST(count(*) AS BIGINT) AS n
+      |        FROM nb GROUP BY vec_id, nbr_label),
+      |vote AS (SELECT vec_id, CAST(sum(n) AS BIGINT) AS k_eff
+      |         FROM per GROUP BY vec_id),
+      |mj AS (SELECT vec_id, nbr_label AS majority_label
+      |       FROM (SELECT *, row_number() OVER (
+      |               PARTITION BY vec_id ORDER BY n DESC, nbr_label) AS r
+      |             FROM per) WHERE r = 1)
+      |SELECT e.vec_id, e.label, v.k_eff,
+      |       coalesce(s.n, 0) AS same_n, mj.majority_label,
+      |       round(coalesce(s.n, 0) / v.k_eff, 4) AS same_frac,
+      |       (mj.majority_label <> e.label OR
+      |        round(coalesce(s.n, 0) / v.k_eff, 4) < 0.5) AS suspect
+      |FROM embeddings e
+      |JOIN vote v ON v.vec_id = e.vec_id
+      |JOIN mj ON mj.vec_id = e.vec_id
+      |LEFT JOIN per s ON s.vec_id = e.vec_id AND s.nbr_label = e.label
+      |ORDER BY e.vec_id""".stripMargin))
+
   private val p17 = QueryDef(
     // Embedding-cosine near-dup over the WHOLE corpus (no query side):
     // sign-LSH bucketed self-join, within-bucket candidates only. The
@@ -1161,6 +1257,8 @@ object PipelineQueries extends QueryGroup {
     "p58_image_dhash_pairs" -> p58,
     "p59_audio_silence" -> p59,
     "p61_knn_graph" -> p61,
+    "p63_mutual_knn_components" -> p63,
+    "p64_knn_label_purity" -> p64,
     "p28_semantic_dedup" -> p28,
     "p35_embed_pq" -> p35,
     "p37_pq_adc_topk" -> p37,

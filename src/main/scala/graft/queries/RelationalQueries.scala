@@ -215,8 +215,59 @@ object RelationalQueries extends QueryGroup {
       |GROUP BY o_orderkey
       |ORDER BY o_orderkey""".stripMargin))
 
+  /** OLAP rollup: subtotal lattice over (returnflag, linestatus) in ONE
+   * scan — Catalyst expands the grouping sets into a single Expand +
+   * hash aggregate with map-side partials, not one pass per level.
+   * Grouping nulls are displayed as '*' so neither engine's NULL sort
+   * order can touch row identity; `gid` is the grouping_id bitmask
+   * (first grouping column = most significant bit, both engines). */
+  private val q4 = QueryDef(
+    (s, d) => t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id(col("l_returnflag"), col("l_linestatus"))
+          .cast("long").as("gid"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("*")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("*")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus")),
+    Some("""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       coalesce(l_returnflag, '*') AS returnflag,
+      |       coalesce(l_linestatus, '*') AS linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, returnflag, linestatus""".stripMargin))
+
+  /** Pivot (long→wide): order counts per priority spread across status
+   * columns. Spark's relational pivot with EXPLICIT values — one hash
+   * aggregate over (priority, status) partials, no per-column scan;
+   * empty cells coalesce to 0 so both engines agree on the hole value. */
+  private val q5 = QueryDef(
+    (s, d) => {
+      val statuses = Seq("F", "O", "P")
+      val piv = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", statuses)
+        .agg(count(lit(1)))
+      piv.select(col("o_orderpriority") +:
+          statuses.map(st => coalesce(col(st), lit(0L)).as(st)): _*)
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+      |       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS "F",
+      |       CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS "O",
+      |       CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS "P"
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "q1_pricing_summary" -> q1,
+    "q4_rollup_lattice" -> q4,
+    "q5_pivot_status" -> q5,
     "q3_shipping_priority" -> q3,
     "j1_semi_anti_orders" -> j1,
     "j2_enrich_events" -> j2,

@@ -573,6 +573,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(tiny.length === 1 && tiny.head.getAs[Boolean]("selected"))
   }
 
+  test("percentile gate: per-source cutoffs independent, boundary kept") {
+    import spark.implicits._
+    // source A: 10 docs with word counts 10,20,…,100 → scores 1000…10000
+    // (stop_ratio 0 — no stopwords); P30 rank=ceil(0.3·10)=3 → cutoff is
+    // the 3rd score. source B: uniformly terrible docs — all tie at the
+    // cutoff → ALL kept (boundary-keep), proving the gate never turns a
+    // tie into a coin flip and A's distribution never leaks into B's bar.
+    val a = (1 to 10).map(i => (i.toLong, ("w " * (10 * i)).trim, "A"))
+    val b = (11 to 14).map(i => (i.toLong, "x y z", "B"))
+    val got = graft.pipeline.CorpusOps.percentileQualityGate(
+      (a ++ b).toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source", qnum = 30, qden = 100)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("score"), r.getAs[Long]("cutoff"),
+          r.getAs[Boolean]("kept")))).toMap
+    assert(got.size === 14)
+    // A: scores 1000·i capped at 10000; cutoff = 3rd smallest = 3000
+    (1 to 10).foreach { i =>
+      val sc = math.min(10 * i, 100) * 100L
+      assert(got(i.toLong) === ((sc, 3000L, sc >= 3000L)), s"doc $i")
+    }
+    // B: all four docs identical → every one sits ON the cutoff → kept
+    val bScore = got(11L)._1
+    (11 to 14).foreach(i => assert(got(i.toLong) === ((bScore, bScore, true)), s"doc $i"))
+  }
+
   test("mixture shard plan: epoch counts, dense positions, determinism") {
     import spark.implicits._
     val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"), (5L, "xx"))

@@ -323,6 +323,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("mutual-kNN components: reciprocity gates edges, components exact") {
+    import spark.implicits._
+    // hand-built geometry in 4-d: {0,1,2} a tight clique, {3,4} a tight
+    // pair, 5 a hub-ish outlier that points INTO the clique but is nobody's
+    // reciprocated neighbor at the threshold; 6 orthogonal singleton
+    val vs = Seq(
+      0L -> Seq(1f, 0.00f, 0f, 0f),
+      1L -> Seq(1f, 0.05f, 0f, 0f),
+      2L -> Seq(1f, 0.10f, 0f, 0f),
+      3L -> Seq(0f, 1f, 0.00f, 0f),
+      4L -> Seq(0f, 1f, 0.05f, 0f),
+      5L -> Seq(1f, 0.30f, 0f, 0f),
+      6L -> Seq(0f, 0f, 0f, 1f))
+    val e = vs.toDF("vec_id", "embedding")
+    // one centroid → everything shares a cell: the test isolates the
+    // mutuality + components logic from the IVF assignment
+    val cents = e.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+    val got = graft.pipeline.Similarity
+      .mutualKnnComponents(e, cents, k = 2, minSim = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=2 at ≥0.9: clique {0,1,2} all reciprocate; {3,4} reciprocate;
+    // 5's top-2 ARE clique members 2 and 1 (cos≈0.98/0.97, above the
+    // threshold) but their own top-2 lists hold closer clique-mates →
+    // no reciprocation → the hub stays a singleton
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 6L))
+  }
+
+  test("kNN label purity flags a mislabeled point inside a pure cluster") {
+    import spark.implicits._
+    // two tight clusters of 4; vec 3 sits in cluster A but carries label B
+    val a = Seq(0f, 1f, 2f, 3f).zipWithIndex.map { case (eps, i) =>
+      (i.toLong, Seq(1f, eps * 0.01f, 0f, 0f), if (i == 3) 1 else 0)
+    }
+    val b = Seq(0f, 1f, 2f, 3f).zipWithIndex.map { case (eps, i) =>
+      ((i + 4).toLong, Seq(0f, 0f, 1f, eps * 0.01f), 1)
+    }
+    val e = (a ++ b).toDF("vec_id", "embedding", "label")
+    val cents = e.filter(col("vec_id").isin(0L, 4L))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+    val got = graft.pipeline.Similarity.knnLabelPurity(e, cents, k = 3, minFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("k_eff"), r.getAs[Long]("same_n"),
+          r.getAs[Int]("majority_label"), r.getAs[Boolean]("suspect")))).toMap
+    assert(got.size === 8)
+    // the mislabeled point: 3 same-cluster neighbors, all label 0 → its
+    // own label 1 gets zero votes, majority 0, suspect
+    assert(got(3L) === ((3L, 0L, 0, true)))
+    // its cluster-mates see ONE bad vote out of 3 → still majority 0,
+    // frac 2/3 ≥ 0.5 → clean
+    Seq(0L, 1L, 2L).foreach(i => assert(got(i) === ((3L, 2L, 0, false)), s"vec $i"))
+    // cluster B is untouched: 3/3 agreement everywhere
+    Seq(4L, 5L, 6L, 7L).foreach(i => assert(got(i) === ((3L, 3L, 1, false)), s"vec $i"))
+  }
+
   test("IVF ANN recall vs brute force is measured, not guessed") {
     import TestSpark.spark
     import org.apache.spark.sql.functions._
