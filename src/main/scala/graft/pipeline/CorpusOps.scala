@@ -988,4 +988,121 @@ object CorpusOps {
       .select(col(idCol), col(sourceCol), col("epochs"), col("copy"),
         col("shard"), col("pos"), col("ord_key"))
   }
+
+  /**
+   * Temperature-scaled mixture weights (the multilingual-LM sampling
+   * recipe of mBERT / XLM-R, Conneau & Lample 2019 §3.1: sample group g
+   * with probability ∝ p_g^α, α<1, so low-resource groups are upsampled
+   * relative to their raw token share). α is fixed at 1/2 because IEEE
+   * sqrt is correctly rounded on every engine — the weights are then a
+   * pure function of the token counts, with no libm-pow variance.
+   *
+   * Output per group: raw token mass, raw share (ppm), temperature share
+   * (ppm), and the expected token budget allocation under `budgetTokens`.
+   *
+   * Shape at 100 TB: one map-side-partial hash agg collapses the corpus
+   * to group-count rows; everything after (sqrt, normalize) runs on a
+   * relation the size of the group count. The corpus is scanned once and
+   * never shuffles more than its group key.
+   */
+  def temperatureMix(df: DataFrame, groupCol: Column, textCol: Column,
+      budgetTokens: Long): DataFrame = {
+    val mass = df.groupBy(groupCol.as("grp"))
+      .agg(coalesce(sum(TextOps.tokenCount(textCol)), lit(0L)).as("n_tokens"))
+    val tot = mass.agg(sum(col("n_tokens")).as("tot"),
+      sum(sqrt(col("n_tokens"))).as("stot"))
+    mass.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_tokens"),
+        round(col("n_tokens") / col("tot") * 1e6).cast("long")
+          .as("share_ppm"),
+        round(sqrt(col("n_tokens")) / col("stot") * 1e6).cast("long")
+          .as("temp_share_ppm"),
+        round(sqrt(col("n_tokens")) / col("stot") * budgetTokens)
+          .cast("long").as("budget_tokens"))
+  }
+
+  /**
+   * Per-stratum vocabulary statistics — the Heaps'-law / type-token
+   * profile (types, hapax mass, TTR) a corpus report card carries per
+   * source: a collapsing TTR or hapax share flags template spam and
+   * boilerplate the per-doc filters (p21/p29) can miss, because it is a
+   * CROSS-document signal.
+   *
+   * Shape at 100 TB: one explode to (stratum, word) then two hash aggs
+   * with map-side partials — the corpus shuffles only its distinct
+   * (stratum, word) mass, the same discipline as [[tfidfKeywords]]'s df
+   * side. No sorts, no self-joins.
+   */
+  def vocabStats(df: DataFrame, stratumCol: Column, textCol: Column)
+      : DataFrame = {
+    val words = df
+      .select(stratumCol.as("stratum"), explode(TextOps.words(textCol)).as("w"))
+      .filter(length(col("w")) > 0)
+    val perWord = words.groupBy(col("stratum"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    perWord.groupBy(col("stratum"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("stratum"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types") / col("n_tokens").cast("double"), 4).as("ttr"),
+        round(col("n_hapax") / col("n_types").cast("double"), 4)
+          .as("hapax_frac"),
+        // Heaps' exponent beta from V = n^beta (single-point fit):
+        // ln on exact integers, deterministic to 4 dp
+        round(log(col("n_types")) / log(col("n_tokens")), 4)
+          .as("heaps_beta"))
+  }
+
+  /**
+   * Fuzzy benchmark decontamination by exact n-gram Jaccard (the
+   * Llama-2 §A.6 / GPT-4-style "dirty if similarity ≥ τ" policy —
+   * stricter than [[decontaminate]]'s any-overlap flag, which both
+   * over-fires on one shared common phrase and says nothing about HOW
+   * contaminated a doc is). For every (corpus doc, benchmark doc) pair
+   * sharing at least one `n`-gram, the EXACT Jaccard of their distinct
+   * gram sets is computed; a corpus doc is dirty when any benchmark
+   * pairing reaches `tau`.
+   *
+   * Exact, not MinHash: the benchmark side is tiny (eval sets are
+   * thousands of docs), so candidate generation by inverted gram join
+   * against a broadcast benchmark index is linear in the corpus's gram
+   * mass, and the exact Jaccard needs only the shared-gram count plus
+   * the two set sizes — no approximation to tune, nothing the oracle
+   * can't replay.
+   *
+   * Shape at 100 TB: corpus grams explode once (map-side); the join
+   * against the benchmark gram index is a broadcast hash join (benchmark
+   * gram set ≪ executor memory); the per-pair shared-gram count is one
+   * hash agg keyed by (doc, bench) candidate pairs — bounded by
+   * benchmark gram mass × corpus hit rate, not |corpus|×|bench|.
+   */
+  def jaccardDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    require(n > 0 && tau > 0 && tau <= 1, s"need n > 0, 0 < tau <= 1")
+    // wordNGrams is already the DISTINCT gram set per doc — exploding it
+    // gives unique (doc, gram) rows with no dedup shuffle needed
+    def grams(df: DataFrame, as: String): DataFrame = df
+      .select(col(idCol).as(as),
+        explode(TextOps.wordNGrams(col(textCol), n)).as("g"))
+    val cg = graft.CacheScope.track(grams(corpus, "doc_id_c"))
+    val bg = graft.CacheScope.track(grams(bench, "bench_id"))
+    val csize = cg.groupBy(col("doc_id_c")).agg(count(lit(1)).as("ca"))
+    val bsize = bg.groupBy(col("bench_id")).agg(count(lit(1)).as("cb"))
+    val shared = cg.join(broadcast(bg), Seq("g"))
+      .filter(col("doc_id_c") =!= col("bench_id"))
+      .groupBy(col("doc_id_c"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(csize, Seq("doc_id_c"))
+      .join(broadcast(bsize), Seq("bench_id"))
+      .withColumn("jac", round(
+        col("inter") / (col("ca") + col("cb") - col("inter")).cast("double"),
+        4))
+      .filter(col("jac") >= tau)
+      .groupBy(col("doc_id_c"))
+      .agg(max(col("jac")).as("max_jaccard"),
+        count(lit(1)).as("n_bench_hits"))
+      .withColumnRenamed("doc_id_c", idCol)
+  }
 }

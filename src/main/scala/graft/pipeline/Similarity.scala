@@ -208,6 +208,43 @@ object Similarity {
   }
 
   /**
+   * ANN hard-negative mining — the contrastive-training data-prep stage
+   * (DPR, Karpukhin et al. 2020 §4.2: the best negatives are the
+   * highest-scoring NON-matching candidates, not random ones). For each
+   * labeled vector, the top-`k` most-similar cell-mates whose label
+   * DIFFERS — i.e. [[knnGraph]]'s neighbor relation re-ranked after a
+   * label-mismatch gate.
+   *
+   * Shape at 100 TB: identical to [[knnGraph]] (one corpus shuffle on
+   * the IVF cell id, per-vector top-k window inside the cell) plus one
+   * broadcast-scale join of the edge list against the (vec_id, label)
+   * relation — the label gate drops edges BEFORE the rank window, so
+   * the window state is at most the cell population, never the corpus.
+   */
+  def hardNegatives(vecs: DataFrame, centroids: DataFrame, k: Int)
+      : DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    // ivfAssign keeps (vec_id, cluster, embedding); fold the label back in
+    // before the cell self-join so the mismatch gate prunes pre-window
+    val asg = graft.CacheScope.track(
+      ivfAssign(vecs, centroids)
+        .join(vecs.select(col("vec_id"), col("label")), Seq("vec_id")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neg_id"))
+    asg.as("a")
+      .join(asg.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("neg_id"), col("b.label").as("neg_label"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 3).as("sim"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("label"), col("rank").cast("long").as("rank"),
+        col("neg_id"), col("neg_label"), col("sim"))
+  }
+
+  /**
    * One Lloyd iteration of k-means (Lloyd 1982) — the training step that
    * produces the centroids the IVF quantizer (p14) and SemDeDup (p28)
    * consume. Assignment is [[ivfAssign]] (broadcast centroids, no corpus

@@ -1156,6 +1156,93 @@ object CorpusQueries extends QueryGroup {
       |       ord_key
       |FROM k ORDER BY shard, pos""".stripMargin))
 
+  // ------------------------------------------ p66 temperature mixture
+
+  private val p66 = QueryDef(
+    // Temperature-scaled mixture weights (mBERT/XLM-R α-sampling with
+    // α=1/2 so the weights ride IEEE sqrt, which is correctly rounded on
+    // every engine — no libm-pow variance): per-source token mass → raw
+    // share vs temperature share (ppm) and the expected slice of a 1M
+    // token budget. The oracle replays the arithmetic from the raw text.
+    (s, d) => CorpusOps.temperatureMix(docs(s, d), col("source"),
+        col("text"), budgetTokens = 1000000L)
+      .orderBy(col("grp")),
+    Some(s"""WITH m AS (
+      |  SELECT source AS grp,
+      |         CAST(coalesce(sum(len($WORDS)), 0) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT sum(n_tokens) AS tot, sum(sqrt(n_tokens)) AS stot FROM m)
+      |SELECT grp, n_tokens,
+      |       CAST(round(n_tokens / tot * 1e6) AS BIGINT) AS share_ppm,
+      |       CAST(round(sqrt(n_tokens) / stot * 1e6) AS BIGINT)
+      |         AS temp_share_ppm,
+      |       CAST(round(sqrt(n_tokens) / stot * 1000000) AS BIGINT)
+      |         AS budget_tokens
+      |FROM m, t ORDER BY grp""".stripMargin))
+
+  // ------------------------------------------ p67 vocabulary stats
+
+  private val p67 = QueryDef(
+    // Per-source type/token profile (Heaps'-law report card): types,
+    // hapax mass, TTR, and the single-point Heaps exponent — cross-doc
+    // template-spam signals the per-doc filters can't see. The oracle
+    // rebuilds the (source, word) relation and every ratio from raw text.
+    (s, d) => CorpusOps.vocabStats(docs(s, d), col("source"), col("text"))
+      .orderBy(col("stratum")),
+    Some(s"""WITH w AS (
+      |  SELECT source AS stratum,
+      |         unnest(list_filter($WORDS, x -> length(x) > 0)) AS w
+      |  FROM documents),
+      |pw AS (SELECT stratum, w, count(*) AS c FROM w GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT stratum, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_types,
+      |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_hapax
+      |  FROM pw GROUP BY 1)
+      |SELECT stratum, n_tokens, n_types, n_hapax,
+      |       round(n_types / CAST(n_tokens AS DOUBLE), 4) AS ttr,
+      |       round(n_hapax / CAST(n_types AS DOUBLE), 4) AS hapax_frac,
+      |       round(ln(n_types) / ln(n_tokens), 4) AS heaps_beta
+      |FROM ag ORDER BY stratum""".stripMargin))
+
+  // ------------------------------------------ p69 fuzzy decontamination
+
+  private val p69 = QueryDef(
+    // Llama-2-style fuzzy decontamination: corpus docs whose exact
+    // 3-gram Jaccard against ANY benchmark doc (the doc_id % 50 slice,
+    // as p25) reaches τ=0.02 — with the contamination DEGREE (max
+    // Jaccard, hit count), not p25's binary any-overlap flag. The
+    // oracle brute-forces every candidate pair's exact Jaccard.
+    (s, d) => {
+      val all = docs(s, d)
+      CorpusOps.jaccardDecontaminate(
+        corpus = all.filter(col("doc_id") % 50 =!= 0),
+        bench = all.filter(col("doc_id") % 50 === 0),
+        idCol = "doc_id", textCol = "text", n = 3, tau = 0.02)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |  FROM w WHERE len(ws) >= 3),
+      |ca AS (SELECT doc_id, count(*) AS ca FROM g WHERE doc_id % 50 <> 0 GROUP BY 1),
+      |cb AS (SELECT doc_id, count(*) AS cb FROM g WHERE doc_id % 50 = 0 GROUP BY 1),
+      |sh AS (
+      |  SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS inter
+      |  FROM g c JOIN g b ON c.g = b.g
+      |   AND c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT sh.doc_id,
+      |         round(inter / CAST(ca.ca + cb.cb - inter AS DOUBLE), 4) AS jac
+      |  FROM sh JOIN ca ON ca.doc_id = sh.doc_id
+      |          JOIN cb ON cb.doc_id = sh.bench_id)
+      |SELECT doc_id, max(jac) AS max_jaccard,
+      |       CAST(count(*) AS BIGINT) AS n_bench_hits
+      |FROM j WHERE jac >= 0.02 GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -1186,6 +1273,9 @@ object CorpusQueries extends QueryGroup {
     "p57_ppl_buckets" -> p57,
     "p60_dsir_select" -> p60,
     "p62_mixture_shards" -> p62,
-    "p65_quality_gate" -> p65
+    "p65_quality_gate" -> p65,
+    "p66_temperature_mix" -> p66,
+    "p67_vocab_stats" -> p67,
+    "p69_fuzzy_decontaminate" -> p69
   )
 }

@@ -488,6 +488,38 @@ object PipelineQueries extends QueryGroup {
       |LEFT JOIN per s ON s.vec_id = e.vec_id AND s.nbr_label = e.label
       |ORDER BY e.vec_id""".stripMargin))
 
+  private val p68 = QueryDef(
+    // ANN hard-negative mining (DPR-style contrastive data prep): for
+    // every labeled vector, its top-2 most-similar cell-mates with a
+    // DIFFERENT label — the label gate applies before the rank window.
+    // The oracle rebuilds assignment, gate, and ranks independently.
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+      Similarity.hardNegatives(e, centroids, k = 2)
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      |aff AS (
+      |  SELECT e.vec_id, e.embedding, e.label, c.cid,
+      |         ${cosSql("e.embedding", "c.ce")} AS a
+      |  FROM embeddings e, cent c),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+      |       FROM aff),
+      |asg AS (SELECT vec_id, embedding, label, cid FROM rk WHERE rn = 1),
+      |pair AS (
+      |  SELECT x.vec_id, x.label, y.vec_id AS neg_id, y.label AS neg_label,
+      |         round(${cosSql("x.embedding", "y.embedding")}, 3) AS sim
+      |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.label <> y.label),
+      |top AS (SELECT *, row_number() OVER (
+      |          PARTITION BY vec_id ORDER BY sim DESC, neg_id) AS rank
+      |        FROM pair)
+      |SELECT vec_id, label, CAST(rank AS BIGINT) AS rank, neg_id, neg_label, sim
+      |FROM top WHERE rank <= 2
+      |ORDER BY vec_id, rank""".stripMargin))
+
   private val p17 = QueryDef(
     // Embedding-cosine near-dup over the WHOLE corpus (no query side):
     // sign-LSH bucketed self-join, within-bucket candidates only. The
@@ -1259,6 +1291,7 @@ object PipelineQueries extends QueryGroup {
     "p61_knn_graph" -> p61,
     "p63_mutual_knn_components" -> p63,
     "p64_knn_label_purity" -> p64,
+    "p68_hard_negatives" -> p68,
     "p28_semantic_dedup" -> p28,
     "p35_embed_pq" -> p35,
     "p37_pq_adc_topk" -> p37,

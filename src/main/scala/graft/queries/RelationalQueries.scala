@@ -264,8 +264,93 @@ object RelationalQueries extends QueryGroup {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin))
 
+  /** Analytic-window suite over the order history: per-customer sequence
+   * number, running spend, gap to the previous order, and a global spend
+   * quartile — the lag/ntile/cumulative surface in ONE windowed pass.
+   * Running spend accumulates in CENTS (exact longs), because a
+   * cumulative double sum is order-sensitive and engines disagree on
+   * association; datediff runs on day-aligned timestamps.
+   * Shape at scale: the per-customer window is one hash exchange. The
+   * global ntile is the one deliberately GLOBAL operator here (that is
+   * the surface being exercised); it degenerates to a single-partition
+   * sort at extreme row counts — the scale escape is the histogram
+   * value-cutoff selection p65/p47 use, traded against ntile's exact
+   * equal-size buckets. */
+  private val q6 = QueryDef(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          row_number().over(w).cast("long").as("order_seq"),
+          sum(col("cents")).over(w).as("running_spend_cents"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(w)).cast("long")
+            .as("days_since_prev"),
+          ntile(4).over(wq).cast("long").as("spend_quartile"))
+        .orderBy(col("o_custkey"), col("order_seq"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(row_number() OVER w AS BIGINT) AS order_seq,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+      |    AS running_spend_cents,
+      |  lag(o_orderkey, 1) OVER w AS prev_orderkey,
+      |  CAST(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate)
+      |    AS BIGINT) AS days_since_prev,
+      |  CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+      |    AS BIGINT) AS spend_quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin))
+
+  /** TPC-H Q15-shaped scalar subquery: suppliers whose shipped revenue in
+   * 1996 equals the maximum over all suppliers. Revenue accumulates as an
+   * EXACT integer (cents × (100 − discount-pct)), so the max comparison
+   * can never hinge on double partial-sum order.
+   * Shape at scale: one fact-table agg on the supplier key; the max is a
+   * 1-row broadcast; the supplier dim joins broadcast. */
+  private val q7 = QueryDef(
+    (s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"))
+      val top = rev.agg(max(col("rev_e4")).as("max_rev"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("rev_e4") === col("max_rev"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev_e4"),
+          round(col("rev_e4") / 10000.0, 2).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |           AS rev_e4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, r.rev_e4,
+      |       round(r.rev_e4 / 10000.0, 2) AS total_revenue
+      |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      |WHERE r.rev_e4 = (SELECT max(rev_e4) FROM rev)
+      |ORDER BY s.s_suppkey""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "q1_pricing_summary" -> q1,
+    "q6_window_suite" -> q6,
+    "q7_top_supplier" -> q7,
     "q4_rollup_lattice" -> q4,
     "q5_pivot_status" -> q5,
     "q3_shipping_priority" -> q3,

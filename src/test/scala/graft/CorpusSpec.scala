@@ -627,4 +627,51 @@ class CorpusSpec extends AnyFunSuite {
       assert(byPos === byPos.sorted)
     }
   }
+
+  test("temperature mix: exact sqrt upsampling on a 9:1 fixture") {
+    import spark.implicits._
+    // 9 tokens vs 1 token → raw shares 0.9/0.1; sqrt masses 3/1 → temp
+    // shares 0.75/0.25 — all exactly representable, so the assertion is
+    // equality, not tolerance
+    val df = Seq(("x", "a b c d e f g h i"), ("y", "z"))
+      .toDF("source", "text")
+    val got = CorpusOps.temperatureMix(df, col("source"), col("text"),
+        budgetTokens = 1000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("share_ppm"),
+          r.getAs[Long]("temp_share_ppm"), r.getAs[Long]("budget_tokens"))))
+      .toMap
+    assert(got === Map(
+      "x" -> ((9L, 900000L, 750000L, 750000L)),
+      "y" -> ((1L, 100000L, 250000L, 250000L))))
+  }
+
+  test("vocab stats: types, hapax, and TTR on a hand fixture") {
+    import spark.implicits._
+    // s1: tokens a,a,b + b,c → n=5, types {a,b,c}=3, hapax {c}=1
+    val df = Seq(("s1", "a a b"), ("s1", "b c"), ("s2", "q q")).toDF("source", "text")
+    val got = CorpusOps.vocabStats(df, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_hapax"), r.getAs[Double]("ttr"),
+          r.getAs[Double]("hapax_frac")))).toMap
+    assert(got("s1") === ((5L, 3L, 1L, 0.6, 0.3333)))
+    assert(got("s2") === ((2L, 1L, 0L, 0.5, 0.0)))
+  }
+
+  test("fuzzy decontamination: exact-copy and partial-overlap degrees") {
+    import spark.implicits._
+    val bench = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "one two three four five"),   // exact copy → jaccard 1.0
+      (2L, "zero one two three nine"),   // shares 1 of 5 total grams → 0.2
+      (3L, "x y z w")                    // no shared gram → absent
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.jaccardDecontaminate(corpus, bench,
+        "doc_id", "text", n = 3, tau = 0.15)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("max_jaccard"), r.getAs[Long]("n_bench_hits"))))
+      .toMap
+    assert(got === Map(1L -> ((1.0, 1L)), 2L -> ((0.2, 1L))))
+  }
 }

@@ -379,6 +379,36 @@ class PipelineSpec extends AnyFunSuite {
     Seq(4L, 5L, 6L, 7L).foreach(i => assert(got(i) === ((3L, 3L, 1, false)), s"vec $i"))
   }
 
+  test("hard negatives: label gate prunes same-label mates, ranks by cosine") {
+    import spark.implicits._
+    // cluster A: 0,1,2 labeled 0 and 3 labeled 1; cluster B: 4-7 all
+    // labeled 1 (no in-cell label diversity → zero negative rows)
+    val a = Seq(0f, 1f, 2f, 3f).zipWithIndex.map { case (eps, i) =>
+      (i.toLong, Seq(1f, eps * 0.01f, 0f, 0f), if (i == 3) 1 else 0)
+    }
+    val b = Seq(0f, 1f, 2f, 3f).zipWithIndex.map { case (eps, i) =>
+      ((i + 4).toLong, Seq(0f, 0f, 1f, eps * 0.01f), 1)
+    }
+    val e = (a ++ b).toDF("vec_id", "embedding", "label")
+    val cents = e.filter(col("vec_id").isin(0L, 4L))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+    val got = graft.pipeline.Similarity.hardNegatives(e, cents, k = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neg_id"), r.getAs[Int]("neg_label")))
+    // cell A is the only mixed-label cell: 0/1/2 each get exactly one
+    // negative (vec 3); vec 3 gets its top-2 of {0,1,2} — at 3-dp
+    // rounding all three cosines collapse to 1.000, so the repo's id
+    // tie-break selects negatives 0 then 1
+    val byVec = got.groupBy(_._1)
+    assert(got.length === 5)
+    Seq(0L, 1L, 2L).foreach { v =>
+      assert(byVec(v).map(t => (t._2, t._3, t._4)).toSeq === Seq((1L, 3L, 1)), s"vec $v")
+    }
+    assert(byVec(3L).sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq ===
+      Seq((1L, 0L, 0), (2L, 1L, 0)))
+    assert(!got.exists(t => t._1 >= 4L))
+  }
+
   test("IVF ANN recall vs brute force is measured, not guessed") {
     import TestSpark.spark
     import org.apache.spark.sql.functions._
