@@ -1105,4 +1105,50 @@ object CorpusOps {
         count(lit(1)).as("n_bench_hits"))
       .withColumnRenamed("doc_id_c", idCol)
   }
+
+  /**
+   * Deterministic BERT-style MLM masking plan (Devlin et al. 2018 §3.1:
+   * select 15% of positions; of those 80% → [MASK], 10% → a random
+   * token, 10% → keep). Every "random" draw is an md5 hash of
+   * (doc, position), so the plan is a pure function of the data —
+   * reproducible across runs, engines, and partitionings, and the
+   * random-replacement token is drawn from the doc's own token list by
+   * hashed index (no global vocab broadcast needed for the plan).
+   *
+   * Returns one row per MASKED position: (id, pos, word, action,
+   * replacement). pos is 1-based.
+   *
+   * Shape at 100 TB: posexplode + hash projections — zero shuffle, no
+   * state; exactly the map-side pass a tokenizer-side masker runs.
+   */
+  def mlmMaskPlan(df: DataFrame, idCol: String, textCol: String,
+      maskPct: Int = 15): DataFrame = {
+    require(maskPct > 0 && maskPct <= 100, s"bad maskPct $maskPct")
+    val ws = TextOps.words(col(textCol))
+    df.select(col(idCol), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col(idCol), col("ws"),
+        posexplode(col("ws")).as(Seq("p0", "word")))
+      .withColumn("pos", (col("p0") + 1).cast("long"))
+      .filter(length(col("word")) > 0)
+      .filter(Sketches.md5Hash32(
+        concat(col(idCol).cast("string"), lit(":"),
+          col("pos").cast("string"))) % 100 < maskPct)
+      .withColumn("act", Sketches.md5Hash32(
+        concat(col(idCol).cast("string"), lit(":"),
+          col("pos").cast("string"), lit(":a"))) % 10)
+      .withColumn("action",
+        when(col("act") <= 7, "mask")
+          .when(col("act") === 8, "random")
+          .otherwise("keep"))
+      .withColumn("replacement",
+        when(col("action") === "mask", lit("[MASK]"))
+          .when(col("action") === "keep", col("word"))
+          .otherwise(element_at(col("ws"),
+            (Sketches.md5Hash32(concat(col(idCol).cast("string"), lit(":"),
+              col("pos").cast("string"), lit(":r")))
+              % size(col("ws"))).cast("int") + 1)))
+      .select(col(idCol), col("pos"), col("word"), col("action"),
+        col("replacement"))
+  }
 }

@@ -93,6 +93,70 @@ object Sketches {
     kmvDistinct(pairs, col("g"), col("h"), k).join(exact, Seq("source"))
   }
 
+  /**
+   * KMV sketch SET OPERATIONS (Beyer et al. 2007, "On synopses for
+   * distinct-value estimation", §4): estimate |A|, |B|, |A∪B|, Jaccard,
+   * and |A∩B| for two item sets from their k-min hash sketches alone —
+   * the cross-source vocabulary-overlap question answered WITHOUT the
+   * distinct-pair join an exact answer needs. The union sketch is the k
+   * smallest of the two sketches' union; the match fraction ρ = |{h in
+   * the union sketch present in BOTH per-set sketches}| / k estimates
+   * Jaccard, and ρ·est(|A∪B|) estimates the intersection.
+   *
+   * Everything is a pure function of the deterministic md5 hash set, so
+   * an oracle reproduces the estimates exactly (no tolerance needed);
+   * accuracy vs exact is a spec property, not an oracle one.
+   *
+   * Shape at 100 TB: the corpus collapses to distinct (group, hash) —
+   * vocabulary-scale — in one map-side-partial agg; every relation after
+   * the rank windows is ≤ k rows, and the production path replaces the
+   * rank windows with [[KMinAggregator]] (k-bounded partials) exactly as
+   * [[kmvDistinct]] does. This variant keeps the relational formulation
+   * so the set-op algebra itself is oracle-checkable.
+   */
+  def kmvSetOps(df: DataFrame, group: Column, item: Column, k: Int,
+      grpA: String, grpB: String): DataFrame = {
+    require(k > 1, s"need k > 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+    val hashes = df
+      .select(group.cast("string").as("g"), md5Hash32(item).as("h"))
+      .filter(col("g").isin(grpA, grpB))
+      .distinct()
+    val ranked = graft.CacheScope.track(hashes
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("g")).orderBy(col("h"))))
+      .filter(col("rn") <= k))
+    def sketchOf(grp: String) = ranked.filter(col("g") === grp)
+    def estOf(grp: String, as: String) = sketchOf(grp)
+      .agg(count(lit(1)).as(s"n_$as"), max(col("h")).as(s"kth_$as"))
+      .select(col(s"n_$as"), when(col(s"n_$as") < k,
+          col(s"n_$as").cast("double"))
+        .otherwise(round(lit((k - 1) * HashRange) / col(s"kth_$as"), 2))
+        .as(s"est_$as"))
+    // union sketch: k smallest of the two sketches' merged hash set
+    // (≤ 2k rows — the single-partition window is sketch-scale, not data-scale)
+    val u = sketchOf(grpA).select(col("h"))
+      .union(sketchOf(grpB).select(col("h"))).distinct()
+      .withColumn("rn", row_number().over(w.orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    val inBoth = u
+      .join(sketchOf(grpA).select(col("h")), Seq("h"), "left_semi")
+      .join(sketchOf(grpB).select(col("h")), Seq("h"), "left_semi")
+    val uAgg = u.agg(count(lit(1)).as("n_u"), max(col("h")).as("kth_u"))
+      .select(col("n_u"), when(col("n_u") < k, col("n_u").cast("double"))
+        .otherwise(round(lit((k - 1) * HashRange) / col("kth_u"), 2))
+        .as("est_union"))
+    val m = inBoth.agg(count(lit(1)).as("n_both"))
+    estOf(grpA, "a").crossJoin(estOf(grpB, "b")).crossJoin(uAgg).crossJoin(m)
+      .select(lit(grpA).as("grp_a"), lit(grpB).as("grp_b"),
+        lit(k).as("k"), col("n_a"), col("n_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        round(col("n_both") / col("n_u").cast("double"), 4)
+          .as("jaccard_est"),
+        round(round(col("n_both") / col("n_u").cast("double"), 4) *
+          col("est_union"), 2).as("est_intersection"))
+  }
+
   // ------------------------------ HyperLogLog ---------------------------
 
   /** 60-bit uniform hash from the md5 prefix (15 hex chars — fits a

@@ -1243,6 +1243,142 @@ object CorpusQueries extends QueryGroup {
       |       CAST(count(*) AS BIGINT) AS n_bench_hits
       |FROM j WHERE jac >= 0.02 GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ------------------------------------------ p70 tokenizer fertility
+
+  private val p70 = QueryDef(
+    // Tokenizer fertility report: per-source chars-per-BPE-token and
+    // BPE-tokens-per-word from the REAL p34 tokenizer — the
+    // tokenizer-efficiency metric multilingual pipelines track per
+    // slice (a high-fertility source wastes context length). Token
+    // counts on the oracle side come from the INDEPENDENT Python BPE
+    // fixture, so the per-source roll-up is checked against a second
+    // implementation of the tokenizer, not against the engine itself.
+    (s, d) => {
+      val tok = graft.pipeline.BpeTokenizer
+        .tokenize(docs(s, d), "doc_id", "text", numMerges = 50)
+        .toDF().select(col("doc_id"), col("n_words"), col("n_tokens"))
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .join(tok, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_words")).as("sum_words"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("sum_words"), col("sum_tokens"),
+          round(col("sum_chars") / col("sum_tokens").cast("double"), 4)
+            .as("chars_per_token"),
+          round(col("sum_tokens") / col("sum_words").cast("double"), 4)
+            .as("tokens_per_word"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH exp(tag, doc_id, n_tokens, tokens_md5) AS (VALUES
+      |$bpeExpectedValues),
+      |sel AS (SELECT CASE WHEN sum(len(coalesce(text, ''))) = 153156
+      |          THEN 'sf0.001' ELSE 'sf0.01' END AS tag FROM documents),
+      |base AS (SELECT doc_id, source, n_chars,
+      |    CAST(len(list_filter($WORDSC, x -> x <> '')) AS BIGINT) AS n_words
+      |  FROM documents),
+      |j AS (SELECT b.source, b.n_chars, b.n_words, e.n_tokens
+      |      FROM base b JOIN exp e
+      |        ON e.doc_id = b.doc_id AND e.tag = (SELECT tag FROM sel))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(n_words) AS BIGINT) AS sum_words,
+      |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |       round(sum(n_chars) / CAST(sum(n_tokens) AS DOUBLE), 4)
+      |         AS chars_per_token,
+      |       round(sum(n_tokens) / CAST(sum(n_words) AS DOUBLE), 4)
+      |         AS tokens_per_word
+      |FROM j GROUP BY source ORDER BY source""".stripMargin))
+
+  // ------------------------------------------ p72 KMV set operations
+
+  private val p72 = QueryDef(
+    // KMV sketch set algebra (Beyer 2007): cross-language distinct
+    // 3-gram overlap — |en|, |de|, |en∪de|, Jaccard, |en∩de| — from the
+    // two k-min sketches alone. Deterministic md5 hashes make the
+    // estimates pure functions of the data, so the oracle rebuilds the
+    // sketches and every estimate bit-for-bit; accuracy vs exact is a
+    // SketchSpec property.
+    (s, d) => graft.pipeline.Sketches.kmvSetOps(
+      docs(s, d).select(col("lang"),
+        explode(graft.pipeline.TextOps.wordNGrams(col("text"), 3)).as("g")),
+      col("lang"), col("g"), k = 256, grpA = "en", grpB = "de"),
+    Some(s"""WITH w AS (SELECT lang AS g0, $WORDS AS ws FROM documents
+      |         WHERE lang IN ('en', 'de')),
+      |it AS (
+      |  SELECT g0, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |  FROM w WHERE len(ws) >= 3),
+      |h AS (SELECT DISTINCT g0,
+      |        CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) AS hv FROM it),
+      |r AS (SELECT g0, hv, row_number() OVER (PARTITION BY g0
+      |        ORDER BY hv) AS rn FROM h),
+      |s AS (SELECT g0, hv FROM r WHERE rn <= 256),
+      |agg AS (SELECT g0, count(*) AS n, max(hv) AS kth FROM s GROUP BY g0),
+      |u0 AS (SELECT DISTINCT hv FROM s),
+      |u AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+      |        FROM u0) WHERE rn <= 256),
+      |uk AS (SELECT count(*) AS n_u, max(hv) AS kth_u FROM u),
+      |nb AS (SELECT count(*) AS n_both FROM u
+      |       WHERE EXISTS (SELECT 1 FROM s WHERE s.g0 = 'en' AND s.hv = u.hv)
+      |         AND EXISTS (SELECT 1 FROM s WHERE s.g0 = 'de' AND s.hv = u.hv)),
+      |ea AS (SELECT CAST(n AS BIGINT) AS n_a,
+      |         CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+      |              ELSE round(255 * 4294967296.0 / kth, 2) END AS est_a
+      |       FROM agg WHERE g0 = 'en'),
+      |eb AS (SELECT CAST(n AS BIGINT) AS n_b,
+      |         CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+      |              ELSE round(255 * 4294967296.0 / kth, 2) END AS est_b
+      |       FROM agg WHERE g0 = 'de'),
+      |eu AS (SELECT n_u, CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+      |              ELSE round(255 * 4294967296.0 / kth_u, 2) END AS est_union
+      |       FROM uk)
+      |SELECT 'en' AS grp_a, 'de' AS grp_b, CAST(256 AS INT) AS k,
+      |       n_a, n_b, est_a, est_b, est_union,
+      |       round(n_both / CAST(n_u AS DOUBLE), 4) AS jaccard_est,
+      |       round(round(n_both / CAST(n_u AS DOUBLE), 4) * est_union, 2)
+      |         AS est_intersection
+      |FROM ea, eb, eu, nb""".stripMargin))
+
+  // ------------------------------------------ p73 MLM masking plan
+
+  private val p73 = QueryDef(
+    // Deterministic BERT MLM masking plan (15% of positions; 80/10/10
+    // [MASK]/random/keep) over the doc_id % 10 slice: every draw is an
+    // md5 hash of (doc, pos), the random replacement comes from the
+    // doc's own token list by hashed index. The oracle replays every
+    // hash decision and the replacement lookup.
+    (s, d) => CorpusOps.mlmMaskPlan(
+        docs(s, d).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", maskPct = 15)
+      .orderBy(col("doc_id"), col("pos")),
+    Some(s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents
+      |         WHERE doc_id % 10 = 0 AND len($WORDS) > 0),
+      |p AS (SELECT doc_id, ws,
+      |        unnest(list_transform(range(1, len(ws) + 1),
+      |          i -> {'pos': i, 'word': ws[i]})) AS pw
+      |      FROM w),
+      |m AS (SELECT doc_id, ws, CAST(pw.pos AS BIGINT) AS pos,
+      |             pw.word AS word
+      |      FROM p
+      |      WHERE length(pw.word) > 0
+      |        AND CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+      |              pw.pos::VARCHAR), 1, 8)) AS UBIGINT) % 100 < 15),
+      |a AS (SELECT *, CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+      |              pos::VARCHAR || ':a'), 1, 8)) AS UBIGINT) % 10 AS act
+      |      FROM m)
+      |SELECT doc_id, pos, word,
+      |       CASE WHEN act <= 7 THEN 'mask'
+      |            WHEN act = 8 THEN 'random' ELSE 'keep' END AS action,
+      |       CASE WHEN act <= 7 THEN '[MASK]'
+      |            WHEN act = 9 THEN word
+      |            ELSE ws[CAST(CAST(('0x' || substr(md5(doc_id::VARCHAR ||
+      |              ':' || pos::VARCHAR || ':r'), 1, 8)) AS UBIGINT)
+      |              % len(ws) AS INT) + 1] END AS replacement
+      |FROM a ORDER BY doc_id, pos""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -1276,6 +1412,9 @@ object CorpusQueries extends QueryGroup {
     "p65_quality_gate" -> p65,
     "p66_temperature_mix" -> p66,
     "p67_vocab_stats" -> p67,
-    "p69_fuzzy_decontaminate" -> p69
+    "p69_fuzzy_decontaminate" -> p69,
+    "p70_bpe_fertility" -> p70,
+    "p72_kmv_setops" -> p72,
+    "p73_mlm_mask_plan" -> p73
   )
 }

@@ -659,6 +659,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(got("s2") === ((2L, 1L, 0L, 0.5, 0.0)))
   }
 
+  test("MLM mask plan replays a driver-side md5 recomputation exactly") {
+    import spark.implicits._
+    val df = Seq((7L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.mlmMaskPlan(df, "doc_id", "text", maskPct = 40)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")) ->
+        ((r.getAs[String]("word"), r.getAs[String]("action"),
+          r.getAs[String]("replacement")))).toMap
+    // independent replay of every hash decision (MessageDigest, not Spark)
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val expect = Seq(
+      7L -> "alpha beta gamma delta epsilon zeta eta theta",
+      12L -> "one two three four five six seven eight nine ten")
+      .flatMap { case (id, text) =>
+        val ws = text.split(" ")
+        ws.zipWithIndex.flatMap { case (w, i) =>
+          val pos = i + 1L
+          if (h32(s"$id:$pos") % 100 < 40) {
+            val act = h32(s"$id:$pos:a") % 10
+            val (action, repl) =
+              if (act <= 7) ("mask", "[MASK]")
+              else if (act == 8)
+                ("random", ws((h32(s"$id:$pos:r") % ws.length).toInt))
+              else ("keep", w)
+            Some((id, pos) -> ((w, action, repl)))
+          } else None
+        }
+      }.toMap
+    assert(expect.nonEmpty && got === expect)
+  }
+
   test("fuzzy decontamination: exact-copy and partial-overlap degrees") {
     import spark.implicits._
     val bench = Seq((100L, "one two three four five")).toDF("doc_id", "text")

@@ -165,4 +165,39 @@ class SketchSpec extends AnyFunSuite {
       .agg(sum(col("n"))).head().getLong(0)
     assert(kept === 1L)
   }
+
+  test("KMV set ops: union/intersection estimates land near exact") {
+    import spark.implicits._
+    // two overlapping item sets: A = 0..2999, B = 2000..5999 →
+    // |A|=3000 |B|=4000 |A∪B|=6000 |A∩B|=1000, Jaccard 1/6
+    val items = ((0 until 3000).map(i => ("a", s"item-$i")) ++
+      (2000 until 6000).map(i => ("b", s"item-$i"))).toDF("g", "it")
+    val r = Sketches.kmvSetOps(items, col("g"), col("it"), k = 256, "a", "b")
+      .head()
+    val estA = r.getAs[Double]("est_a"); val estB = r.getAs[Double]("est_b")
+    val estU = r.getAs[Double]("est_union")
+    val jac = r.getAs[Double]("jaccard_est")
+    val estI = r.getAs[Double]("est_intersection")
+    // KMV standard error ~ 1/sqrt(k-1) ≈ 6.3%; assert a 4-sigma band
+    assert(math.abs(estA - 3000) / 3000 < 0.25, s"est_a=$estA")
+    assert(math.abs(estB - 4000) / 4000 < 0.25, s"est_b=$estB")
+    assert(math.abs(estU - 6000) / 6000 < 0.25, s"est_union=$estU")
+    assert(math.abs(jac - 1.0 / 6) < 0.08, s"jaccard=$jac")
+    assert(math.abs(estI - 1000) / 1000 < 0.5, s"est_inter=$estI")
+  }
+
+  test("KMV set ops: below-k sets take the exact path") {
+    import spark.implicits._
+    val items = ((0 until 30).map(i => ("a", s"x-$i")) ++
+      (20 until 50).map(i => ("b", s"x-$i"))).toDF("g", "it")
+    val r = Sketches.kmvSetOps(items, col("g"), col("it"), k = 256, "a", "b")
+      .head()
+    // sketches hold every hash → the estimates are exact counts and the
+    // match fraction is the true Jaccard
+    assert(r.getAs[Double]("est_a") === 30.0)
+    assert(r.getAs[Double]("est_b") === 30.0)
+    assert(r.getAs[Double]("est_union") === 50.0)
+    assert(r.getAs[Double]("jaccard_est") === 0.2)
+    assert(r.getAs[Double]("est_intersection") === 10.0)
+  }
 }
