@@ -54,6 +54,9 @@ object Bench {
       // the LM scored relation p49/p57 share, same attribution rule
       if (only.forall(n => n("p49_lm_perplexity") || n("p57_ppl_buckets")))
         graft.queries.CorpusQueries.warmShared(spark, sfDir)
+      // the BPE token relation p34/p70 share
+      if (only.forall(n => n("p34_bpe_tokenize") || n("p70_bpe_fertility")))
+        graft.queries.CorpusQueries.warmSharedBpe(spark, sfDir)
     } catch { case _: Throwable => }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     println(s"BENCHQ _warmup_shared ${fmt(warmupSec)}")

