@@ -270,12 +270,18 @@ object RelationalQueries extends QueryGroup {
    * Running spend accumulates in CENTS (exact longs), because a
    * cumulative double sum is order-sensitive and engines disagree on
    * association; datediff runs on day-aligned timestamps.
-   * Shape at scale: the per-customer window is one hash exchange. The
-   * global ntile is the one deliberately GLOBAL operator here (that is
-   * the surface being exercised); it degenerates to a single-partition
-   * sort at extreme row counts — the scale escape is the histogram
-   * value-cutoff selection p65/p47 use, traded against ntile's exact
-   * equal-size buckets. */
+   * Shape at scale: the per-customer windows run behind ONE hash
+   * exchange on the customer key. The global ntile is the deliberately
+   * GLOBAL operator here (that is the surface being exercised) — it is
+   * computed as a SEPARATE branch and joined back on the order key, so
+   * its single-partition sort serializes only the 2-column
+   * (orderkey, price) projection, never the per-customer analytics
+   * (composed in one frame, Catalyst reuses the ntile's single
+   * partition for everything — measured, not guessed; PlanShapeSpec
+   * pins the split shape). At extreme row counts the ntile branch
+   * itself degenerates — the scale escape is the histogram value-cutoff
+   * selection p65/p47 use, traded against ntile's exact equal-size
+   * buckets. */
   private val q6 = QueryDef(
     (s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -283,7 +289,11 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       val wq = org.apache.spark.sql.expressions.Window
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, d, "orders")
+      val orders = t(s, d, "orders")
+      val quartile = orders.select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("spend_quartile", ntile(4).over(wq).cast("long"))
+        .drop("o_totalprice")
+      orders
         .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           row_number().over(w).cast("long").as("order_seq"),
@@ -291,8 +301,12 @@ object RelationalQueries extends QueryGroup {
           lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
           datediff(col("o_orderdate"),
             lag(col("o_orderdate"), 1).over(w)).cast("long")
-            .as("days_since_prev"),
-          ntile(4).over(wq).cast("long").as("spend_quartile"))
+            .as("days_since_prev"))
+        .join(quartile, Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("order_seq"), col("running_spend_cents"),
+          col("prev_orderkey"), col("days_since_prev"),
+          col("spend_quartile"))
         .orderBy(col("o_custkey"), col("order_seq"))
     },
     Some("""SELECT o_custkey, o_orderkey, o_orderdate,

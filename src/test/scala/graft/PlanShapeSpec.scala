@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the session-4 relational rows: the
+ * scale story ("dimension sides broadcast, fact table shuffles only on
+ * its keys, no accidental cartesian") must be visible in the executed
+ * plan, not just claimed in scaladoc. */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    try df.queryExecution.executedPlan.toString
+    finally CacheScope.releaseAll()
+  }
+
+  test("q7: fact aggregates on its key; max and supplier sides broadcast") {
+    val plan = planOf("q7_top_supplier")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // no sort-merge join anywhere: the only joins are the 1-row max
+    // (broadcast) and the supplier dim (broadcast)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q6: per-customer analytics stay parallel; only the ntile branch is global") {
+    val plan = planOf("q6_window_suite")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // the quartile branch's deliberate single-partition sort serializes
+    // only the (orderkey, price) projection…
+    assert("Exchange SinglePartition".r.findAllIn(plan).size === 1, plan)
+    // …while the per-customer windows and the join-back run behind hash
+    // exchanges (composed in one frame Catalyst would instead reuse the
+    // ntile's single partition for everything — the regression this pins)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 1, plan)
+  }
+
+  test("p69: benchmark gram index joins broadcast; corpus never cartesians") {
+    val plan = planOf("p69_fuzzy_decontaminate")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the candidate join (corpus grams x bench gram index) and the bench
+    // size join are broadcasts — the corpus side shuffles only for its
+    // own hash aggregations, never to meet the benchmark
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
