@@ -322,6 +322,43 @@ object RelationalQueries extends QueryGroup {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, order_seq""".stripMargin))
 
+  /** TPC-H Q2-shaped per-group correlated subquery: for each region, the
+   * supplier(s) holding that region's maximum account balance
+   * (greatest-n-per-group — q7's scalar-subquery cousin, but correlated
+   * per outer group instead of global). No arithmetic touches the raw
+   * doubles: the max and the equality compare untouched parquet values,
+   * so partial-agg order can never move the answer.
+   * Shape at scale: supplier is the fact side; nation/region broadcast;
+   * the per-region max is a |regions|-row aggregate broadcast back — the
+   * distributed answer to a correlated subquery, never a re-scan of the
+   * fact per outer row. */
+  private val q2 = QueryDef(
+    (s, d) => {
+      val joined = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+      val regMax = joined.groupBy(col("r_regionkey").as("mr"))
+        .agg(max(col("s_acctbal")).as("max_bal"))
+      joined.join(broadcast(regMax),
+          col("r_regionkey") === col("mr") &&
+            col("s_acctbal") === col("max_bal"))
+        .select(col("r_name"), col("s_suppkey"), col("s_name"), col("n_name"),
+          round(col("s_acctbal"), 2).as("acctbal"))
+        .orderBy(col("r_name"), col("s_suppkey"))
+    },
+    Some("""SELECT r_name, s_suppkey, s_name, n_name,
+      |       round(s_acctbal, 2) AS acctbal
+      |FROM supplier s
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE s_acctbal = (
+      |  SELECT max(s2.s_acctbal)
+      |  FROM supplier s2 JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |  WHERE n2.n_regionkey = n.n_regionkey)
+      |ORDER BY r_name, s_suppkey""".stripMargin))
+
   /** TPC-H Q15-shaped scalar subquery: suppliers whose shipped revenue in
    * 1996 equals the maximum over all suppliers. Revenue accumulates as an
    * EXACT integer (cents × (100 − discount-pct)), so the max comparison
@@ -363,6 +400,7 @@ object RelationalQueries extends QueryGroup {
 
   override val defs: Map[String, QueryDef] = Map(
     "q1_pricing_summary" -> q1,
+    "q2_best_supplier" -> q2,
     "q6_window_suite" -> q6,
     "q7_top_supplier" -> q7,
     "q4_rollup_lattice" -> q4,
