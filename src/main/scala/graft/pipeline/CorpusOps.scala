@@ -1107,6 +1107,65 @@ object CorpusOps {
   }
 
   /**
+   * T5-style deterministic span-corruption plan (Raffel et al. 2020
+   * §3.1.4): span STARTS are drawn per position by hash
+   * (startPerMil/1000 probability), each start covers a hashed length of
+   * 1..maxSpan tokens (clamped to the document end), and overlapping or
+   * adjacent draws merge into one maximal masked run — each run becomes
+   * one sentinel span, numbered in document order, exactly the greedy
+   * span merge of the reference implementation. Defaults (5% starts,
+   * mean length 3) corrupt ≈15% of positions, the T5 recipe. Every
+   * decision is an md5 hash of (doc, pos) — bit-reproducible on any
+   * engine, no RNG state; the span digest is the md5 of the masked words
+   * in position order, so a rebuild can be verified without shipping
+   * the text.
+   *
+   * Shape at scale: posexplode + hash projections for the draws; the
+   * covered-position explode is bounded by maxSpan× the start rows
+   * (≈5% of tokens); the islands pass is one per-doc window over MASKED
+   * positions only. The only shuffle key is the doc id.
+   */
+  def spanCorruptionPlan(df: DataFrame, idCol: String, textCol: String,
+      startPerMil: Int = 50, maxSpan: Int = 5): DataFrame = {
+    require(startPerMil > 0 && startPerMil <= 1000, s"bad startPerMil $startPerMil")
+    require(maxSpan > 0, s"bad maxSpan $maxSpan")
+    def h(pos: Column, salt: String): Column = Sketches.md5Hash32(
+      concat(col(idCol).cast("string"), lit(":"), pos.cast("string"),
+        lit(":" + salt)))
+    val posRel = graft.CacheScope.track(df
+      .filter(TextOps.normalized(col(textCol)) =!= "")
+      .select(col(idCol), TextOps.words(col(textCol)).as("ws"))
+      .select(col(idCol), size(col("ws")).cast("long").as("n_words"),
+        posexplode(col("ws")).as(Seq("p0", "word")))
+      .withColumn("pos", (col("p0") + 1).cast("long"))
+      .select(col(idCol), col("n_words"), col("pos"), col("word")))
+    val covered = posRel
+      .filter(h(col("pos"), "s") % 1000 < startPerMil)
+      .withColumn("span_len", h(col("pos"), "l") % maxSpan + 1L)
+      .select(col(idCol), explode(sequence(col("pos"),
+        least(col("pos") + col("span_len") - 1, col("n_words")))).as("pos"))
+      .distinct()
+    // gaps-and-islands: consecutive masked positions share (pos - rank)
+    val isl = covered.withColumn("grp", col("pos") -
+      row_number().over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+    val spans = isl
+      .join(posRel.select(col(idCol), col("pos"), col("word")),
+        Seq(idCol, "pos"))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"),
+        count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")))).as("span_md5"))
+    spans
+      .withColumn("sentinel", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("start_pos")))
+        .cast("long") - 1)
+      .select(col(idCol), col("sentinel"), col("start_pos"),
+        col("end_pos"), col("n_tokens"), col("span_md5"))
+  }
+
+  /**
    * Deterministic BERT-style MLM masking plan (Devlin et al. 2018 §3.1:
    * select 15% of positions; of those 80% → [MASK], 10% → a random
    * token, 10% → keep). Every "random" draw is an md5 hash of

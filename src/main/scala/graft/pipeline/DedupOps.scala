@@ -62,6 +62,42 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /**
+   * Asymmetric n-gram CONTAINMENT join (the other resemblance measure of
+   * Broder '97 §2): for pairs sharing at least one shingle, C(a→b) =
+   * |Sa ∩ Sb| / |Sa| — catches quote inclusion and subset duplication
+   * that symmetric Jaccard misses entirely (a fully-quoted 50-word
+   * passage inside a 5000-word page has Jaccard ≈ 0.01 but containment
+   * 1.0, which is why C4/RealNews-style pipelines screen quotes with
+   * containment, not resemblance). One row per unordered candidate pair
+   * with BOTH directions' scores, kept when either clears the threshold.
+   * Candidates come from the same inverted shingle index as
+   * [[ngramJaccardPairs]] — disjoint documents never pair, but hot
+   * shingles are still quadratic, so this is the verification-scale
+   * form; the corpus-scale escape is LSH banding on the SMALLER set's
+   * signature (containment-LSH), the asymmetric twin of
+   * [[minhashLshVerifiedPairs]].
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val shRows = shingleRows(docs, idCol, textCol, n)
+    val pairs = shRows.as("a").join(shRows.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = shRows.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
+    pairs
+      .join(sizes.select(col("doc").as("doc_a"), col("set_size").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("set_size").as("size_b")), "doc_b")
+      .withColumn("cont_a_in_b",
+        round(col("inter").cast("double") / col("size_a"), 4))
+      .withColumn("cont_b_in_a",
+        round(col("inter").cast("double") / col("size_b"), 4))
+      .filter(col("cont_a_in_b") >= threshold || col("cont_b_in_a") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"),
+        col("size_b"), col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
   /** Mersenne prime 2^31-1 for the affine MinHash family. */
   private val MersenneP = 2147483647L
 

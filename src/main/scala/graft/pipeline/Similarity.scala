@@ -488,4 +488,53 @@ object Similarity {
       .withColumn("dropped",
         coalesce(col("max_prior_sim") >= threshold, lit(false)))
   }
+
+  /**
+   * Embedding-table QA audit — the sanity pass a pipeline runs before
+   * feeding vectors to ANN/dedup stages: per group, counts of
+   * wrong-dimension vectors, all-zero vectors (cosine-undefined — they'd
+   * NaN every similarity downstream), and norm² outliers beyond the
+   * Tukey 1.5·IQR fences. The norm² is the codegen'd fixed-order L2
+   * kernel against the zero vector (bit-identical to a left-to-right
+   * fold, so an independent engine reproduces it exactly), integer-scaled
+   * to milli-units; the quartiles come from the exact order-statistic
+   * histogram ([[CorpusOps.exactQuantiles]]), and the fences are
+   * evaluated in pure integer arithmetic (×2 clears the .5 in 1.5·IQR) —
+   * no float comparison anywhere past the one rounding.
+   *
+   * Shape at scale: one corpus scan for the per-vector projection, a
+   * histogram-scale quantile derivation (distinct norm values, not
+   * rows), and a broadcast join-back of the |groups|-row fence table.
+   */
+  def embeddingAudit(embs: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, dim: Int): DataFrame = {
+    require(dim > 0, s"bad dim $dim")
+    val v = col(vecCol)
+    val base = graft.CacheScope.track(embs
+      .select(col(groupCol).cast("string").as("grp"), col(idCol),
+        size(v).as("n_dims"),
+        graft.functions.GraftFunctions.l2Sq(v, array_repeat(lit(0.0f), dim))
+          .as("ssq"))
+      .withColumn("ok_dim", col("n_dims") === dim)
+      .withColumn("ssq_mil",
+        when(col("ok_dim"), round(col("ssq") * 1000).cast("long"))))
+    val fences = CorpusOps.exactQuantiles(
+        base.filter(col("ok_dim")), col("grp"), col("ssq_mil"),
+        Seq((1, 4), (3, 4)))
+      .groupBy(col("source").as("grp"))
+      .agg(max(when(col("q") === 0.25, col("value"))).as("q1_mil"),
+        max(when(col("q") === 0.75, col("value"))).as("q3_mil"))
+    base.join(broadcast(fences), Seq("grp"), "left")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(!col("ok_dim"), 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("ok_dim") && col("ssq") === 0.0, 1L).otherwise(0L))
+          .as("n_zero"),
+        sum(when(col("ssq_mil") * 2 < col("q1_mil") * 5 - col("q3_mil") * 3,
+          1L).otherwise(0L)).as("n_low_outliers"),
+        sum(when(col("ssq_mil") * 2 > col("q3_mil") * 5 - col("q1_mil") * 3,
+          1L).otherwise(0L)).as("n_high_outliers"),
+        max(col("q1_mil")).as("q1_mil"), max(col("q3_mil")).as("q3_mil"))
+      .withColumnRenamed("grp", groupCol)
+  }
 }

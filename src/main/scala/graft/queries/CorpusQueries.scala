@@ -1394,6 +1394,54 @@ object CorpusQueries extends QueryGroup {
       |              % len(ws) AS INT) + 1] END AS replacement
       |FROM a ORDER BY doc_id, pos""".stripMargin))
 
+  // ------------------------------------------ p76 span-corruption plan
+
+  private val p76 = QueryDef(
+    // T5-style span corruption (CorpusOps.spanCorruptionPlan): hashed
+    // span starts + hashed lengths, overlapping draws merged into
+    // maximal sentinel spans. The oracle replays every hash draw, takes
+    // the inequality-join route for span coverage (vs the engine's
+    // explode+equi-join), and rebuilds each span digest with ordered
+    // string_agg.
+    (s, d) => CorpusOps.spanCorruptionPlan(
+        docs(s, d), "doc_id", "text", startPerMil = 50, maxSpan = 5)
+      .orderBy(col("doc_id"), col("sentinel")),
+    Some(s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents
+      |         WHERE $NORM <> ''),
+      |p AS (SELECT doc_id, len(ws) AS n_words,
+      |        unnest(list_transform(range(1, len(ws) + 1),
+      |          i -> {'pos': i, 'word': ws[i]})) AS pw
+      |      FROM w),
+      |t AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |             CAST(pw.pos AS BIGINT) AS pos, pw.word AS word
+      |      FROM p),
+      |st AS (SELECT doc_id, pos, n_words,
+      |         1 + CAST(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+      |               pos::VARCHAR || ':l'), 1, 8)) AS UBIGINT) % 5
+      |             AS BIGINT) AS span_len
+      |       FROM t
+      |       WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+      |               pos::VARCHAR || ':s'), 1, 8)) AS UBIGINT)
+      |             % 1000 < 50),
+      |cov AS (SELECT DISTINCT t.doc_id, t.pos
+      |        FROM st JOIN t ON t.doc_id = st.doc_id
+      |          AND t.pos BETWEEN st.pos
+      |              AND least(st.pos + st.span_len - 1, st.n_words)),
+      |isl AS (SELECT doc_id, pos,
+      |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+      |            AS grp
+      |        FROM cov),
+      |sp AS (SELECT i.doc_id, i.grp, min(i.pos) AS start_pos,
+      |              max(i.pos) AS end_pos, count(*) AS n_tokens,
+      |              md5(string_agg(t.word, ' ' ORDER BY i.pos)) AS span_md5
+      |       FROM isl i JOIN t ON t.doc_id = i.doc_id AND t.pos = i.pos
+      |       GROUP BY 1, 2)
+      |SELECT doc_id,
+      |       CAST(row_number() OVER (PARTITION BY doc_id
+      |         ORDER BY start_pos) - 1 AS BIGINT) AS sentinel,
+      |       start_pos, end_pos, n_tokens, span_md5
+      |FROM sp ORDER BY doc_id, sentinel""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -1430,6 +1478,7 @@ object CorpusQueries extends QueryGroup {
     "p69_fuzzy_decontaminate" -> p69,
     "p70_bpe_fertility" -> p70,
     "p72_kmv_setops" -> p72,
-    "p73_mlm_mask_plan" -> p73
+    "p73_mlm_mask_plan" -> p73,
+    "p76_span_corruption" -> p76
   )
 }

@@ -98,6 +98,27 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_a"), col("doc_b")),
     Some(jaccardOracle))
 
+  private val p74 = QueryDef(
+    // Asymmetric containment |Sa∩Sb|/|Sa| over the same inverted shingle
+    // index as p3 — the quote-inclusion/subset-dup screen symmetric
+    // Jaccard can't see. The oracle brute-forces every candidate pair and
+    // replays both directions' division; same doc_id cap as p3 (the exact
+    // join is the verification-scale form — see
+    // DedupOps.containmentPairs for the containment-LSH escape).
+    (s, d) => DedupOps.containmentPairs(
+      docs(s, d).filter(col("doc_id") < 1000), "doc_id", "text", 3, 0.7)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH ${jaccardCtes("WHERE doc_id < 1000")},
+      |cont AS (
+      |  SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+      |         CAST(sa AS BIGINT) AS size_a, CAST(sb AS BIGINT) AS size_b,
+      |         round(inter::DOUBLE / sa, 4) AS cont_a_in_b,
+      |         round(inter::DOUBLE / sb, 4) AS cont_b_in_a
+      |  FROM pairs)
+      |SELECT * FROM cont
+      |WHERE cont_a_in_b >= 0.7 OR cont_b_in_a >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
   private val p4 = QueryDef(
     // 2-row bands (k=64, 32 bands): candidate recall at the j=0.5 output
     // threshold is 1-(1-0.25)^32 ≈ 0.99999, so LSH candidate generation
@@ -1259,10 +1280,57 @@ object PipelineQueries extends QueryGroup {
       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
       |ORDER BY doc_a, doc_b""".stripMargin))
 
+  private val p75 = QueryDef(
+    // Embedding-table QA (Similarity.embeddingAudit): per label, counts
+    // of wrong-dimension / all-zero vectors and Tukey-fence norm²
+    // outliers, plus the integer-scaled quartiles themselves. The oracle
+    // recomputes the norm² from the raw floats, derives the quartiles by
+    // the OPPOSITE algorithm (full sort + row_number vs the engine's
+    // histogram ceil-rank selection), and replays the integer fence
+    // arithmetic.
+    (s, d) => Similarity.embeddingAudit(
+        embs(s, d), "vec_id", "embedding", "label", dim = 64)
+      .orderBy(col("label")),
+    Some("""WITH b AS (
+      |  SELECT CAST(label AS VARCHAR) AS label, vec_id,
+      |         len(embedding) AS n_dims,
+      |         list_sum(list_transform(embedding,
+      |           x -> x::DOUBLE * x::DOUBLE)) AS ssq
+      |  FROM embeddings),
+      |v AS (SELECT label, CAST(round(ssq * 1000) AS BIGINT) AS ssq_mil
+      |      FROM b WHERE n_dims = 64),
+      |r AS (SELECT label, ssq_mil,
+      |             row_number() OVER (PARTITION BY label ORDER BY ssq_mil)
+      |               AS rn,
+      |             count(*) OVER (PARTITION BY label) AS n
+      |      FROM v),
+      |q AS (SELECT label,
+      |        max(CASE WHEN rn = (n + 3) // 4 THEN ssq_mil END) AS q1_mil,
+      |        max(CASE WHEN rn = (3 * n + 3) // 4 THEN ssq_mil END)
+      |          AS q3_mil
+      |      FROM r GROUP BY label)
+      |SELECT b.label, count(*) AS n_vecs,
+      |       CAST(sum(CASE WHEN b.n_dims <> 64 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_bad_dim,
+      |       CAST(sum(CASE WHEN b.n_dims = 64 AND b.ssq = 0
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |       CAST(sum(CASE WHEN b.n_dims = 64 AND
+      |           CAST(round(b.ssq * 1000) AS BIGINT) * 2
+      |             < q.q1_mil * 5 - q.q3_mil * 3
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+      |       CAST(sum(CASE WHEN b.n_dims = 64 AND
+      |           CAST(round(b.ssq * 1000) AS BIGINT) * 2
+      |             > q.q3_mil * 5 - q.q1_mil * 3
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+      |       max(q.q1_mil) AS q1_mil, max(q.q3_mil) AS q3_mil
+      |FROM b LEFT JOIN q USING (label)
+      |GROUP BY b.label ORDER BY b.label""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
     "p3_ngram_jaccard" -> p3,
+    "p74_containment_pairs" -> p74,
     "p4_minhash_lsh" -> p4,
     "p5_simhash_buckets" -> p5,
     "p50_hamming_pairs" -> p50,
@@ -1295,6 +1363,7 @@ object PipelineQueries extends QueryGroup {
     "p28_semantic_dedup" -> p28,
     "p35_embed_pq" -> p35,
     "p37_pq_adc_topk" -> p37,
-    "p39_hash_embedding" -> p39
+    "p39_hash_embedding" -> p39,
+    "p75_embedding_audit" -> p75
   )
 }

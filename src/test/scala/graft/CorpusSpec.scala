@@ -695,6 +695,50 @@ class CorpusSpec extends AnyFunSuite {
     assert(expect.nonEmpty && got === expect)
   }
 
+  test("span corruption replays a driver-side greedy span merge exactly") {
+    import spark.implicits._
+    val texts = Seq(
+      7L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      12L -> "one two three four five six seven eight nine ten eleven twelve")
+    val df = texts.toDF("doc_id", "text")
+    // high start rate so the tiny fixture provably exercises the merge
+    val got = CorpusOps.spanCorruptionPlan(df, "doc_id", "text",
+        startPerMil = 400, maxSpan = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sentinel"),
+        r.getAs[Long]("start_pos"), r.getAs[Long]("end_pos"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("span_md5"))).sorted
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val expect = texts.flatMap { case (id, text) =>
+      val ws = text.split(" ")
+      val covered = ws.indices.flatMap { i =>
+        val pos = i + 1L
+        if (h32(s"$id:$pos:s") % 1000 < 400) {
+          val len = h32(s"$id:$pos:l") % 3 + 1
+          (pos to math.min(pos + len - 1, ws.length.toLong))
+        } else Nil
+      }.distinct.sorted
+      // maximal runs of consecutive covered positions
+      val runs = covered.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (run @ (last :: _)) :: rest, p) if p == last + 1 =>
+          (p :: run) :: rest
+        case (acc, p) => List(p) :: acc
+      }.map(_.reverse).reverse
+      runs.zipWithIndex.map { case (run, k) =>
+        (id, k.toLong, run.head, run.last, run.size.toLong,
+          md5hex(run.map(p => ws((p - 1).toInt)).mkString(" ")))
+      }
+    }.sorted
+    assert(expect.exists(_._5 > 1), "fixture must contain a merged span")
+    assert(got.toSeq === expect)
+  }
+
   test("fuzzy decontamination: exact-copy and partial-overlap degrees") {
     import spark.implicits._
     val bench = Seq((100L, "one two three four five")).toDF("doc_id", "text")

@@ -22,6 +22,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.toSeq === exact.toSeq)
   }
 
+  test("containment catches a quoted subset that Jaccard misses") {
+    import TestSpark.spark
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon"
+    val page = ("intro words before the quote " + quote +
+      " and then a long unrelated tail " +
+      (1 to 40).map(i => s"filler$i").mkString(" "))
+    val d = Seq((0L, quote), (1L, page),
+      (2L, "completely disjoint text here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val cont = DedupOps.containmentPairs(d, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(5), r.getDouble(6)))
+    // all 3 of the quote's 3-grams appear in the page: C(0→1) = 1.0,
+    // while the reverse direction (and Jaccard) stay tiny
+    assert(cont.map(c => (c._1, c._2)).toSeq === Seq((0L, 1L)))
+    assert(cont.head._3 === 1.0)
+    assert(cont.head._4 < 0.2)
+    val jac = DedupOps.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+    assert(jac.isEmpty, "Jaccard at 0.5 must NOT see the quoted subset")
+  }
+
+  test("embedding audit: bad dims, zero vectors, and Tukey-fence outliers") {
+    import TestSpark.spark
+    import spark.implicits._
+    def vec(a: Float) = Array(a, 0f, 0f, 0f)
+    val e = (Seq(
+      (0, 1L, vec(0f)),              // zero vector (and a low outlier)
+      (0, 8L, Array(1f, 2f, 3f)),    // wrong dimension
+      (0, 9L, vec(100f))             // ssq 10000 → high outlier
+    ) ++ (2L to 7L).map(i => (0, i, vec(10f))) // six at ssq 100
+      ++ (10L to 13L).map(i => (1, i, vec(2f))) // clean group
+    ).toDF("label", "vec_id", "embedding")
+    val got = Similarity.embeddingAudit(e, "vec_id", "embedding", "label", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).sortBy(_._1)
+    // label 0: n=9, q1=q3=100000 mil (IQR 0, so the fences collapse to
+    // the quartile itself: the zero vector is a low outlier, the 100f
+    // vector a high one); label 1: uniform, nothing flagged
+    assert(got.toSeq === Seq(
+      ("0", 9L, 1L, 1L, 1L, 1L, 100000L, 100000L),
+      ("1", 4L, 0L, 0L, 0L, 0L, 4000L, 4000L)))
+  }
+
   test("identical word multisets share a simhash bucket") {
     import spark.implicits._
     val d = Seq((0L, "spark scan table"), (1L, "spark  SCAN table!"),
