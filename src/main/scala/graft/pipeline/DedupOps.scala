@@ -98,6 +98,36 @@ object DedupOps {
         col("size_b"), col("cont_a_in_b"), col("cont_b_in_a"))
   }
 
+  /**
+   * Containment-dedup DECISION layer over [[containmentPairs]] — the
+   * quote/subset scrub: a document drops when its gram set is
+   * (near-)contained in another document. Mutual containment
+   * (near-identical docs) keeps the smaller id — the library's dedup
+   * representative convention; strict containment keeps the superset
+   * document. The rule is pairwise-local: every drop cites an explicit
+   * container, and in an a⊂b⊂c chain the top superset always survives
+   * (b's drop row cites c even though b itself drops) — the same
+   * local-evidence shape as [[dupClusters]]' edge list, which a
+   * downstream keep-set join resolves.
+   * Output: one row per DROPPED doc — its minimum-id container, the max
+   * containment that doomed it, and its container count.
+   */
+  def containmentScrub(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val pairs = containmentPairs(docs, idCol, textCol, n, tau)
+    val dropB = pairs.filter(col("cont_b_in_a") >= tau)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("container"),
+        col("cont_b_in_a").as("cont"))
+    val dropA = pairs.filter(col("cont_a_in_b") >= tau &&
+        col("cont_b_in_a") < tau)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("container"),
+        col("cont_a_in_b").as("cont"))
+    dropB.union(dropA).groupBy(col("doc_id"))
+      .agg(min(col("container")).as("contained_in"),
+        max(col("cont")).as("max_containment"),
+        count(lit(1)).as("n_containers"))
+  }
+
   /** Mersenne prime 2^31-1 for the affine MinHash family. */
   private val MersenneP = 2147483647L
 

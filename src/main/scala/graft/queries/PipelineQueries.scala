@@ -119,6 +119,32 @@ object PipelineQueries extends QueryGroup {
       |WHERE cont_a_in_b >= 0.7 OR cont_b_in_a >= 0.7
       |ORDER BY doc_a, doc_b""".stripMargin))
 
+  private val p77 = QueryDef(
+    // The containment DECISION layer (DedupOps.containmentScrub): which
+    // doc drops, who contains it. Mutual containment keeps the smaller
+    // id; strict containment keeps the superset. Oracle replays the rule
+    // from the brute-forced pair relation.
+    (s, d) => DedupOps.containmentScrub(
+      docs(s, d).filter(col("doc_id") < 1000), "doc_id", "text", 3, 0.7)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH ${jaccardCtes("WHERE doc_id < 1000")},
+      |cont AS (
+      |  SELECT doc_a, doc_b,
+      |         round(inter::DOUBLE / sa, 4) AS cont_a_in_b,
+      |         round(inter::DOUBLE / sb, 4) AS cont_b_in_a
+      |  FROM pairs),
+      |drops AS (
+      |  SELECT doc_b AS doc_id, doc_a AS container,
+      |         cont_b_in_a AS cont
+      |  FROM cont WHERE cont_b_in_a >= 0.7
+      |  UNION ALL
+      |  SELECT doc_a, doc_b, cont_a_in_b
+      |  FROM cont WHERE cont_a_in_b >= 0.7 AND cont_b_in_a < 0.7)
+      |SELECT doc_id, CAST(min(container) AS BIGINT) AS contained_in,
+      |       max(cont) AS max_containment,
+      |       CAST(count(*) AS BIGINT) AS n_containers
+      |FROM drops GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   private val p4 = QueryDef(
     // 2-row bands (k=64, 32 bands): candidate recall at the j=0.5 output
     // threshold is 1-(1-0.25)^32 ≈ 0.99999, so LSH candidate generation
@@ -1331,6 +1357,7 @@ object PipelineQueries extends QueryGroup {
     "p2_norm_dedup" -> p2,
     "p3_ngram_jaccard" -> p3,
     "p74_containment_pairs" -> p74,
+    "p77_containment_scrub" -> p77,
     "p4_minhash_lsh" -> p4,
     "p5_simhash_buckets" -> p5,
     "p50_hamming_pairs" -> p50,

@@ -398,9 +398,55 @@ object RelationalQueries extends QueryGroup {
       |WHERE r.rev_e4 = (SELECT max(rev_e4) FROM rev)
       |ORDER BY s.s_suppkey""".stripMargin))
 
+  /** TPC-H Q21-shaped EXISTS + NOT-EXISTS correlation: for finished
+   * orders, the suppliers whose lineitem closed the order (no other
+   * lineitem shipped later) while at least one OTHER supplier was also
+   * on it — Q21's "waiting behind a multi-supplier order" shape adapted
+   * to this schema (no commit/receipt dates; shipdate plays the role).
+   * The oracle hands DuckDB the literal correlated EXISTS / NOT EXISTS;
+   * the engine expresses both as ONE per-order aggregate (distinct-
+   * supplier count ⇒ EXISTS, max shipdate ⇒ NOT EXISTS) joined back on
+   * the order key — the distributed rewrite of a double-correlated
+   * subquery. Ties on the max shipdate count on BOTH sides (NOT EXISTS
+   * strictly-later), no float anywhere.
+   * Shape at scale: two fact aggs share one order-key exchange; the
+   * join-back is co-partitioned on that key; supplier dim broadcasts. */
+  private val q8 = QueryDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val fOrders = t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(max(col("l_shipdate")).as("max_ship"),
+          countDistinct(col("l_suppkey")).as("n_sup"))
+      li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .filter(col("n_sup") > 1 && col("l_shipdate") === col("max_ship"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey")).limit(10)
+    },
+    Some("""SELECT s_suppkey, s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders o
+      |WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "q1_pricing_summary" -> q1,
     "q2_best_supplier" -> q2,
+    "q8_last_shipper" -> q8,
     "q6_window_suite" -> q6,
     "q7_top_supplier" -> q7,
     "q4_rollup_lattice" -> q4,

@@ -44,6 +44,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(jac.isEmpty, "Jaccard at 0.5 must NOT see the quoted subset")
   }
 
+  test("containment scrub: strict drops the subset, mutual keeps min id") {
+    import TestSpark.spark
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon"
+    val page = "intro words before the quote " + quote +
+      " and a long tail " + (1 to 30).map(i => s"filler$i").mkString(" ")
+    val d = Seq(
+      (0L, quote),              // strictly contained in 1 → drops
+      (1L, page),               // the superset → survives
+      (5L, "one two three four five six"),
+      (6L, "one two three four five six"), // mutual with 5 → 6 drops
+      (9L, "nothing shared with anyone here at all"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.containmentScrub(d, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq === Seq((0L, 1L, 1.0, 1L), (6L, 5L, 1.0, 1L)))
+  }
+
   test("embedding audit: bad dims, zero vectors, and Tukey-fence outliers") {
     import TestSpark.spark
     import spark.implicits._
