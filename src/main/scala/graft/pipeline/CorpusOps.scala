@@ -1107,6 +1107,36 @@ object CorpusOps {
   }
 
   /**
+   * Dedup impact report — the before/after accounting a curation run
+   * logs per source after exact (normalized-fingerprint) dedup: doc and
+   * token counts, kept counts, and the kept-token fraction in exact ppm
+   * (integer division — no float ratio to drift). The representative is
+   * the GLOBAL minimum doc id per fingerprint, so a cross-source
+   * duplicate charges every source except the representative's — the
+   * number that tells you which upstream feed is re-crawling another's
+   * pages.
+   * Shape at scale: one fingerprint hash-agg (map-side partials), one
+   * fp-co-keyed join back, one source-key roll-up.
+   */
+  def dedupImpact(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val fp = df.select(col(sourceCol).as("source"), col(idCol).as("id"),
+      TextOps.fingerprint(col(textCol)).as("fp"),
+      TextOps.tokenCount(coalesce(col(textCol), lit("")))
+        .cast("long").as("n_tok"))
+    val reps = fp.groupBy(col("fp")).agg(min(col("id")).as("rep"))
+    fp.join(reps, Seq("fp"))
+      .withColumn("kept", col("id") === col("rep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("kept_ppm",
+        expr("tokens_kept * 1000000 div tokens_total"))
+  }
+
+  /**
    * T5-style deterministic span-corruption plan (Raffel et al. 2020
    * §3.1.4): span STARTS are drawn per position by hash
    * (startPerMil/1000 probability), each start covers a hashed length of

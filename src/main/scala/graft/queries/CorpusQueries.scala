@@ -1442,6 +1442,32 @@ object CorpusQueries extends QueryGroup {
       |       start_pos, end_pos, n_tokens, span_md5
       |FROM sp ORDER BY doc_id, sentinel""".stripMargin))
 
+  // ------------------------------------------ p78 dedup impact report
+
+  private val p78 = QueryDef(
+    // Per-source before/after accounting of exact fingerprint dedup
+    // (CorpusOps.dedupImpact): cross-source duplicates charge every
+    // source except the global-min-id representative's. kept_ppm is
+    // integer division — the oracle replays it with DuckDB's `//`.
+    (s, d) => CorpusOps.dedupImpact(docs(s, d), "doc_id", "text", "source")
+      .orderBy(col("source")),
+    Some(s"""WITH f AS (
+      |  SELECT source, doc_id, md5($NORM) AS fp,
+      |         CAST(len($WORDS) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |reps AS (SELECT fp, min(doc_id) AS rep FROM f GROUP BY fp)
+      |SELECT source, count(*) AS docs_total,
+      |       CAST(sum(CASE WHEN doc_id = rep THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS docs_kept,
+      |       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+      |       CAST(sum(CASE WHEN doc_id = rep THEN n_tok ELSE 0 END)
+      |         AS BIGINT) AS tokens_kept,
+      |       CAST(sum(CASE WHEN doc_id = rep THEN n_tok ELSE 0 END)
+      |         AS BIGINT) * 1000000
+      |         // CAST(sum(n_tok) AS BIGINT) AS kept_ppm
+      |FROM f JOIN reps USING (fp)
+      |GROUP BY source ORDER BY source""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -1479,6 +1505,7 @@ object CorpusQueries extends QueryGroup {
     "p70_bpe_fertility" -> p70,
     "p72_kmv_setops" -> p72,
     "p73_mlm_mask_plan" -> p73,
-    "p76_span_corruption" -> p76
+    "p76_span_corruption" -> p76,
+    "p78_dedup_impact" -> p78
   )
 }

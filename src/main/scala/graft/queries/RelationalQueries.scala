@@ -443,10 +443,46 @@ object RelationalQueries extends QueryGroup {
       |GROUP BY s_suppkey, s_name
       |ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin))
 
+  /** RANGE-frame window (the one frame type q6 doesn't cover): for each
+   * order, the customer's order count and exact-cents spend over the
+   * trailing 30 days INCLUSIVE of same-day peers — RANGE, not ROWS, so
+   * tied order dates contribute symmetrically on both engines and the
+   * result is deterministic without any intra-day tie-break. The frame
+   * key is an integer epoch-day; sums are exact cents.
+   * Shape at scale: one hash exchange on the customer key, in-partition
+   * sort — identical cost to q6's running window. */
+  private val q9 = QueryDef(
+    (s, d) => {
+      val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, 0)
+      t(s, d, "orders")
+        .withColumn("day", day)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+          count(lit(1)).over(w).as("n_30d"),
+          sum(col("cents")).over(w).as("cents_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      |       CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+      |         AS BIGINT) AS day,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_30d,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+      |         AS BIGINT) AS cents_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+      |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "q1_pricing_summary" -> q1,
     "q2_best_supplier" -> q2,
     "q8_last_shipper" -> q8,
+    "q9_range_frame" -> q9,
     "q6_window_suite" -> q6,
     "q7_top_supplier" -> q7,
     "q4_rollup_lattice" -> q4,

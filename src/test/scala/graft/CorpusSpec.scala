@@ -695,6 +695,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(expect.nonEmpty && got === expect)
   }
 
+  test("dedup impact: cross-source duplicate charges the copying source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta", "crawlA"), // representative (global min id)
+      (5L, "alpha beta", "crawlB"), // cross-source duplicate → crawlB pays
+      (6L, "gamma", "crawlB"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusOps.dedupImpact(d, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("crawlA", 1L, 1L, 2L, 2L, 1000000L),
+      ("crawlB", 2L, 1L, 3L, 1L, 333333L)))
+  }
+
   test("span corruption replays a driver-side greedy span merge exactly") {
     import spark.implicits._
     val texts = Seq(
