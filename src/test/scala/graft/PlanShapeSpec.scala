@@ -41,6 +41,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 1, plan)
   }
 
+  test("q2: correlated-subquery rewrite broadcasts every join side") {
+    val plan = planOf("q2_best_supplier")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // nation, region, AND the per-region max all broadcast — the
+    // supplier fact never shuffles to meet a dimension
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q8: double-correlation resolves without a cartesian or global sort") {
+    val plan = planOf("q8_last_shipper")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the EXISTS/NOT-EXISTS pair is ONE per-order aggregate joined back
+    // on the order key; the only global structure is the final top-10
+    assert("Exchange SinglePartition".r.findAllIn(plan).isEmpty ||
+      plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q9: RANGE frame runs behind one customer-key exchange") {
+    val plan = planOf("q9_range_frame")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // no single-partition exchange before the window: the frame is
+    // per-customer, so the sort is in-partition
+    assert("Exchange SinglePartition".r.findAllIn(plan).isEmpty, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("p69: benchmark gram index joins broadcast; corpus never cartesians") {
     val plan = planOf("p69_fuzzy_decontaminate")
     assert(!plan.contains("CartesianProduct"), plan)
