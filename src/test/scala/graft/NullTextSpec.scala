@@ -64,4 +64,31 @@ class NullTextSpec extends AnyFunSuite {
     assert(bpe.size === 4)
     assert(bpe(0L).n_tokens === 0L && bpe(0L).tokens_md5 === bpe(1L).tokens_md5)
   }
+
+  test("session-5 ops are total over null text") {
+    // containment: null-text docs have no shingles → pair with nothing,
+    // never crash or emit a null key
+    val cont = DedupOps.containmentPairs(mixed, "doc_id", "text", 3, 0.5)
+      .collect()
+    // only doc 2 has shingles, so there is nothing to pair with — and
+    // critically, nothing crashed and no null key leaked into the join
+    assert(cont.isEmpty)
+    // span corruption: null/empty/whitespace docs are excluded from the
+    // plan (no positions), the real doc still plans
+    val spans = CorpusOps.spanCorruptionPlan(mixed, "doc_id", "text",
+      startPerMil = 1000, maxSpan = 2).collect()
+    assert(spans.nonEmpty && spans.forall(_.getLong(0) === 2L))
+    // dedup impact: null text fingerprints as empty (one family), token
+    // counts never go to -1, ppm division is total
+    val imp = CorpusOps.dedupImpact(mixed, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // source a: docs 0 (null, rep of the empty family) and 1 ("", dup);
+    // each counts ONE token (split("") = [""], the library convention)
+    assert(imp("a") === ((2L, 1L, 2L, 1L, 500000L)))
+    // source b: doc 2 kept (9 tokens), doc 3 whitespace-only (1 token,
+    // dup of the empty family whose rep is doc 0)
+    assert(imp("b") === ((2L, 1L, 10L, 9L, 900000L)))
+  }
 }
