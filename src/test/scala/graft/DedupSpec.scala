@@ -68,6 +68,37 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture should produce at least one pair")
   }
 
+  test("containment pairs match a driver-side brute force over random docs") {
+    import TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (0L until 80L).map { id =>
+      id -> Seq.fill(4 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val got = graft.pipeline.DedupOps
+      .containmentPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      sa = sh(ta); sb = sh(tb)
+      inter = (sa & sb).size if inter > 0
+      cab = r4(inter.toDouble / sa.size); cba = r4(inter.toDouble / sb.size)
+      if cab >= 0.6 || cba >= 0.6
+    } yield (a, b) -> ((inter.toLong, sa.size.toLong, sb.size.toLong,
+      cab, cba))).toMap
+    assert(expected.nonEmpty, "fixture should produce containment pairs")
+    assert(got === expected)
+  }
+
   test("leakage-free split: families never straddle splits; singletons spread") {
     import TestSpark.spark
     import spark.implicits._
