@@ -97,15 +97,23 @@ object Envelope {
 object EventLog {
 
   /**
-   * Read the raw events table for a scale-factor dir. The driver's `ts` is
-   * parquet TIMESTAMP(NANOS), which Spark's reader rejects by default —
-   * `nanosAsLong` surfaces it as an epoch-nanos LONG, which the engine
-   * prefers anyway: all time arithmetic stays integral and engine/oracle
-   * parity is exact.
+   * Read the raw events table for a scale-factor dir, with `ts` ALWAYS
+   * surfaced as an epoch-nanos LONG. The driver's fixture has shipped
+   * `ts` as both parquet TIMESTAMP(NANOS) (which Spark's reader rejects
+   * unless `nanosAsLong` surfaces it as a LONG) and TIMESTAMP(MICROS)
+   * (a plain Spark TimestampType) across generator versions — the
+   * engine normalizes either to the same integral column, so all time
+   * arithmetic downstream stays exact and the DuckDB oracle's
+   * `epoch_ms(ts)` view agrees bit for bit. (Micros → nanos is ×1000 on
+   * a BIGINT — exact; a double round-trip would lose bits above 2^53.)
    */
   def raw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) read as epoch-nanos long
+      case _ => df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+    }
   }
 
   /**

@@ -478,11 +478,131 @@ object RelationalQueries extends QueryGroup {
       |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  /** TPC-H Q18-shaped large-volume orders: IN over a grouped-HAVING
+   * subquery. The oracle hands DuckDB the literal `IN (SELECT ... GROUP
+   * BY ... HAVING sum(qty) > T)`; the engine computes the per-order
+   * quantity aggregate ONCE and reuses it as both the IN-filter and the
+   * output column — the distributed rewrite that avoids scanning
+   * lineitem twice. Quantities are integral doubles cast to BIGINT
+   * before summing, so the HAVING comparison is exact integer math on
+   * both engines.
+   * Shape at scale: one lineitem exchange on the order key; the
+   * filtered aggregate (a few rows per million orders) joins orders
+   * co-partitioned on that key; the customer dim broadcasts. */
+  private val q10 = QueryDef(
+    (s, d) => {
+      val perOrder = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 250L)
+      t(s, d, "orders")
+        .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey,
+      |       CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+      |         AS BIGINT) AS day,
+      |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey
+      |                     HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin))
+
+  /** TPC-H Q16-shaped supplier diversity count: distinct-supplier counts
+   * per part attribute group, with a NOT IN exclusion subquery (suppliers
+   * below an account-balance floor play Q16's complaint filter). The
+   * oracle keeps the literal NOT IN; the engine rewrites it as a
+   * broadcast anti join BEFORE the distinct aggregation, so excluded
+   * suppliers never enter the shuffle.
+   * Shape at scale: the exclusion list and part dim broadcast; the only
+   * fact exchange is the two-phase distinct aggregation on the group
+   * keys (partial distinct map-side). */
+  private val q11 = QueryDef(
+    (s, d) => {
+      val part = t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 25)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val excluded = t(s, d, "supplier")
+        .filter(col("s_acctbal") < 1000).select(col("s_suppkey"))
+      t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(excluded),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    },
+    Some("""SELECT p_brand, p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part, lineitem
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#1' AND p_size <= 25
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 1000)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin))
+
+  /** TPC-H Q22-shaped dormant-value segmentation: positive-balance
+   * customers above the positive-balance average with no URGENT order,
+   * rolled up by market segment. The oracle uses the literal scalar
+   * subqueries and correlated NOT EXISTS; the engine broadcasts a 1-row
+   * global aggregate and rewrites the correlation as an anti join
+   * against the distinct urgent-customer set. The above-average test is
+   * integer CROSS-MULTIPLICATION (cents × count > sum-of-cents) — no
+   * division, so the comparison can never hinge on a float quotient's
+   * rounding on either engine.
+   * Shape at scale: the stats row broadcasts; orders reduce to distinct
+   * custkeys (customer-scale) before the anti join, co-partitioned on
+   * the customer key. */
+  private val q12 = QueryDef(
+    (s, d) => {
+      val pos = t(s, d, "customer").filter(col("c_acctbal") > 0)
+        .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
+      val stats = pos.agg(count(lit(1)).as("n_pos"),
+        sum(col("cents")).as("sum_cents"))
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      pos.crossJoin(broadcast(stats))
+        .filter(col("cents") * col("n_pos") > col("sum_cents"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("cents")).as("totacctbal_cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""WITH pos AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_mktsegment, count(*) AS numcust,
+      |       CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+      |FROM pos c
+      |WHERE cents * (SELECT count(*) FROM pos) > (SELECT sum(cents) FROM pos)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "q1_pricing_summary" -> q1,
     "q2_best_supplier" -> q2,
     "q8_last_shipper" -> q8,
     "q9_range_frame" -> q9,
+    "q10_large_orders" -> q10,
+    "q11_supplier_diversity" -> q11,
+    "q12_dormant_value" -> q12,
     "q6_window_suite" -> q6,
     "q7_top_supplier" -> q7,
     "q4_rollup_lattice" -> q4,
