@@ -1240,4 +1240,60 @@ object CorpusOps {
       .select(col(idCol), col("pos"), col("word"), col("action"),
         col("replacement"))
   }
+
+  // ---------------------------------------------- length-bucketed batching
+
+  /**
+   * Length-bucketed batching plan — the dynamic-batching prep step that
+   * minimizes padding waste when fixed-size batches are padded to their
+   * longest member: route each document into a token-length quantile
+   * bucket, sort within the bucket, cut batches of `batchSize`, and
+   * report the padding bill per bucket (padded = Σ batch_max·batch_size
+   * vs real = Σ tokens). The same plan UNbucketed is the worst case —
+   * the per-bucket waste_ppm quantifies what bucketing saves.
+   *
+   * Determinism: bucket cutoffs are the exact ceil-rank order statistics
+   * of [[exactQuantiles]] (pure integer arithmetic over the length
+   * histogram); a doc equal to a cutoff lands in the LOWER bucket; the
+   * in-bucket order is (tokens, doc id) so batch membership is total.
+   * waste_ppm is integer math end to end.
+   *
+   * Shape at 100 TB: scoring is zero-shuffle; the cutoff derivation is
+   * histogram-scale (distinct lengths, not rows) and broadcasts back;
+   * the only corpus exchange is the per-bucket partition for the rank
+   * window — exactly the sort a sharded sequence-writer pays anyway
+   * (the p62 argument), with |buckets| ≫ 1 keeping partitions balanced.
+   */
+  def lengthBucketedBatchPlan(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int, batchSize: Int): DataFrame = {
+    require(nBuckets >= 2 && batchSize >= 1)
+    val toks = df.select(col(idCol).as("did"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("tokens"))
+    val cuts = exactQuantiles(toks, lit("all"), col("tokens"),
+        (1 until nBuckets).map(i => (i, nBuckets)))
+      .select(col("value").as("cut"))
+    // bucket = number of cutoffs strictly below the doc's token count
+    val bucketed = toks.crossJoin(broadcast(cuts))
+      .groupBy(col("did"), col("tokens"))
+      .agg(sum(when(col("tokens") > col("cut"), 1L).otherwise(0L))
+        .as("bucket"))
+    val rank = row_number().over(Window.partitionBy(col("bucket"))
+      .orderBy(col("tokens"), col("did")))
+    val batches = bucketed
+      .withColumn("rk", rank)
+      // integer div — Column./ would be double division
+      .withColumn("batch", expr(s"(rk - 1) div $batchSize"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("bn"), max(col("tokens")).as("mx"),
+        sum(col("tokens")).as("real"))
+    batches.groupBy(col("bucket"))
+      .agg(sum(col("bn")).as("n_docs"), count(lit(1)).as("n_batches"),
+        sum(col("real")).as("real_tokens"),
+        sum(col("mx") * col("bn")).as("padded_tokens"))
+      .withColumn("waste_ppm",
+        expr("(padded_tokens - real_tokens) * 1000000 div padded_tokens"))
+      .select(col("bucket").cast("int").as("bucket"), col("n_docs"),
+        col("n_batches"), col("real_tokens"), col("padded_tokens"),
+        col("waste_ppm"))
+  }
 }

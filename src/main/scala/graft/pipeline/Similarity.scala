@@ -537,4 +537,34 @@ object Similarity {
         max(col("q1_mil")).as("q1_mil"), max(col("q3_mil")).as("q3_mil"))
       .withColumnRenamed("grp", groupCol)
   }
+
+  /**
+   * Embedding-space benchmark decontamination — the semantic twin of the
+   * n-gram screens (exact 5-gram membership, Jaccard degree): a corpus
+   * document is contaminated when its embedding is close to ANY
+   * benchmark embedding, catching paraphrased test material that shares
+   * no n-grams with the benchmark (the screen n-gram decontamination is
+   * blind to). One verdict row per corpus vector: the max rounded cosine
+   * to the benchmark set, the closest benchmark id (ties to the smallest
+   * id via a single struct-max — no second pass), and the drop decision.
+   *
+   * Shape at 100 TB: the benchmark set is tiny and BROADCASTS; the
+   * corpus pays one map-side pass (|corpus| × |benchmark| codegen'd
+   * cosine kernels) and a per-vector hash aggregation with map-side
+   * partials — no corpus shuffle beyond its own vec-id aggregation, no
+   * self-join. A benchmark too large to broadcast falls back to the IVF
+   * cell-bucketed route ([[semanticDedup]]'s assignment join).
+   */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double): DataFrame =
+    corpus.as("c")
+      .crossJoin(broadcast(benchmark.select(col("vec_id").as("bid"),
+        col("embedding").as("bemb"))))
+      .select(col("c.vec_id").as("vec_id"), col("bid"),
+        round(cosine(col("c.embedding"), col("bemb")), 3).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("bid")).as("nbid"))).as("m"))
+      .select(col("vec_id"), col("m.sim").as("max_sim"),
+        (-col("m.nbid")).as("matched_bench"),
+        (col("m.sim") >= threshold).as("contaminated"))
 }

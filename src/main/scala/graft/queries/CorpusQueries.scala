@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.CorpusOps
+import graft.pipeline.{CorpusOps, Retrieval}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1468,6 +1468,89 @@ object CorpusQueries extends QueryGroup {
       |FROM f JOIN reps USING (fp)
       |GROUP BY source ORDER BY source""".stripMargin))
 
+  // ------------------------------------------------ p79 BM25 retrieval
+
+  private val p79 = QueryDef(
+    // Okapi BM25 top-10 retrieval: docs 0-4 play the query set, the
+    // whole corpus is the index. Per-term contributions are one fixed
+    // double expression rounded ×10⁴ to BIGINT BEFORE the per-(query,
+    // doc) sum (the bigram-LM convention), so partial-agg order can't
+    // move a score; ties rank by doc id. The oracle rebuilds tf/df/dl
+    // and replays the identical expression — the constants are
+    // interpolated from the same Scala doubles the engine uses, so both
+    // engines parse byte-identical literals.
+    (s, d) => Retrieval.bm25TopK(docs(s, d),
+      docs(s, d).filter(col("doc_id") < 5), "doc_id", "text", k = 10)
+      .orderBy(col("query_id"), col("rank")),
+    Some(s"""WITH tok AS (
+      |  SELECT doc_id AS did, unnest($WORDS) AS word FROM documents),
+      |tf AS (SELECT did, word, count(*) AS tf FROM tok
+      |       WHERE len(word) > 0 GROUP BY 1, 2),
+      |dl AS (SELECT did, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |                 (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_len),
+      |qt AS (SELECT doc_id AS qid, unnest(list_distinct($WORDS)) AS word
+      |       FROM documents WHERE doc_id < 5),
+      |qterms AS (SELECT qid, word FROM qt WHERE len(word) > 0),
+      |dfq AS (SELECT word, count(*) AS df FROM tf
+      |        WHERE word IN (SELECT DISTINCT word FROM qterms) GROUP BY 1),
+      |scored AS (
+      |  SELECT q.qid, t.did,
+      |         sum(CAST(round(
+      |           ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+      |           (t.tf * ${1.2 + 1}) /
+      |           (t.tf + ${1.2} * (${1 - 0.75} +
+      |              ${0.75} * d.dl * s.n_docs / s.total_len)) *
+      |           10000.0, 0) AS BIGINT)) AS score_e4
+      |  FROM tf t JOIN qterms q USING (word)
+      |       JOIN dl d ON d.did = t.did
+      |       JOIN dfq f ON f.word = t.word
+      |       CROSS JOIN stats s
+      |  WHERE t.did <> q.qid
+      |  GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY score_e4 DESC, did) AS rank FROM scored)
+      |SELECT qid AS query_id, CAST(rank AS INT) AS rank,
+      |       did AS doc_id, score_e4
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+
+  // ------------------------------------- p81 length-bucketed batching
+
+  private val p81 = QueryDef(
+    // Dynamic-batching prep: quartile length buckets, batches of 8 cut
+    // in (tokens, doc_id) order, per-bucket padding bill in integer
+    // ppm. The engine derives the quartile cutoffs by order-statistic
+    // selection over the length histogram (p47's machinery); the oracle
+    // takes the opposite route — full sort + row_number — then replays
+    // the bucket routing, batch cuts, and the padding arithmetic.
+    (s, d) => CorpusOps.lengthBucketedBatchPlan(docs(s, d), "doc_id",
+      "text", nBuckets = 4, batchSize = 8).orderBy(col("bucket")),
+    Some(s"""WITH t AS (SELECT doc_id AS did,
+      |           CAST(len($WORDS) AS BIGINT) AS tokens FROM documents),
+      |n AS (SELECT count(*) AS n FROM t),
+      |r AS (SELECT tokens, row_number() OVER (ORDER BY tokens) AS rn FROM t),
+      |q(i) AS (VALUES (1), (2), (3)),
+      |cuts AS (
+      |  SELECT i, min(tokens) AS cut
+      |  FROM r CROSS JOIN n JOIN q ON rn >= (i * n.n + 3) // 4
+      |  GROUP BY i),
+      |b AS (SELECT did, tokens,
+      |        (SELECT count(*) FROM cuts WHERE t2.tokens > cut) AS bucket
+      |      FROM t t2),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY bucket
+      |         ORDER BY tokens, did) AS rk FROM b),
+      |bt AS (SELECT bucket, (rk - 1) // 8 AS batch, count(*) AS bn,
+      |         max(tokens) AS mx, sum(tokens) AS rt
+      |       FROM rk GROUP BY 1, 2)
+      |SELECT CAST(bucket AS INT) AS bucket,
+      |       CAST(sum(bn) AS BIGINT) AS n_docs,
+      |       count(*) AS n_batches,
+      |       CAST(sum(rt) AS BIGINT) AS real_tokens,
+      |       CAST(sum(mx * bn) AS BIGINT) AS padded_tokens,
+      |       CAST((sum(mx * bn) - sum(rt)) * 1000000 // sum(mx * bn)
+      |         AS BIGINT) AS waste_ppm
+      |FROM bt GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -1506,6 +1589,8 @@ object CorpusQueries extends QueryGroup {
     "p72_kmv_setops" -> p72,
     "p73_mlm_mask_plan" -> p73,
     "p76_span_corruption" -> p76,
-    "p78_dedup_impact" -> p78
+    "p78_dedup_impact" -> p78,
+    "p79_bm25_topk" -> p79,
+    "p81_length_batch_plan" -> p81
   )
 }

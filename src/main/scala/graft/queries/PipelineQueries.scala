@@ -1352,6 +1352,33 @@ object PipelineQueries extends QueryGroup {
       |FROM b LEFT JOIN q USING (label)
       |GROUP BY b.label ORDER BY b.label""".stripMargin))
 
+  // ------------------------------------- p80 semantic decontamination
+
+  private val p80 = QueryDef(
+    // Embedding-space decontamination verdict: vectors 0-19 play the
+    // benchmark, every other vector gets a per-row verdict (max rounded
+    // cosine to the benchmark set, closest benchmark id with ties to
+    // the smaller id, drop decision at 0.35). The engine resolves the
+    // argmax in ONE struct-max aggregation; the oracle takes the
+    // opposite route — a rank window over all (corpus, bench) pairs.
+    (s, d) => {
+      val e = embs(s, d)
+      Similarity.semanticContamination(
+        e.filter(col("vec_id") >= 20), e.filter(col("vec_id") < 20), 0.35)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH b AS (SELECT vec_id AS bid, embedding AS bemb
+      |           FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+      |s AS (SELECT c.vec_id, b.bid,
+      |        round(${cosSql("c.embedding", "b.bemb")}, 3) AS sim
+      |      FROM c, b),
+      |r AS (SELECT vec_id, bid, sim, row_number() OVER (
+      |        PARTITION BY vec_id ORDER BY sim DESC, bid) AS rn FROM s)
+      |SELECT vec_id, sim AS max_sim, bid AS matched_bench,
+      |       sim >= 0.35 AS contaminated
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
@@ -1391,6 +1418,7 @@ object PipelineQueries extends QueryGroup {
     "p35_embed_pq" -> p35,
     "p37_pq_adc_topk" -> p37,
     "p39_hash_embedding" -> p39,
-    "p75_embedding_audit" -> p75
+    "p75_embedding_audit" -> p75,
+    "p80_semantic_decontaminate" -> p80
   )
 }

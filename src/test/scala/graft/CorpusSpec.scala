@@ -769,4 +769,35 @@ class CorpusSpec extends AnyFunSuite {
       .toMap
     assert(got === Map(1L -> ((1.0, 1L)), 2L -> ((0.2, 1L))))
   }
+
+  test("length-bucketed batch plan: hand-computed buckets, batches, waste") {
+    import spark.implicits._
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // 16 docs of 1..16 tokens, 2 buckets, batches of 4. Median (ceil-rank
+    // 8) = 8; tokens == cutoff land LOW, so buckets are {1..8} / {9..16}.
+    val d16 = (1 to 16).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val got16 = CorpusOps.lengthBucketedBatchPlan(d16, "doc_id", "text",
+        nBuckets = 2, batchSize = 4)
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_batches"), r.getAs[Long]("real_tokens"),
+        r.getAs[Long]("padded_tokens"), r.getAs[Long]("waste_ppm")))
+      .sortBy(_._1)
+    // bucket 0: [1,2,3,4] pad 16, [5,6,7,8] pad 32 → real 36, padded 48
+    // bucket 1: [9..12] pad 48, [13..16] pad 64 → real 100, padded 112
+    assert(got16.toSeq === Seq(
+      (0, 8L, 2L, 36L, 48L, 250000L),
+      (1, 8L, 2L, 100L, 112L, 107142L)))
+
+    // partial final batch: 5 docs, cutoff (ceil-rank 3) = 3
+    val d5 = (1 to 5).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val got5 = CorpusOps.lengthBucketedBatchPlan(d5, "doc_id", "text",
+        nBuckets = 2, batchSize = 4)
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_batches"), r.getAs[Long]("real_tokens"),
+        r.getAs[Long]("padded_tokens"), r.getAs[Long]("waste_ppm")))
+      .sortBy(_._1)
+    assert(got5.toSeq === Seq(
+      (0, 3L, 1L, 6L, 9L, 333333L),
+      (1, 2L, 1L, 9L, 10L, 100000L)))
+  }
 }

@@ -494,4 +494,28 @@ class PipelineSpec extends AnyFunSuite {
     val recall = ivf.size.toDouble / truth.size
     assert(truth.nonEmpty && recall >= 0.4, s"recall $recall (${ivf.size}/${truth.size})")
   }
+
+  test("semanticContamination: verdicts, argmax tie-break, threshold edge") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bench = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (20L, Array(2f, 0f, 0f, 0f)),  // parallel to b0: sim 1.0, dropped
+      (21L, Array(1f, 1f, 0f, 0f)),  // .707 to BOTH: tie -> smaller id 0
+      (22L, Array(-3f, 0f, 0f, 0f)), // -1 to b0, 0 to b1: max 0, match 1
+      (23L, Array(0f, 0f, 1f, 0f))   // orthogonal: max 0, tie -> 0
+    ).toDF("vec_id", "embedding")
+    val got = graft.pipeline.Similarity
+      .semanticContamination(corpus, bench, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("max_sim"), r.getAs[Long]("matched_bench"),
+          r.getAs[Boolean]("contaminated"))).toMap
+    assert(got(20L) === ((1.0, 0L, true)))
+    assert(got(21L) === ((0.707, 0L, false)))
+    assert(got(22L) === ((0.0, 1L, false)))
+    assert(got(23L) === ((0.0, 0L, false)))
+  }
 }
