@@ -82,4 +82,35 @@ object Retrieval {
       .select(col("qid").as("query_id"), col("rank").cast("int").as("rank"),
         col("did").as("doc_id"), col("score_e4"))
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+   * the standard hybrid-search combiner: fuse k-bounded rankings from
+   * heterogeneous retrievers (lexical BM25, embedding cosine, …) by
+   * summing 1/(c + rank) per list, so agreement between lists dominates
+   * any single list's score scale. The contribution is the exact integer
+   * 10⁹ div (c + rank) — no float division anywhere, so fusion totals
+   * and tie behavior are engine-independent; ties rank by doc id.
+   *
+   * Inputs carry (query_id, doc_id, rank) with 1-based ranks. Shape at
+   * any scale: each input is already top-k per query (|queries|·k rows),
+   * so the union, the fusion aggregate, and the rank window all operate
+   * on k-bounded relations — the corpus-scale work lives in the
+   * upstream retrievers, which are audited separately.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty)
+    val u = rankings.map(_.select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+      .withColumn("contrib", expr(s"1000000000 div ($c + rank)"))
+    u.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_e9"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_e9").desc, col("doc_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("rrf_e9"), col("n_lists"))
+  }
 }

@@ -150,14 +150,22 @@ object Similarity {
    * (measured-size union-find fast path, superstep escape above it).
    * Singletons stay their own component via the left join back to vecs.
    */
-  def mutualKnnComponents(vecs: DataFrame, centroids: DataFrame, k: Int,
+  /** The reciprocated-edge relation (a, b) with a < b that
+   * [[mutualKnnComponents]] clusters and [[GraphOps.pageRank]] ranks:
+   * a in b's top-k AND b in a's top-k at cosine ≥ `minSim`. */
+  def mutualKnnEdges(vecs: DataFrame, centroids: DataFrame, k: Int,
       minSim: Double): DataFrame = {
     val g = knnGraph(vecs, centroids, k).filter(col("sim") >= minSim)
-    val mutual = g.as("x").join(g.as("y"),
+    g.as("x").join(g.as("y"),
         col("x.vec_id") === col("y.neighbor_id") &&
           col("x.neighbor_id") === col("y.vec_id"))
       .filter(col("x.vec_id") < col("x.neighbor_id"))
       .select(col("x.vec_id").as("a"), col("x.neighbor_id").as("b"))
+  }
+
+  def mutualKnnComponents(vecs: DataFrame, centroids: DataFrame, k: Int,
+      minSim: Double): DataFrame = {
+    val mutual = mutualKnnEdges(vecs, centroids, k, minSim)
     val labels = graft.pipeline.DedupOps.dupLabels(mutual, "a", "b")
       .select(col("node").as("vec_id"), col("label"))
     vecs.select(col("vec_id"))

@@ -1470,19 +1470,10 @@ object CorpusQueries extends QueryGroup {
 
   // ------------------------------------------------ p79 BM25 retrieval
 
-  private val p79 = QueryDef(
-    // Okapi BM25 top-10 retrieval: docs 0-4 play the query set, the
-    // whole corpus is the index. Per-term contributions are one fixed
-    // double expression rounded ×10⁴ to BIGINT BEFORE the per-(query,
-    // doc) sum (the bigram-LM convention), so partial-agg order can't
-    // move a score; ties rank by doc id. The oracle rebuilds tf/df/dl
-    // and replays the identical expression — the constants are
-    // interpolated from the same Scala doubles the engine uses, so both
-    // engines parse byte-identical literals.
-    (s, d) => Retrieval.bm25TopK(docs(s, d),
-      docs(s, d).filter(col("doc_id") < 5), "doc_id", "text", k = 10)
-      .orderBy(col("query_id"), col("rank")),
-    Some(s"""WITH tok AS (
+  /** BM25 oracle pipeline ending in `r(qid, did, score_e4, rank)` —
+   * shared by p79 (the ranking itself) and p82 (the hybrid fusion). */
+  private val bm25RankedCte: String =
+    s"""tok AS (
       |  SELECT doc_id AS did, unnest($WORDS) AS word FROM documents),
       |tf AS (SELECT did, word, count(*) AS tf FROM tok
       |       WHERE len(word) > 0 GROUP BY 1, 2),
@@ -1509,10 +1500,73 @@ object CorpusQueries extends QueryGroup {
       |  WHERE t.did <> q.qid
       |  GROUP BY 1, 2),
       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
-      |        ORDER BY score_e4 DESC, did) AS rank FROM scored)
+      |        ORDER BY score_e4 DESC, did) AS rank FROM scored)""".stripMargin
+
+  private val p79 = QueryDef(
+    // Okapi BM25 top-10 retrieval: docs 0-4 play the query set, the
+    // whole corpus is the index. Per-term contributions are one fixed
+    // double expression rounded ×10⁴ to BIGINT BEFORE the per-(query,
+    // doc) sum (the bigram-LM convention), so partial-agg order can't
+    // move a score; ties rank by doc id. The oracle rebuilds tf/df/dl
+    // and replays the identical expression — the constants are
+    // interpolated from the same Scala doubles the engine uses, so both
+    // engines parse byte-identical literals.
+    (s, d) => Retrieval.bm25TopK(docs(s, d),
+      docs(s, d).filter(col("doc_id") < 5), "doc_id", "text", k = 10)
+      .orderBy(col("query_id"), col("rank")),
+    Some(s"""WITH $bm25RankedCte
       |SELECT qid AS query_id, CAST(rank AS INT) AS rank,
       |       did AS doc_id, score_e4
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+
+  // --------------------------------------------- p82 hybrid rank fusion
+
+  private val p82 = QueryDef(
+    // Hybrid search: reciprocal-rank fusion (Cormack 2009, c=60) of the
+    // BM25 top-10 (lexical) and the brute-force cosine top-10 over the
+    // aligned embeddings (semantic) for the same five query docs. Every
+    // contribution is the exact integer 10⁹ div (60 + rank), so fusion
+    // totals and tie behavior are engine-independent; n_lists exposes
+    // whether a hit came from one retriever or both. The oracle replays
+    // both rankings AND the fusion arithmetic from scratch.
+    (s, d) => {
+      val bm = Retrieval.bm25TopK(docs(s, d),
+          docs(s, d).filter(col("doc_id") < 5), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val cos = graft.pipeline.Similarity
+        .bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          (col("rank") + 1).as("rank")) // 0-based → 1-based
+      Retrieval.rrfFuse(Seq(bm, cos), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH $bm25RankedCte,
+      |cq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      |cscored AS (
+      |  SELECT cq.vec_id AS query_id, c.vec_id AS id,
+      |         (list_sum(list_transform(range(1, 65),
+      |            i -> cq.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+      |          (sqrt(list_sum(list_transform(range(1, 65),
+      |            i -> cq.embedding[i]::DOUBLE * cq.embedding[i]::DOUBLE))) *
+      |           sqrt(list_sum(list_transform(range(1, 65),
+      |            i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))))
+      |           AS score
+      |  FROM embeddings c, cq WHERE cq.vec_id <> c.vec_id),
+      |cr AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY score DESC, id) AS rn FROM cscored),
+      |u AS (
+      |  SELECT qid AS query_id, did AS doc_id, rank FROM r WHERE rank <= 10
+      |  UNION ALL
+      |  SELECT query_id, id AS doc_id, rn AS rank FROM cr WHERE rn <= 10),
+      |f AS (SELECT query_id, doc_id,
+      |        CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_e9,
+      |        count(*) AS n_lists
+      |      FROM u GROUP BY 1, 2),
+      |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY rrf_e9 DESC, doc_id) AS rank FROM f)
+      |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_e9, n_lists
+      |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
 
   // ------------------------------------- p81 length-bucketed batching
 
@@ -1591,6 +1645,7 @@ object CorpusQueries extends QueryGroup {
     "p76_span_corruption" -> p76,
     "p78_dedup_impact" -> p78,
     "p79_bm25_topk" -> p79,
-    "p81_length_batch_plan" -> p81
+    "p81_length_batch_plan" -> p81,
+    "p82_hybrid_rrf" -> p82
   )
 }

@@ -439,21 +439,12 @@ object PipelineQueries extends QueryGroup {
       |FROM top WHERE rank <= 3
       |ORDER BY vec_id, rank""".stripMargin))
 
-  private val p63 = QueryDef(
-    // Mutual-kNN graph clustering: reciprocated top-3 edges at cosine
-    // ≥0.2 → connected components; singletons are their own component.
-    // The oracle rebuilds the kNN graph, the mutuality join, and the
-    // components via a recursive transitive closure — a completely
-    // different components algorithm from the engine's union-find /
-    // min-label propagation.
-    (s, d) => {
-      val e = embs(s, d)
-      val centroids = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
-      Similarity.mutualKnnComponents(e, centroids, k = 3, minSim = 0.2)
-        .orderBy(col("vec_id"))
-    },
-    Some(s"""WITH RECURSIVE cent AS (
+  /** The mutual-kNN edge derivation (cent→…→m, ending in the
+   * reciprocated a<b edge list `m`) shared by p63 (components) and p83
+   * (PageRank): IVF cell assignment, cell-local top-3 at cosine ≥ 0.2,
+   * reciprocity join. Mirrors Similarity.mutualKnnEdges. */
+  private val mutualEdgeCte: String =
+    s"""cent AS (
       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
       |aff AS (
       |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
@@ -472,7 +463,23 @@ object PipelineQueries extends QueryGroup {
       |m AS (SELECT x.vec_id AS a, x.neighbor_id AS b
       |      FROM g x JOIN g y ON x.vec_id = y.neighbor_id
       |                       AND x.neighbor_id = y.vec_id
-      |      WHERE x.vec_id < x.neighbor_id),
+      |      WHERE x.vec_id < x.neighbor_id)""".stripMargin
+
+  private val p63 = QueryDef(
+    // Mutual-kNN graph clustering: reciprocated top-3 edges at cosine
+    // ≥0.2 → connected components; singletons are their own component.
+    // The oracle rebuilds the kNN graph, the mutuality join, and the
+    // components via a recursive transitive closure — a completely
+    // different components algorithm from the engine's union-find /
+    // min-label propagation.
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+      Similarity.mutualKnnComponents(e, centroids, k = 3, minSim = 0.2)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE $mutualEdgeCte,
       |sym AS (SELECT a AS src, b AS dst FROM m
       |        UNION ALL SELECT b AS src, a AS dst FROM m),
       |reach AS (
@@ -1379,6 +1386,52 @@ object PipelineQueries extends QueryGroup {
       |       sim >= 0.35 AS contaminated
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin))
 
+  // ------------------------------------------------- p83 graph PageRank
+
+  /** One PageRank superstep as SQL: previous ranks `$prev(node, rk)` →
+   * `(node, rk)`, in the same all-integer fixed-point arithmetic as
+   * GraphOps.pageRank (floor div contributions, 15/85 split). */
+  private def prStep(prev: String): String =
+    s"""SELECT d.src AS node, CAST(
+      |         (15 * (1000000000000 // nn.n)) // 100 +
+      |         (85 * coalesce(i.s, 0)) // 100 AS BIGINT) AS rk
+      |       FROM deg d CROSS JOIN nn
+      |       LEFT JOIN (SELECT y.dst, sum(r.rk // dg.deg) AS s
+      |                  FROM sym y JOIN $prev r ON r.node = y.src
+      |                       JOIN deg dg ON dg.src = y.src
+      |                  GROUP BY 1) i ON i.dst = d.src""".stripMargin
+
+  private val p83 = QueryDef(
+    // PageRank centrality over the mutual-kNN similarity graph (3
+    // fixed-point iterations, damping 85%): the representative-selection
+    // signal — within a near-dup or semantic cluster the highest-rank
+    // node is the best-connected exemplar. All-integer arithmetic end to
+    // end, so the oracle replays every superstep bit for bit (each
+    // iteration is the literal unrolled SQL of the engine's superstep).
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cembedding"))
+      graft.pipeline.GraphOps.pageRank(
+        Similarity.mutualKnnEdges(e, centroids, k = 3, minSim = 0.2),
+        "a", "b", iterations = 3)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH $mutualEdgeCte,
+      |sym AS (SELECT a AS src, b AS dst FROM m
+      |        UNION ALL SELECT b AS src, a AS dst FROM m),
+      |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM deg),
+      |r0 AS (SELECT src AS node, CAST(1000000000000 // nn.n AS BIGINT) AS rk
+      |       FROM deg CROSS JOIN nn),
+      |i1 AS (${prStep("r0")}),
+      |i2 AS (${prStep("i1")}),
+      |i3 AS (${prStep("i2")})
+      |SELECT i3.node AS vec_id, deg.deg, i3.rk AS rank_e12
+      |FROM i3 JOIN deg ON deg.src = i3.node
+      |ORDER BY vec_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
@@ -1419,6 +1472,7 @@ object PipelineQueries extends QueryGroup {
     "p37_pq_adc_topk" -> p37,
     "p39_hash_embedding" -> p39,
     "p75_embedding_audit" -> p75,
-    "p80_semantic_decontaminate" -> p80
+    "p80_semantic_decontaminate" -> p80,
+    "p83_knn_pagerank" -> p83
   )
 }

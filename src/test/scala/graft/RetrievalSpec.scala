@@ -77,4 +77,23 @@ class RetrievalSpec extends AnyFunSuite {
     // doc 3 first and nothing else (docs 1/2/5 share no term)
     assert(got.toSeq === Seq((1, 3L)))
   }
+
+  test("rrfFuse: agreement dominates, integer contribs, id tie-breaks") {
+    import spark.implicits._
+    // doc 10 and doc 20 swap ranks 1/2 across the lists (same fused
+    // total — tie must break to doc 10); docs 30/40 appear in one list
+    // each at rank 3 (same total; doc 30 wins the tie)
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 10L, 2), (1L, 40L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rrf_e9"), r.getAs[Long]("n_lists"))).sortBy(_._1)
+    val r61 = 1000000000L / 61; val r62 = 1000000000L / 62
+    val r63 = 1000000000L / 63
+    assert(got.toSeq === Seq(
+      (1, 10L, r61 + r62, 2L), (2, 20L, r61 + r62, 2L),
+      (3, 30L, r63, 1L), (4, 40L, r63, 1L)))
+  }
 }
