@@ -57,6 +57,10 @@ object Bench {
       // the BPE token relation p34/p70 share
       if (only.forall(n => n("p34_bpe_tokenize") || n("p70_bpe_fertility")))
         graft.queries.CorpusQueries.warmSharedBpe(spark, sfDir)
+      // the mutual-kNN edge relation p63/p83 share
+      if (only.forall(n => n("p63_mutual_knn_components") ||
+          n("p83_knn_pagerank")))
+        graft.queries.PipelineQueries.warmSharedGraph(spark, sfDir)
     } catch { case _: Throwable => }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     println(s"BENCHQ _warmup_shared ${fmt(warmupSec)}")

@@ -164,9 +164,14 @@ object Similarity {
   }
 
   def mutualKnnComponents(vecs: DataFrame, centroids: DataFrame, k: Int,
-      minSim: Double): DataFrame = {
-    val mutual = mutualKnnEdges(vecs, centroids, k, minSim)
-    val labels = graft.pipeline.DedupOps.dupLabels(mutual, "a", "b")
+      minSim: Double): DataFrame =
+    componentsFromEdges(vecs, mutualKnnEdges(vecs, centroids, k, minSim))
+
+  /** Component labeling over an already-derived (a, b) edge list —
+   * callers that share the edge relation across queries (p63/p83) pass
+   * the memoized edges instead of re-deriving the kNN graph. */
+  def componentsFromEdges(vecs: DataFrame, edges: DataFrame): DataFrame = {
+    val labels = graft.pipeline.DedupOps.dupLabels(edges, "a", "b")
       .select(col("node").as("vec_id"), col("label"))
     vecs.select(col("vec_id"))
       .join(labels, Seq("vec_id"), "left")

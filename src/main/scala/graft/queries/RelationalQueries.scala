@@ -595,6 +595,79 @@ object RelationalQueries extends QueryGroup {
       |                    AND o.o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** TPC-H Q7-shaped cross-region volume: revenue between supplier and
+   * customer nation blocs per ship year, through the full 4-table join
+   * chain (lineitem → supplier, → orders → customer). Revenue is the
+   * exact-integer e4 form (cents × (100 − disc-pct)) — no float sum
+   * anywhere — and the year comes from integer date parts.
+   * Shape at scale: ONE fact exchange (lineitem ⋈ orders on the order
+   * key, co-partitioned); supplier and customer dims broadcast; the
+   * final aggregation keys are 3 low-cardinality columns with map-side
+   * partials. This is the canonical multi-dim star join — the optimizer
+   * must NOT shuffle the fact table more than once. */
+  private val q13 = QueryDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"),
+        year(col("l_shipdate")).as("ship_year"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"))
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey"), (col("s_nationkey") % 2).as("supp_bloc"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), (col("c_nationkey") % 2).as("cust_bloc"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_bloc") =!= col("cust_bloc"))
+        .groupBy(col("supp_bloc"), col("cust_bloc"), col("ship_year"))
+        .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+        .orderBy(col("supp_bloc"), col("cust_bloc"), col("ship_year"))
+    },
+    Some("""SELECT CAST(s.s_nationkey % 2 AS INT) AS supp_bloc,
+      |       CAST(c.c_nationkey % 2 AS INT) AS cust_bloc,
+      |       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |         (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |         AS BIGINT) AS revenue_e4,
+      |       count(*) AS n_items
+      |FROM lineitem l, supplier s, orders o, customer c
+      |WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+      |  AND c.c_custkey = o.o_custkey
+      |  AND s.s_nationkey % 2 <> c.c_nationkey % 2
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
+  /** TPC-H Q13-shaped customer order-count distribution: LEFT join so
+   * zero-order customers survive into the c_count = 0 bucket, with the
+   * join predicate (not a WHERE filter) carrying the priority exclusion
+   * — the aggregate-of-aggregate histogram shape.
+   * Shape at scale: orders aggregate to per-customer counts on the
+   * customer key (one exchange, map-side partials); the second
+   * aggregation is histogram-scale. */
+  private val q14 = QueryDef(
+    (s, d) => {
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+      val perCust = t(s, d, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n_ord"), lit(0L)).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c.c_custkey,
+      |        CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      |      FROM customer c LEFT JOIN orders o
+      |        ON o.o_custkey = c.c_custkey
+      |        AND o.o_orderpriority <> '5-LOW'
+      |      GROUP BY 1)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "q1_pricing_summary" -> q1,
     "q2_best_supplier" -> q2,
@@ -603,6 +676,8 @@ object RelationalQueries extends QueryGroup {
     "q10_large_orders" -> q10,
     "q11_supplier_diversity" -> q11,
     "q12_dormant_value" -> q12,
+    "q13_bloc_volume" -> q13,
+    "q14_custdist" -> q14,
     "q6_window_suite" -> q6,
     "q7_top_supplier" -> q7,
     "q4_rollup_lattice" -> q4,

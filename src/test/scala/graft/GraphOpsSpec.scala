@@ -43,7 +43,7 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(1L)._1 === 1L && got(2L)._1 === 2L)
   }
 
-  test("seeded random graph matches the naive replay bit for bit") {
+  test("seeded random graph matches the naive replay bit for bit — both paths") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
     val edges = (0 until 60).map { _ =>
@@ -52,10 +52,19 @@ class GraphOpsSpec extends AnyFunSuite {
       while (b == a) b = rnd.nextInt(25).toLong
       (math.min(a, b), math.max(a, b))
     }.distinct
-    val got = GraphOps.pageRank(edges.toDF("a", "b"), "a", "b",
+    val exp = naive(edges, 3)
+    // measured-size fast path (single-task)
+    val local = GraphOps.pageRank(edges.toDF("a", "b"), "a", "b",
         iterations = 3)
       .collect().map(r => r.getAs[Long]("vec_id") ->
         r.getAs[Long]("rank_e12")).toMap
-    assert(got === naive(edges, 3))
+    assert(local === exp)
+    // distributed superstep path, forced by a zero threshold — must be
+    // bit-identical to the local loop
+    val dist = GraphOps.pageRank(edges.toDF("a", "b"), "a", "b",
+        iterations = 3, localMaxEdges = 0L)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("rank_e12")).toMap
+    assert(dist === exp)
   }
 }
