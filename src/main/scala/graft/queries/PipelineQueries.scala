@@ -997,6 +997,39 @@ object PipelineQueries extends QueryGroup {
       |       TRUE AS roundtrip
       |FROM h ORDER BY doc_id""".stripMargin))
 
+  /** The decoded-BMP 8×8 gray grid as SQL, ending in
+   * `gray(doc_id, i, j, g3)` — the shared downsample of p42 (aHash) and
+   * p84 (pHash): container geometry (stride, derived height),
+   * nearest-neighbor point sampling, 3-channel sum. */
+  private val bmpGray8Cte: String =
+    """g AS (
+      |  SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS w,
+      |         octet_length(encode(text)) AS len, text
+      |  FROM documents),
+      |h AS (SELECT *, CAST(((w * 3 + 3) // 4) * 4 AS INT) AS stride,
+      |             CAST((octet_length(encode(text)) + ((w * 3 + 3) // 4) * 4 - 1)
+      |               // (((w * 3 + 3) // 4) * 4) AS INT) AS hgt
+      |      FROM g),
+      |cell AS (
+      |  SELECT doc_id, w, hgt, stride, len, text, i, j,
+      |         ((2 * i + 1) * hgt) // 16 AS y,
+      |         ((2 * j + 1) * w) // 16 AS x
+      |  FROM h
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+      |gray AS (
+      |  SELECT doc_id, i, j,
+      |         (CASE WHEN y * stride + x * 3 < len
+      |               THEN ord(substr(text, CAST(y * stride + x * 3 + 1 AS INT), 1))
+      |               ELSE 0 END +
+      |          CASE WHEN y * stride + x * 3 + 1 < len
+      |               THEN ord(substr(text, CAST(y * stride + x * 3 + 2 AS INT), 1))
+      |               ELSE 0 END +
+      |          CASE WHEN y * stride + x * 3 + 2 < len
+      |               THEN ord(substr(text, CAST(y * stride + x * 3 + 3 AS INT), 1))
+      |               ELSE 0 END) AS g3
+      |  FROM cell)""".stripMargin
+
   private val p42 = QueryDef(
     // Perceptual feature over the DECODED image, not a stub: average-hash
     // (aHash) of each document's BMP — build the container, parse it
@@ -1035,33 +1068,7 @@ object PipelineQueries extends QueryGroup {
       }.toDF("doc_id", "width", "height", "ahash", "n_above")
         .orderBy(col("doc_id"))
     },
-    Some("""WITH g AS (
-      |  SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS w,
-      |         octet_length(encode(text)) AS len, text
-      |  FROM documents),
-      |h AS (SELECT *, CAST(((w * 3 + 3) // 4) * 4 AS INT) AS stride,
-      |             CAST((octet_length(encode(text)) + ((w * 3 + 3) // 4) * 4 - 1)
-      |               // (((w * 3 + 3) // 4) * 4) AS INT) AS hgt
-      |      FROM g),
-      |cell AS (
-      |  SELECT doc_id, w, hgt, stride, len, text, i, j,
-      |         ((2 * i + 1) * hgt) // 16 AS y,
-      |         ((2 * j + 1) * w) // 16 AS x
-      |  FROM h
-      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
-      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
-      |gray AS (
-      |  SELECT doc_id, i, j,
-      |         (CASE WHEN y * stride + x * 3 < len
-      |               THEN ord(substr(text, CAST(y * stride + x * 3 + 1 AS INT), 1))
-      |               ELSE 0 END +
-      |          CASE WHEN y * stride + x * 3 + 1 < len
-      |               THEN ord(substr(text, CAST(y * stride + x * 3 + 2 AS INT), 1))
-      |               ELSE 0 END +
-      |          CASE WHEN y * stride + x * 3 + 2 < len
-      |               THEN ord(substr(text, CAST(y * stride + x * 3 + 3 AS INT), 1))
-      |               ELSE 0 END) AS g3
-      |  FROM cell),
+    Some(s"""WITH $bmpGray8Cte,
       |tot AS (SELECT doc_id, sum(g3) AS s64 FROM gray GROUP BY doc_id),
       |bits AS (
       |  SELECT gray.doc_id, i, j,
@@ -1402,6 +1409,100 @@ object PipelineQueries extends QueryGroup {
       |       sim >= 0.35 AS contaminated
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin))
 
+  // --------------------------------------------------------- p84 pHash
+
+  /** Integer DCT-II basis at ×10⁶: B(u,i) = round(cos(π(2i+1)u/16)·10⁶).
+   * Computed ONCE in Scala and interpolated into the oracle as a VALUES
+   * table, so both engines share byte-identical integers and the whole
+   * pHash pipeline is exact BIGINT arithmetic — no float sum order, no
+   * libm cos divergence, anywhere. */
+  private val dctB: Array[Array[Long]] = Array.tabulate(8, 8)((u, i) =>
+    math.round(math.cos(math.Pi * (2 * i + 1) * u / 16.0) * 1000000.0))
+
+  private val dctBasisValues: String =
+    (for { u <- 0 until 8; i <- 0 until 8 }
+      yield s"($u, $i, ${dctB(u)(i)})").mkString(", ")
+
+  private val p84 = QueryDef(
+    // DCT perceptual hash (pHash) — the frequency-domain member of the
+    // perceptual trio beside p42's aHash (brightness) and p58's dHash
+    // (gradients): 8×8 integer 2D DCT-II of the decoded BMP's gray grid
+    // with the ×10⁶ integer basis, each non-DC coefficient thresholded
+    // against the 63-coefficient median (32nd order statistic — exact
+    // integers, so no float tie anywhere), packed MSB-first with the DC
+    // position always 0. Max |coef| ≈ 765·10¹²·64 ≪ 2⁶³, so BIGINT
+    // arithmetic is exact in both engines and summation order is
+    // irrelevant. One mapPartitions pass, zero shuffle.
+    (s, d) => {
+      import s.implicits._
+      val b = dctB
+      val in = docs(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+        .as[(Long, Array[Byte])]
+      in.mapPartitions { it =>
+        it.map { case (id, px) =>
+          val bmp = BmpCodec.build(16 + (id % 32).toInt, px)
+          val info = BmpCodec.parse(bmp)
+          val dataOffset = bmp.length - info.dataBytes
+          def bb(o: Int): Int = bmp(dataOffset + o) & 0xFF
+          val gray = Array.tabulate(8, 8) { (i, j) =>
+            val y = ((2 * i + 1) * info.height) / 16
+            val x = ((2 * j + 1) * info.width) / 16
+            val o = y * info.stride + x * 3
+            (bb(o) + bb(o + 1) + bb(o + 2)).toLong
+          }
+          val coef = Array.tabulate(8, 8) { (u, v) =>
+            var f = 0L; var i = 0
+            while (i < 8) {
+              var j = 0
+              while (j < 8) { f += gray(i)(j) * b(u)(i) * b(v)(j); j += 1 }
+              i += 1
+            }
+            f
+          }
+          val nz = (for { u <- 0 until 8; v <- 0 until 8
+            if u != 0 || v != 0 } yield coef(u)(v)).sorted
+          val med = nz(31) // the 32nd smallest of the 63 non-DC coefs
+          var packed = 0L; var nAbove = 0L
+          for { u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0 } {
+            if (coef(u)(v) > med) {
+              packed |= 1L << (63 - (u * 8 + v)); nAbove += 1
+            }
+          }
+          (id, info.width, info.height, f"$packed%016x", med, nAbove)
+        }
+      }.toDF("doc_id", "width", "height", "phash", "median_coef", "n_above")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH basis(u, i, b) AS (VALUES $dctBasisValues),
+      |$bmpGray8Cte,
+      |coef AS (
+      |  SELECT g.doc_id, bu.u AS u, bv.u AS v,
+      |         CAST(sum(CAST(g.g3 AS BIGINT) * CAST(bu.b AS BIGINT) *
+      |                  CAST(bv.b AS BIGINT)) AS BIGINT) AS f
+      |  FROM gray g JOIN basis bu ON bu.i = g.i
+      |       JOIN basis bv ON bv.i = g.j
+      |  GROUP BY 1, 2, 3),
+      |nz AS (SELECT * FROM coef WHERE NOT (u = 0 AND v = 0)),
+      |med AS (SELECT doc_id, f AS m FROM (
+      |          SELECT doc_id, f, row_number() OVER (
+      |            PARTITION BY doc_id ORDER BY f) AS rn FROM nz)
+      |        WHERE rn = 32),
+      |bits AS (SELECT nz.doc_id, u, v,
+      |           CASE WHEN f > m THEN 1 ELSE 0 END AS bit
+      |         FROM nz JOIN med USING (doc_id)),
+      |pk AS (SELECT doc_id,
+      |         CAST(sum(CAST(bit AS BIGINT) << (63 - (u * 8 + v)))
+      |           AS BIGINT) AS packed,
+      |         CAST(sum(bit) AS BIGINT) AS n_above
+      |       FROM bits GROUP BY 1)
+      |SELECT h.doc_id, h.w AS width, h.hgt AS height,
+      |       lpad(lower(to_hex(pk.packed)), 16, '0') AS phash,
+      |       med.m AS median_coef, pk.n_above
+      |FROM h JOIN pk ON pk.doc_id = h.doc_id
+      |     JOIN med ON med.doc_id = h.doc_id
+      |ORDER BY h.doc_id""".stripMargin))
+
   // ------------------------------------------------- p83 graph PageRank
 
   /** One PageRank superstep as SQL: previous ranks `$prev(node, rk)` →
@@ -1482,6 +1583,7 @@ object PipelineQueries extends QueryGroup {
     "p39_hash_embedding" -> p39,
     "p75_embedding_audit" -> p75,
     "p80_semantic_decontaminate" -> p80,
-    "p83_knn_pagerank" -> p83
+    "p83_knn_pagerank" -> p83,
+    "p84_image_phash" -> p84
   )
 }

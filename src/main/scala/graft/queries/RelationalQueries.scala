@@ -668,6 +668,52 @@ object RelationalQueries extends QueryGroup {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin))
 
+  /** TPC-H Q20-shaped dominance via correlated group-total: suppliers
+   * who shipped MORE THAN 15% of a part's total quantity — the
+   * "fraction of the group's aggregate" correlation. The oracle keeps
+   * the literal correlated scalar subquery (per-part total recomputed
+   * per row); the engine computes per-(part, supplier) and per-part
+   * aggregates from ONE scan sharing ONE part-key exchange and compares
+   * via integer cross-multiplication (qty·100 > total·15), no division.
+   * Shape at scale: the two aggregation levels are co-partitioned on
+   * the part key (the second is a partial re-agg of the first, no extra
+   * fact exchange); the comparison join is part-key co-located; the
+   * part dim broadcasts. */
+  private val q15 = QueryDef(
+    (s, d) => {
+      val ps = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("supp_qty"))
+      val tot = ps.groupBy(col("l_partkey"))
+        .agg(sum(col("supp_qty")).as("part_qty"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"))
+      ps.join(tot, Seq("l_partkey"))
+        .filter(col("supp_qty") * 100 > col("part_qty") * 15 &&
+          col("n_suppliers") > 1)
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey").as("partkey"), col("p_name"),
+          col("l_suppkey").as("suppkey"), col("supp_qty"),
+          col("part_qty"), col("n_suppliers"))
+        .orderBy(col("partkey"), col("suppkey"))
+    },
+    Some("""SELECT l.l_partkey AS partkey, p.p_name,
+      |       l.l_suppkey AS suppkey,
+      |       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS supp_qty,
+      |       (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+      |        FROM lineitem l2
+      |        WHERE l2.l_partkey = l.l_partkey) AS part_qty,
+      |       (SELECT count(DISTINCT l3.l_suppkey) FROM lineitem l3
+      |        WHERE l3.l_partkey = l.l_partkey) AS n_suppliers
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |GROUP BY l.l_partkey, p.p_name, l.l_suppkey
+      |HAVING sum(CAST(l.l_quantity AS BIGINT)) * 100 >
+      |       (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+      |        WHERE l2.l_partkey = l.l_partkey) * 15
+      |   AND (SELECT count(DISTINCT l3.l_suppkey) FROM lineitem l3
+      |        WHERE l3.l_partkey = l.l_partkey) > 1
+      |ORDER BY partkey, suppkey""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "q1_pricing_summary" -> q1,
     "q2_best_supplier" -> q2,
@@ -678,6 +724,7 @@ object RelationalQueries extends QueryGroup {
     "q12_dormant_value" -> q12,
     "q13_bloc_volume" -> q13,
     "q14_custdist" -> q14,
+    "q15_dominant_supplier" -> q15,
     "q6_window_suite" -> q6,
     "q7_top_supplier" -> q7,
     "q4_rollup_lattice" -> q4,

@@ -518,4 +518,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(22L) === ((0.0, 1L, false)))
     assert(got(23L) === ((0.0, 0L, false)))
   }
+
+  test("pHash: near-identical images land closer than unrelated ones") {
+    import TestSpark.spark
+    // run the declared query on a synthetic 4-doc corpus laid out like
+    // the fixture: doc 0/1 near-identical (one byte differs), doc 2
+    // unrelated, doc 3 = doc 0 exactly
+    val dir = graft.Scratch.freshDir("phash-spec")
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(600)((32 + rnd.nextInt(90)).toChar).mkString
+    val near = base.updated(300, if (base(300) == 'a') 'b' else 'a')
+    val far = Array.fill(600)((32 + rnd.nextInt(90)).toChar).mkString
+    // ids all ≡ 0 (mod 32) so every image shares the same width/geometry
+    // — the BMP width is a function of the doc id in the declared query
+    Seq((0L, base, "en", "s", base.length),
+        (32L, base, "en", "s", base.length),
+        (64L, near, "en", "s", near.length),
+        (96L, far, "en", "s", far.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("p84_image_phash")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("phash")).toMap
+    def ham(a: String, b: String): Int =
+      java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(a, 16) ^
+          java.lang.Long.parseUnsignedLong(b, 16))
+    assert(rows(0L) === rows(32L), "identical bytes, identical hash")
+    assert(ham(rows(0L), rows(64L)) < ham(rows(0L), rows(96L)),
+      s"near ${ham(rows(0L), rows(64L))} !< far ${ham(rows(0L), rows(96L))}")
+    // the DC position (bit 63) is excluded by construction
+    rows.values.foreach(h =>
+      assert(Integer.parseInt(h.substring(0, 1), 16) < 8, h))
+  }
 }
