@@ -714,6 +714,48 @@ object RelationalQueries extends QueryGroup {
       |        WHERE l3.l_partkey = l.l_partkey) > 1
       |ORDER BY partkey, suppkey""".stripMargin))
 
+  /** TPC-H Q19-shaped disjunctive predicate: revenue under an
+   * OR-of-AND-blocks filter mixing part attributes and lineitem
+   * quantity ranges — the shape that tests whether the optimizer keeps
+   * a broadcast hash join with the residual disjunction instead of
+   * degenerating to a nested-loop, and pushes the per-table conjuncts
+   * it can factor out (brand/size reach the part scan). Revenue in
+   * exact e4 integers.
+   * Shape at scale: part dim broadcasts; the fact table is scanned once
+   * with the quantity disjuncts evaluated in the scan; one 3-group
+   * aggregation with map-side partials. */
+  private val q16 = QueryDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val part = t(s, d, "part")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(5, 20) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#4" && col("p_size").between(10, 40) &&
+            col("l_quantity").between(20, 50)))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("revenue_e4"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n_items,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         AS BIGINT) AS revenue_e4
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 5 AND 20
+      |       AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 10 AND 40
+      |       AND l_quantity BETWEEN 20 AND 50)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "q1_pricing_summary" -> q1,
     "q2_best_supplier" -> q2,
@@ -725,6 +767,7 @@ object RelationalQueries extends QueryGroup {
     "q13_bloc_volume" -> q13,
     "q14_custdist" -> q14,
     "q15_dominant_supplier" -> q15,
+    "q16_disjunctive_revenue" -> q16,
     "q6_window_suite" -> q6,
     "q7_top_supplier" -> q7,
     "q4_rollup_lattice" -> q4,

@@ -78,4 +78,44 @@ class PlanShapeSpec extends AnyFunSuite {
     // own hash aggregations, never to meet the benchmark
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q11: exclusion list and part dim broadcast around the distinct agg") {
+    val plan = planOf("q11_supplier_diversity")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the NOT IN rewrite must be a broadcast ANTI join, not a shuffle
+    assert(plan.contains("BroadcastHashJoin LeftAnti") ||
+      plan.contains("LeftAnti, BuildRight"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q13: the star join pays one fact exchange; dims broadcast") {
+    val plan = planOf("q13_bloc_volume")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // supplier and customer broadcast; lineitem-orders may SMJ or
+    // broadcast depending on stats, but NOTHING may serialize
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("Exchange SinglePartition".r.findAllIn(plan).isEmpty, plan)
+  }
+
+  test("q15: both aggregation levels share the part-key exchange") {
+    val plan = planOf("q15_dominant_supplier")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the per-(part,supplier) agg shuffles on (part, supp); the
+    // per-part re-agg and the comparison join must NOT introduce a
+    // single-partition stage
+    assert("Exchange SinglePartition".r.findAllIn(plan).isEmpty, plan)
+  }
+
+  test("q16: disjunctive predicate keeps the broadcast hash join") {
+    val plan = planOf("q16_disjunctive_revenue")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the OR-of-ANDs must ride the equi-join as a residual filter, not
+    // degrade the join itself to a nested loop
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
