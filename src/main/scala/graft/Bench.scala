@@ -61,6 +61,9 @@ object Bench {
       if (only.forall(n => n("p63_mutual_knn_components") ||
           n("p83_knn_pagerank")))
         graft.queries.PipelineQueries.warmSharedGraph(spark, sfDir)
+      // the BM25 top-10 ranking p79/p82 share
+      if (only.forall(n => n("p79_bm25_topk") || n("p82_hybrid_rrf")))
+        graft.queries.CorpusQueries.warmSharedBm25(spark, sfDir)
     } catch { case _: Throwable => }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     println(s"BENCHQ _warmup_shared ${fmt(warmupSec)}")
