@@ -32,7 +32,9 @@ object Multimodal {
       col("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("bytes"))
+      // NULL text wraps as the empty asset (the library-wide NULL==""
+      // convention); a null bytes column would NPE every decoder
+      encode(coalesce(col("text"), lit("")), "UTF-8").as("bytes"))
 
   /**
    * STUB decoder — deterministic pseudo-decode so the distributed plumbing

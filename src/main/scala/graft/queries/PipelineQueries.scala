@@ -904,7 +904,7 @@ object PipelineQueries extends QueryGroup {
     (s, d) => Multimodal.decodeDocuments(docs(s, d)).orderBy(col("doc_id")),
     Some(s"""WITH a AS (
       |  SELECT doc_id, $mediaTypeSql AS media_type,
-      |         octet_length(encode(text)) AS byte_len, text
+      |         octet_length(encode(coalesce(text, ''))) AS byte_len, coalesce(text, '') AS text
       |  FROM documents)
       |SELECT doc_id, media_type, byte_len,
       |       CAST(64 + byte_len % 512 AS INT) AS width,
@@ -918,7 +918,7 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_id"), col("frame_idx")),
     Some(s"""SELECT doc_id, $mediaTypeSql AS media_type,
       |       CAST(i AS INT) AS frame_idx,
-      |       upper(hex(encode(substring(text, 1 + 8 * i, 4)))) AS frame_token
+      |       upper(hex(encode(substring(coalesce(text, ''), 1 + 8 * i, 4)))) AS frame_token
       |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
       |ORDER BY doc_id, frame_idx""".stripMargin))
 
@@ -933,7 +933,7 @@ object PipelineQueries extends QueryGroup {
     (s, d) => {
       import s.implicits._
       val in = docs(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm"))
+        .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("pcm"))
         .as[(Long, Array[Byte])]
       in.mapPartitions { it =>
         it.map { case (id, pcm) =>
@@ -948,11 +948,11 @@ object PipelineQueries extends QueryGroup {
     },
     Some("""SELECT doc_id,
       |       CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
-      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
-      |       CAST(octet_length(encode(text)) * 1000
+      |       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_samples,
+      |       CAST(octet_length(encode(coalesce(text, ''))) * 1000
       |            // (8000 + (doc_id % 8) * 1000) AS BIGINT) AS duration_ms,
       |       md5(text) AS pcm_md5,
-      |       CAST(44 + octet_length(encode(text)) AS INT) AS file_bytes
+      |       CAST(44 + octet_length(encode(coalesce(text, ''))) AS INT) AS file_bytes
       |FROM documents ORDER BY doc_id""".stripMargin))
 
   private val p20 = QueryDef(
@@ -964,7 +964,7 @@ object PipelineQueries extends QueryGroup {
     (s, d) => {
       import s.implicits._
       val in = docs(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+        .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("px"))
         .as[(Long, Array[Byte])]
       in.mapPartitions { it =>
         it.map { case (id, px) =>
@@ -984,7 +984,7 @@ object PipelineQueries extends QueryGroup {
     Some("""WITH g AS (
       |  SELECT doc_id,
       |         CAST(16 + doc_id % 32 AS INT) AS width,
-      |         octet_length(encode(text)) AS len
+      |         octet_length(encode(coalesce(text, ''))) AS len
       |  FROM documents),
       |h AS (
       |  SELECT doc_id, width,
@@ -1004,10 +1004,10 @@ object PipelineQueries extends QueryGroup {
   private val bmpGray8Cte: String =
     """g AS (
       |  SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS w,
-      |         octet_length(encode(text)) AS len, text
+      |         octet_length(encode(coalesce(text, ''))) AS len, coalesce(text, '') AS text
       |  FROM documents),
       |h AS (SELECT *, CAST(((w * 3 + 3) // 4) * 4 AS INT) AS stride,
-      |             CAST((octet_length(encode(text)) + ((w * 3 + 3) // 4) * 4 - 1)
+      |             CAST((octet_length(encode(coalesce(text, ''))) + ((w * 3 + 3) // 4) * 4 - 1)
       |               // (((w * 3 + 3) // 4) * 4) AS INT) AS hgt
       |      FROM g),
       |cell AS (
@@ -1044,14 +1044,17 @@ object PipelineQueries extends QueryGroup {
     (s, d) => {
       import s.implicits._
       val in = docs(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+        .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("px"))
         .as[(Long, Array[Byte])]
       in.mapPartitions { it =>
         it.map { case (id, px) =>
           val bmp = BmpCodec.build(16 + (id % 32).toInt, px)
           val info = BmpCodec.parse(bmp)
           val dataOffset = bmp.length - info.dataBytes
-          def b(o: Int): Int = bmp(dataOffset + o) & 0xFF
+          // reads past the data block are 0 — the oracle's ELSE 0 arm
+          // (an empty payload yields a 0-row image)
+          def b(o: Int): Int =
+            if (o < info.dataBytes) bmp(dataOffset + o) & 0xFF else 0
           val gray = Array.tabulate(8, 8) { (i, j) =>
             val y = ((2 * i + 1) * info.height) / 16
             val x = ((2 * j + 1) * info.width) / 16
@@ -1102,7 +1105,7 @@ object PipelineQueries extends QueryGroup {
       import s.implicits._
       val frame = 100
       val in = docs(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm"))
+        .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("pcm"))
         .as[(Long, Array[Byte])]
       in.mapPartitions { it =>
         it.map { case (id, pcm) =>
@@ -1139,7 +1142,8 @@ object PipelineQueries extends QueryGroup {
     Some("""WITH s AS (
       |  SELECT doc_id, CAST(pos AS INT) AS pos,
       |         ord(substr(text, CAST(pos AS INT), 1)) - 128 AS v
-      |  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS pos
+      |  FROM (SELECT doc_id, coalesce(text, '') AS text,
+      |          unnest(range(1, len(coalesce(text, '')) + 1)) AS pos
       |        FROM documents)),
       |f AS (SELECT doc_id, (pos - 1) // 100 AS frame,
       |             sum(CAST(v AS BIGINT) * v) AS ssq
@@ -1180,7 +1184,7 @@ object PipelineQueries extends QueryGroup {
       import s.implicits._
       val thr = 16; val minLen = 3
       val in = docs(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm"))
+        .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("pcm"))
         .as[(Long, Array[Byte])]
       in.mapPartitions { it =>
         it.map { case (id, pcm) =>
@@ -1215,8 +1219,8 @@ object PipelineQueries extends QueryGroup {
     Some("""WITH s AS (
       |  SELECT doc_id, pos,
       |         abs(ord(substr(text, pos, 1)) - 128) <= 16 AS sil
-      |  FROM (SELECT doc_id, text,
-      |          CAST(unnest(range(1, len(text) + 1)) AS INT) AS pos
+      |  FROM (SELECT doc_id, coalesce(text, '') AS text,
+      |          CAST(unnest(range(1, len(coalesce(text, '')) + 1)) AS INT) AS pos
       |        FROM documents)),
       |r AS (SELECT doc_id, pos, sil,
       |        pos - row_number() OVER (
@@ -1225,7 +1229,7 @@ object PipelineQueries extends QueryGroup {
       |runs AS (SELECT doc_id, min(pos) AS a, max(pos) AS b,
       |           count(*) AS len
       |         FROM r WHERE sil GROUP BY doc_id, grp),
-      |nn AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_samples
+      |nn AS (SELECT doc_id, CAST(len(coalesce(text, '')) AS BIGINT) AS n_samples
       |       FROM documents),
       |agg AS (SELECT runs.doc_id,
       |          sum(len) AS n_silent,
@@ -1267,14 +1271,17 @@ object PipelineQueries extends QueryGroup {
     (s, d) => {
       import s.implicits._
       val in = docs(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+        .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("px"))
         .as[(Long, Array[Byte])]
       val hashed = in.mapPartitions { it =>
         it.map { case (id, px) =>
           val bmp = BmpCodec.build(16 + (id % 32).toInt, px)
           val info = BmpCodec.parse(bmp)
           val dataOffset = bmp.length - info.dataBytes
-          def b(o: Int): Int = bmp(dataOffset + o) & 0xFF
+          // reads past the data block are 0 — the oracle's ELSE 0 arm
+          // (an empty payload yields a 0-row image)
+          def b(o: Int): Int =
+            if (o < info.dataBytes) bmp(dataOffset + o) & 0xFF else 0
           def gray(i: Int, j: Int): Int = {
             val y = ((2 * i + 1) * info.height) / 16
             val x = ((2 * j + 1) * info.width) / 16
@@ -1293,10 +1300,10 @@ object PipelineQueries extends QueryGroup {
     },
     Some("""WITH g AS (
       |  SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS w,
-      |         octet_length(encode(text)) AS len, text
+      |         octet_length(encode(coalesce(text, ''))) AS len, coalesce(text, '') AS text
       |  FROM documents),
       |h AS (SELECT *, CAST(((w * 3 + 3) // 4) * 4 AS INT) AS stride,
-      |             CAST((octet_length(encode(text)) + ((w * 3 + 3) // 4) * 4 - 1)
+      |             CAST((octet_length(encode(coalesce(text, ''))) + ((w * 3 + 3) // 4) * 4 - 1)
       |               // (((w * 3 + 3) // 4) * 4) AS INT) AS hgt
       |      FROM g),
       |cell AS (
@@ -1437,14 +1444,17 @@ object PipelineQueries extends QueryGroup {
       import s.implicits._
       val b = dctB
       val in = docs(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+        .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("px"))
         .as[(Long, Array[Byte])]
       in.mapPartitions { it =>
         it.map { case (id, px) =>
           val bmp = BmpCodec.build(16 + (id % 32).toInt, px)
           val info = BmpCodec.parse(bmp)
           val dataOffset = bmp.length - info.dataBytes
-          def bb(o: Int): Int = bmp(dataOffset + o) & 0xFF
+          // reads past the data block are 0 — the oracle's ELSE 0 arm
+          // (an empty payload yields a 0-row image)
+          def bb(o: Int): Int =
+            if (o < info.dataBytes) bmp(dataOffset + o) & 0xFF else 0
           val gray = Array.tabulate(8, 8) { (i, j) =>
             val y = ((2 * i + 1) * info.height) / 16
             val x = ((2 * j + 1) * info.width) / 16

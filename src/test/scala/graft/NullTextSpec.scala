@@ -91,4 +91,34 @@ class NullTextSpec extends AnyFunSuite {
     // dup of the empty family whose rep is doc 0)
     assert(imp("b") === ((2L, 1L, 10L, 9L, 900000L)))
   }
+
+  test("session-6 ops are total over null text") {
+    import graft.pipeline.Retrieval
+    // BM25: a null-text query doc has no terms → retrieves nothing; a
+    // null-text corpus doc has no postings → never retrieved; neither
+    // crashes, and N still counts all 4 docs (verified indirectly: doc 2
+    // self-query excluded, so the only possible pair is absent)
+    val bm = Retrieval.bm25TopK(mixed, mixed, "doc_id", "text", k = 5)
+      .collect()
+    assert(bm.isEmpty) // doc 2 is the only doc with words; self excluded
+    // length-bucketed batching: every doc gets a bucket (split("") = [""]
+    // → 1 token, the library convention); nothing dropped, ppm total
+    val plan = CorpusOps.lengthBucketedBatchPlan(mixed, "doc_id", "text",
+      nBuckets = 2, batchSize = 2).collect()
+    assert(plan.map(_.getAs[Long]("n_docs")).sum === 4L)
+    plan.foreach(r => assert(!r.isNullAt(r.fieldIndex("waste_ppm"))))
+    // pHash: null text builds the empty image exactly like "" (same
+    // geometry, same all-background hash); no crash, no null hash
+    val dir = graft.Scratch.freshDir("null-phash")
+    mixed.withColumn("lang", lit("en"))
+      .withColumn("n_chars", lit(0))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ph = SparkEntry.queries("p84_image_phash")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("phash")).toMap
+    assert(ph.size === 4)
+    assert(ph(0L) === ph(1L), "null and empty must hash identically")
+    ph.values.foreach(h => assert(h != null && h.length === 16))
+  }
 }
