@@ -756,6 +756,223 @@ object RelationalQueries extends QueryGroup {
       |       AND l_quantity BETWEEN 20 AND 50)
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
 
+  /** TPC-H Q5-shaped local-supplier volume: revenue per nation where the
+   * supplier and the ordering customer share a nation — the 6-table
+   * snowflake (lineitem → orders → customer → nation → region, plus
+   * supplier) with the equi-constraint c_nationkey = s_nationkey.
+   * Revenue in exact e4 integers.
+   * Shape at scale: ONE fact exchange (lineitem ⋈ orders on the order
+   * key); supplier, customer, nation, region all broadcast; the
+   * nation-level aggregate has map-side partials. The
+   * same-nation predicate is evaluated as a residual on the broadcast
+   * joins — the fact table never shuffles on a dimension key. */
+  private val q17 = QueryDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"))
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_e4").desc, col("n_name"))
+    },
+    Some("""SELECT r_name, n_name,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         AS BIGINT) AS revenue_e4,
+      |       count(*) AS n_items
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY r_name, n_name
+      |ORDER BY revenue_e4 DESC, n_name""".stripMargin))
+
+  /** TPC-H Q14-shaped promotion effect: the revenue share of PROMO parts
+   * per ship year, as an integer PPM ratio (promo_e4 × 10⁶ div total_e4)
+   * — the conditional-aggregate-over-one-scan shape. No float division:
+   * both operands are exact integer sums, so the quotient is a single
+   * deterministic integer division on each engine.
+   * Shape at scale: part dim broadcasts; one fact scan; a year-keyed
+   * aggregate with map-side partials; the PPM arithmetic is
+   * output-scale. */
+  private val q18 = QueryDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(
+        year(col("l_shipdate")).as("ship_year"), col("l_partkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"))
+      val part = t(s, d, "part")
+        .select(col("p_partkey"), col("p_type").startsWith("PROMO").as("promo"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("ship_year"))
+        .agg(sum(when(col("promo"), col("rev_e4")).otherwise(0L))
+            .as("promo_e4"),
+          sum(col("rev_e4")).as("total_e4"))
+        .withColumn("promo_ppm",
+          expr("(promo_e4 * 1000000) div total_e4"))
+        .orderBy(col("ship_year"))
+    },
+    Some("""SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+      |       CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+      |           CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |         ELSE 0 END) AS BIGINT) AS promo_e4,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         AS BIGINT) AS total_e4,
+      |       CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+      |           CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |         ELSE 0 END) * 1000000 //
+      |         sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         AS BIGINT) AS promo_ppm
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** TPC-H Q17-shaped small-quantity revenue: lineitems of Brand#2 parts
+   * whose quantity is below 20% of that part's average quantity — the
+   * correlated-average correlation. The oracle keeps the literal
+   * correlated scalar subquery; the engine computes the per-part
+   * (count, sum) aggregate once and compares by integer
+   * CROSS-MULTIPLICATION (qty × n × 5 < sum), so no float quotient
+   * exists on either engine.
+   * Shape at scale: the per-part aggregate shares the fact's part-key
+   * exchange; the filtered part dim broadcasts into both the aggregate
+   * and the final join; the qualifying-lines aggregate is per-brand
+   * (output-scale). */
+  private val q19 = QueryDef(
+    (s, d) => {
+      val brand = t(s, d, "part")
+        .filter(col("p_brand").isin("Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"))
+      val li = t(s, d, "lineitem").select(col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+        .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n_li"), sum(col("qty")).as("sum_qty"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("qty") * col("n_li") * 5 < col("sum_qty"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("price_cents")).as("revenue_cents"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n_small,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |         AS BIGINT) AS revenue_cents
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand IN ('Brand#2', 'Brand#3')
+      |  AND CAST(l.l_quantity AS BIGINT) *
+      |      (SELECT count(*) FROM lineitem l2
+      |       WHERE l2.l_partkey = l.l_partkey) * 5 <
+      |      (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+      |       WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
+  /** TPC-H Q11-shaped important-stock cut: parts whose total revenue
+   * exceeds 1.5× the per-part AVERAGE revenue — the
+   * HAVING-against-global-scalar shape, with a scale-invariant
+   * threshold (a fixed fraction-of-total cut degenerates as the part
+   * count grows). The oracle keeps the literal scalar subqueries; the
+   * engine re-aggregates the per-part relation into the 1-row global
+   * (count, total) stats (no second fact scan) and broadcasts it; the
+   * comparison is integer cross-multiplication
+   * (part_e4 × n_parts × 2 > total_e4 × 3), no division.
+   * Shape at scale: one fact exchange on the part key; the global stats
+   * are a re-agg of the per-part relation; the filter drops everything
+   * below the cut before the (broadcast) name join. */
+  private val q20 = QueryDef(
+    (s, d) => {
+      val perPart = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("part_e4"))
+      val stats = perPart.agg(count(lit(1)).as("n_parts"),
+        sum(col("part_e4")).as("total_e4"))
+      perPart.crossJoin(broadcast(stats))
+        .filter(col("part_e4") * col("n_parts") * 2 > col("total_e4") * 3)
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey").as("partkey"), col("p_name"),
+          col("part_e4"))
+        .orderBy(col("part_e4").desc, col("partkey"))
+    },
+    Some("""WITH pp AS (
+      |  SELECT l_partkey,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |           AS BIGINT) AS part_e4
+      |  FROM lineitem GROUP BY 1)
+      |SELECT pp.l_partkey AS partkey, p.p_name, pp.part_e4
+      |FROM pp JOIN part p ON p.p_partkey = pp.l_partkey
+      |WHERE pp.part_e4 * (SELECT count(*) FROM pp) * 2 >
+      |      (SELECT sum(part_e4) FROM pp) * 3
+      |ORDER BY part_e4 DESC, partkey""".stripMargin))
+
+  /** TPC-H Q10-shaped returned-item report: top 20 customers by revenue
+   * on returned lines (l_returnflag = 'R'), enriched with the nation
+   * dim — the classic top-k-over-join reporting query.
+   * Shape at scale: the returnflag filter reaches the fact scan; ONE
+   * fact exchange (lineitem ⋈ orders on the order key); customer and
+   * nation broadcast; the per-customer aggregate carries map-side
+   * partials and the top-20 is a TakeOrdered, never a global sort. */
+  private val q21 = QueryDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_e4"))
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1997-06-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev_e4")).as("revenue_e4"),
+          count(lit(1)).as("n_returned"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+          col("revenue_e4"), col("n_returned"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey")).limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+      |       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         AS BIGINT) AS revenue_e4,
+      |       count(*) AS n_returned
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |  AND o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name, c_acctbal
+      |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "q1_pricing_summary" -> q1,
     "q2_best_supplier" -> q2,
@@ -768,6 +985,11 @@ object RelationalQueries extends QueryGroup {
     "q14_custdist" -> q14,
     "q15_dominant_supplier" -> q15,
     "q16_disjunctive_revenue" -> q16,
+    "q17_regional_volume" -> q17,
+    "q18_promo_revenue" -> q18,
+    "q19_small_qty_revenue" -> q19,
+    "q20_top_value_parts" -> q20,
+    "q21_returned_customers" -> q21,
     "q6_window_suite" -> q6,
     "q7_top_supplier" -> q7,
     "q4_rollup_lattice" -> q4,
