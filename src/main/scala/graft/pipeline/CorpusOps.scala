@@ -1296,4 +1296,75 @@ object CorpusOps {
         col("n_batches"), col("real_tokens"), col("padded_tokens"),
         col("waste_ppm"))
   }
+
+  /**
+   * Multinomial Naive Bayes text classifier (add-one smoothing, the
+   * McCallum & Nigam 1998 event model), trained and applied in one plan
+   * — the classic lightweight language-/domain-ID pass a curation
+   * pipeline runs when the lexicon heuristic ([[TextOps]] language ID)
+   * needs a trained replacement. Per-token log-likelihoods are rounded
+   * to ×10⁴ integers BEFORE the per-(doc, label) sum (the p49
+   * convention), so partial-aggregation order can never move a score,
+   * and the absent-word case is algebra, not a materialized grid:
+   * score(d, l) = prior(l) + n_tokens(d)·lp₀(l) + Σ_present (lp(w,l) −
+   * lp₀(l)) where lp₀ is the unseen-word log-likelihood — only combos
+   * with a positive count ever exist as rows. Prediction ties break to
+   * the lexicographically smaller label.
+   *
+   * Shape at 100 TB: training is one token explode feeding two hash
+   * aggs (label totals, (label, word) counts — vocab-scale output with
+   * map-side partials); scoring joins the exploded corpus against the
+   * vocab-scale model on the word key (broadcast when it fits, shuffle
+   * join co-keyed on the word otherwise) and re-aggregates on the doc
+   * key; the label dimension (|labels| rows) broadcasts. The corpus is
+   * never shuffled wide, and nothing is driver-side.
+   */
+  def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("did"),
+      col(labelCol).as("actual"),
+      filter(TextOps.words(col(textCol)), w => length(w) > 0).as("ws"))
+    val toks = graft.CacheScope.track(
+      base.select(col("did"), col("actual"), explode(col("ws")).as("w")))
+    val nDocs = df.groupBy(col(labelCol).as("lab"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nTotal = df.agg(count(lit(1)).as("n_total"))
+    val tots = toks.groupBy(col("actual").as("lab"))
+      .agg(count(lit(1)).as("tot"))
+    val vocab = toks.agg(countDistinct(col("w")).as("vsz"))
+    // |labels|-row dimension: doc prior + unseen-word log-likelihood
+    val lab = nDocs.join(tots, Seq("lab"))
+      .crossJoin(nTotal).crossJoin(vocab)
+      .select(col("lab"), col("tot"),
+        round(log(col("n_docs").cast("double") / col("n_total")) * 10000.0, 0)
+          .cast("long").as("prior_lp"),
+        round(log(lit(1.0) / (col("tot") + col("vsz"))) * 10000.0, 0)
+          .cast("long").as("slp0"))
+    // present (label, word) combos only, as deltas vs the unseen case
+    val model = toks.groupBy(col("actual").as("lab"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(lab.select(col("lab"), col("tot"), col("slp0"))),
+        Seq("lab"))
+      .crossJoin(vocab)
+      .select(col("lab"), col("w"),
+        (round(log((col("c") + lit(1.0)) / (col("tot") + col("vsz"))) *
+          10000.0, 0).cast("long") - col("slp0")).as("dlp"))
+    val deltas = toks.join(model, Seq("w"))
+      .groupBy(col("did"), col("lab"))
+      .agg(sum(col("dlp")).as("d"))
+    val scored = base.select(col("did"), col("actual"),
+        size(col("ws")).cast("long").as("n_tok"))
+      .crossJoin(broadcast(lab.select(col("lab"), col("prior_lp"),
+        col("slp0"))))
+      .join(deltas, Seq("did", "lab"), "left")
+      .select(col("did"), col("actual"), col("lab"),
+        (col("prior_lp") + col("n_tok") * col("slp0") +
+          coalesce(col("d"), lit(0L))).as("score"))
+    val rn = row_number().over(Window.partitionBy(col("did"))
+      .orderBy(col("score").desc, col("lab")))
+    scored.withColumn("rn", rn).where(col("rn") === 1)
+      .select(col("did").as(idCol), col("actual").as(labelCol),
+        col("lab").as("pred_label"), col("score"),
+        (col("lab") === col("actual")).as("correct"))
+  }
 }

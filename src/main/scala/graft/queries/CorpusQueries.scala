@@ -1618,6 +1618,58 @@ object CorpusQueries extends QueryGroup {
       |         AS BIGINT) AS waste_ppm
       |FROM bt GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val p85 = QueryDef(
+    // Multinomial Naive Bayes language classifier, trained on the
+    // corpus's own lang labels and applied back to every document
+    // (add-one smoothing; ×10⁴-integer log-likelihoods summed per
+    // (doc, label); ties to the smaller label). The engine computes
+    // absent-word mass by algebra (n_tok·lp₀ + present deltas); the
+    // oracle materializes the same scores from the raw (label, word)
+    // counts with the identical rounding — two independent routes to
+    // the same integer argmax.
+    (s, d) => CorpusOps.naiveBayesClassify(docs(s, d), "doc_id", "text",
+      "lang").orderBy(col("doc_id")),
+    Some(s"""WITH tok AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_filter($WORDS, w -> length(w) > 0)) AS w
+      |  FROM documents),
+      |nd AS (SELECT lang AS lab, count(*) AS n_docs FROM documents
+      |       GROUP BY 1),
+      |ntot AS (SELECT count(*) AS n_total FROM documents),
+      |tots AS (SELECT lang AS lab, count(*) AS tot FROM tok GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS vsz FROM tok),
+      |lab AS (
+      |  SELECT nd.lab, tots.tot,
+      |         CAST(round(ln(nd.n_docs * 1.0 / ntot.n_total) * 10000)
+      |           AS BIGINT) AS prior_lp,
+      |         CAST(round(ln(1.0 / (tots.tot + v.vsz)) * 10000)
+      |           AS BIGINT) AS slp0
+      |  FROM nd, tots, ntot, v WHERE tots.lab = nd.lab),
+      |wl AS (SELECT lang AS lab, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      |model AS (
+      |  SELECT wl.lab, wl.w,
+      |         CAST(round(ln((wl.c + 1.0) / (lab.tot + v.vsz)) * 10000)
+      |           AS BIGINT) - lab.slp0 AS dlp
+      |  FROM wl, lab, v WHERE wl.lab = lab.lab),
+      |ntok AS (
+      |  SELECT doc_id, lang AS actual,
+      |         len(list_filter($WORDS, w -> length(w) > 0)) AS n_tok
+      |  FROM documents),
+      |delta AS (
+      |  SELECT t.doc_id, m.lab, CAST(sum(m.dlp) AS BIGINT) AS d
+      |  FROM tok t JOIN model m ON m.w = t.w GROUP BY 1, 2),
+      |score AS (
+      |  SELECT nt.doc_id, nt.actual, l.lab,
+      |         l.prior_lp + nt.n_tok * l.slp0 + coalesce(d.d, 0) AS sc
+      |  FROM ntok nt CROSS JOIN lab l
+      |  LEFT JOIN delta d ON d.doc_id = nt.doc_id AND d.lab = l.lab),
+      |rk AS (SELECT *, row_number() OVER (
+      |         PARTITION BY doc_id ORDER BY sc DESC, lab) AS rn
+      |       FROM score)
+      |SELECT doc_id, actual AS lang, lab AS pred_label,
+      |       CAST(sc AS BIGINT) AS score, (lab = actual) AS correct
+      |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -1659,6 +1711,7 @@ object CorpusQueries extends QueryGroup {
     "p78_dedup_impact" -> p78,
     "p79_bm25_topk" -> p79,
     "p81_length_batch_plan" -> p81,
-    "p82_hybrid_rrf" -> p82
+    "p82_hybrid_rrf" -> p82,
+    "p85_nb_classify" -> p85
   )
 }

@@ -1552,6 +1552,41 @@ object PipelineQueries extends QueryGroup {
       |FROM i3 JOIN deg ON deg.src = i3.node
       |ORDER BY vec_id""".stripMargin))
 
+  private val p86 = QueryDef(
+    // Triangle census of the mutual-kNN similarity graph: per-node
+    // triangle count + local clustering coefficient in integer ppm —
+    // the cohesion diagnostic that separates closed near-dup cliques
+    // from hub-and-spoke artifacts. The engine enumerates each triangle
+    // once in a<b<c orientation (wedge join + closure semi-join); the
+    // oracle re-enumerates them in SQL from the same reciprocated edge
+    // relation and replays the ppm arithmetic.
+    (s, d) => graft.pipeline.GraphOps.triangleStats(
+        embs(s, d), "vec_id", mutualEdgesShared(s, d), "a", "b")
+      .orderBy(col("vec_id")),
+    Some(s"""WITH $mutualEdgeCte,
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM m e1 JOIN m e2 ON e2.a = e1.b
+      |  WHERE EXISTS (SELECT 1 FROM m e3
+      |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+      |pn AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+      |    SELECT x AS node FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri) GROUP BY 1),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS node FROM m UNION ALL SELECT b FROM m) GROUP BY 1)
+      |SELECT e.vec_id, coalesce(deg.deg, 0) AS deg,
+      |       coalesce(pn.tri, 0) AS tri,
+      |       CASE WHEN coalesce(deg.deg, 0) >= 2 THEN
+      |         (2 * coalesce(pn.tri, 0) * 1000000) //
+      |         (deg.deg * (deg.deg - 1)) ELSE 0 END AS lcc_ppm
+      |FROM embeddings e
+      |LEFT JOIN deg ON deg.node = e.vec_id
+      |LEFT JOIN pn ON pn.node = e.vec_id
+      |ORDER BY e.vec_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
@@ -1594,6 +1629,7 @@ object PipelineQueries extends QueryGroup {
     "p75_embedding_audit" -> p75,
     "p80_semantic_decontaminate" -> p80,
     "p83_knn_pagerank" -> p83,
-    "p84_image_phash" -> p84
+    "p84_image_phash" -> p84,
+    "p86_knn_triangles" -> p86
   )
 }
