@@ -1298,6 +1298,51 @@ object CorpusOps {
   }
 
   /**
+   * Z-order (Morton-curve) layout plan for a two-dimension scan-pruning
+   * clustering of the corpus — the data-layout move that makes BOTH
+   * `WHERE n_chars BETWEEN …` and `WHERE n_tokens BETWEEN …` scans
+   * prune files at 100 TB, where a single-column sort only serves one
+   * predicate. Each doc gets a 4-bit value bucket per dimension
+   * (fixed-width, clamped to 15), the buckets bit-interleave into an
+   * 8-bit Morton key, and files are the 16 equal key ranges (zkey div
+   * 16 — a pure projection: no global sort and no sampling pass; a
+   * production writer would repartitionByRange on the same key). The
+   * report prices the layout: per file, doc count and the min/max ZONE
+   * MAP each dimension would carry, whose spans show every file
+   * covering only a narrow slab of both dimensions at once.
+   *
+   * Shape at 100 TB: the key is a zero-shuffle codegen'd projection;
+   * the report is a 256-value-scale aggregation with map-side partials.
+   * The write itself would be the one range exchange any sorted layout
+   * pays.
+   */
+  def zorderLayout(df: DataFrame, idCol: String, textCol: String,
+      charsCol: String, charsPerBucket: Int = 40,
+      toksPerBucket: Int = 20): DataFrame = {
+    val dims = df.select(col(idCol),
+      col(charsCol).cast("long").as("nc"),
+      size(filter(TextOps.words(col(textCol)), w => length(w) > 0))
+        .cast("long").as("nt"))
+      .withColumn("bx",
+        least(lit(15L), greatest(lit(0L), expr(s"nc div $charsPerBucket"))))
+      .withColumn("by",
+        least(lit(15L), greatest(lit(0L), expr(s"nt div $toksPerBucket"))))
+    val interleave = (0 until 4).map(i =>
+      s"(((bx >> $i) & 1) << ${2 * i + 1}) + (((by >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+    dims.withColumn("zkey", expr(interleave))
+      .withColumn("file_id", expr("zkey div 16"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("zkey")).as("n_zkeys"),
+        min(col("nc")).as("chars_min"), max(col("nc")).as("chars_max"),
+        min(col("nt")).as("toks_min"), max(col("nt")).as("toks_max"))
+      .withColumn("chars_span", col("chars_max") - col("chars_min"))
+      .withColumn("toks_span", col("toks_max") - col("toks_min"))
+      .orderBy(col("file_id"))
+  }
+
+  /**
    * Multinomial Naive Bayes text classifier (add-one smoothing, the
    * McCallum & Nigam 1998 event model), trained and applied in one plan
    * — the classic lightweight language-/domain-ID pass a curation

@@ -580,4 +580,63 @@ object Similarity {
       .select(col("vec_id"), col("m.sim").as("max_sim"),
         (-col("m.nbid")).as("matched_bench"),
         (col("m.sim") >= threshold).as("contaminated"))
+
+  /**
+   * Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+   * arXiv:1811.01136 §3, the CCMatrix/LASER criterion): a candidate
+   * cross-group pair (x, y) scores by its cosine RELATIVE to each side's
+   * neighborhood — margin(x, y) = cos(x, y) / ((ΣNN_k(x)/k_x +
+   * ΣNN_k(y)/k_y) / 2) — so a source vector that is merely "close to
+   * everything" (a hub) mines nothing, while an isolated sharp match
+   * scores high. Here the two groups are label slices of the embedding
+   * table (the bitext-mining shape: source language vs target
+   * language). All arithmetic is exact integers on ×10³-rounded
+   * cosines: margin_ppm = 2·c·k_x·k_y·10⁶ div (s_x·k_y + s_y·k_x),
+   * candidates keep cos > 0 (which also bounds the denominator below by
+   * the pair's own score), best match per source by (margin, smaller
+   * id), accepted at margin ≥ 1.0.
+   *
+   * Shape at 100 TB: candidates are IVF cell-mates only (the p61/p68
+   * bucketing — never a cross join of the two language sides); the
+   * neighborhood sums are two windows over the cell-bounded pair
+   * relation keyed on either endpoint; everything downstream is
+   * pair-scale. Centroids broadcast; the corpus never shuffles wide.
+   */
+  def marginMining(vecs: DataFrame, centroids: DataFrame,
+      srcLabel: Int, tgtLabel: Int, k: Int = 3): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val asg = graft.CacheScope.track(
+      ivfAssign(vecs, centroids)
+        .join(vecs.select(col("vec_id"), col("label")), Seq("vec_id")))
+    val pairs = graft.CacheScope.track(
+      asg.as("a").filter(col("a.label") === srcLabel)
+        .join(asg.as("b").filter(col("b.label") === tgtLabel),
+          col("a.cluster") === col("b.cluster"))
+        .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("tgt_id"),
+          round(cosine(col("a.embedding"), col("b.embedding")) * 1000, 0)
+            .cast("long").as("c_e3"))
+        .filter(col("c_e3") > 0))
+    def nnSums(key: String, other: String) = {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(key)).orderBy(col("c_e3").desc, col(other))
+      pairs.withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= k)
+        .groupBy(col(key))
+        .agg(sum(col("c_e3")).as(s"s_$key"),
+          count(lit(1)).as(s"k_$key"))
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id"))
+      .orderBy(col("margin_ppm").desc, col("tgt_id"))
+    pairs
+      .join(nnSums("src_id", "tgt_id"), Seq("src_id"))
+      .join(nnSums("tgt_id", "src_id"), Seq("tgt_id"))
+      .withColumn("margin_ppm",
+        expr("(2 * c_e3 * k_src_id * k_tgt_id * 1000000) div " +
+          "(s_src_id * k_tgt_id + s_tgt_id * k_src_id)"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("c_e3"), col("margin_ppm"),
+        (col("margin_ppm") >= 1000000L).as("accepted"))
+  }
 }

@@ -1670,6 +1670,39 @@ object CorpusQueries extends QueryGroup {
       |       CAST(sc AS BIGINT) AS score, (lab = actual) AS correct
       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
+  private val p88 = QueryDef(
+    // Z-order layout plan: 4-bit value buckets per dimension (chars,
+    // tokens) bit-interleaved into a Morton key, files = 16 key ranges,
+    // per-file zone-map report. The oracle replays the bucket clamp,
+    // the bit interleave, and the per-file min/max spans with DuckDB's
+    // own bit operators.
+    (s, d) => CorpusOps.zorderLayout(docs(s, d), "doc_id", "text",
+      "n_chars"),
+    Some(s"""WITH dims AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+      |         CAST(len(list_filter($WORDS, w -> length(w) > 0))
+      |           AS BIGINT) AS nt
+      |  FROM documents),
+      |bk AS (
+      |  SELECT doc_id, nc, nt,
+      |         least(15, greatest(0, nc // 40)) AS bx,
+      |         least(15, greatest(0, nt // 20)) AS by
+      |  FROM dims),
+      |z AS (
+      |  SELECT doc_id, nc, nt,
+      |         (((bx >> 0) & 1) << 1) + (((by >> 0) & 1) << 0) +
+      |         (((bx >> 1) & 1) << 3) + (((by >> 1) & 1) << 2) +
+      |         (((bx >> 2) & 1) << 5) + (((by >> 2) & 1) << 4) +
+      |         (((bx >> 3) & 1) << 7) + (((by >> 3) & 1) << 6) AS zkey
+      |  FROM bk)
+      |SELECT zkey // 16 AS file_id, count(*) AS n_docs,
+      |       count(DISTINCT zkey) AS n_zkeys,
+      |       min(nc) AS chars_min, max(nc) AS chars_max,
+      |       min(nt) AS toks_min, max(nt) AS toks_max,
+      |       max(nc) - min(nc) AS chars_span,
+      |       max(nt) - min(nt) AS toks_span
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
@@ -1712,6 +1745,7 @@ object CorpusQueries extends QueryGroup {
     "p79_bm25_topk" -> p79,
     "p81_length_batch_plan" -> p81,
     "p82_hybrid_rrf" -> p82,
-    "p85_nb_classify" -> p85
+    "p85_nb_classify" -> p85,
+    "p88_zorder_layout" -> p88
   )
 }

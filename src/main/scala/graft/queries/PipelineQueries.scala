@@ -1587,6 +1587,148 @@ object PipelineQueries extends QueryGroup {
       |LEFT JOIN pn ON pn.node = e.vec_id
       |ORDER BY e.vec_id""".stripMargin))
 
+  private val p87 = QueryDef(
+    // Margin-based parallel-pair mining (Artetxe & Schwenk 2019) between
+    // the label-0 and label-1 embedding slices: per source vector, the
+    // best cross-slice match by the ratio-margin criterion (cosine
+    // relative to both neighborhoods), in exact ×10³/ppm integer
+    // arithmetic. The oracle rebuilds the cell assignment, the
+    // candidate relation, both neighborhood sums, and the margin
+    // arithmetic independently.
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cembedding"))
+      Similarity.marginMining(e, centroids, srcLabel = 0, tgtLabel = 1)
+        .orderBy(col("src_id"))
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      |aff AS (
+      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
+      |  FROM embeddings e, cent c),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+      |       FROM aff),
+      |asg AS (SELECT vec_id, embedding, cid FROM rk WHERE rn = 1),
+      |pair0 AS (
+      |  SELECT x.vec_id AS src_id, y.vec_id AS tgt_id,
+      |         CAST(round(${cosSql("x.embedding", "y.embedding")} * 1000)
+      |           AS BIGINT) AS c_e3
+      |  FROM asg x JOIN embeddings ex
+      |         ON ex.vec_id = x.vec_id AND ex.label = 0
+      |       JOIN asg y ON y.cid = x.cid
+      |       JOIN embeddings ey
+      |         ON ey.vec_id = y.vec_id AND ey.label = 1),
+      |pair AS (SELECT * FROM pair0 WHERE c_e3 > 0),
+      |sx AS (
+      |  SELECT src_id, CAST(sum(c_e3) AS BIGINT) AS s, count(*) AS k
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY src_id ORDER BY c_e3 DESC, tgt_id) AS rn
+      |        FROM pair) WHERE rn <= 3 GROUP BY 1),
+      |sy AS (
+      |  SELECT tgt_id, CAST(sum(c_e3) AS BIGINT) AS s, count(*) AS k
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY tgt_id ORDER BY c_e3 DESC, src_id) AS rn
+      |        FROM pair) WHERE rn <= 3 GROUP BY 1),
+      |mg AS (
+      |  SELECT p.src_id, p.tgt_id, p.c_e3,
+      |         (2 * p.c_e3 * sx.k * sy.k * 1000000) //
+      |         (sx.s * sy.k + sy.s * sx.k) AS margin_ppm
+      |  FROM pair p JOIN sx ON sx.src_id = p.src_id
+      |       JOIN sy ON sy.tgt_id = p.tgt_id),
+      |best AS (SELECT *, row_number() OVER (
+      |           PARTITION BY src_id
+      |           ORDER BY margin_ppm DESC, tgt_id) AS rn
+      |         FROM mg)
+      |SELECT src_id, tgt_id, c_e3, CAST(margin_ppm AS BIGINT) AS margin_ppm,
+      |       (margin_ppm >= 1000000) AS accepted
+      |FROM best WHERE rn = 1 ORDER BY src_id""".stripMargin))
+
+  /** ×10⁴ integer DFT basis over a 64-sample window, bins 1–4: computed
+   * once here (deterministic Math.cos/sin rounding) and used by BOTH the
+   * engine's kernel and the oracle's interpolated VALUES table — the p84
+   * convention. ×10⁴ keeps power = re² + im² inside BIGINT
+   * (|re| ≤ 64·128·10⁴ ≈ 8.2·10⁷ → power ≤ ~1.3·10¹⁶). */
+  private val dftBasis: Seq[(Int, Int, Long, Long)] =
+    for (k <- 1 to 4; i <- 0 until 64) yield {
+      val th = 2.0 * math.Pi * k * i / 64.0
+      (k, i, math.round(math.cos(th) * 10000.0),
+        math.round(math.sin(th) * 10000.0))
+    }
+
+  private val p89 = QueryDef(
+    // Dominant-frequency analysis over the DECODED PCM (the p45 decode
+    // path: build canonical WAV, walk RIFF back): a 4-bin integer DFT
+    // over the first 64 bias-removed samples, power = re² + im² in
+    // exact BIGINT arithmetic on the shared ×10⁴ basis, dominant bin by
+    // (power desc, bin). One row per (doc, bin) so the oracle checks the
+    // whole spectrum, not just the argmax. Zero shuffle in the engine;
+    // the oracle replays every multiply from the source bytes and the
+    // interpolated basis table.
+    (s, d) => {
+      import s.implicits._
+      val basis = dftBasis
+      val in = docs(s, d)
+        .select(col("doc_id"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("pcm"))
+        .as[(Long, Array[Byte])]
+      in.flatMap { case (id, pcm) =>
+        val rate = 8000 + (id % 8).toInt * 1000
+        val wav = WavCodec.build(rate, 1, 8, pcm)
+        val info = WavCodec.parse(wav)
+        val n = info.nSamples.toInt
+        val data = wav.slice(wav.length - n, wav.length)
+        val used = math.min(64, n)
+        val powers = (1 to 4).map { k =>
+          var re = 0L; var im = 0L; var i = 0
+          while (i < used) {
+            val v = ((data(i) & 0xFF) - 128).toLong
+            val b = basis((k - 1) * 64 + i)
+            re += v * b._3; im += v * b._4
+            i += 1
+          }
+          (k.toLong, re * re + im * im)
+        }
+        val dom = powers.minBy { case (k, p) => (-p, k) }._1
+        powers.map { case (k, p) =>
+          (id, used.toLong, k, p, k == dom)
+        }
+      }.toDF("doc_id", "n_used", "bin", "power", "dom")
+        .orderBy(col("doc_id"), col("bin"))
+    },
+    Some(s"""WITH basis(bin, i, c, sn) AS (VALUES
+      |${dftBasis.map { case (k, i, c, sn) => s"  ($k, $i, $c, $sn)" }
+          .mkString(",\n")}),
+      |s AS (
+      |  SELECT doc_id, CAST(pos AS INT) - 1 AS i,
+      |         ord(substr(text, CAST(pos AS INT), 1)) - 128 AS v
+      |  FROM (SELECT doc_id, coalesce(text, '') AS text,
+      |          unnest(range(1, least(64, len(coalesce(text, ''))) + 1))
+      |            AS pos
+      |        FROM documents)),
+      |ft AS (
+      |  SELECT s.doc_id, b.bin,
+      |         CAST(sum(s.v * b.c) AS BIGINT) AS re,
+      |         CAST(sum(s.v * b.sn) AS BIGINT) AS im
+      |  FROM s JOIN basis b ON b.i = s.i
+      |  GROUP BY 1, 2),
+      |pw AS (
+      |  SELECT d.doc_id,
+      |         CAST(least(64, len(coalesce(d.text, ''))) AS BIGINT)
+      |           AS n_used,
+      |         k.bin,
+      |         coalesce(ft.re * ft.re + ft.im * ft.im, 0) AS power
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS bin) k
+      |  LEFT JOIN ft ON ft.doc_id = d.doc_id AND ft.bin = k.bin),
+      |rk AS (SELECT *, row_number() OVER (
+      |         PARTITION BY doc_id ORDER BY power DESC, bin) AS rn
+      |       FROM pw)
+      |SELECT doc_id, n_used, CAST(bin AS BIGINT) AS bin,
+      |       CAST(power AS BIGINT) AS power, (rn = 1) AS dom
+      |FROM rk ORDER BY doc_id, bin""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
@@ -1630,6 +1772,8 @@ object PipelineQueries extends QueryGroup {
     "p80_semantic_decontaminate" -> p80,
     "p83_knn_pagerank" -> p83,
     "p84_image_phash" -> p84,
-    "p86_knn_triangles" -> p86
+    "p86_knn_triangles" -> p86,
+    "p87_margin_mining" -> p87,
+    "p89_audio_dft" -> p89
   )
 }
