@@ -800,4 +800,68 @@ class CorpusSpec extends AnyFunSuite {
       (0, 3L, 1L, 6L, 9L, 333333L),
       (1, 2L, 1L, 9L, 10L, 100000L)))
   }
+
+  test("naive Bayes: distinctive vocab separates, shared vocab ties to prior") {
+    import spark.implicits._
+    // two classes with disjoint giveaway words plus one shared word;
+    // docs 5/6 contain ONLY the shared word, so the prior (b has more
+    // docs) plus the shared word's likelihood must decide them
+    val docs = Seq(
+      (1L, "apfel apfel strasse", "de"),
+      (2L, "apfel zug", "de"),
+      (3L, "apple street apple", "en"),
+      (4L, "apple train", "en"),
+      (5L, "water", "en"),
+      (6L, "water", "de"),
+      (7L, "water apple", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = CorpusOps.naiveBayesClassify(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_label"), r.getAs[Boolean]("correct"))).toMap
+    assert(got(1L)._1 === "de" && got(2L)._1 === "de")
+    assert(got(3L)._1 === "en" && got(4L)._1 === "en")
+    // "water": c(en)=2 of tot 8, c(de)=1 of tot 6 → en likelihood and
+    // prior both win; doc 6's true label is de so it must be a miss
+    assert(got(5L)._1 === "en" && got(5L)._2)
+    assert(got(6L)._1 === "en" && !got(6L)._2)
+    assert(got(7L)._1 === "en")
+  }
+
+  test("naive Bayes: empty doc falls back to the prior argmax") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z", "a"), (2L, "x z", "a"), (3L, "q", "b"),
+      (4L, "", "b")
+    ).toDF("doc_id", "text", "lang")
+    val got = CorpusOps.naiveBayesClassify(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("pred_label")).toMap
+    // doc 4 has zero tokens: score(l) = prior(l); "a" has 2 docs vs 2 —
+    // tie on prior (2 vs 2) breaks to the smaller label "a"
+    assert(got(4L) === "a")
+    assert(got.size === 4)
+  }
+
+  test("z-order layout: hand-computed Morton keys and zone spans") {
+    import spark.implicits._
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // chars bucket = nc div 40 clamped to 15, toks bucket = nt div 20
+    val docs = Seq(
+      (1L, doc(5), 10L),    // bx=0  by=0  → zkey 0   file 0
+      (2L, doc(25), 50L),   // bx=1  by=1  → zkey 3   file 0
+      (3L, doc(45), 90L),   // bx=2  by=2  → zkey 12  file 0
+      (4L, doc(85), 170L),  // bx=4  by=4  → zkey 48  file 3
+      (5L, doc(130), 700L)  // bx=15 by=6  → interleave(15,6)=boundary clamp
+    ).toDF("doc_id", "text", "n_chars")
+    val got = CorpusOps.zorderLayout(docs, "doc_id", "text", "n_chars")
+      .collect().map(r => r.getAs[Long]("file_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("chars_span"),
+          r.getAs[Long]("toks_span"))).toMap
+    // bx=15 (1111), by=6 (0110): interleaved bits = 10 11 11 10 = 190
+    // → file 11
+    assert(got.keySet === Set(0L, 3L, 11L))
+    assert(got(0L) === ((3L, 80L, 40L)))
+    assert(got(3L) === ((1L, 0L, 0L)))
+    assert(got(11L) === ((1L, 0L, 0L)))
+  }
 }

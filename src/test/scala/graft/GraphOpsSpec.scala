@@ -67,4 +67,46 @@ class GraphOpsSpec extends AnyFunSuite {
         r.getAs[Long]("rank_e12")).toMap
     assert(dist === exp)
   }
+
+  test("triangleStats: closed triangle + pendant + isolate, exact ppm") {
+    import spark.implicits._
+    // 1-2-3 closed, 4 pendant off 3, 5 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
+    val got = GraphOps.triangleStats(nodes, "vec_id", edges, "a", "b")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("tri"),
+          r.getAs[Long]("lcc_ppm"))).toMap
+    assert(got(1L) === ((2L, 1L, 1000000L)))
+    assert(got(2L) === ((2L, 1L, 1000000L)))
+    assert(got(3L) === ((3L, 1L, 333333L))) // 2·1·10⁶ div (3·2)
+    assert(got(4L) === ((1L, 0L, 0L)))
+    assert(got(5L) === ((0L, 0L, 0L)))
+  }
+
+  test("triangleStats vs brute force on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 80).map { _ =>
+      val a = rnd.nextInt(18).toLong
+      var b = rnd.nextInt(18).toLong
+      while (b == a) b = rnd.nextInt(18).toLong
+      (math.min(a, b), math.max(a, b))
+    }.distinct
+    val eset = edges.toSet
+    val nodes = (0L until 18L)
+    val triOf = nodes.map { v =>
+      val nbrs = nodes.filter(u =>
+        eset(math.min(u, v) -> math.max(u, v))).toSeq
+      v -> (for {
+        i <- nbrs.indices; j <- (i + 1) until nbrs.size
+        if eset(math.min(nbrs(i), nbrs(j)) -> math.max(nbrs(i), nbrs(j)))
+      } yield 1).size.toLong
+    }.toMap
+    val got = GraphOps.triangleStats(nodes.toDF("vec_id"), "vec_id",
+        edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("tri")).toMap
+    assert(got === triOf)
+  }
 }

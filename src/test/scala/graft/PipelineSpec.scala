@@ -552,4 +552,65 @@ class PipelineSpec extends AnyFunSuite {
     rows.values.foreach(h =>
       assert(Integer.parseInt(h.substring(0, 1), 16) < 8, h))
   }
+
+  test("margin mining matches a driver-side replay; sharp match beats hub") {
+    import spark.implicits._
+    // one cell (single centroid). src label 0, tgt label 1.
+    // s1 has a sharp isolated match t1; s2 sits between t2/t3 (hub-ish,
+    // its best cosine is barely above its neighborhood).
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), 0), // s1
+      (1L, Seq(0.6f, 0.8f), 0), // s2
+      (10L, Seq(1f, 0f), 1), // t1: exact match for s1
+      (11L, Seq(0.707f, 0.707f), 1),
+      (12L, Seq(0.5f, 0.866f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = vecs.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("cembedding"))
+    val got = graft.pipeline.Similarity
+      .marginMining(vecs, cents, srcLabel = 0, tgtLabel = 1, k = 3)
+      .collect().map(r => r.getAs[Long]("src_id") ->
+        (r.getAs[Long]("tgt_id"), r.getAs[Long]("c_e3"),
+          r.getAs[Long]("margin_ppm"), r.getAs[Boolean]("accepted"))).toMap
+
+    // driver-side replay of the declared integer arithmetic
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val src = Seq(0L -> Seq(1f, 0f), 1L -> Seq(0.6f, 0.8f))
+    val tgt = Seq(10L -> Seq(1f, 0f), 11L -> Seq(0.707f, 0.707f),
+      12L -> Seq(0.5f, 0.866f))
+    val pairs = for {
+      (si, sv) <- src; (ti, tv) <- tgt
+      c = math.round(
+        BigDecimal(cos(sv, tv) * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+      if c > 0
+    } yield (si, ti, c)
+    def nn(byKey: Map[Long, Seq[(Long, Long)]]): Map[Long, (Long, Long)] =
+      byKey.view.mapValues { cands =>
+        val top = cands.sortBy { case (id, c) => (-c, id) }.take(3)
+        (top.map(_._2).sum, top.size.toLong)
+      }.toMap
+    val sx = nn(pairs.groupBy(_._1).view
+      .mapValues(_.map(p => (p._2, p._3))).toMap)
+    val sy = nn(pairs.groupBy(_._2).view
+      .mapValues(_.map(p => (p._1, p._3))).toMap)
+    val exp = pairs.map { case (si, ti, c) =>
+      val (sxs, kx) = sx(si); val (sys, ky) = sy(ti)
+      (si, ti, c, 2L * c * kx * ky * 1000000L / (sxs * ky + sys * kx))
+    }.groupBy(_._1).view.mapValues(ps =>
+      ps.minBy { case (_, ti, _, m) => (-m, ti) }).toMap
+    exp.foreach { case (si, (_, ti, c, m)) =>
+      assert(got(si) === ((ti, c, m, m >= 1000000L)), s"src $si")
+    }
+    // the exact match must be accepted with a strictly higher margin
+    // than the hub-ish source
+    assert(got(0L)._1 === 10L && got(0L)._4)
+    assert(got(0L)._3 > got(1L)._3)
+  }
 }
