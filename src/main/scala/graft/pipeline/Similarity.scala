@@ -582,6 +582,79 @@ object Similarity {
         (col("m.sim") >= threshold).as("contaminated"))
 
   /**
+   * Upper-triangle covariance matrix of the embedding table in exact
+   * integer arithmetic — step one of PCA/whitening over a distributed
+   * corpus. Components are ×10³-rounded to integers at the scan, so
+   * every downstream sum is exact and engine-independent; the matrix
+   * entry is the textbook numerator n·Σxᵢxⱼ − ΣxᵢΣxⱼ (covariance ×n²
+   * ×10⁶ — never divided, so no float appears anywhere).
+   *
+   * Shape at 100 TB: one pos-explode (d rows per vector), a d-row sum
+   * aggregate, and the outer-product self-join co-partitioned on the
+   * vector id — d(d+1)/2 products per vector emitted map-side into a
+   * hash aggregate with partials; output is d(d+1)/2 rows total. For
+   * much larger d the same plan swaps the join for a typed Aggregator
+   * packing the per-partition triangle (constant-factor, not
+   * structural); BIGINT headroom holds to ~10⁶ vectors at d=64 — past
+   * that, shard the sum and recombine (documented, not silently
+   * truncated).
+   */
+  def covarianceUpper(vecs: DataFrame): DataFrame = {
+    val x = graft.CacheScope.track(
+      vecs.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "xv")))
+        .select(col("vec_id"), col("i"),
+          round(col("xv").cast("double") * 1000, 0).cast("long").as("x")))
+    val n = vecs.agg(count(lit(1)).as("n"))
+    val sums = x.groupBy(col("i")).agg(sum(col("x")).as("s"))
+    x.as("a").join(x.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.x") * col("b.x")).as("sij"))
+      .join(broadcast(sums.select(col("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))),
+        Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        (col("n") * col("sij") - col("si") * col("sj")).as("cov_num"))
+  }
+
+  /**
+   * Top principal component by fixed-point integer power iteration over
+   * [[covarianceUpper]]'s matrix (von Mises & Pollaczek-Geiringer 1929;
+   * the PCA step a whitening/projection stage trains). The matrix is
+   * integer-downscaled once (div 10⁶), the iterate starts at the
+   * all-ones ×10⁶ vector, and each step is w = C·v followed by an
+   * ∞-norm renormalization v = w·10⁶ div max|w| — truncating integer
+   * division on BOTH engines, so an independent SQL replay reproduces
+   * the iterate bit for bit (the p83 PageRank argument; determinism is
+   * what makes the trained artifact reviewable).
+   *
+   * Shape at scale: the matrix is d²-scale — the iteration is
+   * broadcast-tiny; ALL corpus-scale work already happened in the one
+   * covariance pass. Iterations are a constant.
+   */
+  def pcaPowerTop(cov: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1)
+    val full = graft.CacheScope.track(
+      cov.select(col("i"), col("j"), expr("cov_num div 1000000").as("c"))
+        .union(cov.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"),
+            expr("cov_num div 1000000").as("c"))))
+    var v = full.select(col("i")).distinct()
+      .select(col("i").as("j"), lit(1000000L).as("v"))
+    for (_ <- 1 to iterations) {
+      val w = full.join(v, Seq("j"))
+        .groupBy(col("i")).agg(sum(col("c") * col("v")).as("w"))
+      val m = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))
+      v = graft.CacheScope.track(
+        w.crossJoin(broadcast(m))
+          .select(col("i").as("j"), expr("(w * 1000000) div m").as("v")))
+    }
+    v.select(col("j").as("i"), col("v").as("v_e6"))
+  }
+
+  /**
    * Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
    * arXiv:1811.01136 §3, the CCMatrix/LASER criterion): a candidate
    * cross-group pair (x, y) scores by its cosine RELATIVE to each side's

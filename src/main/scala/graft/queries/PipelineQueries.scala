@@ -1729,6 +1729,80 @@ object PipelineQueries extends QueryGroup {
       |       CAST(power AS BIGINT) AS power, (rn = 1) AS dom
       |FROM rk ORDER BY doc_id, bin""".stripMargin))
 
+  /** Integer covariance relation shared by p90 (matrix) and p91 (power
+   * iteration), memoized run-scoped — the corpus-scale pass happens
+   * once; everything p91 adds is d²-scale (the p63/p83 pattern). */
+  private def covShared(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.memoRun(
+      s"${s.sparkContext.applicationId}:cov-upper:$d") {
+      Similarity.covarianceUpper(embs(s, d))
+    }
+
+  /** DuckDB replay of [[Similarity.covarianceUpper]]. */
+  private val covCte: String =
+    """x AS (
+      |  SELECT vec_id, CAST(pos - 1 AS INT) AS i,
+      |         CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000)
+      |           AS BIGINT) AS x
+      |  FROM (SELECT vec_id, embedding,
+      |          unnest(range(1, len(embedding) + 1)) AS pos
+      |        FROM embeddings)),
+      |nn AS (SELECT count(*) AS n FROM embeddings),
+      |sums AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM x GROUP BY 1),
+      |prods AS (
+      |  SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sij
+      |  FROM x a JOIN x b ON b.vec_id = a.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2),
+      |cov AS (
+      |  SELECT p.i, p.j,
+      |         CAST(nn.n * p.sij - sa.s * sb.s AS BIGINT) AS cov_num
+      |  FROM prods p, nn, sums sa, sums sb
+      |  WHERE sa.i = p.i AND sb.i = p.j)""".stripMargin
+
+  private val p90 = QueryDef(
+    // Exact-integer covariance matrix of the embedding table (upper
+    // triangle): ×10³-rounded components, entry = n·Σxᵢxⱼ − ΣxᵢΣxⱼ —
+    // PCA step one. The oracle rebuilds the pos-exploded component
+    // relation and every product sum independently.
+    (s, d) => covShared(s, d)
+      .select(col("i"), col("j"), col("cov_num"),
+        (col("i") === col("j")).as("is_diag"))
+      .orderBy(col("i"), col("j")),
+    Some(s"""WITH $covCte
+      |SELECT i, j, cov_num, (i = j) AS is_diag
+      |FROM cov ORDER BY i, j""".stripMargin))
+
+  /** One integer power-iteration step for the p91 oracle (mirrors
+   * Similarity.pcaPowerTop: w = C·v, then ∞-norm renormalize with
+   * truncating division — identical on both engines). */
+  private def pcaStep(n: Int, prev: String): String =
+    s"""w$n AS (SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS w
+      |        FROM cmat c JOIN $prev v ON v.j = c.j GROUP BY 1),
+      |v$n AS (SELECT i AS j, CAST((w * 1000000) //
+      |          greatest((SELECT max(abs(w)) FROM w$n), 1) AS BIGINT) AS v
+      |        FROM w$n)""".stripMargin
+
+  private val p91 = QueryDef(
+    // Top principal component by 3 integer power iterations over the
+    // shared covariance matrix: matrix div 10⁶ once, all-ones start,
+    // ∞-norm renormalization each step — every intermediate is exact,
+    // so the oracle's unrolled replay must land on the identical
+    // iterate.
+    (s, d) => Similarity.pcaPowerTop(covShared(s, d), iterations = 3)
+      .orderBy(col("i")),
+    Some(s"""WITH $covCte,
+      |cmat AS (
+      |  SELECT i, j, cov_num // 1000000 AS c FROM cov
+      |  UNION ALL
+      |  SELECT j AS i, i AS j, cov_num // 1000000 AS c FROM cov
+      |  WHERE i <> j),
+      |v0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS v
+      |       FROM cmat),
+      |${pcaStep(1, "v0")},
+      |${pcaStep(2, "v1")},
+      |${pcaStep(3, "v2")}
+      |SELECT j AS i, v AS v_e6 FROM v3 ORDER BY i""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
@@ -1774,6 +1848,8 @@ object PipelineQueries extends QueryGroup {
     "p84_image_phash" -> p84,
     "p86_knn_triangles" -> p86,
     "p87_margin_mining" -> p87,
-    "p89_audio_dft" -> p89
+    "p89_audio_dft" -> p89,
+    "p90_embed_covariance" -> p90,
+    "p91_pca_power" -> p91
   )
 }
