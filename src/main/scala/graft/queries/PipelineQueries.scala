@@ -198,6 +198,11 @@ object PipelineQueries extends QueryGroup {
     mutualEdgesShared(s, d).count(): Unit
   }
 
+  /** Populate the covariance memo p90/p91 share (see graft.Bench). */
+  def warmSharedCov(s: SparkSession, d: String): Unit = {
+    covShared(s, d).count(): Unit
+  }
+
   private val p15 = QueryDef(
     // The UNBOUNDED production path: MinHash-LSH banding + exact confirm
     // over the whole corpus — no doc_id cap, so the sf0.1 bench covers all

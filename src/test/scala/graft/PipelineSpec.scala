@@ -553,6 +553,48 @@ class PipelineSpec extends AnyFunSuite {
       assert(Integer.parseInt(h.substring(0, 1), 16) < 8, h))
   }
 
+  test("covariance + PCA power iteration match a driver-side integer replay") {
+    import spark.implicits._
+    val raw = Seq(
+      (0L, Seq(0.5f, -0.2f, 0.1f)),
+      (1L, Seq(0.4f, -0.1f, 0.0f)),
+      (2L, Seq(-0.5f, 0.3f, -0.2f)),
+      (3L, Seq(0.1f, 0.1f, 0.3f)))
+    val vecs = raw.toDF("vec_id", "embedding")
+    // integer replay of the declared arithmetic
+    val xs = raw.map { case (_, v) =>
+      v.map(f => math.round(f.toDouble * 1000.0))
+    }
+    val n = xs.size.toLong
+    val d = 3
+    val s = (0 until d).map(i => xs.map(_(i)).sum)
+    val cov = (for { i <- 0 until d; j <- i until d } yield {
+      val sij = xs.map(v => v(i) * v(j)).sum
+      (i, j) -> (n * sij - s(i) * s(j))
+    }).toMap
+    val gotCov = graft.pipeline.Similarity.covarianceUpper(vecs)
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        r.getAs[Long]("cov_num")).toMap
+    assert(gotCov === cov)
+
+    // power iteration replay: C div 1e6, all-ones ×1e6 start, ∞-norm
+    val cfull = Array.tabulate(d, d)((i, j) =>
+      cov(math.min(i, j) -> math.max(i, j)) / 1000000L)
+    var v = Array.fill(d)(1000000L)
+    (1 to 3).foreach { _ =>
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cfull(i)(j) * v(j)).sum)
+      val m = math.max(w.map(math.abs).max, 1L)
+      v = w.map(x => x * 1000000L / m)
+    }
+    val gotV = graft.pipeline.Similarity
+      .pcaPowerTop(graft.pipeline.Similarity.covarianceUpper(vecs))
+      .collect().map(r => r.getAs[Int]("i") -> r.getAs[Long]("v_e6")).toMap
+    assert(gotV === (0 until d).map(i => i -> v(i)).toMap)
+    // the dominant direction must have |component| = the ∞-norm scale
+    assert(gotV.values.map(math.abs).max === 1000000L)
+  }
+
   test("margin mining matches a driver-side replay; sharp match beats hub") {
     import spark.implicits._
     // one cell (single centroid). src label 0, tgt label 1.
