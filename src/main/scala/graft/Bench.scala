@@ -57,9 +57,9 @@ object Bench {
       // the BPE token relation p34/p70 share
       if (only.forall(n => n("p34_bpe_tokenize") || n("p70_bpe_fertility")))
         graft.queries.CorpusQueries.warmSharedBpe(spark, sfDir)
-      // the mutual-kNN edge relation p63/p83 share
+      // the mutual-kNN edge relation p63/p83/p86 share
       if (only.forall(n => n("p63_mutual_knn_components") ||
-          n("p83_knn_pagerank")))
+          n("p83_knn_pagerank") || n("p86_knn_triangles")))
         graft.queries.PipelineQueries.warmSharedGraph(spark, sfDir)
       // the BM25 top-10 ranking p79/p82 share
       if (only.forall(n => n("p79_bm25_topk") || n("p82_hybrid_rrf")))

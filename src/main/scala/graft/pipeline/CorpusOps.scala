@@ -1366,14 +1366,17 @@ object CorpusOps {
    */
   def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("did"),
-      col(labelCol).as("actual"),
-      filter(TextOps.words(col(textCol)), w => length(w) > 0).as("ws"))
+    // ONE normalization pass over the corpus: every later relation —
+    // label totals, vocabulary, model counts, per-doc token counts —
+    // reads the persisted token stream, never the raw text again
     val toks = graft.CacheScope.track(
-      base.select(col("did"), col("actual"), explode(col("ws")).as("w")))
-    val nDocs = df.groupBy(col(labelCol).as("lab"))
+      df.select(col(idCol).as("did"), col(labelCol).as("actual"),
+        explode(filter(TextOps.words(col(textCol)), w => length(w) > 0))
+          .as("w")))
+    val docsDim = df.select(col(idCol).as("did"), col(labelCol).as("actual"))
+    val nDocs = docsDim.groupBy(col("actual").as("lab"))
       .agg(count(lit(1)).as("n_docs"))
-    val nTotal = df.agg(count(lit(1)).as("n_total"))
+    val nTotal = docsDim.agg(count(lit(1)).as("n_total"))
     val tots = toks.groupBy(col("actual").as("lab"))
       .agg(count(lit(1)).as("tot"))
     val vocab = toks.agg(countDistinct(col("w")).as("vsz"))
@@ -1397,8 +1400,12 @@ object CorpusOps {
     val deltas = toks.join(model, Seq("w"))
       .groupBy(col("did"), col("lab"))
       .agg(sum(col("dlp")).as("d"))
-    val scored = base.select(col("did"), col("actual"),
-        size(col("ws")).cast("long").as("n_tok"))
+    // token counts from the cached token stream (empty docs fill 0 via
+    // the left join), not a second normalization pass over the text
+    val nTok = toks.groupBy(col("did")).agg(count(lit(1)).as("n_tok"))
+    val scored = docsDim
+      .join(nTok, Seq("did"), "left")
+      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
       .crossJoin(broadcast(lab.select(col("lab"), col("prior_lp"),
         col("slp0"))))
       .join(deltas, Seq("did", "lab"), "left")
