@@ -1419,4 +1419,78 @@ object CorpusOps {
         col("lab").as("pred_label"), col("score"),
         (col("lab") === col("actual")).as("correct"))
   }
+
+  // ------------------------------------------- mixture diversity report
+
+  /**
+   * Source-mixture diversity report: per-source document and token mass
+   * with exact-integer PPM shares, plus each source's Shannon-entropy
+   * contribution −p·ln p over the token distribution (the number whose
+   * sum says how concentrated the training mix is — a mix collapsing
+   * onto one crawl shows up here before it shows up in eval loss).
+   * Shares are integer divisions of exact counts; the entropy
+   * contribution is the library's one sanctioned libm use, rounded to
+   * 4 dp per the charEntropy precedent.
+   *
+   * Shape at 100 TB: one map-side-partial hash aggregate to source
+   * grain; the totals are a 1-row cross join; everything after the scan
+   * is |sources|-scale.
+   */
+  def sourceDiversity(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val perSource = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(coalesce(col(textCol), lit(""))).cast("long"))
+          .as("n_tokens"))
+    val totals = perSource.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("n_tokens")).as("t_tokens"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("doc_ppm", expr("(n_docs * 1000000) div t_docs"))
+      .withColumn("token_ppm", expr("(n_tokens * 1000000) div t_tokens"))
+      .withColumn("p", col("n_tokens").cast("double") / col("t_tokens"))
+      .withColumn("entropy_contrib", round(-col("p") * log(col("p")), 4))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("doc_ppm"), col("token_ppm"), col("entropy_contrib"))
+  }
+
+  // ---------------------------------------- cross-source n-gram overlap
+
+  /**
+   * Cross-source content-overlap matrix: for every source pair, the
+   * number of distinct word n-grams they share, plus both asymmetric
+   * containment ratios (shared/|A|, shared/|B|) in integer PPM — the
+   * "which crawls are re-crawling each other" report that decides
+   * whether two sources should be deduplicated jointly or are genuinely
+   * disjoint (the p78 impact report's pairwise refinement).
+   *
+   * Shape at 100 TB: the corpus reduces to the distinct (gram, source)
+   * relation — one hash aggregate on the gram key; the pair expansion is
+   * a self-join co-partitioned on that key whose per-gram work is
+   * bounded by |sources|² (dozens, not corpus-scale); the matrix itself
+   * is |sources|²-row. No document ever pairs with another document.
+   */
+  def sourceGramOverlap(docs: DataFrame, sourceCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val grams = docs
+      .select(col(sourceCol).as("src"),
+        explode(TextOps.wordNGrams(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"), col("src")).agg(lit(1))
+      .select(col("gram"), col("src"))
+    val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(sizes.select(col("src").as("source_a"),
+        col("sz").as("grams_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("src").as("source_b"),
+        col("sz").as("grams_b"))), Seq("source_b"))
+      .withColumn("contain_a_ppm",
+        expr("(shared_grams * 1000000) div grams_a"))
+      .withColumn("contain_b_ppm",
+        expr("(shared_grams * 1000000) div grams_b"))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("grams_a"), col("grams_b"),
+        col("contain_a_ppm"), col("contain_b_ppm"))
+  }
 }

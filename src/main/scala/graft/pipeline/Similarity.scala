@@ -723,4 +723,27 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"), col("c_e3"), col("margin_ppm"),
         (col("margin_ppm") >= 1000000L).as("accepted"))
   }
+
+  /**
+   * IVF cell-population audit: per-cell vector count, corpus share, and
+   * load factor vs the uniform ideal (count × nlist / N) — the balance
+   * check run before trusting an IVF index's probe cost model: a cell at
+   * load_ppm ≫ 10⁶ is the hot list every query pays for. All ratios are
+   * exact integer PPM (numerators and denominators are counts).
+   *
+   * Shape at 100 TB: assignment is [[ivfAssign]]'s broadcast map-side
+   * pass; the census is one nlist-row hash aggregate; the totals row
+   * (N, nlist) is a 1-row cross join — nothing about this query scales
+   * with anything but the centroid count after the scan.
+   */
+  def ivfCellStats(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val census = ivfAssign(corpus, centroids)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+    val totals = census.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    census.crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("(n_vecs * 1000000) div n_total"))
+      .withColumn("load_ppm", expr("(n_vecs * n_cells * 1000000) div n_total"))
+      .select(col("cluster"), col("n_vecs"), col("share_ppm"), col("load_ppm"))
+  }
 }

@@ -1703,7 +1703,60 @@ object CorpusQueries extends QueryGroup {
       |       max(nt) - min(nt) AS toks_span
       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val p93 = QueryDef(
+    // Source-mixture diversity report: doc/token mass per source in
+    // exact integer PPM plus the per-source Shannon contribution
+    // −p·ln p (4-dp round — the charEntropy precedent for the one libm
+    // call). The oracle rebuilds token counts from raw text and replays
+    // the share arithmetic.
+    (s, d) => CorpusOps.sourceDiversity(docs(s, d), "source", "text")
+      .orderBy(col("source")),
+    Some(s"""WITH ps AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len($WORDS)) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+      |               CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM ps)
+      |SELECT source, n_docs, n_tokens,
+      |       CAST(n_docs * 1000000 // t_docs AS BIGINT) AS doc_ppm,
+      |       CAST(n_tokens * 1000000 // t_tokens AS BIGINT) AS token_ppm,
+      |       round(-(n_tokens::DOUBLE / t_tokens) *
+      |         ln(n_tokens::DOUBLE / t_tokens), 4) AS entropy_contrib
+      |FROM ps, tot ORDER BY source""".stripMargin))
+
+  private val p94 = QueryDef(
+    // Cross-source 5-gram overlap matrix: distinct shared grams per
+    // source pair + both asymmetric containment PPMs — which crawls are
+    // re-crawling each other. The oracle rebuilds the distinct
+    // (gram, source) relation and brute-counts every pair.
+    (s, d) => CorpusOps.sourceGramOverlap(docs(s, d), "source", "text", n = 5)
+      .orderBy(col("source_a"), col("source_b")),
+    Some(s"""WITH w AS (SELECT doc_id, source, $WORDS AS ws FROM documents),
+      |g AS (
+      |  SELECT source,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+      |                || ws[i+3] || ' ' || ws[i+4]))) AS gram
+      |  FROM w WHERE len(ws) >= 5),
+      |gs AS (SELECT DISTINCT source, gram FROM g),
+      |sz AS (SELECT source, count(*) AS sz FROM gs GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         count(*) AS shared_grams
+      |  FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, shared_grams,
+      |       sa.sz AS grams_a, sb.sz AS grams_b,
+      |       CAST(shared_grams * 1000000 // sa.sz AS BIGINT) AS contain_a_ppm,
+      |       CAST(shared_grams * 1000000 // sb.sz AS BIGINT) AS contain_b_ppm
+      |FROM pairs
+      |JOIN sz sa ON pairs.source_a = sa.source
+      |JOIN sz sb ON pairs.source_b = sb.source
+      |ORDER BY source_a, source_b""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "p93_source_diversity" -> p93,
+    "p94_source_overlap" -> p94,
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
     "p23_stratified_sample" -> p23,

@@ -1808,7 +1808,89 @@ object PipelineQueries extends QueryGroup {
       |${pcaStep(3, "v2")}
       |SELECT j AS i, v AS v_e6 FROM v3 ORDER BY i""".stripMargin))
 
+  private val p92 = QueryDef(
+    // IVF recall@5 audit: the exact brute-force top-5 (p6's relation) is
+    // ground truth; the IVF index (p14's centroids, nprobe=3, no
+    // similarity floor) is the candidate set; recall is the integer PPM
+    // fraction of true neighbors the probed lists contain — the engine
+    // measuring its own index's quality. The oracle recomputes BOTH
+    // rankings from the raw floats and replays the overlap join.
+    (s, d) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+      val exact = Similarity.bruteForceTopK(q, e, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cand = Similarity.ivfAnn(q, e, centroids, threshold = -1.0, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(cand, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_ppm", expr("(n_hit * 1000000) div n_exact"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+      |         ${cosSql("q.embedding", "c.embedding")} AS score
+      |  FROM embeddings c, q WHERE q.vec_id <> c.vec_id),
+      |r AS (SELECT query_id, id, score,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
+      |      FROM scored),
+      |exact AS (SELECT query_id, id AS neighbor_id FROM r WHERE rn <= 5),
+      |cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      |aff AS (
+      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
+      |  FROM embeddings e, cent c),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+      |       FROM aff),
+      |asg AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
+      |qp AS (SELECT vec_id, cid FROM rk WHERE rn <= 3 AND vec_id < 10),
+      |cand AS (SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id
+      |         FROM asg c, qp WHERE qp.cid = c.cid AND qp.vec_id <> c.vec_id)
+      |SELECT e.query_id, count(*) AS n_exact,
+      |       CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_hit,
+      |       CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         * 1000000 // count(*) AS BIGINT) AS recall_ppm
+      |FROM exact e LEFT JOIN cand c
+      |  ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
+      |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin))
+
+  private val p95 = QueryDef(
+    // IVF cell-balance audit over the whole corpus (same deterministic
+    // centroid rule as p14/p28): per-cell population, corpus share, and
+    // load factor vs uniform — all exact integer PPM. The oracle
+    // re-derives the assignment with the independent window formulation.
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+      Similarity.ivfCellStats(e, centroids)
+        .orderBy(col("n_vecs").desc, col("cluster"))
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      |aff AS (
+      |  SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
+      |  FROM embeddings e, cent c),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+      |       FROM aff),
+      |census AS (SELECT cid AS cluster, count(*) AS n_vecs
+      |           FROM rk WHERE rn = 1 GROUP BY cid),
+      |tot AS (SELECT sum(n_vecs) AS n_total, count(*) AS n_cells FROM census)
+      |SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs,
+      |       CAST(n_vecs * 1000000 // n_total AS BIGINT) AS share_ppm,
+      |       CAST(n_vecs * n_cells * 1000000 // n_total AS BIGINT) AS load_ppm
+      |FROM census, tot
+      |ORDER BY n_vecs DESC, cluster""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "p92_ann_recall" -> p92,
+    "p95_ivf_balance" -> p95,
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
     "p3_ngram_jaccard" -> p3,

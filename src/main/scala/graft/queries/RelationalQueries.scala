@@ -973,7 +973,203 @@ object RelationalQueries extends QueryGroup {
       |GROUP BY c_custkey, c_name, n_name, c_acctbal
       |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin))
 
+  /** TPC-H Q4-shaped priority check: orders placed in a half-year window
+   * with at least one line shipped more than 60 days after the order
+   * date, counted per priority. The oracle keeps the literal correlated
+   * EXISTS; the engine is a LEFT SEMI join whose condition carries the
+   * non-equi lateness predicate on top of the order-key equality — the
+   * decorrelation every planner applies to Q4.
+   * Shape at scale: semi join co-partitioned on the order key (both
+   * sides shuffle once on that key; nothing materializes the duplicate
+   * matches); the priority aggregate is output-scale (5 rows). */
+  private val q22 = QueryDef(
+    (s, d) => {
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1996-07-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_late_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** TPC-H Q12-shaped priority split: lines shipped in 1996 classified by
+   * their order's priority class — the join-then-two-conditional-counts
+   * shape (shipmode is not in this schema; returnflag plays its role).
+   * Shape at scale: ONE fact exchange (lineitem⋈orders on the order
+   * key, both sides large so neither broadcasts at 100 TB); the CASE
+   * split rides the aggregate's map-side partials; output is
+   * flag-cardinality rows. */
+  private val q23 = QueryDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem, orders
+      |WHERE l_orderkey = o_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** TPC-H Q6-shaped forecast revenue: the zero-join filter-aggregate.
+   * Q6 revenue is price × discount (the amount the discount "cost"), in
+   * exact integer e4 (cents × pct). The date and quantity predicates
+   * push into the parquet scan (min/max pruning skips whole row groups
+   * at 100 TB when the data is date-sorted); the discount band compares
+   * the rounded integer pct, matching the oracle digit for digit.
+   * Shape at scale: one scan, one 1-row aggregate — embarrassingly
+   * parallel, partial sums only. */
+  private val q24 = QueryDef(
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1998-01-01 00:00:00'") &&
+        col("l_quantity") < 24)
+      .select((round(col("l_extendedprice") * 100).cast("long") *
+        round(col("l_discount") * 100).cast("long")).as("disc_e4"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"))
+      .filter(col("disc_pct") >= 4 && col("disc_pct") <= 6)
+      .agg(sum(col("disc_e4")).as("revenue_e4"), count(lit(1)).as("n_lines")),
+    Some("""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |         CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_quantity < 24
+      |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 4 AND 6""".stripMargin))
+
+  /** TPC-H Q8-shaped market share: of the revenue on orders placed by
+   * ASIA-region customers, the fraction supplied by NATION_7 suppliers,
+   * per order year, as integer PPM (both operands exact integer sums, so
+   * the quotient is one deterministic integer division).
+   * Shape at scale: ONE fact exchange (lineitem⋈orders on the order
+   * key); customer/nation/region prune the order side and supplier/
+   * nation stamp the flag — all broadcast dims; the share arithmetic is
+   * per-year output-scale. */
+  private val q25 = QueryDef(
+    (s, d) => {
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val cust = t(s, d, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val ord = t(s, d, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("order_year"))
+      val sup = t(s, d, "supplier")
+        .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("sn_name"))), col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), (col("sn_name") === "NATION_7").as("is_target"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("order_year"))
+        .agg(sum(when(col("is_target"), col("rev_e4")).otherwise(0L))
+            .as("target_e4"),
+          sum(col("rev_e4")).as("total_e4"))
+        .withColumn("share_ppm", expr("(target_e4 * 1000000) div total_e4"))
+        .orderBy(col("order_year"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+      |       CAST(sum(CASE WHEN sn.n_name = 'NATION_7' THEN
+      |           CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |         ELSE 0 END) AS BIGINT) AS target_e4,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         AS BIGINT) AS total_e4,
+      |       CAST(sum(CASE WHEN sn.n_name = 'NATION_7' THEN
+      |           CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |         ELSE 0 END) * 1000000 //
+      |         sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         AS BIGINT) AS share_ppm
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** CUBE lattice over (returnflag, linestatus): all four grouping sets
+   * (the ROLLUP q4 covers three) with the grouping_id bitmask — Spark
+   * plans ONE Expand + hash aggregate with map-side partials, not one
+   * pass per set. Measures are exact integers (qty e2 / revenue e4). */
+  private val q26 = QueryDef(
+    (s, d) => t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * 100).cast("long").as("qty_e2"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty_e2")).as("sum_qty_e2"),
+        sum(col("rev_e4")).as("sum_rev_e4"),
+        count(lit(1)).as("n"),
+        grouping_id(col("l_returnflag"), col("l_linestatus"))
+          .cast("long").as("gid"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("*")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("*")).as("linestatus"),
+        col("sum_qty_e2"), col("sum_rev_e4"), col("n"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus")),
+    Some("""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       coalesce(l_returnflag, '*') AS returnflag,
+      |       coalesce(l_linestatus, '*') AS linestatus,
+      |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_qty_e2,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         AS BIGINT) AS sum_rev_e4,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, returnflag, linestatus""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "q22_late_orders_exists" -> q22,
+    "q23_priority_split" -> q23,
+    "q24_forecast_revenue" -> q24,
+    "q25_market_share" -> q25,
+    "q26_cube_lattice" -> q26,
     "q1_pricing_summary" -> q1,
     "q2_best_supplier" -> q2,
     "q8_last_shipper" -> q8,

@@ -864,4 +864,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(3L) === ((1L, 0L, 0L)))
     assert(got(11L) === ((1L, 0L, 0L)))
   }
+
+  test("source diversity: hand-computed shares and entropy contributions") {
+    import spark.implicits._
+    // a: 2 docs, 3 tokens each (6); b: 1 doc, 2 tokens (2) — total 3/8
+    val d = Seq(
+      (1L, "one two three", "a"),
+      (2L, "four five six", "a"),
+      (3L, "seven eight", "b")).toDF("doc_id", "text", "source")
+    val got = CorpusOps.sourceDiversity(d, "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("doc_ppm"), r.getAs[Long]("token_ppm"),
+          r.getAs[Double]("entropy_contrib"))).toMap
+    assert(got("a") === ((2L, 6L, 666666L, 750000L,
+      math.rint(-0.75 * math.log(0.75) * 1e4) / 1e4)))
+    assert(got("b") === ((1L, 2L, 333333L, 250000L,
+      math.rint(-0.25 * math.log(0.25) * 1e4) / 1e4)))
+  }
+
+  test("source overlap matrix: shared bigrams and containment ppm") {
+    import spark.implicits._
+    // a: {x y, y z}; b: {x y, y q}; c: {p q} — only (a,b) share a gram
+    val d = Seq(
+      (1L, "x y z", "a"),
+      (2L, "x y q", "b"),
+      (3L, "p q", "c")).toDF("doc_id", "text", "source")
+    val rows = CorpusOps.sourceGramOverlap(d, "source", "text", n = 2)
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("source_a") === "a")
+    assert(r.getAs[String]("source_b") === "b")
+    assert(r.getAs[Long]("shared_grams") === 1L)
+    assert(r.getAs[Long]("grams_a") === 2L && r.getAs[Long]("grams_b") === 2L)
+    assert(r.getAs[Long]("contain_a_ppm") === 500000L)
+    assert(r.getAs[Long]("contain_b_ppm") === 500000L)
+  }
 }

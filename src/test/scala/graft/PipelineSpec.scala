@@ -655,4 +655,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(0L)._1 === 10L && got(0L)._4)
     assert(got(0L)._3 > got(1L)._3)
   }
+
+  test("IVF cell stats: hand-computed census, shares, load factors") {
+    import TestSpark.spark
+    import spark.implicits._
+    // cell A (1,0): vectors 3 of them incl. centroid; cell B (0,1): one
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), // centroid A, its own cell
+      (1L, Seq(0.9f, 0.1f)), // → A
+      (2L, Seq(0.8f, -0.2f)), // → A
+      (50L, Seq(0f, 1f)) // centroid B, its own cell
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("cembedding"))
+    val got = graft.pipeline.Similarity.ivfCellStats(vecs, cents)
+      .collect().map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("share_ppm"),
+          r.getAs[Long]("load_ppm"))).toMap
+    assert(got(0L) === ((3L, 750000L, 1500000L)))
+    assert(got(50L) === ((1L, 250000L, 500000L)))
+  }
+
+  test("IVF recall fixture: a true neighbor in a non-probed cell is missed") {
+    import TestSpark.spark
+    import spark.implicits._
+    // query q probes only cell A at nprobe=1; its 3rd-nearest true
+    // neighbor v lives in cell B → n_hit = 2 of 3, recall 666666 ppm
+    val vecs = Seq(
+      (0L, Seq(1f, 0.05f)), // q → cell A
+      (1L, Seq(1f, -0.2f)), // w → cell A
+      (2L, Seq(0.6f, 0.8f)), // v → cell B (but near q)
+      (3L, Seq(1f, 0f)), // centroid A
+      (4L, Seq(0f, 1f)) // centroid B
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") >= 3L)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("cembedding"))
+    val q = vecs.filter(col("vec_id") === 0L)
+    val exact = graft.pipeline.Similarity.bruteForceTopK(q, vecs, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val cand = graft.pipeline.Similarity
+      .ivfAnn(q, vecs, cents, threshold = -1.0, nprobe = 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val r = exact.join(cand, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", expr("(n_hit * 1000000) div n_exact"))
+      .collect().head
+    assert(r.getAs[Long]("n_exact") === 3L)
+    assert(r.getAs[Long]("n_hit") === 2L)
+    assert(r.getAs[Long]("recall_ppm") === 666666L)
+  }
 }

@@ -118,4 +118,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("q22: EXISTS decorrelates to a semi join, lateness as residual") {
+    val plan = planOf("q22_late_orders_exists")
+    // the non-equi lateness predicate must NOT force a nested loop: the
+    // order-key equality carries the join, the date comparison rides it
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    assert("Exchange SinglePartition".r.findAllIn(plan).isEmpty, plan)
+  }
+
+  test("q24: date and quantity predicates reach the parquet scan") {
+    val df = SparkEntry.queries("q24_forecast_revenue")(spark, sf)
+    try {
+      val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      val li = scans.find(_.contains("lineitem")).getOrElse("")
+      assert(li.contains("PushedFilters"), li)
+      assert(li.contains("l_shipdate") && li.contains("l_quantity"), li)
+      // only the referenced columns are read
+      assert(!li.contains("l_orderkey"), li)
+    } finally CacheScope.releaseAll()
+  }
+
+  test("q25: one fact exchange; every dimension side broadcasts") {
+    val plan = planOf("q25_market_share")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // customer/nation/region/supplier all broadcast; the only allowed
+    // shuffle joins involve the fact; nothing serializes
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("Exchange SinglePartition".r.findAllIn(plan).isEmpty, plan)
+  }
+
+  test("q26: CUBE plans one Expand, not one pass per grouping set") {
+    val plan = planOf("q26_cube_lattice")
+    assert("Expand".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Union"), plan)
+  }
 }
