@@ -583,8 +583,41 @@ object StreamingSmoke {
     check("ddsketch-buckets", streamDd == batchDd && streamDd.nonEmpty,
       s"stream buckets=${streamDd.size} batch buckets=${batchDd.size}")
 
+    // -- 21. streaming source-diversity converges to the batch report -----
+    // (the diversity report is one hash aggregate over (source, tokens)
+    // plus output-scale share arithmetic — a Complete-mode run over the
+    // streamed documents must land on the identical PPM shares and
+    // entropy contributions, making the mixture monitor a live
+    // dashboard, not a batch-only report)
+    val divRows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), coalesce(col("text"), lit("")).as("text"))
+      .as[(String, String)].collect()
+    val s21 = MemoryStream[(String, String)]
+    // the streamable half (one hash agg) runs in the stream; the
+    // output-scale share/entropy arithmetic is applied to the converged
+    // counts — the hllRegisters/hllEstimateFromRegisters split
+    val q21 = graft.pipeline.CorpusOps
+      .sourceCounts(s21.toDF().toDF("source", "text"), "source", "text")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("source_counts")
+      .option("checkpointLocation", ckpt()).start()
+    divRows.grouped(math.max(1, divRows.length / 5 + 1))
+      .foreach { c => s21.addData(c); q21.processAllAvailable() }
+    q21.stop()
+    def divKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("doc_ppm"),
+        r.getAs[Long]("token_ppm"), r.getAs[Double]("entropy_contrib")))
+      .toMap
+    val streamDiv = divKey(graft.pipeline.CorpusOps
+      .diversityFromCounts(spark.table("source_counts"), "source"))
+    val batchDiv = divKey(graft.pipeline.CorpusOps.sourceDiversity(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "source", "text"))
+    check("source-diversity", streamDiv == batchDiv && streamDiv.nonEmpty,
+      s"stream=${streamDiv.size} sources batch=${batchDiv.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 20 converged to batch twins OK")
+    println(s"[stream-smoke] all 21 converged to batch twins OK")
     spark.stop()
   }
 }

@@ -21,6 +21,75 @@ import org.apache.spark.sql.functions._
  */
 object CorpusOps {
 
+  // ------------------------------------------- retrieval chunking plan
+
+  /**
+   * RAG-style sliding-window chunk plan: overlapping token windows of
+   * `window` tokens every `stride` tokens (window−stride tokens of
+   * overlap), with per-chunk token spans and content digests — the
+   * retrieval-index twin of [[sequencePack]] (which concatenates for
+   * training; this splits for search). Chunk starts are 0, stride,
+   * 2·stride, …, the last multiple of stride below the token count, so
+   * every token is covered and the plan is a pure function of the text.
+   *
+   * Shape at 100 TB: zero shuffle — the whole plan is an in-row
+   * sequence-explode + slice projection over the scan; ~n/stride output
+   * rows per document, each carrying only its digest and span (never
+   * the chunk text itself unless the caller asks).
+   */
+  def chunkOverlapPlan(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol), TextOps.words(coalesce(col(textCol), lit("")))
+        .as("ws"))
+      .withColumn("n_tok", size(col("ws")).cast("long"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"(n_tok - 1) div $stride"))))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("chunk_len",
+        least(lit(window.toLong), col("n_tok") - col("start_tok")))
+      .withColumn("chunk_md5",
+        md5(concat_ws(" ",
+          slice(col("ws"), (col("start_tok") + 1).cast("int"), lit(window)))
+          .cast("binary")))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        col("chunk_len"), col("chunk_md5"))
+  }
+
+  // ------------------------------------------------- readability scores
+
+  /**
+   * Flesch-style readability as exact integer arithmetic: sentence count
+   * from terminal-punctuation runs in the RAW text, word count from the
+   * normalized token stream, syllable estimate from vowel-group runs
+   * (floored at one per word), and reading ease ×10³ via integer
+   * divisions only — 206.835 − 1.015·(words/sentences) −
+   * 84.6·(syllables/words) with every quotient floored, so two engines
+   * can never disagree on a score (no libm, no float division).
+   *
+   * Shape at 100 TB: pure codegen'd projection over the scan — zero
+   * shuffle, embarrassingly parallel; the same family as the Gopher rule
+   * battery it complements (that one gates, this one scores).
+   */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol),
+        size(TextOps.words(raw)).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(raw, lit("[.!?]+"), lit(0))).cast("long"))
+          .as("n_sentences"),
+        size(regexp_extract_all(TextOps.normalized(raw),
+          lit("[aeiouy]+"), lit(0))).cast("long").as("vowel_runs"))
+      .withColumn("n_syllables", greatest(col("n_words"), col("vowel_runs")))
+      .withColumn("flesch_e3",
+        expr("206835 - (1015 * n_words) div n_sentences" +
+          " - (84600 * n_syllables) div n_words"))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("flesch_e3"))
+  }
+
   // ------------------------------------------------------------ repetition
 
   /**
@@ -1437,14 +1506,26 @@ object CorpusOps {
    * is |sources|-scale.
    */
   def sourceDiversity(docs: DataFrame, sourceCol: String,
-      textCol: String): DataFrame = {
-    val perSource = docs.groupBy(col(sourceCol))
+      textCol: String): DataFrame =
+    diversityFromCounts(sourceCounts(docs, sourceCol, textCol), sourceCol)
+
+  /** The streamable half of [[sourceDiversity]]: per-source doc/token
+   * mass as ONE hash aggregate (count and sum merge by addition, so a
+   * Complete-mode stream lands on the identical relation — the counts
+   * ARE the state, the p43–p56 sketch discipline). */
+  def sourceCounts(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame =
+    docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(coalesce(col(textCol), lit(""))).cast("long"))
           .as("n_tokens"))
-    val totals = perSource.agg(sum(col("n_docs")).as("t_docs"),
+
+  /** The report half: PPM shares + entropy contributions from the
+   * |sources|-row counts relation — output-scale arithmetic only. */
+  def diversityFromCounts(counts: DataFrame, sourceCol: String): DataFrame = {
+    val totals = counts.agg(sum(col("n_docs")).as("t_docs"),
       sum(col("n_tokens")).as("t_tokens"))
-    perSource.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .withColumn("doc_ppm", expr("(n_docs * 1000000) div t_docs"))
       .withColumn("token_ppm", expr("(n_tokens * 1000000) div t_tokens"))
       .withColumn("p", col("n_tokens").cast("double") / col("t_tokens"))

@@ -1754,9 +1754,55 @@ object CorpusQueries extends QueryGroup {
       |JOIN sz sb ON pairs.source_b = sb.source
       |ORDER BY source_a, source_b""".stripMargin))
 
+  private val p96 = QueryDef(
+    // RAG sliding-window chunk plan: 32-token windows every 24 tokens
+    // (8-token overlap), per-chunk spans + md5 digests. Zero-shuffle
+    // in-row explode; the oracle replays the slice arithmetic with
+    // DuckDB's inclusive-bound list_slice.
+    (s, d) => CorpusOps.chunkOverlapPlan(docs(s, d), "doc_id", "text",
+        window = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some(s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+      |n AS (SELECT doc_id, ws, len(ws) AS n_tok FROM w),
+      |c AS (SELECT doc_id, ws, n_tok,
+      |             unnest(range(0, (n_tok - 1) // 24 + 1)) AS chunk_idx
+      |      FROM n)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |       CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+      |       CAST(least(32, n_tok - chunk_idx * 24) AS BIGINT) AS chunk_len,
+      |       md5(array_to_string(list_slice(ws, chunk_idx * 24 + 1,
+      |         least(chunk_idx * 24 + 32, n_tok)), ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  private val p97 = QueryDef(
+    // Integer Flesch readability: sentences from terminal-punctuation
+    // runs in the raw text, syllables from vowel-group runs floored at
+    // one per word, reading ease ×10³ via floored integer divisions
+    // only. The oracle recomputes every count and quotient from the raw
+    // text.
+    (s, d) => CorpusOps.readability(docs(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH b AS (
+      |  SELECT doc_id,
+      |         CAST(len($WORDS) AS BIGINT) AS n_words,
+      |         greatest(1, CAST(len(regexp_extract_all(coalesce(text, ''),
+      |           '[.!?]+')) AS BIGINT)) AS n_sentences,
+      |         CAST(len(regexp_extract_all($NORM, '[aeiouy]+'))
+      |           AS BIGINT) AS vowel_runs
+      |  FROM documents),
+      |s AS (SELECT doc_id, n_words, n_sentences,
+      |             greatest(n_words, vowel_runs) AS n_syllables
+      |      FROM b)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |       CAST(206835 - (1015 * n_words) // n_sentences
+      |         - (84600 * n_syllables) // n_words AS BIGINT) AS flesch_e3
+      |FROM s ORDER BY doc_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p93_source_diversity" -> p93,
     "p94_source_overlap" -> p94,
+    "p96_chunk_overlap_plan" -> p96,
+    "p97_readability" -> p97,
     "p21_repetition_stats" -> p21,
     "p22_pii_redaction" -> p22,
     "p23_stratified_sample" -> p23,

@@ -1164,7 +1164,46 @@ object RelationalQueries extends QueryGroup {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid, returnflag, linestatus""".stripMargin))
 
+  /** Exact distributed quantiles on the relational surface: per-flag
+   * median and P90 of the line price in cents, by order-statistic
+   * selection over the (flag, cents) histogram — no global sort, no
+   * interpolation (type-1 quantile: the ⌈q·n⌉-th smallest value), so
+   * the answer is a value that exists in the data and both engines
+   * agree bit-for-bit. The oracle takes the opposite algorithm: full
+   * per-flag sort + row_number.
+   * Shape at scale: the histogram is one hash aggregate (distinct
+   * cents ≪ rows); the cumulative window runs over histogram rows,
+   * never data rows — the same discipline as the corpus-side p47. */
+  private val q27 = QueryDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.pipeline.CorpusOps.exactQuantiles(li,
+          col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long"),
+          Seq((1, 2), (9, 10)))
+        .select(col("source").as("l_returnflag"), col("q"), col("n"),
+          col("rank"), col("value"))
+        .orderBy(col("l_returnflag"), col("q"))
+    },
+    Some("""WITH v AS (
+      |  SELECT l_returnflag AS f,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem),
+      |r AS (SELECT f, v,
+      |             row_number() OVER (PARTITION BY f ORDER BY v) AS rn,
+      |             count(*) OVER (PARTITION BY f) AS n
+      |      FROM v),
+      |qs AS (SELECT * FROM (VALUES (1, 2), (9, 10)) t(qnum, qden))
+      |SELECT f AS l_returnflag,
+      |       round(CAST(qnum AS DOUBLE) / qden, 4) AS q,
+      |       CAST(n AS BIGINT) AS n,
+      |       CAST((qnum * n + qden - 1) // qden AS BIGINT) AS rank,
+      |       v AS value
+      |FROM r JOIN qs ON rn = (qnum * n + qden - 1) // qden
+      |ORDER BY l_returnflag, q""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "q27_price_quantiles" -> q27,
     "q22_late_orders_exists" -> q22,
     "q23_priority_split" -> q23,
     "q24_forecast_revenue" -> q24,

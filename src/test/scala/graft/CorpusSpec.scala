@@ -865,6 +865,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(11L) === ((1L, 0L, 0L)))
   }
 
+  test("chunk overlap plan: hand-computed spans and digests") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val got = CorpusOps.chunkOverlapPlan(d, "doc_id", "text",
+        window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[Long]("start_tok"), r.getAs[Long]("chunk_len"),
+          r.getAs[String]("chunk_md5"))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 (5 tokens): starts 0 and 3; doc 2 (1 token): one chunk
+    assert(got.keySet === Set((1L, 0L), (1L, 1L), (2L, 0L)))
+    assert(got((1L, 0L)) === ((0L, 4L, md5hex("a b c d"))))
+    assert(got((1L, 1L)) === ((3L, 2L, md5hex("d e"))))
+    assert(got((2L, 0L)) === ((0L, 1L, md5hex("x"))))
+  }
+
+  test("readability: hand-computed integer Flesch score") {
+    import spark.implicits._
+    val d = Seq((1L, "Hello world. How are you?"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.readability(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_sentences"),
+          r.getAs[Long]("n_syllables"), r.getAs[Long]("flesch_e3"))).toMap
+    // 5 words, 2 sentences, vowel runs: he-llo(2) w-o-rld(1) h-o-w(1)
+    // a-r-e(2) you(1) = 7 → 206835 − ⌊5075/2⌋ − ⌊592200/5⌋ = 85858
+    assert(got(1L) === ((5L, 2L, 7L, 85858L)))
+    // empty text: 1 pseudo-token, 1 sentence floor, 1 syllable floor
+    assert(got(2L) === ((1L, 1L, 1L, 121220L)))
+  }
+
   test("source diversity: hand-computed shares and entropy contributions") {
     import spark.implicits._
     // a: 2 docs, 3 tokens each (6); b: 1 doc, 2 tokens (2) — total 3/8
