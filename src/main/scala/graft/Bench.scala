@@ -67,6 +67,10 @@ object Bench {
       // the integer covariance relation p90/p91 share
       if (only.forall(n => n("p90_embed_covariance") || n("p91_pca_power")))
         graft.queries.PipelineQueries.warmSharedCov(spark, sfDir)
+      // the dHash near-dup pair relation p58/p99 share
+      if (only.forall(n => n("p58_image_dhash_pairs") ||
+          n("p99_image_dup_components")))
+        graft.queries.PipelineQueries.warmSharedDhash(spark, sfDir)
     } catch { case _: Throwable => }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     println(s"BENCHQ _warmup_shared ${fmt(warmupSec)}")

@@ -1261,19 +1261,12 @@ object PipelineQueries extends QueryGroup {
 
   // ------------------------------------------ p58 image dHash near-dups
 
-  private val p58 = QueryDef(
-    // Image near-duplicate detection end to end: dHash (gradient hash)
-    // over each document's DECODED BMP — sample the same 8×8 grid as
-    // p42's aHash, emit a bit per horizontally-adjacent sample pair
-    // (gray[i][j] < gray[i][j+1]), 56 bits so the packed hash stays in
-    // the positive signed-64 range where Spark's and DuckDB's integer
-    // arithmetic agree exactly — then ALL pairs at Hamming distance ≤ 7
-    // via the Manku 8-block pigeonhole index (reusing p50's machinery
-    // over a perceptual hash instead of a text simhash). The oracle
-    // recomputes every dHash from the raw bytes in SQL and brute-forces
-    // ALL O(n²) pairs, so parity proves both the hash arithmetic and
-    // that the index misses nothing.
-    (s, d) => {
+  /** The dHash near-dup pair relation p58 (report) and p99 (cluster
+   * decision) share — run-scoped so the bench derives it once (the
+   * p15/p18 pattern). */
+  private[queries] def dhashPairsShared(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.memoRun(
+      s"${s.sparkContext.applicationId}:dhash-pairs:$d") {
       import s.implicits._
       val in = docs(s, d)
         .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("px"))
@@ -1300,10 +1293,35 @@ object PipelineQueries extends QueryGroup {
         }
       }.toDF("doc_id", "dhash")
       DedupOps.hammingPairs(hashed, "doc_id", "dhash",
-          bits = 56, maxDist = 7, blocks = 8)
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-    Some("""WITH g AS (
+        bits = 56, maxDist = 7, blocks = 8)
+    }
+
+  /** Populate the dHash pair memo (see graft.Bench). */
+  def warmSharedDhash(s: SparkSession, d: String): Unit = {
+    dhashPairsShared(s, d).count(): Unit
+  }
+
+  private val p58 = QueryDef(
+    // Image near-duplicate detection end to end: dHash (gradient hash)
+    // over each document's DECODED BMP — sample the same 8×8 grid as
+    // p42's aHash, emit a bit per horizontally-adjacent sample pair
+    // (gray[i][j] < gray[i][j+1]), 56 bits so the packed hash stays in
+    // the positive signed-64 range where Spark's and DuckDB's integer
+    // arithmetic agree exactly — then ALL pairs at Hamming distance ≤ 7
+    // via the Manku 8-block pigeonhole index (reusing p50's machinery
+    // over a perceptual hash instead of a text simhash). The oracle
+    // recomputes every dHash from the raw bytes in SQL and brute-forces
+    // ALL O(n²) pairs, so parity proves both the hash arithmetic and
+    // that the index misses nothing.
+    (s, d) => dhashPairsShared(s, d).orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $dhashCtes
+      |SELECT doc_a, doc_b, hamming FROM dp
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** DuckDB rebuild of the dHash relation + brute-forced pairs (shared by
+   * the p58 report and the p99 cluster decision). */
+  private def dhashCtes: String =
+    """g AS (
       |  SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS w,
       |         octet_length(encode(coalesce(text, ''))) AS len, coalesce(text, '') AS text
       |  FROM documents),
@@ -1341,12 +1359,92 @@ object PipelineQueries extends QueryGroup {
       |         CAST(sum(CAST(bit AS BIGINT) *
       |           CAST(power(2, CAST((7 - i) * 7 + (6 - j) AS INT)) AS BIGINT))
       |           AS BIGINT) AS dhash
-      |  FROM bits GROUP BY doc_id)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-      |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
-      |ORDER BY doc_a, doc_b""".stripMargin))
+      |  FROM bits GROUP BY doc_id),
+      |dp AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+      |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 7)""".stripMargin
+
+  private val p99 = QueryDef(
+    // Image near-dup DECISION stage: the p58 pair relation → connected
+    // components → one family per row with its canonical representative
+    // (p18's cluster stage applied to the perceptual-hash graph — the
+    // "keep one of each near-identical image set" curation decision).
+    // The oracle rebuilds every dHash from raw bytes, brute-forces all
+    // pairs, and closes them with a recursive transitive closure — a
+    // different algorithm from the engine's union-find/min-label.
+    (s, d) => DedupOps.dupClusters(dhashPairsShared(s, d))
+      .orderBy(col("cluster_rep")),
+    Some(s"""WITH RECURSIVE $dhashCtes,
+      |sym AS (SELECT doc_a AS src, doc_b AS dst FROM dp
+      |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM dp),
+      |reach AS (
+      |  SELECT src AS a, dst AS b FROM sym
+      |  UNION
+      |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+      |lab AS (SELECT a AS node, least(a, min(b)) AS label
+      |        FROM reach GROUP BY a)
+      |SELECT label AS cluster_rep, count(*) AS cluster_size,
+      |       max(node) AS max_doc
+      |FROM lab GROUP BY label ORDER BY cluster_rep""".stripMargin))
+
+  private val p98 = QueryDef(
+    // Loudness-normalization plan over the DECODED PCM (p45's decode
+    // path): per clip, the peak |sample|, the integer-PPM gain that
+    // would normalize the peak to 100 (8-bit full scale 127 → ~2 dB
+    // headroom), and the pre-gain mean-square energy — every number a
+    // floored integer quotient of exact sums, so the oracle replays the
+    // whole plan from the source bytes. One mapPartitions pass, zero
+    // shuffle.
+    (s, d) => {
+      import s.implicits._
+      val in = docs(s, d)
+        .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("pcm"))
+        .as[(Long, Array[Byte])]
+      in.mapPartitions { it =>
+        it.map { case (id, pcm) =>
+          val rate = 8000 + (id % 8).toInt * 1000
+          val wav = WavCodec.build(rate, 1, 8, pcm)
+          val info = WavCodec.parse(wav)
+          val n = info.nSamples.toInt
+          val data = wav.slice(wav.length - n, wav.length)
+          def v(i: Int): Int = (data(i) & 0xFF) - 128
+          var peak = 0L
+          var ssq = 0L
+          var i = 0
+          while (i < n) {
+            val a = math.abs(v(i)).toLong
+            if (a > peak) peak = a
+            ssq += v(i).toLong * v(i)
+            i += 1
+          }
+          val gain = if (peak > 0) 100L * 1000000L / peak else 1000000L
+          val ms = if (n > 0) ssq / n else 0L
+          (id, n.toLong, peak, gain, ms)
+        }
+      }.toDF("doc_id", "n_samples", "peak_abs", "gain_ppm", "ms_e0")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH s AS (
+      |  SELECT doc_id, CAST(pos AS INT) AS pos,
+      |         ord(substr(text, CAST(pos AS INT), 1)) - 128 AS v
+      |  FROM (SELECT doc_id, coalesce(text, '') AS text,
+      |          unnest(range(1, len(coalesce(text, '')) + 1)) AS pos
+      |        FROM documents)),
+      |a AS (SELECT doc_id, count(*) AS n, max(abs(v)) AS peak,
+      |             sum(CAST(v AS BIGINT) * v) AS ssq
+      |      FROM s GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(a.n, 0) AS BIGINT) AS n_samples,
+      |       CAST(coalesce(a.peak, 0) AS BIGINT) AS peak_abs,
+      |       CAST(CASE WHEN coalesce(a.peak, 0) > 0
+      |                 THEN 100000000 // a.peak ELSE 1000000 END
+      |         AS BIGINT) AS gain_ppm,
+      |       CAST(CASE WHEN coalesce(a.n, 0) > 0 THEN a.ssq // a.n
+      |                 ELSE 0 END AS BIGINT) AS ms_e0
+      |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin))
 
   private val p75 = QueryDef(
     // Embedding-table QA (Similarity.embeddingAudit): per label, counts
@@ -1891,6 +1989,8 @@ object PipelineQueries extends QueryGroup {
   override val defs: Map[String, QueryDef] = Map(
     "p92_ann_recall" -> p92,
     "p95_ivf_balance" -> p95,
+    "p98_loudness_plan" -> p98,
+    "p99_image_dup_components" -> p99,
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
     "p3_ngram_jaccard" -> p3,

@@ -1202,7 +1202,39 @@ object RelationalQueries extends QueryGroup {
       |FROM r JOIN qs ON rn = (qnum * n + qden - 1) // qden
       |ORDER BY l_returnflag, q""".stripMargin))
 
+  /** Explicit set algebra (INTERSECT / EXCEPT with set semantics):
+   * customers active in BOTH 1996 and 1997 minus those who filed a
+   * return against a 1997 order — the §2.8 surface as first-class
+   * relational operators (the
+   * engine's other set ops ride unionByName and anti joins). Spark plans
+   * INTERSECT/EXCEPT as distinct-aggregates + semi/anti joins — each
+   * year-slice reduces to its distinct key set BEFORE any join, so the
+   * set ops are key-cardinality work, never order-row work. */
+  private val q28 = QueryDef(
+    (s, d) => {
+      val ord = t(s, d, "orders")
+      def activeIn(y: Int) = ord
+        .filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+      val returned = ord
+        .filter(year(col("o_orderdate")) === 1997)
+        .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_custkey"))
+      activeIn(1996).intersect(activeIn(1997)).except(returned)
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      |EXCEPT
+      |SELECT o_custkey FROM orders
+      |WHERE year(o_orderdate) = 1997
+      |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     WHERE l_returnflag = 'R')
+      |ORDER BY o_custkey""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "q28_set_algebra" -> q28,
     "q27_price_quantiles" -> q27,
     "q22_late_orders_exists" -> q22,
     "q23_priority_split" -> q23,

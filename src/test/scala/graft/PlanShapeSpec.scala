@@ -151,6 +151,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange SinglePartition".r.findAllIn(plan).isEmpty, plan)
   }
 
+  test("q28: INTERSECT/EXCEPT reduce to key sets before joining") {
+    val plan = planOf("q28_set_algebra")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // set semantics = distinct aggregates + semi/anti joins; the only
+    // single-partition stage allowed is the final ORDER BY
+    assert(plan.contains("LeftSemi") || plan.contains("LeftAnti"), plan)
+  }
+
   test("q26: CUBE plans one Expand, not one pass per grouping set") {
     val plan = planOf("q26_cube_lattice")
     assert("Expand".r.findAllIn(plan).size === 1, plan)
