@@ -1233,7 +1233,151 @@ object RelationalQueries extends QueryGroup {
       |                     WHERE l_returnflag = 'R')
       |ORDER BY o_custkey""".stripMargin))
 
+  /** Ordered conversion funnel (signup → view → click → purchase) with
+   * GREEDY stage chaining: each stage's timestamp is the user's earliest
+   * qualifying event strictly after the previous stage. The four
+   * chained minimums are per-user window aggregates over ONE user-key
+   * exchange (same partitioning, no ordering, so Catalyst fuses them
+   * into a single Window operator); the funnel report is a 1-row
+   * aggregate exploded to 4 stage rows with exact integer PPM
+   * conversions. The oracle replays the chain with literal correlated
+   * scalar subqueries — a genuinely different formulation. */
+  private val q29 = QueryDef(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      val ev = EventLog.raw(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000000").as("ms"))
+      val staged = ev
+        .withColumn("t1", min(when(col("event_type") === "signup", col("ms"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "view" &&
+          col("ms") > col("t1"), col("ms"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "click" &&
+          col("ms") > col("t2"), col("ms"))).over(w))
+        .withColumn("t4", min(when(col("event_type") === "purchase" &&
+          col("ms") > col("t3"), col("ms"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+          first(col("t3")).as("t3"), first(col("t4")).as("t4"))
+      val f = staged.agg(count(lit(1)).as("n_total"),
+        count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"), count(col("t4")).as("n4"))
+      f.select(explode(array(
+          struct(lit(1L).as("stage"), lit("signup").as("stage_name"),
+            col("n1").as("n_users"), col("n_total").as("prev"), col("n_total")),
+          struct(lit(2L).as("stage"), lit("view").as("stage_name"),
+            col("n2").as("n_users"), col("n1").as("prev"), col("n_total")),
+          struct(lit(3L).as("stage"), lit("click").as("stage_name"),
+            col("n3").as("n_users"), col("n2").as("prev"), col("n_total")),
+          struct(lit(4L).as("stage"), lit("purchase").as("stage_name"),
+            col("n4").as("n_users"), col("n3").as("prev"), col("n_total"))
+        )).as("st"))
+        .select(col("st.stage").as("stage"), col("st.stage_name").as("stage_name"),
+          col("st.n_users").as("n_users"),
+          expr("CASE WHEN st.n_total > 0 THEN (st.n_users * 1000000) div st.n_total" +
+            " ELSE 0 END").as("conv_ppm"),
+          expr("CASE WHEN st.prev > 0 THEN (st.n_users * 1000000) div st.prev" +
+            " ELSE 0 END").as("step_ppm"))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |s4 AS (
+      |  SELECT user_id,
+      |    (SELECT min(ms) FROM e WHERE e.user_id = u.user_id
+      |      AND event_type = 'signup') AS t1,
+      |    (SELECT min(ms) FROM e WHERE e.user_id = u.user_id
+      |      AND event_type = 'view'
+      |      AND ms > (SELECT min(ms) FROM e e2 WHERE e2.user_id = u.user_id
+      |                AND event_type = 'signup')) AS t2,
+      |    (SELECT min(ms) FROM e WHERE e.user_id = u.user_id
+      |      AND event_type = 'click'
+      |      AND ms > (SELECT min(ms) FROM e e2 WHERE e2.user_id = u.user_id
+      |        AND event_type = 'view'
+      |        AND ms > (SELECT min(ms) FROM e e3 WHERE e3.user_id = u.user_id
+      |                  AND event_type = 'signup'))) AS t3,
+      |    (SELECT min(ms) FROM e WHERE e.user_id = u.user_id
+      |      AND event_type = 'purchase'
+      |      AND ms > (SELECT min(ms) FROM e e2 WHERE e2.user_id = u.user_id
+      |        AND event_type = 'click'
+      |        AND ms > (SELECT min(ms) FROM e e3 WHERE e3.user_id = u.user_id
+      |          AND event_type = 'view'
+      |          AND ms > (SELECT min(ms) FROM e e4 WHERE e4.user_id = u.user_id
+      |                    AND event_type = 'signup')))) AS t4
+      |  FROM u),
+      |f AS (SELECT count(*) AS n_total, count(t1) AS n1, count(t2) AS n2,
+      |             count(t3) AS n3, count(t4) AS n4 FROM s4)
+      |SELECT st.stage, st.stage_name,
+      |       CAST(CASE st.stage WHEN 1 THEN n1 WHEN 2 THEN n2
+      |                          WHEN 3 THEN n3 ELSE n4 END AS BIGINT) AS n_users,
+      |       CAST(CASE WHEN n_total > 0 THEN
+      |           (CASE st.stage WHEN 1 THEN n1 WHEN 2 THEN n2
+      |                          WHEN 3 THEN n3 ELSE n4 END) * 1000000 // n_total
+      |         ELSE 0 END AS BIGINT) AS conv_ppm,
+      |       CAST(CASE WHEN (CASE st.stage WHEN 1 THEN n_total WHEN 2 THEN n1
+      |                       WHEN 3 THEN n2 ELSE n3 END) > 0 THEN
+      |           (CASE st.stage WHEN 1 THEN n1 WHEN 2 THEN n2
+      |                          WHEN 3 THEN n3 ELSE n4 END) * 1000000 //
+      |           (CASE st.stage WHEN 1 THEN n_total WHEN 2 THEN n1
+      |                          WHEN 3 THEN n2 ELSE n3 END)
+      |         ELSE 0 END AS BIGINT) AS step_ppm
+      |FROM f CROSS JOIN (VALUES (CAST(1 AS BIGINT), 'signup'),
+      |  (CAST(2 AS BIGINT), 'view'), (CAST(3 AS BIGINT), 'click'),
+      |  (CAST(4 AS BIGINT), 'purchase')) st(stage, stage_name)
+      |ORDER BY stage""".stripMargin))
+
+  /** Weekly retention-cohort matrix: users grouped by the week of their
+   * first event; for every later week, the fraction still active, in
+   * exact integer PPM. Epoch-day/week arithmetic is all integer
+   * division, so both engines derive identical cohorts and offsets.
+   * Shape at scale: the cohort assignment is one user-key aggregate; the
+   * activity join is co-partitioned on the user key; the matrix is
+   * |cohorts|×|weeks| output-scale. */
+  private val q30 = QueryDef(
+    (s, d) => {
+      val ev = EventLog.raw(s, d)
+        .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+        .withColumn("cohort_week", expr("cohort_day div 7"))
+      val sizes = cohort.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val active = ev.join(cohort, Seq("user_id"))
+        .select(col("cohort_week"),
+          expr("(day - cohort_day) div 7").as("offset_week"), col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("offset_week"))
+        .agg(count(lit(1)).as("n_active"))
+      active.join(broadcast(sizes), Seq("cohort_week"))
+        .withColumn("retention_ppm", expr("(n_active * 1000000) div cohort_size"))
+        .select(col("cohort_week"), col("offset_week"), col("n_active"),
+          col("cohort_size"), col("retention_ppm"))
+        .orderBy(col("cohort_week"), col("offset_week"))
+    },
+    Some("""WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day,
+      |             min(day) // 7 AS cohort_week
+      |      FROM e GROUP BY user_id),
+      |sz AS (SELECT cohort_week, count(*) AS cohort_size
+      |       FROM c GROUP BY cohort_week),
+      |act AS (
+      |  SELECT DISTINCT c.cohort_week, (e.day - c.cohort_day) // 7 AS offset_week,
+      |         e.user_id
+      |  FROM e JOIN c ON e.user_id = c.user_id),
+      |am AS (SELECT cohort_week, offset_week, count(*) AS n_active
+      |       FROM act GROUP BY cohort_week, offset_week)
+      |SELECT am.cohort_week, am.offset_week,
+      |       CAST(am.n_active AS BIGINT) AS n_active,
+      |       CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+      |       CAST(am.n_active * 1000000 // sz.cohort_size AS BIGINT)
+      |         AS retention_ppm
+      |FROM am JOIN sz ON am.cohort_week = sz.cohort_week
+      |ORDER BY am.cohort_week, offset_week""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "q29_funnel" -> q29,
+    "q30_retention_cohorts" -> q30,
     "q28_set_algebra" -> q28,
     "q27_price_quantiles" -> q27,
     "q22_late_orders_exists" -> q22,
