@@ -45,21 +45,18 @@ object AsofJoin {
    * right timestamp; all NULL when no match). `tolerance` (same unit as
    * the ts columns) drops matches farther than the bound.
    */
-  def asofJoin(
-      left: DataFrame,
-      right: DataFrame,
-      keys: Seq[String],
-      leftTs: String,
-      rightTs: String,
-      forward: Boolean = false,
-      tolerance: Option[Long] = None): DataFrame = {
+  /** Shared tag-and-union normalization: keys ++ __ts ++ __side ++
+   * leftOwn ++ payload, left rows with null payload and vice versa.
+   * Returns (unioned, leftOwn, payload). */
+  private def normalize(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): (DataFrame, Seq[String], Seq[String]) = {
     val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
     val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"right payload columns collide with left: $collisions")
     require(!left.columns.contains("asof_ts"), "left already has an asof_ts column")
 
     val leftOwn = left.columns.filterNot(keys.contains).toSeq
-    // Common union schema: keys ++ __ts ++ __side ++ leftOwn ++ payload.
     // Left rows carry null payload, right rows null leftOwn; the matched
     // right row travels as ONE struct so genuinely-null payload values
     // survive (ignoreNulls skips null STRUCTS, never null fields).
@@ -77,6 +74,19 @@ object AsofJoin {
         keys.map(col) ++ Seq(col("__ts"), col("__side")) ++
           leftOwn.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           payload.map(col): _*)
+    (lNorm.unionByName(rNorm), leftOwn, payload)
+  }
+
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      forward: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
+    val (unioned, leftOwn, payload) =
+      normalize(left, right, keys, leftTs, rightTs)
 
     // At a tied instant the right row must be inside the frame: backward
     // frames look up the partition (right sorts before left), forward
@@ -104,10 +114,64 @@ object AsofJoin {
         col("__m").isNotNull && gap <= t
     }
 
-    lNorm.unionByName(rNorm)
+    unioned
       .withColumn("__m", picked)
       .filter(col("__side") === 1)
       .withColumn("__m", when(gapOk, col("__m")))
+      .select(
+        keys.map(col) ++
+          Seq(col("__ts").as(leftTs)) ++
+          leftOwn.filterNot(_ == leftTs).map(col) ++
+          Seq(col("__m.asof_ts").as("asof_ts")) ++
+          payload.map(p => col(s"__m.$p").as(p)): _*)
+  }
+
+  /**
+   * Nearest-in-EITHER-direction as-of join: for each left row, the right
+   * row minimizing |right.ts − left.ts| under the same keys — ties (equal
+   * gaps both ways) resolve to the BACKWARD (earlier) match, and with a
+   * `tolerance` the nearest VALID candidate wins (a backward match past
+   * the bound never shadows an in-bound forward one). Neither DuckDB's
+   * ASOF JOIN nor pandas' default merge_asof offers both-direction
+   * nearest with this tie rule natively — it is the "closest state
+   * snapshot to this event" enrichment.
+   *
+   * Same scale shape as [[asofJoin]]: one hash exchange on the keys; the
+   * backward and forward candidates ride two window frames over that one
+   * exchange (two in-partition sorts, zero extra shuffles).
+   */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    val (unioned, leftOwn, payload) =
+      normalize(left, right, keys, leftTs, rightTs)
+
+    val part = keys.map(col)
+    val wB = Window.partitionBy(part: _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(part: _*)
+      .orderBy(col("__ts").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightStruct = when(col("__side") === 0,
+      struct(col("__ts").as("asof_ts") +: payload.map(col): _*))
+
+    val gapB = col("__ts") - col("__b.asof_ts")
+    val gapF = col("__f.asof_ts") - col("__ts")
+    val bOk = tolerance.foldLeft(col("__b").isNotNull)((c, t) => c && gapB <= t)
+    val fOk = tolerance.foldLeft(col("__f").isNotNull)((c, t) => c && gapF <= t)
+
+    unioned
+      .withColumn("__b", last(rightStruct, ignoreNulls = true).over(wB))
+      .withColumn("__f", first(rightStruct, ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+      .withColumn("__m",
+        when(bOk && (!fOk || gapB <= gapF), col("__b"))
+          .otherwise(when(fOk, col("__f"))))
       .select(
         keys.map(col) ++
           Seq(col("__ts").as(leftTs)) ++

@@ -1375,7 +1375,51 @@ object RelationalQueries extends QueryGroup {
       |FROM am JOIN sz ON am.cohort_week = sz.cohort_week
       |ORDER BY am.cohort_week, offset_week""".stripMargin))
 
+  /** J6 — nearest-in-either-direction as-of join (AsofJoin.asofNearest):
+   * each click matched to the user's CLOSEST purchase within ±2 days,
+   * ties to the earlier purchase; the signed lag says which side won.
+   * The oracle is a correlated LATERAL min-gap pick — a per-row search,
+   * a genuinely different algorithm from the engine's two window frames
+   * over one key exchange. Matching at full microsecond precision, ms
+   * only at output (the j4 discipline), so a sub-millisecond gap
+   * difference can never flip the chosen side on one engine only. */
+  private val j6 = QueryDef(
+    (s, d) => {
+      val ev = EventLog.raw(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .agg(max(col("value")).as("pv"))
+      val tolUs = 2L * 86400000L * 1000L
+      AsofJoin.asofNearest(clicks, purch, Seq("user_id"), "ts_us", "ts_us",
+          tolerance = Some(tolUs))
+        .withColumn("click_ms", expr("ts_us div 1000"))
+        .withColumn("purchase_ms", expr("asof_ts div 1000"))
+        .select(col("event_id"), col("user_id"), col("click_ms"),
+          round(col("pv"), 2).as("purchase_value"),
+          (col("click_ms") - col("purchase_ms")).as("lag_ms"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH clicks AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'click'
+      |), purch AS (
+      |  SELECT user_id, epoch_us(ts) AS us, max(value) AS pv FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts)
+      |)
+      |SELECT c.event_id, c.user_id, c.us // 1000 AS click_ms,
+      |       round(m.pv, 2) AS purchase_value,
+      |       c.us // 1000 - m.us // 1000 AS lag_ms
+      |FROM clicks c LEFT JOIN LATERAL (
+      |  SELECT p.us, p.pv FROM purch p
+      |  WHERE p.user_id = c.user_id
+      |    AND greatest(c.us - p.us, p.us - c.us) <= 172800000000
+      |  ORDER BY greatest(c.us - p.us, p.us - c.us), p.us LIMIT 1) m ON TRUE
+      |ORDER BY c.event_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "j6_asof_nearest" -> j6,
     "q29_funnel" -> q29,
     "q30_retention_cohorts" -> q30,
     "q28_set_algebra" -> q28,

@@ -93,6 +93,57 @@ class AsofRangeSpec extends AnyFunSuite {
     assert(fwd === Map("a" -> Some(3L), "b" -> None))
   }
 
+  private def naiveNearest(tol: Option[Long]): Map[(String, Long, Long), Option[(Long, Long)]] =
+    leftRows.map { case (k, ts, id) =>
+      val cands = rightRows.filter(_._1 == k)
+        .map(r => (math.abs(r._2 - ts), r._2, r._3))
+        .filter(c => tol.forall(c._1 <= _))
+      // min gap, tie to the EARLIER right ts (= backward preference)
+      val best = if (cands.isEmpty) None
+        else { val m = cands.minBy(c => (c._1, c._2)); Some((m._2, m._3)) }
+      (k, ts, id) -> best
+    }.toMap
+
+  test("nearest as-of equals naive min-|gap| scan (tie → backward)") {
+    import spark.implicits._
+    val l = leftRows.toDF("k", "ts", "lid")
+    val r = rightRows.toDF("k", "ts", "payload").withColumnRenamed("ts", "rts")
+    for (tol <- Seq(None, Some(13L))) {
+      val got = AsofJoin.asofNearest(l, r, Seq("k"), "ts", "rts", tolerance = tol)
+        .collect().map { row =>
+          val m = if (row.isNullAt(row.fieldIndex("asof_ts"))) None
+            else Some((row.getAs[Long]("asof_ts"), row.getAs[Long]("payload")))
+          (row.getAs[String]("k"), row.getAs[Long]("ts"),
+            row.getAs[Long]("lid")) -> m
+        }.toMap
+      assert(got === naiveNearest(tol), s"tol=$tol")
+    }
+  }
+
+  test("nearest: out-of-bound backward never shadows an in-bound forward") {
+    import spark.implicits._
+    // backward candidate at gap 8 (out of tol 5), forward at gap 3 (in):
+    // the valid forward match must win, not be discarded with the row
+    val l = Seq(("a", 10L)).toDF("k", "ts")
+    val r = Seq(("a", 2L, 20L), ("a", 13L, 130L)).toDF("k", "rts", "payload")
+    val out = AsofJoin.asofNearest(l, r, Seq("k"), "ts", "rts",
+      tolerance = Some(5L)).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("asof_ts") === 13L)
+    assert(out.head.getAs[Long]("payload") === 130L)
+  }
+
+  test("nearest plan: both direction frames share one key exchange") {
+    import spark.implicits._
+    val l = leftRows.toDF("k", "ts", "lid")
+    val r = rightRows.toDF("k", "ts", "payload").withColumnRenamed("ts", "rts")
+    val plan = AsofJoin.asofNearest(l, r, Seq("k"), "ts", "rts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert("Exchange hashpartitioning\\(k".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("range join equals direct inequality join across bin boundaries") {
     import spark.implicits._
     // points at every integer incl. exact bin edges; intervals of mixed
