@@ -121,4 +121,27 @@ class NullTextSpec extends AnyFunSuite {
     assert(ph(0L) === ph(1L), "null and empty must hash identically")
     ph.values.foreach(h => assert(h != null && h.length === 16))
   }
+
+  test("session-7 ops are total over null text") {
+    // diversity: null-text docs count 1 pseudo-token (the library
+    // convention); every source present, shares non-null
+    val div = CorpusOps.sourceDiversity(mixed, "source", "text").collect()
+    assert(div.map(_.getAs[Long]("n_docs")).sum === 4L)
+    div.foreach(r => assert(!r.isNullAt(r.fieldIndex("entropy_contrib"))))
+    // chunk plan: null == empty == one 1-token chunk, identical digest
+    val ch = CorpusOps.chunkOverlapPlan(mixed, "doc_id", "text", 4, 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("chunk_len"), r.getAs[String]("chunk_md5")))
+      .groupBy(_._1)
+    assert(ch.keySet === Set(0L, 1L, 2L, 3L))
+    assert(ch(0L).map(_._2) === ch(1L).map(_._2))
+    // readability: null == empty (1 word / 1 sentence / 1 syllable)
+    val rd = CorpusOps.readability(mixed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("flesch_e3")).toMap
+    assert(rd.size === 4 && rd(0L) === rd(1L))
+    // overlap matrix: null-text docs contribute no grams; no crash, and
+    // the only gram-bearing doc (2, source b) has no partner → empty
+    assert(CorpusOps.sourceGramOverlap(mixed, "source", "text", 5)
+      .collect().isEmpty)
+  }
 }
