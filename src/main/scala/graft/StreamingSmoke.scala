@@ -616,8 +616,48 @@ object StreamingSmoke {
     check("source-diversity", streamDiv == batchDiv && streamDiv.nonEmpty,
       s"stream=${streamDiv.size} sources batch=${batchDiv.size}")
 
+    // -- 22. streaming funnel state machine converges to the batch chain --
+    // (per-user 4-long CEP state over time-ordered arrival must lock the
+    // identical stage timestamps as the batch chained-minimum relation;
+    // the ordering contract is the documented watermark+sort requirement)
+    val funRows = graft.model.EventLog.raw(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000").as("ms"))
+      .as[(Long, String, Long)].collect()
+      .sortBy(r => (r._3, r._1)) // global event-time order
+      .map(r => graft.streaming.FunnelEvent(r._1, r._2, r._3))
+    val s22 = MemoryStream[graft.streaming.FunnelEvent]
+    val q22 = graft.streaming.StreamingOps.funnelStream(s22.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("funnel_state")
+      .option("checkpointLocation", ckpt()).start()
+    funRows.grouped(math.max(1, funRows.length / 7 + 1))
+      .foreach { c => s22.addData(c); q22.processAllAvailable() }
+    q22.stop()
+    // stage is monotone per user → the max-stage row is the final state
+    val streamFun = spark.table("funnel_state")
+      .orderBy(col("user_id"), col("stage"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (Option(r.getAs[java.lang.Long]("t1")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t2")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t3")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t4")).map(_.toLong)))
+      .toMap // last write per user wins (sorted by stage)
+    val batchFun = graft.operators.Funnel.stageTimes(
+        graft.model.EventLog.raw(spark, sfDir)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000000").as("ms")))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (Option(r.getAs[java.lang.Long]("t1")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t2")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t3")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("t4")).map(_.toLong)))
+      .filter(_._2._1.isDefined).toMap // stage-0 users never emit
+    check("funnel-state", streamFun == batchFun && streamFun.nonEmpty,
+      s"stream=${streamFun.size} users batch=${batchFun.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 21 converged to batch twins OK")
+    println(s"[stream-smoke] all 22 converged to batch twins OK")
     spark.stop()
   }
 }

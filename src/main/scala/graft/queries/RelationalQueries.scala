@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.EventLog
-import graft.operators.{AsofJoin, RangeJoin}
+import graft.operators.{AsofJoin, Funnel, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1243,43 +1243,9 @@ object RelationalQueries extends QueryGroup {
    * conversions. The oracle replays the chain with literal correlated
    * scalar subqueries — a genuinely different formulation. */
   private val q29 = QueryDef(
-    (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-      val ev = EventLog.raw(s, d)
-        .select(col("user_id"), col("event_type"),
-          expr("ts div 1000000").as("ms"))
-      val staged = ev
-        .withColumn("t1", min(when(col("event_type") === "signup", col("ms"))).over(w))
-        .withColumn("t2", min(when(col("event_type") === "view" &&
-          col("ms") > col("t1"), col("ms"))).over(w))
-        .withColumn("t3", min(when(col("event_type") === "click" &&
-          col("ms") > col("t2"), col("ms"))).over(w))
-        .withColumn("t4", min(when(col("event_type") === "purchase" &&
-          col("ms") > col("t3"), col("ms"))).over(w))
-        .groupBy(col("user_id"))
-        .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
-          first(col("t3")).as("t3"), first(col("t4")).as("t4"))
-      val f = staged.agg(count(lit(1)).as("n_total"),
-        count(col("t1")).as("n1"), count(col("t2")).as("n2"),
-        count(col("t3")).as("n3"), count(col("t4")).as("n4"))
-      f.select(explode(array(
-          struct(lit(1L).as("stage"), lit("signup").as("stage_name"),
-            col("n1").as("n_users"), col("n_total").as("prev"), col("n_total")),
-          struct(lit(2L).as("stage"), lit("view").as("stage_name"),
-            col("n2").as("n_users"), col("n1").as("prev"), col("n_total")),
-          struct(lit(3L).as("stage"), lit("click").as("stage_name"),
-            col("n3").as("n_users"), col("n2").as("prev"), col("n_total")),
-          struct(lit(4L).as("stage"), lit("purchase").as("stage_name"),
-            col("n4").as("n_users"), col("n3").as("prev"), col("n_total"))
-        )).as("st"))
-        .select(col("st.stage").as("stage"), col("st.stage_name").as("stage_name"),
-          col("st.n_users").as("n_users"),
-          expr("CASE WHEN st.n_total > 0 THEN (st.n_users * 1000000) div st.n_total" +
-            " ELSE 0 END").as("conv_ppm"),
-          expr("CASE WHEN st.prev > 0 THEN (st.n_users * 1000000) div st.prev" +
-            " ELSE 0 END").as("step_ppm"))
-        .orderBy(col("stage"))
-    },
+    (s, d) => Funnel.report(Funnel.stageTimes(
+      EventLog.raw(s, d).select(col("user_id"), col("event_type"),
+        expr("ts div 1000000").as("ms")))),
     Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
       |u AS (SELECT DISTINCT user_id FROM e),
       |s4 AS (

@@ -20,6 +20,13 @@ case class AssembledMessage(uuid: Long, n_chunks: Long, payload: String, first_o
 /** One streamed corpus-ingest document (id + content fingerprint). */
 case class DocIngest(doc_id: Long, fp: String)
 
+/** One streamed funnel event (user, type, event-time ms). */
+case class FunnelEvent(user_id: Long, event_type: String, ms: Long)
+
+/** A user's funnel state after an advance (nullable stage times). */
+case class FunnelUser(user_id: Long, t1: Option[Long], t2: Option[Long],
+    t3: Option[Long], t4: Option[Long], stage: Long)
+
 /**
  * The client-side latest-value-per-key map the streaming TableView
  * maintains — the Spark twin of the reference's ConcurrentMap-backed view
@@ -312,6 +319,54 @@ object StreamingOps {
             val first = rows.minBy(_.doc_id)
             state.update(first.doc_id)
             Iterator.single(first)
+          }
+      }
+  }
+
+  /**
+   * Streaming conversion funnel — the CEP-style per-user state machine
+   * twin of [[graft.operators.Funnel.stageTimes]]: 4 longs of state per
+   * user advance through signup → view → click → purchase, each stage
+   * locking to the first qualifying event STRICTLY after the previous
+   * stage. Emits the user's updated stage row whenever state advances
+   * (stage is monotone, so the max-stage row per user is the final
+   * answer).
+   *
+   * CONTRACT: events must arrive per-user in non-decreasing event-time
+   * order for the incremental chain to equal the batch minimums (a late
+   * earlier signup could re-anchor the whole chain). Production gets
+   * that ordering from a watermark + in-batch sort; the smoke check
+   * feeds time-sorted chunks and asserts convergence to the batch
+   * relation.
+   */
+  def funnelStream(ev: Dataset[FunnelEvent]): Dataset[FunnelUser] = {
+    import ev.sparkSession.implicits._
+    val order = graft.operators.Funnel.stages.zipWithIndex.toMap
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Option[Long], Option[Long], Option[Long], Option[Long]),
+        FunnelUser](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          var (t1, t2, t3, t4) =
+            state.getOption.getOrElse((Option.empty[Long], Option.empty[Long],
+              Option.empty[Long], Option.empty[Long]))
+          val before = (t1, t2, t3, t4)
+          // in-batch event-time order; same-ms ties can't matter (every
+          // stage requires STRICTLY later, so order among ties is moot)
+          rows.toSeq.sortBy(e => (e.ms, order.getOrElse(e.event_type, 9)))
+            .foreach { e =>
+              e.event_type match {
+                case "signup" if t1.isEmpty => t1 = Some(e.ms)
+                case "view" if t2.isEmpty && t1.exists(e.ms > _) => t2 = Some(e.ms)
+                case "click" if t3.isEmpty && t2.exists(e.ms > _) => t3 = Some(e.ms)
+                case "purchase" if t4.isEmpty && t3.exists(e.ms > _) => t4 = Some(e.ms)
+                case _ =>
+              }
+            }
+          if ((t1, t2, t3, t4) == before) Iterator.empty
+          else {
+            state.update((t1, t2, t3, t4))
+            val stage = Seq(t1, t2, t3, t4).count(_.isDefined).toLong
+            Iterator.single(FunnelUser(user, t1, t2, t3, t4, stage))
           }
       }
   }
