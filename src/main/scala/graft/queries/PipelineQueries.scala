@@ -885,7 +885,14 @@ object PipelineQueries extends QueryGroup {
         .filter(col("n_docs") > 1)
         .orderBy(col("fp"))
     },
-    Some(s"""WITH nrm AS (SELECT doc_id, $NORM AS norm FROM documents),
+    Some(s"""WITH $winnowCtes
+      |SELECT fp, count(*) AS n_docs, min(doc_id) AS representative
+      |FROM u GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin))
+
+  /** DuckDB rebuild of the per-doc winnow fingerprint relation `u`
+   * (shared by p16's bucket report and p100's pair matcher). */
+  private def winnowCtes: String =
+    s"""nrm AS (SELECT doc_id, $NORM AS norm FROM documents),
       |f AS (SELECT doc_id, norm FROM nrm
       |      WHERE length(norm) >= ${TextOps.winnowK + TextOps.winnowW - 1}),
       |g AS (SELECT doc_id,
@@ -896,9 +903,63 @@ object PipelineQueries extends QueryGroup {
       |        list_distinct(list_transform(range(0, len(gs) - ${TextOps.winnowW - 1}),
       |          i -> list_min(list_slice(gs, i + 1, i + ${TextOps.winnowW})))) AS fps
       |      FROM g),
-      |u AS (SELECT doc_id, unnest(fps) AS fp FROM w)
-      |SELECT fp, count(*) AS n_docs, min(doc_id) AS representative
-      |FROM u GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin))
+      |u AS (SELECT doc_id, unnest(fps) AS fp FROM w)""".stripMargin
+
+  private val p100 = QueryDef(
+    // MOSS-style document-pair matching (Schleimer 2003 §4): drop
+    // corpus-frequent fingerprints (df > 20 — MOSS's own "ignore
+    // boilerplate" rule, which is ALSO what bounds the inverted-index
+    // join: per-fp pair work ≤ df², df capped), then report pairs
+    // sharing ≥ 3 surviving fingerprints AND ≥ half the smaller doc's
+    // surviving set (match_ppm ≥ 500000). Containment denominators
+    // count the CAPPED relation, as MOSS scores retained fingerprints.
+    // The oracle rebuilds every fingerprint in SQL and replays the df
+    // cap and both joins.
+    (s, d) => {
+      val minLen = TextOps.winnowK + TextOps.winnowW - 1
+      val all = docs(s, d)
+        .withColumn("norm", TextOps.normalized(col("text")))
+        .filter(length(col("norm")) >= minLen)
+        .select(col("doc_id"),
+          explode(TextOps.winnowFingerprints(col("norm"))).as("fp"))
+      val rare = all.withColumn("df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp"))))
+        .filter(col("df") <= 20).drop("df")
+      val fps = graft.CacheScope.track(rare)
+      val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      fps.as("a").join(fps.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 3)
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("fps_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("fps_b")), "doc_b")
+        .withColumn("match_ppm",
+          expr("(shared_fps * 1000000) div least(fps_a, fps_b)"))
+        .filter(col("match_ppm") >= 500000)
+        .select(col("doc_a"), col("doc_b"), col("shared_fps"),
+          col("fps_a"), col("fps_b"), col("match_ppm"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH $winnowCtes,
+      |ur AS (SELECT doc_id, fp FROM (
+      |         SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+      |         FROM u) WHERE df <= 20),
+      |sz AS (SELECT doc_id, count(*) AS n_fp FROM ur GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+      |  FROM ur a JOIN ur b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT doc_a, doc_b, shared_fps,
+      |       sa.n_fp AS fps_a, sb.n_fp AS fps_b,
+      |       CAST(shared_fps * 1000000 // least(sa.n_fp, sb.n_fp) AS BIGINT)
+      |         AS match_ppm
+      |FROM pairs
+      |JOIN sz sa ON pairs.doc_a = sa.doc_id
+      |JOIN sz sb ON pairs.doc_b = sb.doc_id
+      |WHERE shared_fps * 1000000 // least(sa.n_fp, sb.n_fp) >= 500000
+      |ORDER BY doc_a, doc_b""".stripMargin))
 
   // ---------------------------------------------------------------- multimodal plumbing
 
@@ -1991,6 +2052,7 @@ object PipelineQueries extends QueryGroup {
     "p95_ivf_balance" -> p95,
     "p98_loudness_plan" -> p98,
     "p99_image_dup_components" -> p99,
+    "p100_winnow_pairs" -> p100,
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
     "p3_ngram_jaccard" -> p3,

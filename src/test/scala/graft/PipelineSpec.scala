@@ -656,6 +656,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(0L)._3 > got(1L)._3)
   }
 
+  test("winnow pair matching: near-copies pair, boilerplate df-capped out") {
+    import TestSpark.spark
+    import spark.implicits._
+    // 25 docs share ONE boilerplate sentence (df=25 > 20 → its
+    // fingerprints are dropped); docs 100/101 are near-copies with
+    // distinctive text → the only reported pair
+    val boiler = "every page of this site carries the same legal footer text"
+    val distinct1 = "zebra quagga okapi wandered across the misty savanna at dawn"
+    val distinct2 = "zebra quagga okapi wandered across the misty savanna at dusk"
+    val d = ((0L until 25L).map(i => (i, boiler)) ++
+      Seq((100L, s"$boiler $distinct1"), (101L, s"$boiler $distinct2")))
+      .toDF("doc_id", "text")
+    val dir = Scratch.freshDir("winnow-pairs")
+    d.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("p100_winnow_pairs")(spark, dir).collect()
+    assert(rows.length === 1, rows.mkString(","))
+    val r = rows.head
+    assert(r.getAs[Long]("doc_a") === 100L && r.getAs[Long]("doc_b") === 101L)
+    assert(r.getAs[Long]("match_ppm") >= 500000L)
+    // the boilerplate-only docs must have paired with nobody
+    CacheScope.releaseAll()
+  }
+
   test("IVF cell stats: hand-computed census, shares, load factors") {
     import TestSpark.spark
     import spark.implicits._
