@@ -90,6 +90,57 @@ object CorpusOps {
         col("n_syllables"), col("flesch_e3"))
   }
 
+  // ------------------------------------------------- k-anonymity audit
+
+  /**
+   * k-anonymity audit over quasi-identifier combinations: how many
+   * documents share each (lang, source, size-bucket) tuple, flagging
+   * combinations rarer than `k` — the re-identification screen run
+   * before releasing per-document metadata alongside a scrubbed corpus
+   * (complements [[piiRedact]], which scrubs content; this audits
+   * attributes). Pure hash aggregate to combination grain.
+   */
+  def kAnonymityAudit(docs: DataFrame, cols: Seq[Column], bucket: Column,
+      k: Int): DataFrame =
+    docs.groupBy((cols :+ bucket.as("bucket")): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < k)
+
+  // ------------------------------------------------- Zipf two-point fit
+
+  /**
+   * Per-stratum Zipf exponent by two-point fit: s from
+   * c(1)/c(r) = r^s at the reference rank `refRank` (rank by count
+   * descending, word tie-break, so the reference count is
+   * deterministic). The natural-log quotient on exact integer counts is
+   * rounded to 4 dp — the [[vocabStats]] heaps_beta convention. Strata
+   * with fewer than `refRank` word types are omitted (no reference
+   * point). A flat template corpus shows s ≈ 0; natural text ≈ 1.
+   *
+   * Shape at 100 TB: word counts are one (stratum, word) hash aggregate
+   * with map-side partials; the rank window runs over vocabulary-scale
+   * rows, never corpus rows.
+   */
+  def zipfFit(df: DataFrame, stratumCol: Column, textCol: Column,
+      refRank: Int = 16): DataFrame = {
+    require(refRank > 1, s"need refRank > 1, got $refRank")
+    val perWord = df
+      .select(stratumCol.as("stratum"), explode(TextOps.words(textCol)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("stratum"), col("w")).agg(count(lit(1)).as("c"))
+    val stats = perWord.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_types"), max(col("c")).as("c1"))
+    val ref = perWord
+      .withColumn("rk", row_number().over(Window.partitionBy(col("stratum"))
+        .orderBy(col("c").desc, col("w"))))
+      .filter(col("rk") === refRank)
+      .select(col("stratum"), col("c").as("c_ref"))
+    stats.join(ref, Seq("stratum"))
+      .select(col("stratum"), col("n_types"), col("c1"), col("c_ref"),
+        round(log(col("c1") / col("c_ref").cast("double")) /
+          math.log(refRank), 4).as("zipf_s"))
+  }
+
   // ------------------------------------------------------------ repetition
 
   /**

@@ -1798,7 +1798,47 @@ object CorpusQueries extends QueryGroup {
       |         - (84600 * n_syllables) // n_words AS BIGINT) AS flesch_e3
       |FROM s ORDER BY doc_id""".stripMargin))
 
+  private val p101 = QueryDef(
+    // k-anonymity audit over (lang, source, 100-char size bucket):
+    // combination counts + at-risk flag (k=5). Pure hash aggregate; the
+    // oracle is the literal SQL.
+    (s, d) => CorpusOps.kAnonymityAudit(docs(s, d),
+        Seq(col("lang"), col("source")), expr("n_chars div 100"), k = 5)
+      .orderBy(col("lang"), col("source"), col("bucket")),
+    Some("""SELECT lang, source, n_chars // 100 AS bucket,
+      |       count(*) AS n_docs, count(*) < 5 AS at_risk
+      |FROM documents GROUP BY 1, 2, 3
+      |ORDER BY lang, source, bucket""".stripMargin))
+
+  private val p102 = QueryDef(
+    // Per-source Zipf exponent by two-point fit at reference rank 16
+    // (rank by count desc, word tie-break); ln quotient rounded 4 dp
+    // (the p67 heaps_beta convention). The oracle re-derives the rank
+    // with its own window.
+    (s, d) => CorpusOps.zipfFit(docs(s, d), col("source"), col("text"),
+        refRank = 16)
+      .select(col("stratum").as("source"), col("n_types"), col("c1"),
+        col("c_ref"), col("zipf_s"))
+      .orderBy(col("source")),
+    Some(s"""WITH w AS (
+      |  SELECT source, unnest($WORDS) AS w FROM documents),
+      |pw AS (SELECT source, w, count(*) AS c FROM w
+      |       WHERE length(w) > 0 GROUP BY source, w),
+      |st AS (SELECT source, count(*) AS n_types, max(c) AS c1
+      |       FROM pw GROUP BY source),
+      |rk AS (SELECT source, c,
+      |              row_number() OVER (PARTITION BY source
+      |                ORDER BY c DESC, w) AS rk
+      |       FROM pw)
+      |SELECT st.source, CAST(n_types AS BIGINT) AS n_types,
+      |       CAST(c1 AS BIGINT) AS c1, CAST(rk.c AS BIGINT) AS c_ref,
+      |       round(ln(c1 / (rk.c)::DOUBLE) / ln(16), 4) AS zipf_s
+      |FROM st JOIN rk ON st.source = rk.source AND rk.rk = 16
+      |ORDER BY st.source""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "p101_k_anonymity" -> p101,
+    "p102_zipf_fit" -> p102,
     "p93_source_diversity" -> p93,
     "p94_source_overlap" -> p94,
     "p96_chunk_overlap_plan" -> p96,

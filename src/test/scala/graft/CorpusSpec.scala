@@ -865,6 +865,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(11L) === ((1L, 0L, 0L)))
   }
 
+  test("k-anonymity audit: rare quasi-identifier combos flagged") {
+    import spark.implicits._
+    val d = ((0 until 6).map(i => (i.toLong, "en", "a", 150L)) ++
+      Seq((10L, "de", "b", 50L), (11L, "de", "b", 60L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = CorpusOps.kAnonymityAudit(d,
+        Seq(col("lang"), col("source")), expr("n_chars div 100"), k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Boolean]("at_risk"))).toMap
+    assert(got(("en", "a", 1L)) === ((6L, false)))
+    assert(got(("de", "b", 0L)) === ((2L, true)))
+  }
+
+  test("zipf fit: exact two-point exponent on a constructed rank curve") {
+    import spark.implicits._
+    // w01 ×32, w02..w15 ×4, w16 ×2 → c1=32, c(16)=2, s = ln16/ln16 = 1
+    val words = Seq.fill(32)("w01") ++
+      (2 to 15).flatMap(i => Seq.fill(4)(f"w$i%02d")) ++ Seq("w16", "w16")
+    val d = Seq((1L, words.mkString(" "), "s")).toDF("doc_id", "text", "source")
+    val rows = CorpusOps.zipfFit(d, col("source"), col("text"), refRank = 16)
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_types") === 16L)
+    assert(r.getAs[Long]("c1") === 32L && r.getAs[Long]("c_ref") === 2L)
+    assert(r.getAs[Double]("zipf_s") === 1.0)
+    // fewer types than the reference rank → stratum omitted, not garbage
+    val tiny = Seq((2L, "a b c", "t")).toDF("doc_id", "text", "source")
+    assert(CorpusOps.zipfFit(tiny, col("source"), col("text"), 16)
+      .collect().isEmpty)
+  }
+
   test("chunk overlap plan: hand-computed spans and digests") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
