@@ -90,6 +90,70 @@ object CorpusOps {
         col("n_syllables"), col("flesch_e3"))
   }
 
+  // ------------------------------------------- Poisson bootstrap CI
+
+  /** Poisson(1) CDF thresholds scaled to 2³² (floored) — the
+   * inverse-CDF lookup that turns a uniform 32-bit hash into a
+   * deterministic Poisson(1) bootstrap weight. Shared verbatim with the
+   * oracle SQL so both engines draw identical weights. */
+  val poissonThresholds32: Seq[Long] = {
+    val pmf = Iterator.iterate((math.exp(-1.0), 0)) { case (p, k) =>
+      (p / (k + 1), k + 1)
+    }.map(_._1).take(10).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * 4294967296.0).toLong)
+  }
+
+  /**
+   * Distributed bootstrap confidence interval for the mean token count,
+   * by the POISSON bootstrap (Chamandy 2012, "Estimating uncertainty
+   * for massive data streams"): true resampling-with-replacement needs
+   * global coordination, but each replica's multiplicity per row is
+   * asymptotically Poisson(1) — so every row draws `replicas`
+   * independent deterministic Poisson weights from its hash, and each
+   * replica's weighted mean is one bootstrap estimate. The 95% CI is
+   * the exact order statistic of the replica means (⌈0.025R⌉-th and
+   * ⌈0.975R⌉-th). Every number is an integer (scaled ×10⁶ means,
+   * hash-derived weights), so the oracle replays it bit for bit.
+   *
+   * Shape at 100 TB: one explode (×R) + ONE replica-key hash aggregate
+   * with map-side partials; everything after is R-row arithmetic. This
+   * is the standard shape for uncertainty on massive data — no
+   * row-level resampling state, no second pass.
+   */
+  def bootstrapCi(docs: DataFrame, idCol: String, textCol: String,
+      replicas: Int = 64): DataFrame = {
+    require(replicas >= 4, s"need >= 4 replicas, got $replicas")
+    val base = docs.select(col(idCol).as("id"),
+      TextOps.tokenCount(coalesce(col(textCol), lit(""))).cast("long").as("tok"))
+    val rep = base
+      .withColumn("rep", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("u32", conv(substring(
+        md5(concat(col("id").cast("string"), lit(":"), col("rep").cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("long"))
+      .withColumn("w", poissonThresholds32.foldLeft(lit(0L)) {
+        (acc, t) => acc + when(col("u32") >= t, 1L).otherwise(0L)
+      })
+    val means = rep.groupBy(col("rep"))
+      .agg(sum(col("w") * col("tok")).as("swt"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("rep"), expr("(swt * 1000000) div sw").as("mean_e6"))
+    val loRank = (replicas * 25 + 999) / 1000
+    val hiRank = (replicas * 975 + 999) / 1000
+    val ranked = means.withColumn("rk", row_number().over(
+      Window.orderBy(col("mean_e6"), col("rep"))))
+    val full = base.agg(count(lit(1)).as("n_docs"),
+      expr("(sum(tok) * 1000000) div count(1)").as("mean_e6"))
+    full.crossJoin(broadcast(
+        ranked.filter(col("rk") === loRank)
+          .select(col("mean_e6").as("ci_lo_e6"))))
+      .crossJoin(broadcast(
+        ranked.filter(col("rk") === hiRank)
+          .select(col("mean_e6").as("ci_hi_e6"))))
+      .select(col("n_docs"), lit(replicas.toLong).as("n_replicas"),
+        col("mean_e6"), col("ci_lo_e6"), col("ci_hi_e6"))
+  }
+
   // ------------------------------------------------- k-anonymity audit
 
   /**

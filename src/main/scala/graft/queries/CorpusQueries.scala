@@ -1836,7 +1836,46 @@ object CorpusQueries extends QueryGroup {
       |FROM st JOIN rk ON st.source = rk.source AND rk.rk = 16
       |ORDER BY st.source""".stripMargin))
 
+  private val p103 = QueryDef(
+    // Poisson-bootstrap 95% CI for the mean token count (Chamandy
+    // 2012): 64 deterministic hash-derived Poisson(1) weights per doc,
+    // replica means as exact ×10⁶ integers, CI = order statistics of
+    // the replica means. The oracle redraws every weight from the SAME
+    // scaled-integer CDF thresholds and replays the ranks.
+    (s, d) => CorpusOps.bootstrapCi(docs(s, d), "doc_id", "text",
+      replicas = 64),
+    Some {
+      val ths = CorpusOps.poissonThresholds32
+      val wExpr = ths.map(t => s"CASE WHEN u32 >= $t THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH base AS (
+        |  SELECT doc_id AS id, CAST(len($WORDS) AS BIGINT) AS tok
+        |  FROM documents),
+        |rep AS (
+        |  SELECT id, tok, unnest(range(0, 64)) AS rep FROM base),
+        |u AS (SELECT id, tok, rep,
+        |             CAST(CAST(('0x' || substr(md5(id::VARCHAR || ':' || rep::VARCHAR),
+        |               1, 8)) AS UBIGINT) AS BIGINT) AS u32
+        |      FROM rep),
+        |wts AS (SELECT id, tok, rep, CAST($wExpr AS BIGINT) AS w FROM u),
+        |mn AS (SELECT rep,
+        |              CAST(sum(w * tok) * 1000000 // sum(w) AS BIGINT) AS mean_e6
+        |       FROM wts GROUP BY rep HAVING sum(w) > 0),
+        |rk AS (SELECT mean_e6,
+        |              row_number() OVER (ORDER BY mean_e6, rep) AS rk
+        |       FROM mn),
+        |tot AS (SELECT count(*) AS n_docs,
+        |                CAST(sum(tok) * 1000000 // count(*) AS BIGINT) AS mean_e6
+        |         FROM base)
+        |SELECT tot.n_docs, CAST(64 AS BIGINT) AS n_replicas, tot.mean_e6,
+        |       lo.mean_e6 AS ci_lo_e6, hi.mean_e6 AS ci_hi_e6
+        |FROM tot
+        |CROSS JOIN (SELECT mean_e6 FROM rk WHERE rk = 2) lo
+        |CROSS JOIN (SELECT mean_e6 FROM rk WHERE rk = 63) hi""".stripMargin
+    })
+
   override val defs: Map[String, QueryDef] = Map(
+    "p103_bootstrap_ci" -> p103,
     "p101_k_anonymity" -> p101,
     "p102_zipf_fit" -> p102,
     "p93_source_diversity" -> p93,

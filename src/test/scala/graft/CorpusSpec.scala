@@ -865,6 +865,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(11L) === ((1L, 0L, 0L)))
   }
 
+  test("bootstrap CI matches a driver-side MessageDigest replay") {
+    import spark.implicits._
+    val d = (0L until 40L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w")
+      .mkString(" "))).toDF("doc_id", "text")
+    val got = CorpusOps.bootstrapCi(d, "doc_id", "text", replicas = 16)
+      .collect().head
+    // driver-side replay of the declared hash → weight → mean pipeline
+    def u32(id: Long, rep: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$rep".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val toks = (0L until 40L).map(i => i -> (i % 7 + 1)).toMap
+    val means = (0 until 16).flatMap { rep =>
+      val ws = toks.toSeq.map { case (id, tk) =>
+        val u = u32(id, rep)
+        (CorpusOps.poissonThresholds32.count(u >= _).toLong, tk.toLong)
+      }
+      val sw = ws.map(_._1).sum
+      if (sw == 0) None
+      else Some((ws.map { case (w, tk) => w * tk }.sum * 1000000L) / sw)
+    }.sorted
+    // replicas=16: lo rank ⌈0.025·16⌉ = 1, hi rank ⌈0.975·16⌉ = 16
+    assert(got.getAs[Long]("ci_lo_e6") === means.head)
+    assert(got.getAs[Long]("ci_hi_e6") === means.last)
+    assert(got.getAs[Long]("mean_e6") ===
+      toks.values.map(_.toLong).sum * 1000000L / 40L)
+    assert(got.getAs[Long]("ci_lo_e6") <= got.getAs[Long]("mean_e6") &&
+      got.getAs[Long]("mean_e6") <= got.getAs[Long]("ci_hi_e6"))
+  }
+
   test("k-anonymity audit: rare quasi-identifier combos flagged") {
     import spark.implicits._
     val d = ((0 until 6).map(i => (i.toLong, "en", "a", 150L)) ++
