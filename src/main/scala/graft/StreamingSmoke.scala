@@ -656,8 +656,43 @@ object StreamingSmoke {
     check("funnel-state", streamFun == batchFun && streamFun.nonEmpty,
       s"stream=${streamFun.size} users batch=${batchFun.size}")
 
+    // -- 23. streaming retention cells converge to the batch matrix -------
+    // (each (user, cohort week, offset week) cell emits exactly once on
+    // first activity; counting cells reproduces q30's n_active)
+    val retRows = graft.model.EventLog.raw(spark, sfDir)
+      .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"))
+      .as[(Long, Long)].collect()
+      .sortBy(r => (r._2, r._1))
+      .map(r => graft.streaming.RetEvent(r._1, r._2))
+    val s23 = MemoryStream[graft.streaming.RetEvent]
+    val q23 = graft.streaming.StreamingOps.retentionStream(s23.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ret_cells")
+      .option("checkpointLocation", ckpt()).start()
+    retRows.grouped(math.max(1, retRows.length / 7 + 1))
+      .foreach { c => s23.addData(c); q23.processAllAvailable() }
+    q23.stop()
+    val streamRet = spark.table("ret_cells")
+      .groupBy(col("cohort_week"), col("offset_week"))
+      .agg(count(lit(1)).as("n_active"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batchRetMap = {
+      val ev = graft.model.EventLog.raw(spark, sfDir)
+        .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      ev.join(cohort, Seq("user_id"))
+        .select(expr("cohort_day div 7").as("cw"),
+          expr("(day - cohort_day) div 7").as("ow"), col("user_id"))
+        .distinct()
+        .groupBy(col("cw"), col("ow")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    check("retention-cells", streamRet == batchRetMap && streamRet.nonEmpty,
+      s"stream=${streamRet.size} cells batch=${batchRetMap.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 22 converged to batch twins OK")
+    println(s"[stream-smoke] all 23 converged to batch twins OK")
     spark.stop()
   }
 }

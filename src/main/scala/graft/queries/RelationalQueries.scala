@@ -1384,7 +1384,41 @@ object RelationalQueries extends QueryGroup {
       |  ORDER BY greatest(c.us - p.us, p.us - c.us), p.us LIMIT 1) m ON TRUE
       |ORDER BY c.event_id""".stripMargin))
 
+  /** Arbitrary GROUPING SETS (neither ROLLUP q4 nor CUBE q26): the two
+   * single-dimension marginals WITHOUT the intersection or grand total
+   * — Spark still plans ONE Expand (×2) + hash aggregate, proving the
+   * lattice operator handles sparse set lists, not just the dense
+   * prefixes. Exact integer measures. */
+  private val q31 = QueryDef(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity") * 100).cast("long").as("qty_e2"))
+      // GROUPING SETS ((l_returnflag), (l_linestatus)) via SQL — the
+      // DataFrame API exposes only rollup/cube; the lattice form is SQL
+      li.createOrReplaceTempView("gs_lineitem")
+      li.sparkSession.sql(
+        """SELECT CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |       coalesce(l_returnflag, '*') AS returnflag,
+          |       coalesce(l_linestatus, '*') AS linestatus,
+          |       CAST(sum(qty_e2) AS BIGINT) AS sum_qty_e2,
+          |       count(*) AS n
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY gid, returnflag, linestatus""".stripMargin)
+    },
+    Some("""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       coalesce(l_returnflag, '*') AS returnflag,
+      |       coalesce(l_linestatus, '*') AS linestatus,
+      |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_qty_e2,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY gid, returnflag, linestatus""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "q31_grouping_sets" -> q31,
     "j6_asof_nearest" -> j6,
     "q29_funnel" -> q29,
     "q30_retention_cohorts" -> q30,

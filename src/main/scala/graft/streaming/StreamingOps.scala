@@ -23,6 +23,12 @@ case class DocIngest(doc_id: Long, fp: String)
 /** One streamed funnel event (user, type, event-time ms). */
 case class FunnelEvent(user_id: Long, event_type: String, ms: Long)
 
+/** One streamed retention activity (user, epoch day). */
+case class RetEvent(user_id: Long, day: Long)
+
+/** A user's first appearance in a (cohort week, offset week) cell. */
+case class CohortCell(user_id: Long, cohort_week: Long, offset_week: Long)
+
 /** A user's funnel state after an advance (nullable stage times). */
 case class FunnelUser(user_id: Long, t1: Option[Long], t2: Option[Long],
     t3: Option[Long], t4: Option[Long], stage: Long)
@@ -368,6 +374,38 @@ object StreamingOps {
             val stage = Seq(t1, t2, t3, t4).count(_.isDefined).toLong
             Iterator.single(FunnelUser(user, t1, t2, t3, t4, stage))
           }
+      }
+  }
+
+  /**
+   * Streaming retention-cohort cells — the incremental twin of the q30
+   * matrix's `act` relation: per user, the cohort day locks on the
+   * FIRST event (ordered arrival, the [[funnelStream]] contract) and
+   * each (cohort week, offset week) cell is emitted exactly once on
+   * first activity. Counting the emitted cells per (cohort, offset)
+   * downstream yields q30's n_active incrementally. State per user =
+   * the cohort day + the set of offset weeks seen — bounded by the
+   * observation span in weeks, not by events.
+   */
+  def retentionStream(ev: Dataset[RetEvent]): Dataset[CohortCell] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Set[Long]), CohortCell](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          var (cohortDay, seen) =
+            state.getOption.getOrElse((Long.MaxValue, Set.empty[Long]))
+          val out = ArrayBuffer.empty[CohortCell]
+          rows.toSeq.sortBy(_.day).foreach { e =>
+            if (cohortDay == Long.MaxValue) cohortDay = e.day
+            val off = (e.day - cohortDay) / 7
+            if (!seen(off)) {
+              seen += off
+              out += CohortCell(user, cohortDay / 7, off)
+            }
+          }
+          state.update((cohortDay, seen))
+          out.iterator
       }
   }
 
