@@ -676,18 +676,15 @@ object StreamingSmoke {
       .groupBy(col("cohort_week"), col("offset_week"))
       .agg(count(lit(1)).as("n_active"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val batchRetMap = {
-      val ev = graft.model.EventLog.raw(spark, sfDir)
-        .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"))
-      val cohort = ev.groupBy(col("user_id"))
-        .agg(min(col("day")).as("cohort_day"))
-      ev.join(cohort, Seq("user_id"))
-        .select(expr("cohort_day div 7").as("cw"),
-          expr("(day - cohort_day) div 7").as("ow"), col("user_id"))
-        .distinct()
-        .groupBy(col("cw"), col("ow")).agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    }
+    // the SAME batch relation q30 serves (Retention.cells), so the check
+    // guards the real query, not a private re-derivation
+    val batchRetMap = graft.operators.Retention.cells(
+        graft.model.EventLog.raw(spark, sfDir)
+          .select(col("user_id"),
+            expr("(ts div 1000000) div 86400000").as("day")))
+      .groupBy(col("cohort_week"), col("offset_week"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     check("retention-cells", streamRet == batchRetMap && streamRet.nonEmpty,
       s"stream=${streamRet.size} cells batch=${batchRetMap.size}")
 

@@ -63,11 +63,13 @@ object CorpusOps {
   /**
    * Flesch-style readability as exact integer arithmetic: sentence count
    * from terminal-punctuation runs in the RAW text, word count from the
-   * normalized token stream, syllable estimate from vowel-group runs
-   * (floored at one per word), and reading ease ×10³ via integer
-   * divisions only — 206.835 − 1.015·(words/sentences) −
-   * 84.6·(syllables/words) with every quotient floored, so two engines
-   * can never disagree on a score (no libm, no float division).
+   * normalized token stream, syllable estimate = the DOCUMENT's total
+   * vowel-group runs floored at the word count (≥1 syllable per word on
+   * average — a doc-level floor, deliberately cheaper than the per-word
+   * max(1, runs) a dictionary syllabifier would take), and reading ease
+   * ×10³ via integer divisions only — 206.835 − 1.015·(words/sentences)
+   * − 84.6·(syllables/words) with every quotient floored, so two
+   * engines can never disagree on a score (no libm, no float division).
    *
    * Shape at 100 TB: pure codegen'd projection over the scan — zero
    * shuffle, embarrassingly parallel; the same family as the Gopher rule
@@ -112,9 +114,11 @@ object CorpusOps {
    * asymptotically Poisson(1) — so every row draws `replicas`
    * independent deterministic Poisson weights from its hash, and each
    * replica's weighted mean is one bootstrap estimate. The 95% CI is
-   * the exact order statistic of the replica means (⌈0.025R⌉-th and
-   * ⌈0.975R⌉-th). Every number is an integer (scaled ×10⁶ means,
-   * hash-derived weights), so the oracle replays it bit for bit.
+   * the exact order statistic of the replica means (⌈0.025m⌉-th and
+   * ⌈0.975m⌉-th over the m SURVIVING replicas — a replica whose every
+   * weight drew 0 is a missing draw, and `n_replicas` reports m).
+   * Every number is an integer (scaled ×10⁶ means, hash-derived
+   * weights), so the oracle replays it bit for bit.
    *
    * Shape at 100 TB: one explode (×R) + ONE replica-key hash aggregate
    * with map-side partials; everything after is R-row arithmetic. This
@@ -138,19 +142,25 @@ object CorpusOps {
       .agg(sum(col("w") * col("tok")).as("swt"), sum(col("w")).as("sw"))
       .filter(col("sw") > 0)
       .select(col("rep"), expr("(swt * 1000000) div sw").as("mean_e6"))
-    val loRank = (replicas * 25 + 999) / 1000
-    val hiRank = (replicas * 975 + 999) / 1000
-    val ranked = means.withColumn("rk", row_number().over(
-      Window.orderBy(col("mean_e6"), col("rep"))))
+    // ranks over SURVIVING replicas (an all-zero-weight replica — real
+    // on tiny corpora, P = e^-N per replica — is a missing draw, not a
+    // hole in the rank sequence; with fixed ranks the CI row would
+    // silently vanish the first time one dropped)
+    val ranked = means
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("mean_e6"), col("rep"))))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
     val full = base.agg(count(lit(1)).as("n_docs"),
       expr("(sum(tok) * 1000000) div count(1)").as("mean_e6"))
     full.crossJoin(broadcast(
-        ranked.filter(col("rk") === loRank)
-          .select(col("mean_e6").as("ci_lo_e6"))))
+        ranked.filter(col("rk") === expr("(m * 25 + 999) div 1000"))
+          .select(col("mean_e6").as("ci_lo_e6"), col("m").as("n_replicas"))))
       .crossJoin(broadcast(
-        ranked.filter(col("rk") === hiRank)
+        ranked.filter(col("rk") === expr("(m * 975 + 999) div 1000"))
           .select(col("mean_e6").as("ci_hi_e6"))))
-      .select(col("n_docs"), lit(replicas.toLong).as("n_replicas"),
+      .select(col("n_docs"), col("n_replicas"),
         col("mean_e6"), col("ci_lo_e6"), col("ci_hi_e6"))
   }
 
@@ -1670,8 +1680,7 @@ object CorpusOps {
     val grams = docs
       .select(col(sourceCol).as("src"),
         explode(TextOps.wordNGrams(col(textCol), n)).as("gram"))
-      .groupBy(col("gram"), col("src")).agg(lit(1))
-      .select(col("gram"), col("src"))
+      .select(col("gram"), col("src")).distinct()
     val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("sz"))
     grams.as("a").join(grams.as("b"),
         col("a.gram") === col("b.gram") && col("a.src") < col("b.src"))

@@ -739,8 +739,12 @@ object Similarity {
   def ivfCellStats(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val census = ivfAssign(corpus, centroids)
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
-    val totals = census.agg(sum(col("n_vecs")).as("n_total"),
-      count(lit(1)).as("n_cells"))
+    // load factor divides by nlist (the CENTROID count), not by the
+    // populated-cell count: empty cells are precisely the imbalance the
+    // audit exists to expose, and a populated-cell denominator would
+    // understate hot-cell load exactly when the index is skewed
+    val totals = census.agg(sum(col("n_vecs")).as("n_total"))
+      .crossJoin(centroids.agg(count(lit(1)).as("n_cells")))
     census.crossJoin(broadcast(totals))
       .withColumn("share_ppm", expr("(n_vecs * 1000000) div n_total"))
       .withColumn("load_ppm", expr("(n_vecs * n_cells * 1000000) div n_total"))

@@ -1776,10 +1776,10 @@ object CorpusQueries extends QueryGroup {
 
   private val p97 = QueryDef(
     // Integer Flesch readability: sentences from terminal-punctuation
-    // runs in the raw text, syllables from vowel-group runs floored at
-    // one per word, reading ease ×10³ via floored integer divisions
-    // only. The oracle recomputes every count and quotient from the raw
-    // text.
+    // runs in the raw text, syllables = the doc's total vowel-group
+    // runs floored at the word count (doc-level floor), reading ease
+    // ×10³ via floored integer divisions only. The oracle recomputes
+    // every count and quotient from the raw text.
     (s, d) => CorpusOps.readability(docs(s, d), "doc_id", "text")
       .orderBy(col("doc_id")),
     Some(s"""WITH b AS (
@@ -1862,16 +1862,19 @@ object CorpusQueries extends QueryGroup {
         |              CAST(sum(w * tok) * 1000000 // sum(w) AS BIGINT) AS mean_e6
         |       FROM wts GROUP BY rep HAVING sum(w) > 0),
         |rk AS (SELECT mean_e6,
-        |              row_number() OVER (ORDER BY mean_e6, rep) AS rk
+        |              row_number() OVER (ORDER BY mean_e6, rep) AS rk,
+        |              count(*) OVER () AS m
         |       FROM mn),
         |tot AS (SELECT count(*) AS n_docs,
         |                CAST(sum(tok) * 1000000 // count(*) AS BIGINT) AS mean_e6
         |         FROM base)
-        |SELECT tot.n_docs, CAST(64 AS BIGINT) AS n_replicas, tot.mean_e6,
+        |SELECT tot.n_docs, CAST(lo.m AS BIGINT) AS n_replicas, tot.mean_e6,
         |       lo.mean_e6 AS ci_lo_e6, hi.mean_e6 AS ci_hi_e6
         |FROM tot
-        |CROSS JOIN (SELECT mean_e6 FROM rk WHERE rk = 2) lo
-        |CROSS JOIN (SELECT mean_e6 FROM rk WHERE rk = 63) hi""".stripMargin
+        |CROSS JOIN (SELECT mean_e6, m FROM rk
+        |            WHERE rk = (m * 25 + 999) // 1000) lo
+        |CROSS JOIN (SELECT mean_e6 FROM rk
+        |            WHERE rk = (m * 975 + 999) // 1000) hi""".stripMargin
     })
 
   override val defs: Map[String, QueryDef] = Map(

@@ -2040,7 +2040,8 @@ object PipelineQueries extends QueryGroup {
       |       FROM aff),
       |census AS (SELECT cid AS cluster, count(*) AS n_vecs
       |           FROM rk WHERE rn = 1 GROUP BY cid),
-      |tot AS (SELECT sum(n_vecs) AS n_total, count(*) AS n_cells FROM census)
+      |tot AS (SELECT sum(n_vecs) AS n_total,
+      |               (SELECT count(*) FROM cent) AS n_cells FROM census)
       |SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs,
       |       CAST(n_vecs * 1000000 // n_total AS BIGINT) AS share_ppm,
       |       CAST(n_vecs * n_cells * 1000000 // n_total AS BIGINT) AS load_ppm

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.EventLog
-import graft.operators.{AsofJoin, Funnel, RangeJoin}
+import graft.operators.{AsofJoin, Funnel, RangeJoin, Retention}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1300,26 +1300,8 @@ object RelationalQueries extends QueryGroup {
    * activity join is co-partitioned on the user key; the matrix is
    * |cohorts|×|weeks| output-scale. */
   private val q30 = QueryDef(
-    (s, d) => {
-      val ev = EventLog.raw(s, d)
-        .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"))
-      val cohort = ev.groupBy(col("user_id"))
-        .agg(min(col("day")).as("cohort_day"))
-        .withColumn("cohort_week", expr("cohort_day div 7"))
-      val sizes = cohort.groupBy(col("cohort_week"))
-        .agg(count(lit(1)).as("cohort_size"))
-      val active = ev.join(cohort, Seq("user_id"))
-        .select(col("cohort_week"),
-          expr("(day - cohort_day) div 7").as("offset_week"), col("user_id"))
-        .distinct()
-        .groupBy(col("cohort_week"), col("offset_week"))
-        .agg(count(lit(1)).as("n_active"))
-      active.join(broadcast(sizes), Seq("cohort_week"))
-        .withColumn("retention_ppm", expr("(n_active * 1000000) div cohort_size"))
-        .select(col("cohort_week"), col("offset_week"), col("n_active"),
-          col("cohort_size"), col("retention_ppm"))
-        .orderBy(col("cohort_week"), col("offset_week"))
-    },
+    (s, d) => Retention.matrix(EventLog.raw(s, d)
+      .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"))),
     Some("""WITH e AS (
       |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
       |c AS (SELECT user_id, min(day) AS cohort_day,

@@ -682,10 +682,12 @@ class PipelineSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
-  test("IVF cell stats: hand-computed census, shares, load factors") {
+  test("IVF cell stats: hand-computed census; empty cell raises load") {
     import TestSpark.spark
     import spark.implicits._
-    // cell A (1,0): vectors 3 of them incl. centroid; cell B (0,1): one
+    // cell A (1,0): 3 vectors incl. centroid; cell B (0,1): one; a
+    // third EMPTY centroid (no corpus vector assigned) must still count
+    // in the load denominator — nlist=3, uniform share is 1/3
     val vecs = Seq(
       (0L, Seq(1f, 0f)), // centroid A, its own cell
       (1L, Seq(0.9f, 0.1f)), // → A
@@ -695,12 +697,15 @@ class PipelineSpec extends AnyFunSuite {
     val cents = vecs.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("centroid_id"),
         col("embedding").as("cembedding"))
+      .union(Seq((99L, Seq(-1f, 0f))).toDF("centroid_id", "cembedding"))
     val got = graft.pipeline.Similarity.ivfCellStats(vecs, cents)
       .collect().map(r => r.getAs[Long]("cluster") ->
         (r.getAs[Long]("n_vecs"), r.getAs[Long]("share_ppm"),
           r.getAs[Long]("load_ppm"))).toMap
-    assert(got(0L) === ((3L, 750000L, 1500000L)))
-    assert(got(50L) === ((1L, 250000L, 500000L)))
+    // load = n_vecs × nlist(=3) × 1e6 / n_total(=4)
+    assert(got(0L) === ((3L, 750000L, 2250000L)))
+    assert(got(50L) === ((1L, 250000L, 750000L)))
+    assert(!got.contains(99L)) // empty cell absent from census rows
   }
 
   test("IVF recall fixture: a true neighbor in a non-probed cell is missed") {
