@@ -92,6 +92,44 @@ object CorpusOps {
         col("n_syllables"), col("flesch_e3"))
   }
 
+  // ------------------------------------------- Spearman rank correlation
+
+  /**
+   * Exact Spearman rank correlation per stratum between two integer
+   * columns, with a DECLARED total tie-break (value, then id) so both
+   * ranks are permutations and ρ = 1 − 6·Σd²/(n(n²−1)) is a pure
+   * rational of integers — ×10⁶ as one integer division, no float sums.
+   * (Textbook average-rank tie handling would introduce .5 fractions;
+   * the id tie-break instead randomizes ties deterministically, which
+   * is the standard large-sample shortcut and keeps the statistic
+   * bit-exact across engines.) Strata with n < 2 are omitted.
+   *
+   * Shape at 100 TB: two rank windows over ONE stratum-key exchange
+   * plus a per-stratum aggregate. n(n²−1) stays in 64-bit for strata up
+   * to ~2M rows — beyond that, compute on a deterministic hash sample
+   * (stratifiedSample), which is how production systems bound rank
+   * statistics anyway.
+   */
+  def spearman(df: DataFrame, stratumCol: Column, xCol: Column,
+      yCol: Column, idCol: Column): DataFrame = {
+    val base = df.select(stratumCol.as("stratum"), xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"), idCol.as("id"))
+    val rx = row_number().over(Window.partitionBy(col("stratum"))
+      .orderBy(col("x"), col("id")))
+    val ry = row_number().over(Window.partitionBy(col("stratum"))
+      .orderBy(col("y"), col("id")))
+    base
+      .withColumn("rx", rx.cast("long"))
+      .withColumn("ry", ry.cast("long"))
+      .withColumn("d2", (col("rx") - col("ry")) * (col("rx") - col("ry")))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .filter(col("n") >= 2)
+      .withColumn("rho_e6",
+        expr("1000000 - (6 * sum_d2 * 1000000) div (n * (n * n - 1))"))
+      .select(col("stratum"), col("n"), col("sum_d2"), col("rho_e6"))
+  }
+
   // ------------------------------------------- Poisson bootstrap CI
 
   /** Poisson(1) CDF thresholds scaled to 2³² (floored) — the

@@ -1877,7 +1877,37 @@ object CorpusQueries extends QueryGroup {
         |            WHERE rk = (m * 975 + 999) // 1000) hi""".stripMargin
     })
 
+  private val p104 = QueryDef(
+    // Exact Spearman ρ per source between document length (chars) and
+    // token count — declared (value, doc_id) tie-break makes both rank
+    // sequences permutations, so ρ×10⁶ is one integer division. The
+    // oracle replays both rank windows and the rational.
+    (s, d) => CorpusOps.spearman(docs(s, d), col("source"), col("n_chars"),
+        graft.pipeline.TextOps.tokenCount(coalesce(col("text"), lit(""))),
+        col("doc_id"))
+      .select(col("stratum").as("source"), col("n"), col("sum_d2"),
+        col("rho_e6"))
+      .orderBy(col("source")),
+    Some(s"""WITH b AS (
+      |  SELECT source, n_chars AS x, CAST(len($WORDS) AS BIGINT) AS y,
+      |         doc_id AS id
+      |  FROM documents),
+      |r AS (SELECT source,
+      |             CAST(row_number() OVER (PARTITION BY source
+      |               ORDER BY x, id) AS BIGINT) AS rx,
+      |             CAST(row_number() OVER (PARTITION BY source
+      |               ORDER BY y, id) AS BIGINT) AS ry
+      |      FROM b),
+      |a AS (SELECT source, count(*) AS n,
+      |             CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+      |      FROM r GROUP BY source)
+      |SELECT source, n, sum_d2,
+      |       CAST(1000000 - 6 * sum_d2 * 1000000 // (n * (n * n - 1))
+      |         AS BIGINT) AS rho_e6
+      |FROM a WHERE n >= 2 ORDER BY source""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "p104_spearman" -> p104,
     "p103_bootstrap_ci" -> p103,
     "p101_k_anonymity" -> p101,
     "p102_zipf_fit" -> p102,

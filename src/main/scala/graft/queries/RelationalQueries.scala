@@ -1399,7 +1399,101 @@ object RelationalQueries extends QueryGroup {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       |ORDER BY gid, returnflag, linestatus""".stripMargin))
 
+  /** RFM customer segmentation over the event log: per-user recency
+   * (days since last event vs the log's horizon), frequency (events),
+   * monetary (exact cents), each scored 1–5 against exact quintile
+   * cutoffs from the order-statistic histogram (score = 1 + cutoffs
+   * strictly below the value; rawer is higher). The oracle derives the
+   * same cutoffs by the OPPOSITE algorithm (full sort + row_number) and
+   * replays the scoring.
+   * Shape at scale: one user-key aggregate; quintile cutoffs are
+   * histogram-scale (p47's engine path); scoring joins a 12-row
+   * broadcast. */
+  private val q32 = QueryDef(
+    (s, d) => {
+      val ev = EventLog.raw(s, d)
+        .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val horizon = ev.agg(max(col("day")).as("h"))
+      val rfm = ev.groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
+          sum(col("cents")).as("monetary_cents"))
+        .crossJoin(broadcast(horizon))
+        .withColumn("recency_days", col("h") - col("last_day"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary_cents"))
+      val qs = Seq((1, 5), (2, 5), (3, 5), (4, 5))
+      def cuts(metric: String) = graft.pipeline.CorpusOps
+        .exactQuantiles(rfm, lit("all"), col(metric), qs)
+        .select(lit(metric).as("metric"), col("value").as("cut"))
+      val allCuts = cuts("recency_days")
+        .unionByName(cuts("frequency"))
+        .unionByName(cuts("monetary_cents"))
+      def score(metric: String) =
+        sum(when(col("metric") === metric && col(metric) > col("cut"), 1L)
+          .otherwise(0L)) + 1L
+      rfm.crossJoin(broadcast(allCuts))
+        .groupBy(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary_cents"))
+        .agg(score("recency_days").as("r_score"),
+          score("frequency").as("f_score"),
+          score("monetary_cents").as("m_score"))
+        .withColumn("rfm", expr("r_score * 100 + f_score * 10 + m_score"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |rfm AS (
+      |  SELECT user_id,
+      |         (SELECT max(day) FROM ev) - max(day) AS recency_days,
+      |         count(*) AS frequency,
+      |         CAST(sum(cents) AS BIGINT) AS monetary_cents
+      |  FROM ev GROUP BY user_id),
+      |qs AS (SELECT unnest([1, 2, 3, 4]) AS qn),
+      |cuts AS (
+      |  SELECT m.metric, qs.qn,
+      |         CASE m.metric
+      |           WHEN 'r' THEN (SELECT v FROM (
+      |             SELECT recency_days AS v,
+      |                    row_number() OVER (ORDER BY recency_days) AS rn,
+      |                    count(*) OVER () AS n FROM rfm) t
+      |             WHERE rn = (qs.qn * n + 4) // 5 LIMIT 1)
+      |           WHEN 'f' THEN (SELECT v FROM (
+      |             SELECT frequency AS v,
+      |                    row_number() OVER (ORDER BY frequency) AS rn,
+      |                    count(*) OVER () AS n FROM rfm) t
+      |             WHERE rn = (qs.qn * n + 4) // 5 LIMIT 1)
+      |           ELSE (SELECT v FROM (
+      |             SELECT monetary_cents AS v,
+      |                    row_number() OVER (ORDER BY monetary_cents) AS rn,
+      |                    count(*) OVER () AS n FROM rfm) t
+      |             WHERE rn = (qs.qn * n + 4) // 5 LIMIT 1)
+      |         END AS cut
+      |  FROM (SELECT unnest(['r', 'f', 'm']) AS metric) m, qs)
+      |SELECT rfm.user_id, rfm.recency_days, rfm.frequency,
+      |       rfm.monetary_cents,
+      |       CAST(1 + (SELECT count(*) FROM cuts
+      |                 WHERE metric = 'r' AND rfm.recency_days > cut)
+      |         AS BIGINT) AS r_score,
+      |       CAST(1 + (SELECT count(*) FROM cuts
+      |                 WHERE metric = 'f' AND rfm.frequency > cut)
+      |         AS BIGINT) AS f_score,
+      |       CAST(1 + (SELECT count(*) FROM cuts
+      |                 WHERE metric = 'm' AND rfm.monetary_cents > cut)
+      |         AS BIGINT) AS m_score,
+      |       CAST((1 + (SELECT count(*) FROM cuts
+      |                  WHERE metric = 'r' AND rfm.recency_days > cut)) * 100 +
+      |            (1 + (SELECT count(*) FROM cuts
+      |                  WHERE metric = 'f' AND rfm.frequency > cut)) * 10 +
+      |            (1 + (SELECT count(*) FROM cuts
+      |                  WHERE metric = 'm' AND rfm.monetary_cents > cut))
+      |         AS BIGINT) AS rfm
+      |FROM rfm ORDER BY user_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "q32_rfm_segments" -> q32,
     "q31_grouping_sets" -> q31,
     "j6_asof_nearest" -> j6,
     "q29_funnel" -> q29,

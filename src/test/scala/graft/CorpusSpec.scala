@@ -865,6 +865,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(11L) === ((1L, 0L, 0L)))
   }
 
+  test("spearman: hand-computed rho on permuted and reversed ranks") {
+    import spark.implicits._
+    // x ranks 1,2,3; y ranks 1,3,2 → Σd²=2 → ρ = 1 − 12/24 = 0.5
+    val d = Seq((1L, 1L, 10L, "s"), (2L, 2L, 30L, "s"), (3L, 3L, 20L, "s"),
+      // reversed: Σd²=8 → ρ = 1 − 48/24 = −1
+      (4L, 1L, 3L, "t"), (5L, 2L, 2L, "t"), (6L, 3L, 1L, "t"),
+      // singleton stratum must be omitted (n < 2)
+      (7L, 1L, 1L, "u"))
+      .toDF("doc_id", "x", "y", "stratum")
+    val got = CorpusOps.spearman(d, col("stratum"), col("x"), col("y"),
+        col("doc_id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_d2"),
+          r.getAs[Long]("rho_e6"))).toMap
+    assert(got.keySet === Set("s", "t"))
+    assert(got("s") === ((3L, 2L, 500000L)))
+    assert(got("t") === ((3L, 8L, -1000000L)))
+  }
+
   test("bootstrap CI matches a driver-side MessageDigest replay") {
     import spark.implicits._
     val d = (0L until 40L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w")

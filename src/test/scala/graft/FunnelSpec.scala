@@ -59,6 +59,29 @@ class FunnelSpec extends AnyFunSuite {
     assert(got((1L, 0L)) === ((1L, 1L, 1000000L)))
   }
 
+  test("rfm segments: quintile scores reproduce a hand-ranked ladder") {
+    val day = 86400000L
+    // user u (1..5): u events of value u, last active day u →
+    // frequency quintile score = u, monetary = u, recency = 6 − u
+    val rows = (1L to 5L).flatMap { u =>
+      (0L until u).map(i => (u * 10 + i, u * day - 1, u, s"e$i"))
+    }
+    val dir = Scratch.freshDir("rfm-events")
+    import spark.implicits._
+    rows.map { case (id, ms, user, typ) =>
+      (id, new java.sql.Timestamp(ms), user, typ, user.toDouble, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q32_rfm_segments")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+          r.getAs[Long]("m_score"), r.getAs[Long]("rfm"))).toMap
+    (1L to 5L).foreach { u =>
+      assert(got(u) === ((6 - u, u, u, (6 - u) * 100 + u * 10 + u)),
+        s"user $u: ${got(u)}")
+    }
+  }
+
   test("q29 plan: the four chained stage minimums share one exchange") {
     val df = SparkEntry.queries("q29_funnel")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
