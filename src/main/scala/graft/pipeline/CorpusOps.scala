@@ -130,6 +130,44 @@ object CorpusOps {
       .select(col("stratum"), col("n"), col("sum_d2"), col("rho_e6"))
   }
 
+  // ------------------------------------------- rank-sum distribution audit
+
+  /**
+   * Mann–Whitney-style rank-sum audit, one stratum vs the rest: from
+   * ONE global ranking of the value column (declared (value, id)
+   * tie-break, the [[spearman]] convention), each stratum's
+   * U = R − n(n+1)/2 against its maximum n·(N−n), as exact integer PPM.
+   * u_ppm ≈ 500000 means the stratum's values interleave with the rest
+   * (same distribution); near 0 / 10⁶ means it sits wholly below/above
+   * — the "is this crawl's length profile an outlier" screen, with no
+   * normal approximation and no float anywhere.
+   *
+   * Shape at 100 TB: one global rank — by design a total order, so at
+   * corpus scale substitute the histogram rank (exactQuantiles' cum
+   * relation gives every row's rank without a global sort); here the
+   * window keeps the declared tie-break exact. Everything after is
+   * |strata|-row arithmetic.
+   */
+  def rankSumAudit(df: DataFrame, stratumCol: Column, valueCol: Column,
+      idCol: Column): DataFrame = {
+    val ranked = df.select(stratumCol.as("stratum"),
+        valueCol.cast("long").as("v"), idCol.as("id"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("v"), col("id"))).cast("long"))
+    val totals = ranked.agg(count(lit(1)).as("n_all"))
+    ranked.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("rank_sum"))
+      .crossJoin(broadcast(totals))
+      .withColumn("u_stat",
+        expr("rank_sum - (n * (n + 1)) div 2"))
+      .withColumn("u_max", expr("n * (n_all - n)"))
+      .withColumn("u_ppm",
+        expr("CASE WHEN u_max > 0 THEN (u_stat * 1000000) div u_max" +
+          " ELSE 500000 END"))
+      .select(col("stratum"), col("n"), col("rank_sum"), col("u_stat"),
+        col("u_max"), col("u_ppm"))
+  }
+
   // ------------------------------------------- Poisson bootstrap CI
 
   /** Poisson(1) CDF thresholds scaled to 2³² (floored) — the

@@ -1906,7 +1906,36 @@ object CorpusQueries extends QueryGroup {
       |         AS BIGINT) AS rho_e6
       |FROM a WHERE n >= 2 ORDER BY source""".stripMargin))
 
+  private val p105 = QueryDef(
+    // Rank-sum (Mann–Whitney one-vs-rest) audit of each source's doc
+    // length profile: exact integer U from one global (n_chars, doc_id)
+    // ranking, normalized to PPM of its max. Oracle replays the rank
+    // window and the arithmetic.
+    (s, d) => CorpusOps.rankSumAudit(docs(s, d), col("source"),
+        col("n_chars"), col("doc_id"))
+      .select(col("stratum").as("source"), col("n"), col("rank_sum"),
+        col("u_stat"), col("u_max"), col("u_ppm"))
+      .orderBy(col("source")),
+    Some("""WITH r AS (
+      |  SELECT source,
+      |         CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+      |           AS BIGINT) AS r
+      |  FROM documents),
+      |t AS (SELECT count(*) AS n_all FROM r),
+      |a AS (SELECT source, count(*) AS n,
+      |             CAST(sum(r) AS BIGINT) AS rank_sum
+      |      FROM r GROUP BY source)
+      |SELECT source, n, rank_sum,
+      |       CAST(rank_sum - (n * (n + 1)) // 2 AS BIGINT) AS u_stat,
+      |       CAST(n * (n_all - n) AS BIGINT) AS u_max,
+      |       CAST(CASE WHEN n * (n_all - n) > 0
+      |                 THEN (rank_sum - (n * (n + 1)) // 2) * 1000000
+      |                      // (n * (n_all - n))
+      |                 ELSE 500000 END AS BIGINT) AS u_ppm
+      |FROM a, t ORDER BY source""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "p105_rank_sum" -> p105,
     "p104_spearman" -> p104,
     "p103_bootstrap_ci" -> p103,
     "p101_k_anonymity" -> p101,

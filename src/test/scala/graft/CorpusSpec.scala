@@ -865,6 +865,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(11L) === ((1L, 0L, 0L)))
   }
 
+  test("rank-sum audit: separated, interleaved, and dominant strata") {
+    import spark.implicits._
+    // a = {1,2}, b = {3,4}: a wholly below b → U_a = 0 (ppm 0),
+    // U_b = 4 (ppm 10⁶); c interleaves two of each side
+    val d = Seq((1L, 1L, "a"), (2L, 2L, "a"), (3L, 3L, "b"), (4L, 4L, "b"))
+      .toDF("doc_id", "v", "stratum")
+    val got = CorpusOps.rankSumAudit(d, col("stratum"), col("v"),
+        col("doc_id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("u_stat"), r.getAs[Long]("u_max"),
+          r.getAs[Long]("u_ppm"))).toMap
+    assert(got("a") === ((0L, 4L, 0L)))
+    assert(got("b") === ((4L, 4L, 1000000L)))
+  }
+
   test("spearman: hand-computed rho on permuted and reversed ranks") {
     import spark.implicits._
     // x ranks 1,2,3; y ranks 1,3,2 → Σd²=2 → ρ = 1 − 12/24 = 0.5
