@@ -65,4 +65,50 @@ object RangeJoin {
     (Seq(p("__bin"), iv("__bin")) ++ keys.map(iv(_)))
       .foldLeft(p.join(iv, cond))((df, c) => df.drop(c))
   }
+
+  /**
+   * Interval × interval OVERLAP join: pairs of half-open intervals
+   * [ls, le) × [rs, re) with `ls < re && rs < le`, each overlapping
+   * pair emitted exactly once. Both sides explode to their covering
+   * fixed-width bins and equi-join on the bin; a pair overlapping
+   * across several shared bins is kept only in the bin containing
+   * max(ls, rs) — a point both intervals cover, which lies in exactly
+   * one bin — the standard dedup rule that turns the inequality join
+   * into an equi-join + residual with no DISTINCT pass.
+   *
+   * Same 100 TB shape as [[pointInInterval]]: one co-partitioned
+   * shuffle on (keys, bin); long intervals cost ceil(len/binWidth)
+   * replicas — pick binWidth near the median interval length. A
+   * pathological bin is AQE-skew / salting territory.
+   */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      binWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlap = left.columns.toSet
+      .intersect(right.columns.toSet)
+      .diff(keys.toSet)
+    require(overlap.isEmpty, s"non-key columns collide across sides: $overlap")
+
+    def binned(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bin",
+        explode(when(col(e) > col(s),
+          sequence(floor(col(s) / binWidth), floor((col(e) - 1) / binWidth)))))
+    val l = binned(left, lStart, lEnd)
+    val r = binned(right, rStart, rEnd)
+
+    val cond = keys.map(k => l(k) === r(k))
+      .reduceOption(_ && _)
+      .map(_ && l("__bin") === r("__bin"))
+      .getOrElse(l("__bin") === r("__bin")) &&
+      l(lStart) < r(rEnd) && r(rStart) < l(lEnd) &&
+      floor(greatest(l(lStart), r(rStart)) / binWidth) === l("__bin")
+
+    (Seq(l("__bin"), r("__bin")) ++ keys.map(r(_)))
+      .foldLeft(l.join(r, cond))((df, c) => df.drop(c))
+  }
 }

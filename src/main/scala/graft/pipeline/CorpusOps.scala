@@ -130,6 +130,56 @@ object CorpusOps {
       .select(col("stratum"), col("n"), col("sum_d2"), col("rho_e6"))
   }
 
+  // ------------------------------------------- KS distribution audit
+
+  /**
+   * Exact two-sample Kolmogorov–Smirnov statistic, one stratum vs the
+   * rest: D = max over values of |ECDF_s − ECDF_rest|, computed as an
+   * integer cross-multiplication |cum_s·n_rest − cum_rest·n_s| over the
+   * value HISTOGRAM (the ECDF only changes at observed values, so the
+   * grid of strata × distinct values is where the max lives). Reported
+   * ×10⁶ by one integer division, with the value achieving the max
+   * (ties → smallest value). No normal approximation, no float.
+   * Complements [[rankSumAudit]]: U sees location shift, D sees ANY
+   * distribution difference.
+   *
+   * Shape at 100 TB: the corpus collapses to the (stratum, value)
+   * histogram in one hash aggregate; the strata × values grid and its
+   * cumulative windows are histogram-scale, never row-scale. The
+   * cross-products stay in 64-bit for corpora to ~3×10⁹ rows; beyond
+   * that, compute on the p23 hash sample.
+   */
+  def ksAudit(df: DataFrame, stratumCol: Column, valueCol: Column)
+      : DataFrame = {
+    val hist = df.select(stratumCol.as("stratum"), valueCol.cast("long").as("v"))
+      .groupBy(col("stratum"), col("v")).agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy(col("stratum")).agg(sum(col("c")).as("n_s"))
+    val nAll = hist.agg(sum(col("c")).as("n_all"))
+    val values = hist.select(col("v")).distinct()
+    val cumAll = hist.groupBy(col("v")).agg(sum(col("c")).as("g"))
+      .withColumn("cum_all", sum(col("g")).over(Window.orderBy(col("v"))))
+      .select(col("v"), col("cum_all"))
+    val grid = totals.select(col("stratum"), col("n_s")).crossJoin(values)
+      .join(hist, Seq("stratum", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_s", sum(col("c")).over(
+        Window.partitionBy(col("stratum")).orderBy(col("v"))))
+      .join(broadcast(cumAll), Seq("v"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("cum_rest", col("cum_all") - col("cum_s"))
+      .withColumn("n_rest", col("n_all") - col("n_s"))
+      .withColumn("diff_num",
+        abs(col("cum_s") * col("n_rest") - col("cum_rest") * col("n_s")))
+    grid.groupBy(col("stratum"))
+      .agg(first(col("n_s")).as("n"),
+        max(col("diff_num")).as("max_num"),
+        first(col("n_s") * col("n_rest")).as("denom"),
+        max_by(col("v"), struct(col("diff_num"), -col("v"))).as("d_at_value"))
+      .filter(col("denom") > 0)
+      .withColumn("d_ppm", expr("(max_num * 1000000) div denom"))
+      .select(col("stratum"), col("n"), col("d_ppm"), col("d_at_value"))
+  }
+
   // ------------------------------------------- rank-sum distribution audit
 
   /**

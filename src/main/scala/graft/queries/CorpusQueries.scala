@@ -1934,7 +1934,46 @@ object CorpusQueries extends QueryGroup {
       |                 ELSE 500000 END AS BIGINT) AS u_ppm
       |FROM a, t ORDER BY source""".stripMargin))
 
+  private val p106 = QueryDef(
+    // Exact two-sample KS statistic per source (vs the rest of the
+    // corpus) over the n_chars histogram: D×10⁶ by integer
+    // cross-multiplication, plus the value where the max gap sits
+    // (ties → smallest value). Oracle rebuilds the grid and both
+    // cumulative ECDFs.
+    (s, d) => CorpusOps.ksAudit(docs(s, d), col("source"), col("n_chars"))
+      .select(col("stratum").as("source"), col("n"), col("d_ppm"),
+        col("d_at_value"))
+      .orderBy(col("source")),
+    Some("""WITH h AS (
+      |  SELECT source AS s, n_chars AS v, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |tt AS (SELECT s, sum(c) AS n_s FROM h GROUP BY s),
+      |na AS (SELECT sum(c) AS n_all FROM h),
+      |vals AS (SELECT DISTINCT v FROM h),
+      |ca AS (SELECT v, sum(g) OVER (ORDER BY v) AS cum_all
+      |       FROM (SELECT v, sum(c) AS g FROM h GROUP BY v)),
+      |grid AS (
+      |  SELECT tt.s, tt.n_s, vals.v, coalesce(h.c, 0) AS c
+      |  FROM tt CROSS JOIN vals
+      |  LEFT JOIN h ON h.s = tt.s AND h.v = vals.v),
+      |cs AS (SELECT s, n_s, v,
+      |              sum(c) OVER (PARTITION BY s ORDER BY v) AS cum_s
+      |       FROM grid),
+      |dd AS (SELECT cs.s, cs.n_s, cs.v,
+      |              abs(cs.cum_s * (na.n_all - cs.n_s)
+      |                - (ca.cum_all - cs.cum_s) * cs.n_s) AS diff_num,
+      |              cs.n_s * (na.n_all - cs.n_s) AS denom
+      |       FROM cs JOIN ca ON cs.v = ca.v CROSS JOIN na),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY s
+      |                 ORDER BY diff_num DESC, v) AS rn
+      |       FROM dd)
+      |SELECT s AS source, CAST(n_s AS BIGINT) AS n,
+      |       CAST(diff_num * 1000000 // denom AS BIGINT) AS d_ppm,
+      |       CAST(v AS BIGINT) AS d_at_value
+      |FROM rk WHERE rn = 1 AND denom > 0 ORDER BY source""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "p106_ks_test" -> p106,
     "p105_rank_sum" -> p105,
     "p104_spearman" -> p104,
     "p103_bootstrap_ci" -> p103,

@@ -1492,7 +1492,45 @@ object RelationalQueries extends QueryGroup {
       |         AS BIGINT) AS rfm
       |FROM rfm ORDER BY user_id""".stripMargin))
 
+  /** J7 — interval×interval overlap join (RangeJoin.intervalOverlap):
+   * for every urgent order's 3-day window, the high-priority windows it
+   * overlaps and the total overlap mass in exact ms. The oracle is the
+   * bare inequality join; the engine pays one co-partitioned bin
+   * shuffle with the max(start)-bin dedup rule — every pair meets
+   * exactly once, no DISTINCT pass. */
+  private val j7 = QueryDef(
+    (s, d) => {
+      val win = 3L * 86400000L
+      def windows(prio: String, prefix: String) =
+        t(s, d, "orders").filter(col("o_orderpriority") === prio)
+          .select(col("o_orderkey").as(s"${prefix}_key"),
+            unix_millis(col("o_orderdate")).as(s"${prefix}_s"))
+          .withColumn(s"${prefix}_e", col(s"${prefix}_s") + win)
+      RangeJoin.intervalOverlap(
+          windows("1-URGENT", "u"), windows("2-HIGH", "h"),
+          "u_s", "u_e", "h_s", "h_e", binWidth = win)
+        .groupBy(col("u_key"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("u_e"), col("h_e")) -
+            greatest(col("u_s"), col("h_s"))).as("overlap_ms"))
+        .orderBy(col("u_key"))
+    },
+    Some("""WITH u AS (
+      |  SELECT o_orderkey AS u_key, epoch_ms(o_orderdate) AS u_s,
+      |         epoch_ms(o_orderdate) + 259200000 AS u_e
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |h AS (
+      |  SELECT o_orderkey AS h_key, epoch_ms(o_orderdate) AS h_s,
+      |         epoch_ms(o_orderdate) + 259200000 AS h_e
+      |  FROM orders WHERE o_orderpriority = '2-HIGH')
+      |SELECT u_key, count(*) AS n_overlaps,
+      |       CAST(sum(least(u_e, h_e) - greatest(u_s, h_s)) AS BIGINT)
+      |         AS overlap_ms
+      |FROM u JOIN h ON u_s < h_e AND h_s < u_e
+      |GROUP BY u_key ORDER BY u_key""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "j7_interval_overlap" -> j7,
     "q32_rfm_segments" -> q32,
     "q31_grouping_sets" -> q31,
     "j6_asof_nearest" -> j6,

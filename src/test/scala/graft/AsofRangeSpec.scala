@@ -144,6 +144,36 @@ class AsofRangeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(k".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("interval overlap equals brute force; touching intervals excluded") {
+    import spark.implicits._
+    // pseudo-random half-open intervals on both sides, incl. multi-bin
+    // spans and exact-touch cases (a.e == b.s must NOT pair)
+    val ls = (0L until 120L).map { i =>
+      val s = mix(i, 11) % 180; (i, s, s + 1 + mix(i, 12) % 25)
+    }
+    val rs = (0L until 120L).map { i =>
+      val s = mix(i, 13) % 180; (i, s, s + 1 + mix(i, 14) % 25)
+    }
+    val l = ls.toDF("l_id", "l_s", "l_e")
+    val r = rs.toDF("r_id", "r_s", "r_e")
+    val got = RangeJoin.intervalOverlap(l, r, "l_s", "l_e", "r_s", "r_e",
+        binWidth = 10L)
+      .select("l_id", "r_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val want = (for {
+      (li, lsv, lev) <- ls; (ri, rsv, rev) <- rs
+      if lsv < rev && rsv < lev
+    } yield (li, ri)).toSet
+    assert(got.length === got.toSet.size, "a pair was emitted twice")
+    assert(got.toSet === want)
+    // explicit touch case: [0,10) and [10,20) share no point
+    val t = RangeJoin.intervalOverlap(
+      Seq((1L, 0L, 10L)).toDF("l_id", "l_s", "l_e"),
+      Seq((2L, 10L, 20L)).toDF("r_id", "r_s", "r_e"), "l_s", "l_e",
+      "r_s", "r_e", 10L).collect()
+    assert(t.isEmpty)
+  }
+
   test("range join equals direct inequality join across bin boundaries") {
     import spark.implicits._
     // points at every integer incl. exact bin edges; intervals of mixed

@@ -865,6 +865,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(11L) === ((1L, 0L, 0L)))
   }
 
+  test("KS audit: full separation gives D=1 at the boundary value") {
+    import spark.implicits._
+    // a = {1,2} wholly below b = {3,4}: at v=2, ECDF_a=1, ECDF_b=0 → D=1
+    val d = Seq((1L, 1L, "a"), (2L, 2L, "a"), (3L, 3L, "b"), (4L, 4L, "b"))
+      .toDF("doc_id", "v", "stratum")
+    val got = CorpusOps.ksAudit(d, col("stratum"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("d_ppm"),
+          r.getAs[Long]("d_at_value"))).toMap
+    assert(got("a") === ((2L, 1000000L, 2L)))
+    assert(got("b") === ((2L, 1000000L, 2L)))
+    // identical distributions → D = 0 everywhere, argmax ties to min v
+    val same = Seq((1L, 5L, "x"), (2L, 7L, "x"), (3L, 5L, "y"), (4L, 7L, "y"))
+      .toDF("doc_id", "v", "stratum")
+    val g2 = CorpusOps.ksAudit(same, col("stratum"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("d_ppm"), r.getAs[Long]("d_at_value"))).toMap
+    assert(g2("x") === ((0L, 5L)) && g2("y") === ((0L, 5L)))
+  }
+
   test("rank-sum audit: separated, interleaved, and dominant strata") {
     import spark.implicits._
     // a = {1,2}, b = {3,4}: a wholly below b → U_a = 0 (ppm 0),
