@@ -1972,7 +1972,52 @@ object CorpusQueries extends QueryGroup {
       |       CAST(v AS BIGINT) AS d_at_value
       |FROM rk WHERE rn = 1 AND denom > 0 ORDER BY source""".stripMargin))
 
+  private val p107 = QueryDef(
+    // One-row corpus data card (the Datasheets-for-Datasets summary a
+    // release ships): volume, composition, duplication, central
+    // tendency — every number an exact integer, the median via the
+    // order-statistic histogram (oracle: full sort, the opposite
+    // algorithm).
+    (s, d) => {
+      val doc = docs(s, d)
+      val base = doc.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(graft.pipeline.TextOps.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long")).as("n_tokens"),
+        (count(lit(1)) - countDistinct(md5(col("text").cast("binary"))))
+          .as("dup_docs"))
+        .withColumn("mean_tokens_e6",
+          expr("(n_tokens * 1000000) div n_docs"))
+      val med = graft.pipeline.CorpusOps.exactQuantiles(doc, lit("all"),
+          col("n_chars"), Seq((1, 2)))
+        .select(col("value").as("median_chars"))
+      base.crossJoin(broadcast(med))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("n_tokens"), col("dup_docs"), col("mean_tokens_e6"),
+          col("median_chars"))
+    },
+    Some(s"""WITH b AS (
+      |  SELECT count(*) AS n_docs,
+      |         count(DISTINCT source) AS n_sources,
+      |         count(DISTINCT lang) AS n_langs,
+      |         CAST(sum(len($WORDS)) AS BIGINT) AS n_tokens,
+      |         count(*) - count(DISTINCT md5(text)) AS dup_docs
+      |  FROM documents),
+      |m AS (SELECT v AS median_chars FROM (
+      |        SELECT n_chars AS v,
+      |               row_number() OVER (ORDER BY n_chars) AS rn,
+      |               count(*) OVER () AS n
+      |        FROM documents) t
+      |      WHERE rn = (n + 1) // 2 LIMIT 1)
+      |SELECT n_docs, n_sources, n_langs, n_tokens, dup_docs,
+      |       CAST(n_tokens * 1000000 // n_docs AS BIGINT) AS mean_tokens_e6,
+      |       median_chars
+      |FROM b, m""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "p107_data_card" -> p107,
     "p106_ks_test" -> p106,
     "p105_rank_sum" -> p105,
     "p104_spearman" -> p104,

@@ -1529,7 +1529,49 @@ object RelationalQueries extends QueryGroup {
       |FROM u JOIN h ON u_s < h_e AND h_s < u_e
       |GROUP BY u_key ORDER BY u_key""".stripMargin))
 
+  /** The complete ranking-function inventory in ONE window pass —
+   * rank / dense_rank / percent_rank / cume_dist over a column WITH
+   * ties (quantity), so the tie semantics of every function are
+   * exercised, not just the happy path (q6 covers row_number/ntile/
+   * lag). Tied rows share every ranking value, so the output collapses
+   * to the distinct (flag, qty) grain — compact and deterministic.
+   * percent_rank/cume_dist are IEEE divisions of exact integers:
+   * bit-identical across engines, no rounding needed. */
+  private val q33 = QueryDef(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("qty_e2"))
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("qty_e2"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prank", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .groupBy(col("l_returnflag"), col("qty_e2"))
+        .agg(count(lit(1)).as("n_rows"), first(col("rnk")).as("rnk"),
+          first(col("drnk")).as("drnk"), first(col("prank")).as("prank"),
+          first(col("cdist")).as("cdist"))
+        .orderBy(col("l_returnflag"), col("qty_e2"))
+    },
+    Some("""WITH r AS (
+      |  SELECT l_returnflag,
+      |         CAST(round(l_quantity * 100) AS BIGINT) AS qty_e2,
+      |         CAST(rank() OVER w AS BIGINT) AS rnk,
+      |         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |         percent_rank() OVER w AS prank,
+      |         cume_dist() OVER w AS cdist
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_returnflag
+      |               ORDER BY CAST(round(l_quantity * 100) AS BIGINT)))
+      |SELECT l_returnflag, qty_e2, count(*) AS n_rows,
+      |       min(rnk) AS rnk, min(drnk) AS drnk,
+      |       min(prank) AS prank, min(cdist) AS cdist
+      |FROM r GROUP BY l_returnflag, qty_e2
+      |ORDER BY l_returnflag, qty_e2""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "q33_ranking_suite" -> q33,
     "j7_interval_overlap" -> j7,
     "q32_rfm_segments" -> q32,
     "q31_grouping_sets" -> q31,
