@@ -2016,7 +2016,51 @@ object CorpusQueries extends QueryGroup {
       |       median_chars
       |FROM b, m""".stripMargin))
 
+  private val p108 = QueryDef(
+    // Vocabulary coverage curve: the fraction of total token MASS the
+    // top-k word types cover, at k ∈ {4, 8, 16} — the truncation
+    // planner for a capped vocabulary (what OOV rate would a k-type
+    // vocab buy). Rank by (count desc, word); coverage in exact integer
+    // PPM. The oracle re-derives the rank with its own window.
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, d)
+        .select(explode(graft.pipeline.TextOps.words(
+          coalesce(col("text"), lit("")))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val ranked = counts
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("w"))).cast("long"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("c").desc, col("w"))))
+      val tot = counts.agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"))
+      ranked.filter(col("rk").isin(4L, 8L, 16L))
+        .crossJoin(broadcast(tot))
+        .select(col("rk").as("top_k"), col("cum").as("covered_tokens"),
+          col("n_tokens"), col("n_types"),
+          expr("(cum * 1000000) div n_tokens").as("covered_ppm"))
+        .orderBy(col("top_k"))
+    },
+    Some(s"""WITH w AS (
+      |  SELECT unnest($WORDS) AS w FROM documents),
+      |c AS (SELECT w, count(*) AS c FROM w
+      |      WHERE length(w) > 0 GROUP BY w),
+      |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w)
+      |               AS BIGINT) AS rk,
+      |             sum(c) OVER (ORDER BY c DESC, w) AS cum
+      |      FROM c),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+      |             count(*) AS n_types FROM c)
+      |SELECT rk AS top_k, CAST(cum AS BIGINT) AS covered_tokens,
+      |       n_tokens, n_types,
+      |       CAST(cum * 1000000 // n_tokens AS BIGINT) AS covered_ppm
+      |FROM r, t WHERE rk IN (4, 8, 16)
+      |ORDER BY top_k""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "p108_vocab_coverage" -> p108,
     "p107_data_card" -> p107,
     "p106_ks_test" -> p106,
     "p105_rank_sum" -> p105,
