@@ -688,8 +688,42 @@ object StreamingSmoke {
     check("retention-cells", streamRet == batchRetMap && streamRet.nonEmpty,
       s"stream=${streamRet.size} cells batch=${batchRetMap.size}")
 
+    // -- 24. streaming sessionizer converges to the batch session rows ----
+    // (upsert-style emission: the max-n_events row per (user, session)
+    // equals the batch Sessionize.sessions row — the SAME relation q34
+    // serves — open sessions included)
+    val sess24Rows = graft.model.EventLog.raw(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ms"))
+      .as[(Long, Long, Long)].collect()
+      .sortBy(r => (r._3, r._2))
+      .map(r => graft.streaming.SessEvent(r._1, r._2, r._3))
+    val ms24Src = MemoryStream[graft.streaming.SessEvent]
+    val q24 = graft.streaming.StreamingOps.sessionStream(ms24Src.toDS(), 1800000L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_rows")
+      .option("checkpointLocation", ckpt()).start()
+    sess24Rows.grouped(math.max(1, sess24Rows.length / 7 + 1))
+      .foreach { c => ms24Src.addData(c); q24.processAllAvailable() }
+    q24.stop()
+    val streamSess24 = spark.table("sess_rows")
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(max(col("n_events")).as("n"), min(col("start_ms")).as("s"),
+        max(col("end_ms")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val batchSess24 = graft.operators.Sessionize.sessions(
+        graft.model.EventLog.raw(spark, sfDir)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000000").as("ms")), gapMs = 1800000L)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("start_ms"),
+          r.getAs[Long]("end_ms"))).toMap
+    check("sessionizer-q34", streamSess24 == batchSess24 && streamSess24.nonEmpty,
+      s"stream=${streamSess24.size} sessions batch=${batchSess24.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 23 converged to batch twins OK")
+    println(s"[stream-smoke] all 24 converged to batch twins OK")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.EventLog
-import graft.operators.{AsofJoin, Funnel, RangeJoin, Retention}
+import graft.operators.{AsofJoin, Funnel, RangeJoin, Retention, Sessionize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1570,7 +1570,75 @@ object RelationalQueries extends QueryGroup {
       |FROM r GROUP BY l_returnflag, qty_e2
       |ORDER BY l_returnflag, qty_e2""".stripMargin))
 
+  /** Q34 — gap-based sessionization (30-minute idle gap): one row per
+   * (user, session) with event count, bounds, and exact duration. The
+   * engine's lag + running-sum windows share ONE user-key exchange and
+   * fuse into a single Window operator ([[Sessionize]]); the roll-up is
+   * a co-partitioned hash agg — no second event shuffle. The streaming
+   * twin (StreamingSmoke) converges to this SAME relation. */
+  private val q34 = QueryDef(
+    (s, d) => Sessionize.sessions(
+      EventLog.raw(s, d).select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ms")), gapMs = 1800000L)
+      .orderBy(col("user_id"), col("session_idx")),
+    Some("""WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |a AS (SELECT user_id, event_id, ms,
+      |        CASE WHEN ms - lag(ms) OVER
+      |               (PARTITION BY user_id ORDER BY ms, event_id) <= 1800000
+      |             THEN 0 ELSE 1 END AS ns
+      |      FROM e),
+      |b AS (SELECT user_id, ms,
+      |        CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |      FROM a)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |       min(ms) AS start_ms, max(ms) AS end_ms,
+      |       max(ms) - min(ms) AS duration_ms
+      |FROM b GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin))
+
+  /** Q35 — TPC-H Q9-shaped profit roll-up: net amount (revenue minus the
+   * tax bill) per nation per ship year for widget parts. All money stays
+   * exact-integer e4 (cents × e2 factors); every dimension broadcasts,
+   * so the fact table shuffles ONCE on the (nation, year) agg key. */
+  private val q35 = QueryDef(
+    (s, d) => {
+      val widget = t(s, d, "part").filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"))
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      t(s, d, "lineitem")
+        .join(broadcast(widget), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("l_shipdate")).cast("long").as("o_year"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long") -
+              round(col("l_tax") * 100).cast("long"))).as("amount_e4"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(col("amount_e4")).as("profit_e4"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"), col("o_year"))
+    },
+    Some("""SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(round(l_discount * 100) AS BIGINT)
+      |                - CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS profit_e4,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, o_year
+      |ORDER BY n_name, o_year""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "q34_sessions" -> q34,
+    "q35_nation_profit" -> q35,
     "q33_ranking_suite" -> q33,
     "j7_interval_overlap" -> j7,
     "q32_rfm_segments" -> q32,

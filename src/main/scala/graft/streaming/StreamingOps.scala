@@ -23,6 +23,14 @@ case class DocIngest(doc_id: Long, fp: String)
 /** One streamed funnel event (user, type, event-time ms). */
 case class FunnelEvent(user_id: Long, event_type: String, ms: Long)
 
+/** One per-user event for the streaming sessionizer (check 24). */
+case class SessEvent(user_id: Long, event_id: Long, ms: Long)
+
+/** A session row as emitted by the streaming sessionizer — upsert-style:
+ * the LAST emission per (user, session) equals the batch session row. */
+case class SessRow(user_id: Long, session_idx: Long, n_events: Long,
+    start_ms: Long, end_ms: Long)
+
 /** One streamed retention activity (user, epoch day). */
 case class RetEvent(user_id: Long, day: Long)
 
@@ -405,6 +413,45 @@ object StreamingOps {
             }
           }
           state.update((cohortDay, seen))
+          out.iterator
+      }
+  }
+
+  /**
+   * Streaming gap-based sessionization — the incremental twin of
+   * [[graft.operators.Sessionize.sessions]] (Structured Streaming's
+   * session-window semantics hand-rolled on flatMapGroupsWithState so the
+   * session row matches the batch relation field for field). State per
+   * user is 4 longs: current session index, its start, last-seen ms, and
+   * its event count. A gap > `gapMs` rolls the index; every processed
+   * event emits the session's UPDATED row, so the last emission per
+   * (user, session) — equivalently the max-`n_events` row, since the
+   * count is monotone within a session — equals the batch row, open
+   * sessions included.
+   *
+   * CONTRACT (the [[funnelStream]] ordering contract): per-user arrival
+   * in non-decreasing event-time order; production gets that from a
+   * watermark + in-batch sort. In production the per-user state would
+   * use an idle [[GroupStateTimeout]] of `gapMs` to retire closed
+   * sessions; the smoke fixture is finite so no timeout fires.
+   */
+  def sessionStream(ev: Dataset[SessEvent], gapMs: Long): Dataset[SessRow] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), SessRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          var (idx, start, last, n) =
+            state.getOption.getOrElse((0L, 0L, Long.MinValue, 0L))
+          val out = ArrayBuffer.empty[SessRow]
+          rows.toSeq.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+            if (idx == 0L || e.ms - last > gapMs) {
+              idx += 1; start = e.ms; n = 0L
+            }
+            n += 1; last = e.ms
+            out += SessRow(user, idx, n, start, e.ms)
+          }
+          state.update((idx, start, last, n))
           out.iterator
       }
   }
