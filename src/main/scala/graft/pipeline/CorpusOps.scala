@@ -1824,4 +1824,53 @@ object CorpusOps {
         col("grams_a"), col("grams_b"),
         col("contain_a_ppm"), col("contain_b_ppm"))
   }
+
+  /**
+   * PMI collocation extraction (Church & Hanks 1990): pointwise mutual
+   * information of adjacent word pairs,
+   * PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) from the bigram
+   * token counts (total N_b) and p(x) from the unigram token counts
+   * (total N_w), a count floor against low-frequency noise, and the
+   * global top-k by (PMI, pair) — the classic multi-word-expression
+   * miner for tokenizer vocabulary planning.
+   *
+   * Determinism: the quotient is formed as EXACT integer products
+   * (c_xy·N_w·N_w and N_b·c_x·c_y, both within long range and ≤ 2⁵³ so
+   * the double cast is lossless at fixture scale) before ONE double
+   * division; PMI is rounded 4 dp (the charEntropy/zipfFit ln
+   * convention). Ties at the top-k boundary break on the words.
+   *
+   * Shape at 100 TB: two token-level hash aggs (unigrams, bigrams —
+   * both vocabulary-scale with map-side partials), 1-row totals
+   * broadcast, two vocab-key joins of the bigram relation to the
+   * unigram counts, and a k-bounded TakeOrdered. No corpus-wide sort,
+   * no window. (At true web scale the integer products would move to
+   * DECIMAL(38) — same plan shape.)
+   */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    val ws = graft.CacheScope.track(df
+      .select(filter(TextOps.words(col(textCol)), w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) >= 1))
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = ws.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS a, ws[i + 1] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val totals = uni.agg(sum(col("c")).as("nw")).crossJoin(
+      bi.agg(sum(col("cab")).as("nb")))
+    bi.filter(col("cab") >= minCount)
+      .join(uni.select(col("w").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("a").as("word_a"), col("b").as("word_b"),
+        col("cab").as("n_ab"), col("ca").as("n_a"), col("cb").as("n_b"),
+        round(log((col("cab") * col("nw") * col("nw")).cast("double") /
+          (col("nb") * col("ca") * col("cb")).cast("double")), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
+      .limit(k)
+  }
 }

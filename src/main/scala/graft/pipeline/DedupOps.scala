@@ -513,4 +513,65 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
   }
+
+  /**
+   * EXACT Jaccard similarity join over the FULL corpus via prefix
+   * filtering (Chaudhuri et al. 2006, SSJoin; Bayardo et al. 2007,
+   * All-Pairs) — the missing quadrant between [[ngramJaccardPairs]]
+   * (exact but all-pairs, verification scale) and MinHash LSH (full
+   * scale but approximate): exact answers with candidate work bounded by
+   * RARE-token posting lists.
+   *
+   * Prefix-filtering principle: order every doc's shingle set by the
+   * global canonical order (document frequency ascending, shingle string
+   * as tie-break) and keep only the first `s − ceil(t·s) + 1` shingles
+   * (the rarest ones). Any pair with Jaccard ≥ t shares at least one
+   * shingle lying in BOTH prefixes — so the prefix×prefix equi-join
+   * loses no qualifying pair, and candidate work is Σ_gram prefixDf²
+   * over the rarest grams instead of Σ df² over all of them (boilerplate
+   * grams with huge postings never enter the join).
+   *
+   * Shape at 100 TB: no global rank window — the canonical order is the
+   * (df, gram) TUPLE itself, so ordering needs only a gram-key df join
+   * (co-partitioned with the shingle relation) and a per-doc window; no
+   * vocabulary-wide single-partition pass. Verification joins only
+   * candidate pairs back to the shingle relation (work = Σ|∩| per
+   * surviving candidate). The threshold is a ppm rational, so ceil and
+   * the final Jaccard are exact integer arithmetic in both engines.
+   */
+  def jaccardPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tPpm: Long): DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
+    val sh = graft.CacheScope.track(
+      shingleRows(docs, idCol, textCol, n).select(col("doc"), col("shingle")))
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
+    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("gdf"), col("shingle"))
+    val prefix = sh.join(dfTab, Seq("shingle"))
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, Seq("doc"))
+      // prefix length = s − ceil(t·s) + 1, ceil in exact ppm integer div
+      .filter(expr(
+        s"pos <= set_size - ((set_size * $tPpm + 999999) div 1000000) + 1"))
+      .select(col("doc"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc").as("doc_a"), col("set_size").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("set_size").as("size_b")), "doc_b")
+      // integer div, not double-divide-and-cast: the float quotient can
+      // round up across an integer boundary and truncate one high
+      .withColumn("jac_ppm",
+        expr("(n_common * 1000000) div (size_a + size_b - n_common)"))
+      .filter(col("jac_ppm") >= tPpm)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("size_a"), col("size_b"), col("jac_ppm"))
+  }
 }

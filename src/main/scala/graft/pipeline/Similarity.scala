@@ -750,4 +750,83 @@ object Similarity {
       .withColumn("load_ppm", expr("(n_vecs * n_cells * 1000000) div n_total"))
       .select(col("cluster"), col("n_vecs"), col("share_ppm"), col("load_ppm"))
   }
+
+  /**
+   * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+   * greedy diverse top-k selection from each query's candidate pool —
+   * pick the most relevant candidate first, then repeatedly the one
+   * maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) against the
+   * already-selected set S. The retrieval-diversity step RAG stacks run
+   * after ANN: near-duplicate hits stop crowding out coverage.
+   *
+   * This implementation fixes λ = 1/2 so the DOUBLED objective is pure
+   * integer arithmetic on e3-rounded cosines: the emitted `score2x_e3`
+   * is rel_e3 for the first pick and rel_e3 − max-sim_e3 after, ties on
+   * the smaller candidate id. Deterministic end to end, so an oracle
+   * can unroll the greedy steps as literal SQL (the p83 superstep
+   * convention).
+   *
+   * Shape at 100 TB: the pool is the k-bounded output of a broadcast
+   * scoring pass (|q|·poolN rows); pool embeddings come from ONE
+   * broadcast-pool join against the corpus (the corpus never shuffles);
+   * the N² pairwise matrix is per-query-local; the greedy loop runs
+   * inside `flatMapGroups` per query — distributed over queries, never
+   * on the driver, state = one pool.
+   */
+  def mmrSelect(queries: DataFrame, corpus: DataFrame, poolN: Int,
+      k: Int): DataFrame = {
+    require(k >= 1 && poolN >= k, s"need poolN >= k >= 1: $poolN/$k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = corpus.as("c").join(broadcast(queries.as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
+        round(cosine(col("q.embedding"), col("c.embedding")) * 1000)
+          .cast("long").as("rel_e3"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rel_e3").desc, col("cid"))
+    val pool = graft.CacheScope.track(scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= poolN)
+      .select(col("qid"), col("cid"), col("rel_e3")))
+    // pool embeddings: ONE broadcast-pool join — the corpus never shuffles
+    val poolE = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(pool), col("vec_id") === col("cid"))
+      .select(col("qid"), col("cid"), col("rel_e3"), col("embedding"))
+    val pairs = poolE.as("a").join(poolE.as("b"),
+        col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
+      .select(col("a.qid").as("qid"), col("a.cid").as("ca"),
+        col("a.rel_e3").as("rel_a"), col("b.cid").as("cb"),
+        round(cosine(col("a.embedding"), col("b.embedding")) * 1000)
+          .cast("long").as("sim_e3"))
+    // self rows carry candidates of singleton pools (no pair rows)
+    val rows = pool.select(col("qid"), col("cid").as("ca"),
+        col("rel_e3").as("rel_a"), col("cid").as("cb"),
+        lit(null).cast("long").as("sim_e3"))
+      .unionByName(pairs)
+    rows.as[(Long, Long, Long, Long, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rs = it.toSeq
+        val rel = rs.map(r => r._2 -> r._3).toMap
+        val sim = rs.collect { case (_, a, _, b, Some(s)) => (a, b) -> s }.toMap
+        val cands = scala.collection.mutable.Set(rel.keys.toSeq: _*)
+        var selected = List.empty[Long]
+        val out = Seq.newBuilder[(Long, Int, Long, Long)]
+        var rank = 1
+        while (rank <= k && cands.nonEmpty) {
+          val (score2x, pick) = cands.toSeq.map { c =>
+            val penalty =
+              if (selected.isEmpty) 0L
+              else selected.map(s => sim.getOrElse((c, s), 0L)).max
+            (rel(c) - penalty, c)
+          }.minBy { case (s, c) => (-s, c) }
+          out += ((qid, rank, pick, score2x))
+          cands -= pick
+          selected ::= pick
+          rank += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "rank", "neighbor_id", "score2x_e3")
+  }
 }

@@ -2016,6 +2016,37 @@ object CorpusQueries extends QueryGroup {
       |       median_chars
       |FROM b, m""".stripMargin))
 
+  private val p110 = QueryDef(
+    // PMI collocations (Church & Hanks 1990): top-20 adjacent word
+    // pairs by pointwise mutual information with a count floor of 5 —
+    // the multi-word-expression miner. Exact integer products feed ONE
+    // double division; PMI rounds 4 dp (the zipfFit ln convention).
+    // The oracle rebuilds both count relations and replays the
+    // identical quotient.
+    (s, d) => CorpusOps.pmiCollocations(docs(s, d), "text",
+      minCount = 5L, k = 20),
+    Some(s"""WITH w AS (
+      |  SELECT list_filter($WORDS, x -> length(x) > 0) AS ws
+      |  FROM documents WHERE len(list_filter($WORDS, x -> length(x) > 0)) >= 1),
+      |u AS (SELECT unnest(ws) AS w FROM w),
+      |uni AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+      |bp AS (SELECT unnest(list_transform(range(1, len(ws)),
+      |         i -> ws[i] || ' ' || ws[i + 1])) AS g
+      |       FROM w WHERE len(ws) >= 2),
+      |bi AS (SELECT split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b,
+      |              count(*) AS cab
+      |       FROM bp GROUP BY 1, 2),
+      |tot AS (SELECT (SELECT sum(c) FROM uni) AS nw,
+      |               (SELECT sum(cab) FROM bi) AS nb)
+      |SELECT a AS word_a, b AS word_b, CAST(cab AS BIGINT) AS n_ab,
+      |       CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+      |       round(ln(CAST(cab * nw * nw AS DOUBLE) /
+      |                CAST(nb * ca * cb AS DOUBLE)), 4) AS pmi
+      |FROM (SELECT bi.a, bi.b, bi.cab, x.c AS ca, y.c AS cb
+      |      FROM bi JOIN uni x ON bi.a = x.w JOIN uni y ON bi.b = y.w
+      |      WHERE bi.cab >= 5), tot
+      |ORDER BY pmi DESC, word_a, word_b LIMIT 20""".stripMargin))
+
   private val p108 = QueryDef(
     // Vocabulary coverage curve: the fraction of total token MASS the
     // top-k word types cover, at k ∈ {4, 8, 16} — the truncation
@@ -2061,6 +2092,7 @@ object CorpusQueries extends QueryGroup {
 
   override val defs: Map[String, QueryDef] = Map(
     "p108_vocab_coverage" -> p108,
+    "p110_pmi_collocations" -> p110,
     "p107_data_card" -> p107,
     "p106_ks_test" -> p106,
     "p105_rank_sum" -> p105,

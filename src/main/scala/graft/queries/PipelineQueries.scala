@@ -98,6 +98,29 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_a"), col("doc_b")),
     Some(jaccardOracle))
 
+  /** P109 — exact Jaccard join over the FULL corpus (no doc_id cap) by
+   * prefix filtering: candidates come only from rare-shingle posting
+   * lists (each doc keeps its s − ceil(t·s) + 1 rarest shingles under
+   * the global (df, gram) order), yet the answer is EXACT — the missing
+   * quadrant between p3 (exact, capped) and p15 (full, approximate).
+   * The oracle brute-forces EVERY pair sharing any shingle — a
+   * different algorithm, so parity also validates the prefix-filter
+   * completeness theorem on real data. */
+  private val p109 = QueryDef(
+    (s, d) => DedupOps.jaccardPrefixJoin(
+      docs(s, d), "doc_id", "text", 3, tPpm = 500000L)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH ${jaccardCtes("")},
+      |jpm AS (
+      |  SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS n_common,
+      |         CAST(sa AS BIGINT) AS size_a, CAST(sb AS BIGINT) AS size_b,
+      |         inter * 1000000 // (sa + sb - inter) AS jac_ppm
+      |  FROM pairs)
+      |SELECT doc_a, doc_b, n_common, size_a, size_b,
+      |       CAST(jac_ppm AS BIGINT) AS jac_ppm
+      |FROM jpm WHERE jac_ppm >= 500000
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
   private val p74 = QueryDef(
     // Asymmetric containment |Sa∩Sb|/|Sa| over the same inverted shingle
     // index as p3 — the quote-inclusion/subset-dup screen symmetric
@@ -353,6 +376,59 @@ object PipelineQueries extends QueryGroup {
     s"""(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
       | (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
       |  sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
+
+  /** P111 — MMR diverse re-ranking (Carbonell & Goldstein 1998) with
+   * λ = 1/2: greedy top-3 from each query's 8-candidate ANN pool, the
+   * doubled objective rel − max-sim-to-selected in exact e3 integers.
+   * The engine runs general-k greedy inside flatMapGroups (per-query,
+   * never on the driver); the oracle UNROLLS the three greedy steps as
+   * literal SQL (the p83 superstep convention) — a genuinely different
+   * evaluation strategy, so parity pins the greedy semantics. */
+  private val p111 = QueryDef(
+    (s, d) => {
+      val e = embs(s, d)
+      Similarity.mmrSelect(e.filter(col("vec_id") < 5), e, poolN = 8, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      |sc AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |         CAST(round(1000 * ${cosSql("q.embedding", "c.embedding")}) AS BIGINT) AS rel
+      |  FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+      |pool AS (SELECT qid, cid, rel FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY rel DESC, cid) AS rn FROM sc) WHERE rn <= 8),
+      |ps AS (
+      |  SELECT a.qid, a.cid AS ca, b.cid AS cb,
+      |         CAST(round(1000 * ${cosSql("ea.embedding", "eb.embedding")}) AS BIGINT) AS s
+      |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid
+      |  JOIN embeddings ea ON a.cid = ea.vec_id
+      |  JOIN embeddings eb ON b.cid = eb.vec_id),
+      |s1 AS (SELECT qid, cid, rel AS sc2 FROM (
+      |    SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+      |      ORDER BY rel DESC, cid) AS rn FROM pool) WHERE rn = 1),
+      |c2 AS (
+      |  SELECT p.qid, p.cid, p.rel - ps.s AS sc2
+      |  FROM pool p JOIN s1 ON p.qid = s1.qid AND p.cid <> s1.cid
+      |  JOIN ps ON ps.qid = p.qid AND ps.ca = p.cid AND ps.cb = s1.cid),
+      |s2 AS (SELECT qid, cid, sc2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY sc2 DESC, cid) AS rn FROM c2) WHERE rn = 1),
+      |c3 AS (
+      |  SELECT p.qid, p.cid, p.rel - greatest(pa.s, pb.s) AS sc2
+      |  FROM pool p JOIN s1 ON p.qid = s1.qid AND p.cid <> s1.cid
+      |  JOIN s2 ON p.qid = s2.qid AND p.cid <> s2.cid
+      |  JOIN ps pa ON pa.qid = p.qid AND pa.ca = p.cid AND pa.cb = s1.cid
+      |  JOIN ps pb ON pb.qid = p.qid AND pb.ca = p.cid AND pb.cb = s2.cid),
+      |s3 AS (SELECT qid, cid, sc2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY sc2 DESC, cid) AS rn FROM c3) WHERE rn = 1)
+      |SELECT qid AS query_id, CAST(rank AS INT) AS rank,
+      |       cid AS neighbor_id, CAST(sc2 AS BIGINT) AS score2x_e3
+      |FROM (SELECT qid, 1 AS rank, cid, sc2 FROM s1
+      |      UNION ALL SELECT qid, 2, cid, sc2 FROM s2
+      |      UNION ALL SELECT qid, 3, cid, sc2 FROM s3)
+      |ORDER BY query_id, rank""".stripMargin))
 
   private val p6 = QueryDef(
     (s, d) => {
@@ -2057,6 +2133,8 @@ object PipelineQueries extends QueryGroup {
     "p1_exact_dedup" -> p1,
     "p2_norm_dedup" -> p2,
     "p3_ngram_jaccard" -> p3,
+    "p109_jaccard_prefix_join" -> p109,
+    "p111_mmr_rerank" -> p111,
     "p74_containment_pairs" -> p74,
     "p77_containment_scrub" -> p77,
     "p4_minhash_lsh" -> p4,
