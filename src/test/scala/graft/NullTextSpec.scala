@@ -144,4 +144,25 @@ class NullTextSpec extends AnyFunSuite {
     assert(CorpusOps.sourceGramOverlap(mixed, "source", "text", 5)
       .collect().isEmpty)
   }
+
+  test("session-8 ops are total over null text") {
+    // prefix join: null/empty/whitespace docs yield no shingles → no
+    // pairs, no crash (and no null key ever enters the posting join)
+    assert(DedupOps.jaccardPrefixJoin(mixed, "doc_id", "text", 3, 500000L)
+      .collect().isEmpty)
+    // PMI: null-text docs contribute no tokens; the only real doc has
+    // every bigram with count 1 < floor → empty, not an error
+    assert(CorpusOps.pmiCollocations(mixed, "text", minCount = 5L, k = 10)
+      .collect().isEmpty)
+    // ...and with the floor at 1 the real doc's bigrams all surface,
+    // none with null words or null pmi
+    val pmi = CorpusOps.pmiCollocations(mixed, "text", minCount = 1L, k = 100)
+      .collect()
+    assert(pmi.nonEmpty)
+    pmi.foreach { r =>
+      assert(r.getAs[String]("word_a") != null &&
+        r.getAs[String]("word_b") != null &&
+        !r.isNullAt(r.fieldIndex("pmi")))
+    }
+  }
 }

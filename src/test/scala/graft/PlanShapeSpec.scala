@@ -165,4 +165,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Expand".r.findAllIn(plan).size === 1, plan)
     assert(!plan.contains("Union"), plan)
   }
+
+  test("q35: Q9-shaped profit pays one fact exchange; all dims broadcast") {
+    val plan = planOf("q35_nation_profit")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 3, plan)
+    // the fact shuffles once, on the (nation, year) agg key; the final
+    // ORDER BY's range exchange is the only other repartitioning
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("p109: prefix join never cartesians; shingles shuffle on keys only") {
+    val plan = planOf("p109_jaccard_prefix_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
