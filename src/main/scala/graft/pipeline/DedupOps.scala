@@ -534,10 +534,15 @@ object DedupOps {
    * Shape at 100 TB: no global rank window — the canonical order is the
    * (df, gram) TUPLE itself, so ordering needs only a gram-key df join
    * (co-partitioned with the shingle relation) and a per-doc window; no
-   * vocabulary-wide single-partition pass. Verification joins only
-   * candidate pairs back to the shingle relation (work = Σ|∩| per
-   * surviving candidate). The threshold is a ppm rational, so ceil and
-   * the final Jaccard are exact integer arithmetic in both engines.
+   * vocabulary-wide single-partition pass. Two PPJoin prunes shrink the
+   * candidate set DURING generation (sf0.1: 409k → 125k): the size
+   * filter (J ≥ t forces set sizes within 1/t) and the positional filter
+   * (a prefix match at positions (pa, pb) bounds the overlap by
+   * 1 + min(sa−pa, sb−pb), which must reach α = ceil(t·(sa+sb)/(1+t))).
+   * Verification joins the surviving pairs back through the skinny
+   * shingle relation — work = Σ|set| per survivor, no wide rows. The
+   * threshold is a ppm rational, so ceil and the final Jaccard are exact
+   * integer arithmetic in both engines.
    */
   def jaccardPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tPpm: Long): DataFrame = {
@@ -549,23 +554,41 @@ object DedupOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("gdf"), col("shingle"))
     val prefix = sh.join(dfTab, Seq("shingle"))
-      .withColumn("pos", row_number().over(w))
       .join(sizes, Seq("doc"))
+      .withColumn("pos", row_number().over(w))
       // prefix length = s − ceil(t·s) + 1, ceil in exact ppm integer div
       .filter(expr(
         s"pos <= set_size - ((set_size * $tPpm + 999999) div 1000000) + 1"))
-      .select(col("doc"), col("shingle"))
+      .select(col("doc"), col("shingle"), col("set_size"), col("pos"))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
+          // size filter: J ≥ t forces t ≤ min(sa,sb)/max(sa,sb), so a
+          // pair whose sizes differ by more than 1/t can never qualify —
+          // pruned during generation, not after (409k → 310k at sf0.1)
+          col("a.set_size") * tPpm <= col("b.set_size") * 1000000L &&
+          col("b.set_size") * tPpm <= col("a.set_size") * 1000000L)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.set_size").as("sa"), col("b.set_size").as("sb"),
+        // PPJoin positional filter: a match at prefix positions (pa, pb)
+        // bounds the total overlap by 1 + min(sa−pa, sb−pb) — valid for
+        // the pair's FIRST shared token, and max over shared tokens only
+        // weakens (never breaks) the bound
+        (lit(1L) + least(col("a.set_size") - col("a.pos"),
+          col("b.set_size") - col("b.pos"))).as("ub"))
+      // required overlap α = ceil(t·(sa+sb)/(1+t)): a row whose bound
+      // can't reach α never decides the pair's max, so the filter runs
+      // ROW-level before the dedup agg (310k → 125k pairs at sf0.1, and
+      // the agg sees only surviving rows)
+      .filter(expr(s"ub >= (($tPpm * (sa + sb) + $tPpm + 999999)" +
+        s" div ($tPpm + 1000000))"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("sa")).as("size_a"), first(col("sb")).as("size_b"))
     cand
       .join(sh.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc").as("doc_a"), col("set_size").as("size_a")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("set_size").as("size_b")), "doc_b")
+      .agg(count(lit(1)).as("n_common"),
+        first(col("size_a")).as("size_a"), first(col("size_b")).as("size_b"))
       // integer div, not double-divide-and-cast: the float quotient can
       // round up across an integer boundary and truncate one high
       .withColumn("jac_ppm",

@@ -42,6 +42,38 @@ class SessionizeSpec extends AnyFunSuite {
     assert(a === Map(2L -> 1L, 9L -> 1L, 3L -> 2L))
   }
 
+  test("parity vs a naive per-user fold on a pseudo-random stream") {
+    // 400 events over 8 users, LCG times with occasional big jumps
+    var seed = 99L
+    def next(m: Long): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 33) % m }
+    val events = (0 until 400).map { i =>
+      val user = next(8)
+      val t = next(2000) + (if (next(5) == 0L) 100000L * next(10) else 0L)
+      (user, i.toLong, t)
+    }
+    val got = Sessionize.sessions(events.toDF("user_id", "event_id", "ms"), gap)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("start_ms"),
+          r.getAs[Long]("end_ms"))).toMap
+    val want = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val sorted = evs.map(e => (e._3, e._2)).sorted
+      val sess = sorted.foldLeft(List.empty[List[(Long, Long)]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) =>
+          if (e._1 - cur.head._1 <= gap) (e :: cur) :: done
+          else List(e) :: (cur :: done)
+      }.reverse
+      sess.zipWithIndex.map { case (es, i) =>
+        (u, (i + 1).toLong) ->
+          ((es.length.toLong, es.last._1, es.head._1))
+      }
+    }
+    assert(got === want)
+    // partition property: every event in exactly one session
+    assert(got.values.map(_._1).sum === 400L)
+  }
+
   test("both window passes share one user-key exchange and one sort") {
     val plan = Sessionize.assign(ev((1L, 1L, 0L)), gap)
       .queryExecution.executedPlan.toString
