@@ -1847,6 +1847,54 @@ object CorpusOps {
    * no window. (At true web scale the integer products would move to
    * DECIMAL(38) — same plan shape.)
    */
+  /**
+   * Association rules over doc-level word co-occurrence — the
+   * market-basket shape (Agrawal et al. 1993) with words as items and
+   * documents as baskets: frequent items (doc support · supDivisor ≥ N),
+   * frequent pairs (support · pairDivisor ≥ N), confidence in both
+   * directions and lift, all in exact integer PPM, top-k by (lift,
+   * pair). PMI (p110) scores ADJACENT tokens; this scores co-presence
+   * anywhere in the document — the topical-association signal.
+   *
+   * Shape at 100 TB: the apriori prune is the scale story — the per-doc
+   * self-join runs over FREQUENT items only (support ≥ N/supDivisor
+   * caps the item count at supDivisor/1 per basket on average), so pair
+   * fan-out is bounded by the frequent-item count, never the
+   * vocabulary. One distinct (doc, word) relation, one vocab-scale
+   * support agg, one doc-key pair join, one pair-scale agg; N rides a
+   * 1-row broadcast.
+   */
+  def associationRules(df: DataFrame, idCol: String, textCol: String,
+      supDivisor: Long, pairDivisor: Long, k: Int): DataFrame = {
+    val dw = graft.CacheScope.track(df
+      .select(col(idCol).as("doc"),
+        explode(filter(TextOps.words(col(textCol)), w => length(w) > 0)).as("w"))
+      .distinct())
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n"))
+    val items = dw.groupBy(col("w")).agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("sup") * supDivisor >= col("n"))
+      .select(col("w"), col("sup"), col("n"))
+    val fdw = dw.join(broadcast(items.select(col("w"))), Seq("w"))
+    val pairs = fdw.as("a").join(fdw.as("b"),
+        col("a.doc") === col("b.doc") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("word_a"), col("b.w").as("word_b"))
+      .agg(count(lit(1)).as("sup_ab"))
+    pairs
+      .join(broadcast(items.select(col("w").as("word_a"),
+        col("sup").as("sup_a"), col("n"))), Seq("word_a"))
+      .join(broadcast(items.select(col("w").as("word_b"),
+        col("sup").as("sup_b"))), Seq("word_b"))
+      .filter(col("sup_ab") * pairDivisor >= col("n"))
+      .select(col("word_a"), col("word_b"), col("sup_ab"),
+        col("sup_a"), col("sup_b"),
+        expr("(sup_ab * 1000000) div sup_a").as("conf_ab_ppm"),
+        expr("(sup_ab * 1000000) div sup_b").as("conf_ba_ppm"),
+        expr("(sup_ab * n * 1000000) div (sup_a * sup_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("word_a"), col("word_b"))
+      .limit(k)
+  }
+
   def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
       k: Int): DataFrame = {
     val ws = graft.CacheScope.track(df

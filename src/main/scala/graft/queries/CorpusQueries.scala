@@ -2016,6 +2016,41 @@ object CorpusQueries extends QueryGroup {
       |       median_chars
       |FROM b, m""".stripMargin))
 
+  private val p112 = QueryDef(
+    // Association rules over doc-level word co-occurrence (Agrawal 1993
+    // market-basket shape): items = words with doc-support ≥ N/5 (the
+    // apriori prune — only frequent items can form frequent pairs, so
+    // the per-doc pair fan-out is bounded by the frequent-item count,
+    // never the vocabulary), pairs kept at support ≥ N/10; confidence
+    // both directions and lift in exact integer PPM; top-30 by
+    // (lift, pair). Oracle replays the full derivation.
+    (s, d) => CorpusOps.associationRules(docs(s, d), "doc_id", "text",
+      supDivisor = 5L, pairDivisor = 10L, k = 30)
+      .orderBy(col("lift_ppm").desc, col("word_a"), col("word_b")),
+    Some(s"""WITH dw AS (
+      |  SELECT DISTINCT doc_id, unnest(list_filter($WORDS,
+      |    x -> length(x) > 0)) AS w
+      |  FROM documents),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      |items AS (
+      |  SELECT w, count(*) AS sup FROM dw GROUP BY w
+      |  HAVING count(*) * 5 >= (SELECT n FROM nd)),
+      |pairs AS (
+      |  SELECT a.w AS word_a, b.w AS word_b, count(*) AS sup_ab
+      |  FROM dw a JOIN items ia ON a.w = ia.w
+      |  JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+      |  JOIN items ib ON b.w = ib.w
+      |  GROUP BY 1, 2
+      |  HAVING count(*) * 10 >= (SELECT n FROM nd))
+      |SELECT word_a, word_b, CAST(sup_ab AS BIGINT) AS sup_ab,
+      |       CAST(ia.sup AS BIGINT) AS sup_a, CAST(ib.sup AS BIGINT) AS sup_b,
+      |       CAST(sup_ab * 1000000 // ia.sup AS BIGINT) AS conf_ab_ppm,
+      |       CAST(sup_ab * 1000000 // ib.sup AS BIGINT) AS conf_ba_ppm,
+      |       CAST(sup_ab * (SELECT n FROM nd) * 1000000 //
+      |            (ia.sup * ib.sup) AS BIGINT) AS lift_ppm
+      |FROM pairs JOIN items ia ON word_a = ia.w JOIN items ib ON word_b = ib.w
+      |ORDER BY lift_ppm DESC, word_a, word_b LIMIT 30""".stripMargin))
+
   private val p110 = QueryDef(
     // PMI collocations (Church & Hanks 1990): top-20 adjacent word
     // pairs by pointwise mutual information with a count floor of 5 —
@@ -2093,6 +2128,7 @@ object CorpusQueries extends QueryGroup {
   override val defs: Map[String, QueryDef] = Map(
     "p108_vocab_coverage" -> p108,
     "p110_pmi_collocations" -> p110,
+    "p112_association_rules" -> p112,
     "p107_data_card" -> p107,
     "p106_ks_test" -> p106,
     "p105_rank_sum" -> p105,

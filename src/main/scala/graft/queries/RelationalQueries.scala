@@ -1636,9 +1636,90 @@ object RelationalQueries extends QueryGroup {
       |GROUP BY n_name, o_year
       |ORDER BY n_name, o_year""".stripMargin))
 
+  /** Q36 — first-order Markov transition census over the event stream:
+   * per user, events in (ms, event_id) order; every adjacent
+   * (from, to) pair counted corpus-wide with exact integer PPM row
+   * probabilities. The per-user lag rides ONE user-key exchange; the
+   * census is a 25-row hash agg. The stochastic-process audit behind
+   * funnel design (which orderings actually happen?). */
+  private val q36 = QueryDef(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val tr = EventLog.raw(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000").as("ms"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = tr.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      tr.join(fromTot, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          expr("(n * 1000000) div n_from").as("row_ppm"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |t AS (SELECT user_id, event_type AS to_type,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ms, event_id) AS from_type
+      |      FROM e),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+      |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |      FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n, n_from,
+      |       CAST(n * 1000000 // n_from AS BIGINT) AS row_ppm
+      |FROM c JOIN f USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin))
+
+  /** Q37 — weekly-volume trend per event type by exact least squares:
+   * slope numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² as
+   * EXACT integers (x = epoch week), slope = one IEEE division of the
+   * two (bit-identical across engines, the q33 convention — no integer
+   * div whose negative-rounding semantics differ). One (type, week)
+   * agg, then a 5-row agg. */
+  private val q37 = QueryDef(
+    (s, d) => {
+      val weekly = EventLog.raw(s, d)
+        .select(col("event_type"),
+          expr("((ts div 1000000) div 86400000) div 7").as("wk"))
+        .groupBy(col("event_type"), col("wk"))
+        .agg(count(lit(1)).as("c"))
+      weekly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_weeks"), sum(col("c")).as("n_events"),
+          sum(col("wk")).as("sx"), sum(col("c") * col("wk")).as("sxy"),
+          sum(col("wk") * col("wk")).as("sxx"))
+        .select(col("event_type"), col("n_weeks"), col("n_events"),
+          (col("n_weeks") * col("sxy") - col("sx") * (col("n_events"))).as("num"),
+          (col("n_weeks") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .withColumn("slope", round(col("num").cast("double") /
+          col("den").cast("double"), 6))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH e AS (
+      |  SELECT event_type, (epoch_ms(ts) // 86400000) // 7 AS wk FROM events),
+      |w AS (SELECT event_type, wk, count(*) AS c FROM e GROUP BY 1, 2),
+      |a AS (SELECT event_type, count(*) AS n_weeks,
+      |             CAST(sum(c) AS BIGINT) AS n_events,
+      |             CAST(sum(wk) AS BIGINT) AS sx,
+      |             CAST(sum(c * wk) AS BIGINT) AS sxy,
+      |             CAST(sum(wk * wk) AS BIGINT) AS sxx
+      |      FROM w GROUP BY 1)
+      |SELECT event_type, n_weeks, n_events,
+      |       CAST(n_weeks * sxy - sx * n_events AS BIGINT) AS num,
+      |       CAST(n_weeks * sxx - sx * sx AS BIGINT) AS den,
+      |       round(CAST(n_weeks * sxy - sx * n_events AS DOUBLE) /
+      |             CAST(n_weeks * sxx - sx * sx AS DOUBLE), 6) AS slope
+      |FROM a ORDER BY event_type""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "q34_sessions" -> q34,
     "q35_nation_profit" -> q35,
+    "q36_markov_transitions" -> q36,
+    "q37_trend_slopes" -> q37,
     "q33_ranking_suite" -> q33,
     "j7_interval_overlap" -> j7,
     "q32_rfm_segments" -> q32,

@@ -1,0 +1,75 @@
+package graft
+
+import graft.pipeline.CorpusOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand fixtures for the session-8 analytics additions: Markov
+ * transition census (q36), least-squares trend slopes (q37), and
+ * apriori association rules (p112). */
+class EventStatsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("association rules: apriori prune excludes infrequent items") {
+    // 10 docs; "a" and "b" co-occur in 4 (frequent pair), "rare" occurs
+    // in 1 doc only — even though (rare, a) co-occur there, "rare"
+    // fails the N/5 = 2 item floor, so no pair with it may surface
+    val docs = (0L until 10L).map { i =>
+      val words = Seq("filler" + i) ++
+        (if (i < 4) Seq("a", "b") else if (i < 7) Seq("a") else Nil) ++
+        (if (i == 0) Seq("rare") else Nil)
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val rules = CorpusOps.associationRules(docs, "doc_id", "text",
+      supDivisor = 5L, pairDivisor = 10L, k = 50)
+      .collect().map(r => (r.getAs[String]("word_a"), r.getAs[String]("word_b")) ->
+        (r.getAs[Long]("sup_ab"), r.getAs[Long]("sup_a"), r.getAs[Long]("sup_b"),
+          r.getAs[Long]("conf_ab_ppm"), r.getAs[Long]("lift_ppm"))).toMap
+    assert(rules.keySet === Set(("a", "b")))
+    // sup_a=7, sup_b=4, sup_ab=4: conf a→b = 4/7, lift = 4·10/(7·4)
+    assert(rules(("a", "b")) === ((4L, 7L, 4L, 571428L, 1428571L)))
+  }
+
+  test("markov census: per-user order, ties on event_id, exact ppm") {
+    val dir = Scratch.freshDir("markov-events")
+    Seq(
+      // user 1: A -> B -> B (same ms for the last two: event_id orders)
+      (1L, new java.sql.Timestamp(1000L), 1L, "A", 1.0, "{}"),
+      (2L, new java.sql.Timestamp(2000L), 1L, "B", 1.0, "{}"),
+      (3L, new java.sql.Timestamp(2000L), 1L, "B", 1.0, "{}"),
+      // user 2: A -> B
+      (4L, new java.sql.Timestamp(1000L), 2L, "A", 1.0, "{}"),
+      (5L, new java.sql.Timestamp(3000L), 2L, "B", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q36_markov_transitions")(spark, dir)
+      .collect().map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("row_ppm"))).toMap
+    // row-stochastic: A's only observed successor is B (2 of 2), B's is
+    // B (1 of 1) — the same-ms pair (events 2, 3) orders on event_id,
+    // so B→B exists and B→A does not
+    assert(got === Map(
+      ("A", "B") -> ((2L, 1000000L)),
+      ("B", "B") -> ((1L, 1000000L))))
+  }
+
+  test("trend slope: exact integers feed one IEEE division") {
+    val dir = Scratch.freshDir("trend-events")
+    // type X: counts 1,2,3 over weeks w, w+1, w+2 → slope exactly 1.0
+    val week0 = 2000L // weeks since epoch
+    val rows = for {
+      (wOff, c) <- Seq((0L, 1), (1L, 2), (2L, 3))
+      j <- 0 until c
+    } yield ((wOff * 10 + j + 1),
+      new java.sql.Timestamp((week0 + wOff) * 7L * 86400000L),
+      1L, "X", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q37_trend_slopes")(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_weeks") === 3L)
+    assert(r.head.getAs[Long]("n_events") === 6L)
+    assert(r.head.getAs[Double]("slope") === 1.0)
+  }
+}
