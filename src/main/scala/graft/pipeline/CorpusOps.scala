@@ -1826,28 +1826,6 @@ object CorpusOps {
   }
 
   /**
-   * PMI collocation extraction (Church & Hanks 1990): pointwise mutual
-   * information of adjacent word pairs,
-   * PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) from the bigram
-   * token counts (total N_b) and p(x) from the unigram token counts
-   * (total N_w), a count floor against low-frequency noise, and the
-   * global top-k by (PMI, pair) — the classic multi-word-expression
-   * miner for tokenizer vocabulary planning.
-   *
-   * Determinism: the quotient is formed as EXACT integer products
-   * (c_xy·N_w·N_w and N_b·c_x·c_y, both within long range and ≤ 2⁵³ so
-   * the double cast is lossless at fixture scale) before ONE double
-   * division; PMI is rounded 4 dp (the charEntropy/zipfFit ln
-   * convention). Ties at the top-k boundary break on the words.
-   *
-   * Shape at 100 TB: two token-level hash aggs (unigrams, bigrams —
-   * both vocabulary-scale with map-side partials), 1-row totals
-   * broadcast, two vocab-key joins of the bigram relation to the
-   * unigram counts, and a k-bounded TakeOrdered. No corpus-wide sort,
-   * no window. (At true web scale the integer products would move to
-   * DECIMAL(38) — same plan shape.)
-   */
-  /**
    * Association rules over doc-level word co-occurrence — the
    * market-basket shape (Agrawal et al. 1993) with words as items and
    * documents as baskets: frequent items (doc support · supDivisor ≥ N),
@@ -1895,6 +1873,28 @@ object CorpusOps {
       .limit(k)
   }
 
+  /**
+   * PMI collocation extraction (Church & Hanks 1990): pointwise mutual
+   * information of adjacent word pairs,
+   * PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) from the bigram
+   * token counts (total N_b) and p(x) from the unigram token counts
+   * (total N_w), a count floor against low-frequency noise, and the
+   * global top-k by (PMI, pair) — the classic multi-word-expression
+   * miner for tokenizer vocabulary planning.
+   *
+   * Determinism: the quotient is formed as EXACT DECIMAL(38,0) integer
+   * products (c_xy·N_w·N_w and N_b·c_x·c_y — no silent long wrap at any
+   * corpus size; DuckDB's HUGEINT products match) before ONE double
+   * division of the two rounded-to-nearest doubles; PMI is rounded 4 dp
+   * (the charEntropy/zipfFit ln convention). Ties at the top-k boundary
+   * break on the words.
+   *
+   * Shape at 100 TB: two token-level hash aggs (unigrams, bigrams —
+   * both vocabulary-scale with map-side partials), 1-row totals
+   * broadcast, two vocab-key joins of the bigram relation to the
+   * unigram counts, and a k-bounded TakeOrdered. No corpus-wide sort,
+   * no window.
+   */
   def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
       k: Int): DataFrame = {
     val ws = graft.CacheScope.track(df
@@ -1916,8 +1916,14 @@ object CorpusOps {
       .crossJoin(broadcast(totals))
       .select(col("a").as("word_a"), col("b").as("word_b"),
         col("cab").as("n_ab"), col("ca").as("n_a"), col("cb").as("n_b"),
-        round(log((col("cab") * col("nw") * col("nw")).cast("double") /
-          (col("nb") * col("ca") * col("cb")).cast("double")), 4).as("pmi"))
+        // DECIMAL(38,0) products: a web-scale N_w would wrap a long
+        // product silently while the DuckDB oracle's HUGEINT stays
+        // exact; decimal keeps both engines exact, and each side's
+        // round-to-nearest double conversion is the identical value
+        round(log((col("cab").cast("decimal(38,0)") * col("nw") * col("nw"))
+            .cast("double") /
+          (col("nb").cast("decimal(38,0)") * col("ca") * col("cb"))
+            .cast("double")), 4).as("pmi"))
       .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
       .limit(k)
   }

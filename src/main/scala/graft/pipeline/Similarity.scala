@@ -783,6 +783,10 @@ object Similarity {
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
         round(cosine(col("q.embedding"), col("c.embedding")) * 1000)
           .cast("long").as("rel_e3"))
+      // a null cosine (length-mismatched or null-element embedding,
+      // the VectorOps contract) cannot be ranked: drop the candidate
+      // here instead of letting a null Long blow up the typed decode
+      .filter(col("rel_e3").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("rel_e3").desc, col("cid"))
     val pool = graft.CacheScope.track(scored
@@ -792,8 +796,10 @@ object Similarity {
     val poolE = corpus.select(col("vec_id"), col("embedding"))
       .join(broadcast(pool), col("vec_id") === col("cid"))
       .select(col("qid"), col("cid"), col("rel_e3"), col("embedding"))
+    // one orientation only (cosine is symmetric): halves the N² kernel
+    // work and pair volume; the greedy's sim map registers both
     val pairs = poolE.as("a").join(poolE.as("b"),
-        col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
+        col("a.qid") === col("b.qid") && col("a.cid") < col("b.cid"))
       .select(col("a.qid").as("qid"), col("a.cid").as("ca"),
         col("a.rel_e3").as("rel_a"), col("b.cid").as("cb"),
         round(cosine(col("a.embedding"), col("b.embedding")) * 1000)
@@ -808,7 +814,8 @@ object Similarity {
       .flatMapGroups { (qid, it) =>
         val rs = it.toSeq
         val rel = rs.map(r => r._2 -> r._3).toMap
-        val sim = rs.collect { case (_, a, _, b, Some(s)) => (a, b) -> s }.toMap
+        val sim = rs.collect { case (_, a, _, b, Some(s)) =>
+          Seq((a, b) -> s, (b, a) -> s) }.flatten.toMap
         val cands = scala.collection.mutable.Set(rel.keys.toSeq: _*)
         var selected = List.empty[Long]
         val out = Seq.newBuilder[(Long, Int, Long, Long)]

@@ -1675,44 +1675,66 @@ object RelationalQueries extends QueryGroup {
       |FROM c JOIN f USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin))
 
-  /** Q37 — weekly-volume trend per event type by exact least squares:
-   * slope numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² as
-   * EXACT integers (x = epoch week), slope = one IEEE division of the
-   * two (bit-identical across engines, the q33 convention — no integer
-   * div whose negative-rounding semantics differ). One (type, week)
-   * agg, then a 5-row agg. */
+  /** Q37 — weekly-volume trend per event type by exact least squares
+   * over the DENSIFIED week grid: every type is regressed over the full
+   * observed [min, max] week span with zero-count weeks present (a gap
+   * in activity IS signal — dropping empty weeks would report a
+   * vanished type as "flat"). Slope numerator n·Σxy − Σx·Σy and
+   * denominator n·Σx² − (Σx)² stay EXACT integers (x = epoch week);
+   * slope = one IEEE division of the two (bit-identical across
+   * engines, the q33 convention — no integer div whose
+   * negative-rounding semantics differ), NULL when the span is a
+   * single week (den = 0). One (type, week) agg joined to a
+   * types×weeks grid, then a 5-row agg. */
   private val q37 = QueryDef(
     (s, d) => {
-      val weekly = EventLog.raw(s, d)
+      val ev = EventLog.raw(s, d)
         .select(col("event_type"),
           expr("((ts div 1000000) div 86400000) div 7").as("wk"))
-        .groupBy(col("event_type"), col("wk"))
+      val weekly = ev.groupBy(col("event_type"), col("wk"))
         .agg(count(lit(1)).as("c"))
-      weekly.groupBy(col("event_type"))
+      val bounds = ev.agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("w0"), col("w1"))).as("wk"))
+      val dense = grid.join(weekly, Seq("event_type", "wk"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      dense.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_weeks"), sum(col("c")).as("n_events"),
           sum(col("wk")).as("sx"), sum(col("c") * col("wk")).as("sxy"),
           sum(col("wk") * col("wk")).as("sxx"))
         .select(col("event_type"), col("n_weeks"), col("n_events"),
           (col("n_weeks") * col("sxy") - col("sx") * (col("n_events"))).as("num"),
           (col("n_weeks") * col("sxx") - col("sx") * col("sx")).as("den"))
-        .withColumn("slope", round(col("num").cast("double") /
-          col("den").cast("double"), 6))
+        .withColumn("slope", when(col("den") === 0L, lit(null))
+          .otherwise(round(col("num").cast("double") /
+            col("den").cast("double"), 6)))
         .orderBy(col("event_type"))
     },
     Some("""WITH e AS (
       |  SELECT event_type, (epoch_ms(ts) // 86400000) // 7 AS wk FROM events),
+      |b AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM e),
+      |t AS (SELECT DISTINCT event_type FROM e),
+      |g AS (SELECT event_type, unnest(generate_series(w0, w1)) AS wk
+      |      FROM t, b),
       |w AS (SELECT event_type, wk, count(*) AS c FROM e GROUP BY 1, 2),
+      |dz AS (SELECT g.event_type, g.wk, coalesce(w.c, 0) AS c
+      |       FROM g LEFT JOIN w ON g.event_type = w.event_type
+      |         AND g.wk = w.wk),
       |a AS (SELECT event_type, count(*) AS n_weeks,
       |             CAST(sum(c) AS BIGINT) AS n_events,
       |             CAST(sum(wk) AS BIGINT) AS sx,
       |             CAST(sum(c * wk) AS BIGINT) AS sxy,
       |             CAST(sum(wk * wk) AS BIGINT) AS sxx
-      |      FROM w GROUP BY 1)
+      |      FROM dz GROUP BY 1)
       |SELECT event_type, n_weeks, n_events,
       |       CAST(n_weeks * sxy - sx * n_events AS BIGINT) AS num,
       |       CAST(n_weeks * sxx - sx * sx AS BIGINT) AS den,
-      |       round(CAST(n_weeks * sxy - sx * n_events AS DOUBLE) /
-      |             CAST(n_weeks * sxx - sx * sx AS DOUBLE), 6) AS slope
+      |       CASE WHEN n_weeks * sxx - sx * sx = 0 THEN NULL
+      |            ELSE round(CAST(n_weeks * sxy - sx * n_events AS DOUBLE) /
+      |                       CAST(n_weeks * sxx - sx * sx AS DOUBLE), 6)
+      |       END AS slope
       |FROM a ORDER BY event_type""".stripMargin))
 
   override val defs: Map[String, QueryDef] = Map(

@@ -36,6 +36,17 @@ class MmrSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq === Seq(1, 2, 3))
   }
 
+  test("length-mismatched embedding cannot be ranked: dropped, no crash") {
+    val withBad = vecs.unionByName(
+      Seq((5L, Array(1f, 0f))).toDF("vec_id", "embedding")) // 2-dim vs 4-dim
+    val got = Similarity.mmrSelect(
+        withBad.filter(col("vec_id") === 100L),
+        withBad.filter(col("vec_id") < 100L), poolN = 8, k = 5)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    // the 4 valid candidates all surface; the null-cosine one never does
+    assert(got === Set(1L, 2L, 3L, 4L))
+  }
+
   test("greedy replay: engine output equals a driver-side MMR") {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum

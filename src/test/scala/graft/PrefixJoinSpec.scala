@@ -38,15 +38,13 @@ class PrefixJoinSpec extends AnyFunSuite {
     // planted near-copies so qualifying pairs actually exist
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "eta", "theta", "iota", "kappa", "lambda", "mu")
-    var seed = 12345L
-    def next(m: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L
-      ((seed >>> 33) % m).toInt }
+    val rng = new Lcg(12345L)
     val base = (0 until 40).map { i =>
-      i.toLong -> (0 until (8 + next(10))).map(_ => vocab(next(12))).mkString(" ")
+      i.toLong -> (0 until (8 + rng.next(10))).map(_ => vocab(rng.next(12))).mkString(" ")
     }
     val copies = (0 until 20).map { i =>
-      val (_, t) = base(next(40))
-      (100L + i) -> (t + " " + vocab(next(12))) // near-copy with a tail word
+      val (_, t) = base(rng.next(40))
+      (100L + i) -> (t + " " + vocab(rng.next(12))) // near-copy with a tail word
     }
     val docs = base ++ copies
     val got = DedupOps.jaccardPrefixJoin(

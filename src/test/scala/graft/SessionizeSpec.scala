@@ -44,12 +44,11 @@ class SessionizeSpec extends AnyFunSuite {
 
   test("parity vs a naive per-user fold on a pseudo-random stream") {
     // 400 events over 8 users, LCG times with occasional big jumps
-    var seed = 99L
-    def next(m: Long): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L
-      (seed >>> 33) % m }
+    val rng = new Lcg(99L)
     val events = (0 until 400).map { i =>
-      val user = next(8)
-      val t = next(2000) + (if (next(5) == 0L) 100000L * next(10) else 0L)
+      val user = rng.next(8L)
+      val t = rng.next(2000L) +
+        (if (rng.next(5L) == 0L) 100000L * rng.next(10L) else 0L)
       (user, i.toLong, t)
     }
     val got = Sessionize.sessions(events.toDF("user_id", "event_id", "ms"), gap)
