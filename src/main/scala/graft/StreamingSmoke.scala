@@ -722,8 +722,35 @@ object StreamingSmoke {
     check("sessionizer-q34", streamSess24 == batchSess24 && streamSess24.nonEmpty,
       s"stream=${streamSess24.size} sessions batch=${batchSess24.size}")
 
+    // -- 25. streaming Markov census converges to the batch lag window ----
+    // (one string of state per user; counting emitted transitions equals
+    // q36's census, the SAME relation the oracle checks)
+    val trRows = graft.model.EventLog.raw(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ms"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(r => (r._3, r._2))
+      .map(r => graft.streaming.TypedEvent(r._1, r._2, r._3, r._4))
+    val ms25Src = MemoryStream[graft.streaming.TypedEvent]
+    val q25 = graft.streaming.StreamingOps.transitionStream(ms25Src.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("markov_trans")
+      .option("checkpointLocation", ckpt()).start()
+    trRows.grouped(math.max(1, trRows.length / 7 + 1))
+      .foreach { c => ms25Src.addData(c); q25.processAllAvailable() }
+    q25.stop()
+    val streamTr = spark.table("markov_trans")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batchTr = SparkEntry.queries("q36_markov_transitions")(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n")).toMap
+    check("markov-census", streamTr == batchTr && streamTr.nonEmpty,
+      s"stream=${streamTr.size} cells batch=${batchTr.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 24 converged to batch twins OK")
+    println(s"[stream-smoke] all 25 converged to batch twins OK")
     spark.stop()
   }
 }

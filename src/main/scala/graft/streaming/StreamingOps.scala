@@ -26,6 +26,13 @@ case class FunnelEvent(user_id: Long, event_type: String, ms: Long)
 /** One per-user event for the streaming sessionizer (check 24). */
 case class SessEvent(user_id: Long, event_id: Long, ms: Long)
 
+/** One per-user typed event for the streaming Markov census (check 25). */
+case class TypedEvent(user_id: Long, event_id: Long, ms: Long,
+    event_type: String)
+
+/** One observed transition from the streaming Markov census (check 25). */
+case class Transition(user_id: Long, from_type: String, to_type: String)
+
 /** A session row as emitted by the streaming sessionizer — upsert-style:
  * the LAST emission per (user, session) equals the batch session row. */
 case class SessRow(user_id: Long, session_idx: Long, n_events: Long,
@@ -452,6 +459,31 @@ object StreamingOps {
             out += SessRow(user, idx, n, start, e.ms)
           }
           state.update((idx, start, last, n))
+          out.iterator
+      }
+  }
+
+  /**
+   * Streaming Markov transition extraction — the incremental twin of
+   * q36's census: one string of state per user (the last event type);
+   * every arriving event emits the (from, to) transition it completes.
+   * Counting emitted transitions downstream equals the batch lag-window
+   * census exactly (same ordering contract as [[funnelStream]]:
+   * per-user non-decreasing event time, ties pre-sorted on event_id).
+   */
+  def transitionStream(ev: Dataset[TypedEvent]): Dataset[Transition] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          var last = state.getOption.orNull
+          val out = ArrayBuffer.empty[Transition]
+          rows.toSeq.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+            if (last != null) out += Transition(user, last, e.event_type)
+            last = e.event_type
+          }
+          state.update(last)
           out.iterator
       }
   }
