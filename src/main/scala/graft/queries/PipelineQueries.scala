@@ -430,6 +430,40 @@ object PipelineQueries extends QueryGroup {
       |      UNION ALL SELECT qid, 3, cid, sc2 FROM s3)
       |ORDER BY query_id, rank""".stripMargin))
 
+  /** P113 — language-ID confusion matrix: the p10 lexicon-argmax
+   * classifier audited against the corpus's own `lang` labels — one
+   * (label, predicted) cell per pair with the row-normalized recall in
+   * exact integer PPM. The model-quality audit every classifier-driven
+   * curation stage needs before its predictions gate data. Zero new
+   * shuffle shapes: one codegen'd projection + one cell-scale hash agg
+   * + a label-key join for the row totals. */
+  private val p113 = QueryDef(
+    (s, d) => {
+      val pred = docs(s, d)
+        .select(col("lang").as("label_lang"),
+          graft.pipeline.TextOps.languageId(col("text")).as("pred_lang"))
+      val cells = pred.groupBy(col("label_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("label_lang"))
+        .agg(sum(col("n")).as("label_total"))
+      cells.join(totals, Seq("label_lang"))
+        .select(col("label_lang"), col("pred_lang"), col("n"),
+          col("label_total"),
+          expr("(n * 1000000) div label_total").as("recall_ppm"))
+        .orderBy(col("label_lang"), col("pred_lang"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id, lang, $WORDS AS ws FROM documents),
+      |p AS (SELECT lang AS label_lang, $langCase AS pred_lang FROM w),
+      |c AS (SELECT label_lang, pred_lang, count(*) AS n FROM p
+      |      GROUP BY 1, 2),
+      |t AS (SELECT label_lang, CAST(sum(n) AS BIGINT) AS label_total
+      |      FROM c GROUP BY 1)
+      |SELECT c.label_lang, c.pred_lang, CAST(n AS BIGINT) AS n,
+      |       label_total,
+      |       CAST(n * 1000000 // label_total AS BIGINT) AS recall_ppm
+      |FROM c JOIN t USING (label_lang)
+      |ORDER BY label_lang, pred_lang""".stripMargin))
+
   private val p6 = QueryDef(
     (s, d) => {
       val e = embs(s, d)
@@ -896,7 +930,9 @@ object PipelineQueries extends QueryGroup {
       |       round(least(n_words / 100.0, 1.0) * (1.0 - stop_ratio), 4) AS quality_score
       |FROM g ORDER BY doc_id""".stripMargin))
 
-  private val langCase: String = {
+  // lazy: queries defined ABOVE this point in the file interpolate it at
+  // object init, which would otherwise read a null val (p113 regression)
+  private lazy val langCase: String = {
     val counts = TextOps.lexicons.map { case (lang, lex) =>
       lang -> s"len(list_filter(ws, x -> list_contains(${lex.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))"
     }
@@ -2135,6 +2171,7 @@ object PipelineQueries extends QueryGroup {
     "p3_ngram_jaccard" -> p3,
     "p109_jaccard_prefix_join" -> p109,
     "p111_mmr_rerank" -> p111,
+    "p113_lang_confusion" -> p113,
     "p74_containment_pairs" -> p74,
     "p77_containment_scrub" -> p77,
     "p4_minhash_lsh" -> p4,
