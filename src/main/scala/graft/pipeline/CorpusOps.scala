@@ -1684,7 +1684,9 @@ object CorpusOps {
    * key; the label dimension (|labels| rows) broadcasts. The corpus is
    * never shuffled wide, and nothing is driver-side.
    */
-  def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
+  /** The per-(doc, label) integer NB score relation behind
+   * [[naiveBayesClassify]] and [[nbMarginCalibration]]. */
+  private def nbScored(df: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
     // ONE normalization pass over the corpus: every later relation —
     // label totals, vocabulary, model counts, per-doc token counts —
@@ -1723,7 +1725,7 @@ object CorpusOps {
     // token counts from the cached token stream (empty docs fill 0 via
     // the left join), not a second normalization pass over the text
     val nTok = toks.groupBy(col("did")).agg(count(lit(1)).as("n_tok"))
-    val scored = docsDim
+    docsDim
       .join(nTok, Seq("did"), "left")
       .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
       .crossJoin(broadcast(lab.select(col("lab"), col("prior_lp"),
@@ -1732,12 +1734,57 @@ object CorpusOps {
       .select(col("did"), col("actual"), col("lab"),
         (col("prior_lp") + col("n_tok") * col("slp0") +
           coalesce(col("d"), lit(0L))).as("score"))
+  }
+
+  def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
     val rn = row_number().over(Window.partitionBy(col("did"))
       .orderBy(col("score").desc, col("lab")))
-    scored.withColumn("rn", rn).where(col("rn") === 1)
+    nbScored(df, idCol, textCol, labelCol)
+      .withColumn("rn", rn).where(col("rn") === 1)
       .select(col("did").as(idCol), col("actual").as(labelCol),
         col("lab").as("pred_label"), col("score"),
         (col("lab") === col("actual")).as("correct"))
+  }
+
+  /**
+   * Margin-calibration audit over the NB classifier: confidence proxy =
+   * the INTEGER score margin between the best and second-best label
+   * (×10⁴ log units — no exp/softmax, whose libm rounding differs
+   * between engines), bucketed at `bucketWidth` with a cap at
+   * `maxBucket`; per bucket, document count and empirical accuracy in
+   * exact PPM. A well-behaved classifier shows accuracy rising with
+   * margin — the audit a margin-gated curation stage needs before its
+   * confidence threshold gates data. Single-label corpora have no
+   * second-best score; those docs are excluded (both engines inner-join
+   * rank 2).
+   *
+   * Shape at 100 TB: one doc-key window pass over the scored relation
+   * (rank ≤ 2 kept), one per-doc pivot agg, one ≤(maxBucket+1)-row
+   * census — nothing after scoring exceeds bucket scale.
+   */
+  def nbMarginCalibration(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, bucketWidth: Long, maxBucket: Long): DataFrame = {
+    val rn = row_number().over(Window.partitionBy(col("did"))
+      .orderBy(col("score").desc, col("lab")))
+    val top2 = nbScored(df, idCol, textCol, labelCol)
+      .withColumn("rn", rn).where(col("rn") <= 2)
+      .groupBy(col("did"))
+      .agg(max(when(col("rn") === 1,
+          struct(col("score"), col("lab"), col("actual")))).as("b"),
+        max(when(col("rn") === 2, col("score"))).as("s2"))
+      .filter(col("s2").isNotNull)
+      .select(col("did"),
+        (col("b.lab") === col("b.actual")).as("ok"),
+        (col("b.score") - col("s2")).as("margin"))
+      // exact integer div (margin ≥ 0 by the rank order), capped
+      .withColumn("margin_bucket",
+        expr(s"least(margin div $bucketWidth, $maxBucket)"))
+    top2.groupBy(col("margin_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy_ppm", expr("(n_correct * 1000000) div n_docs"))
+      .orderBy(col("margin_bucket"))
   }
 
   // ------------------------------------------- mixture diversity report

@@ -1618,18 +1618,12 @@ object CorpusQueries extends QueryGroup {
       |         AS BIGINT) AS waste_ppm
       |FROM bt GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  private val p85 = QueryDef(
-    // Multinomial Naive Bayes language classifier, trained on the
-    // corpus's own lang labels and applied back to every document
-    // (add-one smoothing; ×10⁴-integer log-likelihoods summed per
-    // (doc, label); ties to the smaller label). The engine computes
-    // absent-word mass by algebra (n_tok·lp₀ + present deltas); the
-    // oracle materializes the same scores from the raw (label, word)
-    // counts with the identical rounding — two independent routes to
-    // the same integer argmax.
-    (s, d) => CorpusOps.naiveBayesClassify(docs(s, d), "doc_id", "text",
-      "lang").orderBy(col("doc_id")),
-    Some(s"""WITH tok AS (
+  /** Shared NB oracle CTEs (through `score`): materializes the same
+   * ×10⁴-integer log-likelihood relation the engine's nbScored builds by
+   * algebra — used by p85 (argmax) and p114 (margin calibration). Lazy
+   * for the same init-order reason as langCase. */
+  private lazy val nbScoreCtes: String =
+    s"""tok AS (
       |  SELECT doc_id, lang,
       |         unnest(list_filter($WORDS, w -> length(w) > 0)) AS w
       |  FROM documents),
@@ -1662,13 +1656,55 @@ object CorpusQueries extends QueryGroup {
       |  SELECT nt.doc_id, nt.actual, l.lab,
       |         l.prior_lp + nt.n_tok * l.slp0 + coalesce(d.d, 0) AS sc
       |  FROM ntok nt CROSS JOIN lab l
-      |  LEFT JOIN delta d ON d.doc_id = nt.doc_id AND d.lab = l.lab),
+      |  LEFT JOIN delta d ON d.doc_id = nt.doc_id AND d.lab = l.lab)""".stripMargin
+
+  private val p85 = QueryDef(
+    // Multinomial Naive Bayes language classifier, trained on the
+    // corpus's own lang labels and applied back to every document
+    // (add-one smoothing; ×10⁴-integer log-likelihoods summed per
+    // (doc, label); ties to the smaller label). The engine computes
+    // absent-word mass by algebra (n_tok·lp₀ + present deltas); the
+    // oracle materializes the same scores from the raw (label, word)
+    // counts with the identical rounding — two independent routes to
+    // the same integer argmax.
+    (s, d) => CorpusOps.naiveBayesClassify(docs(s, d), "doc_id", "text",
+      "lang").orderBy(col("doc_id")),
+    Some(s"""WITH $nbScoreCtes,
       |rk AS (SELECT *, row_number() OVER (
       |         PARTITION BY doc_id ORDER BY sc DESC, lab) AS rn
       |       FROM score)
       |SELECT doc_id, actual AS lang, lab AS pred_label,
       |       CAST(sc AS BIGINT) AS score, (lab = actual) AS correct
       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
+  /** P114 — NB margin-calibration audit: confidence proxy = the integer
+   * score margin between the best and second-best label (no exp/softmax
+   * — libm exp rounding differs between engines), bucketed at 2.0-nat
+   * width (20000 e4-log units) capped at bucket 10; per bucket, doc
+   * count and exact-PPM accuracy. The audit a margin-gated curation
+   * stage needs before a confidence threshold gates data. */
+  private val p114 = QueryDef(
+    (s, d) => CorpusOps.nbMarginCalibration(docs(s, d), "doc_id", "text",
+      "lang", bucketWidth = 20000L, maxBucket = 10L),
+    Some(s"""WITH $nbScoreCtes,
+      |rk AS (SELECT *, row_number() OVER (
+      |         PARTITION BY doc_id ORDER BY sc DESC, lab) AS rn
+      |       FROM score),
+      |top2 AS (
+      |  SELECT a.doc_id, (a.lab = a.actual) AS ok, a.sc - b.sc AS margin
+      |  FROM rk a JOIN rk b ON a.doc_id = b.doc_id
+      |    AND a.rn = 1 AND b.rn = 2),
+      |bkt AS (SELECT doc_id, ok,
+      |          least(margin // 20000, 10) AS margin_bucket
+      |        FROM top2)
+      |SELECT CAST(margin_bucket AS BIGINT) AS margin_bucket,
+      |       count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_correct,
+      |       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) * 1000000 //
+      |            count(*) AS BIGINT) AS accuracy_ppm
+      |FROM bkt GROUP BY margin_bucket
+      |ORDER BY margin_bucket""".stripMargin))
 
   private val p88 = QueryDef(
     // Z-order layout plan: 4-bit value buckets per dimension (chars,
@@ -2182,6 +2218,7 @@ object CorpusQueries extends QueryGroup {
     "p81_length_batch_plan" -> p81,
     "p82_hybrid_rrf" -> p82,
     "p85_nb_classify" -> p85,
+    "p114_margin_calibration" -> p114,
     "p88_zorder_layout" -> p88
   )
 }
