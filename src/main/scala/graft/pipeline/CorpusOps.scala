@@ -1896,10 +1896,13 @@ object CorpusOps {
         explode(filter(TextOps.words(col(textCol)), w => length(w) > 0)).as("w"))
       .distinct())
     val nDocs = df.agg(countDistinct(col(idCol)).as("n"))
-    val items = dw.groupBy(col("w")).agg(count(lit(1)).as("sup"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("sup") * supDivisor >= col("n"))
-      .select(col("w"), col("sup"), col("n"))
+    // the frequent-item dimension fans out three ways (prune join +
+    // both support lookups): persist it, it's vocabulary-scale
+    val items = graft.CacheScope.track(
+      dw.groupBy(col("w")).agg(count(lit(1)).as("sup"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("sup") * supDivisor >= col("n"))
+        .select(col("w"), col("sup"), col("n")))
     val fdw = dw.join(broadcast(items.select(col("w"))), Seq("w"))
     val pairs = fdw.as("a").join(fdw.as("b"),
         col("a.doc") === col("b.doc") && col("a.w") < col("b.w"))
@@ -1947,14 +1950,17 @@ object CorpusOps {
     val ws = graft.CacheScope.track(df
       .select(filter(TextOps.words(col(textCol)), w => length(w) > 0).as("ws"))
       .filter(size(col("ws")) >= 1))
-    val uni = ws.select(explode(col("ws")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val bi = ws.filter(size(col("ws")) >= 2)
+    // both count relations fan out (two joins + the totals row): persist
+    // the vocab-scale aggregates, not just the token arrays, so neither
+    // explode+agg re-runs per consumer
+    val uni = graft.CacheScope.track(ws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")))
+    val bi = graft.CacheScope.track(ws.filter(size(col("ws")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS a, ws[i + 1] AS b))"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab")))
     val totals = uni.agg(sum(col("c")).as("nw")).crossJoin(
       bi.agg(sum(col("cab")).as("nb")))
     bi.filter(col("cab") >= minCount)

@@ -1653,9 +1653,12 @@ object RelationalQueries extends QueryGroup {
         .filter(col("from_type").isNotNull)
         .groupBy(col("from_type"), col("event_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
-      val fromTot = tr.groupBy(col("from_type"))
-        .agg(sum(col("n")).as("n_from"))
-      tr.join(fromTot, Seq("from_type"))
+      // row totals via a window over the 25-row census, NOT a join back
+      // to a second copy of the lag pipeline (a self-join re-executed
+      // the event-level window once per branch)
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("from_type"))
+      tr.withColumn("n_from", sum(col("n")).over(wf))
         .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
           expr("(n * 1000000) div n_from").as("row_ppm"))
         .orderBy(col("from_type"), col("to_type"))
