@@ -64,6 +64,9 @@ object Bench {
       // the BM25 top-10 ranking p79/p82 share
       if (only.forall(n => n("p79_bm25_topk") || n("p82_hybrid_rrf")))
         graft.queries.CorpusQueries.warmSharedBm25(spark, sfDir)
+      // the NB score relation p85/p114 share
+      if (only.forall(n => n("p85_nb_classify") || n("p114_margin_calibration")))
+        graft.queries.CorpusQueries.warmSharedNb(spark, sfDir)
       // the integer covariance relation p90/p91 share
       if (only.forall(n => n("p90_embed_covariance") || n("p91_pca_power")))
         graft.queries.PipelineQueries.warmSharedCov(spark, sfDir)

@@ -1685,8 +1685,10 @@ object CorpusOps {
    * never shuffled wide, and nothing is driver-side.
    */
   /** The per-(doc, label) integer NB score relation behind
-   * [[naiveBayesClassify]] and [[nbMarginCalibration]]. */
-  private def nbScored(df: DataFrame, idCol: String, textCol: String,
+   * [[naiveBayesClassify]] and [[nbMarginCalibration]] — public so the
+   * query layer can memoize ONE scoring pass run-scoped for both
+   * consumers (the p15/p18 shared-derivation pattern). */
+  def nbScores(df: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
     // ONE normalization pass over the corpus: every later relation —
     // label totals, vocabulary, model counts, per-doc token counts —
@@ -1737,10 +1739,17 @@ object CorpusOps {
   }
 
   def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame =
+    naiveBayesClassifyFrom(nbScores(df, idCol, textCol, labelCol),
+      idCol, labelCol)
+
+  /** [[naiveBayesClassify]] over a pre-built (possibly shared) score
+   * relation. */
+  def naiveBayesClassifyFrom(scored: DataFrame, idCol: String,
       labelCol: String): DataFrame = {
     val rn = row_number().over(Window.partitionBy(col("did"))
       .orderBy(col("score").desc, col("lab")))
-    nbScored(df, idCol, textCol, labelCol)
+    scored
       .withColumn("rn", rn).where(col("rn") === 1)
       .select(col("did").as(idCol), col("actual").as(labelCol),
         col("lab").as("pred_label"), col("score"),
@@ -1764,10 +1773,17 @@ object CorpusOps {
    * census — nothing after scoring exceeds bucket scale.
    */
   def nbMarginCalibration(df: DataFrame, idCol: String, textCol: String,
-      labelCol: String, bucketWidth: Long, maxBucket: Long): DataFrame = {
+      labelCol: String, bucketWidth: Long, maxBucket: Long): DataFrame =
+    nbMarginCalibrationFrom(nbScores(df, idCol, textCol, labelCol),
+      bucketWidth, maxBucket)
+
+  /** [[nbMarginCalibration]] over a pre-built (possibly shared) score
+   * relation. */
+  def nbMarginCalibrationFrom(scored: DataFrame, bucketWidth: Long,
+      maxBucket: Long): DataFrame = {
     val rn = row_number().over(Window.partitionBy(col("did"))
       .orderBy(col("score").desc, col("lab")))
-    val top2 = nbScored(df, idCol, textCol, labelCol)
+    val top2 = scored
       .withColumn("rn", rn).where(col("rn") <= 2)
       .groupBy(col("did"))
       .agg(max(when(col("rn") === 1,

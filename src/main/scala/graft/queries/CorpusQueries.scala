@@ -1618,6 +1618,20 @@ object CorpusQueries extends QueryGroup {
       |         AS BIGINT) AS waste_ppm
       |FROM bt GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The NB score relation p85 and p114 share, memoized RUN-scoped (the
+   * lmScored pattern): one scoring pass — the expensive stage of both —
+   * charged to the named bench warmup. */
+  private def nbScoredShared(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.memoRun(
+      s"${s.sparkContext.applicationId}:nb-scored:$d") {
+      CorpusOps.nbScores(docs(s, d), "doc_id", "text", "lang")
+    }
+
+  /** Populate the NB scoring memo (see graft.Bench). */
+  def warmSharedNb(s: SparkSession, d: String): Unit = {
+    nbScoredShared(s, d).count(): Unit
+  }
+
   /** Shared NB oracle CTEs (through `score`): materializes the same
    * ×10⁴-integer log-likelihood relation the engine's nbScored builds by
    * algebra — used by p85 (argmax) and p114 (margin calibration). Lazy
@@ -1667,8 +1681,8 @@ object CorpusQueries extends QueryGroup {
     // oracle materializes the same scores from the raw (label, word)
     // counts with the identical rounding — two independent routes to
     // the same integer argmax.
-    (s, d) => CorpusOps.naiveBayesClassify(docs(s, d), "doc_id", "text",
-      "lang").orderBy(col("doc_id")),
+    (s, d) => CorpusOps.naiveBayesClassifyFrom(nbScoredShared(s, d),
+      "doc_id", "lang").orderBy(col("doc_id")),
     Some(s"""WITH $nbScoreCtes,
       |rk AS (SELECT *, row_number() OVER (
       |         PARTITION BY doc_id ORDER BY sc DESC, lab) AS rn
@@ -1684,8 +1698,8 @@ object CorpusQueries extends QueryGroup {
    * count and exact-PPM accuracy. The audit a margin-gated curation
    * stage needs before a confidence threshold gates data. */
   private val p114 = QueryDef(
-    (s, d) => CorpusOps.nbMarginCalibration(docs(s, d), "doc_id", "text",
-      "lang", bucketWidth = 20000L, maxBucket = 10L),
+    (s, d) => CorpusOps.nbMarginCalibrationFrom(nbScoredShared(s, d),
+      bucketWidth = 20000L, maxBucket = 10L),
     Some(s"""WITH $nbScoreCtes,
       |rk AS (SELECT *, row_number() OVER (
       |         PARTITION BY doc_id ORDER BY sc DESC, lab) AS rn
