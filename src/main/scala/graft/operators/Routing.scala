@@ -192,4 +192,39 @@ object Routing {
     Sequencing.keyedSequence(env, Seq("partition_id"), "ledger_id", "msg_offset", "_seq")
       .withColumn("consumer", concat(lit("consumer-"), col("_seq") % consumers))
       .drop("_seq")
+
+  /** R11 — Shared-subscription PRIORITY dispatch: consumers declare a
+   * priorityLevel (LOWER value = higher priority, the reference
+   * convention) and a permit budget; messages go to the
+   * highest-priority consumers first, round-robin within a level, a
+   * consumer dropping out of rotation when its permits exhaust, and
+   * messages beyond the total budget staying in the backlog (reference:
+   * `pulsar-broker/.../persistent/PersistentDispatcherMultipleConsumers
+   * .java` sorts the consumer list by priority before picking; permits
+   * gate each pick).
+   *
+   * Deterministic relational model: expand each consumer into its
+   * permit slots and rank slots by (priority, slot index, consumer) —
+   * exactly priority-first round-robin respecting unequal budgets; the
+   * log's dense `msg_offset` IS the dispatch order, so assignment is a
+   * broadcast join of the slot dimension against `msg_offset + 1`, no
+   * global window. Slot dimension = Σ permits rows — control-plane
+   * sized, never log-sized.
+   */
+  def priorityDispatch(env: DataFrame,
+      consumers: Seq[(String, Int, Int)]): DataFrame = {
+    val spark = env.sparkSession
+    import spark.implicits._
+    val slots = consumers
+      .flatMap { case (cid, prio, permits) =>
+        (0 until permits).map(i => (cid, prio, i))
+      }
+      .sortBy { case (cid, prio, i) => (prio, i, cid) }
+      .zipWithIndex
+      .map { case ((cid, prio, _), idx) => (idx.toLong + 1L, cid, prio) }
+      .toDF("slot_rank", "consumer", "priority")
+    env.join(broadcast(slots), col("msg_offset") + 1 === col("slot_rank"), "left")
+      .withColumn("consumer", coalesce(col("consumer"), lit("backlog")))
+      .withColumn("priority", coalesce(col("priority"), lit(-1)))
+  }
 }

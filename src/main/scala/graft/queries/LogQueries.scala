@@ -755,6 +755,37 @@ object LogQueries extends QueryGroup {
       |       count(*) AS n, min(msg_offset) AS first_offset
       |FROM env, m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** R11 — priority-level Shared dispatch: two priority-0 consumers with
+   * unequal budgets (100/150 permits), one priority-1 (200), one
+   * priority-2 (250); total budget 700, so every SF leaves a visible
+   * backlog. The roll-up pins the priority-first fill order and the
+   * exact offset spans each consumer received. */
+  private val r11 = QueryDef(
+    (s, d) => Routing.priorityDispatch(env(s, d), Seq(
+        ("consumer-a", 0, 100), ("consumer-b", 0, 150),
+        ("consumer-c", 1, 200), ("consumer-d", 2, 250)))
+      .groupBy(col("consumer"), col("priority"))
+      .agg(count(lit(1)).as("n"), min(col("msg_offset")).as("first_offset"),
+        max(col("msg_offset")).as("last_offset"))
+      .orderBy(col("priority"), col("consumer")),
+    Some(s"""$E, cons(cid, prio, permits) AS (VALUES
+      |  ('consumer-a', 0, 100), ('consumer-b', 0, 150),
+      |  ('consumer-c', 1, 200), ('consumer-d', 2, 250)),
+      |slots AS (SELECT cid, prio,
+      |            unnest(generate_series(0, permits - 1)) AS si
+      |          FROM cons),
+      |rk AS (SELECT cid, prio, row_number() OVER
+      |         (ORDER BY prio, si, cid) AS slot_rank
+      |       FROM slots),
+      |a AS (SELECT env.msg_offset,
+      |        coalesce(rk.cid, 'backlog') AS consumer,
+      |        coalesce(rk.prio, -1) AS priority
+      |      FROM env LEFT JOIN rk ON env.msg_offset + 1 = rk.slot_rank)
+      |SELECT consumer, CAST(priority AS INT) AS priority, count(*) AS n,
+      |       min(msg_offset) AS first_offset, max(msg_offset) AS last_offset
+      |FROM a GROUP BY consumer, priority
+      |ORDER BY priority, consumer""".stripMargin))
+
   // ---------------------------------------------------------------- O: seeks / limits
 
   private def midPublish = "(SELECT (min(publish_ms) + max(publish_ms)) // 2 FROM env)"
@@ -1095,6 +1126,7 @@ object LogQueries extends QueryGroup {
     "r7_exclusive_ranges" -> r7,
     "r6_auto_split" -> r6,
     "r10_shared_spread" -> r10,
+    "r11_priority_dispatch" -> r11,
     "r10b_failover" -> r10b,
     "o2_seek_by_time" -> o2,
     "o3_find_by_time" -> o3,
