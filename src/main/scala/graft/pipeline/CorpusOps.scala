@@ -1905,6 +1905,42 @@ object CorpusOps {
    * support agg, one doc-key pair join, one pair-scale agg; N rides a
    * 1-row broadcast.
    */
+  /**
+   * Robust outlier audit by Median Absolute Deviation: per stratum, the
+   * exact (lower) median of the value, the exact median of absolute
+   * deviations from it, and the count of values deviating more than
+   * k·MAD — the robust-dispersion screen a mean/σ rule can't give on
+   * heavy-tailed corpus lengths (one 10⁶-token document drags a σ rule,
+   * not a MAD rule). All integer arithmetic; both medians ride
+   * [[exactQuantiles]]'s histogram order-statistic path, so there is no
+   * stratum-wide sort anywhere. When MAD = 0 (a majority-constant
+   * stratum) every deviating value flags — the honest MAD semantics.
+   *
+   * Shape at 100 TB: two histogram-scale median selections plus two
+   * co-partitioned stratum-key joins; the histogram is distinct-values
+   * sized, not row sized.
+   */
+  def madOutliers(df: DataFrame, sourceCol: String, value: Column,
+      k: Long): DataFrame = {
+    val base = graft.CacheScope.track(df
+      .select(col(sourceCol).cast("string").as("source"),
+        value.cast("long").as("tc")))
+    val med = exactQuantiles(base, col("source"), col("tc"), Seq((1, 2)))
+      .select(col("source"), col("value").as("med"))
+    val dev = graft.CacheScope.track(base.join(med, Seq("source"))
+      .withColumn("absdev", abs(col("tc") - col("med"))))
+    val mad = exactQuantiles(dev, col("source"), col("absdev"), Seq((1, 2)))
+      .select(col("source"), col("value").as("mad"))
+    dev.join(mad, Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("med")).as("median_v"), first(col("mad")).as("mad_v"),
+        sum(when(col("absdev") > col("mad") * k, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_ppm", expr("(n_outliers * 1000000) div n_docs"))
+      .orderBy(col("source"))
+  }
+
   def associationRules(df: DataFrame, idCol: String, textCol: String,
       supDivisor: Long, pairDivisor: Long, k: Int): DataFrame = {
     val dw = graft.CacheScope.track(df

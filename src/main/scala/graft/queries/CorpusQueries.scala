@@ -2066,6 +2066,42 @@ object CorpusQueries extends QueryGroup {
       |       median_chars
       |FROM b, m""".stripMargin))
 
+  private val p115 = QueryDef(
+    // MAD robust outlier audit over per-doc token counts, per source:
+    // exact lower medians via the histogram order-statistic path (p47's
+    // machinery, applied twice), outliers beyond 3·MAD. The oracle takes
+    // the opposite algorithm — full sort + row_number — for BOTH
+    // medians, so parity checks the selection, not a shared formulation.
+    // text coalesced so a NULL-text doc counts 1 pseudo-token like the
+    // oracle's $WORDS (a null would silently DROP the doc from the
+    // quantile domain — the p23/p41 latent-divergence pattern)
+    (s, d) => CorpusOps.madOutliers(docs(s, d), "source",
+      graft.pipeline.TextOps.tokenCount(coalesce(col("text"), lit("")))
+        .cast("long"), k = 3L),
+    Some(s"""WITH b AS (
+      |  SELECT source, doc_id, len($WORDS) AS tc FROM documents),
+      |m AS (SELECT source, tc AS med FROM (
+      |    SELECT source, tc,
+      |           row_number() OVER (PARTITION BY source ORDER BY tc) AS rn,
+      |           count(*) OVER (PARTITION BY source) AS n
+      |    FROM b) WHERE rn = (n + 1) // 2),
+      |d AS (SELECT b.source, b.doc_id, abs(b.tc - m.med) AS ad, m.med
+      |      FROM b JOIN m USING (source)),
+      |md AS (SELECT source, ad AS mad FROM (
+      |    SELECT source, ad,
+      |           row_number() OVER (PARTITION BY source ORDER BY ad) AS rn,
+      |           count(*) OVER (PARTITION BY source) AS n
+      |    FROM d) WHERE rn = (n + 1) // 2)
+      |SELECT d.source, count(*) AS n_docs,
+      |       CAST(min(d.med) AS BIGINT) AS median_v,
+      |       CAST(min(md.mad) AS BIGINT) AS mad_v,
+      |       CAST(sum(CASE WHEN d.ad > md.mad * 3 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_outliers,
+      |       CAST(sum(CASE WHEN d.ad > md.mad * 3 THEN 1 ELSE 0 END)
+      |         * 1000000 // count(*) AS BIGINT) AS outlier_ppm
+      |FROM d JOIN md USING (source)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin))
+
   private val p112 = QueryDef(
     // Association rules over doc-level word co-occurrence (Agrawal 1993
     // market-basket shape): items = words with doc-support ≥ N/5 (the
@@ -2179,6 +2215,7 @@ object CorpusQueries extends QueryGroup {
     "p108_vocab_coverage" -> p108,
     "p110_pmi_collocations" -> p110,
     "p112_association_rules" -> p112,
+    "p115_mad_outliers" -> p115,
     "p107_data_card" -> p107,
     "p106_ks_test" -> p106,
     "p105_rank_sum" -> p105,

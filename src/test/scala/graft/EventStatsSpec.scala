@@ -31,6 +31,21 @@ class EventStatsSpec extends AnyFunSuite {
     assert(rules(("a", "b")) === ((4L, 7L, 4L, 571428L, 1428571L)))
   }
 
+  test("MAD outliers: exact lower medians; MAD=0 stratum flags any deviation") {
+    // source a: values 10,12,14,20,100 → med=14, absdevs {4,2,0,6,86} →
+    // sorted {0,2,4,6,86} → MAD=4 → outliers: |v-14| > 12 → only 100
+    // source b: constant 5 plus one 6 → med=5, MAD=0 → the 6 flags
+    val df = (Seq((10, "a"), (12, "a"), (14, "a"), (20, "a"), (100, "a")) ++
+      Seq((5, "b"), (5, "b"), (5, "b"), (6, "b")))
+      .zipWithIndex.map { case ((v, s), i) => (i.toLong, v.toLong, s) }
+      .toDF("doc_id", "v", "source")
+    val got = graft.pipeline.CorpusOps.madOutliers(df, "source", col("v"), 3L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("median_v"), r.getAs[Long]("mad_v"),
+          r.getAs[Long]("n_outliers"))).toMap
+    assert(got === Map("a" -> ((14L, 4L, 1L)), "b" -> ((5L, 0L, 1L))))
+  }
+
   test("markov census: per-user order, ties on event_id, exact ppm") {
     val dir = Scratch.freshDir("markov-events")
     Seq(
