@@ -749,8 +749,47 @@ object StreamingSmoke {
     check("markov-census", streamTr == batchTr && streamTr.nonEmpty,
       s"stream=${streamTr.size} cells batch=${batchTr.size}")
 
+    // -- 26. streaming weighted sampler converges to the batch sample -----
+    // (A-ExpJ reservoir: k triples of state per stratum; the selection is
+    // a pure function of the candidate SET — no ordering contract — so
+    // the final membership digest equals p41's sampled_md5)
+    val sampDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sampRows = sampDocs.select(col("source"), col("doc_id"),
+        graft.pipeline.CorpusOps.esKey(col("text"), col("doc_id"),
+          coalesce(graft.pipeline.TextOps.tokenCount(col("text")), lit(1)) +
+            lit(1)).as("ky"),
+        (coalesce(graft.pipeline.TextOps.tokenCount(col("text")), lit(1)) +
+          lit(1)).cast("double").as("w"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => graft.streaming.SampleCand(r._1, r._2, r._3, r._4))
+    val ms26Src = MemoryStream[graft.streaming.SampleCand]
+    val q26 = graft.streaming.StreamingOps.weightedSampleStream(ms26Src.toDS(), 10)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ws_sample")
+      .option("checkpointLocation", ckpt()).start()
+    sampRows.grouped(math.max(1, sampRows.length / 7 + 1))
+      .foreach { c => ms26Src.addData(c); q26.processAllAvailable() }
+    q26.stop()
+    def md5Hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val streamSamp = spark.table("ws_sample")
+      .groupBy(col("stratum"))
+      .agg(max_by(struct(col("member_ids"), col("weight_sampled")),
+        col("version")).as("m"))
+      .collect().map(r => r.getString(0) -> {
+        val m = r.getStruct(1)
+        (md5Hex(m.getString(0)), m.getDouble(1))
+      }).toMap
+    val batchSamp = SparkEntry.queries("p41_weighted_sample")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("stratum") ->
+        ((r.getAs[String]("sampled_md5"), r.getAs[Double]("weight_sampled")))).toMap
+    check("weighted-sampler", streamSamp == batchSamp && streamSamp.nonEmpty,
+      s"stream=${streamSamp.size} strata batch=${batchSamp.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 25 converged to batch twins OK")
+    println(s"[stream-smoke] all 26 converged to batch twins OK")
     spark.stop()
   }
 }

@@ -462,11 +462,17 @@ object CorpusOps {
    * [[Similarity.TopKAggregator]] shape (k rows per stratum shuffled,
    * not the corpus).
    */
-  def weightedSample(df: DataFrame, stratum: Column, weight: Column,
-      k: Int, id: Column, text: Column): DataFrame = {
+  /** The Efraimidis–Spirakis rounded selection key [[weightedSample]]
+   * ranks on — public so the streaming twin scores rows identically. */
+  def esKey(text: Column, id: Column, weight: Column): Column = {
     val u = (conv(substring(sampleKey(text, id), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
-    val key = round(pow(u, lit(1.0) / weight.cast("double")), 9)
+    round(pow(u, lit(1.0) / weight.cast("double")), 9)
+  }
+
+  def weightedSample(df: DataFrame, stratum: Column, weight: Column,
+      k: Int, id: Column, text: Column): DataFrame = {
+    val key = esKey(text, id, weight)
     val w = Window.partitionBy(col("stratum"))
       .orderBy(col("ky").desc, col("id"))
     df.select(stratum.as("stratum"), id.as("id"), key.as("ky"),

@@ -33,6 +33,14 @@ case class TypedEvent(user_id: Long, event_id: Long, ms: Long,
 /** One observed transition from the streaming Markov census (check 25). */
 case class Transition(user_id: Long, from_type: String, to_type: String)
 
+/** One scored row for the streaming weighted sampler (check 26). */
+case class SampleCand(stratum: String, doc_id: Long, ky: Double, w: Double)
+
+/** The streaming sampler's current selection for a stratum — upsert
+ * style: the max-`version` row per stratum is the final sample. */
+case class SampleState(stratum: String, version: Long, member_ids: String,
+    weight_sampled: Double)
+
 /** A session row as emitted by the streaming sessionizer — upsert-style:
  * the LAST emission per (user, session) equals the batch session row. */
 case class SessRow(user_id: Long, session_idx: Long, n_events: Long,
@@ -484,6 +492,45 @@ object StreamingOps {
             last = e.event_type
           }
           state.update(last)
+          out.iterator
+      }
+  }
+
+  /**
+   * Streaming Efraimidis–Spirakis weighted sampling — the incremental
+   * twin of [[graft.pipeline.CorpusOps.weightedSample]]: per stratum the
+   * state is the current top-k (key, id, weight) triples; an arriving
+   * candidate displaces the weakest member when its key ranks higher
+   * (key desc, id asc — the batch tie order). The selection is a pure
+   * function of the candidate SET (no ordering contract at all — unlike
+   * the funnel/session twins), so any arrival order converges to the
+   * batch sample. Emits the updated membership with a monotone version;
+   * the max-version row per stratum is the final sample.
+   *
+   * This is the A-ExpJ reservoir shape (Efraimidis–Spirakis 2006 §4):
+   * state = k triples per stratum, independent of stream length.
+   */
+  def weightedSampleStream(ev: Dataset[SampleCand], k: Int): Dataset[SampleState] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.stratum)
+      .flatMapGroupsWithState[(Long, List[(Double, Long, Double)]), SampleState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (stratum, rows, state) =>
+          var (ver, top) = state.getOption.getOrElse((0L, List.empty[(Double, Long, Double)]))
+          val out = ArrayBuffer.empty[SampleState]
+          rows.foreach { c =>
+            val cand = (c.ky, c.doc_id, c.w)
+            val merged = (cand :: top)
+              .sortBy { case (ky, id, _) => (-ky, id) }.take(k)
+            if (merged != top) {
+              top = merged
+              ver += 1
+              out += SampleState(stratum, ver,
+                top.map(_._2).sorted.mkString(","),
+                top.map(_._3).sum)
+            }
+          }
+          state.update((ver, top))
           out.iterator
       }
   }
