@@ -1912,6 +1912,51 @@ object CorpusOps {
    * 1-row broadcast.
    */
   /**
+   * Negative-sampling table construction (the word2vec shape — Mikolov
+   * et al. 2013 §2.2): every vocabulary word gets a contiguous integer
+   * range proportional to its (capped) corpus frequency, and drawing a
+   * uniform integer in [0, total) samples a word by range lookup. The
+   * cap is the integer-exact stand-in for the f^0.75 smoothing (both
+   * damp head words; the power variant needs float weights — the
+   * rounded-pow convention of [[weightedSample]] would apply).
+   * `nProbes` deterministic md5-derived draws are resolved against the
+   * table so the LOOKUP mechanics are oracle-checked, not just the
+   * ranges.
+   *
+   * Shape at 100 TB: one token hash agg; ONE vocabulary-wide prefix-sum
+   * window (the p108 vocab-scale precedent — vocabulary, not corpus,
+   * crosses the single partition); probe resolution joins a k-bounded
+   * probe side against the range table. Training-time sampling uses the
+   * same table via per-partition binary search — the table IS the
+   * artifact.
+   */
+  def samplingTable(df: DataFrame, textCol: String, cap: Long,
+      nProbes: Int): DataFrame = {
+    val counts = df
+      .select(explode(filter(TextOps.words(col(textCol)),
+        w => length(w) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("wt", least(col("c"), lit(cap)))
+    val ranged = graft.CacheScope.track(counts
+      .withColumn("end_range", sum(col("wt")).over(
+        Window.orderBy(col("w"))))
+      .withColumn("start_range", col("end_range") - col("wt")))
+    val total = ranged.agg(max(col("end_range")).as("t"))
+    val probes = total.select(col("t"),
+        explode(sequence(lit(0), lit(nProbes - 1))).as("probe_id"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("probe:"),
+          col("probe_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % col("t"))
+      .select(col("probe_id").cast("long").as("probe_id"), col("u"))
+    ranged.join(broadcast(probes),
+        col("start_range") <= col("u") && col("u") < col("end_range"))
+      .select(col("probe_id"), col("u"), col("w").as("word"),
+        col("c"), col("wt"), col("start_range"), col("end_range"))
+      .orderBy(col("probe_id"))
+  }
+
+  /**
    * Robust outlier audit by Median Absolute Deviation: per stratum, the
    * exact (lower) median of the value, the exact median of absolute
    * deviations from it, and the count of values deviating more than

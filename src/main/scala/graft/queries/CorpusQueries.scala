@@ -2066,6 +2066,36 @@ object CorpusQueries extends QueryGroup {
       |       median_chars
       |FROM b, m""".stripMargin))
 
+  private val p116 = QueryDef(
+    // Negative-sampling table (word2vec shape): per-word integer ranges
+    // proportional to capped frequency (cap 64 — the integer-exact
+    // smoothing stand-in), 16 deterministic md5-derived probes resolved
+    // by range lookup. The oracle rebuilds the ranges with its own
+    // window and replays every probe, so both the table AND the lookup
+    // mechanics are checked.
+    (s, d) => CorpusOps.samplingTable(docs(s, d), "text", cap = 64L,
+      nProbes = 16),
+    Some(s"""WITH u AS (
+      |  SELECT unnest(list_filter($WORDS, x -> length(x) > 0)) AS w
+      |  FROM documents),
+      |c AS (SELECT w, count(*) AS c, least(count(*), 64) AS wt
+      |      FROM u GROUP BY w),
+      |r AS (SELECT w, c, wt,
+      |             CAST(sum(wt) OVER (ORDER BY w
+      |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_range
+      |      FROM c),
+      |rr AS (SELECT w, c, wt, end_range,
+      |              end_range - wt AS start_range FROM r),
+      |t AS (SELECT max(end_range) AS t FROM rr),
+      |p AS (SELECT i AS probe_id,
+      |        CAST(CAST(('0x' || substr(md5('probe:' || CAST(i AS VARCHAR)),
+      |          1, 8)) AS UBIGINT) % t AS BIGINT) AS u
+      |      FROM range(0, 16) s(i), t)
+      |SELECT p.probe_id, p.u, rr.w AS word, CAST(rr.c AS BIGINT) AS c,
+      |       CAST(rr.wt AS BIGINT) AS wt, rr.start_range, rr.end_range
+      |FROM p JOIN rr ON rr.start_range <= p.u AND p.u < rr.end_range
+      |ORDER BY p.probe_id""".stripMargin))
+
   private val p115 = QueryDef(
     // MAD robust outlier audit over per-doc token counts, per source:
     // exact lower medians via the histogram order-statistic path (p47's
@@ -2216,6 +2246,7 @@ object CorpusQueries extends QueryGroup {
     "p110_pmi_collocations" -> p110,
     "p112_association_rules" -> p112,
     "p115_mad_outliers" -> p115,
+    "p116_sampling_table" -> p116,
     "p107_data_card" -> p107,
     "p106_ks_test" -> p106,
     "p105_rank_sum" -> p105,

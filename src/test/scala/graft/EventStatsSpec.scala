@@ -31,6 +31,28 @@ class EventStatsSpec extends AnyFunSuite {
     assert(rules(("a", "b")) === ((4L, 7L, 4L, 571428L, 1428571L)))
   }
 
+  test("sampling table: capped ranges partition [0, T); probes resolve uniquely") {
+    // counts: aa ×3, bb ×100 (capped to 5), cc ×1 → ranges over T=9:
+    // aa [0,3), bb [3,8), cc [8,9)
+    val docs = (Seq.fill(3)("aa") ++ Seq.fill(100)("bb") ++ Seq("cc"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val rows = graft.pipeline.CorpusOps.samplingTable(docs, "text",
+      cap = 5L, nProbes = 16).collect()
+    assert(rows.length === 16, "every probe resolves to exactly one word")
+    val ranges = rows.map(r => r.getAs[String]("word") ->
+      (r.getAs[Long]("start_range"), r.getAs[Long]("end_range"), r.getAs[Long]("wt")))
+      .distinct.toMap
+    assert(ranges("bb") === ((3L, 8L, 5L)), s"cap must bind: $ranges")
+    assert(ranges.get("aa").forall(_ == ((0L, 3L, 3L))))
+    // probes in [0, 9), and each u inside its word's range
+    rows.foreach { r =>
+      val (u, s, e) = (r.getAs[Long]("u"), r.getAs[Long]("start_range"),
+        r.getAs[Long]("end_range"))
+      assert(u >= 0 && u < 9 && s <= u && u < e)
+    }
+  }
+
   test("MAD outliers: exact lower medians; MAD=0 stratum flags any deviation") {
     // source a: values 10,12,14,20,100 → med=14, absdevs {4,2,0,6,86} →
     // sorted {0,2,4,6,86} → MAD=4 → outliers: |v-14| > 12 → only 100
