@@ -1691,7 +1691,7 @@ object CorpusOps {
    * never shuffled wide, and nothing is driver-side.
    */
   /** The per-(doc, label) integer NB score relation behind
-   * [[naiveBayesClassify]] and [[nbMarginCalibration]] — public so the
+   * [[naiveBayesClassify]] and [[nbMarginCalibrationFrom]] — public so the
    * query layer can memoize ONE scoring pass run-scoped for both
    * consumers (the p15/p18 shared-derivation pattern). */
   def nbScores(df: DataFrame, idCol: String, textCol: String,
@@ -1778,13 +1778,6 @@ object CorpusOps {
    * (rank ≤ 2 kept), one per-doc pivot agg, one ≤(maxBucket+1)-row
    * census — nothing after scoring exceeds bucket scale.
    */
-  def nbMarginCalibration(df: DataFrame, idCol: String, textCol: String,
-      labelCol: String, bucketWidth: Long, maxBucket: Long): DataFrame =
-    nbMarginCalibrationFrom(nbScores(df, idCol, textCol, labelCol),
-      bucketWidth, maxBucket)
-
-  /** [[nbMarginCalibration]] over a pre-built (possibly shared) score
-   * relation. */
   def nbMarginCalibrationFrom(scored: DataFrame, bucketWidth: Long,
       maxBucket: Long): DataFrame = {
     val rn = row_number().over(Window.partitionBy(col("did"))

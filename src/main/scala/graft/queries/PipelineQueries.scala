@@ -444,9 +444,11 @@ object PipelineQueries extends QueryGroup {
           graft.pipeline.TextOps.languageId(col("text")).as("pred_lang"))
       val cells = pred.groupBy(col("label_lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
-      val totals = cells.groupBy(col("label_lang"))
-        .agg(sum(col("n")).as("label_total"))
-      cells.join(totals, Seq("label_lang"))
+      // row totals via a window over the cell census, NOT a join back to
+      // a second copy of the corpus-wide projection (the q36 convention)
+      cells.withColumn("label_total",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("label_lang"))))
         .select(col("label_lang"), col("pred_lang"), col("n"),
           col("label_total"),
           expr("(n * 1000000) div label_total").as("recall_ppm"))
