@@ -49,7 +49,7 @@ object Bench {
       // the LSH pair derivation only warms when a consumer is selected,
       // so SPARK_GRAFT_ONLY profiling runs of other queries don't pay it
       if (only.forall(n => n("p15_minhash_full") || n("p18_dup_clusters") ||
-          n("p51_leakage_free_split")))
+          n("p51_leakage_free_split") || n("p117_keep_longest")))
         graft.queries.PipelineQueries.warmShared(spark, sfDir)
       // the LM scored relation p49/p57 share, same attribution rule
       if (only.forall(n => n("p49_lm_perplexity") || n("p57_ppl_buckets")))

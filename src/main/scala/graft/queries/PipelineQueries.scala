@@ -239,6 +239,54 @@ object PipelineQueries extends QueryGroup {
     (s, d) => verifiedPairsFull(s, d).orderBy(col("doc_a"), col("doc_b")),
     Some(jaccardOracleFor("")))
 
+  /** P117 — dedup canonicalization POLICY: within each near-dup family
+   * (p18's components over the shared LSH pair relation), keep the
+   * LONGEST member (ties to the smaller id) instead of the min-id
+   * default — the RefinedWeb/C4-style "best representative" decision,
+   * with the exact token bill the policy keeps vs drops. The oracle
+   * re-derives the components by recursive transitive closure AND
+   * replays the argmax. */
+  private val p117 = QueryDef(
+    (s, d) => {
+      val labels = DedupOps.dupLabels(verifiedPairsFull(s, d))
+      val toks = docs(s, d).select(col("doc_id"),
+        graft.pipeline.TextOps.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n_tok"))
+      labels.join(toks, col("node") === col("doc_id"))
+        .groupBy(col("label").as("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max_by(struct(col("doc_id"), col("n_tok")),
+            struct(col("n_tok"), -col("doc_id"))).as("k"),
+          sum(col("n_tok")).as("total_tokens"))
+        .select(col("cluster_rep"), col("cluster_size"),
+          col("k.doc_id").as("keep_doc"), col("k.n_tok").as("keep_tokens"),
+          (col("total_tokens") - col("k.n_tok")).as("dropped_tokens"))
+        .orderBy(col("cluster_rep"))
+    },
+    Some(s"""WITH RECURSIVE ${jaccardCtes("")},
+      |sym AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+      |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM jp),
+      |reach AS (
+      |  SELECT src AS a, dst AS b FROM sym
+      |  UNION
+      |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+      |lab AS (SELECT a AS node, least(a, min(b)) AS label
+      |        FROM reach GROUP BY a),
+      |tk AS (SELECT doc_id, len($WORDS) AS n_tok FROM documents),
+      |j AS (SELECT lab.label, lab.node, tk.n_tok
+      |      FROM lab JOIN tk ON lab.node = tk.doc_id),
+      |sel AS (SELECT label, node AS keep_doc, n_tok AS keep_tokens FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY label
+      |      ORDER BY n_tok DESC, node) AS rn FROM j) WHERE rn = 1),
+      |agg AS (SELECT label, count(*) AS cluster_size,
+      |               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+      |        FROM j GROUP BY label)
+      |SELECT a.label AS cluster_rep, a.cluster_size, s.keep_doc,
+      |       CAST(s.keep_tokens AS BIGINT) AS keep_tokens,
+      |       total_tokens - s.keep_tokens AS dropped_tokens
+      |FROM agg a JOIN sel s USING (label)
+      |ORDER BY cluster_rep""".stripMargin))
+
   private val p18 = QueryDef(
     // Dedup DECISION stage: LSH near-dup pairs → connected components →
     // one row per duplicate family with its canonical representative.
@@ -2174,6 +2222,7 @@ object PipelineQueries extends QueryGroup {
     "p109_jaccard_prefix_join" -> p109,
     "p111_mmr_rerank" -> p111,
     "p113_lang_confusion" -> p113,
+    "p117_keep_longest" -> p117,
     "p74_containment_pairs" -> p74,
     "p77_containment_scrub" -> p77,
     "p4_minhash_lsh" -> p4,

@@ -1740,7 +1740,53 @@ object RelationalQueries extends QueryGroup {
       |       END AS slope
       |FROM a ORDER BY event_type""".stripMargin))
 
+  /** Q38 — time-weighted average (TWAP) of the event value per user:
+   * each value holds until the user's next event, so the mean weights
+   * every reading by its holding duration — the time-series aggregate
+   * a row-mean gets WRONG whenever sampling is irregular (a value held
+   * for an hour must count 3600× a value held a second). All exact
+   * integers: cents × ms into the numerator; the final quotient is one
+   * IEEE division rounded 6 dp (the q37 convention), NULL for a
+   * zero-length span. One user-key window (lead) + one user-key agg
+   * sharing the exchange. */
+  private val q38 = QueryDef(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      EventLog.raw(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000").as("ms"),
+          round(col("value") * 100).cast("long").as("v_e2"))
+        .withColumn("next_ms", lead(col("ms"), 1).over(w))
+        .filter(col("next_ms").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum((col("next_ms") - col("ms")) * col("v_e2")).as("vms_e2"),
+          (max(col("next_ms")) - min(col("ms"))).as("span_ms"))
+        .withColumn("twap_e2", when(col("span_ms") === 0L, lit(null))
+          .otherwise(round(col("vms_e2").cast("double") /
+            col("span_ms").cast("double"), 6)))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |         CAST(round(value * 100) AS BIGINT) AS v_e2 FROM events),
+      |l AS (SELECT user_id, ms, v_e2,
+      |        lead(ms) OVER (PARTITION BY user_id
+      |          ORDER BY ms, event_id) AS next_ms
+      |      FROM e),
+      |a AS (SELECT user_id, count(*) AS n_intervals,
+      |             CAST(sum((next_ms - ms) * v_e2) AS BIGINT) AS vms_e2,
+      |             CAST(max(next_ms) - min(ms) AS BIGINT) AS span_ms
+      |      FROM l WHERE next_ms IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_intervals, vms_e2, span_ms,
+      |       CASE WHEN span_ms = 0 THEN NULL
+      |            ELSE round(CAST(vms_e2 AS DOUBLE) /
+      |                       CAST(span_ms AS DOUBLE), 6) END AS twap_e2
+      |FROM a ORDER BY user_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "q38_twap" -> q38,
     "q34_sessions" -> q34,
     "q35_nation_profit" -> q35,
     "q36_markov_transitions" -> q36,
