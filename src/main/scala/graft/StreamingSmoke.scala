@@ -788,8 +788,60 @@ object StreamingSmoke {
     check("weighted-sampler", streamSamp == batchSamp && streamSamp.nonEmpty,
       s"stream=${streamSamp.size} strata batch=${batchSamp.size}")
 
+    // -- 27. stateful RESTART durability: sessionizer state survives a ----
+    // checkpoint stop/start (check 4 proves the read CURSOR recovers;
+    // this proves the flatMapGroupsWithState STATE STORE does: sessions
+    // spanning the restart boundary keep their index and counts, so the
+    // resumed query converges to the same batch relation — a cold
+    // restart would restart every open session at idx 1 and diverge)
+    val sessSrcDir = Files.createTempDirectory("graft-sess-src-").toString
+    val sessCk = ckpt()
+    val allSess = graft.model.EventLog.raw(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ms"))
+      .as[(Long, Long, Long)].collect()
+      .sortBy(r => (r._3, r._2))
+      .map(r => graft.streaming.SessEvent(r._1, r._2, r._3))
+    val accSess = scala.collection.concurrent.TrieMap
+      .empty[(Long, Long), (Long, Long, Long)]
+    def runSessOnce(): Unit = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[graft.streaming.SessEvent].schema)
+        .parquet(sessSrcDir)
+        .as[graft.streaming.SessEvent]
+      val q = graft.streaming.StreamingOps.sessionStream(src, 1800000L)
+        .writeStream.option("checkpointLocation", sessCk)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.SessRow], _: Long) =>
+            b.collect().foreach { r =>
+              val key = (r.user_id, r.session_idx)
+              // upsert: n_events is monotone within a session
+              val cur = accSess.get(key)
+              if (cur.forall(_._1 < r.n_events))
+                accSess.put(key, (r.n_events, r.start_ms, r.end_ms))
+            }
+            ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val (sessH1, sessH2) = allSess.splitAt(allSess.length / 2)
+    sessH1.toSeq.toDS().coalesce(1).write.mode("append").parquet(sessSrcDir)
+    runSessOnce() // first half, then STOP — state checkpointed
+    sessH2.toSeq.toDS().coalesce(1).write.mode("append").parquet(sessSrcDir)
+    runSessOnce() // fresh query instance, same checkpoint: state recovers
+    val batchSessAll = graft.operators.Sessionize.sessions(
+        graft.model.EventLog.raw(spark, sfDir)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000000").as("ms")), gapMs = 1800000L)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("start_ms"),
+          r.getAs[Long]("end_ms")))).toMap
+    check("stateful-restart", accSess.toMap == batchSessAll && accSess.nonEmpty,
+      s"resumed=${accSess.size} sessions batch=${batchSessAll.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 26 converged to batch twins OK")
+    println(s"[stream-smoke] all 27 converged to batch twins OK")
     spark.stop()
   }
 }
