@@ -796,12 +796,8 @@ object StreamingSmoke {
     // restart would restart every open session at idx 1 and diverge)
     val sessSrcDir = Files.createTempDirectory("graft-sess-src-").toString
     val sessCk = ckpt()
-    val allSess = graft.model.EventLog.raw(spark, sfDir)
-      .select(col("user_id"), col("event_id"),
-        expr("ts div 1000000").as("ms"))
-      .as[(Long, Long, Long)].collect()
-      .sortBy(r => (r._3, r._2))
-      .map(r => graft.streaming.SessEvent(r._1, r._2, r._3))
+    // the SAME rows and batch relation check 24 derived — no re-collect
+    val allSess = sess24Rows
     val accSess = scala.collection.concurrent.TrieMap
       .empty[(Long, Long), (Long, Long, Long)]
     def runSessOnce(): Unit = {
@@ -830,15 +826,8 @@ object StreamingSmoke {
     runSessOnce() // first half, then STOP — state checkpointed
     sessH2.toSeq.toDS().coalesce(1).write.mode("append").parquet(sessSrcDir)
     runSessOnce() // fresh query instance, same checkpoint: state recovers
-    val batchSessAll = graft.operators.Sessionize.sessions(
-        graft.model.EventLog.raw(spark, sfDir)
-          .select(col("user_id"), col("event_id"),
-            expr("ts div 1000000").as("ms")), gapMs = 1800000L)
-      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
-        ((r.getAs[Long]("n_events"), r.getAs[Long]("start_ms"),
-          r.getAs[Long]("end_ms")))).toMap
-    check("stateful-restart", accSess.toMap == batchSessAll && accSess.nonEmpty,
-      s"resumed=${accSess.size} sessions batch=${batchSessAll.size}")
+    check("stateful-restart", accSess.toMap == batchSess24 && accSess.nonEmpty,
+      s"resumed=${accSess.size} sessions batch=${batchSess24.size}")
 
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
     println(s"[stream-smoke] all 27 converged to batch twins OK")

@@ -1761,7 +1761,11 @@ object RelationalQueries extends QueryGroup {
         .filter(col("next_ms").isNotNull)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_intervals"),
-          sum((col("next_ms") - col("ms")) * col("v_e2")).as("vms_e2"),
+          // DECIMAL(38,0) accumulation (the p110 convention): cents × ms
+          // products reach ~3e16 per interval, so a long SUM can wrap
+          // silently at scale while the oracle's HUGEINT stays exact
+          sum(expr("CAST(next_ms - ms AS DECIMAL(38,0)) * v_e2"))
+            .cast("long").as("vms_e2"),
           (max(col("next_ms")) - min(col("ms"))).as("span_ms"))
         .withColumn("twap_e2", when(col("span_ms") === 0L, lit(null))
           .otherwise(round(col("vms_e2").cast("double") /

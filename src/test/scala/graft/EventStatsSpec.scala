@@ -31,6 +31,58 @@ class EventStatsSpec extends AnyFunSuite {
     assert(rules(("a", "b")) === ((4L, 7L, 4L, 571428L, 1428571L)))
   }
 
+  test("TWAP: duration weighting, exact numerator, zero-span NULL") {
+    val dir = Scratch.freshDir("twap-events")
+    Seq(
+      // user 1: 2.00 held 100 ms, then 4.00 held 200 ms → twap 10/3
+      (1L, new java.sql.Timestamp(0L), 1L, "A", 2.0, "{}"),
+      (2L, new java.sql.Timestamp(100L), 1L, "A", 4.0, "{}"),
+      (3L, new java.sql.Timestamp(300L), 1L, "A", 9.0, "{}"),
+      // user 2: both events on ONE ms → span 0 → NULL twap
+      (4L, new java.sql.Timestamp(500L), 2L, "A", 1.0, "{}"),
+      (5L, new java.sql.Timestamp(500L), 2L, "A", 7.0, "{}"),
+      // user 3: single event → no interval → absent
+      (6L, new java.sql.Timestamp(900L), 3L, "A", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q38_twap")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_intervals"), r.getAs[Long]("vms_e2"),
+          r.getAs[Long]("span_ms"),
+          Option(r.getAs[java.lang.Double]("twap_e2"))))).toMap
+    // vms = 200·100 + 400·200 = 100000 over span 300
+    assert(got(1L) === ((2L, 100000L, 300L,
+      Some(math.rint(100000.0 / 300.0 * 1e6) / 1e6))))
+    assert(got(2L) === ((1L, 0L, 0L, None)), "zero span must yield NULL")
+    assert(!got.contains(3L), "single-event users have no interval")
+  }
+
+  test("keep-longest canonicalization: longer wins, equal lengths tie to smaller id") {
+    val dir = Scratch.freshDir("keep-longest-docs")
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "red orange yellow green blue indigo violet cyan magenta"
+    Seq(
+      // family 1: identical docs (equal tokens) → keep the SMALLER id
+      (5L, base), (9L, base),
+      // family 2 (disjoint vocabulary so the families cannot chain):
+      // 11 is 10 plus a tail word → longer wins over smaller id
+      (10L, other), (11L, other + " umber"),
+      // singleton: no pair, never appears
+      (2L, "completely different text with no shared shingles at all"))
+      .map { case (id, t) => (id, t, "en", "web", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("p117_keep_longest")(spark, dir)
+      .collect().map(r => r.getAs[Long]("cluster_rep") ->
+        ((r.getAs[Long]("cluster_size"), r.getAs[Long]("keep_doc"),
+          r.getAs[Long]("keep_tokens"), r.getAs[Long]("dropped_tokens")))).toMap
+    CacheScope.releaseAll()
+    assert(got.keySet === Set(5L, 10L))
+    assert(got(5L) === ((2L, 5L, 8L, 8L)), s"tie must keep the smaller id: $got")
+    assert(got(10L) === ((2L, 11L, 10L, 9L)),
+      s"the longer member (10 tokens) must win over the smaller id: $got")
+  }
+
   test("sampling table: capped ranges partition [0, T); probes resolve uniquely") {
     // counts: aa ×3, bb ×100 (capped to 5), cc ×1 → ranges over T=9:
     // aa [0,3), bb [3,8), cc [8,9)
