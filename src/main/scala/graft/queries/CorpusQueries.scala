@@ -666,8 +666,10 @@ object CorpusQueries extends QueryGroup {
 
   /** Expected (tag, doc_id, n_tokens, tokens_md5) rows for p34, computed
    * by an INDEPENDENT Python implementation of the same public algorithm
-   * (tools/gen_bpe_fixture.py — rerun it to regenerate) on the sf0.001
-   * and sf0.01 fixture corpora. Embedded as a VALUES table in the oracle
+   * (tools/gen_bpe_fixture.py — rerun it to regenerate) on the sf0.001,
+   * sf0.01, AND sf0.1 fixture corpora (the sf0.1 rows close the gap a
+   * bench-scale correctness sweep found: the fixture only covered the
+   * driver's two gate SFs, so p34/p70 were unverifiable at sf0.1). Embedded as a VALUES table in the oracle
    * SQL: BPE training is iterative and not ANSI-SQL-expressible, so the
    * oracle's token counts/digests come from the second implementation
    * rather than a SQL derivation — two from-scratch implementations of
@@ -682,7 +684,7 @@ object CorpusQueries extends QueryGroup {
       }.toList
       finally in.close()
     }
-    (rows("sf0.001") ++ rows("sf0.01")).mkString(",\n")
+    (rows("sf0.001") ++ rows("sf0.01") ++ rows("sf0.1")).mkString(",\n")
   }
 
   /** The real BPE tokenizer's per-doc output, run-scoped (p34 checks it;
@@ -718,7 +720,9 @@ object CorpusQueries extends QueryGroup {
     Some(s"""WITH exp(tag, doc_id, n_tokens, tokens_md5) AS (VALUES
       |$bpeExpectedValues),
       |sel AS (SELECT CASE WHEN sum(len(coalesce(text, ''))) = 153156
-      |          THEN 'sf0.001' ELSE 'sf0.01' END AS tag FROM documents),
+      |            THEN 'sf0.001'
+      |          WHEN sum(len(coalesce(text, ''))) = 149174
+      |            THEN 'sf0.01' ELSE 'sf0.1' END AS tag FROM documents),
       |base AS (SELECT doc_id,
       |    CAST(len(list_filter($WORDSC, x -> x <> '')) AS BIGINT) AS n_words,
       |    md5($NORMC) AS detok_md5
@@ -1290,7 +1294,9 @@ object CorpusQueries extends QueryGroup {
     Some(s"""WITH exp(tag, doc_id, n_tokens, tokens_md5) AS (VALUES
       |$bpeExpectedValues),
       |sel AS (SELECT CASE WHEN sum(len(coalesce(text, ''))) = 153156
-      |          THEN 'sf0.001' ELSE 'sf0.01' END AS tag FROM documents),
+      |            THEN 'sf0.001'
+      |          WHEN sum(len(coalesce(text, ''))) = 149174
+      |            THEN 'sf0.01' ELSE 'sf0.1' END AS tag FROM documents),
       |base AS (SELECT doc_id, source, n_chars,
       |    CAST(len(list_filter($WORDSC, x -> x <> '')) AS BIGINT) AS n_words
       |  FROM documents),
