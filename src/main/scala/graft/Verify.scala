@@ -43,6 +43,22 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // verification environment (one _env.json): when a driver-vs-local
+    // hash diverges, the engine-side versions are diagnosable from the
+    // artifacts instead of needing a reproduction (the oracle-side duckdb
+    // version is the comparer's to record)
+    val env = Seq(
+      "spark" -> spark.version,
+      "java_runtime" -> System.getProperty("java.runtime.version",
+        System.getProperty("java.version", "unknown")),
+      "java_vendor" -> System.getProperty("java.vendor", "unknown"),
+      "scala" -> scala.util.Properties.versionNumberString,
+      "os" -> (System.getProperty("os.name", "?") + " " +
+        System.getProperty("os.version", "?")),
+      "timezone" -> java.util.TimeZone.getDefault.getID,
+      "sf_dir" -> sfDir)
+    Files.writeString(Paths.get(s"$outDir/_env.json"),
+      env.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     CacheScope.releaseRun()
     spark.stop()
   }

@@ -105,10 +105,13 @@ object CorpusOps {
    * bit-exact across engines.) Strata with n < 2 are omitted.
    *
    * Shape at 100 TB: two rank windows over ONE stratum-key exchange
-   * plus a per-stratum aggregate. n(n²−1) stays in 64-bit for strata up
-   * to ~2M rows — beyond that, compute on a deterministic hash sample
-   * (stratifiedSample), which is how production systems bound rank
-   * statistics anyway.
+   * plus a per-stratum aggregate. All products (d², Σd², 6·Σd²·10⁶,
+   * n(n²−1)) accumulate in DECIMAL(38,0) — the p110/q38 convention — so
+   * the rational never wraps at any stratum size the rank window itself
+   * can survive; only the DISPLAY column `sum_d2` casts back to BIGINT
+   * (exact to ~3×10⁶ rows per stratum; at corpus scale compute on a
+   * deterministic hash sample via stratifiedSample, which is how
+   * production systems bound rank statistics anyway).
    */
   def spearman(df: DataFrame, stratumCol: Column, xCol: Column,
       yCol: Column, idCol: Column): DataFrame = {
@@ -121,13 +124,16 @@ object CorpusOps {
     base
       .withColumn("rx", rx.cast("long"))
       .withColumn("ry", ry.cast("long"))
-      .withColumn("d2", (col("rx") - col("ry")) * (col("rx") - col("ry")))
+      .withColumn("d", col("rx") - col("ry"))
+      .withColumn("d2", col("d").cast("decimal(38,0)") * col("d"))
       .groupBy(col("stratum"))
-      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2_dec"))
       .filter(col("n") >= 2)
-      .withColumn("rho_e6",
-        expr("1000000 - (6 * sum_d2 * 1000000) div (n * (n * n - 1))"))
-      .select(col("stratum"), col("n"), col("sum_d2"), col("rho_e6"))
+      .withColumn("rho_e6", expr(
+        "1000000 - (6 * sum_d2_dec * 1000000) div " +
+          "(CAST(n AS DECIMAL(38,0)) * (n - 1) * (n + 1))"))
+      .select(col("stratum"), col("n"),
+        col("sum_d2_dec").cast("long").as("sum_d2"), col("rho_e6"))
   }
 
   // ------------------------------------------- KS distribution audit
@@ -146,8 +152,9 @@ object CorpusOps {
    * Shape at 100 TB: the corpus collapses to the (stratum, value)
    * histogram in one hash aggregate; the strata × values grid and its
    * cumulative windows are histogram-scale, never row-scale. The
-   * cross-products stay in 64-bit for corpora to ~3×10⁹ rows; beyond
-   * that, compute on the p23 hash sample.
+   * cross-products (cum·n and the ×10⁶ scaling) run in DECIMAL(38,0) —
+   * the p110/q38 convention — so D stays exact at any corpus size the
+   * histogram itself fits.
    */
   def ksAudit(df: DataFrame, stratumCol: Column, valueCol: Column)
       : DataFrame = {
@@ -169,11 +176,12 @@ object CorpusOps {
       .withColumn("cum_rest", col("cum_all") - col("cum_s"))
       .withColumn("n_rest", col("n_all") - col("n_s"))
       .withColumn("diff_num",
-        abs(col("cum_s") * col("n_rest") - col("cum_rest") * col("n_s")))
+        abs(col("cum_s").cast("decimal(38,0)") * col("n_rest") -
+          col("cum_rest").cast("decimal(38,0)") * col("n_s")))
     grid.groupBy(col("stratum"))
       .agg(first(col("n_s")).as("n"),
         max(col("diff_num")).as("max_num"),
-        first(col("n_s") * col("n_rest")).as("denom"),
+        first(col("n_s").cast("decimal(38,0)") * col("n_rest")).as("denom"),
         max_by(col("v"), struct(col("diff_num"), -col("v"))).as("d_at_value"))
       .filter(col("denom") > 0)
       .withColumn("d_ppm", expr("(max_num * 1000000) div denom"))
@@ -196,7 +204,12 @@ object CorpusOps {
    * corpus scale substitute the histogram rank (exactQuantiles' cum
    * relation gives every row's rank without a global sort); here the
    * window keeps the declared tie-break exact. Everything after is
-   * |strata|-row arithmetic.
+   * |strata|-row arithmetic, all of it in DECIMAL(38,0) (the p110/q38
+   * convention) via the doubled form 2U = 2·ΣR − n(n+1), so neither the
+   * rank sum nor the ×10⁶ PPM scaling can wrap; only the DISPLAY columns
+   * (rank_sum, u_stat, u_max) cast back to BIGINT, exact to ~4×10⁹
+   * total rows — past which the row-scale rank window is the binding
+   * constraint anyway.
    */
   def rankSumAudit(df: DataFrame, stratumCol: Column, valueCol: Column,
       idCol: Column): DataFrame = {
@@ -206,16 +219,22 @@ object CorpusOps {
         Window.orderBy(col("v"), col("id"))).cast("long"))
     val totals = ranked.agg(count(lit(1)).as("n_all"))
     ranked.groupBy(col("stratum"))
-      .agg(count(lit(1)).as("n"), sum(col("r")).as("rank_sum"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r").cast("decimal(38,0)")).as("rank_sum_dec"))
       .crossJoin(broadcast(totals))
-      .withColumn("u_stat",
-        expr("rank_sum - (n * (n + 1)) div 2"))
-      .withColumn("u_max", expr("n * (n_all - n)"))
+      // 2U = 2·ΣR − n(n+1): even by construction, so u_stat = 2U div 2
+      // is exact; u_ppm = (2U·5·10⁵) div (2U_max·…) ≡ (U·10⁶) div U_max
+      .withColumn("u2",
+        expr("2 * rank_sum_dec - CAST(n AS DECIMAL(38,0)) * (n + 1)"))
+      .withColumn("u_max_dec",
+        expr("CAST(n AS DECIMAL(38,0)) * (n_all - n)"))
       .withColumn("u_ppm",
-        expr("CASE WHEN u_max > 0 THEN (u_stat * 1000000) div u_max" +
+        expr("CASE WHEN u_max_dec > 0 THEN (u2 * 500000) div u_max_dec" +
           " ELSE 500000 END"))
-      .select(col("stratum"), col("n"), col("rank_sum"), col("u_stat"),
-        col("u_max"), col("u_ppm"))
+      .select(col("stratum"), col("n"),
+        col("rank_sum_dec").cast("long").as("rank_sum"),
+        expr("u2 div 2").as("u_stat"),
+        col("u_max_dec").cast("long").as("u_max"), col("u_ppm"))
   }
 
   // ------------------------------------------- Poisson bootstrap CI

@@ -19,14 +19,18 @@ object Retrieval {
    *
    *   score(q, d) = Σ_t  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
    *
-   * Determinism: each per-term contribution is ONE fixed double
-   * expression — identical association order on any ANSI engine — scaled
-   * ×10⁴ and rounded to a BIGINT **before** the per-(query, doc) sum, so
-   * partial-aggregation order can never move a total, and ranking ties
-   * break on the neighbor id. (The ln is the only non-correctly-rounded
-   * step; after the ×10⁴ rounding a 1-ulp libm difference is invisible —
-   * the bigram-LM scorer set this precedent.) dl/avgdl is expanded to
-   * dl·N/Σdl so there is no intermediate average to re-round.
+   * Determinism (exact-integer, the q33/q37 convention): requires k1 and
+   * b to be multiples of 0.01 so both become integers ×100; idf is
+   * materialized ONCE per query-vocabulary term as `idf_e6 =
+   * floor(ln((2N+2)/(2df+1))·10⁶ + 0.5)` — a single libm `ln` of one
+   * exact integer ratio, quantized to 1e-6 so a 1-ulp engine difference
+   * lands ~10 orders of magnitude away from a rounding boundary — and
+   * every per-term contribution after that is pure integer arithmetic: a
+   * DECIMAL(38,0) cross-multiplication with explicit round-half-up
+   * `(2·num + den) div (2·den)`, summed per (query, doc) as BIGINTs, so
+   * neither partial-aggregation order nor float association can ever
+   * move a total. Ranking ties break on the neighbor id. dl/avgdl is
+   * expanded to dl·N/Σdl so no intermediate average exists at all.
    *
    * Shape at 100 TB: the corpus pays one explode + (doc, word) hash agg
    * for tf (map-side partials), a per-doc length agg, and a
@@ -40,6 +44,11 @@ object Retrieval {
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75)
       : DataFrame = {
+    val k1E2 = math.round(k1 * 100).toInt
+    val bE2 = math.round(b * 100).toInt
+    require(math.abs(k1E2 - k1 * 100) < 1e-9 &&
+      math.abs(bE2 - b * 100) < 1e-9 && bE2 >= 0 && bE2 <= 100 && k1E2 >= 0,
+      "k1 and b must be non-negative multiples of 0.01 (b <= 1)")
     val toks = corpus
       .select(col(idCol).as("did"),
         explode(TextOps.words(col(textCol))).as("word"))
@@ -60,19 +69,34 @@ object Retrieval {
     val dfq = tf.join(broadcast(qterms.select(col("word")).distinct()),
         Seq("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val idf = log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) /
-      (col("df") + lit(0.5)))
-    val denom = col("tf") + lit(k1) * (lit(1 - b) +
-      lit(b) * col("dl") * col("n_docs") / col("total_len"))
-    val contrib = round(idf * (col("tf") * lit(k1 + 1)) / denom *
-      lit(10000.0), 0).cast("long")
+    // idf_e6 materialized ONCE per query-vocabulary term (a ≤|q-vocab|
+    // relation): ln((2N+2)/(2df+1)) = ln(1 + (N−df+½)/(df+½)) — one
+    // exact integer ratio into libm, then the e6 quantization
+    val idfq = dfq.crossJoin(broadcast(stats.select(col("n_docs"))))
+      .withColumn("idf_e6",
+        floor(log((col("n_docs") * 2 + 2).cast("double") /
+          (col("df") * 2 + 1).cast("double")) * lit(1000000.0) + 0.5)
+          .cast("long"))
+      .select(col("word"), col("df"), col("idf_e6"))
+    // c_e4 = round(idf·tf·(k1+1) / (tf + k1(1−b) + k1·b·dl·N/L) · 10⁴)
+    // as exact rationals: num = idf_e6·tf·(k1E2+100)·L and
+    // den = (tf·10⁴ + k1E2·(100−bE2))·L + k1E2·bE2·dl·N, both in
+    // DECIMAL(38,0) (num can pass 2⁶³ once Σdl reaches corpus scale),
+    // with explicit round-half-up (2·num + den) div (2·den).
     val scored = tf
       .join(broadcast(qterms), Seq("word"))
       .filter(col("did") =!= col("qid"))
       .join(dl, Seq("did"))
-      .join(broadcast(dfq), Seq("word"))
+      .join(broadcast(idfq), Seq("word"))
       .crossJoin(broadcast(stats))
-      .select(col("qid"), col("did"), contrib.as("c_e4"))
+      .withColumn("num", expr(
+        s"CAST(idf_e6 AS DECIMAL(38,0)) * tf * ${k1E2 + 100} * total_len"))
+      .withColumn("den", expr(
+        s"(tf * 10000 + ${k1E2 * (100 - bE2)}) * " +
+          s"CAST(total_len AS DECIMAL(38,0)) + " +
+          s"${k1E2 * bE2} * CAST(dl AS DECIMAL(38,0)) * n_docs"))
+      .select(col("qid"), col("did"),
+        expr("(2 * num + den) div (2 * den)").as("c_e4"))
       .groupBy(col("qid"), col("did")).agg(sum(col("c_e4")).as("score_e4"))
     scored
       .withColumn("rank", row_number().over(

@@ -263,21 +263,28 @@ object Similarity {
    * consume. Assignment is [[ivfAssign]] (broadcast centroids, no corpus
    * shuffle); the update is ONE (cluster, dim) hash aggregate over the
    * pos-exploded corpus — linear, map-side partials, k·dim output rows.
-   * Iterating = calling this with the previous step's `c_new` relation;
-   * means round to 4 dp so partial-sum order can never move the result.
+   * Iterating = calling this with the previous step's `c_new` relation.
+   * Exact-integer parity (the p54 convention): components quantize once
+   * to e4 BIGINTs via floor(v·10⁴ + 0.5) — pure IEEE, engine-portable —
+   * the cluster sum is INTEGER (partial-sum order can never move it),
+   * and the mean is ONE final IEEE division by size·10⁴; c_old is the
+   * same e4 quantization of the incoming centroid, one division. No
+   * float aggregate, no round of a float sum.
    * Returns (cluster, pos, size, c_new, c_old).
    */
   def kmeansStep(vecs: DataFrame, centroids: DataFrame): DataFrame =
     ivfAssign(vecs, centroids)
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("p0", "v")))
       .select(col("cluster"), (col("p0") + 1).cast("int").as("pos"),
-        col("v").cast("double").as("v"))
+        floor(col("v").cast("double") * 10000.0 + 0.5).cast("long").as("v_e4"))
       .groupBy(col("cluster"), col("pos"))
-      .agg(count(lit(1)).as("size"), round(avg(col("v")), 4).as("c_new"))
+      .agg(count(lit(1)).as("size"), sum(col("v_e4")).as("s_e4"))
+      .withColumn("c_new",
+        col("s_e4").cast("double") / (col("size").cast("double") * 10000.0))
       .join(broadcast(centroids), col("cluster") === col("centroid_id"))
       .select(col("cluster"), col("pos"), col("size"), col("c_new"),
-        round(element_at(col("cembedding"), col("pos")).cast("double"), 4)
-          .as("c_old"))
+        (floor(element_at(col("cembedding"), col("pos")).cast("double") *
+          10000.0 + 0.5).cast("double") / 10000.0).as("c_old"))
 
   /**
    * Johnson–Lindenstrauss random projection (Achlioptas 2003 — database-
@@ -291,8 +298,16 @@ object Similarity {
    * table, built once; the corpus pos-explodes (dimIn rows per vector),
    * joins the matrix on the input position, and re-aggregates per
    * (vector, output dim) — one linear explode + one hash aggregate with
-   * map-side partials, no corpus shuffle wider than dimOut doubles per
-   * vector. Results round to 4 dp (the repo's float-sum convention).
+   * map-side partials, no corpus shuffle wider than dimOut longs per
+   * vector.
+   *
+   * Exact-integer parity (the q33/q37 convention): each component is
+   * quantized once to 1e-4 via `floor(v·1e4 + 0.5)` — pure IEEE ops, so
+   * any engine lands on the same BIGINT — then SUMMED AS INTEGERS
+   * (order-independent across partitions, unlike a float sum) into
+   * `proj_e4`; `proj` is one final IEEE division by √dimOut·1e4, which
+   * is deterministic given identical integer operands. No float
+   * aggregate ever reaches a rounding boundary.
    */
   def randomProjection(vecs: DataFrame, dimIn: Int, dimOut: Int): DataFrame = {
     require(dimOut >= 1 && dimIn >= dimOut, s"need 1 <= dimOut <= dimIn")
@@ -304,17 +319,18 @@ object Similarity {
       .toDF("pos", "j")
       .withColumn("sign",
         when(conv(substring(md5(concat_ws(":", col("pos"), col("j"))
-          .cast("binary")), 1, 1), 16, 10).cast("int") % 2 === 1, 1.0)
-          .otherwise(-1.0))
-    // divide by √dimOut (not multiply by a reciprocal): for square
-    // dimOut both engines hold the divisor exactly
-    val scale = math.sqrt(dimOut.toDouble)
+          .cast("binary")), 1, 1), 16, 10).cast("int") % 2 === 1, 1L)
+          .otherwise(-1L))
+    // divide by √dimOut·1e4 (not multiply by a reciprocal): both engines
+    // evaluate sqrt + product identically on these exact inputs
+    val divisor = math.sqrt(dimOut.toDouble) * 10000.0
     vecs.select(col("vec_id"), posexplode(col("embedding")).as(Seq("p0", "v")))
       .select(col("vec_id"), (col("p0") + 1).cast("int").as("pos"),
-        col("v").cast("double").as("v"))
+        floor(col("v").cast("double") * 10000.0 + 0.5).cast("long").as("v_e4"))
       .join(broadcast(signs), Seq("pos"))
       .groupBy(col("vec_id"), col("j"))
-      .agg(round(sum(col("v") * col("sign")) / scale, 4).as("proj"))
+      .agg(sum(col("v_e4") * col("sign")).as("proj_e4"))
+      .withColumn("proj", col("proj_e4").cast("double") / divisor)
   }
 
   /** A query's `nprobe` nearest centroids (rank 1 = nearest; ties to the
@@ -412,7 +428,11 @@ object Similarity {
    * wider than its own id.
    *
    * Output: one row per vector — its m codes (CSV, segment order) and
-   * the total squared reconstruction error.
+   * the total squared reconstruction error as `err_e6`: each segment's
+   * distance (a fixed-order kernel, bit-identical across engines) is
+   * quantized to an e6 BIGINT via floor(d·10⁶ + 0.5) BEFORE the
+   * per-vector sum, so partial-aggregation order can never move the
+   * total — the exact-integer convention, replacing a rounded float sum.
    */
   def pqQuantize(corpus: DataFrame, codebooks: DataFrame,
       dsub: Int): DataFrame =
@@ -422,7 +442,7 @@ object Similarity {
         concat_ws(",", transform(
           array_sort(collect_list(struct(col("segment"), col("code")))),
           s => s.getField("code").cast("string"))).as("codes_csv"),
-        round(sum(col("sdist")), 3).as("err"))
+        sum(floor(col("sdist") * 1000000.0 + 0.5).cast("long")).as("err_e6"))
 
   /**
    * PQ search by Asymmetric Distance Computation (Jégou 2011 §III-B) —
@@ -450,17 +470,18 @@ object Similarity {
     codes.join(broadcast(lut), Seq("segment", "code"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy(col("qid"), col("vec_id"))
-      // rank on the ROUNDED distance: the m-lookup sum's float add order
-      // is engine/run-dependent, so raw-double ordering flips near-exact
-      // ties between runs; at 3 decimals ties collapse and break on the
-      // deterministic vec_id instead
-      .agg(round(sum(col("d")), 3).as("adc"))
+      // rank on the exact-integer distance: each LUT entry (a fixed-order
+      // kernel, bit-identical across engines) quantizes to an e6 BIGINT
+      // via floor(d·10⁶ + 0.5) BEFORE the m-lookup sum, so neither
+      // engine/run float-add order nor partial-agg order can move the
+      // total; ties break on the deterministic vec_id
+      .agg(sum(floor(col("d") * 1000000.0 + 0.5).cast("long")).as("adc_e6"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-          .orderBy(col("adc"), col("vec_id"))))
+          .orderBy(col("adc_e6"), col("vec_id"))))
       .filter(col("rk") <= k)
       .select(col("qid").as("query_id"), col("rk").cast("int").as("rank"),
-        col("vec_id").as("neighbor_id"), col("adc").as("adc_dist"))
+        col("vec_id").as("neighbor_id"), col("adc_e6"))
   }
 
   /**

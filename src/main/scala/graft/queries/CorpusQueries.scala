@@ -1491,32 +1491,39 @@ object CorpusQueries extends QueryGroup {
       |qterms AS (SELECT qid, word FROM qt WHERE len(word) > 0),
       |dfq AS (SELECT word, count(*) AS df FROM tf
       |        WHERE word IN (SELECT DISTINCT word FROM qterms) GROUP BY 1),
+      |idfq AS (SELECT word, df,
+      |           CAST(floor(ln((2 * s.n_docs + 2) /
+      |             CAST(2 * df + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |             AS idf_e6
+      |         FROM dfq, stats s),
       |scored AS (
-      |  SELECT q.qid, t.did,
-      |         sum(CAST(round(
-      |           ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
-      |           (t.tf * ${1.2 + 1}) /
-      |           (t.tf + ${1.2} * (${1 - 0.75} +
-      |              ${0.75} * d.dl * s.n_docs / s.total_len)) *
-      |           10000.0, 0) AS BIGINT)) AS score_e4
-      |  FROM tf t JOIN qterms q USING (word)
-      |       JOIN dl d ON d.did = t.did
-      |       JOIN dfq f ON f.word = t.word
-      |       CROSS JOIN stats s
-      |  WHERE t.did <> q.qid
+      |  SELECT qid, did, CAST(sum(c_e4) AS BIGINT) AS score_e4
+      |  FROM (
+      |    SELECT q.qid, t.did,
+      |      (2 * (CAST(f.idf_e6 AS HUGEINT) * t.tf * 220 * s.total_len)
+      |         + ((t.tf * 10000 + 3000) * CAST(s.total_len AS HUGEINT)
+      |            + 9000 * CAST(d.dl AS HUGEINT) * s.n_docs))
+      |      // (2 * ((t.tf * 10000 + 3000) * CAST(s.total_len AS HUGEINT)
+      |            + 9000 * CAST(d.dl AS HUGEINT) * s.n_docs)) AS c_e4
+      |    FROM tf t JOIN qterms q USING (word)
+      |         JOIN dl d ON d.did = t.did
+      |         JOIN idfq f ON f.word = t.word
+      |         CROSS JOIN stats s
+      |    WHERE t.did <> q.qid)
       |  GROUP BY 1, 2),
       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
       |        ORDER BY score_e4 DESC, did) AS rank FROM scored)""".stripMargin
 
   private val p79 = QueryDef(
     // Okapi BM25 top-10 retrieval: docs 0-4 play the query set, the
-    // whole corpus is the index. Per-term contributions are one fixed
-    // double expression rounded ×10⁴ to BIGINT BEFORE the per-(query,
-    // doc) sum (the bigram-LM convention), so partial-agg order can't
-    // move a score; ties rank by doc id. The oracle rebuilds tf/df/dl
-    // and replays the identical expression — the constants are
-    // interpolated from the same Scala doubles the engine uses, so both
-    // engines parse byte-identical literals.
+    // whole corpus is the index. Engine-independent scoring (the
+    // exact-integer convention): idf_e6 is the only libm value —
+    // materialized once per query-vocab term from one exact integer
+    // ratio, quantized 1e-6 — and each per-term contribution is a pure
+    // HUGEINT/DECIMAL(38,0) cross-multiplication with explicit
+    // (2·num+den) div (2·den) round-half-up, summed as BIGINTs; ties
+    // rank by doc id. The oracle rebuilds tf/df/dl and replays the
+    // identical integer arithmetic.
     (s, d) => bm25Shared(s, d).orderBy(col("query_id"), col("rank")),
     Some(s"""WITH $bm25RankedCte
       |SELECT qid AS query_id, CAST(rank AS INT) AS rank,

@@ -804,10 +804,10 @@ object PipelineQueries extends QueryGroup {
     // One Lloyd k-means iteration (the step that TRAINS the centroids
     // p14/p28 consume): broadcast-assign every vector to its nearest
     // centroid, recompute each cluster mean as a (cluster, dim) hash
-    // aggregate. The oracle replays assignment with the identical
-    // fixed-order dot products (bit-exact across engines) and averages
-    // with its own sum order — the 4-dp round is the engine-parity
-    // contract for the only float aggregate here.
+    // aggregate. Exact-integer parity (the p54 convention): components
+    // e4-quantize via floor(v·10⁴ + 0.5), the cluster sum is INTEGER,
+    // and c_new/c_old are each ONE final IEEE division — no float
+    // aggregate for either engine to re-order.
     (s, d) => {
       val e = embs(s, d)
       val centroids = e.filter(col("vec_id") % 50 === 0)
@@ -823,12 +823,17 @@ object PipelineQueries extends QueryGroup {
       |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
       |       FROM aff),
       |asg AS (SELECT vec_id, embedding, cid AS cluster FROM rk WHERE rn = 1),
-      |pe AS (SELECT cluster, CAST(i.i AS INT) AS pos, embedding[i.i]::DOUBLE AS v
+      |pe AS (SELECT cluster, CAST(i.i AS INT) AS pos,
+      |         CAST(floor(embedding[i.i]::DOUBLE * 10000.0 + 0.5) AS BIGINT)
+      |           AS v_e4
       |       FROM asg CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
-      |upd AS (SELECT cluster, pos, count(*) AS size, round(avg(v), 4) AS c_new
+      |upd AS (SELECT cluster, pos, count(*) AS size,
+      |          CAST(sum(v_e4) AS BIGINT) AS s_e4
       |        FROM pe GROUP BY 1, 2)
-      |SELECT u.cluster, u.pos, u.size, u.c_new,
-      |       round(c.ce[u.pos]::DOUBLE, 4) AS c_old
+      |SELECT u.cluster, u.pos, u.size,
+      |       CAST(u.s_e4 AS DOUBLE) / (u.size * 10000.0) AS c_new,
+      |       CAST(floor(c.ce[u.pos]::DOUBLE * 10000.0 + 0.5) AS DOUBLE)
+      |         / 10000.0 AS c_old
       |FROM upd u JOIN cent c ON c.cid = u.cluster
       |ORDER BY u.cluster, u.pos""".stripMargin))
 
@@ -836,20 +841,27 @@ object PipelineQueries extends QueryGroup {
     // Johnson–Lindenstrauss projection 64→16 with a deterministic md5
     // sign matrix (Achlioptas ±1): the matrix is a broadcast dimension
     // table both engines rebuild cell-for-cell; the projection is one
-    // explode + join + hash aggregate, rounded 4 dp.
+    // explode + join + hash aggregate. Exact-integer parity: components
+    // quantize to e4 BIGINTs via floor(v·1e4 + 0.5) (pure IEEE, engine-
+    // portable), the sum is integer (order-independent), and `proj` is
+    // ONE final IEEE division — no round of a multi-partition float sum.
     (s, d) => Similarity.randomProjection(embs(s, d), dimIn = 64, dimOut = 16)
       .orderBy(col("vec_id"), col("j")),
     Some("""WITH sg AS (
       |  SELECT i.i AS pos, j.j AS j,
       |    CASE WHEN CAST(('0x' || substr(md5(i.i || ':' || j.j), 1, 1)) AS INT)
       |              % 2 = 1
-      |         THEN 1.0 ELSE -1.0 END AS sign
+      |         THEN 1 ELSE -1 END AS sign
       |  FROM (SELECT unnest(range(1, 65)) AS i) i,
       |       (SELECT unnest(range(1, 17)) AS j) j),
-      |pe AS (SELECT vec_id, i.i AS pos, embedding[i.i]::DOUBLE AS v
+      |pe AS (SELECT vec_id, i.i AS pos,
+      |         CAST(floor(embedding[i.i]::DOUBLE * 10000.0 + 0.5) AS BIGINT)
+      |           AS v_e4
       |       FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i)
       |SELECT pe.vec_id, CAST(sg.j AS INT) AS j,
-      |       round(sum(pe.v * sg.sign) / sqrt(16.0), 4) AS proj
+      |       CAST(sum(pe.v_e4 * sg.sign) AS BIGINT) AS proj_e4,
+      |       CAST(CAST(sum(pe.v_e4 * sg.sign) AS BIGINT) AS DOUBLE)
+      |         / (sqrt(16.0) * 10000.0) AS proj
       |FROM pe JOIN sg ON pe.pos = sg.pos
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
@@ -895,6 +907,10 @@ object PipelineQueries extends QueryGroup {
       |        ORDER BY dist, code) AS rn FROM d)""".stripMargin
 
   private val p35 = QueryDef(
+    // Reconstruction error in the exact-integer convention: each
+    // segment's distance (fixed-order kernel, bit-identical across
+    // engines) quantizes to e6 via floor(d·10⁶ + 0.5) BEFORE the
+    // per-vector sum — no rounded float aggregate.
     (s, d) => {
       val e = embs(s, d)
       Similarity.pqQuantize(e, pqCodebooks(s, e), dsub = 16)
@@ -903,7 +919,8 @@ object PipelineQueries extends QueryGroup {
     Some(s"""WITH $pqSqlCtes
       |SELECT vec_id,
       |       string_agg(CAST(code AS VARCHAR), ',' ORDER BY segment) AS codes_csv,
-      |       round(sum(dist), 3) AS err
+      |       CAST(sum(CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS err_e6
       |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin))
 
   private val p39 = QueryDef(
@@ -929,7 +946,9 @@ object PipelineQueries extends QueryGroup {
   private val p37 = QueryDef(
     // PQ search via Asymmetric Distance Computation: queries (vec_id<10)
     // precompute per-segment LUTs; corpus distance = sum of m lookups
-    // over its codes. Oracle recomputes codes + LUTs + the lookup sum.
+    // over its codes, each lookup quantized to e6 BEFORE the sum (the
+    // exact-integer convention — ranking can't ride a float-add order).
+    // Oracle recomputes codes + LUTs + the integer lookup sum.
     (s, d) => {
       val e = embs(s, d)
       Similarity.pqAdcTopK(e.filter(col("vec_id") < 10), e,
@@ -947,14 +966,16 @@ object PipelineQueries extends QueryGroup {
       |           AS dd
       |  FROM q CROSS JOIN cb c),
       |ad AS (
-      |  SELECT l.qid, g.vec_id, round(sum(l.dd), 3) AS adc
+      |  SELECT l.qid, g.vec_id,
+      |         CAST(sum(CAST(floor(l.dd * 1000000.0 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS adc_e6
       |  FROM asg g JOIN lut l ON g.segment = l.segment AND g.code = l.code
       |  WHERE g.vec_id <> l.qid
       |  GROUP BY 1, 2),
       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
-      |        ORDER BY adc, vec_id) AS rk FROM ad)
+      |        ORDER BY adc_e6, vec_id) AS rk FROM ad)
       |SELECT qid AS query_id, CAST(rk AS INT) AS rank,
-      |       vec_id AS neighbor_id, adc AS adc_dist
+      |       vec_id AS neighbor_id, adc_e6
       |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin))
 
   // ---------------------------------------------------------------- text analysis

@@ -1377,17 +1377,24 @@ object RelationalQueries extends QueryGroup {
         .select(col("l_returnflag"), col("l_linestatus"),
           round(col("l_quantity") * 100).cast("long").as("qty_e2"))
       // GROUPING SETS ((l_returnflag), (l_linestatus)) via SQL — the
-      // DataFrame API exposes only rollup/cube; the lattice form is SQL
-      li.createOrReplaceTempView("gs_lineitem")
-      li.sparkSession.sql(
-        """SELECT CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      // DataFrame API exposes only rollup/cube; the lattice form is SQL.
+      // The view name is unique per invocation and dropped immediately
+      // after sql() (analysis is eager, so the returned plan no longer
+      // needs it) — no shared session-catalog state to race or clobber.
+      val view = "gs_lineitem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      li.createOrReplaceTempView(view)
+      val out = li.sparkSession.sql(
+        s"""SELECT CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
           |       coalesce(l_returnflag, '*') AS returnflag,
           |       coalesce(l_linestatus, '*') AS linestatus,
           |       CAST(sum(qty_e2) AS BIGINT) AS sum_qty_e2,
           |       count(*) AS n
-          |FROM gs_lineitem
+          |FROM $view
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           |ORDER BY gid, returnflag, linestatus""".stripMargin)
+      li.sparkSession.catalog.dropTempView(view)
+      out
     },
     Some("""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
       |       coalesce(l_returnflag, '*') AS returnflag,

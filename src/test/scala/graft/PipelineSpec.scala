@@ -210,14 +210,15 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("segment", "code", "subvec")
     val got = Similarity.pqQuantize(corpus, codebooks, dsub = 2)
       .collect().map(r => r.getLong(0) ->
-        (r.getString(1), r.getDouble(2))).toMap
+        (r.getString(1), r.getLong(2))).toMap
     assert(got(0L)._1 === "0,0") // (1,0)→code0 seg0; (0,1)→code0 seg1
     assert(got(1L)._1 === "1,1")
     assert(got(2L)._1 === "0,0")
-    assert(got(0L)._2 === 0.0) // exact codewords: zero reconstruction error
-    assert(got(1L)._2 === 0.0)
+    assert(got(0L)._2 === 0L) // exact codewords: zero reconstruction error
+    assert(got(1L)._2 === 0L)
     // vec 2: (0.9-1)²+(0.1-0)² + (0.2-0)²+(0.8-1)² = 0.02+0.08 = 0.1
-    assert(math.abs(got(2L)._2 - 0.1) < 1e-6)
+    // → err_e6 ≈ 100000 (±2 for the float32 inputs' e6 quantization)
+    assert(math.abs(got(2L)._2 - 100000L) <= 2L)
   }
 
   test("hash embedding: signed counts land on murmur3-derived dims") {
@@ -255,11 +256,12 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("segment", "code", "subvec")
     val got = Similarity.pqAdcTopK(corpus.filter(col("vec_id") === 2),
       corpus, codebooks, dsub = 2, k = 2)
-      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3))).toMap
-    // vec0 codes (0,0): lut = l2((.9,.1),(1,0)) + l2((.2,.8),(0,1)) = 0.02+0.08
-    assert(got(1)._1 === 0L && math.abs(got(1)._2 - 0.1) < 1e-9)
-    // vec1 codes (1,1): 1.62 + 1.28
-    assert(got(2)._1 === 1L && math.abs(got(2)._2 - 2.9) < 1e-9)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // vec0 codes (0,0): lut = l2((.9,.1),(1,0)) + l2((.2,.8),(0,1)) =
+    // 0.02+0.08 → adc_e6 ≈ 100000 (±2 for float32 e6 quantization)
+    assert(got(1)._1 === 0L && math.abs(got(1)._2 - 100000L) <= 2L)
+    // vec1 codes (1,1): 1.62 + 1.28 → ≈ 2900000
+    assert(got(2)._1 === 1L && math.abs(got(2)._2 - 2900000L) <= 2L)
   }
 
   test("semantic dedup matches a driver-side brute-force replay") {
@@ -324,9 +326,11 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
     def mean(ids: Seq[Long], pos: Int): Double = {
-      val m = ids.map(id => vs.find(_._1 == id).get._2(pos - 1).toDouble)
-        .sum / ids.size
-      BigDecimal(m).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // the engine's exact-integer path: e4 quantize, integer sum, one
+      // IEEE division by size·10⁴
+      val sE4 = ids.map(id => math.floor(vs.find(_._1 == id).get
+        ._2(pos - 1).toDouble * 10000.0 + 0.5).toLong).sum
+      sE4.toDouble / (ids.size * 10000.0)
     }
     for (pos <- 1 to 4) {
       assert(got((0L, pos)) === ((3L, mean(Seq(0L, 1L, 2L), pos))), s"c0 pos=$pos")
@@ -345,7 +349,8 @@ class PipelineSpec extends AnyFunSuite {
       .randomProjection(e, dimIn = 64, dimOut = 16)
       .collect().groupBy(_.getLong(0))
       .map { case (id, rows) =>
-        id -> math.sqrt(rows.map(r => { val p = r.getDouble(2); p * p }).sum)
+        id -> math.sqrt(rows.map(r => {
+          val p = r.getAs[Double]("proj"); p * p }).sum)
       }
     assert(proj.size === inNorm.size)
     // E[||proj||²] = ||v||²; k=16 gives ~1/√8 ≈ 35% std on the SQUARED

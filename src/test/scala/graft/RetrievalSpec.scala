@@ -11,8 +11,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class RetrievalSpec extends AnyFunSuite {
   import TestSpark._
 
-  /** Naive BM25 over in-memory docs — the same expression tree the engine
-   * and the DuckDB oracle share (k1=1.2, b=0.75, Lucene shifted idf). */
+  /** Naive BM25 over in-memory docs — the same exact-integer arithmetic
+   * the engine and the DuckDB oracle share (k1=1.2, b=0.75, Lucene
+   * shifted idf as idf_e6; (2·num+den)/(2·den) round-half-up). */
   private def naive(corpus: Seq[(Long, String)], queryIds: Set[Long],
       k: Int): Seq[(Long, Int, Long, Long)] = {
     def words(t: String): Seq[String] =
@@ -23,6 +24,9 @@ class RetrievalSpec extends AnyFunSuite {
     val totalLen = toks.values.map(_.size.toLong).sum
     val df = toks.values.flatMap(_.distinct).groupBy(identity)
       .map { case (w, occ) => w -> occ.size.toLong }
+    def idfE6(dfw: Long): Long =
+      math.floor(math.log((2 * n + 2).toDouble / (2 * dfw + 1).toDouble)
+        * 1000000.0 + 0.5).toLong
     queryIds.toSeq.sorted.flatMap { qid =>
       val qws = toks(qid).distinct
       val scored = corpus.collect { case (did, _)
@@ -31,9 +35,10 @@ class RetrievalSpec extends AnyFunSuite {
         val score = qws.collect {
           case w if toks(did).contains(w) =>
             val tf = toks(did).count(_ == w).toLong
-            val idf = math.log(1 + (n - df(w) + 0.5) / (df(w) + 0.5))
-            math.round(idf * (tf * 2.2) /
-              (tf + 1.2 * (0.25 + 0.75 * dl * n / totalLen)) * 10000.0)
+            val num = BigInt(idfE6(df(w))) * tf * 220 * totalLen
+            val den = BigInt(tf * 10000 + 3000) * totalLen +
+              BigInt(9000) * dl * n
+            ((2 * num + den) / (2 * den)).toLong
         }.sum
         (did, score)
       }
