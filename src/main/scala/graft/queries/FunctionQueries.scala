@@ -198,12 +198,94 @@ object FunctionQueries extends QueryGroup {
       |FROM win GROUP BY key, window_id HAVING count(*) = 5
       |ORDER BY key, window_id""".stripMargin))
 
+  private val u11 = QueryDef(
+    // U11 — BatchSource discovery→trigger→ingest cycles: daily cron
+    // fires discover every event since the last ACCEPTED fire; a fire
+    // inside the previous discovery's busy window (400 ms/task) is
+    // dropped (BatchSourceExecutor's discoverInProgress guard), so
+    // backlogs cascade into wider windows; discovered tasks spread
+    // round-robin over 3 instances (the shared-subscription stand-in).
+    // The oracle replays the trigger fold with a recursive CTE and the
+    // task routing + digest relationally — rule replay, not pinned
+    // constants, so it holds at every SF.
+    (s, d) => graft.operators.BatchSourceCycles.cycles(
+      graft.model.EventLog.raw(s, d)
+        .select(col("event_id"), expr("ts div 1000000").as("ms")),
+      "event_id", "ms", periodMs = 86400000L, perTaskMs = 400000L,
+      instances = 3)
+      .orderBy(col("cycle")),
+    Some("""WITH RECURSIVE
+      |b AS (SELECT epoch_ms(min(ts)) AS t0, count(*) AS total FROM events),
+      |ev AS (SELECT event_id, epoch_ms(ts) AS ms FROM events),
+      |sl AS (SELECT ((ms - t0 - 1) // 86400000) + 1 AS k, count(*) AS c
+      |       FROM ev, b GROUP BY 1),
+      |step(k, la, busy, drops, ing, emit, la_emit, drops_emit) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |         CAST(-4611686018427387904 AS BIGINT), CAST(0 AS BIGINT),
+      |         CAST(0 AS BIGINT), FALSE,
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |  UNION ALL
+      |  SELECT s.k + 1,
+      |         CASE WHEN b.t0 + (s.k+1)*86400000 >= s.busy AND
+      |                   (SELECT coalesce(sum(c),0) FROM sl
+      |                    WHERE sl.k > s.la AND sl.k <= s.k+1) > 0
+      |              THEN s.k + 1 ELSE s.la END,
+      |         CASE WHEN b.t0 + (s.k+1)*86400000 >= s.busy AND
+      |                   (SELECT coalesce(sum(c),0) FROM sl
+      |                    WHERE sl.k > s.la AND sl.k <= s.k+1) > 0
+      |              THEN b.t0 + (s.k+1)*86400000 + 400000 *
+      |                   (SELECT coalesce(sum(c),0) FROM sl
+      |                    WHERE sl.k > s.la AND sl.k <= s.k+1)
+      |              ELSE s.busy END,
+      |         CASE WHEN b.t0 + (s.k+1)*86400000 < s.busy THEN s.drops + 1
+      |              WHEN (SELECT coalesce(sum(c),0) FROM sl
+      |                    WHERE sl.k > s.la AND sl.k <= s.k+1) > 0 THEN 0
+      |              ELSE s.drops END,
+      |         s.ing + CASE WHEN b.t0 + (s.k+1)*86400000 >= s.busy
+      |                 THEN (SELECT coalesce(sum(c),0) FROM sl
+      |                       WHERE sl.k > s.la AND sl.k <= s.k+1)
+      |                 ELSE 0 END,
+      |         b.t0 + (s.k+1)*86400000 >= s.busy AND
+      |           (SELECT coalesce(sum(c),0) FROM sl
+      |            WHERE sl.k > s.la AND sl.k <= s.k+1) > 0,
+      |         s.la, s.drops
+      |  FROM step s, b
+      |  WHERE s.ing < b.total),
+      |cyc AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY k) AS INT) AS cycle,
+      |         k AS k_hi, la_emit AS k_lo,
+      |         (SELECT t0 FROM b) + k * 86400000 AS fire_ms,
+      |         drops_emit AS n_dropped
+      |  FROM step WHERE emit),
+      |tk AS (
+      |  SELECT c.cycle, e.event_id,
+      |         row_number() OVER (PARTITION BY c.cycle
+      |           ORDER BY e.event_id) AS rn
+      |  FROM (SELECT event_id, ((ms - t0 - 1) // 86400000) + 1 AS k
+      |        FROM ev, b) e
+      |  JOIN cyc c ON e.k > c.k_lo AND e.k <= c.k_hi),
+      |g AS (
+      |  SELECT cycle, count(*) AS n_tasks,
+      |    CAST(sum(CASE WHEN (rn-1) % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_i0,
+      |    CAST(sum(CASE WHEN (rn-1) % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_i1,
+      |    CAST(sum(CASE WHEN (rn-1) % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_i2,
+      |    md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id))
+      |      AS tasks_md5
+      |  FROM tk GROUP BY cycle)
+      |SELECT c.cycle, c.fire_ms, c.n_dropped, g.n_tasks,
+      |       g.n_i0, g.n_i1, g.n_i2, g.tasks_md5
+      |FROM cyc c JOIN g USING (cycle) ORDER BY cycle""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "u1_scalar_fn" -> u1,
     "u3_side_outputs" -> u3,
     "u4_composition" -> u4,
     "u5_guarantees" -> u5,
     "u6_key_ordering" -> u6,
+    "u11_batch_cycles" -> u11,
     "a6_counters" -> a6,
     "a7_byte_state" -> a7,
     "w5_count_watermark" -> w5
