@@ -526,6 +526,117 @@ object LogQueries extends QueryGroup {
       |SELECT topic, count(*) AS outbound_count FROM env
       |WHERE replicated_from IS NULL GROUP BY topic ORDER BY topic""".stripMargin))
 
+  /** S17 fixture: five snapshot attempts over remotes {B, C} (source A,
+   * two request rounds, 10 s timeout) exercising every protocol branch —
+   * s1 clean completion (round-2 responses must NOT overwrite stored
+   * round-1 positions: putIfAbsent), s2 missing a round-2 response
+   * (incomplete), s3 structurally complete but past the timeout (the
+   * builder was already dropped — its late reply is ignored), s4
+   * completion with round-2 responses out of order, s5 completed but
+   * never reached by the mark-delete cursor. seq doubles as the marker's
+   * local entry id; REQUEST rows carry no remote position. */
+  private val rsMarkerRows: Seq[(Long, Long, String, String, String, Long, Long)] =
+    Seq(
+      (1L, 0L, "REQUEST", "s1", "A", 0L, 0L),
+      (2L, 100L, "RESPONSE", "s1", "B", 10L, 5L),
+      (3L, 200L, "RESPONSE", "s1", "C", 20L, 7L),
+      (4L, 300L, "REQUEST", "s1", "A", 0L, 0L),
+      (5L, 400L, "RESPONSE", "s1", "B", 10L, 6L),
+      (6L, 500L, "RESPONSE", "s1", "C", 20L, 9L),
+      (7L, 1000L, "REQUEST", "s2", "A", 0L, 0L),
+      (8L, 1100L, "RESPONSE", "s2", "B", 10L, 8L),
+      (9L, 1200L, "RESPONSE", "s2", "C", 20L, 11L),
+      (10L, 1300L, "REQUEST", "s2", "A", 0L, 0L),
+      (11L, 1400L, "RESPONSE", "s2", "B", 10L, 9L),
+      (12L, 2000L, "REQUEST", "s3", "A", 0L, 0L),
+      (13L, 2500L, "RESPONSE", "s3", "B", 10L, 12L),
+      (14L, 3000L, "RESPONSE", "s3", "C", 20L, 14L),
+      (15L, 3500L, "REQUEST", "s3", "A", 0L, 0L),
+      (16L, 4000L, "RESPONSE", "s3", "B", 10L, 13L),
+      (17L, 13000L, "RESPONSE", "s3", "C", 20L, 16L),
+      (18L, 20000L, "REQUEST", "s4", "A", 0L, 0L),
+      (19L, 20100L, "RESPONSE", "s4", "B", 10L, 20L),
+      (20L, 20200L, "RESPONSE", "s4", "C", 20L, 22L),
+      (21L, 20300L, "REQUEST", "s4", "A", 0L, 0L),
+      (22L, 20400L, "RESPONSE", "s4", "C", 20L, 23L),
+      (23L, 20500L, "RESPONSE", "s4", "B", 10L, 21L),
+      (24L, 30000L, "REQUEST", "s5", "A", 0L, 0L),
+      (25L, 30100L, "RESPONSE", "s5", "B", 10L, 30L),
+      (26L, 30200L, "RESPONSE", "s5", "C", 20L, 32L),
+      (27L, 30300L, "REQUEST", "s5", "A", 0L, 0L),
+      (28L, 30400L, "RESPONSE", "s5", "B", 10L, 31L),
+      (29L, 30500L, "RESPONSE", "s5", "C", 20L, 33L))
+
+  /** Local mark-delete advances: below s1 (no snapshot), past s1, a jump
+   * past s4 (s1→s4 directly, one UPDATE, not two), a no-op re-advance. */
+  private val rsAdvanceRows: Seq[(Long, Long)] =
+    Seq((1L, 3L), (2L, 10L), (3L, 24L), (4L, 25L))
+
+  private def rsMarkerValues: String = rsMarkerRows.map {
+    case (q, t, m, sid, c, l, e) => s"($q, $t, '$m', '$sid', '$c', $l, $e)"
+  }.mkString(", ")
+  private def rsAdvanceValues: String =
+    rsAdvanceRows.map { case (a, m) => s"($a, $m)" }.mkString(", ")
+
+  private val s17 = QueryDef(
+    // S17 replicated-subscription cursor sync: fold the marker protocol
+    // (REQUEST/RESPONSE rounds → completed snapshots; mark-delete
+    // advances → UPDATE emissions) into per-cluster synced positions.
+    // The oracle replays every rule over the same fixture relation —
+    // first-response-wins storage, two-round completion, the timeout
+    // gate, and the running-max UPDATE fold — not pinned answers.
+    (s, d) => {
+      import s.implicits._
+      graft.operators.ReplicatedSubscription.sync(
+        rsMarkerRows.toDF("seq", "ts_ms", "mtype", "sid", "cluster",
+          "r_ledger", "r_entry"),
+        rsAdvanceRows.toDF("adv_seq", "md_entry"),
+        remotes = Seq("B", "C"), timeoutMs = 10000L)
+        .orderBy(col("snapshot_id"), col("cluster"))
+    },
+    Some(s"""WITH m(seq, ts_ms, mtype, sid, cluster, r_ledger, r_entry) AS (
+      |  SELECT * FROM (VALUES $rsMarkerValues)),
+      |adv(adv_seq, md_entry) AS (SELECT * FROM (VALUES $rsAdvanceValues)),
+      |req AS (SELECT sid, min(ts_ms) AS req_ts FROM m
+      |        WHERE mtype = 'REQUEST' GROUP BY sid),
+      |resp AS (SELECT *, row_number() OVER (PARTITION BY sid, cluster
+      |           ORDER BY seq) AS rn
+      |         FROM m WHERE mtype = 'RESPONSE'),
+      |stored AS (SELECT sid, cluster, r_ledger * 1000000 + r_entry
+      |             AS stored_pos FROM resp WHERE rn = 1),
+      |done AS (SELECT sid, count(DISTINCT cluster) AS n_done,
+      |                max(seq) AS done_seq, max(ts_ms) AS done_ts
+      |         FROM resp WHERE rn = 2 AND cluster IN ('B', 'C')
+      |         GROUP BY sid),
+      |census AS (
+      |  SELECT r.sid,
+      |         CASE WHEN d.n_done = 2 AND d.done_ts - r.req_ts <= 10000
+      |              THEN 'completed'
+      |              WHEN d.n_done = 2 THEN 'timed_out'
+      |              ELSE 'incomplete' END AS status,
+      |         CASE WHEN d.n_done = 2 AND d.done_ts - r.req_ts <= 10000
+      |              THEN d.done_seq END AS local_entry
+      |  FROM req r LEFT JOIN done d USING (sid)),
+      |best AS (SELECT a.adv_seq, max(c.local_entry) AS best_entry
+      |         FROM adv a JOIN census c ON c.status = 'completed'
+      |           AND c.local_entry <= a.md_entry
+      |         GROUP BY a.adv_seq),
+      |upd AS (SELECT best_entry,
+      |               row_number() OVER (ORDER BY best_entry) AS upd_seq
+      |        FROM (SELECT DISTINCT best_entry FROM best)),
+      |grid AS (SELECT c.sid, c.status, c.local_entry, u.upd_seq,
+      |                cl.cluster
+      |         FROM census c LEFT JOIN upd u ON c.local_entry = u.best_entry
+      |         CROSS JOIN (SELECT unnest(['B', 'C']) AS cluster) cl)
+      |SELECT g.sid AS snapshot_id, g.status,
+      |       CAST(g.local_entry AS BIGINT) AS local_entry,
+      |       CAST(g.upd_seq AS BIGINT) AS upd_seq, g.cluster,
+      |       CAST(CASE WHEN g.status = 'completed' THEN s.stored_pos END
+      |         AS BIGINT) AS stored_pos
+      |FROM grid g LEFT JOIN stored s
+      |  ON g.sid = s.sid AND g.cluster = s.cluster
+      |ORDER BY snapshot_id, g.cluster""".stripMargin))
+
   // ---------------------------------------------------------------- R: routing
 
   private val r1 = QueryDef(
@@ -1120,6 +1231,7 @@ object LogQueries extends QueryGroup {
     "s7_union_topics" -> s7,
     "s8_regex_topics" -> s8,
     "s14_replication_outbound" -> s14,
+    "s17_replicated_subscription" -> s17,
     "r1_round_robin" -> r1,
     "r2_key_hash_route" -> r2,
     "r5_key_shared_buckets" -> r5,
