@@ -227,4 +227,110 @@ object Routing {
       .withColumn("consumer", coalesce(col("consumer"), lit("backlog")))
       .withColumn("priority", coalesce(col("priority"), lit(-1)))
   }
+
+  /**
+   * R12 — Key_Shared JOIN-TIME ORDERING FENCE (`recentlyJoinedConsumers`,
+   * `PersistentStickyKeyDispatcherMultipleConsumersClassic.java:80-87`):
+   * a consumer joining a live dispatcher is recorded with the read
+   * position at its join, and until the subscription's mark-delete
+   * position passes that point it may only receive messages PUBLISHED
+   * BEFORE it joined (`getRestrictedMaxEntriesForConsumer` :434-490 —
+   * entries at or past the divider stop the dispatch batch). Replay
+   * reads (redeliveries freed by a leaving consumer) additionally clamp
+   * to the OLDEST recently-joined consumer's position (:471-478, the
+   * #23795 ordering fix), so a redelivered message can't sneak past a
+   * newer consumer's fence just because its own divider is higher.
+   *
+   * Batch model over an offset-ordered log: the membership history
+   * (offset, join/leave, consumer) yields one auto-split range table per
+   * epoch ([[autoSplitFold]] prefix per event); a message dispatches
+   * normally by its epoch's table, except that the `leaver`'s messages
+   * from `unackedMinOffset` on were never acked — on its leave they
+   * REPLAY to the final table's owner of their bucket. Disposition
+   * (final state, mark-delete at `markDelete`): a target whose join
+   * position is still past mark-delete holds every message at or past
+   * its divider — its own join position for normal reads, the min of
+   * the recently-joined joins for replays.
+   *
+   * Shape at scale: epochs × ranges and the join-position table are
+   * control-plane relations (broadcast non-equi joins, the
+   * assignConsumers class); the log never shuffles. Returns per-message
+   * (msg_offset, consumer, kind ∈ normal|replay, disposition ∈
+   * delivered|held).
+   */
+  /** The per-epoch range tables of a membership history: epoch i is the
+   * [[autoSplitFold]] of the first i+1 events, live on offsets
+   * [events(i).offset, events(i+1).offset); a same-offset successor
+   * supersedes its predecessor (empty span dropped). Pure —
+   * property-tested in RoutingProps (spans tile the offset axis, every
+   * table tiles the ring). */
+  def epochTables(membership: Seq[(Long, String, String)])
+      : Seq[(Int, Long, Long, Seq[HashRange])] = {
+    require(membership.sortBy(_._1) == membership, "membership offset-sorted")
+    membership.indices.flatMap { i =>
+      val from = membership(i)._1
+      val until = if (i + 1 < membership.size) membership(i + 1)._1
+        else Long.MaxValue
+      if (from == until) Nil // superseded by a same-offset event
+      else Seq((i, from, until,
+        autoSplitFold(membership.take(i + 1).map(e => (e._2, e._3)))))
+    }
+  }
+
+  /** The fence divider for one dispatch: a recently-joined consumer may
+   * only receive messages strictly below this position. Normal reads use
+   * the consumer's own join position; replay reads clamp to the OLDEST
+   * recently-joined consumer's position (the #23795 fix). Pure —
+   * property-tested in RoutingProps. */
+  def fenceDivider(isReplay: Boolean, joinPos: Long,
+      minRecentJoin: Option[Long]): Long =
+    if (isReplay) math.min(minRecentJoin.getOrElse(joinPos), joinPos)
+    else joinPos
+
+  def fencedDispatch(env: DataFrame,
+      membership: Seq[(Long, String, String)], leaver: String,
+      unackedMinOffset: Long, markDelete: Long): DataFrame = {
+    val spark = env.sparkSession
+    import spark.implicits._
+    val eps = epochTables(membership).flatMap { case (ep, from, until, rs) =>
+      rs.map(r => (ep, from, until, r.consumer, r.lo, r.hi))
+    }
+    val epochs = broadcast(
+      eps.toDF("epoch", "from_off", "until_off", "consumer", "lo", "hi"))
+    val joinPos = membership.filter(_._2 == "join")
+      .map(e => e._3 -> e._1).toMap
+    val joins = broadcast(joinPos.toSeq.toDF("consumer", "join_pos"))
+    val recentMin: Option[Long] = {
+      val r = joinPos.values.filter(_ > markDelete)
+      if (r.isEmpty) None else Some(r.min)
+    }
+    val b = stickyBucket(env).select(col("msg_offset"), col("sticky_bucket"))
+    val norm = b.join(epochs,
+      col("msg_offset") >= col("from_off") &&
+        col("msg_offset") < col("until_off") &&
+        col("sticky_bucket") >= col("lo") && col("sticky_bucket") <= col("hi"))
+    val replayed = col("consumer") === leaver &&
+      col("msg_offset") >= unackedMinOffset
+    val lastEpoch = membership.size - 1
+    val finalRanges = broadcast(epochs.filter(col("epoch") === lastEpoch)
+      .select(col("consumer"), col("lo"), col("hi")))
+    val replays = norm.filter(replayed)
+      .select(col("msg_offset"), col("sticky_bucket"))
+      .join(finalRanges,
+        col("sticky_bucket") >= col("lo") && col("sticky_bucket") <= col("hi"))
+      .withColumn("kind", lit("replay"))
+    val normKept = norm.filter(!replayed).withColumn("kind", lit("normal"))
+    val both = normKept.select(col("msg_offset"), col("consumer"), col("kind"))
+      .unionByName(replays.select(col("msg_offset"), col("consumer"),
+        col("kind")))
+      .join(joins, Seq("consumer"))
+    val divider = when(col("kind") === "replay",
+      recentMin.map(m => least(lit(m), col("join_pos")))
+        .getOrElse(col("join_pos"))).otherwise(col("join_pos"))
+    both.withColumn("disposition",
+      when(col("join_pos") > markDelete && col("msg_offset") >= divider,
+        "held").otherwise("delivered"))
+      .select(col("msg_offset"), col("consumer"), col("kind"),
+        col("disposition"))
+  }
 }

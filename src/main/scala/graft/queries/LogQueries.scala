@@ -773,6 +773,95 @@ object LogQueries extends QueryGroup {
         |FROM cnt JOIN m ON cnt.key = m.key ORDER BY key""".stripMargin
     })
 
+  private val r12 = QueryDef(
+    // R12 Key_Shared join-time ordering fence (recentlyJoinedConsumers):
+    // a 5-event membership history (offsets at fixed fractions of the
+    // log head, so the fixture scales with SF) gives one auto-split
+    // range table per epoch; consumer-B leaves with everything from 15%
+    // unacked, which replays to the final table's owners; mark-delete
+    // sits at 30%, so D (joined 40%) and E (joined 70%) are still
+    // fenced — D holds all its normal traffic, E delivers replays below
+    // the OLDEST recently-joined position (D's 40%, the #23795 clamp)
+    // but holds replays above it and all its normal traffic, and C
+    // (joined 20% ≤ mark-delete) delivers everything including replays.
+    // Oracle = hand-derived per-epoch range tables (the reference
+    // algorithm applied by hand, the r6/r7 convention) + a relational
+    // replay of the fence rules.
+    (s, d) => {
+      val e = env(s, d)
+      val maxo = e.agg(max(col("msg_offset"))).head().getLong(0)
+      def pct(p: Int): Long = maxo * p / 100
+      val membership = Seq(
+        (0L, "join", "consumer-A"), (0L, "join", "consumer-B"),
+        (pct(20), "join", "consumer-C"), (pct(40), "join", "consumer-D"),
+        (pct(60), "leave", "consumer-B"), (pct(70), "join", "consumer-E"))
+      Routing.fencedDispatch(
+        e.filter(col("key").cast("long") < 15 && col("ordering_key").isNull),
+        membership, leaver = "consumer-B",
+        unackedMinOffset = pct(15), markDelete = pct(30))
+        .groupBy(col("consumer"), col("kind"), col("disposition"))
+        .agg(count(lit(1)).as("n"), min(col("msg_offset")).as("min_off"),
+          max(col("msg_offset")).as("max_off"))
+        .orderBy(col("consumer"), col("kind"), col("disposition"))
+    },
+    Some(s"""$E, m(key, bucket) AS (SELECT * FROM (VALUES $keyRingValues)),
+      |mx AS (SELECT max(msg_offset) AS mx FROM env),
+      |epv(epoch, consumer, lo, hi) AS (SELECT * FROM (VALUES
+      |  (0, 'consumer-B', 0, 32767), (0, 'consumer-A', 32768, 65535),
+      |  (1, 'consumer-C', 0, 16383), (1, 'consumer-B', 16384, 32767),
+      |  (1, 'consumer-A', 32768, 65535),
+      |  (2, 'consumer-C', 0, 16383), (2, 'consumer-B', 16384, 32767),
+      |  (2, 'consumer-D', 32768, 49151), (2, 'consumer-A', 49152, 65535),
+      |  (3, 'consumer-C', 0, 16383), (3, 'consumer-D', 16384, 49151),
+      |  (3, 'consumer-A', 49152, 65535),
+      |  (4, 'consumer-C', 0, 16383), (4, 'consumer-E', 16384, 32767),
+      |  (4, 'consumer-D', 32768, 49151), (4, 'consumer-A', 49152, 65535))),
+      |bd(epoch, fp, up) AS (SELECT * FROM (VALUES
+      |  (0, 0, 20), (1, 20, 40), (2, 40, 60), (3, 60, 70), (4, 70, -1))),
+      |ep AS (SELECT epv.epoch, epv.consumer, epv.lo, epv.hi,
+      |              (mx.mx * bd.fp) // 100 AS from_off,
+      |              CASE WHEN bd.up < 0 THEN mx.mx + 1
+      |                   ELSE (mx.mx * bd.up) // 100 END AS until_off
+      |       FROM epv JOIN bd USING (epoch), mx),
+      |jo AS (SELECT j.consumer, (mx.mx * j.jp) // 100 AS join_pos
+      |       FROM (VALUES ('consumer-A', 0), ('consumer-B', 0),
+      |                    ('consumer-C', 20), ('consumer-D', 40),
+      |                    ('consumer-E', 70)) j(consumer, jp), mx),
+      |minr AS (SELECT min(join_pos) AS min_recent FROM jo, mx
+      |         WHERE join_pos > (mx.mx * 30) // 100),
+      |sl AS (SELECT env.msg_offset AS off, m.bucket
+      |       FROM env JOIN m ON env.key = m.key
+      |       WHERE CAST(env.key AS BIGINT) < 15 AND env.ordering_key IS NULL),
+      |norm AS (SELECT sl.off, sl.bucket, ep.consumer
+      |         FROM sl JOIN ep ON sl.off >= ep.from_off
+      |           AND sl.off < ep.until_off
+      |           AND sl.bucket BETWEEN ep.lo AND ep.hi),
+      |repl AS (SELECT norm.off, norm.bucket FROM norm, mx
+      |         WHERE norm.consumer = 'consumer-B'
+      |           AND norm.off >= (mx.mx * 15) // 100),
+      |r2 AS (SELECT repl.off, f.consumer
+      |       FROM repl JOIN (SELECT consumer, lo, hi FROM ep
+      |                       WHERE epoch = 4) f
+      |         ON repl.bucket BETWEEN f.lo AND f.hi),
+      |disp AS (
+      |  SELECT norm.off, norm.consumer, 'normal' AS kind FROM norm, mx
+      |  WHERE NOT (norm.consumer = 'consumer-B'
+      |             AND norm.off >= (mx.mx * 15) // 100)
+      |  UNION ALL
+      |  SELECT off, consumer, 'replay' FROM r2),
+      |fx AS (SELECT d.off, d.consumer, d.kind,
+      |         CASE WHEN jo.join_pos > (SELECT (mx * 30) // 100 FROM mx)
+      |               AND d.off >= CASE WHEN d.kind = 'replay'
+      |                 THEN least(coalesce((SELECT min_recent FROM minr),
+      |                                     jo.join_pos), jo.join_pos)
+      |                 ELSE jo.join_pos END
+      |              THEN 'held' ELSE 'delivered' END AS disposition
+      |       FROM disp d JOIN jo ON d.consumer = jo.consumer)
+      |SELECT consumer, kind, disposition, count(*) AS n,
+      |       CAST(min(off) AS BIGINT) AS min_off,
+      |       CAST(max(off) AS BIGINT) AS max_off
+      |FROM fx GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
   /** Effective-key → 16-bit bucket VALUES for r8: both the plain fixture
    * keys and the ordering-key tags, from the spec-pinned hash. */
   private def effectiveBucketValues: String = {
@@ -1237,6 +1326,7 @@ object LogQueries extends QueryGroup {
     "r5_key_shared_buckets" -> r5,
     "r7_exclusive_ranges" -> r7,
     "r6_auto_split" -> r6,
+    "r12_join_fence" -> r12,
     "r10_shared_spread" -> r10,
     "r11_priority_dispatch" -> r11,
     "r10b_failover" -> r10b,

@@ -142,4 +142,71 @@ object RoutingProps extends Properties("Routing") {
       val maxShare = parts.groupBy(identity).values.map(_.size).max
       Prop(maxShare <= 400 / 8 * 2)
     }
+
+  /** R12 epoch tables: membership events at non-decreasing offsets →
+   * the live spans tile [first offset, ∞) in event order with no
+   * overlap, every epoch's ranges tile the ring for its present set,
+   * and same-offset successors supersede (no zero-width epoch). */
+  property("fence epoch tables tile offsets and the ring") = {
+    val script: Gen[Seq[(Long, String, String)]] =
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0, 2)))
+        .map { moves =>
+          var present = Vector.empty[String]
+          var nextId = 0
+          var off = 0L
+          moves.flatMap { case (gap, m) =>
+            off += gap // gap 0 ⇒ same-offset event (supersession case)
+            if (m < 2) {
+              val c = s"c$nextId"; nextId += 1; present :+= c
+              Some((off, "join", c))
+            } else if (present.nonEmpty) {
+              val c = present((m * 7919 + nextId) % present.size)
+              present = present.filterNot(_ == c)
+              Some((off, "leave", c))
+            } else None
+          }
+        }
+    forAll(script) { events =>
+      val eps = graft.operators.Routing.epochTables(events)
+      val spansOk = eps.forall { case (_, f, u, _) => f < u } &&
+        eps.sliding(2).forall {
+          case Seq((_, _, u1, _), (_, f2, _, _)) => u1 == f2
+          case _ => true
+        } &&
+        (eps.isEmpty || (eps.head._2 == events.head._1 &&
+          eps.last._3 == Long.MaxValue))
+      val ringsOk = eps.forall { case (i, _, _, ranges) =>
+        val present = events.take(i + 1)
+          .foldLeft(Set.empty[String]) {
+            case (s, (_, "join", c)) => s + c
+            case (s, (_, _, c)) => s - c
+          }
+        if (present.isEmpty) ranges.isEmpty
+        else {
+          val sorted = ranges.sortBy(_.lo)
+          sorted.head.lo == 0 && sorted.last.hi == 65535 &&
+            sorted.sliding(2).forall {
+              case Seq(a, b) => b.lo == a.hi + 1
+              case _ => true
+            } && sorted.map(_.consumer).toSet == present
+        }
+      }
+      Prop(spansOk && ringsOk)
+    }
+  }
+
+  /** R12 fence divider: never above the consumer's own join position;
+   * replay reads clamp DOWN to the oldest recently-joined position
+   * (#23795), never up; without recently-joined consumers the divider
+   * is the consumer's own join either way. */
+  property("fence divider clamps down and only for replays") =
+    forAll(Gen.chooseNum(0L, 1000L), Gen.option(Gen.chooseNum(0L, 1000L))) {
+      (join, minRecent) =>
+        val n = graft.operators.Routing.fenceDivider(isReplay = false,
+          join, minRecent)
+        val r = graft.operators.Routing.fenceDivider(isReplay = true,
+          join, minRecent)
+        Prop(n == join && r <= join &&
+          r == math.min(minRecent.getOrElse(join), join))
+    }
 }
