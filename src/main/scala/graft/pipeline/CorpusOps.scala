@@ -114,9 +114,11 @@ object CorpusOps {
    * production systems bound rank statistics anyway).
    */
   def spearman(df: DataFrame, stratumCol: Column, xCol: Column,
-      yCol: Column, idCol: Column): DataFrame = {
-    val base = df.select(stratumCol.as("stratum"), xCol.cast("long").as("x"),
-      yCol.cast("long").as("y"), idCol.as("id"))
+      yCol: Column, idCol: Column): DataFrame =
+    spearmanCore(df.select(stratumCol.as("stratum"),
+      xCol.cast("long").as("x"), yCol.cast("long").as("y"), idCol.as("id")))
+
+  private def spearmanCore(base: DataFrame): DataFrame = {
     val rx = row_number().over(Window.partitionBy(col("stratum"))
       .orderBy(col("x"), col("id")))
     val ry = row_number().over(Window.partitionBy(col("stratum"))
@@ -134,6 +136,45 @@ object CorpusOps {
           "(CAST(n AS DECIMAL(38,0)) * (n - 1) * (n + 1))"))
       .select(col("stratum"), col("n"),
         col("sum_d2_dec").cast("long").as("sum_d2"), col("rho_e6"))
+  }
+
+  /**
+   * [[spearman]] with the corpus-scale escape PROMOTED TO CODE (the
+   * GraphOps measured-size convention): stratum sizes are measured first
+   * (one hash aggregate, |strata| rows collected); a stratum within
+   * `maxRowsPerStratum` computes the exact statistic, while an oversize
+   * stratum first takes a DETERMINISTIC md5 hash sample targeting the
+   * bound — keep iff u32·n < maxRows·2³², an exact integer
+   * cross-multiplication on the row's hash, reproducible across engines
+   * and runs (the sampling-lineage requirement) — and computes the
+   * identical statistic on the sample. Within the bound the two paths
+   * are bit-identical (spec-pinned); past it the rank windows never see
+   * more than ~maxRows rows per stratum, which is what keeps the
+   * n·(n²−1) arithmetic AND the window state bounded at 100 TB.
+   */
+  def spearmanAuto(df: DataFrame, stratumCol: Column, xCol: Column,
+      yCol: Column, idCol: Column,
+      maxRowsPerStratum: Long = 2000000L): DataFrame = {
+    require(maxRowsPerStratum >= 2)
+    val base = df.select(stratumCol.as("stratum"),
+      xCol.cast("long").as("x"), yCol.cast("long").as("y"), idCol.as("id"))
+    // |strata| rows — the measured-size collect of the branch decision
+    val oversize = base.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_all")).collect()
+      .filter(_.getLong(1) > maxRowsPerStratum)
+      .map(r => (r.get(0).toString, r.getLong(1)))
+    if (oversize.isEmpty) return spearmanCore(base)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val over = broadcast(oversize.toSeq.toDF("stratum", "n_all"))
+    val u32 = expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), " +
+      "16, 10) AS DECIMAL(38,0))")
+    val sampled = base.join(over, Seq("stratum"), "left")
+      .filter(col("n_all").isNull ||
+        u32 * col("n_all") < lit(maxRowsPerStratum).cast("decimal(38,0)") *
+          lit(4294967296L))
+      .drop("n_all")
+    spearmanCore(sampled)
   }
 
   // ------------------------------------------- KS distribution audit
@@ -217,24 +258,63 @@ object CorpusOps {
         valueCol.cast("long").as("v"), idCol.as("id"))
       .withColumn("r", row_number().over(
         Window.orderBy(col("v"), col("id"))).cast("long"))
-    val totals = ranked.agg(count(lit(1)).as("n_all"))
-    ranked.groupBy(col("stratum"))
+    val doubled = ranked.groupBy(col("stratum"))
       .agg(count(lit(1)).as("n"),
-        sum(col("r").cast("decimal(38,0)")).as("rank_sum_dec"))
+        expr("2 * sum(CAST(r AS DECIMAL(38,0)))").as("rank_sum2"))
+    rankSumFinish(doubled)
+  }
+
+  /** Shared tail of both rank-sum paths: from (stratum, n, 2·ΣR) rows —
+   * 2U = 2·ΣR − n(n+1) stays integral even under the histogram path's
+   * half-integer average ranks, so u_ppm is exact on either path. */
+  private def rankSumFinish(doubled: DataFrame): DataFrame = {
+    val totals = doubled.agg(sum(col("n")).as("n_all"))
+    doubled
       .crossJoin(broadcast(totals))
-      // 2U = 2·ΣR − n(n+1): even by construction, so u_stat = 2U div 2
-      // is exact; u_ppm = (2U·5·10⁵) div (2U_max·…) ≡ (U·10⁶) div U_max
       .withColumn("u2",
-        expr("2 * rank_sum_dec - CAST(n AS DECIMAL(38,0)) * (n + 1)"))
+        expr("rank_sum2 - CAST(n AS DECIMAL(38,0)) * (n + 1)"))
       .withColumn("u_max_dec",
         expr("CAST(n AS DECIMAL(38,0)) * (n_all - n)"))
       .withColumn("u_ppm",
         expr("CASE WHEN u_max_dec > 0 THEN (u2 * 500000) div u_max_dec" +
           " ELSE 500000 END"))
       .select(col("stratum"), col("n"),
-        col("rank_sum_dec").cast("long").as("rank_sum"),
+        expr("rank_sum2 div 2").as("rank_sum"),
         expr("u2 div 2").as("u_stat"),
         col("u_max_dec").cast("long").as("u_max"), col("u_ppm"))
+  }
+
+  /**
+   * [[rankSumAudit]] with the corpus-scale escape PROMOTED TO CODE (the
+   * GraphOps measured-size convention): within `maxRowsForWindow` total
+   * rows the exact global rank window runs (declared (value, id)
+   * tie-break); past it the rank SUM comes from the VALUE HISTOGRAM —
+   * one (stratum, value) hash aggregate plus a cumulative window over
+   * DISTINCT VALUES, never a row-scale sort. The histogram cannot see
+   * ids, so ties take the TEXTBOOK average rank (2·rank = 2·cum_before +
+   * c_v + 1 per tied row — integral in the doubled form): on tie-free
+   * data the two paths are bit-identical (spec-pinned), and with ties
+   * the histogram path IS the classical Mann–Whitney U, which is the
+   * statistic production systems quote anyway. rank_sum/u_stat display
+   * columns truncate the doubled form; u_ppm is computed untruncated.
+   */
+  def rankSumAuditAuto(df: DataFrame, stratumCol: Column, valueCol: Column,
+      idCol: Column, maxRowsForWindow: Long = 2000000000L): DataFrame = {
+    val base = df.select(stratumCol.as("stratum"),
+      valueCol.cast("long").as("v"), idCol.as("id"))
+    if (base.count() <= maxRowsForWindow)
+      return rankSumAudit(df, stratumCol, valueCol, idCol)
+    val hist = base.groupBy(col("stratum"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val hv = hist.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+      .withColumn("cum_before",
+        sum(col("cv")).over(Window.orderBy(col("v"))) - col("cv"))
+    val doubled = hist.join(hv, Seq("v"))
+      .groupBy(col("stratum"))
+      .agg(expr("CAST(sum(c) AS BIGINT)").as("n"),
+        expr("sum(CAST(c AS DECIMAL(38,0)) * (2 * cum_before + cv + 1))")
+          .as("rank_sum2"))
+    rankSumFinish(doubled)
   }
 
   // ------------------------------------------- Poisson bootstrap CI

@@ -1945,7 +1945,11 @@ object CorpusQueries extends QueryGroup {
     // token count — declared (value, doc_id) tie-break makes both rank
     // sequences permutations, so ρ×10⁶ is one integer division. The
     // oracle replays both rank windows and the rational.
-    (s, d) => CorpusOps.spearman(docs(s, d), col("source"), col("n_chars"),
+    // spearmanAuto: the 2M-row/stratum bound takes the exact path at
+    // every gate SF; an oversize stratum would hash-sample first (the
+    // promoted corpus-scale branch, spec-pinned for path parity)
+    (s, d) => CorpusOps.spearmanAuto(docs(s, d), col("source"),
+        col("n_chars"),
         graft.pipeline.TextOps.tokenCount(coalesce(col("text"), lit(""))),
         col("doc_id"))
       .select(col("stratum").as("source"), col("n"), col("sum_d2"),
@@ -1974,7 +1978,10 @@ object CorpusQueries extends QueryGroup {
     // length profile: exact integer U from one global (n_chars, doc_id)
     // ranking, normalized to PPM of its max. Oracle replays the rank
     // window and the arithmetic.
-    (s, d) => CorpusOps.rankSumAudit(docs(s, d), col("source"),
+    // rankSumAuditAuto: under the 2e9-row bound the exact window path
+    // runs at every gate SF; past it the histogram-rank branch (the
+    // promoted corpus-scale escape, spec-pinned) takes over
+    (s, d) => CorpusOps.rankSumAuditAuto(docs(s, d), col("source"),
         col("n_chars"), col("doc_id"))
       .select(col("stratum").as("source"), col("n"), col("rank_sum"),
         col("u_stat"), col("u_max"), col("u_ppm"))

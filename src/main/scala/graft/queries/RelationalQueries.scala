@@ -322,6 +322,99 @@ object RelationalQueries extends QueryGroup {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, order_seq""".stripMargin))
 
+  /** Q6b — the PRODUCTION form of q6's spend quartile (the p65 value-
+   * cutoff pattern): the same per-customer window suite, but the
+   * quartile comes from VALUE CUTOFFS selected by a two-level
+   * order-statistic selection — a coarse hundred-dollar-bucket histogram
+   * (bounded domain, ~6k rows at any SF) locates each quartile rank's
+   * bucket and residual rank, and a second pass refines over only that
+   * bucket's cents values — so no row-scale relation is ever globally
+   * sorted (q6's deliberate global ntile is the surface row this
+   * replaces at 100 TB). Ties share the UPPER bucket (a value equal to
+   * the cutoff counts into the richer quartile) — the value-cutoff
+   * semantics, deliberately distinct from ntile's positional split and
+   * identical on tie-free data. The oracle takes the opposite route:
+   * one full sort, row_number, the value AT each quartile position. */
+  private val q6b = QueryDef(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bkt"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("cents"))
+      val orders = t(s, d, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      // coarse histogram over hundred-dollar buckets: bounded domain →
+      // the cumulative window is histogram-scale, never row-scale
+      val coarse = orders.groupBy(expr("cents div 10000").as("bkt"))
+        .agg(count(lit(1)).as("c"))
+      val cum = coarse.withColumn("cum", sum(col("c")).over(wb))
+        .withColumn("cum_before", col("cum") - col("c"))
+      val nAll = coarse.agg(sum(col("c")).as("n_all"))
+      // quartile ranks, ascending: desc position ceil(k·N/4) = asc rank
+      // N − ceil(k·N/4) + 1, exact integer arithmetic
+      val ranks = nAll.select(col("n_all"), explode(array((1 to 3).map(k =>
+          struct(lit(k).as("k"),
+            expr(s"n_all - ($k * n_all + 3) div 4 + 1").as("rk"))): _*))
+          .as("q"))
+        .select(col("q.k").as("k"), col("q.rk").as("rk"))
+      val bsel = broadcast(ranks.join(cum, col("cum") >= col("rk"))
+        .groupBy(col("k"), col("rk")).agg(min(col("bkt")).as("bkt"))
+        .join(cum.select(col("bkt"), col("cum_before")), Seq("bkt"))
+        .withColumn("resid", col("rk") - col("cum_before"))
+        .select(col("k"), col("bkt"), col("resid")))
+      // refine: only the selected buckets' rows (≈ N / |buckets| each)
+      val cuts = orders.withColumn("bkt", expr("cents div 10000"))
+        .join(bsel, Seq("bkt"))
+        .groupBy(col("k"), col("resid"), col("cents"))
+        .agg(count(lit(1)).as("c2"))
+        .withColumn("cum2", sum(col("c2")).over(wf))
+        .filter(col("cum2") >= col("resid"))
+        .groupBy(col("k")).agg(min(col("cents")).as("cut"))
+      val cutRow = broadcast(cuts.agg(
+        max(when(col("k") === 1, col("cut"))).as("cd1"),
+        max(when(col("k") === 2, col("cut"))).as("cd2"),
+        max(when(col("k") === 3, col("cut"))).as("cd3")))
+      orders.crossJoin(cutRow)
+        .withColumn("spend_quartile",
+          (lit(1) + when(col("cents") < col("cd1"), 1).otherwise(0) +
+            when(col("cents") < col("cd2"), 1).otherwise(0) +
+            when(col("cents") < col("cd3"), 1).otherwise(0)).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          row_number().over(w).cast("long").as("order_seq"),
+          sum(col("cents")).over(w).as("running_spend_cents"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(w)).cast("long")
+            .as("days_since_prev"),
+          col("spend_quartile"))
+        .orderBy(col("o_custkey"), col("order_seq"))
+    },
+    Some("""WITH o AS (
+      |  SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |rk AS (SELECT cents, row_number() OVER (ORDER BY cents DESC) AS rn
+      |       FROM o),
+      |nn AS (SELECT count(*) AS n FROM o),
+      |cut AS (SELECT
+      |    max(CASE WHEN rn = (1 * n + 3) // 4 THEN cents END) AS cd1,
+      |    max(CASE WHEN rn = (2 * n + 3) // 4 THEN cents END) AS cd2,
+      |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS cd3
+      |  FROM rk, nn)
+      |SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(row_number() OVER w AS BIGINT) AS order_seq,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS running_spend_cents,
+      |  lag(o_orderkey, 1) OVER w AS prev_orderkey,
+      |  CAST(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate)
+      |    AS BIGINT) AS days_since_prev,
+      |  CAST(1 + (cents < cd1)::INT + (cents < cd2)::INT
+      |         + (cents < cd3)::INT AS BIGINT) AS spend_quartile
+      |FROM o, cut
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin))
+
   /** TPC-H Q2-shaped per-group correlated subquery: for each region, the
    * supplier(s) holding that region's maximum account balance
    * (greatest-n-per-group — q7's scalar-subquery cousin, but correlated
@@ -1833,6 +1926,7 @@ object RelationalQueries extends QueryGroup {
     "q20_top_value_parts" -> q20,
     "q21_returned_customers" -> q21,
     "q6_window_suite" -> q6,
+    "q6b_quartile_cutoffs" -> q6b,
     "q7_top_supplier" -> q7,
     "q4_rollup_lattice" -> q4,
     "q5_pivot_status" -> q5,

@@ -919,6 +919,69 @@ class CorpusSpec extends AnyFunSuite {
     assert(got("t") === ((3L, 8L, -1000000L)))
   }
 
+  test("spearmanAuto: exact path within the bound, hash-sample path " +
+      "equals the statistic over the independently-replayed keep set") {
+    import spark.implicits._
+    val rows = (0L until 50L).map(i => (i, (i * 3) % 17, (i * 7 + 1) % 23,
+      "s")) ++ (100L until 110L).map(i => (i, i % 5, (i * 11) % 13, "t"))
+    val d = rows.toDF("doc_id", "x", "y", "stratum")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_d2"),
+          r.getAs[Long]("rho_e6"))).toMap
+    val exact = run(CorpusOps.spearman(d, col("stratum"), col("x"),
+      col("y"), col("doc_id")))
+    // bound not exceeded → bit-identical to the exact path
+    val auto = run(CorpusOps.spearmanAuto(d, col("stratum"), col("x"),
+      col("y"), col("doc_id"), maxRowsPerStratum = 60))
+    assert(auto === exact)
+    // bound 10: stratum s (50 rows) samples, stratum t (10 rows) doesn't.
+    // Replay the keep rule driver-side: u32(md5(id)) · 50 < 10 · 2³²
+    def u32(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+    val keptIds = (0L until 50L)
+      .filter(i => BigInt(u32(i)) * 50 < BigInt(10) * BigInt(2).pow(32))
+      .toSet
+    assert(keptIds.nonEmpty && keptIds.size < 50, "fixture must sample")
+    val replay = run(CorpusOps.spearman(
+      d.filter(col("stratum") === "t" || col("doc_id").isin(
+        keptIds.toSeq: _*)),
+      col("stratum"), col("x"), col("y"), col("doc_id")))
+    val sampled = run(CorpusOps.spearmanAuto(d, col("stratum"), col("x"),
+      col("y"), col("doc_id"), maxRowsPerStratum = 10))
+    assert(sampled === replay)
+    assert(sampled("t") === exact("t")) // under-bound stratum untouched
+  }
+
+  test("rankSumAuditAuto: histogram path is bit-identical to the window " +
+      "path on tie-free data; average-rank U with ties by hand") {
+    import spark.implicits._
+    // tie-free: force the histogram path (bound 0) and compare columns
+    val tf = Seq((1L, 10L, "a"), (2L, 40L, "a"), (3L, 20L, "b"),
+      (4L, 30L, "b"), (5L, 50L, "c")).toDF("doc_id", "v", "stratum")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("rank_sum"),
+          r.getAs[Long]("u_stat"), r.getAs[Long]("u_max"),
+          r.getAs[Long]("u_ppm"))).toMap
+    val win = run(CorpusOps.rankSumAudit(tf, col("stratum"), col("v"),
+      col("doc_id")))
+    val hist = run(CorpusOps.rankSumAuditAuto(tf, col("stratum"), col("v"),
+      col("doc_id"), maxRowsForWindow = 0))
+    assert(hist === win)
+    // ties: A = {1, 2, 2}, B = {2, 3}; the three 2s share average rank 3
+    // → ΣR_A = 1+3+3 = 7, U_A = 1, ppm 166666; ΣR_B = 3+5 = 8, U_B = 5,
+    // ppm 833333 (U_A + U_B = u_max = 6, the Mann–Whitney identity)
+    val tie = Seq((1L, 1L, "A"), (2L, 2L, "A"), (3L, 2L, "A"),
+      (4L, 2L, "B"), (5L, 3L, "B")).toDF("doc_id", "v", "stratum")
+    val got = run(CorpusOps.rankSumAuditAuto(tie, col("stratum"), col("v"),
+      col("doc_id"), maxRowsForWindow = 0))
+    assert(got("A") === ((3L, 7L, 1L, 6L, 166666L)))
+    assert(got("B") === ((2L, 8L, 5L, 6L, 833333L)))
+  }
+
   test("bootstrap CI matches a driver-side MessageDigest replay") {
     import spark.implicits._
     val d = (0L until 40L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w")

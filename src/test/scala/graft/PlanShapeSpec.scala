@@ -41,6 +41,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 1, plan)
   }
 
+  test("q6b: quartile cutoffs without a row-scale global sort") {
+    val plan = planOf("q6b_quartile_cutoffs")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the production variant of q6's quartile: NO ntile anywhere — the
+    // cutoffs come from the two-level order-statistic selection
+    assert(!plan.contains("ntile"), plan)
+    // single-partition exchanges exist ONLY for bounded relations: the
+    // two histogram-scale cumulative windows (hundred-dollar buckets;
+    // within-bucket cents) and the two 1-row aggregates (N, cutoffs) —
+    // never the orders rows; q6's row-scale ntile sort is gone
+    assert("Exchange SinglePartition".r.findAllIn(plan).size <= 4, plan)
+    assert(!plan.matches("(?s).*Exchange SinglePartition[^\\n]*\\n[^\\n]*" +
+      "FileScan parquet [^\\n]*orders.*"), plan)
+    // the per-customer window suite still runs behind hash exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 1, plan)
+  }
+
   test("q2: correlated-subquery rewrite broadcasts every join side") {
     val plan = planOf("q2_best_supplier")
     assert(!plan.contains("CartesianProduct"), plan)
