@@ -43,8 +43,11 @@ object BatchSourceCycles {
     nDropped: Long)
 
   /**
-   * The trigger fold over per-slot record counts (slot k holds records
-   * with ms in (t0 + (k−1)·period, t0 + k·period]). Pure and
+   * The trigger fold over per-slot record counts. Slot k holds records
+   * with ms in (t0 + (k−1)·period, t0 + k·period], EXCEPT that the
+   * boundary record at exactly t0 (which always exists — t0 is the min)
+   * joins slot 1: the assignment rule is ((ms − t0 − 1) div period) + 1,
+   * truncating, identical under Spark `div` and DuckDB `//`. Pure and
    * schedule-scale; the oracle replays it with a recursive CTE.
    */
   def fold(slotCounts: Map[Long, Long], periodMs: Long, perTaskMs: Long,
@@ -91,8 +94,18 @@ object BatchSourceCycles {
     import spark.implicits._
     val e = records.select(col(idCol).as("rid"),
       col(msCol).cast("long").as("ms"))
-    // 1-row bound collect: the schedule origin
-    val t0 = e.agg(min(col("ms"))).head().getLong(0)
+    // 1-row bound collect: the schedule origin; an EMPTY source log has
+    // no schedule at all → the empty relation (the oracle's recursive
+    // CTE with total = 0 likewise emits no cycles)
+    val t0Row = e.agg(min(col("ms"))).head()
+    if (t0Row.isNullAt(0)) {
+      val inst = (0 until instances).map(i => lit(0L).as(s"n_i$i"))
+      return e.limit(0).select(Seq(lit(0).as("cycle"),
+        lit(0L).as("fire_ms"), lit(0L).as("n_dropped"),
+        lit(0L).as("n_tasks")) ++ inst :+
+        lit("").as("tasks_md5"): _*)
+    }
+    val t0 = t0Row.getLong(0)
     val slotted = e.withColumn("k",
       expr(s"((ms - ${t0}L - 1) div ${periodMs}L) + 1"))
     // schedule-scale collect: one row per cron period spanned by the log

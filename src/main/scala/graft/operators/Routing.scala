@@ -247,10 +247,13 @@ object Routing {
    * normally by its epoch's table, except that the `leaver`'s messages
    * from `unackedMinOffset` on were never acked — on its leave they
    * REPLAY to the final table's owner of their bucket. Disposition
-   * (final state, mark-delete at `markDelete`): a target whose join
-   * position is still past mark-delete holds every message at or past
-   * its divider — its own join position for normal reads, the min of
-   * the recently-joined joins for replays.
+   * (final state, mark-delete at `markDelete`): a PRESENT target whose
+   * join position is still past mark-delete holds every message at or
+   * past its divider — its own join position for normal reads, the min
+   * of the present recently-joined joins for replays. A consumer that
+   * left is removed from recentlyJoinedConsumers (removeConsumer
+   * :245-246), so it neither fences its own past deliveries nor drags
+   * the replay clamp down.
    *
    * Shape at scale: epochs × ranges and the join-position table are
    * control-plane relations (broadcast non-equi joins, the
@@ -300,10 +303,19 @@ object Routing {
     val joinPos = membership.filter(_._2 == "join")
       .map(e => e._3 -> e._1).toMap
     val joins = broadcast(joinPos.toSeq.toDF("consumer", "join_pos"))
-    val recentMin: Option[Long] = {
-      val r = joinPos.values.filter(_ > markDelete)
-      if (r.isEmpty) None else Some(r.min)
+    // a leaver is REMOVED from recentlyJoinedConsumers
+    // (removeConsumer :245-246): only consumers still present can fence,
+    // and the replay clamp tracks the oldest PRESENT recent joiner
+    val present = membership.foldLeft(Set.empty[String]) {
+      case (s, (_, "join", c)) => s + c
+      case (s, (_, _, c)) => s - c
     }
+    val recentMin: Option[Long] = {
+      val r = joinPos.filter { case (c, p) => present(c) && p > markDelete }
+      if (r.isEmpty) None else Some(r.values.min)
+    }
+    val recentSet = joinPos.filter { case (c, p) =>
+      present(c) && p > markDelete }.keySet
     val b = stickyBucket(env).select(col("msg_offset"), col("sticky_bucket"))
     val norm = b.join(epochs,
       col("msg_offset") >= col("from_off") &&
@@ -327,8 +339,10 @@ object Routing {
     val divider = when(col("kind") === "replay",
       recentMin.map(m => least(lit(m), col("join_pos")))
         .getOrElse(col("join_pos"))).otherwise(col("join_pos"))
+    val isRecent = if (recentSet.isEmpty) lit(false)
+      else col("consumer").isInCollection(recentSet)
     both.withColumn("disposition",
-      when(col("join_pos") > markDelete && col("msg_offset") >= divider,
+      when(isRecent && col("msg_offset") >= divider,
         "held").otherwise("delivered"))
       .select(col("msg_offset"), col("consumer"), col("kind"),
         col("disposition"))

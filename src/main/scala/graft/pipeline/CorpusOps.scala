@@ -158,15 +158,14 @@ object CorpusOps {
     require(maxRowsPerStratum >= 2)
     val base = df.select(stratumCol.as("stratum"),
       xCol.cast("long").as("x"), yCol.cast("long").as("y"), idCol.as("id"))
-    // |strata| rows — the measured-size collect of the branch decision
-    val oversize = base.groupBy(col("stratum"))
-      .agg(count(lit(1)).as("n_all")).collect()
-      .filter(_.getLong(1) > maxRowsPerStratum)
-      .map(r => (r.get(0).toString, r.getLong(1)))
-    if (oversize.isEmpty) return spearmanCore(base)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val over = broadcast(oversize.toSeq.toDF("stratum", "n_all"))
+    // the branch decision stays RELATIONAL — a |strata|-row broadcast of
+    // only the oversize strata, joined back on the NATIVE stratum type
+    // (no driver collect, no string coercion that could alias distinct
+    // keys); when nothing is oversize the join finds no match and the
+    // filter passes every row, which IS the exact path
+    val over = broadcast(base.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_all"))
+      .filter(col("n_all") > maxRowsPerStratum))
     val u32 = expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), " +
       "16, 10) AS DECIMAL(38,0))")
     val sampled = base.join(over, Seq("stratum"), "left")
@@ -302,10 +301,14 @@ object CorpusOps {
       idCol: Column, maxRowsForWindow: Long = 2000000000L): DataFrame = {
     val base = df.select(stratumCol.as("stratum"),
       valueCol.cast("long").as("v"), idCol.as("id"))
-    if (base.count() <= maxRowsForWindow)
+    // the branch decision comes from the HISTOGRAM aggregate — the same
+    // relation the scale path consumes (cached for reuse, one corpus
+    // scan either way; a bare count() would be a throwaway pass)
+    val hist = graft.CacheScope.track(base.groupBy(col("stratum"), col("v"))
+      .agg(count(lit(1)).as("c")))
+    val total = hist.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    if (total <= maxRowsForWindow)
       return rankSumAudit(df, stratumCol, valueCol, idCol)
-    val hist = base.groupBy(col("stratum"), col("v"))
-      .agg(count(lit(1)).as("c"))
     val hv = hist.groupBy(col("v")).agg(sum(col("c")).as("cv"))
       .withColumn("cum_before",
         sum(col("cv")).over(Window.orderBy(col("v"))) - col("cv"))

@@ -1955,10 +1955,21 @@ object CorpusQueries extends QueryGroup {
       .select(col("stratum").as("source"), col("n"), col("sum_d2"),
         col("rho_e6"))
       .orderBy(col("source")),
-    Some(s"""WITH b AS (
+    Some(s"""WITH b0 AS (
       |  SELECT source, n_chars AS x, CAST(len($WORDS) AS BIGINT) AS y,
       |         doc_id AS id
       |  FROM documents),
+      |sz AS (SELECT source, count(*) AS n_all FROM b0 GROUP BY source),
+      |b AS (
+      |  -- replay of spearmanAuto's promoted branch: an oversize stratum
+      |  -- keeps only rows passing u32·n < maxRows·2^32 (a no-op at every
+      |  -- SF under the 2M bound, but the rule travels with the oracle)
+      |  SELECT b0.source, b0.x, b0.y, b0.id
+      |  FROM b0 JOIN sz ON b0.source = sz.source
+      |  WHERE sz.n_all <= 2000000
+      |     OR CAST(CAST(('0x' || substr(md5(CAST(b0.id AS VARCHAR)), 1, 8))
+      |          AS UBIGINT) AS HUGEINT) * sz.n_all
+      |        < CAST(2000000 AS HUGEINT) * 4294967296),
       |r AS (SELECT source,
       |             CAST(row_number() OVER (PARTITION BY source
       |               ORDER BY x, id) AS BIGINT) AS rx,
@@ -1986,23 +1997,42 @@ object CorpusQueries extends QueryGroup {
       .select(col("stratum").as("source"), col("n"), col("rank_sum"),
         col("u_stat"), col("u_max"), col("u_ppm"))
       .orderBy(col("source")),
-    Some("""WITH r AS (
-      |  SELECT source,
-      |         CAST(row_number() OVER (ORDER BY n_chars, doc_id)
-      |           AS BIGINT) AS r
-      |  FROM documents),
-      |t AS (SELECT count(*) AS n_all FROM r),
-      |a AS (SELECT source, count(*) AS n,
-      |             CAST(sum(r) AS BIGINT) AS rank_sum
-      |      FROM r GROUP BY source)
-      |SELECT source, n, rank_sum,
-      |       CAST(rank_sum - (n * (n + 1)) // 2 AS BIGINT) AS u_stat,
-      |       CAST(n * (n_all - n) AS BIGINT) AS u_max,
-      |       CAST(CASE WHEN n * (n_all - n) > 0
-      |                 THEN (rank_sum - (n * (n + 1)) // 2) * 1000000
-      |                      // (n * (n_all - n))
+    Some("""WITH r0 AS (SELECT source, n_chars, doc_id FROM documents),
+      |tot AS (SELECT count(*) AS t FROM r0),
+      |-- window path (active at every SF under the 2e9 bound)
+      |wr AS (SELECT source,
+      |              CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+      |                AS BIGINT) AS r
+      |       FROM r0, tot WHERE t <= 2000000000),
+      |wa AS (SELECT source, count(*) AS n,
+      |              2 * CAST(sum(r) AS HUGEINT) AS rank_sum2
+      |       FROM wr GROUP BY source),
+      |-- histogram path: rankSumAuditAuto's promoted branch (average-rank
+      |-- ties in the doubled form), guarded so exactly one branch emits
+      |h AS (SELECT source, n_chars AS v, count(*) AS c
+      |      FROM r0, tot WHERE t > 2000000000 GROUP BY 1, 2),
+      |hv AS (SELECT v, sum(c) AS cv,
+      |              sum(sum(c)) OVER (ORDER BY v) - sum(c) AS cum_before
+      |       FROM h GROUP BY v),
+      |ha AS (SELECT h.source, CAST(sum(h.c) AS BIGINT) AS n,
+      |              CAST(sum(CAST(h.c AS HUGEINT) *
+      |                (2 * hv.cum_before + hv.cv + 1)) AS HUGEINT)
+      |                AS rank_sum2
+      |       FROM h JOIN hv ON h.v = hv.v GROUP BY h.source),
+      |u AS (SELECT * FROM wa UNION ALL SELECT * FROM ha),
+      |t2 AS (SELECT sum(n) AS n_all FROM u),
+      |fin AS (SELECT source, n, rank_sum2,
+      |               rank_sum2 - CAST(n AS HUGEINT) * (n + 1) AS u2,
+      |               CAST(n AS HUGEINT) * (n_all - n) AS u_max_dec
+      |        FROM u, t2)
+      |SELECT source, n,
+      |       CAST(rank_sum2 // 2 AS BIGINT) AS rank_sum,
+      |       CAST(u2 // 2 AS BIGINT) AS u_stat,
+      |       CAST(u_max_dec AS BIGINT) AS u_max,
+      |       CAST(CASE WHEN u_max_dec > 0
+      |                 THEN (u2 * 500000) // u_max_dec
       |                 ELSE 500000 END AS BIGINT) AS u_ppm
-      |FROM a, t ORDER BY source""".stripMargin))
+      |FROM fin ORDER BY source""".stripMargin))
 
   private val p106 = QueryDef(
     // Exact two-sample KS statistic per source (vs the rest of the

@@ -201,7 +201,7 @@ object FunctionQueries extends QueryGroup {
   private val u11 = QueryDef(
     // U11 — BatchSource discovery→trigger→ingest cycles: daily cron
     // fires discover every event since the last ACCEPTED fire; a fire
-    // inside the previous discovery's busy window (400 ms/task) is
+    // inside the previous discovery's busy window (400 s per task) is
     // dropped (BatchSourceExecutor's discoverInProgress guard), so
     // backlogs cascade into wider windows; discovered tasks spread
     // round-robin over 3 instances (the shared-subscription stand-in).

@@ -823,12 +823,14 @@ object LogQueries extends QueryGroup {
       |              CASE WHEN bd.up < 0 THEN mx.mx + 1
       |                   ELSE (mx.mx * bd.up) // 100 END AS until_off
       |       FROM epv JOIN bd USING (epoch), mx),
-      |jo AS (SELECT j.consumer, (mx.mx * j.jp) // 100 AS join_pos
-      |       FROM (VALUES ('consumer-A', 0), ('consumer-B', 0),
-      |                    ('consumer-C', 20), ('consumer-D', 40),
-      |                    ('consumer-E', 70)) j(consumer, jp), mx),
+      |jo AS (SELECT j.consumer, (mx.mx * j.jp) // 100 AS join_pos,
+      |              j.present
+      |       FROM (VALUES ('consumer-A', 0, TRUE), ('consumer-B', 0, FALSE),
+      |                    ('consumer-C', 20, TRUE), ('consumer-D', 40, TRUE),
+      |                    ('consumer-E', 70, TRUE)) j(consumer, jp, present),
+      |            mx),
       |minr AS (SELECT min(join_pos) AS min_recent FROM jo, mx
-      |         WHERE join_pos > (mx.mx * 30) // 100),
+      |         WHERE present AND join_pos > (mx.mx * 30) // 100),
       |sl AS (SELECT env.msg_offset AS off, m.bucket
       |       FROM env JOIN m ON env.key = m.key
       |       WHERE CAST(env.key AS BIGINT) < 15 AND env.ordering_key IS NULL),
@@ -850,7 +852,8 @@ object LogQueries extends QueryGroup {
       |  UNION ALL
       |  SELECT off, consumer, 'replay' FROM r2),
       |fx AS (SELECT d.off, d.consumer, d.kind,
-      |         CASE WHEN jo.join_pos > (SELECT (mx * 30) // 100 FROM mx)
+      |         CASE WHEN jo.present
+      |               AND jo.join_pos > (SELECT (mx * 30) // 100 FROM mx)
       |               AND d.off >= CASE WHEN d.kind = 'replay'
       |                 THEN least(coalesce((SELECT min_recent FROM minr),
       |                                     jo.join_pos), jo.join_pos)

@@ -45,6 +45,17 @@ class BatchSourceCyclesSpec extends AnyFunSuite {
       Cycle(2, 1, 7, 700, 5)))
   }
 
+  test("cycles: empty source log yields the empty relation, not a crash") {
+    import TestSpark.spark
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("event_id", "ms")
+    val got = BatchSourceCycles.cycles(empty, "event_id", "ms",
+      periodMs = 100, perTaskMs = 0, instances = 2)
+    assert(got.collect().isEmpty)
+    assert(got.columns.toSeq === Seq("cycle", "fire_ms", "n_dropped",
+      "n_tasks", "n_i0", "n_i1", "tasks_md5"))
+  }
+
   test("cycles: round-robin spread and membership digest, end to end") {
     import TestSpark.spark
     import spark.implicits._
