@@ -829,8 +829,55 @@ object StreamingSmoke {
     check("stateful-restart", accSess.toMap == batchSess24 && accSess.nonEmpty,
       s"resumed=${accSess.size} sessions batch=${batchSess24.size}")
 
+    // -- 28. streaming replicated-subscription census converges to the ----
+    // batch marker fold (S17): snapshot state (request ts, per-cluster
+    // response rounds, putIfAbsent stored positions) accumulates across
+    // micro-batch boundaries in the state store; the max-version census
+    // rows must equal the batch sync relation's per-snapshot census
+    val rsEvents = graft.queries.LogQueries.rsMarkerRows.map {
+      case (q, t, m, sid, c, l, en) =>
+        graft.streaming.RsMarkerEvent(q, t, m, sid, c, l, en)
+    }
+    val ms28 = MemoryStream[graft.streaming.RsMarkerEvent]
+    val q28 = graft.streaming.ReplSubStream
+      .censusStream(ms28.toDS(), Seq("B", "C"), 10000L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rs_census")
+      .option("checkpointLocation", ckpt()).start()
+    // 5-row chunks deliberately split both response rounds of several
+    // snapshots across batch boundaries
+    rsEvents.grouped(5).foreach { c => ms28.addData(c); q28.processAllAvailable() }
+    q28.stop()
+    val streamCensus = spark.table("rs_census")
+      .groupBy(col("sid"))
+      .agg(max_by(struct(col("status"), col("localEntry"),
+        col("storedCsv")), col("version")).as("m"))
+      .collect().map { r =>
+        val m = r.getStruct(1)
+        r.getString(0) -> ((m.getString(0), m.getLong(1), m.getString(2)))
+      }.toMap
+    val batchSync = graft.operators.ReplicatedSubscription.sync(
+      graft.queries.LogQueries.rsMarkerRows
+        .toDF("seq", "ts_ms", "mtype", "sid", "cluster", "r_ledger",
+          "r_entry"),
+      graft.queries.LogQueries.rsAdvanceRows.toDF("adv_seq", "md_entry"),
+      Seq("B", "C"), 10000L).collect()
+    val batchCensus = batchSync.groupBy(_.getString(0)).map {
+      case (sid, rows) =>
+        val status = rows.head.getString(1)
+        val le = if (rows.head.isNullAt(2)) -1L else rows.head.getLong(2)
+        val csv = if (status == "completed")
+          rows.map(r => (r.getString(4), r.getLong(5))).sortBy(_._1)
+            .map { case (c, p) => s"$c:$p" }.mkString(",")
+        else ""
+        sid -> ((status, le, csv))
+    }
+    check("repl-sub-census",
+      streamCensus == batchCensus && streamCensus.nonEmpty,
+      s"stream=$streamCensus batch=$batchCensus")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 27 converged to batch twins OK")
+    println(s"[stream-smoke] all 28 converged to batch twins OK")
     spark.stop()
   }
 }

@@ -535,7 +535,7 @@ object LogQueries extends QueryGroup {
    * completion with round-2 responses out of order, s5 completed but
    * never reached by the mark-delete cursor. seq doubles as the marker's
    * local entry id; REQUEST rows carry no remote position. */
-  private val rsMarkerRows: Seq[(Long, Long, String, String, String, Long, Long)] =
+  private[graft] val rsMarkerRows: Seq[(Long, Long, String, String, String, Long, Long)] =
     Seq(
       (1L, 0L, "REQUEST", "s1", "A", 0L, 0L),
       (2L, 100L, "RESPONSE", "s1", "B", 10L, 5L),
@@ -569,7 +569,7 @@ object LogQueries extends QueryGroup {
 
   /** Local mark-delete advances: below s1 (no snapshot), past s1, a jump
    * past s4 (s1→s4 directly, one UPDATE, not two), a no-op re-advance. */
-  private val rsAdvanceRows: Seq[(Long, Long)] =
+  private[graft] val rsAdvanceRows: Seq[(Long, Long)] =
     Seq((1L, 3L), (2L, 10L), (3L, 24L), (4L, 25L))
 
   private def rsMarkerValues: String = rsMarkerRows.map {
