@@ -1204,6 +1204,82 @@ object PipelineQueries extends QueryGroup {
       |       CAST(44 + octet_length(encode(coalesce(text, ''))) AS INT) AS file_bytes
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  private val p118 = QueryDef(
+    // Video sibling of p19/p20 — the container trio's third leg: build a
+    // canonical Cmono YUV4MPEG2 stream per document (w = 8 + id%8, h=8;
+    // the text bytes cut into w·h-byte luma frames, zero-padded tail),
+    // parse it back with the validating walker, and run shot-boundary
+    // detection over the PARSED frames: per consecutive pair the exact
+    // integer SAD, a cut where SAD > 30·frame_bytes (mean |Δluma| > 30).
+    // The oracle re-derives geometry, the header's byte length, and
+    // every SAD arithmetically from the text bytes — the engine matches
+    // only if the Y4M framing and the frame walk are exact.
+    (s, d) => {
+      import s.implicits._
+      val in = docs(s, d)
+        .select(col("doc_id"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("px"))
+        .as[(Long, Array[Byte])]
+      in.mapPartitions { it =>
+        it.map { case (id, px) =>
+          val w = 8 + (id % 8).toInt
+          val h = 8
+          val fb = w * h
+          val nf = math.max(1, (px.length + fb - 1) / fb)
+          val frames = (0 until nf).map { k =>
+            val a = new Array[Byte](fb)
+            val from = k * fb
+            val n = math.max(0, math.min(fb, px.length - from))
+            if (n > 0) System.arraycopy(px, from, a, 0, n)
+            a
+          }
+          val info = Y4mCodec.parse(Y4mCodec.build(w, h, 25, 1, frames))
+          val sads = info.frames.sliding(2).collect {
+            case Seq(a, b) => Y4mCodec.sad(a, b)
+          }.toSeq
+          (id, info.width, info.height, info.nFrames, info.frameBytes,
+            info.fileBytes, sads.sum,
+            sads.count(_ > 30L * fb).toLong)
+        }
+      }.toDF("doc_id", "width", "height", "n_frames", "frame_bytes",
+          "file_bytes", "sad_total", "n_cuts")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH g AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w,
+      |         coalesce(text, '') AS b,
+      |         length(coalesce(text, '')) AS len
+      |  FROM documents),
+      |f AS (SELECT doc_id, w, b, len, w * 8 AS fb,
+      |             CAST(greatest(1, (len + w * 8 - 1) // (w * 8)) AS INT)
+      |               AS nf
+      |      FROM g),
+      |pk AS (SELECT doc_id, b, len, fb, unnest(range(1, nf)) AS k FROM f),
+      |p AS (SELECT doc_id, b, len, fb, k, unnest(range(0, fb)) AS q
+      |      FROM pk),
+      |sd AS (SELECT doc_id, k, fb,
+      |         CAST(sum(abs(
+      |           (CASE WHEN (k - 1) * fb + q < len
+      |                 THEN ord(substr(b, CAST((k - 1) * fb + q + 1 AS INT), 1))
+      |                 ELSE 0 END) -
+      |           (CASE WHEN k * fb + q < len
+      |                 THEN ord(substr(b, CAST(k * fb + q + 1 AS INT), 1))
+      |                 ELSE 0 END))) AS BIGINT) AS sad
+      |       FROM p GROUP BY 1, 2, 3),
+      |a AS (SELECT doc_id, CAST(sum(sad) AS BIGINT) AS sad_total,
+      |             CAST(sum(CASE WHEN sad > 30 * fb THEN 1 ELSE 0 END)
+      |               AS BIGINT) AS n_cuts
+      |      FROM sd GROUP BY doc_id)
+      |SELECT f.doc_id, f.w AS width, CAST(8 AS INT) AS height,
+      |       f.nf AS n_frames, CAST(f.fb AS INT) AS frame_bytes,
+      |       CAST(octet_length(encode('YUV4MPEG2 W' || f.w ||
+      |              ' H8 F25:1 Ip A1:1 Cmono' || chr(10)))
+      |            + f.nf * (6 + f.fb) AS INT) AS file_bytes,
+      |       coalesce(a.sad_total, 0) AS sad_total,
+      |       coalesce(a.n_cuts, 0) AS n_cuts
+      |FROM f LEFT JOIN a ON f.doc_id = a.doc_id
+      |ORDER BY f.doc_id""".stripMargin))
+
   private val p20 = QueryDef(
     // Image sibling of p19: canonical 24bpp BMP per document, parsed back
     // with the validating header reader. The oracle re-derives the
@@ -2267,6 +2343,7 @@ object PipelineQueries extends QueryGroup {
     "p18_dup_clusters" -> p18,
     "p19_wav_decode" -> p19,
     "p20_bmp_decode" -> p20,
+    "p118_video_scene_cuts" -> p118,
     "p42_image_ahash" -> p42,
     "p45_audio_energy" -> p45,
     "p58_image_dhash_pairs" -> p58,
