@@ -287,6 +287,56 @@ object Similarity {
           10000.0 + 0.5).cast("double") / 10000.0).as("c_old"))
 
   /**
+   * Scalar (int8) embedding quantization with CORPUS-trained per-dim
+   * calibration — the SQ8 compression every major ANN library ships
+   * (FAISS ScalarQuantizer QT_8bit): dimension j's [min_j, max_j] over
+   * the whole corpus maps each component to a code in [0, 255] via
+   * floor((v−min)·255/(max−min) + 0.5), 4 bytes/dim → 1. Complements
+   * [[pqQuantize]] (vector-split codebooks) and
+   * [[CorpusOps.quantizeStats]] (per-ROW ranges): the per-DIM corpus
+   * calibration is what production index builds train once per snapshot.
+   *
+   * Determinism: min/max are COMPARISON aggregates (exact on any
+   * engine, no summation); the code and the reconstruction delta are
+   * fixed-order IEEE expressions on exact inputs — bit-identical across
+   * engines — and the per-vector reconstruction error e12-quantizes
+   * each dim's δ² BEFORE the 64-way sum (the exact-integer convention).
+   * A degenerate dim (max = min) codes to 0 with zero error.
+   *
+   * Shape at 100 TB: calibration is one pos-exploded min/max hash agg
+   * (map-side partials, dim-bounded output) broadcast back; coding is
+   * one explode + broadcast join + per-vector hash agg — the corpus
+   * never shuffles on anything but its own id.
+   */
+  def sq8Quantize(vecs: DataFrame): DataFrame = {
+    val exploded = vecs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p0", "v")))
+      .select(col("vec_id"), (col("p0") + 1).cast("int").as("dim"),
+        col("v").cast("double").as("v"))
+    val calib = broadcast(exploded.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx")))
+    exploded.join(calib, Seq("dim"))
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          floor((col("v") - col("mn")) * 255.0 / (col("mx") - col("mn"))
+            + 0.5).cast("int"))
+          .otherwise(0))
+      .withColumn("recon",
+        col("mn") + col("code") * (col("mx") - col("mn")) / 255.0)
+      .withColumn("d2_e12",
+        floor((col("v") - col("recon")) * (col("v") - col("recon"))
+          * 1000000000000.0 + 0.5).cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("dim"), col("code")))),
+          s => s.getField("code").cast("string"))).cast("binary"))
+          .as("codes_md5"),
+        sum(col("d2_e12")).as("err_e12"),
+        max(col("code")).as("max_code"))
+  }
+
+  /**
    * Johnson–Lindenstrauss random projection (Achlioptas 2003 — database-
    * friendly ±1 signs): reduce `dimIn` embeddings to `dimOut` via a
    * deterministic sign matrix, sign(i,j) = parity of an md5 bit for the

@@ -865,6 +865,37 @@ object PipelineQueries extends QueryGroup {
       |FROM pe JOIN sg ON pe.pos = sg.pos
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  private val p119 = QueryDef(
+    // Scalar int8 quantization with corpus-trained per-dim calibration
+    // (the FAISS SQ8 shape): one dim-keyed min/max agg (comparisons
+    // only — exact on any engine) broadcast back, codes and
+    // reconstruction deltas as fixed-order IEEE expressions, each dim's
+    // δ² e12-quantized BEFORE the per-vector sum (the exact-integer
+    // convention). The oracle replays calibration, coding, and error
+    // arithmetic from scratch.
+    (s, d) => Similarity.sq8Quantize(embs(s, d)).orderBy(col("vec_id")),
+    Some("""WITH pe AS (
+      |  SELECT vec_id, CAST(i.i AS INT) AS dim, embedding[i.i]::DOUBLE AS v
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+      |cal AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM pe GROUP BY dim),
+      |c AS (SELECT pe.vec_id, pe.dim, pe.v, cal.mn, cal.mx,
+      |             CASE WHEN cal.mx > cal.mn
+      |                  THEN CAST(floor((pe.v - cal.mn) * 255.0
+      |                         / (cal.mx - cal.mn) + 0.5) AS INT)
+      |                  ELSE 0 END AS code
+      |      FROM pe JOIN cal ON pe.dim = cal.dim),
+      |r AS (SELECT vec_id, dim, code,
+      |             CAST(floor((v - (mn + code * (mx - mn) / 255.0)) *
+      |                        (v - (mn + code * (mx - mn) / 255.0)) *
+      |                        1000000000000.0 + 0.5) AS BIGINT) AS d2_e12
+      |      FROM c)
+      |SELECT vec_id,
+      |       md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim))
+      |         AS codes_md5,
+      |       CAST(sum(d2_e12) AS BIGINT) AS err_e12,
+      |       CAST(max(code) AS INT) AS max_code
+      |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+
   /** PQ fixture codebooks: m=4 segments × dsub=16 dims, ks≤16 codewords
    * per segment (the first ≤16 centroid-rule vectors' subvectors — a
    * deterministic stand-in for per-segment k-means, same fixture
@@ -2344,6 +2375,7 @@ object PipelineQueries extends QueryGroup {
     "p19_wav_decode" -> p19,
     "p20_bmp_decode" -> p20,
     "p118_video_scene_cuts" -> p118,
+    "p119_sq8_quantize" -> p119,
     "p42_image_ahash" -> p42,
     "p45_audio_energy" -> p45,
     "p58_image_dhash_pairs" -> p58,

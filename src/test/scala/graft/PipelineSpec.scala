@@ -244,6 +244,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L)._1 === 1L && got(2L)._2 === 1L)
   }
 
+  test("SQ8: corpus-trained per-dim calibration, codes, exact error") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(0f, 1f)),
+      (1L, Array(0.5f, 3f)),
+      (2L, Array(1f, 5f))).toDF("vec_id", "embedding")
+    val got = Similarity.sq8Quantize(corpus)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+    // driver-side replay of the declared arithmetic (same IEEE ops)
+    val vs = Map(0L -> Seq(0.0, 1.0), 1L -> Seq(0.5, 3.0),
+      2L -> Seq(1.0, 5.0))
+    val cal = Seq((0.0, 1.0), (1.0, 5.0)) // (mn, mx) per dim
+    def codes(id: Long): Seq[Int] = vs(id).zip(cal).map { case (v, (mn, mx)) =>
+      math.floor((v - mn) * 255.0 / (mx - mn) + 0.5).toInt
+    }
+    def err(id: Long): Long = vs(id).zip(cal).zip(codes(id)).map {
+      case (((v, (mn, mx)), c)) =>
+        val recon = mn + c * (mx - mn) / 255.0
+        math.floor((v - recon) * (v - recon) * 1e12 + 0.5).toLong
+    }.sum
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // range endpoints code to 0 / 255; the midpoints to 128
+    assert(codes(0L) === Seq(0, 0) && codes(2L) === Seq(255, 255))
+    assert(codes(1L) === Seq(128, 128))
+    for (id <- vs.keys) {
+      assert(got(id)._1 === md5hex(codes(id).mkString(",")), s"vec $id codes")
+      assert(got(id)._2 === err(id), s"vec $id err")
+      assert(got(id)._3 === codes(id).max, s"vec $id max_code")
+    }
+    // endpoints reconstruct exactly: zero error at both extremes
+    assert(got(0L)._2 === 0L && got(2L)._2 === 0L)
+  }
+
   test("ADC distances are sums of per-segment LUT lookups") {
     import spark.implicits._
     val corpus = Seq(
