@@ -287,6 +287,38 @@ object Similarity {
           10000.0 + 0.5).cast("double") / 10000.0).as("c_old"))
 
   /**
+   * IVF index MAINTENANCE census — the append-without-retrain step a
+   * production vector index runs between trainings: a new batch assigns
+   * to the FROZEN centroids (one broadcast map-side pass, the ivfAssign
+   * shape — the corpus never shuffles), and the census reports each
+   * cell's base/new populations, growth in exact PPM, and a rebalance
+   * flag — `needs_split` fires when a cell's growth rate exceeds twice
+   * the corpus-wide rate, by integer cross-multiplication (n_new·Σbase
+   * > 2·Σnew·n_base in DECIMAL(38,0) — no ratio ever rounds). Every
+   * cell holds its own centroid (cos(c,c)=1 is the max), so n_base ≥ 1
+   * and the division is total.
+   */
+  def ivfAppendCensus(base: DataFrame, batch: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val nb = ivfAssign(base, centroids)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
+    val nn = ivfAssign(batch, centroids)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_new"))
+    val cells = nb.join(nn, Seq("cluster"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    val tot = broadcast(cells.agg(sum(col("n_base")).as("t_base"),
+      sum(col("n_new")).as("t_new")))
+    cells.crossJoin(tot)
+      .withColumn("growth_ppm",
+        expr("(CAST(n_new AS DECIMAL(38,0)) * 1000000) div n_base"))
+      .withColumn("needs_split",
+        expr("CAST(n_new AS DECIMAL(38,0)) * t_base > " +
+          "2 * CAST(t_new AS DECIMAL(38,0)) * n_base"))
+      .select(col("cluster"), col("n_base"), col("n_new"),
+        col("growth_ppm"), col("needs_split"))
+  }
+
+  /**
    * Scalar (int8) embedding quantization with CORPUS-trained per-dim
    * calibration — the SQ8 compression every major ANN library ships
    * (FAISS ScalarQuantizer QT_8bit): dimension j's [min_j, max_j] over

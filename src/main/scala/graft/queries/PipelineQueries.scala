@@ -896,6 +896,49 @@ object PipelineQueries extends QueryGroup {
       |       CAST(max(code) AS INT) AS max_code
       |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin))
 
+  private val p120 = QueryDef(
+    // IVF append-without-retrain census: the 20% batch (vec_id % 5 = 4)
+    // assigns to centroids trained on the 80% base (the centroid rule
+    // stays %50 = 0 — all centroids live in the base); per cell the
+    // base/new populations, exact-PPM growth, and the cross-multiplied
+    // needs_split rebalance flag. The oracle re-derives BOTH
+    // assignments with the independent window formulation and replays
+    // the integer arithmetic.
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cembedding"))
+      Similarity.ivfAppendCensus(
+        e.filter(col("vec_id") % 5 =!= 4),
+        e.filter(col("vec_id") % 5 === 4), centroids)
+        .orderBy(col("cluster"))
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |  WHERE vec_id % 50 = 0),
+      |aff AS (
+      |  SELECT e.vec_id, e.vec_id % 5 = 4 AS is_new, c.cid,
+      |         ${cosSql("e.embedding", "c.ce")} AS a
+      |  FROM embeddings e, cent c),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |         ORDER BY a DESC, cid) AS rn FROM aff),
+      |cells AS (
+      |  SELECT cid AS cluster,
+      |         CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+      |           AS n_base,
+      |         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_new
+      |  FROM rk WHERE rn = 1 GROUP BY cid),
+      |tot AS (SELECT sum(n_base) AS t_base, sum(n_new) AS t_new
+      |        FROM cells)
+      |SELECT cluster, n_base, n_new,
+      |       CAST((CAST(n_new AS HUGEINT) * 1000000) // n_base AS BIGINT)
+      |         AS growth_ppm,
+      |       CAST(n_new AS HUGEINT) * t_base >
+      |         2 * CAST(t_new AS HUGEINT) * n_base AS needs_split
+      |FROM cells, tot ORDER BY cluster""".stripMargin))
+
   /** PQ fixture codebooks: m=4 segments × dsub=16 dims, ks≤16 codewords
    * per segment (the first ≤16 centroid-rule vectors' subvectors — a
    * deterministic stand-in for per-segment k-means, same fixture
@@ -2376,6 +2419,7 @@ object PipelineQueries extends QueryGroup {
     "p20_bmp_decode" -> p20,
     "p118_video_scene_cuts" -> p118,
     "p119_sq8_quantize" -> p119,
+    "p120_ivf_append" -> p120,
     "p42_image_ahash" -> p42,
     "p45_audio_energy" -> p45,
     "p58_image_dhash_pairs" -> p58,

@@ -244,6 +244,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L)._1 === 1L && got(2L)._2 === 1L)
   }
 
+  test("IVF append census: growth PPM and the needs_split flag by hand") {
+    import spark.implicits._
+    // two orthogonal centroids with UNEQUAL bases (2 vs 8): the batch
+    // sends 4 to cell 0 (growth 2.0 > 2× the corpus rate 5/10) and 1 to
+    // cell 10 (growth 0.125) → only cell 0 flags needs_split
+    val c0 = Array(1f, 0f, 0f, 0f)
+    val c1 = Array(0f, 0f, 1f, 0f)
+    def near(c: Array[Float], eps: Float) =
+      c.map(v => if (v == 0f) eps else v)
+    val base = Seq((0L, c0), (1L, near(c0, 0.01f))) ++
+      (10L until 18L).map(i => (i, near(c1, 0.001f * (i - 9))))
+    val batch = Seq((100L, near(c0, 0.02f)), (101L, near(c0, 0.03f)),
+      (102L, near(c0, 0.04f)), (103L, near(c0, 0.05f)),
+      (110L, near(c1, 0.02f)))
+    val cents = Seq((0L, c0), (10L, c1))
+      .toDF("centroid_id", "cembedding")
+    val got = Similarity.ivfAppendCensus(
+      base.toDF("vec_id", "embedding"), batch.toDF("vec_id", "embedding"),
+      cents)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // cell 0: 4·Σbase(10) > 2·Σnew(5)·n_base(2) ⇔ 40 > 20 → split
+    assert(got(0L) === ((2L, 4L, 2000000L, true)))
+    // cell 10: 1·10 > 2·5·8 ⇔ 10 > 80 → no split
+    assert(got(10L) === ((8L, 1L, 125000L, false)))
+  }
+
   test("SQ8: corpus-trained per-dim calibration, codes, exact error") {
     import spark.implicits._
     val corpus = Seq(
