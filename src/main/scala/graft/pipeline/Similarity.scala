@@ -294,9 +294,13 @@ object Similarity {
    * cell's base/new populations, growth in exact PPM, and a rebalance
    * flag — `needs_split` fires when a cell's growth rate exceeds twice
    * the corpus-wide rate, by integer cross-multiplication (n_new·Σbase
-   * > 2·Σnew·n_base in DECIMAL(38,0) — no ratio ever rounds). Every
-   * cell holds its own centroid (cos(c,c)=1 is the max), so n_base ≥ 1
-   * and the division is total.
+   * > 2·Σnew·n_base in DECIMAL(38,0) — no ratio ever rounds). When the
+   * centroids come from the base (the usual training discipline) every
+   * cell holds its own centroid, so n_base ≥ 1; with externally-trained
+   * centroids a batch-only cell still gets its census row (FULL join,
+   * n_base = 0, growth NULL) and its vectors still count in Σnew —
+   * such a cell flags needs_split whenever it has any members, which is
+   * the right rebalance signal for an orphan hot spot.
    */
   def ivfAppendCensus(base: DataFrame, batch: DataFrame,
       centroids: DataFrame): DataFrame = {
@@ -304,13 +308,17 @@ object Similarity {
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
     val nn = ivfAssign(batch, centroids)
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_new"))
-    val cells = nb.join(nn, Seq("cluster"), "left")
-      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    // track: the census fans into BOTH the totals aggregate and the
+    // final projection — without it the two assignment passes run twice
+    val cells = graft.CacheScope.track(nb.join(nn, Seq("cluster"), "full")
+      .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L))))
     val tot = broadcast(cells.agg(sum(col("n_base")).as("t_base"),
       sum(col("n_new")).as("t_new")))
     cells.crossJoin(tot)
       .withColumn("growth_ppm",
-        expr("(CAST(n_new AS DECIMAL(38,0)) * 1000000) div n_base"))
+        expr("CASE WHEN n_base > 0 THEN " +
+          "(CAST(n_new AS DECIMAL(38,0)) * 1000000) div n_base END"))
       .withColumn("needs_split",
         expr("CAST(n_new AS DECIMAL(38,0)) * t_base > " +
           "2 * CAST(t_new AS DECIMAL(38,0)) * n_base"))

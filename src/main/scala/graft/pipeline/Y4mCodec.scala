@@ -44,7 +44,20 @@ object Y4mCodec {
       fpsDen: Int, nFrames: Int, frameBytes: Int, fileBytes: Int,
       frames: Seq[Array[Byte]])
 
-  /** Parse by walking the stream; throws on malformed input. */
+  /** Dimension cap: keeps width·height far inside Int (2^28) — a header
+   * claiming a larger plane is rejected, never overflow-misparsed. */
+  private val MaxDim = 16384
+
+  private def num(s: String, what: String): Int = {
+    require(s.nonEmpty && s.forall(_.isDigit) && s.length <= 9,
+      s"malformed $what: '$s'")
+    s.toInt
+  }
+
+  /** Parse by walking the stream; throws IllegalArgumentException on ANY
+   * malformed input — bad magic, non-numeric or oversized geometry
+   * (whose product could overflow), malformed F ratio, truncated or
+   * unmarked frames. */
   def parse(bytes: Array[Byte]): Y4mInfo = {
     val nl = bytes.indexOf('\n'.toByte)
     require(nl > 0, "missing stream-header newline")
@@ -52,16 +65,21 @@ object Y4mCodec {
     require(tokens.headOption.contains(Magic), "not a YUV4MPEG2 stream")
     def param(tag: Char): Option[String] =
       tokens.tail.find(_.headOption.contains(tag)).map(_.tail)
-    val width = param('W').map(_.toInt)
+    val width = param('W').map(num(_, "width"))
       .getOrElse(throw new IllegalArgumentException("missing W"))
-    val height = param('H').map(_.toInt)
+    val height = param('H').map(num(_, "height"))
       .getOrElse(throw new IllegalArgumentException("missing H"))
     val fps = param('F')
       .getOrElse(throw new IllegalArgumentException("missing F"))
-    val Array(fn, fd) = fps.split(":").map(_.toInt)
+    val fparts = fps.split(":")
+    require(fparts.length == 2, s"malformed F ratio: '$fps'")
+    val fn = num(fparts(0), "fps numerator")
+    val fd = num(fparts(1), "fps denominator")
     val cs = param('C').getOrElse("420") // Y4M default is 4:2:0
     require(cs == "mono", s"only Cmono is modeled, got C$cs")
     require(width > 0 && height > 0 && fn > 0 && fd > 0, "bad geometry")
+    require(width <= MaxDim && height <= MaxDim,
+      s"plane ${width}x$height exceeds the $MaxDim cap")
     val fb = width * height
     val marker = "FRAME\n".getBytes("US-ASCII")
     val frames = Seq.newBuilder[Array[Byte]]

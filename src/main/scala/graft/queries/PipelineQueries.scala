@@ -933,8 +933,9 @@ object PipelineQueries extends QueryGroup {
       |tot AS (SELECT sum(n_base) AS t_base, sum(n_new) AS t_new
       |        FROM cells)
       |SELECT cluster, n_base, n_new,
-      |       CAST((CAST(n_new AS HUGEINT) * 1000000) // n_base AS BIGINT)
-      |         AS growth_ppm,
+      |       CAST(CASE WHEN n_base > 0
+      |            THEN (CAST(n_new AS HUGEINT) * 1000000) // n_base END
+      |         AS BIGINT) AS growth_ppm,
       |       CAST(n_new AS HUGEINT) * t_base >
       |         2 * CAST(t_new AS HUGEINT) * n_base AS needs_split
       |FROM cells, tot ORDER BY cluster""".stripMargin))
@@ -1285,14 +1286,19 @@ object PipelineQueries extends QueryGroup {
     // parse it back with the validating walker, and run shot-boundary
     // detection over the PARSED frames: per consecutive pair the exact
     // integer SAD, a cut where SAD > 30·frame_bytes (mean |Δluma| > 30).
+    // The luma payload is the text PROJECTED TO PRINTABLE ASCII (every
+    // codepoint outside [0x20, 0x7E] → '?', identically on both sides),
+    // so the oracle's character walk (ord/substr) and the engine's byte
+    // walk agree at ANY corpus content — not just the fixtures' ASCII.
     // The oracle re-derives geometry, the header's byte length, and
-    // every SAD arithmetically from the text bytes — the engine matches
-    // only if the Y4M framing and the frame walk are exact.
+    // every SAD arithmetically — the engine matches only if the Y4M
+    // framing and the frame walk are exact.
     (s, d) => {
       import s.implicits._
       val in = docs(s, d)
         .select(col("doc_id"),
-          encode(coalesce(col("text"), lit("")), "UTF-8").as("px"))
+          encode(regexp_replace(coalesce(col("text"), lit("")),
+            "[^ -~]", "?"), "UTF-8").as("px"))
         .as[(Long, Array[Byte])]
       in.mapPartitions { it =>
         it.map { case (id, px) =>
@@ -1321,8 +1327,9 @@ object PipelineQueries extends QueryGroup {
     },
     Some("""WITH g AS (
       |  SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w,
-      |         coalesce(text, '') AS b,
-      |         length(coalesce(text, '')) AS len
+      |         regexp_replace(coalesce(text, ''), '[^ -~]', '?', 'g') AS b,
+      |         length(regexp_replace(coalesce(text, ''), '[^ -~]', '?',
+      |           'g')) AS len
       |  FROM documents),
       |f AS (SELECT doc_id, w, b, len, w * 8 AS fb,
       |             CAST(greatest(1, (len + w * 8 - 1) // (w * 8)) AS INT)

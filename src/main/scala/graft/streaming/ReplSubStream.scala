@@ -75,6 +75,13 @@ object ReplSubStream {
             }
           }
           state.update(s)
+          // a sid with responses but NO request yet has no census row —
+          // the batch fold builds the census from the REQUEST relation,
+          // so emitting here (reqTs still at the sentinel) would both
+          // diverge from the twin and mis-pass the timeout comparison;
+          // the row appears once the REQUEST marker arrives
+          if (s.reqTs == Long.MaxValue) Iterator.empty
+          else {
           val complete = remoteSet.forall(c =>
             s.respSeqTs.getOrElse(c, Seq.empty).size >= needed)
           val census =
@@ -90,6 +97,7 @@ object ReplSubStream {
               else RsCensus(sid, "timed_out", -1L, "", s.maxSeq)
             } else RsCensus(sid, "incomplete", -1L, "", s.maxSeq)
           Iterator.single(census)
+          }
       }
   }
 }

@@ -253,22 +253,28 @@ class PipelineSpec extends AnyFunSuite {
     val c1 = Array(0f, 0f, 1f, 0f)
     def near(c: Array[Float], eps: Float) =
       c.map(v => if (v == 0f) eps else v)
+    val c2 = Array(0f, 1f, 0f, 0f)
     val base = Seq((0L, c0), (1L, near(c0, 0.01f))) ++
       (10L until 18L).map(i => (i, near(c1, 0.001f * (i - 9))))
     val batch = Seq((100L, near(c0, 0.02f)), (101L, near(c0, 0.03f)),
       (102L, near(c0, 0.04f)), (103L, near(c0, 0.05f)),
-      (110L, near(c1, 0.02f)))
-    val cents = Seq((0L, c0), (10L, c1))
+      (110L, near(c1, 0.02f)), (120L, near(c2, 0.02f)))
+    // centroid 20 was trained EXTERNALLY — no base member lands there
+    val cents = Seq((0L, c0), (10L, c1), (20L, c2))
       .toDF("centroid_id", "cembedding")
     val got = Similarity.ivfAppendCensus(
       base.toDF("vec_id", "embedding"), batch.toDF("vec_id", "embedding"),
       cents)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
-    // cell 0: 4·Σbase(10) > 2·Σnew(5)·n_base(2) ⇔ 40 > 20 → split
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))).toMap
+    // cell 0: 4·Σbase(10) > 2·Σnew(6)·n_base(2) ⇔ 40 > 24 → split
     assert(got(0L) === ((2L, 4L, 2000000L, true)))
-    // cell 10: 1·10 > 2·5·8 ⇔ 10 > 80 → no split
+    // cell 10: 1·10 > 2·6·8 ⇔ 10 > 96 → no split
     assert(got(10L) === ((8L, 1L, 125000L, false)))
+    // the batch-only orphan cell keeps its row: n_base 0, growth NULL,
+    // and any membership at all flags the rebalance (1·10 > 0)
+    assert(got(20L) === ((0L, 1L, -1L, true)))
   }
 
   test("SQ8: corpus-trained per-dim calibration, codes, exact error") {

@@ -47,6 +47,23 @@ class Y4mSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Y4mCodec.build(4, 2, 25, 1, Seq(frame(7, 1)))
     }
+    // overflow-hostile geometry is rejected, never misparsed: 65536²
+    // would wrap to 0 frame bytes and "parse" any stream of markers
+    intercept[IllegalArgumentException] {
+      Y4mCodec.parse(
+        "YUV4MPEG2 W65536 H65536 F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII"))
+    }
+    // malformed numerics and F ratios throw the contract's exception,
+    // not NumberFormatException/MatchError
+    intercept[IllegalArgumentException] {
+      Y4mCodec.parse("YUV4MPEG2 W4x H2 F25:1 Cmono\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Y4mCodec.parse("YUV4MPEG2 W4 H2 F25 Cmono\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Y4mCodec.parse("YUV4MPEG2 W4 H2 F25:1:0 Cmono\n".getBytes("US-ASCII"))
+    }
   }
 
   test("SAD is the exact per-byte |Δ| sum; cuts fire past mean 30") {
