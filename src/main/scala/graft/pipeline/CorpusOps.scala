@@ -320,6 +320,47 @@ object CorpusOps {
     rankSumFinish(doubled)
   }
 
+  // ------------------------------------------- exact AUC audit
+
+  /**
+   * EXACT ROC-AUC of an integer score against a binary label, per
+   * stratum — the threshold-free discrimination audit a model-based
+   * quality filter ships with. Computed by the Mann–Whitney identity
+   * AUC = U/(n⁺·n⁻) with the statistically-correct AVERAGE rank for
+   * tied scores, over the (stratum, score) HISTOGRAM — never a
+   * row-scale sort (the [[rankSumAuditAuto]] histogram machinery: the
+   * doubled rank 2·cum_before + c + 1 keeps half-ranks integral, all
+   * products in DECIMAL(38,0)). auc_ppm is one integer division; NULL
+   * when a stratum has no positives or no negatives (AUC undefined).
+   *
+   * Shape at 100 TB: one (stratum, score) hash aggregate with map-side
+   * partials, a cumulative window over DISTINCT scores, a |strata|-row
+   * aggregate. Bounded score domains (a PPM score has ≤10⁶+1 values)
+   * keep the window histogram-scale at any corpus size.
+   */
+  def aucAudit(df: DataFrame, stratumCol: Column, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val base = df.select(stratumCol.as("g"), scoreCol.cast("long").as("s"),
+      labelCol.cast("boolean").as("pos"))
+    val hist = base.groupBy(col("g"), col("s"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("p"))
+    val cum = hist.withColumn("cum_before",
+      sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("s")))
+        - col("c"))
+    cum.groupBy(col("g"))
+      .agg(sum(col("p")).as("n_pos"),
+        sum(col("c") - col("p")).as("n_neg"),
+        sum(expr("CAST(p AS DECIMAL(38,0)) * (2 * cum_before + c + 1)"))
+          .as("r2pos"))
+      .withColumn("auc_ppm", expr(
+        "CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+          "((r2pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 500000)" +
+          " div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) END"))
+      .select(col("g").as("stratum"), col("n_pos"), col("n_neg"),
+        col("auc_ppm"))
+  }
+
   // ------------------------------------------- Poisson bootstrap CI
 
   /** Poisson(1) CDF thresholds scaled to 2³² (floored) — the

@@ -2034,6 +2034,58 @@ object CorpusQueries extends QueryGroup {
       |                 ELSE 500000 END AS BIGINT) AS u_ppm
       |FROM fin ORDER BY source""".stripMargin))
 
+  private val p121 = QueryDef(
+    // Exact per-source ROC-AUC of the en-stopword-density score (hits
+    // per token, integer PPM) against the corpus's own lang == 'en'
+    // label — the threshold-free audit of the p10/p113 language
+    // classifier family, by the Mann–Whitney identity with average-rank
+    // ties over the score histogram (no row-scale sort). The oracle
+    // rebuilds score, label, histogram, and the doubled-rank arithmetic
+    // from the raw text.
+    (s, d) => {
+      val ws = graft.pipeline.TextOps.words(coalesce(col("text"), lit("")))
+      val hits = size(filter(ws,
+        w => w.isin(graft.pipeline.TextOps.stopwordsEn.map(lit): _*)))
+      CorpusOps.aucAudit(
+        docs(s, d)
+          .withColumn("hits_c", hits)
+          .withColumn("ntok_c", size(ws))
+          .withColumn("score", expr(
+            "(CAST(hits_c AS BIGINT) * 1000000) div (ntok_c + 1)")),
+        col("source"), col("score"), col("lang") === "en")
+        .select(col("stratum").as("source"), col("n_pos"), col("n_neg"),
+          col("auc_ppm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH b AS (
+      |  SELECT source, lang = 'en' AS pos,
+      |         CAST(len(list_filter($WORDS,
+      |           w -> list_contains($p65stop, w))) AS BIGINT) AS hits,
+      |         CAST(len($WORDS) AS BIGINT) AS ntok
+      |  FROM documents),
+      |s AS (SELECT source AS g, pos,
+      |             (hits * 1000000) // (ntok + 1) AS sc FROM b),
+      |h AS (SELECT g, sc, count(*) AS c,
+      |             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+      |               AS p
+      |      FROM s GROUP BY 1, 2),
+      |cu AS (SELECT g, sc, c, p,
+      |              sum(c) OVER (PARTITION BY g ORDER BY sc) - c
+      |                AS cum_before
+      |       FROM h),
+      |a AS (SELECT g, CAST(sum(p) AS BIGINT) AS n_pos,
+      |             CAST(sum(c - p) AS BIGINT) AS n_neg,
+      |             CAST(sum(CAST(p AS HUGEINT) * (2 * cum_before + c + 1))
+      |               AS HUGEINT) AS r2
+      |      FROM cu GROUP BY g)
+      |SELECT g AS source, n_pos, n_neg,
+      |       CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+      |            THEN ((r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1))
+      |                  * 500000)
+      |                 // (CAST(n_pos AS HUGEINT) * n_neg) END
+      |         AS BIGINT) AS auc_ppm
+      |FROM a ORDER BY source""".stripMargin))
+
   private val p106 = QueryDef(
     // Exact two-sample KS statistic per source (vs the rest of the
     // corpus) over the n_chars histogram: D×10⁶ by integer
@@ -2299,6 +2351,7 @@ object CorpusQueries extends QueryGroup {
     "p116_sampling_table" -> p116,
     "p107_data_card" -> p107,
     "p106_ks_test" -> p106,
+    "p121_auc_audit" -> p121,
     "p105_rank_sum" -> p105,
     "p104_spearman" -> p104,
     "p103_bootstrap_ci" -> p103,

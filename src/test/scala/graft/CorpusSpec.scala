@@ -982,6 +982,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(got("B") === ((2L, 8L, 5L, 6L, 833333L)))
   }
 
+  test("AUC audit: hand-computed tied AUC, perfect separation, and the " +
+      "one-class NULL") {
+    import spark.implicits._
+    // s: pos scores {3, 2}, neg {1, 2} → pairs 3>1, 3>2, 2>1 win, 2=2
+    // ties at ½ → U = 3.5/4 → 875000 ppm (average-rank tie handling);
+    // t: perfect separation → 10⁶; u: one class → AUC undefined (NULL)
+    val d = Seq(
+      (1L, 3L, true, "s"), (2L, 2L, true, "s"),
+      (3L, 1L, false, "s"), (4L, 2L, false, "s"),
+      (5L, 5L, true, "t"), (6L, 6L, true, "t"), (7L, 1L, false, "t"),
+      (8L, 9L, true, "u"))
+      .toDF("doc_id", "score", "label", "stratum")
+    val got = CorpusOps.aucAudit(d, col("stratum"), col("score"),
+        col("label"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got("s") === ((2L, 2L, 875000L)))
+    assert(got("t") === ((2L, 1L, 1000000L)))
+    assert(got("u") === ((1L, 0L, -1L)))
+  }
+
   test("bootstrap CI matches a driver-side MessageDigest replay") {
     import spark.implicits._
     val d = (0L until 40L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w")
