@@ -348,7 +348,10 @@ object Similarity {
    * one explode + broadcast join + per-vector hash agg — the corpus
    * never shuffles on anything but its own id.
    */
-  def sq8Quantize(vecs: DataFrame): DataFrame = {
+  /** The shared SQ8 coding stage: per (vector, dim) the component, the
+   * corpus calibration, and the int8 code — consumed by [[sq8Quantize]]
+   * (compression + error) and [[sq8RecallAudit]] (retrieval cost). */
+  def sq8Codes(vecs: DataFrame): DataFrame = {
     val exploded = vecs
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p0", "v")))
       .select(col("vec_id"), (col("p0") + 1).cast("int").as("dim"),
@@ -361,6 +364,10 @@ object Similarity {
           floor((col("v") - col("mn")) * 255.0 / (col("mx") - col("mn"))
             + 0.5).cast("int"))
           .otherwise(0))
+  }
+
+  def sq8Quantize(vecs: DataFrame): DataFrame = {
+    sq8Codes(vecs)
       .withColumn("recon",
         col("mn") + col("code") * (col("mx") - col("mn")) / 255.0)
       .withColumn("d2_e12",
@@ -374,6 +381,65 @@ object Similarity {
           .as("codes_md5"),
         sum(col("d2_e12")).as("err_e12"),
         max(col("code")).as("max_code"))
+  }
+
+  /**
+   * SQ8's retrieval cost, measured — the recall@k audit every index
+   * build reports next to its compression ratio: for each query, the
+   * top-k by EXACT squared L2 on the original vectors (the fixed-order
+   * l2Sq kernel, the p35/p37-proven parity path) versus the top-k by
+   * the INTEGER code-space distance Σ((Δcode·step_e6)²) with step_e6 =
+   * floor((mx−mn)/255·10⁶ + 0.5) per dim — the dequantized L2 up to the
+   * e6 step quantization, in pure DECIMAL(38,0) arithmetic, so the
+   * approximate ranking itself is engine-independent. (A raw code dot
+   * product would NOT work: affine-shifted all-positive codes rank by
+   * magnitude, not direction — measured recall ~0 before this metric.)
+   * Emits per query the overlap and recall in exact PPM; ties in either
+   * ranking break on the neighbor id.
+   *
+   * Shape at 100 TB: the code distance is one dim-keyed join + (query,
+   * cand) hash agg, bounded by |queries|·|corpus| like every
+   * brute-force audit (p92's recall precedent) — production restricts
+   * candidates by IVF cell first; the audit exists to measure the
+   * quantizer, not to serve traffic.
+   */
+  def sq8RecallAudit(vecs: DataFrame, queryMax: Long, k: Int): DataFrame = {
+    require(k > 0)
+    val qv = vecs.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val exact = vecs.crossJoin(broadcast(qv))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("dist",
+        graft.functions.GraftFunctions.l2Sq(col("qemb"), col("embedding")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+    val codes = graft.CacheScope.track(sq8Codes(vecs)
+      .withColumn("step_e6",
+        floor((col("mx") - col("mn")) / 255.0 * 1000000.0 + 0.5)
+          .cast("long"))
+      .select(col("vec_id"), col("dim"), col("code"), col("step_e6")))
+    val q = codes.select(col("vec_id").as("qid"), col("dim"),
+      col("code").as("qcode")).filter(col("qid") < queryMax)
+    val dists = codes.join(broadcast(q), Seq("dim"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("dd",
+        expr("CAST((qcode - code) * step_e6 AS DECIMAL(38,0))"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(expr("dd * dd")).as("dist2"))
+    val codeTop = dists.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("dist2"), col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+    exact.select(col("query_id")).distinct()
+      .join(exact.join(codeTop, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits")),
+        Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_ppm", expr(s"(n_hits * 1000000) div $k"))
   }
 
   /**

@@ -865,6 +865,64 @@ object PipelineQueries extends QueryGroup {
       |FROM pe JOIN sg ON pe.pos = sg.pos
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Shared SQ8 oracle CTEs — per-dim corpus calibration (`cal`) and the
+   * per-(vector, dim) code relation (`c`), the SQL mirror of
+   * [[Similarity.sq8Codes]]; consumed by p119 and p122. */
+  private val sq8SqlCtes: String =
+    """pe AS (
+      |  SELECT vec_id, CAST(i.i AS INT) AS dim, embedding[i.i]::DOUBLE AS v
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+      |cal AS (SELECT dim, min(v) AS mn, max(v) AS mx,
+      |               CAST(floor((max(v) - min(v)) / 255.0 * 1000000.0
+      |                 + 0.5) AS BIGINT) AS step_e6
+      |        FROM pe GROUP BY dim),
+      |c AS (SELECT pe.vec_id, pe.dim, pe.v, cal.mn, cal.mx, cal.step_e6,
+      |             CASE WHEN cal.mx > cal.mn
+      |                  THEN CAST(floor((pe.v - cal.mn) * 255.0
+      |                         / (cal.mx - cal.mn) + 0.5) AS INT)
+      |                  ELSE 0 END AS code
+      |      FROM pe JOIN cal ON pe.dim = cal.dim)""".stripMargin
+
+  private val p122 = QueryDef(
+    // SQ8's retrieval cost: recall@5 of the integer code-space L2
+    // ranking (Δcode·step_e6 squared and summed in DECIMAL(38,0) — the
+    // dequantized distance up to the e6 step quantization, fully
+    // engine-independent) against the exact L2 top-5 on the original
+    // vectors (the fixed-order l2Sq kernel the PQ oracles proved), for
+    // the 10 query vectors. The oracle replays BOTH rankings and the
+    // overlap; ties break on the neighbor id in each.
+    (s, d) => Similarity.sq8RecallAudit(embs(s, d), queryMax = 10L, k = 5)
+      .orderBy(col("query_id")),
+    Some(s"""WITH $sq8SqlCtes,
+      |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |es AS (SELECT q.vec_id AS query_id, e.vec_id AS id,
+      |         list_sum(list_transform(range(1, 65), i ->
+      |           (q.embedding[i]::DOUBLE - e.embedding[i]::DOUBLE) *
+      |           (q.embedding[i]::DOUBLE - e.embedding[i]::DOUBLE)))
+      |           AS dist
+      |       FROM embeddings e, q WHERE e.vec_id <> q.vec_id),
+      |er AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY dist, id) AS rn FROM es),
+      |cq AS (SELECT vec_id AS qid, dim, code AS qcode FROM c
+      |       WHERE vec_id < 10),
+      |dists AS (SELECT cq.qid, t.vec_id AS cid,
+      |            sum(CAST((cq.qcode - t.code) * t.step_e6 AS HUGEINT) *
+      |                ((cq.qcode - t.code) * t.step_e6)) AS dist2
+      |          FROM c t JOIN cq ON cq.dim = t.dim AND t.vec_id <> cq.qid
+      |          GROUP BY 1, 2),
+      |ct AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |         ORDER BY dist2, cid) AS rn FROM dists),
+      |hits AS (SELECT e.query_id, count(*) AS n
+      |         FROM er e JOIN ct ON ct.qid = e.query_id AND ct.cid = e.id
+      |           AND ct.rn <= 5
+      |         WHERE e.rn <= 5 GROUP BY 1)
+      |SELECT q.vec_id AS query_id,
+      |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+      |       CAST((coalesce(h.n, 0) * 1000000) // 5 AS BIGINT)
+      |         AS recall_ppm
+      |FROM q LEFT JOIN hits h ON q.vec_id = h.query_id
+      |ORDER BY query_id""".stripMargin))
+
   private val p119 = QueryDef(
     // Scalar int8 quantization with corpus-trained per-dim calibration
     // (the FAISS SQ8 shape): one dim-keyed min/max agg (comparisons
@@ -874,16 +932,7 @@ object PipelineQueries extends QueryGroup {
     // convention). The oracle replays calibration, coding, and error
     // arithmetic from scratch.
     (s, d) => Similarity.sq8Quantize(embs(s, d)).orderBy(col("vec_id")),
-    Some("""WITH pe AS (
-      |  SELECT vec_id, CAST(i.i AS INT) AS dim, embedding[i.i]::DOUBLE AS v
-      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
-      |cal AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM pe GROUP BY dim),
-      |c AS (SELECT pe.vec_id, pe.dim, pe.v, cal.mn, cal.mx,
-      |             CASE WHEN cal.mx > cal.mn
-      |                  THEN CAST(floor((pe.v - cal.mn) * 255.0
-      |                         / (cal.mx - cal.mn) + 0.5) AS INT)
-      |                  ELSE 0 END AS code
-      |      FROM pe JOIN cal ON pe.dim = cal.dim),
+    Some(s"""WITH $sq8SqlCtes,
       |r AS (SELECT vec_id, dim, code,
       |             CAST(floor((v - (mn + code * (mx - mn) / 255.0)) *
       |                        (v - (mn + code * (mx - mn) / 255.0)) *
@@ -2427,6 +2476,7 @@ object PipelineQueries extends QueryGroup {
     "p118_video_scene_cuts" -> p118,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
+    "p122_sq8_recall" -> p122,
     "p42_image_ahash" -> p42,
     "p45_audio_energy" -> p45,
     "p58_image_dhash_pairs" -> p58,

@@ -277,6 +277,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(20L) === ((0L, 1L, -1L, true)))
   }
 
+  test("SQ8 recall audit: lossless when codes separate, and the exact " +
+      "within-step collision that costs recall") {
+    import spark.implicits._
+    // calibration range [0, 2550] per dim → step 10: candidates 3 and 4
+    // apart by <1 step share a code, so the code ranking tie-breaks to
+    // the SMALLER id — which is the WRONG neighbor here by construction
+    val vs = Seq(
+      (0L, Array(0f, 0f)),       // the query
+      (1L, Array(4f, 0f)),       // true L2 dist 16 — but code (0,0)
+      (2L, Array(3f, 0f)),       // true nearest (dist 9) — code (0,0) too
+      (3L, Array(2550f, 2550f))) // spans the calibration range
+      .toDF("vec_id", "embedding")
+    val got = Similarity.sq8RecallAudit(vs, queryMax = 1L, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // code dists tie at 0 for ids 1 and 2 → id 1 ranks first → miss
+    assert(got.toSeq === Seq((0L, 0L, 0L)))
+    // move the true nearest a full step away: codes now separate and
+    // the code ranking recovers the exact neighbor
+    val vs2 = Seq(
+      (0L, Array(0f, 0f)),
+      (1L, Array(40f, 0f)),
+      (2L, Array(15f, 0f)),      // code 2 vs code 4 — separated
+      (3L, Array(2550f, 2550f)))
+      .toDF("vec_id", "embedding")
+    val got2 = Similarity.sq8RecallAudit(vs2, queryMax = 1L, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq === Seq((0L, 1L, 1000000L)))
+  }
+
   test("SQ8: corpus-trained per-dim calibration, codes, exact error") {
     import spark.implicits._
     val corpus = Seq(
