@@ -165,4 +165,36 @@ class NullTextSpec extends AnyFunSuite {
         !r.isNullAt(r.fieldIndex("pmi")))
     }
   }
+
+  test("session-9 ops are total over null text") {
+    // p118 video frames: a NULL-text doc builds the 1-frame zero-padded
+    // stream (like empty text), parses clean, zero SAD, zero cuts
+    val frames = graft.queries.PipelineQueries
+      .defs("p118_video_scene_cuts").fn(spark, mkDir())
+    val f = frames.collect().map(r => r.getLong(0) -> r).toMap
+    assert(f.size === 4)
+    assert(f(0L).getAs[Int]("n_frames") === 1 &&
+      f(0L).getAs[Long]("sad_total") === 0L)
+    assert(f(0L).getAs[Int]("n_frames") === f(1L).getAs[Int]("n_frames"))
+    // p121 AUC: null-text docs score 0 (hits 0 over ntok+1); every doc
+    // keeps a row in its stratum's histogram — counts prove totality
+    val auc = CorpusOps.aucAudit(
+      mixed.withColumn("score",
+        coalesce(graft.pipeline.TextOps.tokenCount(col("text")), lit(0))),
+      col("source"), col("score"), col("doc_id") % 2 === 0)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_pos")).toMap
+    assert(auc.keySet === Set("a", "b"))
+  }
+
+  /** A scratch dir holding the 4-row mixed fixture as documents.parquet,
+   * so query-level defs (which read `$dir/documents.parquet`) run over
+   * the NULL-text rows. */
+  private def mkDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulltext-")
+      .toString
+    mixed.withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(coalesce(col("text"), lit(""))))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
 }
