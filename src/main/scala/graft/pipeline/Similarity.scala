@@ -434,7 +434,10 @@ object Similarity {
           .orderBy(col("dist2"), col("vec_id"))))
       .filter(col("rn") <= k)
       .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
-    exact.select(col("query_id")).distinct()
+    // drive the output from the QUERY set (cheap, and oracle-faithful:
+    // a query with zero candidates still reports recall 0), not from a
+    // second instantiation of the brute-force subplan
+    qv.select(col("qid").as("query_id"))
       .join(exact.join(codeTop, Seq("query_id", "neighbor_id"))
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits")),
         Seq("query_id"), "left")

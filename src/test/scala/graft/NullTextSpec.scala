@@ -188,10 +188,10 @@ class NullTextSpec extends AnyFunSuite {
 
   /** A scratch dir holding the 4-row mixed fixture as documents.parquet,
    * so query-level defs (which read `$dir/documents.parquet`) run over
-   * the NULL-text rows. */
+   * the NULL-text rows. Scratch.freshDir, not a raw temp dir — wiped on
+   * entry, so repeated test runs never accumulate parquet dirs. */
   private def mkDir(): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-nulltext-")
-      .toString
+    val dir = graft.Scratch.freshDir("null-frames")
     mixed.withColumn("lang", lit("en"))
       .withColumn("n_chars", length(coalesce(col("text"), lit(""))))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -304,6 +304,7 @@ class PipelineSpec extends AnyFunSuite {
     val got2 = Similarity.sq8RecallAudit(vs2, queryMax = 1L, k = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got2.toSeq === Seq((0L, 1L, 1000000L)))
+    CacheScope.releaseAll() // both audits track the codes relation
   }
 
   test("SQ8: corpus-trained per-dim calibration, codes, exact error") {
