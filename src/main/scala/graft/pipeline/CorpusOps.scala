@@ -162,17 +162,23 @@ object CorpusOps {
     // only the oversize strata, joined back on the NATIVE stratum type
     // (no driver collect, no string coercion that could alias distinct
     // keys); when nothing is oversize the join finds no match and the
-    // filter passes every row, which IS the exact path
+    // filter passes every row, which IS the exact path. The join is
+    // NULL-SAFE (<=>): groupBy treats NULL as a stratum of its own, so
+    // an oversize NULL stratum must take the sampled path exactly like
+    // any other key instead of slipping through a null-rejecting
+    // equi-join unsampled
     val over = broadcast(base.groupBy(col("stratum"))
       .agg(count(lit(1)).as("n_all"))
-      .filter(col("n_all") > maxRowsPerStratum))
+      .filter(col("n_all") > maxRowsPerStratum)
+      .withColumnRenamed("stratum", "over_stratum"))
     val u32 = expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), " +
       "16, 10) AS DECIMAL(38,0))")
-    val sampled = base.join(over, Seq("stratum"), "left")
+    val sampled = base.join(over, col("stratum") <=> col("over_stratum"),
+        "left")
       .filter(col("n_all").isNull ||
         u32 * col("n_all") < lit(maxRowsPerStratum).cast("decimal(38,0)") *
           lit(4294967296L))
-      .drop("n_all")
+      .drop("n_all", "over_stratum")
     spearmanCore(sampled)
   }
 
@@ -302,13 +308,18 @@ object CorpusOps {
     val base = df.select(stratumCol.as("stratum"),
       valueCol.cast("long").as("v"), idCol.as("id"))
     // the branch decision comes from the HISTOGRAM aggregate — the same
-    // relation the scale path consumes (cached for reuse, one corpus
-    // scan either way; a bare count() would be a throwaway pass)
+    // relation the scale path consumes twice (cached, so the scale path
+    // costs ONE corpus scan; a bare count() would be a throwaway pass).
+    // The exact path pays a second row-scale scan for its rank window —
+    // unavoidable, the histogram cannot see ids — so it releases the
+    // histogram immediately instead of pinning it until releaseAll
     val hist = graft.CacheScope.track(base.groupBy(col("stratum"), col("v"))
       .agg(count(lit(1)).as("c")))
     val total = hist.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
-    if (total <= maxRowsForWindow)
+    if (total <= maxRowsForWindow) {
+      hist.unpersist(blocking = false)
       return rankSumAudit(df, stratumCol, valueCol, idCol)
+    }
     val hv = hist.groupBy(col("v")).agg(sum(col("c")).as("cv"))
       .withColumn("cum_before",
         sum(col("cv")).over(Window.orderBy(col("v"))) - col("cv"))

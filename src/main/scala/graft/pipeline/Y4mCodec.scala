@@ -13,9 +13,10 @@ package graft.pipeline
  *
  * The parser is a validating walker: it tokenizes the stream header,
  * requires the mandatory W/H/F parameters and the Cmono colorspace,
- * then demands an exact `FRAME\n` marker before every payload and a
- * clean end-of-stream — Y4mSpec proves it rejects truncated frames,
- * missing markers, and foreign colorspaces.
+ * then demands a `FRAME` marker (optionally carrying frame-level
+ * parameters up to its newline, as the format permits) before every
+ * payload and a clean end-of-stream — Y4mSpec proves it rejects
+ * truncated frames, missing markers, and foreign colorspaces.
  */
 object Y4mCodec {
 
@@ -81,15 +82,23 @@ object Y4mCodec {
     require(width <= MaxDim && height <= MaxDim,
       s"plane ${width}x$height exceeds the $MaxDim cap")
     val fb = width * height
-    val marker = "FRAME\n".getBytes("US-ASCII")
+    val marker = "FRAME".getBytes("US-ASCII")
     val frames = Seq.newBuilder[Array[Byte]]
     var pos = nl + 1
     var n = 0
     while (pos < bytes.length) {
-      require(pos + marker.length <= bytes.length &&
+      require(pos + marker.length < bytes.length &&
         marker.indices.forall(i => bytes(pos + i) == marker(i)),
         s"expected FRAME marker at byte $pos")
       pos += marker.length
+      // the format permits frame-level parameters after the marker
+      // (`FRAME I…\n`, each introduced by a space) — accept them up to
+      // the newline; anything else touching FRAME is malformed
+      require(bytes(pos) == '\n'.toByte || bytes(pos) == ' '.toByte,
+        s"malformed FRAME header at byte $pos")
+      while (pos < bytes.length && bytes(pos) != '\n'.toByte) pos += 1
+      require(pos < bytes.length, s"unterminated FRAME header at byte $pos")
+      pos += 1
       require(pos + fb <= bytes.length, s"truncated frame at byte $pos")
       frames += java.util.Arrays.copyOfRange(bytes, pos, pos + fb)
       pos += fb

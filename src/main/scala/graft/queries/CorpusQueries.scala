@@ -1963,9 +1963,11 @@ object CorpusQueries extends QueryGroup {
       |b AS (
       |  -- replay of spearmanAuto's promoted branch: an oversize stratum
       |  -- keeps only rows passing u32·n < maxRows·2^32 (a no-op at every
-      |  -- SF under the 2M bound, but the rule travels with the oracle)
+      |  -- SF under the 2M bound, but the rule travels with the oracle).
+      |  -- Null-safe join: a NULL-source stratum takes the same path as
+      |  -- the engine's <=> join instead of being dropped
       |  SELECT b0.source, b0.x, b0.y, b0.id
-      |  FROM b0 JOIN sz ON b0.source = sz.source
+      |  FROM b0 JOIN sz ON b0.source IS NOT DISTINCT FROM sz.source
       |  WHERE sz.n_all <= 2000000
       |     OR CAST(CAST(('0x' || substr(md5(CAST(b0.id AS VARCHAR)), 1, 8))
       |          AS UBIGINT) AS HUGEINT) * sz.n_all

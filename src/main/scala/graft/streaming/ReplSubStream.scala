@@ -49,11 +49,22 @@ object ReplSubStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (sid: String, events: Iterator[RsMarkerEvent],
             state: GroupState[RsSnapState]) =>
-          var s = state.getOption.getOrElse(
+          val prior = state.getOption
+          var s = prior.getOrElse(
             RsSnapState(Long.MaxValue, Map.empty, Map.empty, 0L))
-          // fold in seq order within the batch; cross-batch order is
-          // guaranteed by the source's publish order
+          // fold in seq order within the batch; cross-batch order is an
+          // ASSUMPTION on the source's publish order — checked, not
+          // silent: an event whose seq is at/below the max already
+          // folded in a PRIOR batch would invert the putIfAbsent stored
+          // position and the round assignment relative to the batch
+          // twin, so it fails fast instead
+          val priorMax = prior.map(_.maxSeq).getOrElse(Long.MinValue)
           events.toSeq.sortBy(_.seq).foreach { e =>
+            if (prior.isDefined && e.seq <= priorMax)
+              throw new IllegalStateException(
+                s"out-of-order marker for sid=$sid: seq=${e.seq} arrived " +
+                  s"after a batch that folded seq=$priorMax — the source " +
+                  "broke publish order across micro-batches")
             s = e.mtype match {
               case "REQUEST" =>
                 s.copy(reqTs = math.min(s.reqTs, e.tsMs),

@@ -66,6 +66,27 @@ class Y4mSpec extends AnyFunSuite {
     }
   }
 
+  test("frame-level parameters after FRAME are accepted up to the newline") {
+    // the format permits `FRAME I…\n` (frame headers carry optional
+    // space-introduced parameters); splice one into a built stream
+    val ok = Y4mCodec.build(4, 2, 25, 1, Seq(frame(8, 1), frame(8, 2)))
+    val text = new String(ok, "US-ASCII")
+    val m = text.indexOf("FRAME\n")
+    val withParams = ok.take(m + 5) ++ " Ip3".getBytes("US-ASCII") ++
+      ok.drop(m + 5)
+    val info = Y4mCodec.parse(withParams)
+    assert(info.nFrames === 2)
+    assert(info.frames.map(_.toSeq) === Seq(frame(8, 1), frame(8, 2)).map(_.toSeq))
+    // but a parameter string not introduced by a space is malformed
+    val glued = ok.take(m + 5) ++ "X".getBytes("US-ASCII") ++ ok.drop(m + 5)
+    intercept[IllegalArgumentException] { Y4mCodec.parse(glued) }
+    // and an unterminated FRAME header (newline lost at end) is rejected
+    intercept[IllegalArgumentException] {
+      Y4mCodec.parse(
+        ("YUV4MPEG2 W4 H2 F25:1 Ip A1:1 Cmono\nFRAME I").getBytes("US-ASCII"))
+    }
+  }
+
   test("SAD is the exact per-byte |Δ| sum; cuts fire past mean 30") {
     val a = Array[Byte](0, 10, 20, 100.toByte)
     val b = Array[Byte](5, 10, 250.toByte, 90.toByte)
