@@ -42,6 +42,17 @@ object BatchSourceCycles {
   final case class Cycle(cycle: Int, kLo: Long, kHi: Long, fireMs: Long,
     nDropped: Long)
 
+  /** The explicit schedule-scale bound: the driver-side fold iterates
+   * once per cron period from t0 until the log drains, and the
+   * slot→cycle broadcast holds one row per period — both are bounded by
+   * the SCHEDULE, not the corpus, and this cap makes that binding choice
+   * checked instead of silent. A pathological cron (a 1-second period
+   * over a year is ~31M slots) fails fast with the span/period in the
+   * message rather than ballooning the driver. 1M slots ≈ 11 days of
+   * 1-second cron or ~114 years of 1-hour cron — far past any real
+   * BatchSource schedule. */
+  val MaxSlots: Long = 1000000L
+
   /**
    * The trigger fold over per-slot record counts. Slot k holds records
    * with ms in (t0 + (k−1)·period, t0 + k·period], EXCEPT that the
@@ -62,6 +73,11 @@ object BatchSourceCycles {
     val out = Seq.newBuilder[Cycle]
     while (ingested < total) {
       k += 1
+      require(k <= MaxSlots,
+        s"BatchSourceCycles: the trigger fold passed $MaxSlots cron " +
+          s"periods without draining (period=${periodMs}ms, " +
+          s"perTask=${perTaskMs}ms) — the schedule-scale bound the " +
+          "driver-side fold relies on does not hold for this cron")
       val fire = t0 + k * periodMs
       if (fire < busyUntil) drops += 1
       else {
@@ -97,7 +113,7 @@ object BatchSourceCycles {
     // 1-row bound collect: the schedule origin; an EMPTY source log has
     // no schedule at all → the empty relation (the oracle's recursive
     // CTE with total = 0 likewise emits no cycles)
-    val t0Row = e.agg(min(col("ms"))).head()
+    val t0Row = e.agg(min(col("ms")), max(col("ms"))).head()
     if (t0Row.isNullAt(0)) {
       val inst = (0 until instances).map(i => lit(0L).as(s"n_i$i"))
       return e.limit(0).select(Seq(lit(0).as("cycle"),
@@ -106,6 +122,15 @@ object BatchSourceCycles {
         lit("").as("tasks_md5"): _*)
     }
     val t0 = t0Row.getLong(0)
+    // the span guard runs BEFORE the slot-count collect: under a
+    // pathological period the non-empty slots approach one per record,
+    // so the collect itself would be corpus-scale — fail on the
+    // schedule's span/period instead
+    val spanSlots = (t0Row.getLong(1) - t0 - 1) / periodMs + 1
+    require(spanSlots <= MaxSlots,
+      s"BatchSourceCycles: the log spans $spanSlots cron periods " +
+        s"(period=${periodMs}ms) — past the $MaxSlots schedule-scale " +
+        "bound the slot-count collect and trigger fold rely on")
     val slotted = e.withColumn("k",
       expr(s"((ms - ${t0}L - 1) div ${periodMs}L) + 1"))
     // schedule-scale collect: one row per cron period spanned by the log

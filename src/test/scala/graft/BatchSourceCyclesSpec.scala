@@ -45,6 +45,26 @@ class BatchSourceCyclesSpec extends AnyFunSuite {
       Cycle(2, 1, 7, 700, 5)))
   }
 
+  test("the schedule-scale bound is checked, not silent") {
+    import TestSpark.spark
+    import spark.implicits._
+    // span guard: a 1 ms cron over a ~31-year span is ~1e12 slots — the
+    // failure fires BEFORE the slot-count collect, naming the span
+    val wide = Seq((1L, 0L), (2L, 1000000000000L)).toDF("event_id", "ms")
+    val e1 = intercept[IllegalArgumentException] {
+      BatchSourceCycles.cycles(wide, "event_id", "ms", periodMs = 1,
+        perTaskMs = 0, instances = 1)
+    }
+    assert(e1.getMessage.contains("cron periods"))
+    // drain guard: a busy time far past the horizon would iterate the
+    // fold forever-ish — it fails at MaxSlots instead
+    val e2 = intercept[IllegalArgumentException] {
+      BatchSourceCycles.fold(Map(1L -> 1L, 2L -> 1L), periodMs = 1,
+        perTaskMs = BatchSourceCycles.MaxSlots * 2, t0 = 0)
+    }
+    assert(e2.getMessage.contains("without draining"))
+  }
+
   test("cycles: empty source log yields the empty relation, not a crash") {
     import TestSpark.spark
     import spark.implicits._
