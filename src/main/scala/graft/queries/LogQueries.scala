@@ -1035,6 +1035,63 @@ object LogQueries extends QueryGroup {
       |SELECT topic, trigger_batch, count(*) AS n
       |FROM rb GROUP BY topic, trigger_batch ORDER BY topic, trigger_batch""".stripMargin))
 
+  private val o6b = QueryDef(
+    // The AsyncTokenBucket dispatch-rate fold in its relative-to-
+    // publish-rate mode: each topic's byte quota accrues at the topic's
+    // own observed throughput with a span/120 burst budget (≈6 h of a
+    // 30-day log), so steady consumption never throttles at any SF
+    // while bursts beyond the budget do. Census per topic: requests,
+    // throttled requests (balance ≤ 0 after the consume), the deepest
+    // and final balances, and the total computed pause time. The oracle
+    // replays the closed-form fold (prefix-sum + prefix-min) with the
+    // identical HUGEINT arithmetic.
+    (s, d) => TokenBucket.balancesRelative(env(s, d), col("topic"),
+        col("publish_ms"), col("msg_offset"),
+        octet_length(col("properties")) + lit(8),
+        burstFraction = 120L, minCapacity = 16L)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("throttled"), 1L).otherwise(0L)).as("n_throttled"),
+        min(col("tokens_after")).as("min_tokens"),
+        max_by(col("tokens_after"), col("ord")).as("final_tokens"),
+        sum(col("throttle_ms")).cast("long").as("sum_throttle_ms"))
+      .select(col("k").as("topic"), col("n"), col("n_throttled"),
+        col("min_tokens"), col("final_tokens"), col("sum_throttle_ms"))
+      .orderBy(col("topic")),
+    Some(s"""$E, b AS (
+      |  SELECT topic, msg_offset, publish_ms, strlen(properties) + 8 AS c,
+      |         min(publish_ms) OVER (PARTITION BY topic) AS t0,
+      |         greatest(max(publish_ms) OVER (PARTITION BY topic)
+      |           - min(publish_ms) OVER (PARTITION BY topic), 1) AS period,
+      |         sum(strlen(properties) + 8) OVER (PARTITION BY topic) AS rate
+      |  FROM env),
+      |b2 AS (SELECT *, greatest(rate // 120, 16) AS cap FROM b),
+      |t AS (SELECT topic, msg_offset, publish_ms, c, rate, period, cap,
+      |       (CAST(publish_ms - t0 AS HUGEINT) * rate) // period AS add_cum,
+      |       sum(c) OVER (PARTITION BY topic ORDER BY publish_ms, msg_offset
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_run
+      |    FROM b2),
+      |v AS (SELECT topic, msg_offset, add_cum, s_run, cap, rate, period,
+      |       least(CAST(cap // 2 AS HUGEINT),
+      |             min(cap + (s_run - c) - add_cum) OVER
+      |         (PARTITION BY topic ORDER BY publish_ms, msg_offset
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v
+      |    FROM t),
+      |tok AS (SELECT topic, msg_offset, add_cum - s_run + v AS tokens,
+      |         greatest(cap // 100, 1) AS req, rate, period
+      |    FROM v),
+      |fin AS (SELECT topic, msg_offset, tokens,
+      |         CASE WHEN tokens >= req THEN 0
+      |              ELSE ((req - tokens) * period) // rate END AS throttle_ms
+      |    FROM tok)
+      |SELECT topic, count(*) AS n,
+      |       CAST(sum(CASE WHEN tokens <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_throttled,
+      |       CAST(min(tokens) AS BIGINT) AS min_tokens,
+      |       CAST(arg_max(tokens, msg_offset) AS BIGINT) AS final_tokens,
+      |       CAST(sum(throttle_ms) AS BIGINT) AS sum_throttle_ms
+      |FROM fin GROUP BY topic ORDER BY topic""".stripMargin))
+
   private val o5 = QueryDef(
     (s, d) => env(s, d).groupBy(col("topic"))
       .agg(min(col("msg_offset")).as("earliest_start"),
@@ -1337,6 +1394,7 @@ object LogQueries extends QueryGroup {
     "o3_find_by_time" -> o3,
     "o4_peek_messages" -> o4,
     "o6_rate_limit_batches" -> o6,
+    "o6b_token_bucket" -> o6b,
     "o7_salted_agg" -> o7,
     "w1_tumbling_agg" -> w1,
     "w2_sliding_agg" -> w2,
