@@ -865,6 +865,108 @@ object LogQueries extends QueryGroup {
       |       CAST(max(off) AS BIGINT) AS max_off
       |FROM fx GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 
+  private val r13 = QueryDef(
+    // R13 PIP-379 draining hashes — the snapshot-DEFAULT Key_Shared
+    // ordering fence: consumer-X joins at 40% of the log head (taking
+    // [0,16383] from B) and leaves at 70%. B's still-pending messages on
+    // the moved span (acks land at o + (o%5+1)·8% of the head) register
+    // per-bucket draining entries; X is blocked on those buckets until
+    // each bucket's last registered ack (drain_done) — a bucket draining
+    // past X's leave delivers at 70% to B instead (the span returns to
+    // B, whose re-attempt lazily removes the entry — pip-379 rule 6), so
+    // nothing after the leave ever blocks. X's own unblocked deliveries
+    // from 55% on are its unacked tail at departure and replay to B.
+    // Census by (first, final, blocked, replayed) with the total
+    // blocked/replay wait. Oracle = hand-derived range tables as CASE
+    // expressions + a relational replay of the entry registration and
+    // every dispatch rule.
+    (s, d) => {
+      val e = env(s, d)
+      val maxo = e.agg(max(col("msg_offset"))).head().getLong(0)
+      def pct(p: Int): Long = maxo * p / 100
+      val membership = Seq(
+        (0L, "join", "consumer-A"), (0L, "join", "consumer-B"),
+        (pct(40), "join", "consumer-X"), (pct(70), "leave", "consumer-X"))
+      DrainingHashes.drainCycle(
+        e.filter(col("key").cast("long") < 15 && col("ordering_key").isNull),
+        membership, joiner = "consumer-X",
+        ackDelayUnit = pct(8), retainFrom = pct(55))
+        .groupBy(col("first_consumer"), col("final_consumer"),
+          col("was_blocked"), col("was_replayed"))
+        .agg(count(lit(1)).as("n"), min(col("msg_offset")).as("min_off"),
+          max(col("msg_offset")).as("max_off"),
+          sum((col("deliver_seq") - col("msg_offset"))
+            .cast("decimal(38,0)")).cast("long").as("sum_wait"))
+        .orderBy(col("first_consumer"), col("final_consumer"),
+          col("was_blocked"), col("was_replayed"))
+    },
+    Some(s"""$E, m(key, bucket) AS (SELECT * FROM (VALUES $keyRingValues)),
+      |mx AS (SELECT max(msg_offset) AS mx FROM env),
+      |sl AS (SELECT env.msg_offset AS o, m.bucket,
+      |         env.msg_offset + (env.msg_offset % 5 + 1) *
+      |           ((SELECT mx FROM mx) * 8 // 100) AS ack_seq,
+      |         CASE WHEN m.bucket <= 32767 THEN 'consumer-B'
+      |              ELSE 'consumer-A' END AS own0,
+      |         CASE WHEN m.bucket <= 16383 THEN 'consumer-X'
+      |              WHEN m.bucket <= 32767 THEN 'consumer-B'
+      |              ELSE 'consumer-A' END AS own1,
+      |         CASE WHEN m.bucket <= 32767 THEN 'consumer-B'
+      |              ELSE 'consumer-A' END AS own2
+      |       FROM env JOIN m ON env.key = m.key
+      |       WHERE CAST(env.key AS BIGINT) < 15 AND env.ordering_key IS NULL),
+      |k(f1, f2, rf) AS (SELECT mx * 40 // 100, mx * 70 // 100,
+      |                         mx * 55 // 100 FROM mx),
+      |ent AS (SELECT bucket, 'consumer-B' AS entry_owner,
+      |               max(ack_seq) AS drain_done
+      |        FROM sl, k
+      |        WHERE o < f1 AND ack_seq > f1 AND bucket <= 16383
+      |        GROUP BY bucket),
+      |base AS (SELECT sl.*, k.f1, k.f2, k.rf,
+      |           ent.entry_owner, ent.drain_done,
+      |           CASE WHEN sl.o < k.f1 THEN 'a'
+      |                WHEN sl.o < k.f2 THEN 'b1' ELSE 'b2' END AS phase
+      |         FROM sl CROSS JOIN k
+      |         LEFT JOIN ent ON sl.bucket = ent.bucket),
+      |rules AS (SELECT o, bucket, phase,
+      |           entry_owner IS NOT NULL AND own1 <> entry_owner
+      |             AND o < drain_done AND phase = 'b1' AS b1_blocked,
+      |           entry_owner IS NOT NULL AND own2 <> entry_owner
+      |             AND phase = 'b2' AND o < drain_done AS b2_blocked,
+      |           CASE WHEN own2 = entry_owner
+      |                THEN least(drain_done, f2) ELSE drain_done
+      |           END AS b1_unblock,
+      |           own1 = 'consumer-X'
+      |             AND NOT (entry_owner IS NOT NULL AND own1 <> entry_owner
+      |                      AND o < drain_done)
+      |             AND o >= rf AND phase = 'b1' AS leaver_replay,
+      |           own0, own1, own2, f2, drain_done
+      |          FROM base),
+      |fx AS (SELECT o,
+      |         CASE phase WHEN 'a' THEN own0
+      |              WHEN 'b1' THEN CASE WHEN b1_blocked THEN
+      |                   CASE WHEN b1_unblock < f2 THEN own1 ELSE own2 END
+      |                ELSE own1 END
+      |              ELSE own2 END AS first_consumer,
+      |         CASE phase WHEN 'a' THEN own0
+      |              WHEN 'b1' THEN CASE WHEN b1_blocked THEN
+      |                   CASE WHEN b1_unblock < f2 THEN own1 ELSE own2 END
+      |                WHEN leaver_replay THEN own2 ELSE own1 END
+      |              ELSE own2 END AS final_consumer,
+      |         CASE phase WHEN 'a' THEN o
+      |              WHEN 'b1' THEN CASE WHEN b1_blocked THEN b1_unblock
+      |                WHEN leaver_replay THEN f2 ELSE o END
+      |              ELSE CASE WHEN b2_blocked THEN drain_done ELSE o END
+      |         END AS deliver_seq,
+      |         b1_blocked OR b2_blocked AS was_blocked,
+      |         leaver_replay AS was_replayed
+      |       FROM rules)
+      |SELECT first_consumer, final_consumer, was_blocked, was_replayed,
+      |       count(*) AS n,
+      |       CAST(min(o) AS BIGINT) AS min_off,
+      |       CAST(max(o) AS BIGINT) AS max_off,
+      |       CAST(sum(deliver_seq - o) AS BIGINT) AS sum_wait
+      |FROM fx GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin))
+
   /** Effective-key → 16-bit bucket VALUES for r8: both the plain fixture
    * keys and the ordering-key tags, from the spec-pinned hash. */
   private def effectiveBucketValues: String = {
@@ -1387,6 +1489,7 @@ object LogQueries extends QueryGroup {
     "r7_exclusive_ranges" -> r7,
     "r6_auto_split" -> r6,
     "r12_join_fence" -> r12,
+    "r13_draining_hashes" -> r13,
     "r10_shared_spread" -> r10,
     "r11_priority_dispatch" -> r11,
     "r10b_failover" -> r10b,
