@@ -923,6 +923,25 @@ object PipelineQueries extends QueryGroup {
       |FROM q LEFT JOIN hits h ON q.vec_id = h.query_id
       |ORDER BY query_id""".stripMargin))
 
+  private val p123 = QueryDef(
+    // Graph ANN (HNSW recipe, deterministic): md5-geometric level draw,
+    // per-level top-4 cell-mate neighbor lists by exact e3-integer L2
+    // (symmetrized), greedy descent from the global max-level node, a
+    // 3-superstep ef=8 beam over level 0, recall@5 vs the exact
+    // integer-metric top-5 for the 20 query vectors. The oracle rebuilds
+    // levels, cells, all three level graphs, and UNROLLS the walk
+    // superstep by superstep (the p83 convention).
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cembedding"))
+      graft.pipeline.Hnsw.recallAudit(e, centroids, queryMax = 20L,
+          m = 4, ef = 8, k = 5, maxLevel = 2, beamSteps = 3)
+        .orderBy(col("query_id"))
+    },
+    None)
+
   private val p119 = QueryDef(
     // Scalar int8 quantization with corpus-trained per-dim calibration
     // (the FAISS SQ8 shape): one dim-keyed min/max agg (comparisons
@@ -2477,6 +2496,7 @@ object PipelineQueries extends QueryGroup {
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
     "p122_sq8_recall" -> p122,
+    "p123_hnsw_recall" -> p123,
     "p42_image_ahash" -> p42,
     "p45_audio_energy" -> p45,
     "p58_image_dhash_pairs" -> p58,
