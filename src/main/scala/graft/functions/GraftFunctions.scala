@@ -34,6 +34,12 @@ object GraftFunctions {
     GraftSqlBridge.column(L2Sq(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Codegen'd EXACT integer squared-L2 of two array<long> columns (see
+   * [[L2SqLong]]) — the pre-quantized graph-ANN ranking kernel. */
+  def l2SqLong(a: Column, b: Column): Column =
+    GraftSqlBridge.column(L2SqLong(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** F15 — zlib-compress a BINARY payload (CompressionCodecZLib). */
   def zlibDeflate(payload: Column, level: Int = 6): Column =
     GraftSqlBridge.column(ZlibDeflate(GraftSqlBridge.expression(payload), level))

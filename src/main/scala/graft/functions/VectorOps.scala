@@ -74,6 +74,25 @@ object VectorMath {
     acc
   }
 
+  /** EXACT integer squared-L2 over two array<long> inputs (the e3/e6
+   * pre-quantized embedding columns): Σ(aᵢ−bᵢ)² accumulated in long —
+   * no float anywhere, so any engine reproduces it bit for bit. Null on
+   * length mismatch or null element (the family contract). For e3-coded
+   * 64-dim unit-ish embeddings the sum is ≤ ~10⁹ — far inside LONG. */
+  def l2sqLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** array<double> variant of [[cosineFloat]]. */
   def cosineDouble(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -194,5 +213,52 @@ case class L2Sq(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd EXACT integer squared-L2 over two array<long> columns (the
+ * pre-quantized embedding codes) — all-long arithmetic, LONG result, the
+ * same null contract as the float kernels. The graph-ANN ranking kernel:
+ * p123 quantizes each embedding ONCE to an e3 long array and every
+ * build/search superstep ranks by this kernel instead of re-quantizing
+ * per pair inside an interpreted HOF. */
+case class L2SqLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2_sq_long needs two arrays of BIGINT, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_sq_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VectorMath.l2sqLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Long ${ev.value}_r = graft.functions.VectorMath.l2sqLong($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqLong =
     copy(left = newLeft, right = newRight)
 }
