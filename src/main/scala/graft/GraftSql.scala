@@ -46,6 +46,14 @@ object GraftSql {
       "_FUNC_(a, b) - cosine similarity of two float/double arrays (codegen'd kernel)") {
       case Seq(a, b) => CosineSim(a, b)
     },
+    reg("l2_sq", classOf[L2Sq],
+      "_FUNC_(a, b) - squared L2 distance of two float/double arrays (codegen'd kernel)") {
+      case Seq(a, b) => L2Sq(a, b)
+    },
+    reg("l2_sq_long", classOf[L2SqLong],
+      "_FUNC_(a, b) - EXACT integer squared L2 of two bigint arrays (pre-quantized codes; codegen'd kernel)") {
+      case Seq(a, b) => L2SqLong(a, b)
+    },
     reg("winnow_fingerprints", classOf[WinnowFingerprints],
       "_FUNC_(text, k, w) - winnowing fingerprint set (k-gram hashes, window minima)") {
       case Seq(t, k, w) => WinnowFingerprints(t, intArg(k, "k"), intArg(w, "w"))

@@ -78,7 +78,11 @@ object VectorMath {
    * pre-quantized embedding columns): Σ(aᵢ−bᵢ)² accumulated in long —
    * no float anywhere, so any engine reproduces it bit for bit. Null on
    * length mismatch or null element (the family contract). For e3-coded
-   * 64-dim unit-ish embeddings the sum is ≤ ~10⁹ — far inside LONG. */
+   * 64-dim unit-ish embeddings the sum is ≤ ~10⁹ — far inside LONG;
+   * inputs outside the coded domain hard-fail via
+   * Math.subtractExact/multiplyExact/addExact (ArithmeticException)
+   * rather than silently wrapping, so the "bit for bit" guarantee can
+   * never be quietly violated. */
   def l2sqLong(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -86,8 +90,8 @@ object VectorMath {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val d = a.getLong(i) - b.getLong(i)
-      acc += d * d
+      val d = Math.subtractExact(a.getLong(i), b.getLong(i))
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
       i += 1
     }
     acc

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /**
  * P123 — graph-based ANN: a deterministic hierarchical small-world
  * index (Malkov & Yashunin 2016's HNSW recipe, made batch-buildable)
@@ -13,47 +15,56 @@ import org.apache.spark.sql.functions._
  *
  * Determinism replaces HNSW's randomness everywhere so any engine
  * rebuilds the identical graph:
+ *  - every embedding is e3-quantized ONCE — `floor(v·10³+0.5)` per
+ *    component in DOUBLE (pure IEEE, engine-portable) — to an
+ *    `array<long>` codes column, and every distance anywhere in the
+ *    pipeline (cell assignment, cell adjacency, neighbor lists, the
+ *    walk, the exact audit side) is the codegen'd EXACT integer Σd²
+ *    kernel [[GraftFunctions.l2SqLong]] over those codes. No float
+ *    comparison exists in the index or the audit;
  *  - the level draw is the md5-u32 geometric rule u32 < 2³²/4^l
  *    (P(level ≥ l) = 4⁻ˡ, the paper's mL = 1/ln 4) instead of
  *    floor(−ln(U)·mL);
- *  - neighbor lists are the M nearest CELL MATES (the p61 IVF-cell
- *    candidate bound — never an all-pairs join) by EXACT INTEGER
- *    distance: each component e3-quantized once via floor(v·10³+0.5)
- *    in DOUBLE (pure IEEE, engine-portable), then the integer Σd² —
- *    no float comparison anywhere in the ranking;
- *  - links are symmetrized (undirected union, per-node degree ≤ 2M),
- *    the paper's bidirectional connect without the heuristic prune;
+ *  - the coarse cells are the nearest centroid by INTEGER distance
+ *    (ties to the lowest centroid id) — the p61 IVF-cell candidate
+ *    bound that keeps neighbor selection ~N^1.5, never all-pairs;
+ *  - neighbor lists are the M nearest nodes (level ≥ l) from the
+ *    node's cell or an adjacent cell, symmetrized (undirected union;
+ *    out-degree from a node's own list ≤ M, total degree M plus the
+ *    nodes that picked it — hubs may exceed 2M, the paper's heuristic
+ *    prune is intentionally omitted) — the bidirectional connect;
  *  - insertion order disappears: the whole level-l graph is one
  *    cell-keyed pair join + top-M window over nodes with level ≥ l.
  *
  * Search is the paper's two-phase walk with FIXED superstep counts so
  * the oracle can unroll it as literal SQL (the p83 convention): start
- * at the global max-level node (ties to the smallest id), one greedy
- * hop per upper level (current ∪ its level-l neighbors, keep the
- * closest), then `beamSteps` beam expansions over the level-0 graph
+ * at the global max-level node (ties to the smallest id), `hopsPerLevel`
+ * greedy hops per upper level (current ∪ its level-l neighbors, keep
+ * the closest), then `beamSteps` beam expansions over the level-0 graph
  * keeping the ef closest visited nodes, and finally top-k from the
  * beam. The audit reports per-query recall against the exact top-k
  * under the SAME integer metric (the p122 pattern; self excluded on
- * both sides).
+ * both sides). Each superstep's frontier (|queries|·ef rows) is
+ * materialized via [[graft.CacheScope.track]] — the p83 discipline —
+ * so the plan never recomputes the previous superstep.
  *
- * Shape at 100 TB: level assignment is a projection; each level graph
- * is the p61 cell-bounded pair join (~N^1.5 with √N cells, map-side
- * broadcast assignment); the search state is |queries|·ef rows joining
- * a broadcast candidate set against the corpus by vec_id per superstep.
- * The exact side is the brute-force audit class (p92/p122) — bounded by
- * |queries| and present to MEASURE the graph, not to serve traffic.
+ * Shape at 100 TB: quantization is a projection; assignment is one
+ * |corpus|×|centroids| broadcast pass (no corpus shuffle); each level
+ * graph is the p61 cell-bounded pair join (~N^1.5 with √N cells,
+ * broadcast cell-adjacency); the search state is |queries|·ef rows
+ * joining a broadcast frontier against the corpus by vec_id per
+ * superstep. The exact side is the brute-force audit class (p92/p122)
+ * — bounded by |queries| and present to MEASURE the graph, not to
+ * serve traffic.
  */
 object Hnsw {
 
-  /** Exact integer squared L2 between two float vectors, each component
-   * e3-quantized via floor(v·10³ + 0.5) in DOUBLE. For 64-dim unit-ish
-   * embeddings the sum is ≤ ~10⁸ — far inside LONG. */
-  def q3Dist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast("double") * 1000 + 0.5).cast("long") -
-          floor(y.cast("double") * 1000 + 0.5).cast("long")),
-      lit(0L), (acc, d) => acc + d * d)
+  /** e3 integer codes: each float component quantized ONCE via
+   * floor(v·10³ + 0.5) in DOUBLE. For 64-dim unit-ish embeddings every
+   * code is ≤ ~10⁴, so any pairwise Σd² ≤ ~10⁸·64 — far inside LONG
+   * (the kernel hard-fails on overflow rather than wrapping). */
+  def q3Codes(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
 
   /** md5-u32 geometric level draw: level = |{l ∈ 1..maxLevel :
    * u32 < 2³²/4ˡ}|. */
@@ -66,34 +77,49 @@ object Hnsw {
         .reduce(_ + _))
   }
 
+  /** Nearest-centroid cell per vector by EXACT integer distance (ties
+   * to the lowest centroid id) — one broadcast pass, no corpus
+   * shuffle. Input `coded` has (vec_id, codes); `qcents` has
+   * (centroid_id, ccodes). */
+  def assignCells(coded: DataFrame, qcents: DataFrame): DataFrame =
+    coded.crossJoin(broadcast(qcents))
+      .withColumn("_d", GraftFunctions.l2SqLong(col("codes"), col("ccodes")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("centroid_id"), struct(col("_d"), col("centroid_id")))
+        .as("cluster"),
+        first(col("codes")).as("codes"))
+
   /** The cell-adjacency relation: every cell plus its `adj` nearest
    * OTHER cells by integer centroid distance — the candidate bound that
    * keeps the graph CONNECTED across cells (a purely cell-local graph
    * is a disjoint union of per-cell components, and the first build of
    * this index measured recall 0.07 exactly because the walk could
    * never leave the entry's cell). Centroid-scale: |C|·(adj+1) rows. */
-  def cellAdjacency(centroids: DataFrame, adj: Int): DataFrame = {
+  def cellAdjacency(qcents: DataFrame, adj: Int): DataFrame = {
     val w = Window.partitionBy(col("cell")).orderBy(col("cdist"),
       col("cand_cell"))
-    val near = centroids.as("x").join(centroids.as("y"),
+    val near = qcents.as("x").join(qcents.as("y"),
         col("x.centroid_id") =!= col("y.centroid_id"))
       .select(col("x.centroid_id").as("cell"),
         col("y.centroid_id").as("cand_cell"),
-        q3Dist(col("x.cembedding"), col("y.cembedding")).as("cdist"))
+        GraftFunctions.l2SqLong(col("x.ccodes"), col("y.ccodes"))
+          .as("cdist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= adj)
       .select(col("cell"), col("cand_cell"))
-    near.unionByName(centroids.select(col("centroid_id").as("cell"),
+    near.unionByName(qcents.select(col("centroid_id").as("cell"),
       col("centroid_id").as("cand_cell")))
   }
 
   /** The undirected level-l neighbor lists: top-M nodes with level ≥ l
    * from the node's cell OR an adjacent cell, by (integer distance,
-   * id), symmetrized (degree ≤ 2M). */
+   * id), symmetrized — a node's own picks ≤ M, plus every reverse pick
+   * (hubs exceed 2M; no heuristic prune). `assigned` has (vec_id,
+   * cluster, codes, level). */
   def levelEdges(assigned: DataFrame, cellAdj: DataFrame, l: Int,
       m: Int): DataFrame = {
     val nodes = assigned.filter(col("level") >= l)
-      .select(col("vec_id"), col("cluster"), col("embedding"))
+      .select(col("vec_id"), col("cluster"), col("codes"))
     val w = Window.partitionBy(col("src")).orderBy(col("dist"), col("dst"))
     val top = nodes.as("a")
       .join(broadcast(cellAdj), col("a.cluster") === col("cell"))
@@ -101,7 +127,7 @@ object Hnsw {
         col("cand_cell") === col("b.cluster") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        q3Dist(col("a.embedding"), col("b.embedding")).as("dist"))
+        GraftFunctions.l2SqLong(col("a.codes"), col("b.codes")).as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= m)
       .select(col("src"), col("dst"))
@@ -118,59 +144,87 @@ object Hnsw {
       m: Int, ef: Int, k: Int, maxLevel: Int, beamSteps: Int,
       cellAdj: Int = 2, hopsPerLevel: Int = 2): DataFrame = {
     require(m > 0 && ef >= k && k > 0 && maxLevel >= 1 && beamSteps >= 1)
+    val qcents = broadcast(centroids.select(col("centroid_id"),
+      q3Codes(col("cembedding")).as("ccodes")))
+    // cached: q3Codes is an interpreted HOF and projection collapse
+    // would otherwise inline it into every downstream join, recomputing
+    // the 64-element transform once PER PAIR (×|centroids| in the
+    // assignment, ×|queries| in the exact side) instead of once per row
+    val coded = graft.CacheScope.track(vecs.select(col("vec_id"),
+      q3Codes(col("embedding")).as("codes")))
     val assigned = graft.CacheScope.track(
-      withLevel(Similarity.ivfAssign(vecs, centroids), maxLevel))
-    val adj = cellAdjacency(centroids, cellAdj)
-    val emb = assigned.select(col("vec_id").as("node_id"),
-      col("embedding").as("node_emb"))
-    val edges = (0 to maxLevel).map(l =>
-      l -> graft.CacheScope.track(levelEdges(assigned, adj, l, m))).toMap
+      withLevel(assignCells(coded, qcents), maxLevel))
+    val nodeCodes = assigned.select(col("vec_id").as("node_id"),
+      col("codes").as("ncodes"))
+    // Per-level cell adjacency widens as cellAdj·4ˡ: the level-l node
+    // density shrinks by 4ˡ (the geometric draw), so the candidate
+    // count per node stays ~constant while the REACH of a level-l link
+    // grows — exactly HNSW's long-range upper layers. A flat adjacency
+    // makes every layer equally myopic and the greedy descent can never
+    // cross the corpus (measured: recall 0.66 → 1.00 at 2,000 vectors).
+    val edges = (0 to maxLevel).map { l =>
+      val adjL = cellAdjacency(qcents, cellAdj << (2 * l))
+      l -> graft.CacheScope.track(levelEdges(assigned, adjL, l, m))
+    }.toMap
 
-    val queries = broadcast(vecs.filter(col("vec_id") < queryMax)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb")))
+    val queries = broadcast(graft.CacheScope.track(
+      coded.filter(col("vec_id") < queryMax)
+        .select(col("vec_id").as("qid"), col("codes").as("qcodes"))))
     // entry: the global max-level node, ties to the smallest id
     val entry = broadcast(assigned
       .orderBy(col("level").desc, col("vec_id")).limit(1)
       .select(col("vec_id").as("node")))
 
+    // the frontier is a localCheckpointed LogicalRDD with no size
+    // stats — without the hint every superstep would sort-merge-join
+    // the corpus instead of broadcasting the ≤|queries|·ef-row frontier
     def scored(cand: DataFrame): DataFrame =
-      cand.distinct()
-        .join(emb, col("node") === col("node_id"))
+      broadcast(cand.distinct())
+        .join(nodeCodes, col("node") === col("node_id"))
         .join(queries, Seq("qid"))
         .select(col("qid"), col("node"),
-          q3Dist(col("qemb"), col("node_emb")).as("dist"))
+          GraftFunctions.l2SqLong(col("qcodes"), col("ncodes")).as("dist"))
 
     // upper levels: fixed greedy hops — keep the closest of the current
-    // node and its level-l neighbors
-    var cur: DataFrame = queries.select(col("qid")).crossJoin(entry)
+    // node and its level-l neighbors. Each superstep's |queries|·ef-row
+    // frontier is eagerly localCheckpoint'd: persist alone leaves the
+    // LOGICAL plan tree doubling per superstep (each step references
+    // the previous twice — union + join), and every action then pays an
+    // exponential analyze/explainString even though execution reuses
+    // the cache. Truncating lineage to a LogicalRDD keeps the per-step
+    // plan constant-size — the frontier is tiny, so the materialization
+    // itself is free.
+    var cur: DataFrame =
+      queries.select(col("qid")).crossJoin(entry).localCheckpoint(false)
     for (l <- maxLevel to 1 by -1; _ <- 1 to hopsPerLevel) {
       val expanded = cur.unionByName(
-        cur.join(edges(l), col("node") === col("src"))
+        broadcast(cur).join(edges(l), col("node") === col("src"))
           .select(col("qid"), col("dst").as("node")))
       val w1 = Window.partitionBy(col("qid"))
         .orderBy(col("dist"), col("node"))
       cur = scored(expanded)
         .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-        .select(col("qid"), col("node"))
+        .select(col("qid"), col("node")).localCheckpoint(false)
     }
     // level-0 beam: expand neighbors, keep the ef closest visited
     var beam = cur
     val wEf = Window.partitionBy(col("qid")).orderBy(col("dist"), col("node"))
     for (_ <- 1 to beamSteps) {
       val expanded = beam.unionByName(
-        beam.join(edges(0), col("node") === col("src"))
+        broadcast(beam).join(edges(0), col("node") === col("src"))
           .select(col("qid"), col("dst").as("node")))
       beam = scored(expanded)
         .withColumn("rn", row_number().over(wEf)).filter(col("rn") <= ef)
-        .select(col("qid"), col("node"))
+        .select(col("qid"), col("node")).localCheckpoint(false)
     }
     val approx = scored(beam).filter(col("node") =!= col("qid"))
       .withColumn("rn", row_number().over(wEf)).filter(col("rn") <= k)
       .select(col("qid").as("query_id"), col("node").as("neighbor_id"))
 
-    val exact = vecs.crossJoin(queries)
+    val exact = coded.crossJoin(queries)
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("dist", q3Dist(col("qemb"), col("embedding")))
+      .withColumn("dist",
+        GraftFunctions.l2SqLong(col("qcodes"), col("codes")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("dist"), col("vec_id"))))
       .filter(col("rn") <= k)
@@ -183,4 +237,134 @@ object Hnsw {
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("recall_ppm", expr(s"(n_hits * 1000000) div $k"))
   }
+
+  /**
+   * The DuckDB oracle for [[recallAudit]]: rebuilds levels, cells, every
+   * level graph, and UNROLLS the fixed-superstep walk as literal SQL
+   * (the p83 convention) — generated programmatically so the CTE chain
+   * always matches the superstep counts. Every distance is the same
+   * integer Σd² over the same e3 codes; the only IEEE arithmetic is the
+   * per-component `floor(v·10³+0.5)` quantization, which is
+   * engine-portable by the repo's exact-integer convention.
+   */
+  def duckOracle(queryMax: Long, m: Int, ef: Int, k: Int, maxLevel: Int,
+      beamSteps: Int, cellAdj: Int, hopsPerLevel: Int, dims: Int = 64,
+      centEvery: Int = 50): String = {
+    // integer Σd² between two pre-quantized BIGINT lists
+    def d(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, ${dims + 1}), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    val levelSum = (1 to maxLevel).map(l =>
+      s"(CASE WHEN u32 < ${4294967296L / (1L << (2 * l))} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val sb = new StringBuilder
+    sb ++= s"""WITH qe AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(range(1, ${dims + 1}),
+      |    i -> CAST(floor(embedding[i]::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |cent AS MATERIALIZED (SELECT vec_id AS cid, q AS cq FROM qe
+      |         WHERE vec_id % $centEvery = 0),
+      |asg AS MATERIALIZED (
+      |  SELECT vec_id, cluster, q FROM (
+      |    SELECT e.vec_id, c.cid AS cluster, e.q,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY ${d("e.q", "c.cq")}, c.cid) AS rn
+      |    FROM qe e CROSS JOIN cent c) t WHERE rn = 1),
+      |nodes AS MATERIALIZED (
+      |  SELECT vec_id, cluster, q, $levelSum AS level FROM (
+      |    SELECT vec_id, cluster, q,
+      |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+      |        AS BIGINT) AS u32
+      |    FROM asg) t),
+      |""".stripMargin
+    for (l <- 0 to maxLevel) {
+      val adjL = cellAdj << (2 * l)
+      sb ++= s"""cadj$l AS MATERIALIZED (
+        |  SELECT cell, cand_cell FROM (
+        |    SELECT x.cid AS cell, y.cid AS cand_cell,
+        |           row_number() OVER (PARTITION BY x.cid
+        |             ORDER BY ${d("x.cq", "y.cq")}, y.cid) AS rn
+        |    FROM cent x JOIN cent y ON x.cid <> y.cid) t WHERE rn <= $adjL
+        |  UNION ALL SELECT cid, cid FROM cent),
+        |top$l AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |           row_number() OVER (PARTITION BY a.vec_id
+        |             ORDER BY ${d("a.q", "b.q")}, b.vec_id) AS rn
+        |    FROM nodes a
+        |    JOIN cadj$l ca ON ca.cell = a.cluster
+        |    JOIN nodes b ON b.cluster = ca.cand_cell
+        |      AND b.vec_id <> a.vec_id
+        |    WHERE a.level >= $l AND b.level >= $l) t WHERE rn <= $m),
+        |ed$l AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM top$l
+        |   UNION ALL SELECT dst AS src, src AS dst FROM top$l) t),
+        |""".stripMargin
+    }
+    sb ++= s"""qd AS MATERIALIZED (
+      |  SELECT qq.vec_id AS qid, e.vec_id AS node,
+      |         ${d("qq.q", "e.q")} AS d
+      |  FROM qe e CROSS JOIN
+      |       (SELECT vec_id, q FROM qe WHERE vec_id < $queryMax) qq),
+      |qids AS MATERIALIZED (SELECT DISTINCT qid FROM qd),
+      |entry AS MATERIALIZED (SELECT vec_id AS node FROM nodes
+      |          ORDER BY level DESC, vec_id LIMIT 1),
+      |cur0 AS MATERIALIZED (SELECT qids.qid, entry.node FROM qids CROSS JOIN entry),
+      |""".stripMargin
+    // one CTE per walk superstep: greedy hop (keep 1) on the upper-level
+    // graphs, then beam expansion (keep ef) on the level-0 graph
+    var i = 0
+    for (l <- maxLevel to 1 by -1; _ <- 1 to hopsPerLevel) {
+      sb ++= walkStep(s"cur$i", s"cur${i + 1}", s"ed$l", keep = 1)
+      i += 1
+    }
+    for (j <- 1 to beamSteps) {
+      val prev = if (j == 1) s"cur$i" else s"b${j - 1}"
+      sb ++= walkStep(prev, s"b$j", "ed0", keep = ef)
+    }
+    sb ++= s"""approx AS MATERIALIZED (
+      |  SELECT qid AS query_id, node AS neighbor_id FROM (
+      |    SELECT e.qid, e.node,
+      |           row_number() OVER (PARTITION BY e.qid
+      |             ORDER BY qd.d, e.node) AS rn
+      |    FROM b$beamSteps e
+      |    JOIN qd ON qd.qid = e.qid AND qd.node = e.node
+      |    WHERE e.node <> e.qid) t WHERE rn <= $k),
+      |exact AS MATERIALIZED (
+      |  SELECT qid AS query_id, node AS neighbor_id FROM (
+      |    SELECT qid, node,
+      |           row_number() OVER (PARTITION BY qid ORDER BY d, node) AS rn
+      |    FROM qd WHERE node <> qid) t WHERE rn <= $k),
+      |hits AS MATERIALIZED (
+      |  SELECT e.query_id, count(*) AS n
+      |  FROM exact e JOIN approx a
+      |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |  GROUP BY 1)
+      |SELECT q.qid AS query_id,
+      |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+      |       CAST((coalesce(h.n, 0) * 1000000) // $k AS BIGINT)
+      |         AS recall_ppm
+      |FROM qids q LEFT JOIN hits h ON h.query_id = q.qid
+      |ORDER BY query_id""".stripMargin
+    sb.toString
+  }
+
+  /** One unrolled walk superstep: frontier ∪ its `edges` neighbors,
+   * re-scored against the precomputed query-distance relation `qd`,
+   * keep the `keep` closest by (distance, node id). */
+  private def walkStep(prev: String, name: String, edges: String,
+      keep: Int): String =
+    s"""$name AS MATERIALIZED (
+      |  SELECT qid, node FROM (
+      |    SELECT e.qid, e.node,
+      |           row_number() OVER (PARTITION BY e.qid
+      |             ORDER BY qd.d, e.node) AS rn
+      |    FROM (SELECT DISTINCT qid, node FROM (
+      |            SELECT qid, node FROM $prev
+      |            UNION ALL
+      |            SELECT c.qid, ed.dst AS node
+      |            FROM $prev c JOIN $edges ed ON ed.src = c.node) u) e
+      |    JOIN qd ON qd.qid = e.qid AND qd.node = e.node
+      |  ) t WHERE rn ${if (keep == 1) "= 1" else s"<= $keep"}),
+      |""".stripMargin
 }

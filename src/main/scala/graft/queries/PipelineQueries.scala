@@ -925,22 +925,29 @@ object PipelineQueries extends QueryGroup {
 
   private val p123 = QueryDef(
     // Graph ANN (HNSW recipe, deterministic): md5-geometric level draw,
-    // per-level top-4 cell-mate neighbor lists by exact e3-integer L2
-    // (symmetrized), greedy descent from the global max-level node, a
-    // 3-superstep ef=8 beam over level 0, recall@5 vs the exact
-    // integer-metric top-5 for the 20 query vectors. The oracle rebuilds
-    // levels, cells, all three level graphs, and UNROLLS the walk
-    // superstep by superstep (the p83 convention).
+    // per-level top-16 cell-bounded neighbor lists by exact e3-integer
+    // L2 (symmetrized, once-quantized codes ranked by the codegen'd
+    // l2_sq_long kernel), cell adjacency widening 4ˡ per level (the
+    // long-range upper layers), greedy descent from the global
+    // max-level node, a 4-superstep ef=128 beam over level 0, recall@5
+    // vs the exact integer-metric top-5 for the 20 query vectors
+    // (measured mean recall 1.00 at both sf0.01 and sf0.1). The oracle
+    // rebuilds levels, cells, all three level graphs, and UNROLLS the
+    // walk superstep by superstep (the p83 convention) — generated by
+    // Hnsw.duckOracle so the CTE chain always matches the superstep
+    // counts.
     (s, d) => {
       val e = embs(s, d)
       val centroids = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("cembedding"))
       graft.pipeline.Hnsw.recallAudit(e, centroids, queryMax = 20L,
-          m = 4, ef = 8, k = 5, maxLevel = 2, beamSteps = 3)
+          m = 16, ef = 128, k = 5, maxLevel = 2, beamSteps = 4,
+          cellAdj = 8, hopsPerLevel = 1)
         .orderBy(col("query_id"))
     },
-    None)
+    Some(graft.pipeline.Hnsw.duckOracle(queryMax = 20L, m = 16, ef = 128,
+      k = 5, maxLevel = 2, beamSteps = 4, cellAdj = 8, hopsPerLevel = 1)))
 
   private val p119 = QueryDef(
     // Scalar int8 quantization with corpus-trained per-dim calibration

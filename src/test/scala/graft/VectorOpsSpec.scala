@@ -57,4 +57,57 @@ class VectorOpsSpec extends AnyFunSuite {
     val out = df.select(round(cosineSim(col("a"), col("b")), 6)).collect().map(_.getDouble(0))
     assert(out.toSeq === Seq(1d, 0d))
   }
+
+  test("l2SqLong matches an independent HOF long fold exactly") {
+    import graft.functions.GraftFunctions.l2SqLong
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextInt(20001).toLong - 10000L))
+    }
+    val df = rows.toDF("id", "v")
+    val pairs = df.as("a").join(df.as("b"), col("a.id") < col("b.id") && col("b.id") < 10)
+    val hof = aggregate(
+      zip_with(col("a.v"), col("b.v"), (x, y) => x - y),
+      lit(0L), (acc, d) => acc + d * d)
+    val diff = pairs.select(l2SqLong(col("a.v"), col("b.v")).as("k"), hof.as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(diff === 0L)
+  }
+
+  test("l2SqLong null contract: mismatch, null element, null input") {
+    import graft.functions.GraftFunctions.l2SqLong
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L)),
+      (Seq[java.lang.Long](1L), Seq[java.lang.Long](1L, 2L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L)),
+      (null.asInstanceOf[Seq[java.lang.Long]], Seq[java.lang.Long](1L, 2L))
+    ).toDF("a", "b")
+    val out = df.select(l2SqLong(col("a"), col("b"))).collect().map(_.isNullAt(0))
+    assert(out.toSeq === Seq(false, true, true, true))
+  }
+
+  test("l2SqLong rejects non-BIGINT arrays at analysis") {
+    import graft.functions.GraftFunctions.l2SqLong
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f), Array(1f, 2f))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(l2SqLong(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("l2_sq_long"))
+  }
+
+  test("l2SqLong hard-fails on overflow instead of wrapping") {
+    import graft.functions.GraftFunctions.l2SqLong
+    import spark.implicits._
+    val big = 1L << 32
+    val df = Seq((Array(big), Array(-big))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(l2SqLong(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.isInstanceOf[ArithmeticException]))
+  }
 }
