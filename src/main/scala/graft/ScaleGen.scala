@@ -39,6 +39,37 @@ object ScaleGen {
         else col(c)
       }: _*)
 
+  /**
+   * Embeddings get a CENTROID-AWARE id map instead of the interleave
+   * shift: the ANN family derives centroids by `vec_id % 50 == 0`, and
+   * `vec_id*factor + rep` keeps that residue density in every replica,
+   * so the centroid count grew ∝ N — quadratic assignment work that
+   * poisoned every ANN rehearsal row (the p120 "centroid-count replica
+   * artifact"). Production scales nlist ≈ √N, so the rehearsal should
+   * too: the first round(√factor) replicas keep their centroids (offset
+   * by a 50-aligned block, preserving residues), and every other
+   * replica maps ids injectively into residues 1..49 mod 50
+   * (x = 49q + s → 50q + s + 1) so it contributes NO centroids. Net:
+   * corpus ×factor, centroids ×√factor — cell size and pair work grow
+   * exactly as the ~N^1.5 claims assume. Replica 0 is unshifted, so
+   * fixed query sets (`vec_id < q`) keep their base size.
+   */
+  private def replicateEmbeddings(df: DataFrame, factor: Int): DataFrame = {
+    val maxId = df.agg(max(col("vec_id"))).head.getLong(0)
+    val mappedMax = 50L * (maxId / 49) + (maxId % 49) + 1
+    val block = (mappedMax / 50 + 2) * 50 // 50-aligned, > any mapped id
+    val keepReps = math.max(1L, math.round(math.sqrt(factor.toDouble)))
+    val bumped = expr("50 * (vec_id div 49) + (vec_id % 49) + 1")
+    df.withColumn("_rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select(df.columns.map { c =>
+        if (c == "vec_id")
+          when(col("_rep") < keepReps, lit(block) * col("_rep") + col(c))
+            .otherwise(lit(block) * col("_rep") + bumped)
+            .cast(df.schema(c).dataType).as(c)
+        else col(c)
+      }: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, f) = args.take(3)
     val factor = f.toInt
@@ -52,10 +83,12 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     tables.foreach { t =>
       val in = spark.read.parquet(s"$src/$t.parquet")
-      val outDf = shiftCols.get(t) match {
-        case Some(cols) => replicate(in, cols, factor)
-        case None => in
-      }
+      val outDf =
+        if (t == "embeddings") replicateEmbeddings(in, factor)
+        else shiftCols.get(t) match {
+          case Some(cols) => replicate(in, cols, factor)
+          case None => in
+        }
       outDf.write.mode("overwrite").parquet(s"$out/$t.parquet")
       // count the WRITTEN files (footer metadata), not the derivation —
       // re-running the explode pipeline just for a log line doubles the cost
