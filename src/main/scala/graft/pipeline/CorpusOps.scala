@@ -2230,4 +2230,78 @@ object CorpusOps {
       .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
       .limit(k)
   }
+
+  /**
+   * Cross-document EXACT-substring dedup census (Lee et al. 2022,
+   * "Deduplicating Training Data Makes Language Models Better" —
+   * ExactSubstr): for every document pair sharing a verbatim run of
+   * ≥ k normalized tokens, the MAXIMAL shared spans and their token
+   * bill. The paper finds spans with a corpus suffix array; the
+   * relational equivalent: every k-token shingle is fingerprinted
+   * (md5 of the joined tokens, computed once per position), equal
+   * fingerprints across two documents mark matched positions (ia, ib),
+   * and a shared run of length L ≥ k appears as L−k+1 consecutive
+   * matches on one DIAGONAL (ib − ia constant) — so maximal spans are
+   * exactly the gaps-and-islands of `ia` within each (pair, diagonal)
+   * group (the p76 pattern), with span length = island size + k − 1.
+   *
+   * Fingerprints occurring more than `fpCap` times in the corpus are
+   * dropped before pairing — boilerplate that frequent (licenses,
+   * headers) would otherwise produce a quadratic pair blow-up; the
+   * paper handles these separately, and a capped candidate set is the
+   * standard production guard (same reasoning as the p109 prefix
+   * filter). The cap is part of the declared semantics and the oracle
+   * replays it.
+   *
+   * Returns one row per document pair (doc_a < doc_b): span count,
+   * longest span, the per-span token sum (overlapping spans on
+   * different diagonals each billed), and the DISTINCT covered token
+   * count in doc_a (the dedup bill the paper's span-removal step
+   * actually pays).
+   *
+   * Shape at 100 TB: shingling is an in-row array op (zero shuffle);
+   * one shuffle on the fingerprint (frequency cap + the equi-join —
+   * never all-pairs: only documents sharing an exact rare k-gram ever
+   * meet); the islands pass windows by (pair, diagonal) — match-scale,
+   * ≪ corpus-scale. The only quadratic surface is within a fingerprint
+   * bucket, and fpCap bounds it.
+   */
+  def crossDocSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, fpCap: Int = 64): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    require(fpCap >= 2, s"need fpCap >= 2, got $fpCap")
+    val ws = df.filter(TextOps.normalized(col(textCol)) =!= "")
+      .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= k)
+    val sh = ws.select(col("id"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+          i => md5(concat_ws(" ", slice(col("ws"), i, lit(k))))))
+          .as(Seq("p0", "fp")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("i"), col("fp"))
+    val rare = sh.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= fpCap).select(col("fp"))
+    val kept = sh.join(rare, Seq("fp"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.i").as("ia"), (col("b.i") - col("a.i")).as("diag"))
+    val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("ia"))
+    val spans = graft.CacheScope.track(pairs
+      .withColumn("grp", col("ia") - row_number().over(wIsl))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("ia")).as("start_a"),
+        (count(lit(1)) + (k - 1)).as("span_tokens")))
+    val covered = spans
+      .select(col("doc_a"), col("doc_b"), explode(sequence(col("start_a"),
+        col("start_a") + col("span_tokens") - 1)).as("pa"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("dup_tokens_a"))
+    spans.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_tokens")).as("max_span"),
+        sum(col("span_tokens")).as("span_tokens_sum"))
+      .join(covered, Seq("doc_a", "doc_b"))
+  }
 }

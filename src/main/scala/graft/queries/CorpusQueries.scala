@@ -2345,7 +2345,57 @@ object CorpusQueries extends QueryGroup {
       |FROM r, t WHERE rk IN (4, 8, 16)
       |ORDER BY top_k""".stripMargin))
 
+  private val p124 = QueryDef(
+    // Cross-document exact-substring dedup (Lee et al. 2022 ExactSubstr,
+    // at 8-token granularity): shingle fingerprints join across docs,
+    // maximal shared spans fall out as gaps-and-islands per (pair,
+    // diagonal), fingerprints above the 64-occurrence cap are dropped
+    // (the boilerplate guard — declared semantics, replayed by the
+    // oracle). Bills per pair: span count, longest span, per-span token
+    // sum, and the DISTINCT covered positions in doc_a.
+    (s, d) => CorpusOps.crossDocSpans(docs(s, d), "doc_id", "text",
+        k = 8, fpCap = 64)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+      |wk AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 8),
+      |sh AS (
+      |  SELECT doc_id, i,
+      |         md5(array_to_string(ws[i:i+7], ' ')) AS fp
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+      |        FROM wk) t),
+      |rare AS (SELECT fp FROM sh GROUP BY fp HAVING count(*) <= 64),
+      |kept AS (SELECT sh.* FROM sh JOIN rare USING (fp)),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia,
+      |         b.i - a.i AS diag
+      |  FROM kept a JOIN kept b
+      |    ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT *, ia - row_number() OVER (
+      |    PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS grp FROM p),
+      |sp AS (
+      |  SELECT doc_a, doc_b, diag, grp, min(ia) AS start_a,
+      |         count(*) + 7 AS span_tokens
+      |  FROM isl GROUP BY 1, 2, 3, 4),
+      |cov AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST(count(DISTINCT pa) AS BIGINT) AS dup_tokens_a
+      |  FROM (SELECT doc_a, doc_b,
+      |          unnest(range(start_a, start_a + span_tokens)) AS pa
+      |        FROM sp) t
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_spans,
+      |         CAST(max(span_tokens) AS BIGINT) AS max_span,
+      |         CAST(sum(span_tokens) AS BIGINT) AS span_tokens_sum
+      |  FROM sp GROUP BY 1, 2)
+      |SELECT agg.doc_a, agg.doc_b, agg.n_spans, agg.max_span,
+      |       agg.span_tokens_sum, cov.dup_tokens_a
+      |FROM agg JOIN cov ON agg.doc_a = cov.doc_a AND agg.doc_b = cov.doc_b
+      |ORDER BY agg.doc_a, agg.doc_b""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
+    "p124_crossdoc_spans" -> p124,
     "p108_vocab_coverage" -> p108,
     "p110_pmi_collocations" -> p110,
     "p112_association_rules" -> p112,
