@@ -949,6 +949,82 @@ object PipelineQueries extends QueryGroup {
     Some(graft.pipeline.Hnsw.duckOracle(queryMax = 20L, m = 16, ef = 128,
       k = 5, maxLevel = 2, beamSteps = 4, cellAdj = 8, hopsPerLevel = 1)))
 
+  private val p125 = QueryDef(
+    // Crawl-archive sibling of p19/p20/p118 — the container family's
+    // fourth leg (ISO 28500 WARC, the WET `conversion` shape crawl
+    // corpora arrive in): 25 docs per archive (bucket = doc_id div 25),
+    // each a full record — version line, the four mandatory headers
+    // plus Target-URI and an md5 block digest, Content-Length payload,
+    // CRLFCRLF terminator — serialized and re-parsed by the validating
+    // walker (digest verified on read), then a per-record census: index
+    // and BYTE OFFSET within the archive, declared length, payload md5,
+    // doc id recovered from the parsed Record-ID. Payload is the text
+    // projected to printable ASCII (the p118 convention) so the
+    // oracle's character arithmetic equals the engine's byte walk at
+    // any corpus content. The oracle rebuilds every record as a string
+    // and re-derives lengths and offsets arithmetically — the engine
+    // matches only if the framing, header layout, and walk are exact.
+    (s, d) => {
+      import s.implicits._
+      val in = docs(s, d)
+        .select(col("doc_id"), expr("doc_id div 25").as("bucket"),
+          encode(regexp_replace(coalesce(col("text"), lit("")),
+            "[^ -~]", "?"), "UTF-8").as("px"))
+        .as[(Long, Long, Array[Byte])]
+      in.groupByKey(_._2)
+        .flatMapGroups { (bucket, it) =>
+          val sorted = it.toSeq.sortBy(_._1)
+          val recs = sorted.map { case (id, _, px) =>
+            graft.pipeline.WarcCodec.WarcRecord("conversion",
+              s"<urn:uuid:doc-$id>", "2022-01-01T00:00:00Z",
+              Some(s"https://example.org/doc/$id"), px)
+          }
+          val parsed = graft.pipeline.WarcCodec.parse(
+            graft.pipeline.WarcCodec.build(recs))
+          parsed.zipWithIndex.map { case (r, i) =>
+            val id = r.recordId.stripPrefix("<urn:uuid:doc-")
+              .stripSuffix(">").toLong
+            (bucket, (i + 1).toLong, id, r.offset, r.contentLength,
+              r.payloadMd5)
+          }
+        }
+        .toDF("bucket", "rec_index", "doc_id", "rec_offset",
+          "content_length", "payload_md5")
+        .orderBy(col("bucket"), col("rec_index"))
+    },
+    Some("""WITH p AS (
+      |  SELECT doc_id, doc_id // 25 AS bucket,
+      |         regexp_replace(coalesce(text, ''), '[^ -~]', '?', 'g')
+      |           AS payload
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, bucket, payload, length(payload) AS len,
+      |         md5(payload) AS pmd5,
+      |         chr(13) || chr(10) AS crlf
+      |  FROM p),
+      |b AS (
+      |  SELECT doc_id, bucket, len, pmd5,
+      |         length('WARC/1.0' || crlf
+      |           || 'WARC-Type: conversion' || crlf
+      |           || 'WARC-Record-ID: <urn:uuid:doc-' || doc_id || '>' || crlf
+      |           || 'WARC-Date: 2022-01-01T00:00:00Z' || crlf
+      |           || 'WARC-Target-URI: https://example.org/doc/' || doc_id
+      |             || crlf
+      |           || 'Content-Length: ' || len || crlf
+      |           || 'WARC-Block-Digest: md5:' || pmd5 || crlf
+      |           || crlf || payload || crlf || crlf) AS rec_bytes
+      |  FROM r)
+      |SELECT bucket, CAST(row_number() OVER w AS BIGINT) AS rec_index,
+      |       doc_id,
+      |       CAST(coalesce(sum(rec_bytes) OVER (PARTITION BY bucket
+      |         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |         1 PRECEDING), 0) AS BIGINT) AS rec_offset,
+      |       CAST(len AS BIGINT) AS content_length,
+      |       pmd5 AS payload_md5
+      |FROM b
+      |WINDOW w AS (PARTITION BY bucket ORDER BY doc_id)
+      |ORDER BY bucket, rec_index""".stripMargin))
+
   private val p119 = QueryDef(
     // Scalar int8 quantization with corpus-trained per-dim calibration
     // (the FAISS SQ8 shape): one dim-keyed min/max agg (comparisons
@@ -2500,6 +2576,7 @@ object PipelineQueries extends QueryGroup {
     "p19_wav_decode" -> p19,
     "p20_bmp_decode" -> p20,
     "p118_video_scene_cuts" -> p118,
+    "p125_warc_census" -> p125,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
     "p122_sq8_recall" -> p122,

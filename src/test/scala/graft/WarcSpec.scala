@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.WarcCodec
+import graft.pipeline.WarcCodec.WarcRecord
+
+/** P125 — the ISO 28500 WARC walker. Roundtrip plus the Y4M-style
+ * rejection battery: every malformation must throw, never misparse. */
+class WarcSpec extends AnyFunSuite {
+
+  private val rec1 = WarcRecord("conversion", "<urn:uuid:doc-1>",
+    "2022-01-01T00:00:00Z", Some("https://example.org/doc/1"),
+    "hello warc world".getBytes("US-ASCII"))
+  private val rec2 = WarcRecord("response", "<urn:uuid:doc-2>",
+    "2022-01-02T00:00:00Z", None, Array[Byte]())
+
+  test("build/parse roundtrip preserves fields, offsets, payloads") {
+    val bytes = WarcCodec.build(Seq(rec1, rec2))
+    val out = WarcCodec.parse(bytes)
+    assert(out.size === 2)
+    assert(out(0).warcType === "conversion")
+    assert(out(0).recordId === "<urn:uuid:doc-1>")
+    assert(out(0).date === "2022-01-01T00:00:00Z")
+    assert(out(0).targetUri === Some("https://example.org/doc/1"))
+    assert(out(0).contentLength === 16L)
+    assert(new String(out(0).payload, "US-ASCII") === "hello warc world")
+    assert(out(0).offset === 0L)
+    // second record starts exactly where the first's serialization ends
+    assert(out(1).offset === WarcCodec.buildRecord(rec1).length.toLong)
+    assert(out(1).warcType === "response")
+    assert(out(1).targetUri === None)
+    assert(out(1).contentLength === 0L)
+  }
+
+  private def str(r: WarcRecord): String =
+    new String(WarcCodec.buildRecord(r), "US-ASCII")
+
+  private def reject(bytes: Array[Byte], hint: String): Unit = {
+    val ex = intercept[IllegalArgumentException](WarcCodec.parse(bytes))
+    assert(ex.getMessage.toLowerCase.contains(hint),
+      s"message '${ex.getMessage}' lacks '$hint'")
+  }
+
+  test("rejects a bad version line") {
+    reject(str(rec1).replaceFirst("WARC/1\\.0", "WARC/9.9")
+      .getBytes("US-ASCII"), "version")
+  }
+
+  test("rejects bare-LF line endings") {
+    reject(str(rec1).replaceFirst("WARC/1\\.0\r\n", "WARC/1.0\n")
+      .getBytes("US-ASCII"), "crlf")
+  }
+
+  test("rejects a missing mandatory header") {
+    reject(str(rec1).replaceFirst("Content-Length: 16\r\n", "")
+      .getBytes("US-ASCII"), "content-length")
+  }
+
+  test("rejects a header line without the colon separator") {
+    reject(str(rec1).replaceFirst("WARC-Date: ", "WARC-Date=")
+      .getBytes("US-ASCII"), "malformed header")
+  }
+
+  test("rejects duplicate headers") {
+    reject(str(rec1).replaceFirst("WARC-Date: 2022-01-01T00:00:00Z\r\n",
+      "WARC-Date: 2022-01-01T00:00:00Z\r\nWARC-Date: x\r\n")
+      .getBytes("US-ASCII"), "duplicate")
+  }
+
+  test("rejects a non-numeric or oversized Content-Length") {
+    reject(str(rec1).replaceFirst("Content-Length: 16", "Content-Length: 16x")
+      .getBytes("US-ASCII"), "content-length")
+    reject(str(rec1).replaceFirst("Content-Length: 16",
+      "Content-Length: 9999999999").getBytes("US-ASCII"), "content-length")
+  }
+
+  test("rejects a truncated payload") {
+    val full = WarcCodec.buildRecord(rec1)
+    reject(java.util.Arrays.copyOfRange(full, 0, full.length - 6),
+      "truncated")
+  }
+
+  test("rejects a missing record terminator") {
+    val full = WarcCodec.buildRecord(rec1)
+    // overwrite the final CRLFCRLF with spaces: lengths line up, framing
+    // does not
+    val bad = full.clone()
+    (full.length - 4 until full.length).foreach(i => bad(i) = ' '.toByte)
+    reject(bad, "terminator")
+  }
+
+  test("rejects a block-digest mismatch") {
+    val full = WarcCodec.buildRecord(rec1)
+    val bad = full.clone()
+    // flip one payload byte (payload sits just before the terminator)
+    bad(full.length - 5) = 'X'.toByte
+    reject(bad, "digest")
+  }
+
+  test("rejects trailing garbage after the last record") {
+    // unterminated garbage dies in the line reader; a CRLF-terminated
+    // garbage line dies on the version check
+    reject((str(rec1) + "junk").getBytes("US-ASCII"), "unterminated")
+    reject((str(rec1) + "junk\r\n").getBytes("US-ASCII"), "version")
+  }
+
+  test("digest verification is skipped when no digest is stamped") {
+    // hand-build a record without the optional headers
+    val payload = "abc"
+    val txt = "WARC/1.1\r\n" +
+      "WARC-Type: conversion\r\n" +
+      "WARC-Record-ID: <urn:uuid:doc-9>\r\n" +
+      "WARC-Date: 2022-01-03T00:00:00Z\r\n" +
+      s"Content-Length: ${payload.length}\r\n" +
+      "\r\n" + payload + "\r\n\r\n"
+    val out = WarcCodec.parse(txt.getBytes("US-ASCII"))
+    assert(out.size === 1)
+    assert(out(0).targetUri === None)
+    assert(new String(out(0).payload, "US-ASCII") === payload)
+  }
+}
