@@ -582,21 +582,57 @@ object LogQueries extends QueryGroup {
     // S17 replicated-subscription cursor sync: fold the marker protocol
     // (REQUEST/RESPONSE rounds → completed snapshots; mark-delete
     // advances → UPDATE emissions) into per-cluster synced positions.
-    // The oracle replays every rule over the same fixture relation —
-    // first-response-wins storage, two-round completion, the timeout
-    // gate, and the running-max UPDATE fold — not pinned answers.
+    // The marker slice is GENERATED from the events log (one snapshot
+    // round per 500-offset stripe, response delays and positions pure
+    // arithmetic in the stripe index), so its size scales with SF —
+    // ~20 snapshots at sf0.01, ~200 at sf0.1 — and every status branch
+    // stays populated at any SF: stripes with n%7=0 never get a second
+    // round (incomplete), stripes with n%13 ∈ {11,12} complete past the
+    // 10 s timeout (timed_out), the rest complete. The hand 29-row
+    // fixture remains the spec/streaming pin (ReplicatedSubscriptionSpec,
+    // smoke 28). The oracle replays every rule over the same generated
+    // relation — first-response-wins storage, two-round completion, the
+    // timeout gate, and the running-max UPDATE fold — not pinned answers.
     (s, d) => {
-      import s.implicits._
-      graft.operators.ReplicatedSubscription.sync(
-        rsMarkerRows.toDF("seq", "ts_ms", "mtype", "sid", "cluster",
-          "r_ledger", "r_entry"),
-        rsAdvanceRows.toDF("adv_seq", "md_entry"),
-        remotes = Seq("B", "C"), timeoutMs = 10000L)
+      val e = env(s, d)
+      val sn = e.select(expr("msg_offset div 500").as("n")).distinct()
+      val sid = concat(lit("s"), col("n"))
+      def m(seqOff: Int, ts: org.apache.spark.sql.Column, cl: String,
+          led: Long, ent: org.apache.spark.sql.Column): DataFrame =
+        sn.select((col("n") * 10 + seqOff).as("seq"), ts.as("ts_ms"),
+          lit(if (seqOff == 0) "REQUEST" else "RESPONSE").as("mtype"),
+          sid.as("sid"), lit(cl).as("cluster"), lit(led).as("r_ledger"),
+          ent.as("r_entry"))
+      val base = col("n") * 1000
+      val markers = m(0, base, "A", 0L, lit(0L))
+        .unionByName(m(1, base + (col("n") % 12 + 1) * 100, "B", 10L,
+          col("n") * 3 + 1))
+        .unionByName(m(2, base + (col("n") % 9 + 1) * 150, "C", 20L,
+          col("n") * 3 + 2))
+        .unionByName(m(3, base + (col("n") % 13 + 1) * 900, "B", 10L,
+          col("n") * 3 + 4).filter(col("n") % 7 =!= 0))
+        .unionByName(m(4, base + (col("n") % 11 + 1) * 900, "C", 20L,
+          col("n") * 3 + 5).filter(col("n") % 7 =!= 0))
+      val advances = sn.select(col("n").as("adv_seq"),
+        (col("n") * 10 + col("n") % 15).as("md_entry"))
+      graft.operators.ReplicatedSubscription.sync(markers, advances,
+          remotes = Seq("B", "C"), timeoutMs = 10000L)
         .orderBy(col("snapshot_id"), col("cluster"))
     },
-    Some(s"""WITH m(seq, ts_ms, mtype, sid, cluster, r_ledger, r_entry) AS (
-      |  SELECT * FROM (VALUES $rsMarkerValues)),
-      |adv(adv_seq, md_entry) AS (SELECT * FROM (VALUES $rsAdvanceValues)),
+    Some(s"""$E, sn AS (SELECT DISTINCT msg_offset // 500 AS n FROM env),
+      |m AS (
+      |  SELECT n*10 AS seq, n*1000 AS ts_ms, 'REQUEST' AS mtype,
+      |         's' || n AS sid, 'A' AS cluster, 0 AS r_ledger,
+      |         0 AS r_entry FROM sn
+      |  UNION ALL SELECT n*10+1, n*1000 + (n%12+1)*100, 'RESPONSE',
+      |    's' || n, 'B', 10, n*3+1 FROM sn
+      |  UNION ALL SELECT n*10+2, n*1000 + (n%9+1)*150, 'RESPONSE',
+      |    's' || n, 'C', 20, n*3+2 FROM sn
+      |  UNION ALL SELECT n*10+3, n*1000 + (n%13+1)*900, 'RESPONSE',
+      |    's' || n, 'B', 10, n*3+4 FROM sn WHERE n%7 <> 0
+      |  UNION ALL SELECT n*10+4, n*1000 + (n%11+1)*900, 'RESPONSE',
+      |    's' || n, 'C', 20, n*3+5 FROM sn WHERE n%7 <> 0),
+      |adv AS (SELECT n AS adv_seq, n*10 + n%15 AS md_entry FROM sn),
       |req AS (SELECT sid, min(ts_ms) AS req_ts FROM m
       |        WHERE mtype = 'REQUEST' GROUP BY sid),
       |resp AS (SELECT *, row_number() OVER (PARTITION BY sid, cluster
@@ -656,15 +692,18 @@ object LogQueries extends QueryGroup {
       s"('$k', ${h % nPart})"
     }.mkString(", ")
 
-  /** Plain key → 16-bit ring bucket VALUES (no consumer mapping). */
+  /** Plain key → 16-bit ring bucket VALUES (no consumer mapping),
+   * covering the events table's FULL user_id domain (ids < 1500 at
+   * every driver SF) so the R12/R13 fence slices scale with the log
+   * instead of a 15-key fixture: 10k rows at sf0.01, 100k at sf0.1. */
   private def keyRingValues: String =
-    (0 to 14).map { k =>
+    (0 to 1499).map { k =>
       val h = Murmur3x86.positive(k.toString.getBytes("UTF-8"), 0)
       s"('$k', ${h % 65536})"
     }.mkString(", ")
 
   private def keyBucketValues(consumers: Int): String =
-    (0 to 14).map { k =>
+    (0 to 1499).map { k =>
       val h = Murmur3x86.positive(k.toString.getBytes("UTF-8"), 0)
       val bucket = h % 65536
       val size = 65536
@@ -710,7 +749,7 @@ object LogQueries extends QueryGroup {
         "leave" -> "consumer-B", "join" -> "consumer-E")
       val ranges = Routing.autoSplitRanges(s, events)
       val assigned = Routing.assignConsumers(
-        env(s, d).filter(col("key").cast("long") < 15 && col("ordering_key").isNull),
+        env(s, d).filter(col("key").cast("long") < 1500 && col("ordering_key").isNull),
         ranges)
         .groupBy(col("consumer")).agg(count(lit(1)).as("n"))
       ranges.join(assigned, Seq("consumer"), "left")
@@ -726,7 +765,7 @@ object LogQueries extends QueryGroup {
       |  SELECT r2.consumer AS consumer, count(*) AS n
       |  FROM env JOIN m ON env.key = m.key
       |           JOIN r r2 ON m.bucket BETWEEN r2.lo AND r2.hi
-      |  WHERE CAST(env.key AS BIGINT) < 15 AND env.ordering_key IS NULL
+      |  WHERE CAST(env.key AS BIGINT) < 1500 AND env.ordering_key IS NULL
       |  GROUP BY r2.consumer)
       |SELECT r.consumer, r.lo, r.hi,
       |       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
@@ -796,7 +835,7 @@ object LogQueries extends QueryGroup {
         (pct(20), "join", "consumer-C"), (pct(40), "join", "consumer-D"),
         (pct(60), "leave", "consumer-B"), (pct(70), "join", "consumer-E"))
       Routing.fencedDispatch(
-        e.filter(col("key").cast("long") < 15 && col("ordering_key").isNull),
+        e.filter(col("key").cast("long") < 1500 && col("ordering_key").isNull),
         membership, leaver = "consumer-B",
         unackedMinOffset = pct(15), markDelete = pct(30))
         .groupBy(col("consumer"), col("kind"), col("disposition"))
@@ -833,7 +872,7 @@ object LogQueries extends QueryGroup {
       |         WHERE present AND join_pos > (mx.mx * 30) // 100),
       |sl AS (SELECT env.msg_offset AS off, m.bucket
       |       FROM env JOIN m ON env.key = m.key
-      |       WHERE CAST(env.key AS BIGINT) < 15 AND env.ordering_key IS NULL),
+      |       WHERE CAST(env.key AS BIGINT) < 1500 AND env.ordering_key IS NULL),
       |norm AS (SELECT sl.off, sl.bucket, ep.consumer
       |         FROM sl JOIN ep ON sl.off >= ep.from_off
       |           AND sl.off < ep.until_off
@@ -888,7 +927,7 @@ object LogQueries extends QueryGroup {
         (0L, "join", "consumer-A"), (0L, "join", "consumer-B"),
         (pct(40), "join", "consumer-X"), (pct(70), "leave", "consumer-X"))
       DrainingHashes.drainCycle(
-        e.filter(col("key").cast("long") < 15 && col("ordering_key").isNull),
+        e.filter(col("key").cast("long") < 1500 && col("ordering_key").isNull),
         membership, joiner = "consumer-X",
         ackDelayUnit = pct(8), retainFrom = pct(55))
         .groupBy(col("first_consumer"), col("final_consumer"),
@@ -913,7 +952,7 @@ object LogQueries extends QueryGroup {
       |         CASE WHEN m.bucket <= 32767 THEN 'consumer-B'
       |              ELSE 'consumer-A' END AS own2
       |       FROM env JOIN m ON env.key = m.key
-      |       WHERE CAST(env.key AS BIGINT) < 15 AND env.ordering_key IS NULL),
+      |       WHERE CAST(env.key AS BIGINT) < 1500 AND env.ordering_key IS NULL),
       |k(f1, f2, rf) AS (SELECT mx * 40 // 100, mx * 70 // 100,
       |                         mx * 55 // 100 FROM mx),
       |ent AS (SELECT bucket, 'consumer-B' AS entry_owner,
@@ -1016,7 +1055,7 @@ object LogQueries extends QueryGroup {
     // PIP-486 entry bucketing: range-partition by sticky bucket; the
     // deterministic output is the 8-way bucket-range histogram.
     (s, d) => Routing.entryBucketed(
-      env(s, d).filter(col("key").cast("long") < 15 && col("ordering_key").isNull), 8)
+      env(s, d).filter(col("key").cast("long") < 1500 && col("ordering_key").isNull), 8)
       .withColumn("bucket_range", (col("sticky_bucket") / 8192).cast("int"))
       .groupBy(col("bucket_range"))
       .agg(count(lit(1)).as("n"), min(col("sticky_bucket")).as("min_bucket"),
@@ -1026,7 +1065,7 @@ object LogQueries extends QueryGroup {
       |b AS (
       |  SELECT env.key, m.sticky_bucket, m.sticky_bucket // 8192 AS bucket_range
       |  FROM env JOIN m ON env.key = m.key
-      |  WHERE CAST(env.key AS BIGINT) < 15 AND env.ordering_key IS NULL)
+      |  WHERE CAST(env.key AS BIGINT) < 1500 AND env.ordering_key IS NULL)
       |SELECT CAST(bucket_range AS INT) AS bucket_range, count(*) AS n,
       |       CAST(min(sticky_bucket) AS INT) AS min_bucket,
       |       CAST(max(sticky_bucket) AS INT) AS max_bucket
