@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
  * deterministic ack schedule that populates the tracker. Outcomes per
  * message: who received it first, who holds it finally, when it could
  * actually be sent (`deliver_seq`), whether a draining entry blocked it,
- * whether the leaver's departure replayed it (deliveries from
- * `retainFrom` on are the leaver's still-unacked tail, the R12
- * convention).
+ * whether the leaver's departure replayed it — PIP-379 redelivers ALL
+ * of a closing consumer's unacked messages, so the unacked-at-departure
+ * proxy is uniform in the RECEIVE seq: anything the joiner received
+ * (directly, or post-drain after being blocked) at or after
+ * `retainFrom` replays at F2.
  *
  * Shape at 100 TB: the range tables and their changed-ownership spans
  * are control-plane relations (driver-folded, broadcast); draining
@@ -133,8 +135,21 @@ object DrainingHashes {
     // returns to the draining consumer (lazy removal on the re-attempt)
     val b1Unblock = when(col("own2") === col("entry_owner"),
       least(col("drain_done"), lit(f2))).otherwise(col("drain_done"))
-    val leaverReplay = col("own1") === joiner && !b1Blocked &&
-      o >= retainFrom
+    // the B1 receive event: a blocked message reaches its owner at
+    // drain-complete (the joiner when that lands before the leave, the
+    // post-leave owner otherwise); an unblocked one at its own offset
+    val b1RecvSeq = when(b1Blocked, b1Unblock).otherwise(o)
+    val b1Recv = when(b1Blocked,
+      when(b1Unblock < f2, col("own1")).otherwise(col("own2")))
+      .otherwise(col("own1"))
+    // PIP-379 redelivers ALL of a closing consumer's unacked messages —
+    // including ones it only received after a drain completed. The
+    // unacked-at-departure proxy is uniform in the RECEIVE seq: anything
+    // the joiner received at or after `retainFrom` is still unacked at
+    // F2 and replays (this closes the r8 advisory: a blocked-then-
+    // delivered message no longer keeps the departed consumer as its
+    // final owner).
+    val leaverReplay = b1Recv === lit(joiner) && b1RecvSeq >= retainFrom
 
     val out = withOwners.withColumn("phase",
       when(o < f1, "a").when(o < f2, "b1").otherwise("b2"))
@@ -142,22 +157,15 @@ object DrainingHashes {
       // first_consumer: who the dispatcher first SENDS to (a blocked
       // message's first send is its post-drain delivery)
       when(col("phase") === "a", col("own0"))
-        .when(col("phase") === "b1",
-          when(b1Blocked, when(b1Unblock < f2, col("own1"))
-            .otherwise(col("own2")))
-          .otherwise(col("own1")))
+        .when(col("phase") === "b1", b1Recv)
         .otherwise(col("own2")).as("first_consumer"),
       when(col("phase") === "a", col("own0"))
         .when(col("phase") === "b1",
-          when(b1Blocked, when(b1Unblock < f2, col("own1"))
-            .otherwise(col("own2")))
-          .when(leaverReplay, col("own2"))
-          .otherwise(col("own1")))
+          when(leaverReplay, col("own2")).otherwise(b1Recv))
         .otherwise(col("own2")).as("final_consumer"),
       when(col("phase") === "a", o)
         .when(col("phase") === "b1",
-          when(b1Blocked, b1Unblock)
-            .when(leaverReplay, lit(f2)).otherwise(o))
+          when(leaverReplay, lit(f2)).otherwise(b1RecvSeq))
         .otherwise(when(b2Blocked, col("drain_done")).otherwise(o))
         .as("deliver_seq"),
       (col("phase") === "b1" && b1Blocked ||

@@ -966,7 +966,7 @@ object LogQueries extends QueryGroup {
       |                WHEN sl.o < k.f2 THEN 'b1' ELSE 'b2' END AS phase
       |         FROM sl CROSS JOIN k
       |         LEFT JOIN ent ON sl.bucket = ent.bucket),
-      |rules AS (SELECT o, bucket, phase,
+      |rules0 AS (SELECT o, bucket, phase,
       |           entry_owner IS NOT NULL AND own1 <> entry_owner
       |             AND o < drain_done AND phase = 'b1' AS b1_blocked,
       |           entry_owner IS NOT NULL AND own2 <> entry_owner
@@ -974,30 +974,31 @@ object LogQueries extends QueryGroup {
       |           CASE WHEN own2 = entry_owner
       |                THEN least(drain_done, f2) ELSE drain_done
       |           END AS b1_unblock,
-      |           own1 = 'consumer-X'
-      |             AND NOT (entry_owner IS NOT NULL AND own1 <> entry_owner
-      |                      AND o < drain_done)
-      |             AND o >= rf AND phase = 'b1' AS leaver_replay,
-      |           own0, own1, own2, f2, drain_done
+      |           own0, own1, own2, f2, rf, drain_done
       |          FROM base),
+      |rules AS (SELECT *,
+      |           CASE WHEN b1_blocked THEN b1_unblock ELSE o
+      |           END AS b1_recv_seq,
+      |           CASE WHEN b1_blocked THEN
+      |                  CASE WHEN b1_unblock < f2 THEN own1 ELSE own2 END
+      |                ELSE own1 END AS b1_recv
+      |          FROM rules0),
       |fx AS (SELECT o,
       |         CASE phase WHEN 'a' THEN own0
-      |              WHEN 'b1' THEN CASE WHEN b1_blocked THEN
-      |                   CASE WHEN b1_unblock < f2 THEN own1 ELSE own2 END
-      |                ELSE own1 END
+      |              WHEN 'b1' THEN b1_recv
       |              ELSE own2 END AS first_consumer,
       |         CASE phase WHEN 'a' THEN own0
-      |              WHEN 'b1' THEN CASE WHEN b1_blocked THEN
-      |                   CASE WHEN b1_unblock < f2 THEN own1 ELSE own2 END
-      |                WHEN leaver_replay THEN own2 ELSE own1 END
+      |              WHEN 'b1' THEN CASE WHEN b1_recv = 'consumer-X'
+      |                     AND b1_recv_seq >= rf THEN own2 ELSE b1_recv END
       |              ELSE own2 END AS final_consumer,
       |         CASE phase WHEN 'a' THEN o
-      |              WHEN 'b1' THEN CASE WHEN b1_blocked THEN b1_unblock
-      |                WHEN leaver_replay THEN f2 ELSE o END
+      |              WHEN 'b1' THEN CASE WHEN b1_recv = 'consumer-X'
+      |                     AND b1_recv_seq >= rf THEN f2 ELSE b1_recv_seq END
       |              ELSE CASE WHEN b2_blocked THEN drain_done ELSE o END
       |         END AS deliver_seq,
       |         b1_blocked OR b2_blocked AS was_blocked,
-      |         leaver_replay AS was_replayed
+      |         phase = 'b1' AND b1_recv = 'consumer-X'
+      |           AND b1_recv_seq >= rf AS was_replayed
       |       FROM rules)
       |SELECT first_consumer, final_consumer, was_blocked, was_replayed,
       |       count(*) AS n,

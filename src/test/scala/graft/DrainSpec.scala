@@ -60,7 +60,10 @@ class DrainSpec extends AnyFunSuite {
         case other =>
           if (other.isDefined) entries -= b // rule 6: lazy un-track
           out(o) = (owner, seq, wasBlocked, replayed)
-          if (owner == joiner && seq < f2 && !wasBlocked && o >= retainFrom)
+          // PIP-379 replays EVERYTHING the closing consumer still holds
+          // unacked — blocked-then-delivered included; the proxy is
+          // uniform in the receive seq
+          if (owner == joiner && seq < f2 && seq >= retainFrom)
             joinerPending :+= o
       }
     }
@@ -105,8 +108,8 @@ class DrainSpec extends AnyFunSuite {
         tail.foreach { o =>
           val b = byBucket.find(_._1 == o).get._2
           val prev = out(o)
-          assert(prev._1 == joiner && !prev._3)
-          out(o) = (ownerAt(s, b), s, false, true)
+          assert(prev._1 == joiner)
+          out(o) = (ownerAt(s, b), s, prev._3, true)
         }
         blocked.keys.toSeq.foreach(b => release(b, s))
       }
@@ -151,13 +154,19 @@ class DrainSpec extends AnyFunSuite {
   }
 
   test("operator matches the discrete-event simulation (span returns)") {
+    var sawBlockedReplay = false
     for (seed <- Seq(0x11L, 0x22L, 0x33L)) {
       val msgs = randomMsgs(seed, 300)
       val sim = simulate(msgs, cycleBack, "X", 80L, 550L)
       val got = runOperator(msgs, cycleBack, "X", 80L, 550L)
       assert(got.keySet === sim.keySet)
       got.foreach { case (o, v) => assert(v === sim(o), s"offset $o") }
+      // the branch the r8 advisory was about: a message BLOCKED at the
+      // join, released to the joiner post-drain, and still unacked at
+      // its departure must replay — the fixtures must exercise it
+      sawBlockedReplay ||= got.values.exists(v => v._3 && v._4)
     }
+    assert(sawBlockedReplay, "no blocked-then-replayed delivery exercised")
   }
 
   test("operator matches the simulation (span absorbed elsewhere: " +
