@@ -2268,6 +2268,26 @@ object CorpusOps {
    */
   def crossDocSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, fpCap: Int = 64): DataFrame = {
+    val spans = crossDocSpanRel(df, idCol, textCol, k, fpCap)
+    val covered = spans
+      .select(col("doc_a"), col("doc_b"), explode(sequence(col("start_a"),
+        col("start_a") + col("span_tokens") - 1)).as("pa"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("dup_tokens_a"))
+    spans.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_tokens")).as("max_span"),
+        sum(col("span_tokens")).as("span_tokens_sum"))
+      .join(covered, Seq("doc_a", "doc_b"))
+  }
+
+  /** The shared maximal-span relation beneath [[crossDocSpans]] and
+   * [[crossDocScrub]]: one row per maximal shared run — (doc_a < doc_b,
+   * diag = ib − ia, start_a, span_tokens). The doc_b-side start is
+   * start_a + diag. Cached: both consumers aggregate it twice. */
+  def crossDocSpanRel(df: DataFrame, idCol: String, textCol: String,
+      k: Int, fpCap: Int): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")
     require(fpCap >= 2, s"need fpCap >= 2, got $fpCap")
     val ws = df.filter(TextOps.normalized(col(textCol)) =!= "")
@@ -2287,21 +2307,53 @@ object CorpusOps {
         col("a.i").as("ia"), (col("b.i") - col("a.i")).as("diag"))
     val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("ia"))
-    val spans = graft.CacheScope.track(pairs
+    graft.CacheScope.track(pairs
       .withColumn("grp", col("ia") - row_number().over(wIsl))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
       .agg(min(col("ia")).as("start_a"),
         (count(lit(1)) + (k - 1)).as("span_tokens")))
+  }
+
+  /**
+   * The SECOND half of Lee et al. 2022's ExactSubstr dedup — the step
+   * that actually edits the corpus: every token position covered by a
+   * span shared with a LOWER-id document is removed (the copier pays;
+   * the p78 first-occurrence billing convention), and the scrubbed
+   * document is REBUILT from the surviving tokens in position order —
+   * the p33 scrub-and-rebuild shape at cross-document granularity.
+   * Returns one row per ≥k-token document: original/removed/kept token
+   * counts and the md5 digest of the rebuilt text (so a rebuild is
+   * verifiable without shipping it, the p76 convention).
+   *
+   * Shape at 100 TB: the span relation is [[crossDocSpanRel]] (one
+   * fingerprint shuffle, never all-pairs); covered positions explode
+   * span-scale rows; the anti-join and rebuild shuffle on the doc id
+   * only.
+   */
+  def crossDocScrub(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, fpCap: Int = 64): DataFrame = {
+    val spans = crossDocSpanRel(df, idCol, textCol, k, fpCap)
     val covered = spans
-      .select(col("doc_a"), col("doc_b"), explode(sequence(col("start_a"),
-        col("start_a") + col("span_tokens") - 1)).as("pa"))
+      .select(col("doc_b").as("id"),
+        explode(sequence(col("start_a") + col("diag"),
+          col("start_a") + col("diag") + col("span_tokens") - 1)).as("pos"))
       .distinct()
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("dup_tokens_a"))
-    spans.groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_spans"),
-        max(col("span_tokens")).as("max_span"),
-        sum(col("span_tokens")).as("span_tokens_sum"))
-      .join(covered, Seq("doc_a", "doc_b"))
+    val posRel = df.filter(TextOps.normalized(col(textCol)) =!= "")
+      .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("id"), size(col("ws")).cast("long").as("n_tokens"),
+        posexplode(col("ws")).as(Seq("p0", "word")))
+      .select(col("id"), col("n_tokens"),
+        (col("p0") + 1).cast("long").as("pos"), col("word"))
+    posRel.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id").as("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")))).as("scrub_md5"))
+      .withColumn("n_removed", col("n_tokens") - col("n_kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("n_kept"), col("scrub_md5"))
   }
 }

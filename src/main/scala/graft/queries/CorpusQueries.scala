@@ -2394,8 +2394,58 @@ object CorpusQueries extends QueryGroup {
       |FROM agg JOIN cov ON agg.doc_a = cov.doc_a AND agg.doc_b = cov.doc_b
       |ORDER BY agg.doc_a, agg.doc_b""".stripMargin))
 
+  private val p126 = QueryDef(
+    // ExactSubstr's second half (Lee et al. 2022): REMOVE every token
+    // position covered by a span shared with a lower-id document (the
+    // copier pays) and rebuild the scrubbed text, billed per document
+    // with the rebuilt digest. Fully-covered documents drop out (their
+    // rebuild is empty). Shares p124's span relation.
+    (s, d) => CorpusOps.crossDocScrub(docs(s, d), "doc_id", "text",
+        k = 8, fpCap = 64)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+      |wk AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 8),
+      |sh AS (
+      |  SELECT doc_id, i,
+      |         md5(array_to_string(ws[i:i+7], ' ')) AS fp
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+      |        FROM wk) t),
+      |rare AS (SELECT fp FROM sh GROUP BY fp HAVING count(*) <= 64),
+      |kept AS (SELECT sh.* FROM sh JOIN rare USING (fp)),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia,
+      |         b.i - a.i AS diag
+      |  FROM kept a JOIN kept b
+      |    ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT *, ia - row_number() OVER (
+      |    PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS grp FROM p),
+      |sp AS (
+      |  SELECT doc_a, doc_b, diag, grp, min(ia) AS start_a,
+      |         count(*) + 7 AS span_tokens
+      |  FROM isl GROUP BY 1, 2, 3, 4),
+      |cov AS (
+      |  SELECT DISTINCT doc_b AS doc_id,
+      |         unnest(range(start_a + diag,
+      |           start_a + diag + span_tokens)) AS pos
+      |  FROM sp),
+      |posr AS (
+      |  SELECT doc_id, len(ws) AS n_tokens, i AS pos, ws[i] AS word
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+      |        FROM wk) t),
+      |keep AS (
+      |  SELECT * FROM posr p WHERE NOT EXISTS (
+      |    SELECT 1 FROM cov c
+      |    WHERE c.doc_id = p.doc_id AND c.pos = p.pos))
+      |SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(max(n_tokens) - count(*) AS BIGINT) AS n_removed,
+      |       CAST(count(*) AS BIGINT) AS n_kept,
+      |       md5(string_agg(word, ' ' ORDER BY pos)) AS scrub_md5
+      |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   override val defs: Map[String, QueryDef] = Map(
     "p124_crossdoc_spans" -> p124,
+    "p126_crossdoc_scrub" -> p126,
     "p108_vocab_coverage" -> p108,
     "p110_pmi_collocations" -> p110,
     "p112_association_rules" -> p112,

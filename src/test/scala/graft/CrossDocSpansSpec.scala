@@ -73,6 +73,58 @@ class CrossDocSpansSpec extends AnyFunSuite {
     assert(out === Map.empty)
   }
 
+  private def runScrub(rows: Seq[(Long, String)], k: Int = 4,
+      fpCap: Int = 64): Map[Long, (Long, Long, Long, String)] = {
+    import spark.implicits._
+    CorpusOps.crossDocScrub(rows.toDF("doc_id", "text"), "doc_id", "text",
+        k = k, fpCap = fpCap)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+  }
+
+  private def md5Of(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("scrub removes the copier's span, keeps the source intact") {
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ")
+    val out = runScrub(Seq(
+      (1L, s"alpha beta $shared"),
+      (2L, s"$shared gamma delta epsilon")))
+    // doc 1 (the source) untouched; doc 2 loses the 6 shared tokens
+    assert(out(1L) === ((8L, 0L, 8L, md5Of(s"alpha beta $shared"))))
+    assert(out(2L) === ((9L, 6L, 3L, md5Of("gamma delta epsilon"))))
+  }
+
+  test("a fully-covered document drops out of the scrub output") {
+    val shared = (1 to 5).map(i => s"f$i").mkString(" ")
+    val out = runScrub(Seq(
+      (1L, s"$shared tail1 tail2"),
+      (2L, shared)))
+    assert(out.contains(1L) && !out.contains(2L))
+  }
+
+  test("scrub counts reconcile with the span census coverage") {
+    val rnd = new scala.util.Random(23)
+    val docs = (1L to 10L).map { i =>
+      (i, (1 to 30).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    }
+    val census = run(docs, k = 3, fpCap = 10000)
+    val scrub = runScrub(docs, k = 3, fpCap = 10000)
+    // per doc, removed tokens = |union of covered positions over all
+    // lower-doc pairs| — recompute from the census side's spans via the
+    // driver replay used above is overkill; instead pin the invariant
+    // that every doc with any pair as doc_b removed at least min-span
+    // tokens, and docs appearing only as doc_a removed none
+    val asB = census.keySet.map(_._2)
+    val asAOnly = census.keySet.map(_._1) -- asB
+    asAOnly.foreach(a => assert(scrub(a)._2 === 0L, s"doc $a"))
+    asB.foreach(b => if (scrub.contains(b))
+      assert(scrub(b)._2 >= 3L, s"doc $b"))
+  }
+
   test("matches the naive per-pair longest-common-run replay") {
     // pseudo-random small vocab corpus → frequent accidental overlaps
     val rnd = new scala.util.Random(11)
