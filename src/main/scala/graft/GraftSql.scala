@@ -54,6 +54,10 @@ object GraftSql {
       "_FUNC_(a, b) - EXACT integer squared L2 of two bigint arrays (pre-quantized codes; codegen'd kernel)") {
       case Seq(a, b) => L2SqLong(a, b)
     },
+    reg("min_k_pairs", classOf[MinKPairs],
+      "_FUNC_(struct(dist, dst), k) - aggregate: the k smallest (dist, dst) pairs by (dist, dst) asc, k-bounded map-side partials") {
+      case Seq(e, kk) => MinKPairs(e, intArg(kk, "k")).toAggregateExpression()
+    },
     reg("winnow_fingerprints", classOf[WinnowFingerprints],
       "_FUNC_(text, k, w) - winnowing fingerprint set (k-gram hashes, window minima)") {
       case Seq(t, k, w) => WinnowFingerprints(t, intArg(k, "k"), intArg(w, "w"))

@@ -15,6 +15,15 @@ object SparkEntry {
     // UTC session, not TIMESTAMP_NTZ — keeps unix_millis/date arithmetic
     // available and matches the oracle's naive-timestamp view byte for byte.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // The k-bounded top-k aggregates (min_k_pairs — the ANN graph-build
+    // kernel) run under ObjectHashAggregateExec, whose DEFAULT behavior
+    // falls back to sort-based aggregation past 128 groups per
+    // partition — which would re-introduce exactly the corpus-scale
+    // sort the aggregate exists to avoid. The buffers are k-bounded
+    // (≤ a few hundred bytes each), so a million hashed groups per
+    // partition is far cheaper than sorting the ~N^1.5 pair relation.
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     spark
   }
 

@@ -40,6 +40,14 @@ object GraftFunctions {
     GraftSqlBridge.column(L2SqLong(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Bounded top-k-smallest aggregate over struct(dist, dst) by
+   * (dist, dst) asc (see [[MinKPairs]]) — map-side-combine "rank and
+   * keep k", shipping ≤ k pairs per group per map task where a window
+   * would shuffle-and-sort every candidate row. */
+  def minKPairs(distDst: Column, k: Int): Column =
+    GraftSqlBridge.column(MinKPairs(GraftSqlBridge.expression(distDst), k)
+      .toAggregateExpression())
+
   /** F15 — zlib-compress a BINARY payload (CompressionCodecZLib). */
   def zlibDeflate(payload: Column, level: Int = 6): Column =
     GraftSqlBridge.column(ZlibDeflate(GraftSqlBridge.expression(payload), level))

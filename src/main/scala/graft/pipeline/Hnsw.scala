@@ -29,10 +29,10 @@ import graft.functions.GraftFunctions
  *    (ties to the lowest centroid id) — the p61 IVF-cell candidate
  *    bound that keeps neighbor selection ~N^1.5, never all-pairs;
  *  - neighbor lists are the M nearest nodes (level ≥ l) from the
- *    node's cell or an adjacent cell, symmetrized (undirected union;
- *    out-degree from a node's own list ≤ M, total degree M plus the
- *    nodes that picked it — hubs may exceed 2M, the paper's heuristic
- *    prune is intentionally omitted) — the bidirectional connect;
+ *    node's cell or an adjacent cell, symmetrized and DEGREE-CAPPED
+ *    at 2M (the paper's Mmax: the bidirectional union re-ranked per
+ *    node by (distance, id), 2M closest kept) — hub degree is bounded
+ *    at any corpus size, so the beam fan-out is ≤ |frontier|·2M;
  *  - insertion order disappears: the whole level-l graph is one
  *    cell-keyed pair join + top-M window over nodes with level ≥ l.
  *
@@ -111,16 +111,26 @@ object Hnsw {
       col("centroid_id").as("cand_cell")))
   }
 
-  /** The undirected level-l neighbor lists: top-M nodes with level ≥ l
-   * from the node's cell OR an adjacent cell, by (integer distance,
-   * id), symmetrized — a node's own picks ≤ M, plus every reverse pick
-   * (hubs exceed 2M; no heuristic prune). `assigned` has (vec_id,
-   * cluster, codes, level). */
+  /** The level-l neighbor lists: top-M nodes with level ≥ l from the
+   * node's cell OR an adjacent cell, by (integer distance, id),
+   * symmetrized and then DEGREE-CAPPED at 2M — the paper's Mmax: the
+   * bidirectional union is re-ranked per node by (distance, id) and
+   * only the 2M closest kept, so hub in-degree cannot grow with cell
+   * size and every beam superstep fans out ≤ |frontier|·2M at ANY
+   * corpus scale (the uncapped graph measured 188× wall at the 100×
+   * rehearsal precisely because reverse-pick degree grew with the
+   * cells). The cap can drop one direction of an edge — the paper's
+   * pruned graph is directed too. `assigned` has (vec_id, cluster,
+   * codes, level). */
   def levelEdges(assigned: DataFrame, cellAdj: DataFrame, l: Int,
       m: Int): DataFrame = {
     val nodes = assigned.filter(col("level") >= l)
       .select(col("vec_id"), col("cluster"), col("codes"))
-    val w = Window.partitionBy(col("src")).orderBy(col("dist"), col("dst"))
+    // top-M by the k-bounded MAP-SIDE aggregate, not a window: the pair
+    // relation is the ~N^1.5 surface — a window would shuffle-and-sort
+    // every pair row, while min_k_pairs ships ≤ M pairs per (src,
+    // partition) and never sorts (measured at the 100× rehearsal: the
+    // level-0 build's exchange shrinks from ~900M rows to ~node-scale)
     val top = nodes.as("a")
       .join(broadcast(cellAdj), col("a.cluster") === col("cell"))
       .join(nodes.as("b"),
@@ -128,11 +138,19 @@ object Hnsw {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
         GraftFunctions.l2SqLong(col("a.codes"), col("b.codes")).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= m)
-      .select(col("src"), col("dst"))
-    top.unionByName(top.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src"))
+      .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")), m)
+        .as("tk"))
+      .select(col("src"), explode(col("tk")).as("p"))
+      .select(col("src"), col("p.dst").as("dst"), col("p.dist").as("dist"))
+    top.unionByName(top.select(col("dst").as("src"), col("src").as("dst"),
+        col("dist")))
       .distinct()
+      .groupBy(col("src"))
+      .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")), 2 * m)
+        .as("tk"))
+      .select(col("src"), explode(col("tk")).as("p"))
+      .select(col("src"), col("p.dst").as("dst"))
   }
 
   /**
@@ -194,41 +212,46 @@ object Hnsw {
     // the cache. Truncating lineage to a LogicalRDD keeps the per-step
     // plan constant-size — the frontier is tiny, so the materialization
     // itself is free.
+    // every "rank per query, keep n" below is the k-bounded map-side
+    // aggregate (min_by for n=1, min_k_pairs otherwise) — identical
+    // selection to a (dist, node)-ordered row_number window, without
+    // shuffling or sorting the candidate rows
+    def keep(scoredDf: DataFrame, n: Int): DataFrame =
+      scoredDf.groupBy(col("qid"))
+        .agg(GraftFunctions.minKPairs(struct(col("dist"), col("node")), n)
+          .as("tk"))
+        .select(col("qid"), explode(col("tk")).as("p"))
+        .select(col("qid"), col("p.dst").as("node"))
+
     var cur: DataFrame =
       queries.select(col("qid")).crossJoin(entry).localCheckpoint(false)
     for (l <- maxLevel to 1 by -1; _ <- 1 to hopsPerLevel) {
       val expanded = cur.unionByName(
         broadcast(cur).join(edges(l), col("node") === col("src"))
           .select(col("qid"), col("dst").as("node")))
-      val w1 = Window.partitionBy(col("qid"))
-        .orderBy(col("dist"), col("node"))
-      cur = scored(expanded)
-        .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-        .select(col("qid"), col("node")).localCheckpoint(false)
+      cur = scored(expanded).groupBy(col("qid"))
+        .agg(min_by(col("node"), struct(col("dist"), col("node")))
+          .as("node"))
+        .localCheckpoint(false)
     }
     // level-0 beam: expand neighbors, keep the ef closest visited
     var beam = cur
-    val wEf = Window.partitionBy(col("qid")).orderBy(col("dist"), col("node"))
     for (_ <- 1 to beamSteps) {
       val expanded = beam.unionByName(
         broadcast(beam).join(edges(0), col("node") === col("src"))
           .select(col("qid"), col("dst").as("node")))
-      beam = scored(expanded)
-        .withColumn("rn", row_number().over(wEf)).filter(col("rn") <= ef)
-        .select(col("qid"), col("node")).localCheckpoint(false)
+      beam = keep(scored(expanded), ef).localCheckpoint(false)
     }
-    val approx = scored(beam).filter(col("node") =!= col("qid"))
-      .withColumn("rn", row_number().over(wEf)).filter(col("rn") <= k)
+    val approx = keep(scored(beam).filter(col("node") =!= col("qid")), k)
       .select(col("qid").as("query_id"), col("node").as("neighbor_id"))
 
     val exact = coded.crossJoin(queries)
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("dist",
-        GraftFunctions.l2SqLong(col("qcodes"), col("codes")))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("dist"), col("vec_id"))))
-      .filter(col("rn") <= k)
-      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+      .select(col("qid"),
+        GraftFunctions.l2SqLong(col("qcodes"), col("codes")).as("dist"),
+        col("vec_id").as("node"))
+      .transform(keep(_, k))
+      .select(col("qid").as("query_id"), col("node").as("neighbor_id"))
 
     queries.select(col("qid").as("query_id"))
       .join(exact.join(approx, Seq("query_id", "neighbor_id"))
@@ -287,8 +310,9 @@ object Hnsw {
         |    FROM cent x JOIN cent y ON x.cid <> y.cid) t WHERE rn <= $adjL
         |  UNION ALL SELECT cid, cid FROM cent),
         |top$l AS MATERIALIZED (
-        |  SELECT src, dst FROM (
+        |  SELECT src, dst, d FROM (
         |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |           ${d("a.q", "b.q")} AS d,
         |           row_number() OVER (PARTITION BY a.vec_id
         |             ORDER BY ${d("a.q", "b.q")}, b.vec_id) AS rn
         |    FROM nodes a
@@ -296,9 +320,15 @@ object Hnsw {
         |    JOIN nodes b ON b.cluster = ca.cand_cell
         |      AND b.vec_id <> a.vec_id
         |    WHERE a.level >= $l AND b.level >= $l) t WHERE rn <= $m),
-        |ed$l AS MATERIALIZED (SELECT DISTINCT src, dst FROM
-        |  (SELECT src, dst FROM top$l
-        |   UNION ALL SELECT dst AS src, src AS dst FROM top$l) t),
+        |ed$l AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |           row_number() OVER (PARTITION BY src ORDER BY d, dst)
+        |             AS rn
+        |    FROM (SELECT DISTINCT src, dst, d FROM
+        |      (SELECT src, dst, d FROM top$l
+        |       UNION ALL SELECT dst AS src, src AS dst, d FROM top$l) u) s
+        |  ) t WHERE rn <= ${2 * m}),
         |""".stripMargin
     }
     sb ++= s"""qd AS MATERIALIZED (

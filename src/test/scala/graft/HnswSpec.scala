@@ -45,7 +45,8 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
-  test("level graphs are symmetric, self-loop-free, degree-bounded") {
+  test("level graphs are self-loop-free, hard degree-capped at 2M, " +
+    "level-disciplined") {
     val qcents = centroids.select(col("centroid_id"),
       Hnsw.q3Codes(col("cembedding")).as("ccodes"))
     val coded = vecs.select(col("vec_id"),
@@ -57,21 +58,21 @@ class HnswSpec extends AnyFunSuite {
       val adj = Hnsw.cellAdjacency(qcents, 2 << (2 * l))
       val e = Hnsw.levelEdges(assigned, adj, l, m).cache()
       assert(e.filter(col("src") === col("dst")).count() === 0L)
-      // undirected: the reversed relation is the same set
-      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
-      assert(e.exceptAll(rev).count() === 0L)
-      // the symmetrized union doubles at most m·n directed picks, so the
-      // MEAN degree is <= 2m (individual hubs may exceed it — the
-      // paper's heuristic prune is intentionally omitted)
-      val (edgeCount, nodeCount) = (e.count(),
-        e.select(col("src")).distinct().count())
-      assert(edgeCount <= 2L * m * nodeCount,
-        s"level $l: $edgeCount edges > 2m·$nodeCount")
-      // every endpoint carries level >= l
+      // the Mmax cap is a HARD per-node bound (the pre-cap union is
+      // symmetric; the cap may drop one direction of a hub edge)
+      val maxDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .agg(max(col("deg"))).collect()(0).getLong(0)
+      assert(maxDeg <= 2L * m, s"level $l degree $maxDeg > ${2 * m}")
+      // every capped edge existed in the symmetric union: its reverse
+      // OR itself must appear among some node's own top-m picks — here
+      // checked structurally: both endpoints carry level >= l
       val lv = assigned.select(col("vec_id"), col("level"))
       val bad = e.join(lv, e("src") === lv("vec_id"))
         .filter(col("level") < l).count()
       assert(bad === 0L, s"level $l has $bad under-leveled endpoints")
+      val bad2 = e.join(lv, e("dst") === lv("vec_id"))
+        .filter(col("level") < l).count()
+      assert(bad2 === 0L, s"level $l has $bad2 under-leveled dst endpoints")
       e.unpersist()
     }
     assigned.unpersist()
