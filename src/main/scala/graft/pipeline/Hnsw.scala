@@ -34,7 +34,8 @@ import graft.functions.GraftFunctions
  *    node by (distance, id), 2M closest kept) — hub degree is bounded
  *    at any corpus size, so the beam fan-out is ≤ |frontier|·2M;
  *  - insertion order disappears: the whole level-l graph is one
- *    cell-keyed pair join + top-M window over nodes with level ≥ l.
+ *    cell-keyed pair join + k-bounded top-M aggregate over nodes with
+ *    level ≥ l.
  *
  * Search is the paper's two-phase walk with FIXED superstep counts so
  * the oracle can unroll it as literal SQL (the p83 convention): start
@@ -45,8 +46,8 @@ import graft.functions.GraftFunctions
  * beam. The audit reports per-query recall against the exact top-k
  * under the SAME integer metric (the p122 pattern; self excluded on
  * both sides). Each superstep's frontier (|queries|·ef rows) is
- * materialized via [[graft.CacheScope.track]] — the p83 discipline —
- * so the plan never recomputes the previous superstep.
+ * localCheckpoint'd so its logical plan stays constant-size — the p83
+ * materialize-per-superstep discipline, with lineage truncation.
  *
  * Shape at 100 TB: quantization is a projection; assignment is one
  * |corpus|×|centroids| broadcast pass (no corpus shuffle); each level
@@ -205,7 +206,7 @@ object Hnsw {
 
     // upper levels: fixed greedy hops — keep the closest of the current
     // node and its level-l neighbors. Each superstep's |queries|·ef-row
-    // frontier is eagerly localCheckpoint'd: persist alone leaves the
+    // frontier is (lazily) localCheckpoint'd: persist alone leaves the
     // LOGICAL plan tree doubling per superstep (each step references
     // the previous twice — union + join), and every action then pays an
     // exponential analyze/explainString even though execution reuses

@@ -572,12 +572,6 @@ object LogQueries extends QueryGroup {
   private[graft] val rsAdvanceRows: Seq[(Long, Long)] =
     Seq((1L, 3L), (2L, 10L), (3L, 24L), (4L, 25L))
 
-  private def rsMarkerValues: String = rsMarkerRows.map {
-    case (q, t, m, sid, c, l, e) => s"($q, $t, '$m', '$sid', '$c', $l, $e)"
-  }.mkString(", ")
-  private def rsAdvanceValues: String =
-    rsAdvanceRows.map { case (a, m) => s"($a, $m)" }.mkString(", ")
-
   private val s17 = QueryDef(
     // S17 replicated-subscription cursor sync: fold the marker protocol
     // (REQUEST/RESPONSE rounds → completed snapshots; mark-delete
@@ -595,7 +589,10 @@ object LogQueries extends QueryGroup {
     // timeout gate, and the running-max UPDATE fold — not pinned answers.
     (s, d) => {
       val e = env(s, d)
-      val sn = e.select(expr("msg_offset div 500").as("n")).distinct()
+      // the snapshot-id relation feeds all five marker branches plus the
+      // advances — derive the corpus-scale distinct ONCE
+      val sn = graft.CacheScope.track(
+        e.select(expr("msg_offset div 500").as("n")).distinct())
       val sid = concat(lit("s"), col("n"))
       def m(seqOff: Int, ts: org.apache.spark.sql.Column, cl: String,
           led: Long, ent: org.apache.spark.sql.Column): DataFrame =
