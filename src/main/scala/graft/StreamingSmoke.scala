@@ -876,8 +876,62 @@ object StreamingSmoke {
       streamCensus == batchCensus && streamCensus.nonEmpty,
       s"stream=$streamCensus batch=$batchCensus")
 
+    // -- 29. incremental WARC archiving (P125 as a streaming SINK) --------
+    // the shape crawl archivers actually run: documents arrive in
+    // micro-batches and each batch appends finished WARC files (one per
+    // (bucket, batch) — WARC records are immutable once written, so
+    // incremental archiving means MORE files, never edited ones). The
+    // per-record census parsed back from every streamed archive must
+    // equal the batch census computed straight off the corpus — same
+    // ids, declared lengths, and payload digests; offsets differ by
+    // construction (batch splits), which is exactly the field the
+    // archive name carries.
+    val warcDir = Files.createTempDirectory("graft-warc-").toString
+    val docsForWarc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        regexp_replace(coalesce(col("text"), lit("")), "[^ -~]", "?")
+          .as("px"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val s29 = MemoryStream[(Long, String)]
+    val q29 = s29.toDS().toDF("doc_id", "px")
+      .writeStream.option("checkpointLocation", ckpt())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        b.select(col("doc_id"), col("px")).collect()
+          .groupBy(r => r.getLong(0) / 25)
+          .foreach { case (bucket, rows) =>
+            val recs = rows.sortBy(_.getLong(0)).map { r =>
+              val id = r.getLong(0)
+              graft.pipeline.WarcCodec.WarcRecord("conversion",
+                s"<urn:uuid:doc-$id>", "2022-01-01T00:00:00Z",
+                Some(s"https://example.org/doc/$id"),
+                r.getString(1).getBytes("US-ASCII"))
+            }
+            Files.write(java.nio.file.Paths.get(
+              s"$warcDir/b$bucket-$batchId.warc"),
+              graft.pipeline.WarcCodec.build(recs.toSeq))
+          }
+        ()
+      }.start()
+    docsForWarc.grouped(math.max(1, docsForWarc.length / 5 + 1))
+      .foreach { c => s29.addData(c); q29.processAllAvailable() }
+    q29.stop()
+    val streamedRecords = new java.io.File(warcDir).listFiles()
+      .filter(_.getName.endsWith(".warc")).toSeq
+      .flatMap(f => graft.pipeline.WarcCodec.parse(
+        Files.readAllBytes(f.toPath)))
+      .map(r => (r.recordId, r.contentLength, r.payloadMd5)).sorted
+    val batchRecords = docsForWarc.toSeq.map { case (id, px) =>
+      val bytes = px.getBytes("US-ASCII")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map(b => f"$b%02x").mkString
+      (s"<urn:uuid:doc-$id>", bytes.length.toLong, md5)
+    }.sorted
+    check("warc-incremental-archive",
+      streamedRecords == batchRecords && streamedRecords.nonEmpty,
+      s"stream=${streamedRecords.size} batch=${batchRecords.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 28 converged to batch twins OK")
+    println(s"[stream-smoke] all 29 converged to batch twins OK")
     spark.stop()
   }
 }
