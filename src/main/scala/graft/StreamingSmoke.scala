@@ -886,6 +886,12 @@ object StreamingSmoke {
     // ids, declared lengths, and payload digests; offsets differ by
     // construction (batch splits), which is exactly the field the
     // archive name carries.
+    // SMOKE-ONLY shape: the foreachBatch below collect()s each
+    // micro-batch to the driver to assemble archives — fine at test SF,
+    // but a production archiver writes per partition
+    // (b.foreachPartition / a custom FileFormat), one archive per
+    // (bucket, partition, batch); do not copy this collect into a
+    // production sink.
     val warcDir = Files.createTempDirectory("graft-warc-").toString
     val docsForWarc = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),

@@ -117,17 +117,22 @@ final class MinKBuffer(k: Int) {
   def insert(d: Long, t: Long): Unit = {
     if (size == k && (d > ds(k - 1) || (d == ds(k - 1) && t >= ts(k - 1))))
       return
-    // find insertion point (first slot strictly greater by (dist, dst))
+    // find insertion point (first slot strictly greater by (dist, dst)).
+    // Invariant past the early return: when the buffer is full the last
+    // slot is strictly greater than (d, t), so the search lands at
+    // lo <= k - 1; when not full, lo <= size <= k - 1. Either way
+    // lo < k and the write below is always in bounds.
     var lo = 0; var hi = size
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
       if (ds(mid) < d || (ds(mid) == d && ts(mid) < t)) lo = mid + 1
       else hi = mid
     }
-    val upTo = math.min(size, k - 1)
-    var i = upTo
+    // shift start: the last slot when full (dropping the old maximum),
+    // one past the end otherwise
+    var i = math.min(size, k - 1)
     while (i > lo) { ds(i) = ds(i - 1); ts(i) = ts(i - 1); i -= 1 }
-    if (lo < k) { ds(lo) = d; ts(lo) = t }
+    ds(lo) = d; ts(lo) = t
     if (size < k) size += 1
   }
 }

@@ -26,6 +26,15 @@ package graft.pipeline
  * declared payload bytes, the two-CRLF terminator, a matching block
  * digest when one is stamped, and clean end-of-stream — WarcSpec
  * proves each malformation is rejected, never misparsed.
+ *
+ * Scope note: [[parse]] targets archives built by THIS codec (the
+ * validating-walker convention of the container family) — it is
+ * deliberately stricter than ISO 28500 general ingest: the header
+ * separator must be exactly `": "` (no `name:value`, no RFC-822
+ * continuation lines), versions are pinned to WARC/1.0|1.1, and a
+ * stamped digest must use the repo's `md5:` label. Real-crawl ingest
+ * would relax header tokenization; parity with the arithmetic oracle
+ * depends on the strict byte layout, so the strictness is the point.
  */
 object WarcCodec {
 
