@@ -40,6 +40,38 @@ object ScaleGen {
       }: _*)
 
   /**
+   * Documents get a deterministic ~1% token jitter on every replica
+   * EXCEPT replica 0: byte-identical replicas are degenerate inputs for
+   * the near-dup family — every 8-gram of a duplicated doc recurs
+   * `factor` times, so at 100× each shingle trips the cross-doc
+   * fingerprint occurrence cap (p124's fpCap) and the measured span set
+   * is EMPTY, leaving the islands/scrub stages unmeasured. Mutating
+   * ~1% of token positions per replica (seeded by the pre-shift doc
+   * id, replica, and position — murmur3, so re-runs are stable) keeps
+   * replicas NEAR-duplicates: ~8% of 8-grams differ, which is the
+   * realistic crawl-dup profile the MinHash/Jaccard/ExactSubstr
+   * rehearsals should see. The mutation swaps the token's last char
+   * (length-preserving, so the fixture's doc-length metadata stays
+   * consistent); replica 0 is untouched, so base-corpus query results
+   * keep their meaning.
+   */
+  private def replicateDocuments(df: DataFrame, factor: Int): DataFrame = {
+    val mutated = transform(split(col("text"), " "), (t, i) => {
+      val h = hash(col("doc_id"), col("_rep"), i)
+      when(col("_rep") > 0 && pmod(h, lit(100)) === 0 && length(t) > 0,
+        concat(t.substr(lit(1), length(t) - 1),
+          chr(lit(97) + pmod(h, lit(26))))).otherwise(t)
+    })
+    df.withColumn("_rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("text", array_join(mutated, " "))
+      .select(df.columns.map { c =>
+        if (c == "doc_id")
+          (col(c) * factor + col("_rep")).cast(df.schema(c).dataType).as(c)
+        else col(c)
+      }: _*)
+  }
+
+  /**
    * Embeddings get a CENTROID-AWARE id map instead of the interleave
    * shift: the ANN family derives centroids by `vec_id % 50 == 0`, and
    * `vec_id*factor + rep` keeps that residue density in every replica,
@@ -85,6 +117,7 @@ object ScaleGen {
       val in = spark.read.parquet(s"$src/$t.parquet")
       val outDf =
         if (t == "embeddings") replicateEmbeddings(in, factor)
+        else if (t == "documents") replicateDocuments(in, factor)
         else shiftCols.get(t) match {
           case Some(cols) => replicate(in, cols, factor)
           case None => in

@@ -40,6 +40,13 @@ object GraftFunctions {
     GraftSqlBridge.column(L2SqLong(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Codegen'd EXACT integer dot product of two array<long> columns (see
+   * [[DotLong]]) — the integer-cosine pair kernel; norm² is the same
+   * kernel applied to (v, v), hoisted once per vector. */
+  def dotLong(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotLong(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** Bounded top-k-smallest aggregate over struct(dist, dst) by
    * (dist, dst) asc (see [[MinKPairs]]) — map-side-combine "rank and
    * keep k", shipping ≤ k pairs per group per map task where a window

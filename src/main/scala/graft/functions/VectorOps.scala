@@ -97,6 +97,28 @@ object VectorMath {
     acc
   }
 
+  /** EXACT integer dot product over two array<long> inputs (the e3
+   * pre-quantized embedding codes): Σ aᵢ·bᵢ accumulated in long. Same
+   * null contract and same overflow hard-fail discipline as
+   * [[l2sqLong]]. This is the pair-stage kernel of the integer-cosine
+   * discipline: with each vector's norm² hoisted out of the pair join
+   * (dotLong(codes, codes) computed ONCE per vector), a candidate pair
+   * costs one 64-element integer multiply-add instead of the 3-fold
+   * float cosine kernel — and the sum is order-independent, so neither
+   * engine/partition order can move it. */
+  def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    acc
+  }
+
   /** array<double> variant of [[cosineFloat]]. */
   def cosineDouble(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -264,5 +286,52 @@ case class L2SqLong(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2SqLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd EXACT integer dot product over two array<long> columns (the
+ * pre-quantized embedding codes) — all-long arithmetic, LONG result, the
+ * family null contract. The integer-cosine pair kernel: with norm² =
+ * dot_long(codes, codes) hoisted per vector, cosine of a candidate pair
+ * is dot / sqrt(na·nb) — ONE final deterministic IEEE expression over
+ * three exact integers, so both engines reproduce it bit for bit. */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_long needs two arrays of BIGINT, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VectorMath.dotLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Long ${ev.value}_r = graft.functions.VectorMath.dotLong($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
     copy(left = newLeft, right = newRight)
 }

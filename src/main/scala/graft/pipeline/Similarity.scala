@@ -53,6 +53,41 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosineSim(a, b)
 
+  /**
+   * The e3 INTEGER-cosine pair kernel (the p123 discipline applied to
+   * the cosine family): embeddings are quantized ONCE per vector via
+   * [[Hnsw.q3Codes]] (floor(v·10³+0.5), exact longs) and their norm²
+   * hoisted out of the pair join ([[graft.functions.GraftFunctions
+   * .dotLong]] of codes with themselves), so a candidate pair costs one
+   * 64-element integer multiply-add — vs the float kernel's 3-fold pass
+   * that re-derived both norms per pair. The returned column is the
+   * e3-scaled similarity as a LONG: floor(dot/√(na·nb)·10³ + 0.5).
+   * Every step is exact or correctly-rounded IEEE on exact integer
+   * inputs (double conversions exact below 2⁵³, one multiply, one
+   * sqrt, one division, one floor), so an independent engine reproduces
+   * it bit for bit — the repo's exact-integer oracle convention with
+   * ONE final float expression instead of a float aggregate. Zero-norm
+   * vectors (cosine-undefined) are screened upstream by
+   * [[embeddingAudit]]; here they produce NaN→0 like the float path's
+   * NaN. Threshold tests compare the long against round(t·10³) —
+   * pure integer predicates.
+   */
+  def simE3(dot: Column, na: Column, nb: Column): Column =
+    floor(dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
+      * 1000 + 0.5).cast("long")
+
+  /** The quantize-once projection feeding [[simE3]]: `codes` (e3 long
+   * array) and `nsq` (integer norm²) appended to `df`. Callers MUST
+   * materialize the result (cache/localCheckpoint) before a self-join —
+   * the interpreted transform() HOF otherwise gets inlined by
+   * projection collapse into the join output and recomputed PER PAIR
+   * (the round-10 lesson). */
+  def withQ3(df: DataFrame): DataFrame = {
+    val coded = df.withColumn("codes", Hnsw.q3Codes(col("embedding")))
+    coded.withColumn("nsq",
+      graft.functions.GraftFunctions.dotLong(col("codes"), col("codes")))
+  }
+
   /** Sign-bit coarse bucket over the first `bits` dimensions — a random-
    * hyperplane LSH specialization (hyperplanes = axis planes), giving 2^bits
    * buckets. */
@@ -531,13 +566,21 @@ object Similarity {
    */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       bits: Int = 8): DataFrame = {
-    val b = corpus.withColumn("bucket", signBucket(col("embedding"), bits))
+    val thrE3 = math.round(threshold * 1000)
+    // quantize-once + hoisted norm²; cached so the transform() HOF and
+    // the norm kernel run once per VECTOR, not once per candidate pair
+    val b = graft.CacheScope.track(
+      withQ3(corpus.withColumn("bucket", signBucket(col("embedding"), bits)))
+        .select(col("vec_id"), col("bucket"), col("codes"), col("nsq")))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", round(cosine(col("a.embedding"), col("b.embedding")), 3))
-      .filter(col("sim") >= threshold)
+      .withColumn("sim_e3", simE3(
+        graft.functions.GraftFunctions.dotLong(col("a.codes"), col("b.codes")),
+        col("a.nsq"), col("b.nsq")))
+      .filter(col("sim_e3") >= thrE3)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.bucket").as("bucket"), col("sim"))
+        col("a.bucket").as("bucket"),
+        (col("sim_e3").cast("double") / 1000).as("sim"))
   }
 
   /** IVF/LSH-bucketed ANN: queries probe only their own sign bucket —
@@ -666,20 +709,28 @@ object Similarity {
    */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame,
       threshold: Double): DataFrame = {
+    val thrE3 = math.round(threshold * 1000)
     // the assignment fans out three ways (both self-join sides + the
     // final left join); without the persist each consumer would re-run
-    // the full |corpus|x|centroids| cosine pass
-    val asg = graft.CacheScope.track(ivfAssign(corpus, centroids))
+    // the full |corpus|x|centroids| cosine pass — and the quantize-once
+    // codes/norm² projection rides the same cache so the pair stage is
+    // pure integer dot products ([[simE3]])
+    val asg = graft.CacheScope.track(withQ3(ivfAssign(corpus, centroids))
+      .select(col("vec_id"), col("cluster"), col("codes"), col("nsq")))
     val prior = asg.as("a").join(asg.as("b"),
         col("a.cluster") === col("b.cluster") && col("b.vec_id") < col("a.vec_id"))
-      .select(col("a.vec_id").as("vec_id"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 3).as("sim"))
+      .select(col("a.vec_id").as("vec_id"), simE3(
+          graft.functions.GraftFunctions.dotLong(col("a.codes"), col("b.codes")),
+          col("a.nsq"), col("b.nsq")).as("sim_e3"))
       .groupBy(col("vec_id"))
-      .agg(max(col("sim")).as("max_prior_sim"))
+      // max over the e3 longs == max over the 3-dp similarity (monotone)
+      .agg(max(col("sim_e3")).as("max_e3"))
     asg.select(col("vec_id"), col("cluster"))
       .join(prior, Seq("vec_id"), "left")
+      .withColumn("max_prior_sim", col("max_e3").cast("double") / 1000)
       .withColumn("dropped",
-        coalesce(col("max_prior_sim") >= threshold, lit(false)))
+        coalesce(col("max_e3") >= thrE3, lit(false)))
+      .drop("max_e3")
   }
 
   /**
@@ -749,17 +800,28 @@ object Similarity {
    * cell-bucketed route ([[semanticDedup]]'s assignment join).
    */
   def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
-      threshold: Double): DataFrame =
-    corpus.as("c")
-      .crossJoin(broadcast(benchmark.select(col("vec_id").as("bid"),
-        col("embedding").as("bemb"))))
-      .select(col("c.vec_id").as("vec_id"), col("bid"),
-        round(cosine(col("c.embedding"), col("bemb")), 3).as("sim"))
+      threshold: Double): DataFrame = {
+    val thrE3 = math.round(threshold * 1000)
+    // quantize both sides once ([[simE3]]): the benchmark's codes ride
+    // the broadcast relation (materialized once); the corpus projection
+    // is cached so projection collapse can't inline the transform() HOF
+    // into the pair output and recompute it per benchmark row
+    val bq = withQ3(benchmark).select(col("vec_id").as("bid"),
+      col("codes").as("bcodes"), col("nsq").as("bnsq"))
+    val cq = graft.CacheScope.track(
+      withQ3(corpus).select(col("vec_id"), col("codes"), col("nsq")))
+    cq.as("c")
+      .crossJoin(broadcast(bq))
+      .select(col("vec_id"), col("bid"), simE3(
+        graft.functions.GraftFunctions.dotLong(col("codes"), col("bcodes")),
+        col("nsq"), col("bnsq")).as("sim_e3"))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), (-col("bid")).as("nbid"))).as("m"))
-      .select(col("vec_id"), col("m.sim").as("max_sim"),
+      .agg(max(struct(col("sim_e3"), (-col("bid")).as("nbid"))).as("m"))
+      .select(col("vec_id"),
+        (col("m.sim_e3").cast("double") / 1000).as("max_sim"),
         (-col("m.nbid")).as("matched_bench"),
-        (col("m.sim") >= threshold).as("contaminated"))
+        (col("m.sim_e3") >= thrE3).as("contaminated"))
+  }
 
   /**
    * Upper-triangle covariance matrix of the embedding table in exact

@@ -425,6 +425,21 @@ object PipelineQueries extends QueryGroup {
       | (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
       |  sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
 
+  /** DuckDB replay of the e3 quantize-once integer-cosine discipline
+   * (Similarity.withQ3 / Similarity.simE3): codes are floor(v·10³+0.5)
+   * longs, dot/norm² are exact integer sums (order-independent), and
+   * the pair similarity is ONE final deterministic IEEE expression —
+   * so the oracle reproduces the engine bit for bit with no float
+   * aggregate anywhere. */
+  private def q3Sql(v: String): String =
+    s"list_transform($v, x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT))"
+
+  private def dotLongSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  private def simE3Sql(dot: String, na: String, nb: String): String =
+    s"CAST(floor($dot::DOUBLE / sqrt($na::DOUBLE * $nb::DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+
   /** P111 — MMR diverse re-ranking (Carbonell & Goldstein 1998) with
    * λ = 1/2: greedy top-3 from each query's 8-candidate ANN pool, the
    * doubled objective rel − max-sim-to-selected in exact e3 integers.
@@ -758,14 +773,20 @@ object PipelineQueries extends QueryGroup {
   private val p17 = QueryDef(
     // Embedding-cosine near-dup over the WHOLE corpus (no query side):
     // sign-LSH bucketed self-join, within-bucket candidates only. The
-    // oracle reproduces the bucket + the cosine fold bit-for-bit.
+    // oracle replays the bucket + the e3 integer-cosine pair kernel
+    // (quantize once, hoisted norm², integer dot per pair — simE3Sql).
     (s, d) => Similarity.cosineNearDupPairs(embs(s, d), threshold = 0.3, bits = 8)
       .orderBy(col("vec_a"), col("vec_b")),
-    Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
-      |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket,
-      |       round(${cosSql("x.embedding", "y.embedding")}, 3) AS sim
-      |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-      |WHERE round(${cosSql("x.embedding", "y.embedding")}, 3) >= 0.3
+    Some(s"""WITH b AS (SELECT vec_id, $bucketSql AS bucket,
+      |            ${q3Sql("embedding")} AS codes FROM embeddings),
+      |n AS (SELECT vec_id, bucket, codes,
+      |        ${dotLongSql("codes", "codes")} AS nsq FROM b),
+      |p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket,
+      |        ${simE3Sql(dotLongSql("x.codes", "y.codes"), "x.nsq", "y.nsq")}
+      |          AS sim_e3
+      |      FROM n x JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+      |SELECT vec_a, vec_b, bucket, sim_e3::DOUBLE / 1000 AS sim
+      |FROM p WHERE sim_e3 >= 300
       |ORDER BY vec_a, vec_b""".stripMargin))
 
   private val p28 = QueryDef(
@@ -789,16 +810,20 @@ object PipelineQueries extends QueryGroup {
       |  FROM embeddings e, cent c),
       |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
       |       FROM aff),
-      |asg AS (SELECT vec_id, embedding, cid AS cluster FROM rk WHERE rn = 1),
+      |asg AS (SELECT vec_id, ${q3Sql("embedding")} AS codes, cid AS cluster
+      |        FROM rk WHERE rn = 1),
+      |asgn AS (SELECT vec_id, cluster, codes,
+      |           ${dotLongSql("codes", "codes")} AS nsq FROM asg),
       |prior AS (
-      |  SELECT a.vec_id, max(round(${cosSql("a.embedding", "b.embedding")}, 3))
-      |           AS max_prior_sim
-      |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+      |  SELECT a.vec_id,
+      |         max(${simE3Sql(dotLongSql("a.codes", "b.codes"), "a.nsq", "b.nsq")})
+      |           AS max_e3
+      |  FROM asgn a JOIN asgn b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
       |  GROUP BY a.vec_id)
-      |SELECT asg.vec_id, cluster, max_prior_sim,
-      |       coalesce(max_prior_sim >= 0.3, false) AS dropped
-      |FROM asg LEFT JOIN prior ON asg.vec_id = prior.vec_id
-      |ORDER BY asg.vec_id""".stripMargin))
+      |SELECT asgn.vec_id, cluster, max_e3::DOUBLE / 1000 AS max_prior_sim,
+      |       coalesce(max_e3 >= 300, false) AS dropped
+      |FROM asgn LEFT JOIN prior ON asgn.vec_id = prior.vec_id
+      |ORDER BY asgn.vec_id""".stripMargin))
 
   private val p52 = QueryDef(
     // One Lloyd k-means iteration (the step that TRAINS the centroids
@@ -2059,16 +2084,20 @@ object PipelineQueries extends QueryGroup {
         e.filter(col("vec_id") >= 20), e.filter(col("vec_id") < 20), 0.35)
         .orderBy(col("vec_id"))
     },
-    Some(s"""WITH b AS (SELECT vec_id AS bid, embedding AS bemb
+    Some(s"""WITH b AS (SELECT vec_id AS bid, ${q3Sql("embedding")} AS bcodes
       |           FROM embeddings WHERE vec_id < 20),
-      |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
-      |s AS (SELECT c.vec_id, b.bid,
-      |        round(${cosSql("c.embedding", "b.bemb")}, 3) AS sim
-      |      FROM c, b),
-      |r AS (SELECT vec_id, bid, sim, row_number() OVER (
-      |        PARTITION BY vec_id ORDER BY sim DESC, bid) AS rn FROM s)
-      |SELECT vec_id, sim AS max_sim, bid AS matched_bench,
-      |       sim >= 0.35 AS contaminated
+      |bn AS (SELECT bid, bcodes, ${dotLongSql("bcodes", "bcodes")} AS bnsq FROM b),
+      |c AS (SELECT vec_id, ${q3Sql("embedding")} AS codes
+      |      FROM embeddings WHERE vec_id >= 20),
+      |cn AS (SELECT vec_id, codes, ${dotLongSql("codes", "codes")} AS nsq FROM c),
+      |s AS (SELECT cn.vec_id, bn.bid,
+      |        ${simE3Sql(dotLongSql("cn.codes", "bn.bcodes"), "cn.nsq", "bn.bnsq")}
+      |          AS sim_e3
+      |      FROM cn, bn),
+      |r AS (SELECT vec_id, bid, sim_e3, row_number() OVER (
+      |        PARTITION BY vec_id ORDER BY sim_e3 DESC, bid) AS rn FROM s)
+      |SELECT vec_id, sim_e3::DOUBLE / 1000 AS max_sim, bid AS matched_bench,
+      |       sim_e3 >= 350 AS contaminated
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin))
 
   // --------------------------------------------------------- p84 pHash

@@ -370,8 +370,10 @@ class PipelineSpec extends AnyFunSuite {
     val got = Similarity.semanticDedup(e, centroids, threshold = 0.3)
       .collect().map(r => r.getLong(0) -> r).toMap
 
-    // driver-side replay: same assignment rule (max cosine, ties to the
-    // lowest centroid id), same within-cluster lower-id prune
+    // driver-side replay: same assignment rule (max float cosine, ties
+    // to the lowest centroid id), then the e3 integer-cosine pair
+    // kernel (quantize once, integer dot/norm², one final IEEE
+    // expression) — EXACT equality, no tolerance
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
@@ -383,20 +385,25 @@ class PipelineSpec extends AnyFunSuite {
       id -> cents.map { case (cid, cv) => (cid, cos(v, cv)) }
         .minBy { case (cid, aff) => (-aff, cid) }._1
     }.toMap
+    val codes = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 1000 + 0.5).toLong) }.toMap
+    val nsq = codes.map { case (id, c) => id -> c.map(x => x * x).sum }
+    def simE3(a: Long, b: Long): Long = {
+      val dot = codes(a).zip(codes(b)).map { case (x, y) => x * y }.sum
+      math.floor(dot.toDouble / math.sqrt(nsq(a).toDouble * nsq(b).toDouble)
+        * 1000 + 0.5).toLong
+    }
     val byCluster = vecs.groupBy { case (id, _) => assign(id) }
-    vecs.foreach { case (id, v) =>
+    vecs.foreach { case (id, _) =>
       val mates = byCluster(assign(id)).filter(_._1 < id)
-      val maxPrior = mates.map { case (_, mv) =>
-        BigDecimal(cos(v, mv)).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble
-      }.maxOption
+      val maxPrior = mates.map { case (mid, _) => simE3(id, mid) }.maxOption
       val row = got(id)
       assert(row.getAs[Long]("cluster") === assign(id), s"vec $id cluster")
-      assert(row.getAs[Boolean]("dropped") === maxPrior.exists(_ >= 0.3),
+      assert(row.getAs[Boolean]("dropped") === maxPrior.exists(_ >= 300L),
         s"vec $id dropped")
       maxPrior match {
         case Some(m) =>
-          assert(math.abs(row.getAs[Double]("max_prior_sim") - m) < 2e-3,
+          assert(row.getAs[Double]("max_prior_sim") === m.toDouble / 1000,
             s"vec $id max_prior_sim")
         case None =>
           assert(row.isNullAt(row.fieldIndex("max_prior_sim")), s"vec $id null")

@@ -110,4 +110,43 @@ class VectorOpsSpec extends AnyFunSuite {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
     assert(chain(ex).exists(_.isInstanceOf[ArithmeticException]))
   }
+
+  test("dotLong matches an independent HOF long fold exactly") {
+    import graft.functions.GraftFunctions.dotLong
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextInt(20001).toLong - 10000L))
+    }
+    val df = rows.toDF("id", "v")
+    val pairs = df.as("a").join(df.as("b"), col("a.id") < col("b.id") && col("b.id") < 10)
+    val hof = aggregate(
+      zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0L), (acc, p) => acc + p)
+    val diff = pairs.select(dotLong(col("a.v"), col("b.v")).as("k"), hof.as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(diff === 0L)
+  }
+
+  test("dotLong null contract and overflow hard-fail") {
+    import graft.functions.GraftFunctions.dotLong
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Long](3L, 4L), Seq[java.lang.Long](5L, 6L)),
+      (Seq[java.lang.Long](1L), Seq[java.lang.Long](1L, 2L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L)),
+      (null.asInstanceOf[Seq[java.lang.Long]], Seq[java.lang.Long](1L, 2L))
+    ).toDF("a", "b")
+    val out = df.select(dotLong(col("a"), col("b"))).collect()
+    assert(out(0).getLong(0) === 39L)
+    assert(Seq(1, 2, 3).forall(i => out(i).isNullAt(0)))
+    val big = 1L << 32
+    val ex = intercept[Exception] {
+      Seq((Array(big, big), Array(big, big))).toDF("a", "b")
+        .select(dotLong(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.isInstanceOf[ArithmeticException]))
+  }
 }
