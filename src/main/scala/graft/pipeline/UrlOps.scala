@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * URL canonicalization — the crawl-curation step between archive ingest
+ * (WARC `WARC-Target-URI`, [[WarcCodec]]) and the dedup family: exact-URL
+ * dup detection and host-level accounting are only meaningful after the
+ * syntax-based normalizations of RFC 3986 §6.2.2–6.2.3, because a crawl
+ * sees the same resource as `HTTP://WWW.Site.COM:80/page/` and
+ * `http://www.site.com/page`.
+ *
+ * Implemented normalizations (the standard's safe, semantics-preserving
+ * set, matching what crawl pipelines apply before URL-keyed dedup):
+ *   1. scheme and host lowercased (§6.2.2.1 case normalization);
+ *   2. default port stripped (`:80` for http, `:443` for https —
+ *      §6.2.3), non-default ports kept;
+ *   3. empty path → `/`, and a trailing slash on a NON-root path
+ *      dropped (the aggressive-but-standard crawl convention);
+ *   4. query parameters sorted bytewise (`?b=2&a=1` → `?a=1&b=2`) — not
+ *      in RFC 3986 itself but universal in crawl frontier dedup, where
+ *      param order is serving-stack noise; an empty query keeps no `?`.
+ *
+ * Everything is Column-level string surgery (regexp extract/replace +
+ * split/array_sort/array_join) — codegen'd, zero shuffle, and exactly
+ * replayable by any SQL engine with the same regex/string functions,
+ * which is what the p127 oracle does.
+ */
+object UrlOps {
+
+  /** The host (lowercased, port excluded) of a canonical-or-raw URL —
+   * the key of host-level crawl censuses. */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "^[^:/?#]+://([^:/?#]*)", 1))
+
+  /** RFC 3986 §6 syntax-based canonicalization of an absolute
+   * http(s)-style URL (see object doc for the exact normalization
+   * set). Input must carry a `scheme://` prefix — WARC-Target-URI
+   * values always do. */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([^:/?#]+)://", 1))
+    val afterScheme = regexp_replace(u, "^[^:/?#]+://", "")
+    val authority = regexp_extract(afterScheme, "^([^/?#]*)", 1)
+    val host = lower(regexp_extract(authority, "^([^:]*)", 1))
+    val port = regexp_extract(authority, ":([0-9]+)$", 1)
+    val defaultPort =
+      when(scheme === "http", "80").when(scheme === "https", "443")
+        .otherwise("")
+    val portNorm =
+      when(port === "" || port === defaultPort, "")
+        .otherwise(concat(lit(":"), port))
+    val pathq = regexp_replace(afterScheme, "^[^/?#]*", "")
+    val path = regexp_extract(pathq, "^([^?#]*)", 1)
+    val pathNorm =
+      when(path === "", "/")
+        .when(length(path) > 1 && path.endsWith("/"),
+          path.substr(lit(1), length(path) - 1))
+        .otherwise(path)
+    val query = regexp_extract(pathq, "\\?([^#]*)", 1)
+    val queryNorm =
+      when(query === "", "")
+        .otherwise(concat(lit("?"), array_join(array_sort(
+          split(query, "&")), "&")))
+    concat(scheme, lit("://"), host, portNorm, pathNorm, queryNorm)
+  }
+}

@@ -39,11 +39,22 @@ package graft.pipeline
 object WarcCodec {
 
   final case class WarcRecord(warcType: String, recordId: String,
-      date: String, targetUri: Option[String], payload: Array[Byte])
+      date: String, targetUri: Option[String], payload: Array[Byte],
+      contentType: Option[String] = None)
 
   final case class ParsedRecord(offset: Long, warcType: String,
       recordId: String, date: String, targetUri: Option[String],
-      contentLength: Long, payloadMd5: String, payload: Array[Byte])
+      contentLength: Long, payloadMd5: String, payload: Array[Byte],
+      contentType: Option[String] = None)
+
+  /** One parsed HTTP/1.1 message block — the payload shape of WARC
+   * `request`/`response` records (ISO 28500 §6.3/§6.4: the record
+   * block is a full HTTP message, `Content-Type:
+   * application/http; msgtype=request|response`). `startLine` is the
+   * request line or status line verbatim; `status` is the parsed
+   * 3-digit code for responses (None for requests). */
+  final case class HttpMessage(startLine: String, status: Option[Int],
+      headers: Vector[(String, String)], body: Array[Byte])
 
   private val Crlf = "\r\n"
 
@@ -62,6 +73,7 @@ object WarcCodec {
     sb ++= s"WARC-Record-ID: ${r.recordId}" ++= Crlf
     sb ++= s"WARC-Date: ${r.date}" ++= Crlf
     r.targetUri.foreach(u => sb ++= s"WARC-Target-URI: $u" ++= Crlf)
+    r.contentType.foreach(ct => sb ++= s"Content-Type: $ct" ++= Crlf)
     sb ++= s"Content-Length: ${r.payload.length}" ++= Crlf
     sb ++= s"WARC-Block-Digest: md5:${md5Hex(r.payload)}" ++= Crlf
     sb ++= Crlf
@@ -150,8 +162,84 @@ object WarcCodec {
           s"block digest mismatch: stamped $d, computed md5:$digest")
       }
       out += ParsedRecord(start.toLong, warcType, recordId, date,
-        h.get("WARC-Target-URI"), n.toLong, digest, payload)
+        h.get("WARC-Target-URI"), n.toLong, digest, payload,
+        h.get("Content-Type"))
     }
     out.result()
+  }
+
+  /**
+   * Validating walker for the HTTP/1.1 message block inside a
+   * `request`/`response` record (ISO 28500 §6.3/§6.4) — same
+   * rejection discipline as [[parse]]: CRLF line endings, `": "`
+   * header separator, no duplicate header names, and — the framing
+   * teeth — a mandatory `Content-Length` header that must equal the
+   * actual body byte count, so a truncated or padded HTTP block can
+   * never be silently misattributed. Responses must open with
+   * `HTTP/1.1 <3-digit> <reason>`; requests with
+   * `<METHOD> <uri> HTTP/1.1` (method all upper-alpha). As with the
+   * container walker, this targets blocks built by THIS codec: real
+   * crawl ingest tolerates LF-only lines, absent Content-Length
+   * (connection-close framing) and chunked transfer coding — the
+   * strict byte discipline is what makes the arithmetic oracle able
+   * to re-derive every offset.
+   */
+  def parseHttp(payload: Array[Byte], isResponse: Boolean): HttpMessage = {
+    val (start, p0) = line(payload, 0)
+    val status: Option[Int] =
+      if (isResponse) {
+        val m = "^HTTP/1\\.1 ([0-9]{3}) (.+)$".r
+        start match {
+          case m(code, _) => Some(code.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"malformed HTTP status line '$start'")
+        }
+      } else {
+        val m = "^([A-Z]+) (\\S+) HTTP/1\\.1$".r
+        require(m.matches(start), s"malformed HTTP request line '$start'")
+        None
+      }
+    var pos = p0
+    var headers = Vector.empty[(String, String)]
+    var done = false
+    while (!done) {
+      val (l, p) = line(payload, pos)
+      pos = p
+      if (l.isEmpty) done = true
+      else {
+        val ci = l.indexOf(": ")
+        require(ci > 0, s"malformed HTTP header line '$l'")
+        val name = l.substring(0, ci)
+        require(!headers.exists(_._1 == name),
+          s"duplicate HTTP header '$name'")
+        headers :+= (name -> l.substring(ci + 2))
+      }
+    }
+    val body = java.util.Arrays.copyOfRange(payload, pos, payload.length)
+    val lenStr = headers.collectFirst { case ("Content-Length", v) => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "missing HTTP Content-Length"))
+    require(lenStr.nonEmpty && lenStr.forall(_.isDigit) &&
+      lenStr.length <= 9, s"malformed HTTP Content-Length '$lenStr'")
+    require(lenStr.toInt == body.length,
+      s"HTTP Content-Length ${lenStr.toInt} != body ${body.length}")
+    HttpMessage(start, status, headers, body)
+  }
+
+  /** Build an HTTP/1.1 message block byte-exactly invertible by
+   * [[parseHttp]]: start line, headers in given order, blank line,
+   * body. Content-Length is stamped automatically as the LAST header. */
+  def buildHttp(startLine: String, headers: Seq[(String, String)],
+      body: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb ++= startLine ++= Crlf
+    headers.foreach { case (n, v) => sb ++= s"$n: $v" ++= Crlf }
+    sb ++= s"Content-Length: ${body.length}" ++= Crlf
+    sb ++= Crlf
+    val head = sb.result().getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream(head.length + body.length)
+    out.write(head)
+    out.write(body)
+    out.toByteArray
   }
 }

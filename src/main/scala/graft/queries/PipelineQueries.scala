@@ -1050,6 +1050,260 @@ object PipelineQueries extends QueryGroup {
       |WINDOW w AS (PARTITION BY bucket ORDER BY doc_id)
       |ORDER BY bucket, rec_index""".stripMargin))
 
+  private val p125b = QueryDef(
+    // Full ISO 28500 record surface over p125's WET-only shape — the
+    // crawl-archive layout Common Crawl actually ships: per 25-doc
+    // bucket one `warcinfo` record (archive metadata,
+    // application/warc-fields), then per doc a `request` record and a
+    // `response` record whose blocks are complete HTTP/1.1 messages
+    // (status line, headers, Content-Length-framed body — §6.3/§6.4).
+    // The engine serializes the nested container (HTTP inside WARC),
+    // re-parses BOTH layers with the validating walkers (block digest,
+    // record framing, HTTP Content-Length vs body), and emits the
+    // crawl census: per (bucket, HTTP status, Content-Type) response
+    // count, body bytes, and the SUM of response record byte offsets —
+    // the offset sum means the oracle matches only if every
+    // warcinfo/request/response record's nested framing arithmetic
+    // (both layers of headers, digests, lengths) is byte-exact.
+    // Status/mime derive deterministically from the doc id (404 on
+    // id%7=0, text/html on id%5=0) so the census has real grouping
+    // structure at any corpus.
+    (s, d) => {
+      import s.implicits._
+      val in = docs(s, d)
+        .select(col("doc_id"), expr("doc_id div 25").as("bucket"),
+          encode(regexp_replace(coalesce(col("text"), lit("")),
+            "[^ -~]", "?"), "UTF-8").as("px"))
+        .as[(Long, Long, Array[Byte])]
+      in.groupByKey(_._2)
+        .flatMapGroups { (bucket, it) =>
+          val W = graft.pipeline.WarcCodec
+          val D = "2022-01-01T00:00:00Z"
+          val sorted = it.toSeq.sortBy(_._1)
+          val info = W.WarcRecord("warcinfo", s"<urn:uuid:info-$bucket>", D,
+            None, ("software: graft-warc/1.0\r\n" +
+              "format: WARC File Format 1.0\r\n").getBytes("US-ASCII"),
+            Some("application/warc-fields"))
+          val recs = info +: sorted.flatMap { case (id, _, px) =>
+            val uri = s"https://example.org/doc/$id"
+            val req = W.WarcRecord("request", s"<urn:uuid:req-$id>", D,
+              Some(uri), W.buildHttp(s"GET /doc/$id HTTP/1.1",
+                Seq("Host" -> "example.org",
+                  "User-Agent" -> "graft-crawler/1.0"),
+                Array.emptyByteArray),
+              Some("application/http; msgtype=request"))
+            val (code, reason) =
+              if (id % 7 == 0) (404, "Not Found") else (200, "OK")
+            val mime = if (id % 5 == 0) "text/html" else "text/plain"
+            val resp = W.WarcRecord("response", s"<urn:uuid:resp-$id>", D,
+              Some(uri), W.buildHttp(s"HTTP/1.1 $code $reason",
+                Seq("Content-Type" -> mime), px),
+              Some("application/http; msgtype=response"))
+            Seq(req, resp)
+          }
+          val parsed = W.parse(W.build(recs))
+          parsed.filter(_.warcType == "response").map { r =>
+            val http = W.parseHttp(r.payload, isResponse = true)
+            val mime = http.headers
+              .collectFirst { case ("Content-Type", v) => v }.get
+            (bucket, http.status.get.toLong, mime, r.offset,
+              http.body.length.toLong)
+          }
+        }
+        .toDF("bucket", "status", "mime", "off", "body_len")
+        .groupBy(col("bucket"), col("status"), col("mime"))
+        .agg(count(lit(1)).as("n_responses"),
+          sum(col("body_len")).as("body_bytes"),
+          sum(col("off")).as("resp_offset_sum"))
+        .orderBy(col("bucket"), col("status"), col("mime"))
+    },
+    Some("""WITH p AS (
+      |  SELECT doc_id, doc_id // 25 AS bucket,
+      |         regexp_replace(coalesce(text, ''), '[^ -~]', '?', 'g')
+      |           AS payload,
+      |         chr(13) || chr(10) AS crlf
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, bucket, crlf, payload,
+      |         CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status,
+      |         CASE WHEN doc_id % 7 = 0 THEN 'Not Found' ELSE 'OK' END
+      |           AS reason,
+      |         CASE WHEN doc_id % 5 = 0 THEN 'text/html'
+      |              ELSE 'text/plain' END AS mime,
+      |         length(payload) AS body_len
+      |  FROM p),
+      |m AS (
+      |  SELECT *,
+      |    'HTTP/1.1 ' || status || ' ' || reason || crlf ||
+      |      'Content-Type: ' || mime || crlf ||
+      |      'Content-Length: ' || body_len || crlf || crlf || payload
+      |      AS resp_http,
+      |    'GET /doc/' || doc_id || ' HTTP/1.1' || crlf ||
+      |      'Host: example.org' || crlf ||
+      |      'User-Agent: graft-crawler/1.0' || crlf ||
+      |      'Content-Length: 0' || crlf || crlf AS req_http
+      |  FROM h),
+      |rec AS (
+      |  SELECT doc_id, bucket, status, mime, body_len,
+      |    length('WARC/1.0' || crlf || 'WARC-Type: request' || crlf
+      |      || 'WARC-Record-ID: <urn:uuid:req-' || doc_id || '>' || crlf
+      |      || 'WARC-Date: 2022-01-01T00:00:00Z' || crlf
+      |      || 'WARC-Target-URI: https://example.org/doc/' || doc_id || crlf
+      |      || 'Content-Type: application/http; msgtype=request' || crlf
+      |      || 'Content-Length: ' || length(req_http) || crlf
+      |      || 'WARC-Block-Digest: md5:' || md5(req_http) || crlf
+      |      || crlf || req_http || crlf || crlf) AS req_bytes,
+      |    length('WARC/1.0' || crlf || 'WARC-Type: response' || crlf
+      |      || 'WARC-Record-ID: <urn:uuid:resp-' || doc_id || '>' || crlf
+      |      || 'WARC-Date: 2022-01-01T00:00:00Z' || crlf
+      |      || 'WARC-Target-URI: https://example.org/doc/' || doc_id || crlf
+      |      || 'Content-Type: application/http; msgtype=response' || crlf
+      |      || 'Content-Length: ' || length(resp_http) || crlf
+      |      || 'WARC-Block-Digest: md5:' || md5(resp_http) || crlf
+      |      || crlf || resp_http || crlf || crlf) AS resp_bytes
+      |  FROM m),
+      |info AS (
+      |  SELECT bucket,
+      |    length('WARC/1.0' || crlf || 'WARC-Type: warcinfo' || crlf
+      |      || 'WARC-Record-ID: <urn:uuid:info-' || bucket || '>' || crlf
+      |      || 'WARC-Date: 2022-01-01T00:00:00Z' || crlf
+      |      || 'Content-Type: application/warc-fields' || crlf
+      |      || 'Content-Length: ' || length(ip) || crlf
+      |      || 'WARC-Block-Digest: md5:' || md5(ip) || crlf
+      |      || crlf || ip || crlf || crlf) AS info_bytes
+      |  FROM (SELECT DISTINCT bucket, chr(13) || chr(10) AS crlf,
+      |          'software: graft-warc/1.0' || chr(13) || chr(10) ||
+      |          'format: WARC File Format 1.0' || chr(13) || chr(10) AS ip
+      |        FROM p) ib),
+      |off AS (
+      |  SELECT rec.bucket, rec.status, rec.mime, rec.body_len,
+      |    info_bytes
+      |      + coalesce(sum(req_bytes + resp_bytes) OVER (
+      |          PARTITION BY rec.bucket ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + req_bytes AS resp_off
+      |  FROM rec JOIN info ON rec.bucket = info.bucket)
+      |SELECT bucket, CAST(status AS BIGINT) AS status, mime,
+      |  CAST(count(*) AS BIGINT) AS n_responses,
+      |  CAST(sum(body_len) AS BIGINT) AS body_bytes,
+      |  CAST(sum(resp_off) AS BIGINT) AS resp_offset_sum
+      |FROM off GROUP BY bucket, status, mime
+      |ORDER BY bucket, status, mime""".stripMargin))
+
+  /** The deterministic "messy crawl frontier" URL per document — the
+   * role WARC-Target-URI plays in real archives (p125b stamps the clean
+   * form; this is the before-canonicalization wire form): mixed-case
+   * scheme/host, default and non-default explicit ports, trailing
+   * slashes, and permuted query-param orders, all keyed off doc_id so
+   * distinct documents collide onto the same canonical URL exactly as
+   * crawl dups do. Shared verbatim between the engine (Spark SQL expr)
+   * and the DuckDB oracle. */
+  private val rawUrlSql: String =
+    """concat(
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTP'
+      |       WHEN 1 THEN 'https' ELSE 'http' END,
+      |  '://',
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN concat('WWW.Site', CAST(doc_id % 7 AS STRING), '.COM')
+      |       ELSE concat('www.site', CAST(doc_id % 7 AS STRING), '.com')
+      |  END,
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN (CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE ':80' END)
+      |       WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END,
+      |  concat('/page/', CAST(doc_id % 25 AS STRING),
+      |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END),
+      |  CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN '?b=2&a=1'
+      |       WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?a=1' ELSE '' END)"""
+      .stripMargin
+
+  private val p127 = QueryDef(
+    // URL canonicalization + host census — the crawl-curation step
+    // between WARC ingest (p125/p125b) and URL-keyed dedup: RFC 3986
+    // §6 syntax normalization (case, default ports, root/trailing
+    // slash, query-param sort — UrlOps.canonicalizeUrl), then exact-URL
+    // dup accounting rolled up per host. Two-level hash aggregation
+    // (URL within host, then host) — partial-agg friendly, no
+    // join-back, the whole census is two key-local shuffles at any
+    // corpus size. The oracle rebuilds the same messy URLs and replays
+    // every normalization with its own regex/string functions, so a
+    // single mishandled port/slash/param ordering breaks the hash.
+    (s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("chars"),
+          expr(rawUrlSql).as("raw_url"))
+        .withColumn("url", UrlOps.canonicalizeUrl(col("raw_url")))
+        .withColumn("host", UrlOps.hostOf(col("url")))
+      base.groupBy(col("host"), col("url"))
+        .agg(count(lit(1)).as("n"), sum(col("chars")).as("chars"))
+        .groupBy(col("host"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_urls"),
+          sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"),
+          max(col("n")).as("max_url_docs"),
+          sum(col("chars")).as("text_chars"))
+        .orderBy(col("host"))
+    },
+    Some(s"""WITH raw AS (
+      |  SELECT doc_id, length(coalesce(text, '')) AS chars,
+      |    (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTP'
+      |          WHEN 1 THEN 'https' ELSE 'http' END
+      |     || '://'
+      |     || CASE WHEN doc_id % 2 = 0
+      |             THEN 'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+      |             ELSE 'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      |        END
+      |     || CASE WHEN doc_id % 5 = 0
+      |             THEN (CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE ':80' END)
+      |             WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END
+      |     || '/page/' || CAST(doc_id % 25 AS VARCHAR)
+      |     || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+      |     || CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN '?b=2&a=1'
+      |             WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?a=1' ELSE '' END
+      |    ) AS raw_url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, chars,
+      |    lower(regexp_extract(raw_url, '^([^:/?#]+)://', 1)) AS scheme,
+      |    regexp_replace(raw_url, '^[^:/?#]+://', '') AS rest
+      |  FROM raw),
+      |auth AS (
+      |  SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS authority,
+      |    regexp_replace(rest, '^[^/?#]*', '') AS pathq
+      |  FROM parts),
+      |comp AS (
+      |  SELECT doc_id, chars, scheme,
+      |    lower(regexp_extract(authority, '^([^:]*)', 1)) AS host,
+      |    regexp_extract(authority, ':([0-9]+)$$', 1) AS port,
+      |    regexp_extract(pathq, '^([^?#]*)', 1) AS path,
+      |    regexp_extract(pathq, '\\?([^#]*)', 1) AS query
+      |  FROM auth),
+      |canon AS (
+      |  SELECT doc_id, chars, host,
+      |    scheme || '://' || host
+      |    || CASE WHEN port = '' OR port =
+      |           (CASE WHEN scheme = 'http' THEN '80'
+      |                 WHEN scheme = 'https' THEN '443' ELSE '' END)
+      |       THEN '' ELSE ':' || port END
+      |    || CASE WHEN path = '' THEN '/'
+      |            WHEN length(path) > 1 AND path LIKE '%/'
+      |            THEN substring(path, 1, length(path) - 1)
+      |            ELSE path END
+      |    || CASE WHEN query = '' THEN ''
+      |            ELSE '?' || array_to_string(
+      |              list_sort(string_split(query, '&')), '&') END AS url
+      |  FROM comp),
+      |perurl AS (
+      |  SELECT host, url, count(*) AS n, sum(chars) AS chars
+      |  FROM canon GROUP BY host, url)
+      |SELECT host, CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs,
+      |  CAST(max(n) AS BIGINT) AS max_url_docs,
+      |  CAST(sum(chars) AS BIGINT) AS text_chars
+      |FROM perurl GROUP BY host ORDER BY host""".stripMargin))
+
   private val p119 = QueryDef(
     // Scalar int8 quantization with corpus-trained per-dim calibration
     // (the FAISS SQ8 shape): one dim-keyed min/max agg (comparisons
@@ -2606,6 +2860,8 @@ object PipelineQueries extends QueryGroup {
     "p20_bmp_decode" -> p20,
     "p118_video_scene_cuts" -> p118,
     "p125_warc_census" -> p125,
+    "p125b_warc_http_census" -> p125b,
+    "p127_url_canonical_census" -> p127,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
     "p122_sq8_recall" -> p122,

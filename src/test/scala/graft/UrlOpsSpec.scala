@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.UrlOps
+
+/** Table-driven cases for the RFC 3986 §6 canonicalizer — each row pins
+ * one normalization (or a deliberate non-normalization). */
+class UrlOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val cases: Seq[(String, String)] = Seq(
+    // case normalization: scheme + host only, never path or query
+    ("HTTP://WWW.Example.COM/Path?Q=V", "http://www.example.com/Path?Q=V"),
+    // default ports stripped per scheme
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    // non-default (and cross-scheme "default") ports kept
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("http://example.com:443/a", "http://example.com:443/a"),
+    // empty path → root; root slash itself is kept
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/", "http://example.com/"),
+    // trailing slash dropped on non-root paths only
+    ("http://example.com/a/b/", "http://example.com/a/b"),
+    // query params sorted bytewise; empty query keeps no '?'
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
+    ("http://example.com/a?a=1&b=2", "http://example.com/a?a=1&b=2"),
+    // everything at once
+    ("HTTPS://Example.Com:443/x/?z=1&y=2", "https://example.com/x?y=2&z=1"))
+
+  test("canonicalizeUrl: each normalization fires exactly as specified") {
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("raw")
+      .select(col("raw"), UrlOps.canonicalizeUrl(col("raw")).as("canon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) =>
+      assert(got(raw) === want, s"raw '$raw'")
+    }
+  }
+
+  test("hostOf strips scheme, port, path, and case") {
+    import spark.implicits._
+    val got = Seq("HTTP://WWW.Site.COM:8080/a/b?q=1").toDF("u")
+      .select(UrlOps.hostOf(col("u"))).head.getString(0)
+    assert(got === "www.site.com")
+  }
+
+  test("canonicalization is idempotent over the p127 URL family") {
+    import spark.implicits._
+    val raws = (0L until 300L).toDF("doc_id")
+      .select(expr("""concat(
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTP'
+             WHEN 1 THEN 'https' ELSE 'http' END, '://',
+        CASE WHEN doc_id % 2 = 0
+             THEN concat('WWW.Site', CAST(doc_id % 7 AS STRING), '.COM')
+             ELSE concat('www.site', CAST(doc_id % 7 AS STRING), '.com') END,
+        CASE WHEN doc_id % 5 = 0
+             THEN (CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE ':80' END)
+             WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END,
+        concat('/page/', CAST(doc_id % 25 AS STRING),
+          CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END),
+        CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN '?b=2&a=1'
+             WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?a=1' ELSE '' END)""")
+        .as("raw"))
+    val twice = raws
+      .select(UrlOps.canonicalizeUrl(col("raw")).as("c1"))
+      .select(col("c1"), UrlOps.canonicalizeUrl(col("c1")).as("c2"))
+      .filter(col("c1") =!= col("c2")).count()
+    assert(twice === 0L)
+  }
+}

@@ -105,6 +105,83 @@ class WarcSpec extends AnyFunSuite {
     reject((str(rec1) + "junk\r\n").getBytes("US-ASCII"), "version")
   }
 
+  // ------------------------------- HTTP block walker (p125b surface)
+
+  private def http(startLine: String, headers: Seq[(String, String)],
+      body: String): Array[Byte] =
+    WarcCodec.buildHttp(startLine, headers, body.getBytes("US-ASCII"))
+
+  private def rejectHttp(bytes: Array[Byte], isResponse: Boolean,
+      hint: String): Unit = {
+    val ex = intercept[IllegalArgumentException](
+      WarcCodec.parseHttp(bytes, isResponse))
+    assert(ex.getMessage.toLowerCase.contains(hint),
+      s"message '${ex.getMessage}' lacks '$hint'")
+  }
+
+  test("http: response round-trips with status, headers, body") {
+    val msg = WarcCodec.parseHttp(
+      http("HTTP/1.1 200 OK", Seq("Content-Type" -> "text/plain"), "hello"),
+      isResponse = true)
+    assert(msg.status === Some(200))
+    assert(msg.headers.take(1) === Vector("Content-Type" -> "text/plain"))
+    assert(new String(msg.body, "US-ASCII") === "hello")
+  }
+
+  test("http: request round-trips with no status and empty body") {
+    val msg = WarcCodec.parseHttp(
+      http("GET /doc/7 HTTP/1.1", Seq("Host" -> "example.org"), ""),
+      isResponse = false)
+    assert(msg.status === None)
+    assert(msg.body.isEmpty)
+  }
+
+  test("http: rejects a malformed status line") {
+    rejectHttp(http("HTTP/1.1 20 OK", Nil, ""), isResponse = true, "status")
+    rejectHttp(http("HTTP/1.1 OK", Nil, ""), isResponse = true, "status")
+    rejectHttp(http("get /x HTTP/1.1", Nil, ""), isResponse = false,
+      "request line")
+  }
+
+  test("http: rejects bare-LF line endings") {
+    val ok = new String(http("HTTP/1.1 200 OK", Nil, "x"), "US-ASCII")
+    rejectHttp(ok.replaceFirst("HTTP/1\\.1 200 OK\r\n", "HTTP/1.1 200 OK\n")
+      .getBytes("US-ASCII"), isResponse = true, "crlf")
+  }
+
+  test("http: rejects duplicate headers and missing separator") {
+    rejectHttp(http("HTTP/1.1 200 OK",
+      Seq("X-A" -> "1", "X-A" -> "2"), ""), isResponse = true, "duplicate")
+    val ok = new String(http("HTTP/1.1 200 OK", Seq("X-A" -> "1"), ""),
+      "US-ASCII")
+    rejectHttp(ok.replaceFirst("X-A: 1", "X-A=1").getBytes("US-ASCII"),
+      isResponse = true, "header")
+  }
+
+  test("http: rejects a Content-Length that disagrees with the body") {
+    val ok = new String(http("HTTP/1.1 200 OK", Nil, "hello"), "US-ASCII")
+    rejectHttp(ok.replaceFirst("Content-Length: 5", "Content-Length: 4")
+      .getBytes("US-ASCII"), isResponse = true, "content-length")
+    // and a block with NO Content-Length at all (connection-close
+    // framing) is outside the strict walker's contract
+    val noLen = "HTTP/1.1 200 OK\r\n\r\nhello"
+    rejectHttp(noLen.getBytes("US-ASCII"), isResponse = true,
+      "content-length")
+  }
+
+  test("warc: Content-Type header round-trips through build and parse") {
+    val r = WarcRecord("response", "<urn:uuid:doc-8>",
+      "2022-01-01T00:00:00Z", Some("https://example.org/8"),
+      http("HTTP/1.1 200 OK", Seq("Content-Type" -> "text/plain"), "hi"),
+      Some("application/http; msgtype=response"))
+    val out = WarcCodec.parse(WarcCodec.buildRecord(r))
+    assert(out.size === 1)
+    assert(out(0).contentType === Some("application/http; msgtype=response"))
+    val inner = WarcCodec.parseHttp(out(0).payload, isResponse = true)
+    assert(inner.status === Some(200) &&
+      new String(inner.body, "US-ASCII") === "hi")
+  }
+
   test("digest verification is skipped when no digest is stamped") {
     // hand-build a record without the optional headers
     val payload = "abc"
