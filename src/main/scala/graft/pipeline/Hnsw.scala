@@ -124,6 +124,13 @@ object Hnsw {
    * pruned graph is directed too. `assigned` has (vec_id, cluster,
    * codes, level). */
   def levelEdges(assigned: DataFrame, cellAdj: DataFrame, l: Int,
+      m: Int): DataFrame =
+    levelEdgesD(assigned, cellAdj, l, m).select(col("src"), col("dst"))
+
+  /** [[levelEdges]] with the ranking distance retained — the append
+   * path ([[appendAudit]]) needs it to re-apply the Mmax cap after
+   * merging new edges into the frozen graph. */
+  def levelEdgesD(assigned: DataFrame, cellAdj: DataFrame, l: Int,
       m: Int): DataFrame = {
     val nodes = assigned.filter(col("level") >= l)
       .select(col("vec_id"), col("cluster"), col("codes"))
@@ -151,7 +158,7 @@ object Hnsw {
       .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")), 2 * m)
         .as("tk"))
       .select(col("src"), explode(col("tk")).as("p"))
-      .select(col("src"), col("p.dst").as("dst"))
+      .select(col("src"), col("p.dst").as("dst"), col("p.dist").as("dist"))
   }
 
   /**
@@ -193,36 +200,39 @@ object Hnsw {
     val entry = broadcast(assigned
       .orderBy(col("level").desc, col("vec_id")).limit(1)
       .select(col("vec_id").as("node")))
+    recallOf(beamSearch(edges, queries, entry, nodeCodes, maxLevel,
+      hopsPerLevel, beamSteps, ef, k), coded, queries, k)
+  }
 
-    // the frontier is a localCheckpointed LogicalRDD with no size
-    // stats — without the hint every superstep would sort-merge-join
-    // the corpus instead of broadcasting the ≤|queries|·ef-row frontier
+  /** The two-phase HNSW walk over a prebuilt per-level edge map: fixed
+   * greedy hops down the upper levels, then a fixed-superstep ef-beam
+   * over level 0; returns each query's top-k by (integer distance, id)
+   * as (query_id, neighbor_id). Shared by the fresh-build audit
+   * ([[recallAudit]]) and the append audit ([[appendAudit]]).
+   *
+   * Each superstep's |queries|·ef-row frontier is (lazily)
+   * localCheckpoint'd: persist alone leaves the LOGICAL plan tree
+   * doubling per superstep (each step references the previous twice —
+   * union + join), and every action then pays an exponential
+   * analyze/explainString even though execution reuses the cache.
+   * Truncating lineage to a LogicalRDD keeps the per-step plan
+   * constant-size — the frontier is tiny, so the materialization
+   * itself is free. The broadcast hints matter the same way: the
+   * frontier is a LogicalRDD with no size stats, and without the hint
+   * every superstep would sort-merge-join the corpus instead of
+   * broadcasting the frontier. Every "rank per query, keep n" is the
+   * k-bounded map-side aggregate (min_by for n=1, min_k_pairs
+   * otherwise) — identical selection to a (dist, node)-ordered
+   * row_number window, without shuffling or sorting candidate rows. */
+  private def beamSearch(edges: Map[Int, DataFrame], queries: DataFrame,
+      entry: DataFrame, nodeCodes: DataFrame, maxLevel: Int,
+      hopsPerLevel: Int, beamSteps: Int, ef: Int, k: Int): DataFrame = {
     def scored(cand: DataFrame): DataFrame =
       broadcast(cand.distinct())
         .join(nodeCodes, col("node") === col("node_id"))
         .join(queries, Seq("qid"))
         .select(col("qid"), col("node"),
           GraftFunctions.l2SqLong(col("qcodes"), col("ncodes")).as("dist"))
-
-    // upper levels: fixed greedy hops — keep the closest of the current
-    // node and its level-l neighbors. Each superstep's |queries|·ef-row
-    // frontier is (lazily) localCheckpoint'd: persist alone leaves the
-    // LOGICAL plan tree doubling per superstep (each step references
-    // the previous twice — union + join), and every action then pays an
-    // exponential analyze/explainString even though execution reuses
-    // the cache. Truncating lineage to a LogicalRDD keeps the per-step
-    // plan constant-size — the frontier is tiny, so the materialization
-    // itself is free.
-    // every "rank per query, keep n" below is the k-bounded map-side
-    // aggregate (min_by for n=1, min_k_pairs otherwise) — identical
-    // selection to a (dist, node)-ordered row_number window, without
-    // shuffling or sorting the candidate rows
-    def keep(scoredDf: DataFrame, n: Int): DataFrame =
-      scoredDf.groupBy(col("qid"))
-        .agg(GraftFunctions.minKPairs(struct(col("dist"), col("node")), n)
-          .as("tk"))
-        .select(col("qid"), explode(col("tk")).as("p"))
-        .select(col("qid"), col("p.dst").as("node"))
 
     var cur: DataFrame =
       queries.select(col("qid")).crossJoin(entry).localCheckpoint(false)
@@ -241,25 +251,149 @@ object Hnsw {
       val expanded = beam.unionByName(
         broadcast(beam).join(edges(0), col("node") === col("src"))
           .select(col("qid"), col("dst").as("node")))
-      beam = keep(scored(expanded), ef).localCheckpoint(false)
+      beam = keepK(scored(expanded), ef).localCheckpoint(false)
     }
-    val approx = keep(scored(beam).filter(col("node") =!= col("qid")), k)
+    keepK(scored(beam).filter(col("node") =!= col("qid")), k)
       .select(col("qid").as("query_id"), col("node").as("neighbor_id"))
+  }
 
+  /** Bounded "keep the n closest per query" over (qid, node, dist). */
+  private def keepK(scoredDf: DataFrame, n: Int): DataFrame =
+    scoredDf.groupBy(col("qid"))
+      .agg(GraftFunctions.minKPairs(struct(col("dist"), col("node")), n)
+        .as("tk"))
+      .select(col("qid"), explode(col("tk")).as("p"))
+      .select(col("qid"), col("p.dst").as("node"))
+
+  /** Per-query hits/recall of `approx` against the exact integer-metric
+   * top-k over `coded` (self excluded on both sides). */
+  private def recallOf(approx: DataFrame, coded: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val exact = coded.crossJoin(queries)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"),
         GraftFunctions.l2SqLong(col("qcodes"), col("codes")).as("dist"),
         col("vec_id").as("node"))
-      .transform(keep(_, k))
+      .transform(keepK(_, k))
       .select(col("qid").as("query_id"), col("node").as("neighbor_id"))
-
     queries.select(col("qid").as("query_id"))
       .join(exact.join(approx, Seq("query_id", "neighbor_id"))
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits")),
         Seq("query_id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("recall_ppm", expr(s"(n_hits * 1000000) div $k"))
+  }
+
+  /**
+   * Append-WITHOUT-rebuild audit — the index-maintenance question next
+   * to p120's IVF append: freeze the graph built on the base corpus
+   * (`batch` = false rows), bulk-insert the batch, and measure what the
+   * incremental graph costs in recall and how hard the Mmax cap had to
+   * prune.
+   *
+   * Bulk-append semantics (the batch-PARALLEL form of the paper's
+   * one-at-a-time INSERT, which is inherently sequential and therefore
+   * not the operation a distributed engine runs): the coarse quantizer
+   * is FROZEN (same centroids — the p120 convention), every new node
+   * draws its level from the same md5 geometric rule, and selects its
+   * top-M neighbors per level among BASE nodes only (cell-bounded, the
+   * build's candidate rule) — new→new edges are deliberately absent,
+   * which is exactly the structural debt an append leaves and the
+   * recall number quantifies. Reverse (base→new) edges are added and
+   * every touched adjacency list is re-capped at Mmax = 2M by (integer
+   * distance, id) — the same cap as the build, so hub degree stays
+   * bounded no matter how many batches land. The audit output is one
+   * row per query (hits + recall against the exact FULL-corpus top-k —
+   * appended nodes are first-class search results) plus three
+   * append-census columns (constant across rows): batch size, appended
+   * directed-edge count, and how many (level, node) adjacency lists
+   * overflowed Mmax and got pruned.
+   *
+   * Shape at 100 TB: the new→base candidate relation is
+   * |batch|-bounded on the left (a 10% batch keeps it well under the
+   * build's ~N^1.5 pair surface), the merge + re-cap is one node-scale
+   * aggregation per level, and the walk is the same
+   * broadcast-frontier supersteps as [[recallAudit]] — an append never
+   * re-touches the base-pair relation, which is the point.
+   */
+  def appendAudit(vecs: DataFrame, centroids: DataFrame,
+      batch: Column, queryMax: Long, m: Int, ef: Int, k: Int,
+      maxLevel: Int, beamSteps: Int, cellAdj: Int = 2,
+      hopsPerLevel: Int = 2): DataFrame = {
+    require(m > 0 && ef >= k && k > 0 && maxLevel >= 1 && beamSteps >= 1)
+    val qcents = broadcast(centroids.select(col("centroid_id"),
+      q3Codes(col("cembedding")).as("ccodes")))
+    val coded = graft.CacheScope.track(vecs.select(col("vec_id"),
+      q3Codes(col("embedding")).as("codes")))
+    val assigned = graft.CacheScope.track(
+      withLevel(assignCells(coded, qcents), maxLevel)
+        .withColumn("is_new", batch))
+    val base = assigned.filter(!col("is_new"))
+    val fresh = assigned.filter(col("is_new"))
+    val nodeCodes = assigned.select(col("vec_id").as("node_id"),
+      col("codes").as("ncodes"))
+
+    // per level: frozen base graph + the batch's new edges, then re-cap
+    val perLevel = (0 to maxLevel).map { l =>
+      val adjL = cellAdjacency(qcents, cellAdj << (2 * l))
+      val frozen = levelEdgesD(base, adjL, l, m)
+      val bl = base.filter(col("level") >= l)
+        .select(col("vec_id"), col("cluster"), col("codes"))
+      val nl = fresh.filter(col("level") >= l)
+        .select(col("vec_id"), col("cluster"), col("codes"))
+      // new node → top-M base neighbors, cell-bounded (k-bounded
+      // map-side top-M, same as the build)
+      val newOut = nl.as("a")
+        .join(broadcast(adjL), col("a.cluster") === col("cell"))
+        .join(bl.as("b"), col("cand_cell") === col("b.cluster"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          GraftFunctions.l2SqLong(col("a.codes"), col("b.codes"))
+            .as("dist"))
+        .groupBy(col("src"))
+        .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")), m)
+          .as("tk"))
+        .select(col("src"), explode(col("tk")).as("p"))
+        .select(col("src"), col("p.dst").as("dst"), col("p.dist").as("dist"))
+      val precap = graft.CacheScope.track(frozen
+        .unionByName(newOut)
+        .unionByName(newOut.select(col("dst").as("src"),
+          col("src").as("dst"), col("dist"))))
+      val merged = precap
+        .groupBy(col("src"))
+        .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")),
+          2 * m).as("tk"))
+        .select(col("src"), explode(col("tk")).as("p"))
+        .select(col("src"), col("p.dst").as("dst"))
+      (l, graft.CacheScope.track(merged), newOut, precap)
+    }
+    val edges = perLevel.map { case (l, merged, _, _) => l -> merged }.toMap
+
+    val queries = broadcast(graft.CacheScope.track(
+      coded.filter(col("vec_id") < queryMax)
+        .select(col("vec_id").as("qid"), col("codes").as("qcodes"))))
+    val entry = broadcast(assigned
+      .orderBy(col("level").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("node")))
+    val audit = recallOf(beamSearch(edges, queries, entry, nodeCodes,
+      maxLevel, hopsPerLevel, beamSteps, ef, k), coded, queries, k)
+
+    // append census: batch size, appended directed edges (out + reverse),
+    // and (level, node) lists the Mmax cap had to prune
+    val nNew = fresh.agg(count(lit(1)).as("n_new_nodes"))
+    val nAppended = perLevel.map { case (_, _, newOut, _) =>
+      newOut.agg((count(lit(1)) * 2).as("c")) }
+      .reduce(_.unionByName(_))
+      .agg(sum(col("c")).as("n_appended_edges"))
+    val nCapped = perLevel.map { case (_, _, _, precap) =>
+      precap.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") > 2 * m)
+        .agg(count(lit(1)).as("c")) }
+      .reduce(_.unionByName(_))
+      .agg(sum(col("c")).as("n_capped_lists"))
+    audit
+      .crossJoin(broadcast(nNew))
+      .crossJoin(broadcast(nAppended))
+      .crossJoin(broadcast(nCapped))
   }
 
   /**
@@ -271,13 +405,15 @@ object Hnsw {
    * per-component `floor(v·10³+0.5)` quantization, which is
    * engine-portable by the repo's exact-integer convention.
    */
+  /** Integer Σd² between two pre-quantized BIGINT lists (DuckDB). */
+  private def dSql(a: String, b: String, dims: Int): String =
+    s"CAST(list_sum(list_transform(range(1, ${dims + 1}), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+
   def duckOracle(queryMax: Long, m: Int, ef: Int, k: Int, maxLevel: Int,
       beamSteps: Int, cellAdj: Int, hopsPerLevel: Int, dims: Int = 64,
       centEvery: Int = 50): String = {
-    // integer Σd² between two pre-quantized BIGINT lists
-    def d(a: String, b: String): String =
-      s"CAST(list_sum(list_transform(range(1, ${dims + 1}), " +
-        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    def d(a: String, b: String): String = dSql(a, b, dims)
     val levelSum = (1 to maxLevel).map(l =>
       s"(CASE WHEN u32 < ${4294967296L / (1L << (2 * l))} THEN 1 ELSE 0 END)")
       .mkString(" + ")
@@ -376,6 +512,160 @@ object Hnsw {
       |       CAST((coalesce(h.n, 0) * 1000000) // $k AS BIGINT)
       |         AS recall_ppm
       |FROM qids q LEFT JOIN hits h ON h.query_id = q.qid
+      |ORDER BY query_id""".stripMargin
+    sb.toString
+  }
+
+  /**
+   * The DuckDB oracle for [[appendAudit]]: same CTE skeleton as
+   * [[duckOracle]], but the per-level graphs are built in the append's
+   * two stages — frozen base edges (batch rows excluded from BOTH join
+   * sides), then the batch's new→base top-M out-edges plus their
+   * reverses, re-capped at 2M — and the final select carries the three
+   * append-census columns next to each query's recall row. `batchSql`
+   * is the batch predicate over the embeddings columns (e.g.
+   * `vec_id % 10 = 5`), interpolated verbatim into the `nodes` CTE.
+   */
+  def duckOracleAppend(batchSql: String, queryMax: Long, m: Int, ef: Int,
+      k: Int, maxLevel: Int, beamSteps: Int, cellAdj: Int,
+      hopsPerLevel: Int, dims: Int = 64, centEvery: Int = 50): String = {
+    def d(a: String, b: String): String = dSql(a, b, dims)
+    val levelSum = (1 to maxLevel).map(l =>
+      s"(CASE WHEN u32 < ${4294967296L / (1L << (2 * l))} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val sb = new StringBuilder
+    sb ++= s"""WITH qe AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(range(1, ${dims + 1}),
+      |    i -> CAST(floor(embedding[i]::DOUBLE * 1000.0 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |cent AS MATERIALIZED (SELECT vec_id AS cid, q AS cq FROM qe
+      |         WHERE vec_id % $centEvery = 0),
+      |asg AS MATERIALIZED (
+      |  SELECT vec_id, cluster, q FROM (
+      |    SELECT e.vec_id, c.cid AS cluster, e.q,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY ${d("e.q", "c.cq")}, c.cid) AS rn
+      |    FROM qe e CROSS JOIN cent c) t WHERE rn = 1),
+      |nodes AS MATERIALIZED (
+      |  SELECT vec_id, cluster, q, $levelSum AS level,
+      |         ($batchSql) AS is_new FROM (
+      |    SELECT vec_id, cluster, q,
+      |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+      |        AS BIGINT) AS u32
+      |    FROM asg) t),
+      |""".stripMargin
+    for (l <- 0 to maxLevel) {
+      val adjL = cellAdj << (2 * l)
+      sb ++= s"""cadj$l AS MATERIALIZED (
+        |  SELECT cell, cand_cell FROM (
+        |    SELECT x.cid AS cell, y.cid AS cand_cell,
+        |           row_number() OVER (PARTITION BY x.cid
+        |             ORDER BY ${d("x.cq", "y.cq")}, y.cid) AS rn
+        |    FROM cent x JOIN cent y ON x.cid <> y.cid) t WHERE rn <= $adjL
+        |  UNION ALL SELECT cid, cid FROM cent),
+        |btop$l AS MATERIALIZED (
+        |  SELECT src, dst, d FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |           ${d("a.q", "b.q")} AS d,
+        |           row_number() OVER (PARTITION BY a.vec_id
+        |             ORDER BY ${d("a.q", "b.q")}, b.vec_id) AS rn
+        |    FROM nodes a
+        |    JOIN cadj$l ca ON ca.cell = a.cluster
+        |    JOIN nodes b ON b.cluster = ca.cand_cell
+        |      AND b.vec_id <> a.vec_id
+        |    WHERE a.level >= $l AND b.level >= $l
+        |      AND NOT a.is_new AND NOT b.is_new) t WHERE rn <= $m),
+        |bed$l AS MATERIALIZED (
+        |  SELECT src, dst, d FROM (
+        |    SELECT src, dst, d,
+        |           row_number() OVER (PARTITION BY src ORDER BY d, dst)
+        |             AS rn
+        |    FROM (SELECT DISTINCT src, dst, d FROM
+        |      (SELECT src, dst, d FROM btop$l
+        |       UNION ALL SELECT dst AS src, src AS dst, d FROM btop$l) u) s
+        |  ) t WHERE rn <= ${2 * m}),
+        |ntop$l AS MATERIALIZED (
+        |  SELECT src, dst, d FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |           ${d("a.q", "b.q")} AS d,
+        |           row_number() OVER (PARTITION BY a.vec_id
+        |             ORDER BY ${d("a.q", "b.q")}, b.vec_id) AS rn
+        |    FROM nodes a
+        |    JOIN cadj$l ca ON ca.cell = a.cluster
+        |    JOIN nodes b ON b.cluster = ca.cand_cell
+        |    WHERE a.level >= $l AND b.level >= $l
+        |      AND a.is_new AND NOT b.is_new) t WHERE rn <= $m),
+        |pre$l AS MATERIALIZED (
+        |  SELECT src, dst, d FROM bed$l
+        |  UNION ALL SELECT src, dst, d FROM ntop$l
+        |  UNION ALL SELECT dst AS src, src AS dst, d FROM ntop$l),
+        |med$l AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |           row_number() OVER (PARTITION BY src ORDER BY d, dst)
+        |             AS rn
+        |    FROM pre$l) t WHERE rn <= ${2 * m}),
+        |""".stripMargin
+    }
+    val appendedSum = (0 to maxLevel)
+      .map(l => s"(SELECT count(*) * 2 AS c FROM ntop$l)")
+      .mkString(" UNION ALL ")
+    val cappedSum = (0 to maxLevel)
+      .map(l => s"(SELECT count(*) AS c FROM (SELECT src FROM pre$l " +
+        s"GROUP BY src HAVING count(*) > ${2 * m}) x$l)")
+      .mkString(" UNION ALL ")
+    sb ++= s"""census AS MATERIALIZED (
+      |  SELECT
+      |    (SELECT count(*) FROM nodes WHERE is_new) AS n_new_nodes,
+      |    (SELECT sum(c) FROM ($appendedSum) ae) AS n_appended_edges,
+      |    (SELECT sum(c) FROM ($cappedSum) ce) AS n_capped_lists),
+      |qd AS MATERIALIZED (
+      |  SELECT qq.vec_id AS qid, e.vec_id AS node,
+      |         ${d("qq.q", "e.q")} AS d
+      |  FROM qe e CROSS JOIN
+      |       (SELECT vec_id, q FROM qe WHERE vec_id < $queryMax) qq),
+      |qids AS MATERIALIZED (SELECT DISTINCT qid FROM qd),
+      |entry AS MATERIALIZED (SELECT vec_id AS node FROM nodes
+      |          ORDER BY level DESC, vec_id LIMIT 1),
+      |cur0 AS MATERIALIZED (SELECT qids.qid, entry.node FROM qids CROSS JOIN entry),
+      |""".stripMargin
+    var i = 0
+    for (l <- maxLevel to 1 by -1; _ <- 1 to hopsPerLevel) {
+      sb ++= walkStep(s"cur$i", s"cur${i + 1}", s"med$l", keep = 1)
+      i += 1
+    }
+    for (j <- 1 to beamSteps) {
+      val prev = if (j == 1) s"cur$i" else s"b${j - 1}"
+      sb ++= walkStep(prev, s"b$j", "med0", keep = ef)
+    }
+    sb ++= s"""approx AS MATERIALIZED (
+      |  SELECT qid AS query_id, node AS neighbor_id FROM (
+      |    SELECT e.qid, e.node,
+      |           row_number() OVER (PARTITION BY e.qid
+      |             ORDER BY qd.d, e.node) AS rn
+      |    FROM b$beamSteps e
+      |    JOIN qd ON qd.qid = e.qid AND qd.node = e.node
+      |    WHERE e.node <> e.qid) t WHERE rn <= $k),
+      |exact AS MATERIALIZED (
+      |  SELECT qid AS query_id, node AS neighbor_id FROM (
+      |    SELECT qid, node,
+      |           row_number() OVER (PARTITION BY qid ORDER BY d, node) AS rn
+      |    FROM qd WHERE node <> qid) t WHERE rn <= $k),
+      |hits AS MATERIALIZED (
+      |  SELECT e.query_id, count(*) AS n
+      |  FROM exact e JOIN approx a
+      |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |  GROUP BY 1)
+      |SELECT q.qid AS query_id,
+      |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+      |       CAST((coalesce(h.n, 0) * 1000000) // $k AS BIGINT)
+      |         AS recall_ppm,
+      |       CAST(census.n_new_nodes AS BIGINT) AS n_new_nodes,
+      |       CAST(census.n_appended_edges AS BIGINT) AS n_appended_edges,
+      |       CAST(coalesce(census.n_capped_lists, 0) AS BIGINT)
+      |         AS n_capped_lists
+      |FROM qids q LEFT JOIN hits h ON h.query_id = q.qid
+      |CROSS JOIN census
       |ORDER BY query_id""".stripMargin
     sb.toString
   }

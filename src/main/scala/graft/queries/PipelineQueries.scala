@@ -974,6 +974,33 @@ object PipelineQueries extends QueryGroup {
     Some(graft.pipeline.Hnsw.duckOracle(queryMax = 20L, m = 16, ef = 128,
       k = 5, maxLevel = 2, beamSteps = 4, cellAdj = 8, hopsPerLevel = 1)))
 
+  private val p128 = QueryDef(
+    // HNSW append-WITHOUT-rebuild (index maintenance next to p120's IVF
+    // append): freeze the p123 graph built on 90% of the corpus
+    // (vec_id % 10 <> 5), bulk-insert the other 10% — frozen
+    // centroids, same level draw, each new node's top-16 per level
+    // selected among BASE nodes only, reverse edges added, every list
+    // re-capped at Mmax = 32 — then run the p123 walk on the appended
+    // graph and audit recall@5 against the exact FULL-corpus top-5.
+    // Three census columns ride every row: batch size, appended
+    // directed edges, and how many adjacency lists the cap pruned. The
+    // oracle (Hnsw.duckOracleAppend) rebuilds both stages and unrolls
+    // the walk, so the frozen/appended split itself is verified.
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cembedding"))
+      graft.pipeline.Hnsw.appendAudit(e, centroids,
+          batch = col("vec_id") % 10 === 5, queryMax = 20L,
+          m = 16, ef = 128, k = 5, maxLevel = 2, beamSteps = 4,
+          cellAdj = 8, hopsPerLevel = 1)
+        .orderBy(col("query_id"))
+    },
+    Some(graft.pipeline.Hnsw.duckOracleAppend("vec_id % 10 = 5",
+      queryMax = 20L, m = 16, ef = 128, k = 5, maxLevel = 2,
+      beamSteps = 4, cellAdj = 8, hopsPerLevel = 1)))
+
   private val p125 = QueryDef(
     // Crawl-archive sibling of p19/p20/p118 — the container family's
     // fourth leg (ISO 28500 WARC, the WET `conversion` shape crawl
@@ -2862,6 +2889,7 @@ object PipelineQueries extends QueryGroup {
     "p125_warc_census" -> p125,
     "p125b_warc_http_census" -> p125b,
     "p127_url_canonical_census" -> p127,
+    "p128_hnsw_append_audit" -> p128,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
     "p122_sq8_recall" -> p122,

@@ -414,6 +414,34 @@ class PipelineSpec extends AnyFunSuite {
       r.getAs[Double]("max_prior_sim") >= 0.3))
   }
 
+  test("hnsw appendAudit: census matches the batch, recall bounded") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("cembedding"))
+    val rows = graft.pipeline.Hnsw.appendAudit(e, centroids,
+      batch = col("vec_id") % 10 === 5, queryMax = 20L,
+      m = 16, ef = 128, k = 5, maxLevel = 2, beamSteps = 4,
+      cellAdj = 8, hopsPerLevel = 1).collect()
+    assert(rows.length === 20)
+    val expectedBatch = e.filter(col("vec_id") % 10 === 5).count()
+    // census columns are genuinely constant across query rows
+    assert(rows.map(_.getAs[Long]("n_new_nodes")).distinct.toSeq ===
+      Seq(expectedBatch))
+    assert(rows.map(_.getAs[Long]("n_appended_edges")).distinct.length === 1)
+    assert(rows.map(_.getAs[Long]("n_capped_lists")).distinct.length === 1)
+    // every new node got SOME out-edges (each level-0 node selects
+    // top-16 among base candidates, and cells are never empty here)
+    assert(rows.head.getAs[Long]("n_appended_edges") >=
+      2 * 16 * expectedBatch)
+    // the appended graph still finds most exact neighbors: the batch
+    // is 10%, the base graph is frozen, so recall can dip — but a walk
+    // that lost the batch entirely would floor near 0.9·k div k
+    val recalls = rows.map(_.getAs[Long]("recall_ppm"))
+    assert(recalls.forall(r => r >= 600000L && r <= 1000000L),
+      s"recalls ${recalls.toSeq}")
+  }
+
   test("kmeans step: cluster means exact on a two-pole fixture") {
     import TestSpark.spark
     import spark.implicits._
