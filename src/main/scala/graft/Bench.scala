@@ -43,38 +43,53 @@ object Bench {
       case None        => SparkEntry.queries
     }
     val w0 = System.nanoTime()
-    try {
+    // per-stage diagnostic lines (BENCHW <stage> <sec>) so a warmup
+    // regression is attributable to ONE derivation without re-profiling
+    def stage(name: String)(body: => Unit): Unit = {
+      val t = System.nanoTime()
+      try body catch { case _: Throwable => }
+      println(s"BENCHW $name ${fmt((System.nanoTime() - t) / 1e9)}")
+    }
+    stage("envelope") {
       graft.model.EventLog.topic(spark, sfDir)
         .groupBy("topic").count().collect()
-      // the LSH pair derivation only warms when a consumer is selected,
-      // so SPARK_GRAFT_ONLY profiling runs of other queries don't pay it
-      if (only.forall(n => n("p15_minhash_full") || n("p18_dup_clusters") ||
-          n("p51_leakage_free_split") || n("p117_keep_longest")))
-        graft.queries.PipelineQueries.warmShared(spark, sfDir)
-      // the LM scored relation p49/p57 share, same attribution rule
-      if (only.forall(n => n("p49_lm_perplexity") || n("p57_ppl_buckets")))
-        graft.queries.CorpusQueries.warmShared(spark, sfDir)
-      // the BPE token relation p34/p70 share
-      if (only.forall(n => n("p34_bpe_tokenize") || n("p70_bpe_fertility")))
-        graft.queries.CorpusQueries.warmSharedBpe(spark, sfDir)
-      // the mutual-kNN edge relation p63/p83/p86 share
-      if (only.forall(n => n("p63_mutual_knn_components") ||
-          n("p83_knn_pagerank") || n("p86_knn_triangles")))
-        graft.queries.PipelineQueries.warmSharedGraph(spark, sfDir)
-      // the BM25 top-10 ranking p79/p82 share
-      if (only.forall(n => n("p79_bm25_topk") || n("p82_hybrid_rrf")))
-        graft.queries.CorpusQueries.warmSharedBm25(spark, sfDir)
-      // the NB score relation p85/p114 share
-      if (only.forall(n => n("p85_nb_classify") || n("p114_margin_calibration")))
-        graft.queries.CorpusQueries.warmSharedNb(spark, sfDir)
-      // the integer covariance relation p90/p91 share
-      if (only.forall(n => n("p90_embed_covariance") || n("p91_pca_power")))
-        graft.queries.PipelineQueries.warmSharedCov(spark, sfDir)
-      // the dHash near-dup pair relation p58/p99 share
-      if (only.forall(n => n("p58_image_dhash_pairs") ||
-          n("p99_image_dup_components")))
-        graft.queries.PipelineQueries.warmSharedDhash(spark, sfDir)
-    } catch { case _: Throwable => }
+    }
+    // the LSH pair derivation only warms when a consumer is selected,
+    // so SPARK_GRAFT_ONLY profiling runs of other queries don't pay it
+    if (only.forall(n => n("p15_minhash_full") || n("p18_dup_clusters") ||
+        n("p51_leakage_free_split") || n("p117_keep_longest")))
+      stage("lsh_pairs") {
+        graft.queries.PipelineQueries.warmShared(spark, sfDir) }
+    // the LM scored relation p49/p57 share, same attribution rule
+    if (only.forall(n => n("p49_lm_perplexity") || n("p57_ppl_buckets")))
+      stage("lm_scored") {
+        graft.queries.CorpusQueries.warmShared(spark, sfDir) }
+    // the BPE token relation p34/p70 share
+    if (only.forall(n => n("p34_bpe_tokenize") || n("p70_bpe_fertility")))
+      stage("bpe_tokens") {
+        graft.queries.CorpusQueries.warmSharedBpe(spark, sfDir) }
+    // the mutual-kNN edge relation p63/p83/p86 share
+    if (only.forall(n => n("p63_mutual_knn_components") ||
+        n("p83_knn_pagerank") || n("p86_knn_triangles")))
+      stage("knn_graph") {
+        graft.queries.PipelineQueries.warmSharedGraph(spark, sfDir) }
+    // the BM25 top-10 ranking p79/p82 share
+    if (only.forall(n => n("p79_bm25_topk") || n("p82_hybrid_rrf")))
+      stage("bm25_topk") {
+        graft.queries.CorpusQueries.warmSharedBm25(spark, sfDir) }
+    // the NB score relation p85/p114 share
+    if (only.forall(n => n("p85_nb_classify") || n("p114_margin_calibration")))
+      stage("nb_scores") {
+        graft.queries.CorpusQueries.warmSharedNb(spark, sfDir) }
+    // the integer covariance relation p90/p91 share
+    if (only.forall(n => n("p90_embed_covariance") || n("p91_pca_power")))
+      stage("covariance") {
+        graft.queries.PipelineQueries.warmSharedCov(spark, sfDir) }
+    // the dHash near-dup pair relation p58/p99 share
+    if (only.forall(n => n("p58_image_dhash_pairs") ||
+        n("p99_image_dup_components")))
+      stage("dhash_pairs") {
+        graft.queries.PipelineQueries.warmSharedDhash(spark, sfDir) }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     println(s"BENCHQ _warmup_shared ${fmt(warmupSec)}")
     // one human/judge-readable line per query as it completes, so the
