@@ -47,8 +47,13 @@ object Bench {
     // regression is attributable to ONE derivation without re-profiling
     def stage(name: String)(body: => Unit): Unit = {
       val t = System.nanoTime()
-      try body catch { case _: Throwable => }
-      println(s"BENCHW $name ${fmt((System.nanoTime() - t) / 1e9)}")
+      // a swallowed failure must not print a normal-looking line: a
+      // ~0 s "success" would silently shift the derivation cost onto
+      // the first consumer's BENCHQ — the exact misattribution these
+      // lines exist to prevent
+      val ok = try { body; true } catch { case _: Throwable => false }
+      val sec = fmt((System.nanoTime() - t) / 1e9)
+      println(s"BENCHW $name $sec${if (ok) "" else " FAILED"}")
     }
     stage("envelope") {
       graft.model.EventLog.topic(spark, sfDir)
@@ -60,36 +65,18 @@ object Bench {
         n("p51_leakage_free_split") || n("p117_keep_longest")))
       stage("lsh_pairs") {
         graft.queries.PipelineQueries.warmShared(spark, sfDir) }
-    // the LM scored relation p49/p57 share, same attribution rule
-    if (only.forall(n => n("p49_lm_perplexity") || n("p57_ppl_buckets")))
-      stage("lm_scored") {
-        graft.queries.CorpusQueries.warmShared(spark, sfDir) }
-    // the BPE token relation p34/p70 share
-    if (only.forall(n => n("p34_bpe_tokenize") || n("p70_bpe_fertility")))
-      stage("bpe_tokens") {
-        graft.queries.CorpusQueries.warmSharedBpe(spark, sfDir) }
-    // the mutual-kNN edge relation p63/p83/p86 share
-    if (only.forall(n => n("p63_mutual_knn_components") ||
-        n("p83_knn_pagerank") || n("p86_knn_triangles")))
-      stage("knn_graph") {
-        graft.queries.PipelineQueries.warmSharedGraph(spark, sfDir) }
-    // the BM25 top-10 ranking p79/p82 share
-    if (only.forall(n => n("p79_bm25_topk") || n("p82_hybrid_rrf")))
-      stage("bm25_topk") {
-        graft.queries.CorpusQueries.warmSharedBm25(spark, sfDir) }
-    // the NB score relation p85/p114 share
-    if (only.forall(n => n("p85_nb_classify") || n("p114_margin_calibration")))
-      stage("nb_scores") {
-        graft.queries.CorpusQueries.warmSharedNb(spark, sfDir) }
-    // the integer covariance relation p90/p91 share
-    if (only.forall(n => n("p90_embed_covariance") || n("p91_pca_power")))
-      stage("covariance") {
-        graft.queries.PipelineQueries.warmSharedCov(spark, sfDir) }
-    // the dHash near-dup pair relation p58/p99 share
-    if (only.forall(n => n("p58_image_dhash_pairs") ||
-        n("p99_image_dup_components")))
-      stage("dhash_pairs") {
-        graft.queries.PipelineQueries.warmSharedDhash(spark, sfDir) }
+    // Warmup policy (r12 trim, 27.3 s → <10 s at sf0.1): only the
+    // envelope (≈80 consumers) and the LSH pair relation (the single
+    // most expensive shared derivation, 4 consumers) pre-materialize
+    // here. The other run-scoped memos (lm_scored 4.6 s, bm25 3.8,
+    // nb 3.2, knn 2.1, covariance 1.6, dhash 1.5, bpe 1.1 — BENCHW
+    // history in PLAN_AUDIT) populate lazily at their FIRST consumer:
+    // still derived exactly once per run (CacheScope.memoRun), so the
+    // total is unchanged — but the first consumer's bench line absorbs
+    // the derivation (p49 +4.6 s, p79 +3.8 s, p85 +3.2 s, p63 +2.1 s,
+    // p90 +1.6 s, p58 +1.5 s, p34 +1.1 s; first = sorted name order).
+    // Read those lines against PLAN_AUDIT's attribution note, not as
+    // per-query regressions.
     val warmupSec = (System.nanoTime() - w0) / 1e9
     println(s"BENCHQ _warmup_shared ${fmt(warmupSec)}")
     // one human/judge-readable line per query as it completes, so the

@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
  * it. Usage: runMain graft.RunCount <queryName> <sfDir> */
 object RunCount {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunCount <queryName> <sfDir>")
     val Array(name, sfDir) = args.take(2)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")

@@ -40,25 +40,38 @@ object ScaleGen {
       }: _*)
 
   /**
-   * Documents get a deterministic ~1% token jitter on every replica
+   * Documents get a deterministic 8%-of-tokens jitter on every replica
    * EXCEPT replica 0: byte-identical replicas are degenerate inputs for
    * the near-dup family — every 8-gram of a duplicated doc recurs
    * `factor` times, so at 100× each shingle trips the cross-doc
-   * fingerprint occurrence cap (p124's fpCap) and the measured span set
-   * is EMPTY, leaving the islands/scrub stages unmeasured. Mutating
-   * ~1% of token positions per replica (seeded by the pre-shift doc
-   * id, replica, and position — murmur3, so re-runs are stable) keeps
-   * replicas NEAR-duplicates: ~8% of 8-grams differ, which is the
-   * realistic crawl-dup profile the MinHash/Jaccard/ExactSubstr
-   * rehearsals should see. The mutation swaps the token's last char
-   * (length-preserving, so the fixture's doc-length metadata stays
-   * consistent); replica 0 is untouched, so base-corpus query results
-   * keep their meaning.
+   * fingerprint occurrence cap (p124's fpCap = 64) and the measured
+   * span set is EMPTY, leaving the islands/scrub stages unmeasured.
+   *
+   * The rate is derived from that cap, not guessed: with per-token
+   * mutation probability q, an 8-gram survives a replica intact with
+   * (1−q)⁸, so a base gram keeps ≈ 1+(factor−1)(1−q)⁸ identical
+   * copies. A gentle q = 1% gives (0.99)⁸ ≈ 0.92 → ~92 copies at
+   * 100× — STILL past the 64 cap, spans still empty. q = 8% gives
+   * (0.92)⁸ ≈ 0.51 → ~52-copy clusters (under the cap, σ ≈ 5) —
+   * strictly, the replacement char can equal the existing last char
+   * with probability 1/26, so the EFFECTIVE rate is 8%·25/26 ≈ 7.7%
+   * and copies land at ~53; the cap margin absorbs it — while
+   * replica-vs-base 3-gram Jaccard stays ≈ 0.64 — above the
+   * p109/p15 0.5 threshold — so every dedup stage (fingerprint spans,
+   * scrub, Jaccard join, MinHash bands) sees realistic NEAR-duplicate
+   * work instead of either degenerate extreme (all-identical → capped
+   * out; too-mutated → no pairs at all).
+   *
+   * The mutation (seeded by the pre-shift doc id, replica, and
+   * position — murmur3, so re-runs are stable) swaps the token's last
+   * char (length-preserving, so the fixture's doc-length metadata
+   * stays consistent); replica 0 is untouched, so base-corpus query
+   * results keep their meaning.
    */
   private def replicateDocuments(df: DataFrame, factor: Int): DataFrame = {
     val mutated = transform(split(col("text"), " "), (t, i) => {
       val h = hash(col("doc_id"), col("_rep"), i)
-      when(col("_rep") > 0 && pmod(h, lit(100)) === 0 && length(t) > 0,
+      when(col("_rep") > 0 && pmod(h, lit(100)) < 8 && length(t) > 0,
         concat(t.substr(lit(1), length(t) - 1),
           chr(lit(97) + pmod(h, lit(26))))).otherwise(t)
     })

@@ -343,7 +343,10 @@ object Hnsw {
         .select(col("vec_id"), col("cluster"), col("codes"))
       // new node → top-M base neighbors, cell-bounded (k-bounded
       // map-side top-M, same as the build)
-      val newOut = nl.as("a")
+      // tracked: newOut fans out three ways (precap twice — forward +
+      // reverse — and the appended-edge census); without the persist
+      // the batch×cells candidate join would re-run per consumer
+      val newOut = graft.CacheScope.track(nl.as("a")
         .join(broadcast(adjL), col("a.cluster") === col("cell"))
         .join(bl.as("b"), col("cand_cell") === col("b.cluster"))
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
@@ -353,7 +356,7 @@ object Hnsw {
         .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")), m)
           .as("tk"))
         .select(col("src"), explode(col("tk")).as("p"))
-        .select(col("src"), col("p.dst").as("dst"), col("p.dist").as("dist"))
+        .select(col("src"), col("p.dst").as("dst"), col("p.dist").as("dist")))
       val precap = graft.CacheScope.track(frozen
         .unionByName(newOut)
         .unionByName(newOut.select(col("dst").as("src"),

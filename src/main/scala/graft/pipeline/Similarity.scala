@@ -67,14 +67,19 @@ object Similarity {
    * sqrt, one division, one floor), so an independent engine reproduces
    * it bit for bit — the repo's exact-integer oracle convention with
    * ONE final float expression instead of a float aggregate. Zero-norm
-   * vectors (cosine-undefined) are screened upstream by
-   * [[embeddingAudit]]; here they produce NaN→0 like the float path's
-   * NaN. Threshold tests compare the long against round(t·10³) —
-   * pure integer predicates.
+   * vectors (cosine-undefined — the float kernel yielded NaN, which
+   * Spark casts to 0 but DuckDB refuses to cast) are made EXPLICIT:
+   * the pair similarity is NULL, in both engines, so the undefined
+   * case can never silently diverge. Threshold tests compare the long
+   * against round(t·10³) — pure integer predicates (NULL ≥ t is NULL
+   * → the pair never qualifies, matching the oracle's NULL
+   * semantics).
    */
   def simE3(dot: Column, na: Column, nb: Column): Column =
-    floor(dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
-      * 1000 + 0.5).cast("long")
+    when(na === 0L || nb === 0L, lit(null).cast("long"))
+      .otherwise(floor(dot.cast("double")
+        / sqrt(na.cast("double") * nb.cast("double"))
+        * 1000 + 0.5).cast("long"))
 
   /** The quantize-once projection feeding [[simE3]]: `codes` (e3 long
    * array) and `nsq` (integer norm²) appended to `df`. Callers MUST

@@ -52,11 +52,12 @@ object UrlOps {
         .otherwise(concat(lit(":"), port))
     val pathq = regexp_replace(afterScheme, "^[^/?#]*", "")
     val path = regexp_extract(pathq, "^([^?#]*)", 1)
-    val pathNorm =
-      when(path === "", "/")
-        .when(length(path) > 1 && path.endsWith("/"),
-          path.substr(lit(1), length(path) - 1))
-        .otherwise(path)
+    // strip ALL trailing slashes (a single-slash strip would leave
+    // '/a//' → '/a/' ≠ canonicalize('/a/') — non-idempotent, and the
+    // two wire forms of the same resource would fail to collide);
+    // an all-slash or empty path collapses to the root '/'
+    val stripped = regexp_replace(path, "/+$", "")
+    val pathNorm = when(stripped === "", "/").otherwise(stripped)
     val query = regexp_extract(pathq, "\\?([^#]*)", 1)
     val queryNorm =
       when(query === "", "")

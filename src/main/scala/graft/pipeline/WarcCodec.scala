@@ -64,7 +64,9 @@ object WarcCodec {
 
   /** Serialize one record, stamping Content-Length and the md5 block
    * digest. Header order is fixed so the byte layout is deterministic:
-   * Type, Record-ID, Date, [Target-URI], Content-Length, Block-Digest. */
+   * Type, Record-ID, Date, [Target-URI], [Content-Type],
+   * Content-Length, Block-Digest — the p125/p125b oracles re-derive
+   * offsets from exactly this order. */
   def buildRecord(r: WarcRecord): Array[Byte] = {
     require(r.warcType.nonEmpty && r.recordId.nonEmpty && r.date.nonEmpty)
     val sb = new StringBuilder

@@ -438,7 +438,8 @@ object PipelineQueries extends QueryGroup {
     s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
 
   private def simE3Sql(dot: String, na: String, nb: String): String =
-    s"CAST(floor($dot::DOUBLE / sqrt($na::DOUBLE * $nb::DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+    s"CASE WHEN $na = 0 OR $nb = 0 THEN NULL ELSE " +
+      s"CAST(floor($dot::DOUBLE / sqrt($na::DOUBLE * $nb::DOUBLE) * 1000.0 + 0.5) AS BIGINT) END"
 
   /** P111 — MMR diverse re-ranking (Carbonell & Goldstein 1998) with
    * λ = 1/2: greedy top-3 from each query's 8-candidate ANN pool, the
@@ -1223,8 +1224,11 @@ object PipelineQueries extends QueryGroup {
    * scheme/host, default and non-default explicit ports, trailing
    * slashes, and permuted query-param orders, all keyed off doc_id so
    * distinct documents collide onto the same canonical URL exactly as
-   * crawl dups do. Shared verbatim between the engine (Spark SQL expr)
-   * and the DuckDB oracle. */
+   * crawl dups do. NOTE: the generator exists in THREE hand-aligned
+   * copies that must change in lockstep — this Spark-SQL expr, the
+   * ||-concatenation translation inside the p127 oracle string below
+   * (STRING→VARCHAR casts are the only delta), and the idempotence
+   * fixture in UrlOpsSpec. */
   private val rawUrlSql: String =
     """concat(
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTP'
@@ -1312,10 +1316,8 @@ object PipelineQueries extends QueryGroup {
       |           (CASE WHEN scheme = 'http' THEN '80'
       |                 WHEN scheme = 'https' THEN '443' ELSE '' END)
       |       THEN '' ELSE ':' || port END
-      |    || CASE WHEN path = '' THEN '/'
-      |            WHEN length(path) > 1 AND path LIKE '%/'
-      |            THEN substring(path, 1, length(path) - 1)
-      |            ELSE path END
+      |    || CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
+      |            ELSE regexp_replace(path, '/+$$', '') END
       |    || CASE WHEN query = '' THEN ''
       |            ELSE '?' || array_to_string(
       |              list_sort(string_split(query, '&')), '&') END AS url

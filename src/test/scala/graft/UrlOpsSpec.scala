@@ -22,8 +22,11 @@ class UrlOpsSpec extends AnyFunSuite {
     // empty path → root; root slash itself is kept
     ("http://example.com", "http://example.com/"),
     ("http://example.com/", "http://example.com/"),
-    // trailing slash dropped on non-root paths only
+    // trailing slash dropped on non-root paths only — ALL of them, so
+    // doubled-slash wire forms still collide (and stay idempotent)
     ("http://example.com/a/b/", "http://example.com/a/b"),
+    ("http://example.com/a//", "http://example.com/a"),
+    ("http://example.com//", "http://example.com/"),
     // query params sorted bytewise; empty query keeps no '?'
     ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
     ("http://example.com/a?a=1&b=2", "http://example.com/a?a=1&b=2"),
