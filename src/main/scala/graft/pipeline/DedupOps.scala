@@ -269,6 +269,98 @@ object DedupOps {
   }
 
   /**
+   * MinHash-LSH APPEND — the signature-index leg of the
+   * index-maintenance trio (IVF append, HNSW append, this): a frozen
+   * corpus already has its band-bucket table and per-doc shingle sets
+   * persisted (the two artifacts a production LSH dedup pipeline
+   * checkpoints — here re-derived from the base split, the
+   * [[CorpusOps.incrementalDedup]] framing); a new crawl batch arrives
+   * and must be deduplicated against the index AND against itself
+   * WITHOUT re-pairing the base corpus.
+   *
+   * Candidates come from two bounded joins: the batch's band hashes
+   * probing the frozen bucket table (batch-side bounded — the base
+   * corpus is touched only through its index), and the intra-batch
+   * band self-join (batch²-bounded). Both confirm with the exact
+   * n-gram Jaccard against the shingle-set tables, same as
+   * [[minhashLshVerifiedPairs]]. Billing is the repo's copier-pays
+   * rule: a batch doc is a duplicate of any qualifying BASE partner,
+   * or of a LOWER-id batch sibling — the base corpus never drops.
+   *
+   * One verdict row per signature-bearing batch doc: qualifying base /
+   * prior-batch partner counts, the minimum qualifying partner id
+   * (NULL when none), the best Jaccard, and the drop decision.
+   *
+   * Shape at 100 TB: the frozen index is |base|·bands rows keyed on
+   * (band, band_hash) — the probe is one equi-join the batch side
+   * drives; the batch self-join, confirm joins, and the verdict
+   * aggregate are all |batch|-scale; base shingle sets join only for
+   * docs an LSH bucket actually proposed. Nothing re-pairs base×base.
+   */
+  def minhashAppendVerdicts(docs: DataFrame, idCol: String,
+      textCol: String, batch: Column, n: Int = 3, k: Int = 64,
+      bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val rows = k / bands
+    def bandedOf(sig: DataFrame): DataFrame =
+      sig.select(col("doc"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          hash(slice(col("sig"), b * rows + 1, lit(rows)))))
+          .as(Seq("band", "band_hash")))
+    def setsOf(sh: DataFrame): DataFrame =
+      sh.groupBy(col("doc")).agg(
+        collect_list(col("shingle")).as("sh"),
+        count(lit(1)).as("set_size"))
+    val base = docs.filter(!batch)
+    val fresh = docs.filter(batch)
+    val shBase = shingleRows(base, idCol, textCol, n)
+    val shNew = shingleRows(fresh, idCol, textCol, n)
+    // the four cached relations are the persisted-index stand-ins (base
+    // side) and the batch derivations each consumed twice (probe +
+    // self-join, confirm + verdict spine)
+    val bandedBase = graft.CacheScope.track(
+      bandedOf(signatures(shBase, k)), MEMORY_AND_DISK)
+    val bandedNew = graft.CacheScope.track(
+      bandedOf(signatures(shNew, k)), MEMORY_AND_DISK)
+    val setsBase = graft.CacheScope.track(setsOf(shBase), MEMORY_AND_DISK)
+    val setsNew = graft.CacheScope.track(setsOf(shNew), MEMORY_AND_DISK)
+    val candBase = bandedNew.as("a").join(bandedBase.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc").as("doc_id"), col("b.doc").as("partner"))
+      .distinct()
+      .withColumn("is_base", lit(true))
+    val candBatch = bandedNew.as("a").join(bandedNew.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("b.doc") < col("a.doc"))
+      .select(col("a.doc").as("doc_id"), col("b.doc").as("partner"))
+      .distinct()
+      .withColumn("is_base", lit(false))
+    val partnerSets = setsBase.unionByName(setsNew)
+    val confirmed = candBase.unionByName(candBatch)
+      .join(setsNew.select(col("doc").as("doc_id"), col("sh").as("sh_a"),
+        col("set_size").as("size_a")), "doc_id")
+      .join(partnerSets.select(col("doc").as("partner"),
+        col("sh").as("sh_b"), col("set_size").as("size_b")), "partner")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+    val verdict = confirmed.groupBy(col("doc_id"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base_dups"),
+        sum(when(col("is_base"), 0L).otherwise(1L)).as("n_prior_batch_dups"),
+        min(col("partner")).as("dup_of"),
+        max(col("jaccard")).as("max_jaccard"))
+    setsNew.select(col("doc").as("doc_id"))
+      .join(verdict, Seq("doc_id"), "left")
+      .withColumn("n_base_dups", coalesce(col("n_base_dups"), lit(0L)))
+      .withColumn("n_prior_batch_dups",
+        coalesce(col("n_prior_batch_dups"), lit(0L)))
+      .withColumn("dropped", col("dup_of").isNotNull)
+  }
+
+  /**
    * Duplicate CLUSTERS from pairwise near-dup edges: connected components
    * by iterative min-label propagation (each node adopts the smallest
    * label among itself and its neighbors until fixpoint). This is the

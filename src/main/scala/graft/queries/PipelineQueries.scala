@@ -239,6 +239,45 @@ object PipelineQueries extends QueryGroup {
     (s, d) => verifiedPairsFull(s, d).orderBy(col("doc_a"), col("doc_b")),
     Some(jaccardOracleFor("")))
 
+  private val p129 = QueryDef(
+    // MinHash-LSH APPEND (the signature-index leg of the maintenance
+    // trio beside p120's IVF append and p128's HNSW append): the 90%
+    // base split plays the persisted band-bucket + shingle-set index;
+    // the 10% batch probes the frozen buckets and self-pairs, confirms
+    // with exact Jaccard, and bills copier-pays (dup of any base
+    // partner or LOWER-id batch sibling). The oracle is the EXACT
+    // Jaccard join over the whole corpus, split the same way — so
+    // parity also re-proves the banding's recall-1 property (2-row
+    // bands at the 0.5 threshold) on the incremental path.
+    (s, d) => DedupOps.minhashAppendVerdicts(
+      docs(s, d), "doc_id", "text", batch = col("doc_id") % 10 === 5)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH ${jaccardCtes("")},
+      |nn AS (SELECT doc_id FROM sh WHERE doc_id % 10 = 5),
+      |pb AS (
+      |  SELECT CASE WHEN doc_a % 10 = 5 THEN doc_a ELSE doc_b END AS doc_id,
+      |         CASE WHEN doc_a % 10 = 5 THEN doc_b ELSE doc_a END AS partner,
+      |         jaccard, true AS is_base
+      |  FROM jp WHERE (doc_a % 10 = 5) <> (doc_b % 10 = 5)),
+      |bb AS (
+      |  SELECT doc_b AS doc_id, doc_a AS partner, jaccard, false AS is_base
+      |  FROM jp WHERE doc_a % 10 = 5 AND doc_b % 10 = 5),
+      |u AS (SELECT * FROM pb UNION ALL SELECT * FROM bb),
+      |v AS (SELECT doc_id,
+      |        CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_base_dups,
+      |        CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT)
+      |          AS n_prior_batch_dups,
+      |        min(partner) AS dup_of, max(jaccard) AS max_jaccard
+      |      FROM u GROUP BY 1)
+      |SELECT nn.doc_id,
+      |  coalesce(v.n_base_dups, 0) AS n_base_dups,
+      |  coalesce(v.n_prior_batch_dups, 0) AS n_prior_batch_dups,
+      |  v.dup_of, v.max_jaccard,
+      |  v.dup_of IS NOT NULL AS dropped
+      |FROM nn LEFT JOIN v ON nn.doc_id = v.doc_id
+      |ORDER BY nn.doc_id""".stripMargin))
+
   /** P117 — dedup canonicalization POLICY: within each near-dup family
    * (p18's components over the shared LSH pair relation), keep the
    * LONGEST member (ties to the smaller id) instead of the min-id
@@ -2892,6 +2931,7 @@ object PipelineQueries extends QueryGroup {
     "p125b_warc_http_census" -> p125b,
     "p127_url_canonical_census" -> p127,
     "p128_hnsw_append_audit" -> p128,
+    "p129_minhash_append" -> p129,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
     "p122_sq8_recall" -> p122,

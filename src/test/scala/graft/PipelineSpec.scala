@@ -442,6 +442,33 @@ class PipelineSpec extends AnyFunSuite {
       s"recalls ${recalls.toSeq}")
   }
 
+  test("minhashAppendVerdicts: billing rules on a constructed batch") {
+    import TestSpark.spark
+    import spark.implicits._
+    // base 10/20/30; batch 15/25/35 (batch = id % 10 == 5):
+    //  15 == dup of base 10 (identical text)
+    //  25 == dup of batch 15 AND base 10 -> dup_of = min = 10, both counts
+    //  35 == unique -> survives
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight nine"
+    val rows = Seq((10L, a), (20L, b), (30L, "x y z w v u t s r q"),
+      (15L, a), (25L, a), (35L, "totally different words here apple pear"))
+    val got = graft.pipeline.DedupOps.minhashAppendVerdicts(
+      rows.toDF("doc_id", "text"), "doc_id", "text",
+      batch = col("doc_id") % 10 === 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(15L, 25L, 35L))
+    assert(got(15L).getAs[Long]("n_base_dups") === 1L &&
+      got(15L).getAs[Long]("dup_of") === 10L &&
+      got(15L).getAs[Boolean]("dropped"))
+    assert(got(25L).getAs[Long]("n_base_dups") === 1L &&
+      got(25L).getAs[Long]("n_prior_batch_dups") === 1L &&
+      got(25L).getAs[Long]("dup_of") === 10L)
+    assert(got(35L).getAs[Long]("n_base_dups") === 0L &&
+      !got(35L).getAs[Boolean]("dropped") &&
+      got(35L).isNullAt(got(35L).fieldIndex("dup_of")))
+  }
+
   test("kmeans step: cluster means exact on a two-pole fixture") {
     import TestSpark.spark
     import spark.implicits._
