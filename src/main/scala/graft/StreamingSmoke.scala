@@ -936,8 +936,66 @@ object StreamingSmoke {
       streamedRecords == batchRecords && streamedRecords.nonEmpty,
       s"stream=${streamedRecords.size} batch=${batchRecords.size}")
 
+    // 30) Streaming MinHash-LSH append — the incremental twin of
+    // p129_minhash_append: the base corpus's LSH index is FROZEN, and
+    // the batch docs (doc_id % 10 == 5) arrive in doc-id-ordered
+    // micro-batches. Each micro-batch is deduplicated against base ∪
+    // everything that already arrived (the same copier-pays rule —
+    // with ordered arrival, every lower-id batch sibling of a doc has
+    // already landed, so the per-micro-batch verdicts are EXACTLY the
+    // one-shot batch verdicts restricted to that micro-batch's ids,
+    // and the accumulated stream output must equal p129's batch
+    // relation row-for-row, not just converge).
+    // SMOKE-ONLY shape (the check-29 caveat verbatim): arrived docs
+    // accumulate in a driver-side buffer and the base index is
+    // re-derived per micro-batch; a production pipeline persists the
+    // band-bucket/shingle-set tables once and unions the arrived-batch
+    // index incrementally.
+    val allDocs30 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val batch30 = allDocs30.filter(col("doc_id") % 10 === 5)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val arrived30 = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val got30 = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, Option[Long], Option[Double], Boolean)]
+    def verdictRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.getAs[Long]("n_base_dups"), r.getAs[Long]("n_prior_batch_dups"),
+        if (r.isNullAt(r.fieldIndex("dup_of"))) None
+        else Some(r.getAs[Long]("dup_of")),
+        if (r.isNullAt(r.fieldIndex("max_jaccard"))) None
+        else Some(r.getAs[Double]("max_jaccard")),
+        r.getAs[Boolean]("dropped")))
+    val s30 = MemoryStream[(Long, String)]
+    val q30 = s30.toDS().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", ckpt())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.as[(Long, String)].collect().sortBy(_._1)
+        if (rows.nonEmpty) {
+          arrived30 ++= rows
+          val corpus = allDocs30.filter(col("doc_id") % 10 =!= 5)
+            .unionByName(arrived30.toSeq.toDF("doc_id", "text"))
+          val ids = rows.map(_._1).toSet
+          got30 ++= verdictRows(
+            graft.pipeline.DedupOps.minhashAppendVerdicts(
+              corpus, "doc_id", "text", batch = col("doc_id") % 10 === 5)
+              .filter(col("doc_id").isInCollection(ids)))
+          graft.CacheScope.releaseAll()
+        }
+        ()
+      }.start()
+    batch30.grouped(math.max(1, batch30.length / 5 + 1))
+      .foreach { c => s30.addData(c); q30.processAllAvailable() }
+    q30.stop()
+    val want30 = verdictRows(graft.pipeline.DedupOps.minhashAppendVerdicts(
+      allDocs30, "doc_id", "text", batch = col("doc_id") % 10 === 5))
+    check("minhash-append-stream",
+      got30.sortBy(_._1).toSeq == want30.sortBy(_._1).toSeq &&
+        want30.nonEmpty,
+      s"stream=${got30.size} batch=${want30.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 29 converged to batch twins OK")
+    println(s"[stream-smoke] all 30 converged to batch twins OK")
     spark.stop()
   }
 }
