@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -64,5 +64,47 @@ object UrlOps {
         .otherwise(concat(lit("?"), array_join(array_sort(
           split(query, "&")), "&")))
     concat(scheme, lit("://"), host, portNorm, pathNorm, queryNorm)
+  }
+
+  /**
+   * Registered-domain (eTLD+1) extraction — the aggregation key of
+   * domain-level crawl curation (per-domain caps, domain mixing,
+   * blocklists): `a.blog.example.com` and `b.example.com` both belong
+   * to `example.com`, while `x.shop.co.uk` belongs to `shop.co.uk`
+   * because `co.uk` is a PUBLIC SUFFIX — a plain label-count rule gets
+   * multi-label suffixes wrong, which is why the Public Suffix List
+   * exists. `suffixes` is the (suffix, n_labels) table (a PSL subset —
+   * tiny, broadcast); the LONGEST matching suffix wins (`ac.jp` beats
+   * `jp`), and the registered domain is that suffix plus one more
+   * label. A host matching no suffix falls back to itself (the PSL's
+   * unlisted-TLD convention); a host EQUAL to a suffix has no
+   * registrable part and also maps to itself.
+   *
+   * Shape at 100 TB: one broadcast theta-join against the suffix table
+   * (suffix-table-scale per row, never a corpus shuffle), one max_by
+   * hash agg keyed on `idCol` to pick the longest match. Appends
+   * `reg_domain` to `df`.
+   */
+  def withRegisteredDomain(df: DataFrame, idCol: String, hostCol: String,
+      suffixes: DataFrame): DataFrame = {
+    val host = col(hostCol)
+    val matched = df
+      .join(broadcast(suffixes),
+        host === col("suffix") ||
+          host.endsWith(concat(lit("."), col("suffix"))), "left")
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("suffix"), col("n_labels")),
+        col("n_labels")).as("m"))
+      .select(col(idCol), col("m.suffix").as("suffix"),
+        col("m.n_labels").as("n_labels"))
+    val joined = df.join(matched, Seq(idCol), "left")
+    val labels = split(host, "\\.")
+    joined
+      .withColumn("reg_domain",
+        when(col("suffix").isNull || host === col("suffix"), host)
+          .otherwise(concat(
+            element_at(labels, size(labels) - col("n_labels")),
+            lit("."), col("suffix"))))
+      .drop("suffix", "n_labels")
   }
 }

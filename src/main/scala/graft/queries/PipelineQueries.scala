@@ -278,6 +278,84 @@ object PipelineQueries extends QueryGroup {
       |FROM nn LEFT JOIN v ON nn.doc_id = v.doc_id
       |ORDER BY nn.doc_id""".stripMargin))
 
+  /** The deterministic host per document for the domain-curation family
+   * (p130) — five shapes exercising single- and multi-label public
+   * suffixes, with two deliberately over-cap registered domains
+   * (`example.com` absorbs the %5∈{0,3} shapes, `shop.co.uk` absorbs
+   * %5=1) and 26 small ones. Shared engine↔oracle like rawUrlSql. */
+  private val hostSql: String =
+    """CASE CAST(doc_id % 5 AS INT)
+      |  WHEN 0 THEN concat('a', CAST(doc_id % 13 AS STRING), '.example.com')
+      |  WHEN 1 THEN concat('b', CAST(doc_id % 13 AS STRING), '.shop.co.uk')
+      |  WHEN 2 THEN concat('www.c', CAST(doc_id % 13 AS STRING), '.org')
+      |  WHEN 3 THEN concat('d', CAST(doc_id % 13 AS STRING), '.blog.example.com')
+      |  ELSE concat('e', CAST(doc_id % 13 AS STRING), '.ac.jp') END"""
+      .stripMargin
+
+  private val p130 = QueryDef(
+    // Registered-domain (eTLD+1) extraction + per-domain cap — the
+    // C4/RefinedWeb-style domain-capping step between URL
+    // canonicalization (p127) and the dedup family: hosts roll up to
+    // their PSL-correct registered domain (longest-suffix match:
+    // `ac.jp` beats `jp`; `a.blog.example.com` → `example.com`), and
+    // each domain keeps only its `cap` smallest doc ids — the
+    // selection is the k-bounded map-side min_k_pairs aggregate, NOT a
+    // corpus-scale rank window, so each map task ships ≤ cap ids per
+    // domain. One verdict row per doc. The oracle replays suffix
+    // matching with LIKE + a longest-match window and the cap with
+    // row_number — structurally different machinery on both steps.
+    (s, d) => {
+      import s.implicits._
+      val suffixes = Seq(("com", 1), ("org", 1), ("co.uk", 2),
+        ("jp", 1), ("ac.jp", 2)).toDF("suffix", "n_labels")
+      val base = docs(s, d).select(col("doc_id"), expr(hostSql).as("host"))
+      val withDom = UrlOps.withRegisteredDomain(
+        base, "doc_id", "host", suffixes)
+      val kept = withDom.groupBy(col("reg_domain"))
+        .agg(graft.functions.GraftFunctions.minKPairs(
+          struct(col("doc_id"), col("doc_id")), 40).as("tk"))
+        .select(col("reg_domain"), explode(col("tk")).as("p"))
+        .select(col("reg_domain"), col("p.dst").as("doc_id"),
+          lit(true).as("kept"))
+      withDom.join(kept, Seq("reg_domain", "doc_id"), "left")
+        .select(col("doc_id"), col("host"), col("reg_domain"),
+          coalesce(col("kept"), lit(false)).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH h AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN 'a' || CAST(doc_id % 13 AS VARCHAR) || '.example.com'
+      |      WHEN 1 THEN 'b' || CAST(doc_id % 13 AS VARCHAR) || '.shop.co.uk'
+      |      WHEN 2 THEN 'www.c' || CAST(doc_id % 13 AS VARCHAR) || '.org'
+      |      WHEN 3 THEN 'd' || CAST(doc_id % 13 AS VARCHAR)
+      |        || '.blog.example.com'
+      |      ELSE 'e' || CAST(doc_id % 13 AS VARCHAR) || '.ac.jp' END AS host
+      |  FROM documents),
+      |suf(suffix, n_labels) AS (
+      |  VALUES ('com', 1), ('org', 1), ('co.uk', 2), ('jp', 1),
+      |         ('ac.jp', 2)),
+      |m AS (
+      |  SELECT doc_id, host, suffix, n_labels,
+      |         row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY n_labels DESC, suffix) AS rn
+      |  FROM h LEFT JOIN suf
+      |    ON host = suffix OR host LIKE '%.' || suffix),
+      |rd AS (
+      |  SELECT doc_id, host,
+      |         CASE WHEN suffix IS NULL OR host = suffix THEN host
+      |              ELSE sp[len(sp) - n_labels] || '.' || suffix END
+      |           AS reg_domain
+      |  FROM (SELECT *, string_split(host, '.') AS sp
+      |        FROM m WHERE rn = 1) t),
+      |rk AS (
+      |  SELECT doc_id, host, reg_domain,
+      |         row_number() OVER (PARTITION BY reg_domain
+      |           ORDER BY doc_id) AS r
+      |  FROM rd)
+      |SELECT doc_id, host, reg_domain, r <= 40 AS kept
+      |FROM rk ORDER BY doc_id""".stripMargin))
+
   /** P117 — dedup canonicalization POLICY: within each near-dup family
    * (p18's components over the shared LSH pair relation), keep the
    * LONGEST member (ties to the smaller id) instead of the min-id
@@ -2932,6 +3010,7 @@ object PipelineQueries extends QueryGroup {
     "p127_url_canonical_census" -> p127,
     "p128_hnsw_append_audit" -> p128,
     "p129_minhash_append" -> p129,
+    "p130_domain_caps" -> p130,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
     "p122_sq8_recall" -> p122,

@@ -50,6 +50,27 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got === "www.site.com")
   }
 
+  test("registeredDomain: longest suffix wins, fallbacks are identity") {
+    import spark.implicits._
+    val suffixes = Seq(("com", 1), ("co.uk", 2), ("jp", 1), ("ac.jp", 2))
+      .toDF("suffix", "n_labels")
+    val hosts = Seq(
+      (1L, "a.blog.example.com"),   // multi-subdomain → example.com
+      (2L, "b.example.com"),        // same registered domain
+      (3L, "x.shop.co.uk"),         // multi-label suffix → shop.co.uk
+      (4L, "e3.ac.jp"),             // ac.jp must beat jp (longest match)
+      (5L, "plain.jp"),             // single-label suffix
+      (6L, "ac.jp"),                // host IS a suffix → identity
+      (7L, "weird.internal"))       // no suffix matches → identity
+      .toDF("doc_id", "host")
+    val got = UrlOps.withRegisteredDomain(hosts, "doc_id", "host", suffixes)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("reg_domain"))
+      .toMap
+    assert(got === Map(1L -> "example.com", 2L -> "example.com",
+      3L -> "shop.co.uk", 4L -> "e3.ac.jp", 5L -> "plain.jp",
+      6L -> "ac.jp", 7L -> "weird.internal"))
+  }
+
   test("canonicalization is idempotent over the p127 URL family") {
     import spark.implicits._
     val raws = (0L until 300L).toDF("doc_id")
