@@ -1,0 +1,123 @@
+package graft.pipeline
+
+/**
+ * robots.txt — the crawl-politeness leg of the crawl-ingest family
+ * (WARC containers → URL canonicalization → domain rollup → THIS):
+ * the Robots Exclusion Protocol, RFC 9309, in the simple prefix-rule
+ * subset (no `*`/`$` wildcards — documented below). Built and parsed in
+ * pure JVM strings like the container codecs, with the same
+ * validating-walker discipline: this parser targets files built by
+ * [[build]] and is deliberately strict where real-crawl ingest would be
+ * lenient.
+ *
+ * Grammar accepted (RFC 9309 §2.2, simplified):
+ *   - lines are LF- or CRLF-terminated (both appear in the wild and
+ *     the RFC requires tolerating either); a stray CR elsewhere is
+ *     malformed;
+ *   - `#` starts a comment (to end of line); blank lines (after
+ *     comment stripping) separate groups;
+ *   - a group is one or more `User-agent:` lines followed by any
+ *     number of `Allow:` / `Disallow:` rule lines; keys are
+ *     case-insensitive; a rule line BEFORE any `User-agent:` line is
+ *     malformed; an unknown key is malformed (strict-walker
+ *     convention — real crawlers skip unknown keys);
+ *   - an EMPTY `Disallow:` value is the spec's "nothing is disallowed"
+ *     no-op — parsed and DROPPED (it must not participate in
+ *     longest-match); an empty `Allow:` is equally a no-op;
+ *   - a non-empty rule path must start with `/` (a path-prefix).
+ *
+ * Matching semantics ([[evaluate]], RFC 9309 §2.2.2): among the
+ * selected group's rules whose path is a string PREFIX of the URL
+ * path, the LONGEST path wins; on a length tie Allow wins; no matching
+ * rule means allowed. Group selection ([[selectGroup]]): all groups
+ * naming the crawler's product token (case-insensitive) merge; if none
+ * do, all `*` groups merge; a crawler matching no group is allowed
+ * everything (empty rule set).
+ */
+object RobotsCodec {
+
+  final case class RobotsGroup(agents: Vector[String],
+      rules: Vector[(Boolean, String)]) // (isAllow, pathPrefix)
+
+  /** Serialize groups — lowercase canonical keys, LF line endings, one
+   * blank line between groups (byte-deterministic, [[parse]]-exact). */
+  def build(groups: Seq[RobotsGroup]): String =
+    groups.map { g =>
+      (g.agents.map(a => s"user-agent: $a") ++
+        g.rules.map { case (allow, p) =>
+          s"${if (allow) "allow" else "disallow"}: $p" })
+        .mkString("", "\n", "\n")
+    }.mkString("\n")
+
+  /** Validating parse; IllegalArgumentException on ANY malformed
+   * input. Empty-path rules (the spec's no-ops) are dropped here. */
+  def parse(text: String): Seq[RobotsGroup] = {
+    require(!text.replace("\r\n", "\n").contains('\r'),
+      "stray CR outside a CRLF line ending")
+    val out = Seq.newBuilder[RobotsGroup]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[(Boolean, String)]
+    var inGroup = false
+    def flush(): Unit = {
+      if (inGroup) out += RobotsGroup(agents, rules)
+      agents = Vector.empty; rules = Vector.empty; inGroup = false
+    }
+    for (raw <- text.replace("\r\n", "\n").split("\n", -1)) {
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.isEmpty) flush()
+      else {
+        val ci = line.indexOf(':')
+        require(ci > 0, s"malformed robots line '$raw'")
+        val key = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            require(value.nonEmpty, "empty user-agent")
+            // a user-agent line after rules starts a NEW group (RFC
+            // groups are agent-lines-then-rules)
+            if (rules.nonEmpty) flush()
+            agents :+= value
+            inGroup = true
+          case "allow" | "disallow" =>
+            require(inGroup, s"rule before any user-agent: '$raw'")
+            if (value.nonEmpty) {
+              require(value.startsWith("/"),
+                s"rule path must start with '/': '$raw'")
+              rules :+= (key == "allow", value)
+            } // empty value = the spec's no-op, dropped
+          case other =>
+            throw new IllegalArgumentException(
+              s"unknown robots key '$other'")
+        }
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** Merged rule set for a crawler: exact product-token groups if any
+   * (case-insensitive), else the `*` groups, else no rules. */
+  def selectGroup(groups: Seq[RobotsGroup], agent: String)
+      : Vector[(Boolean, String)] = {
+    val la = agent.toLowerCase
+    val exact = groups.filter(_.agents.exists(_.toLowerCase == la))
+    val chosen = if (exact.nonEmpty) exact
+      else groups.filter(_.agents.contains("*"))
+    chosen.flatMap(_.rules).toVector
+  }
+
+  /** RFC 9309 §2.2.2 verdict: (allowed, winning rule path or None).
+   * Longest matching prefix wins; ties go to Allow; ties beyond that
+   * to the lexicographically smallest path (determinism — the RFC
+   * leaves it open, both engines must agree). No match → allowed. */
+  def evaluate(rules: Seq[(Boolean, String)], path: String)
+      : (Boolean, Option[String]) = {
+    val hits = rules.filter { case (_, p) => path.startsWith(p) }
+    if (hits.isEmpty) (true, None)
+    else {
+      val (allow, p) = hits.minBy { case (a, p) =>
+        (-p.length, if (a) 0 else 1, p) }
+      (allow, Some(p))
+    }
+  }
+}

@@ -356,6 +356,92 @@ object PipelineQueries extends QueryGroup {
       |SELECT doc_id, host, reg_domain, r <= 40 AS kept
       |FROM rk ORDER BY doc_id""".stripMargin))
 
+  private val p131 = QueryDef(
+    // robots.txt crawl-politeness verdicts (RFC 9309) — the policy
+    // gate between URL canonicalization (p127) and fetch: each host's
+    // robots file is BUILT, re-PARSED by the validating walker, and
+    // group-selected for the crawler token ("GraftBot" vs the file's
+    // lowercase 'graftbot' — case-insensitive per spec; even-numbered
+    // sites carry a bot-specific group that beats their '*' group),
+    // then every doc's path gets the longest-prefix-match verdict
+    // (ties → Allow, then lexicographic; no match → allowed). The
+    // rules relation is host-scale and BROADCASTS; evaluation is one
+    // prefix-match join + a per-doc min_by — no corpus shuffle beyond
+    // the verdict aggregation. The oracle never sees the robots TEXT:
+    // it re-derives the selected rule set arithmetically from the site
+    // number and replays the match with starts_with + a window — so
+    // parity proves build → parse → group-selection end to end.
+    (s, d) => {
+      import s.implicits._
+      val W = graft.pipeline.RobotsCodec
+      def groupsFor(n: Long) = {
+        val star = W.RobotsGroup(Vector("*"),
+          Vector((false, s"/page/$n"), (true, s"/page/$n/")))
+        if (n % 2 == 0)
+          Seq(star, W.RobotsGroup(Vector("graftbot"),
+            Vector((false, "/page/"), (true, s"/page/${(2 * n) % 25}"))))
+        else Seq(star)
+      }
+      val ruleRows: Seq[(Long, Boolean, String)] = (0L until 7L).flatMap {
+        n => W.selectGroup(W.parse(W.build(groupsFor(n))), "GraftBot")
+          .map { case (a, p) => (n, a, p) }
+      }
+      val rules = ruleRows.toDF("site", "allow", "rule_path")
+      val base = docs(s, d).select(col("doc_id"),
+        (col("doc_id") % 7).as("site"),
+        concat(lit("www.site"), (col("doc_id") % 7).cast("string"),
+          lit(".com")).as("host"),
+        concat(lit("/page/"), (col("doc_id") % 25).cast("string"),
+          when(col("doc_id") % 4 === 0, "/").otherwise("")).as("path"))
+      val hits = base.join(broadcast(rules), Seq("site"))
+        .filter(col("path").startsWith(col("rule_path")))
+        .groupBy(col("doc_id"))
+        .agg(min_by(struct(col("allow"), col("rule_path")),
+          struct((-length(col("rule_path"))).as("nl"),
+            when(col("allow"), 0).otherwise(1).as("na"),
+            col("rule_path"))).as("w"))
+      base.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("host"), col("path"),
+          coalesce(col("w.allow"), lit(true)).as("allowed"),
+          col("w.rule_path").as("matched_rule"),
+          (col("site") % 2 === 0).as("bot_group"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH sites AS (SELECT unnest(range(0, 7)) AS n),
+      |star AS (
+      |  SELECT n, false AS allow,
+      |         '/page/' || CAST(n AS VARCHAR) AS rule_path FROM sites
+      |  UNION ALL
+      |  SELECT n, true, '/page/' || CAST(n AS VARCHAR) || '/' FROM sites),
+      |bot AS (
+      |  SELECT n, false AS allow, '/page/' AS rule_path
+      |  FROM sites WHERE n % 2 = 0
+      |  UNION ALL
+      |  SELECT n, true, '/page/' || CAST((2 * n) % 25 AS VARCHAR)
+      |  FROM sites WHERE n % 2 = 0),
+      |rules AS (
+      |  SELECT * FROM bot
+      |  UNION ALL SELECT * FROM star WHERE n % 2 <> 0),
+      |d AS (SELECT doc_id, doc_id % 7 AS n,
+      |        'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+      |        '/page/' || CAST(doc_id % 25 AS VARCHAR) ||
+      |          CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END AS path
+      |      FROM documents),
+      |hit AS (
+      |  SELECT d.doc_id, r.allow, r.rule_path,
+      |         row_number() OVER (PARTITION BY d.doc_id
+      |           ORDER BY length(r.rule_path) DESC,
+      |                    CASE WHEN r.allow THEN 0 ELSE 1 END,
+      |                    r.rule_path) AS rn
+      |  FROM d JOIN rules r ON d.n = r.n
+      |    AND starts_with(d.path, r.rule_path))
+      |SELECT d.doc_id, d.host, d.path,
+      |  coalesce(h.allow, true) AS allowed,
+      |  h.rule_path AS matched_rule,
+      |  d.n % 2 = 0 AS bot_group
+      |FROM d LEFT JOIN hit h ON h.doc_id = d.doc_id AND h.rn = 1
+      |ORDER BY d.doc_id""".stripMargin))
+
   /** P117 — dedup canonicalization POLICY: within each near-dup family
    * (p18's components over the shared LSH pair relation), keep the
    * LONGEST member (ties to the smaller id) instead of the min-id
@@ -3011,6 +3097,7 @@ object PipelineQueries extends QueryGroup {
     "p128_hnsw_append_audit" -> p128,
     "p129_minhash_append" -> p129,
     "p130_domain_caps" -> p130,
+    "p131_robots_verdicts" -> p131,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
     "p122_sq8_recall" -> p122,
