@@ -692,6 +692,74 @@ object Similarity {
   }
 
   /**
+   * IVFPQ search (Jégou 2011 §IV, the IVFADC pipeline FAISS ships as
+   * its workhorse index): coarse-quantize the corpus into IVF cells,
+   * PQ-encode each vector's RESIDUAL (v − centroid) — residual
+   * magnitudes are much smaller than raw vectors, so the same codebook
+   * budget quantizes them far more precisely — and answer queries by
+   * probing `nprobe` cells with per-cell ADC lookup tables over the
+   * query's own residual against each probed centroid.
+   *
+   * Exactness discipline: residuals are computed in DOUBLE
+   * (float-widening is exact, double subtraction is correctly rounded
+   * and bit-identical in any engine — FLOAT subtraction would round to
+   * 24 bits and diverge from a SQL replay); every LUT entry is the
+   * fixed-order l2Sq kernel e6-quantized BEFORE the m-lookup sum (the
+   * p37 convention), so ranking rides exact integers.
+   *
+   * Shape at 100 TB: assignment + residual is one broadcast pass;
+   * codes are m bytes/vector; the LUT is |queries|·nprobe·m·ks rows —
+   * broadcast; the candidate relation is only the PROBED cells' codes
+   * (nprobe/nlist of the corpus) through one broadcast equi-join on
+   * (cluster, segment, code) and a per-(query, vec) hash agg with
+   * map-side partials. Top-k is a per-query rank over cell-bounded
+   * candidates.
+   */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, dsub: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    val cents = broadcast(centroids)
+    val cbD = codebooks.select(col("segment"), col("code"),
+      transform(col("subvec"), x => x.cast("double")).as("subvec"))
+    // coarse assign + exact-double residual; cached — the zip_with HOF
+    // and the assignment fan out to the code derivation AND the
+    // cluster join-back
+    val asg = graft.CacheScope.track(
+      ivfAssign(corpus, centroids).as("a")
+        .join(cents, col("cluster") === col("centroid_id"))
+        .select(col("a.vec_id"), col("a.cluster"),
+          zip_with(col("a.embedding"), col("cembedding"),
+            (x, c) => x.cast("double") - c.cast("double"))
+            .as("embedding")))
+    val codes = pqAssign(asg, cbD, dsub)
+      .join(asg.select(col("vec_id"), col("cluster")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("segment"), col("code"))
+    // per-(query, probed cell) residual — |queries|·nprobe rows, cached
+    // so the HOF is not re-inlined into the ks·m LUT rows
+    val qres = graft.CacheScope.track(
+      ivfProbes(queries, centroids, nprobe).as("q")
+        .join(cents, col("cluster") === col("centroid_id"))
+        .select(col("q.vec_id").as("qid"), col("q.cluster"),
+          zip_with(col("q.embedding"), col("cembedding"),
+            (x, c) => x.cast("double") - c.cast("double")).as("qres")))
+    val lut = qres.crossJoin(broadcast(cbD))
+      .select(col("qid"), col("cluster"), col("segment"), col("code"),
+        graft.functions.GraftFunctions.l2Sq(
+          slice(col("qres"), col("segment") * dsub + lit(1), lit(dsub)),
+          col("subvec")).as("d"))
+    codes.join(broadcast(lut), Seq("cluster", "segment", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"), col("cluster"))
+      .agg(sum(floor(col("d") * 1000000.0 + 0.5).cast("long")).as("adc_e6"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("adc_e6"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cluster"), col("adc_e6"))
+  }
+
+  /**
    * Semantic deduplication (SemDeDup — Abbas et al. 2023,
    * arXiv:2303.09540): cluster the corpus with the IVF coarse quantizer,
    * then within each cluster drop every vector whose cosine similarity to

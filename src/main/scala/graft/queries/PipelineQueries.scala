@@ -1715,6 +1715,99 @@ object PipelineQueries extends QueryGroup {
       |       vec_id AS neighbor_id, adc_e6
       |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  private val p132 = QueryDef(
+    // IVFPQ / IVFADC (Jégou 2011 §IV — the FAISS workhorse index,
+    // composing p14's coarse quantizer with p35/p37's PQ machinery on
+    // RESIDUALS): corpus vectors assign to IVF cells, their v−centroid
+    // residuals PQ-encode (exact-DOUBLE residuals — float subtraction
+    // would round to 24 bits and diverge from the SQL replay), queries
+    // probe their 2 nearest cells with per-cell residual LUTs, and ADC
+    // ranks candidates from the probed cells only. Every LUT entry is
+    // e6-quantized before the m-lookup sum (p37's convention). The
+    // oracle replays assignment, residuals, codes, probes, LUTs, and
+    // the integer lookup sum from scratch.
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cembedding"))
+      Similarity.ivfpqTopK(e.filter(col("vec_id") < 10), e, centroids,
+        pqCodebooks(s, e), dsub = 16, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |  WHERE vec_id % 50 = 0),
+      |aff AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |         ${cosSql("e.embedding", "c.ce")} AS a
+      |  FROM embeddings e, cent c),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |         ORDER BY a DESC, cid) AS rn FROM aff),
+      |asg AS (SELECT vec_id, embedding, cid AS cluster
+      |        FROM rk WHERE rn = 1),
+      |rv AS (
+      |  SELECT a.vec_id, a.cluster,
+      |         list_transform(range(1, 65),
+      |           i -> a.embedding[i]::DOUBLE - c.ce[i]::DOUBLE) AS r
+      |  FROM asg a JOIN cent c ON c.cid = a.cluster),
+      |ranked AS (
+      |  SELECT embedding,
+      |         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |cb AS (
+      |  SELECT s.s AS segment, code,
+      |         list_transform(range(1, 17), i -> embedding[s.s * 16 + i])
+      |           AS subvec
+      |  FROM ranked CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+      |  WHERE code < 16),
+      |cd AS (
+      |  SELECT rv.vec_id, rv.cluster, c.segment, c.code,
+      |         list_sum(list_transform(range(1, 17), i ->
+      |           (rv.r[c.segment * 16 + i] - c.subvec[i]::DOUBLE) *
+      |           (rv.r[c.segment * 16 + i] - c.subvec[i]::DOUBLE)))
+      |           AS dist
+      |  FROM rv CROSS JOIN cb c),
+      |codes AS (
+      |  SELECT vec_id, cluster, segment, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, segment
+      |      ORDER BY dist, code) AS rn FROM cd) t WHERE rn = 1),
+      |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |paff AS (
+      |  SELECT q.vec_id AS qid, c.cid, ${cosSql("q.embedding", "c.ce")}
+      |           AS a
+      |  FROM q, cent c),
+      |probes AS (
+      |  SELECT qid, cid AS cluster FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY a DESC, cid) AS rn FROM paff) t WHERE rn <= 2),
+      |qr AS (
+      |  SELECT p.qid, p.cluster,
+      |         list_transform(range(1, 65),
+      |           i -> q.embedding[i]::DOUBLE - c.ce[i]::DOUBLE) AS r
+      |  FROM probes p JOIN q ON q.vec_id = p.qid
+      |  JOIN cent c ON c.cid = p.cluster),
+      |lut AS (
+      |  SELECT qr.qid, qr.cluster, c.segment, c.code,
+      |         list_sum(list_transform(range(1, 17), i ->
+      |           (qr.r[c.segment * 16 + i] - c.subvec[i]::DOUBLE) *
+      |           (qr.r[c.segment * 16 + i] - c.subvec[i]::DOUBLE)))
+      |           AS dd
+      |  FROM qr CROSS JOIN cb c),
+      |ad AS (
+      |  SELECT l.qid, g.vec_id, g.cluster,
+      |         CAST(sum(CAST(floor(l.dd * 1000000.0 + 0.5) AS BIGINT))
+      |           AS BIGINT) AS adc_e6
+      |  FROM codes g JOIN lut l ON g.cluster = l.cluster
+      |    AND g.segment = l.segment AND g.code = l.code
+      |  WHERE g.vec_id <> l.qid
+      |  GROUP BY 1, 2, 3),
+      |r2 AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |         ORDER BY adc_e6, vec_id) AS rk FROM ad)
+      |SELECT qid AS query_id, CAST(rk AS INT) AS rank,
+      |       vec_id AS neighbor_id, cluster, adc_e6
+      |FROM r2 WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin))
+
   // ---------------------------------------------------------------- text analysis
 
   private val stopList: String =
@@ -3098,6 +3191,7 @@ object PipelineQueries extends QueryGroup {
     "p129_minhash_append" -> p129,
     "p130_domain_caps" -> p130,
     "p131_robots_verdicts" -> p131,
+    "p132_ivfpq_topk" -> p132,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
     "p122_sq8_recall" -> p122,

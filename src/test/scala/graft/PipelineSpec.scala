@@ -442,6 +442,48 @@ class PipelineSpec extends AnyFunSuite {
       s"recalls ${recalls.toSeq}")
   }
 
+  test("ivfpqTopK: candidates come only from probed cells, ranked sanely") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("cembedding"))
+    val cb = {
+      // same deterministic stand-in as the p35/p37 fixture codebooks
+      val ranked = e.filter(col("vec_id") % 50 === 0)
+        .withColumn("code", (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+          .cast("int"))
+        .filter(col("code") < 16)
+      val segs = spark.range(0, 4).select(col("id").cast("int").as("segment"))
+      ranked.crossJoin(segs)
+        .select(col("segment"), col("code"),
+          slice(col("embedding"), col("segment") * 16 + lit(1), lit(16))
+            .as("subvec"))
+    }
+    val queries = e.filter(col("vec_id") < 10)
+    val out = Similarity.ivfpqTopK(queries, e, centroids, cb,
+      dsub = 16, k = 5, nprobe = 2).collect()
+    assert(out.nonEmpty)
+    // each query emits at most k ranked rows, ranks 1..n, asc adc
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.length <= 5)
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length))
+      assert(sorted.map(_.getLong(4)).toSeq ==
+        sorted.map(_.getLong(4)).sortBy(identity).toSeq)
+    }
+    // every neighbor's cell is one of its query's nprobe probed cells
+    val probes = Similarity.ivfProbes(queries, centroids, nprobe = 2)
+      .select(col("vec_id"), col("cluster")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    out.foreach { r =>
+      assert(probes(r.getLong(0)).contains(r.getLong(3)),
+        s"query ${r.getLong(0)} neighbor from unprobed cell ${r.getLong(3)}")
+    }
+    // no self matches
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
   test("minhashAppendVerdicts: billing rules on a constructed batch") {
     import TestSpark.spark
     import spark.implicits._
