@@ -888,6 +888,11 @@ object Similarity {
       .select(col("vec_id"), col("bid"), simE3(
         graft.functions.GraftFunctions.dotLong(col("codes"), col("bcodes")),
         col("nsq"), col("bnsq")).as("sim_e3"))
+      // cosine-undefined (zero-norm) pairs are NULL from simE3 — they
+      // must not enter the argmax struct, where engine/oracle NULL-in-
+      // row comparison semantics could differ; a vector with NO defined
+      // pair drops out of the verdict on both sides identically
+      .filter(col("sim_e3").isNotNull)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("sim_e3"), (-col("bid")).as("nbid"))).as("m"))
       .select(col("vec_id"),

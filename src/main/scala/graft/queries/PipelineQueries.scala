@@ -2674,7 +2674,8 @@ object PipelineQueries extends QueryGroup {
       |          AS sim_e3
       |      FROM cn, bn),
       |r AS (SELECT vec_id, bid, sim_e3, row_number() OVER (
-      |        PARTITION BY vec_id ORDER BY sim_e3 DESC, bid) AS rn FROM s)
+      |        PARTITION BY vec_id ORDER BY sim_e3 DESC, bid) AS rn
+      |      FROM s WHERE sim_e3 IS NOT NULL)
       |SELECT vec_id, sim_e3::DOUBLE / 1000 AS max_sim, bid AS matched_bench,
       |       sim_e3 >= 350 AS contaminated
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin))
