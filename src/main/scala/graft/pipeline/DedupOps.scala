@@ -170,6 +170,28 @@ object DedupOps {
       .repartition(parts, col("doc"))
   }
 
+  /** The (doc, band, band_hash) LSH banding projection — ONE
+   * definition shared by the batch path ([[minhashLshVerifiedPairs]])
+   * and the append path ([[minhashAppendVerdicts]]), whose outputs are
+   * oracle-compared against each other; a banding change applied to
+   * one but not the other would silently break that parity.
+   * ([[minhashLshPairs]] keeps its sig-retaining inline variant — it
+   * also ranks on the signature.) */
+  private def bandedBuckets(sig: DataFrame, bands: Int,
+      rows: Int): DataFrame =
+    sig.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        hash(slice(col("sig"), b * rows + 1, lit(rows)))))
+        .as(Seq("band", "band_hash")))
+
+  /** Per-doc shingle SET + size — the exact-confirm relation, shared by
+   * the same two paths (shingles are distinct per doc by
+   * construction). */
+  private def docShingleSets(shRows: DataFrame): DataFrame =
+    shRows.groupBy(col("doc")).agg(
+      collect_list(col("shingle")).as("sh"),
+      count(lit(1)).as("set_size"))
+
   /** k-function MinHash signature per doc: one codegen'd hash aggregate
    * with k min buffers over the affine rehashes. */
   private def signatures(shRows: DataFrame, k: Int): DataFrame =
@@ -234,10 +256,7 @@ object DedupOps {
     // side. The cached relations are |docs|-scale (tiny next to the
     // exploded shingles), the canonical persist-what-fans-out trade.
     val banded = graft.CacheScope.track(
-      sig.select(col("doc"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_hash"))),
-      MEMORY_AND_DISK)
+      bandedBuckets(sig, bands, rows), MEMORY_AND_DISK)
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc") < col("b.doc"))
@@ -252,10 +271,7 @@ object DedupOps {
     // free groupBy(doc) reuses shRows' partitioning. Zero-intersection
     // candidates just score 0 and drop at the threshold.
     val docSets = graft.CacheScope.track(
-      shRows.groupBy(col("doc")).agg(
-        collect_list(col("shingle")).as("sh"), // distinct per doc by construction
-        count(lit(1)).as("set_size")),
-      MEMORY_AND_DISK)
+      docShingleSets(shRows), MEMORY_AND_DISK)
     candidates
       .join(docSets.select(col("doc").as("doc_a"),
         col("sh").as("sh_a"), col("set_size").as("size_a")), "doc_a")
@@ -302,28 +318,22 @@ object DedupOps {
       bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val rows = k / bands
-    def bandedOf(sig: DataFrame): DataFrame =
-      sig.select(col("doc"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          hash(slice(col("sig"), b * rows + 1, lit(rows)))))
-          .as(Seq("band", "band_hash")))
-    def setsOf(sh: DataFrame): DataFrame =
-      sh.groupBy(col("doc")).agg(
-        collect_list(col("shingle")).as("sh"),
-        count(lit(1)).as("set_size"))
     val base = docs.filter(!batch)
     val fresh = docs.filter(batch)
     val shBase = shingleRows(base, idCol, textCol, n)
     val shNew = shingleRows(fresh, idCol, textCol, n)
     // the four cached relations are the persisted-index stand-ins (base
     // side) and the batch derivations each consumed twice (probe +
-    // self-join, confirm + verdict spine)
+    // self-join, confirm + verdict spine); banding/sets are the SAME
+    // shared helpers the batch path uses, so the two paths can't drift
     val bandedBase = graft.CacheScope.track(
-      bandedOf(signatures(shBase, k)), MEMORY_AND_DISK)
+      bandedBuckets(signatures(shBase, k), bands, rows), MEMORY_AND_DISK)
     val bandedNew = graft.CacheScope.track(
-      bandedOf(signatures(shNew, k)), MEMORY_AND_DISK)
-    val setsBase = graft.CacheScope.track(setsOf(shBase), MEMORY_AND_DISK)
-    val setsNew = graft.CacheScope.track(setsOf(shNew), MEMORY_AND_DISK)
+      bandedBuckets(signatures(shNew, k), bands, rows), MEMORY_AND_DISK)
+    val setsBase = graft.CacheScope.track(
+      docShingleSets(shBase), MEMORY_AND_DISK)
+    val setsNew = graft.CacheScope.track(
+      docShingleSets(shNew), MEMORY_AND_DISK)
     val candBase = bandedNew.as("a").join(bandedBase.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash"))

@@ -40,14 +40,31 @@ object RobotsCodec {
       rules: Vector[(Boolean, String)]) // (isAllow, pathPrefix)
 
   /** Serialize groups — lowercase canonical keys, LF line endings, one
-   * blank line between groups (byte-deterministic, [[parse]]-exact). */
-  def build(groups: Seq[RobotsGroup]): String =
+   * blank line between groups (byte-deterministic, [[parse]]-exact).
+   * Validates at BUILD time everything parse would reject or silently
+   * reinterpret (a '#' inside a value would come back as a comment, a
+   * newline would inject lines, an empty rule path would be dropped as
+   * the spec's no-op) — so build∘parse is the identity on accepted
+   * input and a round-trip can never silently change rules. */
+  def build(groups: Seq[RobotsGroup]): String = {
+    def cleanValue(v: String, what: String): Unit = {
+      require(v.nonEmpty, s"empty $what")
+      require(!v.exists(c => c == '#' || c == '\n' || c == '\r'),
+        s"$what '$v' contains '#' or a line break — unserializable")
+    }
     groups.map { g =>
+      require(g.agents.nonEmpty, "group with no user-agent")
+      g.agents.foreach(cleanValue(_, "user-agent"))
+      g.rules.foreach { case (_, p) =>
+        cleanValue(p, "rule path")
+        require(p.startsWith("/"), s"rule path must start with '/': '$p'")
+      }
       (g.agents.map(a => s"user-agent: $a") ++
         g.rules.map { case (allow, p) =>
           s"${if (allow) "allow" else "disallow"}: $p" })
         .mkString("", "\n", "\n")
     }.mkString("\n")
+  }
 
   /** Validating parse; IllegalArgumentException on ANY malformed
    * input. Empty-path rules (the spec's no-ops) are dropped here. */
@@ -64,8 +81,12 @@ object RobotsCodec {
     }
     for (raw <- text.replace("\r\n", "\n").split("\n", -1)) {
       val line = raw.takeWhile(_ != '#').trim
-      if (line.isEmpty) flush()
-      else {
+      if (line.isEmpty) {
+        // only a genuinely BLANK line separates groups; a comment-only
+        // line is ignored entirely (RFC 9309 — an interior '# note'
+        // line must not split the group it sits inside)
+        if (raw.trim.isEmpty) flush()
+      } else {
         val ci = line.indexOf(':')
         require(ci > 0, s"malformed robots line '$raw'")
         val key = line.substring(0, ci).trim.toLowerCase

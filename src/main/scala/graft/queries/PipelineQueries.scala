@@ -282,7 +282,9 @@ object PipelineQueries extends QueryGroup {
    * (p130) — five shapes exercising single- and multi-label public
    * suffixes, with two deliberately over-cap registered domains
    * (`example.com` absorbs the %5∈{0,3} shapes, `shop.co.uk` absorbs
-   * %5=1) and 26 small ones. Shared engine↔oracle like rawUrlSql. */
+   * %5=1) and 26 small ones. GENUINELY shared engine↔oracle: the same
+   * string is `expr()`d by Spark and interpolated into the DuckDB
+   * oracle (concat/CASE/CAST-AS-STRING parse identically in both). */
   private val hostSql: String =
     """CASE CAST(doc_id % 5 AS INT)
       |  WHEN 0 THEN concat('a', CAST(doc_id % 13 AS STRING), '.example.com')
@@ -309,8 +311,11 @@ object PipelineQueries extends QueryGroup {
       val suffixes = Seq(("com", 1), ("org", 1), ("co.uk", 2),
         ("jp", 1), ("ac.jp", 2)).toDF("suffix", "n_labels")
       val base = docs(s, d).select(col("doc_id"), expr(hostSql).as("host"))
-      val withDom = UrlOps.withRegisteredDomain(
-        base, "doc_id", "host", suffixes)
+      // tracked: the registered-domain derivation (scan + suffix
+      // theta-join + max_by + join-back) fans out to BOTH the cap
+      // branch and the final verdict join — uncached it executes twice
+      val withDom = graft.CacheScope.track(UrlOps.withRegisteredDomain(
+        base, "doc_id", "host", suffixes))
       val kept = withDom.groupBy(col("reg_domain"))
         .agg(graft.functions.GraftFunctions.minKPairs(
           struct(col("doc_id"), col("doc_id")), 40).as("tk"))
@@ -323,14 +328,7 @@ object PipelineQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH h AS (
-      |  SELECT doc_id,
-      |    CASE CAST(doc_id % 5 AS INT)
-      |      WHEN 0 THEN 'a' || CAST(doc_id % 13 AS VARCHAR) || '.example.com'
-      |      WHEN 1 THEN 'b' || CAST(doc_id % 13 AS VARCHAR) || '.shop.co.uk'
-      |      WHEN 2 THEN 'www.c' || CAST(doc_id % 13 AS VARCHAR) || '.org'
-      |      WHEN 3 THEN 'd' || CAST(doc_id % 13 AS VARCHAR)
-      |        || '.blog.example.com'
-      |      ELSE 'e' || CAST(doc_id % 13 AS VARCHAR) || '.ac.jp' END AS host
+      |  SELECT doc_id, $hostSql AS host
       |  FROM documents),
       |suf(suffix, n_labels) AS (
       |  VALUES ('com', 1), ('org', 1), ('co.uk', 2), ('jp', 1),

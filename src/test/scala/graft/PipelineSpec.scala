@@ -440,6 +440,7 @@ class PipelineSpec extends AnyFunSuite {
     val recalls = rows.map(_.getAs[Long]("recall_ppm"))
     assert(recalls.forall(r => r >= 600000L && r <= 1000000L),
       s"recalls ${recalls.toSeq}")
+    graft.CacheScope.releaseAll()
   }
 
   test("ivfpqTopK: candidates come only from probed cells, ranked sanely") {
@@ -482,6 +483,7 @@ class PipelineSpec extends AnyFunSuite {
     }
     // no self matches
     assert(out.forall(r => r.getLong(0) != r.getLong(2)))
+    graft.CacheScope.releaseAll()
   }
 
   test("minhashAppendVerdicts: billing rules on a constructed batch") {
@@ -509,6 +511,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(35L).getAs[Long]("n_base_dups") === 0L &&
       !got(35L).getAs[Boolean]("dropped") &&
       got(35L).isNullAt(got(35L).fieldIndex("dup_of")))
+    graft.CacheScope.releaseAll()
   }
 
   test("kmeans step: cluster means exact on a two-pole fixture") {

@@ -31,6 +31,35 @@ class RobotsSpec extends AnyFunSuite {
       RobotsGroup(Vector("GraftBot"), Vector((false, "/")))))
   }
 
+  test("parse: an interior comment-only line does NOT split its group") {
+    val got = RobotsCodec.parse(
+      "user-agent: *\n# block the private tree\ndisallow: /x\n")
+    assert(got === Seq(RobotsGroup(Vector("*"), Vector((false, "/x")))))
+  }
+
+  test("build validates what parse would reject or reinterpret") {
+    def rejectBuild(g: RobotsGroup, hint: String): Unit = {
+      val ex = intercept[IllegalArgumentException](
+        RobotsCodec.build(Seq(g)))
+      assert(ex.getMessage.toLowerCase.contains(hint),
+        s"message '${ex.getMessage}' lacks '$hint'")
+    }
+    // '#' in a value would come back as a comment on re-parse
+    rejectBuild(RobotsGroup(Vector("*"), Vector((false, "/a#b"))),
+      "unserializable")
+    // a newline would inject lines
+    rejectBuild(RobotsGroup(Vector("a\nb"), Vector.empty),
+      "unserializable")
+    // rules-only stanza parses as "rule before any user-agent"
+    rejectBuild(RobotsGroup(Vector.empty, Vector((false, "/x"))),
+      "no user-agent")
+    // empty path would be silently dropped as the spec's no-op
+    rejectBuild(RobotsGroup(Vector("*"), Vector((false, ""))),
+      "empty rule path")
+    rejectBuild(RobotsGroup(Vector("*"), Vector((false, "x"))),
+      "start with '/'")
+  }
+
   test("parse: empty Disallow/Allow are the spec's no-ops, dropped") {
     val got = RobotsCodec.parse(
       "user-agent: *\ndisallow:\nallow:\ndisallow: /x\n")
