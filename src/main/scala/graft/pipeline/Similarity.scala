@@ -131,17 +131,52 @@ object Similarity {
         col("n.id").as("neighbor_id"), round(col("n.score"), 3).as("sim"))
   }
 
-  /** IVF coarse quantizer: assign every vector to its nearest centroid
-   * (highest cosine, ties to the lowest centroid id). Centroids are a
-   * small broadcast side; the assignment is one |corpus|×|centroids|
-   * codegen'd pass with a map-side max_by — no shuffle of the corpus. */
-  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("_aff", cosine(col("embedding"), col("cembedding")))
+  /** Quantize-once centroid projection feeding the integer-affinity
+   * quantizers ([[ivfAssign]]/[[ivfProbes]]): `ccodes` (e3 long array)
+   * and `cnsq` (integer norm²) appended — centroid-scale, evaluated once
+   * inside the broadcast build, so the interpreted transform() HOF never
+   * multiplies against the corpus side. */
+  private def centQ3(centroids: DataFrame): DataFrame =
+    centroids
+      .withColumn("ccodes", Hnsw.q3Codes(col("cembedding")))
+      .withColumn("cnsq",
+        graft.functions.GraftFunctions.dotLong(col("ccodes"), col("ccodes")))
+
+  /** IVF coarse quantizer: assign every vector to its nearest centroid —
+   * highest INTEGER e3 cosine ([[simE3]]), ties to the lowest centroid
+   * id. The [[Hnsw.assignCells]] discipline applied to the cosine
+   * metric: both sides quantize ONCE ([[withQ3]]/[[centQ3]]) with norm²
+   * hoisted out of the cross join, so each of the |corpus|×|centroids|
+   * affinities costs one codegen'd 64-element integer multiply-add —
+   * not the float kernel's 3-fold pass — and the whole ranking rides
+   * exact integers any engine reproduces bit for bit. One broadcast
+   * map-side pass, no shuffle of the corpus. A cosine-undefined
+   * (zero-norm) vector has every affinity NULL and assigns to the
+   * LOWEST centroid id (NULL coalesces below any real affinity) —
+   * explicit and engine-portable, where the float kernel's NaN ordering
+   * was Spark-specific. Output carries the quantize-once projection
+   * (`codes`, `nsq`) alongside (vec_id, cluster, embedding) so
+   * downstream pair stages ([[knnGraph]], [[semanticDedup]],
+   * [[hardNegatives]], [[marginMining]]…) reuse it without
+   * re-quantizing. */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    // cached: q3Codes is an interpreted HOF — without the materialization
+    // projection collapse inlines it into the centroid cross join and
+    // re-quantizes every vector once PER CENTROID (the round-10 lesson)
+    val vq = graft.CacheScope.track(withQ3(vecs))
+    vq.crossJoin(broadcast(centQ3(centroids)
+        .select(col("centroid_id"), col("ccodes"), col("cnsq"))))
+      .withColumn("_aff", simE3(
+        graft.functions.GraftFunctions.dotLong(col("codes"), col("ccodes")),
+        col("nsq"), col("cnsq")))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"), struct(col("_aff"), -col("centroid_id")))
+      .agg(max_by(col("centroid_id"),
+          struct(coalesce(col("_aff"), lit(Long.MinValue)), -col("centroid_id")))
         .as("cluster"),
-        first(col("embedding")).as("embedding"))
+        first(col("embedding")).as("embedding"),
+        first(col("codes")).as("codes"),
+        first(col("nsq")).as("nsq"))
+  }
 
   /**
    * Cluster-local kNN graph — the "build the neighbor graph" stage that
@@ -154,25 +189,33 @@ object Similarity {
    * once on the cell id; with nlist ≈ √N the within-cell pair work is
    * ~N^1.5 ≪ N² (p28's analysis); the per-vector top-k is a window over
    * each vector's own candidate list, partitioned by vector — never a
-   * global sort. Rank on the 3-dp-ROUNDED similarity with an id
-   * tie-break (repo convention: never rank a raw float fold).
+   * global sort. Pairs ride the e3 INTEGER-cosine kernel ([[simE3]] on
+   * the assignment's quantize-once codes — one integer multiply-add per
+   * pair), rank on the exact e3 long with an id tie-break; a
+   * cosine-undefined (zero-norm) pair is NULL and excluded before the
+   * window in BOTH engines (repo convention: never rank a float fold,
+   * never let an undefined similarity silently order).
    */
   def knnGraph(vecs: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
-    val asg = graft.CacheScope.track(ivfAssign(vecs, centroids))
+    val asg = graft.CacheScope.track(ivfAssign(vecs, centroids)
+      .select(col("vec_id"), col("cluster"), col("codes"), col("nsq")))
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      .partitionBy(col("vec_id")).orderBy(col("sim_e3").desc, col("neighbor_id"))
     asg.as("a")
       .join(asg.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.cluster").as("cluster"),
         col("b.vec_id").as("neighbor_id"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 3).as("sim"))
+        simE3(graft.functions.GraftFunctions.dotLong(col("a.codes"), col("b.codes")),
+          col("a.nsq"), col("b.nsq")).as("sim_e3"))
+      .filter(col("sim_e3").isNotNull)
       .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cluster"), col("sim"))
+        col("neighbor_id"), col("cluster"),
+        (col("sim_e3").cast("double") / 1000).as("sim"))
   }
 
   /**
@@ -277,24 +320,28 @@ object Similarity {
   def hardNegatives(vecs: DataFrame, centroids: DataFrame, k: Int)
       : DataFrame = {
     require(k > 0, s"need k > 0, got $k")
-    // ivfAssign keeps (vec_id, cluster, embedding); fold the label back in
-    // before the cell self-join so the mismatch gate prunes pre-window
+    // ivfAssign keeps the quantize-once projection; fold the label back
+    // in before the cell self-join so the mismatch gate prunes pre-window
     val asg = graft.CacheScope.track(
       ivfAssign(vecs, centroids)
+        .select(col("vec_id"), col("cluster"), col("codes"), col("nsq"))
         .join(vecs.select(col("vec_id"), col("label")), Seq("vec_id")))
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neg_id"))
+      .partitionBy(col("vec_id")).orderBy(col("sim_e3").desc, col("neg_id"))
     asg.as("a")
       .join(asg.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.label") =!= col("b.label"))
       .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
         col("b.vec_id").as("neg_id"), col("b.label").as("neg_label"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 3).as("sim"))
+        simE3(graft.functions.GraftFunctions.dotLong(col("a.codes"), col("b.codes")),
+          col("a.nsq"), col("b.nsq")).as("sim_e3"))
+      .filter(col("sim_e3").isNotNull)
       .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("label"), col("rank").cast("long").as("rank"),
-        col("neg_id"), col("neg_label"), col("sim"))
+        col("neg_id"), col("neg_label"),
+        (col("sim_e3").cast("double") / 1000).as("sim"))
   }
 
   /**
@@ -532,31 +579,52 @@ object Similarity {
       .withColumn("proj", col("proj_e4").cast("double") / divisor)
   }
 
-  /** A query's `nprobe` nearest centroids (rank 1 = nearest; ties to the
-   * lower centroid id) — the probe list of the IVF search. */
-  def ivfProbes(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("_aff", cosine(col("embedding"), col("cembedding")))
+  /** A query's `nprobe` nearest centroids by the same INTEGER e3
+   * affinity as [[ivfAssign]] (rank 1 = nearest; an all-NULL
+   * cosine-undefined query ranks by centroid id alone — the coalesce
+   * mirrors the argmax; ties to the lower centroid id) — the probe list
+   * of the IVF search, carrying the query's quantize-once projection
+   * (`codes`, `nsq`) for downstream pair stages. */
+  def ivfProbes(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    // cached for the same projection-collapse reason as ivfAssign
+    val vq = graft.CacheScope.track(withQ3(vecs))
+    vq.crossJoin(broadcast(centQ3(centroids)
+        .select(col("centroid_id"), col("ccodes"), col("cnsq"))))
+      .withColumn("_aff", simE3(
+        graft.functions.GraftFunctions.dotLong(col("codes"), col("ccodes")),
+        col("nsq"), col("cnsq")))
       .withColumn("_rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(col("_aff").desc, col("centroid_id"))))
+          .orderBy(coalesce(col("_aff"), lit(Long.MinValue)).desc,
+            col("centroid_id"))))
       .filter(col("_rk") <= nprobe)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster"))
+      .select(col("vec_id"), col("embedding"), col("codes"), col("nsq"),
+        col("centroid_id").as("cluster"))
+  }
 
   /** IVF ANN: corpus vectors live in their nearest centroid's inverted
    * list; each query probes its `nprobe` nearest lists — touching
-   * nprobe/|centroids| of the corpus instead of everything. The
-   * per-query probe window partitions on vec_id (high cardinality). */
+   * nprobe/|centroids| of the corpus instead of everything. Candidate
+   * pairs ride the e3 integer-cosine kernel over both sides'
+   * quantize-once codes ([[simE3]]); the threshold test is a pure
+   * integer predicate (a NULL cosine-undefined pair never qualifies,
+   * in both engines). The per-query probe window partitions on vec_id
+   * (high cardinality). */
   def ivfAnn(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       threshold: Double, nprobe: Int = 1): DataFrame = {
+    val thrE3 = math.round(threshold * 1000)
     val qa = ivfProbes(queries, centroids, nprobe)
+      .select(col("vec_id"), col("codes"), col("nsq"), col("cluster"))
     val ca = ivfAssign(corpus, centroids)
     ca.as("c").join(broadcast(qa.as("q")),
         col("q.cluster") === col("c.cluster") && col("q.vec_id") =!= col("c.vec_id"))
-      .withColumn("sim", round(cosine(col("q.embedding"), col("c.embedding")), 3))
-      .filter(col("sim") >= threshold)
+      .withColumn("sim_e3", simE3(
+        graft.functions.GraftFunctions.dotLong(col("q.codes"), col("c.codes")),
+        col("q.nsq"), col("c.nsq")))
+      .filter(col("sim_e3") >= thrE3)
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        col("c.cluster").as("cluster"), col("sim"))
+        col("c.cluster").as("cluster"),
+        (col("sim_e3").cast("double") / 1000).as("sim"))
   }
 
   /**
@@ -785,10 +853,10 @@ object Similarity {
     val thrE3 = math.round(threshold * 1000)
     // the assignment fans out three ways (both self-join sides + the
     // final left join); without the persist each consumer would re-run
-    // the full |corpus|x|centroids| cosine pass — and the quantize-once
-    // codes/norm² projection rides the same cache so the pair stage is
-    // pure integer dot products ([[simE3]])
-    val asg = graft.CacheScope.track(withQ3(ivfAssign(corpus, centroids))
+    // the full |corpus|x|centroids| affinity pass — and ivfAssign's own
+    // quantize-once codes/norm² projection rides the same cache so the
+    // pair stage is pure integer dot products ([[simE3]])
+    val asg = graft.CacheScope.track(ivfAssign(corpus, centroids)
       .select(col("vec_id"), col("cluster"), col("codes"), col("nsq")))
     val prior = asg.as("a").join(asg.as("b"),
         col("a.cluster") === col("b.cluster") && col("b.vec_id") < col("a.vec_id"))
@@ -994,11 +1062,13 @@ object Similarity {
    * everything" (a hub) mines nothing, while an isolated sharp match
    * scores high. Here the two groups are label slices of the embedding
    * table (the bitext-mining shape: source language vs target
-   * language). All arithmetic is exact integers on ×10³-rounded
-   * cosines: margin_ppm = 2·c·k_x·k_y·10⁶ div (s_x·k_y + s_y·k_x),
-   * candidates keep cos > 0 (which also bounds the denominator below by
-   * the pair's own score), best match per source by (margin, smaller
-   * id), accepted at margin ≥ 1.0.
+   * language). All arithmetic is exact integers on e3 integer-cosine
+   * scores ([[simE3]] over the assignment's quantize-once codes):
+   * margin_ppm = 2·c·k_x·k_y·10⁶ div (s_x·k_y + s_y·k_x), candidates
+   * keep c_e3 > 0 (which also bounds the denominator below by the
+   * pair's own score, and drops NULL cosine-undefined pairs in both
+   * engines), best match per source by (margin, smaller id), accepted
+   * at margin ≥ 1.0.
    *
    * Shape at 100 TB: candidates are IVF cell-mates only (the p61/p68
    * bucketing — never a cross join of the two language sides); the
@@ -1011,14 +1081,16 @@ object Similarity {
     require(k > 0, s"need k > 0, got $k")
     val asg = graft.CacheScope.track(
       ivfAssign(vecs, centroids)
+        .select(col("vec_id"), col("cluster"), col("codes"), col("nsq"))
         .join(vecs.select(col("vec_id"), col("label")), Seq("vec_id")))
     val pairs = graft.CacheScope.track(
       asg.as("a").filter(col("a.label") === srcLabel)
         .join(asg.as("b").filter(col("b.label") === tgtLabel),
           col("a.cluster") === col("b.cluster"))
         .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("tgt_id"),
-          round(cosine(col("a.embedding"), col("b.embedding")) * 1000, 0)
-            .cast("long").as("c_e3"))
+          simE3(graft.functions.GraftFunctions.dotLong(
+              col("a.codes"), col("b.codes")),
+            col("a.nsq"), col("b.nsq")).as("c_e3"))
         .filter(col("c_e3") > 0))
     def nnSums(key: String, other: String) = {
       val win = org.apache.spark.sql.expressions.Window
@@ -1080,14 +1152,15 @@ object Similarity {
    * after ANN: near-duplicate hits stop crowding out coverage.
    *
    * This implementation fixes λ = 1/2 so the DOUBLED objective is pure
-   * integer arithmetic on e3-rounded cosines: the emitted `score2x_e3`
-   * is rel_e3 for the first pick and rel_e3 − max-sim_e3 after, ties on
-   * the smaller candidate id. Deterministic end to end, so an oracle
-   * can unroll the greedy steps as literal SQL (the p83 superstep
-   * convention).
+   * integer arithmetic on e3 integer-cosine scores ([[simE3]] over
+   * quantize-once codes — relevance and pool-pair similarity both): the
+   * emitted `score2x_e3` is rel_e3 for the first pick and rel_e3 −
+   * max-sim_e3 after, ties on the smaller candidate id. Deterministic
+   * end to end, so an oracle can unroll the greedy steps as literal SQL
+   * (the p83 superstep convention).
    *
    * Shape at 100 TB: the pool is the k-bounded output of a broadcast
-   * scoring pass (|q|·poolN rows); pool embeddings come from ONE
+   * scoring pass (|q|·poolN rows); pool codes come from ONE
    * broadcast-pool join against the corpus (the corpus never shuffles);
    * the N² pairwise matrix is per-query-local; the greedy loop runs
    * inside `flatMapGroups` per query — distributed over queries, never
@@ -1098,32 +1171,38 @@ object Similarity {
     require(k >= 1 && poolN >= k, s"need poolN >= k >= 1: $poolN/$k")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val scored = corpus.as("c").join(broadcast(queries.as("q")),
-        col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
-        round(cosine(col("q.embedding"), col("c.embedding")) * 1000)
-          .cast("long").as("rel_e3"))
-      // a null cosine (length-mismatched or null-element embedding,
-      // the VectorOps contract) cannot be ranked: drop the candidate
-      // here instead of letting a null Long blow up the typed decode
+    // quantize-once corpus projection, shared by the scoring pass and
+    // the pool-pair stage (cached so the HOF runs once per vector)
+    val cq = graft.CacheScope.track(withQ3(corpus)
+      .select(col("vec_id"), col("codes"), col("nsq")))
+    val qq = withQ3(queries).select(col("vec_id").as("qid"),
+      col("codes").as("qcodes"), col("nsq").as("qnsq"))
+    val scored = cq.join(broadcast(qq), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        simE3(graft.functions.GraftFunctions.dotLong(col("qcodes"), col("codes")),
+          col("qnsq"), col("nsq")).as("rel_e3"))
+      // a NULL relevance (cosine-undefined zero-norm, length-mismatched
+      // or null-element embedding — the VectorOps contract) cannot be
+      // ranked: drop the candidate here instead of letting a null Long
+      // blow up the typed decode
       .filter(col("rel_e3").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("rel_e3").desc, col("cid"))
     val pool = graft.CacheScope.track(scored
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= poolN)
       .select(col("qid"), col("cid"), col("rel_e3")))
-    // pool embeddings: ONE broadcast-pool join — the corpus never shuffles
-    val poolE = corpus.select(col("vec_id"), col("embedding"))
+    // pool codes: ONE broadcast-pool join — the corpus never shuffles
+    val poolE = cq
       .join(broadcast(pool), col("vec_id") === col("cid"))
-      .select(col("qid"), col("cid"), col("rel_e3"), col("embedding"))
+      .select(col("qid"), col("cid"), col("rel_e3"), col("codes"), col("nsq"))
     // one orientation only (cosine is symmetric): halves the N² kernel
     // work and pair volume; the greedy's sim map registers both
     val pairs = poolE.as("a").join(poolE.as("b"),
         col("a.qid") === col("b.qid") && col("a.cid") < col("b.cid"))
       .select(col("a.qid").as("qid"), col("a.cid").as("ca"),
         col("a.rel_e3").as("rel_a"), col("b.cid").as("cb"),
-        round(cosine(col("a.embedding"), col("b.embedding")) * 1000)
-          .cast("long").as("sim_e3"))
+        simE3(graft.functions.GraftFunctions.dotLong(col("a.codes"), col("b.codes")),
+          col("a.nsq"), col("b.nsq")).as("sim_e3"))
     // self rows carry candidates of singleton pools (no pair rows)
     val rows = pool.select(col("qid"), col("cid").as("ca"),
         col("rel_e3").as("rel_a"), col("cid").as("cb"),

@@ -642,6 +642,35 @@ object PipelineQueries extends QueryGroup {
     s"CASE WHEN $na = 0 OR $nb = 0 THEN NULL ELSE " +
       s"CAST(floor($dot::DOUBLE / sqrt($na::DOUBLE * $nb::DOUBLE) * 1000.0 + 0.5) AS BIGINT) END"
 
+  /** Shared DuckDB prefix replaying the INTEGER-affinity IVF coarse
+   * quantizer (the migrated Similarity.ivfAssign / ivfProbes, %50
+   * deterministic centroid rule): both sides quantize once to e3 codes
+   * with hoisted norm², each affinity is simE3Sql's single final IEEE
+   * expression, and the per-vector rank window is the independent
+   * formulation of the engine's max_by argmax. NULLS LAST is explicit —
+   * a cosine-undefined (zero-norm) vector ranks its centroids by id
+   * alone, mirroring the engine's coalesce(Long.MinValue). Emits CTEs:
+   * `cq` (cid, ce, ccodes, cnsq), `vq` (vec_id, embedding, label,
+   * codes, nsq), `aff` (… cid, ce, a), `rk` (aff + rn; rn = 1 is the
+   * assignment, rn <= nprobe the probe list). */
+  private val assignCtes: String =
+    s"""cq AS (
+      |  SELECT cid, ce, ccodes, ${dotLongSql("ccodes", "ccodes")} AS cnsq
+      |  FROM (SELECT vec_id AS cid, embedding AS ce,
+      |          ${q3Sql("embedding")} AS ccodes
+      |        FROM embeddings WHERE vec_id % 50 = 0)),
+      |vq AS (
+      |  SELECT vec_id, embedding, label, codes,
+      |         ${dotLongSql("codes", "codes")} AS nsq
+      |  FROM (SELECT vec_id, embedding, label,
+      |          ${q3Sql("embedding")} AS codes FROM embeddings)),
+      |aff AS (
+      |  SELECT v.*, c.cid, c.ce,
+      |         ${simE3Sql(dotLongSql("v.codes", "c.ccodes"), "v.nsq", "c.cnsq")} AS a
+      |  FROM vq v, cq c),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |         ORDER BY a DESC NULLS LAST, cid) AS rn FROM aff)""".stripMargin
+
   /** P111 — MMR diverse re-ranking (Carbonell & Goldstein 1998) with
    * λ = 1/2: greedy top-3 from each query's 8-candidate ANN pool, the
    * doubled objective rel − max-sim-to-selected in exact e3 integers.
@@ -655,20 +684,23 @@ object PipelineQueries extends QueryGroup {
       Similarity.mmrSelect(e.filter(col("vec_id") < 5), e, poolN = 8, k = 3)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    Some(s"""WITH $assignCtes,
+      |q AS (SELECT vec_id, codes, nsq FROM vq WHERE vec_id < 5),
       |sc AS (
       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-      |         CAST(round(1000 * ${cosSql("q.embedding", "c.embedding")}) AS BIGINT) AS rel
-      |  FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+      |         ${simE3Sql(dotLongSql("q.codes", "c.codes"), "q.nsq", "c.nsq")} AS rel
+      |  FROM vq c, q WHERE c.vec_id <> q.vec_id),
       |pool AS (SELECT qid, cid, rel FROM (
       |    SELECT *, row_number() OVER (PARTITION BY qid
-      |      ORDER BY rel DESC, cid) AS rn FROM sc) WHERE rn <= 8),
+      |      ORDER BY rel DESC, cid) AS rn FROM sc WHERE rel IS NOT NULL)
+      |  WHERE rn <= 8),
       |ps AS (
       |  SELECT a.qid, a.cid AS ca, b.cid AS cb,
-      |         CAST(round(1000 * ${cosSql("ea.embedding", "eb.embedding")}) AS BIGINT) AS s
+      |         coalesce(${simE3Sql(dotLongSql("ea.codes", "eb.codes"),
+                  "ea.nsq", "eb.nsq")}, 0) AS s
       |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid
-      |  JOIN embeddings ea ON a.cid = ea.vec_id
-      |  JOIN embeddings eb ON b.cid = eb.vec_id),
+      |  JOIN vq ea ON a.cid = ea.vec_id
+      |  JOIN vq eb ON b.cid = eb.vec_id),
       |s1 AS (SELECT qid, cid, rel AS sc2 FROM (
       |    SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
       |      ORDER BY rel DESC, cid) AS rn FROM pool) WHERE rn = 1),
@@ -794,27 +826,25 @@ object PipelineQueries extends QueryGroup {
       Similarity.ivfAnn(e.filter(col("vec_id") < 20), e, centroids, 0.2, nprobe = 3)
         .orderBy(col("query_id"), col("neighbor_id"))
     },
-    Some(s"""WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
-      |aff AS (
-      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
-      |  FROM embeddings e, cent c),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-      |       FROM aff),
-      |asg AS (SELECT vec_id, embedding, cid FROM rk WHERE rn = 1),
-      |q AS (SELECT vec_id, embedding, cid FROM rk WHERE rn <= 3 AND vec_id < 20)
-      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cid AS cluster,
-      |       round(${cosSql("q.embedding", "c.embedding")}, 3) AS sim
-      |FROM asg c, q
-      |WHERE q.cid = c.cid AND q.vec_id <> c.vec_id
-      |  AND round(${cosSql("q.embedding", "c.embedding")}, 3) >= 0.2
+    Some(s"""WITH $assignCtes,
+      |asg AS (SELECT vec_id, codes, nsq, cid FROM rk WHERE rn = 1),
+      |q AS (SELECT vec_id, codes, nsq, cid FROM rk WHERE rn <= 3 AND vec_id < 20),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cid AS cluster,
+      |         ${simE3Sql(dotLongSql("q.codes", "c.codes"), "q.nsq", "c.nsq")}
+      |           AS sim_e3
+      |  FROM asg c, q
+      |  WHERE q.cid = c.cid AND q.vec_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, cluster, sim_e3::DOUBLE / 1000 AS sim
+      |FROM p WHERE sim_e3 >= 200
       |ORDER BY query_id, neighbor_id""".stripMargin))
 
   private val p61 = QueryDef(
     // Cluster-local kNN graph over the whole embedding corpus (same
     // deterministic centroid rule as p14/p28): each vector's top-3 cell
-    // mates by 3-dp cosine, id tie-break. The oracle re-derives the
-    // assignment and ranks with an independent window formulation.
+    // mates by the e3 integer-cosine kernel, id tie-break. The oracle
+    // re-derives the integer assignment and ranks with an independent
+    // window formulation.
     (s, d) => {
       val e = embs(s, d)
       val centroids = e.filter(col("vec_id") % 50 === 0)
@@ -822,46 +852,40 @@ object PipelineQueries extends QueryGroup {
       Similarity.knnGraph(e, centroids, k = 3)
         .orderBy(col("vec_id"), col("rank"))
     },
-    Some(s"""WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
-      |aff AS (
-      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
-      |  FROM embeddings e, cent c),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-      |       FROM aff),
-      |asg AS (SELECT vec_id, embedding, cid FROM rk WHERE rn = 1),
+    Some(s"""WITH $assignCtes,
+      |asg AS (SELECT vec_id, codes, nsq, cid FROM rk WHERE rn = 1),
       |pair AS (
       |  SELECT x.vec_id, x.cid AS cluster, y.vec_id AS neighbor_id,
-      |         round(${cosSql("x.embedding", "y.embedding")}, 3) AS sim
+      |         ${simE3Sql(dotLongSql("x.codes", "y.codes"), "x.nsq", "y.nsq")}
+      |           AS sim_e3
       |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
       |top AS (SELECT *, row_number() OVER (
-      |          PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
-      |        FROM pair)
-      |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cluster, sim
+      |          PARTITION BY vec_id ORDER BY sim_e3 DESC, neighbor_id) AS rank
+      |        FROM pair WHERE sim_e3 IS NOT NULL)
+      |SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cluster,
+      |       sim_e3::DOUBLE / 1000 AS sim
       |FROM top WHERE rank <= 3
       |ORDER BY vec_id, rank""".stripMargin))
 
-  /** The mutual-kNN edge derivation (cent→…→m, ending in the
-   * reciprocated a<b edge list `m`) shared by p63 (components) and p83
-   * (PageRank): IVF cell assignment, cell-local top-3 at cosine ≥ 0.2,
-   * reciprocity join. Mirrors Similarity.mutualKnnEdges. */
+  /** The mutual-kNN edge derivation (ending in the reciprocated a<b
+   * edge list `m`) shared by p63 (components), p83 (PageRank) and p86
+   * (triangles): INTEGER-affinity IVF cell assignment ([[assignCtes]]),
+   * cell-local top-3 by the e3 integer-cosine pair kernel at
+   * sim_e3 ≥ 200 (= cosine 0.2), reciprocity join. Mirrors
+   * Similarity.mutualKnnEdges on the migrated integer pipeline. */
   private val mutualEdgeCte: String =
-    s"""cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
-      |aff AS (
-      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
-      |  FROM embeddings e, cent c),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-      |       FROM aff),
-      |asg AS (SELECT vec_id, embedding, cid FROM rk WHERE rn = 1),
+    s"""$assignCtes,
+      |asg AS (SELECT vec_id, codes, nsq, cid FROM rk WHERE rn = 1),
       |pair AS (
       |  SELECT x.vec_id, y.vec_id AS neighbor_id,
-      |         round(${cosSql("x.embedding", "y.embedding")}, 3) AS sim
+      |         ${simE3Sql(dotLongSql("x.codes", "y.codes"), "x.nsq", "y.nsq")}
+      |           AS sim_e3
       |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
       |top AS (SELECT *, row_number() OVER (
-      |          PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
-      |        FROM pair),
-      |g AS (SELECT vec_id, neighbor_id FROM top WHERE rank <= 3 AND sim >= 0.2),
+      |          PARTITION BY vec_id ORDER BY sim_e3 DESC, neighbor_id) AS rank
+      |        FROM pair WHERE sim_e3 IS NOT NULL),
+      |g AS (SELECT vec_id, neighbor_id FROM top
+      |      WHERE rank <= 3 AND sim_e3 >= 200),
       |m AS (SELECT x.vec_id AS a, x.neighbor_id AS b
       |      FROM g x JOIN g y ON x.vec_id = y.neighbor_id
       |                       AND x.neighbor_id = y.vec_id
@@ -903,21 +927,16 @@ object PipelineQueries extends QueryGroup {
       Similarity.knnLabelPurity(e, centroids, k = 5, minFrac = 0.5)
         .orderBy(col("vec_id"))
     },
-    Some(s"""WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
-      |aff AS (
-      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
-      |  FROM embeddings e, cent c),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-      |       FROM aff),
-      |asg AS (SELECT vec_id, embedding, cid FROM rk WHERE rn = 1),
+    Some(s"""WITH $assignCtes,
+      |asg AS (SELECT vec_id, codes, nsq, cid FROM rk WHERE rn = 1),
       |pair AS (
       |  SELECT x.vec_id, y.vec_id AS neighbor_id,
-      |         round(${cosSql("x.embedding", "y.embedding")}, 3) AS sim
+      |         ${simE3Sql(dotLongSql("x.codes", "y.codes"), "x.nsq", "y.nsq")}
+      |           AS sim_e3
       |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
       |top AS (SELECT *, row_number() OVER (
-      |          PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
-      |        FROM pair),
+      |          PARTITION BY vec_id ORDER BY sim_e3 DESC, neighbor_id) AS rank
+      |        FROM pair WHERE sim_e3 IS NOT NULL),
       |nb AS (SELECT t.vec_id, n.label AS nbr_label
       |       FROM top t JOIN embeddings n ON n.vec_id = t.neighbor_id
       |       WHERE t.rank <= 5),
@@ -952,23 +971,18 @@ object PipelineQueries extends QueryGroup {
       Similarity.hardNegatives(e, centroids, k = 2)
         .orderBy(col("vec_id"), col("rank"))
     },
-    Some(s"""WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
-      |aff AS (
-      |  SELECT e.vec_id, e.embedding, e.label, c.cid,
-      |         ${cosSql("e.embedding", "c.ce")} AS a
-      |  FROM embeddings e, cent c),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-      |       FROM aff),
-      |asg AS (SELECT vec_id, embedding, label, cid FROM rk WHERE rn = 1),
+    Some(s"""WITH $assignCtes,
+      |asg AS (SELECT vec_id, label, codes, nsq, cid FROM rk WHERE rn = 1),
       |pair AS (
       |  SELECT x.vec_id, x.label, y.vec_id AS neg_id, y.label AS neg_label,
-      |         round(${cosSql("x.embedding", "y.embedding")}, 3) AS sim
+      |         ${simE3Sql(dotLongSql("x.codes", "y.codes"), "x.nsq", "y.nsq")}
+      |           AS sim_e3
       |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.label <> y.label),
       |top AS (SELECT *, row_number() OVER (
-      |          PARTITION BY vec_id ORDER BY sim DESC, neg_id) AS rank
-      |        FROM pair)
-      |SELECT vec_id, label, CAST(rank AS BIGINT) AS rank, neg_id, neg_label, sim
+      |          PARTITION BY vec_id ORDER BY sim_e3 DESC, neg_id) AS rank
+      |        FROM pair WHERE sim_e3 IS NOT NULL)
+      |SELECT vec_id, label, CAST(rank AS BIGINT) AS rank, neg_id, neg_label,
+      |       sim_e3::DOUBLE / 1000 AS sim
       |FROM top WHERE rank <= 2
       |ORDER BY vec_id, rank""".stripMargin))
 
@@ -1005,17 +1019,9 @@ object PipelineQueries extends QueryGroup {
       Similarity.semanticDedup(e, centroids, threshold = 0.3)
         .orderBy(col("vec_id"))
     },
-    Some(s"""WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
-      |aff AS (
-      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
-      |  FROM embeddings e, cent c),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-      |       FROM aff),
-      |asg AS (SELECT vec_id, ${q3Sql("embedding")} AS codes, cid AS cluster
-      |        FROM rk WHERE rn = 1),
-      |asgn AS (SELECT vec_id, cluster, codes,
-      |           ${dotLongSql("codes", "codes")} AS nsq FROM asg),
+    Some(s"""WITH $assignCtes,
+      |asgn AS (SELECT vec_id, cid AS cluster, codes, nsq
+      |         FROM rk WHERE rn = 1),
       |prior AS (
       |  SELECT a.vec_id,
       |         max(${simE3Sql(dotLongSql("a.codes", "b.codes"), "a.nsq", "b.nsq")})
@@ -1042,13 +1048,7 @@ object PipelineQueries extends QueryGroup {
       Similarity.kmeansStep(e, centroids)
         .orderBy(col("cluster"), col("pos"))
     },
-    Some(s"""WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
-      |aff AS (
-      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
-      |  FROM embeddings e, cent c),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-      |       FROM aff),
+    Some(s"""WITH $assignCtes,
       |asg AS (SELECT vec_id, embedding, cid AS cluster FROM rk WHERE rn = 1),
       |pe AS (SELECT cluster, CAST(i.i AS INT) AS pos,
       |         CAST(floor(embedding[i.i]::DOUBLE * 10000.0 + 0.5) AS BIGINT)
@@ -1061,7 +1061,7 @@ object PipelineQueries extends QueryGroup {
       |       CAST(u.s_e4 AS DOUBLE) / (u.size * 10000.0) AS c_new,
       |       CAST(floor(c.ce[u.pos]::DOUBLE * 10000.0 + 0.5) AS DOUBLE)
       |         / 10000.0 AS c_old
-      |FROM upd u JOIN cent c ON c.cid = u.cluster
+      |FROM upd u JOIN cq c ON c.cid = u.cluster
       |ORDER BY u.cluster, u.pos""".stripMargin))
 
   private val p54 = QueryDef(
@@ -1574,20 +1574,12 @@ object PipelineQueries extends QueryGroup {
         e.filter(col("vec_id") % 5 === 4), centroids)
         .orderBy(col("cluster"))
     },
-    Some(s"""WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-      |  WHERE vec_id % 50 = 0),
-      |aff AS (
-      |  SELECT e.vec_id, e.vec_id % 5 = 4 AS is_new, c.cid,
-      |         ${cosSql("e.embedding", "c.ce")} AS a
-      |  FROM embeddings e, cent c),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-      |         ORDER BY a DESC, cid) AS rn FROM aff),
+    Some(s"""WITH $assignCtes,
       |cells AS (
       |  SELECT cid AS cluster,
-      |         CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+      |         CAST(sum(CASE WHEN vec_id % 5 = 4 THEN 0 ELSE 1 END) AS BIGINT)
       |           AS n_base,
-      |         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+      |         CAST(sum(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT)
       |           AS n_new
       |  FROM rk WHERE rn = 1 GROUP BY cid),
       |tot AS (SELECT sum(n_base) AS t_base, sum(n_new) AS t_new
@@ -1733,22 +1725,12 @@ object PipelineQueries extends QueryGroup {
         pqCodebooks(s, e), dsub = 16, k = 5, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(s"""WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-      |  WHERE vec_id % 50 = 0),
-      |aff AS (
-      |  SELECT e.vec_id, e.embedding, c.cid,
-      |         ${cosSql("e.embedding", "c.ce")} AS a
-      |  FROM embeddings e, cent c),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-      |         ORDER BY a DESC, cid) AS rn FROM aff),
-      |asg AS (SELECT vec_id, embedding, cid AS cluster
-      |        FROM rk WHERE rn = 1),
+    Some(s"""WITH $assignCtes,
       |rv AS (
-      |  SELECT a.vec_id, a.cluster,
+      |  SELECT vec_id, cid AS cluster,
       |         list_transform(range(1, 65),
-      |           i -> a.embedding[i]::DOUBLE - c.ce[i]::DOUBLE) AS r
-      |  FROM asg a JOIN cent c ON c.cid = a.cluster),
+      |           i -> embedding[i]::DOUBLE - ce[i]::DOUBLE) AS r
+      |  FROM rk WHERE rn = 1),
       |ranked AS (
       |  SELECT embedding,
       |         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
@@ -1770,21 +1752,11 @@ object PipelineQueries extends QueryGroup {
       |  SELECT vec_id, cluster, segment, code FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id, segment
       |      ORDER BY dist, code) AS rn FROM cd) t WHERE rn = 1),
-      |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-      |paff AS (
-      |  SELECT q.vec_id AS qid, c.cid, ${cosSql("q.embedding", "c.ce")}
-      |           AS a
-      |  FROM q, cent c),
-      |probes AS (
-      |  SELECT qid, cid AS cluster FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY qid
-      |      ORDER BY a DESC, cid) AS rn FROM paff) t WHERE rn <= 2),
       |qr AS (
-      |  SELECT p.qid, p.cluster,
+      |  SELECT vec_id AS qid, cid AS cluster,
       |         list_transform(range(1, 65),
-      |           i -> q.embedding[i]::DOUBLE - c.ce[i]::DOUBLE) AS r
-      |  FROM probes p JOIN q ON q.vec_id = p.qid
-      |  JOIN cent c ON c.cid = p.cluster),
+      |           i -> embedding[i]::DOUBLE - ce[i]::DOUBLE) AS r
+      |  FROM rk WHERE rn <= 2 AND vec_id < 10),
       |lut AS (
       |  SELECT qr.qid, qr.cluster, c.segment, c.code,
       |         list_sum(list_transform(range(1, 17), i ->
@@ -2865,23 +2837,14 @@ object PipelineQueries extends QueryGroup {
       Similarity.marginMining(e, centroids, srcLabel = 0, tgtLabel = 1)
         .orderBy(col("src_id"))
     },
-    Some(s"""WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
-      |aff AS (
-      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
-      |  FROM embeddings e, cent c),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-      |       FROM aff),
-      |asg AS (SELECT vec_id, embedding, cid FROM rk WHERE rn = 1),
+    Some(s"""WITH $assignCtes,
+      |asg AS (SELECT vec_id, label, codes, nsq, cid FROM rk WHERE rn = 1),
       |pair0 AS (
       |  SELECT x.vec_id AS src_id, y.vec_id AS tgt_id,
-      |         CAST(round(${cosSql("x.embedding", "y.embedding")} * 1000)
-      |           AS BIGINT) AS c_e3
-      |  FROM asg x JOIN embeddings ex
-      |         ON ex.vec_id = x.vec_id AND ex.label = 0
-      |       JOIN asg y ON y.cid = x.cid
-      |       JOIN embeddings ey
-      |         ON ey.vec_id = y.vec_id AND ey.label = 1),
+      |         ${simE3Sql(dotLongSql("x.codes", "y.codes"), "x.nsq", "y.nsq")}
+      |           AS c_e3
+      |  FROM asg x JOIN asg y ON y.cid = x.cid
+      |  WHERE x.label = 0 AND y.label = 1),
       |pair AS (SELECT * FROM pair0 WHERE c_e3 > 0),
       |sx AS (
       |  SELECT src_id, CAST(sum(c_e3) AS BIGINT) AS s, count(*) AS k
@@ -3088,7 +3051,8 @@ object PipelineQueries extends QueryGroup {
         .withColumn("recall_ppm", expr("(n_hit * 1000000) div n_exact"))
         .orderBy(col("query_id"))
     },
-    Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    Some(s"""WITH $assignCtes,
+      |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
       |scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS id,
       |         ${cosSql("q.embedding", "c.embedding")} AS score
@@ -3097,13 +3061,6 @@ object PipelineQueries extends QueryGroup {
       |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
       |      FROM scored),
       |exact AS (SELECT query_id, id AS neighbor_id FROM r WHERE rn <= 5),
-      |cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
-      |aff AS (
-      |  SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
-      |  FROM embeddings e, cent c),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-      |       FROM aff),
       |asg AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
       |qp AS (SELECT vec_id, cid FROM rk WHERE rn <= 3 AND vec_id < 10),
       |cand AS (SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -3129,17 +3086,11 @@ object PipelineQueries extends QueryGroup {
       Similarity.ivfCellStats(e, centroids)
         .orderBy(col("n_vecs").desc, col("cluster"))
     },
-    Some(s"""WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
-      |aff AS (
-      |  SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.ce")} AS a
-      |  FROM embeddings e, cent c),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-      |       FROM aff),
+    Some(s"""WITH $assignCtes,
       |census AS (SELECT cid AS cluster, count(*) AS n_vecs
       |           FROM rk WHERE rn = 1 GROUP BY cid),
       |tot AS (SELECT sum(n_vecs) AS n_total,
-      |               (SELECT count(*) FROM cent) AS n_cells FROM census)
+      |               (SELECT count(*) FROM cq) AS n_cells FROM census)
       |SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs,
       |       CAST(n_vecs * 1000000 // n_total AS BIGINT) AS share_ppm,
       |       CAST(n_vecs * n_cells * 1000000 // n_total AS BIGINT) AS load_ppm

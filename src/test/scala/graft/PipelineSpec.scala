@@ -370,29 +370,29 @@ class PipelineSpec extends AnyFunSuite {
     val got = Similarity.semanticDedup(e, centroids, threshold = 0.3)
       .collect().map(r => r.getLong(0) -> r).toMap
 
-    // driver-side replay: same assignment rule (max float cosine, ties
-    // to the lowest centroid id), then the e3 integer-cosine pair
-    // kernel (quantize once, integer dot/norm², one final IEEE
-    // expression) — EXACT equality, no tolerance
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
-    }
+    // driver-side replay of the INTEGER pipeline end to end: quantize
+    // once to e3 codes, assignment = argmax integer affinity (ties to
+    // the lowest centroid id — zero-norm would coalesce below any real
+    // affinity, mirroring the engine), pair stage = the same simE3
+    // kernel — EXACT equality, no tolerance
     val vecs = e.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
     val cents = vecs.filter(_._1 % 50 == 0)
-    val assign = vecs.map { case (id, v) =>
-      id -> cents.map { case (cid, cv) => (cid, cos(v, cv)) }
-        .minBy { case (cid, aff) => (-aff, cid) }._1
-    }.toMap
     val codes = vecs.map { case (id, v) =>
       id -> v.map(x => math.floor(x * 1000 + 0.5).toLong) }.toMap
     val nsq = codes.map { case (id, c) => id -> c.map(x => x * x).sum }
     def simE3(a: Long, b: Long): Long = {
-      val dot = codes(a).zip(codes(b)).map { case (x, y) => x * y }.sum
-      math.floor(dot.toDouble / math.sqrt(nsq(a).toDouble * nsq(b).toDouble)
-        * 1000 + 0.5).toLong
+      if (nsq(a) == 0L || nsq(b) == 0L) Long.MinValue
+      else {
+        val dot = codes(a).zip(codes(b)).map { case (x, y) => x * y }.sum
+        math.floor(dot.toDouble / math.sqrt(nsq(a).toDouble * nsq(b).toDouble)
+          * 1000 + 0.5).toLong
+      }
     }
+    val assign = vecs.map { case (id, _) =>
+      id -> cents.map { case (cid, _) => (cid, simE3(id, cid)) }
+        .minBy { case (cid, aff) => (-aff, cid) }._1
+    }.toMap
     val byCluster = vecs.groupBy { case (id, _) => assign(id) }
     vecs.foreach { case (id, _) =>
       val mates = byCluster(assign(id)).filter(_._1 < id)
@@ -575,22 +575,29 @@ class PipelineSpec extends AnyFunSuite {
     val vecs = e.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     val cids = vecs.keys.filter(_ % 50 == 0).toSeq.sorted
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+    // driver-side replay of the INTEGER pipeline: e3 codes quantized
+    // once, assignment = argmax integer affinity (ties to lowest
+    // centroid id), pair sims the same simE3 kernel
+    val codes = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 1000 + 0.5).toLong) }
+    val nsq = codes.map { case (id, c) => id -> c.map(x => x * x).sum }
+    def simE3(a: Long, b: Long): Long = {
+      if (nsq(a) == 0L || nsq(b) == 0L) Long.MinValue
+      else {
+        val dot = codes(a).zip(codes(b)).map { case (x, y) => x * y }.sum
+        math.floor(dot.toDouble / math.sqrt(nsq(a).toDouble * nsq(b).toDouble)
+          * 1000 + 0.5).toLong
+      }
     }
-    // assignment: highest raw cosine, ties to lowest centroid id
-    val asg = vecs.map { case (id, v) =>
-      id -> cids.map(c => c -> cos(v, vecs(c))).maxBy { case (c, a) => (a, -c) }._1
+    val asg = vecs.map { case (id, _) =>
+      id -> cids.map(c => c -> simE3(id, c)).maxBy { case (c, a) => (a, -c) }._1
     }
     val expect = vecs.keys.flatMap { id =>
       val mates = asg.collect { case (o, c) if c == asg(id) && o != id => o }
       mates.toSeq
-        .map(o => (o, BigDecimal(cos(vecs(id), vecs(o)))
-          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .map(o => (o, simE3(id, o)))
         .sortBy { case (o, s) => (-s, o) }.take(3).zipWithIndex
-        .map { case ((o, s), i) => (id, i + 1L, o, s) }
+        .map { case ((o, s), i) => (id, i + 1L, o, s.toDouble / 1000) }
     }.toSet
     val got = graft.pipeline.Similarity.knnGraph(e, cents, k = 3).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
