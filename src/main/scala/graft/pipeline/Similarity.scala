@@ -187,21 +187,22 @@ object Similarity {
    * Shape at 100 TB: assignment is the broadcast map-side pass of
    * [[ivfAssign]] (no corpus shuffle); the self-join shuffles the corpus
    * once on the cell id; with nlist ≈ √N the within-cell pair work is
-   * ~N^1.5 ≪ N² (p28's analysis); the per-vector top-k is a window over
-   * each vector's own candidate list, partitioned by vector — never a
-   * global sort. Pairs ride the e3 INTEGER-cosine kernel ([[simE3]] on
-   * the assignment's quantize-once codes — one integer multiply-add per
-   * pair), rank on the exact e3 long with an id tie-break; a
-   * cosine-undefined (zero-norm) pair is NULL and excluded before the
-   * window in BOTH engines (repo convention: never rank a float fold,
-   * never let an undefined similarity silently order).
+   * ~N^1.5 ≪ N² (p28's analysis); the per-vector top-k is the k-bounded
+   * [[graft.functions.MinKPairs]] aggregate — map-side partial top-k, so
+   * each task ships at most k pairs per vector, where a rank window
+   * would shuffle AND sort the whole ~N^1.5 pair relation (measured
+   * 234 s → 150 s at the 100× rehearsal; the remainder is the pair
+   * kernel itself, shared with p28's class). Pairs ride the e3
+   * INTEGER-cosine kernel ([[simE3]] on the assignment's quantize-once
+   * codes — one integer multiply-add per pair); ordering is
+   * (dist = −sim_e3, neighbor_id) ascending ≡ (sim desc, id asc), the
+   * exact-integer ranking convention; a cosine-undefined (zero-norm)
+   * pair is NULL and excluded before the aggregate in BOTH engines.
    */
   def knnGraph(vecs: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     val asg = graft.CacheScope.track(ivfAssign(vecs, centroids)
       .select(col("vec_id"), col("cluster"), col("codes"), col("nsq")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim_e3").desc, col("neighbor_id"))
     asg.as("a")
       .join(asg.as("b"),
         col("a.cluster") === col("b.cluster") &&
@@ -211,11 +212,16 @@ object Similarity {
         simE3(graft.functions.GraftFunctions.dotLong(col("a.codes"), col("b.codes")),
           col("a.nsq"), col("b.nsq")).as("sim_e3"))
       .filter(col("sim_e3").isNotNull)
-      .withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cluster"),
-        (col("sim_e3").cast("double") / 1000).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("cluster")).as("cluster"),
+        graft.functions.GraftFunctions.minKPairs(
+          struct((-col("sim_e3")).as("dist"), col("neighbor_id").as("dst")), k)
+          .as("topk"))
+      .select(col("vec_id"), col("cluster"),
+        posexplode(col("topk")).as(Seq("p0", "pair")))
+      .select(col("vec_id"), (col("p0") + 1).cast("long").as("rank"),
+        col("pair.dst").as("neighbor_id"), col("cluster"),
+        ((-col("pair.dist")).cast("double") / 1000).as("sim"))
   }
 
   /**
@@ -312,36 +318,46 @@ object Similarity {
    * label-mismatch gate.
    *
    * Shape at 100 TB: identical to [[knnGraph]] (one corpus shuffle on
-   * the IVF cell id, per-vector top-k window inside the cell) plus one
-   * broadcast-scale join of the edge list against the (vec_id, label)
-   * relation — the label gate drops edges BEFORE the rank window, so
-   * the window state is at most the cell population, never the corpus.
+   * the IVF cell id, per-vector top-k via the k-bounded
+   * [[graft.functions.MinKPairs]] aggregate — never a window over the
+   * pair relation) plus one edge-scale join of the N·k selected
+   * negatives against the (vec_id, label) relation to recover the
+   * negative's label; the label-mismatch gate drops edges BEFORE the
+   * aggregate, so its state is at most k pairs per vector.
    */
   def hardNegatives(vecs: DataFrame, centroids: DataFrame, k: Int)
       : DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     // ivfAssign keeps the quantize-once projection; fold the label back
-    // in before the cell self-join so the mismatch gate prunes pre-window
+    // in before the cell self-join so the mismatch gate prunes pre-agg
     val asg = graft.CacheScope.track(
       ivfAssign(vecs, centroids)
         .select(col("vec_id"), col("cluster"), col("codes"), col("nsq"))
         .join(vecs.select(col("vec_id"), col("label")), Seq("vec_id")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim_e3").desc, col("neg_id"))
-    asg.as("a")
+    val top = asg.as("a")
       .join(asg.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.label") =!= col("b.label"))
       .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
-        col("b.vec_id").as("neg_id"), col("b.label").as("neg_label"),
+        col("b.vec_id").as("neg_id"),
         simE3(graft.functions.GraftFunctions.dotLong(col("a.codes"), col("b.codes")),
           col("a.nsq"), col("b.nsq")).as("sim_e3"))
       .filter(col("sim_e3").isNotNull)
-      .withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("label"), col("rank").cast("long").as("rank"),
-        col("neg_id"), col("neg_label"),
-        (col("sim_e3").cast("double") / 1000).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("label")).as("label"),
+        graft.functions.GraftFunctions.minKPairs(
+          struct((-col("sim_e3")).as("dist"), col("neg_id").as("dst")), k)
+          .as("topk"))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("topk")).as(Seq("p0", "pair")))
+      .select(col("vec_id"), col("label"),
+        (col("p0") + 1).cast("long").as("rank"),
+        col("pair.dst").as("neg_id"),
+        ((-col("pair.dist")).cast("double") / 1000).as("sim"))
+    top.join(vecs.select(col("vec_id").as("neg_id"),
+        col("label").as("neg_label")), Seq("neg_id"))
+      .select(col("vec_id"), col("label"), col("rank"), col("neg_id"),
+        col("neg_label"), col("sim"))
   }
 
   /**
@@ -1072,9 +1088,12 @@ object Similarity {
    *
    * Shape at 100 TB: candidates are IVF cell-mates only (the p61/p68
    * bucketing — never a cross join of the two language sides); the
-   * neighborhood sums are two windows over the cell-bounded pair
-   * relation keyed on either endpoint; everything downstream is
-   * pair-scale. Centroids broadcast; the corpus never shuffles wide.
+   * neighborhood sums ride the k-bounded
+   * [[graft.functions.MinKPairs]] aggregate keyed on either endpoint
+   * (map-side partial top-k — a rank window would shuffle and sort the
+   * whole pair relation, twice), and the per-source best match is a
+   * map-side max_by argmax, not a third window. Everything downstream
+   * is pair-scale. Centroids broadcast; the corpus never shuffles wide.
    */
   def marginMining(vecs: DataFrame, centroids: DataFrame,
       srcLabel: Int, tgtLabel: Int, k: Int = 3): DataFrame = {
@@ -1092,28 +1111,32 @@ object Similarity {
               col("a.codes"), col("b.codes")),
             col("a.nsq"), col("b.nsq")).as("c_e3"))
         .filter(col("c_e3") > 0))
-    def nnSums(key: String, other: String) = {
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(key)).orderBy(col("c_e3").desc, col(other))
-      pairs.withColumn("rn", row_number().over(win))
-        .filter(col("rn") <= k)
-        .groupBy(col(key))
-        .agg(sum(col("c_e3")).as(s"s_$key"),
-          count(lit(1)).as(s"k_$key"))
-    }
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src_id"))
-      .orderBy(col("margin_ppm").desc, col("tgt_id"))
+    // top-k neighborhood sums via the k-bounded aggregate: (−c_e3, id)
+    // ascending ≡ (c_e3 desc, id asc), the window it replaces; the sum
+    // and count then fold the ≤k-element array per key — integer exact
+    def nnSums(key: String, other: String) =
+      pairs.groupBy(col(key))
+        .agg(graft.functions.GraftFunctions.minKPairs(
+          struct((-col("c_e3")).as("dist"), col(other).as("dst")), k)
+          .as("topk"))
+        .select(col(key),
+          expr("aggregate(topk, CAST(0 AS BIGINT), (acc, x) -> acc - x.dist)")
+            .as(s"s_$key"),
+          size(col("topk")).cast("long").as(s"k_$key"))
     pairs
       .join(nnSums("src_id", "tgt_id"), Seq("src_id"))
       .join(nnSums("tgt_id", "src_id"), Seq("tgt_id"))
       .withColumn("margin_ppm",
         expr("(2 * c_e3 * k_src_id * k_tgt_id * 1000000) div " +
           "(s_src_id * k_tgt_id + s_tgt_id * k_src_id)"))
-      .withColumn("rn", row_number().over(win))
-      .filter(col("rn") === 1)
-      .select(col("src_id"), col("tgt_id"), col("c_e3"), col("margin_ppm"),
-        (col("margin_ppm") >= 1000000L).as("accepted"))
+      // best match per source: map-side argmax (margin desc, tgt asc) —
+      // the p80 struct-max shape, not a third pair-scale window
+      .groupBy(col("src_id"))
+      .agg(max_by(struct(col("tgt_id"), col("c_e3"), col("margin_ppm")),
+        struct(col("margin_ppm"), -col("tgt_id"))).as("m"))
+      .select(col("src_id"), col("m.tgt_id").as("tgt_id"),
+        col("m.c_e3").as("c_e3"), col("m.margin_ppm").as("margin_ppm"),
+        (col("m.margin_ppm") >= 1000000L).as("accepted"))
   }
 
   /**
@@ -1186,11 +1209,18 @@ object Similarity {
       // ranked: drop the candidate here instead of letting a null Long
       // blow up the typed decode
       .filter(col("rel_e3").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("rel_e3").desc, col("cid"))
+    // per-query pool selection via the k-bounded MinKPairs aggregate
+    // ((−rel, cid) asc ≡ (rel desc, cid asc)): map-side partial top-k,
+    // so the shuffle carries poolN rows per query instead of the whole
+    // |q|×N scored relation a rank window would sort
     val pool = graft.CacheScope.track(scored
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= poolN)
-      .select(col("qid"), col("cid"), col("rel_e3")))
+      .groupBy(col("qid"))
+      .agg(graft.functions.GraftFunctions.minKPairs(
+        struct((-col("rel_e3")).as("dist"), col("cid").as("dst")), poolN)
+        .as("topk"))
+      .select(col("qid"), explode(col("topk")).as("pair"))
+      .select(col("qid"), col("pair.dst").as("cid"),
+        (-col("pair.dist")).as("rel_e3")))
     // pool codes: ONE broadcast-pool join — the corpus never shuffles
     val poolE = cq
       .join(broadcast(pool), col("vec_id") === col("cid"))
