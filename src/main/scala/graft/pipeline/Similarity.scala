@@ -799,22 +799,121 @@ object Similarity {
    * map-side partials. Top-k is a per-query rank over cell-bounded
    * candidates.
    */
+  /** The IVF residual relation (vec_id, cluster, embedding:
+   * array<double>) — coarse-assign each corpus vector to its cell and
+   * subtract the cell centroid in DOUBLE (float-widening is exact,
+   * double subtraction correctly rounded, so any engine reproduces the
+   * residual bit for bit). Cached: the zip_with HOF and the assignment
+   * fan out to every consumer (PQ encode, PQ training supersteps, the
+   * cluster join-back). One broadcast pass — the corpus never
+   * shuffles. */
+  def ivfResiduals(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    graft.CacheScope.track(
+      ivfAssign(corpus, centroids).as("a")
+        .join(broadcast(centroids), col("cluster") === col("centroid_id"))
+        .select(col("a.vec_id"), col("a.cluster"),
+          zip_with(col("a.embedding"), col("cembedding"),
+            (x, c) => x.cast("double") - c.cast("double"))
+            .as("embedding")))
+
+  /**
+   * One Lloyd step of PER-SEGMENT k-means over PQ training data (the
+   * FAISS ProductQuantizer::train discipline — Jégou 2011 §II trains
+   * each sub-quantizer independently on its subvector slice, on
+   * RESIDUALS when composed with an IVF coarse quantizer): assignment
+   * is [[pqAssign]]'s argmin-L2 over the broadcast codebooks (ties to
+   * the lowest code), and the update re-estimates each codeword
+   * component as the mean of its members in the p52 exact-integer
+   * convention — components e4-quantize once via floor(v·10⁴ + 0.5)
+   * (pure IEEE on exact-double residuals), the sum is INTEGER, and the
+   * new component is ONE final IEEE division. A code that attracted no
+   * members keeps its previous codeword (size 0 — deterministic, and
+   * the standard small-corpus alternative to FAISS's random re-seeding,
+   * which an oracle could not replay).
+   *
+   * Returns one row per (segment, code, pos): membership size, the
+   * trained component `c_new`, and the incoming component `c_old`.
+   *
+   * Shape at 100 TB: assignment is |corpus|·m·ks broadcast kernel
+   * calls + a (vec, segment) hash agg; the update is one pos-exploded
+   * (segment, code, pos) hash agg with map-side partials — m·ks·dsub
+   * output rows. The corpus never shuffles on anything but its own id.
+   */
+  def pqTrainStep(residuals: DataFrame, codebooks: DataFrame,
+      dsub: Int): DataFrame = {
+    val asg = pqAssign(residuals, codebooks, dsub)
+      .select(col("vec_id"), col("segment"), col("code"))
+    val upd = asg.join(residuals, Seq("vec_id"))
+      .select(col("segment"), col("code"),
+        posexplode(slice(col("embedding"), col("segment") * dsub + lit(1),
+          lit(dsub))).as(Seq("p0", "v")))
+      .select(col("segment"), col("code"),
+        (col("p0") + 1).cast("int").as("pos"),
+        floor(col("v").cast("double") * 10000.0 + 0.5).cast("long").as("v_e4"))
+      .groupBy(col("segment"), col("code"), col("pos"))
+      .agg(count(lit(1)).as("size"), sum(col("v_e4")).as("s_e4"))
+    // full spine from the incoming books so empty codes keep their
+    // codeword and the output is always m·ks·dsub rows
+    val spine = codebooks
+      .select(col("segment"), col("code"),
+        posexplode(col("subvec")).as(Seq("p0", "cv")))
+      .select(col("segment"), col("code"),
+        (col("p0") + 1).cast("int").as("pos"),
+        col("cv").cast("double").as("c_old"))
+    spine.join(upd, Seq("segment", "code", "pos"), "left")
+      .select(col("segment"), col("code"), col("pos"),
+        coalesce(col("size"), lit(0L)).as("size"),
+        when(col("size").isNotNull,
+          col("s_e4").cast("double") / (col("size").cast("double") * 10000.0))
+          .otherwise(col("c_old")).as("c_new"),
+        col("c_old"))
+  }
+
+  /** PQ codebook training: `iterations` Lloyd steps ([[pqTrainStep]])
+   * from a deterministic init, returning the FINAL step's
+   * (segment, code, pos, size, c_new, c_old) relation. The codebook is
+   * model-scale (m·ks·dsub rows), so each superstep's artifact is
+   * materialized DRIVER-side and re-created as a literal relation (the
+   * p91 power-iteration / BPE-merge convention) — iteration lineage
+   * never compounds and the next assignment pass reads a broadcast
+   * literal; ALL corpus-scale work stays in the distributed
+   * assignment + update aggregates. */
+  def pqTrain(residuals: DataFrame, initCodebooks: DataFrame, dsub: Int,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    val spark = residuals.sparkSession
+    import spark.implicits._
+    var cb = initCodebooks
+    var step: DataFrame = null
+    for (_ <- 1 to iterations) {
+      step = pqTrainStep(residuals, cb, dsub)
+      val rows = step.select(col("segment"), col("code"), col("pos"),
+          col("c_new")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      cb = rows.groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((seg, code), rs) =>
+          (seg, code, rs.sortBy(_._3).map(_._4).toSeq) }
+        .toDF("segment", "code", "subvec")
+    }
+    step
+  }
+
+  /** Assemble (segment, code, subvec) codebooks from a [[pqTrain]]
+   * audit relation — the trained books an IVFPQ index consumes. */
+  def booksFromTrain(audit: DataFrame): DataFrame =
+    audit.groupBy(col("segment"), col("code"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c_new")))),
+        s => s.getField("c_new")).as("subvec"))
+
   def ivfpqTopK(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, codebooks: DataFrame, dsub: Int, k: Int,
       nprobe: Int): DataFrame = {
     val cents = broadcast(centroids)
     val cbD = codebooks.select(col("segment"), col("code"),
       transform(col("subvec"), x => x.cast("double")).as("subvec"))
-    // coarse assign + exact-double residual; cached — the zip_with HOF
-    // and the assignment fan out to the code derivation AND the
-    // cluster join-back
-    val asg = graft.CacheScope.track(
-      ivfAssign(corpus, centroids).as("a")
-        .join(cents, col("cluster") === col("centroid_id"))
-        .select(col("a.vec_id"), col("a.cluster"),
-          zip_with(col("a.embedding"), col("cembedding"),
-            (x, c) => x.cast("double") - c.cast("double"))
-            .as("embedding")))
+    // coarse assign + exact-double residual (cached inside)
+    val asg = ivfResiduals(corpus, centroids)
     val codes = pqAssign(asg, cbD, dsub)
       .join(asg.select(col("vec_id"), col("cluster")), "vec_id")
       .select(col("vec_id"), col("cluster"), col("segment"), col("code"))

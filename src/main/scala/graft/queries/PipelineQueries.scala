@@ -1595,8 +1595,11 @@ object PipelineQueries extends QueryGroup {
   /** PQ fixture codebooks: m=4 segments × dsub=16 dims, ks≤16 codewords
    * per segment (the first ≤16 centroid-rule vectors' subvectors — a
    * deterministic stand-in for per-segment k-means, same fixture
-   * philosophy as p14's centroids). The rank window runs on a ≤16-row
-   * dimension table. */
+   * philosophy as p14's centroids). p35/p37 quantize RAW vectors
+   * against these; p132 uses p133's TRAINED residual books instead
+   * (residual-trained books would be domain-mismatched for the raw
+   * path, so the fixture stays the right input here). The rank window
+   * runs on a ≤16-row dimension table. */
   private def pqCodebooks(s: SparkSession, e: DataFrame): DataFrame = {
     val ranked = e.filter(col("vec_id") % 50 === 0)
       .withColumn("code", (row_number().over(
@@ -1609,6 +1612,120 @@ object PipelineQueries extends QueryGroup {
         slice(col("embedding"), col("segment") * 16 + lit(1), lit(16))
           .as("subvec"))
   }
+
+  /** Deterministic PQ-training init: the first ≤16 residuals of the
+   * `vec_id % 50 = 7` rule, code = rank by vec_id. The %50=0 rule
+   * (p14's centroid fixture) would NOT work here: a centroid's own
+   * residual is the zero vector, so every init codeword would collapse
+   * to 0 and the first Lloyd assignment would degenerate to one code
+   * per segment. The window runs over the ≤N/50-row filtered set. */
+  private def pqInitBooks(s: SparkSession, rv: DataFrame): DataFrame = {
+    val ranked = rv.filter(col("vec_id") % 50 === 7)
+      .withColumn("code", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+        .cast("int"))
+      .filter(col("code") < 16)
+    val segs = s.range(0, 4).select(col("id").cast("int").as("segment"))
+    ranked.crossJoin(segs)
+      .select(col("segment"), col("code"),
+        slice(col("embedding"), col("segment") * 16 + lit(1), lit(16))
+          .as("subvec"))
+  }
+
+  /** The trained-PQ audit relation shared by p133 (the training row)
+   * and p132 (IVFPQ search over the TRAINED books), memoized
+   * RUN-scoped: two Lloyd supersteps over the IVF residual relation —
+   * the expensive corpus passes run once per harness run, the
+   * production checkpoint discipline between "train index" and "serve
+   * queries" stages. */
+  private def pqTrainShared(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.memoRun(
+      s"${s.sparkContext.applicationId}:pq-train:$d") {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cembedding"))
+      val rv = Similarity.ivfResiduals(e, centroids)
+      Similarity.pqTrain(rv, pqInitBooks(s, rv), dsub = 16, iterations = 2)
+    }
+
+  /** Oracle replay of the PQ-training supersteps over the `rv`
+   * residual CTE (which itself rides [[assignCtes]]): cb0p is the
+   * deterministic %50=7 init, then per iteration t — cb{t-1}p folds to
+   * list-codebooks (cb{t-1}), a/g assign every residual's segment to
+   * its argmin-L2 code (ties to the lowest code, the independent
+   * window formulation of pqAssign's min_by), u re-estimates each
+   * component in the p52 exact-integer convention, and cb{t}p keeps an
+   * empty code's previous codeword. AS MATERIALIZED throughout: each
+   * step is referenced twice (assignment + keep-old fallback), and
+   * DuckDB inlines CTEs per reference — an unmaterialized superstep
+   * chain goes exponential (the round-10 oracle lesson). */
+  private val pqTrainCtes: String = {
+    def step(t: Int): String = {
+      val prev = s"cb${t - 1}"
+      s"""$prev AS MATERIALIZED (
+        |  SELECT segment, code, list(cv ORDER BY pos) AS subvec
+        |  FROM ${prev}p GROUP BY 1, 2),
+        |a$t AS (
+        |  SELECT rv.vec_id, c.segment, c.code,
+        |         list_sum(list_transform(range(1, 17), i ->
+        |           (rv.r[c.segment * 16 + i] - c.subvec[i]) *
+        |           (rv.r[c.segment * 16 + i] - c.subvec[i]))) AS dist
+        |  FROM rv CROSS JOIN $prev c),
+        |g$t AS (SELECT vec_id, segment, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, segment
+        |      ORDER BY dist, code) AS rn2 FROM a$t) WHERE rn2 = 1),
+        |u$t AS (
+        |  SELECT g.segment, g.code, CAST(i.i AS INT) AS pos,
+        |         count(*) AS msize,
+        |         CAST(sum(CAST(floor(rv.r[g.segment * 16 + i.i] * 10000.0
+        |           + 0.5) AS BIGINT)) AS BIGINT) AS s_e4
+        |  FROM g$t g JOIN rv ON rv.vec_id = g.vec_id
+        |  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
+        |  GROUP BY 1, 2, 3),
+        |cb${t}p AS MATERIALIZED (
+        |  SELECT c.segment, c.code, c.pos, coalesce(u.msize, 0) AS msize,
+        |         CASE WHEN u.msize IS NOT NULL
+        |              THEN CAST(u.s_e4 AS DOUBLE) / (u.msize * 10000.0)
+        |              ELSE c.cv END AS cv,
+        |         c.cv AS c_old
+        |  FROM ${prev}p c LEFT JOIN u$t u USING (segment, code, pos))"""
+        .stripMargin
+    }
+    s"""cb0p AS MATERIALIZED (
+      |  SELECT CAST(s.s AS INT) AS segment, t.code, CAST(i.i AS INT) AS pos,
+      |         t.r[s.s * 16 + i.i] AS cv
+      |  FROM (SELECT r, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+      |          AS code
+      |        FROM rv WHERE vec_id % 50 = 7) t
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
+      |  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
+      |  WHERE t.code < 16),
+      |${step(1)},
+      |${step(2)}""".stripMargin
+  }
+
+  private val p133 = QueryDef(
+    // PQ codebook TRAINING (Jégou 2011 §II / FAISS ProductQuantizer
+    // ::train, per-segment k-means on IVF residuals): two Lloyd
+    // supersteps from the deterministic %50=7 residual init — argmin-L2
+    // assignment (ties to the lowest code), e4-integer mean update, an
+    // empty code keeps its codeword. One row per (segment, code, pos)
+    // of the FINAL step: membership size, trained c_new, incoming
+    // c_old. The oracle unrolls BOTH supersteps as literal SQL (the
+    // p83 convention), so parity pins every assignment and every mean.
+    (s, d) => pqTrainShared(s, d)
+      .orderBy(col("segment"), col("code"), col("pos")),
+    Some(s"""WITH $assignCtes,
+      |rv AS (
+      |  SELECT vec_id, cid AS cluster,
+      |         list_transform(range(1, 65),
+      |           i -> embedding[i]::DOUBLE - ce[i]::DOUBLE) AS r
+      |  FROM rk WHERE rn = 1),
+      |$pqTrainCtes
+      |SELECT segment, code, pos, CAST(msize AS BIGINT) AS size,
+      |       cv AS c_new, c_old
+      |FROM cb2p ORDER BY segment, code, pos""".stripMargin))
 
   /** Shared oracle CTEs: codebooks (`cb`) and the per-(vec, segment)
    * code assignment (`asg`) — the SQL mirror of [[pqCodebooks]] +
@@ -1713,16 +1830,19 @@ object PipelineQueries extends QueryGroup {
     // would round to 24 bits and diverge from the SQL replay), queries
     // probe their 2 nearest cells with per-cell residual LUTs, and ADC
     // ranks candidates from the probed cells only. Every LUT entry is
-    // e6-quantized before the m-lookup sum (p37's convention). The
-    // oracle replays assignment, residuals, codes, probes, LUTs, and
-    // the integer lookup sum from scratch.
+    // e6-quantized before the m-lookup sum (p37's convention). Books
+    // are TRAINED (p133's two Lloyd supersteps on the residuals — no
+    // fixture codebooks since round 13); the oracle replays training,
+    // assignment, residuals, codes, probes, LUTs, and the integer
+    // lookup sum from scratch.
     (s, d) => {
       val e = embs(s, d)
       val centroids = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("cembedding"))
       Similarity.ivfpqTopK(e.filter(col("vec_id") < 10), e, centroids,
-        pqCodebooks(s, e), dsub = 16, k = 5, nprobe = 2)
+        Similarity.booksFromTrain(pqTrainShared(s, d)), dsub = 16, k = 5,
+        nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""WITH $assignCtes,
@@ -1731,16 +1851,10 @@ object PipelineQueries extends QueryGroup {
       |         list_transform(range(1, 65),
       |           i -> embedding[i]::DOUBLE - ce[i]::DOUBLE) AS r
       |  FROM rk WHERE rn = 1),
-      |ranked AS (
-      |  SELECT embedding,
-      |         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |$pqTrainCtes,
       |cb AS (
-      |  SELECT s.s AS segment, code,
-      |         list_transform(range(1, 17), i -> embedding[s.s * 16 + i])
-      |           AS subvec
-      |  FROM ranked CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
-      |  WHERE code < 16),
+      |  SELECT segment, code, list(cv ORDER BY pos) AS subvec
+      |  FROM cb2p GROUP BY 1, 2),
       |cd AS (
       |  SELECT rv.vec_id, rv.cluster, c.segment, c.code,
       |         list_sum(list_transform(range(1, 17), i ->
@@ -3142,6 +3256,7 @@ object PipelineQueries extends QueryGroup {
     "p130_domain_caps" -> p130,
     "p131_robots_verdicts" -> p131,
     "p132_ivfpq_topk" -> p132,
+    "p133_pq_train" -> p133,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
     "p122_sq8_recall" -> p122,

@@ -957,4 +957,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_hit") === 2L)
     assert(r.getAs[Long]("recall_ppm") === 666666L)
   }
+
+  test("pqTrainStep: hand-computed Lloyd means, empty code keeps codeword") {
+    import TestSpark.spark
+    import spark.implicits._
+    // 4-dim "residuals", m=2 segments of dsub=2; seg0 has a third
+    // codeword nothing assigns to — it must keep its value at size 0
+    val rv = Seq(
+      (0L, Seq(0.0, 0.0, 1.0, 1.0)),
+      (1L, Seq(0.2, 0.0, 1.0, 1.0)),
+      (2L, Seq(1.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(1.2, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val init = Seq(
+      (0, 0, Seq(0.0, 0.0)), (0, 1, Seq(1.0, 1.0)), (0, 2, Seq(9.0, 9.0)),
+      (1, 0, Seq(1.0, 1.0)), (1, 1, Seq(0.0, 0.0)))
+      .toDF("segment", "code", "subvec")
+    val got = Similarity.pqTrainStep(rv, init, dsub = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.size === 10) // full spine: 5 codewords x 2 positions
+    // seg0 code0 <- {v0, v1}: means (0.1, 0.0) via e4-integer sums
+    assert(got((0, 0, 1)) === ((2L, 0.1, 0.0)))
+    assert(got((0, 0, 2)) === ((2L, 0.0, 0.0)))
+    // seg0 code1 <- {v2, v3}: means (1.1, 1.0)
+    assert(got((0, 1, 1)) === ((2L, 1.1, 1.0)))
+    assert(got((0, 1, 2)) === ((2L, 1.0, 1.0)))
+    // the orphan codeword: size 0, c_new = c_old = init
+    assert(got((0, 2, 1)) === ((0L, 9.0, 9.0)))
+    assert(got((0, 2, 2)) === ((0L, 9.0, 9.0)))
+    // seg1: v0/v1 -> code0 = [1,1] exactly; v2/v3 -> code1 = [0,0]
+    assert(got((1, 0, 1)) === ((2L, 1.0, 1.0)))
+    assert(got((1, 1, 1)) === ((2L, 0.0, 0.0)))
+    // a second Lloyd step is a fixed point here: assignments and means
+    // cannot move once each side sits on its members' mean
+    val s2 = Similarity.pqTrain(rv, init, dsub = 2, iterations = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        r.getDouble(4)).toMap
+    assert(s2((0, 0, 1)) === 0.1 && s2((0, 1, 1)) === 1.1)
+    assert(s2((0, 2, 1)) === 9.0)
+    graft.CacheScope.releaseAll()
+  }
 }
