@@ -93,6 +93,19 @@ object Similarity {
       graft.functions.GraftFunctions.dotLong(col("codes"), col("codes")))
   }
 
+  /** Corpus-scaled sign-LSH width: the smallest `bits` in [8, 16] with
+   * expected bucket density N/2^bits ≤ 8 — i.e. the first b satisfying
+   * N ≤ 8·2^b. Pure INTEGER threshold comparisons (no log2 — a float
+   * log at a power-of-two boundary could round differently between
+   * engines), so an oracle reproduces the width from its own count(*).
+   * Fixed 256 buckets gave quadratic in-bucket pair growth (the
+   * declared p17 knob: 54× wall at the 100× rehearsal); with the rule,
+   * density stays ≤ 8 until the 2^16 cap (N = 524k — past that, raise
+   * the cap with the corpus or switch the first-`bits` axis planes to
+   * seeded random hyperplanes over all dims). */
+  def scaledBits(n: Long): Int =
+    (8 to 16).find(b => n <= (8L << b)).getOrElse(16)
+
   /** Sign-bit coarse bucket over the first `bits` dimensions — a random-
    * hyperplane LSH specialization (hyperplanes = axis planes), giving 2^bits
    * buckets. */

@@ -986,15 +986,38 @@ object PipelineQueries extends QueryGroup {
       |FROM top WHERE rank <= 2
       |ORDER BY vec_id, rank""".stripMargin))
 
+  /** The corpus-scaled bits rule as pure-integer SQL (mirror of
+   * Similarity.scaledBits — smallest b in [8, 16] with N ≤ 8·2^b). */
+  private val bitsCaseSql: String =
+    "CASE " + (8 to 15).map(b => s"WHEN n <= ${8L << b} THEN $b")
+      .mkString(" ") + " ELSE 16 END"
+
   private val p17 = QueryDef(
     // Embedding-cosine near-dup over the WHOLE corpus (no query side):
     // sign-LSH bucketed self-join, within-bucket candidates only. The
-    // oracle replays the bucket + the e3 integer-cosine pair kernel
-    // (quantize once, hoisted norm², integer dot per pair — simE3Sql).
-    (s, d) => Similarity.cosineNearDupPairs(embs(s, d), threshold = 0.3, bits = 8)
-      .orderBy(col("vec_a"), col("vec_b")),
-    Some(s"""WITH b AS (SELECT vec_id, $bucketSql AS bucket,
-      |            ${q3Sql("embedding")} AS codes FROM embeddings),
+    // LSH width SCALES with the corpus (Similarity.scaledBits: density
+    // N/2^bits ≤ 8, integer thresholds) — at the gate SFs the rule
+    // lands on the historical 8 bits, at the 100× rehearsal it opens
+    // to 12 and keeps the in-bucket pair work near-linear. The oracle
+    // re-derives the width from its own count(*) and replays the
+    // bucket + the e3 integer-cosine pair kernel (quantize once,
+    // hoisted norm², integer dot per pair — simE3Sql).
+    (s, d) => {
+      val e = embs(s, d)
+      // one metadata-cheap count at plan time — the production "derive
+      // the index knob from corpus stats" step a real build runs
+      val bits = Similarity.scaledBits(e.count())
+      Similarity.cosineNearDupPairs(e, threshold = 0.3, bits = bits)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some(s"""WITH bitsq AS (SELECT $bitsCaseSql AS bits
+      |               FROM (SELECT count(*) AS n FROM embeddings)),
+      |b AS (SELECT vec_id,
+      |        CAST(list_sum(list_transform(range(1, 1 + bitsq.bits),
+      |          i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 1))
+      |                    ELSE 0::BIGINT END)) AS BIGINT) AS bucket,
+      |        ${q3Sql("embedding")} AS codes
+      |      FROM embeddings CROSS JOIN bitsq),
       |n AS (SELECT vec_id, bucket, codes,
       |        ${dotLongSql("codes", "codes")} AS nsq FROM b),
       |p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket,
