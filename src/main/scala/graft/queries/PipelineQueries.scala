@@ -355,36 +355,45 @@ object PipelineQueries extends QueryGroup {
       |FROM rk ORDER BY doc_id""".stripMargin))
 
   private val p131 = QueryDef(
-    // robots.txt crawl-politeness verdicts (RFC 9309) — the policy
-    // gate between URL canonicalization (p127) and fetch: each host's
-    // robots file is BUILT, re-PARSED by the validating walker, and
-    // group-selected for the crawler token ("GraftBot" vs the file's
-    // lowercase 'graftbot' — case-insensitive per spec; even-numbered
-    // sites carry a bot-specific group that beats their '*' group),
-    // then every doc's path gets the longest-prefix-match verdict
-    // (ties → Allow, then lexicographic; no match → allowed). The
-    // rules relation is host-scale and BROADCASTS; evaluation is one
-    // prefix-match join + a per-doc min_by — no corpus shuffle beyond
-    // the verdict aggregation. The oracle never sees the robots TEXT:
-    // it re-derives the selected rule set arithmetically from the site
-    // number and replays the match with starts_with + a window — so
-    // parity proves build → parse → group-selection end to end.
+    // robots.txt crawl-politeness verdicts (RFC 9309, WITH the §2.2.3
+    // wildcards) — the policy gate between URL canonicalization (p127)
+    // and fetch: each host's robots file is BUILT, re-PARSED by the
+    // validating walker, and group-selected for the crawler token
+    // ("GraftBot" vs the file's lowercase 'graftbot' — case-insensitive
+    // per spec; even-numbered sites carry a bot-specific group that
+    // beats their '*' group), then every doc's path gets the
+    // longest-pattern-match verdict (raw pattern length incl. '*'/'$';
+    // ties → Allow, then lexicographic; no match → allowed). The star
+    // groups carry an anchored '/page/*2$' disallow (paths ENDING in
+    // 2) and the bot groups a '/page/*/' allow (slash-terminated
+    // pages), so both wildcard forms decide real verdicts at the gate.
+    // Rules broadcast; evaluation is ONE codegen'd LIKE predicate per
+    // (doc, rule) — RobotsCodec.likePattern's translation — plus a
+    // per-doc min_by; no corpus shuffle beyond the verdict
+    // aggregation. The oracle never sees the robots TEXT: it
+    // re-derives the selected rule set arithmetically from the site
+    // number, translates patterns to LIKE with its own string surgery,
+    // and replays the match with a window — parity proves
+    // build → parse → group-selection → wildcard-match end to end.
     (s, d) => {
       import s.implicits._
       val W = graft.pipeline.RobotsCodec
       def groupsFor(n: Long) = {
         val star = W.RobotsGroup(Vector("*"),
-          Vector((false, s"/page/$n"), (true, s"/page/$n/")))
+          Vector((false, s"/page/$n"), (true, s"/page/$n/"),
+            (false, "/page/*2$")))
         if (n % 2 == 0)
           Seq(star, W.RobotsGroup(Vector("graftbot"),
-            Vector((false, "/page/"), (true, s"/page/${(2 * n) % 25}"))))
+            Vector((false, "/page/"), (true, s"/page/${(2 * n) % 25}"),
+              (true, "/page/*/"))))
         else Seq(star)
       }
-      val ruleRows: Seq[(Long, Boolean, String)] = (0L until 7L).flatMap {
-        n => W.selectGroup(W.parse(W.build(groupsFor(n))), "GraftBot")
-          .map { case (a, p) => (n, a, p) }
-      }
-      val rules = ruleRows.toDF("site", "allow", "rule_path")
+      val ruleRows: Seq[(Long, Boolean, String, String)] =
+        (0L until 7L).flatMap { n =>
+          W.selectGroup(W.parse(W.build(groupsFor(n))), "GraftBot")
+            .map { case (a, p) => (n, a, p, W.likePattern(p)) }
+        }
+      val rules = ruleRows.toDF("site", "allow", "rule_path", "like_pat")
       val base = docs(s, d).select(col("doc_id"),
         (col("doc_id") % 7).as("site"),
         concat(lit("www.site"), (col("doc_id") % 7).cast("string"),
@@ -392,7 +401,7 @@ object PipelineQueries extends QueryGroup {
         concat(lit("/page/"), (col("doc_id") % 25).cast("string"),
           when(col("doc_id") % 4 === 0, "/").otherwise("")).as("path"))
       val hits = base.join(broadcast(rules), Seq("site"))
-        .filter(col("path").startsWith(col("rule_path")))
+        .filter(expr("path LIKE like_pat"))
         .groupBy(col("doc_id"))
         .agg(min_by(struct(col("allow"), col("rule_path")),
           struct((-length(col("rule_path"))).as("nl"),
@@ -410,16 +419,25 @@ object PipelineQueries extends QueryGroup {
       |  SELECT n, false AS allow,
       |         '/page/' || CAST(n AS VARCHAR) AS rule_path FROM sites
       |  UNION ALL
-      |  SELECT n, true, '/page/' || CAST(n AS VARCHAR) || '/' FROM sites),
+      |  SELECT n, true, '/page/' || CAST(n AS VARCHAR) || '/' FROM sites
+      |  UNION ALL
+      |  SELECT n, false, '/page/*2$' FROM sites),
       |bot AS (
       |  SELECT n, false AS allow, '/page/' AS rule_path
       |  FROM sites WHERE n % 2 = 0
       |  UNION ALL
       |  SELECT n, true, '/page/' || CAST((2 * n) % 25 AS VARCHAR)
-      |  FROM sites WHERE n % 2 = 0),
+      |  FROM sites WHERE n % 2 = 0
+      |  UNION ALL
+      |  SELECT n, true, '/page/*/' FROM sites WHERE n % 2 = 0),
       |rules AS (
-      |  SELECT * FROM bot
-      |  UNION ALL SELECT * FROM star WHERE n % 2 <> 0),
+      |  SELECT *,
+      |         CASE WHEN rule_path LIKE '%$'
+      |              THEN replace(left(rule_path, length(rule_path) - 1),
+      |                           '*', '%')
+      |              ELSE replace(rule_path, '*', '%') || '%' END AS like_pat
+      |  FROM (SELECT * FROM bot
+      |        UNION ALL SELECT * FROM star WHERE n % 2 <> 0)),
       |d AS (SELECT doc_id, doc_id % 7 AS n,
       |        'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
       |        '/page/' || CAST(doc_id % 25 AS VARCHAR) ||
@@ -432,7 +450,7 @@ object PipelineQueries extends QueryGroup {
       |                    CASE WHEN r.allow THEN 0 ELSE 1 END,
       |                    r.rule_path) AS rn
       |  FROM d JOIN rules r ON d.n = r.n
-      |    AND starts_with(d.path, r.rule_path))
+      |    AND d.path LIKE r.like_pat)
       |SELECT d.doc_id, d.host, d.path,
       |  coalesce(h.allow, true) AS allowed,
       |  h.rule_path AS matched_rule,

@@ -107,4 +107,57 @@ class RobotsSpec extends AnyFunSuite {
     assert(RobotsCodec.evaluate(rules, "/z") === ((true, None)))
     assert(RobotsCodec.evaluate(Vector.empty, "/a") === ((true, None)))
   }
+
+  test("matchesRule: RFC 9309 §2.2.3 wildcard battery") {
+    val m = RobotsCodec.matchesRule _
+    // plain prefix (no wildcards) — the pre-wildcard subset
+    assert(m("/a/b", "/a/b/c") && !m("/a/b", "/a/x"))
+    // '*' spans any run, including empty
+    assert(m("/p/*.gif", "/p/x/y.gif.tmp"))
+    assert(m("/p/*.gif", "/p/.gif"))
+    assert(!m("/p/*.gif", "/p/x.png"))
+    // consecutive '*'s collapse
+    assert(m("/a**b", "/aXYb"))
+    // '$' anchors the end
+    assert(m("/a/b$", "/a/b") && !m("/a/b$", "/a/b/c"))
+    assert(m("/p/*.gif$", "/p/x/y.gif") && !m("/p/*.gif$", "/p/x.gif.tmp"))
+    // '*$' absorbs the tail
+    assert(m("/dl/*$", "/dl/anything/at/all"))
+    // greedy-with-suffix-check: the LAST occurrence must align
+    assert(m("/a*b$", "/axbyb") && !m("/a*b$", "/axbyc"))
+    // multi-gap anchored
+    assert(m("/a*b*c$", "/aXbYcZc") && !m("/a*b*c$", "/aXcYb"))
+  }
+
+  test("likePattern translation agrees with matchesRule semantics") {
+    assert(RobotsCodec.likePattern("/a/b") === "/a/b%")
+    assert(RobotsCodec.likePattern("/a/b$") === "/a/b")
+    assert(RobotsCodec.likePattern("/p/*.gif$") === "/p/%.gif")
+    assert(RobotsCodec.likePattern("/p/*.gif") === "/p/%.gif%")
+    // LIKE metacharacters in the rule are escaped, '*' still translates
+    assert(RobotsCodec.likePattern("/100%_x/*$") === "/100\\%\\_x/%")
+  }
+
+  test("wildcard validation: '$' only as the final character") {
+    reject("user-agent: *\ndisallow: /a$b\n", "final anchor")
+    intercept[IllegalArgumentException] {
+      RobotsCodec.build(Seq(RobotsCodec.RobotsGroup(Vector("*"),
+        Vector((false, "/a$b")))))
+    }
+    // legal forms round-trip
+    val g = Seq(RobotsCodec.RobotsGroup(Vector("*"),
+      Vector((false, "/p/*.gif$"), (true, "/q/*"))))
+    assert(RobotsCodec.parse(RobotsCodec.build(g)) === g)
+  }
+
+  test("evaluate: wildcard specificity is raw pattern length") {
+    // '/page/*2$' (9 chars) beats '/page/1' (7) on a path both match
+    val rules = Vector((false, "/page/*2$"), (true, "/page/1"))
+    assert(RobotsCodec.evaluate(rules, "/page/12") ===
+      ((false, Some("/page/*2$"))))
+    // unanchored wildcard loses to a longer literal prefix
+    val r2 = Vector((false, "/a/*"), (true, "/a/long/prefix"))
+    assert(RobotsCodec.evaluate(r2, "/a/long/prefix/x") ===
+      ((true, Some("/a/long/prefix"))))
+  }
 }
