@@ -18,6 +18,7 @@ object CacheScope {
 
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
   private val runMemo = scala.collection.mutable.LinkedHashMap.empty[String, Dataset[_]]
+  private val valueMemo = scala.collection.mutable.LinkedHashMap.empty[String, Any]
 
   /** Persist `ds` at `level` and register it for the next [[releaseAll]]. */
   def track[T](ds: Dataset[T],
@@ -45,6 +46,17 @@ object CacheScope {
         build.persist(StorageLevel.MEMORY_AND_DISK)).asInstanceOf[Dataset[T]]
     }
 
+  /** RUN-scoped memoized SCALAR: corpus statistics a query derives its
+   * plan knobs from (p17's corpus count → LSH width). Computing one is an
+   * eager driver action, so a per-execution derivation bills an extra
+   * corpus pass to every run of the query; the stat is a pure function of
+   * the dataset, so one value per (app, sfDir, kind) is correct for the
+   * whole run. Cleared by [[releaseRun]]. */
+  def memoRunValue[T](key: String)(build: => T): T =
+    synchronized {
+      valueMemo.getOrElseUpdate(key, build).asInstanceOf[T]
+    }
+
   /** Unpersist every tracked relation (non-blocking) and clear the registry.
    * Run-scoped memo entries are NOT touched — see [[releaseRun]].
    * Safe to call while nothing is tracked; double-unpersist is a no-op. */
@@ -58,6 +70,7 @@ object CacheScope {
     releaseAll()
     runMemo.valuesIterator.foreach(_.unpersist(blocking = false))
     runMemo.clear()
+    valueMemo.clear()
   }
 
   /** Number of currently tracked relations (test introspection). */

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
  */
 object DedupOps {
 
+  /** Round-half-up quantization to 4 decimal places via
+   * floor(x·10⁴ + 0.5)/10⁴ — the repo's engine-portable convention
+   * (pure IEEE multiply/add/floor/divide, identical in Spark and
+   * DuckDB) replacing `round(x, 4)`, whose tie handling is
+   * engine-defined. Inputs here are single exact-integer ratios
+   * (|A∩B| / set sizes), so the quantized value is deterministic
+   * regardless of partitioning. */
+  private def q4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
   /** Word n-gram shingles (distinct) of a text column; rows with fewer than
    * n words get no shingles. Single-pass codegen'd kernel — see
    * [[graft.functions.NGramOps]] for why this beats the composed
@@ -56,8 +66,8 @@ object DedupOps {
       .join(sizes.select(col("doc").as("doc_a"), col("set_size").as("size_a")), "doc_a")
       .join(sizes.select(col("doc").as("doc_b"), col("set_size").as("size_b")), "doc_b")
       .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")), 4))
+        q4(col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -90,9 +100,9 @@ object DedupOps {
       .join(sizes.select(col("doc").as("doc_a"), col("set_size").as("size_a")), "doc_a")
       .join(sizes.select(col("doc").as("doc_b"), col("set_size").as("size_b")), "doc_b")
       .withColumn("cont_a_in_b",
-        round(col("inter").cast("double") / col("size_a"), 4))
+        q4(col("inter").cast("double") / col("size_a")))
       .withColumn("cont_b_in_a",
-        round(col("inter").cast("double") / col("size_b"), 4))
+        q4(col("inter").cast("double") / col("size_b")))
       .filter(col("cont_a_in_b") >= threshold || col("cont_b_in_a") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"),
         col("size_b"), col("cont_a_in_b"), col("cont_b_in_a"))
@@ -229,8 +239,8 @@ object DedupOps {
       .distinct()
     candidates
       .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / k, 4))
+        q4(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / k))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
@@ -278,8 +288,8 @@ object DedupOps {
       .join(docSets.select(col("doc").as("doc_b"),
         col("sh").as("sh_b"), col("set_size").as("size_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("size_a") + col("size_b") - col("inter")), 4))
+      .withColumn("jaccard", q4(col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -354,8 +364,8 @@ object DedupOps {
       .join(partnerSets.select(col("doc").as("partner"),
         col("sh").as("sh_b"), col("set_size").as("size_b")), "partner")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("size_a") + col("size_b") - col("inter")), 4))
+      .withColumn("jaccard", q4(col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter"))))
       .filter(col("jaccard") >= threshold)
     val verdict = confirmed.groupBy(col("doc_id"))
       .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base_dups"),

@@ -898,15 +898,21 @@ object Similarity {
     import spark.implicits._
     var cb = initCodebooks
     var step: DataFrame = null
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       step = pqTrainStep(residuals, cb, dsub)
-      val rows = step.select(col("segment"), col("code"), col("pos"),
-          col("c_new")).collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
-      cb = rows.groupBy(r => (r._1, r._2)).toSeq
-        .map { case ((seg, code), rs) =>
-          (seg, code, rs.sortBy(_._3).map(_._4).toSeq) }
-        .toDF("segment", "code", "subvec")
+      // the collected books seed the NEXT assignment pass only — after
+      // the final step they would be discarded, so skip that collect
+      // (it would bill an extra corpus-scale assignment+update pass)
+      // and leave the final relation lazy for its consumer
+      if (it < iterations) {
+        val rows = step.select(col("segment"), col("code"), col("pos"),
+            col("c_new")).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        cb = rows.groupBy(r => (r._1, r._2)).toSeq
+          .map { case ((seg, code), rs) =>
+            (seg, code, rs.sortBy(_._3).map(_._4).toSeq) }
+          .toDF("segment", "code", "subvec")
+      }
     }
     step
   }

@@ -82,9 +82,11 @@ object PipelineQueries extends QueryGroup {
       |  GROUP BY 1, 2, 3, 4),
       |jp AS (
       |  SELECT doc_a, doc_b,
-      |         round(inter::DOUBLE / (sa + sb - inter), 4) AS jaccard
+      |         floor(inter::DOUBLE / (sa + sb - inter) * 10000 + 0.5)
+      |           / 10000 AS jaccard
       |  FROM pairs
-      |  WHERE round(inter::DOUBLE / (sa + sb - inter), 4) >= 0.5)""".stripMargin
+      |  WHERE floor(inter::DOUBLE / (sa + sb - inter) * 10000 + 0.5)
+      |          / 10000 >= 0.5)""".stripMargin
 
   private def jaccardOracleFor(docFilter: String): String =
     s"""WITH ${jaccardCtes(docFilter)}
@@ -135,8 +137,10 @@ object PipelineQueries extends QueryGroup {
       |cont AS (
       |  SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
       |         CAST(sa AS BIGINT) AS size_a, CAST(sb AS BIGINT) AS size_b,
-      |         round(inter::DOUBLE / sa, 4) AS cont_a_in_b,
-      |         round(inter::DOUBLE / sb, 4) AS cont_b_in_a
+      |         floor(inter::DOUBLE / sa * 10000 + 0.5) / 10000
+      |           AS cont_a_in_b,
+      |         floor(inter::DOUBLE / sb * 10000 + 0.5) / 10000
+      |           AS cont_b_in_a
       |  FROM pairs)
       |SELECT * FROM cont
       |WHERE cont_a_in_b >= 0.7 OR cont_b_in_a >= 0.7
@@ -153,8 +157,10 @@ object PipelineQueries extends QueryGroup {
     Some(s"""WITH ${jaccardCtes("WHERE doc_id < 1000")},
       |cont AS (
       |  SELECT doc_a, doc_b,
-      |         round(inter::DOUBLE / sa, 4) AS cont_a_in_b,
-      |         round(inter::DOUBLE / sb, 4) AS cont_b_in_a
+      |         floor(inter::DOUBLE / sa * 10000 + 0.5) / 10000
+      |           AS cont_a_in_b,
+      |         floor(inter::DOUBLE / sb * 10000 + 0.5) / 10000
+      |           AS cont_b_in_a
       |  FROM pairs),
       |drops AS (
       |  SELECT doc_b AS doc_id, doc_a AS container,
@@ -379,9 +385,13 @@ object PipelineQueries extends QueryGroup {
       import s.implicits._
       val W = graft.pipeline.RobotsCodec
       def groupsFor(n: Long) = {
+        // The "/page/_" rule makes the LIKE-metacharacter escaping
+        // load-bearing: escaped (`\_`) it matches no fixture path;
+        // treated as SQL any-char it would match EVERY /page/N path on
+        // odd sites and flip their verdicts.
         val star = W.RobotsGroup(Vector("*"),
           Vector((false, s"/page/$n"), (true, s"/page/$n/"),
-            (false, "/page/*2$")))
+            (false, "/page/*2$"), (false, "/page/_")))
         if (n % 2 == 0)
           Seq(star, W.RobotsGroup(Vector("graftbot"),
             Vector((false, "/page/"), (true, s"/page/${(2 * n) % 25}"),
@@ -421,7 +431,9 @@ object PipelineQueries extends QueryGroup {
       |  UNION ALL
       |  SELECT n, true, '/page/' || CAST(n AS VARCHAR) || '/' FROM sites
       |  UNION ALL
-      |  SELECT n, false, '/page/*2$' FROM sites),
+      |  SELECT n, false, '/page/*2$' FROM sites
+      |  UNION ALL
+      |  SELECT n, false, '/page/_' FROM sites),
       |bot AS (
       |  SELECT n, false AS allow, '/page/' AS rule_path
       |  FROM sites WHERE n % 2 = 0
@@ -431,13 +443,19 @@ object PipelineQueries extends QueryGroup {
       |  UNION ALL
       |  SELECT n, true, '/page/*/' FROM sites WHERE n % 2 = 0),
       |rules AS (
-      |  SELECT *,
-      |         CASE WHEN rule_path LIKE '%$'
-      |              THEN replace(left(rule_path, length(rule_path) - 1),
-      |                           '*', '%')
-      |              ELSE replace(rule_path, '*', '%') || '%' END AS like_pat
-      |  FROM (SELECT * FROM bot
-      |        UNION ALL SELECT * FROM star WHERE n % 2 <> 0)),
+      |  -- mirror RobotsCodec.likePattern: backslash-escape the LIKE
+      |  -- metacharacters % _ \ in the raw rule, THEN map * -> %; the
+      |  -- join below carries the matching ESCAPE '\' clause
+      |  SELECT n, allow, rule_path,
+      |         CASE WHEN anch THEN core ELSE core || '%' END AS like_pat
+      |  FROM (SELECT *, rule_path LIKE '%$' AS anch,
+      |          replace(replace(replace(replace(
+      |            CASE WHEN rule_path LIKE '%$'
+      |                 THEN left(rule_path, length(rule_path) - 1)
+      |                 ELSE rule_path END,
+      |            '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS core
+      |        FROM (SELECT * FROM bot
+      |              UNION ALL SELECT * FROM star WHERE n % 2 <> 0))),
       |d AS (SELECT doc_id, doc_id % 7 AS n,
       |        'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
       |        '/page/' || CAST(doc_id % 25 AS VARCHAR) ||
@@ -450,7 +468,7 @@ object PipelineQueries extends QueryGroup {
       |                    CASE WHEN r.allow THEN 0 ELSE 1 END,
       |                    r.rule_path) AS rn
       |  FROM d JOIN rules r ON d.n = r.n
-      |    AND d.path LIKE r.like_pat)
+      |    AND d.path LIKE r.like_pat ESCAPE '\')
       |SELECT d.doc_id, d.host, d.path,
       |  coalesce(h.allow, true) AS allowed,
       |  h.rule_path AS matched_rule,
@@ -1022,9 +1040,13 @@ object PipelineQueries extends QueryGroup {
     // hoisted norm², integer dot per pair — simE3Sql).
     (s, d) => {
       val e = embs(s, d)
-      // one metadata-cheap count at plan time — the production "derive
-      // the index knob from corpus stats" step a real build runs
-      val bits = Similarity.scaledBits(e.count())
+      // the production "derive the index knob from corpus stats" step —
+      // memoized run-scoped so repeated executions don't each pay the
+      // eager count action (the stat is a pure function of the dataset)
+      val bits = graft.CacheScope.memoRunValue(
+        s"${s.sparkContext.applicationId}:emb-bits:$d") {
+        Similarity.scaledBits(e.count())
+      }
       Similarity.cosineNearDupPairs(e, threshold = 0.3, bits = bits)
         .orderBy(col("vec_a"), col("vec_b"))
     },

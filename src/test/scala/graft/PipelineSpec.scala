@@ -396,7 +396,11 @@ class PipelineSpec extends AnyFunSuite {
     val byCluster = vecs.groupBy { case (id, _) => assign(id) }
     vecs.foreach { case (id, _) =>
       val mates = byCluster(assign(id)).filter(_._1 < id)
-      val maxPrior = mates.map { case (mid, _) => simE3(id, mid) }.maxOption
+      // the MinValue sentinel serves the assignment argmax only — the
+      // engine filters cosine-undefined (zero-norm) pairs out with
+      // isNotNull before aggregating, so the expectation must too
+      val maxPrior = mates.map { case (mid, _) => simE3(id, mid) }
+        .filter(_ != Long.MinValue).maxOption
       val row = got(id)
       assert(row.getAs[Long]("cluster") === assign(id), s"vec $id cluster")
       assert(row.getAs[Boolean]("dropped") === maxPrior.exists(_ >= 300L),
@@ -596,6 +600,9 @@ class PipelineSpec extends AnyFunSuite {
       val mates = asg.collect { case (o, c) if c == asg(id) && o != id => o }
       mates.toSeq
         .map(o => (o, simE3(id, o)))
+        // sentinel = cosine-undefined; the engine drops those pairs
+        // (isNotNull) before its top-k, so they must not rank here
+        .filter { case (_, s) => s != Long.MinValue }
         .sortBy { case (o, s) => (-s, o) }.take(3).zipWithIndex
         .map { case ((o, s), i) => (id, i + 1L, o, s.toDouble / 1000) }
     }.toSet
