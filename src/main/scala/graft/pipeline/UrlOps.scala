@@ -20,7 +20,15 @@ import org.apache.spark.sql.functions._
  *      dropped (the aggressive-but-standard crawl convention);
  *   4. query parameters sorted bytewise (`?b=2&a=1` → `?a=1&b=2`) — not
  *      in RFC 3986 itself but universal in crawl frontier dedup, where
- *      param order is serving-stack noise; an empty query keeps no `?`.
+ *      param order is serving-stack noise; an empty query keeps no `?`;
+ *   5. percent-encoding normalization (§6.2.2.2): hex digits of every
+ *      `%HH` triplet uppercased, and triplets that encode an UNRESERVED
+ *      character (ALPHA / DIGIT / `-` `.` `_` `~`) decoded — `%7Euser`
+ *      and `~user` are the same resource. Reserved and non-ASCII
+ *      encodings are kept encoded (decoding those can change which
+ *      resource the URL names); a `%` not followed by two hex digits is
+ *      kept verbatim (the crawl-frontier reality — frontiers are full
+ *      of malformed URLs, and dropping them would lose census mass).
  *
  * Everything is Column-level string surgery (regexp extract/replace +
  * split/array_sort/array_join) — codegen'd, zero shuffle, and exactly
@@ -34,11 +42,39 @@ object UrlOps {
   def hostOf(url: Column): Column =
     lower(regexp_extract(url, "^[^:/?#]+://([^:/?#]*)", 1))
 
+  /** RFC 3986 §6.2.2.2 percent-encoding normalization, applied to the
+   * WHOLE url before component extraction: split on `%`, examine each
+   * following 2-char hex prefix, uppercase it, and decode it when it
+   * names an unreserved character (those decodes can never create a
+   * new `/ ? # : & %` delimiter, so component extraction afterwards is
+   * safe). Split + indexed transform + join — array kernels over a
+   * handful of segments per URL, no shuffle; the caveat is hosts that
+   * THEMSELVES carry percent-encoding (valid per reg-name but absent
+   * from real frontiers): the later `lower(host)` would re-lowercase
+   * their hex digits, which is outside the modeled family. */
+  def normalizePercent(u: Column): Column = {
+    val parts = split(u, "%", -1)
+    val joined = transform(parts, (x, i) => {
+      val hh = upper(substring(x, 1, 2))
+      val rest = x.substr(lit(3), length(x))
+      val code = conv(hh, 16, 10).cast("int")
+      val unreserved = code.between(48, 57) || code.between(65, 90) ||
+        code.between(97, 122) || code.isin(45, 46, 95, 126)
+      when(i === 0, x) // text before the first '%' passes through
+        .when(hh.rlike("^[0-9A-F]{2}$"),
+          when(unreserved, concat(call_function("char", code), rest))
+            .otherwise(concat(lit("%"), hh, rest)))
+        .otherwise(concat(lit("%"), x)) // malformed triplet, kept verbatim
+    })
+    array_join(joined, "")
+  }
+
   /** RFC 3986 §6 syntax-based canonicalization of an absolute
    * http(s)-style URL (see object doc for the exact normalization
    * set). Input must carry a `scheme://` prefix — WARC-Target-URI
    * values always do. */
-  def canonicalizeUrl(u: Column): Column = {
+  def canonicalizeUrl(raw: Column): Column = {
+    val u = normalizePercent(raw)
     val scheme = lower(regexp_extract(u, "^([^:/?#]+)://", 1))
     val afterScheme = regexp_replace(u, "^[^:/?#]+://", "")
     val authority = regexp_extract(afterScheme, "^([^/?#]*)", 1)

@@ -1486,9 +1486,16 @@ object PipelineQueries extends QueryGroup {
    * role WARC-Target-URI plays in real archives (p125b stamps the clean
    * form; this is the before-canonicalization wire form): mixed-case
    * scheme/host, default and non-default explicit ports, trailing
-   * slashes, and permuted query-param orders, all keyed off doc_id so
-   * distinct documents collide onto the same canonical URL exactly as
-   * crawl dups do. NOTE: the generator exists in THREE hand-aligned
+   * slashes, permuted query-param orders, and percent-encoding variants
+   * (RFC 3986 §6.2.2.2), all keyed off doc_id so distinct documents
+   * collide onto the same canonical URL exactly as crawl dups do. The
+   * percent segment's CANONICAL form is fixed per page class
+   * (doc_id%25%5) while its RAW encoding flips on doc_id%2 — the same
+   * axis the host-case variants flip on — so every surviving even↔odd
+   * collision now also REQUIRES correct hex case-folding and
+   * unreserved-decode (`%7euser` ↔ `~user`, `%2fdl` ↔ `%2Fdl`,
+   * `%41` ↔ `A`); the `%zz` class pins malformed-percent
+   * keep-verbatim. NOTE: the generator exists in THREE hand-aligned
    * copies that must change in lockstep — this Spark-SQL expr, the
    * ||-concatenation translation inside the p127 oracle string below
    * (STRING→VARCHAR casts are the only delta), and the idempotence
@@ -1506,6 +1513,16 @@ object PipelineQueries extends QueryGroup {
       |       THEN (CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE ':80' END)
       |       WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END,
       |  concat('/page/', CAST(doc_id % 25 AS STRING),
+      |    CASE CAST(doc_id % 25 % 5 AS INT)
+      |      WHEN 0 THEN (CASE WHEN doc_id % 2 = 0
+      |                   THEN '%7Euser' ELSE '%7euser' END)
+      |      WHEN 1 THEN (CASE WHEN doc_id % 2 = 0
+      |                   THEN '~user' ELSE '%7Euser' END)
+      |      WHEN 2 THEN (CASE WHEN doc_id % 2 = 0
+      |                   THEN '%2fdl' ELSE '%2Fdl' END)
+      |      WHEN 3 THEN (CASE WHEN doc_id % 2 = 0
+      |                   THEN '%41' ELSE 'A' END)
+      |      ELSE '%zz' END,
       |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END),
       |  CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN '?b=2&a=1'
       |       WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?a=1' ELSE '' END)"""
@@ -1552,16 +1569,66 @@ object PipelineQueries extends QueryGroup {
       |             THEN (CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE ':80' END)
       |             WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END
       |     || '/page/' || CAST(doc_id % 25 AS VARCHAR)
+      |     || CASE CAST(doc_id % 25 % 5 AS INT)
+      |          WHEN 0 THEN (CASE WHEN doc_id % 2 = 0
+      |                       THEN '%7Euser' ELSE '%7euser' END)
+      |          WHEN 1 THEN (CASE WHEN doc_id % 2 = 0
+      |                       THEN '~user' ELSE '%7Euser' END)
+      |          WHEN 2 THEN (CASE WHEN doc_id % 2 = 0
+      |                       THEN '%2fdl' ELSE '%2Fdl' END)
+      |          WHEN 3 THEN (CASE WHEN doc_id % 2 = 0
+      |                       THEN '%41' ELSE 'A' END)
+      |          ELSE '%zz' END
       |     || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
       |     || CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN '?b=2&a=1'
       |             WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?a=1' ELSE '' END
       |    ) AS raw_url
       |  FROM documents),
+      |pct AS (
+      |  -- RFC 3986 6.2.2.2 replay: split on '%', per segment uppercase
+      |  -- the 2-hex prefix, decode it when it names an unreserved char
+      |  -- (hex value via strpos arithmetic), keep malformed '%' runs
+      |  SELECT doc_id, chars,
+      |    sp[1] || coalesce(array_to_string(list_transform(sp[2:], x ->
+      |      CASE WHEN regexp_matches(upper(substr(x, 1, 2)),
+      |                               '^[0-9A-F]{2}$$')
+      |           THEN CASE WHEN
+      |                  ((strpos('0123456789ABCDEF',
+      |                           upper(substr(x, 1, 1))) - 1) * 16
+      |                   + strpos('0123456789ABCDEF',
+      |                            upper(substr(x, 2, 1))) - 1)
+      |                  IN (45, 46, 95, 126)
+      |                OR ((strpos('0123456789ABCDEF',
+      |                            upper(substr(x, 1, 1))) - 1) * 16
+      |                    + strpos('0123456789ABCDEF',
+      |                             upper(substr(x, 2, 1))) - 1)
+      |                   BETWEEN 48 AND 57
+      |                OR ((strpos('0123456789ABCDEF',
+      |                            upper(substr(x, 1, 1))) - 1) * 16
+      |                    + strpos('0123456789ABCDEF',
+      |                             upper(substr(x, 2, 1))) - 1)
+      |                   BETWEEN 65 AND 90
+      |                OR ((strpos('0123456789ABCDEF',
+      |                            upper(substr(x, 1, 1))) - 1) * 16
+      |                    + strpos('0123456789ABCDEF',
+      |                             upper(substr(x, 2, 1))) - 1)
+      |                   BETWEEN 97 AND 122
+      |                THEN chr(CAST(
+      |                       (strpos('0123456789ABCDEF',
+      |                               upper(substr(x, 1, 1))) - 1) * 16
+      |                       + strpos('0123456789ABCDEF',
+      |                                upper(substr(x, 2, 1))) - 1
+      |                     AS INTEGER)) || substr(x, 3)
+      |                ELSE '%' || upper(substr(x, 1, 2)) || substr(x, 3)
+      |                END
+      |           ELSE '%' || x END), ''), '') AS raw_url
+      |  FROM (SELECT doc_id, chars, string_split(raw_url, '%') AS sp
+      |        FROM raw)),
       |parts AS (
       |  SELECT doc_id, chars,
       |    lower(regexp_extract(raw_url, '^([^:/?#]+)://', 1)) AS scheme,
       |    regexp_replace(raw_url, '^[^:/?#]+://', '') AS rest
-      |  FROM raw),
+      |  FROM pct),
       |auth AS (
       |  SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS authority,
       |    regexp_replace(rest, '^[^/?#]*', '') AS pathq

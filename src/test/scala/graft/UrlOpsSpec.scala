@@ -30,6 +30,21 @@ class UrlOpsSpec extends AnyFunSuite {
     // query params sorted bytewise; empty query keeps no '?'
     ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
     ("http://example.com/a?a=1&b=2", "http://example.com/a?a=1&b=2"),
+    // percent-encoding normalization (RFC 3986 §6.2.2.2): unreserved
+    // decodes regardless of hex case; the three wire forms collide
+    ("http://example.com/%7Euser", "http://example.com/~user"),
+    ("http://example.com/%7euser", "http://example.com/~user"),
+    ("http://example.com/~user", "http://example.com/~user"),
+    // ALPHA / DIGIT / '-' '.' '_' all decode
+    ("http://example.com/%41%62%30%2D%2E%5F", "http://example.com/Ab0-._"),
+    // reserved octets stay ENCODED, hex uppercased ('/' must not
+    // materialize — it would change the path structure)
+    ("http://example.com/a%2fb?x=%3d", "http://example.com/a%2Fb?x=%3D"),
+    // non-ASCII stays encoded, uppercased
+    ("http://example.com/%c3%a9", "http://example.com/%C3%A9"),
+    // malformed percent runs kept verbatim
+    ("http://example.com/100%zz", "http://example.com/100%zz"),
+    ("http://example.com/50%", "http://example.com/50%"),
     // everything at once
     ("HTTPS://Example.Com:443/x/?z=1&y=2", "https://example.com/x?y=2&z=1"))
 
@@ -84,6 +99,16 @@ class UrlOpsSpec extends AnyFunSuite {
              THEN (CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE ':80' END)
              WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END,
         concat('/page/', CAST(doc_id % 25 AS STRING),
+          CASE CAST(doc_id % 25 % 5 AS INT)
+            WHEN 0 THEN (CASE WHEN doc_id % 2 = 0
+                         THEN '%7Euser' ELSE '%7euser' END)
+            WHEN 1 THEN (CASE WHEN doc_id % 2 = 0
+                         THEN '~user' ELSE '%7Euser' END)
+            WHEN 2 THEN (CASE WHEN doc_id % 2 = 0
+                         THEN '%2fdl' ELSE '%2Fdl' END)
+            WHEN 3 THEN (CASE WHEN doc_id % 2 = 0
+                         THEN '%41' ELSE 'A' END)
+            ELSE '%zz' END,
           CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END),
         CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN '?b=2&a=1'
              WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?a=1' ELSE '' END)""")
