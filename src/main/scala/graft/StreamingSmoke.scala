@@ -913,8 +913,8 @@ object StreamingSmoke {
                 r.getString(1).getBytes("US-ASCII"))
             }
             Files.write(java.nio.file.Paths.get(
-              s"$warcDir/b$bucket-$batchId.warc"),
-              graft.pipeline.WarcCodec.build(recs.toSeq))
+              s"$warcDir/b$bucket-$batchId.warc.gz"),
+              graft.pipeline.WarcCodec.buildGz(recs.toSeq))
           }
         ()
       }.start()
@@ -922,8 +922,8 @@ object StreamingSmoke {
       .foreach { c => s29.addData(c); q29.processAllAvailable() }
     q29.stop()
     val streamedRecords = new java.io.File(warcDir).listFiles()
-      .filter(_.getName.endsWith(".warc")).toSeq
-      .flatMap(f => graft.pipeline.WarcCodec.parse(
+      .filter(_.getName.endsWith(".warc.gz")).toSeq
+      .flatMap(f => graft.pipeline.WarcCodec.parseGz(
         Files.readAllBytes(f.toPath)))
       .map(r => (r.recordId, r.contentLength, r.payloadMd5)).sorted
     val batchRecords = docsForWarc.toSeq.map { case (id, px) =>

@@ -11,7 +11,11 @@ package graft.pipeline
  * record is a `WARC/1.0` version line, CRLF-terminated named headers
  * (the standard's four mandatory fields enforced), one empty line, then
  * exactly `Content-Length` payload bytes and a blank-line record
- * terminator (CRLF CRLF).
+ * terminator (CRLF CRLF). [[buildGz]]/[[parseGz]] add the `.warc.gz`
+ * wire framing real archives ship in — one gzip MEMBER per record,
+ * validated member by member (header, CRC32, ISIZE), with record
+ * offsets kept in the logical decompressed stream so a census is
+ * invariant to the transport encoding.
  *
  * Digest note: ISO 28500's `WARC-Block-Digest` example algorithm is
  * sha1/base32; this codec stamps `md5:<hex>` instead so the digest is
@@ -94,6 +98,91 @@ object WarcCodec {
     val out = new java.io.ByteArrayOutputStream()
     records.foreach(r => out.write(buildRecord(r)))
     out.toByteArray
+  }
+
+  /** Build the `.warc.gz` wire shape real crawl archives ship in
+   * (Common Crawl / WARC 1.1 Annex D): each record is its OWN gzip
+   * member and the archive is the member concatenation — the framing
+   * that lets an index seek to a record's compressed offset and
+   * decompress it alone, which is why per-record members (not one
+   * stream) are the standard. */
+  def buildGz(records: Seq[WarcRecord]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(buildRecord(r))
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
+  /** Decompress ONE gzip member starting at `pos`: validated 10-byte
+   * header (magic / deflate CM / no FLG extensions — this codec never
+   * writes them), raw-deflate body, and the 8-byte trailer checked
+   * against the inflated bytes (CRC32 + ISIZE mod 2³²) — a truncated
+   * or bit-flipped member is rejected, never misparsed. Returns the
+   * member's plaintext and the offset just past its trailer. */
+  private def gunzipMember(bytes: Array[Byte], pos: Int): (Array[Byte], Int) = {
+    require(pos + 10 <= bytes.length, s"truncated gzip header at byte $pos")
+    require((bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b,
+      s"bad gzip magic at byte $pos")
+    require(bytes(pos + 2) == 8, s"gzip CM must be 8 (deflate) at byte $pos")
+    require(bytes(pos + 3) == 0,
+      s"unexpected gzip FLG ${bytes(pos + 3)} at byte $pos — " +
+        "this codec writes no header extensions")
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(bytes, pos + 10, bytes.length - pos - 10)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    val crc = new java.util.zip.CRC32
+    while (!inf.finished()) {
+      val n =
+        try inf.inflate(buf)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"corrupt deflate stream in member at byte $pos: ${e.getMessage}")
+        }
+      require(n > 0 || inf.finished(),
+        s"truncated deflate stream in member at byte $pos")
+      crc.update(buf, 0, n)
+      out.write(buf, 0, n)
+    }
+    val consumed = inf.getBytesRead.toInt
+    inf.end()
+    val t = pos + 10 + consumed
+    require(t + 8 <= bytes.length, s"truncated gzip trailer at byte $pos")
+    def le32(i: Int): Long =
+      (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    require(le32(t) == crc.getValue,
+      s"gzip CRC32 mismatch in member at byte $pos")
+    require(le32(t + 4) == (out.size().toLong & 0xffffffffL),
+      s"gzip ISIZE mismatch in member at byte $pos")
+    (out.toByteArray, t + 8)
+  }
+
+  /** Walk a `.warc.gz` archive member by member — enforcing the
+   * one-record-per-member convention [[buildGz]] writes (a multi-record
+   * member breaks compressed-offset indexing and is rejected). Record
+   * `offset`s are positions in the LOGICAL (decompressed) record
+   * stream, so a census over a gzip archive equals the census over its
+   * plaintext twin — compression is transport, not content. */
+  def parseGz(bytes: Array[Byte]): Seq[ParsedRecord] = {
+    val out = Seq.newBuilder[ParsedRecord]
+    var pos = 0
+    var logical = 0L
+    while (pos < bytes.length) {
+      val (plain, next) = gunzipMember(bytes, pos)
+      val recs = parse(plain)
+      require(recs.length == 1,
+        s"gzip member at byte $pos holds ${recs.length} WARC records — " +
+          ".warc.gz framing is ONE record per member")
+      out += recs.head.copy(offset = logical)
+      logical += plain.length
+      pos = next
+    }
+    out.result()
   }
 
   /** Payload cap: a Content-Length past this is rejected before any

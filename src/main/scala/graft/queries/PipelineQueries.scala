@@ -1296,8 +1296,11 @@ object PipelineQueries extends QueryGroup {
               s"<urn:uuid:doc-$id>", "2022-01-01T00:00:00Z",
               Some(s"https://example.org/doc/$id"), px)
           }
-          val parsed = graft.pipeline.WarcCodec.parse(
-            graft.pipeline.WarcCodec.build(recs))
+          // the Common Crawl wire shape: one gzip member per record;
+          // parseGz keeps offsets in the logical record stream, so the
+          // census (and its arithmetic oracle) is transport-invariant
+          val parsed = graft.pipeline.WarcCodec.parseGz(
+            graft.pipeline.WarcCodec.buildGz(recs))
           parsed.zipWithIndex.map { case (r, i) =>
             val id = r.recordId.stripPrefix("<urn:uuid:doc-")
               .stripSuffix(">").toLong
@@ -1393,7 +1396,7 @@ object PipelineQueries extends QueryGroup {
               Some("application/http; msgtype=response"))
             Seq(req, resp)
           }
-          val parsed = W.parse(W.build(recs))
+          val parsed = W.parseGz(W.buildGz(recs))
           parsed.filter(_.warcType == "response").map { r =>
             val http = W.parseHttp(r.payload, isResponse = true)
             val mime = http.headers

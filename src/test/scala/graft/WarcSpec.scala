@@ -196,4 +196,73 @@ class WarcSpec extends AnyFunSuite {
     assert(out(0).targetUri === None)
     assert(new String(out(0).payload, "US-ASCII") === payload)
   }
+
+  // --- .warc.gz member framing (the Common Crawl wire shape) ---
+
+  private def rejectGz(bytes: Array[Byte], hint: String): Unit = {
+    val ex = intercept[IllegalArgumentException](WarcCodec.parseGz(bytes))
+    assert(ex.getMessage.toLowerCase.contains(hint),
+      s"message '${ex.getMessage}' lacks '$hint'")
+  }
+
+  test("gz: roundtrip census equals the plaintext walk, logical offsets") {
+    val gz = WarcCodec.buildGz(Seq(rec1, rec2))
+    val plain = WarcCodec.parse(WarcCodec.build(Seq(rec1, rec2)))
+    val out = WarcCodec.parseGz(gz)
+    // compression is transport, not content: every census field —
+    // offsets included (logical stream) — matches the plaintext twin
+    assert(out.map(r => (r.offset, r.warcType, r.recordId, r.date,
+        r.targetUri, r.contentLength, r.payloadMd5)) ===
+      plain.map(r => (r.offset, r.warcType, r.recordId, r.date,
+        r.targetUri, r.contentLength, r.payloadMd5)))
+    // and the wire form really is TWO independent members: the second
+    // starts with its own gzip magic
+    val tail = gz.drop(firstMemberLength(gz))
+    assert((tail(0) & 0xff) === 0x1f && (tail(1) & 0xff) === 0x8b)
+  }
+
+  /** Compressed length of the first member = position where a re-parse
+   * of the remainder still succeeds with one fewer record. */
+  private def firstMemberLength(gz: Array[Byte]): Int = {
+    val total = WarcCodec.parseGz(gz).size
+    (1 until gz.length).find { cut =>
+      try WarcCodec.parseGz(gz.drop(cut)).size == total - 1
+      catch { case _: IllegalArgumentException => false }
+    }.get
+  }
+
+  test("gz: rejects a truncated member") {
+    val gz = WarcCodec.buildGz(Seq(rec1))
+    rejectGz(gz.dropRight(1), "truncated")   // inside the trailer
+    rejectGz(gz.take(gz.length - 12), "truncated") // inside deflate data
+    rejectGz(gz.take(5), "truncated")        // inside the header
+  }
+
+  test("gz: rejects a corrupted member (CRC or deflate)") {
+    val gz = WarcCodec.buildGz(Seq(rec1))
+    val flipped = gz.clone()
+    flipped(gz.length / 2) = (flipped(gz.length / 2) ^ 0x41).toByte
+    val ex = intercept[IllegalArgumentException](WarcCodec.parseGz(flipped))
+    assert(Seq("crc32", "corrupt", "isize", "crlf", "version", "truncated")
+      .exists(ex.getMessage.toLowerCase.contains),
+      s"unexpected message '${ex.getMessage}'")
+  }
+
+  test("gz: rejects garbage between members and non-gzip input") {
+    val gz = WarcCodec.buildGz(Seq(rec1, rec2))
+    val cut = firstMemberLength(gz)
+    val withGarbage =
+      gz.take(cut) ++ "XYZ".getBytes("US-ASCII") ++ gz.drop(cut)
+    rejectGz(withGarbage, "magic")
+    rejectGz(WarcCodec.build(Seq(rec1)), "magic") // plaintext is not .gz
+  }
+
+  test("gz: rejects a multi-record member") {
+    // one member holding TWO records — legal gzip, illegal .warc.gz
+    val out = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(out)
+    g.write(WarcCodec.build(Seq(rec1, rec2)))
+    g.finish()
+    rejectGz(out.toByteArray, "one record per member")
+  }
 }
