@@ -946,16 +946,25 @@ object StreamingSmoke {
     // one-shot batch verdicts restricted to that micro-batch's ids,
     // and the accumulated stream output must equal p129's batch
     // relation row-for-row, not just converge).
-    // SMOKE-ONLY shape (the check-29 caveat verbatim): arrived docs
-    // accumulate in a driver-side buffer and the base index is
-    // re-derived per micro-batch; a production pipeline persists the
-    // band-bucket/shingle-set tables once and unions the arrived-batch
-    // index incrementally.
+    // PRODUCTION shape: the base corpus's band-bucket and shingle-set
+    // tables are built ONCE (DedupOps.lshIndexOf) and FROZEN; each
+    // micro-batch runs one DedupOps.minhashAppendStep against the
+    // index and the index grows by the batch's own increments — no
+    // driver-side corpus buffer, no base re-derivation. The index
+    // tables localCheckpoint per batch so superstep lineage never
+    // compounds (the p83 convention; a deployed pipeline would rewrite
+    // its checkpointed index table instead).
     val allDocs30 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
     val batch30 = allDocs30.filter(col("doc_id") % 10 === 5)
       .as[(Long, String)].collect().sortBy(_._1)
-    val arrived30 = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var idx30 = {
+      val i = graft.pipeline.DedupOps.lshIndexOf(
+        allDocs30.filter(col("doc_id") % 10 =!= 5), "doc_id", "text",
+        isBase = true)
+      graft.pipeline.DedupOps.LshIndex(
+        i.banded.localCheckpoint(), i.sets.localCheckpoint())
+    }
     val got30 = scala.collection.mutable.ArrayBuffer.empty[
       (Long, Long, Long, Option[Long], Option[Double], Boolean)]
     def verdictRows(df: org.apache.spark.sql.DataFrame) =
@@ -970,16 +979,15 @@ object StreamingSmoke {
     val q30 = s30.toDS().toDF("doc_id", "text")
       .writeStream.option("checkpointLocation", ckpt())
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        val rows = b.as[(Long, String)].collect().sortBy(_._1)
-        if (rows.nonEmpty) {
-          arrived30 ++= rows
-          val corpus = allDocs30.filter(col("doc_id") % 10 =!= 5)
-            .unionByName(arrived30.toSeq.toDF("doc_id", "text"))
-          val ids = rows.map(_._1).toSet
-          got30 ++= verdictRows(
-            graft.pipeline.DedupOps.minhashAppendVerdicts(
-              corpus, "doc_id", "text", batch = col("doc_id") % 10 === 5)
-              .filter(col("doc_id").isInCollection(ids)))
+        if (!b.isEmpty) {
+          val (verdicts, grown) = graft.pipeline.DedupOps
+            .minhashAppendStep(idx30, b.select(col("doc_id"), col("text")),
+              "doc_id", "text")
+          got30 ++= verdictRows(verdicts)
+          // truncate the grown index's lineage BEFORE releasing this
+          // batch's tracked increments (localCheckpoint is eager)
+          idx30 = graft.pipeline.DedupOps.LshIndex(
+            grown.banded.localCheckpoint(), grown.sets.localCheckpoint())
           graft.CacheScope.releaseAll()
         }
         ()

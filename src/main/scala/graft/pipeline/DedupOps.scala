@@ -327,38 +327,92 @@ object DedupOps {
       textCol: String, batch: Column, n: Int = 3, k: Int = 64,
       bands: Int = 32, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val rows = k / bands
-    val base = docs.filter(!batch)
-    val fresh = docs.filter(batch)
-    val shBase = shingleRows(base, idCol, textCol, n)
-    val shNew = shingleRows(fresh, idCol, textCol, n)
-    // the four cached relations are the persisted-index stand-ins (base
-    // side) and the batch derivations each consumed twice (probe +
-    // self-join, confirm + verdict spine); banding/sets are the SAME
-    // shared helpers the batch path uses, so the two paths can't drift
-    val bandedBase = graft.CacheScope.track(
-      bandedBuckets(signatures(shBase, k), bands, rows), MEMORY_AND_DISK)
-    val bandedNew = graft.CacheScope.track(
-      bandedBuckets(signatures(shNew, k), bands, rows), MEMORY_AND_DISK)
-    val setsBase = graft.CacheScope.track(
-      docShingleSets(shBase), MEMORY_AND_DISK)
-    val setsNew = graft.CacheScope.track(
-      docShingleSets(shNew), MEMORY_AND_DISK)
-    val candBase = bandedNew.as("a").join(bandedBase.as("b"),
+    val baseIdx = lshIndexOf(docs.filter(!batch), idCol, textCol,
+      isBase = true, n, k, bands)
+    // the cached index tables are the persisted-artifact stand-ins a
+    // production pipeline checkpoints; the one-shot form is EXACTLY one
+    // append step against them, so the batch query, the streaming
+    // incremental path, and the oracle all exercise the same kernel
+    val tracked = LshIndex(
+      graft.CacheScope.track(baseIdx.banded, MEMORY_AND_DISK),
+      graft.CacheScope.track(baseIdx.sets, MEMORY_AND_DISK))
+    minhashAppendStep(tracked, docs.filter(batch), idCol, textCol,
+      n, k, bands, threshold)._1
+  }
+
+  /**
+   * The two persisted artifacts of a MinHash-LSH dedup index — the
+   * band-bucket table (doc, band, band_hash, is_base) and the per-doc
+   * shingle-set table (doc, sh, set_size, is_base). `is_base` records
+   * whether a member belongs to the original frozen corpus or was
+   * APPENDED by a later batch — the bit the copier-pays billing reads
+   * (base partners always qualify; appended partners only when
+   * lower-id). Both tables are |docs|-scale (never the exploded
+   * shingle relation) and are what a production pipeline checkpoints
+   * between ingest batches.
+   */
+  final case class LshIndex(banded: DataFrame, sets: DataFrame)
+
+  /** Build the [[LshIndex]] of a corpus slice. The caller owns
+   * persistence (CacheScope.track for a run, localCheckpoint or a
+   * checkpointed table between streaming micro-batches). */
+  def lshIndexOf(docs: DataFrame, idCol: String, textCol: String,
+      isBase: Boolean, n: Int = 3, k: Int = 64,
+      bands: Int = 32): LshIndex = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    LshIndex(
+      bandedBuckets(signatures(sh, k), bands, k / bands)
+        .withColumn("is_base", lit(isBase)),
+      docShingleSets(sh).withColumn("is_base", lit(isBase)))
+  }
+
+  /**
+   * ONE ingest step of the incremental MinHash-LSH dedup pipeline: the
+   * arriving batch probes the FROZEN index (base corpus plus every
+   * earlier batch) and self-pairs, confirms with the exact n-gram
+   * Jaccard, and bills copier-pays; returns the verdict relation and
+   * the index grown by this batch's increments — the base corpus is
+   * never re-shingled, re-signed, or re-paired.
+   *
+   * Qualifying partners: every base member, appended members and batch
+   * siblings only when LOWER-id — so with id-ordered arrival the
+   * accumulated step verdicts equal the one-shot
+   * [[minhashAppendVerdicts]] relation row for row (streaming check 30
+   * asserts exactly that).
+   *
+   * Shape at 100 TB: the probe is one equi-join on (band, band_hash)
+   * the batch side drives; self-join, confirm joins, and the verdict
+   * aggregate are |batch|-scale; index growth is two unions of
+   * |batch|-scale increments. The returned index's lineage grows per
+   * step — the caller truncates it (localCheckpoint / rewrite of the
+   * checkpointed table) each batch, the p83 superstep convention.
+   */
+  def minhashAppendStep(index: LshIndex, batchDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 64,
+      bands: Int = 32, threshold: Double = 0.5): (DataFrame, LshIndex) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val inc = lshIndexOf(batchDocs, idCol, textCol, isBase = false,
+      n, k, bands)
+    // each increment is consumed twice (probe + self-join; confirm +
+    // verdict spine) and then lives on inside the returned index
+    val bandedNew = graft.CacheScope.track(inc.banded, MEMORY_AND_DISK)
+    val setsNew = graft.CacheScope.track(inc.sets, MEMORY_AND_DISK)
+    val candIdx = bandedNew.as("a").join(index.banded.as("b"),
         col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash"))
-      .select(col("a.doc").as("doc_id"), col("b.doc").as("partner"))
+          col("a.band_hash") === col("b.band_hash") &&
+          (col("b.is_base") || col("b.doc") < col("a.doc")))
+      .select(col("a.doc").as("doc_id"), col("b.doc").as("partner"),
+        col("b.is_base").as("is_base"))
       .distinct()
-      .withColumn("is_base", lit(true))
-    val candBatch = bandedNew.as("a").join(bandedNew.as("b"),
+    val candSelf = bandedNew.as("a").join(bandedNew.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("b.doc") < col("a.doc"))
-      .select(col("a.doc").as("doc_id"), col("b.doc").as("partner"))
+      .select(col("a.doc").as("doc_id"), col("b.doc").as("partner"),
+        lit(false).as("is_base"))
       .distinct()
-      .withColumn("is_base", lit(false))
-    val partnerSets = setsBase.unionByName(setsNew)
-    val confirmed = candBase.unionByName(candBatch)
+    val partnerSets = index.sets.unionByName(setsNew)
+    val confirmed = candIdx.unionByName(candSelf)
       .join(setsNew.select(col("doc").as("doc_id"), col("sh").as("sh_a"),
         col("set_size").as("size_a")), "doc_id")
       .join(partnerSets.select(col("doc").as("partner"),
@@ -372,12 +426,14 @@ object DedupOps {
         sum(when(col("is_base"), 0L).otherwise(1L)).as("n_prior_batch_dups"),
         min(col("partner")).as("dup_of"),
         max(col("jaccard")).as("max_jaccard"))
-    setsNew.select(col("doc").as("doc_id"))
+    val out = setsNew.select(col("doc").as("doc_id"))
       .join(verdict, Seq("doc_id"), "left")
       .withColumn("n_base_dups", coalesce(col("n_base_dups"), lit(0L)))
       .withColumn("n_prior_batch_dups",
         coalesce(col("n_prior_batch_dups"), lit(0L)))
       .withColumn("dropped", col("dup_of").isNotNull)
+    (out, LshIndex(index.banded.unionByName(bandedNew),
+      index.sets.unionByName(setsNew)))
   }
 
   /**

@@ -518,6 +518,48 @@ class PipelineSpec extends AnyFunSuite {
     graft.CacheScope.releaseAll()
   }
 
+  test("minhashAppendStep: incremental steps equal the one-shot relation") {
+    import TestSpark.spark
+    import spark.implicits._
+    val D = graft.pipeline.DedupOps
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = Seq((10L, a), (20L, "one two three four five six seven"),
+      (30L, "x y z w v u t s r q"),
+      (15L, a), (25L, a), (35L, "totally different words here apple pear"))
+    val df = rows.toDF("doc_id", "text")
+    def snap(v: org.apache.spark.sql.DataFrame) =
+      v.collect().map(r => (r.getLong(0), r.getAs[Long]("n_base_dups"),
+        r.getAs[Long]("n_prior_batch_dups"),
+        if (r.isNullAt(r.fieldIndex("dup_of"))) -1L
+        else r.getAs[Long]("dup_of"),
+        r.getAs[Boolean]("dropped"))).sortBy(_._1).toSeq
+    val oneShot = snap(D.minhashAppendVerdicts(df, "doc_id", "text",
+      batch = col("doc_id") % 10 === 5))
+    graft.CacheScope.releaseAll()
+    // production shape: frozen base index, two id-ordered micro-batches
+    var idx = {
+      val i = D.lshIndexOf(df.filter(col("doc_id") % 10 =!= 5),
+        "doc_id", "text", isBase = true)
+      D.LshIndex(i.banded.localCheckpoint(), i.sets.localCheckpoint())
+    }
+    val acc = Seq(Seq(15L), Seq(25L, 35L)).flatMap { ids =>
+      val (v, grown) = D.minhashAppendStep(idx,
+        df.filter(col("doc_id").isInCollection(ids)), "doc_id", "text")
+      val out = snap(v)
+      idx = D.LshIndex(grown.banded.localCheckpoint(),
+        grown.sets.localCheckpoint())
+      graft.CacheScope.releaseAll()
+      out
+    }
+    assert(acc.sortBy(_._1) === oneShot)
+    // the grown index carries the right provenance bits: base members
+    // flagged true, appended members false
+    val flags = idx.banded.select(col("doc"), col("is_base")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(10L -> true, 20L -> true, 30L -> true,
+      15L -> false, 25L -> false, 35L -> false))
+  }
+
   test("kmeans step: cluster means exact on a two-pole fixture") {
     import TestSpark.spark
     import spark.implicits._
