@@ -100,11 +100,59 @@ object Similarity {
    * engines), so an oracle reproduces the width from its own count(*).
    * Fixed 256 buckets gave quadratic in-bucket pair growth (the
    * declared p17 knob: 54× wall at the 100× rehearsal); with the rule,
-   * density stays ≤ 8 until the 2^16 cap (N = 524k — past that, raise
-   * the cap with the corpus or switch the first-`bits` axis planes to
-   * seeded random hyperplanes over all dims). */
+   * density stays ≤ 8 until the 2^16 cap (N = 524k — past that,
+   * [[scaledPlanes]] switches to seeded random hyperplanes, whose
+   * width is not bounded by the embedding dimensionality). */
   def scaledBits(n: Long): Int =
     (8 to 16).find(b => n <= (8L << b)).getOrElse(16)
+
+  /** Corpus-scaled sign-LSH configuration: (bits, use hyperplanes?).
+   * Up to N = 8·2¹⁶ the [[scaledBits]] axis rule applies — the regime
+   * every driver-gate / bench / rehearsal corpus lives in, and the one
+   * the p17 SQL oracle mirrors. Past it, axis planes run out (only
+   * `dim` of them exist, and each bit is exactly as skewed as its
+   * coordinate's sign distribution), so the rule opens the
+   * seeded-random-hyperplane widths [17, 24] under the same
+   * density-≤-8 invariant — enough through N = 8·2²⁴ ≈ 134M vectors;
+   * past THAT, raise the range (the construction itself has no width
+   * limit). The hyperplane regime is engine-only and spec-pinned by a
+   * driver replay (PipelineSpec) — a gate-scale DuckDB oracle can
+   * never reach N > 524k. */
+  def scaledPlanes(n: Long): (Int, Boolean) =
+    if (n <= (8L << 16)) (scaledBits(n), false)
+    else ((17 to 24).find(b => n <= (8L << b)).getOrElse(24), true)
+
+  /** Deterministic ±1 coefficient of seeded hyperplane `bit` at
+   * dimension `d`: a fixed-seed Knuth multiplicative mix whose 17th
+   * bit decides the sign. Pure integer arithmetic — any replay (spec,
+   * future SQL oracle generator) re-derives the planes from this
+   * formula, no RNG state to ship. */
+  def planeCoef(bit: Int, d: Int): Int = {
+    val x = (bit.toLong * 1000003L + d.toLong * 7919L + 982451653L) *
+      2654435761L
+    if (((x >>> 17) & 1L) == 0L) 1 else -1
+  }
+
+  /** Sign-LSH bucket from `bits` seeded random hyperplanes over ALL
+   * `dim` dimensions — the documented escape past [[signBucket]]'s
+   * axis-plane form (random hyperplanes keep bits near-balanced at any
+   * width; Charikar 2002's construction proper, axis planes being its
+   * degenerate specialization). Each plane's dot product is EXACT
+   * integer: the per-dim e3 quantization (the q3 rule) times a ±1
+   * literal coefficient, summed as longs in fixed order — the house
+   * engine-portability convention, kept even though only the spec
+   * replays this regime today. All bits·dim terms are literal-unrolled
+   * codegen'd arithmetic; the 64 quantizations are shared across
+   * planes by subexpression elimination. */
+  def signBucketHyperplanes(v: Column, bits: Int, dim: Int): Column =
+    (0 until bits).map { i =>
+      val dot = (0 until dim).map { d =>
+        val q = floor(element_at(v, d + 1).cast("double") * 1000.0 + 0.5)
+          .cast("long")
+        if (planeCoef(i, d) > 0) q else -q
+      }.reduce(_ + _)
+      when(dot >= 0L, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Sign-bit coarse bucket over the first `bits` dimensions — a random-
    * hyperplane LSH specialization (hyperplanes = axis planes), giving 2^bits
@@ -667,12 +715,16 @@ object Similarity {
    * AQE's skew-join split handles the moderate case.
    */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
-      bits: Int = 8): DataFrame = {
+      bits: Int = 8, hyperplanes: Boolean = false,
+      dim: Int = 64): DataFrame = {
     val thrE3 = math.round(threshold * 1000)
+    val bucketExpr =
+      if (hyperplanes) signBucketHyperplanes(col("embedding"), bits, dim)
+      else signBucket(col("embedding"), bits)
     // quantize-once + hoisted norm²; cached so the transform() HOF and
     // the norm kernel run once per VECTOR, not once per candidate pair
     val b = graft.CacheScope.track(
-      withQ3(corpus.withColumn("bucket", signBucket(col("embedding"), bits)))
+      withQ3(corpus.withColumn("bucket", bucketExpr))
         .select(col("vec_id"), col("bucket"), col("codes"), col("nsq")))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -1042,12 +1042,16 @@ object PipelineQueries extends QueryGroup {
       val e = embs(s, d)
       // the production "derive the index knob from corpus stats" step —
       // memoized run-scoped so repeated executions don't each pay the
-      // eager count action (the stat is a pure function of the dataset)
-      val bits = graft.CacheScope.memoRunValue(
+      // eager count action (the stat is a pure function of the dataset).
+      // Past N = 524k scaledPlanes opens the seeded-hyperplane widths —
+      // engine-only, spec-pinned; the SQL oracle below mirrors the axis
+      // regime, the only one a gate-scale corpus can reach.
+      val (bits, hyper) = graft.CacheScope.memoRunValue(
         s"${s.sparkContext.applicationId}:emb-bits:$d") {
-        Similarity.scaledBits(e.count())
+        Similarity.scaledPlanes(e.count())
       }
-      Similarity.cosineNearDupPairs(e, threshold = 0.3, bits = bits)
+      Similarity.cosineNearDupPairs(e, threshold = 0.3, bits = bits,
+        hyperplanes = hyper)
         .orderBy(col("vec_a"), col("vec_b"))
     },
     Some(s"""WITH bitsq AS (SELECT $bitsCaseSql AS bits

@@ -518,6 +518,48 @@ class PipelineSpec extends AnyFunSuite {
     graft.CacheScope.releaseAll()
   }
 
+  test("scaledPlanes: axis regime to the 2^16 cap, hyperplane widths past it") {
+    val S = Similarity
+    assert(S.scaledPlanes(1000L) === ((8, false)))
+    assert(S.scaledPlanes(8L << 16) === ((16, false)))      // last axis N
+    assert(S.scaledPlanes((8L << 16) + 1) === ((17, true))) // first hyper N
+    assert(S.scaledPlanes(8L << 20) === ((20, true)))
+    assert(S.scaledPlanes(Long.MaxValue >> 8) === ((24, true))) // width cap
+    // density invariant: N/2^bits <= 8 everywhere below the cap
+    for (n <- Seq(100L, 5000L, 600000L, 40000000L)) {
+      val (b, _) = S.scaledPlanes(n)
+      assert(n <= (8L << b), s"density violated at n=$n bits=$b")
+    }
+  }
+
+  test("signBucketHyperplanes: engine buckets equal an integer replay") {
+    val e = embs.filter(col("vec_id") < 300)
+    val bits = 18
+    val got = e.select(col("vec_id"),
+        Similarity.signBucketHyperplanes(col("embedding"), bits, 64)
+          .as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent driver replay of the published construction: per-dim
+    // e3 quantization, ±1 coefficient from the fixed-seed Knuth mix
+    // (bit 17 of the product), exact long sums, sign bits packed LSB-up
+    def coef(bit: Int, d: Int): Long = {
+      val x = (bit.toLong * 1000003L + d.toLong * 7919L + 982451653L) *
+        2654435761L
+      if (((x >>> 17) & 1L) == 0L) 1L else -1L
+    }
+    val want = e.collect().map { r =>
+      val v = r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000.0 + 0.5).toLong)
+      r.getLong(0) -> (0 until bits).map { i =>
+        val dot = v.indices.map(d => coef(i, d) * v(d)).sum
+        if (dot >= 0L) 1L << i else 0L
+      }.sum
+    }.toMap
+    assert(got === want)
+    // the planes genuinely separate the corpus (not a constant bucket)
+    assert(got.values.toSet.size > 10, s"only ${got.values.toSet.size} buckets")
+  }
+
   test("minhashAppendStep: incremental steps equal the one-shot relation") {
     import TestSpark.spark
     import spark.implicits._
