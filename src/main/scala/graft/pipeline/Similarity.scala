@@ -113,14 +113,22 @@ object Similarity {
    * `dim` of them exist, and each bit is exactly as skewed as its
    * coordinate's sign distribution), so the rule opens the
    * seeded-random-hyperplane widths [17, 24] under the same
-   * density-≤-8 invariant — enough through N = 8·2²⁴ ≈ 134M vectors;
-   * past THAT, raise the range (the construction itself has no width
-   * limit). The hyperplane regime is engine-only and spec-pinned by a
-   * driver replay (PipelineSpec) — a gate-scale DuckDB oracle can
-   * never reach N > 524k. */
+   * density-≤-8 invariant — enough through N = 8·2²⁴ ≈ 134M vectors.
+   * Past THAT the rule REFUSES (hard input bound, not a silent cap:
+   * returning 24 bits at 1B vectors would quietly re-open the
+   * quadratic in-bucket growth the rule exists to kill — raise the
+   * range deliberately when the corpus gets there; the construction
+   * itself has no width limit). The hyperplane regime is engine-only
+   * and spec-pinned by a driver replay (PipelineSpec) — a gate-scale
+   * DuckDB oracle can never reach N > 524k. */
   def scaledPlanes(n: Long): (Int, Boolean) =
     if (n <= (8L << 16)) (scaledBits(n), false)
-    else ((17 to 24).find(b => n <= (8L << b)).getOrElse(24), true)
+    else {
+      require(n <= (8L << 24),
+        s"corpus of $n vectors exceeds the 24-bit sign-LSH width bound " +
+          "(density N/2^bits would pass 8) — raise scaledPlanes' range")
+      ((17 to 24).find(b => n <= (8L << b)).get, true)
+    }
 
   /** Deterministic ±1 coefficient of seeded hyperplane `bit` at
    * dimension `d`: a fixed-seed Knuth multiplicative mix whose 17th
@@ -134,25 +142,31 @@ object Similarity {
   }
 
   /** Sign-LSH bucket from `bits` seeded random hyperplanes over ALL
-   * `dim` dimensions — the documented escape past [[signBucket]]'s
-   * axis-plane form (random hyperplanes keep bits near-balanced at any
-   * width; Charikar 2002's construction proper, axis planes being its
-   * degenerate specialization). Each plane's dot product is EXACT
-   * integer: the per-dim e3 quantization (the q3 rule) times a ±1
-   * literal coefficient, summed as longs in fixed order — the house
-   * engine-portability convention, kept even though only the spec
-   * replays this regime today. All bits·dim terms are literal-unrolled
-   * codegen'd arithmetic; the 64 quantizations are shared across
-   * planes by subexpression elimination. */
-  def signBucketHyperplanes(v: Column, bits: Int, dim: Int): Column =
-    (0 until bits).map { i =>
+   * `dim` dimensions of an ALREADY-QUANTIZED e3 code array (the
+   * [[withQ3]] quantize-once invariant — the bucket shares the codes
+   * the pair kernel consumes, never re-quantizing) — the documented
+   * escape past [[signBucket]]'s axis-plane form (random hyperplanes
+   * keep bits near-balanced at any width; Charikar 2002's construction
+   * proper, axis planes being its degenerate specialization). Each
+   * plane's dot product is EXACT integer: e3 code times a ±1 literal
+   * coefficient, summed as longs in fixed order — engine-portable by
+   * the house convention even though only the spec replays this regime
+   * today. All bits·dim terms are literal-unrolled codegen'd long
+   * adds. A code array SHORTER than `dim` yields a NULL bucket — the
+   * vector drops out of the bucket equi-join (no pairs), mirroring the
+   * family's cosine-undefined NULL contract, instead of every
+   * malformed row silently collapsing into bucket 0 and re-creating
+   * the hot-bucket quadratic blowup. */
+  def signBucketHyperplanes(codes: Column, bits: Int, dim: Int): Column = {
+    val packed = (0 until bits).map { i =>
       val dot = (0 until dim).map { d =>
-        val q = floor(element_at(v, d + 1).cast("double") * 1000.0 + 0.5)
-          .cast("long")
+        val q = element_at(codes, d + 1)
         if (planeCoef(i, d) > 0) q else -q
       }.reduce(_ + _)
       when(dot >= 0L, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    when(size(codes) >= dim, packed).otherwise(lit(null).cast("long"))
+  }
 
   /** Sign-bit coarse bucket over the first `bits` dimensions — a random-
    * hyperplane LSH specialization (hyperplanes = axis planes), giving 2^bits
@@ -718,14 +732,19 @@ object Similarity {
       bits: Int = 8, hyperplanes: Boolean = false,
       dim: Int = 64): DataFrame = {
     val thrE3 = math.round(threshold * 1000)
-    val bucketExpr =
-      if (hyperplanes) signBucketHyperplanes(col("embedding"), bits, dim)
-      else signBucket(col("embedding"), bits)
     // quantize-once + hoisted norm²; cached so the transform() HOF and
-    // the norm kernel run once per VECTOR, not once per candidate pair
+    // the norm kernel run once per VECTOR, not once per candidate pair.
+    // The hyperplane bucket reads the SAME codes array the pair kernel
+    // does (no second quantization); the axis bucket keeps its float
+    // sign semantics (the form the p17 oracle mirrors).
+    val withBucket =
+      if (hyperplanes)
+        withQ3(corpus).withColumn("bucket",
+          signBucketHyperplanes(col("codes"), bits, dim))
+      else
+        withQ3(corpus.withColumn("bucket", signBucket(col("embedding"), bits)))
     val b = graft.CacheScope.track(
-      withQ3(corpus.withColumn("bucket", bucketExpr))
-        .select(col("vec_id"), col("bucket"), col("codes"), col("nsq")))
+      withBucket.select(col("vec_id"), col("bucket"), col("codes"), col("nsq")))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim_e3", simE3(

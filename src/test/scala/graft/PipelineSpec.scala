@@ -524,8 +524,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(S.scaledPlanes(8L << 16) === ((16, false)))      // last axis N
     assert(S.scaledPlanes((8L << 16) + 1) === ((17, true))) // first hyper N
     assert(S.scaledPlanes(8L << 20) === ((20, true)))
-    assert(S.scaledPlanes(Long.MaxValue >> 8) === ((24, true))) // width cap
-    // density invariant: N/2^bits <= 8 everywhere below the cap
+    assert(S.scaledPlanes(8L << 24) === ((24, true))) // last width in range
+    // past the range the rule REFUSES loudly instead of silently
+    // re-opening quadratic in-bucket growth at a capped width
+    intercept[IllegalArgumentException](S.scaledPlanes((8L << 24) + 1))
+    // density invariant: N/2^bits <= 8 everywhere in range
     for (n <- Seq(100L, 5000L, 600000L, 40000000L)) {
       val (b, _) = S.scaledPlanes(n)
       assert(n <= (8L << b), s"density violated at n=$n bits=$b")
@@ -535,8 +538,10 @@ class PipelineSpec extends AnyFunSuite {
   test("signBucketHyperplanes: engine buckets equal an integer replay") {
     val e = embs.filter(col("vec_id") < 300)
     val bits = 18
-    val got = e.select(col("vec_id"),
-        Similarity.signBucketHyperplanes(col("embedding"), bits, 64)
+    // the engine shape: bucket over the SAME withQ3 codes the pair
+    // kernel consumes (quantize-once), never a second quantization
+    val got = Similarity.withQ3(e).select(col("vec_id"),
+        Similarity.signBucketHyperplanes(col("codes"), bits, 64)
           .as("bucket"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // independent driver replay of the published construction: per-dim
@@ -558,6 +563,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === want)
     // the planes genuinely separate the corpus (not a constant bucket)
     assert(got.values.toSet.size > 10, s"only ${got.values.toSet.size} buckets")
+    // a short (wrong-dim) code array gets a NULL bucket — it drops out
+    // of the bucket equi-join instead of collapsing into bucket 0
+    import TestSpark.spark
+    import spark.implicits._
+    val shortRow = Seq((99L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val r = Similarity.withQ3(shortRow).select(
+      Similarity.signBucketHyperplanes(col("codes"), bits, 64)).head
+    assert(r.isNullAt(0), "short vector must bucket to NULL")
   }
 
   test("minhashAppendStep: incremental steps equal the one-shot relation") {
