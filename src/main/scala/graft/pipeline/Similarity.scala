@@ -265,9 +265,10 @@ object Similarity {
    * ~N^1.5 ≪ N² (p28's analysis); the per-vector top-k is the k-bounded
    * [[graft.functions.MinKPairs]] aggregate — map-side partial top-k, so
    * each task ships at most k pairs per vector, where a rank window
-   * would shuffle AND sort the whole ~N^1.5 pair relation (measured
-   * 234 s → 150 s at the 100× rehearsal; the remainder is the pair
-   * kernel itself, shared with p28's class). Pairs ride the e3
+   * would shuffle AND sort the whole ~N^1.5 pair relation (recorded:
+   * 158.6 s fresh-JVM isolated at the 100× rehearsal — the PLAN_AUDIT
+   * round-14 row; the cost is the pair kernel itself, shared with
+   * p28's class). Pairs ride the e3
    * INTEGER-cosine kernel ([[simE3]] on the assignment's quantize-once
    * codes — one integer multiply-add per pair); ordering is
    * (dist = −sim_e3, neighbor_id) ascending ≡ (sim desc, id asc), the
