@@ -712,6 +712,79 @@ object DedupOps {
    * threshold is a ppm rational, so ceil and the final Jaccard are exact
    * integer arithmetic in both engines.
    */
+  /**
+   * EXACT containment join over the FULL corpus by prefix filtering —
+   * the corpus-scale form [[containmentPairs]]'s scaladoc promises
+   * (that one is the verification-scale inverted-index join, input
+   * bounded): emit every unordered pair where EITHER direction's
+   * containment |Sa∩Sb|/|side| reaches the threshold, exactly.
+   *
+   * The filter theory differs from [[jaccardPrefixJoin]]'s symmetric
+   * prefixes because containment is asymmetric: C(x→y) ≥ t constrains
+   * the overlap to ≥ ⌈t·|Sx|⌉ — a bound in the CONTAINED side's size
+   * only, so the contained side keeps a rarity-ordered prefix of
+   * |Sx| − ⌈t·|Sx|⌉ + 1 shingles (pigeonhole: any that-many-element
+   * subset of Sx must hit Sx∩Sy when the overlap is ≥ ⌈t·|Sx|⌉ — no
+   * ordering needed for completeness; rare-first minimizes candidate
+   * volume), while the CONTAINER side is probed through its FULL
+   * posting list — a tiny quoted doc's shingles can sit anywhere in a
+   * huge container, which is exactly why the container side admits no
+   * prefix. Two prunes bound the probe: the directed size filter
+   * (∩ ≤ |Sx| forces |Sy| ≥ t·|Sx|), and the rare-first order keeps
+   * prefix shingles low-df so posting-list fan-out stays near-linear.
+   * Hot-shingle corpora remain the documented worst case, as in p109.
+   *
+   * Output (exact integer ppm, the p109 convention): one row per
+   * qualifying unordered pair with n_common, both sizes, and both
+   * directions' containment ppm.
+   */
+  def containmentPrefixJoin(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, tPpm: Long): DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = graft.CacheScope.track(
+      shingleRows(docs, idCol, textCol, n).select(col("doc"), col("shingle")))
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
+    val withSize = graft.CacheScope.track(
+      sh.join(sizes, Seq("doc")), MEMORY_AND_DISK)
+    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("gdf"), col("shingle"))
+    val prefix = withSize.join(dfTab, Seq("shingle"))
+      .withColumn("pos", row_number().over(w))
+      .filter(expr(
+        s"pos <= set_size - ((set_size * $tPpm + 999999) div 1000000) + 1"))
+      .select(col("doc"), col("shingle"), col("set_size"))
+    val pairs = prefix.as("x").join(withSize.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc") =!= col("y.doc") &&
+          // container at least t× the contained size (∩ ≤ |Sx|)
+          col("y.set_size") * 1000000L >= col("x.set_size") * tPpm)
+      .select(
+        when(col("x.doc") < col("y.doc"), col("x.doc"))
+          .otherwise(col("y.doc")).as("doc_a"),
+        when(col("x.doc") < col("y.doc"), col("y.doc"))
+          .otherwise(col("x.doc")).as("doc_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc").as("doc_a"),
+        col("set_size").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"),
+        col("set_size").as("size_b")), "doc_b")
+      // integer div, not double-divide-and-cast (the p109 lesson)
+      .withColumn("cont_a_ppm", expr("(n_common * 1000000) div size_a"))
+      .withColumn("cont_b_ppm", expr("(n_common * 1000000) div size_b"))
+      .filter(col("cont_a_ppm") >= tPpm || col("cont_b_ppm") >= tPpm)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("size_a"), col("size_b"),
+        col("cont_a_ppm"), col("cont_b_ppm"))
+  }
+
   def jaccardPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tPpm: Long): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")

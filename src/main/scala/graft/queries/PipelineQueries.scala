@@ -123,6 +123,34 @@ object PipelineQueries extends QueryGroup {
       |FROM jpm WHERE jac_ppm >= 500000
       |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** P134 — exact containment join over the FULL corpus (no doc_id
+   * cap) by asymmetric prefix filtering: the contained side keeps a
+   * rarity-ordered prefix of |S| − ⌈t·|S|⌉ + 1 shingles and probes the
+   * container side's FULL posting list (a quoted doc's shingles can
+   * sit anywhere in its container — the reason containment admits no
+   * symmetric prefix), with the directed size prune |container| ≥
+   * t·|contained|. Completes the containment quadrant the way p109
+   * completed Jaccard's: p74 is exact-but-capped, this is
+   * exact-and-unbounded. The oracle brute-forces every pair sharing
+   * any shingle — a different algorithm, so parity also validates the
+   * pigeonhole completeness argument on real data. */
+  private val p134 = QueryDef(
+    (s, d) => DedupOps.containmentPrefixJoin(
+      docs(s, d), "doc_id", "text", 3, tPpm = 700000L)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH ${jaccardCtes("")},
+      |cpm AS (
+      |  SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS n_common,
+      |         CAST(sa AS BIGINT) AS size_a, CAST(sb AS BIGINT) AS size_b,
+      |         inter * 1000000 // sa AS cont_a_ppm,
+      |         inter * 1000000 // sb AS cont_b_ppm
+      |  FROM pairs)
+      |SELECT doc_a, doc_b, n_common, size_a, size_b,
+      |       CAST(cont_a_ppm AS BIGINT) AS cont_a_ppm,
+      |       CAST(cont_b_ppm AS BIGINT) AS cont_b_ppm
+      |FROM cpm WHERE cont_a_ppm >= 700000 OR cont_b_ppm >= 700000
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
   private val p74 = QueryDef(
     // Asymmetric containment |Sa∩Sb|/|Sa| over the same inverted shingle
     // index as p3 — the quote-inclusion/subset-dup screen symmetric
@@ -3362,6 +3390,7 @@ object PipelineQueries extends QueryGroup {
     "p113_lang_confusion" -> p113,
     "p117_keep_longest" -> p117,
     "p74_containment_pairs" -> p74,
+    "p134_containment_prefix_join" -> p134,
     "p77_containment_scrub" -> p77,
     "p4_minhash_lsh" -> p4,
     "p5_simhash_buckets" -> p5,

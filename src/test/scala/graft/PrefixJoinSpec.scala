@@ -83,4 +83,75 @@ class PrefixJoinSpec extends AnyFunSuite {
       .collect()
     assert(rows.isEmpty)
   }
+
+  /** Exact integer-ppm containment pairs, brute force over all pairs:
+   * (a, b) kept when either direction's |∩|/|side| reaches t. */
+  private def naiveCont(docs: Seq[(Long, String)], n: Int, tPpm: Long)
+      : Map[(Long, Long), (Long, Long)] = {
+    val sets = docs.map { case (id, t) => id -> shingles(t, n) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong if inter > 0
+      ca = inter * 1000000L / sa.size
+      cb = inter * 1000000L / sb.size
+      if ca >= tPpm || cb >= tPpm
+    } yield (a, b) -> ((ca, cb))).toMap
+  }
+
+  test("containment join: parity vs all-pairs brute force") {
+    // the p109 corpus shape PLUS planted quote inclusions: short docs
+    // fully embedded in long hosts — high containment, low Jaccard
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rng = new Lcg(98765L)
+    val base = (0 until 30).map { i =>
+      i.toLong -> (0 until (10 + rng.next(10)))
+        .map(_ => vocab(rng.next(12))).mkString(" ")
+    }
+    val quotes = (0 until 15).map { i =>
+      val (_, host) = base(rng.next(30))
+      val ws = host.split(" ")
+      val from = rng.next(math.max(1, ws.length - 5))
+      (200L + i) -> ws.slice(from, from + 5).mkString(" ") // 5-word quote
+    }
+    val docs = base ++ quotes
+    val got = DedupOps.containmentPrefixJoin(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 3, 700000L)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("cont_a_ppm"), r.getAs[Long]("cont_b_ppm")))).toMap
+    val want = naiveCont(docs, 3, 700000L)
+    assert(want.nonEmpty, "fixture must produce qualifying pairs")
+    assert(got === want)
+  }
+
+  test("containment join catches the quote Jaccard misses") {
+    // a 4-word quote inside a 16-word host: containment(quote→host) = 1,
+    // Jaccard ≈ 2/14 — the asymmetric measure's whole point
+    val host = "w1 w2 w3 w4 w5 w6 w7 w8 quick brown fox jumps w9 w10 w11 w12"
+    val docs = Seq(1L -> host, 2L -> "quick brown fox jumps")
+    val rows = DedupOps.containmentPrefixJoin(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 3, 700000L)
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Long]("n_common") === 2L)     // both 3-grams of the quote
+    assert(r.getAs[Long]("size_b") === 2L)
+    assert(r.getAs[Long]("cont_b_ppm") === 1000000L) // fully contained
+    assert(r.getAs[Long]("cont_a_ppm") < 700000L)    // host side far below
+    // and the same pair is invisible to the Jaccard join at 0.5
+    assert(DedupOps.jaccardPrefixJoin(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 3, 500000L)
+      .collect().isEmpty)
+  }
+
+  test("containment join: below-threshold absence") {
+    val docs = Seq(
+      1L -> "one two three four ten eleven twelve thirteen",
+      2L -> "one two three nine a b c d e f")
+    assert(DedupOps.containmentPrefixJoin(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 3, 700000L)
+      .collect().isEmpty)
+  }
 }
