@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{EventLog, MessageEnvelope}
 import graft.operators.{Compaction, Dedup, TimeWindows}
-import graft.streaming.{DocIngest, StreamingOps, TopicStream}
+import graft.streaming.{DocIngest, StreamingOps, TopicStream, UrlIngest}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -1002,8 +1002,57 @@ object StreamingSmoke {
         want30.nonEmpty,
       s"stream=${got30.size} batch=${want30.size}")
 
+    // 31) Streaming crawl-frontier census — the incremental twin of
+    // p127's host census: canonicalized URLs (the p127 messy-frontier
+    // fixture through UrlOps.canonicalizeUrl, percent normalization
+    // included) arrive host-keyed in micro-batches; per-host state is
+    // the distinct-URL histogram — the frontier table a crawler keeps
+    // anyway — each batch upserts a versioned census row, and the
+    // max-version row per host must equal the batch two-level
+    // aggregation EXACTLY. No ordering contract: the census is a pure
+    // function of the arrived multiset.
+    val urlBase31 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("chars"),
+        expr(graft.queries.PipelineQueries.rawUrlSql).as("raw_url"))
+      .withColumn("url",
+        graft.pipeline.UrlOps.canonicalizeUrl(col("raw_url")))
+      .withColumn("host", graft.pipeline.UrlOps.hostOf(col("url")))
+      .select(col("doc_id"), col("host"), col("url"), col("chars"))
+    val docs31 = urlBase31.as[UrlIngest].collect().sortBy(_.doc_id)
+    val s31 = MemoryStream[UrlIngest]
+    val q31 = StreamingOps.urlCensusStream(s31.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("url_census_out")
+      .option("checkpointLocation", ckpt()).start()
+    docs31.grouped(math.max(1, docs31.length / 5 + 1))
+      .foreach { c => s31.addData(c); q31.processAllAvailable() }
+    q31.stop()
+    def censusMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val streamCensus31 = censusMap(spark.table("url_census_out")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
+          .orderBy(col("version").desc)))
+      .filter(col("rk") === 1)
+      .select(col("host"), col("n_docs"), col("n_urls"),
+        col("n_dup_docs"), col("max_url_docs"), col("text_chars")))
+    val batchCensus31 = censusMap(urlBase31
+      .groupBy(col("host"), col("url"))
+      .agg(count(lit(1)).as("n"), sum(col("chars")).as("chars"))
+      .groupBy(col("host"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_urls"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"),
+        max(col("n")).as("max_url_docs"),
+        sum(col("chars")).as("text_chars")))
+    check("url-census-stream",
+      streamCensus31 == batchCensus31 && streamCensus31.nonEmpty,
+      s"stream hosts=${streamCensus31.size} batch=${batchCensus31.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 30 converged to batch twins OK")
+    println(s"[stream-smoke] all 31 converged to batch twins OK")
     spark.stop()
   }
 }

@@ -1535,7 +1535,7 @@ object PipelineQueries extends QueryGroup {
    * ||-concatenation translation inside the p127 oracle string below
    * (STRING→VARCHAR casts are the only delta), and the idempotence
    * fixture in UrlOpsSpec. */
-  private val rawUrlSql: String =
+  private[graft] val rawUrlSql: String =
     """concat(
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTP'
       |       WHEN 1 THEN 'https' ELSE 'http' END,

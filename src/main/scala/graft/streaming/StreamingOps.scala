@@ -47,6 +47,13 @@ case class SessRow(user_id: Long, session_idx: Long, n_events: Long,
     start_ms: Long, end_ms: Long)
 
 /** One streamed retention activity (user, epoch day). */
+case class UrlIngest(doc_id: Long, host: String, url: String, chars: Long)
+
+case class HostState(version: Long, hist: Map[String, (Long, Long)])
+
+case class HostCensus(host: String, version: Long, n_docs: Long,
+    n_urls: Long, n_dup_docs: Long, max_url_docs: Long, text_chars: Long)
+
 case class RetEvent(user_id: Long, day: Long)
 
 /** A user's first appearance in a (cohort week, offset week) cell. */
@@ -493,6 +500,40 @@ object StreamingOps {
           }
           state.update(last)
           out.iterator
+      }
+  }
+
+  /**
+   * Streaming crawl-frontier census — the incremental twin of p127's
+   * host census: canonicalized URLs arrive keyed by host, the per-host
+   * state is the distinct-URL histogram (url → docs, chars — exactly
+   * the frontier table a crawler keeps anyway, sized by the host's
+   * distinct URLs, never the doc stream), and every micro-batch emits
+   * an upserted census row per touched host with a monotone version.
+   * The max-version row per host equals the batch two-level
+   * aggregation exactly; no ordering contract at all — the census is a
+   * pure function of the arrived multiset. */
+  def urlCensusStream(ds: Dataset[UrlIngest]): Dataset[HostCensus] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.host)
+      .flatMapGroupsWithState[HostState, HostCensus](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (host, rows, state) =>
+          val st = state.getOption.getOrElse(HostState(0L, Map.empty))
+          var hist = st.hist
+          rows.foreach { r =>
+            val (n, ch) = hist.getOrElse(r.url, (0L, 0L))
+            hist += r.url -> ((n + 1L, ch + r.chars))
+          }
+          val version = st.version + 1L
+          state.update(HostState(version, hist))
+          val counts = hist.values.map(_._1)
+          Iterator.single(HostCensus(host, version,
+            n_docs = counts.sum,
+            n_urls = hist.size.toLong,
+            n_dup_docs = counts.filter(_ > 1L).sum,
+            max_url_docs = counts.max,
+            text_chars = hist.values.map(_._2).sum))
       }
   }
 
