@@ -1011,13 +1011,9 @@ object StreamingSmoke {
     // max-version row per host must equal the batch two-level
     // aggregation EXACTLY. No ordering contract: the census is a pure
     // function of the arrived multiset.
-    val urlBase31 = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"),
-        length(coalesce(col("text"), lit(""))).cast("long").as("chars"),
-        expr(graft.queries.PipelineQueries.rawUrlSql).as("raw_url"))
-      .withColumn("url",
-        graft.pipeline.UrlOps.canonicalizeUrl(col("raw_url")))
-      .withColumn("host", graft.pipeline.UrlOps.hostOf(col("url")))
+    val urlBase31 = graft.pipeline.UrlOps.frontierBase(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        expr(graft.queries.PipelineQueries.rawUrlSql))
       .select(col("doc_id"), col("host"), col("url"), col("chars"))
     val docs31 = urlBase31.as[UrlIngest].collect().sortBy(_.doc_id)
     val s31 = MemoryStream[UrlIngest]
@@ -1039,14 +1035,8 @@ object StreamingSmoke {
       .filter(col("rk") === 1)
       .select(col("host"), col("n_docs"), col("n_urls"),
         col("n_dup_docs"), col("max_url_docs"), col("text_chars")))
-    val batchCensus31 = censusMap(urlBase31
-      .groupBy(col("host"), col("url"))
-      .agg(count(lit(1)).as("n"), sum(col("chars")).as("chars"))
-      .groupBy(col("host"))
-      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_urls"),
-        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"),
-        max(col("n")).as("max_url_docs"),
-        sum(col("chars")).as("text_chars")))
+    val batchCensus31 =
+      censusMap(graft.pipeline.UrlOps.hostCensus(urlBase31))
     check("url-census-stream",
       streamCensus31 == batchCensus31 && streamCensus31.nonEmpty,
       s"stream hosts=${streamCensus31.size} batch=${batchCensus31.size}")

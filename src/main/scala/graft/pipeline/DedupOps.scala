@@ -683,36 +683,6 @@ object DedupOps {
   }
 
   /**
-   * EXACT Jaccard similarity join over the FULL corpus via prefix
-   * filtering (Chaudhuri et al. 2006, SSJoin; Bayardo et al. 2007,
-   * All-Pairs) — the missing quadrant between [[ngramJaccardPairs]]
-   * (exact but all-pairs, verification scale) and MinHash LSH (full
-   * scale but approximate): exact answers with candidate work bounded by
-   * RARE-token posting lists.
-   *
-   * Prefix-filtering principle: order every doc's shingle set by the
-   * global canonical order (document frequency ascending, shingle string
-   * as tie-break) and keep only the first `s − ceil(t·s) + 1` shingles
-   * (the rarest ones). Any pair with Jaccard ≥ t shares at least one
-   * shingle lying in BOTH prefixes — so the prefix×prefix equi-join
-   * loses no qualifying pair, and candidate work is Σ_gram prefixDf²
-   * over the rarest grams instead of Σ df² over all of them (boilerplate
-   * grams with huge postings never enter the join).
-   *
-   * Shape at 100 TB: no global rank window — the canonical order is the
-   * (df, gram) TUPLE itself, so ordering needs only a gram-key df join
-   * (co-partitioned with the shingle relation) and a per-doc window; no
-   * vocabulary-wide single-partition pass. Two PPJoin prunes shrink the
-   * candidate set DURING generation (sf0.1: 409k → 125k): the size
-   * filter (J ≥ t forces set sizes within 1/t) and the positional filter
-   * (a prefix match at positions (pa, pb) bounds the overlap by
-   * 1 + min(sa−pa, sb−pb), which must reach α = ceil(t·(sa+sb)/(1+t))).
-   * Verification joins the surviving pairs back through the skinny
-   * shingle relation — work = Σ|set| per survivor, no wide rows. The
-   * threshold is a ppm rational, so ceil and the final Jaccard are exact
-   * integer arithmetic in both engines.
-   */
-  /**
    * EXACT containment join over the FULL corpus by prefix filtering —
    * the corpus-scale form [[containmentPairs]]'s scaladoc promises
    * (that one is the verification-scale inverted-index join, input
@@ -741,12 +711,10 @@ object DedupOps {
   def containmentPrefixJoin(docs: DataFrame, idCol: String,
       textCol: String, n: Int, tPpm: Long): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = graft.CacheScope.track(
       shingleRows(docs, idCol, textCol, n).select(col("doc"), col("shingle")))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
-    val withSize = graft.CacheScope.track(
-      sh.join(sizes, Seq("doc")), MEMORY_AND_DISK)
+    val withSize = graft.CacheScope.track(sh.join(sizes, Seq("doc")))
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("gdf"), col("shingle"))
@@ -785,6 +753,36 @@ object DedupOps {
         col("cont_a_ppm"), col("cont_b_ppm"))
   }
 
+  /**
+   * EXACT Jaccard similarity join over the FULL corpus via prefix
+   * filtering (Chaudhuri et al. 2006, SSJoin; Bayardo et al. 2007,
+   * All-Pairs) — the missing quadrant between [[ngramJaccardPairs]]
+   * (exact but all-pairs, verification scale) and MinHash LSH (full
+   * scale but approximate): exact answers with candidate work bounded by
+   * RARE-token posting lists.
+   *
+   * Prefix-filtering principle: order every doc's shingle set by the
+   * global canonical order (document frequency ascending, shingle string
+   * as tie-break) and keep only the first `s − ceil(t·s) + 1` shingles
+   * (the rarest ones). Any pair with Jaccard ≥ t shares at least one
+   * shingle lying in BOTH prefixes — so the prefix×prefix equi-join
+   * loses no qualifying pair, and candidate work is Σ_gram prefixDf²
+   * over the rarest grams instead of Σ df² over all of them (boilerplate
+   * grams with huge postings never enter the join).
+   *
+   * Shape at 100 TB: no global rank window — the canonical order is the
+   * (df, gram) TUPLE itself, so ordering needs only a gram-key df join
+   * (co-partitioned with the shingle relation) and a per-doc window; no
+   * vocabulary-wide single-partition pass. Two PPJoin prunes shrink the
+   * candidate set DURING generation (sf0.1: 409k → 125k): the size
+   * filter (J ≥ t forces set sizes within 1/t) and the positional filter
+   * (a prefix match at positions (pa, pb) bounds the overlap by
+   * 1 + min(sa−pa, sb−pb), which must reach α = ceil(t·(sa+sb)/(1+t))).
+   * Verification joins the surviving pairs back through the skinny
+   * shingle relation — work = Σ|set| per survivor, no wide rows. The
+   * threshold is a ppm rational, so ceil and the final Jaccard are exact
+   * integer arithmetic in both engines.
+   */
   def jaccardPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tPpm: Long): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")

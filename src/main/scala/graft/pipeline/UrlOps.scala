@@ -102,6 +102,33 @@ object UrlOps {
     concat(scheme, lit("://"), host, portNorm, pathNorm, queryNorm)
   }
 
+  /** The crawl-frontier base relation shared by the batch census
+   * (p127) and its streaming twin (check 31): one row per doc with its
+   * text size and the canonicalized URL + host derived from `rawUrl`.
+   * Extracted so the two consumers cannot drift — the fixture
+   * generator already lives in hand-aligned copies; the derivation
+   * must not. */
+  def frontierBase(docs: DataFrame, rawUrl: Column): DataFrame =
+    docs.select(col("doc_id"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("chars"),
+        rawUrl.as("raw_url"))
+      .withColumn("url", canonicalizeUrl(col("raw_url")))
+      .withColumn("host", hostOf(col("url")))
+
+  /** The two-level host census over a [[frontierBase]] relation:
+   * exact-URL dup accounting rolled up per host (URL-within-host then
+   * host — partial-agg friendly, no join-back; the whole census is two
+   * key-local shuffles at any corpus size). */
+  def hostCensus(base: DataFrame): DataFrame =
+    base.groupBy(col("host"), col("url"))
+      .agg(count(lit(1)).as("n"), sum(col("chars")).as("chars"))
+      .groupBy(col("host"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_urls"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"),
+        max(col("n")).as("max_url_docs"),
+        sum(col("chars")).as("text_chars"))
+
   /**
    * Registered-domain (eTLD+1) extraction — the aggregation key of
    * domain-level crawl curation (per-domain caps, domain mixing,

@@ -1574,23 +1574,9 @@ object PipelineQueries extends QueryGroup {
     // corpus size. The oracle rebuilds the same messy URLs and replays
     // every normalization with its own regex/string functions, so a
     // single mishandled port/slash/param ordering breaks the hash.
-    (s, d) => {
-      val base = docs(s, d)
-        .select(col("doc_id"),
-          length(coalesce(col("text"), lit(""))).cast("long").as("chars"),
-          expr(rawUrlSql).as("raw_url"))
-        .withColumn("url", UrlOps.canonicalizeUrl(col("raw_url")))
-        .withColumn("host", UrlOps.hostOf(col("url")))
-      base.groupBy(col("host"), col("url"))
-        .agg(count(lit(1)).as("n"), sum(col("chars")).as("chars"))
-        .groupBy(col("host"))
-        .agg(sum(col("n")).as("n_docs"),
-          count(lit(1)).as("n_urls"),
-          sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"),
-          max(col("n")).as("max_url_docs"),
-          sum(col("chars")).as("text_chars"))
-        .orderBy(col("host"))
-    },
+    (s, d) => UrlOps.hostCensus(
+        UrlOps.frontierBase(docs(s, d), expr(rawUrlSql)))
+      .orderBy(col("host")),
     Some(s"""WITH raw AS (
       |  SELECT doc_id, length(coalesce(text, '')) AS chars,
       |    (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTP'

@@ -46,14 +46,20 @@ case class SampleState(stratum: String, version: Long, member_ids: String,
 case class SessRow(user_id: Long, session_idx: Long, n_events: Long,
     start_ms: Long, end_ms: Long)
 
-/** One streamed retention activity (user, epoch day). */
+/** One streamed crawl-frontier arrival: a doc's canonical URL, its
+ * host key, and its text size. */
 case class UrlIngest(doc_id: Long, host: String, url: String, chars: Long)
 
+/** Per-host frontier state: a monotone version plus the distinct-URL
+ * histogram url → (docs, chars). */
 case class HostState(version: Long, hist: Map[String, (Long, Long)])
 
+/** One upserted host-census row (the max version per host equals the
+ * batch p127 census). */
 case class HostCensus(host: String, version: Long, n_docs: Long,
     n_urls: Long, n_dup_docs: Long, max_url_docs: Long, text_chars: Long)
 
+/** One streamed retention activity (user, epoch day). */
 case class RetEvent(user_id: Long, day: Long)
 
 /** A user's first appearance in a (cohort week, offset week) cell. */
