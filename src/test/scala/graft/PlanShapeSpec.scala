@@ -198,4 +198,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("p134: containment prefix join never cartesians; probe is an equi-join") {
+    val plan = planOf("p134_containment_prefix_join")
+    // the directed size prune rides the shingle equi-join as a residual
+    // condition — it must never surface as a nested-loop theta join
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("p127: host census is two key-local aggs, no join-back, no join at all") {
+    val plan = planOf("p127_url_canonical_census")
+    // canonicalization (percent normalization included) is string
+    // surgery in the scan projection; the census is URL-within-host
+    // then host — a join anywhere means a join-back regression
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("p129: append probes are hash equi-joins; base is never re-paired") {
+    val plan = planOf("p129_minhash_append")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
