@@ -86,6 +86,47 @@ class UrlOpsSpec extends AnyFunSuite {
       6L -> "ac.jp", 7L -> "weird.internal"))
   }
 
+  test("normalizePercent: engine equals a driver replay and is idempotent " +
+      "on adversarial percent strings") {
+    import spark.implicits._
+    // pseudo-random strings over a charset rich in '%', hex digits, and
+    // unreserved/reserved decode targets — naked percents, half
+    // triplets, doubled percents, triplets at string end all arise
+    val charset = "%%af7E25~/.z09AF_-"
+    val rng = new Lcg(424242L)
+    val strs = (0 until 500).map { _ =>
+      (0 until (1 + rng.next(12))).map(_ => charset(rng.next(charset.length)))
+        .mkString
+    }.distinct
+    // independent replay of RFC 3986 §6.2.2.2 over the split-on-%
+    // segments (the construction the engine unrolls in columns)
+    def replay(s: String): String = {
+      val parts = s.split("%", -1)
+      parts.head + parts.tail.map { x =>
+        val hh = x.take(2).toUpperCase
+        if (hh.length == 2 && hh.forall(c => c.isDigit || (c >= 'A' && c <= 'F'))) {
+          val code = Integer.parseInt(hh, 16)
+          val unreserved = (code >= 48 && code <= 57) ||
+            (code >= 65 && code <= 90) || (code >= 97 && code <= 122) ||
+            Set(45, 46, 95, 126)(code)
+          if (unreserved) code.toChar.toString + x.drop(2)
+          else "%" + hh + x.drop(2)
+        } else "%" + x
+      }.mkString
+    }
+    val got = strs.toDF("s")
+      .select(col("s"), UrlOps.normalizePercent(col("s")).as("n1"))
+      .select(col("s"), col("n1"),
+        UrlOps.normalizePercent(col("n1")).as("n2"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    strs.foreach { s =>
+      val (n1, n2) = got(s)
+      assert(n1 === replay(s), s"replay mismatch on '$s'")
+      assert(n2 === n1, s"not idempotent on '$s' → '$n1' → '$n2'")
+    }
+  }
+
   test("canonicalization is idempotent over the p127 URL family") {
     import spark.implicits._
     val raws = (0L until 300L).toDF("doc_id")
