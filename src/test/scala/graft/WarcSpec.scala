@@ -257,6 +257,28 @@ class WarcSpec extends AnyFunSuite {
     rejectGz(WarcCodec.build(Seq(rec1)), "magic") // plaintext is not .gz
   }
 
+  test("gz: random-payload battery — census parity with the plaintext walk") {
+    // pseudo-random BINARY payloads (zero-length, CRLF-heavy, full-byte
+    // range, up to ~600 bytes): the gzip member framing must be
+    // transparent for any payload the plaintext codec accepts
+    val rng = new Lcg(31337L)
+    val recs = (0 until 30).map { i =>
+      val len = if (i % 7 == 0) 0 else rng.next(600)
+      val payload = Array.fill(len)(rng.next(256).toByte)
+      WarcRecord("conversion", s"<urn:uuid:doc-$i>",
+        "2022-01-01T00:00:00Z",
+        if (i % 3 == 0) Some(s"https://example.org/doc/$i") else None,
+        payload)
+    }
+    def census(rs: Seq[WarcCodec.ParsedRecord]) =
+      rs.map(r => (r.offset, r.recordId, r.contentLength, r.payloadMd5,
+        r.targetUri))
+    val plain = WarcCodec.parse(WarcCodec.build(recs))
+    val gz = WarcCodec.parseGz(WarcCodec.buildGz(recs))
+    assert(gz.size === 30)
+    assert(census(gz) === census(plain))
+  }
+
   test("gz: rejects a multi-record member") {
     // one member holding TWO records — legal gzip, illegal .warc.gz
     val out = new java.io.ByteArrayOutputStream()
