@@ -30,6 +30,22 @@ class CacheScopeSpec extends AnyFunSuite {
     CacheScope.releaseRun()
   }
 
+  test("memoRunValue memoizes scalars, survives releaseAll, falls to releaseRun") {
+    CacheScope.releaseRun()
+    var builds = 0
+    def build(): Int = { builds += 1; 42 }
+    assert(CacheScope.memoRunValue("spec:val1")(build()) === 42)
+    assert(CacheScope.memoRunValue("spec:val1")(build()) === 42)
+    assert(builds === 1)
+    CacheScope.releaseAll() // per-query release must NOT evict the stat
+    assert(CacheScope.memoRunValue("spec:val1")(build()) === 42)
+    assert(builds === 1)
+    CacheScope.releaseRun()
+    assert(CacheScope.memoRunValue("spec:val1")(build()) === 42)
+    assert(builds === 2)
+    CacheScope.releaseRun()
+  }
+
   test("track entries fall to releaseAll; memoRun entries stay cached") {
     CacheScope.releaseRun()
     // distinct plans: Spark's cache is keyed by analyzed plan, so two
