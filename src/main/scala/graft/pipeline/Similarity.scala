@@ -1034,6 +1034,78 @@ object Similarity {
   }
 
   /**
+   * IVFPQ recall@k audit — the FAISS-benchmark quality measure that
+   * closes the quantization-audit family (p122 audits SQ8's ranking,
+   * p123/p128 audit the HNSW walk): [[ivfpqTopK]]'s ADC top-k per
+   * query scored against the EXACT integer-L2 top-k over the same
+   * once-quantized e3 codes (ties to the lower id — the family ranking
+   * convention), DECOMPOSED the way FAISS benchmarks decompose it:
+   * global recall@k (vs the exact top-k over the WHOLE corpus —
+   * bounded by IVF cell coverage, ≈ nprobe/nlist on a corpus with no
+   * cluster structure, which is exactly what the synthetic fixture
+   * measures) and probed-cell recall@k (vs the exact top-k restricted
+   * to the probed cells — isolating the PQ/ADC ranking fidelity from
+   * the coverage loss). One row per query with both hit counts and
+   * both recalls in exact ppm (one integer division each) — the audit
+   * itself is oracle-checkable, not a float.
+   *
+   * Shape at 100 TB: the approx side is [[ivfpqTopK]] (probed cells
+   * only); the exact-global side broadcasts the |queries|-scale code
+   * relation against the corpus and keeps top-k per query with the
+   * k-bounded MinKPairs aggregate (≤k pairs per map task per query —
+   * never a pair-relation sort); the exact-probed side is the same
+   * kernel over the probed cells' candidates only; the intersections
+   * join |queries|·k relations.
+   */
+  def ivfpqRecall(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, dsub: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    val approx = ivfpqTopK(queries, corpus, centroids, codebooks, dsub,
+        k, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qc = broadcast(withQ3(queries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes")))
+    val exact = withQ3(corpus).select(col("vec_id"), col("codes"))
+      .join(qc, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.GraftFunctions.l2SqLong(
+          col("qcodes"), col("codes")).as("d"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.minKPairs(
+        struct(col("d").as("dist"), col("vec_id").as("dst")), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("pair"))
+      .select(col("query_id"), col("pair.dst").as("neighbor_id"))
+    val probes = ivfProbes(queries, centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        col("codes").as("qcodes"))
+    val probedExact = ivfAssign(corpus, centroids)
+      .select(col("vec_id"), col("cluster"), col("codes"))
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.GraftFunctions.l2SqLong(
+          col("qcodes"), col("codes")).as("d"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.minKPairs(
+        struct(col("d").as("dist"), col("vec_id").as("dst")), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("pair"))
+      .select(col("query_id"), col("pair.dst").as("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val hitsProbed = approx.join(probedExact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits_probed"))
+    qc.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .join(hitsProbed, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("n_hits_probed", coalesce(col("n_hits_probed"), lit(0L)))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("recall_ppm", expr(s"(n_hits * 1000000) div $k"))
+      .withColumn("recall_probed_ppm",
+        expr(s"(n_hits_probed * 1000000) div $k"))
+  }
+
+  /**
    * Semantic deduplication (SemDeDup — Abbas et al. 2023,
    * arXiv:2303.09540): cluster the corpus with the IVF coarse quantizer,
    * then within each cluster drop every vector whose cosine similarity to

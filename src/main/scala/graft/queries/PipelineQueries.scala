@@ -1997,7 +1997,17 @@ object PipelineQueries extends QueryGroup {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""WITH $assignCtes,
-      |rv AS (
+      |$ivfpqCtes
+      |SELECT qid AS query_id, CAST(rk AS INT) AS rank,
+      |       vec_id AS neighbor_id, cluster, adc_e6
+      |FROM r2 WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** The IVFPQ/IVFADC replay chain shared by p132 (search) and p135
+   * (recall audit): trained books on IVF residuals, corpus codes,
+   * query probes + per-cell LUTs, and the ranked ADC relation `r2`.
+   * Interpolated after `assignCtes`. */
+  private lazy val ivfpqCtes: String =
+    s"""rv AS (
       |  SELECT vec_id, cid AS cluster,
       |         list_transform(range(1, 65),
       |           i -> embedding[i]::DOUBLE - ce[i]::DOUBLE) AS r
@@ -2038,10 +2048,77 @@ object PipelineQueries extends QueryGroup {
       |  WHERE g.vec_id <> l.qid
       |  GROUP BY 1, 2, 3),
       |r2 AS (SELECT *, row_number() OVER (PARTITION BY qid
-      |         ORDER BY adc_e6, vec_id) AS rk FROM ad)
-      |SELECT qid AS query_id, CAST(rk AS INT) AS rank,
-      |       vec_id AS neighbor_id, cluster, adc_e6
-      |FROM r2 WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin))
+      |         ORDER BY adc_e6, vec_id) AS rk FROM ad)""".stripMargin
+
+  /** P135 — IVFPQ recall@5 audit (the FAISS-benchmark quality measure,
+   * closing the quantization-audit family beside p122's SQ8 and
+   * p123/p128's HNSW audits): p132's ADC top-5 per query scored
+   * against the EXACT integer-L2 top-5 over the same quantize-once e3
+   * codes; recall reported in exact ppm so the audit is
+   * oracle-checkable. The oracle replays BOTH sides from scratch —
+   * the whole trained-books ADC chain (shared `ivfpqCtes`) and the
+   * exact ranking. */
+  private val p135 = QueryDef(
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cembedding"))
+      Similarity.ivfpqRecall(e.filter(col("vec_id") < 10), e, centroids,
+        Similarity.booksFromTrain(pqTrainShared(s, d)), dsub = 16, k = 5,
+        nprobe = 2)
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH $assignCtes,
+      |$ivfpqCtes,
+      |approx AS (SELECT qid, vec_id FROM r2 WHERE rk <= 5),
+      |qq AS (SELECT vec_id AS qid, ${q3Sql("embedding")} AS qcodes
+      |       FROM embeddings WHERE vec_id < 10),
+      |gc AS (SELECT vec_id, ${q3Sql("embedding")} AS codes
+      |       FROM embeddings),
+      |ed AS (
+      |  SELECT qq.qid, gc.vec_id,
+      |         CAST(list_sum(list_transform(range(1, 65), i ->
+      |           (qq.qcodes[i] - gc.codes[i]) *
+      |           (qq.qcodes[i] - gc.codes[i]))) AS BIGINT) AS d
+      |  FROM qq JOIN gc ON gc.vec_id <> qq.qid),
+      |er AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |         ORDER BY d, vec_id) AS rn FROM ed),
+      |ex AS (SELECT qid, vec_id FROM er WHERE rn <= 5),
+      |h AS (SELECT a.qid, count(*) AS n_hits
+      |      FROM approx a JOIN ex e
+      |        ON a.qid = e.qid AND a.vec_id = e.vec_id
+      |      GROUP BY 1),
+      |pq AS (SELECT vec_id AS qid, cid AS cluster, codes AS qcodes
+      |       FROM rk WHERE rn <= 2 AND vec_id < 10),
+      |ga AS (SELECT vec_id, cid AS cluster, codes
+      |       FROM rk WHERE rn = 1),
+      |pd AS (
+      |  SELECT pq.qid, ga.vec_id,
+      |         CAST(list_sum(list_transform(range(1, 65), i ->
+      |           (pq.qcodes[i] - ga.codes[i]) *
+      |           (pq.qcodes[i] - ga.codes[i]))) AS BIGINT) AS d
+      |  FROM pq JOIN ga ON ga.cluster = pq.cluster
+      |    AND ga.vec_id <> pq.qid),
+      |per AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |          ORDER BY d, vec_id) AS rn FROM pd),
+      |pex AS (SELECT qid, vec_id FROM per WHERE rn <= 5),
+      |hp AS (SELECT a.qid, count(*) AS n_hits_probed
+      |       FROM approx a JOIN pex e
+      |         ON a.qid = e.qid AND a.vec_id = e.vec_id
+      |       GROUP BY 1)
+      |SELECT qq.qid AS query_id,
+      |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |       CAST(coalesce(hp.n_hits_probed, 0) AS BIGINT)
+      |         AS n_hits_probed,
+      |       CAST(5 AS BIGINT) AS k,
+      |       CAST(coalesce(h.n_hits, 0) * 1000000 // 5 AS BIGINT)
+      |         AS recall_ppm,
+      |       CAST(coalesce(hp.n_hits_probed, 0) * 1000000 // 5 AS BIGINT)
+      |         AS recall_probed_ppm
+      |FROM qq LEFT JOIN h ON qq.qid = h.qid
+      |LEFT JOIN hp ON qq.qid = hp.qid
+      |ORDER BY query_id""".stripMargin))
 
   // ---------------------------------------------------------------- text analysis
 
@@ -3408,6 +3485,7 @@ object PipelineQueries extends QueryGroup {
     "p130_domain_caps" -> p130,
     "p131_robots_verdicts" -> p131,
     "p132_ivfpq_topk" -> p132,
+    "p135_ivfpq_recall" -> p135,
     "p133_pq_train" -> p133,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,

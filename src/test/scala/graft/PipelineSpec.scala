@@ -573,6 +573,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.isNullAt(0), "short vector must bucket to NULL")
   }
 
+  test("ivfpqRecall: recall is exactly 1 when residuals are codebook-representable") {
+    import TestSpark.spark
+    import spark.implicits._
+    // 12 vectors = centroid + a per-segment pattern from a 4-codeword
+    // alphabet (combo = i's base-4 digits, so every vector is unique);
+    // the codebook contains EXACTLY those patterns, so ADC distances
+    // equal the true residual L2 (up to e6 LUT quantization, orders of
+    // magnitude below the inter-candidate gaps) and the approximate
+    // ranking MUST reproduce the exact one: recall@3 = 1 for every
+    // query, probed == global (nprobe=1, single cell). The near-zero
+    // recall p135 measures on the synthetic corpus is thus PQ
+    // coarseness on structureless data, not a metric defect.
+    val vecs = (0L until 12L).map { i =>
+      val emb = (0 until 64).map { d =>
+        val j = d / 16
+        0.5f + 0.05f * ((i / math.pow(4, j).toLong) % 4)
+      }
+      (i, emb)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val centroid = Seq((100L, Seq.fill(64)(0.5f)))
+      .toDF("centroid_id", "cembedding")
+    val books = (for (j <- 0 until 4; p <- 0 until 4)
+      yield (j, p, Seq.fill(16)(0.05 * p))).toDF("segment", "code", "subvec")
+    val got = Similarity.ivfpqRecall(
+        corpus.filter(col("vec_id") < 3), corpus, centroid, books,
+        dsub = 16, k = 3, nprobe = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("recall_ppm"), r.getAs[Long]("recall_probed_ppm"))))
+      .toMap
+    assert(got.keySet === Set(0L, 1L, 2L))
+    got.foreach { case (q, (r, rp)) =>
+      assert(r === 1000000L, s"query $q global recall $r")
+      assert(rp === 1000000L, s"query $q probed recall $rp")
+    }
+    graft.CacheScope.releaseAll()
+  }
+
   test("minhashAppendStep: incremental steps equal the one-shot relation") {
     import TestSpark.spark
     import spark.implicits._
