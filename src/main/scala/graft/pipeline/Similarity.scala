@@ -1060,6 +1060,13 @@ object Similarity {
   def ivfpqRecall(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, codebooks: DataFrame, dsub: Int, k: Int,
       nprobe: Int): DataFrame = {
+    // the corpus assignment is deliberately RECOMPUTED for the
+    // probed-exact side rather than cached and shared with ivfpqTopK's
+    // internal residual relation: measured at the 100× rehearsal,
+    // caching the wide (embedding, codes, nsq) relation cost 199/201 s
+    // vs 168 s recomputing — the kernel is a map-side codegen'd
+    // broadcast pass, cheaper than materializing and rescanning the
+    // wide cached blocks (PLAN_AUDIT round-14 note)
     val approx = ivfpqTopK(queries, corpus, centroids, codebooks, dsub,
         k, nprobe)
       .select(col("query_id"), col("neighbor_id"))
