@@ -1072,8 +1072,10 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val qc = broadcast(withQ3(queries)
       .select(col("vec_id").as("query_id"), col("codes").as("qcodes")))
-    val exact = withQ3(corpus).select(col("vec_id"), col("codes"))
-      .join(qc, col("query_id") =!= col("vec_id"))
+    // ONE shared ranking kernel for both exact sides — tie-break and
+    // k-bound conventions cannot drift between the two recall numbers.
+    // Input: (query_id, vec_id, qcodes, codes) candidates.
+    def exactTopK(cands: DataFrame): DataFrame = cands
       .select(col("query_id"), col("vec_id"),
         graft.functions.GraftFunctions.l2SqLong(
           col("qcodes"), col("codes")).as("d"))
@@ -1082,21 +1084,19 @@ object Similarity {
         struct(col("d").as("dist"), col("vec_id").as("dst")), k).as("topk"))
       .select(col("query_id"), explode(col("topk")).as("pair"))
       .select(col("query_id"), col("pair.dst").as("neighbor_id"))
+    // narrow quantized projection, tracked BEFORE the pair join — the
+    // withQ3 materialization contract (projection collapse would
+    // otherwise inline the interpreted q3 HOF per PAIR)
+    val cc = graft.CacheScope.track(
+      withQ3(corpus).select(col("vec_id"), col("codes")))
+    val exact = exactTopK(cc.join(qc, col("query_id") =!= col("vec_id")))
     val probes = ivfProbes(queries, centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("cluster"),
         col("codes").as("qcodes"))
-    val probedExact = ivfAssign(corpus, centroids)
+    val probedExact = exactTopK(ivfAssign(corpus, centroids)
       .select(col("vec_id"), col("cluster"), col("codes"))
       .join(broadcast(probes), Seq("cluster"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        graft.functions.GraftFunctions.l2SqLong(
-          col("qcodes"), col("codes")).as("d"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.GraftFunctions.minKPairs(
-        struct(col("d").as("dist"), col("vec_id").as("dst")), k).as("topk"))
-      .select(col("query_id"), explode(col("topk")).as("pair"))
-      .select(col("query_id"), col("pair.dst").as("neighbor_id"))
+      .filter(col("query_id") =!= col("vec_id")))
     val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
     val hitsProbed = approx.join(probedExact, Seq("query_id", "neighbor_id"))
