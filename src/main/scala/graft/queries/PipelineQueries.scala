@@ -2120,6 +2120,53 @@ object PipelineQueries extends QueryGroup {
       |LEFT JOIN hp ON qq.qid = hp.qid
       |ORDER BY query_id""".stripMargin))
 
+  /** P136 — ANN cost census: the IVF speedup MODEL as an
+   * oracle-checked relation. Per query: probed cells, candidates the
+   * ADC stage will score (probed-cell members minus self — the query's
+   * own cell is always its rank-1 probe), the corpus size, and the
+   * scan fraction in exact ppm — the capacity-planning number behind
+   * "nprobe/nlist of the corpus per query" that every IVF-family row
+   * (p14/p28/p61/p92/p132/p135) relies on. All counts are exact
+   * integers; the oracle re-derives cell sizes and probe sets from the
+   * shared integer-affinity assignment replay. */
+  private val p136 = QueryDef(
+    (s, d) => {
+      val e = embs(s, d)
+      val centroids = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cembedding"))
+      val probes = Similarity.ivfProbes(e.filter(col("vec_id") < 10),
+          centroids, nprobe = 2)
+        .select(col("vec_id").as("query_id"), col("cluster"))
+      val sizes = Similarity.ivfAssign(e, centroids)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_in_cell"))
+      val total = e.agg(count(lit(1)).as("n_corpus"))
+      probes.join(sizes, Seq("cluster"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_probed_cells"),
+          sum(col("n_in_cell")).as("cand_raw"))
+        .crossJoin(broadcast(total))
+        .select(col("query_id"), col("n_probed_cells"),
+          (col("cand_raw") - 1).as("n_candidates"), col("n_corpus"),
+          expr("((cand_raw - 1) * 1000000) div (n_corpus - 1)")
+            .as("scan_ppm"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH $assignCtes,
+      |ga AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
+      |cs AS (SELECT cid, count(*) AS n_in_cell FROM ga GROUP BY 1),
+      |pq AS (SELECT vec_id AS qid, cid
+      |       FROM rk WHERE rn <= 2 AND vec_id < 10),
+      |n AS (SELECT count(*) AS n_corpus FROM embeddings)
+      |SELECT pq.qid AS query_id,
+      |       CAST(count(*) AS BIGINT) AS n_probed_cells,
+      |       CAST(sum(cs.n_in_cell) - 1 AS BIGINT) AS n_candidates,
+      |       CAST((SELECT n_corpus FROM n) AS BIGINT) AS n_corpus,
+      |       CAST((sum(cs.n_in_cell) - 1) * 1000000
+      |            // ((SELECT n_corpus FROM n) - 1) AS BIGINT) AS scan_ppm
+      |FROM pq JOIN cs ON pq.cid = cs.cid
+      |GROUP BY pq.qid ORDER BY query_id""".stripMargin))
+
   // ---------------------------------------------------------------- text analysis
 
   private val stopList: String =
@@ -3486,6 +3533,7 @@ object PipelineQueries extends QueryGroup {
     "p131_robots_verdicts" -> p131,
     "p132_ivfpq_topk" -> p132,
     "p135_ivfpq_recall" -> p135,
+    "p136_ann_cost_census" -> p136,
     "p133_pq_train" -> p133,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
