@@ -1534,4 +1534,112 @@ object Similarity {
       }
       .toDF("query_id", "rank", "neighbor_id", "score2x_e3")
   }
+
+  // ------------------------------------------------------------------
+  // Planted-cluster embedding fixture — ANN quality audits as SIGNAL
+  // ------------------------------------------------------------------
+
+  /** Per-dimension jitter amplitude of the planted fixture: 0.02 is 20
+   * e3-units (well above the ±1 quantization noise of the q3 codes) and
+   * 200 exact e4-units (so PQ's Lloyd means reproduce the patterns
+   * exactly), while the full-vector jitter norm 8·A = 0.16 stays an
+   * order of magnitude under the ~1.1 norm / ≥30° angular separation of
+   * the fixture centroids — measured zero cosine-assignment flips at
+   * every SF. */
+  val plantedAmp: Double = 0.02
+
+  /** Pattern index p ∈ {0..3} of vector `v` in segment `s`: mid-bits
+   * (>>16) of a Knuth multiplicative mix — pure non-negative BIGINT
+   * arithmetic both engines evaluate identically (max intermediate
+   * ~1.4e18, inside signed-64). Low bits would correlate with v mod 4
+   * and starve the %50=7 PQ-init rows of patterns; the mid-bits cover
+   * all 4 patterns per segment within the first 10 init rows. */
+  def plantedPattern(v: Long, s: Int): Int =
+    ((((v % 65536L) * 7919L + s * 104729L + 12345L) * 2654435761L
+      / 65536L) % 4L).toInt
+
+  /** The shared SQL rendering of [[plantedPattern]] — ONE formula
+   * interpolated into both the engine expression (`intDiv` = "div") and
+   * the DuckDB oracle (`intDiv` = "//"), so the pattern draw cannot
+   * drift between them. */
+  def plantedPatternSql(s: Int, intDiv: String): String =
+    s"((((vec_id % 65536) * 7919 + $s * 104729 + 12345) * 2654435761) " +
+      s"$intDiv 65536) % 4"
+
+  /** Deterministic ±1 sign of pattern `p` at dimension `i` (the
+   * [[planeCoef]] construction on (p, i)): patterns are sign vectors,
+   * so two distinct patterns differ in ~half their 16 segment
+   * dimensions and all within-cluster distances ride the discrete
+   * ladder 32·A²·s, s = number of differing segments. */
+  def plantedSigma(p: Int, i: Int): Int =
+    if ((((p * 64L + i) * 2654435761L / 131072L) % 2L) == 0L) 1 else -1
+
+  /**
+   * Planted-cluster embedding relation derived deterministically from a
+   * base embeddings table — the fixture that turns the ANN quality
+   * audits ([[ivfpqRecall]], the recall family) into SIGNAL. The
+   * synthetic base table is structureless (near-uniform), so recall on
+   * it measures IVF cell coverage ≈ nprobe/nlist (~0.04) and a real
+   * ranking regression is invisible behind the noise floor. Here every
+   * vector v is re-planted as a Gaussian-blob-style clone of its home
+   * anchor — the %50 centroid-rule row of its own 50-block:
+   *
+   *   planted(v) = base((v div 50)·50) + jitter(v),   jitter(centroid) = 0
+   *
+   * with jitter(v)[i] = A·σ(p(v, i div 16), i) ([[plantedAmp]],
+   * [[plantedPattern]], [[plantedSigma]]): per segment the jitter is
+   * one of only FOUR sign patterns, so the IVF residuals form a
+   * 4-element discrete set per PQ segment that a 16-code codebook
+   * trained by Lloyd from the %50=7 init REPRESENTS EXACTLY (each init
+   * draw is itself a pattern; 10+ draws from 4 values cover all four —
+   * verified per segment in the spec). Consequences, each pinned by
+   * spec + oracle row:
+   *
+   *  - clusters are exactly the 50-blocks at EVERY scale (the home rule
+   *    is positional), centroids keep zero jitter, and cosine IVF
+   *    assignment recovers the home cell with zero flips;
+   *  - at k > cluster size (the audit uses k = 60 over 50-blocks) the
+   *    exact top-k straddles cells, so global recall@k RISES
+   *    monotonically with nprobe — 49/60 exactly at nprobe = 1
+   *    (candidate starvation: the home cell offers only 49 mates),
+   *    → ~0.94–0.98 at 2, → ~1 at 4 — a ranking regression now MOVES
+   *    the number;
+   *  - probed-cell recall sits at ~1.0 for nprobe ≥ 2 (the PQ-
+   *    representability argument above — ADC distances are exact on
+   *    pattern residuals), isolating coarse-quantizer coverage from
+   *    PQ fidelity the way the FAISS decomposition intends.
+   *
+   * Exactness: base floats cast to double (exact), ONE IEEE add per
+   * dimension of a two-decimal literal — the oracle's replay is
+   * bit-identical, and the (base + A) − base residual reconstruction
+   * error (~1e-16) sits 12 orders under the e4 quantization step of
+   * the Lloyd means, so training reproduces the patterns exactly.
+   *
+   * Shape at 100 TB: one broadcast of the anchor rows (|corpus|/50 —
+   * for a corpus too big for that, the anchor join is an equi-join on
+   * aid, one shuffle), one codegen'd map-side projection; patterns and
+   * signs are literal constants unrolled at plan build. The output is
+   * array<double>.
+   */
+  def plantedEmbeddings(e: DataFrame): DataFrame = {
+    val anchors = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("_aid"), col("embedding").as("_aemb"))
+    val withPat = (0 until 4).foldLeft(
+      e.select(col("vec_id"), col("label"))
+        .withColumn("_aid", expr("(vec_id div 50) * 50"))) { (df, s) =>
+      df.withColumn(s"_p$s", expr(plantedPatternSql(s, "div")))
+    }
+    val dims = (0 until 64).map { i =>
+      val s = i / 16
+      val jit = when(col("vec_id") % 50 === 0, lit(0.0))
+        .otherwise((0 until 3).foldRight(
+          lit(plantedAmp * plantedSigma(3, i)): Column) { (p, rest) =>
+          when(col(s"_p$s") === p, lit(plantedAmp * plantedSigma(p, i)))
+            .otherwise(rest)
+        })
+      (element_at(col("_aemb"), i + 1).cast("double") + jit).as(s"_d$i")
+    }
+    withPat.join(broadcast(anchors), Seq("_aid"))
+      .select(col("vec_id"), col("label"), array(dims: _*).as("embedding"))
+  }
 }

@@ -717,23 +717,25 @@ object PipelineQueries extends QueryGroup {
    * `cq` (cid, ce, ccodes, cnsq), `vq` (vec_id, embedding, label,
    * codes, nsq), `aff` (… cid, ce, a), `rk` (aff + rn; rn = 1 is the
    * assignment, rn <= nprobe the probe list). */
-  private val assignCtes: String =
+  private def assignCtesOver(src: String): String =
     s"""cq AS (
       |  SELECT cid, ce, ccodes, ${dotLongSql("ccodes", "ccodes")} AS cnsq
       |  FROM (SELECT vec_id AS cid, embedding AS ce,
       |          ${q3Sql("embedding")} AS ccodes
-      |        FROM embeddings WHERE vec_id % 50 = 0)),
+      |        FROM $src WHERE vec_id % 50 = 0)),
       |vq AS (
       |  SELECT vec_id, embedding, label, codes,
       |         ${dotLongSql("codes", "codes")} AS nsq
       |  FROM (SELECT vec_id, embedding, label,
-      |          ${q3Sql("embedding")} AS codes FROM embeddings)),
+      |          ${q3Sql("embedding")} AS codes FROM $src)),
       |aff AS (
       |  SELECT v.*, c.cid, c.ce,
       |         ${simE3Sql(dotLongSql("v.codes", "c.ccodes"), "v.nsq", "c.cnsq")} AS a
       |  FROM vq v, cq c),
       |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
       |         ORDER BY a DESC NULLS LAST, cid) AS rn FROM aff)""".stripMargin
+
+  private val assignCtes: String = assignCtesOver("embeddings")
 
   /** P111 — MMR diverse re-ranking (Carbonell & Goldstein 1998) with
    * λ = 1/2: greedy top-3 from each query's 8-candidate ANN pool, the
@@ -2002,11 +2004,13 @@ object PipelineQueries extends QueryGroup {
       |       vec_id AS neighbor_id, cluster, adc_e6
       |FROM r2 WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin))
 
-  /** The IVFPQ/IVFADC replay chain shared by p132 (search) and p135
-   * (recall audit): trained books on IVF residuals, corpus codes,
-   * query probes + per-cell LUTs, and the ranked ADC relation `r2`.
-   * Interpolated after `assignCtes`. */
-  private lazy val ivfpqCtes: String =
+  /** The IVFPQ/IVFADC replay chain shared by p132 (search), p135
+   * (recall audit) and p137 (planted-fixture recall): trained books on
+   * IVF residuals, corpus codes, query probes + per-cell LUTs, and the
+   * ranked ADC relation `r2`. Interpolated after `assignCtes` (or any
+   * `assignCtesOver` source — every CTE here reads the rk/rv spine,
+   * never a base table). `qpred` selects the query rows. */
+  private def ivfpqCtesFor(qpred: String): String =
     s"""rv AS (
       |  SELECT vec_id, cid AS cluster,
       |         list_transform(range(1, 65),
@@ -2031,7 +2035,7 @@ object PipelineQueries extends QueryGroup {
       |  SELECT vec_id AS qid, cid AS cluster,
       |         list_transform(range(1, 65),
       |           i -> embedding[i]::DOUBLE - ce[i]::DOUBLE) AS r
-      |  FROM rk WHERE rn <= 2 AND vec_id < 10),
+      |  FROM rk WHERE rn <= 2 AND ($qpred)),
       |lut AS (
       |  SELECT qr.qid, qr.cluster, c.segment, c.code,
       |         list_sum(list_transform(range(1, 17), i ->
@@ -2049,6 +2053,8 @@ object PipelineQueries extends QueryGroup {
       |  GROUP BY 1, 2, 3),
       |r2 AS (SELECT *, row_number() OVER (PARTITION BY qid
       |         ORDER BY adc_e6, vec_id) AS rk FROM ad)""".stripMargin
+
+  private lazy val ivfpqCtes: String = ivfpqCtesFor("vec_id < 10")
 
   /** P135 — IVFPQ recall@5 audit (the FAISS-benchmark quality measure,
    * closing the quantization-audit family beside p122's SQ8 and
@@ -2166,6 +2172,144 @@ object PipelineQueries extends QueryGroup {
       |            // ((SELECT n_corpus FROM n) - 1) AS BIGINT) AS scan_ppm
       |FROM pq JOIN cs ON pq.cid = cs.cid
       |GROUP BY pq.qid ORDER BY query_id""".stripMargin))
+
+  /** DuckDB replay of [[Similarity.plantedEmbeddings]] — the planted-
+   * cluster fixture derivation as a CTE (`planted`), generated from the
+   * SAME Scala pattern/sign functions the engine unrolls
+   * ([[Similarity.plantedPatternSql]] rendered with `//`,
+   * [[Similarity.plantedSigma]] as literal constants), so the fixture
+   * cannot drift between engines. MATERIALIZED: the downstream chain
+   * references it from cq/vq/qq/gc. */
+  private lazy val plantedCtes: String = {
+    val amp = BigDecimal(Similarity.plantedAmp).underlying.toPlainString
+    val pats = (0 until 4).map(s =>
+      s"${Similarity.plantedPatternSql(s, "//")} AS p$s")
+      .mkString(",\n      |         ")
+    val dims = (0 until 64).map { i =>
+      val s = i / 16
+      val cases = (0 until 4).map { p =>
+        val c = if (Similarity.plantedSigma(p, i) > 0) amp else s"-$amp"
+        if (p < 3) s"WHEN $p THEN $c" else s"ELSE $c"
+      }.mkString(" ")
+      s"a._aemb[${i + 1}]::DOUBLE + (CASE WHEN e.vec_id % 50 = 0 " +
+        s"THEN 0.0 ELSE (CASE e.p$s $cases END) END)"
+    }.mkString(",\n      |    ")
+    s"""pl0 AS (
+      |  SELECT vec_id, label,
+      |         $pats,
+      |         (vec_id // 50) * 50 AS _aid
+      |  FROM embeddings),
+      |planted AS MATERIALIZED (
+      |  SELECT e.vec_id, e.label, list_value(
+      |    $dims) AS embedding
+      |  FROM pl0 e JOIN (SELECT vec_id AS _aid, embedding AS _aemb
+      |                   FROM embeddings) a USING (_aid))""".stripMargin
+  }
+
+  /** Query rows of the planted recall audit: one per 50-block (ten
+   * blocks at every SF — `< 500` caps the block count so the audit's
+   * query side is SF-invariant), scattered across ten different home
+   * cells so the per-query coverage races decorrelate. Shared verbatim
+   * between the engine filter and the oracle predicate. */
+  private val plantedQPred = "vec_id % 50 = 3 AND vec_id < 500"
+
+  /** The planted relation, RUN-scoped (derived once per harness run —
+   * p137's chain consumes it as corpus, queries, centroids and
+   * residual source). */
+  private def plantedShared(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.memoRun(
+      s"${s.sparkContext.applicationId}:planted:$d") {
+      Similarity.plantedEmbeddings(embs(s, d))
+    }
+
+  private def plantedCentroids(pl: DataFrame): DataFrame =
+    pl.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("cembedding"))
+
+  /** PQ books trained on the PLANTED residuals (two Lloyd supersteps,
+   * %50=7 init — the p133 recipe over the planted relation), RUN-scoped
+   * like [[pqTrainShared]]. */
+  private def plantedTrainShared(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.memoRun(
+      s"${s.sparkContext.applicationId}:planted-pq-train:$d") {
+      val pl = plantedShared(s, d)
+      val rv = Similarity.ivfResiduals(pl, plantedCentroids(pl))
+      Similarity.pqTrain(rv, pqInitBooks(s, rv), dsub = 16, iterations = 2)
+    }
+
+  /** P137 — IVFPQ recall@60 on the PLANTED-CLUSTER fixture
+   * ([[Similarity.plantedEmbeddings]]): the audit row where recall is
+   * SIGNAL, not coverage noise. On the structureless base table p135's
+   * global recall ≈ nprobe/nlist (~0.04) — a ranking regression hides
+   * under the noise floor. Here the corpus is 50-blocks planted around
+   * the %50 anchors with 4-sign-pattern jitter, so (PlantedSpec pins
+   * the curve) global recall@60 at nprobe=2 sits near 1 and RISES with
+   * nprobe, and probed-cell recall is ~exactly 1 — k=60 > the 50-block
+   * so the exact top-k straddles cells and coverage is measurable.
+   * Oracle: full replay — planted derivation, integer-affinity
+   * assignment, both Lloyd supersteps, ADC chain, both exact rankings.
+   */
+  private val p137 = QueryDef(
+    (s, d) => {
+      val pl = plantedShared(s, d)
+      Similarity.ivfpqRecall(pl.filter(expr(plantedQPred)), pl,
+        plantedCentroids(pl),
+        Similarity.booksFromTrain(plantedTrainShared(s, d)), dsub = 16,
+        k = 60, nprobe = 2)
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH $plantedCtes,
+      |${assignCtesOver("planted")},
+      |${ivfpqCtesFor(plantedQPred)},
+      |approx AS (SELECT qid, vec_id FROM r2 WHERE rk <= 60),
+      |qq AS (SELECT vec_id AS qid, ${q3Sql("embedding")} AS qcodes
+      |       FROM planted WHERE $plantedQPred),
+      |gc AS (SELECT vec_id, ${q3Sql("embedding")} AS codes
+      |       FROM planted),
+      |ed AS (
+      |  SELECT qq.qid, gc.vec_id,
+      |         CAST(list_sum(list_transform(range(1, 65), i ->
+      |           (qq.qcodes[i] - gc.codes[i]) *
+      |           (qq.qcodes[i] - gc.codes[i]))) AS BIGINT) AS d
+      |  FROM qq JOIN gc ON gc.vec_id <> qq.qid),
+      |er AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |         ORDER BY d, vec_id) AS rn FROM ed),
+      |ex AS (SELECT qid, vec_id FROM er WHERE rn <= 60),
+      |h AS (SELECT a.qid, count(*) AS n_hits
+      |      FROM approx a JOIN ex e
+      |        ON a.qid = e.qid AND a.vec_id = e.vec_id
+      |      GROUP BY 1),
+      |pq AS (SELECT vec_id AS qid, cid AS cluster, codes AS qcodes
+      |       FROM rk WHERE rn <= 2 AND ($plantedQPred)),
+      |ga AS (SELECT vec_id, cid AS cluster, codes
+      |       FROM rk WHERE rn = 1),
+      |pd AS (
+      |  SELECT pq.qid, ga.vec_id,
+      |         CAST(list_sum(list_transform(range(1, 65), i ->
+      |           (pq.qcodes[i] - ga.codes[i]) *
+      |           (pq.qcodes[i] - ga.codes[i]))) AS BIGINT) AS d
+      |  FROM pq JOIN ga ON ga.cluster = pq.cluster
+      |    AND ga.vec_id <> pq.qid),
+      |per AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |          ORDER BY d, vec_id) AS rn FROM pd),
+      |pex AS (SELECT qid, vec_id FROM per WHERE rn <= 60),
+      |hp AS (SELECT a.qid, count(*) AS n_hits_probed
+      |       FROM approx a JOIN pex e
+      |         ON a.qid = e.qid AND a.vec_id = e.vec_id
+      |       GROUP BY 1)
+      |SELECT qq.qid AS query_id,
+      |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |       CAST(coalesce(hp.n_hits_probed, 0) AS BIGINT)
+      |         AS n_hits_probed,
+      |       CAST(60 AS BIGINT) AS k,
+      |       CAST(coalesce(h.n_hits, 0) * 1000000 // 60 AS BIGINT)
+      |         AS recall_ppm,
+      |       CAST(coalesce(hp.n_hits_probed, 0) * 1000000 // 60 AS BIGINT)
+      |         AS recall_probed_ppm
+      |FROM qq LEFT JOIN h ON qq.qid = h.qid
+      |LEFT JOIN hp ON qq.qid = hp.qid
+      |ORDER BY query_id""".stripMargin))
 
   // ---------------------------------------------------------------- text analysis
 
@@ -3534,6 +3678,7 @@ object PipelineQueries extends QueryGroup {
     "p132_ivfpq_topk" -> p132,
     "p135_ivfpq_recall" -> p135,
     "p136_ann_cost_census" -> p136,
+    "p137_planted_ivfpq_recall" -> p137,
     "p133_pq_train" -> p133,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
