@@ -2311,6 +2311,43 @@ object PipelineQueries extends QueryGroup {
       |LEFT JOIN hp ON qq.qid = hp.qid
       |ORDER BY query_id""".stripMargin))
 
+  /** P138 — the p17 HYPERPLANE-regime bucket relation under the driver
+   * gate: one row per vector with its seeded-random-hyperplane sign-LSH
+   * bucket at the first past-the-axis width (bits = 17 — what
+   * [[Similarity.scaledPlanes]] opens at N > 8·2¹⁶ = 524k vectors,
+   * forced here because no gate corpus can reach that N). This is the
+   * code path that actually fires on a 100 TB corpus, previously
+   * spec-pinned only; the per-vector relation is the strongest parity
+   * shape (an aggregated census would accept two vectors swapping
+   * buckets). The oracle replays all 17×64 ±1 plane coefficients as
+   * literals generated from the SAME [[Similarity.planeCoef]] the
+   * engine unrolls — exact integer dot of the quantize-once e3 codes,
+   * NULL bucket on a short code array (mirrored CASE). At gate density
+   * (≤2k vectors in 131k buckets) every bucket is a singleton, which is
+   * exactly why the PAIR output of the near-dup operator would be
+   * vacuous here and the bucket relation is the audited surface. */
+  private val p138 = QueryDef(
+    (s, d) => Similarity.withQ3(embs(s, d))
+      .select(col("vec_id"),
+        Similarity.signBucketHyperplanes(col("codes"), 17, 64).as("bucket"))
+      .orderBy(col("vec_id")),
+    Some {
+      val bitTerms = (0 until 17).map { i =>
+        val dot = (0 until 64).map { dd =>
+          val sign = if (Similarity.planeCoef(i, dd) > 0) "+" else "-"
+          s"$sign codes[${dd + 1}]"
+        }.mkString(" ")
+        s"(CASE WHEN ($dot) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" +\n      |      ")
+      s"""WITH c AS (SELECT vec_id, ${q3Sql("embedding")} AS codes
+        |           FROM embeddings)
+        |SELECT vec_id,
+        |  CASE WHEN len(codes) >= 64 THEN CAST(
+        |      $bitTerms
+        |    AS BIGINT) ELSE NULL END AS bucket
+        |FROM c ORDER BY vec_id""".stripMargin
+    })
+
   // ---------------------------------------------------------------- text analysis
 
   private val stopList: String =
@@ -3679,6 +3716,7 @@ object PipelineQueries extends QueryGroup {
     "p135_ivfpq_recall" -> p135,
     "p136_ann_cost_census" -> p136,
     "p137_planted_ivfpq_recall" -> p137,
+    "p138_hyperplane_buckets" -> p138,
     "p133_pq_train" -> p133,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
