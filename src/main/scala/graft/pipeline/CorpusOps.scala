@@ -613,7 +613,7 @@ object CorpusOps {
    *
    * Shape: one hash + one pow per row, a single stratum-key shuffle for
    * the rank window; at 100 TB per-stratum top-k switches to the bounded
-   * [[Similarity.TopKAggregator]] shape (k rows per stratum shuffled,
+   * [[graft.functions.MinKPairs]] shape (k rows per stratum shuffled,
    * not the corpus).
    */
   /** The Efraimidis–Spirakis rounded selection key [[weightedSample]]

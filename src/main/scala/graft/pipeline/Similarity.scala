@@ -1,41 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-
-/** One scored neighbor. */
-case class Scored(id: Long, score: Double)
-
-/**
- * Bounded top-k aggregator with map-side partial aggregation: each partition
- * keeps only its local top-k, merges are k+k → k. At 100 TB this is the
- * difference between shuffling k rows per query and shuffling the whole
- * scored corpus (what a window/rank formulation would do).
- */
-class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-  // buffer invariant: sorted by (-score, id), length ≤ k — so reduce is a
-  // bounded ordered insert (O(k) worst case, O(1) reject for the common
-  // below-threshold row), not a re-sort per row
-  private def worseThanLast(b: Seq[Scored], a: Scored): Boolean = {
-    val last = b.last
-    a.score < last.score || (a.score == last.score && a.id > last.id)
-  }
-  override def zero: Seq[Scored] = Nil
-  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
-    if (b.size >= k && worseThanLast(b, a)) b
-    else {
-      val i = b.indexWhere(s => s.score < a.score || (s.score == a.score && s.id > a.id))
-      val inserted = if (i < 0) b :+ a else (b.take(i) :+ a) ++ b.drop(i)
-      if (inserted.size > k) inserted.take(k) else inserted
-    }
-  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] =
-    y.foldLeft(x)(reduce)
-  override def finish(r: Seq[Scored]): Seq[Scored] = r
-  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
-  override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
-}
 
 /**
  * Approximate-nearest-neighbor search over an embedding column
@@ -176,34 +142,57 @@ object Similarity {
       when(element_at(v, i + 1) >= 0f, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** All (query, corpus) pairs above a cosine threshold — brute force, one
-   * broadcast of the (small) query side, single pass over the corpus. */
-  def thresholdJoin(queries: DataFrame, corpus: DataFrame, threshold: Double): DataFrame =
-    corpus.as("c").join(broadcast(queries.as("q")),
-        col("q.vec_id") =!= col("c.vec_id"))
-      .withColumn("sim", round(cosine(col("q.embedding"), col("c.embedding")), 3))
-      .filter(col("sim") >= threshold)
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), col("sim"))
+  /** All (query, corpus) pairs above a cosine threshold — brute force,
+   * one broadcast of the (small) query side, single pass over the
+   * corpus. The pair similarity is the e3 INTEGER kernel ([[simE3]] over
+   * [[withQ3]] codes with hoisted norm²) and the threshold test a pure
+   * integer predicate — one codegen'd multiply-add per pair instead of
+   * the float kernel's 3-fold pass, cosine-undefined (zero-norm) pairs
+   * NULL out identically in both engines, and the reported `sim` is the
+   * family's ONE final IEEE division. The corpus-side quantize-once
+   * projection is materialized so projection collapse cannot inline the
+   * interpreted q3 HOF per PAIR. */
+  def thresholdJoin(queries: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
+    val thrE3 = math.round(threshold * 1000)
+    val qq = withQ3(queries).select(col("vec_id").as("query_id"),
+      col("codes").as("qcodes"), col("nsq").as("qnsq"))
+    val cq = graft.CacheScope.track(
+      withQ3(corpus).select(col("vec_id"), col("codes"), col("nsq")))
+    cq.join(broadcast(qq), col("query_id") =!= col("vec_id"))
+      .withColumn("sim_e3", simE3(
+        graft.functions.GraftFunctions.dotLong(col("qcodes"), col("codes")),
+        col("qnsq"), col("nsq")))
+      .filter(col("sim_e3") >= thrE3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("sim_e3").cast("double") / 1000).as("sim"))
+  }
 
-  /** Brute-force cosine top-k per query: score in one broadcast pass, then
-   * the bounded TopKAggregator (partial top-k per partition, k-bounded
-   * shuffle). */
+  /** Brute-force cosine top-k per query: one broadcast pass scoring with
+   * the e3 INTEGER kernel, then the k-bounded [[graft.functions
+   * .MinKPairs]] aggregate on (−sim_e3, id) — map-side partial top-k, ≤k
+   * pairs shuffled per query per map task where a window would
+   * shuffle-and-sort the whole scored relation. Ranking (sim DESC, id
+   * ASC) rides exact integers, so ties resolve identically in any
+   * engine; cosine-undefined pairs are filtered explicitly on both
+   * sides. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val scored = corpus.as("c").join(broadcast(queries.as("q")),
-        col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("id"),
-        cosine(col("q.embedding"), col("c.embedding")).as("score"))
-    val agg = new TopKAggregator(k).toColumn
-    scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => Scored(t._2, t._3))
-      .agg(agg.name("topk"))
-      .toDF("query_id", "topk")
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("rank", "n")))
+    val qq = withQ3(queries).select(col("vec_id").as("query_id"),
+      col("codes").as("qcodes"), col("nsq").as("qnsq"))
+    val cq = graft.CacheScope.track(
+      withQ3(corpus).select(col("vec_id"), col("codes"), col("nsq")))
+    cq.join(broadcast(qq), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), simE3(
+        graft.functions.GraftFunctions.dotLong(col("qcodes"), col("codes")),
+        col("qnsq"), col("nsq")).as("sim_e3"))
+      .filter(col("sim_e3").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.minKPairs(
+        struct((-col("sim_e3")).as("dist"), col("vec_id").as("dst")), k)
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("rank", "p")))
       .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("n.id").as("neighbor_id"), round(col("n.score"), 3).as("sim"))
+        col("p.dst").as("neighbor_id"),
+        ((-col("p.dist")).cast("double") / 1000).as("sim"))
   }
 
   /** Quantize-once centroid projection feeding the integer-affinity
@@ -763,14 +752,26 @@ object Similarity {
    * recall < 1 by construction. */
   def bucketedAnn(queries: DataFrame, corpus: DataFrame, threshold: Double,
       bits: Int = 8): DataFrame = {
-    val qb = queries.withColumn("bucket", signBucket(col("embedding"), bits))
-    val cb = corpus.withColumn("bucket", signBucket(col("embedding"), bits))
-    cb.as("c").join(broadcast(qb.as("q")),
-        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
-      .withColumn("sim", round(cosine(col("q.embedding"), col("c.embedding")), 3))
-      .filter(col("sim") >= threshold)
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        col("c.bucket").as("bucket"), col("sim"))
+    val thrE3 = math.round(threshold * 1000)
+    // the bucket keeps its float-sign semantics (the axis form the p8
+    // oracle mirrors — a code-sign bucket would move the ≥ −0.0005 band);
+    // the pair similarity rides the e3 integer kernel like the rest of
+    // the cosine family, with the corpus projection materialized so the
+    // q3 HOF runs once per vector, not once per candidate pair
+    val qb = withQ3(queries.withColumn("bucket", signBucket(col("embedding"), bits)))
+      .select(col("vec_id").as("query_id"), col("bucket").as("qbucket"),
+        col("codes").as("qcodes"), col("nsq").as("qnsq"))
+    val cb = graft.CacheScope.track(
+      withQ3(corpus.withColumn("bucket", signBucket(col("embedding"), bits)))
+        .select(col("vec_id"), col("bucket"), col("codes"), col("nsq")))
+    cb.join(broadcast(qb),
+        col("qbucket") === col("bucket") && col("query_id") =!= col("vec_id"))
+      .withColumn("sim_e3", simE3(
+        graft.functions.GraftFunctions.dotLong(col("qcodes"), col("codes")),
+        col("qnsq"), col("nsq")))
+      .filter(col("sim_e3") >= thrE3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("bucket"), (col("sim_e3").cast("double") / 1000).as("sim"))
   }
 
   /** Per-(vector, segment) PQ code assignment: argmin squared L2 against
@@ -831,7 +832,7 @@ object Similarity {
    * Shape at 100 TB: the LUT is |queries| × m × ks rows — broadcast; the
    * corpus-code relation joins it map-side and reduces per (query, vec)
    * with map-side partials; top-k per query is a rank window (the
-   * k-bounded [[TopKAggregator]] of the cosine path applies identically
+   * k-bounded [[graft.functions.MinKPairs]] of the cosine path applies identically
    * when |queries| × k must stay shuffle-bounded).
    */
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,

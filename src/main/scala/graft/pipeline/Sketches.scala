@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 /**
  * Bounded k-minimum-values buffer over (group, hash) pairs: keeps the k
  * smallest DISTINCT hash values, sorted ascending. Like
- * [[TopKAggregator]], the buffer is bounded so partial (map-side)
+ * [[graft.functions.MinKPairs]], the buffer is bounded so partial (map-side)
  * aggregation ships at most k longs per group per partition — the
  * difference between shuffling k values and shuffling every distinct
  * element, which is what an exact distinct count pays.

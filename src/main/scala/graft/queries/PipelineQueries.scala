@@ -683,13 +683,6 @@ object PipelineQueries extends QueryGroup {
 
   // ---------------------------------------------------------------- similarity / ANN
 
-  /** DuckDB mirror of Similarity.cosine: double fold over the zipped
-   * vectors — same element order, so bit-identical to Spark's aggregate. */
-  private def cosSql(a: String, b: String): String =
-    s"""(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
-      | (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
-      |  sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
-
   /** DuckDB replay of the e3 quantize-once integer-cosine discipline
    * (Similarity.withQ3 / Similarity.simE3): codes are floor(v·10³+0.5)
    * longs, dot/norm² are exact integer sums (order-independent), and
@@ -829,36 +822,56 @@ object PipelineQueries extends QueryGroup {
       |FROM c JOIN t USING (label_lang)
       |ORDER BY label_lang, pred_lang""".stripMargin))
 
+  /** Shared e3-quantized projection of the embeddings table for the
+   * float-free cosine family (p6/p7/p8/p92): codes + hoisted norm², the
+   * oracle half of [[Similarity.withQ3]]. */
+  private val vq3Cte: String =
+    s"""vq3 AS (
+      |  SELECT vec_id, codes, ${dotLongSql("codes", "codes")} AS nsq
+      |  FROM (SELECT vec_id, ${q3Sql("embedding")} AS codes
+      |        FROM embeddings))""".stripMargin
+
   private val p6 = QueryDef(
+    // Brute-force top-5 on the e3 INTEGER kernel (quantize-once codes,
+    // hoisted norm², MinKPairs k-bounded shuffle); ranking (sim_e3 DESC,
+    // id) is exact-integer so ties cannot drift between engines.
     (s, d) => {
       val e = embs(s, d)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    Some(s"""WITH $vq3Cte,
+      |q AS (SELECT vec_id, codes, nsq FROM vq3 WHERE vec_id < 10),
       |scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS id,
-      |         ${cosSql("q.embedding", "c.embedding")} AS score
-      |  FROM embeddings c, q WHERE q.vec_id <> c.vec_id),
-      |r AS (SELECT query_id, id, score,
-      |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
-      |      FROM scored)
+      |         ${simE3Sql(dotLongSql("q.codes", "c.codes"), "q.nsq", "c.nsq")}
+      |           AS sim_e3
+      |  FROM vq3 c, q WHERE q.vec_id <> c.vec_id),
+      |r AS (SELECT query_id, id, sim_e3,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY sim_e3 DESC, id) AS rn
+      |      FROM scored WHERE sim_e3 IS NOT NULL)
       |SELECT query_id, CAST(rn - 1 AS INT) AS rank, id AS neighbor_id,
-      |       round(score, 3) AS sim
+      |       sim_e3::DOUBLE / 1000 AS sim
       |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin))
 
   private val p7 = QueryDef(
+    // Threshold join on the e3 INTEGER kernel — the threshold test is a
+    // pure integer predicate (NULL zero-norm pairs never qualify).
     (s, d) => {
       val e = embs(s, d)
       Similarity.thresholdJoin(e.filter(col("vec_id") < 10), e, 0.3)
         .orderBy(col("query_id"), col("neighbor_id"))
     },
-    Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10)
-      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |       round(${cosSql("q.embedding", "c.embedding")}, 3) AS sim
-      |FROM embeddings c, q
-      |WHERE q.vec_id <> c.vec_id
-      |  AND round(${cosSql("q.embedding", "c.embedding")}, 3) >= 0.3
+    Some(s"""WITH $vq3Cte,
+      |q AS (SELECT vec_id, codes, nsq FROM vq3 WHERE vec_id < 10),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         ${simE3Sql(dotLongSql("q.codes", "c.codes"), "q.nsq", "c.nsq")}
+      |           AS sim_e3
+      |  FROM vq3 c, q WHERE q.vec_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, sim_e3::DOUBLE / 1000 AS sim
+      |FROM p WHERE sim_e3 >= 300
       |ORDER BY query_id, neighbor_id""".stripMargin))
 
   /** DuckDB mirror of Similarity.signBucket over the first 8 dims. */
@@ -868,18 +881,26 @@ object PipelineQueries extends QueryGroup {
       |            ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
 
   private val p8 = QueryDef(
+    // Bucketed ANN: float-sign axis bucket (unchanged — a code-sign
+    // bucket would move the ≥ −0.0005 band), e3 INTEGER pair kernel.
     (s, d) => {
       val e = embs(s, d)
       Similarity.bucketedAnn(e.filter(col("vec_id") < 50), e, 0.2, bits = 8)
         .orderBy(col("query_id"), col("neighbor_id"))
     },
-    Some(s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-      |q AS (SELECT * FROM b WHERE vec_id < 50)
-      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket AS bucket,
-      |       round(${cosSql("q.embedding", "c.embedding")}, 3) AS sim
-      |FROM b c, q
-      |WHERE q.bucket = c.bucket AND q.vec_id <> c.vec_id
-      |  AND round(${cosSql("q.embedding", "c.embedding")}, 3) >= 0.2
+    Some(s"""WITH $vq3Cte,
+      |b AS (SELECT e.vec_id, v.codes, v.nsq, $bucketSql AS bucket
+      |      FROM embeddings e JOIN vq3 v USING (vec_id)),
+      |q AS (SELECT * FROM b WHERE vec_id < 50),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         c.bucket AS bucket,
+      |         ${simE3Sql(dotLongSql("q.codes", "c.codes"), "q.nsq", "c.nsq")}
+      |           AS sim_e3
+      |  FROM b c, q
+      |  WHERE q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, bucket, sim_e3::DOUBLE / 1000 AS sim
+      |FROM p WHERE sim_e3 >= 200
       |ORDER BY query_id, neighbor_id""".stripMargin))
 
   private val p14 = QueryDef(
@@ -3604,7 +3625,8 @@ object PipelineQueries extends QueryGroup {
     // similarity floor) is the candidate set; recall is the integer PPM
     // fraction of true neighbors the probed lists contain — the engine
     // measuring its own index's quality. The oracle recomputes BOTH
-    // rankings from the raw floats and replays the overlap join.
+    // rankings on the shared e3 integer kernel and replays the overlap
+    // join.
     (s, d) => {
       val e = embs(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -3622,14 +3644,16 @@ object PipelineQueries extends QueryGroup {
         .orderBy(col("query_id"))
     },
     Some(s"""WITH $assignCtes,
-      |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |q AS (SELECT vec_id, codes, nsq FROM vq WHERE vec_id < 10),
       |scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS id,
-      |         ${cosSql("q.embedding", "c.embedding")} AS score
-      |  FROM embeddings c, q WHERE q.vec_id <> c.vec_id),
-      |r AS (SELECT query_id, id, score,
-      |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
-      |      FROM scored),
+      |         ${simE3Sql(dotLongSql("q.codes", "c.codes"), "q.nsq", "c.nsq")}
+      |           AS sim_e3
+      |  FROM vq c, q WHERE q.vec_id <> c.vec_id),
+      |r AS (SELECT query_id, id, sim_e3,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY sim_e3 DESC, id) AS rn
+      |      FROM scored WHERE sim_e3 IS NOT NULL),
       |exact AS (SELECT query_id, id AS neighbor_id FROM r WHERE rn <= 5),
       |asg AS (SELECT vec_id, cid FROM rk WHERE rn = 1),
       |qp AS (SELECT vec_id, cid FROM rk WHERE rn <= 3 AND vec_id < 10),

@@ -98,15 +98,22 @@ class PipelineSpec extends AnyFunSuite {
 
   test("brute-force top-k matches a driver-side exact computation") {
     val e = embs.filter(col("vec_id") < 30)
+    // mirror the engine's e3 convention: quantize once to integer codes,
+    // exact integer dot/norm², ONE final IEEE expression, rank by
+    // (sim_e3 DESC, id) — the same ranking the oracle replays
     val vecs = e.select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray).toMap
+    def simE3(a: Array[Long], b: Array[Long]): Long = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      val na = a.map(x => x * x).sum
+      val nb = b.map(x => x * x).sum
+      math.floor(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+        * 1000 + 0.5).toLong
     }
     val expected = (0L until 3L).map { q =>
       q -> vecs.keys.filter(_ != q).toSeq
-        .map(i => (i, cos(vecs(q), vecs(i))))
+        .map(i => (i, simE3(vecs(q), vecs(i))))
         .sortBy { case (i, s) => (-s, i) }.take(5).map(_._1)
     }.toMap
     val got = Similarity.bruteForceTopK(e.filter(col("vec_id") < 3), e, 5)
