@@ -112,26 +112,60 @@ object WarcCodec {
       val gz = new java.util.zip.GZIPOutputStream(out)
       gz.write(buildRecord(r))
       gz.finish()
+      // releases the Deflater's native memory NOW — finish() alone leaves
+      // it to finalization, which a per-micro-batch writer accumulates
+      // (closing the wrapper is safe: BAOS.close() is a no-op)
+      gz.close()
     }
     out.toByteArray
   }
 
-  /** Decompress ONE gzip member starting at `pos`: validated 10-byte
-   * header (magic / deflate CM / no FLG extensions — this codec never
-   * writes them), raw-deflate body, and the 8-byte trailer checked
-   * against the inflated bytes (CRC32 + ISIZE mod 2³²) — a truncated
-   * or bit-flipped member is rejected, never misparsed. Returns the
-   * member's plaintext and the offset just past its trailer. */
+  /** Decompress ONE gzip member starting at `pos`: validated header
+   * (magic, deflate CM, the four standard RFC 1952 §2.3.1 optional
+   * fields — FEXTRA/FNAME/FCOMMENT skipped, FHCRC verified against the
+   * header bytes, reserved FLG bits rejected; real Common Crawl members
+   * routinely carry FNAME/FEXTRA, so a walker modeling the CC wire
+   * shape must accept them even though [[buildGz]] never writes them),
+   * raw-deflate body, and the 8-byte trailer checked against the
+   * inflated bytes (CRC32 + ISIZE mod 2³²) — a truncated or bit-flipped
+   * member is rejected, never misparsed. Returns the member's plaintext
+   * and the offset just past its trailer. */
   private def gunzipMember(bytes: Array[Byte], pos: Int): (Array[Byte], Int) = {
     require(pos + 10 <= bytes.length, s"truncated gzip header at byte $pos")
     require((bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b,
       s"bad gzip magic at byte $pos")
     require(bytes(pos + 2) == 8, s"gzip CM must be 8 (deflate) at byte $pos")
-    require(bytes(pos + 3) == 0,
-      s"unexpected gzip FLG ${bytes(pos + 3)} at byte $pos — " +
-        "this codec writes no header extensions")
+    val flg = bytes(pos + 3) & 0xff
+    require((flg & 0xe0) == 0,
+      s"reserved gzip FLG bits set ($flg) at byte $pos")
+    // FTEXT (bit 0) is a content hint with no header data; the other
+    // four standard fields appear in RFC 1952 order after the fixed
+    // 10-byte header: FEXTRA, FNAME, FCOMMENT, FHCRC
+    var h = pos + 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+      require(h + 2 <= bytes.length, s"truncated gzip FEXTRA at byte $pos")
+      val xlen = (bytes(h) & 0xff) | ((bytes(h + 1) & 0xff) << 8)
+      h += 2 + xlen
+      require(h <= bytes.length, s"truncated gzip FEXTRA at byte $pos")
+    }
+    def skipZeroTerminated(field: String): Unit = {
+      while (h < bytes.length && bytes(h) != 0) h += 1
+      require(h < bytes.length, s"unterminated gzip $field at byte $pos")
+      h += 1
+    }
+    if ((flg & 8) != 0) skipZeroTerminated("FNAME")
+    if ((flg & 16) != 0) skipZeroTerminated("FCOMMENT")
+    if ((flg & 2) != 0) { // FHCRC: CRC16 of all header bytes so far
+      require(h + 2 <= bytes.length, s"truncated gzip FHCRC at byte $pos")
+      val hc = new java.util.zip.CRC32
+      hc.update(bytes, pos, h - pos)
+      val stored = (bytes(h) & 0xff) | ((bytes(h + 1) & 0xff) << 8)
+      require((hc.getValue & 0xffffL) == stored,
+        s"gzip FHCRC mismatch at byte $pos")
+      h += 2
+    }
     val inf = new java.util.zip.Inflater(true)
-    inf.setInput(bytes, pos + 10, bytes.length - pos - 10)
+    inf.setInput(bytes, h, bytes.length - h)
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     val crc = new java.util.zip.CRC32
@@ -150,7 +184,7 @@ object WarcCodec {
     }
     val consumed = inf.getBytesRead.toInt
     inf.end()
-    val t = pos + 10 + consumed
+    val t = h + consumed
     require(t + 8 <= bytes.length, s"truncated gzip trailer at byte $pos")
     def le32(i: Int): Long =
       (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |

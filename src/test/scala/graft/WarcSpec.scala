@@ -279,6 +279,70 @@ class WarcSpec extends AnyFunSuite {
     assert(census(gz) === census(plain))
   }
 
+  /** Re-frame a gzip member (starting at byte 0 of `gz`, length
+   * `memberLen`) with RFC 1952 §2.3.1 optional header fields, splicing
+   * the original deflate body + trailer unchanged. */
+  private def withHeaderFields(gz: Array[Byte],
+      fextra: Option[Array[Byte]], fname: Option[String],
+      fcomment: Option[String], fhcrc: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(gz, 0, 3)
+    var flg = 0
+    if (fhcrc) flg |= 2
+    if (fextra.isDefined) flg |= 4
+    if (fname.isDefined) flg |= 8
+    if (fcomment.isDefined) flg |= 16
+    out.write(flg)
+    out.write(gz, 4, 6) // MTIME, XFL, OS
+    fextra.foreach { x =>
+      out.write(x.length & 0xff); out.write((x.length >> 8) & 0xff)
+      out.write(x, 0, x.length)
+    }
+    fname.foreach { n => out.write(n.getBytes("US-ASCII")); out.write(0) }
+    fcomment.foreach { c => out.write(c.getBytes("US-ASCII")); out.write(0) }
+    if (fhcrc) {
+      val hdr = out.toByteArray
+      val crc = new java.util.zip.CRC32
+      crc.update(hdr, 0, hdr.length)
+      out.write((crc.getValue & 0xff).toInt)
+      out.write(((crc.getValue >> 8) & 0xff).toInt)
+    }
+    out.write(gz, 10, gz.length - 10)
+    out.toByteArray
+  }
+
+  test("gz: accepts standard optional header fields (FNAME/FEXTRA/FCOMMENT/FHCRC)") {
+    // real Common Crawl members routinely carry FNAME/FEXTRA — decorate
+    // the FIRST member of a two-member archive so the walker must also
+    // advance past the fields to find the second member
+    val gz = WarcCodec.buildGz(Seq(rec1, rec2))
+    val cut = firstMemberLength(gz)
+    val plain = WarcCodec.parseGz(gz)
+    def census(rs: Seq[WarcCodec.ParsedRecord]) =
+      rs.map(r => (r.offset, r.recordId, r.contentLength, r.payloadMd5))
+    val named = withHeaderFields(gz.take(cut), None,
+      Some("crawl-data/seg-00001.warc"), None, fhcrc = false) ++ gz.drop(cut)
+    assert(census(WarcCodec.parseGz(named)) === census(plain))
+    val full = withHeaderFields(gz.take(cut),
+      Some(Array[Byte](0x41, 0x42, 0, 4, 1, 2, 3, 4)),
+      Some("seg.warc"), Some("a comment"), fhcrc = true) ++ gz.drop(cut)
+    assert(census(WarcCodec.parseGz(full)) === census(plain))
+  }
+
+  test("gz: rejects reserved FLG bits, bad FHCRC, unterminated FNAME") {
+    val gz = WarcCodec.buildGz(Seq(rec1))
+    val reserved = gz.clone()
+    reserved(3) = 0x40.toByte
+    rejectGz(reserved, "reserved")
+    val badCrc = withHeaderFields(gz, None, Some("x"), None, fhcrc = true)
+    badCrc(10) = (badCrc(10) ^ 0x07).toByte // the FNAME byte → CRC16 off
+    rejectGz(badCrc, "fhcrc")
+    // header claims FNAME but the member ends before any terminator
+    val unterminated = gz.take(10) ++ "no-terminator".getBytes("US-ASCII")
+    unterminated(3) = 0x08.toByte
+    rejectGz(unterminated, "unterminated")
+  }
+
   test("gz: rejects a multi-record member") {
     // one member holding TWO records — legal gzip, illegal .warc.gz
     val out = new java.io.ByteArrayOutputStream()
