@@ -368,10 +368,16 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("k_eff"),
         coalesce(col("same_n"), lit(0L)).as("same_n"),
         col("majority_label"))
-      .withColumn("same_frac",
-        round(col("same_n").cast("double") / col("k_eff"), 4))
+      // e4 round-half-up in pure integers — (2·num·10⁴ + den) div (2·den),
+      // the house convention (round() ties differ between engines) — then
+      // ONE final IEEE division; the suspect test compares integers
+      .withColumn("_sf_e4",
+        expr("(2 * same_n * 10000 + k_eff) div (2 * k_eff)"))
+      .withColumn("same_frac", col("_sf_e4").cast("double") / 10000)
       .withColumn("suspect",
-        col("majority_label") =!= col("label") || col("same_frac") < minFrac)
+        col("majority_label") =!= col("label") ||
+          col("_sf_e4") < math.round(minFrac * 10000))
+      .drop("_sf_e4")
   }
 
   /**

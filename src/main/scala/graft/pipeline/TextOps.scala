@@ -48,19 +48,32 @@ object TextOps {
   /**
    * Quality features: char/word counts, mean word length, stopword ratio,
    * and a composite score — the length/stopword heuristics of standard
-   * corpus-filtering recipes.
+   * corpus-filtering recipes. The ratios are e4-quantized in pure
+   * integer arithmetic — round-half-up as `(2·num·10⁴ + den) div
+   * (2·den)` (the house convention; `round()` tie behavior differs
+   * between engines) — with ONE final IEEE division each for the
+   * reported double. The composite rides the quantized stop ratio:
+   * quality·10⁶ = min(n_words, 100)·(10⁴ − stop_e4) exactly, then the
+   * same e4 re-quantization. Zero-word docs get NULL ratios (the
+   * division is undefined; an ANSI session would otherwise throw).
    */
   def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
     val ws = words(text)
-    val nWords = size(ws)
-    val charsInWords = length(regexp_replace(normalized(text), " ", ""))
-    val stopCount = countIn(ws, stopwordsEn)
     df.withColumn("n_chars", length(text).cast("long"))
-      .withColumn("n_words", nWords.cast("long"))
-      .withColumn("avg_word_len", round(charsInWords.cast("double") / nWords, 4))
-      .withColumn("stop_ratio", round(stopCount.cast("double") / nWords, 4))
-      .withColumn("quality_score",
-        round(least(nWords.cast("double") / 100, lit(1.0)) * (lit(1.0) - col("stop_ratio")), 4))
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("_ciw",
+        length(regexp_replace(normalized(text), " ", "")).cast("long"))
+      .withColumn("_stops", countIn(ws, stopwordsEn).cast("long"))
+      .withColumn("_awl_e4", when(col("n_words") > 0,
+        expr("(2 * _ciw * 10000 + n_words) div (2 * n_words)")))
+      .withColumn("_sr_e4", when(col("n_words") > 0,
+        expr("(2 * _stops * 10000 + n_words) div (2 * n_words)")))
+      .withColumn("_q_e4",
+        expr("(2 * (least(n_words, 100) * (10000 - _sr_e4)) + 100) div 200"))
+      .withColumn("avg_word_len", col("_awl_e4").cast("double") / 10000)
+      .withColumn("stop_ratio", col("_sr_e4").cast("double") / 10000)
+      .withColumn("quality_score", col("_q_e4").cast("double") / 10000)
+      .drop("_ciw", "_stops", "_awl_e4", "_sr_e4", "_q_e4")
   }
 
   /** Document fingerprint: md5 of the normalized text (stable across

@@ -1118,13 +1118,13 @@ object CorpusQueries extends QueryGroup {
       |  SELECT doc_id, source, $WORDS AS ws FROM documents),
       |g AS (
       |  SELECT doc_id, source, len(ws) AS n_words,
-      |         round(len(list_filter(ws, x -> list_contains($p65stop, x)))::DOUBLE
-      |               / len(ws), 4) AS stop_ratio
+      |         len(list_filter(ws, x -> list_contains($p65stop, x))) AS stops
       |  FROM f WHERE len(ws) > 0),
       |sc AS (
       |  SELECT doc_id, source,
-      |         CAST(round(round(least(n_words / 100.0, 1.0) * (1.0 - stop_ratio), 4)
-      |              * 10000) AS BIGINT) AS score
+      |         CAST((2 * (least(n_words, 100) *
+      |                (10000 - (2 * stops * 10000 + n_words) // (2 * n_words)))
+      |              + 100) // 200 AS BIGINT) AS score
       |  FROM g),
       |n AS (SELECT source, count(*) AS n FROM sc GROUP BY 1),
       |r AS (SELECT source, score,

@@ -1037,9 +1037,11 @@ object PipelineQueries extends QueryGroup {
       |             FROM per) WHERE r = 1)
       |SELECT e.vec_id, e.label, v.k_eff,
       |       coalesce(s.n, 0) AS same_n, mj.majority_label,
-      |       round(coalesce(s.n, 0) / v.k_eff, 4) AS same_frac,
+      |       ((2 * coalesce(s.n, 0) * 10000 + v.k_eff) // (2 * v.k_eff))
+      |         ::DOUBLE / 10000 AS same_frac,
       |       (mj.majority_label <> e.label OR
-      |        round(coalesce(s.n, 0) / v.k_eff, 4) < 0.5) AS suspect
+      |        (2 * coalesce(s.n, 0) * 10000 + v.k_eff) // (2 * v.k_eff)
+      |          < 5000) AS suspect
       |FROM embeddings e
       |JOIN vote v ON v.vec_id = e.vec_id
       |JOIN mj ON mj.vec_id = e.vec_id
@@ -2384,13 +2386,20 @@ object PipelineQueries extends QueryGroup {
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, n_chars, len(ws) AS n_words,
-      |         round(length(replace(norm, ' ', ''))::DOUBLE / len(ws), 4) AS avg_word_len,
-      |         round(len(list_filter(ws, x -> list_contains($stopList, x)))::DOUBLE
-      |               / len(ws), 4) AS stop_ratio
-      |  FROM f WHERE len(ws) > 0)
-      |SELECT doc_id, n_chars, n_words, avg_word_len, stop_ratio,
-      |       round(least(n_words / 100.0, 1.0) * (1.0 - stop_ratio), 4) AS quality_score
-      |FROM g ORDER BY doc_id""".stripMargin))
+      |         length(replace(norm, ' ', '')) AS ciw,
+      |         len(list_filter(ws, x -> list_contains($stopList, x))) AS stops
+      |  FROM f WHERE len(ws) > 0),
+      |q AS (
+      |  SELECT doc_id, n_chars, n_words,
+      |         (2 * ciw * 10000 + n_words) // (2 * n_words) AS awl_e4,
+      |         (2 * stops * 10000 + n_words) // (2 * n_words) AS sr_e4
+      |  FROM g)
+      |SELECT doc_id, n_chars, n_words,
+      |       awl_e4::DOUBLE / 10000 AS avg_word_len,
+      |       sr_e4::DOUBLE / 10000 AS stop_ratio,
+      |       ((2 * (least(n_words, 100) * (10000 - sr_e4)) + 100) // 200)
+      |         ::DOUBLE / 10000 AS quality_score
+      |FROM q ORDER BY doc_id""".stripMargin))
 
   // lazy: queries defined ABOVE this point in the file interpolate it at
   // object init, which would otherwise read a null val (p113 regression)
@@ -2421,8 +2430,12 @@ object PipelineQueries extends QueryGroup {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tc")).cast("long").as("sum_tokens"),
-        sum(col("te")).cast("long").as("sum_token_est"),
-        round(avg(col("tc")), 4).as("avg_tokens"))
+        sum(col("te")).cast("long").as("sum_token_est"))
+      // the mean from the exact integer sums — e4 round-half-up integer
+      // quantization, ONE final IEEE division (never round() a float avg)
+      .withColumn("avg_tokens",
+        expr("(2 * sum_tokens * 10000 + n_docs) div (2 * n_docs)")
+          .cast("double") / 10000)
       .orderBy(col("source")),
     Some(s"""WITH t AS (
       |  SELECT source, len($WORDS) AS tc,
@@ -2431,7 +2444,8 @@ object PipelineQueries extends QueryGroup {
       |SELECT source, count(*) AS n_docs,
       |       CAST(sum(tc) AS BIGINT) AS sum_tokens,
       |       CAST(sum(te) AS BIGINT) AS sum_token_est,
-      |       round(avg(tc), 4) AS avg_tokens
+      |       ((2 * CAST(sum(tc) AS BIGINT) * 10000 + count(*))
+      |         // (2 * count(*)))::DOUBLE / 10000 AS avg_tokens
       |FROM t GROUP BY source ORDER BY source""".stripMargin))
 
   /** DuckDB mirror of TextOps.kgramHashes: the base-131 polynomial over
