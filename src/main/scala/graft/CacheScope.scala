@@ -40,11 +40,27 @@ object CacheScope {
    * test session is never handed to a new one). Released by [[releaseRun]]
    * at end of run, or implicitly bounded: one entry per (app, sfDir, kind).
    */
-  def memoRun[T](key: String)(build: => Dataset[T]): Dataset[T] =
+  def memoRun[T](key: String)(build: => Dataset[T]): Dataset[T] = {
+    // build OUTSIDE the monitor (check-then-put): a plan build is usually
+    // cheap but may analyze a deep lineage — holding the global lock for
+    // its duration would stall every concurrent track/memoRun caller
+    // (e.g. a streaming foreachBatch). A lost race unpersists the loser —
+    // a rare duplicate derivation, never a global stall.
     synchronized {
-      runMemo.getOrElseUpdate(key,
-        build.persist(StorageLevel.MEMORY_AND_DISK)).asInstanceOf[Dataset[T]]
+      runMemo.get(key).foreach(ds => return ds.asInstanceOf[Dataset[T]])
     }
+    val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      runMemo.get(key) match {
+        case Some(winner) =>
+          built.unpersist(blocking = false)
+          winner.asInstanceOf[Dataset[T]]
+        case None =>
+          runMemo.put(key, built)
+          built
+      }
+    }
+  }
 
   /** RUN-scoped memoized SCALAR: corpus statistics a query derives its
    * plan knobs from (p17's corpus count → LSH width). Computing one is an
@@ -52,10 +68,19 @@ object CacheScope {
    * corpus pass to every run of the query; the stat is a pure function of
    * the dataset, so one value per (app, sfDir, kind) is correct for the
    * whole run. Cleared by [[releaseRun]]. */
-  def memoRunValue[T](key: String)(build: => T): T =
+  def memoRunValue[T](key: String)(build: => T): T = {
+    // the build thunk is an EAGER Spark job (a corpus count) — run it
+    // outside the monitor (check-then-put), or every concurrent
+    // track/memoRun caller stalls for the full job duration on first
+    // derivation; a lost race recomputes once, the first writer wins
     synchronized {
-      valueMemo.getOrElseUpdate(key, build).asInstanceOf[T]
+      valueMemo.get(key).foreach(v => return v.asInstanceOf[T])
     }
+    val v = build
+    synchronized {
+      valueMemo.getOrElseUpdate(key, v).asInstanceOf[T]
+    }
+  }
 
   /** Unpersist every tracked relation (non-blocking) and clear the registry.
    * Run-scoped memo entries are NOT touched — see [[releaseRun]].

@@ -374,11 +374,17 @@ object DedupOps {
    * the index grown by this batch's increments — the base corpus is
    * never re-shingled, re-signed, or re-paired.
    *
-   * Qualifying partners: every base member, appended members and batch
-   * siblings only when LOWER-id — so with id-ordered arrival the
-   * accumulated step verdicts equal the one-shot
+   * Qualifying partners: every INDEX member (base and appended alike)
+   * and lower-id batch siblings. Under the intended monotone-id ingest
+   * order every appended member is lower-id than the arriving batch, so
+   * the accumulated step verdicts equal the one-shot
    * [[minhashAppendVerdicts]] relation row for row (streaming check 30
-   * asserts exactly that).
+   * asserts exactly that). Under OUT-of-order arrival — a later batch
+   * carrying a lower id — the inter-batch duplicate is still caught,
+   * billed to the later ARRIVAL (whose verdict row then names a
+   * higher-id `dup_of` partner); that diverges from the one-shot
+   * relation, which bills the higher id, but never silently drops the
+   * pair (an appended-only-when-lower-id predicate would).
    *
    * Shape at 100 TB: the probe is one equi-join on (band, band_hash)
    * the batch side drives; self-join, confirm joins, and the verdict
@@ -397,10 +403,16 @@ object DedupOps {
     // verdict spine) and then lives on inside the returned index
     val bandedNew = graft.CacheScope.track(inc.banded, MEMORY_AND_DISK)
     val setsNew = graft.CacheScope.track(inc.sets, MEMORY_AND_DISK)
+    // every index member qualifies — under monotone-id ingest appended
+    // members are all lower-id (one-shot parity); restricting appended
+    // rows to lower-id would SILENTLY drop an inter-batch dup whose
+    // later arrival carries the lower id (see scaladoc)
     val candIdx = bandedNew.as("a").join(index.banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
-          (col("b.is_base") || col("b.doc") < col("a.doc")))
+          // an at-least-once REDELIVERY of an already-indexed doc must
+          // not pair with its indexed self (jaccard 1 → spurious drop)
+          col("b.doc") =!= col("a.doc"))
       .select(col("a.doc").as("doc_id"), col("b.doc").as("partner"),
         col("b.is_base").as("is_base"))
       .distinct()

@@ -660,6 +660,45 @@ class PipelineSpec extends AnyFunSuite {
       15L -> false, 25L -> false, 35L -> false))
   }
 
+  test("minhashAppendStep: out-of-order arrival still catches the inter-batch dup") {
+    import TestSpark.spark
+    import spark.implicits._
+    val D = graft.pipeline.DedupOps
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq((10L, "one two three four five six seven"),
+      (25L, a), (15L, a)).toDF("doc_id", "text")
+    var idx = {
+      val i = D.lshIndexOf(df.filter(col("doc_id") === 10L),
+        "doc_id", "text", isBase = true)
+      D.LshIndex(i.banded.localCheckpoint(), i.sets.localCheckpoint())
+    }
+    // batch 1 appends doc 25; batch 2 arrives OUT of id order with the
+    // LOWER id 15 — the duplicate pair (15, 25) must be reported on the
+    // later arrival's verdict (dup_of names the higher-id partner),
+    // never silently missed
+    val (v1, g1) = D.minhashAppendStep(idx, df.filter(col("doc_id") === 25L),
+      "doc_id", "text")
+    assert(v1.collect().map(r => (r.getLong(0),
+      r.getAs[Boolean]("dropped"))).toSeq === Seq((25L, false)))
+    idx = D.LshIndex(g1.banded.localCheckpoint(), g1.sets.localCheckpoint())
+    graft.CacheScope.releaseAll()
+    val (v2, _) = D.minhashAppendStep(idx, df.filter(col("doc_id") === 15L),
+      "doc_id", "text")
+    val r2 = v2.collect().map(r => (r.getLong(0),
+      r.getAs[Long]("n_prior_batch_dups"), r.getAs[Long]("dup_of"),
+      r.getAs[Boolean]("dropped"))).toSeq
+    assert(r2 === Seq((15L, 1L, 25L, true)))
+    graft.CacheScope.releaseAll()
+    // and an at-least-once REDELIVERY of an indexed doc must not pair
+    // with its indexed self
+    val (v3, _) = D.minhashAppendStep(idx, df.filter(col("doc_id") === 25L),
+      "doc_id", "text")
+    val r3 = v3.collect().map(r => (r.getLong(0),
+      r.getAs[Boolean]("dropped"))).toSeq
+    assert(r3 === Seq((25L, false)))
+    graft.CacheScope.releaseAll()
+  }
+
   test("kmeans step: cluster means exact on a two-pole fixture") {
     import TestSpark.spark
     import spark.implicits._
