@@ -1041,8 +1041,73 @@ object StreamingSmoke {
       streamCensus31 == batchCensus31 && streamCensus31.nonEmpty,
       s"stream hosts=${streamCensus31.size} batch=${batchCensus31.size}")
 
+    // 32) Persisted LSH index TABLE + restart — the DEPLOYED shape of
+    // check 30 (whose grown index lives in localCheckpointed RDDs, gone
+    // with the session): the index is an APPEND-ONLY parquet table —
+    // base written once, each micro-batch appending its own increments —
+    // so the dedup state is the table, not driver variables or RDD
+    // lineage. Mid-stream the query is STOPPED and a brand-new query
+    // (fresh checkpoint, no carried state) resumes by reloading the
+    // table; the accumulated verdicts must still equal the one-shot
+    // batch relation row for row — prior-batch duplicates SPANNING the
+    // restart boundary included — proving the table alone carries the
+    // state (the check-27 stateful-restart discipline applied to the
+    // LSH index).
+    val idxRoot32 = Files.createTempDirectory("graft-lsh-idx-").toString
+    locally {
+      val base = graft.pipeline.DedupOps.lshIndexOf(
+        allDocs30.filter(col("doc_id") % 10 =!= 5), "doc_id", "text",
+        isBase = true)
+      base.banded.write.parquet(s"$idxRoot32/banded")
+      base.sets.write.parquet(s"$idxRoot32/sets")
+    }
+    val got32 = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, Option[Long], Option[Double], Boolean)]
+    def appendStep32(b: org.apache.spark.sql.DataFrame): Unit =
+      if (!b.isEmpty) {
+        val idx = graft.pipeline.DedupOps.LshIndex(
+          spark.read.parquet(s"$idxRoot32/banded"),
+          spark.read.parquet(s"$idxRoot32/sets"))
+        val batch = b.select(col("doc_id"), col("text"))
+        val ids = batch.select(col("doc_id")).as[Long].collect().toSeq
+        val (verdicts, grown) = graft.pipeline.DedupOps
+          .minhashAppendStep(idx, batch, "doc_id", "text")
+        got32 ++= verdictRows(verdicts)
+        // the rewrite step: append exactly THIS batch's increment rows
+        // (grown minus the loaded table = the batch's own doc ids) —
+        // materializes the tracked increments before releaseAll
+        grown.banded.filter(col("doc").isInCollection(ids))
+          .write.mode("append").parquet(s"$idxRoot32/banded")
+        grown.sets.filter(col("doc").isInCollection(ids))
+          .write.mode("append").parquet(s"$idxRoot32/sets")
+        graft.CacheScope.releaseAll()
+      }
+    val chunks32 = batch30.grouped(math.max(1, batch30.length / 5 + 1)).toSeq
+    val (before32, after32) = chunks32.splitAt((chunks32.size + 1) / 2)
+    val s32a = MemoryStream[(Long, String)]
+    val q32a = s32a.toDS().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", ckpt())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        appendStep32(b) }
+      .start()
+    before32.foreach { c => s32a.addData(c); q32a.processAllAvailable() }
+    q32a.stop()
+    // RESTART: nothing survives but the checkpointed index table
+    val s32b = MemoryStream[(Long, String)]
+    val q32b = s32b.toDS().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", ckpt())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        appendStep32(b) }
+      .start()
+    after32.foreach { c => s32b.addData(c); q32b.processAllAvailable() }
+    q32b.stop()
+    check("minhash-append-index-table-restart",
+      got32.sortBy(_._1).toSeq == want30.sortBy(_._1).toSeq &&
+        want30.nonEmpty && after32.nonEmpty,
+      s"stream=${got32.size} batch=${want30.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 31 converged to batch twins OK")
+    println(s"[stream-smoke] all 32 converged to batch twins OK")
     spark.stop()
   }
 }
