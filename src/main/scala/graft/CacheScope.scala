@@ -44,21 +44,17 @@ object CacheScope {
     // build OUTSIDE the monitor (check-then-put): a plan build is usually
     // cheap but may analyze a deep lineage — holding the global lock for
     // its duration would stall every concurrent track/memoRun caller
-    // (e.g. a streaming foreachBatch). A lost race unpersists the loser —
-    // a rare duplicate derivation, never a global stall.
+    // (e.g. a streaming foreachBatch). A lost race does NOT unpersist its
+    // duplicate: Spark's CacheManager keys cached data by the ANALYZED
+    // PLAN (sameResult), so the loser's persist was a no-op on the
+    // winner's entry and an unpersist here would silently uncache the
+    // winner for the rest of the run.
     synchronized {
       runMemo.get(key).foreach(ds => return ds.asInstanceOf[Dataset[T]])
     }
     val built = build.persist(StorageLevel.MEMORY_AND_DISK)
     synchronized {
-      runMemo.get(key) match {
-        case Some(winner) =>
-          built.unpersist(blocking = false)
-          winner.asInstanceOf[Dataset[T]]
-        case None =>
-          runMemo.put(key, built)
-          built
-      }
+      runMemo.getOrElseUpdate(key, built).asInstanceOf[Dataset[T]]
     }
   }
 

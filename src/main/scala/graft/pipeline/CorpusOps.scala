@@ -1435,7 +1435,7 @@ object CorpusOps {
       TextOps.qualityFeatures(df, col(textCol))
         .where(col("n_words") > 0)
         .select(col(idCol), col(sourceCol).cast("string").as("source"),
-          round(col("quality_score") * 10000).cast("long").as("score")))
+          col("quality_e4").as("score")))
     val cuts = exactQuantiles(scored, col("source"), col("score"),
         Seq((qnum, qden)))
       .select(col("source"), col("value").as("cutoff"))

@@ -267,7 +267,10 @@ object DedupOps {
     // exploded shingles), the canonical persist-what-fans-out trade.
     val banded = graft.CacheScope.track(
       bandedBuckets(sig, bands, rows), MEMORY_AND_DISK)
-    val candidates = banded.as("a").join(banded.as("b"),
+    // corpus-scale self-join: merge-hinted so a static size misestimate
+    // can never broadcast the band table (the containmentPrefixJoin
+    // 100×-rehearsal lesson — AQE cannot demote a static broadcast)
+    val candidates = banded.as("a").join(banded.hint("merge").as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -284,9 +287,11 @@ object DedupOps {
       docShingleSets(shRows), MEMORY_AND_DISK)
     candidates
       .join(docSets.select(col("doc").as("doc_a"),
-        col("sh").as("sh_a"), col("set_size").as("size_a")), "doc_a")
+        col("sh").as("sh_a"), col("set_size").as("size_a"))
+        .hint("merge"), "doc_a")
       .join(docSets.select(col("doc").as("doc_b"),
-        col("sh").as("sh_b"), col("set_size").as("size_b")), "doc_b")
+        col("sh").as("sh_b"), col("set_size").as("size_b"))
+        .hint("merge"), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", q4(col("inter").cast("double") /
         (col("size_a") + col("size_b") - col("inter"))))
@@ -384,7 +389,14 @@ object DedupOps {
    * billed to the later ARRIVAL (whose verdict row then names a
    * higher-id `dup_of` partner); that diverges from the one-shot
    * relation, which bills the higher id, but never silently drops the
-   * pair (an appended-only-when-lower-id predicate would).
+   * pair (an appended-only-when-lower-id predicate would). Ingest each
+   * id ONCE: the self-pair guard keeps an at-least-once redelivery from
+   * matching its own indexed rows, but a redelivered doc is still
+   * re-verdicted against the CURRENT index — if duplicates of it landed
+   * since its first ingest, the re-verdict reports them (it may even
+   * drop the original keeper), so exactly-once effect requires the
+   * caller to dedup redeliveries by id (the checkpointed-source
+   * contract every streaming consumer here already has).
    *
    * Shape at 100 TB: the probe is one equi-join on (band, band_hash)
    * the batch side drives; self-join, confirm joins, and the verdict
@@ -407,7 +419,11 @@ object DedupOps {
     // members are all lower-id (one-shot parity); restricting appended
     // rows to lower-id would SILENTLY drop an inter-batch dup whose
     // later arrival carries the lower id (see scaladoc)
-    val candIdx = bandedNew.as("a").join(index.banded.as("b"),
+    // the BATCH side is explicitly broadcast (the deployed probe shape:
+    // the frozen index never shuffles per micro-batch, and a static
+    // size misestimate can never pick the corpus-scale index as the
+    // build side — the containmentPrefixJoin 100×-rehearsal lesson)
+    val candIdx = broadcast(bandedNew.as("a")).join(index.banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           // an at-least-once REDELIVERY of an already-indexed doc must
@@ -424,9 +440,11 @@ object DedupOps {
         lit(false).as("is_base"))
       .distinct()
     val partnerSets = index.sets.unionByName(setsNew)
-    val confirmed = candIdx.unionByName(candSelf)
-      .join(setsNew.select(col("doc").as("doc_id"), col("sh").as("sh_a"),
-        col("set_size").as("size_a")), "doc_id")
+    // batch-scale left broadcast into the corpus-scale partner sets:
+    // the index's wide shingle-set table never shuffles per micro-batch
+    val confirmed = broadcast(candIdx.unionByName(candSelf)
+        .join(setsNew.select(col("doc").as("doc_id"), col("sh").as("sh_a"),
+          col("set_size").as("size_a")), "doc_id"))
       .join(partnerSets.select(col("doc").as("partner"),
         col("sh").as("sh_b"), col("set_size").as("size_b")), "partner")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -723,19 +741,28 @@ object DedupOps {
   def containmentPrefixJoin(docs: DataFrame, idCol: String,
       textCol: String, n: Int, tPpm: Long): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
+    // every join side below is CORPUS-scale (the shingle relation, the
+    // vocabulary df table, the per-doc size relation) — merge hints pin
+    // them to shuffle joins: Spark's static size estimates over deep
+    // plans on compressed parquet run small, and at the 100× rehearsal
+    // the planner statically BROADCAST the full shingle relation (AQE
+    // cannot demote a statically-planned broadcast — no shuffle stats
+    // exist) and OOM'd the driver; on a real cluster these sides are
+    // never broadcastable
     val sh = graft.CacheScope.track(
       shingleRows(docs, idCol, textCol, n).select(col("doc"), col("shingle")))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
-    val withSize = graft.CacheScope.track(sh.join(sizes, Seq("doc")))
+    val withSize = graft.CacheScope.track(
+      sh.join(sizes.hint("merge"), Seq("doc")))
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("gdf"), col("shingle"))
-    val prefix = withSize.join(dfTab, Seq("shingle"))
+    val prefix = withSize.join(dfTab.hint("merge"), Seq("shingle"))
       .withColumn("pos", row_number().over(w))
       .filter(expr(
         s"pos <= set_size - ((set_size * $tPpm + 999999) div 1000000) + 1"))
       .select(col("doc"), col("shingle"), col("set_size"))
-    val pairs = prefix.as("x").join(withSize.as("y"),
+    val pairs = prefix.as("x").join(withSize.hint("merge").as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc") =!= col("y.doc") &&
           // container at least t× the contained size (∩ ≤ |Sx|)
@@ -747,15 +774,16 @@ object DedupOps {
           .otherwise(col("x.doc")).as("doc_b"))
       .distinct()
     pairs
-      .join(sh.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
+      .join(sh.select(col("doc").as("doc_a"), col("shingle"))
+        .hint("merge"), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("shingle"))
+        .hint("merge"), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
       .join(sizes.select(col("doc").as("doc_a"),
-        col("set_size").as("size_a")), "doc_a")
+        col("set_size").as("size_a")).hint("merge"), "doc_a")
       .join(sizes.select(col("doc").as("doc_b"),
-        col("set_size").as("size_b")), "doc_b")
+        col("set_size").as("size_b")).hint("merge"), "doc_b")
       // integer div, not double-divide-and-cast (the p109 lesson)
       .withColumn("cont_a_ppm", expr("(n_common * 1000000) div size_a"))
       .withColumn("cont_b_ppm", expr("(n_common * 1000000) div size_b"))
@@ -798,20 +826,25 @@ object DedupOps {
   def jaccardPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tPpm: Long): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
+    // corpus-scale sides pinned to shuffle joins (merge hints) — the
+    // containmentPrefixJoin rationale: static size misestimates over
+    // deep parquet plans statically broadcast corpus-scale relations at
+    // the 100× rehearsal, which AQE cannot demote and a real cluster
+    // cannot hold
     val sh = graft.CacheScope.track(
       shingleRows(docs, idCol, textCol, n).select(col("doc"), col("shingle")))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("gdf"), col("shingle"))
-    val prefix = sh.join(dfTab, Seq("shingle"))
-      .join(sizes, Seq("doc"))
+    val prefix = sh.join(dfTab.hint("merge"), Seq("shingle"))
+      .join(sizes.hint("merge"), Seq("doc"))
       .withColumn("pos", row_number().over(w))
       // prefix length = s − ceil(t·s) + 1, ceil in exact ppm integer div
       .filter(expr(
         s"pos <= set_size - ((set_size * $tPpm + 999999) div 1000000) + 1"))
       .select(col("doc"), col("shingle"), col("set_size"), col("pos"))
-    val cand = prefix.as("a").join(prefix.as("b"),
+    val cand = prefix.as("a").join(prefix.hint("merge").as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
           // size filter: J ≥ t forces t ≤ min(sa,sb)/max(sa,sb), so a
           // pair whose sizes differ by more than 1/t can never qualify —
@@ -835,8 +868,10 @@ object DedupOps {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(first(col("sa")).as("size_a"), first(col("sb")).as("size_b"))
     cand
-      .join(sh.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(sh.select(col("doc").as("doc_a"), col("shingle"))
+        .hint("merge"), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("shingle"))
+        .hint("merge"), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"),
         first(col("size_a")).as("size_a"), first(col("size_b")).as("size_b"))

@@ -68,12 +68,15 @@ object TextOps {
         expr("(2 * _ciw * 10000 + n_words) div (2 * n_words)")))
       .withColumn("_sr_e4", when(col("n_words") > 0,
         expr("(2 * _stops * 10000 + n_words) div (2 * n_words)")))
-      .withColumn("_q_e4",
+      // quality_e4 is KEPT (long): downstream integer consumers
+      // (percentileQualityGate's cutoff arithmetic) read it directly
+      // instead of round-tripping the double back through round()
+      .withColumn("quality_e4",
         expr("(2 * (least(n_words, 100) * (10000 - _sr_e4)) + 100) div 200"))
       .withColumn("avg_word_len", col("_awl_e4").cast("double") / 10000)
       .withColumn("stop_ratio", col("_sr_e4").cast("double") / 10000)
-      .withColumn("quality_score", col("_q_e4").cast("double") / 10000)
-      .drop("_ciw", "_stops", "_awl_e4", "_sr_e4", "_q_e4")
+      .withColumn("quality_score", col("quality_e4").cast("double") / 10000)
+      .drop("_ciw", "_stops", "_awl_e4", "_sr_e4")
   }
 
   /** Document fingerprint: md5 of the normalized text (stable across

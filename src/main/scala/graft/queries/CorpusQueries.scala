@@ -1555,7 +1555,10 @@ object CorpusQueries extends QueryGroup {
     // contribution is the exact integer 10⁹ div (60 + rank), so fusion
     // totals and tie behavior are engine-independent; n_lists exposes
     // whether a hit came from one retriever or both. The oracle replays
-    // both rankings AND the fusion arithmetic from scratch.
+    // both rankings AND the fusion arithmetic from scratch — the cosine
+    // side on the same e3 integer kernel as the migrated bruteForceTopK
+    // (quantize-once codes, sim_e3 DESC / id ranking, NULL zero-norm
+    // pairs excluded).
     (s, d) => {
       val bm = bm25Shared(s, d)
         .select(col("query_id"), col("doc_id"), col("rank"))
@@ -1568,19 +1571,26 @@ object CorpusQueries extends QueryGroup {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""WITH $bm25RankedCte,
-      |cq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      |cq3 AS (
+      |  SELECT vec_id, codes,
+      |         CAST(list_sum(list_transform(range(1, 65),
+      |           i -> codes[i] * codes[i])) AS BIGINT) AS nsq
+      |  FROM (SELECT vec_id, list_transform(embedding,
+      |          x -> CAST(floor(x::DOUBLE * 1000.0 + 0.5) AS BIGINT))
+      |          AS codes
+      |        FROM embeddings)),
+      |qq AS (SELECT vec_id, codes, nsq FROM cq3 WHERE vec_id < 5),
       |cscored AS (
-      |  SELECT cq.vec_id AS query_id, c.vec_id AS id,
-      |         (list_sum(list_transform(range(1, 65),
-      |            i -> cq.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
-      |          (sqrt(list_sum(list_transform(range(1, 65),
-      |            i -> cq.embedding[i]::DOUBLE * cq.embedding[i]::DOUBLE))) *
-      |           sqrt(list_sum(list_transform(range(1, 65),
-      |            i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))))
-      |           AS score
-      |  FROM embeddings c, cq WHERE cq.vec_id <> c.vec_id),
+      |  SELECT qq.vec_id AS query_id, c.vec_id AS id,
+      |         CASE WHEN qq.nsq = 0 OR c.nsq = 0 THEN NULL ELSE
+      |           CAST(floor(CAST(list_sum(list_transform(range(1, 65),
+      |             i -> qq.codes[i] * c.codes[i])) AS BIGINT)::DOUBLE
+      |             / sqrt(qq.nsq::DOUBLE * c.nsq::DOUBLE) * 1000.0 + 0.5)
+      |             AS BIGINT) END AS sim_e3
+      |  FROM cq3 c, qq WHERE qq.vec_id <> c.vec_id),
       |cr AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id
-      |         ORDER BY score DESC, id) AS rn FROM cscored),
+      |         ORDER BY sim_e3 DESC, id) AS rn FROM cscored
+      |       WHERE sim_e3 IS NOT NULL),
       |u AS (
       |  SELECT qid AS query_id, did AS doc_id, rank FROM r WHERE rank <= 10
       |  UNION ALL

@@ -2378,6 +2378,9 @@ object PipelineQueries extends QueryGroup {
 
   private val p9 = QueryDef(
     (s, d) => TextOps.qualityFeatures(docs(s, d), col("text"))
+      // the oracle emits only tokenizable docs; zero-word rows carry
+      // NULL ratios by the qualityFeatures contract and are out of scope
+      .filter(col("n_words") > 0)
       .select(col("doc_id"), col("n_chars"), col("n_words"),
         col("avg_word_len"), col("stop_ratio"), col("quality_score"))
       .orderBy(col("doc_id")),
