@@ -2242,7 +2242,12 @@ object PipelineQueries extends QueryGroup {
   private def plantedShared(s: SparkSession, d: String): DataFrame =
     graft.CacheScope.memoRun(
       s"${s.sparkContext.applicationId}:planted:$d") {
-      Similarity.plantedEmbeddings(embs(s, d))
+      // localCheckpoint (lazy), not bare persist: the 64-wide planted
+      // projection (4 pattern hashes + 256 CASE arms) feeds a deep
+      // train/ADC/recall chain whose every action would otherwise
+      // re-analyze the full expression tree — persist does NOT truncate
+      // the logical plan (the p83/round-10 lesson)
+      Similarity.plantedEmbeddings(embs(s, d)).localCheckpoint(false)
     }
 
   private def plantedCentroids(pl: DataFrame): DataFrame =
