@@ -44,17 +44,29 @@ object CacheScope {
     // build OUTSIDE the monitor (check-then-put): a plan build is usually
     // cheap but may analyze a deep lineage — holding the global lock for
     // its duration would stall every concurrent track/memoRun caller
-    // (e.g. a streaming foreachBatch). A lost race does NOT unpersist its
-    // duplicate: Spark's CacheManager keys cached data by the ANALYZED
-    // PLAN (sameResult), so the loser's persist was a no-op on the
-    // winner's entry and an unpersist here would silently uncache the
-    // winner for the rest of the run.
+    // (e.g. a streaming foreachBatch). Lost-race cleanup is plan-aware:
+    // Spark's CacheManager keys cached data by the ANALYZED plan
+    // (sameResult), so when the loser's plan equals the winner's, its
+    // persist was a no-op and unpersisting would silently uncache the
+    // WINNER; when the build is plan-nondeterministic (e.g. ends in a
+    // localCheckpoint → fresh LogicalRDD), the loser registered a
+    // separate cache entry that must be released or it leaks for the
+    // session's lifetime.
     synchronized {
       runMemo.get(key).foreach(ds => return ds.asInstanceOf[Dataset[T]])
     }
     val built = build.persist(StorageLevel.MEMORY_AND_DISK)
     synchronized {
-      runMemo.getOrElseUpdate(key, built).asInstanceOf[Dataset[T]]
+      runMemo.get(key) match {
+        case Some(winner) =>
+          if (!built.queryExecution.analyzed
+              .sameResult(winner.queryExecution.analyzed))
+            built.unpersist(blocking = false)
+          winner.asInstanceOf[Dataset[T]]
+        case None =>
+          runMemo.put(key, built)
+          built
+      }
     }
   }
 

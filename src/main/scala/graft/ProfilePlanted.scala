@@ -20,24 +20,16 @@ object ProfilePlanted {
     SparkEntry.prepare(spark)
     val e = spark.read.parquet(s"$d/embeddings.parquet")
     val pl = t("planted-materialize") {
-      val p = Similarity.plantedEmbeddings(e).localCheckpoint(false)
+      val p = Similarity.plantedEmbeddings(e).persist()
       println(s"  rows=${p.count()}")
       p
     }
     val cents = pl.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
     val rv = t("ivfResiduals") { val r = Similarity.ivfResiduals(pl, cents); println(s"  rv=${r.count()}"); r }
-    val init = {
-      val ranked = rv.filter(col("vec_id") % 50 === 7)
-        .withColumn("code", (row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1).cast("int"))
-        .filter(col("code") < 16)
-      val segs = spark.range(0, 4).select(col("id").cast("int").as("segment"))
-      ranked.crossJoin(segs).select(col("segment"), col("code"),
-        slice(col("embedding"), col("segment") * 16 + lit(1), lit(16)).as("subvec"))
-    }
     val books = t("pqTrain") { val b = Similarity.booksFromTrain(
-      Similarity.pqTrain(rv, init, dsub = 16, iterations = 2)); println(s"  books=${b.count()}"); b }
+      Similarity.pqTrain(rv, Similarity.pqInitBooks(rv), dsub = 16,
+        iterations = 2)); println(s"  books=${b.count()}"); b }
     val out = t("ivfpqRecall") {
       Similarity.ivfpqRecall(pl.filter(expr("vec_id % 50 = 3 AND vec_id < 500")), pl,
         cents, books, dsub = 16, k = 60, nprobe = 2).collect()

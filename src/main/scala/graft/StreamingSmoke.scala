@@ -1069,17 +1069,17 @@ object StreamingSmoke {
           spark.read.parquet(s"$idxRoot32/banded"),
           spark.read.parquet(s"$idxRoot32/sets"))
         val batch = b.select(col("doc_id"), col("text"))
-        val ids = batch.select(col("doc_id")).as[Long].collect().toSeq
-        val (verdicts, grown) = graft.pipeline.DedupOps
+        val (verdicts, _) = graft.pipeline.DedupOps
           .minhashAppendStep(idx, batch, "doc_id", "text")
         got32 ++= verdictRows(verdicts)
-        // the rewrite step: append exactly THIS batch's increment rows
-        // (grown minus the loaded table = the batch's own doc ids) —
-        // materializes the tracked increments before releaseAll
-        grown.banded.filter(col("doc").isInCollection(ids))
-          .write.mode("append").parquet(s"$idxRoot32/banded")
-        grown.sets.filter(col("doc").isInCollection(ids))
-          .write.mode("append").parquet(s"$idxRoot32/sets")
+        // the rewrite step: append exactly THIS batch's increment rows,
+        // re-derived batch-scale (lshIndexOf is deterministic, so these
+        // are the same rows the step computed) — filtering the GROWN
+        // relation would rescan the whole ever-growing table per batch
+        val inc = graft.pipeline.DedupOps.lshIndexOf(
+          batch, "doc_id", "text", isBase = false)
+        inc.banded.write.mode("append").parquet(s"$idxRoot32/banded")
+        inc.sets.write.mode("append").parquet(s"$idxRoot32/sets")
         graft.CacheScope.releaseAll()
       }
     val chunks32 = batch30.grouped(math.max(1, batch30.length / 5 + 1)).toSeq

@@ -398,12 +398,19 @@ object DedupOps {
    * caller to dedup redeliveries by id (the checkpointed-source
    * contract every streaming consumer here already has).
    *
-   * Shape at 100 TB: the probe is one equi-join on (band, band_hash)
-   * the batch side drives; self-join, confirm joins, and the verdict
-   * aggregate are |batch|-scale; index growth is two unions of
-   * |batch|-scale increments. The returned index's lineage grows per
-   * step — the caller truncates it (localCheckpoint / rewrite of the
-   * checkpointed table) each batch, the p83 superstep convention.
+   * Shape at 100 TB: the probe is one merge equi-join on
+   * (band, band_hash) — the index side may never be a broadcast build
+   * (corpus-scale) and the batch side may not be force-broadcast either
+   * (the one-shot caller passes a corpus-fraction batch); the confirm
+   * join is candidate-scale (|batch| × bucket fan-out — unbounded on a
+   * dup-heavy batch, hence merge, which spills instead of OOMing); the
+   * verdict aggregate is |batch|-scale; index growth is two unions of
+   * |batch|-scale increments. A deployed pipeline removes the per-batch
+   * index exchange by BUCKETING its persisted index table on the join
+   * keys (the BucketingSpec zero-exchange mechanism). The returned
+   * index's lineage grows per step — the caller truncates it
+   * (localCheckpoint / rewrite of the checkpointed table) each batch,
+   * the p83 superstep convention.
    */
   def minhashAppendStep(index: LshIndex, batchDocs: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 64,
@@ -419,11 +426,16 @@ object DedupOps {
     // members are all lower-id (one-shot parity); restricting appended
     // rows to lower-id would SILENTLY drop an inter-batch dup whose
     // later arrival carries the lower id (see scaladoc)
-    // the BATCH side is explicitly broadcast (the deployed probe shape:
-    // the frozen index never shuffles per micro-batch, and a static
-    // size misestimate can never pick the corpus-scale index as the
-    // build side — the containmentPrefixJoin 100×-rehearsal lesson)
-    val candIdx = broadcast(bandedNew.as("a")).join(index.banded.as("b"),
+    // the INDEX side carries a merge hint: a static size misestimate can
+    // never pick the corpus-scale index as a broadcast build side (the
+    // containmentPrefixJoin 100×-rehearsal lesson), and the BATCH side is
+    // NOT force-broadcast — the one-shot caller (minhashAppendVerdicts /
+    // p129) passes a corpus-fraction batch, for which a forced broadcast
+    // would be the same non-demotable failure in the other direction.
+    // The per-batch index shuffle a merge join implies is what the
+    // persisted-table deployment removes by BUCKETING the index table on
+    // the join key (the BucketingSpec zero-exchange mechanism).
+    val candIdx = bandedNew.as("a").join(index.banded.hint("merge").as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           // an at-least-once REDELIVERY of an already-indexed doc must
@@ -440,13 +452,17 @@ object DedupOps {
         lit(false).as("is_base"))
       .distinct()
     val partnerSets = index.sets.unionByName(setsNew)
-    // batch-scale left broadcast into the corpus-scale partner sets:
-    // the index's wide shingle-set table never shuffles per micro-batch
-    val confirmed = broadcast(candIdx.unionByName(candSelf)
-        .join(setsNew.select(col("doc").as("doc_id"), col("sh").as("sh_a"),
-          col("set_size").as("size_a")), "doc_id"))
+    // merge hint on the corpus-scale partner-set side: the candidate
+    // relation's size is |batch| × bucket fan-out — UNBOUNDED on a
+    // dup-heavy batch — so neither side may be force-broadcast; the
+    // shuffle join sorts and spills instead of OOMing, and the bucketed
+    // persisted-index deployment removes the per-batch index exchange
+    val confirmed = candIdx.unionByName(candSelf)
+      .join(setsNew.select(col("doc").as("doc_id"), col("sh").as("sh_a"),
+        col("set_size").as("size_a")), "doc_id")
       .join(partnerSets.select(col("doc").as("partner"),
-        col("sh").as("sh_b"), col("set_size").as("size_b")), "partner")
+        col("sh").as("sh_b"), col("set_size").as("size_b"))
+        .hint("merge"), "partner")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", q4(col("inter").cast("double") /
         (col("size_a") + col("size_b") - col("inter"))))

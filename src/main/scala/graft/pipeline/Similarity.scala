@@ -996,6 +996,30 @@ object Similarity {
     step
   }
 
+  /** Deterministic PQ-training init over a residual relation: the first
+   * ≤ks residuals of the `vec_id % 50 = 7` rule, code = rank by vec_id,
+   * one subvector slice per segment. The %50=0 rule (the centroid
+   * fixture) would NOT work: a centroid's own residual is the zero
+   * vector, so every init codeword would collapse to 0 and the first
+   * Lloyd assignment would degenerate to one code per segment. ONE
+   * definition shared by the query layer, the planted-fixture chain,
+   * the profiling harness and the spec — the init recipe cannot drift
+   * between the measured pipeline and the declared one. */
+  def pqInitBooks(rv: DataFrame, m: Int = 4, dsub: Int = 16,
+      ks: Int = 16): DataFrame = {
+    val ranked = rv.filter(col("vec_id") % 50 === 7)
+      .withColumn("code", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+        .cast("int"))
+      .filter(col("code") < ks)
+    val segs = rv.sparkSession.range(0, m)
+      .select(col("id").cast("int").as("segment"))
+    ranked.crossJoin(segs)
+      .select(col("segment"), col("code"),
+        slice(col("embedding"), col("segment") * dsub + lit(1), lit(dsub))
+          .as("subvec"))
+  }
+
   /** Assemble (segment, code, subvec) codebooks from a [[pqTrain]]
    * audit relation — the trained books an IVFPQ index consumes. */
   def booksFromTrain(audit: DataFrame): DataFrame =

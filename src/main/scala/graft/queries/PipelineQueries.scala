@@ -1789,24 +1789,11 @@ object PipelineQueries extends QueryGroup {
           .as("subvec"))
   }
 
-  /** Deterministic PQ-training init: the first ≤16 residuals of the
-   * `vec_id % 50 = 7` rule, code = rank by vec_id. The %50=0 rule
-   * (p14's centroid fixture) would NOT work here: a centroid's own
-   * residual is the zero vector, so every init codeword would collapse
-   * to 0 and the first Lloyd assignment would degenerate to one code
-   * per segment. The window runs over the ≤N/50-row filtered set. */
-  private def pqInitBooks(s: SparkSession, rv: DataFrame): DataFrame = {
-    val ranked = rv.filter(col("vec_id") % 50 === 7)
-      .withColumn("code", (row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
-        .cast("int"))
-      .filter(col("code") < 16)
-    val segs = s.range(0, 4).select(col("id").cast("int").as("segment"))
-    ranked.crossJoin(segs)
-      .select(col("segment"), col("code"),
-        slice(col("embedding"), col("segment") * 16 + lit(1), lit(16))
-          .as("subvec"))
-  }
+  /** Deterministic PQ-training init — delegates to the ONE shared
+   * recipe ([[Similarity.pqInitBooks]]); the oracle's cb0p CTE is its
+   * independent SQL formulation. */
+  private def pqInitBooks(s: SparkSession, rv: DataFrame): DataFrame =
+    Similarity.pqInitBooks(rv)
 
   /** The trained-PQ audit relation shared by p133 (the training row)
    * and p132 (IVFPQ search over the TRAINED books), memoized
@@ -2242,12 +2229,13 @@ object PipelineQueries extends QueryGroup {
   private def plantedShared(s: SparkSession, d: String): DataFrame =
     graft.CacheScope.memoRun(
       s"${s.sparkContext.applicationId}:planted:$d") {
-      // localCheckpoint (lazy), not bare persist: the 64-wide planted
-      // projection (4 pattern hashes + 256 CASE arms) feeds a deep
-      // train/ADC/recall chain whose every action would otherwise
-      // re-analyze the full expression tree — persist does NOT truncate
-      // the logical plan (the p83/round-10 lesson)
-      Similarity.plantedEmbeddings(embs(s, d)).localCheckpoint(false)
+      // plain memoRun persist, no localCheckpoint: a localCheckpoint here
+      // was MEASURED to buy nothing (the chain is not superstep-iterative
+      // over planted, so lineage never compounds — 16.3 s fresh-JVM noop
+      // either way) while storing the relation TWICE (the checkpoint RDD
+      // blocks plus memoRun's columnar copy, and releaseRun frees only
+      // the latter)
+      Similarity.plantedEmbeddings(embs(s, d))
     }
 
   private def plantedCentroids(pl: DataFrame): DataFrame =

@@ -53,21 +53,9 @@ class PlantedSpec extends AnyFunSuite {
   test("recall@60 rises with nprobe; probed-cell recall is exactly 1 at nprobe=2") {
     val queries = planted.filter(expr("vec_id % 50 = 3 AND vec_id < 500"))
     val rv = Similarity.ivfResiduals(planted, cents)
-    val init = {
-      // the pqInitBooks recipe (first ≤16 %50=7 residuals, code = rank)
-      val ranked = rv.filter(col("vec_id") % 50 === 7)
-        .withColumn("code", (row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
-          .cast("int"))
-        .filter(col("code") < 16)
-      val segs = spark.range(0, 4).select(col("id").cast("int").as("segment"))
-      ranked.crossJoin(segs)
-        .select(col("segment"), col("code"),
-          slice(col("embedding"), col("segment") * 16 + lit(1), lit(16))
-            .as("subvec"))
-    }
     val books = Similarity.booksFromTrain(
-      Similarity.pqTrain(rv, init, dsub = 16, iterations = 2))
+      Similarity.pqTrain(rv, Similarity.pqInitBooks(rv), dsub = 16,
+        iterations = 2))
     books.cache()
     def recalls(nprobe: Int): (Long, Long, Long) = {
       val r = Similarity.ivfpqRecall(queries, planted, cents, books,
