@@ -18,6 +18,13 @@ object Scratch {
     dir.toString
   }
 
+  /** Fixture-dir-scoped fresh scratch dir: two harness runs over
+   * DIFFERENT fixture dirs (e.g. concurrent sf0.001/sf0.01 Verifies)
+   * must not share a write-path topic dir — an interleaved wipe/append
+   * from the other run corrupts the slower run's read-back counts. */
+  def freshDirFor(tag: String, sfDir: String): String =
+    freshDir(tag + "-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+
   /** Wipe the tag's scratch dir WITHOUT recreating it (for callers whose
    * writers create the directory themselves, e.g. saveAsTable). */
   def clearDir(tag: String): String = {

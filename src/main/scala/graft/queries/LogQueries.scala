@@ -344,8 +344,11 @@ object LogQueries extends QueryGroup {
 
   // ---------------------------------------------------------------- S: sources / unions / replication
 
-  /** Scratch topic dir for the write-path queries (see [[graft.Scratch]]). */
-  private def freshDir(tag: String): String = graft.Scratch.freshDir(tag)
+  /** Fixture-scoped scratch topic dir for the write-path queries (see
+   * [[graft.Scratch.freshDirFor]] — concurrent runs over different
+   * fixture dirs must not share one). */
+  private def freshDir(tag: String, d: String): String =
+    graft.Scratch.freshDirFor(tag, d)
 
   /** Keyed sub-batch of the raw events table used by the produce-path
    * queries (keys < 15 so the routing VALUES table stays small). */
@@ -363,7 +366,7 @@ object LogQueries extends QueryGroup {
       val msgs = Produce.build(produceInput(s, d), "produced", "w0",
         numPartitions = 6, orderCol = "event_id", nowMs = 0L, allKeyed = true)
         .persist() // two appends + their dedup scans share one build
-      val dir = freshDir("produce")
+      val dir = freshDir("produce", d)
       Produce.appendDedup(s, msgs, dir)
       val second = Produce.appendDedup(s, msgs, dir) // all replays → rejected
       msgs.unpersist()
@@ -1405,7 +1408,7 @@ object LogQueries extends QueryGroup {
       def slice(lo: Long, hi: Long): DataFrame =
         base.filter(col("event_id") >= lo && col("event_id") < hi)
           .select(col("event_id"), col("user_id").cast("string").as("key"), col("value"))
-      val dir = freshDir("txn")
+      val dir = freshDir("txn", d)
       // The four log segments (two staged batches, two markers) are one
       // append: the log's order lives in the (offset, sequence) columns,
       // not in write-call order, so a single write job replaces four.

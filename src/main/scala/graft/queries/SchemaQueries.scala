@@ -348,10 +348,11 @@ object SchemaQueries extends QueryGroup {
    * the SchemaRegistryServiceImpl durability contract (:182, :311).
    * Oracle = the hand-derived expected catalog + ledger. */
   private val m9 = QueryDef(
-    (s, _) => {
-      // fixed scratch path, wiped on entry (same pattern as the
-      // produce-path queries) so repeated runs are deterministic
-      val path = graft.Scratch.freshDir("m9-registry")
+    (s, d) => {
+      // fixture-scoped scratch path, wiped on entry (same pattern as the
+      // produce-path queries) so repeated and CONCURRENT runs are
+      // deterministic
+      val path = graft.Scratch.freshDirFor("m9-registry", d)
 
       val base = StructType(Seq(req("id", LongType), opt("name", StringType)))
       val v1 = StructType(base.fields :+ opt("tag", StringType))
@@ -449,7 +450,7 @@ object SchemaQueries extends QueryGroup {
             encode(payload, "UTF-8").as("value_bin"),
             wireClass.as("wire_class")))
 
-      val dir = graft.Scratch.freshDir("auto-produce")
+      val dir = graft.Scratch.freshDirFor("auto-produce", d)
       val (acc, rej) = Produce.appendAutoProduce(s, msgs, dir, current)
       val persisted = s.read.parquet(dir).groupBy(col("wire_class"))
         .agg(count(lit(1)).as("n_persisted"))

@@ -38,7 +38,7 @@ object SurfaceQueries extends QueryGroup {
     // oracle computes the same aggregates from the source table.
     (s, d) => {
       import s.implicits._
-      val dir = graft.Scratch.freshDir("s10-sink")
+      val dir = graft.Scratch.freshDirFor("s10-sink", d)
       val lines = env(s, d)
         .select(concat_ws(",", col("msg_offset"), col("producer_name"))
           .as("line")).as[String]
