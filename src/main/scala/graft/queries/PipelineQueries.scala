@@ -2512,13 +2512,19 @@ object PipelineQueries extends QueryGroup {
         .filter(col("df") <= 20).drop("df")
       val fps = graft.CacheScope.track(rare)
       val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-      fps.as("a").join(fps.as("b"),
+      // every side here is corpus-scale — merge hints, so a static size
+      // misestimate can never broadcast the fingerprint relation (the
+      // containmentPrefixJoin 100×-rehearsal lesson; at /tmp/scale100
+      // the static planner broadcast all three doc-keyed sides)
+      fps.as("a").join(fps.hint("merge").as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= 3)
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("fps_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("fps_b")), "doc_b")
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("fps_a"))
+          .hint("merge"), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("fps_b"))
+          .hint("merge"), "doc_b")
         .withColumn("match_ppm",
           expr("(shared_fps * 1000000) div least(fps_a, fps_b)"))
         .filter(col("match_ppm") >= 500000)
