@@ -2327,6 +2327,39 @@ object PipelineQueries extends QueryGroup {
       |LEFT JOIN hp ON qq.qid = hp.qid
       |ORDER BY query_id""".stripMargin))
 
+  /** P139 — planted-fixture cluster-recovery audit: per centroid, the
+   * member census of the integer-affinity IVF assignment over the
+   * planted relation against the KNOWN ground truth (the 50-block home
+   * rule — the one fixture where cluster truth exists by construction).
+   * `n_foreign` must be 0 everywhere (the PlantedSpec zero-flip
+   * property, here as a driver-gate row): any regression in the e3
+   * kernel, the argmax tie-break, or the quantize-once projection
+   * surfaces as a nonzero count the oracle's independent window replay
+   * won't reproduce. One assignment pass + a centroid-scale census —
+   * nothing pair-scale. */
+  private val p139 = QueryDef(
+    (s, d) => {
+      val pl = plantedShared(s, d)
+      Similarity.ivfAssign(pl, plantedCentroids(pl))
+        .withColumn("home", expr("(vec_id div 50) * 50"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("home") === col("cluster"), 1L).otherwise(0L))
+            .as("n_home"),
+          sum(when(col("home") =!= col("cluster"), 1L).otherwise(0L))
+            .as("n_foreign"))
+        .orderBy(col("cluster"))
+    },
+    Some(s"""WITH $plantedCtes,
+      |${assignCtesOver("planted")}
+      |SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+      |       CAST(sum(CASE WHEN (vec_id // 50) * 50 = cid
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_home,
+      |       CAST(sum(CASE WHEN (vec_id // 50) * 50 <> cid
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign
+      |FROM rk WHERE rn = 1
+      |GROUP BY cid ORDER BY cluster""".stripMargin))
+
   /** P138 — the p17 HYPERPLANE-regime bucket relation under the driver
    * gate: one row per vector with its seeded-random-hyperplane sign-LSH
    * bucket at the first past-the-axis width (bits = 17 — what
@@ -3757,6 +3790,7 @@ object PipelineQueries extends QueryGroup {
     "p136_ann_cost_census" -> p136,
     "p137_planted_ivfpq_recall" -> p137,
     "p138_hyperplane_buckets" -> p138,
+    "p139_planted_assignment_audit" -> p139,
     "p133_pq_train" -> p133,
     "p119_sq8_quantize" -> p119,
     "p120_ivf_append" -> p120,
