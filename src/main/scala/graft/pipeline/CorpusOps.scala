@@ -892,9 +892,11 @@ object CorpusOps {
       newDocs.select(col(idCol), fp.as("fp")))
     val batchRep = batchFp
       .groupBy(col("fp")).agg(min(col(idCol)).as("batch_rep"))
+    // fp-keyed relations are corpus-scale — merge-hinted (the round-15
+    // static-broadcast-misestimate class)
     batchFp
-      .join(baseRep, Seq("fp"), "left")
-      .join(batchRep, Seq("fp"))
+      .join(baseRep.hint("merge"), Seq("fp"), "left")
+      .join(batchRep.hint("merge"), Seq("fp"))
       .select(col(idCol),
         when(col("base_rep").isNotNull, lit("dup_of_base"))
           .when(col("batch_rep") < col(idCol), lit("dup_in_batch"))
@@ -1086,12 +1088,15 @@ object CorpusOps {
       .groupBy(col("fp")).agg(min(col(idCol)).as("rep"))
     val contaminated = decontaminate(corpus, benchmark, idCol, textCol, ngram)
       .select(col(idCol))
+    // every joined side is corpus-scale (doc- or fingerprint-keyed) —
+    // merge hints so a static size misestimate can never broadcast one
+    // (the round-15 100× static-plan census caught all three here)
     corpus
       .select(col(idCol), col(sourceCol).as("source"), fp.as("fp"))
-      .join(quality, Seq(idCol))
-      .join(keeper, Seq("fp"))
-      .join(contaminated.withColumn("contaminated", lit(true)),
-        Seq(idCol), "left")
+      .join(quality.hint("merge"), Seq(idCol))
+      .join(keeper.hint("merge"), Seq("fp"))
+      .join(contaminated.withColumn("contaminated", lit(true))
+        .hint("merge"), Seq(idCol), "left")
       .withColumn("survives",
         col("keep") && col(idCol) === col("rep") &&
           coalesce(!col("contaminated"), lit(true)))
@@ -1170,8 +1175,10 @@ object CorpusOps {
    *
    * Shape: explode to (doc, char) — alphabet ≤ 37 symbols after
    * normalization — one (doc, char) count aggregate with map-side
-   * partials, one join-back on the doc id for totals. All float work is
-   * p·ln p over exact rational p, rounded 4 dp.
+   * partials, one join-back on the doc id for totals. Each element's
+   * p·ln p (a deterministic scalar over exact rationals) e6-quantizes
+   * BEFORE the sum; the per-doc total is an exact integer sum and the
+   * 4 dp entropy one exact-integer rounding + ONE final IEEE division.
    */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = df
@@ -1183,13 +1190,23 @@ object CorpusOps {
     val totals = counts.groupBy(col(idCol))
       .agg(sum(col("c")).as("n_chars"),
         count(lit(1)).as("distinct_chars"))
+    // per-element e6 quantization BEFORE the sum (floor(x·10⁶ + 0.5) on
+    // a deterministic scalar), INTEGER sum, exact-integer final rounding
+    // — round() of a float SUM is order-dependent across partial
+    // aggregation (the p54/p79 gate-failure class this convention
+    // retired); the ≤ 5e-7·|alphabet| quantization shift is far under
+    // the 4 dp display granularity and identical in both engines
     counts.join(totals, Seq(idCol))
-      .withColumn("plogp",
-        (col("c") / col("n_chars")) * log(col("c") / col("n_chars")))
+      .withColumn("plogp_e6",
+        floor((col("c") / col("n_chars")) * log(col("c") / col("n_chars"))
+          * 1000000.0 + 0.5).cast("long"))
       .groupBy(col(idCol))
       .agg(first(col("n_chars")).as("n_chars"),
         first(col("distinct_chars")).as("distinct_chars"),
-        round(-sum(col("plogp")), 4).as("entropy"))
+        sum(col("plogp_e6")).as("_e6"))
+      .withColumn("entropy",
+        expr("(-_e6 + 50) div 100").cast("double") / 10000)
+      .drop("_e6")
   }
 
   // ------------------------------------------------- n-gram overlap report
@@ -1267,9 +1284,11 @@ object CorpusOps {
     val tw = tws.select(explode(col("ws")).as("w"))
     val c1 = tw.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
     val vocab = tw.agg(countDistinct(col("w")).as("vsz"))
+    // bigram/unigram count tables are vocabulary-scale (corpus-bound) —
+    // merge-hinted like the other round-15 census hits
     val scored = bigrams(tokenized(corpus, Seq(col(idCol))), Seq(col(idCol)))
-      .join(cb, Seq("g"), "left")
-      .join(c1, Seq("w1"), "left")
+      .join(cb.hint("merge"), Seq("g"), "left")
+      .join(c1.hint("merge"), Seq("w1"), "left")
       .crossJoin(vocab)
       .withColumn("lp", round(log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
         (coalesce(col("c1"), lit(0L)) + col("vsz"))) * 10000.0, 0)
@@ -1605,7 +1624,7 @@ object CorpusOps {
       TextOps.tokenCount(coalesce(col(textCol), lit("")))
         .cast("long").as("n_tok"))
     val reps = fp.groupBy(col("fp")).agg(min(col("id")).as("rep"))
-    fp.join(reps, Seq("fp"))
+    fp.join(reps.hint("merge"), Seq("fp"))
       .withColumn("kept", col("id") === col("rep"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs_total"),

@@ -444,7 +444,9 @@ object DedupOps {
       .select(col("a.doc").as("doc_id"), col("b.doc").as("partner"),
         col("b.is_base").as("is_base"))
       .distinct()
-    val candSelf = bandedNew.as("a").join(bandedNew.as("b"),
+    // merge: the one-shot caller's "batch" is corpus-fraction, so the
+    // self-join sides are not broadcast-safe either
+    val candSelf = bandedNew.as("a").join(bandedNew.hint("merge").as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("b.doc") < col("a.doc"))
@@ -459,7 +461,7 @@ object DedupOps {
     // persisted-index deployment removes the per-batch index exchange
     val confirmed = candIdx.unionByName(candSelf)
       .join(setsNew.select(col("doc").as("doc_id"), col("sh").as("sh_a"),
-        col("set_size").as("size_a")), "doc_id")
+        col("set_size").as("size_a")).hint("merge"), "doc_id")
       .join(partnerSets.select(col("doc").as("partner"),
         col("sh").as("sh_b"), col("set_size").as("size_b"))
         .hint("merge"), "partner")
@@ -612,7 +614,10 @@ object DedupOps {
     val valTh = Range * (trainPct + valPct) / 100
     val labels = dupLabels(pairs)
     docs.select(col(idCol).cast("long").as(idCol))
-      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      // corpus-scale label relation — merge-hinted (the round-15
+      // static-broadcast-misestimate class)
+      .join(labels.withColumnRenamed("node", idCol).hint("merge"),
+        Seq(idCol), "left")
       .withColumn("rep", coalesce(col("label"), col(idCol)))
       .withColumn("u", conv(substring(md5(concat(col("rep").cast("string"),
         lit(":split")).cast("binary")), 1, 8), 16, 10).cast("long"))

@@ -994,7 +994,9 @@ object CorpusQueries extends QueryGroup {
   private val p55 = QueryDef(
     // Shannon entropy of each doc's normalized character distribution —
     // the sub-token gibberish/boilerplate signal beside p29's word
-    // rules. p·ln p over exact rationals, rounded 4 dp.
+    // rules. Per-element p·ln p e6-quantized before the INTEGER sum
+    // (a rounded float sum is partial-aggregation-order-dependent —
+    // the p54/p79 class), 4 dp via exact-integer rounding.
     (s, d) => CorpusOps.charEntropy(docs(s, d), "doc_id", "text")
       .orderBy(col("doc_id")),
     Some(s"""WITH ch AS (
@@ -1008,8 +1010,9 @@ object CorpusQueries extends QueryGroup {
       |        FROM cnt GROUP BY 1)
       |SELECT cnt.doc_id, any_value(n_chars) AS n_chars,
       |       any_value(distinct_chars) AS distinct_chars,
-      |       round(-sum((n::DOUBLE / n_chars) * ln(n::DOUBLE / n_chars)), 4)
-      |         AS entropy
+      |       ((-CAST(sum(CAST(floor((n::DOUBLE / n_chars)
+      |           * ln(n::DOUBLE / n_chars) * 1000000.0 + 0.5) AS BIGINT))
+      |         AS BIGINT) + 50) // 100)::DOUBLE / 10000 AS entropy
       |FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
       |GROUP BY cnt.doc_id ORDER BY cnt.doc_id""".stripMargin))
 
