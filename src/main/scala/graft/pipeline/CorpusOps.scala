@@ -805,7 +805,7 @@ object CorpusOps {
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
     val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount).select(col("gram"))
-    val covered = grams.join(freq, Seq("gram"))
+    val covered = grams.join(freq.hint("merge"), Seq("gram"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("cpos"))
       .distinct()
@@ -820,7 +820,7 @@ object CorpusOps {
           transform(array_sort(collect_list(struct(col("pos"), col("word")))),
             s => s.getField("word"))).cast("binary")).as("kept_md5"))
     toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
-      .join(keptAgg, Seq("doc_id"), "left")
+      .join(keptAgg.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         // a fully-scrubbed doc digests the empty string (md5("") constant)
@@ -1050,7 +1050,9 @@ object CorpusOps {
         explode(TextOps.wordNGrams(col(textCol), n)).as("gram"))
     val first = grams.groupBy(col("gram"))
       .agg(min(col(idCol)).as("first_doc"))
-    grams.join(first, Seq("gram"))
+    // vocabulary-scale first-occurrence table — merge-hinted (the
+    // round-15 static-broadcast-misestimate class)
+    grams.join(first.hint("merge"), Seq("gram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"), // grams are distinct per doc
         sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
@@ -1196,7 +1198,7 @@ object CorpusOps {
     // aggregation (the p54/p79 gate-failure class this convention
     // retired); the ≤ 5e-7·|alphabet| quantization shift is far under
     // the 4 dp display granularity and identical in both engines
-    counts.join(totals, Seq(idCol))
+    counts.join(totals.hint("merge"), Seq(idCol))
       .withColumn("plogp_e6",
         floor((col("c") / col("n_chars")) * log(col("c") / col("n_chars"))
           * 1000000.0 + 0.5).cast("long"))
@@ -1232,7 +1234,7 @@ object CorpusOps {
     val trainGrams = grams.where(col("is_train"))
       .select(col("gram")).distinct().withColumn("seen", lit(true))
     grams.where(!col("is_train"))
-      .join(trainGrams, Seq("gram"), "left")
+      .join(trainGrams.hint("merge"), Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("seen"), 1L).otherwise(0L)).as("n_overlap"))
@@ -1678,8 +1680,8 @@ object CorpusOps {
     val isl = covered.withColumn("grp", col("pos") -
       row_number().over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
     val spans = isl
-      .join(posRel.select(col(idCol), col("pos"), col("word")),
-        Seq(idCol, "pos"))
+      .join(posRel.select(col(idCol), col("pos"), col("word"))
+        .hint("merge"), Seq(idCol, "pos"))
       .groupBy(col(idCol), col("grp"))
       .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"),
         count(lit(1)).as("n_tokens"),
@@ -2043,7 +2045,7 @@ object CorpusOps {
         explode(TextOps.wordNGrams(col(textCol), n)).as("gram"))
       .select(col("gram"), col("src")).distinct()
     val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("sz"))
-    grams.as("a").join(grams.as("b"),
+    grams.as("a").join(grams.hint("merge").as("b"),
         col("a.gram") === col("b.gram") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
       .agg(count(lit(1)).as("shared_grams"))

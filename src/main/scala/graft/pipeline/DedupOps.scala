@@ -57,14 +57,17 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val shRows = shingleRows(docs, idCol, textCol, n)
-    val pairs = shRows.as("a").join(shRows.as("b"),
+    // corpus-scale sides merge-hinted (the round-15 census class)
+    val pairs = shRows.as("a").join(shRows.hint("merge").as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = shRows.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
     pairs
-      .join(sizes.select(col("doc").as("doc_a"), col("set_size").as("size_a")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("set_size").as("size_b")), "doc_b")
+      .join(sizes.select(col("doc").as("doc_a"), col("set_size").as("size_a"))
+        .hint("merge"), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("set_size").as("size_b"))
+        .hint("merge"), "doc_b")
       .withColumn("jaccard",
         q4(col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter"))))
@@ -91,14 +94,17 @@ object DedupOps {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val shRows = shingleRows(docs, idCol, textCol, n)
-    val pairs = shRows.as("a").join(shRows.as("b"),
+    // corpus-scale sides merge-hinted (the round-15 census class)
+    val pairs = shRows.as("a").join(shRows.hint("merge").as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = shRows.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
     pairs
-      .join(sizes.select(col("doc").as("doc_a"), col("set_size").as("size_a")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("set_size").as("size_b")), "doc_b")
+      .join(sizes.select(col("doc").as("doc_a"), col("set_size").as("size_a"))
+        .hint("merge"), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("set_size").as("size_b"))
+        .hint("merge"), "doc_b")
       .withColumn("cont_a_in_b",
         q4(col("inter").cast("double") / col("size_a")))
       .withColumn("cont_b_in_a",
@@ -721,7 +727,8 @@ object DedupOps {
     blk.select(col("bi"), col("bv"),
         col("doc").as("doc_a"), col("simhash").as("sim_a"))
       .join(blk.select(col("bi"), col("bv"),
-        col("doc").as("doc_b"), col("simhash").as("sim_b")), Seq("bi", "bv"))
+        col("doc").as("doc_b"), col("simhash").as("sim_b"))
+        .hint("merge"), Seq("bi", "bv"))
       .where(col("doc_a") < col("doc_b"))
       // distance check BEFORE the dedup shuffle (a pair can agree on
       // several blocks): only true near-dup pairs reach the distinct, so

@@ -353,18 +353,21 @@ object Similarity {
       minFrac: Double): DataFrame = {
     val g = knnGraph(vecs, centroids, k)
     val lbl = vecs.select(col("vec_id"), col("label"))
+    // corpus-scale label relation — merge-hinted (the round-15
+    // static-broadcast-misestimate class)
     val perLabel = g
       .join(lbl.select(col("vec_id").as("neighbor_id"),
-        col("label").as("nbr_label")), Seq("neighbor_id"))
+        col("label").as("nbr_label")).hint("merge"), Seq("neighbor_id"))
       .groupBy(col("vec_id"), col("nbr_label"))
       .agg(count(lit(1)).as("n"))
     val voted = perLabel.groupBy(col("vec_id"))
       .agg(sum(col("n")).as("k_eff"),
         max_by(col("nbr_label"),
           struct(col("n"), -col("nbr_label"))).as("majority_label"))
-    lbl.join(voted, Seq("vec_id"))
+    lbl.join(voted.hint("merge"), Seq("vec_id"))
       .join(perLabel.withColumnRenamed("nbr_label", "label")
-        .withColumnRenamed("n", "same_n"), Seq("vec_id", "label"), "left")
+        .withColumnRenamed("n", "same_n").hint("merge"),
+        Seq("vec_id", "label"), "left")
       .select(col("vec_id"), col("label"), col("k_eff"),
         coalesce(col("same_n"), lit(0L)).as("same_n"),
         col("majority_label"))
@@ -404,7 +407,8 @@ object Similarity {
     val asg = graft.CacheScope.track(
       ivfAssign(vecs, centroids)
         .select(col("vec_id"), col("cluster"), col("codes"), col("nsq"))
-        .join(vecs.select(col("vec_id"), col("label")), Seq("vec_id")))
+        .join(vecs.select(col("vec_id"), col("label")).hint("merge"),
+          Seq("vec_id")))
     val top = asg.as("a")
       .join(asg.as("b"),
         col("a.cluster") === col("b.cluster") &&
@@ -426,7 +430,7 @@ object Similarity {
         col("pair.dst").as("neg_id"),
         ((-col("pair.dist")).cast("double") / 1000).as("sim"))
     top.join(vecs.select(col("vec_id").as("neg_id"),
-        col("label").as("neg_label")), Seq("neg_id"))
+        col("label").as("neg_label")).hint("merge"), Seq("neg_id"))
       .select(col("vec_id"), col("label"), col("rank"), col("neg_id"),
         col("neg_label"), col("sim"))
   }
@@ -741,7 +745,7 @@ object Similarity {
         withQ3(corpus.withColumn("bucket", signBucket(col("embedding"), bits)))
     val b = graft.CacheScope.track(
       withBucket.select(col("vec_id"), col("bucket"), col("codes"), col("nsq")))
-    b.as("a").join(b.as("b"),
+    b.as("a").join(b.hint("merge").as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim_e3", simE3(
         graft.functions.GraftFunctions.dotLong(col("a.codes"), col("b.codes")),
@@ -1311,7 +1315,7 @@ object Similarity {
           round(col("xv").cast("double") * 1000, 0).cast("long").as("x")))
     val n = vecs.agg(count(lit(1)).as("n"))
     val sums = x.groupBy(col("i")).agg(sum(col("x")).as("s"))
-    x.as("a").join(x.as("b"),
+    x.as("a").join(x.hint("merge").as("b"),
         col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
       .agg(sum(col("a.x") * col("b.x")).as("sij"))
@@ -1398,13 +1402,16 @@ object Similarity {
   def marginMining(vecs: DataFrame, centroids: DataFrame,
       srcLabel: Int, tgtLabel: Int, k: Int = 3): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
+    // corpus-scale label relation and cell self-join sides merge-hinted
+    // (the round-15 static-broadcast-misestimate class)
     val asg = graft.CacheScope.track(
       ivfAssign(vecs, centroids)
         .select(col("vec_id"), col("cluster"), col("codes"), col("nsq"))
-        .join(vecs.select(col("vec_id"), col("label")), Seq("vec_id")))
+        .join(vecs.select(col("vec_id"), col("label")).hint("merge"),
+          Seq("vec_id")))
     val pairs = graft.CacheScope.track(
       asg.as("a").filter(col("a.label") === srcLabel)
-        .join(asg.as("b").filter(col("b.label") === tgtLabel),
+        .join(asg.hint("merge").as("b").filter(col("b.label") === tgtLabel),
           col("a.cluster") === col("b.cluster"))
         .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("tgt_id"),
           simE3(graft.functions.GraftFunctions.dotLong(

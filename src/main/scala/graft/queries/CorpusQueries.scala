@@ -563,7 +563,8 @@ object CorpusQueries extends QueryGroup {
     // per-doc digests stay inside the aggregation.
     (s, d) => graft.pipeline.CorpusOps
       .repeatedSpanScrub(docs(s, d), "doc_id", "text", n = 5, minCount = 3)
-      .join(docs(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .join(docs(s, d).select(col("doc_id"), col("source"))
+        .hint("merge"), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_words"),
@@ -892,7 +893,8 @@ object CorpusQueries extends QueryGroup {
       s"${s.sparkContext.applicationId}:lm-scored:$d") {
       CorpusOps.lmPerplexity(docs(s, d),
           docs(s, d).where(col("lang") === "en"), "doc_id", "text")
-        .join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .join(docs(s, d).select(col("doc_id"), col("lang"))
+          .hint("merge"), Seq("doc_id"))
     }
 
   /** Populate the run-scoped shared derivations of this group (see
@@ -1280,7 +1282,7 @@ object CorpusQueries extends QueryGroup {
       val tok = bpeTokens(s, d)
         .select(col("doc_id"), col("n_words"), col("n_tokens"))
       docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
-        .join(tok, Seq("doc_id"))
+        .join(tok.hint("merge"), Seq("doc_id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
