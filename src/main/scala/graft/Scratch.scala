@@ -25,6 +25,11 @@ object Scratch {
   def freshDirFor(tag: String, sfDir: String): String =
     freshDir(tag + "-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
 
+  /** Fixture-dir-scoped [[clearDir]] — same concurrency rationale as
+   * [[freshDirFor]]. */
+  def clearDirFor(tag: String, sfDir: String): String =
+    clearDir(tag + "-" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_"))
+
   /** Wipe the tag's scratch dir WITHOUT recreating it (for callers whose
    * writers create the directory themselves, e.g. saveAsTable). */
   def clearDir(tag: String): String = {

@@ -88,7 +88,7 @@ object SurfaceQueries extends QueryGroup {
     // layout; zero-shuffle property asserted in BucketedTopicSpec). The
     // oracle only checks the answer — same as the direct formulation.
     (s, d) => {
-      val dir = graft.Scratch.clearDir("s16")
+      val dir = graft.Scratch.clearDirFor("s16", d)
       val e = env(s, d).select(col("key"), col("msg_offset"), col("value"))
       GraftIO.writeBucketedTopic(e, "graft_s16_log", s"$dir/log",
         Seq("key"), 8, sortCols = Seq("key"))
