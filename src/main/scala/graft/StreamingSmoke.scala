@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.Exact
 import graft.model.{EventLog, MessageEnvelope}
 import graft.operators.{Compaction, Dedup, TimeWindows}
 import graft.streaming.{DocIngest, StreamingOps, TopicStream, UrlIngest}
@@ -105,7 +106,7 @@ object StreamingSmoke {
       .select("window_start_ms", "topic", "n", "sum_v").collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     val batchWin = TimeWindows.tumbling(batchDf, H6_MS,
-      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")), Seq(col("topic")))
+      Seq(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v")), Seq(col("topic")))
       .select("window_start_ms", "topic", "n", "sum_v").collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     val winOk = streamWin.keySet == batchWin.keySet && streamWin.forall {
@@ -150,7 +151,7 @@ object StreamingSmoke {
       .select("window_start_ms", "n", "sum_v").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val batchProc = TimeWindows.processingTumbling(batchDf, H6_MS,
-      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")))
+      Seq(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v")))
       .select("window_start_ms", "n", "sum_v").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val procOk = streamProc.keySet == batchProc.keySet && streamProc.forall {

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * The house convention for deterministic money/measure aggregation —
+ * the round-16 repo-wide retirement of the `round(sum(FLOAT), k)` class.
+ *
+ * `round(sum(x), k)` over a float term is order-dependent across partial
+ * aggregation: float addition is not associative, so Spark's
+ * partial/final split and DuckDB's single-pass sum can land on opposite
+ * sides of a k-dp rounding boundary (the round-6 p54/p79 failure class).
+ * Every oracle-compared money/measure sum therefore quantizes each TERM
+ * to an exact e-k integer per row — `floor(x·10^k + 0.5)`, lossless when
+ * the data is exactly k-dp (the fixture's money columns are; measured in
+ * STATUS.md) — sums the INTEGERS (exact and associative in any order),
+ * and applies ONE final correctly-rounded IEEE division. Both engines run
+ * the identical pipeline, so the result is a function of the multiset of
+ * inputs, never of the aggregation tree shape.
+ *
+ * The ratio/avg helpers carry the same discipline to rounded integer
+ * ratios, in the overflow-safe split form: round-half-up of num·10^k/den
+ * decomposes as quotient·10^k + remainder-rounding, keeping every
+ * intermediate ≤ ~2·den·10^k where the naive `(2·num·10^k + den) div
+ * (2·den)` overflows Long once num exceeds ~4.6·10^14 at k=4 — real
+ * corpus-scale sums (token counts at 100 TB) pass that line.
+ * Preconditions: num ≥ 0, den > 0 (all call sites are counts/sums of
+ * non-negative measures).
+ */
+object Exact {
+  private def p10d(k: Int): Double = math.pow(10, k)
+
+  /** Per-row e-k integer code: floor(x·10^k + 0.5) as LONG
+   * (round-half-up; identical in Spark and DuckDB for the same double). */
+  def eRow(c: Column, k: Int): Column =
+    floor(c * lit(p10d(k)) + lit(0.5)).cast("long")
+
+  /** Deterministic replacement for `round(sum(x), k)`: integer sum of
+   * per-row e-k codes, one final IEEE division. */
+  def sumE(c: Column, k: Int): Column =
+    sum(eRow(c, k)).cast("double") / lit(p10d(k))
+
+  /** SQL twin of [[eRow]] — shared Spark-SQL/DuckDB dialect. */
+  def sqlERow(x: String, k: Int): String =
+    s"CAST(floor(($x) * 1e$k + 0.5) AS BIGINT)"
+
+  /** SQL twin of [[sumE]] — shared Spark-SQL/DuckDB dialect. */
+  def sqlSumE(x: String, k: Int): String =
+    s"CAST(sum(${sqlERow(x, k)}) AS DOUBLE) / 1e$k"
+
+  /** Overflow-safe round-half-up e-k code of num/den (integer SQL
+   * expressions, num ≥ 0, den > 0) — Spark dialect (`div`). */
+  def sparkRatioE(num: String, den: String, k: Int): String = {
+    val m = p10d(k).toLong
+    s"((($num) div ($den)) * $m + " +
+      s"(2 * (($num) % ($den)) * $m + ($den)) div (2 * ($den)))"
+  }
+
+  /** DuckDB twin of [[sparkRatioE]] (`//`). */
+  def duckRatioE(num: String, den: String, k: Int): String = {
+    val m = p10d(k).toLong
+    s"((($num) // ($den)) * $m + " +
+      s"(2 * (($num) % ($den)) * $m + ($den)) // (2 * ($den)))"
+  }
+
+  /** [[sparkRatioE]] as a double-valued Column: the exact e-k rounding of
+   * the integer ratio, one final IEEE division. */
+  def ratioCol(num: String, den: String, k: Int): Column =
+    expr(sparkRatioE(num, den, k)).cast("double") / lit(p10d(k))
+
+  /** DuckDB twin of [[ratioCol]]. */
+  def duckRatio(num: String, den: String, k: Int): String =
+    s"CAST(${duckRatioE(num, den, k)} AS DOUBLE) / 1e$k"
+}

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.functions.Exact
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1057,8 +1058,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_grams"), // grams are distinct per doc
         sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
           .as("n_novel"))
-      .withColumn("novelty_frac",
-        round(col("n_novel") / col("n_grams"), 4))
+      .withColumn("novelty_frac", Exact.ratioCol("n_novel", "n_grams", 4))
   }
 
   // ------------------------------------------------- end-to-end curation
@@ -1238,8 +1238,7 @@ object CorpusOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("seen"), 1L).otherwise(0L)).as("n_overlap"))
-      .withColumn("overlap_frac",
-        round(col("n_overlap") / col("n_grams"), 4))
+      .withColumn("overlap_frac", Exact.ratioCol("n_overlap", "n_grams", 4))
   }
 
   // ------------------------------------------------ LM perplexity filter

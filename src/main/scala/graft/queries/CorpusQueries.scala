@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Exact
 import graft.pipeline.{CorpusOps, Retrieval}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -302,14 +303,17 @@ object CorpusQueries extends QueryGroup {
       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
       |  FROM w WHERE len(ws) >= 3),
       |inv AS (SELECT doc_id, unnest(gs) AS gram FROM g),
-      |fo AS (SELECT gram, min(doc_id) AS first_doc FROM inv GROUP BY 1)
-      |SELECT i.doc_id, count(*) AS n_grams,
-      |       CAST(sum(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
-      |         AS BIGINT) AS n_novel,
-      |       round(sum(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
-      |         ::DOUBLE / count(*), 4) AS novelty_frac
-      |FROM inv i JOIN fo f USING (gram)
-      |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin))
+      |fo AS (SELECT gram, min(doc_id) AS first_doc FROM inv GROUP BY 1),
+      |agg AS (
+      |  SELECT i.doc_id, count(*) AS n_grams,
+      |         CAST(sum(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_novel
+      |  FROM inv i JOIN fo f USING (gram)
+      |  GROUP BY i.doc_id)
+      |SELECT doc_id, n_grams, n_novel,
+      |       ${graft.functions.Exact.duckRatio("n_novel", "n_grams", 4)}
+      |         AS novelty_frac
+      |FROM agg ORDER BY doc_id""".stripMargin))
 
   // -------------------------------------- p32 end-to-end curation stage
 
@@ -981,15 +985,18 @@ object CorpusQueries extends QueryGroup {
       |        unnest(list_distinct(list_transform(range(1, len(ws) - 1),
       |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
       |      FROM w WHERE len(ws) >= 3),
-      |tg AS (SELECT DISTINCT gram, true AS seen FROM g WHERE doc_id % 10 < 8)
-      |SELECT g.doc_id, count(*) AS n_grams,
-      |       CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT)
-      |         AS n_overlap,
-      |       round(sum(CASE WHEN seen THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+      |tg AS (SELECT DISTINCT gram, true AS seen FROM g WHERE doc_id % 10 < 8),
+      |agg AS (
+      |  SELECT g.doc_id, count(*) AS n_grams,
+      |         CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_overlap
+      |  FROM g LEFT JOIN tg USING (gram)
+      |  WHERE g.doc_id % 10 >= 8
+      |  GROUP BY 1)
+      |SELECT doc_id, n_grams, n_overlap,
+      |       ${graft.functions.Exact.duckRatio("n_overlap", "n_grams", 4)}
       |         AS overlap_frac
-      |FROM g LEFT JOIN tg USING (gram)
-      |WHERE g.doc_id % 10 >= 8
-      |GROUP BY 1 ORDER BY 1""".stripMargin))
+      |FROM agg ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------ p55 character entropy
 
@@ -1290,10 +1297,10 @@ object CorpusQueries extends QueryGroup {
           sum(col("n_tokens")).as("sum_tokens"))
         .select(col("source"), col("n_docs"), col("sum_chars"),
           col("sum_words"), col("sum_tokens"),
-          round(col("sum_chars") / col("sum_tokens").cast("double"), 4)
-            .as("chars_per_token"),
-          round(col("sum_tokens") / col("sum_words").cast("double"), 4)
-            .as("tokens_per_word"))
+          // corpus-scale sums: the overflow-safe split rounding (the
+          // naive 2·num·10⁴ form overflows past num ≈ 4.6e14 tokens)
+          Exact.ratioCol("sum_chars", "sum_tokens", 4).as("chars_per_token"),
+          Exact.ratioCol("sum_tokens", "sum_words", 4).as("tokens_per_word"))
         .orderBy(col("source"))
     },
     Some(s"""WITH exp(tag, doc_id, n_tokens, tokens_md5) AS (VALUES
@@ -1307,16 +1314,19 @@ object CorpusQueries extends QueryGroup {
       |  FROM documents),
       |j AS (SELECT b.source, b.n_chars, b.n_words, e.n_tokens
       |      FROM base b JOIN exp e
-      |        ON e.doc_id = b.doc_id AND e.tag = (SELECT tag FROM sel))
-      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-      |       CAST(sum(n_words) AS BIGINT) AS sum_words,
-      |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-      |       round(sum(n_chars) / CAST(sum(n_tokens) AS DOUBLE), 4)
+      |        ON e.doc_id = b.doc_id AND e.tag = (SELECT tag FROM sel)),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |         CAST(sum(n_words) AS BIGINT) AS sum_words,
+      |         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |  FROM j GROUP BY source)
+      |SELECT source, n_docs, sum_chars, sum_words, sum_tokens,
+      |       ${graft.functions.Exact.duckRatio("sum_chars", "sum_tokens", 4)}
       |         AS chars_per_token,
-      |       round(sum(n_tokens) / CAST(sum(n_words) AS DOUBLE), 4)
+      |       ${graft.functions.Exact.duckRatio("sum_tokens", "sum_words", 4)}
       |         AS tokens_per_word
-      |FROM j GROUP BY source ORDER BY source""".stripMargin))
+      |FROM agg ORDER BY source""".stripMargin))
 
   // ------------------------------------------ p72 KMV set operations
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{FunctionContext, PFunction, PFunctions}
+import graft.functions.{Exact, FunctionContext, PFunction, PFunctions}
 import graft.model.{EventLog, MessageEnvelope}
 import graft.operators.TimeWindows
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -31,11 +31,11 @@ object FunctionQueries extends QueryGroup {
       PFunctions.transform(env(s, d).as[MessageEnvelope], DoubleValueFn)
         .toDF("key", "doubled")
         .groupBy(col("key"))
-        .agg(count(lit(1)).as("n"), round(sum(col("doubled")), 2).as("sum_doubled"))
+        .agg(count(lit(1)).as("n"), Exact.sumE(col("doubled"), 2).as("sum_doubled"))
         .orderBy(col("key"))
     },
     Some(s"""$E
-      |SELECT key, count(*) AS n, round(sum(value * 2), 2) AS sum_doubled
+      |SELECT key, count(*) AS n, ${Exact.sqlSumE("value * 2", 2)} AS sum_doubled
       |FROM env WHERE marker_type IS NULL AND NOT tombstone
       |GROUP BY key ORDER BY key""".stripMargin))
 
@@ -77,11 +77,11 @@ object FunctionQueries extends QueryGroup {
         PFunctions.compose(ScaleFn, ThresholdFn))
         .toDF("topic", "scaled")
         .groupBy(col("topic"))
-        .agg(count(lit(1)).as("n"), round(sum(col("scaled")), 2).as("sum_scaled"))
+        .agg(count(lit(1)).as("n"), Exact.sumE(col("scaled"), 2).as("sum_scaled"))
         .orderBy(col("topic"))
     },
     Some(s"""$E
-      |SELECT topic, count(*) AS n, round(sum(value * 10), 2) AS sum_scaled
+      |SELECT topic, count(*) AS n, ${Exact.sqlSumE("value * 10", 2)} AS sum_scaled
       |FROM env WHERE marker_type IS NULL AND value * 10 >= 5
       |GROUP BY topic ORDER BY topic""".stripMargin))
 
@@ -100,7 +100,7 @@ object FunctionQueries extends QueryGroup {
           .agg(count(lit(1)).as("n_sink"),
             countDistinct(col("topic"), col("partition_id"), col("msg_offset"))
               .as("n_msgs"),
-            round(sum(col("value") * 2), 2).as("sum_out"))
+            Exact.sumE(col("value") * 2, 2).as("sum_out"))
           .select(lit(g).as("guarantee"), col("n_sink"), col("n_msgs"), col("sum_out"))
       }
       stats.reduce(_ unionAll _).orderBy(col("guarantee"))
@@ -113,13 +113,13 @@ object FunctionQueries extends QueryGroup {
       |SELECT * FROM (
       |  SELECT 'ATLEAST_ONCE' AS guarantee, count(*) AS n_sink,
       |         count(DISTINCT msg_offset) AS n_msgs,
-      |         round(sum(value * 2), 2) AS sum_out FROM alo
+      |         ${Exact.sqlSumE("value * 2", 2)} AS sum_out FROM alo
       |  UNION ALL
       |  SELECT 'ATMOST_ONCE', count(*), count(DISTINCT msg_offset),
-      |         round(sum(value * 2), 2) FROM amo
+      |         ${Exact.sqlSumE("value * 2", 2)} FROM amo
       |  UNION ALL
       |  SELECT 'EFFECTIVELY_ONCE', count(*), count(DISTINCT msg_offset),
-      |         round(sum(value * 2), 2) FROM base)
+      |         ${Exact.sqlSumE("value * 2", 2)} FROM base)
       |ORDER BY guarantee""".stripMargin))
 
   private val u6 = QueryDef(
@@ -138,7 +138,7 @@ object FunctionQueries extends QueryGroup {
         .groupBy(col("key"))
         .agg(count(lit(1)).as("n"),
           sum(when(!col("monotone"), 1L).otherwise(0L)).as("violations"),
-          round(sum(col("obs_seq") * col("value")), 2).as("order_checksum"))
+          Exact.sumE(col("obs_seq") * col("value"), 2).as("order_checksum"))
         .orderBy(col("key"))
     },
     Some(s"""$E, r AS (
@@ -146,7 +146,7 @@ object FunctionQueries extends QueryGroup {
       |         row_number() OVER (PARTITION BY key ORDER BY msg_offset) AS seq
       |  FROM env WHERE CAST(key AS BIGINT) < 15)
       |SELECT key, count(*) AS n, CAST(0 AS BIGINT) AS violations,
-      |       round(sum(seq * value), 2) AS order_checksum
+      |       ${Exact.sqlSumE("seq * value", 2)} AS order_checksum
       |FROM r GROUP BY key ORDER BY key""".stripMargin))
 
   private val a6 = QueryDef(
@@ -184,7 +184,7 @@ object FunctionQueries extends QueryGroup {
       val wm = e.agg((max(col("event_ms")) - 60000L).as("_wm"))
       val eligible = e.crossJoin(wm).filter(col("event_ms") <= col("_wm"))
       TimeWindows.countTumblingPerKey(eligible, 5,
-        Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")))
+        Seq(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v")))
         .filter(col("n") === 5)
         .orderBy(col("key"), col("window_id"))
     },
@@ -194,7 +194,7 @@ object FunctionQueries extends QueryGroup {
       |  SELECT key, value,
       |         (row_number() OVER (PARTITION BY key ORDER BY msg_offset) - 1) // 5 AS window_id
       |  FROM el)
-      |SELECT key, window_id, count(*) AS n, round(sum(value), 2) AS sum_v
+      |SELECT key, window_id, count(*) AS n, ${Exact.sqlSumE("value", 2)} AS sum_v
       |FROM win GROUP BY key, window_id HAVING count(*) = 5
       |ORDER BY key, window_id""".stripMargin))
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.Murmur3x86
+import graft.functions.{Exact, Murmur3x86}
 import graft.model.{EventLog, MessageEnvelope}
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1291,25 +1291,25 @@ object LogQueries extends QueryGroup {
 
   private val w1 = QueryDef(
     (s, d) => TimeWindows.tumbling(env(s, d), H6_MS,
-      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")),
+      Seq(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v")),
       Seq(col("topic")))
       .select(col("window_start_ms"), col("topic"), col("n"), col("sum_v"))
       .orderBy(col("window_start_ms"), col("topic")),
     Some(s"""$E
       |SELECT (event_ms // $H6_MS) * $H6_MS AS window_start_ms, topic,
-      |       count(*) AS n, round(sum(value), 2) AS sum_v
+      |       count(*) AS n, ${Exact.sqlSumE("value", 2)} AS sum_v
       |FROM env GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   private val w2 = QueryDef(
     (s, d) => TimeWindows.sliding(env(s, d), 2 * H6_MS, H6_MS,
-      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")))
+      Seq(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v")))
       .select(col("window_start_ms"), col("n"), col("sum_v"))
       .orderBy(col("window_start_ms")),
     Some(s"""$E, sel AS (
       |  SELECT (event_ms // $H6_MS) * $H6_MS AS ws, value FROM env
       |  UNION ALL
       |  SELECT (event_ms // $H6_MS) * $H6_MS - $H6_MS AS ws, value FROM env)
-      |SELECT ws AS window_start_ms, count(*) AS n, round(sum(value), 2) AS sum_v
+      |SELECT ws AS window_start_ms, count(*) AS n, ${Exact.sqlSumE("value", 2)} AS sum_v
       |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin))
 
   private val w2b = QueryDef(
@@ -1317,39 +1317,39 @@ object LogQueries extends QueryGroup {
     // the deterministic processing clock (publish_ms — broker receipt),
     // the reference's wall-clock TimeTriggerPolicy semantics.
     (s, d) => TimeWindows.processingSliding(env(s, d), 2 * H6_MS, H6_MS,
-      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")))
+      Seq(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v")))
       .select(col("window_start_ms"), col("n"), col("sum_v"))
       .orderBy(col("window_start_ms")),
     Some(s"""$E, sel AS (
       |  SELECT (publish_ms // $H6_MS) * $H6_MS AS ws, value FROM env
       |  UNION ALL
       |  SELECT (publish_ms // $H6_MS) * $H6_MS - $H6_MS AS ws, value FROM env)
-      |SELECT ws AS window_start_ms, count(*) AS n, round(sum(value), 2) AS sum_v
+      |SELECT ws AS window_start_ms, count(*) AS n, ${Exact.sqlSumE("value", 2)} AS sum_v
       |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin))
 
   private val w3t = QueryDef(
     (s, d) => TimeWindows.countTumblingPerKey(env(s, d), 5,
-      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"),
+      Seq(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v"),
         min(col("msg_offset")).as("first_offset")))
       .orderBy(col("key"), col("window_id")),
     Some(s"""$E, win AS (
       |  SELECT key, value, msg_offset,
       |         (row_number() OVER (PARTITION BY key ORDER BY msg_offset) - 1) // 5 AS window_id
       |  FROM env)
-      |SELECT key, window_id, count(*) AS n, round(sum(value), 2) AS sum_v,
+      |SELECT key, window_id, count(*) AS n, ${Exact.sqlSumE("value", 2)} AS sum_v,
       |       min(msg_offset) AS first_offset
       |FROM win GROUP BY key, window_id ORDER BY key, window_id""".stripMargin))
 
   private val w3s = QueryDef(
     (s, d) => TimeWindows.countSliding(env(s, d), 5, 2,
-      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v")))
+      Seq(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v")))
       .orderBy(col("window_start")),
     Some(s"""$E, idx AS (
       |  SELECT value, row_number() OVER (ORDER BY msg_offset) - 1 AS i FROM env),
       |js AS (
       |  SELECT value, unnest(generate_series(greatest((i - 3) // 2, 0), i // 2)) AS j
       |  FROM idx)
-      |SELECT 2 * j AS window_start, count(*) AS n, round(sum(value), 2) AS sum_v
+      |SELECT 2 * j AS window_start, count(*) AS n, ${Exact.sqlSumE("value", 2)} AS sum_v
       |FROM js GROUP BY 1 ORDER BY 1""".stripMargin))
 
   private val w6 = QueryDef(
@@ -1392,11 +1392,11 @@ object LogQueries extends QueryGroup {
       val e = env(s, d)
       Transactions.visible(e, Transactions.fixtureStatus(e))
         .groupBy(col("topic"))
-        .agg(count(lit(1)).as("visible_count"), round(sum(col("value")), 2).as("visible_sum"))
+        .agg(count(lit(1)).as("visible_count"), Exact.sumE(col("value"), 2).as("visible_sum"))
         .orderBy(col("topic"))
     },
     Some(s"""$E
-      |SELECT topic, count(*) AS visible_count, round(sum(value), 2) AS visible_sum
+      |SELECT topic, count(*) AS visible_count, ${Exact.sqlSumE("value", 2)} AS visible_sum
       |FROM env WHERE txn_group IS NULL OR txn_group % 4 <> 0
       |GROUP BY topic ORDER BY topic""".stripMargin))
 
@@ -1450,13 +1450,14 @@ object LogQueries extends QueryGroup {
     // the partials (count→sum, sum→sum, max→max). The plan shows two
     // HashAggregate exchanges — no single reducer ever sees a whole key.
     (s, d) => Skew.saltedAggregate(env(s, d), Seq("producer_name"), 16,
-      Seq(count(lit(1)).as("_n"), sum(col("value")).as("_s"),
+      Seq(count(lit(1)).as("_n"), sum(Exact.eRow(col("value"), 2)).as("_s"),
         max(col("msg_offset")).as("_m")),
-      Seq(sum(col("_n")).as("n"), round(sum(col("_s")), 2).as("sum_v"),
+      Seq(sum(col("_n")).as("n"),
+        (sum(col("_s")).cast("double") / 100).as("sum_v"),
         max(col("_m")).as("last_offset")))
       .orderBy(col("producer_name")),
     Some(s"""$E
-      |SELECT producer_name, count(*) AS n, round(sum(value), 2) AS sum_v,
+      |SELECT producer_name, count(*) AS n, ${Exact.sqlSumE("value", 2)} AS sum_v,
       |       max(msg_offset) AS last_offset
       |FROM env GROUP BY producer_name ORDER BY producer_name""".stripMargin))
 

@@ -2461,10 +2461,11 @@ object PipelineQueries extends QueryGroup {
         sum(col("tc")).cast("long").as("sum_tokens"),
         sum(col("te")).cast("long").as("sum_token_est"))
       // the mean from the exact integer sums — e4 round-half-up integer
-      // quantization, ONE final IEEE division (never round() a float avg)
+      // quantization, ONE final IEEE division (never round() a float avg);
+      // the overflow-safe split form: the naive 2·sum·10⁴ numerator
+      // overflows Long once a source group passes ~4.6e14 tokens
       .withColumn("avg_tokens",
-        expr("(2 * sum_tokens * 10000 + n_docs) div (2 * n_docs)")
-          .cast("double") / 10000)
+        graft.functions.Exact.ratioCol("sum_tokens", "n_docs", 4))
       .orderBy(col("source")),
     Some(s"""WITH t AS (
       |  SELECT source, len($WORDS) AS tc,
@@ -2473,8 +2474,8 @@ object PipelineQueries extends QueryGroup {
       |SELECT source, count(*) AS n_docs,
       |       CAST(sum(tc) AS BIGINT) AS sum_tokens,
       |       CAST(sum(te) AS BIGINT) AS sum_token_est,
-      |       ((2 * CAST(sum(tc) AS BIGINT) * 10000 + count(*))
-      |         // (2 * count(*)))::DOUBLE / 10000 AS avg_tokens
+      |       ${graft.functions.Exact.duckRatio("CAST(sum(tc) AS BIGINT)", "count(*)", 4)}
+      |         AS avg_tokens
       |FROM t GROUP BY source ORDER BY source""".stripMargin))
 
   /** DuckDB mirror of TextOps.kgramHashes: the base-131 polynomial over
@@ -3229,7 +3230,7 @@ object PipelineQueries extends QueryGroup {
       |         list_sum(list_transform(embedding,
       |           x -> x::DOUBLE * x::DOUBLE)) AS ssq
       |  FROM embeddings),
-      |v AS (SELECT label, CAST(round(ssq * 1000) AS BIGINT) AS ssq_mil
+      |v AS (SELECT label, CAST(floor(ssq * 1000 + 0.5) AS BIGINT) AS ssq_mil
       |      FROM b WHERE n_dims = 64),
       |r AS (SELECT label, ssq_mil,
       |             row_number() OVER (PARTITION BY label ORDER BY ssq_mil)
@@ -3247,11 +3248,11 @@ object PipelineQueries extends QueryGroup {
       |       CAST(sum(CASE WHEN b.n_dims = 64 AND b.ssq = 0
       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
       |       CAST(sum(CASE WHEN b.n_dims = 64 AND
-      |           CAST(round(b.ssq * 1000) AS BIGINT) * 2
+      |           CAST(floor(b.ssq * 1000 + 0.5) AS BIGINT) * 2
       |             < q.q1_mil * 5 - q.q3_mil * 3
       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
       |       CAST(sum(CASE WHEN b.n_dims = 64 AND
-      |           CAST(round(b.ssq * 1000) AS BIGINT) * 2
+      |           CAST(floor(b.ssq * 1000 + 0.5) AS BIGINT) * 2
       |             > q.q3_mil * 5 - q.q1_mil * 3
       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
       |       max(q.q1_mil) AS q1_mil, max(q.q3_mil) AS q3_mil

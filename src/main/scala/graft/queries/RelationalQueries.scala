@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Exact
 import graft.model.EventLog
 import graft.operators.{AsofJoin, Funnel, RangeJoin, Retention, Sessionize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,29 +18,51 @@ object RelationalQueries extends QueryGroup {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** TPC-H Q1-shaped pricing summary: single scan, partial aggregation. */
+  /** TPC-H Q1-shaped pricing summary: single scan, partial aggregation.
+   * Money sums and averages run the [[Exact]] convention — per-row e-k
+   * integer codes (lossless: TPC-H money/quantity/discount are exactly
+   * 2-dp), exact integer sums, one final IEEE division; the 6-dp
+   * averages use the overflow-safe split rounding so intermediates stay
+   * corpus-scale-safe. */
   private val q1 = QueryDef(
     (s, d) => t(s, d, "lineitem")
       .filter(col("l_shipdate") <= expr("TIMESTAMP '2001-09-01 00:00:00'"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        sum(Exact.eRow(col("l_quantity"), 2)).as("_qty_e2"),
+        sum(Exact.eRow(col("l_extendedprice"), 2)).as("_price_e2"),
+        sum(Exact.eRow(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .as("_disc_e4"),
+        sum(Exact.eRow(col("l_discount"), 2)).as("_dsc_e2"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("_qty_e2").cast("double") / 100).as("sum_qty"),
+        (col("_price_e2").cast("double") / 100).as("sum_base_price"),
+        (col("_disc_e4").cast("double") / 10000).as("sum_disc_price"),
+        (expr(Exact.sparkRatioE("_qty_e2", "count_order", 4)).cast("double") / 1e6)
+          .as("avg_qty"),
+        (expr(Exact.sparkRatioE("_dsc_e2", "count_order", 4)).cast("double") / 1e6)
+          .as("avg_disc"),
+        col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus")),
-    Some("""SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 2) AS sum_qty,
-      |       round(sum(l_extendedprice), 2) AS sum_base_price,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |       round(avg(l_quantity), 6) AS avg_qty,
-      |       round(avg(l_discount), 6) AS avg_disc,
-      |       count(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
-      |GROUP BY l_returnflag, l_linestatus
+    Some(s"""WITH a AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         sum(${Exact.sqlERow("l_quantity", 2)}) AS qty_e2,
+      |         sum(${Exact.sqlERow("l_extendedprice", 2)}) AS price_e2,
+      |         sum(${Exact.sqlERow("l_extendedprice * (1 - l_discount)", 4)}) AS disc_e4,
+      |         sum(${Exact.sqlERow("l_discount", 2)}) AS dsc_e2,
+      |         count(*) AS count_order
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      |  GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(qty_e2 AS DOUBLE) / 1e2 AS sum_qty,
+      |       CAST(price_e2 AS DOUBLE) / 1e2 AS sum_base_price,
+      |       CAST(disc_e4 AS DOUBLE) / 1e4 AS sum_disc_price,
+      |       CAST(${Exact.duckRatioE("qty_e2", "count_order", 4)} AS DOUBLE) / 1e6 AS avg_qty,
+      |       CAST(${Exact.duckRatioE("dsc_e2", "count_order", 4)} AS DOUBLE) / 1e6 AS avg_disc,
+      |       count_order
+      |FROM a
       |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
   /** TPC-H Q3-shaped shipping priority: two broadcast joins into the fact. */
@@ -53,12 +76,12 @@ object RelationalQueries extends QueryGroup {
       li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Exact.sumE(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
         .select(col("o_orderkey"), unix_millis(col("o_orderdate")).as("o_orderdate_ms"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
     },
-    Some("""SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    Some(s"""SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+      |       ${Exact.sqlSumE("l_extendedprice * (1 - l_discount)", 4)} AS revenue
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
       |  AND l_orderkey = o_orderkey
@@ -92,11 +115,11 @@ object RelationalQueries extends QueryGroup {
       val cust = t(s, d, "customer")
       e.join(broadcast(cust), col("key").cast("long") + 1 === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .agg(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v"))
         .orderBy(col("c_mktsegment"))
     },
     Some(s"""${EventLog.oracleCte}
-      |SELECT c_mktsegment, count(*) AS n, round(sum(env.value), 2) AS sum_v
+      |SELECT c_mktsegment, count(*) AS n, ${Exact.sqlSumE("env.value", 2)} AS sum_v
       |FROM env JOIN customer ON CAST(env.key AS BIGINT) + 1 = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
@@ -104,9 +127,9 @@ object RelationalQueries extends QueryGroup {
   private val j3 = QueryDef(
     (s, d) => t(s, d, "orders")
       .groupBy(col("o_custkey"))
-      .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n_orders"))
+      .agg(Exact.sumE(col("o_totalprice"), 2).as("total"), count(lit(1)).as("n_orders"))
       .orderBy(col("total").desc, col("o_custkey")).limit(10),
-    Some("""SELECT o_custkey, round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+    Some(s"""SELECT o_custkey, ${Exact.sqlSumE("o_totalprice", 2)} AS total, count(*) AS n_orders
       |FROM orders GROUP BY o_custkey
       |ORDER BY total DESC, o_custkey LIMIT 10""".stripMargin))
 
@@ -203,11 +226,11 @@ object RelationalQueries extends QueryGroup {
           binWidth = win)
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_in_window"),
-          round(sum(col("l_quantity")), 1).as("qty_in_window"))
+          Exact.sumE(col("l_quantity"), 2).as("qty_in_window"))
         .orderBy(col("o_orderkey"))
     },
-    Some("""SELECT o_orderkey, count(*) AS n_in_window,
-      |       round(sum(l_quantity), 1) AS qty_in_window
+    Some(s"""SELECT o_orderkey, count(*) AS n_in_window,
+      |       ${Exact.sqlSumE("l_quantity", 2)} AS qty_in_window
       |FROM orders JOIN lineitem
       |  ON l_shipdate >= o_orderdate
       | AND l_shipdate < o_orderdate + INTERVAL 3 DAY
@@ -224,7 +247,7 @@ object RelationalQueries extends QueryGroup {
   private val q4 = QueryDef(
     (s, d) => t(s, d, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+      .agg(Exact.sumE(col("l_quantity"), 2).as("sum_qty"),
         count(lit(1)).as("n"),
         grouping_id(col("l_returnflag"), col("l_linestatus"))
           .cast("long").as("gid"))
@@ -233,10 +256,10 @@ object RelationalQueries extends QueryGroup {
         coalesce(col("l_linestatus"), lit("*")).as("linestatus"),
         col("sum_qty"), col("n"))
       .orderBy(col("gid"), col("returnflag"), col("linestatus")),
-    Some("""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+    Some(s"""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
       |       coalesce(l_returnflag, '*') AS returnflag,
       |       coalesce(l_linestatus, '*') AS linestatus,
-      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       ${Exact.sqlSumE("l_quantity", 2)} AS sum_qty,
       |       count(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)

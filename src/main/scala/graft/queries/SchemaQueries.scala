@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Exact
 import graft.model.EventLog
 import graft.schema.{AvroWire, CompatibilityStrategy, PayloadCodec, ProtoCompat, ProtoWire, SchemaCompat}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -123,6 +124,8 @@ object SchemaQueries extends QueryGroup {
   /** Version-keyed decode: schema v0 reads props.k as LONG, v1 as DOUBLE
    * (a BACKWARD-compatible widening) — the `schema_version` column picks
    * the decoder per row, SURVEY §1.3's `from_json(value, schema_for(v))`. */
+  private val m2KSql =
+    """CAST(regexp_extract(properties, '"k": ([0-9]+)', 1) AS DOUBLE)"""
   private val m2 = QueryDef(
     (s, d) => {
       val v0 = StructType(Seq(StructField("k", LongType)))
@@ -133,13 +136,13 @@ object SchemaQueries extends QueryGroup {
             from_json(col("properties"), v0).getField("k").cast("double"))
             .otherwise(from_json(col("properties"), v1).getField("k")))
         .groupBy(col("schema_version"))
-        .agg(count(lit(1)).as("n"), round(sum(col("decoded_k")), 1).as("sum_k"),
+        .agg(count(lit(1)).as("n"), Exact.sumE(col("decoded_k"), 0).as("sum_k"),
           max(col("decoded_k")).as("max_k"))
         .orderBy(col("schema_version"))
     },
     Some(s"""${EventLog.oracleCte}
       |SELECT schema_version, count(*) AS n,
-      |       round(sum(CAST(regexp_extract(properties, '"k": ([0-9]+)', 1) AS DOUBLE)), 1) AS sum_k,
+      |       ${Exact.sqlSumE(m2KSql, 0)} AS sum_k,
       |       max(CAST(regexp_extract(properties, '"k": ([0-9]+)', 1) AS DOUBLE)) AS max_k
       |FROM env GROUP BY schema_version ORDER BY schema_version""".stripMargin))
 

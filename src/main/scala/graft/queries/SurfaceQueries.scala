@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Exact
 import graft.model.{EventLog, MessageEnvelope}
 import graft.operators._
 import graft.sources.{DataGeneratorSource, GraftIO}
@@ -61,12 +62,12 @@ object SurfaceQueries extends QueryGroup {
     (s, _) => GraftIO.fromSource(s, new DataGeneratorSource(250L, 4))(
       org.apache.spark.sql.Encoders.product[graft.sources.GenRecord]).toDF()
       .agg(count(lit(1)).as("n"), countDistinct(col("name")).as("names"),
-        round(sum(col("score")), 2).as("sum_score"),
+        Exact.sumE(col("score"), 2).as("sum_score"),
         sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged")),
-    Some("""WITH g AS (SELECT unnest(range(0, 1000)) AS id)
+    Some(s"""WITH g AS (SELECT unnest(range(0, 1000)) AS id)
       |SELECT count(*) AS n,
       |       count(DISTINCT 'name-' || CAST(id % 7 AS VARCHAR)) AS names,
-      |       round(sum((id % 100) / 10.0), 2) AS sum_score,
+      |       ${Exact.sqlSumE("(id % 100) / 10.0", 2)} AS sum_score,
       |       CAST(sum(CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
       |FROM g""".stripMargin))
 
@@ -97,12 +98,12 @@ object SurfaceQueries extends QueryGroup {
         "graft_s16_heads", s"$dir/heads", Seq("key"), 8, sortCols = Seq("key"))
       s.table("graft_s16_log").join(s.table("graft_s16_heads"), "key")
         .groupBy(col("key"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"),
+        .agg(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v"),
           max(col("head_offset")).as("head_offset"))
         .orderBy(col("key"))
     },
     Some(s"""$E
-      |SELECT key, count(*) AS n, round(sum(value), 2) AS sum_v,
+      |SELECT key, count(*) AS n, ${Exact.sqlSumE("value", 2)} AS sum_v,
       |       max(msg_offset) AS head_offset
       |FROM env GROUP BY key ORDER BY key""".stripMargin))
 
@@ -117,11 +118,11 @@ object SurfaceQueries extends QueryGroup {
     (s, d) => {
       graft.GraftSql.register(s)
       env(s, d).createOrReplaceTempView("graft_topic")
-      s.sql("""
+      s.sql(s"""
         SELECT key, key_shared_bucket(key) AS bucket,
                CAST(murmur3_32_positive(key, 0) % 6 AS INT) AS route_partition,
                count(*) AS n,
-               round(sum(cosine_sim(array(value, 1.0D), array(1.0D, 1.0D))), 3) AS sum_cos,
+               ${Exact.sqlSumE("cosine_sim(array(value, 1.0D), array(1.0D, 1.0D))", 6)} AS sum_cos,
                sum(CASE WHEN zlib_inflate(zlib_deflate(value_bin)) = value_bin
                         THEN octet_length(value_bin) ELSE -1000000 END) AS payload_bytes
         FROM graft_topic
@@ -136,7 +137,7 @@ object SurfaceQueries extends QueryGroup {
       s"""$E, m(key, bucket, pt) AS (SELECT * FROM (VALUES $values)),
         |cnt AS (
         |  SELECT key, count(*) AS n,
-        |    round(sum((value + 1.0) / (sqrt(value * value + 1.0) * sqrt(2.0))), 3) AS sum_cos,
+        |    ${Exact.sqlSumE("(value + 1.0) / (sqrt(value * value + 1.0) * sqrt(2.0))", 6)} AS sum_cos,
         |    CAST(sum(octet_length(value_bin)) AS BIGINT) AS payload_bytes
         |  FROM env WHERE CAST(key AS BIGINT) < 15 GROUP BY key)
         |SELECT cnt.key AS key, CAST(m.bucket AS INT) AS bucket,
@@ -229,11 +230,11 @@ object SurfaceQueries extends QueryGroup {
       df => df.withColumn("send_tag", concat(col("topic"), lit("#sent"))),
       df => df.filter(col("value") > 0.5)))
       .groupBy(col("send_tag"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .agg(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v"))
       .orderBy(col("send_tag")),
     Some(s"""$E
       |SELECT topic || '#sent' AS send_tag, count(*) AS n,
-      |       round(sum(value), 2) AS sum_v
+      |       ${Exact.sqlSumE("value", 2)} AS sum_v
       |FROM env WHERE value > 0.5 GROUP BY topic ORDER BY send_tag""".stripMargin))
 
   private val f18 = QueryDef(

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.functions.Exact
 import graft.model.MessageEnvelope
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -257,7 +258,7 @@ object StreamingOps {
     env.withColumn("event_ts", timestamp_millis(col("event_ms")))
       .withWatermark("event_ts", watermarkDelay)
       .groupBy(window(col("event_ts"), s"$windowMs milliseconds"), col("topic"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .agg(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v"))
       .withColumn("window_start_ms", unix_millis(col("window.start")))
       .drop("window")
 
@@ -313,8 +314,11 @@ object StreamingOps {
           val complete = buf.size / n
           val out = buf.take(complete * n).grouped(n).zipWithIndex.map {
             case (g, i) =>
+              // the Exact convention, Scala-side: per-element e2 codes,
+              // exact integer sum, one final IEEE division — bit-equal to
+              // the batch twin's Exact.sumE regardless of buffering order
               CountWindow(key, emitted + i, n.toLong,
-                math.round(g.sum * 100.0) / 100.0)
+                g.map(v => math.floor(v * 100.0 + 0.5).toLong).sum.toDouble / 100.0)
           }.toList
           state.update((emitted + complete, buf.drop(complete * n)))
           out.iterator
@@ -707,7 +711,7 @@ object StreamingOps {
    */
   def processingTimeCounts(env: DataFrame, windowMs: Long): DataFrame =
     env.groupBy(window(timestamp_millis(col("publish_ms")), s"$windowMs milliseconds"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .agg(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v"))
       .withColumn("window_start_ms", unix_millis(col("window.start")))
       .drop("window")
 
