@@ -19,6 +19,9 @@ object CacheScope {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
   private val runMemo = scala.collection.mutable.LinkedHashMap.empty[String, Dataset[_]]
   private val valueMemo = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+  // bumped by releaseRun: lets an in-flight memoRun builder detect that the
+  // run it was building for ended while it held no lock (see memoRun)
+  private var runGeneration = 0L
 
   /** Persist `ds` at `level` and register it for the next [[releaseAll]]. */
   def track[T](ds: Dataset[T],
@@ -52,8 +55,9 @@ object CacheScope {
     // localCheckpoint → fresh LogicalRDD), the loser registered a
     // separate cache entry that must be released or it leaks for the
     // session's lifetime.
-    synchronized {
+    val genAtStart = synchronized {
       runMemo.get(key).foreach(ds => return ds.asInstanceOf[Dataset[T]])
+      runGeneration
     }
     val built = build.persist(StorageLevel.MEMORY_AND_DISK)
     synchronized {
@@ -63,6 +67,13 @@ object CacheScope {
               .sameResult(winner.queryExecution.analyzed))
             built.unpersist(blocking = false)
           winner.asInstanceOf[Dataset[T]]
+        case None if runGeneration != genAtStart =>
+          // releaseRun fired while we built: the run this derivation was
+          // for has ended, so registering `built` would cache it into a
+          // DEAD run's memo (pinned until some future releaseRun).
+          // Hand the caller a usable but uncached plan instead.
+          built.unpersist(blocking = false)
+          built
         case None =>
           runMemo.put(key, built)
           built
@@ -104,6 +115,7 @@ object CacheScope {
     runMemo.valuesIterator.foreach(_.unpersist(blocking = false))
     runMemo.clear()
     valueMemo.clear()
+    runGeneration += 1
   }
 
   /** Number of currently tracked relations (test introspection). */

@@ -99,7 +99,12 @@ object ScaleGen {
    * exactly as the ~N^1.5 claims assume. Replica 0 is unshifted, so
    * fixed query sets (`vec_id < q`) keep their base size.
    */
-  private def replicateEmbeddings(df: DataFrame, factor: Int): DataFrame = {
+  /** Public (not just main's plumbing): PlantedSpec re-derives the 10×
+   * replica corpus through THIS mapping so the planted zero-flip /
+   * recall properties are pinned at a second scale — a scale-dependent
+   * assignment bug (plantedPattern overflow, centroid mapping) fails a
+   * named property instead of a driver-gate hash. */
+  def replicateEmbeddings(df: DataFrame, factor: Int): DataFrame = {
     val maxId = df.agg(max(col("vec_id"))).head.getLong(0)
     val mappedMax = 50L * (maxId / 49) + (maxId % 49) + 1
     val block = (mappedMax / 50 + 2) * 50 // 50-aligned, > any mapped id

@@ -356,9 +356,12 @@ object DedupOps {
    * band-bucket table (doc, band, band_hash, is_base) and the per-doc
    * shingle-set table (doc, sh, set_size, is_base). `is_base` records
    * whether a member belongs to the original frozen corpus or was
-   * APPENDED by a later batch — the bit the copier-pays billing reads
-   * (base partners always qualify; appended partners only when
-   * lower-id). Both tables are |docs|-scale (never the exploded
+   * APPENDED by a later batch — the bit the copier-pays billing reads:
+   * base and appended members BOTH always qualify as probe partners
+   * (`b.doc =!= a.doc`, so cross-batch pairs surface regardless of id
+   * order); `is_base` only classifies the verdict's n_base_dups vs
+   * n_prior_batch_dups billing split. Both tables are |docs|-scale
+   * (never the exploded
    * shingle relation) and are what a production pipeline checkpoints
    * between ingest batches.
    */

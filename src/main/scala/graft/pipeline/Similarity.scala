@@ -1222,7 +1222,9 @@ object Similarity {
           .as("ssq"))
       .withColumn("ok_dim", col("n_dims") === dim)
       .withColumn("ssq_mil",
-        when(col("ok_dim"), round(col("ssq") * 1000).cast("long"))))
+        // floor(x·10³ + 0.5): the Exact round-half-up form (ssq ≥ 0),
+        // identical in Spark and DuckDB for the same per-row fold double
+        when(col("ok_dim"), floor(col("ssq") * 1000 + lit(0.5)).cast("long"))))
     val fences = CorpusOps.exactQuantiles(
         base.filter(col("ok_dim")), col("grp"), col("ssq_mil"),
         Seq((1, 4), (3, 4)))
@@ -1653,9 +1655,11 @@ object Similarity {
    * error (~1e-16) sits 12 orders under the e4 quantization step of
    * the Lloyd means, so training reproduces the patterns exactly.
    *
-   * Shape at 100 TB: one broadcast of the anchor rows (|corpus|/50 —
-   * for a corpus too big for that, the anchor join is an equi-join on
-   * aid, one shuffle), one codegen'd map-side projection; patterns and
+   * Shape at 100 TB: the anchor side is |corpus|/50 — data-DEPENDENT,
+   * so it is never force-broadcast (the round-15 census rule); the
+   * anchor join is a merge-hinted equi-join on aid (one shuffle of the
+   * 2%-of-corpus anchor relation, sort-merge on the corpus side, spills
+   * instead of OOMing), one codegen'd map-side projection; patterns and
    * signs are literal constants unrolled at plan build. The output is
    * array<double>.
    */
@@ -1677,7 +1681,7 @@ object Similarity {
         })
       (element_at(col("_aemb"), i + 1).cast("double") + jit).as(s"_d$i")
     }
-    withPat.join(broadcast(anchors), Seq("_aid"))
+    withPat.join(anchors.hint("merge"), Seq("_aid"))
       .select(col("vec_id"), col("label"), array(dims: _*).as("embedding"))
   }
 }

@@ -70,4 +70,75 @@ class BucketingSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }
   }
+
+  /**
+   * The DEPLOYED LSH-index shape minhashAppendStep's scaladoc promises:
+   * the persisted band-bucket table written `bucketBy(band, band_hash)`
+   * removes the per-batch INDEX exchange from the probe join — only the
+   * (small) batch side shuffles into the index's bucketing. Asserted
+   * structurally on the physical plan: the SortMergeJoin's index child
+   * contains ZERO shuffle exchanges while the batch child contains the
+   * one expected exchange — and the probe's candidate pairs equal the
+   * unbucketed probe's exactly.
+   */
+  test("bucketed persisted LSH index: probe plans zero exchange on the index side") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // plain physical plan (no AQE wrapper) so the per-side subtree walk
+    // below sees the real exchanges rather than opaque query stages
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-bucket-")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = graft.pipeline.DedupOps.lshIndexOf(
+      docs.filter(col("doc_id") % 10 =!= 5), "doc_id", "text", isBase = true)
+    val batch = graft.pipeline.DedupOps.lshIndexOf(
+      docs.filter(col("doc_id") % 10 === 5), "doc_id", "text",
+      isBase = false)
+    try {
+      base.banded.write.bucketBy(8, "band", "band_hash")
+        .sortBy("band", "band_hash")
+        .option("path", s"$dir/banded_b").saveAsTable("lsh_banded_b")
+      def probeOf(idx: org.apache.spark.sql.DataFrame) =
+        batch.banded.as("a").join(idx.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("b.doc") =!= col("a.doc"))
+          .select(col("a.doc").as("doc_id"), col("b.doc").as("partner"))
+          .distinct()
+      val probe = probeOf(spark.table("lsh_banded_b"))
+      def stripAqe(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => stripAqe(a.executedPlan)
+        case other => other
+      }
+      val smj = stripAqe(probe.queryExecution.executedPlan).collectFirst {
+        case j: SortMergeJoinExec => j
+      }.getOrElse(fail(
+        s"probe must sort-merge join:\n${probe.queryExecution.executedPlan}"))
+      def exchanges(p: SparkPlan) = p.collect { case e: ShuffleExchangeLike => e }
+      // the index is the join's right side (`.as("b")` above)
+      assert(exchanges(smj.right).isEmpty,
+        s"bucketed index side must not shuffle:\n${smj.right}")
+      assert(exchanges(smj.left).nonEmpty,
+        s"batch side shuffles into the index bucketing:\n${smj.left}")
+      assert(smj.right.toString.contains("Bucketed: true") ||
+        smj.right.toString.contains("SelectedBucketsCount"), smj.right.toString)
+      // parity: bucketing changes the plan, never the candidate set
+      val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val want = probeOf(base.banded).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.nonEmpty && got.sameElements(want),
+        s"bucketed=${got.length} unbucketed=${want.length}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lsh_banded_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
 }

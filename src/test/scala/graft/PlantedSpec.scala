@@ -80,4 +80,79 @@ class PlantedSpec extends AnyFunSuite {
     // signal, not noise: far above the ~nprobe/nlist coverage floor
     assert(g2 >= 10L * 900000L, s"global recall at nprobe=2 too low: $g2")
   }
+
+  /**
+   * The same properties pinned at a SECOND scale: the 10× ScaleGen
+   * replica corpus (the rehearsal mapping itself — √factor replicas
+   * keep their 50-aligned anchor blocks, the rest map anchor-free, so
+   * the planted derivation keeps exactly keepReps× the base). vec_ids
+   * here are ~3 orders larger than base, exercising plantedPattern's
+   * documented ~1.4e18 headroom on real ids; replica clones make the
+   * corpus tie-rich (identical anchor vectors across replicas), so the
+   * pinned constants are the tie-ROBUST ones: clone-class zero flips,
+   * init pattern coverage, and exact recall saturation (see inline).
+   */
+  test("10x replica corpus: zero flips, init coverage, recall properties hold") {
+    val rep10 = graft.CacheScope.track(
+      graft.ScaleGen.replicateEmbeddings(base, 10))
+    val planted10 = graft.CacheScope.track(Similarity.plantedEmbeddings(rep10))
+    // keepReps = round(√10) = 3 anchor-bearing replicas survive the
+    // anchor join — coverage documented, not silent (the no-silent-caps
+    // rule): 3 × 500 base vectors
+    assert(planted10.count() === 3L * base.count())
+    val cents10 = planted10.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
+    assert(cents10.count() === 3L * 10L) // 10 base blocks × 3 kept replicas
+    // Clone-CLASS recovery: replica anchors are IDENTICAL vectors, so
+    // the assignment ties across the 3 clone centroids and breaks to the
+    // lowest id — the named property at a clone corpus is that every
+    // vector lands on a centroid whose embedding EQUALS its home
+    // anchor's, i.e. the same base block modulo the replica offset
+    val maxId = base.agg(max(col("vec_id"))).head.getLong(0)
+    val repBlock = 50L * ((50L * (maxId / 49) + (maxId % 49) + 1) / 50 + 2)
+    val flips = Similarity.ivfAssign(planted10, cents10)
+      .filter(pmod(col("cluster"), lit(repBlock)) =!=
+        expr(s"((vec_id % $repBlock) div 50) * 50"))
+      .count()
+    assert(flips === 0L, s"10x replica assignment flipped $flips vectors")
+    // Lloyd init coverage on the REPLICA ids (%50=7 of the 10× corpus):
+    // all four patterns per segment, same as base
+    val initIds10 = planted10.filter(col("vec_id") % 50 === 7)
+      .orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(initIds10.nonEmpty)
+    for (s <- 0 until 4) {
+      val pats = initIds10.map(v => Similarity.plantedPattern(v, s)).toSet
+      assert(pats === Set(0, 1, 2, 3), s"segment $s init patterns starved at 10x")
+    }
+    val queries10 = planted10.filter(expr("vec_id % 50 = 3 AND vec_id < 500"))
+    val rv10 = Similarity.ivfResiduals(planted10, cents10)
+    val books10 = Similarity.booksFromTrain(
+      Similarity.pqTrain(rv10, Similarity.pqInitBooks(rv10), dsub = 16,
+        iterations = 2))
+    books10.cache()
+    def recalls10(nprobe: Int): (Long, Long, Long) = {
+      val r = Similarity.ivfpqRecall(queries10, planted10, cents10, books10,
+          dsub = 16, k = 60, nprobe = nprobe)
+        .agg(sum(col("recall_ppm")), sum(col("recall_probed_ppm")),
+          count(lit(1)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (g1, p1, n1) = recalls10(1)
+    val (g2, p2, n2) = recalls10(2)
+    val (g3, p3, _) = recalls10(3)
+    assert(n1 === 10L && n2 === 10L)
+    // Saturation, pinned EXACTLY: the tie-break assignment above sends
+    // every clone-family member to the lowest-id clone cell, so nprobe=1
+    // already covers the full exact top-60 (which lies inside the
+    // family), and ADC distances reconstruct pattern residuals exactly —
+    // global AND probed recall are 1.0 at every nprobe. Monotonicity is
+    // trivially satisfied; what this pins is that an assignment, ADC, or
+    // ranking regression AT LARGE IDS moves some number off 10⁶ ppm.
+    for ((g, p, np) <- Seq((g1, p1, 1), (g2, p2, 2), (g3, p3, 3)))
+      assert(g === 10L * 1000000L && p === 10L * 1000000L,
+        s"10x recall off saturation at nprobe=$np: global=$g probed=$p")
+    books10.unpersist(blocking = false)
+  }
 }
