@@ -1222,9 +1222,9 @@ object Similarity {
           .as("ssq"))
       .withColumn("ok_dim", col("n_dims") === dim)
       .withColumn("ssq_mil",
-        // floor(x·10³ + 0.5): the Exact round-half-up form (ssq ≥ 0),
-        // identical in Spark and DuckDB for the same per-row fold double
-        when(col("ok_dim"), floor(col("ssq") * 1000 + lit(0.5)).cast("long"))))
+        // the Exact e3 round-half-up code (ssq ≥ 0) — identical in
+        // Spark and DuckDB for the same per-row fold double
+        when(col("ok_dim"), graft.functions.Exact.eRow(col("ssq"), 3))))
     val fences = CorpusOps.exactQuantiles(
         base.filter(col("ok_dim")), col("grp"), col("ssq_mil"),
         Seq((1, 4), (3, 4)))
@@ -1657,9 +1657,14 @@ object Similarity {
    *
    * Shape at 100 TB: the anchor side is |corpus|/50 — data-DEPENDENT,
    * so it is never force-broadcast (the round-15 census rule); the
-   * anchor join is a merge-hinted equi-join on aid (one shuffle of the
-   * 2%-of-corpus anchor relation, sort-merge on the corpus side, spills
-   * instead of OOMing), one codegen'd map-side projection; patterns and
+   * anchor join is a merge-hinted equi-join on aid. That shape
+   * exchanges BOTH children — the 2%-of-corpus anchor relation AND the
+   * full corpus projection shuffle on _aid — which is the honest price
+   * of refusing the non-demotable broadcast: a sort-merge spills where
+   * a misestimated corpus-fraction broadcast build OOMs the executors.
+   * (A deployment that derives this fixture repeatedly would bucket the
+   * corpus on _aid to delete the big exchange — the BucketingSpec
+   * mechanism; the audit derives it once per session.) Patterns and
    * signs are literal constants unrolled at plan build. The output is
    * array<double>.
    */

@@ -311,7 +311,7 @@ object CorpusQueries extends QueryGroup {
       |  FROM inv i JOIN fo f USING (gram)
       |  GROUP BY i.doc_id)
       |SELECT doc_id, n_grams, n_novel,
-      |       ${graft.functions.Exact.duckRatio("n_novel", "n_grams", 4)}
+      |       ${Exact.duckRatio("n_novel", "n_grams", 4)}
       |         AS novelty_frac
       |FROM agg ORDER BY doc_id""".stripMargin))
 
@@ -994,7 +994,7 @@ object CorpusQueries extends QueryGroup {
       |  WHERE g.doc_id % 10 >= 8
       |  GROUP BY 1)
       |SELECT doc_id, n_grams, n_overlap,
-      |       ${graft.functions.Exact.duckRatio("n_overlap", "n_grams", 4)}
+      |       ${Exact.duckRatio("n_overlap", "n_grams", 4)}
       |         AS overlap_frac
       |FROM agg ORDER BY doc_id""".stripMargin))
 
@@ -1322,9 +1322,9 @@ object CorpusQueries extends QueryGroup {
       |         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       |  FROM j GROUP BY source)
       |SELECT source, n_docs, sum_chars, sum_words, sum_tokens,
-      |       ${graft.functions.Exact.duckRatio("sum_chars", "sum_tokens", 4)}
+      |       ${Exact.duckRatio("sum_chars", "sum_tokens", 4)}
       |         AS chars_per_token,
-      |       ${graft.functions.Exact.duckRatio("sum_tokens", "sum_words", 4)}
+      |       ${Exact.duckRatio("sum_tokens", "sum_words", 4)}
       |         AS tokens_per_word
       |FROM agg ORDER BY source""".stripMargin))
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.Murmur3x86
+import graft.functions.{Exact, Murmur3x86}
 import graft.pipeline._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2465,7 +2465,7 @@ object PipelineQueries extends QueryGroup {
       // the overflow-safe split form: the naive 2·sum·10⁴ numerator
       // overflows Long once a source group passes ~4.6e14 tokens
       .withColumn("avg_tokens",
-        graft.functions.Exact.ratioCol("sum_tokens", "n_docs", 4))
+        Exact.ratioCol("sum_tokens", "n_docs", 4))
       .orderBy(col("source")),
     Some(s"""WITH t AS (
       |  SELECT source, len($WORDS) AS tc,
@@ -2474,7 +2474,7 @@ object PipelineQueries extends QueryGroup {
       |SELECT source, count(*) AS n_docs,
       |       CAST(sum(tc) AS BIGINT) AS sum_tokens,
       |       CAST(sum(te) AS BIGINT) AS sum_token_est,
-      |       ${graft.functions.Exact.duckRatio("CAST(sum(tc) AS BIGINT)", "count(*)", 4)}
+      |       ${Exact.duckRatio("CAST(sum(tc) AS BIGINT)", "count(*)", 4)}
       |         AS avg_tokens
       |FROM t GROUP BY source ORDER BY source""".stripMargin))
 
@@ -3224,13 +3224,13 @@ object PipelineQueries extends QueryGroup {
     (s, d) => Similarity.embeddingAudit(
         embs(s, d), "vec_id", "embedding", "label", dim = 64)
       .orderBy(col("label")),
-    Some("""WITH b AS (
+    Some(s"""WITH b AS (
       |  SELECT CAST(label AS VARCHAR) AS label, vec_id,
       |         len(embedding) AS n_dims,
       |         list_sum(list_transform(embedding,
       |           x -> x::DOUBLE * x::DOUBLE)) AS ssq
       |  FROM embeddings),
-      |v AS (SELECT label, CAST(floor(ssq * 1000 + 0.5) AS BIGINT) AS ssq_mil
+      |v AS (SELECT label, ${Exact.sqlERow("ssq", 3)} AS ssq_mil
       |      FROM b WHERE n_dims = 64),
       |r AS (SELECT label, ssq_mil,
       |             row_number() OVER (PARTITION BY label ORDER BY ssq_mil)
@@ -3248,11 +3248,11 @@ object PipelineQueries extends QueryGroup {
       |       CAST(sum(CASE WHEN b.n_dims = 64 AND b.ssq = 0
       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
       |       CAST(sum(CASE WHEN b.n_dims = 64 AND
-      |           CAST(floor(b.ssq * 1000 + 0.5) AS BIGINT) * 2
+      |           ${Exact.sqlERow("b.ssq", 3)} * 2
       |             < q.q1_mil * 5 - q.q3_mil * 3
       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
       |       CAST(sum(CASE WHEN b.n_dims = 64 AND
-      |           CAST(floor(b.ssq * 1000 + 0.5) AS BIGINT) * 2
+      |           ${Exact.sqlERow("b.ssq", 3)} * 2
       |             > q.q3_mil * 5 - q.q1_mil * 3
       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
       |       max(q.q1_mil) AS q1_mil, max(q.q3_mil) AS q3_mil

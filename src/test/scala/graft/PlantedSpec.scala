@@ -85,9 +85,11 @@ class PlantedSpec extends AnyFunSuite {
    * The same properties pinned at a SECOND scale: the 10× ScaleGen
    * replica corpus (the rehearsal mapping itself — √factor replicas
    * keep their 50-aligned anchor blocks, the rest map anchor-free, so
-   * the planted derivation keeps exactly keepReps× the base). vec_ids
-   * here are ~3 orders larger than base, exercising plantedPattern's
-   * documented ~1.4e18 headroom on real ids; replica clones make the
+   * the planted derivation keeps exactly keepReps× the base). Replica
+   * ids only reach ~3.4× the base ceiling at this fixture size, so the
+   * large-id regime is pinned separately: an engine↔Scala parity sweep
+   * of plantedPattern at ids up to Long.MaxValue (the documented
+   * ~1.4e18 intermediate headroom), below. Replica clones make the
    * corpus tie-rich (identical anchor vectors across replicas), so the
    * pinned constants are the tie-ROBUST ones: clone-class zero flips,
    * init pattern coverage, and exact recall saturation (see inline).
@@ -154,5 +156,29 @@ class PlantedSpec extends AnyFunSuite {
       assert(g === 10L * 1000000L && p === 10L * 1000000L,
         s"10x recall off saturation at nprobe=$np: global=$g probed=$p")
     books10.unpersist(blocking = false)
+  }
+
+  /** plantedPattern at the id EXTREMES: the replica fixture above only
+   * reaches ids in the low thousands, so the documented ~1.4e18
+   * intermediate headroom is pinned directly — the Spark rendering
+   * (plantedPatternSql, the one interpolated into engine and oracle)
+   * must equal the Scala draw for ids up to Long.MaxValue, per segment.
+   * A formula change that overflows (or diverges in % semantics) at
+   * large ids fails HERE by name, not as a driver-gate hash. */
+  test("plantedPattern engine/Scala parity holds at extreme vec_ids") {
+    import spark.implicits._
+    val ids = Seq(0L, 49L, 50L, 65535L, 65536L, 1000000007L,
+      1L << 40, (1L << 62) + 12345L, Long.MaxValue - 1, Long.MaxValue)
+    val df = ids.toDF("vec_id")
+    for (s <- 0 until 4) {
+      val got = df.withColumn("p", expr(Similarity.plantedPatternSql(s, "div")))
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      for (v <- ids) {
+        val want = Similarity.plantedPattern(v, s)
+        assert(got(v) === want, s"pattern($v, $s): sql=${got(v)} scala=$want")
+        assert(want >= 0 && want <= 3, s"pattern($v, $s) out of range: $want")
+      }
+    }
   }
 }
