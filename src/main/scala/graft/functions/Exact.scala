@@ -45,6 +45,21 @@ object Exact {
   def sqlERow(x: String, k: Int): String =
     s"CAST(floor(($x) * 1e$k + 0.5) AS BIGINT)"
 
+  /** Deterministic per-row replacement for `round(x, k)` on a double
+   * BOTH engines compute identically (per-row folds, log/exp/sqrt
+   * scalars, integer-sum-derived group stats): the e-k half-up integer
+   * code, one final IEEE division. Ties resolve toward +∞ (the floor
+   * form) by the SAME rule in both engines — `round()`'s tie behavior
+   * is engine-defined — and the value equals round(x, k) everywhere off
+   * an exact e-k tie. Requires |x|·10^k < 2⁵³ (every call site is a
+   * bounded ratio/log/probability scale). */
+  def rRow(c: Column, k: Int): Column =
+    eRow(c, k).cast("double") / lit(p10d(k))
+
+  /** SQL twin of [[rRow]] — shared Spark-SQL/DuckDB dialect. */
+  def sqlRRow(x: String, k: Int): String =
+    s"(CAST(${sqlERow(x, k)} AS DOUBLE) / 1e$k)"
+
   /** SQL twin of [[sumE]] — shared Spark-SQL/DuckDB dialect. */
   def sqlSumE(x: String, k: Int): String =
     s"CAST(sum(${sqlERow(x, k)}) AS DOUBLE) / 1e$k"

@@ -492,7 +492,7 @@ object CorpusOps {
       .select(col("stratum"), col("c").as("c_ref"))
     stats.join(ref, Seq("stratum"))
       .select(col("stratum"), col("n_types"), col("c1"), col("c_ref"),
-        round(log(col("c1") / col("c_ref").cast("double")) /
+        Exact.rRow(log(col("c1") / col("c_ref").cast("double")) /
           math.log(refRank), 4).as("zipf_s"))
   }
 
@@ -535,10 +535,10 @@ object CorpusOps {
           |  acc -> acc.best)""".stripMargin))
       .select(col(idCol),
         col("n_words"), col("n_distinct_words"),
-        round(lit(1.0) - col("n_distinct_words") / col("n_words"), 4)
+        Exact.rRow(lit(1.0) - col("n_distinct_words") / col("n_words"), 4)
           .as("dup_word_frac"),
         col("n_bigrams"), col("top_bigram_count"),
-        round(col("top_bigram_count") / col("n_bigrams"), 4)
+        Exact.rRow(col("top_bigram_count") / col("n_bigrams"), 4)
           .as("top_bigram_frac"))
   }
 
@@ -622,7 +622,7 @@ object CorpusOps {
   def esKey(text: Column, id: Column, weight: Column): Column = {
     val u = (conv(substring(sampleKey(text, id), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
-    round(pow(u, lit(1.0) / weight.cast("double")), 9)
+    Exact.rRow(pow(u, lit(1.0) / weight.cast("double")), 9)
   }
 
   def weightedSample(df: DataFrame, stratum: Column, weight: Column,
@@ -976,9 +976,9 @@ object CorpusOps {
       size(array_intersect(array_distinct(ws),
         array(requiredStopwords.map(lit): _*))).as("stop_hits"))
     base.select(col(idCol), col("n_words"),
-      round(col("mwl_raw"), 4).as("mean_word_len"),
-      round(col("sym_raw"), 4).as("symbol_ratio"),
-      round(col("alpha_raw"), 4).as("alpha_frac"),
+      Exact.rRow(col("mwl_raw"), 4).as("mean_word_len"),
+      Exact.rRow(col("sym_raw"), 4).as("symbol_ratio"),
+      Exact.rRow(col("alpha_raw"), 4).as("alpha_frac"),
       col("stop_hits"),
       (col("n_words") >= minWords && col("n_words") <= maxWords &&
         col("mwl_raw") >= 3.0 && col("mwl_raw") <= 10.0 &&
@@ -1017,7 +1017,7 @@ object CorpusOps {
     val scored = tf.join(dfreq, Seq("word"))
       .crossJoin(nDocs)
       .withColumn("score",
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        Exact.rRow(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(idCol))
@@ -1157,7 +1157,7 @@ object CorpusOps {
           lit(den.toLong).as("qden"))
       }: _*)).as("qq"))
       .select(col("source"), col("n"),
-        round(col("qq.qnum") / col("qq.qden"), 4).as("q"),
+        Exact.rRow(col("qq.qnum") / col("qq.qden"), 4).as("q"),
         expr("(qq.qnum * n + qq.qden - 1) div qq.qden").as("rank"))
     qdf.join(cum, Seq("source"))
       .where(col("cum") >= col("rank"))
@@ -1291,15 +1291,14 @@ object CorpusOps {
       .join(cb.hint("merge"), Seq("g"), "left")
       .join(c1.hint("merge"), Seq("w1"), "left")
       .crossJoin(vocab)
-      .withColumn("lp", round(log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
-        (coalesce(col("c1"), lit(0L)) + col("vsz"))) * 10000.0, 0)
-        .cast("long"))
+      .withColumn("lp", Exact.eRow(log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("c1"), lit(0L)) + col("vsz"))), 4))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("cb").isNull, 1L).otherwise(0L)).as("oov_bigrams"),
         sum(col("lp")).as("lp_sum"))
     scored
-      .withColumn("ppl", round(exp(-col("lp_sum") /
+      .withColumn("ppl", Exact.rRow(exp(-col("lp_sum") /
         (lit(10000.0) * col("n_bigrams"))), 2))
       .select(col(idCol), col("n_bigrams"), col("oov_bigrams"), col("ppl"),
         (col("ppl") <= keepBelow).as("keep"))
@@ -1396,11 +1395,10 @@ object CorpusOps {
     val li = rawModel
       .join(targetModel, Seq("b"), "left")
       .crossJoin(rawTotal).crossJoin(targetTotal)
-      .withColumn("li", round(
+      .withColumn("li", Exact.eRow(
         log(((coalesce(col("tn"), lit(0L)) + lit(1.0)) *
           (col("qtot") + lit(m.toDouble))) /
-          ((col("qn") + lit(1.0)) * (col("ttot") + lit(m.toDouble))))
-          * 10000.0, 0).cast("long"))
+          ((col("qn") + lit(1.0)) * (col("ttot") + lit(m.toDouble)))), 4))
       .select(col("b"), col("li"))
     val scores = corpusFeats.join(broadcast(li), Seq("b"))
       .groupBy(col(idCol))
@@ -1513,12 +1511,11 @@ object CorpusOps {
       sum(sqrt(col("n_tokens"))).as("stot"))
     mass.crossJoin(broadcast(tot))
       .select(col("grp"), col("n_tokens"),
-        round(col("n_tokens") / col("tot") * 1e6).cast("long")
-          .as("share_ppm"),
-        round(sqrt(col("n_tokens")) / col("stot") * 1e6).cast("long")
+        Exact.eRow(col("n_tokens") / col("tot"), 6).as("share_ppm"),
+        Exact.eRow(sqrt(col("n_tokens")) / col("stot"), 6)
           .as("temp_share_ppm"),
-        round(sqrt(col("n_tokens")) / col("stot") * budgetTokens)
-          .cast("long").as("budget_tokens"))
+        Exact.eRow(sqrt(col("n_tokens")) / col("stot") * budgetTokens, 0)
+          .as("budget_tokens"))
   }
 
   /**
@@ -1545,12 +1542,13 @@ object CorpusOps {
         count(lit(1)).as("n_types"),
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
       .select(col("stratum"), col("n_tokens"), col("n_types"), col("n_hapax"),
-        round(col("n_types") / col("n_tokens").cast("double"), 4).as("ttr"),
-        round(col("n_hapax") / col("n_types").cast("double"), 4)
+        Exact.rRow(col("n_types") / col("n_tokens").cast("double"), 4)
+          .as("ttr"),
+        Exact.rRow(col("n_hapax") / col("n_types").cast("double"), 4)
           .as("hapax_frac"),
         // Heaps' exponent beta from V = n^beta (single-point fit):
         // ln on exact integers, deterministic to 4 dp
-        round(log(col("n_types")) / log(col("n_tokens")), 4)
+        Exact.rRow(log(col("n_types")) / log(col("n_tokens")), 4)
           .as("heaps_beta"))
   }
 
@@ -1596,7 +1594,7 @@ object CorpusOps {
     shared
       .join(csize, Seq("doc_id_c"))
       .join(broadcast(bsize), Seq("bench_id"))
-      .withColumn("jac", round(
+      .withColumn("jac", Exact.rRow(
         col("inter") / (col("ca") + col("cb") - col("inter")).cast("double"),
         4))
       .filter(col("jac") >= tau)
@@ -1888,10 +1886,10 @@ object CorpusOps {
     val lab = nDocs.join(tots, Seq("lab"))
       .crossJoin(nTotal).crossJoin(vocab)
       .select(col("lab"), col("tot"),
-        round(log(col("n_docs").cast("double") / col("n_total")) * 10000.0, 0)
-          .cast("long").as("prior_lp"),
-        round(log(lit(1.0) / (col("tot") + col("vsz"))) * 10000.0, 0)
-          .cast("long").as("slp0"))
+        Exact.eRow(log(col("n_docs").cast("double") / col("n_total")), 4)
+          .as("prior_lp"),
+        Exact.eRow(log(lit(1.0) / (col("tot") + col("vsz"))), 4)
+          .as("slp0"))
     // present (label, word) combos only, as deltas vs the unseen case
     val model = toks.groupBy(col("actual").as("lab"), col("w"))
       .agg(count(lit(1)).as("c"))
@@ -1899,8 +1897,8 @@ object CorpusOps {
         Seq("lab"))
       .crossJoin(vocab)
       .select(col("lab"), col("w"),
-        (round(log((col("c") + lit(1.0)) / (col("tot") + col("vsz"))) *
-          10000.0, 0).cast("long") - col("slp0")).as("dlp"))
+        (Exact.eRow(log((col("c") + lit(1.0)) / (col("tot") + col("vsz"))),
+          4) - col("slp0")).as("dlp"))
     val deltas = toks.join(model, Seq("w"))
       .groupBy(col("did"), col("lab"))
       .agg(sum(col("dlp")).as("d"))
@@ -2016,7 +2014,7 @@ object CorpusOps {
       .withColumn("doc_ppm", expr("(n_docs * 1000000) div t_docs"))
       .withColumn("token_ppm", expr("(n_tokens * 1000000) div t_tokens"))
       .withColumn("p", col("n_tokens").cast("double") / col("t_tokens"))
-      .withColumn("entropy_contrib", round(-col("p") * log(col("p")), 4))
+      .withColumn("entropy_contrib", Exact.rRow(-col("p") * log(col("p")), 4))
       .select(col(sourceCol), col("n_docs"), col("n_tokens"),
         col("doc_ppm"), col("token_ppm"), col("entropy_contrib"))
   }
@@ -2243,7 +2241,7 @@ object CorpusOps {
         // product silently while the DuckDB oracle's HUGEINT stays
         // exact; decimal keeps both engines exact, and each side's
         // round-to-nearest double conversion is the identical value
-        round(log((col("cab").cast("decimal(38,0)") * col("nw") * col("nw"))
+        Exact.rRow(log((col("cab").cast("decimal(38,0)") * col("nw") * col("nw"))
             .cast("double") /
           (col("nb").cast("decimal(38,0)") * col("ca") * col("cb"))
             .cast("double")), 4).as("pmi"))

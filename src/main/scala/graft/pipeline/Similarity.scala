@@ -1314,7 +1314,7 @@ object Similarity {
       vecs.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("i", "xv")))
         .select(col("vec_id"), col("i"),
-          round(col("xv").cast("double") * 1000, 0).cast("long").as("x")))
+          graft.functions.Exact.eRow(col("xv").cast("double"), 3).as("x")))
     val n = vecs.agg(count(lit(1)).as("n"))
     val sums = x.groupBy(col("i")).agg(sum(col("x")).as("s"))
     x.as("a").join(x.hint("merge").as("b"),

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.functions.Exact
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, Window}
@@ -73,7 +74,7 @@ object Sketches {
         element_at(col("mins"), -1).as("kth_min"))
       .withColumn("est_distinct",
         when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise(round(
+          .otherwise(Exact.rRow(
             lit((k - 1).toDouble * HashRange) / col("kth_min"), 2)))
   }
 
@@ -131,7 +132,7 @@ object Sketches {
       .agg(count(lit(1)).as(s"n_$as"), max(col("h")).as(s"kth_$as"))
       .select(col(s"n_$as"), when(col(s"n_$as") < k,
           col(s"n_$as").cast("double"))
-        .otherwise(round(lit((k - 1) * HashRange) / col(s"kth_$as"), 2))
+        .otherwise(Exact.rRow(lit((k - 1) * HashRange) / col(s"kth_$as"), 2))
         .as(s"est_$as"))
     // union sketch: k smallest of the two sketches' merged hash set
     // (≤ 2k rows — the single-partition window is sketch-scale, not data-scale)
@@ -144,16 +145,16 @@ object Sketches {
       .join(sketchOf(grpB).select(col("h")), Seq("h"), "left_semi")
     val uAgg = u.agg(count(lit(1)).as("n_u"), max(col("h")).as("kth_u"))
       .select(col("n_u"), when(col("n_u") < k, col("n_u").cast("double"))
-        .otherwise(round(lit((k - 1) * HashRange) / col("kth_u"), 2))
+        .otherwise(Exact.rRow(lit((k - 1) * HashRange) / col("kth_u"), 2))
         .as("est_union"))
     val m = inBoth.agg(count(lit(1)).as("n_both"))
     estOf(grpA, "a").crossJoin(estOf(grpB, "b")).crossJoin(uAgg).crossJoin(m)
       .select(lit(grpA).as("grp_a"), lit(grpB).as("grp_b"),
         lit(k).as("k"), col("n_a"), col("n_b"),
         col("est_a"), col("est_b"), col("est_union"),
-        round(col("n_both") / col("n_u").cast("double"), 4)
+        Exact.rRow(col("n_both") / col("n_u").cast("double"), 4)
           .as("jaccard_est"),
-        round(round(col("n_both") / col("n_u").cast("double"), 4) *
+        Exact.rRow(Exact.rRow(col("n_both") / col("n_u").cast("double"), 4) *
           col("est_union"), 2).as("est_intersection"))
   }
 
@@ -213,7 +214,7 @@ object Sketches {
       .withColumn("_zeros", lit(m) - col("_present"))
       .withColumn("_raw",
         lit(Alpha64 * m * m) / (col("_inv") + col("_zeros")))
-      .withColumn("est_distinct", round(
+      .withColumn("est_distinct", Exact.rRow(
         when(col("_raw") <= lit(2.5 * m) && col("_zeros") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")))
           .otherwise(col("_raw")), 2))
@@ -356,7 +357,7 @@ object Sketches {
     val lnGamma = lnGammaOf(alpha)
     df.filter(value.isNotNull && value > 0)
       .select(group.cast("string").as("source"),
-        ceil(round(log(value.cast("double")) / lnGamma, 9)).as("bucket"))
+        ceil(Exact.rRow(log(value.cast("double")) / lnGamma, 9)).as("bucket"))
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n"))
   }
@@ -396,7 +397,7 @@ object Sketches {
       .groupBy(col("source"), col("q"))
       .agg(min(col("bucket")).as("bucket"), max(col("total")).as("n_values"))
       .withColumn("est",
-        round(lit(2.0) * pow(lit(gamma), col("bucket")) / lit(gamma + 1), 4))
+        Exact.rRow(lit(2.0) * pow(lit(gamma), col("bucket")) / lit(gamma + 1), 4))
       .select(col("source"), col("q"), col("bucket"), col("est"),
         col("n_values"))
   }

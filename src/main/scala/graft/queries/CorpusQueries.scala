@@ -58,10 +58,10 @@ object CorpusQueries extends QueryGroup {
       |         CAST(max(c) AS BIGINT) AS top_bigram_count
       |  FROM cnt GROUP BY 1)
       |SELECT f.doc_id, n_words, n_distinct_words,
-      |       round(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 4)
+      |       (CAST(floor((1.0 - CAST(n_distinct_words AS DOUBLE) / n_words) * 1e4 + 0.5) AS BIGINT) / 1e4)
       |         AS dup_word_frac,
       |       n_bigrams, top_bigram_count,
-      |       round(CAST(top_bigram_count AS DOUBLE) / n_bigrams, 4)
+      |       (CAST(floor((CAST(top_bigram_count AS DOUBLE) / n_bigrams) * 1e4 + 0.5) AS BIGINT) / 1e4)
       |         AS top_bigram_frac
       |FROM f JOIN top ON f.doc_id = top.doc_id
       |ORDER BY f.doc_id""".stripMargin))
@@ -264,8 +264,9 @@ object CorpusQueries extends QueryGroup {
       |  $ruleFeatures
       |    len(list_intersect(list_distinct(ws), $stopsSql)) AS stop_hits
       |  FROM f)
-      |SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len,
-      |       round(sym, 4) AS symbol_ratio, round(alpha, 4) AS alpha_frac,
+      |SELECT doc_id, n_words, (CAST(floor((mwl) * 1e4 + 0.5) AS BIGINT) / 1e4) AS mean_word_len,
+      |       (CAST(floor((sym) * 1e4 + 0.5) AS BIGINT) / 1e4) AS symbol_ratio,
+      |       (CAST(floor((alpha) * 1e4 + 0.5) AS BIGINT) / 1e4) AS alpha_frac,
       |       stop_hits, $keepSql AS keep
       |FROM g ORDER BY doc_id""".stripMargin))
 
@@ -282,7 +283,7 @@ object CorpusQueries extends QueryGroup {
       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
       |sc AS (
       |  SELECT doc_id, word,
-      |         round(tf * ln(n_docs::DOUBLE / df), 4) AS score
+      |         (CAST(floor((tf * ln(n_docs::DOUBLE / df)) * 1e4 + 0.5) AS BIGINT) / 1e4) AS score
       |  FROM tf JOIN df USING (word) CROSS JOIN n),
       |r AS (SELECT doc_id, word, score,
       |             row_number() OVER (PARTITION BY doc_id
@@ -421,7 +422,7 @@ object CorpusQueries extends QueryGroup {
       |         (CAST(('0x' || substr(md5(coalesce(text, '') || ':' || doc_id),
       |            1, 8)) AS UBIGINT) + 0.5) / 4294967296.0 AS u
       |  FROM documents),
-      |s AS (SELECT *, round(pow(u, 1.0 / w), 9) AS ky FROM t),
+      |s AS (SELECT *, (CAST(floor((pow(u, 1.0 / w)) * 1e9 + 0.5) AS BIGINT) / 1e9) AS ky FROM t),
       |r AS (SELECT *, row_number() OVER (PARTITION BY source
       |        ORDER BY ky DESC, doc_id) AS rn FROM s)
       |SELECT source AS stratum, count(*) AS n_docs,
@@ -464,7 +465,7 @@ object CorpusQueries extends QueryGroup {
       |SELECT k.source, CAST(n_kept AS INT) AS n_kept,
       |       CAST(kth AS BIGINT) AS kth_min,
       |       CASE WHEN n_kept < $kmvK THEN CAST(n_kept AS DOUBLE)
-      |            ELSE round(${kmvK - 1} * 4294967296.0 / kth, 2) END
+      |            ELSE (CAST(floor((${kmvK - 1} * 4294967296.0 / kth) * 1e2 + 0.5) AS BIGINT) / 1e2) END
       |         AS est_distinct,
       |       CAST(exact_distinct AS BIGINT) AS exact_distinct
       |FROM kset k JOIN ex USING (source) ORDER BY source""".stripMargin))
@@ -507,8 +508,8 @@ object CorpusQueries extends QueryGroup {
       |ex AS (SELECT source, count(DISTINCT gram) AS exact_distinct
       |       FROM g GROUP BY source)
       |SELECT f.source,
-      |       round(CASE WHEN raw <= 160.0 AND zeros > 0
-      |                  THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 2)
+      |       (CAST(floor((CASE WHEN raw <= 160.0 AND zeros > 0
+      |                  THEN 64.0 * ln(64.0 / zeros) ELSE raw END) * 1e2 + 0.5) AS BIGINT) / 1e2)
       |         AS est_distinct,
       |       CAST(zeros AS INT) AS zero_registers,
       |       CAST(exact_distinct AS BIGINT) AS exact_distinct
@@ -755,7 +756,7 @@ object CorpusQueries extends QueryGroup {
       |r AS (SELECT source, n_chars AS v,
       |        row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn
       |      FROM documents WHERE n_chars IS NOT NULL)
-      |SELECT r.source, round(CAST(qnum AS DOUBLE) / qden, 4) AS q,
+      |SELECT r.source, (CAST(floor((CAST(qnum AS DOUBLE) / qden) * 1e4 + 0.5) AS BIGINT) / 1e4) AS q,
       |       n.n AS n,
       |       CAST((qnum * n.n + qden - 1) // qden AS BIGINT) AS rank,
       |       min(r.v) AS value
@@ -929,14 +930,14 @@ object CorpusQueries extends QueryGroup {
       |         count(*) AS n_bigrams,
       |         CAST(sum(CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END)
       |           AS BIGINT) AS oov_bigrams,
-      |         sum(CAST(round(ln((coalesce(cb.cb, 0) + 1.0) /
-      |               (coalesce(c1.c1, 0) + v.vsz)) * 10000.0, 0)
+      |         sum(CAST(floor(ln((coalesce(cb.cb, 0) + 1.0) /
+      |               (coalesce(c1.c1, 0) + v.vsz)) * 10000.0 + 0.5)
       |             AS BIGINT)) AS lp
       |       FROM db LEFT JOIN cb USING (g) LEFT JOIN c1 USING (w1)
       |       CROSS JOIN v
       |       GROUP BY doc_id),
       |scored AS (SELECT doc_id, lang, n_bigrams, oov_bigrams,
-      |         round(exp(-CAST(lp AS DOUBLE) / (10000.0 * n_bigrams)), 2)
+      |         (CAST(floor((exp(-CAST(lp AS DOUBLE) / (10000.0 * n_bigrams))) * 1e2 + 0.5) AS BIGINT) / 1e2)
       |           AS ppl
       |       FROM sc)""".stripMargin
 
@@ -1050,7 +1051,7 @@ object CorpusQueries extends QueryGroup {
       |  SELECT source, n_chars FROM documents
       |  WHERE n_chars IS NOT NULL AND n_chars > 0),
       |b AS (SELECT source,
-      |        CAST(ceil(round(ln(CAST(n_chars AS DOUBLE)) / $ddLnGamma, 9))
+      |        CAST(ceil((CAST(floor((ln(CAST(n_chars AS DOUBLE)) / $ddLnGamma) * 1e9 + 0.5) AS BIGINT) / 1e9))
       |          AS BIGINT) AS bucket,
       |        count(*) AS n
       |      FROM v GROUP BY 1, 2),
@@ -1065,7 +1066,7 @@ object CorpusQueries extends QueryGroup {
       |        WHERE cum > floor(q * (total - 1))
       |        GROUP BY source, q)
       |SELECT source, q, bucket,
-      |       round(2.0 * power($ddGamma, bucket) / ${ddGamma + 1}, 4) AS est,
+      |       (CAST(floor((2.0 * power($ddGamma, bucket) / ${ddGamma + 1}) * 1e4 + 0.5) AS BIGINT) / 1e4) AS est,
       |       n_values
       |FROM sel ORDER BY source, q""".stripMargin))
 
@@ -1096,8 +1097,8 @@ object CorpusQueries extends QueryGroup {
       |t AS (SELECT b, count(*) AS tn FROM cf WHERE lang = 'en' GROUP BY 1),
       |tt AS (SELECT sum(tn) AS ttot FROM t),
       |li AS (SELECT q.b,
-      |         CAST(round(ln(((coalesce(t.tn, 0) + 1.0) * (qt.qtot + 1024)) /
-      |           ((q.qn + 1.0) * (tt.ttot + 1024))) * 10000, 0) AS BIGINT)
+      |         CAST(floor(ln(((coalesce(t.tn, 0) + 1.0) * (qt.qtot + 1024)) /
+      |           ((q.qn + 1.0) * (tt.ttot + 1024))) * 10000 + 0.5) AS BIGINT)
       |           AS li
       |       FROM q LEFT JOIN t USING (b) CROSS JOIN qt CROSS JOIN tt),
       |sc AS (SELECT doc_id, count(*) AS n_feats, sum(li.li) AS score
@@ -1205,10 +1206,10 @@ object CorpusQueries extends QueryGroup {
       |  FROM documents GROUP BY 1),
       |t AS (SELECT sum(n_tokens) AS tot, sum(sqrt(n_tokens)) AS stot FROM m)
       |SELECT grp, n_tokens,
-      |       CAST(round(n_tokens / tot * 1e6) AS BIGINT) AS share_ppm,
-      |       CAST(round(sqrt(n_tokens) / stot * 1e6) AS BIGINT)
+      |       CAST(floor(n_tokens / tot * 1e6 + 0.5) AS BIGINT) AS share_ppm,
+      |       CAST(floor(sqrt(n_tokens) / stot * 1e6 + 0.5) AS BIGINT)
       |         AS temp_share_ppm,
-      |       CAST(round(sqrt(n_tokens) / stot * 1000000) AS BIGINT)
+      |       CAST(floor(sqrt(n_tokens) / stot * 1000000 + 0.5) AS BIGINT)
       |         AS budget_tokens
       |FROM m, t ORDER BY grp""".stripMargin))
 
@@ -1233,9 +1234,9 @@ object CorpusQueries extends QueryGroup {
       |           AS n_hapax
       |  FROM pw GROUP BY 1)
       |SELECT stratum, n_tokens, n_types, n_hapax,
-      |       round(n_types / CAST(n_tokens AS DOUBLE), 4) AS ttr,
-      |       round(n_hapax / CAST(n_types AS DOUBLE), 4) AS hapax_frac,
-      |       round(ln(n_types) / ln(n_tokens), 4) AS heaps_beta
+      |       (CAST(floor((n_types / CAST(n_tokens AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) / 1e4) AS ttr,
+      |       (CAST(floor((n_hapax / CAST(n_types AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) / 1e4) AS hapax_frac,
+      |       (CAST(floor((ln(n_types) / ln(n_tokens)) * 1e4 + 0.5) AS BIGINT) / 1e4) AS heaps_beta
       |FROM ag ORDER BY stratum""".stripMargin))
 
   // ------------------------------------------ p69 fuzzy decontamination
@@ -1268,7 +1269,7 @@ object CorpusQueries extends QueryGroup {
       |  GROUP BY 1, 2),
       |j AS (
       |  SELECT sh.doc_id,
-      |         round(inter / CAST(ca.ca + cb.cb - inter AS DOUBLE), 4) AS jac
+      |         (CAST(floor((inter / CAST(ca.ca + cb.cb - inter AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) / 1e4) AS jac
       |  FROM sh JOIN ca ON ca.doc_id = sh.doc_id
       |          JOIN cb ON cb.doc_id = sh.bench_id)
       |SELECT doc_id, max(jac) AS max_jaccard,
@@ -1362,19 +1363,19 @@ object CorpusQueries extends QueryGroup {
       |         AND EXISTS (SELECT 1 FROM s WHERE s.g0 = 'de' AND s.hv = u.hv)),
       |ea AS (SELECT CAST(n AS BIGINT) AS n_a,
       |         CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
-      |              ELSE round(255 * 4294967296.0 / kth, 2) END AS est_a
+      |              ELSE (CAST(floor((255 * 4294967296.0 / kth) * 1e2 + 0.5) AS BIGINT) / 1e2) END AS est_a
       |       FROM agg WHERE g0 = 'en'),
       |eb AS (SELECT CAST(n AS BIGINT) AS n_b,
       |         CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
-      |              ELSE round(255 * 4294967296.0 / kth, 2) END AS est_b
+      |              ELSE (CAST(floor((255 * 4294967296.0 / kth) * 1e2 + 0.5) AS BIGINT) / 1e2) END AS est_b
       |       FROM agg WHERE g0 = 'de'),
       |eu AS (SELECT n_u, CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
-      |              ELSE round(255 * 4294967296.0 / kth_u, 2) END AS est_union
+      |              ELSE (CAST(floor((255 * 4294967296.0 / kth_u) * 1e2 + 0.5) AS BIGINT) / 1e2) END AS est_union
       |       FROM uk)
       |SELECT 'en' AS grp_a, 'de' AS grp_b, CAST(256 AS INT) AS k,
       |       n_a, n_b, est_a, est_b, est_union,
-      |       round(n_both / CAST(n_u AS DOUBLE), 4) AS jaccard_est,
-      |       round(round(n_both / CAST(n_u AS DOUBLE), 4) * est_union, 2)
+      |       (CAST(floor((n_both / CAST(n_u AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) / 1e4) AS jaccard_est,
+      |       (CAST(floor(((CAST(floor((n_both / CAST(n_u AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) / 1e4) * est_union) * 1e2 + 0.5) AS BIGINT) / 1e2)
       |         AS est_intersection
       |FROM ea, eb, eu, nb""".stripMargin))
 
@@ -1686,15 +1687,15 @@ object CorpusQueries extends QueryGroup {
       |v AS (SELECT count(DISTINCT w) AS vsz FROM tok),
       |lab AS (
       |  SELECT nd.lab, tots.tot,
-      |         CAST(round(ln(nd.n_docs * 1.0 / ntot.n_total) * 10000)
+      |         CAST(floor(ln(nd.n_docs * 1.0 / ntot.n_total) * 10000 + 0.5)
       |           AS BIGINT) AS prior_lp,
-      |         CAST(round(ln(1.0 / (tots.tot + v.vsz)) * 10000)
+      |         CAST(floor(ln(1.0 / (tots.tot + v.vsz)) * 10000 + 0.5)
       |           AS BIGINT) AS slp0
       |  FROM nd, tots, ntot, v WHERE tots.lab = nd.lab),
       |wl AS (SELECT lang AS lab, w, count(*) AS c FROM tok GROUP BY 1, 2),
       |model AS (
       |  SELECT wl.lab, wl.w,
-      |         CAST(round(ln((wl.c + 1.0) / (lab.tot + v.vsz)) * 10000)
+      |         CAST(floor(ln((wl.c + 1.0) / (lab.tot + v.vsz)) * 10000 + 0.5)
       |           AS BIGINT) - lab.slp0 AS dlp
       |  FROM wl, lab, v WHERE wl.lab = lab.lab),
       |ntok AS (
@@ -1808,8 +1809,8 @@ object CorpusQueries extends QueryGroup {
       |SELECT source, n_docs, n_tokens,
       |       CAST(n_docs * 1000000 // t_docs AS BIGINT) AS doc_ppm,
       |       CAST(n_tokens * 1000000 // t_tokens AS BIGINT) AS token_ppm,
-      |       round(-(n_tokens::DOUBLE / t_tokens) *
-      |         ln(n_tokens::DOUBLE / t_tokens), 4) AS entropy_contrib
+      |       (CAST(floor((-(n_tokens::DOUBLE / t_tokens) *
+      |         ln(n_tokens::DOUBLE / t_tokens)) * 1e4 + 0.5) AS BIGINT) / 1e4) AS entropy_contrib
       |FROM ps, tot ORDER BY source""".stripMargin))
 
   private val p94 = QueryDef(
@@ -1920,7 +1921,7 @@ object CorpusQueries extends QueryGroup {
       |       FROM pw)
       |SELECT st.source, CAST(n_types AS BIGINT) AS n_types,
       |       CAST(c1 AS BIGINT) AS c1, CAST(rk.c AS BIGINT) AS c_ref,
-      |       round(ln(c1 / (rk.c)::DOUBLE) / ln(16), 4) AS zipf_s
+      |       (CAST(floor((ln(c1 / (rk.c)::DOUBLE) / ln(16)) * 1e4 + 0.5) AS BIGINT) / 1e4) AS zipf_s
       |FROM st JOIN rk ON st.source = rk.source AND rk.rk = 16
       |ORDER BY st.source""".stripMargin))
 
@@ -2320,8 +2321,8 @@ object CorpusQueries extends QueryGroup {
       |               (SELECT sum(cab) FROM bi) AS nb)
       |SELECT a AS word_a, b AS word_b, CAST(cab AS BIGINT) AS n_ab,
       |       CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
-      |       round(ln(CAST(cab * nw * nw AS DOUBLE) /
-      |                CAST(nb * ca * cb AS DOUBLE)), 4) AS pmi
+      |       (CAST(floor((ln(CAST(cab * nw * nw AS DOUBLE) /
+      |                CAST(nb * ca * cb AS DOUBLE))) * 1e4 + 0.5) AS BIGINT) / 1e4) AS pmi
       |FROM (SELECT bi.a, bi.b, bi.cab, x.c AS ca, y.c AS cb
       |      FROM bi JOIN uni x ON bi.a = x.w JOIN uni y ON bi.b = y.w
       |      WHERE bi.cab >= 5), tot

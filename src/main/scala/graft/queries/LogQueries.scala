@@ -25,25 +25,25 @@ object LogQueries extends QueryGroup {
   private val a1 = QueryDef(
     (s, d) => Compaction.publishOrder(env(s, d))
       .select(col("key"), col("msg_offset").as("last_offset"),
-        round(col("value"), 4).as("last_value"))
+        Exact.rRow(col("value"), 4).as("last_value"))
       .orderBy(col("key")),
     Some(s"""$E, c AS (
       |  SELECT key, msg_offset, value, tombstone,
       |         row_number() OVER (PARTITION BY key ORDER BY msg_offset DESC) AS rn
       |  FROM env WHERE marker_type IS NULL)
-      |SELECT key, msg_offset AS last_offset, round(value, 4) AS last_value
+      |SELECT key, msg_offset AS last_offset, (CAST(floor((value) * 1e4 + 0.5) AS BIGINT) / 1e4) AS last_value
       |FROM c WHERE rn = 1 AND NOT tombstone ORDER BY key""".stripMargin))
 
   private val a2 = QueryDef(
     (s, d) => Compaction.eventTimeOrder(env(s, d))
       .select(col("key"), col("msg_offset").as("last_offset"),
-        col("event_ms").as("last_event_ms"), round(col("value"), 4).as("last_value"))
+        col("event_ms").as("last_event_ms"), Exact.rRow(col("value"), 4).as("last_value"))
       .orderBy(col("key")),
     Some(s"""$E, c AS (
       |  SELECT key, msg_offset, event_ms, value, tombstone,
       |         row_number() OVER (PARTITION BY key ORDER BY event_ms DESC, msg_offset DESC) AS rn
       |  FROM env WHERE marker_type IS NULL)
-      |SELECT key, msg_offset AS last_offset, event_ms AS last_event_ms, round(value, 4) AS last_value
+      |SELECT key, msg_offset AS last_offset, event_ms AS last_event_ms, (CAST(floor((value) * 1e4 + 0.5) AS BIGINT) / 1e4) AS last_value
       |FROM c WHERE rn = 1 AND NOT tombstone ORDER BY key""".stripMargin))
 
   private val a3 = QueryDef(
@@ -56,25 +56,25 @@ object LogQueries extends QueryGroup {
           else b)
       merged.map { case (k, m) => (k, m.msg_offset, m.value) }
         .toDF("key", "chosen_offset", "chosen_value")
-        .withColumn("chosen_value", round(col("chosen_value"), 4))
+        .withColumn("chosen_value", Exact.rRow(col("chosen_value"), 4))
         .orderBy(col("key"))
     },
     Some(s"""$E, c AS (
       |  SELECT key, msg_offset, value,
       |         row_number() OVER (PARTITION BY key ORDER BY value DESC, msg_offset DESC) AS rn
       |  FROM env)
-      |SELECT key, msg_offset AS chosen_offset, round(value, 4) AS chosen_value
+      |SELECT key, msg_offset AS chosen_offset, (CAST(floor((value) * 1e4 + 0.5) AS BIGINT) / 1e4) AS chosen_value
       |FROM c WHERE rn = 1 ORDER BY key""".stripMargin))
 
   private val a5 = QueryDef(
     (s, d) => Compaction.tableView(env(s, d))
-      .withColumn("latest_value", round(col("latest_value"), 4))
+      .withColumn("latest_value", Exact.rRow(col("latest_value"), 4))
       .orderBy(col("key")),
     Some(s"""$E, c AS (
       |  SELECT key, value, publish_ms, msg_offset, tombstone,
       |         row_number() OVER (PARTITION BY key ORDER BY msg_offset DESC) AS rn
       |  FROM env WHERE marker_type IS NULL)
-      |SELECT key, round(value, 4) AS latest_value, publish_ms AS updated_ms, msg_offset AS last_offset
+      |SELECT key, (CAST(floor((value) * 1e4 + 0.5) AS BIGINT) / 1e4) AS latest_value, publish_ms AS updated_ms, msg_offset AS last_offset
       |FROM c WHERE rn = 1 AND NOT tombstone ORDER BY key""".stripMargin))
 
   private val a4 = QueryDef(
@@ -1161,9 +1161,9 @@ object LogQueries extends QueryGroup {
 
   private val o4 = QueryDef(
     (s, d) => LogOps.peek(env(s, d), "events-0", 10)
-      .select(col("msg_offset"), col("key"), round(col("value"), 4).as("payload")),
+      .select(col("msg_offset"), col("key"), Exact.rRow(col("value"), 4).as("payload")),
     Some(s"""$E
-      |SELECT msg_offset, key, round(value, 4) AS payload FROM env
+      |SELECT msg_offset, key, (CAST(floor((value) * 1e4 + 0.5) AS BIGINT) / 1e4) AS payload FROM env
       |WHERE topic = 'events-0' ORDER BY msg_offset LIMIT 10""".stripMargin))
 
   private val o6 = QueryDef(

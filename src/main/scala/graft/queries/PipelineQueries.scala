@@ -3608,7 +3608,7 @@ object PipelineQueries extends QueryGroup {
   private val covCte: String =
     """x AS (
       |  SELECT vec_id, CAST(pos - 1 AS INT) AS i,
-      |         CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000)
+      |         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000 + 0.5)
       |           AS BIGINT) AS x
       |  FROM (SELECT vec_id, embedding,
       |          unnest(range(1, len(embedding) + 1)) AS pos

@@ -158,7 +158,7 @@ object RelationalQueries extends QueryGroup {
         .withColumn("ok",
           col("asof_ts").isNotNull && col("click_ms") - col("purchase_ms") <= tolMs)
         .select(col("event_id"), col("user_id"), col("click_ms"),
-          when(col("ok"), round(col("pv"), 2)).as("purchase_value"),
+          when(col("ok"), Exact.rRow(col("pv"), 2)).as("purchase_value"),
           when(col("ok"), col("click_ms") - col("purchase_ms")).as("lag_ms"))
         .orderBy(col("event_id"))
     },
@@ -171,7 +171,7 @@ object RelationalQueries extends QueryGroup {
       |SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS click_ms,
       |       CASE WHEN p.ts IS NOT NULL
       |                 AND epoch_ms(c.ts) - epoch_ms(p.ts) <= 259200000
-      |            THEN round(p.pv, 2) END AS purchase_value,
+      |            THEN (CAST(floor((p.pv) * 1e2 + 0.5) AS BIGINT) / 1e2) END AS purchase_value,
       |       CASE WHEN p.ts IS NOT NULL
       |                 AND epoch_ms(c.ts) - epoch_ms(p.ts) <= 259200000
       |            THEN epoch_ms(c.ts) - epoch_ms(p.ts) END AS lag_ms
@@ -317,7 +317,7 @@ object RelationalQueries extends QueryGroup {
         .withColumn("spend_quartile", ntile(4).over(wq).cast("long"))
         .drop("o_totalprice")
       orders
-        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("cents", Exact.eRow(col("o_totalprice"), 2))
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           row_number().over(w).cast("long").as("order_seq"),
           sum(col("cents")).over(w).as("running_spend_cents"),
@@ -334,7 +334,7 @@ object RelationalQueries extends QueryGroup {
     },
     Some("""SELECT o_custkey, o_orderkey, o_orderdate,
       |  CAST(row_number() OVER w AS BIGINT) AS order_seq,
-      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
       |    AS running_spend_cents,
       |  lag(o_orderkey, 1) OVER w AS prev_orderkey,
       |  CAST(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate)
@@ -368,7 +368,7 @@ object RelationalQueries extends QueryGroup {
       val wf = org.apache.spark.sql.expressions.Window
         .partitionBy(col("k")).orderBy(col("cents"))
       val orders = t(s, d, "orders")
-        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("cents", Exact.eRow(col("o_totalprice"), 2))
       // coarse histogram over hundred-dollar buckets: bounded domain →
       // the cumulative window is histogram-scale, never row-scale
       val coarse = orders.groupBy(expr("cents div 10000").as("bkt"))
@@ -416,7 +416,7 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("o_custkey"), col("order_seq"))
     },
     Some("""WITH o AS (
-      |  SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       |  FROM orders),
       |rk AS (SELECT cents, row_number() OVER (ORDER BY cents DESC) AS rn
       |       FROM o),
@@ -461,11 +461,11 @@ object RelationalQueries extends QueryGroup {
           col("r_regionkey") === col("mr") &&
             col("s_acctbal") === col("max_bal"))
         .select(col("r_name"), col("s_suppkey"), col("s_name"), col("n_name"),
-          round(col("s_acctbal"), 2).as("acctbal"))
+          Exact.rRow(col("s_acctbal"), 2).as("acctbal"))
         .orderBy(col("r_name"), col("s_suppkey"))
     },
     Some("""SELECT r_name, s_suppkey, s_name, n_name,
-      |       round(s_acctbal, 2) AS acctbal
+      |       (CAST(floor((s_acctbal) * 1e2 + 0.5) AS BIGINT) / 1e2) AS acctbal
       |FROM supplier s
       |JOIN nation n ON s.s_nationkey = n.n_nationkey
       |JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -487,8 +487,8 @@ object RelationalQueries extends QueryGroup {
         .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
           col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
         .groupBy(col("l_suppkey"))
-        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .agg(sum(Exact.eRow(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.eRow(col("l_discount"), 2)))
           .as("rev_e4"))
       val top = rev.agg(max(col("rev_e4")).as("max_rev"))
       rev.crossJoin(broadcast(top))
@@ -496,20 +496,20 @@ object RelationalQueries extends QueryGroup {
         .join(broadcast(t(s, d, "supplier")),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("rev_e4"),
-          round(col("rev_e4") / 10000.0, 2).as("total_revenue"))
+          Exact.rRow(col("rev_e4") / 10000.0, 2).as("total_revenue"))
         .orderBy(col("s_suppkey"))
     },
     Some("""WITH rev AS (
       |  SELECT l_suppkey,
-      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
       |           AS rev_e4
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |    AND l_shipdate < TIMESTAMP '1997-01-01'
       |  GROUP BY 1)
       |SELECT s.s_suppkey, s.s_name, r.rev_e4,
-      |       round(r.rev_e4 / 10000.0, 2) AS total_revenue
+      |       (CAST(floor((r.rev_e4 / 10000.0) * 1e2 + 0.5) AS BIGINT) / 1e2) AS total_revenue
       |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
       |WHERE r.rev_e4 = (SELECT max(rev_e4) FROM rev)
       |ORDER BY s.s_suppkey""".stripMargin))
@@ -576,7 +576,7 @@ object RelationalQueries extends QueryGroup {
         .rangeBetween(-30, 0)
       t(s, d, "orders")
         .withColumn("day", day)
-        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("cents", Exact.eRow(col("o_totalprice"), 2))
         .select(col("o_custkey"), col("o_orderkey"), col("day"),
           count(lit(1)).over(w).as("n_30d"),
           sum(col("cents")).over(w).as("cents_30d"))
@@ -586,7 +586,7 @@ object RelationalQueries extends QueryGroup {
       |       CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
       |         AS BIGINT) AS day,
       |       CAST(count(*) OVER w AS BIGINT) AS n_30d,
-      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
       |         AS BIGINT) AS cents_30d
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey
@@ -618,14 +618,14 @@ object RelationalQueries extends QueryGroup {
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
             .cast("long").as("day"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          Exact.eRow(col("o_totalprice"), 2).as("price_cents"),
           col("total_qty"))
         .orderBy(col("total_qty").desc, col("o_orderkey"))
     },
     Some("""SELECT c_name, c_custkey, o_orderkey,
       |       CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
       |         AS BIGINT) AS day,
-      |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
       |FROM customer, orders, lineitem
       |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
@@ -684,7 +684,7 @@ object RelationalQueries extends QueryGroup {
   private val q12 = QueryDef(
     (s, d) => {
       val pos = t(s, d, "customer").filter(col("c_acctbal") > 0)
-        .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
+        .withColumn("cents", Exact.eRow(col("c_acctbal"), 2))
       val stats = pos.agg(count(lit(1)).as("n_pos"),
         sum(col("cents")).as("sum_cents"))
       val urgent = t(s, d, "orders")
@@ -700,7 +700,7 @@ object RelationalQueries extends QueryGroup {
     },
     Some("""WITH pos AS (
       |  SELECT c_custkey, c_mktsegment,
-      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
       |  FROM customer WHERE c_acctbal > 0)
       |SELECT c_mktsegment, count(*) AS numcust,
       |       CAST(sum(cents) AS BIGINT) AS totacctbal_cents
@@ -726,8 +726,8 @@ object RelationalQueries extends QueryGroup {
       val li = t(s, d, "lineitem").select(col("l_orderkey"),
         col("l_suppkey"),
         year(col("l_shipdate")).as("ship_year"),
-        (round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        (Exact.eRow(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.eRow(col("l_discount"), 2)))
           .as("rev_e4"))
       val sup = t(s, d, "supplier")
         .select(col("s_suppkey"), (col("s_nationkey") % 2).as("supp_bloc"))
@@ -745,8 +745,8 @@ object RelationalQueries extends QueryGroup {
     Some("""SELECT CAST(s.s_nationkey % 2 AS INT) AS supp_bloc,
       |       CAST(c.c_nationkey % 2 AS INT) AS cust_bloc,
       |       CAST(year(l.l_shipdate) AS INT) AS ship_year,
-      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
-      |         (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |         (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
       |         AS BIGINT) AS revenue_e4,
       |       count(*) AS n_items
       |FROM lineitem l, supplier s, orders o, customer c
@@ -854,14 +854,14 @@ object RelationalQueries extends QueryGroup {
             col("l_quantity").between(20, 50)))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_items"),
-          sum(round(col("l_extendedprice") * 100).cast("long") *
-            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          sum(Exact.eRow(col("l_extendedprice"), 2) *
+            (lit(100L) - Exact.eRow(col("l_discount"), 2)))
             .as("revenue_e4"))
         .orderBy(col("p_brand"))
     },
     Some("""SELECT p_brand, count(*) AS n_items,
-      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |         (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
       |         AS BIGINT) AS revenue_e4
       |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
@@ -885,8 +885,8 @@ object RelationalQueries extends QueryGroup {
   private val q17 = QueryDef(
     (s, d) => {
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
-        (round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        (Exact.eRow(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.eRow(col("l_discount"), 2)))
           .as("rev_e4"))
       val ord = t(s, d, "orders")
         .filter(col("o_orderdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'"))
@@ -906,8 +906,8 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("revenue_e4").desc, col("n_name"))
     },
     Some("""SELECT r_name, n_name,
-      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |         (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
       |         AS BIGINT) AS revenue_e4,
       |       count(*) AS n_items
       |FROM customer, orders, lineitem, supplier, nation, region
@@ -930,8 +930,8 @@ object RelationalQueries extends QueryGroup {
     (s, d) => {
       val li = t(s, d, "lineitem").select(
         year(col("l_shipdate")).as("ship_year"), col("l_partkey"),
-        (round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        (Exact.eRow(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.eRow(col("l_discount"), 2)))
           .as("rev_e4"))
       val part = t(s, d, "part")
         .select(col("p_partkey"), col("p_type").startsWith("PROMO").as("promo"))
@@ -946,18 +946,18 @@ object RelationalQueries extends QueryGroup {
     },
     Some("""SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
       |       CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
-      |           CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |           (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
       |         ELSE 0 END) AS BIGINT) AS promo_e4,
-      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |         (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
       |         AS BIGINT) AS total_e4,
       |       CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
-      |           CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |           (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
       |         ELSE 0 END) * 1000000 //
-      |         sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |           (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
       |         AS BIGINT) AS promo_ppm
       |FROM lineitem, part
       |WHERE l_partkey = p_partkey
@@ -981,7 +981,7 @@ object RelationalQueries extends QueryGroup {
         .select(col("p_partkey"), col("p_brand"))
       val li = t(s, d, "lineitem").select(col("l_partkey"),
         col("l_quantity").cast("long").as("qty"),
-        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+        Exact.eRow(col("l_extendedprice"), 2).as("price_cents"))
         .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
       val perPart = li.groupBy(col("l_partkey").as("pk"))
         .agg(count(lit(1)).as("n_li"), sum(col("qty")).as("sum_qty"))
@@ -993,7 +993,7 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("p_brand"))
     },
     Some("""SELECT p_brand, count(*) AS n_small,
-      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
       |         AS BIGINT) AS revenue_cents
       |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       |WHERE p.p_brand IN ('Brand#2', 'Brand#3')
@@ -1020,8 +1020,8 @@ object RelationalQueries extends QueryGroup {
     (s, d) => {
       val perPart = t(s, d, "lineitem")
         .groupBy(col("l_partkey"))
-        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .agg(sum(Exact.eRow(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.eRow(col("l_discount"), 2)))
           .as("part_e4"))
       val stats = perPart.agg(count(lit(1)).as("n_parts"),
         sum(col("part_e4")).as("total_e4"))
@@ -1035,8 +1035,8 @@ object RelationalQueries extends QueryGroup {
     },
     Some("""WITH pp AS (
       |  SELECT l_partkey,
-      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |           (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
       |           AS BIGINT) AS part_e4
       |  FROM lineitem GROUP BY 1)
       |SELECT pp.l_partkey AS partkey, p.p_name, pp.part_e4
@@ -1057,8 +1057,8 @@ object RelationalQueries extends QueryGroup {
       val li = t(s, d, "lineitem")
         .filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"),
-          (round(col("l_extendedprice") * 100).cast("long") *
-            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          (Exact.eRow(col("l_extendedprice"), 2) *
+            (lit(100L) - Exact.eRow(col("l_discount"), 2)))
             .as("rev_e4"))
       val ord = t(s, d, "orders")
         .filter(col("o_orderdate") >= expr("TIMESTAMP '1997-06-01 00:00:00'"))
@@ -1072,14 +1072,14 @@ object RelationalQueries extends QueryGroup {
         .join(broadcast(t(s, d, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("n_name"),
-          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+          Exact.eRow(col("c_acctbal"), 2).as("acctbal_cents"),
           col("revenue_e4"), col("n_returned"))
         .orderBy(col("revenue_e4").desc, col("c_custkey")).limit(20)
     },
     Some("""SELECT c_custkey, c_name, n_name,
-      |       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
-      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |         (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
       |         AS BIGINT) AS revenue_e4,
       |       count(*) AS n_returned
       |FROM customer, orders, lineitem, nation
@@ -1171,19 +1171,19 @@ object RelationalQueries extends QueryGroup {
       .filter(col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
         col("l_shipdate") < expr("TIMESTAMP '1998-01-01 00:00:00'") &&
         col("l_quantity") < 24)
-      .select((round(col("l_extendedprice") * 100).cast("long") *
-        round(col("l_discount") * 100).cast("long")).as("disc_e4"),
-        round(col("l_discount") * 100).cast("long").as("disc_pct"))
+      .select((Exact.eRow(col("l_extendedprice"), 2) *
+        Exact.eRow(col("l_discount"), 2)).as("disc_e4"),
+        Exact.eRow(col("l_discount"), 2).as("disc_pct"))
       .filter(col("disc_pct") >= 4 && col("disc_pct") <= 6)
       .agg(sum(col("disc_e4")).as("revenue_e4"), count(lit(1)).as("n_lines")),
-    Some("""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |         CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+    Some("""SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |         CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
       |       count(*) AS n_lines
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
       |  AND l_quantity < 24
-      |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 4 AND 6""".stripMargin))
+      |  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 4 AND 6""".stripMargin))
 
   /** TPC-H Q8-shaped market share: of the revenue on orders placed by
    * ASIA-region customers, the fraction supplied by NATION_7 suppliers,
@@ -1209,8 +1209,8 @@ object RelationalQueries extends QueryGroup {
           col("n_name").as("sn_name"))), col("s_nationkey") === col("sn_key"))
         .select(col("s_suppkey"), (col("sn_name") === "NATION_7").as("is_target"))
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
-        (round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        (Exact.eRow(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.eRow(col("l_discount"), 2)))
           .as("rev_e4"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
@@ -1223,18 +1223,18 @@ object RelationalQueries extends QueryGroup {
     },
     Some("""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
       |       CAST(sum(CASE WHEN sn.n_name = 'NATION_7' THEN
-      |           CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |           (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
       |         ELSE 0 END) AS BIGINT) AS target_e4,
-      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |         (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
       |         AS BIGINT) AS total_e4,
       |       CAST(sum(CASE WHEN sn.n_name = 'NATION_7' THEN
-      |           CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |           (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
       |         ELSE 0 END) * 1000000 //
-      |         sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |           (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
       |         AS BIGINT) AS share_ppm
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -1252,9 +1252,9 @@ object RelationalQueries extends QueryGroup {
   private val q26 = QueryDef(
     (s, d) => t(s, d, "lineitem")
       .select(col("l_returnflag"), col("l_linestatus"),
-        round(col("l_quantity") * 100).cast("long").as("qty_e2"),
-        (round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        Exact.eRow(col("l_quantity"), 2).as("qty_e2"),
+        (Exact.eRow(col("l_extendedprice"), 2) *
+          (lit(100L) - Exact.eRow(col("l_discount"), 2)))
           .as("rev_e4"))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("qty_e2")).as("sum_qty_e2"),
@@ -1270,10 +1270,10 @@ object RelationalQueries extends QueryGroup {
     Some("""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
       |       coalesce(l_returnflag, '*') AS returnflag,
       |       coalesce(l_linestatus, '*') AS linestatus,
-      |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
       |         AS sum_qty_e2,
-      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |         (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
       |         AS BIGINT) AS sum_rev_e4,
       |       count(*) AS n
       |FROM lineitem
@@ -1295,7 +1295,7 @@ object RelationalQueries extends QueryGroup {
       val li = t(s, d, "lineitem")
       graft.pipeline.CorpusOps.exactQuantiles(li,
           col("l_returnflag"),
-          round(col("l_extendedprice") * 100).cast("long"),
+          Exact.eRow(col("l_extendedprice"), 2),
           Seq((1, 2), (9, 10)))
         .select(col("source").as("l_returnflag"), col("q"), col("n"),
           col("rank"), col("value"))
@@ -1303,7 +1303,7 @@ object RelationalQueries extends QueryGroup {
     },
     Some("""WITH v AS (
       |  SELECT l_returnflag AS f,
-      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
       |  FROM lineitem),
       |r AS (SELECT f, v,
       |             row_number() OVER (PARTITION BY f ORDER BY v) AS rn,
@@ -1311,7 +1311,7 @@ object RelationalQueries extends QueryGroup {
       |      FROM v),
       |qs AS (SELECT * FROM (VALUES (1, 2), (9, 10)) t(qnum, qden))
       |SELECT f AS l_returnflag,
-      |       round(CAST(qnum AS DOUBLE) / qden, 4) AS q,
+      |       (CAST(floor((CAST(qnum AS DOUBLE) / qden) * 1e4 + 0.5) AS BIGINT) / 1e4) AS q,
       |       CAST(n AS BIGINT) AS n,
       |       CAST((qnum * n + qden - 1) // qden AS BIGINT) AS rank,
       |       v AS value
@@ -1461,7 +1461,7 @@ object RelationalQueries extends QueryGroup {
         .withColumn("click_ms", expr("ts_us div 1000"))
         .withColumn("purchase_ms", expr("asof_ts div 1000"))
         .select(col("event_id"), col("user_id"), col("click_ms"),
-          round(col("pv"), 2).as("purchase_value"),
+          Exact.rRow(col("pv"), 2).as("purchase_value"),
           (col("click_ms") - col("purchase_ms")).as("lag_ms"))
         .orderBy(col("event_id"))
     },
@@ -1473,7 +1473,7 @@ object RelationalQueries extends QueryGroup {
       |  WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts)
       |)
       |SELECT c.event_id, c.user_id, c.us // 1000 AS click_ms,
-      |       round(m.pv, 2) AS purchase_value,
+      |       (CAST(floor((m.pv) * 1e2 + 0.5) AS BIGINT) / 1e2) AS purchase_value,
       |       c.us // 1000 - m.us // 1000 AS lag_ms
       |FROM clicks c LEFT JOIN LATERAL (
       |  SELECT p.us, p.pv FROM purch p
@@ -1491,7 +1491,7 @@ object RelationalQueries extends QueryGroup {
     (s, d) => {
       val li = t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),
-          round(col("l_quantity") * 100).cast("long").as("qty_e2"))
+          Exact.eRow(col("l_quantity"), 2).as("qty_e2"))
       // GROUPING SETS ((l_returnflag), (l_linestatus)) via SQL — the
       // DataFrame API exposes only rollup/cube; the lattice form is SQL.
       // The view name is unique per invocation and dropped immediately
@@ -1515,7 +1515,7 @@ object RelationalQueries extends QueryGroup {
     Some("""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
       |       coalesce(l_returnflag, '*') AS returnflag,
       |       coalesce(l_linestatus, '*') AS linestatus,
-      |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
       |         AS sum_qty_e2,
       |       count(*) AS n
       |FROM lineitem
@@ -1536,7 +1536,7 @@ object RelationalQueries extends QueryGroup {
     (s, d) => {
       val ev = EventLog.raw(s, d)
         .select(col("user_id"), expr("(ts div 1000000) div 86400000").as("day"),
-          round(col("value") * 100).cast("long").as("cents"))
+          Exact.eRow(col("value"), 2).as("cents"))
       val horizon = ev.agg(max(col("day")).as("h"))
       val rfm = ev.groupBy(col("user_id"))
         .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
@@ -1566,7 +1566,7 @@ object RelationalQueries extends QueryGroup {
     },
     Some("""WITH ev AS (
       |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
-      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       |  FROM events),
       |rfm AS (
       |  SELECT user_id,
@@ -1666,7 +1666,7 @@ object RelationalQueries extends QueryGroup {
         .partitionBy(col("l_returnflag")).orderBy(col("qty_e2"))
       t(s, d, "lineitem")
         .select(col("l_returnflag"),
-          round(col("l_quantity") * 100).cast("long").as("qty_e2"))
+          Exact.eRow(col("l_quantity"), 2).as("qty_e2"))
         .withColumn("rnk", rank().over(w).cast("long"))
         .withColumn("drnk", dense_rank().over(w).cast("long"))
         .withColumn("prank", percent_rank().over(w))
@@ -1679,14 +1679,14 @@ object RelationalQueries extends QueryGroup {
     },
     Some("""WITH r AS (
       |  SELECT l_returnflag,
-      |         CAST(round(l_quantity * 100) AS BIGINT) AS qty_e2,
+      |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_e2,
       |         CAST(rank() OVER w AS BIGINT) AS rnk,
       |         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
       |         percent_rank() OVER w AS prank,
       |         cume_dist() OVER w AS cdist
       |  FROM lineitem
       |  WINDOW w AS (PARTITION BY l_returnflag
-      |               ORDER BY CAST(round(l_quantity * 100) AS BIGINT)))
+      |               ORDER BY CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)))
       |SELECT l_returnflag, qty_e2, count(*) AS n_rows,
       |       min(rnk) AS rnk, min(drnk) AS drnk,
       |       min(prank) AS prank, min(cdist) AS cdist
@@ -1738,18 +1738,18 @@ object RelationalQueries extends QueryGroup {
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .select(col("n_name"), year(col("l_shipdate")).cast("long").as("o_year"),
-          (round(col("l_extendedprice") * 100).cast("long") *
-            (lit(100L) - round(col("l_discount") * 100).cast("long") -
-              round(col("l_tax") * 100).cast("long"))).as("amount_e4"))
+          (Exact.eRow(col("l_extendedprice"), 2) *
+            (lit(100L) - Exact.eRow(col("l_discount"), 2) -
+              Exact.eRow(col("l_tax"), 2))).as("amount_e4"))
         .groupBy(col("n_name"), col("o_year"))
         .agg(sum(col("amount_e4")).as("profit_e4"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("n_name"), col("o_year"))
     },
     Some("""SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
-      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      |           (100 - CAST(round(l_discount * 100) AS BIGINT)
-      |                - CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS profit_e4,
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+      |                - CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS BIGINT) AS profit_e4,
       |       count(*) AS n_lines
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
@@ -1834,7 +1834,7 @@ object RelationalQueries extends QueryGroup {
           (col("n_weeks") * col("sxy") - col("sx") * (col("n_events"))).as("num"),
           (col("n_weeks") * col("sxx") - col("sx") * col("sx")).as("den"))
         .withColumn("slope", when(col("den") === 0L, lit(null))
-          .otherwise(round(col("num").cast("double") /
+          .otherwise(Exact.rRow(col("num").cast("double") /
             col("den").cast("double"), 6)))
         .orderBy(col("event_type"))
     },
@@ -1858,8 +1858,8 @@ object RelationalQueries extends QueryGroup {
       |       CAST(n_weeks * sxy - sx * n_events AS BIGINT) AS num,
       |       CAST(n_weeks * sxx - sx * sx AS BIGINT) AS den,
       |       CASE WHEN n_weeks * sxx - sx * sx = 0 THEN NULL
-      |            ELSE round(CAST(n_weeks * sxy - sx * n_events AS DOUBLE) /
-      |                       CAST(n_weeks * sxx - sx * sx AS DOUBLE), 6)
+      |            ELSE (CAST(floor((CAST(n_weeks * sxy - sx * n_events AS DOUBLE) /
+      |                       CAST(n_weeks * sxx - sx * sx AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) / 1e6)
       |       END AS slope
       |FROM a ORDER BY event_type""".stripMargin))
 
@@ -1879,7 +1879,7 @@ object RelationalQueries extends QueryGroup {
       EventLog.raw(s, d)
         .select(col("user_id"), col("event_id"),
           expr("ts div 1000000").as("ms"),
-          round(col("value") * 100).cast("long").as("v_e2"))
+          Exact.eRow(col("value"), 2).as("v_e2"))
         .withColumn("next_ms", lead(col("ms"), 1).over(w))
         .filter(col("next_ms").isNotNull)
         .groupBy(col("user_id"))
@@ -1891,13 +1891,13 @@ object RelationalQueries extends QueryGroup {
             .cast("long").as("vms_e2"),
           (max(col("next_ms")) - min(col("ms"))).as("span_ms"))
         .withColumn("twap_e2", when(col("span_ms") === 0L, lit(null))
-          .otherwise(round(col("vms_e2").cast("double") /
+          .otherwise(Exact.rRow(col("vms_e2").cast("double") /
             col("span_ms").cast("double"), 6)))
         .orderBy(col("user_id"))
     },
     Some("""WITH e AS (
       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
-      |         CAST(round(value * 100) AS BIGINT) AS v_e2 FROM events),
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2 FROM events),
       |l AS (SELECT user_id, ms, v_e2,
       |        lead(ms) OVER (PARTITION BY user_id
       |          ORDER BY ms, event_id) AS next_ms
@@ -1908,8 +1908,8 @@ object RelationalQueries extends QueryGroup {
       |      FROM l WHERE next_ms IS NOT NULL GROUP BY user_id)
       |SELECT user_id, n_intervals, vms_e2, span_ms,
       |       CASE WHEN span_ms = 0 THEN NULL
-      |            ELSE round(CAST(vms_e2 AS DOUBLE) /
-      |                       CAST(span_ms AS DOUBLE), 6) END AS twap_e2
+      |            ELSE (CAST(floor((CAST(vms_e2 AS DOUBLE) /
+      |                       CAST(span_ms AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) / 1e6) END AS twap_e2
       |FROM a ORDER BY user_id""".stripMargin))
 
   override val defs: Map[String, QueryDef] = Map(
