@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
  * the identical pipeline, so the result is a function of the multiset of
  * inputs, never of the aggregation tree shape.
  *
+ * A note on the SQL side: most DuckDB oracle strings INLINE the literal
+ * `CAST(floor((x) * 1eK + 0.5) AS BIGINT)` form rather than interpolate
+ * the helpers — oracles are deliberately independent replications, and
+ * a fully shared SQL generator would let a helper bug pass both engines
+ * unnoticed. The SQL twins here are for sites where the expression is
+ * already interpolated (scale constants) and textual drift is the
+ * bigger risk.
+ *
  * The ratio/avg helpers carry the same discipline to rounded integer
  * ratios, in the overflow-safe split form: round-half-up of num·10^k/den
  * decomposes as quotient·10^k + remainder-rounding, keeping every

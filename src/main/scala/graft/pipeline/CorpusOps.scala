@@ -1505,16 +1505,25 @@ object CorpusOps {
    */
   def temperatureMix(df: DataFrame, groupCol: Column, textCol: Column,
       budgetTokens: Long): DataFrame = {
+    // per-GROUP sqrt quantized to an exact e6 integer BEFORE the global
+    // sum: sum(sqrt(n_tokens)) as a float SUM is order-dependent across
+    // partial aggregation (the p54/p79 class) and fed two quantized
+    // oracle columns; the integer sum is exact in any order (group count
+    // × sqrt(tokens)·1e6 stays far under 2⁶³ at 100 TB — Cauchy-Schwarz
+    // bounds Σ√nᵢ by √(G·Σnᵢ) ≈ 5e9 for a million groups over 2.6e13
+    // tokens), and every ratio below is one deterministic long/long
+    // IEEE division
     val mass = df.groupBy(groupCol.as("grp"))
       .agg(coalesce(sum(TextOps.tokenCount(textCol)), lit(0L)).as("n_tokens"))
+      .withColumn("sq_e6", Exact.eRow(sqrt(col("n_tokens")), 6))
     val tot = mass.agg(sum(col("n_tokens")).as("tot"),
-      sum(sqrt(col("n_tokens"))).as("stot"))
+      sum(col("sq_e6")).as("stot_e6"))
     mass.crossJoin(broadcast(tot))
       .select(col("grp"), col("n_tokens"),
         Exact.eRow(col("n_tokens") / col("tot"), 6).as("share_ppm"),
-        Exact.eRow(sqrt(col("n_tokens")) / col("stot"), 6)
+        Exact.eRow(col("sq_e6") / col("stot_e6"), 6)
           .as("temp_share_ppm"),
-        Exact.eRow(sqrt(col("n_tokens")) / col("stot") * budgetTokens, 0)
+        Exact.eRow(col("sq_e6") / col("stot_e6") * budgetTokens, 0)
           .as("budget_tokens"))
   }
 

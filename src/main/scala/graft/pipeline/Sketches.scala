@@ -203,12 +203,23 @@ object Sketches {
       .groupBy(col("source"), col("idx")).agg(max(col("rho")).as("r"))
   }
 
-  /** Estimate from a register relation — a pure function of the sketch. */
+  /** Estimate from a register relation — a pure function of the sketch.
+   * The harmonic denominator Σ2^−r is summed as an EXACT scaled integer
+   * (each register contributes 2^(K−r) with K = the max possible ρ, so
+   * the sum is ≤ m·2^(K−1) ≤ 2⁶⁰ — exact in a long in any aggregation
+   * order) and scaled back by one division by 2^K, a pure exponent
+   * shift with no rounding; a float SUM of pow(2,−r) terms wider than
+   * the 52-bit mantissa is order-dependent across partial aggregation
+   * (the p54/p79 class). */
   def hllEstimateFromRegisters(regs: DataFrame, b: Int = 6): DataFrame = {
     val m = 1 << b
+    val maxRho = 61 - b // remBits + 1 (see hllRegisters)
     regs.groupBy(col("source"))
-      .agg(sum(pow(lit(2.0), -col("r"))).as("_inv"),
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - r)"))
+        .as("_inv_e"),
         count(lit(1)).as("_present"))
+      .withColumn("_inv",
+        col("_inv_e").cast("double") / lit(math.pow(2.0, maxRho)))
       // absent registers hold 0 → each contributes 2^0 = 1 to the
       // denominator; zeros also drive the linear-counting branch
       .withColumn("_zeros", lit(m) - col("_present"))

@@ -465,7 +465,7 @@ object CorpusQueries extends QueryGroup {
       |SELECT k.source, CAST(n_kept AS INT) AS n_kept,
       |       CAST(kth AS BIGINT) AS kth_min,
       |       CASE WHEN n_kept < $kmvK THEN CAST(n_kept AS DOUBLE)
-      |            ELSE (CAST(floor((${kmvK - 1} * 4294967296.0 / kth) * 1e2 + 0.5) AS BIGINT) / 1e2) END
+      |            ELSE ${Exact.sqlRRow(s"${kmvK - 1} * 4294967296.0 / kth", 2)} END
       |         AS est_distinct,
       |       CAST(exact_distinct AS BIGINT) AS exact_distinct
       |FROM kset k JOIN ex USING (source) ORDER BY source""".stripMargin))
@@ -500,10 +500,14 @@ object CorpusQueries extends QueryGroup {
       |          max(CASE WHEN hv % 18014398509481984 = 0 THEN 55
       |               ELSE 55 - length(bin(hv % 18014398509481984)) END) AS r
       |        FROM hh GROUP BY source, idx),
-      |e AS (SELECT source, sum(power(2.0, -r)) AS inv, count(*) AS present
+      |e AS (SELECT source,
+      |        sum(CAST(1 AS BIGINT) << (55 - r)) AS inv_e,
+      |        count(*) AS present
       |      FROM reg GROUP BY source),
       |f AS (SELECT source, 64 - present AS zeros,
-      |             0.709 * 64 * 64 / (inv + (64 - present)) AS raw
+      |             0.709 * 64 * 64 /
+      |               (CAST(inv_e AS DOUBLE) / 36028797018963968.0
+      |                + (64 - present)) AS raw
       |      FROM e),
       |ex AS (SELECT source, count(DISTINCT gram) AS exact_distinct
       |       FROM g GROUP BY source)
@@ -1051,7 +1055,7 @@ object CorpusQueries extends QueryGroup {
       |  SELECT source, n_chars FROM documents
       |  WHERE n_chars IS NOT NULL AND n_chars > 0),
       |b AS (SELECT source,
-      |        CAST(ceil((CAST(floor((ln(CAST(n_chars AS DOUBLE)) / $ddLnGamma) * 1e9 + 0.5) AS BIGINT) / 1e9))
+      |        CAST(ceil(${Exact.sqlRRow(s"ln(CAST(n_chars AS DOUBLE)) / $ddLnGamma", 9)})
       |          AS BIGINT) AS bucket,
       |        count(*) AS n
       |      FROM v GROUP BY 1, 2),
@@ -1066,7 +1070,7 @@ object CorpusQueries extends QueryGroup {
       |        WHERE cum > floor(q * (total - 1))
       |        GROUP BY source, q)
       |SELECT source, q, bucket,
-      |       (CAST(floor((2.0 * power($ddGamma, bucket) / ${ddGamma + 1}) * 1e4 + 0.5) AS BIGINT) / 1e4) AS est,
+      |       ${Exact.sqlRRow(s"2.0 * power($ddGamma, bucket) / ${ddGamma + 1}", 4)} AS est,
       |       n_values
       |FROM sel ORDER BY source, q""".stripMargin))
 
@@ -1204,14 +1208,17 @@ object CorpusQueries extends QueryGroup {
       |  SELECT source AS grp,
       |         CAST(coalesce(sum(len($WORDS)), 0) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY 1),
-      |t AS (SELECT sum(n_tokens) AS tot, sum(sqrt(n_tokens)) AS stot FROM m)
+      |m2 AS (SELECT grp, n_tokens,
+      |         CAST(floor(sqrt(n_tokens) * 1e6 + 0.5) AS BIGINT) AS sq_e6
+      |       FROM m),
+      |t AS (SELECT sum(n_tokens) AS tot, sum(sq_e6) AS stot_e6 FROM m2)
       |SELECT grp, n_tokens,
       |       CAST(floor(n_tokens / tot * 1e6 + 0.5) AS BIGINT) AS share_ppm,
-      |       CAST(floor(sqrt(n_tokens) / stot * 1e6 + 0.5) AS BIGINT)
+      |       CAST(floor(sq_e6 / stot_e6 * 1e6 + 0.5) AS BIGINT)
       |         AS temp_share_ppm,
-      |       CAST(floor(sqrt(n_tokens) / stot * 1000000 + 0.5) AS BIGINT)
+      |       CAST(floor(sq_e6 / stot_e6 * 1000000 + 0.5) AS BIGINT)
       |         AS budget_tokens
-      |FROM m, t ORDER BY grp""".stripMargin))
+      |FROM m2, t ORDER BY grp""".stripMargin))
 
   // ------------------------------------------ p67 vocabulary stats
 
