@@ -30,11 +30,13 @@ import org.apache.spark.sql.functions._
  * The ratio/avg helpers carry the same discipline to rounded integer
  * ratios, in the overflow-safe split form: round-half-up of num·10^k/den
  * decomposes as quotient·10^k + remainder-rounding, keeping every
- * intermediate ≤ ~2·den·10^k where the naive `(2·num·10^k + den) div
+ * intermediate ≤ den·(2·10^k+1) where the naive `(2·num·10^k + den) div
  * (2·den)` overflows Long once num exceeds ~4.6·10^14 at k=4 — real
  * corpus-scale sums (token counts at 100 TB) pass that line.
- * Preconditions: num ≥ 0, den > 0 (all call sites are counts/sums of
- * non-negative measures).
+ * Preconditions: num ≥ 0, den > 0, den ≤ (2⁶³−1)/(2·10^k+1) — the tight
+ * den bound is property-verified in ExactIntProps (its first run
+ * falsified the looser (2⁶³−1)/(2·10^k) at the exact boundary); every
+ * call site's den is a group/doc count, ~6 orders inside it.
  */
 object Exact {
   private def p10d(k: Int): Double = math.pow(10, k)

@@ -85,4 +85,53 @@ object ExactIntProps extends Properties("ExactInt") {
         }
         Prop(histA == classicalA)
     }
+
+  // ------------------------------------------------------------------
+  // The round-16 Exact split-ratio form (Exact.sparkRatioE/duckRatioE):
+  //   (num div den)·10^k + (2·(num mod den)·10^k + den) div (2·den)
+  // claimed equal to round-half-up(num·10^k / den) with every
+  // intermediate in Long range whenever den ≤ (2⁶³−1)/(2·10^k+1) and
+  // the RESULT fits — i.e. num may be a full corpus-scale sum (the
+  // naive (2·num·10^k + den) form wraps once num > ~4.6e14 at k=4).
+  // The first run of this property FALSIFIED the looser den ≤
+  // (2⁶³−1)/(2·10^k) bound at its exact boundary (r = den−1 wraps
+  // 2·r·m + den) — the tight bound below is the property's own
+  // discovery; every product call site has den = a group/doc count,
+  // ~6 orders inside it. Scala
+  // long arithmetic here mirrors Spark's `div`/`%` and DuckDB's `//`/`%`
+  // exactly on non-negative longs, so this property covers all three
+  // evaluators of the shared rendering.
+  private val ratioCase: Gen[(Long, Long, Int)] = for {
+    k <- Gen.oneOf(2, 4, 6)
+    m = math.pow(10, k).toLong
+    den <- Gen.oneOf(
+      Gen.chooseNum(1L, 1000L), // small denominators (group counts)
+      Gen.chooseNum(1L, Long.MaxValue / (2 * m + 1))) // up to the bound
+    q <- Gen.chooseNum(0L,
+      math.min(Long.MaxValue / m - 2, (Long.MaxValue - den + 1) / den))
+    r <- Gen.chooseNum(0L, den - 1)
+  } yield ((q * den + r, den, k))
+
+  property("split-form e-k ratio == BigInt round-half-up, intermediates in range") =
+    Prop.forAllNoShrink(ratioCase) { case (num, den, k) =>
+      val m = math.pow(10, k).toLong
+      val got = (num / den) * m + (2 * (num % den) * m + den) / (2 * den)
+      val expected = (2 * BigInt(num) * m + den) / (2 * BigInt(den))
+      val interOk = 2 * BigInt(num % den) * m + den <= Long.MaxValue &&
+        BigInt(num / den) * m <= Long.MaxValue
+      Prop(BigInt(got) == expected && interOk)
+    }
+
+  property("e-k row code floor(x*10^k + 0.5) is exact on k-dp data") =
+    // the money-family losslessness claim: a value that IS exactly k-dp
+    // (cents/10^k) round-trips through the code with zero error
+    forAll(Gen.chooseNum(-92233720368L, 92233720368L), Gen.oneOf(2, 4)) {
+      (cents, k) =>
+        val m = math.pow(10, k)
+        val x = cents / m // exactly representable? not always — but the
+        // property holds for the nearest double of cents/10^k, which is
+        // what parquet stores: its code must recover the SAME cents
+        val got = math.floor(x * m + 0.5).toLong
+        Prop(got == cents)
+    }
 }
