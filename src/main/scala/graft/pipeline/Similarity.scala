@@ -1655,27 +1655,30 @@ object Similarity {
    * error (~1e-16) sits 12 orders under the e4 quantization step of
    * the Lloyd means, so training reproduces the patterns exactly.
    *
-   * Shape at 100 TB: the anchor side is |corpus|/50 — data-DEPENDENT,
-   * so it is never force-broadcast (the round-15 census rule); the
-   * anchor join is a merge-hinted equi-join on aid. That shape
-   * exchanges BOTH children — the 2%-of-corpus anchor relation AND the
-   * full corpus projection shuffle on _aid — which is the honest price
-   * of refusing the non-demotable broadcast: a sort-merge spills where
-   * a misestimated corpus-fraction broadcast build OOMs the executors.
-   * (A deployment that derives this fixture repeatedly would bucket the
-   * corpus on _aid to delete the big exchange — the BucketingSpec
-   * mechanism; the audit derives it once per session.) Patterns and
-   * signs are literal constants unrolled at plan build. The output is
-   * array<double>.
+   * Shape at 100 TB: the anchor is the %50 row of the vector's OWN
+   * block, so no second relation is needed — a window over the block
+   * key propagates the anchor embedding with ONE corpus shuffle on
+   * _aid (hash exchange + block-local sort), strictly cheaper than the
+   * two shapes it replaces: a broadcast of the |corpus|/50 anchor side
+   * (data-DEPENDENT — the round-15 census class, an OOM under a static
+   * misestimate) and a merge equi-join (TWO exchanges + two sorts).
+   * Blocks without an anchor row (the 10× replica corpus's mapped
+   * replicas) drop via the null filter, matching the old inner join.
+   * Patterns and signs are literal constants unrolled at plan build.
+   * The output is array<double>.
    */
   def plantedEmbeddings(e: DataFrame): DataFrame = {
-    val anchors = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("_aid"), col("embedding").as("_aemb"))
+    val byBlock = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_aid"))
     val withPat = (0 until 4).foldLeft(
-      e.select(col("vec_id"), col("label"))
+      e.select(col("vec_id"), col("label"), col("embedding"))
         .withColumn("_aid", expr("(vec_id div 50) * 50"))) { (df, s) =>
       df.withColumn(s"_p$s", expr(plantedPatternSql(s, "div")))
     }
+      .withColumn("_aemb", first(
+        when(col("vec_id") % 50 === 0, col("embedding")),
+        ignoreNulls = true).over(byBlock))
+      .filter(col("_aemb").isNotNull)
     val dims = (0 until 64).map { i =>
       val s = i / 16
       val jit = when(col("vec_id") % 50 === 0, lit(0.0))
@@ -1686,7 +1689,7 @@ object Similarity {
         })
       (element_at(col("_aemb"), i + 1).cast("double") + jit).as(s"_d$i")
     }
-    withPat.join(anchors.hint("merge"), Seq("_aid"))
+    withPat
       .select(col("vec_id"), col("label"), array(dims: _*).as("embedding"))
   }
 }
