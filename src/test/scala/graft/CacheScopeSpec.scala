@@ -60,4 +60,29 @@ class CacheScopeSpec extends AnyFunSuite {
     CacheScope.releaseRun()
     assert(!m.storageLevel.useMemory)
   }
+
+  test("memoRun builder racing releaseRun does not cache into the dead run") {
+    // Deterministic single-thread replay of the interleaving: the build
+    // thunk runs OUTSIDE the monitor, so a releaseRun can fire between
+    // the first check and the registration. The generation counter must
+    // make the loser hand back an UNCACHED dataset and leave the (now
+    // ended) run's memo empty — without it, the persisted dataset would
+    // pin MEMORY_AND_DISK blocks in an empty memo until some future
+    // releaseRun (the round-15 ADVICE race).
+    CacheScope.releaseRun()
+    val got = CacheScope.memoRun("spec:raced") {
+      CacheScope.releaseRun() // the run ends while we are building
+      spark.range(11).toDF()
+    }
+    got.count()
+    assert(CacheScope.runSize === 0, "raced builder registered into a dead run")
+    assert(!got.storageLevel.useMemory,
+      "raced builder's dataset stayed persisted with no owner")
+    // and the next run is undamaged: a fresh memoRun caches normally
+    var builds = 0
+    val fresh = CacheScope.memoRun("spec:raced") { builds += 1; spark.range(11).toDF() }
+    assert(builds === 1 && CacheScope.runSize === 1)
+    assert(fresh.storageLevel.useMemory)
+    CacheScope.releaseRun()
+  }
 }
