@@ -1107,8 +1107,89 @@ object StreamingSmoke {
         want30.nonEmpty && after32.nonEmpty,
       s"stream=${got32.size} batch=${want30.size}")
 
+    // 33) Bucketed persisted index under APPEND — the deployed write
+    // mode check 32 stops short of: the base band table is written
+    // bucketBy(band, band_hash); each micro-batch APPENDS its increment
+    // under the SAME bucket spec; the probe against the grown table
+    // must still read bucket-locally (ZERO shuffle exchange on the
+    // index side — only the batch side exchanges into the index's
+    // bucketing) and must see exactly the pairs an unbucketed scan of
+    // the same files sees. A mis-bucketed append would not ERROR — it
+    // would silently DROP cross-file candidate pairs from the
+    // bucket-local join — so the parity leg is the load-bearing half.
+    // BucketingSpec proves the one-shot mechanism; this proves appends
+    // preserve it, which is what the 100 TB deployment relies on.
+    locally {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      // plain physical plan for the structural walk; no broadcast so
+      // co-location (not a broadcast) is what removes the shuffle
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dir33 = Files.createTempDirectory("graft-lsh-bucketed-").toString
+      try {
+        graft.pipeline.DedupOps.lshIndexOf(
+            allDocs30.filter(col("doc_id") % 10 =!= 5), "doc_id", "text",
+            isBase = true)
+          .banded.write.bucketBy(8, "band", "band_hash")
+          .sortBy("band", "band_hash")
+          .option("path", s"$dir33/banded_b").saveAsTable("lsh_banded_33")
+        graft.CacheScope.releaseAll()
+        chunks32.foreach { c =>
+          graft.pipeline.DedupOps.lshIndexOf(
+              c.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+              isBase = false)
+            .banded.write.mode("append").format("parquet")
+            .bucketBy(8, "band", "band_hash").sortBy("band", "band_hash")
+            .saveAsTable("lsh_banded_33")
+          graft.CacheScope.releaseAll()
+        }
+        val probeBatch33 = graft.pipeline.DedupOps.lshIndexOf(
+          allDocs30.filter(col("doc_id") % 10 === 5), "doc_id", "text",
+          isBase = false).banded
+        def probe33(idx: org.apache.spark.sql.DataFrame) =
+          probeBatch33.as("a").join(idx.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("b.doc") =!= col("a.doc"))
+            .select(col("a.doc").as("doc_id"), col("b.doc").as("partner"))
+            .distinct()
+        val probe = probe33(spark.table("lsh_banded_33"))
+        def strip33(p: SparkPlan): SparkPlan = p match {
+          case a: AdaptiveSparkPlanExec => strip33(a.executedPlan)
+          case o => o
+        }
+        val smj33 = strip33(probe.queryExecution.executedPlan).collectFirst {
+          case j: SortMergeJoinExec => j
+        }
+        val planOk = smj33.exists { j =>
+          j.right.collect { case e: ShuffleExchangeLike => e }.isEmpty &&
+            j.left.collect { case e: ShuffleExchangeLike => e }.nonEmpty &&
+            j.right.toString.contains("Bucketed: true")
+        }
+        val got33 = probe.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        // ground truth: the SAME files read without bucketing metadata —
+        // a full two-sided shuffle join over every appended row
+        val want33 = probe33(spark.read.parquet(s"$dir33/banded_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        check("bucketed-index-append-probe",
+          planOk && got33.nonEmpty && got33 == want33,
+          s"planOk=$planOk got=${got33.size} want=${want33.size}")
+        graft.CacheScope.releaseAll()
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS lsh_banded_33")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      }
+    }
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 32 converged to batch twins OK")
+    println(s"[stream-smoke] all 33 converged to batch twins OK")
     spark.stop()
   }
 }
