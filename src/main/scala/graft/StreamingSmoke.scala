@@ -1138,7 +1138,9 @@ object StreamingSmoke {
           .banded.write.bucketBy(8, "band", "band_hash")
           .sortBy("band", "band_hash")
           .option("path", s"$dir33/banded_b").saveAsTable("lsh_banded_33")
-        graft.CacheScope.releaseAll()
+        // (no releaseAll needed anywhere in this check: lshIndexOf
+        // tracks nothing — "the caller owns persistence" — and every
+        // relation here is consumed exactly once by its write/collect)
         chunks32.foreach { c =>
           graft.pipeline.DedupOps.lshIndexOf(
               c.toSeq.toDF("doc_id", "text"), "doc_id", "text",
@@ -1146,7 +1148,6 @@ object StreamingSmoke {
             .banded.write.mode("append").format("parquet")
             .bucketBy(8, "band", "band_hash").sortBy("band", "band_hash")
             .saveAsTable("lsh_banded_33")
-          graft.CacheScope.releaseAll()
         }
         val probeBatch33 = graft.pipeline.DedupOps.lshIndexOf(
           allDocs30.filter(col("doc_id") % 10 === 5), "doc_id", "text",
@@ -1166,11 +1167,16 @@ object StreamingSmoke {
         val smj33 = strip33(probe.queryExecution.executedPlan).collectFirst {
           case j: SortMergeJoinExec => j
         }
-        val planOk = smj33.exists { j =>
-          j.right.collect { case e: ShuffleExchangeLike => e }.isEmpty &&
-            j.left.collect { case e: ShuffleExchangeLike => e }.nonEmpty &&
-            j.right.toString.contains("Bucketed: true")
-        }
+        // named legs so a failure message says WHICH broke; the scan
+        // marker keeps BucketingSpec's rendering fallback (FileScan
+        // metadata strings vary with version/toString truncation)
+        val idxNoShuffle = smj33.exists(
+          _.right.collect { case e: ShuffleExchangeLike => e }.isEmpty)
+        val batchShuffles = smj33.exists(
+          _.left.collect { case e: ShuffleExchangeLike => e }.nonEmpty)
+        val bucketedScan = smj33.exists(j =>
+          j.right.toString.contains("Bucketed: true") ||
+            j.right.toString.contains("SelectedBucketsCount"))
         val got33 = probe.collect()
           .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
         // ground truth: the SAME files read without bucketing metadata —
@@ -1178,9 +1184,10 @@ object StreamingSmoke {
         val want33 = probe33(spark.read.parquet(s"$dir33/banded_b"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
         check("bucketed-index-append-probe",
-          planOk && got33.nonEmpty && got33 == want33,
-          s"planOk=$planOk got=${got33.size} want=${want33.size}")
-        graft.CacheScope.releaseAll()
+          idxNoShuffle && batchShuffles && bucketedScan &&
+            got33.nonEmpty && got33 == want33,
+          s"idxNoShuffle=$idxNoShuffle batchShuffles=$batchShuffles " +
+            s"bucketedScan=$bucketedScan got=${got33.size} want=${want33.size}")
       } finally {
         spark.sql("DROP TABLE IF EXISTS lsh_banded_33")
         spark.conf.set("spark.sql.adaptive.enabled", aqe)

@@ -29,8 +29,10 @@ class ExactSparkSpec extends AnyFunSuite {
     val denMax = Long.MaxValue / (2 * m + 1)
     val cases = Seq[(Long, Long)](
       (0L, 1L), (1L, 1L), (1L, 3L), (2L, 3L), (5L, 2L), // tie: 2.5 rounds up
-      (4_600_000_000_000_00L, 7L),       // past the naive form's overflow line
-      (Long.MaxValue / m - 1, 1L),       // largest exact quotient at k=4
+      (500_000_000_000_000L, 7L),        // past the naive 2·num·10^k line
+      // (~4.6117e14 at k=4) with a SMALL den and nonzero remainder —
+      // the regime the split form exists for
+      (Long.MaxValue / m, 1L),           // largest exact quotient at k=4
       (denMax, denMax),                  // num = den at the den bound
       (denMax - 1, denMax),              // r = den−1 at the den bound
       (Long.MaxValue, denMax))           // full-range num over max den
