@@ -19,9 +19,6 @@ object CacheScope {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
   private val runMemo = scala.collection.mutable.LinkedHashMap.empty[String, Dataset[_]]
   private val valueMemo = scala.collection.mutable.LinkedHashMap.empty[String, Any]
-  // bumped by releaseRun: lets an in-flight memoRun builder detect that the
-  // run it was building for ended while it held no lock (see memoRun)
-  private var runGeneration = 0L
 
   /** Persist `ds` at `level` and register it for the next [[releaseAll]]. */
   def track[T](ds: Dataset[T],
@@ -55,9 +52,8 @@ object CacheScope {
     // localCheckpoint → fresh LogicalRDD), the loser registered a
     // separate cache entry that must be released or it leaks for the
     // session's lifetime.
-    val genAtStart = synchronized {
+    synchronized {
       runMemo.get(key).foreach(ds => return ds.asInstanceOf[Dataset[T]])
-      runGeneration
     }
     val built = build.persist(StorageLevel.MEMORY_AND_DISK)
     synchronized {
@@ -67,14 +63,17 @@ object CacheScope {
               .sameResult(winner.queryExecution.analyzed))
             built.unpersist(blocking = false)
           winner.asInstanceOf[Dataset[T]]
-        case None if runGeneration != genAtStart =>
-          // releaseRun fired while we built: the run this derivation was
-          // for has ended, so registering `built` would cache it into a
-          // DEAD run's memo (pinned until some future releaseRun).
-          // Hand the caller a usable but uncached plan instead.
-          built.unpersist(blocking = false)
-          built
         case None =>
+          // A builder that raced a releaseRun (the run ended between the
+          // first check and this registration) lands HERE with a cleared
+          // memo — registering anyway is both safe and the right call:
+          // the derivation is a pure function of the dataset and the key
+          // encodes (app, sfDir, kind), so any later run asking for the
+          // key gets a correct answer, and ownership transfers to the
+          // CURRENT memo, released by the next releaseRun. The r16
+          // alternative (unpersist + hand back an uncached plan) left a
+          // raced caller permanently recomputing a 38 s-class lineage
+          // with no signal (the r16 ADVICE item this replaces).
           runMemo.put(key, built)
           built
       }
@@ -115,7 +114,6 @@ object CacheScope {
     runMemo.valuesIterator.foreach(_.unpersist(blocking = false))
     runMemo.clear()
     valueMemo.clear()
-    runGeneration += 1
   }
 
   /** Number of currently tracked relations (test introspection). */

@@ -37,6 +37,23 @@ import org.apache.spark.sql.functions._
  * den bound is property-verified in ExactIntProps (its first run
  * falsified the looser (2⁶³−1)/(2·10^k) at the exact boundary); every
  * call site's den is a group/doc count, ~6 orders inside it.
+ *
+ * SUM HEADROOM per k (the r16 ADVICE item): [[sumE]] sums e-k LONG
+ * codes, so a group wraps (or throws under ANSI) once
+ * Σ|codes| > 2⁶³−1 ≈ 9.2e18 — i.e. after ~9.2e18 / (max|x|·10^k)
+ * rows. Concretely: TPC-H extendedprice ≤ ~1e5 at k=4 → codes ≤ ~1e9
+ * → ~9.2e9 rows PER GROUP; a [0,1]-bounded discount at k=4 → ~9.2e14
+ * rows. DuckDB's sum(BIGINT) silently promotes to HUGEINT, so past
+ * the line the two engines diverge rather than both failing — the
+ * failure mode is cross-engine, not a crash. Rules of thumb when a
+ * group's row count can approach the bound (truly unbounded-
+ * cardinality money sums at the 100 TB target): use k=2 codes (money
+ * is 2-dp; ×100 headroom), or sum into decimal(38,0) —
+ * `sum(eRow(x,k).cast("decimal(38,0)"))` — which is exact to 38
+ * digits and matches HUGEINT semantics on both engines. Every current
+ * call site's per-group Σcodes is ≥ 3 orders inside the Long bound at
+ * the gate SFs and ≥ 2 at the 100 TB design point (group counts are
+ * bounded by the fixture's key cardinalities, not the corpus).
  */
 object Exact {
   private def p10d(k: Int): Double = math.pow(10, k)

@@ -1662,6 +1662,14 @@ object Similarity {
    * two shapes it replaces: a broadcast of the |corpus|/50 anchor side
    * (data-DEPENDENT — the round-15 census class, an OOM under a static
    * misestimate) and a merge equi-join (TWO exchanges + two sorts).
+   * The anchor aggregate is `max` over the when()-guard, not `first`:
+   * max over array<double> is order-INSENSITIVE (null-ignoring, and
+   * arrays of orderable types are orderable), so the selection is
+   * structurally deterministic even if a future id mapping ever let
+   * more than one row per block satisfy the %50 guard — with exactly
+   * one qualifying row (the invariant today) the two agree, but
+   * `first` over an unordered window would turn such a change into
+   * silent nondeterminism rather than a stable (if unexpected) pick.
    * Blocks without an anchor row (the 10× replica corpus's mapped
    * replicas) drop via the null filter, matching the old inner join.
    * Patterns and signs are literal constants unrolled at plan build.
@@ -1675,9 +1683,8 @@ object Similarity {
         .withColumn("_aid", expr("(vec_id div 50) * 50"))) { (df, s) =>
       df.withColumn(s"_p$s", expr(plantedPatternSql(s, "div")))
     }
-      .withColumn("_aemb", first(
-        when(col("vec_id") % 50 === 0, col("embedding")),
-        ignoreNulls = true).over(byBlock))
+      .withColumn("_aemb", max(
+        when(col("vec_id") % 50 === 0, col("embedding"))).over(byBlock))
       .filter(col("_aemb").isNotNull)
     val dims = (0 until 64).map { i =>
       val s = i / 16

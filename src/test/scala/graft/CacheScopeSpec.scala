@@ -61,28 +61,34 @@ class CacheScopeSpec extends AnyFunSuite {
     assert(!m.storageLevel.useMemory)
   }
 
-  test("memoRun builder racing releaseRun does not cache into the dead run") {
+  test("memoRun builder racing releaseRun re-registers into the live memo") {
     // Deterministic single-thread replay of the interleaving: the build
     // thunk runs OUTSIDE the monitor, so a releaseRun can fire between
-    // the first check and the registration. The generation counter must
-    // make the loser hand back an UNCACHED dataset and leave the (now
-    // ended) run's memo empty — without it, the persisted dataset would
-    // pin MEMORY_AND_DISK blocks in an empty memo until some future
-    // releaseRun (the round-15 ADVICE race).
+    // the first check and the registration. The raced builder must
+    // register into the CURRENT (post-release) memo — the derivation is
+    // a pure function of the dataset and the key encodes (app, sfDir,
+    // kind), so the entry is correct for any later asker — keeping the
+    // caller cached instead of permanently recomputing (the r16
+    // unpersist-and-degrade fallback this round's ADVICE replaced).
+    // Ownership transfers: the entry falls to the NEXT releaseRun, so
+    // nothing is pinned past a run boundary (the round-15 ADVICE race).
     CacheScope.releaseRun()
     val got = CacheScope.memoRun("spec:raced") {
       CacheScope.releaseRun() // the run ends while we are building
       spark.range(11).toDF()
     }
     got.count()
-    assert(CacheScope.runSize === 0, "raced builder registered into a dead run")
-    assert(!got.storageLevel.useMemory,
-      "raced builder's dataset stayed persisted with no owner")
-    // and the next run is undamaged: a fresh memoRun caches normally
+    assert(CacheScope.runSize === 1, "raced builder failed to re-register")
+    assert(got.storageLevel.useMemory,
+      "raced builder's dataset lost its persist")
+    // the re-registered entry serves later askers — no rebuild
     var builds = 0
-    val fresh = CacheScope.memoRun("spec:raced") { builds += 1; spark.range(11).toDF() }
-    assert(builds === 1 && CacheScope.runSize === 1)
-    assert(fresh.storageLevel.useMemory)
+    val reused = CacheScope.memoRun("spec:raced") { builds += 1; spark.range(11).toDF() }
+    assert(builds === 0 && (reused eq got))
+    // and the next releaseRun releases it — ownership really transferred
     CacheScope.releaseRun()
+    assert(CacheScope.runSize === 0)
+    assert(!got.storageLevel.useMemory,
+      "raced entry survived the releaseRun that should own it")
   }
 }
