@@ -1195,8 +1195,245 @@ object StreamingSmoke {
       }
     }
 
+    // ------------------------------------------------------------------
+    // 34–38) Stateful RESTART durability battery — the check-27
+    // discipline (stop mid-stream, resume a BRAND-NEW query instance
+    // from the CHECKPOINT alone, converge to the batch twin across the
+    // restart boundary) extended to the remaining stateful families the
+    // r16 verdict named: counters (A6), producer dedup (F5), count
+    // windows (W3/W5 — the flatMapGroupsWithState buffer, whose pending
+    // tail must survive the restart mid-window), the CEP funnel (check
+    // 22's per-user state machine), and the crawl-frontier census
+    // (check 31's per-host histogram + monotone version). Each leg
+    // writes its input as two parquet appends: pass 1 consumes the
+    // first half and STOPS; pass 2 is a fresh query instance on the
+    // same checkpoint, so every bit of cross-boundary state must come
+    // from the state store, never the query object.
+    def restartLegs[T <: Product, U](rows: Seq[T],
+        mode: OutputMode)(
+        stream: org.apache.spark.sql.Dataset[T] =>
+          org.apache.spark.sql.Dataset[U])(
+        onBatch: org.apache.spark.sql.DataFrame => Unit)(
+        implicit enc: org.apache.spark.sql.Encoder[T]): Unit = {
+      val srcDir = Files.createTempDirectory("graft-rst-").toString
+      val ck = ckpt()
+      Seq(rows.take(rows.length / 2), rows.drop(rows.length / 2))
+        .foreach { part =>
+          spark.createDataset(part)(enc).coalesce(1)
+            .write.mode("append").parquet(srcDir)
+          val q = stream(
+              spark.readStream.schema(enc.schema).parquet(srcDir).as[T](enc))
+            .toDF()
+            .writeStream.outputMode(mode)
+            .option("checkpointLocation", ck)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              onBatch(b); ()
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+    }
+
+    // 34) counters (A6): mapGroupsWithState totals are monotone, so the
+    // max observed value per key across both passes is the final total
+    val accCnt = scala.collection.concurrent.TrieMap.empty[String, Long]
+    restartLegs(envs.toSeq, OutputMode.Update())(
+      ds => StreamingOps.keyedCounters(ds, _.topic)) { b =>
+      b.collect().foreach { r =>
+        val (k, n) = (r.getString(0), r.getLong(1))
+        accCnt.put(k, math.max(n, accCnt.getOrElse(k, 0L)))
+      }
+    }
+    val wantCnt = envs.groupBy(_.topic).map { case (k, ms) =>
+      k -> ms.length.toLong }
+    check("counters-restart", accCnt.toMap == wantCnt && accCnt.nonEmpty,
+      s"resumed=$accCnt batch=$wantCnt")
+
+    // 35) producer dedup (F5): the per-producer highest-sequence state
+    // must survive the restart — a cold restart would re-admit replays
+    // whose originals landed before the boundary
+    val accKept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    restartLegs(envs.toSeq, OutputMode.Append())(
+      StreamingOps.dropReplaysStream) { b =>
+      accKept ++= b.select("msg_offset").collect().map(_.getLong(0))
+    }
+    check("dedup-restart", accKept.sorted.toSeq == batchKept,
+      s"resumed=${accKept.size} rows batch=${batchKept.size}")
+
+    // 36) count windows (W3/W5): the pending (not-yet-full) per-key
+    // buffer and the emitted-window counter both live in state; the
+    // split lands mid-buffer for most keys, so a cold restart would
+    // shift every later window's id and membership
+    val cwN = 7
+    val accCw = scala.collection.concurrent.TrieMap
+      .empty[(String, Long), (Long, Double)]
+    restartLegs(envs.toSeq, OutputMode.Append())(
+      ds => StreamingOps.countWindowStream(ds, cwN)) { b =>
+      b.collect().foreach { r =>
+        accCw.put((r.getString(0), r.getLong(1)),
+          (r.getLong(2), r.getDouble(3)))
+      }
+    }
+    val wantCw = envs.groupBy(_.key).flatMap { case (k, ms) =>
+      ms.sortBy(_.msg_offset).map(_.value).grouped(cwN).zipWithIndex
+        .filter(_._1.length == cwN)
+        .map { case (g, i) => (k, i.toLong) -> ((cwN.toLong,
+          g.map(v => math.floor(v * 100.0 + 0.5).toLong).sum.toDouble / 100.0))
+        }
+    }
+    check("count-window-restart",
+      accCw.toMap == wantCw && wantCw.nonEmpty,
+      s"resumed=${accCw.size} windows batch=${wantCw.size}")
+
+    // 37) CEP funnel (check 22's state machine): stage times locked
+    // before the boundary must anchor stages that complete after it —
+    // stage is monotone per user, so the max-stage row is final
+    val accFun = scala.collection.concurrent.TrieMap.empty[Long,
+      (Long, (Option[Long], Option[Long], Option[Long], Option[Long]))]
+    restartLegs(funRows.toSeq, OutputMode.Append())(
+      StreamingOps.funnelStream) { b =>
+      b.collect().foreach { r =>
+        val u = r.getAs[Long]("user_id")
+        val st = r.getAs[Long]("stage")
+        def t(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        val cur = accFun.get(u)
+        if (cur.forall(_._1 < st)) accFun.put(u, (st, (t(1), t(2), t(3), t(4))))
+      }
+    }
+    check("funnel-restart",
+      accFun.map { case (u, (_, ts)) => u -> ts }.toMap == batchFun &&
+        accFun.nonEmpty,
+      s"resumed=${accFun.size} users batch=${batchFun.size}")
+
+    // 38) crawl-frontier census (check 31): the per-host distinct-URL
+    // histogram AND its monotone version counter recover from the
+    // store — the max-version row per host must equal the batch census
+    val accUrl = scala.collection.concurrent.TrieMap
+      .empty[String, (Long, (Long, Long, Long, Long, Long))]
+    restartLegs(docs31.toSeq, OutputMode.Append())(
+      StreamingOps.urlCensusStream) { b =>
+      b.collect().foreach { r =>
+        val host = r.getAs[String]("host")
+        val v = r.getAs[Long]("version")
+        val row = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_urls"),
+          r.getAs[Long]("n_dup_docs"), r.getAs[Long]("max_url_docs"),
+          r.getAs[Long]("text_chars"))
+        val cur = accUrl.get(host)
+        if (cur.forall(_._1 < v)) accUrl.put(host, (v, row))
+      }
+    }
+    check("url-census-restart",
+      accUrl.map { case (h, (_, row)) => h -> row }.toMap ==
+        batchCensus31 && accUrl.nonEmpty,
+      s"resumed hosts=${accUrl.size} batch=${batchCensus31.size}")
+
+    // 39) Persisted HNSW graph TABLE + streaming append + restart — the
+    // index-maintenance trio's missing streaming leg (LSH: checks
+    // 30/32/33; IVF: p120 batch census; HNSW: until now batch-only
+    // p128). The graph state is two append-only parquet tables (nodes +
+    // distance-tagged edges; Hnsw.scala's table-append block): the base
+    // build writes the frozen capped per-level edges ONCE, each
+    // micro-batch appends its own node rows and its new→base out-edges
+    // + reverses (appendAudit's batch-parallel insert, whose per-node
+    // increments are independent of batching because neighbors come
+    // from the FROZEN base only), and the Mmax cap is applied at READ
+    // time over the accumulated union — an append never rewrites a
+    // stored row. Mid-stream the query STOPS and a brand-new instance
+    // (fresh checkpoint, no carried state) resumes from the tables
+    // alone. After the last batch, the table-backed audit
+    // (walk + recall + append census) must equal the one-shot batch
+    // p128 relation ROW FOR ROW — and per-batch recall over the growing
+    // corpus is logged as the drift series PLAN_AUDIT files.
+    locally {
+      val (m39, ef39, k39, maxL39, beam39, cadj39, hops39, qmax39) =
+        (16, 128, 5, 2, 4, 8, 1, 20L)
+      val e39 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val cents39 = e39.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cembedding"))
+      val qcents39 = broadcast(cents39.select(col("centroid_id"),
+        graft.pipeline.Hnsw.q3Codes(col("cembedding")).as("ccodes")))
+      val root39 = Files.createTempDirectory("graft-hnsw-idx-").toString
+      graft.pipeline.Hnsw.nodeRows(
+          e39.filter(col("vec_id") % 10 =!= 5), qcents39, maxL39,
+          isNew = false)
+        .write.parquet(s"$root39/nodes")
+      graft.pipeline.Hnsw.baseEdgeRows(
+          spark.read.parquet(s"$root39/nodes"), qcents39, maxL39, m39,
+          cadj39)
+        .write.parquet(s"$root39/edges")
+      val drift39 = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Double)]
+      def audit39() = graft.pipeline.Hnsw.auditFromTables(
+        spark.read.parquet(s"$root39/nodes"),
+        spark.read.parquet(s"$root39/edges"),
+        qmax39, m39, ef39, k39, maxL39, beam39, hops39)
+      def ingest39(b: org.apache.spark.sql.DataFrame): Unit =
+        if (!b.isEmpty) {
+          val nodesT = spark.read.parquet(s"$root39/nodes")
+          // batch node rows depend only on the batch + broadcast
+          // centroids; the edge increment's lineage scans the node
+          // TABLE, so both are materialized (eager localCheckpoint)
+          // before appending to the paths they derive from
+          val bn = graft.pipeline.Hnsw.nodeRows(
+              b.select(col("vec_id"), col("embedding")), qcents39,
+              maxL39, isNew = true)
+            .localCheckpoint(true)
+          val eInc = graft.pipeline.Hnsw.appendEdgeRows(
+              nodesT.filter(!col("is_new")), bn, qcents39, maxL39, m39,
+              cadj39)
+            .localCheckpoint(true)
+          bn.write.mode("append").parquet(s"$root39/nodes")
+          eInc.write.mode("append").parquet(s"$root39/edges")
+          val r = audit39()
+            .agg(count(lit(1)), sum(col("recall_ppm"))).head()
+          drift39 += ((spark.read.parquet(s"$root39/nodes").count(),
+            r.getLong(1).toDouble / math.max(1L, r.getLong(0)) / 1e6))
+          graft.CacheScope.releaseAll()
+        }
+      val batch39 = e39.filter(col("vec_id") % 10 === 5)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val chunks39 = batch39.grouped(math.max(1, batch39.length / 5 + 1))
+        .toSeq
+      val (before39, after39) = chunks39.splitAt((chunks39.size + 1) / 2)
+      def run39(cs: Seq[Array[(Long, Array[Float])]]): Unit = {
+        val s = MemoryStream[(Long, Array[Float])]
+        val q = s.toDS().toDF("vec_id", "embedding")
+          .writeStream.option("checkpointLocation", ckpt())
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) => ingest39(b)
+          }
+          .start()
+        cs.foreach { c => s.addData(c.toSeq); q.processAllAvailable() }
+        q.stop()
+      }
+      run39(before39)
+      // RESTART: nothing survives but the two parquet tables
+      run39(after39)
+      def auditKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("query_id") ->
+          ((r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm"),
+            r.getAs[Long]("n_new_nodes"), r.getAs[Long]("n_appended_edges"),
+            r.getAs[Long]("n_capped_lists")))).toMap
+      val got39 = auditKey(audit39())
+      graft.CacheScope.releaseAll()
+      val want39 = auditKey(graft.pipeline.Hnsw.appendAudit(
+        e39, cents39, batch = col("vec_id") % 10 === 5, queryMax = qmax39,
+        m = m39, ef = ef39, k = k39, maxLevel = maxL39,
+        beamSteps = beam39, cellAdj = cadj39, hopsPerLevel = hops39))
+      graft.CacheScope.releaseAll()
+      println(s"[stream-smoke] hnsw drift (nodes, mean recall): " +
+        drift39.map { case (n, r) => f"($n, $r%.4f)" }.mkString(" "))
+      check("hnsw-append-table-restart",
+        got39 == want39 && got39.nonEmpty && after39.nonEmpty &&
+          drift39.length == chunks39.length,
+        s"stream=${got39.size} queries batch=${want39.size} " +
+          s"drift=${drift39.size}/${chunks39.size}")
+    }
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 33 converged to batch twins OK")
+    println(s"[stream-smoke] all 39 converged to batch twins OK")
     spark.stop()
   }
 }

@@ -399,6 +399,130 @@ object Hnsw {
       .crossJoin(broadcast(nCapped))
   }
 
+  // ------------------------------------------------------------------
+  // Persisted-graph-TABLE append — the streaming/deployed shape of
+  // [[appendAudit]] (the check-32 LSH-index discipline applied to the
+  // HNSW graph): the index state is TWO append-only parquet tables —
+  //   nodes(vec_id, cluster, codes, level, is_new)
+  //   edges(level, src, dst, dist, is_new)
+  // — never driver variables or RDD lineage. The base build writes the
+  // frozen capped per-level edges (with their ranking distance — the
+  // Mmax cap is applied at READ time over the accumulated union, so an
+  // append never rewrites a stored row); each micro-batch appends its
+  // own node rows plus its new→base out-edges and their reverses.
+  // Because every new node selects its neighbors among the FROZEN base
+  // only (appendAudit's batch-parallel insert semantics), per-node
+  // increments are independent of batching: the accumulated table after
+  // ANY split of the batch rows equals the one-shot [[appendAudit]]
+  // graph row for row, and [[auditFromTables]] over the grown tables
+  // equals the one-shot audit relation exactly — the equality
+  // StreamingSmoke check 34ff asserts across a mid-stream restart.
+  // ------------------------------------------------------------------
+
+  /** Node-table rows for `vecs` against frozen centroids: e3 codes, the
+   * nearest-centroid cell, the md5-geometric level. Depends only on the
+   * rows themselves + the broadcast centroids, so appending the result
+   * to the node table is lineage-safe. */
+  def nodeRows(vecs: DataFrame, qcents: DataFrame, maxLevel: Int,
+      isNew: Boolean): DataFrame =
+    withLevel(assignCells(vecs.select(col("vec_id"),
+      q3Codes(col("embedding")).as("codes")), qcents), maxLevel)
+      .withColumn("is_new", lit(isNew))
+      .select(col("vec_id"), col("cluster"), col("codes"), col("level"),
+        col("is_new"))
+
+  /** The frozen base graph as edge-table rows: per level the capped
+   * symmetrized neighbor lists ([[levelEdgesD]]) with their ranking
+   * distance, tagged by level. `baseNodes` has (vec_id, cluster, codes,
+   * level). */
+  def baseEdgeRows(baseNodes: DataFrame, qcents: DataFrame, maxLevel: Int,
+      m: Int, cellAdj: Int): DataFrame =
+    (0 to maxLevel).map { l =>
+      levelEdgesD(baseNodes, cellAdjacency(qcents, cellAdj << (2 * l)),
+          l, m)
+        .select(lit(l).as("level"), col("src"), col("dst"), col("dist"),
+          lit(false).as("is_new"))
+    }.reduce(_.unionByName(_))
+
+  /** One ingest increment: the batch's per-level new→base top-M
+   * out-edges plus their reverses (appendAudit's newOut relation,
+   * restricted to this batch). `baseNodes` is the frozen base node set
+   * (is_new = false rows of the node table); `batchNodes` the batch's
+   * own node rows ([[nodeRows]] output). The result's lineage scans the
+   * node TABLE (via baseNodes), so materialize (localCheckpoint) before
+   * appending it to the edge table. */
+  def appendEdgeRows(baseNodes: DataFrame, batchNodes: DataFrame,
+      qcents: DataFrame, maxLevel: Int, m: Int, cellAdj: Int): DataFrame =
+    (0 to maxLevel).map { l =>
+      val adjL = cellAdjacency(qcents, cellAdj << (2 * l))
+      val bl = baseNodes.filter(col("level") >= l)
+        .select(col("vec_id"), col("cluster"), col("codes"))
+      val nl = batchNodes.filter(col("level") >= l)
+        .select(col("vec_id"), col("cluster"), col("codes"))
+      val newOut = nl.as("a")
+        .join(broadcast(adjL), col("a.cluster") === col("cell"))
+        .join(bl.as("b"), col("cand_cell") === col("b.cluster"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          GraftFunctions.l2SqLong(col("a.codes"), col("b.codes"))
+            .as("dist"))
+        .groupBy(col("src"))
+        .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")), m)
+          .as("tk"))
+        .select(col("src"), explode(col("tk")).as("p"))
+        .select(col("src"), col("p.dst").as("dst"),
+          col("p.dist").as("dist"))
+      newOut.unionByName(newOut.select(col("dst").as("src"),
+          col("src").as("dst"), col("dist")))
+        .select(lit(l).as("level"), col("src"), col("dst"), col("dist"),
+          lit(true).as("is_new"))
+    }.reduce(_.unionByName(_))
+
+  /** Walk + recall + append-census over the persisted tables — the
+   * table-backed twin of [[appendAudit]]'s audit stage. The Mmax cap is
+   * applied here, at read time: per (level, src) the 2M closest stored
+   * edges by (dist, dst) form the current graph (the stored table IS
+   * the one-shot precap relation, so the capped read equals the
+   * one-shot merged graph). Census columns match [[appendAudit]]:
+   * is_new node count, is_new edge-row count (out + reverse), and
+   * (level, src) lists past 2M. */
+  def auditFromTables(nodes: DataFrame, edgeTable: DataFrame,
+      queryMax: Long, m: Int, ef: Int, k: Int, maxLevel: Int,
+      beamSteps: Int, hopsPerLevel: Int): DataFrame = {
+    val coded = graft.CacheScope.track(
+      nodes.select(col("vec_id"), col("codes")))
+    val nodeCodes = coded.select(col("vec_id").as("node_id"),
+      col("codes").as("ncodes"))
+    val et = graft.CacheScope.track(edgeTable)
+    val edges = (0 to maxLevel).map { l =>
+      l -> graft.CacheScope.track(et.filter(col("level") === l)
+        .groupBy(col("src"))
+        .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")),
+          2 * m).as("tk"))
+        .select(col("src"), explode(col("tk")).as("p"))
+        .select(col("src"), col("p.dst").as("dst")))
+    }.toMap
+    val queries = broadcast(graft.CacheScope.track(
+      coded.filter(col("vec_id") < queryMax)
+        .select(col("vec_id").as("qid"), col("codes").as("qcodes"))))
+    val entry = broadcast(nodes
+      .orderBy(col("level").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("node")))
+    val audit = recallOf(beamSearch(edges, queries, entry, nodeCodes,
+      maxLevel, hopsPerLevel, beamSteps, ef, k), coded, queries, k)
+    val nNew = nodes.filter(col("is_new"))
+      .agg(count(lit(1)).as("n_new_nodes"))
+    val nAppended = et.filter(col("is_new"))
+      .agg(count(lit(1)).as("n_appended_edges"))
+    val nCapped = et.groupBy(col("level"), col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > 2 * m)
+      .agg(count(lit(1)).as("n_capped_lists"))
+    audit
+      .crossJoin(broadcast(nNew))
+      .crossJoin(broadcast(nAppended))
+      .crossJoin(broadcast(nCapped))
+  }
+
   /**
    * The DuckDB oracle for [[recallAudit]]: rebuilds levels, cells, every
    * level graph, and UNROLLS the fixed-superstep walk as literal SQL
