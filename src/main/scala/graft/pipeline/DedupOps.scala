@@ -174,6 +174,16 @@ object DedupOps {
    * Shuffling the shingle relation once to save 5-6 recomputations of it
    * is the right trade at any scale.
    */
+  /** The skinny (doc, shingle) projection of [[shingleRows]] — the
+   * relation the full-corpus prefix joins ([[jaccardPrefixJoin]],
+   * [[containmentPrefixJoin]]) consume. Public so a harness running
+   * BOTH joins over the same corpus can derive it once (memoRun) and
+   * pass it via their `preShingles` hook; a pure function of
+   * (docs, idCol, textCol, n). */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleRows(docs, idCol, textCol, n).select(col("doc"), col("shingle"))
+
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     // explicit partition counts: these exchanges carry few BYTES but gate
@@ -770,7 +780,8 @@ object DedupOps {
    * directions' containment ppm.
    */
   def containmentPrefixJoin(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, tPpm: Long): DataFrame = {
+      textCol: String, n: Int, tPpm: Long,
+      preShingles: Option[DataFrame] = None): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
     // every join side below is CORPUS-scale (the shingle relation, the
     // vocabulary df table, the per-doc size relation) — merge hints pin
@@ -780,8 +791,8 @@ object DedupOps {
     // cannot demote a statically-planned broadcast — no shuffle stats
     // exist) and OOM'd the driver; on a real cluster these sides are
     // never broadcastable
-    val sh = graft.CacheScope.track(
-      shingleRows(docs, idCol, textCol, n).select(col("doc"), col("shingle")))
+    val sh = preShingles.getOrElse(graft.CacheScope.track(
+      docShingles(docs, idCol, textCol, n)))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
     val withSize = graft.CacheScope.track(
       sh.join(sizes.hint("merge"), Seq("doc")))
@@ -855,15 +866,16 @@ object DedupOps {
    * integer arithmetic in both engines.
    */
   def jaccardPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, tPpm: Long): DataFrame = {
+      n: Int, tPpm: Long, preShingles: Option[DataFrame] = None):
+      DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
     // corpus-scale sides pinned to shuffle joins (merge hints) — the
     // containmentPrefixJoin rationale: static size misestimates over
     // deep parquet plans statically broadcast corpus-scale relations at
     // the 100× rehearsal, which AQE cannot demote and a real cluster
     // cannot hold
-    val sh = graft.CacheScope.track(
-      shingleRows(docs, idCol, textCol, n).select(col("doc"), col("shingle")))
+    val sh = preShingles.getOrElse(graft.CacheScope.track(
+      docShingles(docs, idCol, textCol, n)))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
     val w = org.apache.spark.sql.expressions.Window

@@ -161,25 +161,46 @@ object Hnsw {
       .select(col("src"), col("p.dst").as("dst"), col("p.dist").as("dist"))
   }
 
+  /** Shared corpus preparation for [[recallAudit]] / [[appendAudit]]:
+   * the e3-coded, cell-assigned, level-drawn node relation
+   * (vec_id, cluster, codes, level). A pure function of
+   * (vecs, centroids, maxLevel), so a harness running SEVERAL audits
+   * over the same corpus (p123's fresh build and p128's append audit
+   * share it verbatim) can memoize it run-scoped and pass it via
+   * `preAssigned` — the q3 transform and the |corpus|×|centroids|
+   * assignment pass then run once per run instead of once per audit.
+   * The intermediate `coded` is query-scope tracked here: q3Codes is an
+   * interpreted HOF and projection collapse would otherwise inline it
+   * into the assignment cross join, recomputing the 64-element
+   * transform once PER PAIR (×|centroids|) instead of once per row. */
+  def assignedNodes(vecs: DataFrame, centroids: DataFrame,
+      maxLevel: Int): DataFrame = {
+    val qcents = broadcast(centroids.select(col("centroid_id"),
+      q3Codes(col("cembedding")).as("ccodes")))
+    val coded = graft.CacheScope.track(vecs.select(col("vec_id"),
+      q3Codes(col("embedding")).as("codes")))
+    withLevel(assignCells(coded, qcents), maxLevel)
+  }
+
   /**
    * Build + search + audit in one relation: per query (vec_id <
    * queryMax), the hit count and recall@k of the beam-searched top-k
-   * against the exact integer-metric top-k.
+   * against the exact integer-metric top-k. `preAssigned` (when given)
+   * must be [[assignedNodes]] of the same (vecs, centroids, maxLevel)
+   * — the run-scoped sharing hook; every downstream relation (codes,
+   * queries, the exact side) projects off it, so a cached handoff
+   * removes the corpus-scale preparation entirely.
    */
   def recallAudit(vecs: DataFrame, centroids: DataFrame, queryMax: Long,
       m: Int, ef: Int, k: Int, maxLevel: Int, beamSteps: Int,
-      cellAdj: Int = 2, hopsPerLevel: Int = 2): DataFrame = {
+      cellAdj: Int = 2, hopsPerLevel: Int = 2,
+      preAssigned: Option[DataFrame] = None): DataFrame = {
     require(m > 0 && ef >= k && k > 0 && maxLevel >= 1 && beamSteps >= 1)
     val qcents = broadcast(centroids.select(col("centroid_id"),
       q3Codes(col("cembedding")).as("ccodes")))
-    // cached: q3Codes is an interpreted HOF and projection collapse
-    // would otherwise inline it into every downstream join, recomputing
-    // the 64-element transform once PER PAIR (×|centroids| in the
-    // assignment, ×|queries| in the exact side) instead of once per row
-    val coded = graft.CacheScope.track(vecs.select(col("vec_id"),
-      q3Codes(col("embedding")).as("codes")))
-    val assigned = graft.CacheScope.track(
-      withLevel(assignCells(coded, qcents), maxLevel))
+    val assigned = preAssigned.getOrElse(graft.CacheScope.track(
+      assignedNodes(vecs, centroids, maxLevel)))
+    val coded = assigned.select(col("vec_id"), col("codes"))
     val nodeCodes = assigned.select(col("vec_id").as("node_id"),
       col("codes").as("ncodes"))
     // Per-level cell adjacency widens as cellAdj·4ˡ: the level-l node
@@ -319,15 +340,17 @@ object Hnsw {
   def appendAudit(vecs: DataFrame, centroids: DataFrame,
       batch: Column, queryMax: Long, m: Int, ef: Int, k: Int,
       maxLevel: Int, beamSteps: Int, cellAdj: Int = 2,
-      hopsPerLevel: Int = 2): DataFrame = {
+      hopsPerLevel: Int = 2, preAssigned: Option[DataFrame] = None):
+      DataFrame = {
     require(m > 0 && ef >= k && k > 0 && maxLevel >= 1 && beamSteps >= 1)
     val qcents = broadcast(centroids.select(col("centroid_id"),
       q3Codes(col("cembedding")).as("ccodes")))
-    val coded = graft.CacheScope.track(vecs.select(col("vec_id"),
-      q3Codes(col("embedding")).as("codes")))
-    val assigned = graft.CacheScope.track(
-      withLevel(assignCells(coded, qcents), maxLevel)
-        .withColumn("is_new", batch))
+    // the is_new tag is a projection over the (possibly shared, cached)
+    // assigned relation — the batch predicate only reads vec_id
+    val assigned = preAssigned.getOrElse(graft.CacheScope.track(
+        assignedNodes(vecs, centroids, maxLevel)))
+      .withColumn("is_new", batch)
+    val coded = assigned.select(col("vec_id"), col("codes"))
     val base = assigned.filter(!col("is_new"))
     val fresh = assigned.filter(col("is_new"))
     val nodeCodes = assigned.select(col("vec_id").as("node_id"),

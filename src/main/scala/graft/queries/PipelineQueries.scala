@@ -100,6 +100,19 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_a"), col("doc_b")),
     Some(jaccardOracle))
 
+  /** The full-corpus (doc, shingle) relation (n = 3) shared by the two
+   * prefix joins (p109 Jaccard, p134 containment), RUN-scoped: both
+   * consume it verbatim — sizes, df table, prefixes and the
+   * verification join all derive from it — so one shingle construction
+   * (explode + murmur3 + the doc-keyed exchange) serves both queries
+   * per harness run (the r16 verdict's audit-family reclaim). Oracles
+   * stay independent full replays. */
+  private def corpusShingleShared(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.memoRun(
+      s"${s.sparkContext.applicationId}:doc-shingles3:$d") {
+      DedupOps.docShingles(docs(s, d), "doc_id", "text", 3)
+    }
+
   /** P109 — exact Jaccard join over the FULL corpus (no doc_id cap) by
    * prefix filtering: candidates come only from rare-shingle posting
    * lists (each doc keeps its s − ceil(t·s) + 1 rarest shingles under
@@ -110,7 +123,8 @@ object PipelineQueries extends QueryGroup {
    * completeness theorem on real data. */
   private val p109 = QueryDef(
     (s, d) => DedupOps.jaccardPrefixJoin(
-      docs(s, d), "doc_id", "text", 3, tPpm = 500000L)
+      docs(s, d), "doc_id", "text", 3, tPpm = 500000L,
+      preShingles = Some(corpusShingleShared(s, d)))
       .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""WITH ${jaccardCtes("")},
       |jpm AS (
@@ -136,7 +150,8 @@ object PipelineQueries extends QueryGroup {
    * pigeonhole completeness argument on real data. */
   private val p134 = QueryDef(
     (s, d) => DedupOps.containmentPrefixJoin(
-      docs(s, d), "doc_id", "text", 3, tPpm = 700000L)
+      docs(s, d), "doc_id", "text", 3, tPpm = 700000L,
+      preShingles = Some(corpusShingleShared(s, d)))
       .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""WITH ${jaccardCtes("")},
       |cpm AS (
@@ -1285,16 +1300,32 @@ object PipelineQueries extends QueryGroup {
     // counts.
     (s, d) => {
       val e = embs(s, d)
-      val centroids = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("cembedding"))
-      graft.pipeline.Hnsw.recallAudit(e, centroids, queryMax = 20L,
+      graft.pipeline.Hnsw.recallAudit(e, hnswCentroids(e), queryMax = 20L,
           m = 16, ef = 128, k = 5, maxLevel = 2, beamSteps = 4,
-          cellAdj = 8, hopsPerLevel = 1)
+          cellAdj = 8, hopsPerLevel = 1,
+          preAssigned = Some(hnswAssignedShared(s, d)))
         .orderBy(col("query_id"))
     },
     Some(graft.pipeline.Hnsw.duckOracle(queryMax = 20L, m = 16, ef = 128,
       k = 5, maxLevel = 2, beamSteps = 4, cellAdj = 8, hopsPerLevel = 1)))
+
+  private def hnswCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("cembedding"))
+
+  /** The Hnsw corpus preparation (e3 codes + cell assignment + level
+   * draw) shared by p123's fresh-build audit and p128's append audit,
+   * RUN-scoped: a pure function of (corpus, centroids, maxLevel), so
+   * one |corpus|×|centroids| assignment pass serves both audits per
+   * harness run — the r16 verdict's audit-family reclaim. Oracles stay
+   * independent full replays. */
+  private def hnswAssignedShared(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.memoRun(
+      s"${s.sparkContext.applicationId}:hnsw-assigned:$d") {
+      val e = embs(s, d)
+      graft.pipeline.Hnsw.assignedNodes(e, hnswCentroids(e), maxLevel = 2)
+    }
 
   private val p128 = QueryDef(
     // HNSW append-WITHOUT-rebuild (index maintenance next to p120's IVF
@@ -1310,13 +1341,11 @@ object PipelineQueries extends QueryGroup {
     // the walk, so the frozen/appended split itself is verified.
     (s, d) => {
       val e = embs(s, d)
-      val centroids = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("cembedding"))
-      graft.pipeline.Hnsw.appendAudit(e, centroids,
+      graft.pipeline.Hnsw.appendAudit(e, hnswCentroids(e),
           batch = col("vec_id") % 10 === 5, queryMax = 20L,
           m = 16, ef = 128, k = 5, maxLevel = 2, beamSteps = 4,
-          cellAdj = 8, hopsPerLevel = 1)
+          cellAdj = 8, hopsPerLevel = 1,
+          preAssigned = Some(hnswAssignedShared(s, d)))
         .orderBy(col("query_id"))
     },
     Some(graft.pipeline.Hnsw.duckOracleAppend("vec_id % 10 = 5",
