@@ -174,16 +174,6 @@ object DedupOps {
    * Shuffling the shingle relation once to save 5-6 recomputations of it
    * is the right trade at any scale.
    */
-  /** The skinny (doc, shingle) projection of [[shingleRows]] — the
-   * relation the full-corpus prefix joins ([[jaccardPrefixJoin]],
-   * [[containmentPrefixJoin]]) consume. Public so a harness running
-   * BOTH joins over the same corpus can derive it once (memoRun) and
-   * pass it via their `preShingles` hook; a pure function of
-   * (docs, idCol, textCol, n). */
-  def docShingles(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    shingleRows(docs, idCol, textCol, n).select(col("doc"), col("shingle"))
-
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     // explicit partition counts: these exchanges carry few BYTES but gate
@@ -195,6 +185,17 @@ object DedupOps {
       .withColumn("h", murmur3Positive(col("shingle"), 0).cast("long"))
       .repartition(parts, col("doc"))
   }
+
+  /** The skinny (doc, shingle) projection of [[shingleRows]] — the
+   * relation the full-corpus prefix joins ([[jaccardPrefixJoin]],
+   * [[containmentPrefixJoin]]) consume. Public so a harness running
+   * BOTH joins over the same corpus can derive it once (memoRun) and
+   * pass it via their `preShingles` hook; a pure function of
+   * (docs, idCol, textCol, n). */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleRows(docs, idCol, textCol, n).select(col("doc"), col("shingle"))
+
 
   /** The (doc, band, band_hash) LSH banding projection — ONE
    * definition shared by the batch path ([[minhashLshVerifiedPairs]])

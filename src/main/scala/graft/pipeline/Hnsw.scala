@@ -364,22 +364,13 @@ object Hnsw {
         .select(col("vec_id"), col("cluster"), col("codes"))
       val nl = fresh.filter(col("level") >= l)
         .select(col("vec_id"), col("cluster"), col("codes"))
-      // new node → top-M base neighbors, cell-bounded (k-bounded
-      // map-side top-M, same as the build)
+      // new node → top-M base neighbors via the SHARED selection
+      // (newToBaseEdges — the table path must match row for row).
       // tracked: newOut fans out three ways (precap twice — forward +
       // reverse — and the appended-edge census); without the persist
       // the batch×cells candidate join would re-run per consumer
-      val newOut = graft.CacheScope.track(nl.as("a")
-        .join(broadcast(adjL), col("a.cluster") === col("cell"))
-        .join(bl.as("b"), col("cand_cell") === col("b.cluster"))
-        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-          GraftFunctions.l2SqLong(col("a.codes"), col("b.codes"))
-            .as("dist"))
-        .groupBy(col("src"))
-        .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")), m)
-          .as("tk"))
-        .select(col("src"), explode(col("tk")).as("p"))
-        .select(col("src"), col("p.dst").as("dst"), col("p.dist").as("dist")))
+      val newOut = graft.CacheScope.track(
+        newToBaseEdges(nl, bl, adjL, m))
       val precap = graft.CacheScope.track(frozen
         .unionByName(newOut)
         .unionByName(newOut.select(col("dst").as("src"),
@@ -447,12 +438,18 @@ object Hnsw {
    * rows themselves + the broadcast centroids, so appending the result
    * to the node table is lineage-safe. */
   def nodeRows(vecs: DataFrame, qcents: DataFrame, maxLevel: Int,
-      isNew: Boolean): DataFrame =
-    withLevel(assignCells(vecs.select(col("vec_id"),
-      q3Codes(col("embedding")).as("codes")), qcents), maxLevel)
+      isNew: Boolean): DataFrame = {
+    // tracked for the same reason as assignedNodes: q3Codes is an
+    // interpreted HOF — uncached, projection collapse would inline it
+    // into assignCells' cross join and re-run the 64-element transform
+    // once per (row, centroid) pair
+    val coded = graft.CacheScope.track(vecs.select(col("vec_id"),
+      q3Codes(col("embedding")).as("codes")))
+    withLevel(assignCells(coded, qcents), maxLevel)
       .withColumn("is_new", lit(isNew))
       .select(col("vec_id"), col("cluster"), col("codes"), col("level"),
         col("is_new"))
+  }
 
   /** The frozen base graph as edge-table rows: per level the capped
    * symmetrized neighbor lists ([[levelEdgesD]]) with their ranking
@@ -466,6 +463,28 @@ object Hnsw {
         .select(lit(l).as("level"), col("src"), col("dst"), col("dist"),
           lit(false).as("is_new"))
     }.reduce(_.unionByName(_))
+
+  /** The batch-parallel insert's neighbor selection — each new node's
+   * top-M base neighbors, cell-bounded (k-bounded map-side top-M, the
+   * build's candidate rule). ONE definition shared by the one-shot
+   * [[appendAudit]] and the persisted-table path ([[appendEdgeRows]]),
+   * whose graphs StreamingSmoke check 39 requires to stay row-for-row
+   * identical — a tie-break or candidate-rule change must hit both or
+   * the parity check fails by name. `nl`/`bl` have (vec_id, cluster,
+   * codes), already filtered to level ≥ l. */
+  private def newToBaseEdges(nl: DataFrame, bl: DataFrame,
+      adjL: DataFrame, m: Int): DataFrame =
+    nl.as("a")
+      .join(broadcast(adjL), col("a.cluster") === col("cell"))
+      .join(bl.as("b"), col("cand_cell") === col("b.cluster"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        GraftFunctions.l2SqLong(col("a.codes"), col("b.codes"))
+          .as("dist"))
+      .groupBy(col("src"))
+      .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")), m)
+        .as("tk"))
+      .select(col("src"), explode(col("tk")).as("p"))
+      .select(col("src"), col("p.dst").as("dst"), col("p.dist").as("dist"))
 
   /** One ingest increment: the batch's per-level new→base top-M
    * out-edges plus their reverses (appendAudit's newOut relation,
@@ -482,18 +501,7 @@ object Hnsw {
         .select(col("vec_id"), col("cluster"), col("codes"))
       val nl = batchNodes.filter(col("level") >= l)
         .select(col("vec_id"), col("cluster"), col("codes"))
-      val newOut = nl.as("a")
-        .join(broadcast(adjL), col("a.cluster") === col("cell"))
-        .join(bl.as("b"), col("cand_cell") === col("b.cluster"))
-        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-          GraftFunctions.l2SqLong(col("a.codes"), col("b.codes"))
-            .as("dist"))
-        .groupBy(col("src"))
-        .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")), m)
-          .as("tk"))
-        .select(col("src"), explode(col("tk")).as("p"))
-        .select(col("src"), col("p.dst").as("dst"),
-          col("p.dist").as("dist"))
+      val newOut = newToBaseEdges(nl, bl, adjL, m)
       newOut.unionByName(newOut.select(col("dst").as("src"),
           col("src").as("dst"), col("dist")))
         .select(lit(l).as("level"), col("src"), col("dst"), col("dist"),

@@ -1301,13 +1301,18 @@ object PipelineQueries extends QueryGroup {
     (s, d) => {
       val e = embs(s, d)
       graft.pipeline.Hnsw.recallAudit(e, hnswCentroids(e), queryMax = 20L,
-          m = 16, ef = 128, k = 5, maxLevel = 2, beamSteps = 4,
+          m = 16, ef = 128, k = 5, maxLevel = hnswMaxLevel, beamSteps = 4,
           cellAdj = 8, hopsPerLevel = 1,
           preAssigned = Some(hnswAssignedShared(s, d)))
         .orderBy(col("query_id"))
     },
     Some(graft.pipeline.Hnsw.duckOracle(queryMax = 20L, m = 16, ef = 128,
       k = 5, maxLevel = 2, beamSteps = 4, cellAdj = 8, hopsPerLevel = 1)))
+
+  /** p123/p128's level-draw depth — ONE constant so the shared
+   * preAssigned relation (level column drawn at build time) can never
+   * disagree with the audits that consume it. */
+  private val hnswMaxLevel = 2
 
   private def hnswCentroids(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 50 === 0)
@@ -1324,7 +1329,7 @@ object PipelineQueries extends QueryGroup {
     graft.CacheScope.memoRun(
       s"${s.sparkContext.applicationId}:hnsw-assigned:$d") {
       val e = embs(s, d)
-      graft.pipeline.Hnsw.assignedNodes(e, hnswCentroids(e), maxLevel = 2)
+      graft.pipeline.Hnsw.assignedNodes(e, hnswCentroids(e), hnswMaxLevel)
     }
 
   private val p128 = QueryDef(
@@ -1343,7 +1348,7 @@ object PipelineQueries extends QueryGroup {
       val e = embs(s, d)
       graft.pipeline.Hnsw.appendAudit(e, hnswCentroids(e),
           batch = col("vec_id") % 10 === 5, queryMax = 20L,
-          m = 16, ef = 128, k = 5, maxLevel = 2, beamSteps = 4,
+          m = 16, ef = 128, k = 5, maxLevel = hnswMaxLevel, beamSteps = 4,
           cellAdj = 8, hopsPerLevel = 1,
           preAssigned = Some(hnswAssignedShared(s, d)))
         .orderBy(col("query_id"))
