@@ -1432,8 +1432,164 @@ object StreamingSmoke {
           s"drift=${drift39.size}/${chunks39.size}")
     }
 
+    // ------------------------------------------------------------------
+    // 40–48) Restart durability, TOTAL: the same check-27 discipline for
+    // every remaining stateful operator in StreamingOps — after these,
+    // each flatMapGroupsWithState/mapGroupsWithState family has a leg
+    // that stops mid-stream and resumes a brand-new query instance from
+    // the checkpoint alone. Batch twins are the SAME relations the
+    // earlier convergence checks derived (no private re-derivations).
+
+    // 40) chunk reassembly (F13): partial chunk buffers span the split
+    val accAsm = scala.collection.concurrent.TrieMap
+      .empty[Long, (Long, String, Long)]
+    restartLegs(envs.toSeq, OutputMode.Append())(
+      StreamingOps.reassembleChunksStream) { b =>
+      b.collect().foreach { r =>
+        accAsm.put(r.getAs[Long]("uuid"), (r.getAs[Long]("n_chunks"),
+          r.getAs[String]("payload"), r.getAs[Long]("first_offset")))
+      }
+    }
+    check("chunk-reassembly-restart", accAsm.toMap == batchAsm,
+      s"resumed=${accAsm.size} groups batch=${batchAsm.size}")
+
+    // 41) txn buffer (T3): open-transaction buffers and statuses span
+    // the split — a cold restart would swallow data rows of a txn whose
+    // commit marker lands after the boundary
+    val accTxn = scala.collection.mutable.ArrayBuffer.empty[Long]
+    restartLegs(envs.toSeq, OutputMode.Append())(
+      StreamingOps.txnBufferStream) { b =>
+      accTxn ++= b.select("msg_offset").collect().map(_.getLong(0))
+    }
+    val wantTxn = graft.operators.Transactions.visibleCommitted(batchDf)
+      .select("msg_offset").collect().map(_.getLong(0)).sorted.toSeq
+    check("txn-buffer-restart",
+      accTxn.sorted.toSeq == wantTxn && wantTxn.nonEmpty,
+      s"resumed=${accTxn.size} rows batch=${wantTxn.size}")
+
+    // 42) delayed delivery (F3/F4): the per-partition clock AND the
+    // held-message buffer both recover — a cold restart would re-hold
+    // nothing and lose pending deliveries
+    val accDue = scala.collection.mutable.ArrayBuffer.empty[Long]
+    restartLegs(envs.toSeq, OutputMode.Append())(
+      StreamingOps.delayedDeliveryStream) { b =>
+      accDue ++= b.select("msg_offset").collect().map(_.getLong(0))
+    }
+    val wantDue = envs.filter { m =>
+      val clock = envs.filter(_.partition_id == m.partition_id)
+        .map(_.publish_ms).max
+      m.deliver_at_ms <= clock
+    }.map(_.msg_offset).sorted.toSeq
+    check("delayed-delivery-restart",
+      accDue.sorted.toSeq == wantDue && wantDue.nonEmpty,
+      s"resumed=${accDue.size} due batch=${wantDue.size}")
+
+    // 43) retention cells (check 23): the cohort-day lock and the
+    // seen-offset-week set recover; each cell still emits exactly once
+    val accRet = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long)]
+    restartLegs(retRows.toSeq, OutputMode.Append())(
+      StreamingOps.retentionStream) { b =>
+      accRet ++= b.collect().map(r =>
+        (r.getAs[Long]("cohort_week"), r.getAs[Long]("offset_week")))
+    }
+    val accRetMap = accRet.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    check("retention-restart", accRetMap == batchRetMap,
+      s"resumed=${accRetMap.size} cells batch=${batchRetMap.size}")
+
+    // 44) Markov census (check 25): the last-event-type string recovers,
+    // so the transition completed ACROSS the boundary is still emitted
+    val accTr = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    restartLegs(trRows.toSeq, OutputMode.Append())(
+      StreamingOps.transitionStream) { b =>
+      accTr ++= b.collect().map(r =>
+        (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+    }
+    val accTrMap = accTr.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    check("markov-restart", accTrMap == batchTr,
+      s"resumed=${accTrMap.size} cells batch=${batchTr.size}")
+
+    // 45) weighted sampler (check 26): the per-stratum top-k triples and
+    // the monotone version both recover; the final membership digest
+    // still equals p41's sample
+    val accSamp = scala.collection.concurrent.TrieMap
+      .empty[String, (Long, (String, Double))]
+    restartLegs(sampRows.toSeq, OutputMode.Append())(
+      ds => StreamingOps.weightedSampleStream(ds, 10)) { b =>
+      b.collect().foreach { r =>
+        val st = r.getAs[String]("stratum")
+        val v = r.getAs[Long]("version")
+        val row = (md5Hex(r.getAs[String]("member_ids")),
+          r.getAs[Double]("weight_sampled"))
+        val cur = accSamp.get(st)
+        if (cur.forall(_._1 < v)) accSamp.put(st, (v, row))
+      }
+    }
+    check("weighted-sampler-restart",
+      accSamp.map { case (st, (_, row)) => st -> row }.toMap == batchSamp,
+      s"resumed=${accSamp.size} strata batch=${batchSamp.size}")
+
+    // 46) corpus-ingest dedup (check 12): the surviving-id-per-
+    // fingerprint state recovers — a cold restart would re-admit a
+    // duplicate whose original landed before the boundary
+    val accSurv = scala.collection.mutable.ArrayBuffer.empty[Long]
+    restartLegs(docIngest.toSeq, OutputMode.Append())(
+      StreamingOps.corpusDedupStream) { b =>
+      accSurv ++= b.select("doc_id").collect().map(_.getLong(0))
+    }
+    check("corpus-dedup-restart", accSurv.sorted.toSeq == batchSurv,
+      s"resumed=${accSurv.size} survivors batch=${batchSurv.size}")
+
+    // 47) key-ordered consumption (U6, check 11): the last-offset and
+    // running-ordinal state recover, so ordinals continue (not restart
+    // at 1) and the violation count stays zero across the boundary
+    val accOrd = scala.collection.concurrent.TrieMap
+      .empty[(String, Long), Long]
+    var accViol = 0L
+    restartLegs(envs.toSeq, OutputMode.Append())(
+      StreamingOps.keyOrderedStream) { b =>
+      b.collect().foreach { r =>
+        accOrd.put((r.getAs[String]("key"), r.getAs[Long]("msg_offset")),
+          r.getAs[Long]("obs_seq"))
+        accViol = math.max(accViol, r.getAs[Long]("violations"))
+      }
+    }
+    check("key-ordering-restart",
+      accOrd.toMap == batchOrd && accViol == 0L,
+      s"resumed=${accOrd.size} batch=${batchOrd.size} violations=$accViol")
+
+    // 48) byte KV state (A7): the opaque Array[Byte] per key recovers —
+    // the update function is a7's batch twin (8-byte big-endian max
+    // sequence id), so the final state per key must equal the batch
+    // aggregate byte for byte. mapGroupsWithState → Update mode; state
+    // is monotone, so the lexicographic max hex across emissions is the
+    // final value.
+    def be8(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    val accByte = scala.collection.concurrent.TrieMap.empty[String, String]
+    restartLegs(envs.toSeq, OutputMode.Update())(
+      ds => StreamingOps.byteState(ds, (st, m) => {
+        val cur = if (st == null) Long.MinValue
+          else java.nio.ByteBuffer.wrap(st).getLong
+        be8(math.max(cur, m.sequence_id))
+      })) { b =>
+      b.collect().foreach { r =>
+        val k = r.getString(0)
+        val hexS = r.getAs[Array[Byte]](1).map(x => f"$x%02x").mkString
+        accByte.put(k,
+          accByte.get(k).filter(_ >= hexS).getOrElse(hexS))
+      }
+    }
+    val wantByte = envs.groupBy(_.key).map { case (k, ms) =>
+      k -> be8(ms.map(_.sequence_id).max).map(x => f"$x%02x").mkString }
+    check("byte-state-restart", accByte.toMap == wantByte,
+      s"resumed=${accByte.size} keys batch=${wantByte.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 39 converged to batch twins OK")
+    println(s"[stream-smoke] all 48 converged to batch twins OK")
     spark.stop()
   }
 }
