@@ -1234,6 +1234,17 @@ object StreamingSmoke {
         }
     }
 
+    def collectLongs(b: org.apache.spark.sql.DataFrame,
+        c: String): Seq[Long] =
+      b.select(c).collect().map(_.getLong(0)).toSeq
+    // upsert-by-monotone-version — ONE definition for every
+    // max-version-row-wins accumulator (checks 37/38/45/49)
+    def upsertMax[K, V](acc: scala.collection.concurrent.TrieMap[K, (Long, V)],
+        k: K, ver: Long, v: V): Unit = {
+      val cur = acc.get(k)
+      if (cur.forall(_._1 < ver)) acc.put(k, (ver, v))
+    }
+
     // 34) counters (A6): mapGroupsWithState totals are monotone, so the
     // max observed value per key across both passes is the final total
     val accCnt = scala.collection.concurrent.TrieMap.empty[String, Long]
@@ -1255,7 +1266,7 @@ object StreamingSmoke {
     val accKept = scala.collection.mutable.ArrayBuffer.empty[Long]
     restartLegs(envs.toSeq, OutputMode.Append())(
       StreamingOps.dropReplaysStream) { b =>
-      accKept ++= b.select("msg_offset").collect().map(_.getLong(0))
+      accKept ++= collectLongs(b, "msg_offset")
     }
     check("dedup-restart", accKept.sorted.toSeq == batchKept,
       s"resumed=${accKept.size} rows batch=${batchKept.size}")
@@ -1293,11 +1304,9 @@ object StreamingSmoke {
     restartLegs(funRows.toSeq, OutputMode.Append())(
       StreamingOps.funnelStream) { b =>
       b.collect().foreach { r =>
-        val u = r.getAs[Long]("user_id")
-        val st = r.getAs[Long]("stage")
         def t(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
-        val cur = accFun.get(u)
-        if (cur.forall(_._1 < st)) accFun.put(u, (st, (t(1), t(2), t(3), t(4))))
+        upsertMax(accFun, r.getAs[Long]("user_id"), r.getAs[Long]("stage"),
+          (t(1), t(2), t(3), t(4)))
       }
     }
     check("funnel-restart",
@@ -1313,13 +1322,10 @@ object StreamingSmoke {
     restartLegs(docs31.toSeq, OutputMode.Append())(
       StreamingOps.urlCensusStream) { b =>
       b.collect().foreach { r =>
-        val host = r.getAs[String]("host")
-        val v = r.getAs[Long]("version")
-        val row = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_urls"),
-          r.getAs[Long]("n_dup_docs"), r.getAs[Long]("max_url_docs"),
-          r.getAs[Long]("text_chars"))
-        val cur = accUrl.get(host)
-        if (cur.forall(_._1 < v)) accUrl.put(host, (v, row))
+        upsertMax(accUrl, r.getAs[String]("host"), r.getAs[Long]("version"),
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_urls"),
+            r.getAs[Long]("n_dup_docs"), r.getAs[Long]("max_url_docs"),
+            r.getAs[Long]("text_chars")))
       }
     }
     check("url-census-restart",
@@ -1433,12 +1439,18 @@ object StreamingSmoke {
     }
 
     // ------------------------------------------------------------------
-    // 40–48) Restart durability, TOTAL: the same check-27 discipline for
-    // every remaining stateful operator in StreamingOps — after these,
-    // each flatMapGroupsWithState/mapGroupsWithState family has a leg
-    // that stops mid-stream and resumes a brand-new query instance from
-    // the checkpoint alone. Batch twins are the SAME relations the
-    // earlier convergence checks derived (no private re-derivations).
+    // 40–48) Restart durability, extended: the same check-27 discipline
+    // for every remaining *GroupsWithState operator in StreamingOps —
+    // each leg stops mid-stream and resumes a brand-new query instance
+    // from the checkpoint alone. Batch twins: checks 40/43/44/45/46/47
+    // reuse the SAME relations their convergence checks derived above;
+    // check 41's twin is the library relation Transactions
+    // .visibleCommitted (the one t1/t3 serve; the dual-marker edge is
+    // TxnDualMarkerSpec's); check 48's is the a7_byte_state QUERY
+    // relation (oracle-checked every round). Check 42's expected set is
+    // the one freshly-derived twin here (per-partition clock fold,
+    // mirroring WindowSpec's convergence test) — disclosed, not hidden
+    // behind a "same relation" claim.
 
     // 40) chunk reassembly (F13): partial chunk buffers span the split
     val accAsm = scala.collection.concurrent.TrieMap
@@ -1450,7 +1462,8 @@ object StreamingSmoke {
           r.getAs[String]("payload"), r.getAs[Long]("first_offset")))
       }
     }
-    check("chunk-reassembly-restart", accAsm.toMap == batchAsm,
+    check("chunk-reassembly-restart",
+      accAsm.toMap == batchAsm && accAsm.nonEmpty,
       s"resumed=${accAsm.size} groups batch=${batchAsm.size}")
 
     // 41) txn buffer (T3): open-transaction buffers and statuses span
@@ -1459,7 +1472,7 @@ object StreamingSmoke {
     val accTxn = scala.collection.mutable.ArrayBuffer.empty[Long]
     restartLegs(envs.toSeq, OutputMode.Append())(
       StreamingOps.txnBufferStream) { b =>
-      accTxn ++= b.select("msg_offset").collect().map(_.getLong(0))
+      accTxn ++= collectLongs(b, "msg_offset")
     }
     val wantTxn = graft.operators.Transactions.visibleCommitted(batchDf)
       .select("msg_offset").collect().map(_.getLong(0)).sorted.toSeq
@@ -1473,13 +1486,12 @@ object StreamingSmoke {
     val accDue = scala.collection.mutable.ArrayBuffer.empty[Long]
     restartLegs(envs.toSeq, OutputMode.Append())(
       StreamingOps.delayedDeliveryStream) { b =>
-      accDue ++= b.select("msg_offset").collect().map(_.getLong(0))
+      accDue ++= collectLongs(b, "msg_offset")
     }
-    val wantDue = envs.filter { m =>
-      val clock = envs.filter(_.partition_id == m.partition_id)
-        .map(_.publish_ms).max
-      m.deliver_at_ms <= clock
-    }.map(_.msg_offset).sorted.toSeq
+    val partClock = envs.groupBy(_.partition_id)
+      .map { case (pid, ms) => pid -> ms.map(_.publish_ms).max }
+    val wantDue = envs.filter(m => m.deliver_at_ms <= partClock(m.partition_id))
+      .map(_.msg_offset).sorted.toSeq
     check("delayed-delivery-restart",
       accDue.sorted.toSeq == wantDue && wantDue.nonEmpty,
       s"resumed=${accDue.size} due batch=${wantDue.size}")
@@ -1495,7 +1507,8 @@ object StreamingSmoke {
     }
     val accRetMap = accRet.groupBy(identity).map { case (k, v) =>
       k -> v.size.toLong }
-    check("retention-restart", accRetMap == batchRetMap,
+    check("retention-restart",
+      accRetMap == batchRetMap && accRetMap.nonEmpty,
       s"resumed=${accRetMap.size} cells batch=${batchRetMap.size}")
 
     // 44) Markov census (check 25): the last-event-type string recovers,
@@ -1509,7 +1522,7 @@ object StreamingSmoke {
     }
     val accTrMap = accTr.groupBy(identity).map { case (k, v) =>
       k -> v.size.toLong }
-    check("markov-restart", accTrMap == batchTr,
+    check("markov-restart", accTrMap == batchTr && accTrMap.nonEmpty,
       s"resumed=${accTrMap.size} cells batch=${batchTr.size}")
 
     // 45) weighted sampler (check 26): the per-stratum top-k triples and
@@ -1520,16 +1533,15 @@ object StreamingSmoke {
     restartLegs(sampRows.toSeq, OutputMode.Append())(
       ds => StreamingOps.weightedSampleStream(ds, 10)) { b =>
       b.collect().foreach { r =>
-        val st = r.getAs[String]("stratum")
-        val v = r.getAs[Long]("version")
-        val row = (md5Hex(r.getAs[String]("member_ids")),
-          r.getAs[Double]("weight_sampled"))
-        val cur = accSamp.get(st)
-        if (cur.forall(_._1 < v)) accSamp.put(st, (v, row))
+        upsertMax(accSamp, r.getAs[String]("stratum"),
+          r.getAs[Long]("version"),
+          (md5Hex(r.getAs[String]("member_ids")),
+            r.getAs[Double]("weight_sampled")))
       }
     }
     check("weighted-sampler-restart",
-      accSamp.map { case (st, (_, row)) => st -> row }.toMap == batchSamp,
+      accSamp.map { case (st, (_, row)) => st -> row }.toMap == batchSamp &&
+        accSamp.nonEmpty,
       s"resumed=${accSamp.size} strata batch=${batchSamp.size}")
 
     // 46) corpus-ingest dedup (check 12): the surviving-id-per-
@@ -1538,9 +1550,10 @@ object StreamingSmoke {
     val accSurv = scala.collection.mutable.ArrayBuffer.empty[Long]
     restartLegs(docIngest.toSeq, OutputMode.Append())(
       StreamingOps.corpusDedupStream) { b =>
-      accSurv ++= b.select("doc_id").collect().map(_.getLong(0))
+      accSurv ++= collectLongs(b, "doc_id")
     }
-    check("corpus-dedup-restart", accSurv.sorted.toSeq == batchSurv,
+    check("corpus-dedup-restart",
+      accSurv.sorted.toSeq == batchSurv && accSurv.nonEmpty,
       s"resumed=${accSurv.size} survivors batch=${batchSurv.size}")
 
     // 47) key-ordered consumption (U6, check 11): the last-offset and
@@ -1558,7 +1571,7 @@ object StreamingSmoke {
       }
     }
     check("key-ordering-restart",
-      accOrd.toMap == batchOrd && accViol == 0L,
+      accOrd.toMap == batchOrd && accViol == 0L && accOrd.nonEmpty,
       s"resumed=${accOrd.size} batch=${batchOrd.size} violations=$accViol")
 
     // 48) byte KV state (A7): the opaque Array[Byte] per key recovers —
@@ -1583,13 +1596,76 @@ object StreamingSmoke {
           accByte.get(k).filter(_ >= hexS).getOrElse(hexS))
       }
     }
-    val wantByte = envs.groupBy(_.key).map { case (k, ms) =>
-      k -> be8(ms.map(_.sequence_id).max).map(x => f"$x%02x").mkString }
-    check("byte-state-restart", accByte.toMap == wantByte,
+    // the twin is the a7_byte_state QUERY relation (the same
+    // oracle-checked rows the driver gate hashes every round), not a
+    // private re-derivation
+    val wantByte = SparkEntry.queries("a7_byte_state")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("key") ->
+        r.getAs[String]("state_hex")).toMap
+    check("byte-state-restart",
+      accByte.toMap == wantByte && accByte.nonEmpty,
       s"resumed=${accByte.size} keys batch=${wantByte.size}")
 
+    // 49) replicated-subscription census (S17, check 28's operator —
+    // the one custom stateful op OUTSIDE StreamingOps): snapshot state
+    // (request ts, response rounds, stored positions) recovers; the
+    // max-version census row per snapshot still equals the batch sync
+    val accRs = scala.collection.concurrent.TrieMap
+      .empty[String, (Long, (String, Long, String))]
+    restartLegs(rsEvents.toSeq, OutputMode.Append())(
+      ds => graft.streaming.ReplSubStream
+        .censusStream(ds, Seq("B", "C"), 10000L)) { b =>
+      b.collect().foreach { r =>
+        upsertMax(accRs, r.getAs[String]("sid"), r.getAs[Long]("version"),
+          (r.getAs[String]("status"), r.getAs[Long]("localEntry"),
+            r.getAs[String]("storedCsv")))
+      }
+    }
+    check("repl-sub-restart",
+      accRs.map { case (k, (_, v)) => k -> v }.toMap == batchCensus &&
+        accRs.nonEmpty,
+      s"resumed=${accRs.size} snapshots batch=${batchCensus.size}")
+
+    // 50) BUILT-IN stateful coverage: the watermarked tumbling
+    // aggregation (W1/W4) — Spark's own streaming-agg state store, not
+    // a *GroupsWithState op — recovers partial window counts across the
+    // restart. Complete mode: each micro-batch emits the full table, so
+    // the accumulator is replace-not-merge and the LAST emission must
+    // equal check 3's batch window relation.
+    val accWin = scala.collection.concurrent.TrieMap
+      .empty[(Long, String), (Long, Double)]
+    restartLegs(envs.toSeq, OutputMode.Complete())(
+      ds => StreamingOps.tumblingCounts(ds.toDF(), H6_MS, "10 days")) { b =>
+      val rows = b.select("window_start_ms", "topic", "n", "sum_v").collect()
+      accWin.clear()
+      rows.foreach { r => accWin.put((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3))) }
+    }
+    val winRestartOk = accWin.keySet == batchWin.keySet && accWin.forall {
+      case (k, (n, sv)) =>
+        batchWin(k)._1 == n && math.abs(batchWin(k)._2 - sv) < 1e-6
+    }
+    check("tumbling-agg-restart", winRestartOk && accWin.nonEmpty,
+      s"resumed=${accWin.size} windows batch=${batchWin.size}")
+
+    // 51) built-in dedup state (F5 watermark variant):
+    // dropDuplicatesWithinWatermark's seen-keys store recovers — a
+    // replay of a (producer, sequence) pair first seen BEFORE the
+    // boundary must still drop after it. First arrival per pair wins
+    // (ordered feed ⇒ the min-offset row).
+    val accNoRep = scala.collection.mutable.ArrayBuffer.empty[Long]
+    restartLegs(envs.toSeq, OutputMode.Append())(
+      ds => StreamingOps.dropExactReplaysStream(ds.toDF(), "10 days")) { b =>
+      accNoRep ++= collectLongs(b, "msg_offset")
+    }
+    val wantNoRep = envs.groupBy(m => (m.producer_name, m.sequence_id))
+      .map { case (_, ms) => ms.map(_.msg_offset).min }.toSeq.sorted
+    check("watermark-dedup-restart",
+      accNoRep.sorted.toSeq == wantNoRep && accNoRep.nonEmpty,
+      s"resumed=${accNoRep.size} rows batch=${wantNoRep.size}")
+
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
-    println(s"[stream-smoke] all 48 converged to batch twins OK")
+    println(s"[stream-smoke] all 51 converged to batch twins OK")
     spark.stop()
   }
 }

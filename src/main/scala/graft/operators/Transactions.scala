@@ -66,14 +66,24 @@ object Transactions {
   }
 
   /** T2 — coordinator status recovered from the txn end markers in the
-   * log (the marker IS the durable 2PC decision; open txns have none). */
+   * log (the marker IS the durable 2PC decision; open txns have none).
+   * The FIRST terminal marker by log offset wins: the coordinator
+   * enforces a single terminal state (a second END_TXN on an ended txn
+   * is rejected with InvalidTxnStatusException —
+   * TransactionCoordinator end-txn path), so a valid log never carries
+   * two — but recovery over an adversarial/corrupt log must still
+   * agree with the streaming buffer ([[graft.streaming.StreamingOps
+   * .txnBufferStream]] treats terminal markers as idempotent, first
+   * one wins), and min_by makes that agreement structural instead of
+   * an untested assumption. */
   def statusFromMarkers(env: DataFrame): DataFrame =
     env.filter(col("marker_type").isin(TxnCommitMarker, TxnAbortMarker) &&
         col("txn_group").isNotNull)
       .groupBy(col("txn_group").as("txn_id"))
-      .agg(max(when(col("marker_type") === TxnCommitMarker, 1).otherwise(0)).as("_c"))
-      .withColumn("status", when(col("_c") === 1, "COMMITTED").otherwise("ABORTED"))
-      .drop("_c")
+      .agg(min_by(col("marker_type"), col("msg_offset")).as("_m"))
+      .withColumn("status", when(col("_m") === TxnCommitMarker, "COMMITTED")
+        .otherwise("ABORTED"))
+      .drop("_m")
 
   /** T3 strict — reference visibility: txn messages are invisible until
    * COMMIT (open AND aborted both hidden); non-txn messages always show. */

@@ -1374,12 +1374,20 @@ object LogQueries extends QueryGroup {
     // NOT from the decision rule.
     (s, d) => {
       val e = env(s, d)
+      // markers land AFTER every data row (offset 10⁹ + txn id — the
+      // coordinator appends the decision at the log tail); offsets are
+      // required since statusFromMarkers takes the FIRST terminal
+      // marker per txn by offset (one marker each here, so the rule is
+      // vacuous on this fixture — the adversarial dual-marker case is
+      // TxnDualMarkerSpec's)
       val markers = e.filter(col("txn_group").isNotNull)
         .select(col("txn_group")).distinct()
         .select(col("txn_group"),
           when(col("txn_group") % 4 === 0, lit(Transactions.TxnAbortMarker))
-            .otherwise(lit(Transactions.TxnCommitMarker)).cast("int").as("marker_type"))
-      val log = e.select(col("txn_group"), col("marker_type")).unionByName(markers)
+            .otherwise(lit(Transactions.TxnCommitMarker)).cast("int").as("marker_type"),
+          (lit(1000000000L) + col("txn_group")).as("msg_offset"))
+      val log = e.select(col("txn_group"), col("marker_type"), col("msg_offset"))
+        .unionByName(markers)
       Transactions.statusFromMarkers(log).orderBy(col("txn_id"))
     },
     Some(s"""$E

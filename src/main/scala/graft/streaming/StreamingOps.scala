@@ -649,11 +649,19 @@ object StreamingOps {
             val out = scala.collection.mutable.ArrayBuffer.empty[MessageEnvelope]
             rows.toSeq.sortBy(_.msg_offset).foreach { m =>
               m.marker_type match {
-                case Some(graft.operators.Transactions.TxnCommitMarker) =>
+                // terminal markers are IDEMPOTENT: only the first one
+                // takes effect (the coordinator rejects END_TXN on an
+                // ended txn — InvalidTxnStatusException — so a valid
+                // log never has two; on an invalid one this matches
+                // the batch recovery's first-marker-by-offset rule,
+                // TxnDualMarkerSpec pins the agreement)
+                case Some(graft.operators.Transactions.TxnCommitMarker)
+                    if status == open =>
                   status = committed; out ++= buf; buf = Seq.empty
-                case Some(graft.operators.Transactions.TxnAbortMarker) =>
+                case Some(graft.operators.Transactions.TxnAbortMarker)
+                    if status == open =>
                   status = aborted; buf = Seq.empty
-                case Some(_) => // other server markers never dispatch
+                case Some(_) => // other/late markers never dispatch
                 case None => status match {
                   case `open` => buf = buf :+ m
                   case `committed` => out += m
