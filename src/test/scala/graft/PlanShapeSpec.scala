@@ -197,6 +197,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf("p109_jaccard_prefix_join")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the r15 class, pinned by NAME at gate SF: every join side in the
+    // prefix join is corpus-scale (shingles, df table, sizes, prefixes)
+    // and merge-hinted — a broadcast ANYWHERE here means a hint was
+    // dropped and the 100×/1000× plan would OOM the driver (the static
+    // planner misestimates deep parquet plans small; AQE cannot demote
+    // a static broadcast). The 1000× census measured zero broadcasts —
+    // this assert keeps it true without regenerating the corpus.
+    assert(!plan.contains("BroadcastExchange"), plan)
   }
 
   test("p134: containment prefix join never cartesians; probe is an equi-join") {
@@ -205,6 +213,24 @@ class PlanShapeSpec extends AnyFunSuite {
     // condition — it must never surface as a nested-loop theta join
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // zero broadcasts, same rationale (and 1000× census) as p109's pin
+    assert(!plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("whole surface: zero CartesianProduct in any declared query's plan") {
+    // the per-round manual Explain census as a NAMED test: a theta join
+    // that degrades to a cartesian anywhere in the 285-query surface now
+    // fails here, by query name, instead of waiting for a human sweep
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sf).queryExecution.executedPlan.toString
+          finally CacheScope.releaseAll()
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    CacheScope.releaseRun()
+    assert(offenders.isEmpty,
+      s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
   test("p127: host census is two key-local aggs, no join-back, no join at all") {
