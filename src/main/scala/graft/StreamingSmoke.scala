@@ -1651,18 +1651,27 @@ object StreamingSmoke {
     // 51) built-in dedup state (F5 watermark variant):
     // dropDuplicatesWithinWatermark's seen-keys store recovers — a
     // replay of a (producer, sequence) pair first seen BEFORE the
-    // boundary must still drop after it. First arrival per pair wins
-    // (ordered feed ⇒ the min-offset row).
-    val accNoRep = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // boundary must still drop after it. The comparison is on KEY SETS,
+    // not offsets: the operator keeps the first row ENCOUNTERED per
+    // pair, and which copy that is depends on partitioning/arrival —
+    // an implementation detail, not the semantics. What IS the
+    // semantics: exactly one survivor per distinct pair, and the pair
+    // set equals the input's. The 3650-day delay makes state expiry
+    // unreachable for any fixture span, so the restart leg tests the
+    // store, not the TTL.
+    val accNoRep = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long)]
     restartLegs(envs.toSeq, OutputMode.Append())(
-      ds => StreamingOps.dropExactReplaysStream(ds.toDF(), "10 days")) { b =>
-      accNoRep ++= collectLongs(b, "msg_offset")
+      ds => StreamingOps.dropExactReplaysStream(ds.toDF(), "3650 days")) { b =>
+      accNoRep ++= b.select("producer_name", "sequence_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
     }
-    val wantNoRep = envs.groupBy(m => (m.producer_name, m.sequence_id))
-      .map { case (_, ms) => ms.map(_.msg_offset).min }.toSeq.sorted
+    val wantPairs = envs.map(m => (m.producer_name, m.sequence_id)).toSet
     check("watermark-dedup-restart",
-      accNoRep.sorted.toSeq == wantNoRep && accNoRep.nonEmpty,
-      s"resumed=${accNoRep.size} rows batch=${wantNoRep.size}")
+      accNoRep.size == wantPairs.size && accNoRep.toSet == wantPairs &&
+        accNoRep.nonEmpty,
+      s"resumed=${accNoRep.size} rows (${accNoRep.toSet.size} distinct) " +
+        s"batch pairs=${wantPairs.size}")
 
     if (failures > 0) { println(s"[stream-smoke] FAILED ($failures)"); sys.exit(1) }
     println(s"[stream-smoke] all 51 converged to batch twins OK")

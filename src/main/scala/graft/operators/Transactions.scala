@@ -74,8 +74,14 @@ object Transactions {
    * two — but recovery over an adversarial/corrupt log must still
    * agree with the streaming buffer ([[graft.streaming.StreamingOps
    * .txnBufferStream]] treats terminal markers as idempotent, first
-   * one wins), and min_by makes that agreement structural instead of
-   * an untested assumption. */
+   * one wins). The agreement holds UNDER THE DISPATCH CONTRACT the
+   * stream already requires: per-txn rows arrive in log-offset order
+   * (the broker's dispatch order), so the stream's first-ARRIVAL equals
+   * this fold's first-by-offset; a feed that reorders markers across
+   * micro-batches breaks the contract, not the rule. Offsets are log
+   * positions (unique), so min_by is deterministic.
+   * TxnDualMarkerSpec pins both orders with the markers split across
+   * micro-batch boundaries. */
   def statusFromMarkers(env: DataFrame): DataFrame =
     env.filter(col("marker_type").isin(TxnCommitMarker, TxnAbortMarker) &&
         col("txn_group").isNotNull)

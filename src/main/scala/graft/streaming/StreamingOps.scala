@@ -653,8 +653,11 @@ object StreamingOps {
                 // takes effect (the coordinator rejects END_TXN on an
                 // ended txn — InvalidTxnStatusException — so a valid
                 // log never has two; on an invalid one this matches
-                // the batch recovery's first-marker-by-offset rule,
-                // TxnDualMarkerSpec pins the agreement)
+                // the batch recovery's first-marker-by-offset rule
+                // UNDER the stream's standing dispatch contract of
+                // per-txn offset-ordered arrival — first arrival then
+                // IS first offset; TxnDualMarkerSpec pins both orders
+                // across micro-batch boundaries)
                 case Some(graft.operators.Transactions.TxnCommitMarker)
                     if status == open =>
                   status = committed; out ++= buf; buf = Seq.empty

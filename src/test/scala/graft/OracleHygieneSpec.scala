@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{BRound, Expression, Round}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -29,27 +27,13 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class OracleHygieneSpec extends AnyFunSuite {
   import TestSpark._
-
-  private val sf = "/root/testdata/sf0.001"
+  import SurfaceWalk.roundOffenders
 
   /** `round(` as a word in SQL text, case-insensitively — DuckDB resolves
    * function names case-insensitively, and column aliases can't collide
    * (`_round(` / `xround(` don't match the word boundary). */
   private def sqlHasRound(sql: String): Boolean =
     "(?i)\\bround\\s*\\(".r.findFirstIn(sql).isDefined
-
-  /** Every Round/BRound over a NON-LITERAL child anywhere in the plan,
-   * subquery plans included. A foldable child is a driver-side constant
-   * (Catalyst folds it before execution) — constant rounding has no
-   * aggregation-order exposure and stays legal. */
-  private def roundOffenders(plan: LogicalPlan): Seq[String] = {
-    def inExpr(e: Expression): Seq[String] = e.collect {
-      case r: Round if !r.child.foldable => r.sql
-      case b: BRound if !b.child.foldable => b.sql
-    }
-    plan.collectWithSubqueries { case p => p.expressions.flatMap(inExpr) }
-      .flatten
-  }
 
   test("no oracle SQL string contains round(") {
     val bad = SparkEntry.oracleSql.collect {
@@ -61,17 +45,14 @@ class OracleHygieneSpec extends AnyFunSuite {
   }
 
   test("no engine query's analyzed plan rounds a non-literal expression") {
-    // builds every declared query's plan (no execution beyond the eager
-    // driver folds some builders run — model-scale at sf0.001) and walks
-    // it; releaseAll per query keeps builder-tracked persists bounded
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val offenders =
-          try roundOffenders(fn(spark, sf).queryExecution.analyzed)
-          finally CacheScope.releaseAll()
-        offenders.map(e => s"$name: $e")
+    // the ONE shared surface walk (SurfaceWalk — plan builds run eager
+    // fixture-staging side effects, so the suites share a single pass);
+    // a builder that THROWS is reported here by query name too
+    val bad = SurfaceWalk.facts.toSeq.sortBy(_._1).flatMap {
+      case (name, f) =>
+        f.failure.map(e => s"$name: plan build failed: $e").toSeq ++
+          f.roundOffenders.map(e => s"$name: $e")
     }
-    CacheScope.releaseRun()
     assert(bad.isEmpty,
       s"engine queries round non-literal expressions:\n  " +
         bad.mkString("\n  "))

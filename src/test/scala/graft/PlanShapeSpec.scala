@@ -220,17 +220,16 @@ class PlanShapeSpec extends AnyFunSuite {
   test("whole surface: zero CartesianProduct in any declared query's plan") {
     // the per-round manual Explain census as a NAMED test: a theta join
     // that degrades to a cartesian anywhere in the 285-query surface now
-    // fails here, by query name, instead of waiting for a human sweep
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan =
-          try fn(spark, sf).queryExecution.executedPlan.toString
-          finally CacheScope.releaseAll()
-        if (plan.contains("CartesianProduct")) Some(name) else None
+    // fails here, by query name, instead of waiting for a human sweep.
+    // Rides the ONE shared walk (SurfaceWalk) so the eager builder side
+    // effects run once per test JVM, and a builder that throws is
+    // reported by name rather than aborting the suite.
+    val offenders = SurfaceWalk.facts.toSeq.sortBy(_._1).flatMap {
+      case (name, f) =>
+        f.failure.map(e => s"$name: plan build failed: $e").toSeq ++
+          (if (f.cartesian) Seq(s"$name: CartesianProduct") else Nil)
     }
-    CacheScope.releaseRun()
-    assert(offenders.isEmpty,
-      s"cartesian products in: ${offenders.mkString(", ")}")
+    assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
   test("p127: host census is two key-local aggs, no join-back, no join at all") {
