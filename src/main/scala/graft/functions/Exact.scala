@@ -50,10 +50,20 @@ import org.apache.spark.sql.functions._
  * cardinality money sums at the 100 TB target): use k=2 codes (money
  * is 2-dp; ×100 headroom), or sum into decimal(38,0) —
  * `sum(eRow(x,k).cast("decimal(38,0)"))` — which is exact to 38
- * digits and matches HUGEINT semantics on both engines. Every current
- * call site's per-group Σcodes is ≥ 3 orders inside the Long bound at
- * the gate SFs and ≥ 2 at the 100 TB design point (group counts are
- * bounded by the fixture's key cardinalities, not the corpus).
+ * digits and matches HUGEINT semantics on both engines. Call-site
+ * census at the 100 TB design point (lineitem ≈ 6e11 rows): the ONE
+ * exposed class was the q1-shape money sum — groups keyed by O(1)
+ * cardinality (returnflag × linestatus), so rows-per-group is O(corpus)
+ * ≈ 1.5e11 and the e4 disc-price codes (≤ ~1.1e9) sum to ~1.9e20, past
+ * the Long line (under Spark 4's default ANSI mode that is a runtime
+ * throw; with ANSI off, a silent wrap while DuckDB promotes to HUGEINT
+ * — a cross-engine divergence either way). Those sums now ride
+ * [[eRow38]]. Every remaining Long-sum site has bounded groups
+ * (per-order, per-customer, per-doc keys) or small codes (e2 of
+ * [0,1]-bounded or ≤ 50-bounded measures), each ≥ 3 orders inside the
+ * bound at 100 TB — and the q1 ratio inputs (_qty_e2 ≤ ~5e3/row,
+ * _dsc_e2 ≤ 10/row) stay Long deliberately: sparkRatioE's div/% ride
+ * integer arithmetic, and their Σcodes sit ~4 orders inside the line.
  */
 object Exact {
   private def p10d(k: Int): Double = math.pow(10, k)
@@ -67,6 +77,18 @@ object Exact {
    * per-row e-k codes, one final IEEE division. */
   def sumE(c: Column, k: Int): Column =
     sum(eRow(c, k)).cast("double") / lit(p10d(k))
+
+  /** [[eRow]] widened for CORPUS-SCALE group sums (the q1 class: money
+   * codes summed over groups whose row count is O(corpus)): the e-k
+   * code cast to decimal(38,0), so sum() accumulates exactly to 38
+   * digits — matching DuckDB's silent BIGINT→HUGEINT promotion — where
+   * a Long sum passes 2⁶³−1 around ~1e11 rows of e4 money codes (the
+   * 100 TB design point; see the headroom census above). Per-row codes
+   * still obey eRow's |x|·10^k < 2⁵³ bound; only the ACCUMULATOR
+   * widens. ExactSparkSpec proves the decimal sum equals the BigInt
+   * reference past the naive-Long overflow line. */
+  def eRow38(c: Column, k: Int): Column =
+    eRow(c, k).cast("decimal(38,0)")
 
   /** SQL twin of [[eRow]] — shared Spark-SQL/DuckDB dialect. */
   def sqlERow(x: String, k: Int): String =

@@ -30,8 +30,15 @@ object RelationalQueries extends QueryGroup {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(Exact.eRow(col("l_quantity"), 2)).as("_qty_e2"),
-        sum(Exact.eRow(col("l_extendedprice"), 2)).as("_price_e2"),
-        sum(Exact.eRow(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        // the two price sums ride decimal(38,0) accumulators (eRow38):
+        // these groups are O(corpus) rows (returnflag × linestatus is
+        // O(1)-cardinality), so at the 100 TB design point the e4 codes
+        // sum past the Long line (~1.9e20 vs 2⁶³−1) — ANSI throw or
+        // silent wrap vs DuckDB's HUGEINT promotion. qty/disc stay Long
+        // (small codes, ~4 orders of headroom) because sparkRatioE's
+        // div/% arithmetic wants integers.
+        sum(Exact.eRow38(col("l_extendedprice"), 2)).as("_price_e2"),
+        sum(Exact.eRow38(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
           .as("_disc_e4"),
         sum(Exact.eRow(col("l_discount"), 2)).as("_dsc_e2"),
         count(lit(1)).as("count_order"))

@@ -65,6 +65,37 @@ class ExactSparkSpec extends AnyFunSuite {
     assert(s2 == want)
   }
 
+  test("eRow38 sums stay exact past the Long line (the q1 100 TB class)") {
+    // 2,000 rows whose e4 codes are ~9.2e15 each (inside eRow's 2^53
+    // per-ROW bound): Σcodes ≈ 1.845e19 — PAST 2^63−1 ≈ 9.22e18, the
+    // regime a q1-shape money sum reaches at ~1e11 corpus-scale group
+    // rows. The decimal(38,0) accumulator must equal the BigInt
+    // reference exactly; the Long accumulator CANNOT represent it (the
+    // reference exceeds Long.MaxValue), which is the cross-engine
+    // divergence eRow38 retires (DuckDB promotes to HUGEINT silently).
+    val x = 922_337_203_685.0 // e4 code = 9223372036850000 < 2^53
+    val n = 2000
+    val df = Seq.fill(n)(x).toDF("x")
+    val want = BigInt(math.floor(x * 10000 + 0.5).toLong) * n
+    assert(want > BigInt(Long.MaxValue),
+      "fixture must actually cross the Long line")
+    val got = df.agg(sum(Exact.eRow38(col("x"), 4)).as("s"))
+      .head().getDecimal(0)
+    assert(BigInt(got.toBigInteger) == want)
+    // and the final IEEE division lands on the same double as the
+    // BigInt reference's
+    val gotD = df.agg((sum(Exact.eRow38(col("x"), 4)).cast("double") /
+        lit(1e4)).as("d")).head().getDouble(0)
+    assert(gotD == want.toDouble / 1e4)
+    // in-range sanity: decimal and Long accumulators agree exactly
+    // below the line (the gate-SF regime — q1's hashes are unchanged)
+    val small = Seq(1.05, 2.10, 3.99, 0.01).toDF("x")
+    val dec = small.agg(sum(Exact.eRow38(col("x"), 4)).cast("long"))
+      .head().getLong(0)
+    val lng = small.agg(sum(Exact.eRow(col("x"), 4))).head().getLong(0)
+    assert(dec == lng)
+  }
+
   test("sqlERow/sqlRRow render to the same values via Spark SQL") {
     val xs = Seq(0.005, -0.005, 12.34515, 1e9 + 0.12345)
     xs.toDF("x").createOrReplaceTempView("exact_spark_spec_v")
