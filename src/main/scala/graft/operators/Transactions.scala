@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
  * markers PulsarApi.proto:149-153).
  *
  * Spark mapping: visibility is a semi/anti join of the envelope's txn id
- * against the coordinator's status table. The status table is tiny
- * (one row per transaction) — broadcast, so visibility adds no shuffle.
+ * against the coordinator's status table (one row per transaction).
+ * The reference keeps an ABORTED-only snapshot in broker memory precisely
+ * because the committed set is unbounded (TopicTransactionBuffer's
+ * aborts snapshot) — so neither side gets a static broadcast hint here:
+ * the status relations are data-dependent (they grow with transaction
+ * count, ∝ corpus at the 100 TB design point), and AQE broadcasts them
+ * at runtime whenever they measure small while a static hint could
+ * never be demoted (the r15 convention). At every reachable tier the
+ * physical plan is the same BHJ the old hints forced.
  */
 object Transactions {
 
@@ -22,13 +29,13 @@ object Transactions {
    * transactions are visible. */
   def visible(env: DataFrame, txnStatus: DataFrame): DataFrame = {
     val aborted = txnStatus.filter(col("status") === "ABORTED").select(col("txn_id"))
-    env.join(broadcast(aborted), col("txn_group") === col("txn_id"), "left_anti")
+    env.join(aborted, col("txn_group") === col("txn_id"), "left_anti")
   }
 
   /** T3 inverse — messages swallowed by aborted transactions. */
   def abortedMessages(env: DataFrame, txnStatus: DataFrame): DataFrame = {
     val aborted = txnStatus.filter(col("status") === "ABORTED").select(col("txn_id"))
-    env.join(broadcast(aborted), col("txn_group") === col("txn_id"), "left_semi")
+    env.join(aborted, col("txn_group") === col("txn_id"), "left_semi")
   }
 
   /** T2 — coordinator status ledger derived deterministically for the
@@ -98,7 +105,7 @@ object Transactions {
       .filter(col("status") === "COMMITTED").select(col("txn_id"))
     val nonTxn = env.filter(col("marker_type").isNull && col("txn_group").isNull)
     val txnRows = env.filter(col("marker_type").isNull && col("txn_group").isNotNull)
-      .join(broadcast(committed), col("txn_group") === col("txn_id"), "left_semi")
+      .join(committed, col("txn_group") === col("txn_id"), "left_semi")
     nonTxn.unionByName(txnRows)
   }
 
@@ -111,7 +118,7 @@ object Transactions {
       .select(col("txn_id").as("_t"))
     val immediate = ackLog.filter(col("ack_txn").isNull).select(col("msg_offset"))
     val inTxn = ackLog.filter(col("ack_txn").isNotNull)
-      .join(broadcast(committed), col("ack_txn") === col("_t"), "left_semi")
+      .join(committed, col("ack_txn") === col("_t"), "left_semi")
       .select(col("msg_offset"))
     immediate.unionByName(inTxn)
   }

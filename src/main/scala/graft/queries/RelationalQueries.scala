@@ -10,8 +10,19 @@ import org.apache.spark.sql.functions._
  * The engine's full relational surface (SURVEY §2.9: the reference has no
  * joins of its own, but the engine ships Spark's complete join/agg algebra
  * for enrichment and the pipeline extensions). Exercised on the TPC-H-ish
- * star schema. Dimension sides are broadcast — no shuffle of the fact table
- * beyond its aggregation keys.
+ * star schema.
+ *
+ * Broadcast policy (r18, the r15 convention applied to this surface):
+ * static `broadcast()` hints appear ONLY on provably bounded relations —
+ * nation (25 rows), region (5), 1-row global aggregates, histogram-scale
+ * cutoff tables. Every SF-scaling side (lineitem/orders/customer/part/
+ * supplier and any filter/projection of them) carries NO hint: at gate SF
+ * the planner's size estimates and AQE's runtime sizes re-derive the same
+ * broadcast hash joins from measured bytes, while at the 100 TB design
+ * point (customer ≈ 1.5e9 rows, supplier ≈ 1e9) the same queries degrade
+ * gracefully to sort-merge joins instead of an un-demotable driver OOM —
+ * AQE can demote an estimate, never a user hint. PlanShapeSpec's
+ * whole-surface static-broadcast walk pins this class by query name.
  */
 object RelationalQueries extends QueryGroup {
 
@@ -72,7 +83,9 @@ object RelationalQueries extends QueryGroup {
       |FROM a
       |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
-  /** TPC-H Q3-shaped shipping priority: two broadcast joins into the fact. */
+  /** TPC-H Q3-shaped shipping priority: two dimension joins into the fact
+   * (size-elected — BHJ at gate SF, SMJ at corpus scale where the
+   * date-filtered orders side is ~1.1e10 rows). */
   private val q3 = QueryDef(
     (s, d) => {
       val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -80,8 +93,8 @@ object RelationalQueries extends QueryGroup {
         .filter(col("o_orderdate") < expr("TIMESTAMP '1998-06-01 00:00:00'"))
       val li = t(s, d, "lineitem")
         .filter(col("l_shipdate") > expr("TIMESTAMP '1998-06-01 00:00:00'"))
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(Exact.sumE(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
         .select(col("o_orderkey"), unix_millis(col("o_orderdate")).as("o_orderdate_ms"), col("revenue"))
@@ -120,7 +133,7 @@ object RelationalQueries extends QueryGroup {
     (s, d) => {
       val e = EventLog.topic(s, d)
       val cust = t(s, d, "customer")
-      e.join(broadcast(cust), col("key").cast("long") + 1 === col("c_custkey"))
+      e.join(cust, col("key").cast("long") + 1 === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), Exact.sumE(col("value"), 2).as("sum_v"))
         .orderBy(col("c_mktsegment"))
@@ -487,7 +500,8 @@ object RelationalQueries extends QueryGroup {
    * EXACT integer (cents × (100 − discount-pct)), so the max comparison
    * can never hinge on double partial-sum order.
    * Shape at scale: one fact-table agg on the supplier key; the max is a
-   * 1-row broadcast; the supplier dim joins broadcast. */
+   * 1-row broadcast; the supplier dim join is size-elected (the winner
+   * set is tiny, so AQE broadcasts it at every tier). */
   private val q7 = QueryDef(
     (s, d) => {
       val rev = t(s, d, "lineitem")
@@ -500,7 +514,7 @@ object RelationalQueries extends QueryGroup {
       val top = rev.agg(max(col("rev_e4")).as("max_rev"))
       rev.crossJoin(broadcast(top))
         .filter(col("rev_e4") === col("max_rev"))
-        .join(broadcast(t(s, d, "supplier")),
+        .join(t(s, d, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("rev_e4"),
           Exact.rRow(col("rev_e4") / 10000.0, 2).as("total_revenue"))
@@ -533,7 +547,8 @@ object RelationalQueries extends QueryGroup {
    * subquery. Ties on the max shipdate count on BOTH sides (NOT EXISTS
    * strictly-later), no float anywhere.
    * Shape at scale: two fact aggs share one order-key exchange; the
-   * join-back is co-partitioned on that key; supplier dim broadcasts. */
+   * join-back is co-partitioned on that key; the supplier dim join is
+   * size-elected (BHJ at gate SF, SMJ at corpus scale). */
   private val q8 = QueryDef(
     (s, d) => {
       val li = t(s, d, "lineitem")
@@ -548,7 +563,7 @@ object RelationalQueries extends QueryGroup {
         .filter(col("n_sup") > 1 && col("l_shipdate") === col("max_ship"))
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
-        .join(broadcast(t(s, d, "supplier")),
+        .join(t(s, d, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("numwait"))
         .orderBy(col("numwait").desc, col("s_suppkey")).limit(10)
@@ -611,7 +626,7 @@ object RelationalQueries extends QueryGroup {
    * both engines.
    * Shape at scale: one lineitem exchange on the order key; the
    * filtered aggregate (a few rows per million orders) joins orders
-   * co-partitioned on that key; the customer dim broadcasts. */
+   * co-partitioned on that key; the customer dim join is size-elected. */
   private val q10 = QueryDef(
     (s, d) => {
       val perOrder = t(s, d, "lineitem")
@@ -620,7 +635,7 @@ object RelationalQueries extends QueryGroup {
         .filter(col("total_qty") > 250L)
       t(s, d, "orders")
         .join(perOrder, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(t(s, d, "customer")),
+        .join(t(s, d, "customer"),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
@@ -645,12 +660,13 @@ object RelationalQueries extends QueryGroup {
   /** TPC-H Q16-shaped supplier diversity count: distinct-supplier counts
    * per part attribute group, with a NOT IN exclusion subquery (suppliers
    * below an account-balance floor play Q16's complaint filter). The
-   * oracle keeps the literal NOT IN; the engine rewrites it as a
-   * broadcast anti join BEFORE the distinct aggregation, so excluded
-   * suppliers never enter the shuffle.
-   * Shape at scale: the exclusion list and part dim broadcast; the only
-   * fact exchange is the two-phase distinct aggregation on the group
-   * keys (partial distinct map-side). */
+   * oracle keeps the literal NOT IN; the engine rewrites it as an anti
+   * join BEFORE the distinct aggregation, so excluded suppliers never
+   * enter the distinct shuffle.
+   * Shape at scale: the exclusion list and part dim are size-elected
+   * joins (supplier- and part-scale sides — BHJ at gate SF, SMJ at
+   * corpus scale); the only other fact exchange is the two-phase
+   * distinct aggregation on the group keys (partial distinct map-side). */
   private val q11 = QueryDef(
     (s, d) => {
       val part = t(s, d, "part")
@@ -659,9 +675,9 @@ object RelationalQueries extends QueryGroup {
       val excluded = t(s, d, "supplier")
         .filter(col("s_acctbal") < 1000).select(col("s_suppkey"))
       t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
-        .join(broadcast(excluded),
+        .join(excluded,
           col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(part, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
@@ -724,10 +740,12 @@ object RelationalQueries extends QueryGroup {
    * exact-integer e4 form (cents × (100 − disc-pct)) — no float sum
    * anywhere — and the year comes from integer date parts.
    * Shape at scale: ONE fact exchange (lineitem ⋈ orders on the order
-   * key, co-partitioned); supplier and customer dims broadcast; the
-   * final aggregation keys are 3 low-cardinality columns with map-side
+   * key, co-partitioned); the supplier and customer dim joins are
+   * size-elected (BHJ wherever the dim fits, SMJ past it); the final
+   * aggregation keys are 3 low-cardinality columns with map-side
    * partials. This is the canonical multi-dim star join — the optimizer
-   * must NOT shuffle the fact table more than once. */
+   * must NOT shuffle the fact table more than once beyond the dim keys
+   * it genuinely needs. */
   private val q13 = QueryDef(
     (s, d) => {
       val li = t(s, d, "lineitem").select(col("l_orderkey"),
@@ -741,9 +759,9 @@ object RelationalQueries extends QueryGroup {
       val cust = t(s, d, "customer")
         .select(col("c_custkey"), (col("c_nationkey") % 2).as("cust_bloc"))
       val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .filter(col("supp_bloc") =!= col("cust_bloc"))
         .groupBy(col("supp_bloc"), col("cust_bloc"), col("ship_year"))
         .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
@@ -801,7 +819,7 @@ object RelationalQueries extends QueryGroup {
    * Shape at scale: the two aggregation levels are co-partitioned on
    * the part key (the second is a partial re-agg of the first, no extra
    * fact exchange); the comparison join is part-key co-located; the
-   * part dim broadcasts. */
+   * part dim join is size-elected. */
   private val q15 = QueryDef(
     (s, d) => {
       val ps = t(s, d, "lineitem")
@@ -813,7 +831,7 @@ object RelationalQueries extends QueryGroup {
       ps.join(tot, Seq("l_partkey"))
         .filter(col("supp_qty") * 100 > col("part_qty") * 15 &&
           col("n_suppliers") > 1)
-        .join(broadcast(t(s, d, "part")),
+        .join(t(s, d, "part"),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey").as("partkey"), col("p_name"),
           col("l_suppkey").as("suppkey"), col("supp_qty"),
@@ -844,14 +862,14 @@ object RelationalQueries extends QueryGroup {
    * degenerating to a nested-loop, and pushes the per-table conjuncts
    * it can factor out (brand/size reach the part scan). Revenue in
    * exact e4 integers.
-   * Shape at scale: part dim broadcasts; the fact table is scanned once
-   * with the quantity disjuncts evaluated in the scan; one 3-group
-   * aggregation with map-side partials. */
+   * Shape at scale: the part dim join is size-elected; the fact table
+   * is scanned once with the quantity disjuncts evaluated in the scan;
+   * one 3-group aggregation with map-side partials. */
   private val q16 = QueryDef(
     (s, d) => {
       val li = t(s, d, "lineitem")
       val part = t(s, d, "part")
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
             col("l_quantity").between(1, 20)) ||
@@ -885,10 +903,11 @@ object RelationalQueries extends QueryGroup {
    * supplier) with the equi-constraint c_nationkey = s_nationkey.
    * Revenue in exact e4 integers.
    * Shape at scale: ONE fact exchange (lineitem ⋈ orders on the order
-   * key); supplier, customer, nation, region all broadcast; the
-   * nation-level aggregate has map-side partials. The
-   * same-nation predicate is evaluated as a residual on the broadcast
-   * joins — the fact table never shuffles on a dimension key. */
+   * key); nation and region broadcast (bounded); the supplier and
+   * customer joins are size-elected; the nation-level aggregate has
+   * map-side partials. The same-nation predicate is evaluated as a
+   * residual on the dim joins — the fact table never shuffles on a
+   * dimension key it doesn't need. */
   private val q17 = QueryDef(
     (s, d) => {
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
@@ -903,8 +922,8 @@ object RelationalQueries extends QueryGroup {
       val nat = t(s, d, "nation")
       val reg = t(s, d, "region")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .filter(col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -930,9 +949,9 @@ object RelationalQueries extends QueryGroup {
    * — the conditional-aggregate-over-one-scan shape. No float division:
    * both operands are exact integer sums, so the quotient is a single
    * deterministic integer division on each engine.
-   * Shape at scale: part dim broadcasts; one fact scan; a year-keyed
-   * aggregate with map-side partials; the PPM arithmetic is
-   * output-scale. */
+   * Shape at scale: the part dim join is size-elected; one fact scan;
+   * a year-keyed aggregate with map-side partials; the PPM arithmetic
+   * is output-scale. */
   private val q18 = QueryDef(
     (s, d) => {
       val li = t(s, d, "lineitem").select(
@@ -942,7 +961,7 @@ object RelationalQueries extends QueryGroup {
           .as("rev_e4"))
       val part = t(s, d, "part")
         .select(col("p_partkey"), col("p_type").startsWith("PROMO").as("promo"))
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .groupBy(col("ship_year"))
         .agg(sum(when(col("promo"), col("rev_e4")).otherwise(0L))
             .as("promo_e4"),
@@ -978,8 +997,9 @@ object RelationalQueries extends QueryGroup {
    * CROSS-MULTIPLICATION (qty × n × 5 < sum), so no float quotient
    * exists on either engine.
    * Shape at scale: the per-part aggregate shares the fact's part-key
-   * exchange; the filtered part dim broadcasts into both the aggregate
-   * and the final join; the qualifying-lines aggregate is per-brand
+   * exchange; the filtered part dim join (still part-scale — a fixed
+   * brand fraction) is size-elected into both the aggregate and the
+   * final join; the qualifying-lines aggregate is per-brand
    * (output-scale). */
   private val q19 = QueryDef(
     (s, d) => {
@@ -989,7 +1009,7 @@ object RelationalQueries extends QueryGroup {
       val li = t(s, d, "lineitem").select(col("l_partkey"),
         col("l_quantity").cast("long").as("qty"),
         Exact.eRow(col("l_extendedprice"), 2).as("price_cents"))
-        .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+        .join(brand, col("l_partkey") === col("p_partkey"))
       val perPart = li.groupBy(col("l_partkey").as("pk"))
         .agg(count(lit(1)).as("n_li"), sum(col("qty")).as("sum_qty"))
       li.join(perPart, col("l_partkey") === col("pk"))
@@ -1022,7 +1042,7 @@ object RelationalQueries extends QueryGroup {
    * (part_e4 × n_parts × 2 > total_e4 × 3), no division.
    * Shape at scale: one fact exchange on the part key; the global stats
    * are a re-agg of the per-part relation; the filter drops everything
-   * below the cut before the (broadcast) name join. */
+   * below the cut before the size-elected name join. */
   private val q20 = QueryDef(
     (s, d) => {
       val perPart = t(s, d, "lineitem")
@@ -1034,7 +1054,7 @@ object RelationalQueries extends QueryGroup {
         sum(col("part_e4")).as("total_e4"))
       perPart.crossJoin(broadcast(stats))
         .filter(col("part_e4") * col("n_parts") * 2 > col("total_e4") * 3)
-        .join(broadcast(t(s, d, "part")),
+        .join(t(s, d, "part"),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey").as("partkey"), col("p_name"),
           col("part_e4"))
@@ -1056,7 +1076,8 @@ object RelationalQueries extends QueryGroup {
    * on returned lines (l_returnflag = 'R'), enriched with the nation
    * dim — the classic top-k-over-join reporting query.
    * Shape at scale: the returnflag filter reaches the fact scan; ONE
-   * fact exchange (lineitem ⋈ orders on the order key); customer and
+   * fact exchange (lineitem ⋈ orders on the order key); the customer
+   * join is size-elected and
    * nation broadcast; the per-customer aggregate carries map-side
    * partials and the top-20 is a TakeOrdered, never a global sort. */
   private val q21 = QueryDef(
@@ -1074,7 +1095,7 @@ object RelationalQueries extends QueryGroup {
         .groupBy(col("o_custkey"))
         .agg(sum(col("rev_e4")).as("revenue_e4"),
           count(lit(1)).as("n_returned"))
-        .join(broadcast(t(s, d, "customer")),
+        .join(t(s, d, "customer"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")),
           col("c_nationkey") === col("n_nationkey"))
@@ -1197,8 +1218,9 @@ object RelationalQueries extends QueryGroup {
    * per order year, as integer PPM (both operands exact integer sums, so
    * the quotient is one deterministic integer division).
    * Shape at scale: ONE fact exchange (lineitem⋈orders on the order
-   * key); customer/nation/region prune the order side and supplier/
-   * nation stamp the flag — all broadcast dims; the share arithmetic is
+   * key); nation/region broadcast (bounded) to prune customer and stamp
+   * the supplier flag, while the customer semi join and the supplier
+   * join are size-elected (both SF-scaling); the share arithmetic is
    * per-year output-scale. */
   private val q25 = QueryDef(
     (s, d) => {
@@ -1209,7 +1231,7 @@ object RelationalQueries extends QueryGroup {
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .select(col("c_custkey"))
       val ord = t(s, d, "orders")
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
         .select(col("o_orderkey"), year(col("o_orderdate")).as("order_year"))
       val sup = t(s, d, "supplier")
         .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
@@ -1220,7 +1242,7 @@ object RelationalQueries extends QueryGroup {
           (lit(100L) - Exact.eRow(col("l_discount"), 2)))
           .as("rev_e4"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("order_year"))
         .agg(sum(when(col("is_target"), col("rev_e4")).otherwise(0L))
             .as("target_e4"),
@@ -1730,8 +1752,9 @@ object RelationalQueries extends QueryGroup {
 
   /** Q35 — TPC-H Q9-shaped profit roll-up: net amount (revenue minus the
    * tax bill) per nation per ship year for widget parts. All money stays
-   * exact-integer e4 (cents × e2 factors); every dimension broadcasts,
-   * so the fact table shuffles ONCE on the (nation, year) agg key. */
+   * exact-integer e4 (cents × e2 factors); nation broadcasts (25 rows),
+   * the part/supplier joins are size-elected, and the fact table
+   * shuffles ONCE on the (nation, year) agg key at gate SF. */
   private val q35 = QueryDef(
     (s, d) => {
       val widget = t(s, d, "part").filter(col("p_name").contains("widget"))
@@ -1741,8 +1764,8 @@ object RelationalQueries extends QueryGroup {
       val nat = t(s, d, "nation")
         .select(col("n_nationkey"), col("n_name"))
       t(s, d, "lineitem")
-        .join(broadcast(widget), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(widget, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .select(col("n_name"), year(col("l_shipdate")).cast("long").as("o_year"),
           (Exact.eRow(col("l_extendedprice"), 2) *
