@@ -23,6 +23,45 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // pre-fault: pull every fixture parquet byte into the OS page cache
+    // and log the cache level before/after. This box runs proactive
+    // reclaim (kdamond) that pins buff/cache around ~3 GiB, so sweeps
+    // late in a session silently re-read parquet COLD and medians
+    // inflate 1.13–1.25x with per-sweep-different movers — the r16/r17
+    // bench-adjudication class. Faulting the bytes in immediately before
+    // the sweep kills the class at its source (sweep-to-sweep medians
+    // become comparable) instead of adjudicating it after the fact; the
+    // BENCHW line makes a reclaim mid-sweep diagnosable (cachedMB
+    // dropping again). Untimed: environment prep, not engine work —
+    // every query reads the same warmed cache either way.
+    def cachedMb(): Long = try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst { case l if l.startsWith("Cached:") =>
+        l.split("\\s+")(1).toLong / 1024 }.getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+    locally {
+      val t0 = System.nanoTime()
+      val before = cachedMb()
+      var bytes = 0L
+      val buf = new Array[Byte](1 << 20)
+      try {
+        val stream = Files.walk(Paths.get(sfDir))
+        try {
+          stream.iterator().forEachRemaining { p =>
+            if (Files.isRegularFile(p)) {
+              val in = Files.newInputStream(p)
+              try {
+                var n = in.read(buf)
+                while (n >= 0) { bytes += n; n = in.read(buf) }
+              } finally in.close()
+            }
+          }
+        } finally stream.close()
+      } catch { case _: Throwable => }
+      println(s"BENCHW prefault ${fmt((System.nanoTime() - t0) / 1e9)} " +
+        s"bytes=$bytes cachedMB=$before->${cachedMb()}")
+    }
     // untimed spin-up: JVM/codegen/parquet-footer startup shouldn't be
     // attributed to whichever query happens to run first
     try {

@@ -1221,14 +1221,23 @@ object RelationalQueries extends QueryGroup {
    * key); nation/region broadcast (bounded) to prune customer and stamp
    * the supplier flag, while the customer semi join and the supplier
    * join are size-elected (both SF-scaling); the share arithmetic is
-   * per-year output-scale. */
+   * per-year output-scale. The region prune on customer is itself a
+   * LEFT SEMI against the ≤25-row ASIA-nation key set rather than an
+   * inner join chain: same rows, and the semi join's output statistics
+   * stay customer-sized (an inner chain multiplies size estimates
+   * through, which blocked the planner's own gate-SF broadcast election
+   * downstream — measured +0.5 s on this query in the r18 hint sweep). */
   private val q25 = QueryDef(
     (s, d) => {
       val nat = t(s, d, "nation")
       val reg = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val asiaNations = nat
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"),
+          "left_semi")
+        .select(col("n_nationkey"))
       val cust = t(s, d, "customer")
-        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(asiaNations),
+          col("c_nationkey") === col("n_nationkey"), "left_semi")
         .select(col("c_custkey"))
       val ord = t(s, d, "orders")
         .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")

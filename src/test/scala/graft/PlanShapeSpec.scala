@@ -232,6 +232,109 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
+  test("whole surface: zero RAW static BROADCAST hints; bounded classes allowlisted") {
+    // the r15 class, pinned by NAME across all 285 queries: a static
+    // broadcast() of a corpus-∝ relation is correct and fast at every
+    // reachable test tier (the side fits), which is exactly how ~22 such
+    // sites survived three rounds of per-query review — and a guaranteed
+    // un-demotable OOM at the 100 TB design point. Post-r18-sweep:
+    //  - `raw` (no cardinality bound — the deleted q-family class) has
+    //    NO allowlist mechanism at all; any re-hinted raw side fails.
+    //  - `prefix` (vec_id/doc_id < k literal query sets) and `modslice`
+    //    (the % 50 centroid/benchmark fixture rule, bounded by the
+    //    operators' model-scale CONTRACT — |centroids| and |benchmark|
+    //    are hyperparameters at 100 TB, and the same relations already
+    //    feed bounded driver folds) must match this explicit allowlist
+    //    EXACTLY, so a new hinted site fails by query name even when
+    //    its filter shape looks bounded.
+    val prefixE = Set("embeddings:prefix")
+    val modE = Set("embeddings:modslice")
+    val bothE = prefixE ++ modE
+    val allowlist: Map[String, Set[String]] = Map(
+      // fixed-k ANN/eval query sets (vec_id < 5..50, doc_id < 1000)
+      "p6_ann_topk" -> prefixE, "p7_ann_threshold" -> prefixE,
+      "p8_ann_bucketed" -> prefixE, "p111_mmr_rerank" -> prefixE,
+      "p122_sq8_recall" -> prefixE, "p80_semantic_decontaminate" -> prefixE,
+      "p35_embed_pq" -> prefixE, "p37_pq_adc_topk" -> prefixE,
+      "p79_bm25_topk" -> Set("documents:prefix"),
+      "p82_hybrid_rrf" -> (prefixE + "documents:prefix"),
+      // model-scale centroid/codebook rule (vec_id % 50 = 0)
+      "p120_ivf_append" -> modE, "p123_hnsw_recall" -> modE,
+      "p133_pq_train" -> modE,
+      "p136_ann_cost_census" -> modE,
+      "p139_planted_assignment_audit" -> modE, "p28_semantic_dedup" -> modE,
+      "p52_kmeans_step" -> modE,
+      "p61_knn_graph" -> modE, "p63_mutual_knn_components" -> modE,
+      "p64_knn_label_purity" -> modE, "p68_hard_negatives" -> modE,
+      "p83_knn_pagerank" -> modE, "p86_knn_triangles" -> modE,
+      "p87_margin_mining" -> modE, "p95_ivf_balance" -> modE,
+      // model-scale benchmark slices over documents (doc_id % 50)
+      "p25_decontaminate" -> Set("documents:modslice"),
+      "p32_curation_pipeline" -> Set("documents:modslice"),
+      "p69_fuzzy_decontaminate" -> Set("documents:modslice"),
+      // queries with BOTH a fixed-k query set and the centroid rule
+      "p14_ann_ivf" -> bothE, "p92_ann_recall" -> bothE,
+      "p132_ivfpq_topk" -> bothE, "p135_ivfpq_recall" -> bothE,
+      "p128_hnsw_append_audit" -> bothE,
+      "p137_planted_ivfpq_recall" -> bothE)
+    val offenders = SurfaceWalk.facts.toSeq.sortBy(_._1).flatMap {
+      case (name, f) =>
+        f.failure.map(e => s"$name: plan build failed: $e").toSeq ++ {
+          val raw = f.scalingBroadcasts.filter(_.endsWith(":raw"))
+          val bounded = f.scalingBroadcasts.toSet -- raw
+          val allowed = allowlist.getOrElse(name, Set.empty)
+          raw.map(r => s"$name: RAW static broadcast of $r") ++
+            (bounded -- allowed).map(b => s"$name: unallowlisted $b") ++
+            (allowed -- bounded).map(a => s"$name: stale allowlist entry $a")
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("static-broadcast detector: flags the retired hint classes, passes bounded ones") {
+    // detector-tested in-spec (the OracleHygieneSpec discipline): the
+    // exact shapes the r18 sweep deleted must FLAG as raw, the fixture's
+    // bounded shapes must classify prefix/modslice, and the kept hint
+    // patterns must stay clean — so a refactor that blinds the walk
+    // fails loudly.
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    def found(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      SurfaceWalk.scalingBroadcasts(df.queryExecution.analyzed)
+    // raw dim hint (the q13/q17/q21 class)
+    assert(found(o.join(broadcast(c),
+      col("o_custkey") === col("c_custkey"))) === Seq("customer:raw"))
+    // attribute-filtered fact hint: a filter is NOT a bound (q3's class —
+    // its date filter keeps the side corpus-∝)
+    assert(found(c.join(broadcast(o.filter(col("o_orderpriority") === "1-URGENT")),
+      col("c_custkey") === col("o_custkey"))) === Seq("orders:raw"))
+    // a LOWER bound is not a bound either
+    assert(found(c.join(broadcast(o.filter(col("o_orderkey") > 10L)),
+      col("c_custkey") === col("o_custkey"))) === Seq("orders:raw"))
+    // semi-join probe hint (the q25 class)
+    assert(found(o.join(broadcast(c.select(col("c_custkey"))),
+      col("o_custkey") === col("c_custkey"), "left_semi")) === Seq("customer:raw"))
+    // bounded prefix set (the ANN query-set class)
+    assert(found(o.join(broadcast(c.filter(col("c_custkey") < 10L)),
+      col("o_custkey") === col("c_custkey"))) === Seq("customer:prefix"))
+    // modulo slice (the centroid-rule class)
+    assert(found(o.join(broadcast(c.filter(col("c_custkey") % 50 === 0)),
+      col("o_custkey") === col("c_custkey"))) === Seq("customer:modslice"))
+    // bounded: nation is not an SF-scaling table
+    assert(found(c.join(broadcast(n),
+      col("c_nationkey") === col("n_nationkey"))).isEmpty)
+    // bounded: a 1-row global aggregate of a corpus table (the q7/q12 class)
+    assert(found(c.crossJoin(broadcast(
+      o.agg(max(col("o_totalprice")).as("m"))))).isEmpty)
+    // bounded: limit-k of a corpus table
+    assert(found(c.join(broadcast(o.limit(5)),
+      col("c_custkey") === col("o_custkey"), "left_semi")).isEmpty)
+    // a merge hint on a corpus side is the CONVENTION, never flagged
+    assert(found(o.join(c.hint("merge"),
+      col("o_custkey") === col("c_custkey"))).isEmpty)
+  }
+
   test("p127: host census is two key-local aggs, no join-back, no join at all") {
     val plan = planOf("p127_url_canonical_census")
     // canonicalization (percent normalization included) is string

@@ -1,7 +1,12 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{BRound, Expression, Round}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.{BRound, EqualTo, Expression,
+  GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Remainder, Round}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST,
+  Filter, GlobalLimit, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import scala.util.Try
 
@@ -21,7 +26,87 @@ import scala.util.Try
 object SurfaceWalk {
 
   final case class Facts(roundOffenders: Seq[String], cartesian: Boolean,
-      failure: Option[String])
+      scalingBroadcasts: Seq[String], failure: Option[String])
+
+  /** The parquet tables whose row count scales with the corpus (TPC-H SF
+   * tables + the pipeline tables). nation/region are absent by design:
+   * 25/5 rows at every SF. */
+  val ScalingTables: Seq[String] = Seq("lineitem", "orders", "customer",
+    "part", "supplier", "events", "documents", "embeddings")
+
+  /** The r15 un-demotable-broadcast class, whole-surface: SF-scaling
+   * parquet scans reachable under a static BROADCAST hint in the
+   * ANALYZED plan without crossing a cardinality-collapsing node.
+   * The hint lives in the logical plan independent of statistics, so the
+   * detector is SF-invariant — exactly the property that let the q-family
+   * sites stay correct-and-fast at every reachable tier while being a
+   * guaranteed OOM at the 100 TB design point (AQE re-plans estimates,
+   * never user hints). Aggregate and GlobalLimit count as collapses: a
+   * 1-row/k-row/histogram-scale derivation of a corpus table is a
+   * legitimate broadcast (q7's max row, q6b's cutoffs, q32's quintiles).
+   *
+   * Each reached scan is tagged with the strongest cardinality bound the
+   * filter chain between hint and scan carries:
+   *  - `table:prefix`   — an UPPER bound against a small integer literal
+   *    (`vec_id < 10`): an absolutely bounded prefix set under the
+   *    fixture's dense-id contract (the ANN/decontamination query sets).
+   *  - `table:modslice` — a `x % k = j` slice (`vec_id % 50 = 0`): the
+   *    fixture's centroid/benchmark rule — corpus/k rows, bounded ONLY by
+   *    the operator's model-scale contract (|centroids|, |benchmark| are
+   *    model hyperparameters at 100 TB, not corpus fractions; the k-means
+   *    driver folds the same relation, so the bound is already load-
+   *    bearing there). Allowlisted per query in PlanShapeSpec, by name.
+   *  - `table:raw`      — NO cardinality bound on any path (raw dims,
+   *    date/attribute-filtered facts, projections/semi-probes of them):
+   *    the exact class the r18 sweep deleted. NEVER allowlistable.
+   * A path carrying both shapes takes `prefix` (it IS bounded).
+   * Known limit, disclosed: an Aggregate grouped BY a corpus-scale key
+   * (per-part, per-customer) passes the collapse test although its
+   * output still scales — that subclass has never appeared hinted here;
+   * the census errs toward evidence-backed classes over guesses. */
+  def scalingBroadcasts(plan: LogicalPlan): Seq[String] = {
+    def smallIntLit(e: Expression): Boolean =
+      e.foldable && (e.dataType == LongType || e.dataType == IntegerType) &&
+        Try(e.eval()).toOption.exists {
+          case l: Long => l > 0 && l <= 4096
+          case i: Int => i > 0 && i <= 4096
+          case _ => false
+        }
+    def classify(filters: Seq[Expression]): String = {
+      val prefix = filters.exists(_.exists {
+        case LessThan(_, r) => smallIntLit(r)
+        case LessThanOrEqual(_, r) => smallIntLit(r)
+        case GreaterThan(l, _) => smallIntLit(l)
+        case GreaterThanOrEqual(l, _) => smallIntLit(l)
+        case _ => false
+      })
+      lazy val mod = filters.exists(_.exists {
+        case EqualTo(l, r) =>
+          l.exists(_.isInstanceOf[Remainder]) ||
+            r.exists(_.isInstanceOf[Remainder])
+        case _ => false
+      })
+      if (prefix) "prefix" else if (mod) "modslice" else "raw"
+    }
+    def leaves(p: LogicalPlan, filters: List[Expression]): Seq[String] =
+      p match {
+        case _: Aggregate => Nil
+        case _: GlobalLimit => Nil
+        case f: Filter => leaves(f.child, f.condition :: filters)
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            val paths = fs.location.rootPaths.map(_.toString)
+            ScalingTables.filter(t => paths.exists(_.endsWith(s"/$t.parquet")))
+              .map(t => s"$t:${classify(filters)}")
+          case _ => Nil
+        }
+        case other => other.children.flatMap(leaves(_, filters))
+      }
+    plan.collectWithSubqueries {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        leaves(h.child, Nil)
+    }.flatten.distinct
+  }
 
   /** Every Round/BRound over a NON-LITERAL child anywhere in the plan,
    * subquery plans included. A foldable child is a driver-side constant
@@ -44,9 +129,10 @@ object SurfaceWalk {
       val f = Try {
         val qe = fn(spark, sf).queryExecution
         Facts(roundOffenders(qe.analyzed),
-          qe.executedPlan.toString.contains("CartesianProduct"), None)
+          qe.executedPlan.toString.contains("CartesianProduct"),
+          scalingBroadcasts(qe.analyzed), None)
       }.recover { case e =>
-        Facts(Nil, cartesian = false, Some(e.toString))
+        Facts(Nil, cartesian = false, Nil, Some(e.toString))
       }.get
       CacheScope.releaseAll()
       name -> f
