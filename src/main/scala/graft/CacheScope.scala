@@ -39,7 +39,19 @@ object CacheScope {
    * include the SparkContext applicationId so a stale entry from a stopped
    * test session is never handed to a new one). Released by [[releaseRun]]
    * at end of run, or implicitly bounded: one entry per (app, sfDir, kind).
-   */
+   *
+   * Ordering contract (the r17 ADVICE trade-off, accepted and documented):
+   * the FINAL [[releaseRun]] of a session must happen-after every
+   * in-flight memoRun builder. A builder that races the last releaseRun
+   * re-registers its persisted dataset into a memo no future releaseRun
+   * clears, pinning MEMORY_AND_DISK blocks for the session's remainder —
+   * traded deliberately against the r16 alternative (unpersist + hand
+   * back an uncached plan), which left a raced caller permanently
+   * recomputing a 38 s-class lineage with no signal. Every harness here
+   * (Verify/Bench/StreamingSmoke mains, the per-JVM test walk) is
+   * sequential — builders complete before their end-of-run releaseRun —
+   * and a long-lived embedding caller should either arrange the same or
+   * call releaseRun() once more after quiescence. */
   def memoRun[T](key: String)(build: => Dataset[T]): Dataset[T] = {
     // build OUTSIDE the monitor (check-then-put): a plan build is usually
     // cheap but may analyze a deep lineage — holding the global lock for

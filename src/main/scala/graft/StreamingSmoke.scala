@@ -1578,11 +1578,15 @@ object StreamingSmoke {
     // the update function is a7's batch twin (8-byte big-endian max
     // sequence id), so the final state per key must equal the batch
     // aggregate byte for byte. mapGroupsWithState → Update mode; state
-    // is monotone, so the lexicographic max hex across emissions is the
-    // final value.
+    // is monotone, so the NUMERIC max across emissions is the final
+    // value — the accumulator decodes the 8 bytes back to a Long rather
+    // than lexicographically comparing hex strings, which orders
+    // correctly only for non-negative sequence ids (negative longs
+    // hex-sort above positive — the r17 ADVICE fragility; the fixture
+    // never generates them, but the helper shouldn't lean on that).
     def be8(v: Long): Array[Byte] =
       java.nio.ByteBuffer.allocate(8).putLong(v).array()
-    val accByte = scala.collection.concurrent.TrieMap.empty[String, String]
+    val accByte = scala.collection.concurrent.TrieMap.empty[String, Long]
     restartLegs(envs.toSeq, OutputMode.Update())(
       ds => StreamingOps.byteState(ds, (st, m) => {
         val cur = if (st == null) Long.MinValue
@@ -1591,9 +1595,8 @@ object StreamingSmoke {
       })) { b =>
       b.collect().foreach { r =>
         val k = r.getString(0)
-        val hexS = r.getAs[Array[Byte]](1).map(x => f"$x%02x").mkString
-        accByte.put(k,
-          accByte.get(k).filter(_ >= hexS).getOrElse(hexS))
+        val v = java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](1)).getLong
+        accByte.put(k, accByte.get(k).fold(v)(math.max(_, v)))
       }
     }
     // the twin is the a7_byte_state QUERY relation (the same
@@ -1602,9 +1605,11 @@ object StreamingSmoke {
     val wantByte = SparkEntry.queries("a7_byte_state")(spark, sfDir)
       .collect().map(r => r.getAs[String]("key") ->
         r.getAs[String]("state_hex")).toMap
+    val gotByte = accByte.toMap.map { case (k, v) =>
+      k -> be8(v).map(x => f"$x%02x").mkString }
     check("byte-state-restart",
-      accByte.toMap == wantByte && accByte.nonEmpty,
-      s"resumed=${accByte.size} keys batch=${wantByte.size}")
+      gotByte == wantByte && gotByte.nonEmpty,
+      s"resumed=${gotByte.size} keys batch=${wantByte.size}")
 
     // 49) replicated-subscription census (S17, check 28's operator —
     // the one custom stateful op OUTSIDE StreamingOps): snapshot state

@@ -84,11 +84,16 @@ object Transactions {
    * one wins). The agreement holds UNDER THE DISPATCH CONTRACT the
    * stream already requires: per-txn rows arrive in log-offset order
    * (the broker's dispatch order), so the stream's first-ARRIVAL equals
-   * this fold's first-by-offset; a feed that reorders markers across
-   * micro-batches breaks the contract, not the rule. Offsets are log
-   * positions (unique), so min_by is deterministic.
-   * TxnDualMarkerSpec pins both orders with the markers split across
-   * micro-batch boundaries. */
+   * this fold's first-by-offset. A feed that breaks the contract —
+   * delivering a LOWER-offset terminal marker in a LATER micro-batch —
+   * is DETECTED by the stream (r18: the acting marker's offset persists
+   * in state; a lower-offset terminal marker fails the query by name,
+   * since append mode cannot retract dispatched rows and silent
+   * batch/stream divergence is the one unacceptable outcome). Offsets
+   * are log positions ((ledger, entry) — unique by the ledger contract),
+   * so min_by is deterministic. TxnDualMarkerSpec pins both orders with
+   * the markers split across micro-batch boundaries, plus the
+   * contract-violation refusal. */
   def statusFromMarkers(env: DataFrame): DataFrame =
     env.filter(col("marker_type").isin(TxnCommitMarker, TxnAbortMarker) &&
         col("txn_group").isNotNull)

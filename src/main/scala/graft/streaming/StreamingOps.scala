@@ -118,8 +118,23 @@ object StreamingOps {
    * update-mode `max_by` per key keeps only changed keys per micro-batch;
    * foreachBatch applies the (key-sized) delta to the client map. Matches
    * the batch Compaction.tableView on the same data.
+   *
+   * Scale contract, enforced (the scaledPlanes discipline — a hard
+   * REFUSE, not a silent cap): the client map is DRIVER-heap-resident,
+   * which is the reference's own TableView shape (TableViewImpl holds a
+   * ConcurrentHashMap in client memory), so its bound is the key
+   * cardinality of the topic, NOT the corpus size. `maxKeys` documents
+   * that bound and the stream FAILS BY NAME when a topic exceeds it,
+   * instead of silently OOMing the driver at 100 TB key spaces. Census:
+   * an entry is one key string plus a 24-byte payload plus hash-map
+   * overhead ≈ 150 B, so the default 1,048,576 keys ≈ 160 MB of driver
+   * heap — a compacted-topic/config-table cardinality. Past that the
+   * right operator is [[compactedTableStream]], whose view is a bucketed
+   * parquet TABLE (bounded by storage, per-batch work O(delta)): same
+   * latest-per-key delta upstream, no driver-resident state.
    */
-  def tableViewStream(env: DataFrame, checkpointDir: String): (StreamingQuery, TableView) = {
+  def tableViewStream(env: DataFrame, checkpointDir: String,
+      maxKeys: Int = 1 << 20): (StreamingQuery, TableView) = {
     val view = new TableView
     val query = latestPerKeyDelta(env).writeStream
       .outputMode(OutputMode.Update())
@@ -131,6 +146,12 @@ object StreamingOps {
           else view.upsert(k, TableViewEntry(r.getAs[Double]("value"),
             r.getAs[Long]("publish_ms"), r.getAs[Long]("msg_offset")))
         }
+        if (view.size > maxKeys) throw new IllegalStateException(
+          s"TableView key cardinality ${view.size} exceeds maxKeys=$maxKeys: " +
+            "the client map is driver-heap-resident (the reference " +
+            "TableViewImpl contract — bounded by TOPIC KEY cardinality, not " +
+            "corpus size); for unbounded key spaces use compactedTableStream, " +
+            "whose view is a storage-backed parquet table")
       }
       .start()
     (query, view)
@@ -639,14 +660,17 @@ object StreamingOps {
     import env.sparkSession.implicits._
     val (open, committed, aborted) = (0, 1, 2)
     env.groupByKey(m => m.txn_group.getOrElse(-1L))
-      .flatMapGroupsWithState[(Int, Seq[MessageEnvelope]), MessageEnvelope](
+      .flatMapGroupsWithState[(Int, Long, Seq[MessageEnvelope]), MessageEnvelope](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (txn, rows, state) =>
           if (txn == -1L) {
             rows.filter(_.marker_type.isEmpty).toSeq.sortBy(_.msg_offset).iterator
           } else {
-            var (status, buf) = state.getOption.getOrElse((open, Seq.empty[MessageEnvelope]))
+            var (status, actingOffset, buf) = state.getOption
+              .getOrElse((open, Long.MinValue, Seq.empty[MessageEnvelope]))
             val out = scala.collection.mutable.ArrayBuffer.empty[MessageEnvelope]
+            val terminals = Set(graft.operators.Transactions.TxnCommitMarker,
+              graft.operators.Transactions.TxnAbortMarker)
             rows.toSeq.sortBy(_.msg_offset).foreach { m =>
               m.marker_type match {
                 // terminal markers are IDEMPOTENT: only the first one
@@ -655,15 +679,32 @@ object StreamingOps {
                 // log never has two; on an invalid one this matches
                 // the batch recovery's first-marker-by-offset rule
                 // UNDER the stream's standing dispatch contract of
-                // per-txn offset-ordered arrival — first arrival then
-                // IS first offset; TxnDualMarkerSpec pins both orders
-                // across micro-batch boundaries)
-                case Some(graft.operators.Transactions.TxnCommitMarker)
-                    if status == open =>
-                  status = committed; out ++= buf; buf = Seq.empty
-                case Some(graft.operators.Transactions.TxnAbortMarker)
-                    if status == open =>
-                  status = aborted; buf = Seq.empty
+                // per-txn offset-ordered arrival. Within one
+                // micro-batch the sort above makes first-arrival =
+                // first-offset outright; ACROSS micro-batches a
+                // lower-offset terminal marker arriving after the
+                // acting one PROVES the feed broke the contract, and
+                // since dispatched rows cannot be retracted in append
+                // mode the stream fails BY NAME instead of silently
+                // diverging from the batch fold (min_by). The acting
+                // marker's offset persists in state exactly for this
+                // check. TxnDualMarkerSpec pins both orders across
+                // micro-batch boundaries plus the violation path.
+                case Some(t) if terminals(t) && status == open =>
+                  actingOffset = m.msg_offset
+                  if (t == graft.operators.Transactions.TxnCommitMarker) {
+                    status = committed; out ++= buf; buf = Seq.empty
+                  } else {
+                    status = aborted; buf = Seq.empty
+                  }
+                case Some(t) if terminals(t) && m.msg_offset < actingOffset =>
+                  throw new IllegalStateException(
+                    s"txn $txn: terminal marker at offset ${m.msg_offset} " +
+                      s"arrived after acting marker at offset $actingOffset " +
+                      "— per-txn offset-ordered dispatch contract violated; " +
+                      "batch recovery (first-marker-by-offset) would resolve " +
+                      "this log differently, so the stream refuses rather " +
+                      "than silently diverge")
                 case Some(_) => // other/late markers never dispatch
                 case None => status match {
                   case `open` => buf = buf :+ m
@@ -672,7 +713,7 @@ object StreamingOps {
                 }
               }
             }
-            state.update((status, buf))
+            state.update((status, actingOffset, buf))
             out.iterator
           }
       }

@@ -32,6 +32,24 @@ class PlantedSpec extends AnyFunSuite {
   private lazy val cents = planted.filter(col("vec_id") % 50 === 0)
     .select(col("vec_id").as("centroid_id"), col("embedding").as("cembedding"))
 
+  test("every input block carries EXACTLY one anchor row (%50 == 0)") {
+    // the invariant plantedEmbeddings' window-max anchor selection
+    // leans on: max(when(vec_id % 50 = 0, embedding)) over the block is
+    // deterministic for ANY row multiset, but it only equals "THE
+    // anchor" because each (vec_id div 50) block of the input holds one
+    // %50==0 row. If an id-mapping change ever broke that, the query
+    // would silently adopt the lexicographically greatest embedding as
+    // anchor — this check makes the break fail loudly instead (the r17
+    // ADVICE item).
+    val bad = base
+      .withColumn("_aid", expr("(vec_id div 50) * 50"))
+      .groupBy(col("_aid"))
+      .agg(sum(when(col("vec_id") % 50 === 0, 1L).otherwise(0L)).as("n_anchor"))
+      .filter(col("n_anchor") =!= 1L)
+      .count()
+    assert(bad === 0L)
+  }
+
   test("IVF assignment recovers every planted 50-block (zero flips)") {
     val flips = Similarity.ivfAssign(planted, cents)
       .filter(col("cluster") =!= expr("(vec_id div 50) * 50"))

@@ -59,6 +59,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("tableViewStream REFUSES past the documented key-cardinality ceiling") {
+    // the silent-driver-OOM edge fails by NAME: a topic whose key space
+    // exceeds maxKeys kills the query with the contract message instead
+    // of growing the client map without bound (the scaledPlanes
+    // discipline; past the ceiling the operator is compactedTableStream)
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = MemoryStream[MessageEnvelope]
+    val (q, _) = StreamingOps.tableViewStream(s.toDF(), ckpt(), maxKeys = 4)
+    val sixKeys = (0 until 6).map { i =>
+      log.as[MessageEnvelope].head().copy(msg_offset = i.toLong,
+        key = s"k$i", tombstone = false)
+    }
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      s.addData(sixKeys); q.processAllAvailable()
+    }
+    q.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.getMessage != null && c.getMessage.contains("exceeds maxKeys=4")), ex)
+  }
+
   test("TableView listeners fire on upsert and delete") {
     val view = new graft.streaming.TableView
     var events = List.empty[(String, Boolean)]

@@ -97,6 +97,35 @@ class TxnDualMarkerSpec extends AnyFunSuite {
     assert(streamVisible(rows) === batch)
   }
 
+  test("contract violation — lower-offset terminal marker in a LATER batch refuses by name") {
+    // the one case where first-ARRIVAL cannot equal first-by-offset: the
+    // feed delivers the offset-7 commit in batch 1 (rows dispatch) and
+    // the offset-4 abort in batch 2. Batch recovery (min_by) would call
+    // the txn ABORTED; the stream has already dispatched and cannot
+    // retract in append mode — so it must FAIL, not silently diverge.
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = MemoryStream[MessageEnvelope]
+    val q = StreamingOps.txnBufferStream(s.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("txn_dual_violation")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-txn-dual-").toString)
+      .start()
+    s.addData(Seq(mk(1, Some(7L), None),
+      mk(7, Some(7L), Some(Transactions.TxnCommitMarker))))
+    q.processAllAvailable()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      s.addData(Seq(mk(4, Some(7L), Some(Transactions.TxnAbortMarker))))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("offset-ordered dispatch contract violated")), ex)
+  }
+
   test("single-marker logs are unchanged by the first-wins rule") {
     val commit = Seq(mk(1, Some(7L), None), mk(3, None, None),
       mk(4, Some(7L), Some(Transactions.TxnCommitMarker)),
