@@ -140,18 +140,36 @@ object StreamingOps {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
+        def apply(r: org.apache.spark.sql.Row): Unit = {
           val k = r.getAs[String]("key")
           if (r.getAs[Boolean]("tombstone")) view.remove(k)
           else view.upsert(k, TableViewEntry(r.getAs[Double]("value"),
             r.getAs[Long]("publish_ms"), r.getAs[Long]("msg_offset")))
         }
-        if (view.size > maxKeys) throw new IllegalStateException(
+        def refuse(): Nothing = throw new IllegalStateException(
           s"TableView key cardinality ${view.size} exceeds maxKeys=$maxKeys: " +
             "the client map is driver-heap-resident (the reference " +
             "TableViewImpl contract — bounded by TOPIC KEY cardinality, not " +
             "corpus size); for unbounded key spaces use compactedTableStream, " +
             "whose view is a storage-backed parquet table")
+        // two-tier guard so the REFUSE precedes driver materialization:
+        // the delta is one row per changed KEY, so view.size + count is
+        // an upper bound on the post-batch cardinality. Under the bound,
+        // collect() is safe outright. Over it (which may still be legal —
+        // updates to existing keys don't grow the map), ingest via
+        // toLocalIterator with the ceiling checked per row, so the driver
+        // never holds more than one partition of rows plus maxKeys
+        // entries before refusing — the guard cannot itself OOM first.
+        val deltaRows = batch.count()
+        if (view.size + deltaRows <= maxKeys) batch.collect().foreach(apply)
+        else {
+          val it = batch.toLocalIterator()
+          while (it.hasNext) {
+            apply(it.next())
+            if (view.size > maxKeys) refuse()
+          }
+          if (view.size > maxKeys) refuse()
+        }
       }
       .start()
     (query, view)
@@ -655,6 +673,14 @@ object StreamingOps {
    * never dispatch (F10), and non-transactional rows pass straight
    * through. This is the streaming twin of
    * [[graft.operators.Transactions.visibleCommitted]].
+   *
+   * State schema note: r18 widened the per-txn state from
+   * (status, buffer) to (status, actingMarkerOffset, buffer) for the
+   * dispatch-contract violation check below — a checkpoint written by
+   * the 2-field version is NOT resumable across the upgrade (Spark
+   * state-schema compatibility). The repo ships no durable checkpoints
+   * (every harness uses fresh temp dirs); an embedding caller upgrading
+   * across this boundary must drain-and-restart the query.
    */
   def txnBufferStream(env: Dataset[MessageEnvelope]): Dataset[MessageEnvelope] = {
     import env.sparkSession.implicits._

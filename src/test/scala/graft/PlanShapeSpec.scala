@@ -240,7 +240,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // un-demotable OOM at the 100 TB design point. Post-r18-sweep:
     //  - `raw` (no cardinality bound — the deleted q-family class) has
     //    NO allowlist mechanism at all; any re-hinted raw side fails.
-    //  - `prefix` (vec_id/doc_id < k literal query sets) and `modslice`
+    //  - `prefix` (vec_id/doc_id < k literal query sets) and `mod<k>`
     //    (the % 50 centroid/benchmark fixture rule, bounded by the
     //    operators' model-scale CONTRACT — |centroids| and |benchmark|
     //    are hyperparameters at 100 TB, and the same relations already
@@ -248,20 +248,19 @@ class PlanShapeSpec extends AnyFunSuite {
     //    EXACTLY, so a new hinted site fails by query name even when
     //    its filter shape looks bounded.
     val prefixE = Set("embeddings:prefix")
-    val modE = Set("embeddings:modslice")
+    val modE = Set("embeddings:mod50")
     val bothE = prefixE ++ modE
     val allowlist: Map[String, Set[String]] = Map(
       // fixed-k ANN/eval query sets (vec_id < 5..50, doc_id < 1000)
       "p6_ann_topk" -> prefixE, "p7_ann_threshold" -> prefixE,
       "p8_ann_bucketed" -> prefixE, "p111_mmr_rerank" -> prefixE,
       "p122_sq8_recall" -> prefixE, "p80_semantic_decontaminate" -> prefixE,
-      "p35_embed_pq" -> prefixE, "p37_pq_adc_topk" -> prefixE,
       "p79_bm25_topk" -> Set("documents:prefix"),
       "p82_hybrid_rrf" -> (prefixE + "documents:prefix"),
       // model-scale centroid/codebook rule (vec_id % 50 = 0)
       "p120_ivf_append" -> modE, "p123_hnsw_recall" -> modE,
-      "p133_pq_train" -> modE,
-      "p136_ann_cost_census" -> modE,
+      "p133_pq_train" -> modE, "p35_embed_pq" -> modE,
+      "p136_ann_cost_census" -> modE, "p128_hnsw_append_audit" -> modE,
       "p139_planted_assignment_audit" -> modE, "p28_semantic_dedup" -> modE,
       "p52_kmeans_step" -> modE,
       "p61_knn_graph" -> modE, "p63_mutual_knn_components" -> modE,
@@ -269,13 +268,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "p83_knn_pagerank" -> modE, "p86_knn_triangles" -> modE,
       "p87_margin_mining" -> modE, "p95_ivf_balance" -> modE,
       // model-scale benchmark slices over documents (doc_id % 50)
-      "p25_decontaminate" -> Set("documents:modslice"),
-      "p32_curation_pipeline" -> Set("documents:modslice"),
-      "p69_fuzzy_decontaminate" -> Set("documents:modslice"),
+      "p25_decontaminate" -> Set("documents:mod50"),
+      "p32_curation_pipeline" -> Set("documents:mod50"),
+      "p69_fuzzy_decontaminate" -> Set("documents:mod50"),
       // queries with BOTH a fixed-k query set and the centroid rule
       "p14_ann_ivf" -> bothE, "p92_ann_recall" -> bothE,
       "p132_ivfpq_topk" -> bothE, "p135_ivfpq_recall" -> bothE,
-      "p128_hnsw_append_audit" -> bothE,
+      "p37_pq_adc_topk" -> bothE,
       "p137_planted_ivfpq_recall" -> bothE)
     val offenders = SurfaceWalk.facts.toSeq.sortBy(_._1).flatMap {
       case (name, f) =>
@@ -294,9 +293,10 @@ class PlanShapeSpec extends AnyFunSuite {
   test("static-broadcast detector: flags the retired hint classes, passes bounded ones") {
     // detector-tested in-spec (the OracleHygieneSpec discipline): the
     // exact shapes the r18 sweep deleted must FLAG as raw, the fixture's
-    // bounded shapes must classify prefix/modslice, and the kept hint
-    // patterns must stay clean — so a refactor that blinds the walk
-    // fails loudly.
+    // bounded shapes must classify prefix/mod<k>, the bound-laundering
+    // shapes (Not/Or around a bound, a bound on the other join side's
+    // column) must stay raw, and the kept hint patterns must stay clean
+    // — so a refactor that blinds the walk fails loudly.
     val c = spark.read.parquet(s"$sf/customer.parquet")
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val n = spark.read.parquet(s"$sf/nation.parquet")
@@ -318,9 +318,26 @@ class PlanShapeSpec extends AnyFunSuite {
     // bounded prefix set (the ANN query-set class)
     assert(found(o.join(broadcast(c.filter(col("c_custkey") < 10L)),
       col("o_custkey") === col("c_custkey"))) === Seq("customer:prefix"))
-    // modulo slice (the centroid-rule class)
+    // modulo slice (the centroid-rule class) — modulus rides the tag, so
+    // a denser slice (% 2) is a DIFFERENT tag and breaks the allowlist
     assert(found(o.join(broadcast(c.filter(col("c_custkey") % 50 === 0)),
-      col("o_custkey") === col("c_custkey"))) === Seq("customer:modslice"))
+      col("o_custkey") === col("c_custkey"))) === Seq("customer:mod50"))
+    assert(found(o.join(broadcast(c.filter(col("c_custkey") % 2 === 1)),
+      col("o_custkey") === col("c_custkey"))) === Seq("customer:mod2"))
+    // bound-laundering shapes stay RAW: the complement of a prefix…
+    assert(found(o.join(broadcast(c.filter(!(col("c_custkey") < 10L))),
+      col("o_custkey") === col("c_custkey"))) === Seq("customer:raw"))
+    // …an unbounded disjunction…
+    assert(found(o.join(broadcast(
+      c.filter(col("c_custkey") < 10L || col("c_custkey") > 5000L)),
+      col("o_custkey") === col("c_custkey"))) === Seq("customer:raw"))
+    // …and a filter ABOVE a join under the hint whose bound constrains
+    // only the nation side's column: reference-scoped propagation must
+    // not let it launder the customer scan (nation itself is non-scaling)
+    assert(found(o.join(broadcast(
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_regionkey") < 5L)),
+      col("o_custkey") === col("c_custkey"))) === Seq("customer:raw"))
     // bounded: nation is not an SF-scaling table
     assert(found(c.join(broadcast(n),
       col("c_nationkey") === col("n_nationkey"))).isEmpty)

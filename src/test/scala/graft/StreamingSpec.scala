@@ -68,9 +68,9 @@ class StreamingSpec extends AnyFunSuite {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val s = MemoryStream[MessageEnvelope]
     val (q, _) = StreamingOps.tableViewStream(s.toDF(), ckpt(), maxKeys = 4)
+    val proto = log.as[MessageEnvelope].head()
     val sixKeys = (0 until 6).map { i =>
-      log.as[MessageEnvelope].head().copy(msg_offset = i.toLong,
-        key = s"k$i", tombstone = false)
+      proto.copy(msg_offset = i.toLong, key = s"k$i", tombstone = false)
     }
     val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       s.addData(sixKeys); q.processAllAvailable()

@@ -1,9 +1,10 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{BRound, EqualTo, Expression,
-  GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Remainder, Round}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And,
+  AttributeReference, BRound, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual, Remainder, Round}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST,
-  Filter, GlobalLimit, LogicalPlan, ResolvedHint}
+  Filter, GlobalLimit, LogicalPlan, Project, ResolvedHint}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -47,24 +48,42 @@ object SurfaceWalk {
    *
    * Each reached scan is tagged with the strongest cardinality bound the
    * filter chain between hint and scan carries:
-   *  - `table:prefix`   — an UPPER bound against a small integer literal
-   *    (`vec_id < 10`): an absolutely bounded prefix set under the
+   *  - `table:prefix` — a TOP-LEVEL CONJUNCT upper-bounding a non-foldable
+   *    expression by a small positive integer literal (`vec_id < 10`,
+   *    bound ≤ 4096): an absolutely bounded prefix set under the
    *    fixture's dense-id contract (the ANN/decontamination query sets).
-   *  - `table:modslice` — a `x % k = j` slice (`vec_id % 50 = 0`): the
-   *    fixture's centroid/benchmark rule — corpus/k rows, bounded ONLY by
-   *    the operator's model-scale contract (|centroids|, |benchmark| are
-   *    model hyperparameters at 100 TB, not corpus fractions; the k-means
-   *    driver folds the same relation, so the bound is already load-
-   *    bearing there). Allowlisted per query in PlanShapeSpec, by name.
-   *  - `table:raw`      — NO cardinality bound on any path (raw dims,
+   *  - `table:mod<k>` — a top-level conjunct `x % k = j` (`vec_id % 50 =
+   *    0` → `mod50`): the fixture's centroid/benchmark rule — corpus/k
+   *    rows, bounded ONLY by the operator's model-scale contract
+   *    (|centroids|, |benchmark| are model hyperparameters at 100 TB,
+   *    not corpus fractions; the k-means driver folds the same relation,
+   *    so the bound is already load-bearing there). The modulus is part
+   *    of the tag, so a slice drifting denser (% 50 → % 2) breaks the
+   *    PlanShapeSpec allowlist by name instead of hiding under a shared
+   *    label. Allowlisted per query, by name.
+   *  - `table:raw`    — NO cardinality bound on any path (raw dims,
    *    date/attribute-filtered facts, projections/semi-probes of them):
    *    the exact class the r18 sweep deleted. NEVER allowlistable.
    * A path carrying both shapes takes `prefix` (it IS bounded).
+   * Classification is deliberately conjunct-scoped: a bound inside
+   * Or/Not (`!(vec_id < 10)`, `vec_id < 10 OR vec_id > 5000`) does NOT
+   * bound cardinality and stays `raw`; and when the walk descends past a
+   * multi-child node (a join under the hint), an accumulated filter
+   * follows only children whose output can resolve its references, so a
+   * bound on the OTHER join side's column never launders a scaling scan.
    * Known limit, disclosed: an Aggregate grouped BY a corpus-scale key
    * (per-part, per-customer) passes the collapse test although its
    * output still scales — that subclass has never appeared hinted here;
    * the census errs toward evidence-backed classes over guesses. */
-  def scalingBroadcasts(plan: LogicalPlan): Seq[String] = {
+  def scalingBroadcasts(plan: LogicalPlan): Seq[String] =
+    scalingBroadcastEvidence(plan).map { case (t, cls, _) => s"$t:$cls" }
+      .distinct
+
+  /** The ONE shared hint→scan walk behind both the detector and the
+   * BroadcastCensus diagnostic: (table, class, filter chain SQL) per
+   * SF-scaling scan reached under a static BROADCAST hint. */
+  def scalingBroadcastEvidence(
+      plan: LogicalPlan): Seq[(String, String, Seq[String])] = {
     def smallIntLit(e: Expression): Boolean =
       e.foldable && (e.dataType == LongType || e.dataType == IntegerType) &&
         Try(e.eval()).toOption.exists {
@@ -72,40 +91,64 @@ object SurfaceWalk {
           case i: Int => i > 0 && i <= 4096
           case _ => false
         }
-    def classify(filters: Seq[Expression]): String = {
-      val prefix = filters.exists(_.exists {
-        case LessThan(_, r) => smallIntLit(r)
-        case LessThanOrEqual(_, r) => smallIntLit(r)
-        case GreaterThan(l, _) => smallIntLit(l)
-        case GreaterThanOrEqual(l, _) => smallIntLit(l)
-        case _ => false
-      })
-      lazy val mod = filters.exists(_.exists {
-        case EqualTo(l, r) =>
-          l.exists(_.isInstanceOf[Remainder]) ||
-            r.exists(_.isInstanceOf[Remainder])
-        case _ => false
-      })
-      if (prefix) "prefix" else if (mod) "modslice" else "raw"
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
     }
-    def leaves(p: LogicalPlan, filters: List[Expression]): Seq[String] =
+    def modOf(e: Expression): Option[Long] = e match {
+      case EqualTo(Remainder(_, k, _), r) if k.foldable && r.foldable =>
+        Try(k.eval()).toOption.collect { case l: Long => l; case i: Int => i.toLong }
+      case EqualTo(l, rem: Remainder) => modOf(EqualTo(rem, l))
+      case _ => None
+    }
+    def classify(filters: Seq[Expression]): String = {
+      val cs = filters.flatMap(conjuncts)
+      val prefix = cs.exists {
+        case LessThan(x, r) => !x.foldable && smallIntLit(r)
+        case LessThanOrEqual(x, r) => !x.foldable && smallIntLit(r)
+        case GreaterThan(l, x) => !x.foldable && smallIntLit(l)
+        case GreaterThanOrEqual(l, x) => !x.foldable && smallIntLit(l)
+        case _ => false
+      }
+      lazy val mods = cs.flatMap(modOf)
+      if (prefix) "prefix"
+      else if (mods.nonEmpty) s"mod${mods.max}"
+      else "raw"
+    }
+    def leaves(p: LogicalPlan,
+        filters: List[Expression]): Seq[(String, String, Seq[String])] =
       p match {
         case _: Aggregate => Nil
         case _: GlobalLimit => Nil
         case f: Filter => leaves(f.child, f.condition :: filters)
+        case pr: Project =>
+          // rewrite accumulated filters THROUGH the projection's aliases
+          // (qid < 10 above Project(vec_id AS qid) is a bound on vec_id)
+          // so renaming can't strip a real bound into a raw false alarm
+          val aliasByExprId = pr.projectList.collect {
+            case a: Alias => a.exprId -> a.child
+          }.toMap
+          val rewritten = filters.map(_.transform {
+            case attr: AttributeReference =>
+              aliasByExprId.getOrElse(attr.exprId, attr)
+          })
+          leaves(pr.child,
+            rewritten.filter(_.references.subsetOf(pr.child.outputSet)))
         case lr: LogicalRelation => lr.relation match {
           case fs: HadoopFsRelation =>
             val paths = fs.location.rootPaths.map(_.toString)
             ScalingTables.filter(t => paths.exists(_.endsWith(s"/$t.parquet")))
-              .map(t => s"$t:${classify(filters)}")
+              .map(t => (t, classify(filters), filters.map(_.sql)))
           case _ => Nil
         }
-        case other => other.children.flatMap(leaves(_, filters))
+        case other => other.children.flatMap { ch =>
+          leaves(ch, filters.filter(_.references.subsetOf(ch.outputSet)))
+        }
       }
     plan.collectWithSubqueries {
       case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
         leaves(h.child, Nil)
-    }.flatten.distinct
+    }.flatten
   }
 
   /** Every Round/BRound over a NON-LITERAL child anywhere in the plan,
