@@ -85,6 +85,57 @@ object ScaleGen {
   }
 
   /**
+   * `distinct` document mode (docMode arg, r18): replicas that are NOT
+   * near-duplicates of each other, for honest prefix-join walls.
+   *
+   * The default (`family`) mode's positional jitter keeps every replica
+   * of a base doc a NEAR-DUP of every other replica (cross-replica
+   * 3-gram Jaccard ≈ 0.64 > the p109 0.5 / p134-containment 0.78 > 0.7
+   * thresholds), so duplicate-family SIZE grows ∝ factor and qualifying
+   * pairs grow ∝ replicas² — a fixture artifact no real corpus has (a
+   * 100 TB document has O(1) near-dups, not 1000). This mode instead
+   * applies a per-replica token-substitution CIPHER to EVERY token,
+   * keyed by token CONTENT and replica (hash(token, rep), last-char
+   * swap, length-preserving; replica 0 untouched):
+   *
+   *  - WITHIN a replica, equal tokens map equally, so shingle-set
+   *    equality structure — exact dups, quote⊂page containment, sibling
+   *    near-dups, the per-replica df distribution — is preserved
+   *    VERBATIM per replica: family count × factor, family size
+   *    UNCHANGED.
+   *  - ACROSS replicas, a token string coincides only when the two
+   *    swapped chars collide (≈ 1/26 per token, hash(t, r) independent
+   *    of hash(t, r′); same odds vs replica 0's original last char), so
+   *    a specific 3-gram string recurs in another replica w.p. ≈ 26⁻³ ≈
+   *    6e-5: GLOBAL rare-shingle df ≈ base df · (1 + 6e-5·factor) —
+   *    O(1) through 1000×, and cross-replica J/containment ≈ 0 — no
+   *    cross-replica pair ever qualifies, so candidates and output
+   *    scale near-LINEARLY in factor. (The first, rate-25% draft of
+   *    this mode left 0.42 of shingles per replica EQUAL TO BASE, so
+   *    the base string's df grew ∝ 0.42·factor and candidate work went
+   *    quadratic again — measured as a 59 GB runaway shuffle at 100×.
+   *    Rate 100% is the only point where df is genuinely flat.)
+   *  - Edge, disclosed: single-char tokens cipher to chr(97..122), so
+   *    a 26-letter alphabet collision is the floor for 1-char-token
+   *    grams; the fixture's tokens are words, not chars.
+   */
+  private def replicateDocumentsDistinct(df: DataFrame, factor: Int): DataFrame = {
+    val mutated = transform(split(col("text"), " "), t => {
+      val h = hash(t, col("_rep"))
+      when(col("_rep") > 0 && length(t) > 0,
+        concat(t.substr(lit(1), length(t) - 1),
+          chr(lit(97) + pmod(h, lit(26))))).otherwise(t)
+    })
+    df.withColumn("_rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("text", array_join(mutated, " "))
+      .select(df.columns.map { c =>
+        if (c == "doc_id")
+          (col(c) * factor + col("_rep")).cast(df.schema(c).dataType).as(c)
+        else col(c)
+      }: _*)
+  }
+
+  /**
    * Embeddings get a CENTROID-AWARE id map instead of the interleave
    * shift: the ANN family derives centroids by `vec_id % 50 == 0`, and
    * `vec_id*factor + rep` keeps that residue density in every replica,
@@ -123,6 +174,13 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, f) = args.take(3)
     val factor = f.toInt
+    // optional 4th arg: documents mode — "family" (default: replicas are
+    // near-dups of each other, the dedup-family stress shape) or
+    // "distinct" (replicas mutually distinct, rare-shingle df O(1), the
+    // honest prefix-join scaling shape)
+    val docMode = args.lift(3).getOrElse("family")
+    require(docMode == "family" || docMode == "distinct",
+      s"docMode must be family|distinct, got $docMode")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -135,6 +193,8 @@ object ScaleGen {
       val in = spark.read.parquet(s"$src/$t.parquet")
       val outDf =
         if (t == "embeddings") replicateEmbeddings(in, factor)
+        else if (t == "documents" && docMode == "distinct")
+          replicateDocumentsDistinct(in, factor)
         else if (t == "documents") replicateDocuments(in, factor)
         else shiftCols.get(t) match {
           case Some(cols) => replicate(in, cols, factor)

@@ -795,27 +795,7 @@ object DedupOps {
     val sh = preShingles.getOrElse(graft.CacheScope.track(
       docShingles(docs, idCol, textCol, n)))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
-    val withSize = graft.CacheScope.track(
-      sh.join(sizes.hint("merge"), Seq("doc")))
-    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc")).orderBy(col("gdf"), col("shingle"))
-    val prefix = withSize.join(dfTab.hint("merge"), Seq("shingle"))
-      .withColumn("pos", row_number().over(w))
-      .filter(expr(
-        s"pos <= set_size - ((set_size * $tPpm + 999999) div 1000000) + 1"))
-      .select(col("doc"), col("shingle"), col("set_size"))
-    val pairs = prefix.as("x").join(withSize.hint("merge").as("y"),
-        col("x.shingle") === col("y.shingle") &&
-          col("x.doc") =!= col("y.doc") &&
-          // container at least t× the contained size (∩ ≤ |Sx|)
-          col("y.set_size") * 1000000L >= col("x.set_size") * tPpm)
-      .select(
-        when(col("x.doc") < col("y.doc"), col("x.doc"))
-          .otherwise(col("y.doc")).as("doc_a"),
-        when(col("x.doc") < col("y.doc"), col("y.doc"))
-          .otherwise(col("x.doc")).as("doc_b"))
-      .distinct()
+    val pairs = containmentPrefixCandidates(sh, tPpm)
     pairs
       .join(sh.select(col("doc").as("doc_a"), col("shingle"))
         .hint("merge"), Seq("doc_a"))
@@ -834,6 +814,38 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("size_a"), col("size_b"),
         col("cont_a_ppm"), col("cont_b_ppm"))
+  }
+
+  /** The containment join's CANDIDATE relation — distinct normalized
+   * (doc_a, doc_b) pairs surviving the asymmetric prefix probe and the
+   * directed size prune, BEFORE verification. Its cardinality is the
+   * operator's scale story (Σ_gram prefixDf·df work), so the rehearsal
+   * diagnostics count THIS relation rather than re-deriving one that
+   * could drift ([[graft.DedupScaleWalls]]); [[containmentPrefixJoin]]
+   * consumes it verbatim. */
+  def containmentPrefixCandidates(sh: DataFrame, tPpm: Long): DataFrame = {
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
+    val withSize = graft.CacheScope.track(
+      sh.join(sizes.hint("merge"), Seq("doc")))
+    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("gdf"), col("shingle"))
+    val prefix = withSize.join(dfTab.hint("merge"), Seq("shingle"))
+      .withColumn("pos", row_number().over(w))
+      .filter(expr(
+        s"pos <= set_size - ((set_size * $tPpm + 999999) div 1000000) + 1"))
+      .select(col("doc"), col("shingle"), col("set_size"))
+    prefix.as("x").join(withSize.hint("merge").as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc") =!= col("y.doc") &&
+          // container at least t× the contained size (∩ ≤ |Sx|)
+          col("y.set_size") * 1000000L >= col("x.set_size") * tPpm)
+      .select(
+        when(col("x.doc") < col("y.doc"), col("x.doc"))
+          .otherwise(col("y.doc")).as("doc_a"),
+        when(col("x.doc") < col("y.doc"), col("y.doc"))
+          .otherwise(col("x.doc")).as("doc_b"))
+      .distinct()
   }
 
   /**
@@ -866,17 +878,13 @@ object DedupOps {
    * threshold is a ppm rational, so ceil and the final Jaccard are exact
    * integer arithmetic in both engines.
    */
-  def jaccardPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, tPpm: Long, preShingles: Option[DataFrame] = None):
-      DataFrame = {
-    require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
-    // corpus-scale sides pinned to shuffle joins (merge hints) — the
-    // containmentPrefixJoin rationale: static size misestimates over
-    // deep parquet plans statically broadcast corpus-scale relations at
-    // the 100× rehearsal, which AQE cannot demote and a real cluster
-    // cannot hold
-    val sh = preShingles.getOrElse(graft.CacheScope.track(
-      docShingles(docs, idCol, textCol, n)))
+  /** The Jaccard prefix join's CANDIDATE relation — (doc_a, doc_b,
+   * size_a, size_b) pairs surviving the prefix equi-join plus the size
+   * and PPJoin positional prunes, BEFORE verification. Counted directly
+   * by the rehearsal diagnostics ([[graft.DedupScaleWalls]]) so the
+   * filed candidate numbers are the operator's own relation;
+   * [[jaccardPrefixJoin]] consumes it verbatim. */
+  def jaccardPrefixCandidates(sh: DataFrame, tPpm: Long): DataFrame = {
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
     val w = org.apache.spark.sql.expressions.Window
@@ -888,7 +896,7 @@ object DedupOps {
       .filter(expr(
         s"pos <= set_size - ((set_size * $tPpm + 999999) div 1000000) + 1"))
       .select(col("doc"), col("shingle"), col("set_size"), col("pos"))
-    val cand = prefix.as("a").join(prefix.hint("merge").as("b"),
+    prefix.as("a").join(prefix.hint("merge").as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
           // size filter: J ≥ t forces t ≤ min(sa,sb)/max(sa,sb), so a
           // pair whose sizes differ by more than 1/t can never qualify —
@@ -911,6 +919,20 @@ object DedupOps {
         s" div ($tPpm + 1000000))"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(first(col("sa")).as("size_a"), first(col("sb")).as("size_b"))
+  }
+
+  def jaccardPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tPpm: Long, preShingles: Option[DataFrame] = None):
+      DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
+    // corpus-scale sides pinned to shuffle joins (merge hints) — the
+    // containmentPrefixJoin rationale: static size misestimates over
+    // deep parquet plans statically broadcast corpus-scale relations at
+    // the 100× rehearsal, which AQE cannot demote and a real cluster
+    // cannot hold
+    val sh = preShingles.getOrElse(graft.CacheScope.track(
+      docShingles(docs, idCol, textCol, n)))
+    val cand = jaccardPrefixCandidates(sh, tPpm)
     cand
       .join(sh.select(col("doc").as("doc_a"), col("shingle"))
         .hint("merge"), Seq("doc_a"))

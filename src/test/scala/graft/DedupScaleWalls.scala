@@ -1,0 +1,44 @@
+package graft
+
+import graft.pipeline.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Rehearsal diagnostic for the two exact-dedup headliners: counts the
+ * prefix joins' OWN candidate relations ([[DedupOps
+ * .jaccardPrefixCandidates]] / [[DedupOps.containmentPrefixCandidates]]
+ * — the same code p109/p134 execute, not a re-derivation) plus the
+ * verified output pair counts, at the p109/p134 declared parameters
+ * (n = 3, t = 0.5 / 0.7). These are the "candidate counts that justify
+ * the walls" rows PLAN_AUDIT files next to the fresh-JVM Bench walls on
+ * a ScaleGen `distinct`-mode corpus.
+ * Run: sbt 'Test/runMain graft.DedupScaleWalls <corpusDir>'. */
+object DedupScaleWalls {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = TestSpark.spark
+    SparkEntry.prepare(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    println(s"[walls] corpus=$dir docs=${docs.count()}")
+    val sh = CacheScope.track(
+      DedupOps.docShingles(docs, "doc_id", "text", 3))
+    def timed(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[walls] $label%-22s $n%12d rows  ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    }
+    timed("shingles")(sh.count())
+    timed("jaccard-candidates")(
+      DedupOps.jaccardPrefixCandidates(sh, 500000L).count())
+    timed("jaccard-pairs")(
+      DedupOps.jaccardPrefixJoin(docs, "doc_id", "text", 3, 500000L,
+        preShingles = Some(sh)).count())
+    timed("containment-cands")(
+      DedupOps.containmentPrefixCandidates(sh, 700000L).count())
+    timed("containment-pairs")(
+      DedupOps.containmentPrefixJoin(docs, "doc_id", "text", 3, 700000L,
+        preShingles = Some(sh)).count())
+    CacheScope.releaseAll()
+    CacheScope.releaseRun()
+    println("[walls] done")
+  }
+}
