@@ -100,9 +100,13 @@ object ScaleGen {
    *
    *  - WITHIN a replica, equal tokens map equally, so shingle-set
    *    equality structure — exact dups, quote⊂page containment, sibling
-   *    near-dups, the per-replica df distribution — is preserved
-   *    VERBATIM per replica: family count × factor, family size
-   *    UNCHANGED.
+   *    near-dups, the per-replica df distribution — is preserved up to
+   *    a 1/26 same-suffix TOKEN-MERGE collision (two distinct tokens
+   *    ciphering to the same string can nudge a borderline pair across
+   *    a threshold): family count × factor, family size unchanged in
+   *    expectation. Measured, the drift is nil on this fixture —
+   *    verified pairs are EXACTLY base × factor at 10× and 100×
+   *    (256 → 2,560 → 25,600 for both p109 and p134).
    *  - ACROSS replicas, a token string coincides only when the two
    *    swapped chars collide (≈ 1/26 per token, hash(t, r) independent
    *    of hash(t, r′); same odds vs replica 0's original last char), so

@@ -824,6 +824,7 @@ object DedupOps {
    * could drift ([[graft.DedupScaleWalls]]); [[containmentPrefixJoin]]
    * consumes it verbatim. */
   def containmentPrefixCandidates(sh: DataFrame, tPpm: Long): DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
     val withSize = graft.CacheScope.track(
       sh.join(sizes.hint("merge"), Seq("doc")))
@@ -848,36 +849,6 @@ object DedupOps {
       .distinct()
   }
 
-  /**
-   * EXACT Jaccard similarity join over the FULL corpus via prefix
-   * filtering (Chaudhuri et al. 2006, SSJoin; Bayardo et al. 2007,
-   * All-Pairs) — the missing quadrant between [[ngramJaccardPairs]]
-   * (exact but all-pairs, verification scale) and MinHash LSH (full
-   * scale but approximate): exact answers with candidate work bounded by
-   * RARE-token posting lists.
-   *
-   * Prefix-filtering principle: order every doc's shingle set by the
-   * global canonical order (document frequency ascending, shingle string
-   * as tie-break) and keep only the first `s − ceil(t·s) + 1` shingles
-   * (the rarest ones). Any pair with Jaccard ≥ t shares at least one
-   * shingle lying in BOTH prefixes — so the prefix×prefix equi-join
-   * loses no qualifying pair, and candidate work is Σ_gram prefixDf²
-   * over the rarest grams instead of Σ df² over all of them (boilerplate
-   * grams with huge postings never enter the join).
-   *
-   * Shape at 100 TB: no global rank window — the canonical order is the
-   * (df, gram) TUPLE itself, so ordering needs only a gram-key df join
-   * (co-partitioned with the shingle relation) and a per-doc window; no
-   * vocabulary-wide single-partition pass. Two PPJoin prunes shrink the
-   * candidate set DURING generation (sf0.1: 409k → 125k): the size
-   * filter (J ≥ t forces set sizes within 1/t) and the positional filter
-   * (a prefix match at positions (pa, pb) bounds the overlap by
-   * 1 + min(sa−pa, sb−pb), which must reach α = ceil(t·(sa+sb)/(1+t))).
-   * Verification joins the surviving pairs back through the skinny
-   * shingle relation — work = Σ|set| per survivor, no wide rows. The
-   * threshold is a ppm rational, so ceil and the final Jaccard are exact
-   * integer arithmetic in both engines.
-   */
   /** The Jaccard prefix join's CANDIDATE relation — (doc_a, doc_b,
    * size_a, size_b) pairs surviving the prefix equi-join plus the size
    * and PPJoin positional prunes, BEFORE verification. Counted directly
@@ -885,6 +856,7 @@ object DedupOps {
    * filed candidate numbers are the operator's own relation;
    * [[jaccardPrefixJoin]] consumes it verbatim. */
   def jaccardPrefixCandidates(sh: DataFrame, tPpm: Long): DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
     val w = org.apache.spark.sql.expressions.Window
@@ -921,6 +893,36 @@ object DedupOps {
       .agg(first(col("sa")).as("size_a"), first(col("sb")).as("size_b"))
   }
 
+  /**
+   * EXACT Jaccard similarity join over the FULL corpus via prefix
+   * filtering (Chaudhuri et al. 2006, SSJoin; Bayardo et al. 2007,
+   * All-Pairs) — the missing quadrant between [[ngramJaccardPairs]]
+   * (exact but all-pairs, verification scale) and MinHash LSH (full
+   * scale but approximate): exact answers with candidate work bounded by
+   * RARE-token posting lists.
+   *
+   * Prefix-filtering principle: order every doc's shingle set by the
+   * global canonical order (document frequency ascending, shingle string
+   * as tie-break) and keep only the first `s − ceil(t·s) + 1` shingles
+   * (the rarest ones). Any pair with Jaccard ≥ t shares at least one
+   * shingle lying in BOTH prefixes — so the prefix×prefix equi-join
+   * loses no qualifying pair, and candidate work is Σ_gram prefixDf²
+   * over the rarest grams instead of Σ df² over all of them (boilerplate
+   * grams with huge postings never enter the join).
+   *
+   * Shape at 100 TB: no global rank window — the canonical order is the
+   * (df, gram) TUPLE itself, so ordering needs only a gram-key df join
+   * (co-partitioned with the shingle relation) and a per-doc window; no
+   * vocabulary-wide single-partition pass. Two PPJoin prunes shrink the
+   * candidate set DURING generation (sf0.1: 409k → 125k): the size
+   * filter (J ≥ t forces set sizes within 1/t) and the positional filter
+   * (a prefix match at positions (pa, pb) bounds the overlap by
+   * 1 + min(sa−pa, sb−pb), which must reach α = ceil(t·(sa+sb)/(1+t))).
+   * Verification joins the surviving pairs back through the skinny
+   * shingle relation — work = Σ|set| per survivor, no wide rows. The
+   * threshold is a ppm rational, so ceil and the final Jaccard are exact
+   * integer arithmetic in both engines.
+   */
   def jaccardPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tPpm: Long, preShingles: Option[DataFrame] = None):
       DataFrame = {

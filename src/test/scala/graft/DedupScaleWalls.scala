@@ -15,7 +15,20 @@ import org.apache.spark.sql.functions._
 object DedupScaleWalls {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = TestSpark.spark
+    // Bench-style session, NOT TestSpark's local[4]/4-partition spec
+    // session: the rehearsal joins shuffle tens of millions of shingle
+    // rows, and walls filed from a 4-core 4-partition config would
+    // measure the test harness, not the operator (the r18 review-pass
+    // finding — the first 100× filing ran 8× under machine throughput).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-dedup-walls")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     SparkEntry.prepare(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     println(s"[walls] corpus=$dir docs=${docs.count()}")
@@ -37,8 +50,7 @@ object DedupScaleWalls {
     timed("containment-pairs")(
       DedupOps.containmentPrefixJoin(docs, "doc_id", "text", 3, 700000L,
         preShingles = Some(sh)).count())
-    CacheScope.releaseAll()
-    CacheScope.releaseRun()
+    CacheScope.releaseRun() // releaseRun subsumes releaseAll
     println("[walls] done")
   }
 }
