@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
  * (n = 3, t = 0.5 / 0.7). These are the "candidate counts that justify
  * the walls" rows PLAN_AUDIT files next to the fresh-JVM Bench walls on
  * a ScaleGen `distinct`-mode corpus.
- * Run: sbt 'Test/runMain graft.DedupScaleWalls <corpusDir>'. */
+ * Run: sbt 'Test/runMain graft.DedupScaleWalls <corpusDir> [stages]'
+ * where stages is a comma list from
+ * {shingles,jcands,jpairs,ccands,cpairs} (default: all) — the 1000×
+ * tier runs the cheap candidate counts first and the full joins only
+ * as disk allows. */
 object DedupScaleWalls {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -39,15 +43,17 @@ object DedupScaleWalls {
       val n = body
       println(f"[walls] $label%-22s $n%12d rows  ${(System.nanoTime() - t0) / 1e9}%8.1f s")
     }
-    timed("shingles")(sh.count())
-    timed("jaccard-candidates")(
+    val stages = args.lift(1).map(_.split(',').toSet)
+      .getOrElse(Set("shingles", "jcands", "jpairs", "ccands", "cpairs"))
+    if (stages("shingles")) timed("shingles")(sh.count())
+    if (stages("jcands")) timed("jaccard-candidates")(
       DedupOps.jaccardPrefixCandidates(sh, 500000L).count())
-    timed("jaccard-pairs")(
+    if (stages("jpairs")) timed("jaccard-pairs")(
       DedupOps.jaccardPrefixJoin(docs, "doc_id", "text", 3, 500000L,
         preShingles = Some(sh)).count())
-    timed("containment-cands")(
+    if (stages("ccands")) timed("containment-cands")(
       DedupOps.containmentPrefixCandidates(sh, 700000L).count())
-    timed("containment-pairs")(
+    if (stages("cpairs")) timed("containment-pairs")(
       DedupOps.containmentPrefixJoin(docs, "doc_id", "text", 3, 700000L,
         preShingles = Some(sh)).count())
     CacheScope.releaseRun() // releaseRun subsumes releaseAll
