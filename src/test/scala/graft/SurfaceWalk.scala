@@ -27,7 +27,8 @@ import scala.util.Try
 object SurfaceWalk {
 
   final case class Facts(roundOffenders: Seq[String], cartesian: Boolean,
-      scalingBroadcasts: Seq[String], failure: Option[String])
+      scalingBroadcasts: Seq[String], singlePartitionExchanges: Int,
+      failure: Option[String])
 
   /** The parquet tables whose row count scales with the corpus (TPC-H SF
    * tables + the pipeline tables). nation/region are absent by design:
@@ -171,11 +172,13 @@ object SurfaceWalk {
     val out = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val f = Try {
         val qe = fn(spark, sf).queryExecution
+        val physical = qe.executedPlan.toString
         Facts(roundOffenders(qe.analyzed),
-          qe.executedPlan.toString.contains("CartesianProduct"),
-          scalingBroadcasts(qe.analyzed), None)
+          physical.contains("CartesianProduct"),
+          scalingBroadcasts(qe.analyzed),
+          "Exchange SinglePartition".r.findAllIn(physical).size, None)
       }.recover { case e =>
-        Facts(Nil, cartesian = false, Nil, Some(e.toString))
+        Facts(Nil, cartesian = false, Nil, 0, Some(e.toString))
       }.get
       CacheScope.releaseAll()
       name -> f
