@@ -290,6 +290,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("whole surface: global windows over SF-scaling inputs match the adjudicated allowlist") {
+    // the corpus-scale subclass of the Exchange SinglePartition census,
+    // pinned where it is DECIDABLE: a Window with an empty partitionSpec
+    // serializes its whole input through one task, so one over an
+    // unaggregated SF-scaling scan is a 100 TB wall. Every current hit
+    // is adjudicated (r18 census, evidence in PLAN_AUDIT):
+    //  - q6: the DELIBERATE single-partition ntile teaching variant
+    //    (q6b is the production two-level order-statistic path);
+    //  - p105: the exact-window branch of rankSumAuditAuto, which
+    //    auto-switches to histogram ranks past its 2e9-row bound — the
+    //    flagged window IS the under-bound branch, by design;
+    //  - p72: walk-depth false positive — the empty-spec window's input
+    //    is the ≤2k-row union of two k=256 KMV sketches; the rn <= k
+    //    bound above the INNER (per-group) window is invisible to the
+    //    scan-attribution walk (window outputs drop at the boundary);
+    //  - p35/p37: the % 50 codebook-init rule — model-scale by the
+    //    operators' contract, same disclosure as the broadcast census.
+    // A NEW global window over a corpus side anywhere else fails here
+    // by query name with its table:class evidence.
+    val allowlist: Map[String, Set[String]] = Map(
+      "q6_window_suite" -> Set("orders:raw"),
+      "p105_rank_sum" -> Set("documents:raw"),
+      "p72_kmv_setops" -> Set("documents:raw"),
+      "p35_embed_pq" -> Set("embeddings:mod50"),
+      "p37_pq_adc_topk" -> Set("embeddings:mod50"))
+    val offenders = SurfaceWalk.facts.toSeq.sortBy(_._1).flatMap {
+      case (name, f) =>
+        f.failure.map(e => s"$name: plan build failed: $e").toSeq ++ {
+          val got = f.globalWindowScans.toSet
+          val allowed = allowlist.getOrElse(name, Set.empty)
+          (got -- allowed).map(g => s"$name: unadjudicated global window over $g") ++
+            (allowed -- got).map(a => s"$name: stale allowlist entry $a")
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("static-broadcast detector: flags the retired hint classes, passes bounded ones") {
     // detector-tested in-spec (the OracleHygieneSpec discipline): the
     // exact shapes the r18 sweep deleted must FLAG as raw, the fixture's

@@ -7,8 +7,11 @@ package graft
 object SinglePartitionCensus {
   def main(args: Array[String]): Unit = {
     SurfaceWalk.facts.toSeq.sortBy(_._1).foreach { case (name, f) =>
-      if (f.singlePartitionExchanges > 0 || f.failure.nonEmpty)
+      if (f.singlePartitionExchanges > 0 || f.failure.nonEmpty ||
+          f.globalWindowScans.nonEmpty)
         println(s"[sp] $name ${f.singlePartitionExchanges}" +
+          (if (f.globalWindowScans.nonEmpty)
+            s" globalWindow=${f.globalWindowScans.mkString(",")}" else "") +
           f.failure.map(e => s" FAILED: $e").getOrElse(""))
     }
     println("[sp] done")

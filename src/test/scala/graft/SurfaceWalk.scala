@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, And,
   AttributeReference, BRound, EqualTo, Expression, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual, Remainder, Round}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST,
-  Filter, GlobalLimit, LogicalPlan, Project, ResolvedHint}
+  Filter, GlobalLimit, LogicalPlan, Project, ResolvedHint, Window}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -28,7 +28,7 @@ object SurfaceWalk {
 
   final case class Facts(roundOffenders: Seq[String], cartesian: Boolean,
       scalingBroadcasts: Seq[String], singlePartitionExchanges: Int,
-      failure: Option[String])
+      globalWindowScans: Seq[String], failure: Option[String])
 
   /** The parquet tables whose row count scales with the corpus (TPC-H SF
    * tables + the pipeline tables). nation/region are absent by design:
@@ -152,6 +152,37 @@ object SurfaceWalk {
     }.flatten
   }
 
+  /** The corpus-scale subclass of the Exchange SinglePartition census,
+   * detected where it is DECIDABLE: a Window with an EMPTY partitionSpec
+   * plans a single-partition exchange of its whole input (Spark's own
+   * "No Partition Defined for Window operation" warning), so a global
+   * window whose input subtree reaches an SF-scaling scan without
+   * crossing a cardinality collapse serializes the corpus through one
+   * task at 100 TB. Same walk and classes as
+   * [[scalingBroadcastEvidence]] (raw = corpus-scale input, the
+   * dangerous class; prefix/mod<k> = bounded/contract-bounded;
+   * Aggregate/GlobalLimit = collapsed, not reported). The raw count-only
+   * SinglePartition census (PLAN_AUDIT round-18 addendum 2) stays a
+   * diagnostic because a COUNT has no boundedness signal — this walk is
+   * the input-cardinality-aware pin it called for, scoped to the one
+   * shape where the logical plan states the serialization outright. */
+  def globalWindowScans(plan: LogicalPlan): Seq[String] =
+    plan.collectWithSubqueries {
+      case w: Window if w.partitionSpec.isEmpty =>
+        scalingBroadcastEvidenceLeaves(w.child)
+    }.flatten.map { case (t, cls, _) => s"$t:$cls" }.distinct
+
+  /** Shared leaves walk, exposed for [[globalWindowScans]]. */
+  private def scalingBroadcastEvidenceLeaves(
+      plan: LogicalPlan): Seq[(String, String, Seq[String])] = {
+    // reuse the full evidence machinery by wrapping the subtree in a
+    // synthetic broadcast hint: ONE classification code path
+    scalingBroadcastEvidence(
+      ResolvedHint(plan,
+        org.apache.spark.sql.catalyst.plans.logical.HintInfo(
+          strategy = Some(BROADCAST))))
+  }
+
   /** Every Round/BRound over a NON-LITERAL child anywhere in the plan,
    * subquery plans included. A foldable child is a driver-side constant
    * (Catalyst folds it before execution) — constant rounding has no
@@ -176,9 +207,10 @@ object SurfaceWalk {
         Facts(roundOffenders(qe.analyzed),
           physical.contains("CartesianProduct"),
           scalingBroadcasts(qe.analyzed),
-          "Exchange SinglePartition".r.findAllIn(physical).size, None)
+          "Exchange SinglePartition".r.findAllIn(physical).size,
+          globalWindowScans(qe.analyzed), None)
       }.recover { case e =>
-        Facts(Nil, cartesian = false, Nil, 0, Some(e.toString))
+        Facts(Nil, cartesian = false, Nil, 0, Nil, Some(e.toString))
       }.get
       CacheScope.releaseAll()
       name -> f
