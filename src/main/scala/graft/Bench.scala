@@ -44,12 +44,18 @@ object Bench {
       val t0 = System.nanoTime()
       val before = cachedMb()
       var bytes = 0L
+      var failed: Option[Throwable] = None
       val buf = new Array[Byte](1 << 20)
+      // only the *.parquet fixtures: the sweep reads nothing else, and a
+      // stray non-fixture file under sfDir shouldn't inflate the walk.
+      // A failure is PRINTED, not swallowed — a cold sweep caused by a
+      // broken prefault must be diagnosable from the BENCHW line alone
       try {
         val stream = Files.walk(Paths.get(sfDir))
         try {
           stream.iterator().forEachRemaining { p =>
-            if (Files.isRegularFile(p)) {
+            if (Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet")) {
               val in = Files.newInputStream(p)
               try {
                 var n = in.read(buf)
@@ -58,9 +64,10 @@ object Bench {
             }
           }
         } finally stream.close()
-      } catch { case _: Throwable => }
+      } catch { case t: Throwable => failed = Some(t) }
       println(s"BENCHW prefault ${fmt((System.nanoTime() - t0) / 1e9)} " +
-        s"bytes=$bytes cachedMB=$before->${cachedMb()}")
+        s"bytes=$bytes cachedMB=$before->${cachedMb()}" +
+        failed.map(t => s" FAILED=$t").getOrElse(""))
     }
     // untimed spin-up: JVM/codegen/parquet-footer startup shouldn't be
     // attributed to whichever query happens to run first

@@ -794,8 +794,12 @@ object DedupOps {
     // never broadcastable
     val sh = preShingles.getOrElse(graft.CacheScope.track(
       docShingles(docs, idCol, textCol, n)))
+    // ONE per-doc size aggregate, shared with the candidate relation by
+    // passing the same DataFrame (identical subtree → exchange reuse);
+    // building it twice carried distinct exprIds, so the corpus-scale
+    // groupBy over the shingle relation ran twice with no reuse guarantee
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
-    val pairs = containmentPrefixCandidates(sh, tPpm)
+    val pairs = containmentPrefixCandidates(sh, tPpm, Some(sizes))
     pairs
       .join(sh.select(col("doc").as("doc_a"), col("shingle"))
         .hint("merge"), Seq("doc_a"))
@@ -823,9 +827,13 @@ object DedupOps {
    * diagnostics count THIS relation rather than re-deriving one that
    * could drift ([[graft.DedupScaleWalls]]); [[containmentPrefixJoin]]
    * consumes it verbatim. */
-  def containmentPrefixCandidates(sh: DataFrame, tPpm: Long): DataFrame = {
+  def containmentPrefixCandidates(sh: DataFrame, tPpm: Long,
+      preSizes: Option[DataFrame] = None): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
+    // preSizes: the caller's per-doc size aggregate over the SAME sh
+    // relation, so join + candidate share one groupBy (exchange reuse)
+    val sizes = preSizes.getOrElse(
+      sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size")))
     val withSize = graft.CacheScope.track(
       sh.join(sizes.hint("merge"), Seq("doc")))
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
@@ -855,9 +863,11 @@ object DedupOps {
    * by the rehearsal diagnostics ([[graft.DedupScaleWalls]]) so the
    * filed candidate numbers are the operator's own relation;
    * [[jaccardPrefixJoin]] consumes it verbatim. */
-  def jaccardPrefixCandidates(sh: DataFrame, tPpm: Long): DataFrame = {
+  def jaccardPrefixCandidates(sh: DataFrame, tPpm: Long,
+      preSizes: Option[DataFrame] = None): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
+    val sizes = preSizes.getOrElse(
+      sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size")))
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("gdf"), col("shingle"))

@@ -132,6 +132,12 @@ object StreamingOps {
    * right operator is [[compactedTableStream]], whose view is a bucketed
    * parquet TABLE (bounded by storage, per-batch work O(delta)): same
    * latest-per-key delta upstream, no driver-resident state.
+   *
+   * After a REFUSE the returned view is MID-BATCH-TORN: rows of the
+   * refusing micro-batch applied before the ceiling hit stay applied.
+   * Treat a refused stream's view as diagnostic evidence only — the
+   * consistent recovery path is a fresh stream against
+   * [[compactedTableStream]].
    */
   def tableViewStream(env: DataFrame, checkpointDir: String,
       maxKeys: Int = 1 << 20): (StreamingQuery, TableView) = {
@@ -160,16 +166,25 @@ object StreamingOps {
         // toLocalIterator with the ceiling checked per row, so the driver
         // never holds more than one partition of rows plus maxKeys
         // entries before refusing — the guard cannot itself OOM first.
-        val deltaRows = batch.count()
-        if (view.size + deltaRows <= maxKeys) batch.collect().foreach(apply)
-        else {
-          val it = batch.toLocalIterator()
-          while (it.hasNext) {
-            apply(it.next())
+        // The batch is persisted across the guard: count() and the
+        // ingest path then share ONE evaluation of the per-key delta
+        // aggregation instead of running it twice per micro-batch.
+        // After a REFUSE the view is MID-BATCH-TORN (rows applied up to
+        // the ceiling stay applied) — a refusing stream's view is
+        // evidence for the error, not a consistent snapshot.
+        batch.persist()
+        try {
+          val deltaRows = batch.count()
+          if (view.size + deltaRows <= maxKeys) batch.collect().foreach(apply)
+          else {
+            val it = batch.toLocalIterator()
+            while (it.hasNext) {
+              apply(it.next())
+              if (view.size > maxKeys) refuse()
+            }
             if (view.size > maxKeys) refuse()
           }
-          if (view.size > maxKeys) refuse()
-        }
+        } finally batch.unpersist()
       }
       .start()
     (query, view)
