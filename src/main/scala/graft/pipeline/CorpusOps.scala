@@ -1403,12 +1403,18 @@ object CorpusOps {
     val scores = corpusFeats.join(broadcast(li), Seq("b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("li")).as("score"))
-    // k-th-highest-score cutoff over the score histogram (desc cum-sum)
-    val hist = scores.groupBy(col("score")).agg(count(lit(1)).as("hn"))
-    val cum = hist.withColumn("cum",
-      sum(col("hn")).over(Window.orderBy(col("score").desc)))
-    val cut = cum.agg(max(when(col("cum") >= topK, col("score"))).as("cutoff"))
-    // a corpus smaller than topK has no cutoff row → keep everything
+    // k-th-highest-score cutoff = min over the top-K rows by score desc
+    // (TakeOrdered: per-partition top-K, K-row merge — no single-
+    // partition pass anywhere). Identical to the previous histogram
+    // cum-sum form: the top-K score MULTISET is deterministic whatever
+    // tie rows the limit picks, and its min IS max{s : |{score ≥ s}| ≥
+    // K}. The histogram shape was grouped BY the score value, whose ndv
+    // approaches the doc count at scale (e4-quantized log sums rarely
+    // collide) — a corpus-scaling global window at 100 TB.
+    val cut = scores.orderBy(col("score").desc).limit(topK)
+      .agg(min(col("score")).as("cutoff"))
+    // a corpus smaller than topK keeps everything (min ≤ every score;
+    // the empty corpus yields a NULL cutoff, same as before)
     scores.crossJoin(broadcast(cut))
       .select(col(idCol), col("n_feats"), col("score"),
         (col("cutoff").isNull || col("score") >= col("cutoff"))
@@ -2097,12 +2103,18 @@ object CorpusOps {
    * table so the LOOKUP mechanics are oracle-checked, not just the
    * ranges.
    *
-   * Shape at 100 TB: one token hash agg; ONE vocabulary-wide prefix-sum
-   * window (the p108 vocab-scale precedent — vocabulary, not corpus,
-   * crosses the single partition); probe resolution joins a k-bounded
-   * probe side against the range table. Training-time sampling uses the
-   * same table via per-partition binary search — the table IS the
-   * artifact.
+   * Shape at 100 TB: one token hash agg; the vocabulary-wide prefix sum
+   * runs TWO-LEVEL — first-character codepoint buckets (clamped to
+   * [0, 255]; UTF-8 byte order equals codepoint order, so buckets are
+   * contiguous prefixes of the w-order and per-bucket sums compose),
+   * a ≤256-row bucket-offset cumsum, then per-BUCKET windows — so the
+   * vocabulary (which grows with the corpus, Heaps' law) never crosses
+   * a single partition; only the 256-row bucket table does. Head-letter
+   * skew caps per-task work at the largest letter's vocab share; a
+   * two-character key (65536 buckets) is the next rung if that binds.
+   * Probe resolution joins a k-bounded probe side against the range
+   * table. Training-time sampling uses the same table via per-partition
+   * binary search — the table IS the artifact.
    */
   def samplingTable(df: DataFrame, textCol: String, cap: Long,
       nProbes: Int): DataFrame = {
@@ -2111,10 +2123,18 @@ object CorpusOps {
         w => length(w) > 0)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .withColumn("wt", least(col("c"), lit(cap)))
-    val ranged = graft.CacheScope.track(counts
-      .withColumn("end_range", sum(col("wt")).over(
-        Window.orderBy(col("w"))))
-      .withColumn("start_range", col("end_range") - col("wt")))
+    val bucketed = counts.withColumn("bk",
+      least(greatest(ascii(substring(col("w"), 1, 1)), lit(0)), lit(255)))
+    val offsets = bucketed.groupBy(col("bk")).agg(sum(col("wt")).as("bt"))
+      .withColumn("offset",
+        sum(col("bt")).over(Window.orderBy(col("bk"))) - col("bt"))
+      .select(col("bk"), col("offset"))
+    val ranged = graft.CacheScope.track(bucketed
+      .join(broadcast(offsets), Seq("bk"))
+      .withColumn("end_range", col("offset") + sum(col("wt")).over(
+        Window.partitionBy(col("bk")).orderBy(col("w"))))
+      .withColumn("start_range", col("end_range") - col("wt"))
+      .drop("bk", "offset"))
     val total = ranged.agg(max(col("end_range")).as("t"))
     val probes = total.select(col("t"),
         explode(sequence(lit(0), lit(nProbes - 1))).as("probe_id"))

@@ -2348,7 +2348,14 @@ object CorpusQueries extends QueryGroup {
           coalesce(col("text"), lit("")))).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      // only the top-16 rows can reach the k ∈ {4,8,16} report, and the
+      // top-16 multiset by (c desc, w) is deterministic — so take them
+      // with orderBy+limit (TakeOrdered: per-partition top-16, k-row
+      // merge) and run the rank/cum windows over 16 ROWS. The previous
+      // shape ran both global windows over the whole vocabulary — a
+      // corpus-scaling (Heaps-law) single-partition pass at 100 TB
       val ranked = counts
+        .orderBy(col("c").desc, col("w")).limit(16)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("c").desc, col("w"))).cast("long"))
         .withColumn("cum", sum(col("c")).over(

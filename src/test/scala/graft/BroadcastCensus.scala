@@ -30,6 +30,15 @@ object BroadcastCensus {
               (if (filters.isEmpty) "(NONE)" else filters.mkString(" AND ")))
           }
         }
+        val wins = SurfaceWalk.globalWindowEvidence(analyzed)
+        if (wins.nonEmpty) {
+          println(s"[census] $name GLOBALWIN -> " +
+            wins.map { case (t, c, _) => s"$t:$c" }.mkString(","))
+          wins.foreach { case (t, cls, filters) =>
+            println(s"[census]   globalwin $t:$cls via filters: " +
+              (if (filters.isEmpty) "(NONE)" else filters.mkString(" AND ")))
+          }
+        }
       }.recover { case e => println(s"[census] $name FAILED: $e") }
       CacheScope.releaseAll()
     }

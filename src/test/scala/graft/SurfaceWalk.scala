@@ -1,10 +1,15 @@
 package graft
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, And,
-  AttributeReference, BRound, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, LessThan, LessThanOrEqual, Remainder, Round}
+  AttributeReference, BRound, Cast, CreateArray, CreateNamedStruct,
+  EqualTo, ExplodeBase, Expression,
+  Greatest, GreaterThan, GreaterThanOrEqual, In, Least, LessThan,
+  LessThanOrEqual, NTile, Pmod, Remainder, Round, RowNumber,
+  WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST,
-  Filter, GlobalLimit, LogicalPlan, Project, ResolvedHint, Window}
+  Filter, Generate, GlobalLimit, LogicalPlan, Project, ResolvedHint,
+  Window}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -72,10 +77,14 @@ object SurfaceWalk {
    * multi-child node (a join under the hint), an accumulated filter
    * follows only children whose output can resolve its references, so a
    * bound on the OTHER join side's column never launders a scaling scan.
-   * Known limit, disclosed: an Aggregate grouped BY a corpus-scale key
-   * (per-part, per-customer) passes the collapse test although its
-   * output still scales — that subclass has never appeared hinted here;
-   * the census errs toward evidence-backed classes over guesses. */
+   * Since r19 the walk is INPUT-CARDINALITY-AWARE (the r18 disclosed
+   * limit, closed): a GROUPED Aggregate no longer passes the collapse
+   * test outright — its output is its grouping-key ndv, so the walk
+   * switches to [[keyLeaves]] and a corpus-keyed group (per-part,
+   * per-customer, per-shingle) traces through to the scan; and a Window
+   * carrying a `row_number() <= k` bound from above is recognized as a
+   * per-partition limit (absolute when ungrouped, key-ndv-bounded when
+   * grouped — the p72 KMV shape). */
   def scalingBroadcasts(plan: LogicalPlan): Seq[String] =
     scalingBroadcastEvidence(plan).map { case (t, cls, _) => s"$t:$cls" }
       .distinct
@@ -84,72 +93,353 @@ object SurfaceWalk {
    * BroadcastCensus diagnostic: (table, class, filter chain SQL) per
    * SF-scaling scan reached under a static BROADCAST hint. */
   def scalingBroadcastEvidence(
-      plan: LogicalPlan): Seq[(String, String, Seq[String])] = {
-    def smallIntLit(e: Expression): Boolean =
-      e.foldable && (e.dataType == LongType || e.dataType == IntegerType) &&
-        Try(e.eval()).toOption.exists {
-          case l: Long => l > 0 && l <= 4096
-          case i: Int => i > 0 && i <= 4096
-          case _ => false
-        }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    def modOf(e: Expression): Option[Long] = e match {
-      case EqualTo(Remainder(_, k, _), r) if k.foldable && r.foldable =>
-        Try(k.eval()).toOption.collect { case l: Long => l; case i: Int => i.toLong }
-      case EqualTo(l, rem: Remainder) => modOf(EqualTo(rem, l))
-      case _ => None
-    }
-    def classify(filters: Seq[Expression]): String = {
-      val cs = filters.flatMap(conjuncts)
-      val prefix = cs.exists {
-        case LessThan(x, r) => !x.foldable && smallIntLit(r)
-        case LessThanOrEqual(x, r) => !x.foldable && smallIntLit(r)
-        case GreaterThan(l, x) => !x.foldable && smallIntLit(l)
-        case GreaterThanOrEqual(l, x) => !x.foldable && smallIntLit(l)
-        case _ => false
-      }
-      lazy val mods = cs.flatMap(modOf)
-      if (prefix) "prefix"
-      else if (mods.nonEmpty) s"mod${mods.max}"
-      else "raw"
-    }
-    def leaves(p: LogicalPlan,
-        filters: List[Expression]): Seq[(String, String, Seq[String])] =
-      p match {
-        case _: Aggregate => Nil
-        case _: GlobalLimit => Nil
-        case f: Filter => leaves(f.child, f.condition :: filters)
-        case pr: Project =>
-          // rewrite accumulated filters THROUGH the projection's aliases
-          // (qid < 10 above Project(vec_id AS qid) is a bound on vec_id)
-          // so renaming can't strip a real bound into a raw false alarm
-          val aliasByExprId = pr.projectList.collect {
-            case a: Alias => a.exprId -> a.child
-          }.toMap
-          val rewritten = filters.map(_.transform {
-            case attr: AttributeReference =>
-              aliasByExprId.getOrElse(attr.exprId, attr)
-          })
-          leaves(pr.child,
-            rewritten.filter(_.references.subsetOf(pr.child.outputSet)))
-        case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation =>
-            val paths = fs.location.rootPaths.map(_.toString)
-            ScalingTables.filter(t => paths.exists(_.endsWith(s"/$t.parquet")))
-              .map(t => (t, classify(filters), filters.map(_.sql)))
-          case _ => Nil
-        }
-        case other => other.children.flatMap { ch =>
-          leaves(ch, filters.filter(_.references.subsetOf(ch.outputSet)))
-        }
-      }
+      plan: LogicalPlan): Seq[(String, String, Seq[String])] =
     plan.collectWithSubqueries {
       case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
         leaves(h.child, Nil)
     }.flatten
+
+  private def smallIntLit(e: Expression): Boolean =
+    e.foldable && (e.dataType == LongType || e.dataType == IntegerType) &&
+      Try(e.eval()).toOption.exists {
+        case l: Long => l > 0 && l <= 4096
+        case i: Int => i > 0 && i <= 4096
+        case _ => false
+      }
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+  private def modOf(e: Expression): Option[Long] = e match {
+    case EqualTo(Remainder(_, k, _), r) if k.foldable && r.foldable =>
+      Try(k.eval()).toOption.collect { case l: Long => l; case i: Int => i.toLong }
+    case EqualTo(l, rem: Remainder) => modOf(EqualTo(rem, l))
+    case _ => None
+  }
+  private def classify(filters: Seq[Expression]): String = {
+    val cs = filters.flatMap(conjuncts)
+    val prefix = cs.exists {
+      case LessThan(x, r) => !x.foldable && smallIntLit(r)
+      case LessThanOrEqual(x, r) => !x.foldable && smallIntLit(r)
+      case GreaterThan(l, x) => !x.foldable && smallIntLit(l)
+      case GreaterThanOrEqual(l, x) => !x.foldable && smallIntLit(l)
+      case _ => false
+    }
+    lazy val mods = cs.flatMap(modOf)
+    if (prefix) "prefix"
+    else if (mods.nonEmpty) s"mod${mods.max}"
+    else "raw"
+  }
+
+  /** The exprIds this Window produces as row_number() — the ONE rank
+   * function whose value strictly bounds per-partition row count under a
+   * `rn <= k` conjunct. rank()/dense_rank() deliberately do NOT qualify:
+   * ties repeat values, so `rank <= k` admits unboundedly many rows. */
+  private def rowNumberIds(w: Window): Set[Long] =
+    w.windowExpressions.collect {
+      case a: Alias if (a.child match {
+        case we: WindowExpression => we.windowFunction.isInstanceOf[RowNumber]
+        case _ => false
+      }) => a.exprId.id
+    }.toSet
+
+  /** True when a TOP-LEVEL conjunct in `filters` upper-bounds one of this
+   * Window's row_number outputs by a small positive literal (the p72
+   * `rn <= k` shape). Conjunct-scoped exactly like the prefix class: a
+   * bound inside Or/Not does not bound row count and never matches. */
+  private def rankBounded(w: Window, filters: List[Expression]): Boolean = {
+    val rn = rowNumberIds(w)
+    filters.flatMap(conjuncts).exists {
+      case LessThan(a: AttributeReference, r) => rn(a.exprId.id) && smallIntLit(r)
+      case LessThanOrEqual(a: AttributeReference, r) => rn(a.exprId.id) && smallIntLit(r)
+      case GreaterThan(l, a: AttributeReference) => rn(a.exprId.id) && smallIntLit(l)
+      case GreaterThanOrEqual(l, a: AttributeReference) => rn(a.exprId.id) && smallIntLit(l)
+      case EqualTo(a: AttributeReference, r) => rn(a.exprId.id) && smallIntLit(r)
+      case EqualTo(l, a: AttributeReference) => rn(a.exprId.id) && smallIntLit(l)
+      case _ => false
+    }
+  }
+
+  /** The scan-attribution walk (ROW-cardinality mode): which SF-scaling
+   * scans feed this subtree's row count, each tagged with the strongest
+   * bound class on the path. Collapses: empty-grouping Aggregate and
+   * GlobalLimit (1/k rows); a Window carrying a `row_number <= k` bound
+   * from above is a per-partition limit — absolutely bounded when the
+   * partitionSpec is empty, bounded by the PARTITION-KEY cardinality
+   * otherwise (the walk switches to [[keyLeaves]]). A GROUPED Aggregate's
+   * output is its grouping-key ndv, so it also hands off to keyLeaves —
+   * the r18 disclosed limit (corpus-keyed aggregates passing the collapse
+   * test) is thereby closed for BOTH the broadcast and the global-window
+   * census. */
+  private def leaves(p: LogicalPlan,
+      filters: List[Expression]): Seq[(String, String, Seq[String])] =
+    p match {
+      case a: Aggregate if a.groupingExpressions.isEmpty => Nil
+      case a: Aggregate =>
+        // output rows = ndv(grouping keys); rewrite accumulated filters
+        // through the agg aliases (HAVING key = lit bounds the key)
+        val aliasByExprId = a.aggregateExpressions.collect {
+          case al: Alias => al.exprId -> al.child
+        }.toMap
+        val rewritten = filters.map(_.transform {
+          case attr: AttributeReference =>
+            aliasByExprId.getOrElse(attr.exprId, attr)
+        })
+        grouped(keyLeaves(a.child, a.groupingExpressions,
+          resolvable(rewritten, a.child.outputSet)))
+      case _: GlobalLimit => Nil
+      case f: Filter => leaves(f.child, f.condition :: filters)
+      case w: Window if rankBounded(w, filters) =>
+        if (w.partitionSpec.isEmpty) Nil // ≤ k rows outright
+        else grouped(keyLeaves(w.child, w.partitionSpec,
+          resolvable(filters, w.child.outputSet)))
+      case pr: Project =>
+        // rewrite accumulated filters THROUGH the projection's aliases
+        // (qid < 10 above Project(vec_id AS qid) is a bound on vec_id)
+        // so renaming can't strip a real bound into a raw false alarm
+        val aliasByExprId = pr.projectList.collect {
+          case a: Alias => a.exprId -> a.child
+        }.toMap
+        val rewritten = filters.map(_.transform {
+          case attr: AttributeReference =>
+            aliasByExprId.getOrElse(attr.exprId, attr)
+        })
+        leaves(pr.child, resolvable(rewritten, pr.child.outputSet))
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val paths = fs.location.rootPaths.map(_.toString)
+          ScalingTables.filter(t => paths.exists(_.endsWith(s"/$t.parquet")))
+            .map(t => (t, classify(filters), filters.map(_.sql)))
+        case _ => Nil
+      }
+      case other => other.children.flatMap { ch =>
+        leaves(ch, resolvable(filters, ch.outputSet))
+      }
+    }
+
+  /** A `group-` class marks evidence that entered KEY-cardinality mode:
+   * the reported quantity is the ndv of a grouping/partition key traced
+   * to this scan, not the scan's own row count. `group-raw` therefore
+   * means "key ndv not statically bounded" — adjudicable when the key's
+   * DOMAIN is a data-model constant (lang, source, a histogram bucket),
+   * unlike direct `raw` which is never allowlistable. Idempotent so
+   * nested groupings don't stack prefixes. */
+  private def grouped(res: Seq[(String, String, Seq[String])]):
+      Seq[(String, String, Seq[String])] =
+    res.map { case (t, c, f) =>
+      (t, if (c.startsWith("group-")) c else s"group-$c", f)
+    }
+
+  /** KEY-cardinality mode: how many DISTINCT values can `keys` take?
+   * Reached from a grouped collapse (grouped Aggregate, rank-bounded
+   * grouped Window) whose output row count is the key ndv. A key is
+   * discharged when its FORM bounds it (foldable; `x % k` / pmod with a
+   * small literal; ntile(k) output) or a top-level conjunct pins it to a
+   * literal domain (`k = lit`, `k IN (lits)` — these bound ndv though
+   * they never bound row counts) or to a small integer prefix (the
+   * dense-id contract, as in the row-mode prefix class). Everything
+   * else FAILS CLOSED: a key the walk cannot trace falls back to
+   * row-mode [[leaves]] on the subtree, which is sound because
+   * ndv(keys) ≤ rows(input) — so an untraceable corpus-keyed group
+   * reports the underlying scan instead of silently passing. */
+  /** Data-model DOMAIN contract (the ScalingTables / dense-id-contract
+   * discipline, applied to ndv): columns whose distinct-value count is a
+   * categorical-domain constant at every SF — language codes and the
+   * source/crawl registry — never a corpus fraction. A grouping key
+   * built ONLY from these discharges in key mode; anything touching
+   * doc_id/text/hashes/tokens stays live and traces to the scan. */
+  val DomainColumns: Set[String] = Set("lang", "source")
+
+  private def uncast(e: Expression): Expression = e match {
+    case c: Cast => uncast(c.child)
+    case _ => e
+  }
+
+  /** Accumulated filters that can follow a walk into `out`'s subtree —
+   * split into TOP-LEVEL CONJUNCTS first, so `rn <= 10 AND key = lit`
+   * keeps its key conjunct when rn drops at the window boundary
+   * (conjunct-scoped semantics are unchanged: every consumer already
+   * looks only at top-level conjuncts). */
+  private def resolvable(filters: List[Expression],
+      out: org.apache.spark.sql.catalyst.expressions.AttributeSet):
+      List[Expression] =
+    filters.flatMap(conjuncts).filter(_.references.subsetOf(out))
+
+  private def intLit(e: Expression): Option[Long] =
+    if (e.foldable && (e.dataType == LongType || e.dataType == IntegerType))
+      Try(e.eval()).toOption.collect {
+        case l: Long => l
+        case i: Int => i.toLong
+      }
+    else None
+
+  private def keyLeaves(p: LogicalPlan, keys: Seq[Expression],
+      filters: List[Expression]): Seq[(String, String, Seq[String])] = {
+    val cs = filters.flatMap(conjuncts)
+    def strip(e: Expression): Expression = e match {
+      case a: Alias => strip(a.child)
+      case _ => e
+    }
+    def formBounded(e: Expression): Boolean = strip(e) match {
+      case x if x.foldable => true
+      // x % k / pmod(x, k) as the key ITSELF: ndv ≤ k ABSOLUTELY (a
+      // corpus-independent bound, unlike the mod FILTER whose survivor
+      // count is corpus/k) — so the cap is the generous 2¹⁶, not the
+      // prefix class's 4096 (p48's bloom m=16384 slot key)
+      case Remainder(_, m, _) => intLit(m).exists(k => k > 0 && k <= 65536)
+      case Pmod(_, m, _) => intLit(m).exists(k => k > 0 && k <= 65536)
+      // clamp: least(greatest(x, lo), hi) with literal bounds spanning
+      // ≤ 4096 values bounds ndv by the clamp range (the p114 margin
+      // bucket / p116 codepoint-bucket shape); least alone does NOT —
+      // an unbounded-below integer stays unbounded under least(x, k)
+      case l: Least =>
+        val cs0 = l.children.map(uncast)
+        val hi = cs0.flatMap(intLit(_)).reduceOption(_ min _)
+        val lo = cs0.collect { case g: Greatest =>
+          g.children.map(uncast).flatMap(intLit(_)) }
+          .flatten.reduceOption(_ max _)
+        (hi, lo) match {
+          case (Some(h), Some(w)) => h >= w && h - w <= 4096
+          case _ => false
+        }
+      case g: Greatest =>
+        val cs0 = g.children.map(uncast)
+        val lo = cs0.flatMap(intLit(_)).reduceOption(_ max _)
+        val hi = cs0.collect { case l: Least =>
+          l.children.map(uncast).flatMap(intLit(_)) }
+          .flatten.reduceOption(_ min _)
+        (hi, lo) match {
+          case (Some(h), Some(w)) => h >= w && h - w <= 4096
+          case _ => false
+        }
+      case c: Cast => formBounded(c.child)
+      case _ => false
+    }
+    def filterBounded(k0: Expression): Boolean = {
+      val k = strip(k0)
+      cs.exists {
+        case EqualTo(l, r) =>
+          (r.foldable && l.semanticEquals(k)) ||
+            (l.foldable && r.semanticEquals(k))
+        case In(v, list) => v.semanticEquals(k) && list.nonEmpty &&
+          list.size <= 4096 && list.forall(_.foldable)
+        case LessThan(v, r) => v.semanticEquals(k) && smallIntLit(r)
+        case LessThanOrEqual(v, r) => v.semanticEquals(k) && smallIntLit(r)
+        case GreaterThan(l, v) => v.semanticEquals(k) && smallIntLit(l)
+        case GreaterThanOrEqual(l, v) => v.semanticEquals(k) && smallIntLit(l)
+        case _ => false
+      }
+    }
+    val live = keys.filterNot(k => formBounded(k) || filterBounded(k))
+    if (live.isEmpty) Nil
+    else p match {
+      case _: GlobalLimit => Nil // ndv ≤ rows ≤ k
+      case f: Filter => keyLeaves(f.child, live, f.condition :: filters)
+      case pr: Project =>
+        val aliasByExprId = pr.projectList.collect {
+          case a: Alias => a.exprId -> a.child
+        }.toMap
+        def rw(e: Expression): Expression = e.transform {
+          case attr: AttributeReference =>
+            aliasByExprId.getOrElse(attr.exprId, attr)
+        }
+        val k2 = live.map(rw)
+        if (k2.forall(_.references.subsetOf(pr.child.outputSet)))
+          keyLeaves(pr.child, k2,
+            resolvable(filters.map(rw), pr.child.outputSet))
+        else leaves(pr, filters)
+      case g: Generate =>
+        // a key that is a pure function of this generator's OUTPUT:
+        // bounded when the generator input is FOLDABLE with ≤ 4096
+        // elements (p103's explode(sequence(0,63)) replica axis, the
+        // exactQuantiles literal quantile array), or an explicit array
+        // whose every element/struct-field is formBounded (the CM-sketch
+        // explode(array(struct(lit(i), hash % w))) and Bloom position
+        // shapes — ndv ≤ len · modulus regardless of the corpus). A
+        // corpus-fed generator (exploded tokens) stays live → fallback.
+        val genIds = g.generatorOutput.map(_.exprId.id).toSet
+        def structBounded(e: Expression): Boolean = e match {
+          case cns: CreateNamedStruct => cns.valExprs.forall(formBounded)
+          case other => formBounded(other)
+        }
+        lazy val genBounded = g.generator match {
+          case e: ExplodeBase if e.child.foldable =>
+            Try(e.child.eval()).toOption.exists {
+              case ad: ArrayData => ad.numElements() <= 4096
+              case null => true
+              case _ => false
+            }
+          case e: ExplodeBase => e.child match {
+            // explicit arrays are sketch-geometry shapes (d rows × w
+            // slots): a tight element count keeps the implied ndv bound
+            // (Σ per-element bounds) at sketch scale, not corpus scale
+            case ca: CreateArray =>
+              ca.children.size <= 64 && ca.children.forall(structBounded)
+            case _ => false
+          }
+          case _ => false
+        }
+        val (produced, passed) = live.partition(e =>
+          e.references.nonEmpty &&
+            e.references.forall(a => genIds(a.exprId.id)))
+        if (produced.isEmpty || genBounded) {
+          if (passed.isEmpty) Nil // all live keys were bounded generator outputs
+          else if (passed.forall(_.references.subsetOf(g.child.outputSet)))
+            keyLeaves(g.child, passed,
+              resolvable(filters, g.child.outputSet))
+          else leaves(g, filters)
+        } else leaves(g, filters)
+      case w: Window =>
+        // a key this window PRODUCES: ntile(k) output is k-bounded;
+        // any other window output falls back to rows-of-input
+        val byId = w.windowExpressions.collect {
+          case al: Alias => al.exprId.id -> al.child
+        }.toMap
+        def producedBounded(e: Expression): Boolean = strip(e) match {
+          case a: AttributeReference => byId.get(a.exprId.id).exists {
+            case we: WindowExpression => we.windowFunction match {
+              case nt: NTile => smallIntLit(nt.buckets)
+              case _ => false
+            }
+            case _ => false
+          }
+          case _ => false
+        }
+        val (produced, passed) = live.partition(e =>
+          byId.contains(strip(e) match {
+            case a: AttributeReference => a.exprId.id
+            case _ => -1L
+          }))
+        if (produced.forall(producedBounded)) {
+          if (passed.isEmpty) Nil
+          else keyLeaves(w.child, passed,
+            resolvable(filters, w.child.outputSet))
+        } else leaves(w, filters)
+      case lr: LogicalRelation =>
+        // at the scan: keys built ONLY from categorical-domain columns
+        // (the DomainColumns data-model contract) discharge; anything
+        // else reports via row mode (ndv ≤ rows, with the filter-chain
+        // classification as the evidence)
+        if (live.forall(k => k.references.nonEmpty &&
+            k.references.forall(a => DomainColumns(a.name)))) Nil
+        else leaves(lr, filters)
+      case other if other.children.nonEmpty =>
+        // generic pass-through (Deduplicate, Sort, SubqueryAlias, Join,
+        // Union sides…): follow each key into the child that can resolve
+        // it; a key resolving into NO child (or a node needing row
+        // semantics, e.g. grouped Aggregate aliases) falls back to
+        // row-mode on this subtree — ndv ≤ rows, fail closed
+        val (traceable, lost) = live.partition(k =>
+          other.children.exists(ch => k.references.nonEmpty &&
+            k.references.subsetOf(ch.outputSet)))
+        if (lost.nonEmpty) leaves(other, filters)
+        else other.children.flatMap { ch =>
+          val ks = traceable.filter(_.references.subsetOf(ch.outputSet))
+          if (ks.isEmpty) Nil
+          else keyLeaves(ch, ks, resolvable(filters, ch.outputSet))
+        }
+      case _ => leaves(p, filters)
+    }
   }
 
   /** The corpus-scale subclass of the Exchange SinglePartition census,
@@ -167,21 +457,25 @@ object SurfaceWalk {
    * the input-cardinality-aware pin it called for, scoped to the one
    * shape where the logical plan states the serialization outright. */
   def globalWindowScans(plan: LogicalPlan): Seq[String] =
+    globalWindowEvidence(plan).map { case (t, cls, _) => s"$t:$cls" }
+
+  /** Per-global-window evidence with the filter chains, for the census
+   * diagnostic and the detector alike. The walk runs DIRECTLY on the
+   * window's input path (r18 used a synthetic ResolvedHint + the full
+   * hint collector, which also matched REAL nested broadcast hints below
+   * collapse stops — the p35/p37 artifact). Tags are distinct per window
+   * but NOT across windows: each global window contributes its own
+   * occurrences, so the PlanShapeSpec allowlist pins a COUNT per
+   * (query, tag) and a second raw window over an already-allowlisted
+   * table fails instead of riding the same entry. */
+  def globalWindowEvidence(
+      plan: LogicalPlan): Seq[(String, String, Seq[String])] =
     plan.collectWithSubqueries {
       case w: Window if w.partitionSpec.isEmpty =>
-        scalingBroadcastEvidenceLeaves(w.child)
-    }.flatten.map { case (t, cls, _) => s"$t:$cls" }.distinct
-
-  /** Shared leaves walk, exposed for [[globalWindowScans]]. */
-  private def scalingBroadcastEvidenceLeaves(
-      plan: LogicalPlan): Seq[(String, String, Seq[String])] = {
-    // reuse the full evidence machinery by wrapping the subtree in a
-    // synthetic broadcast hint: ONE classification code path
-    scalingBroadcastEvidence(
-      ResolvedHint(plan,
-        org.apache.spark.sql.catalyst.plans.logical.HintInfo(
-          strategy = Some(BROADCAST))))
-  }
+        // distinct (table, class) per window, one representative chain
+        leaves(w.child, Nil).groupBy(h => (h._1, h._2)).map(_._2.head)
+          .toSeq.sortBy(h => (h._1, h._2))
+    }.flatten
 
   /** Every Round/BRound over a NON-LITERAL child anywhere in the plan,
    * subquery plans included. A foldable child is a driver-side constant
