@@ -863,11 +863,12 @@ object DedupOps {
    * by the rehearsal diagnostics ([[graft.DedupScaleWalls]]) so the
    * filed candidate numbers are the operator's own relation;
    * [[jaccardPrefixJoin]] consumes it verbatim. */
-  def jaccardPrefixCandidates(sh: DataFrame, tPpm: Long,
-      preSizes: Option[DataFrame] = None): DataFrame = {
+  def jaccardPrefixCandidates(sh: DataFrame, tPpm: Long): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000, s"threshold ppm in (0, 1e6]: $tPpm")
-    val sizes = preSizes.getOrElse(
-      sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size")))
+    // (no preSizes hook here, unlike the containment twin: the jaccard
+    // JOIN carries sizes through the candidate output itself and has no
+    // second aggregate to share)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("set_size"))
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gdf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("gdf"), col("shingle"))

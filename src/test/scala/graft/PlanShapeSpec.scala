@@ -319,9 +319,11 @@ class PlanShapeSpec extends AnyFunSuite {
         f.failure.map(e => s"$name: plan build failed: $e").toSeq ++ {
           // direct `raw` = scan rows with no bound: NEVER allowlistable.
           // `group-raw` is different evidence (a KEY's ndv, adjudicable
-          // by domain contract) and goes through the allowlist.
-          val raw = f.scalingBroadcasts.filter(_.endsWith(":raw"))
-            .filterNot(_.endsWith(":group-raw"))
+          // by domain contract) and goes through the allowlist — the
+          // split parses the CLASS after the last ':' so it can't drift
+          // with tag naming.
+          val raw = f.scalingBroadcasts.filter(
+            _.split(':').last == "raw")
           val bounded = f.scalingBroadcasts.toSet -- raw
           val allowed = allowlist.getOrElse(name, Set.empty)
           raw.map(r => s"$name: RAW static broadcast of $r") ++
@@ -479,6 +481,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(found(c.join(broadcast(o.groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice")).as("s"))),
       col("c_custkey") === col("o_custkey"))) === Seq("orders:group-raw"))
+    // …HAVING on an AGGREGATE (count < 100) bounds nothing about the
+    // key's ndv — it must not launder the group into a prefix tag…
+    assert(found(c.crossJoin(broadcast(o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") < 100))))
+      === Seq("orders:group-raw"))
     // …but a mod-form key is an ABSOLUTE ndv bound (≤ k groups)…
     assert(found(c.crossJoin(broadcast(o.groupBy((col("o_orderkey") % 64)
       .as("b")).agg(count(lit(1)).as("n"))))).isEmpty)
@@ -492,6 +499,12 @@ class PlanShapeSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"))))).isEmpty)
     assert(found(c.crossJoin(broadcast(o.groupBy(
       least(col("o_orderkey"), lit(10L)).as("b"))
+        .agg(count(lit(1)).as("n"))))) === Seq("orders:group-raw"))
+    // …and a TERNARY least around a clamp re-opens the bound (the extra
+    // operand is unbounded below) — only the binary clamp discharges
+    assert(found(c.crossJoin(broadcast(o.groupBy(
+      least(greatest(col("o_orderkey") % 1000000, lit(0L)), lit(10L),
+        col("o_custkey")).as("b"))
         .agg(count(lit(1)).as("n"))))) === Seq("orders:group-raw"))
     // domain-contract columns (the data model's categorical registries)
     // discharge; any other documents key stays live
@@ -508,6 +521,19 @@ class PlanShapeSpec extends AnyFunSuite {
       docs.withColumn("w", explode(split(col("text"), " ")))
         .groupBy(col("w")).agg(count(lit(1)).as("n")))))
       === Seq("documents:group-raw"))
+    // a UNION contributes key values from EVERY branch: a bounded first
+    // branch must not absolve a corpus-scale second branch…
+    assert(found(c.crossJoin(broadcast(
+      docs.filter(col("doc_id") < 100L).select(col("doc_id"))
+        .union(docs.select(col("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n")))))
+      === Seq("documents:group-raw"))
+    // …while two bounded branches discharge outright (each branch's
+    // prefix conjunct pins the key's ndv before the scan is reached)
+    assert(found(c.crossJoin(broadcast(
+      docs.filter(col("doc_id") < 100L).select(col("doc_id"))
+        .union(docs.filter(col("doc_id") < 50L).select(col("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))))).isEmpty)
 
     // rank bounds: row_number() <= k above a GLOBAL window is a limit…
     def rnG(df: org.apache.spark.sql.DataFrame) = df.withColumn("rn",

@@ -177,14 +177,21 @@ object SurfaceWalk {
       case a: Aggregate if a.groupingExpressions.isEmpty => Nil
       case a: Aggregate =>
         // output rows = ndv(grouping keys); rewrite accumulated filters
-        // through the agg aliases (HAVING key = lit bounds the key)
+        // through the agg aliases (HAVING key = lit bounds the key).
+        // Conjuncts that REWRITE TO aggregate expressions are DROPPED:
+        // `HAVING count(*) < 100` says nothing about the key's ndv, and
+        // count(1)'s empty reference set would otherwise sail through
+        // resolvability into classify() and launder a corpus-keyed
+        // group into a prefix/mod tag (the r19 review-pass finding)
         val aliasByExprId = a.aggregateExpressions.collect {
           case al: Alias => al.exprId -> al.child
         }.toMap
         val rewritten = filters.map(_.transform {
           case attr: AttributeReference =>
             aliasByExprId.getOrElse(attr.exprId, attr)
-        })
+        }).flatMap(conjuncts).filterNot(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .aggregate.AggregateExpression]))
         grouped(keyLeaves(a.child, a.groupingExpressions,
           resolvable(rewritten, a.child.outputSet)))
       case _: GlobalLimit => Nil
@@ -292,26 +299,37 @@ object SurfaceWalk {
       // ≤ 4096 values bounds ndv by the clamp range (the p114 margin
       // bucket / p116 codepoint-bucket shape); least alone does NOT —
       // an unbounded-below integer stays unbounded under least(x, k)
-      case l: Least =>
-        val cs0 = l.children.map(uncast)
-        val hi = cs0.flatMap(intLit(_)).reduceOption(_ min _)
-        val lo = cs0.collect { case g: Greatest =>
-          g.children.map(uncast).flatMap(intLit(_)) }
-          .flatten.reduceOption(_ max _)
-        (hi, lo) match {
-          case (Some(h), Some(w)) => h >= w && h - w <= 4096
+      // clamp discharge is restricted to EXACTLY the binary shapes
+      // least(greatest(x, lo), hi) / greatest(least(x, hi), lo): with a
+      // third operand the extremum is no longer pinned to the literal
+      // range (least(clamp(x), y) is unbounded below through y — the
+      // r19 review-pass finding)
+      case l: Least => l.children.map(uncast) match {
+        case Seq(a, b) => Seq((a, b), (b, a)).exists {
+          case (hiE, g: Greatest) => intLit(hiE).exists { h =>
+            g.children.map(uncast) match {
+              case Seq(x, y) => Seq(x, y).flatMap(intLit(_))
+                .exists(w => h >= w && h - w <= 4096)
+              case _ => false
+            }
+          }
           case _ => false
         }
-      case g: Greatest =>
-        val cs0 = g.children.map(uncast)
-        val lo = cs0.flatMap(intLit(_)).reduceOption(_ max _)
-        val hi = cs0.collect { case l: Least =>
-          l.children.map(uncast).flatMap(intLit(_)) }
-          .flatten.reduceOption(_ min _)
-        (hi, lo) match {
-          case (Some(h), Some(w)) => h >= w && h - w <= 4096
+        case _ => false
+      }
+      case g: Greatest => g.children.map(uncast) match {
+        case Seq(a, b) => Seq((a, b), (b, a)).exists {
+          case (loE, l: Least) => intLit(loE).exists { w =>
+            l.children.map(uncast) match {
+              case Seq(x, y) => Seq(x, y).flatMap(intLit(_))
+                .exists(h => h >= w && h - w <= 4096)
+              case _ => false
+            }
+          }
           case _ => false
         }
+        case _ => false
+      }
       case c: Cast => formBounded(c.child)
       case _ => false
     }
@@ -423,12 +441,32 @@ object SurfaceWalk {
         if (live.forall(k => k.references.nonEmpty &&
             k.references.forall(a => DomainColumns(a.name)))) Nil
         else leaves(lr, filters)
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        // Union output carries the FIRST child's exprIds, but EVERY
+        // branch contributes values to the key's domain — rewrite the
+        // keys positionally into each child and trace ALL of them; a
+        // branch the rewrite cannot reach fails closed via row mode
+        // (the review-pass hole: the generic walk silently discharged
+        // every branch after the first)
+        u.children.flatMap { ch =>
+          val byPos = u.output.map(_.exprId.id)
+            .zip(ch.output.map(a => a: Expression)).toMap
+          def rw(e: Expression): Expression = e.transform {
+            case a: AttributeReference => byPos.getOrElse(a.exprId.id, a)
+          }
+          val ks = live.map(rw)
+          if (ks.forall(_.references.subsetOf(ch.outputSet)))
+            keyLeaves(ch, ks, resolvable(filters.map(rw), ch.outputSet))
+          else leaves(ch, resolvable(filters, ch.outputSet))
+        }
       case other if other.children.nonEmpty =>
-        // generic pass-through (Deduplicate, Sort, SubqueryAlias, Join,
-        // Union sides…): follow each key into the child that can resolve
-        // it; a key resolving into NO child (or a node needing row
-        // semantics, e.g. grouped Aggregate aliases) falls back to
-        // row-mode on this subtree — ndv ≤ rows, fail closed
+        // generic pass-through (Deduplicate, Sort, SubqueryAlias, Join
+        // sides…): follow each key into the child that can resolve it —
+        // sound for joins (a join never ADDS key values; ndv is bounded
+        // by the key-bearing side) and for Except/Intersect (output =
+        // left side). A key resolving into NO child (or a node needing
+        // row semantics, e.g. grouped Aggregate aliases) falls back to
+        // row-mode on this subtree — ndv ≤ rows, fail closed.
         val (traceable, lost) = live.partition(k =>
           other.children.exists(ch => k.references.nonEmpty &&
             k.references.subsetOf(ch.outputSet)))
