@@ -1320,7 +1320,7 @@ object StreamingSmoke {
     val accUrl = scala.collection.concurrent.TrieMap
       .empty[String, (Long, (Long, Long, Long, Long, Long))]
     restartLegs(docs31.toSeq, OutputMode.Append())(
-      StreamingOps.urlCensusStream) { b =>
+      ds => StreamingOps.urlCensusStream(ds)) { b =>
       b.collect().foreach { r =>
         upsertMax(accUrl, r.getAs[String]("host"), r.getAs[Long]("version"),
           (r.getAs[Long]("n_docs"), r.getAs[Long]("n_urls"),

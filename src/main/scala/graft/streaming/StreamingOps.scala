@@ -576,8 +576,24 @@ object StreamingOps {
    * an upserted census row per touched host with a monotone version.
    * The max-version row per host equals the batch two-level
    * aggregation exactly; no ordering contract at all — the census is a
-   * pure function of the arrived multiset. */
-  def urlCensusStream(ds: Dataset[UrlIngest]): Dataset[HostCensus] = {
+   * pure function of the arrived multiset.
+   *
+   * Per-key state bound, ENFORCED (the TableView-maxKeys discipline
+   * applied to a state store): unlike the other stateful twins — the
+   * sessionizer's 4 longs, the transition census's one string, the
+   * sampler's k triples, all O(1) per key — this state is the host's
+   * DISTINCT-URL histogram, and a pathological host (calendar pages, a
+   * session-id URL space) grows it without bound inside ONE state-store
+   * entry, which Spark materializes whole per trigger. `maxUrlsPerHost`
+   * documents that bound and the stream REFUSES BY NAME past it instead
+   * of silently OOMing an executor at 100 TB frontiers. Census: an entry
+   * is a URL string (~80 B) + 16 B of counters + map overhead ≈ 200 B,
+   * so the default 2²⁰ URLs ≈ 200 MB — the practical per-host frontier a
+   * single crawler shard keeps. Past it, the right operator is the batch
+   * [[graft.pipeline.UrlOps.hostCensus]] over the frontier TABLE
+   * (storage-backed, never one heap entry). */
+  def urlCensusStream(ds: Dataset[UrlIngest],
+      maxUrlsPerHost: Int = 1 << 20): Dataset[HostCensus] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.host)
       .flatMapGroupsWithState[HostState, HostCensus](
@@ -587,6 +603,13 @@ object StreamingOps {
           var hist = st.hist
           rows.foreach { r =>
             val (n, ch) = hist.getOrElse(r.url, (0L, 0L))
+            if (n == 0L && hist.size >= maxUrlsPerHost)
+              throw new IllegalStateException(
+                s"urlCensusStream: host '$host' exceeds maxUrlsPerHost=" +
+                  s"$maxUrlsPerHost distinct URLs: the per-host histogram " +
+                  "is ONE state-store entry, materialized whole per " +
+                  "trigger; census a frontier this shape with the batch " +
+                  "UrlOps.hostCensus over a storage-backed frontier table")
             hist += r.url -> ((n + 1L, ch + r.chars))
           }
           val version = st.version + 1L

@@ -82,6 +82,37 @@ class StreamingSpec extends AnyFunSuite {
       c.getMessage != null && c.getMessage.contains("exceeds maxKeys=4")), ex)
   }
 
+  test("urlCensusStream REFUSES past the documented per-host URL ceiling") {
+    // the one stateful twin whose PER-KEY state is not O(1) (the host's
+    // distinct-URL histogram lives in ONE state-store entry): a host
+    // exceeding maxUrlsPerHost kills the query with the contract message
+    // instead of growing an executor-resident map without bound — the
+    // tableViewStream maxKeys discipline applied to a state store.
+    // Repeats of KNOWN urls stay legal at the ceiling (they grow counts,
+    // not the histogram).
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = MemoryStream[graft.streaming.UrlIngest]
+    val q = StreamingOps.urlCensusStream(s.toDS(), maxUrlsPerHost = 2)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("spec_url_census_refuse")
+      .option("checkpointLocation", ckpt()).start()
+    s.addData(
+      graft.streaming.UrlIngest(1L, "h", "http://h/a", 10L),
+      graft.streaming.UrlIngest(2L, "h", "http://h/b", 10L),
+      graft.streaming.UrlIngest(3L, "h", "http://h/a", 10L)) // repeat: legal
+    q.processAllAvailable()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      s.addData(graft.streaming.UrlIngest(4L, "h", "http://h/c", 10L))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("exceeds maxUrlsPerHost=2")), ex)
+  }
+
   test("TableView listeners fire on upsert and delete") {
     val view = new graft.streaming.TableView
     var events = List.empty[(String, Boolean)]
