@@ -56,6 +56,64 @@ object DedupScaleWalls {
     if (stages("cpairs")) timed("containment-pairs")(
       DedupOps.containmentPrefixJoin(docs, "doc_id", "text", 3, 700000L,
         preShingles = Some(sh)).count())
+    // jstaged<N>: the p109 verification join CHUNKED by shingle-hash
+    // range into N sequential passes, so simultaneous shuffle is ~1/N of
+    // the unstaged kernel — the r18 1000× run died on scratch disk (the
+    // two merge-sorted passes of the 260 M-row shingle relation exceeded
+    // ~49 GB free), not on candidate mass. Correct by associativity:
+    // n_common(pair) = Σ over hash slices of the slice's common-shingle
+    // count, so the per-pass partial pair counts sum to the exact kernel
+    // (pairs with zero common shingles in a slice simply contribute no
+    // row). The candidate and shingle relations are materialized ONCE to
+    // scratch parquet (one derivation each, not N), each pass reads them
+    // back with the slice filter. On a real cluster this is the same
+    // trick an executor-disk-constrained shuffle would use (AQE cannot
+    // re-plan a shuffle it cannot fit); here it converts the fourth
+    // decade from arithmetic to measurement.
+    stages.find(_.startsWith("jstaged")).foreach { st =>
+      val n = st.stripPrefix("jstaged").toIntOption.getOrElse(8)
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-jstaged-").toString
+      def rmrf(p: String): Unit = {
+        def go(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(go)); f.delete(): Unit
+        }
+        go(new java.io.File(p))
+      }
+      val t0 = System.nanoTime()
+      sh.write.mode("overwrite").parquet(s"$scratch/sh")
+      DedupOps.jaccardPrefixCandidates(sh, 500000L)
+        .write.mode("overwrite").parquet(s"$scratch/cand")
+      val shP = spark.read.parquet(s"$scratch/sh")
+      val candP = spark.read.parquet(s"$scratch/cand")
+      println(f"[walls] jstaged$n staged inputs: cand=${candP.count()}%d " +
+        f"sh=${shP.count()}%d  ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      (0 until n).foreach { p =>
+        val tP = System.nanoTime()
+        val slice = shP.filter(pmod(xxhash64(col("shingle")), lit(n)) === p)
+        candP.select(col("doc_a"), col("doc_b"))
+          .join(slice.select(col("doc").as("doc_a"), col("shingle"))
+            .hint("merge"), Seq("doc_a"))
+          .join(slice.select(col("doc").as("doc_b"), col("shingle"))
+            .hint("merge"), Seq("doc_b", "shingle"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("nc"))
+          .write.mode("append").parquet(s"$scratch/partial")
+        println(f"[walls] jstaged$n pass=$p%2d " +
+          f"${(System.nanoTime() - tP) / 1e9}%8.1f s")
+      }
+      timed(s"jstaged$n-pairs") {
+        val total = spark.read.parquet(s"$scratch/partial")
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(col("nc")).as("n_common"))
+          .join(candP.hint("merge"), Seq("doc_a", "doc_b"))
+          .filter(expr(
+            "(n_common * 1000000) div (size_a + size_b - n_common)") >=
+            500000L)
+        total.count()
+      }
+      rmrf(scratch)
+    }
     CacheScope.releaseRun() // releaseRun subsumes releaseAll
     println("[walls] done")
   }
