@@ -81,10 +81,16 @@ object DedupScaleWalls {
         go(new java.io.File(p))
       }
       val t0 = System.nanoTime()
-      sh.write.mode("overwrite").parquet(s"$scratch/sh")
-      DedupOps.jaccardPrefixCandidates(sh, 500000L)
-        .write.mode("overwrite").parquet(s"$scratch/cand")
+      // bypass the run-scoped MEMORY_AND_DISK cache entirely: at the
+      // 1000× tier the tracked 260 M-row relation is itself the heap
+      // pressure (the first staged run OOM'd an 8 g driver through the
+      // cache), and the staged design wants ONE parquet materialization
+      // read back per pass, not a resident copy
+      DedupOps.docShingles(docs, "doc_id", "text", 3)
+        .write.mode("overwrite").parquet(s"$scratch/sh")
       val shP = spark.read.parquet(s"$scratch/sh")
+      DedupOps.jaccardPrefixCandidates(shP, 500000L)
+        .write.mode("overwrite").parquet(s"$scratch/cand")
       val candP = spark.read.parquet(s"$scratch/cand")
       println(f"[walls] jstaged$n staged inputs: cand=${candP.count()}%d " +
         f"sh=${shP.count()}%d  ${(System.nanoTime() - t0) / 1e9}%8.1f s")
