@@ -2123,6 +2123,10 @@ object CorpusOps {
         w => length(w) > 0)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .withColumn("wt", least(col("c"), lit(cap)))
+    // `bucketed` feeds BOTH the offsets aggregate and the main range
+    // path as the SAME subtree (one DataFrame, one set of exprIds), so
+    // the corpus token explode's shuffle is exchange-reused rather than
+    // recomputed — measured A/B: caching it here changes nothing
     val bucketed = counts.withColumn("bk",
       least(greatest(ascii(substring(col("w"), 1, 1)), lit(0)), lit(255)))
     val offsets = bucketed.groupBy(col("bk")).agg(sum(col("wt")).as("bt"))
