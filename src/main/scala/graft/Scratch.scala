@@ -11,6 +11,10 @@ object Scratch {
     f.delete(): Unit
   }
 
+  /** Recursive delete by path — the ONE copy of the walker (the
+   * rehearsal harnesses were growing private clones). */
+  def rm(path: String): Unit = rm(new java.io.File(path))
+
   /** Wipe and recreate the tag's scratch dir; returns its path. */
   def freshDir(tag: String): String = {
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-$tag")

@@ -36,7 +36,13 @@ object DedupScaleWalls {
     SparkEntry.prepare(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     println(s"[walls] corpus=$dir docs=${docs.count()}")
-    val sh = CacheScope.track(
+    // LAZY and only tracked when an unstaged stage runs: persist()
+    // registers the plan in the CacheManager immediately, and Spark
+    // substitutes the cache into ANY later identical plan — so an eager
+    // track here would silently route the jstaged parquet
+    // materialization through a resident 260 M-row cache, defeating the
+    // staged path's whole point (the r19 review-pass finding)
+    lazy val sh = CacheScope.track(
       DedupOps.docShingles(docs, "doc_id", "text", 3))
     def timed(label: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -71,21 +77,17 @@ object DedupScaleWalls {
     // re-plan a shuffle it cannot fit); here it converts the fourth
     // decade from arithmetic to measurement.
     stages.find(_.startsWith("jstaged")).foreach { st =>
-      val n = st.stripPrefix("jstaged").toIntOption.getOrElse(8)
-      val scratch = java.nio.file.Files
-        .createTempDirectory("graft-jstaged-").toString
-      def rmrf(p: String): Unit = {
-        def go(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(go)); f.delete(): Unit
-        }
-        go(new java.io.File(p))
+      val n = st.stripPrefix("jstaged") match {
+        case "" => 8
+        case sfx => sfx.toIntOption.filter(_ >= 1).getOrElse(
+          sys.error(s"jstaged wants a positive pass count, got '$st'"))
       }
+      val scratch = Scratch.freshDir("jstaged")
       val t0 = System.nanoTime()
-      // bypass the run-scoped MEMORY_AND_DISK cache entirely: at the
-      // 1000× tier the tracked 260 M-row relation is itself the heap
-      // pressure (the first staged run OOM'd an 8 g driver through the
-      // cache), and the staged design wants ONE parquet materialization
-      // read back per pass, not a resident copy
+      // ONE parquet materialization read back per pass — no resident
+      // cache (sh above is lazy, so nothing is registered in the
+      // CacheManager when only jstaged runs; the staged relations live
+      // on scratch disk, not heap)
       DedupOps.docShingles(docs, "doc_id", "text", 3)
         .write.mode("overwrite").parquet(s"$scratch/sh")
       val shP = spark.read.parquet(s"$scratch/sh")
@@ -118,7 +120,7 @@ object DedupScaleWalls {
             500000L)
         total.count()
       }
-      rmrf(scratch)
+      Scratch.rm(scratch)
     }
     CacheScope.releaseRun() // releaseRun subsumes releaseAll
     println("[walls] done")

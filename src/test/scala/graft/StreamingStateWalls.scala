@@ -42,14 +42,6 @@ object StreamingStateWalls {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  private def rmrf(path: String): Unit = {
-    def go(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(go))
-      f.delete(): Unit
-    }
-    go(new java.io.File(path))
-  }
-
   /** Per-batch progress rows from a finished query, newest last. */
   private def telemetry(q: org.apache.spark.sql.streaming.StreamingQuery,
       label: String): Unit =
@@ -144,7 +136,7 @@ object StreamingStateWalls {
       println(f"[swalls] sess converged mismatches=$bad " +
         f"batchTwinWall=${(System.nanoTime() - tb) / 1e9}%.1f s")
       require(bad == 0L, s"sessionizer diverged: $bad mismatching rows")
-      rmrf(srcDir); rmrf(out)
+      Scratch.rm(srcDir); Scratch.rm(out)
     }
 
     // ------------- crawl-frontier census (check 31 / p127) ------------
@@ -184,7 +176,7 @@ object StreamingStateWalls {
       println(f"[swalls] url converged mismatches=$bad " +
         f"batchTwinWall=${(System.nanoTime() - tb) / 1e9}%.1f s")
       require(bad == 0L, s"frontier census diverged: $bad mismatching rows")
-      rmrf(srcDir); rmrf(out)
+      Scratch.rm(srcDir); Scratch.rm(out)
     }
 
     // ------------- LSH ingest, deployed table shape (check 32) ---------
@@ -207,29 +199,37 @@ object StreamingStateWalls {
         f"banded=${spark.read.parquet(s"$idxDir/banded").count()} " +
         f"sets=${spark.read.parquet(s"$idxDir/sets").count()}")
       // ordered arrival (the check-30/32 contract): doc_id-range slices
-      val slices = allDocs.filter(isBatch)
-        .withColumn("_slice", ntile(5).over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+      // via a DISTRIBUTED range repartition (an ntile over a global
+      // window would serialize the batch corpus through one task — the
+      // class this repo pins; r19 review finding), read back one range
+      // file per batch in name order
       val sliceDir = tmp("graft-swalls-lsh-src-")
-      slices.write.mode("overwrite").partitionBy("_slice").parquet(sliceDir)
-      (1 to 5).foreach { i =>
+      allDocs.filter(isBatch)
+        .repartitionByRange(5, col("doc_id"))
+        .write.mode("overwrite").parquet(sliceDir)
+      val sliceFiles = new java.io.File(sliceDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      sliceFiles.zipWithIndex.foreach { case (sf, i0) =>
+        val i = i0 + 1
         val tB = System.nanoTime()
-        val b = spark.read.parquet(s"$sliceDir/_slice=$i")
+        val b = spark.read.parquet(sf)
           .select(col("doc_id"), col("text"))
         val idx = graft.pipeline.DedupOps.LshIndex(
           spark.read.parquet(s"$idxDir/banded"),
           spark.read.parquet(s"$idxDir/sets"))
-        val (verdicts, grown) = graft.pipeline.DedupOps
+        val (verdicts, _) = graft.pipeline.DedupOps
           .minhashAppendStep(idx, b, "doc_id", "text")
         verdicts.write.mode("append").parquet(verdictsOut)
-        // append ONLY this batch's increments (the grown index minus the
-        // base it was built over = the batch's own band/set rows)
-        grown.banded.join(idx.banded.hint("merge"),
-            grown.banded.columns.toSeq, "left_anti")
-          .write.mode("append").parquet(s"$idxDir/banded")
-        grown.sets.join(idx.sets.hint("merge"),
-            grown.sets.columns.toSeq, "left_anti")
-          .write.mode("append").parquet(s"$idxDir/sets")
+        // append exactly THIS batch's increment rows, re-derived
+        // BATCH-scale (lshIndexOf is deterministic — the check-32
+        // convention; a left_anti of the grown index against the
+        // accumulated table would put O(index) harness work inside the
+        // timed per-batch wall, corrupting the very trend this
+        // rehearsal measures — r19 review finding)
+        val inc = graft.pipeline.DedupOps.lshIndexOf(
+          b, "doc_id", "text", isBase = false)
+        inc.banded.write.mode("append").parquet(s"$idxDir/banded")
+        inc.sets.write.mode("append").parquet(s"$idxDir/sets")
         graft.CacheScope.releaseAll()
         println(f"[swalls] lsh batch=$i in=${b.count()}%8d " +
           f"bandedRows=${spark.read.parquet(s"$idxDir/banded").count()}%10d " +
@@ -253,7 +253,7 @@ object StreamingStateWalls {
         f"oneShotBatchWall=${(System.nanoTime() - tb) / 1e9}%.1f s")
       graft.CacheScope.releaseAll()
       require(bad == 0L, s"lsh ingest diverged: $bad mismatching rows")
-      Seq(idxDir, verdictsOut, sliceDir).foreach(rmrf)
+      Seq(idxDir, verdictsOut, sliceDir).foreach(Scratch.rm)
     }
 
     CacheScope.releaseRun()
