@@ -20,13 +20,26 @@ case class BpeDoc(doc_id: Long, n_words: Long, n_tokens: Long,
  *
  * Scale split (the part that matters at 100 TB):
  *  - The only corpus-scale work in TRAINING is one word-count shuffle —
- *    BPE trains on the (word, count) frequency table, which is
- *    vocabulary-sized, not corpus-sized (this is also how the reference
- *    tokenizer libraries train). The merge loop itself runs on that
- *    aggregated table; its input is bounded by |vocab|, and the loop is
- *    inherently sequential (merge i+1 depends on merge i), so running it
- *    where the vocab table lands is the honest layout. A web-scale vocab
- *    (~10⁷ entries) is a few hundred MB — dimension-table sized.
+ *    BPE trains on the (word, count) frequency table. That table is NOT
+ *    corpus-row-sized, but it IS corpus-scaling: raw word-TYPE counts
+ *    grow by Heaps' law (typos, URLs, numerals — billions of types on a
+ *    web corpus), so the driver-side merge loop's input must be bounded
+ *    explicitly, never on trust. Two bounds, both distributed:
+ *    (1) a frequency-floor prune (`minCount`, the standard BPE practice
+ *    — Sennrich's own released scripts expose it) applied to the count
+ *    relation BEFORE collect, which cuts the Heaps'-law tail where it
+ *    lives; merges learned over the pruned vocab are exact for the
+ *    pruned contract, and APPLICATION still tokenizes every word
+ *    (unpruned types just stop at the merges their subwords earn);
+ *    (2) a `maxVocabTypes` REFUSE: the pruned relation is collected
+ *    through a distributed `limit(maxVocabTypes + 1)`, so the driver
+ *    holds at most bound+1 rows even on the refusing path — the guard
+ *    cannot itself OOM first (the TableView maxKeys discipline). The
+ *    error names the bound and the remedy (raise `minCount`). The merge
+ *    loop itself is inherently sequential (merge i+1 depends on merge
+ *    i), so running it where the BOUNDED vocab table lands is the
+ *    honest layout: ≤ 2²⁴ types × ~64 B ≈ 1 GB — dimension-table sized
+ *    BY CONSTRUCTION, not by hope.
  *  - APPLICATION broadcasts the merge ranks (numMerges entries) and
  *    tokenizes per partition — embarrassingly parallel, zero shuffle on
  *    the corpus. `mapPartitions` is justified here for the same reason
@@ -38,6 +51,14 @@ object BpeTokenizer {
   /** Word-end marker (Sennrich et al. §3.2): lets the model distinguish
    * word-final subwords and makes detokenization exact. */
   val EndOfWord = "</w>"
+
+  /** Ceiling on word TYPES the driver-side merge loop may hold: 2²⁴
+   * types × ~64 B ≈ 1 GB of driver heap. Enforced distributed (the
+   * pruned count relation is collected through `limit(bound + 1)`), so
+   * crossing it REFUSES by name instead of OOMing — the remedy is a
+   * higher `minCount` floor, which prunes the Heaps'-law type tail
+   * where it lives. */
+  val DefaultMaxVocabTypes: Int = 1 << 24
 
   private def toSymbols(word: String): Vector[String] =
     word.map(_.toString).toVector :+ EndOfWord
@@ -117,19 +138,39 @@ object BpeTokenizer {
   }
 
   /**
-   * End-to-end: learn merges from THIS corpus (one word-count shuffle +
-   * the vocab-sized merge loop), then tokenize every document with the
-   * broadcast rank table. Output digests the exact token stream per doc.
+   * End-to-end: learn merges from THIS corpus (one word-count shuffle,
+   * a distributed `minCount` frequency-floor prune, then the BOUNDED
+   * merge loop), and tokenize every document with the broadcast rank
+   * table. Output digests the exact token stream per doc.
+   *
+   * `minCount` is part of the query contract: merges are learned from
+   * word types occurring ≥ `minCount` times (exact for that contract —
+   * the oracle fixture replays the same floor); every word is still
+   * TOKENIZED. `maxVocabTypes` bounds what the driver may materialize:
+   * past it the call REFUSES by name rather than collecting — the
+   * driver never holds more than `maxVocabTypes + 1` rows even then,
+   * because the limit is applied distributed before collect.
    */
   def tokenize(df: DataFrame, idCol: String, textCol: String,
-      numMerges: Int): Dataset[BpeDoc] = {
+      numMerges: Int, minCount: Long = 1L,
+      maxVocabTypes: Int = DefaultMaxVocabTypes): Dataset[BpeDoc] = {
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df
       .select(explode(TextOps.words(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
-      .as[(String, Long)].collect() // vocabulary-sized, never corpus-sized
+      .where(col("c") >= minCount) // distributed floor BEFORE collect
+      .limit(maxVocabTypes + 1)    // distributed ceiling: ≤ bound+1 rows land
+      .as[(String, Long)].collect()
+    if (counts.length > maxVocabTypes) throw new IllegalStateException(
+      s"BPE vocabulary exceeds maxVocabTypes=$maxVocabTypes word types at " +
+        s"minCount=$minCount: the merge loop's input is driver-resident and " +
+        "word-TYPE counts are corpus-scaling (Heaps' law), so collecting an " +
+        "unbounded vocabulary would OOM the driver before training begins; " +
+        "raise minCount (the standard BPE frequency floor — pruned-vocab " +
+        "merges are exact for the pruned contract) or raise maxVocabTypes " +
+        "with the driver heap to match")
     val merges = trainFromCounts(counts.toSeq, numMerges)
     val ranks = spark.sparkContext.broadcast(
       merges.zipWithIndex.toMap)

@@ -706,8 +706,15 @@ object CorpusQueries extends QueryGroup {
   private def bpeTokens(s: SparkSession, d: String): DataFrame =
     graft.CacheScope.memoRun(
       s"${s.sparkContext.applicationId}:bpe-tokens:$d") {
+      // minCount = 2 is part of the QUERY CONTRACT (the standard BPE
+      // frequency floor): merges are learned from word types occurring
+      // at least twice, pruned DISTRIBUTED before the driver collect,
+      // and the independent Python fixture (tools/gen_bpe_fixture.py,
+      // MIN_COUNT = 2) replays the same floor — hapax types are still
+      // tokenized, they just earn no merges of their own
       graft.pipeline.BpeTokenizer
-        .tokenize(docs(s, d), "doc_id", "text", numMerges = 50).toDF()
+        .tokenize(docs(s, d), "doc_id", "text", numMerges = 50,
+          minCount = 2L).toDF()
     }
 
   /** Populate the BPE token relation (see graft.Bench's named warmup). */

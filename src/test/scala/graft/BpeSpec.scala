@@ -52,6 +52,56 @@ class BpeSpec extends AnyFunSuite {
     assert(lens.zip(lens.tail).forall { case (a, b) => b <= a })
   }
 
+  test("minCount floor prunes TRAINING distributed, never application") {
+    import spark.implicits._
+    // "ab" is frequent; "zz" is a hapax type whose pairs would earn
+    // merges without the floor — the fixture corpora have ZERO hapax
+    // types (31 types, all ≥ 2), so this corpus is where the floor
+    // actually bites and the contract is pinned
+    val docs = Seq((1L, "ab ab zz"), (2L, "ab")).toDF("doc_id", "text")
+    def byId(minCount: Long) = BpeTokenizer
+      .tokenize(docs, "doc_id", "text", numMerges = 6, minCount = minCount)
+      .collect().map(d => d.doc_id -> d).toMap
+    val floored = byId(2L)
+    val unpruned = byId(1L)
+    // the floor changes what is LEARNED: doc 1 carries the hapax, whose
+    // symbols merge without the floor but stay characters with it
+    assert(floored(1L).n_tokens > unpruned(1L).n_tokens)
+    assert(floored(1L).tokens_md5 !== unpruned(1L).tokens_md5)
+    // the hapax is still TOKENIZED (floor ≠ drop): word counts agree
+    // and the detok roundtrip digest is floor-invariant
+    assert(floored(1L).n_words === 3L)
+    assert(floored(1L).detok_md5 === unpruned(1L).detok_md5)
+    // distributed floor ≡ driver-side replay of the same contract:
+    // train on the ≥ minCount slice of the full count table, encode
+    val counts = Seq("ab" -> 3L) // "zz" (count 1) pruned by the floor
+    val ranks = BpeTokenizer.trainFromCounts(counts, 6).zipWithIndex.toMap
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val expect = Seq("ab", "ab", "zz")
+      .flatMap(w => BpeTokenizer.encodeWord(w, ranks))
+    assert(floored(1L).n_tokens === expect.length.toLong)
+    assert(floored(1L).tokens_md5 ===
+      md5.digest(expect.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+  }
+
+  test("maxVocabTypes refuses by name before any driver materialization") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb cc dd aa bb cc dd")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      BpeTokenizer.tokenize(docs, "doc_id", "text", numMerges = 5,
+        minCount = 1L, maxVocabTypes = 2)
+    }
+    // the error names the bound and the remedy (the refuse-by-name
+    // discipline: TableView maxKeys, urlCensusStream maxUrlsPerHost)
+    assert(e.getMessage.contains("maxVocabTypes=2"))
+    assert(e.getMessage.contains("minCount"))
+    // at the bound (4 qualifying types) the same corpus trains fine
+    val ok = BpeTokenizer.tokenize(docs, "doc_id", "text", numMerges = 5,
+      minCount = 1L, maxVocabTypes = 4).collect()
+    assert(ok.length === 1 && ok.head.n_tokens > 0L)
+  }
+
   test("distributed tokenize: deterministic, bounded, exact digests") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run() = BpeTokenizer.tokenize(docs, "doc_id", "text", 30)

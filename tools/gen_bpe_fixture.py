@@ -15,6 +15,9 @@ Determinism contract (must match BpeTokenizer.scala, both follow the
 paper): most-frequent pair wins, ties break on lexicographically
 smallest (first, second); merges apply to non-overlapping occurrences
 left-to-right; encoding repeatedly merges the lowest-rank adjacent pair.
+Training applies the MIN_COUNT frequency floor (the engine's
+`minCount = 2` query contract — word types occurring fewer times are
+pruned before training; they are still tokenized at apply time).
 
 Usage: python3 tools/gen_bpe_fixture.py sf0.001 sf0.01
 """
@@ -25,6 +28,7 @@ import sys
 import duckdb
 
 NUM_MERGES = 50
+MIN_COUNT = 2
 EOW = "</w>"
 
 
@@ -85,7 +89,8 @@ def main():
         for _, text in rows:
             for w in words_of(text):
                 counts[w] = counts.get(w, 0) + 1
-        ranks = {p: i for i, p in enumerate(train(counts, NUM_MERGES))}
+        pruned = {w: c for w, c in counts.items() if c >= MIN_COUNT}
+        ranks = {p: i for i, p in enumerate(train(pruned, NUM_MERGES))}
         memo = {}
         out = []
         lensum = 0
