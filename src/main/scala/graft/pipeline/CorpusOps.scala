@@ -2126,7 +2126,20 @@ object CorpusOps {
     // `bucketed` feeds BOTH the offsets aggregate and the main range
     // path as the SAME subtree (one DataFrame, one set of exprIds), so
     // the corpus token explode's shuffle is exchange-reused rather than
-    // recomputed — measured A/B: caching it here changes nothing
+    // recomputed — measured A/B: caching it here changes nothing.
+    // Bucket contiguity preconditions (spec-pinned: CorpusSpec
+    // "sampling buckets: ascii-by-construction words, codepoint order"):
+    // (1) every `w` here is TextOps.words output, i.e. matches
+    // [a-z0-9]+ — first codepoint ALWAYS single-byte ASCII, so
+    // ascii(first char) = codePointAt(0) needs no multibyte/invalid-
+    // UTF-8 story (a malformed byte would decode to U+FFFD and break
+    // the byte-order=bucket-order argument — it cannot reach here);
+    // (2) on this Spark (4.1.2) ascii() returns the first CODEPOINT
+    // for the BMP, which for ASCII equals the UTF-8 lead byte, so
+    // binary w-order groups buckets contiguously and per-bucket sums
+    // compose into exact prefix sums. Widening the word source past
+    // ASCII means revisiting the bucket key (first codepoint clamped,
+    // or a byte-slice key), and the spec fails by name if that drifts.
     val bucketed = counts.withColumn("bk",
       least(greatest(ascii(substring(col("w"), 1, 1)), lit(0)), lit(255)))
     val offsets = bucketed.groupBy(col("bk")).agg(sum(col("wt")).as("bt"))

@@ -166,13 +166,18 @@ object StreamingOps {
         // toLocalIterator with the ceiling checked per row, so the driver
         // never holds more than one partition of rows plus maxKeys
         // entries before refusing — the guard cannot itself OOM first.
-        // The batch is persisted across the guard: count() and the
-        // ingest path then share ONE evaluation of the per-key delta
-        // aggregation instead of running it twice per micro-batch.
+        // The batch is persisted DISK_ONLY across the guard: count()
+        // and the ingest path then share ONE evaluation of the per-key
+        // delta aggregation instead of running it twice per micro-batch,
+        // and the materialization lands in executor disk blocks — not
+        // the block manager's heap — so the guard adds no driver/heap
+        // exposure of its own even on the over-ceiling path (the ingest
+        // side still bounds DRIVER residency at one partition of rows
+        // plus maxKeys entries via toLocalIterator).
         // After a REFUSE the view is MID-BATCH-TORN (rows applied up to
         // the ceiling stay applied) — a refusing stream's view is
         // evidence for the error, not a consistent snapshot.
-        batch.persist()
+        batch.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         try {
           val deltaRows = batch.count()
           if (view.size + deltaRows <= maxKeys) batch.collect().foreach(apply)

@@ -1137,4 +1137,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(r.getAs[Long]("contain_a_ppm") === 500000L)
     assert(r.getAs[Long]("contain_b_ppm") === 500000L)
   }
+
+  test("sampling buckets: ascii-by-construction words, codepoint order") {
+    import spark.implicits._
+    // samplingTable's two-level prefix sum assumes its bucket key
+    // ascii(first char) is the first CODEPOINT and that bucket order
+    // equals binary w-order. Both hold because the words it buckets
+    // are TextOps.words output — [a-z0-9]+ by construction, so the
+    // first byte IS the codepoint. Pin both halves so a drift (a wider
+    // word source, or an ascii() semantics change) fails by name.
+    val adversarial = Seq("Füße Abc", "naïve £5 — ¡hola! ZZ",
+      "éclair 中文 mixed42").toDF("text")
+    val ws = adversarial
+      .select(explode(graft.pipeline.TextOps.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).as[String].collect()
+    assert(ws.nonEmpty)
+    ws.foreach(w => assert(w.matches("[a-z0-9]+"),
+      s"non-ascii word reached the bucket key: '$w'"))
+    // ascii() = codePointAt(0) on this Spark for every reachable first
+    // char, and the bucket key preserves binary string order
+    val alphabet = (('0' to '9') ++ ('a' to 'z')).map(_.toString)
+    val got = alphabet.toDF("w")
+      .select(col("w"), ascii(substring(col("w"), 1, 1)).as("bk"))
+      .as[(String, Int)].collect().toMap
+    alphabet.foreach(c => assert(got(c) === c.codePointAt(0), s"char $c"))
+    val sorted = alphabet.sorted
+    assert(sorted.map(got) === sorted.map(got).sorted,
+      "bucket keys must be monotone in binary word order")
+  }
 }

@@ -600,4 +600,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("domain contract: lang/source ndv is SF-invariant and bounded") {
+    // SurfaceWalk.DomainColumns discharges grouping keys built only
+    // from lang/source by DATA-MODEL contract (categorical domains,
+    // never a corpus fraction). Unlike the form/filter discharges that
+    // contract had no fixture-derived evidence — this leg supplies it:
+    // ndv is MEASURED at both gate SFs, must be EQUAL across them
+    // (rows grow 10×, the domain must not), and must sit under the
+    // documented domain ceilings (ISO-639-ish lang registry ≤ 256,
+    // crawl/source registry ≤ 4096). A fixture change that makes
+    // either column scale with the corpus fails HERE by name, turning
+    // the walk's domain discharge from trust-me into evidence-backed.
+    val ceilings = Seq("lang" -> 256L, "source" -> 4096L)
+    val ndv = Seq("sf0.01", "sf0.1").map { tag =>
+      val d = spark.read.parquet(s"/root/testdata/$tag/documents.parquet")
+      val row = d.agg(
+        countDistinct(col("lang")).as("lang"),
+        countDistinct(col("source")).as("source"),
+        count(lit(1)).as("rows")).collect().head
+      tag -> (row.getLong(0), row.getLong(1), row.getLong(2))
+    }.toMap
+    val (l1, s1, r1) = ndv("sf0.01"); val (l2, s2, r2) = ndv("sf0.1")
+    assert(r2 > r1, "fixtures must actually scale for this leg to bite")
+    assert(l1 === l2, s"ndv(lang) scaled with the corpus: $l1 -> $l2")
+    assert(s1 === s2, s"ndv(source) scaled with the corpus: $s1 -> $s2")
+    assert(l2 <= ceilings.head._2 && s2 <= ceilings(1)._2,
+      s"domain ceilings exceeded: lang=$l2 source=$s2")
+    // the contract names exactly these columns — a DomainColumns edit
+    // without a matching evidence leg fails here too
+    assert(SurfaceWalk.DomainColumns === Set("lang", "source"))
+  }
 }

@@ -79,13 +79,20 @@ object StreamingStateWalls {
     (src, dir)
   }
 
-  /** Distributed equality of two relations on a full key: outer-join
-   * mismatch count (0 = converged), never a driver collect. */
+  /** Distributed MULTISET equality of two relations: each side reduces
+   * to (row tuple → multiplicity) first, so duplicate rows on one side
+   * can't silently match a single row on the other (both callers today
+   * are per-key aggregates, but the helper must not be trust-me on
+   * that), then a full-outer join on the tuple compares the counts —
+   * never a driver collect. 0 = converged. */
   private def mismatches(a: DataFrame, b: DataFrame): Long = {
     val cols = a.columns.toSeq
-    a.withColumn("_a", lit(1)).hint("merge")
-      .join(b.withColumn("_b", lit(1)).hint("merge"), cols, "full_outer")
-      .filter(col("_a").isNull || col("_b").isNull).count()
+    def counted(df: DataFrame, n: String): DataFrame =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(n))
+    counted(a, "_na").hint("merge")
+      .join(counted(b, "_nb").hint("merge"), cols, "full_outer")
+      .filter(col("_na").isNull || col("_nb").isNull ||
+        col("_na") =!= col("_nb")).count()
   }
 
   def main(args: Array[String]): Unit = {

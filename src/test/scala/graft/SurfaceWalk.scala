@@ -254,7 +254,13 @@ object SurfaceWalk {
    * categorical-domain constant at every SF — language codes and the
    * source/crawl registry — never a corpus fraction. A grouping key
    * built ONLY from these discharges in key mode; anything touching
-   * doc_id/text/hashes/tokens stays live and traces to the scan. */
+   * doc_id/text/hashes/tokens stays live and traces to the scan.
+   * EVIDENCE-BACKED, not trust-me: PlanShapeSpec "domain contract:
+   * lang/source ndv is SF-invariant and bounded" measures ndv(lang)/
+   * ndv(source) at BOTH gate SFs, asserts equality across a 10× row
+   * scale-up and the documented domain ceilings, and pins this set's
+   * exact membership — fixture drift or a membership edit without new
+   * evidence fails there by name. */
   val DomainColumns: Set[String] = Set("lang", "source")
 
   private def uncast(e: Expression): Expression = e match {
