@@ -98,7 +98,7 @@ object StreamingStateWalls {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val legs = args.lift(1).map(_.split(',').toSet)
-      .getOrElse(Set("sess", "url", "lsh"))
+      .getOrElse(Set("sess", "url", "lsh", "txn", "cw", "delay", "kv"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -261,6 +261,214 @@ object StreamingStateWalls {
       graft.CacheScope.releaseAll()
       require(bad == 0L, s"lsh ingest diverged: $bad mismatching rows")
       Seq(idxDir, verdictsOut, sliceDir).foreach(Scratch.rm)
+    }
+
+    // The remaining stateful families (r19 verdict missing #4): one
+    // measured tier each with the per-key bound stated. All four are
+    // O(1)-or-contract-bounded per key by construction — these legs
+    // convert that claim into telemetry rows, the filing discipline
+    // the sess/url/lsh families already have.
+    lazy val envelope = graft.model.EventLog.asTopic(
+      graft.model.EventLog.raw(spark, dir))
+
+    // ------------- txn buffer (T3 / StreamingSmoke check 41) -----------
+    // Per-key bound: the OPEN transaction's own backlog — drains to a
+    // 3-field tomb at the terminal marker; state ROWS track txn ids.
+    // Fixed-size lifecycle fixture: every txn group gets ONE terminal
+    // marker after event TXN_E (constant across tiers), so txn SIZE is
+    // tier-invariant and the state peak must be FLAT while input rows
+    // scale — the honest 100 TB shape (corpora grow; transactions don't).
+    if (legs("txn")) {
+      val TXN_E = 20000L // events per txn lifecycle, constant across tiers
+      val spaced = envelope.withColumn("msg_offset", col("msg_offset") * 32)
+      val markers = spaced.filter(col("txn_group").isNotNull)
+        .select(col("txn_group")).distinct()
+        .select(
+          lit("txn-coordinator").as("topic"),
+          lit(0).as("partition_id"), lit(0L).as("ledger_id"),
+          lit(0L).as("entry_id"), lit(0).as("batch_index"),
+          (lit(TXN_E * 32) + col("txn_group") + 1).as("msg_offset"),
+          lit("txn-coordinator").as("producer_name"),
+          (lit(TXN_E * 32) + col("txn_group") + 1).as("sequence_id"),
+          lit(0L).as("publish_ms"), lit(0L).as("event_ms"),
+          col("txn_group").cast("string").as("key"),
+          lit(0.0).as("value"),
+          lit(null).cast("binary").as("value_bin"),
+          lit(null).cast("string").as("properties"),
+          lit(0L).as("schema_version"), lit(0L).as("deliver_at_ms"),
+          // every 4th txn aborts — the fixtureStatus convention
+          when(col("txn_group") % 4 === 0,
+            lit(graft.operators.Transactions.TxnAbortMarker))
+            .otherwise(lit(graft.operators.Transactions.TxnCommitMarker))
+            .cast("int").as("marker_type"),
+          lit(null).cast("string").as("replicated_from"),
+          col("txn_group").as("txn_group"),
+          lit(0).as("attempts"), lit(0L).as("uuid_group"),
+          lit(0).as("chunk_id"), lit(false).as("tombstone"),
+          lit(null).cast("binary").as("ordering_key"),
+          concat(lit("txn-"), col("txn_group").cast("string")).as("uuid"),
+          lit(1).as("num_chunks"), lit(false).as("compacted_out"))
+      val env = spaced.unionByName(markers)
+      println(s"[swalls] txn corpus=$dir rows=${env.count()} " +
+        s"groups=${markers.count()} lifecycleEvents=$TXN_E")
+      val (src, srcDir) = fileStream(spark, env, slices = 10,
+        orderCols = Seq("msg_offset")) // offset order = the dispatch contract
+      val out = tmp("graft-swalls-txn-out-")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingOps
+        .txnBufferStream(src.as[graft.model.MessageEnvelope]).toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", tmp("graft-swalls-txn-ck-"))
+        .start()
+      q.processAllAvailable(); q.stop()
+      telemetry(q, "txn")
+      println(f"[swalls] txn stream total ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val tb = System.nanoTime()
+      val bad = mismatches(
+        spark.read.parquet(out).select(col("msg_offset")),
+        graft.operators.Transactions.visibleCommitted(env)
+          .select(col("msg_offset")))
+      println(f"[swalls] txn converged mismatches=$bad " +
+        f"batchTwinWall=${(System.nanoTime() - tb) / 1e9}%.1f s")
+      require(bad == 0L, s"txn buffer diverged: $bad mismatching rows")
+      Scratch.rm(srcDir); Scratch.rm(out)
+    }
+
+    // ---------- count windows (W3/W5 / StreamingSmoke check 36) --------
+    // Per-key bound: one Long window counter + at most n−1 pending
+    // values — state ROWS track the KEY dimension (ScaleGen holds users
+    // fixed while events scale), state bytes ≤ keys × n.
+    if (legs("cw")) {
+      val CW_N = 64
+      println(s"[swalls] cw corpus=$dir rows=${envelope.count()} " +
+        s"keys=${envelope.select(col("key")).distinct().count()} n=$CW_N")
+      val (src, srcDir) = fileStream(spark, envelope, slices = 10,
+        orderCols = Seq("msg_offset")) // per-key offset order
+      val out = tmp("graft-swalls-cw-out-")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingOps
+        .countWindowStream(src.as[graft.model.MessageEnvelope], CW_N).toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", tmp("graft-swalls-cw-ck-"))
+        .start()
+      q.processAllAvailable(); q.stop()
+      telemetry(q, "cw")
+      println(f"[swalls] cw stream total ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val tb = System.nanoTime()
+      // batch twin: the W3 operator, complete windows only, the same
+      // Exact e2-code sum convention
+      val batch = graft.operators.TimeWindows.countTumblingPerKey(envelope, CW_N,
+          Seq(count(lit(1)).as("n"),
+            (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0)
+              .as("sum_v")))
+        .filter(col("n") === CW_N)
+        .select(col("key"), col("window_id"), col("n"), col("sum_v"))
+      val bad = mismatches(
+        spark.read.parquet(out)
+          .select(col("key"), col("window_id"), col("n"), col("sum_v")),
+        batch)
+      println(f"[swalls] cw converged mismatches=$bad " +
+        f"batchTwinWall=${(System.nanoTime() - tb) / 1e9}%.1f s")
+      require(bad == 0L, s"count windows diverged: $bad mismatching rows")
+      Scratch.rm(srcDir); Scratch.rm(out)
+    }
+
+    // ---------- delayed delivery (F3/F4 / StreamingSmoke check 42) -----
+    // Per-key bound: one Long clock + the not-yet-due hold buffer per
+    // PARTITION (4 keys); the hold mass is the deliver-ahead horizon
+    // (≤ 4 minutes of publish time here), not the corpus.
+    if (legs("delay")) {
+      println(s"[swalls] delay corpus=$dir rows=${envelope.count()} partitions=4")
+      val (src, srcDir) = fileStream(spark, envelope, slices = 10,
+        orderCols = Seq("msg_offset"))
+      val out = tmp("graft-swalls-delay-out-")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingOps
+        .delayedDeliveryStream(src.as[graft.model.MessageEnvelope]).toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", tmp("graft-swalls-delay-ck-"))
+        .start()
+      q.processAllAvailable(); q.stop()
+      telemetry(q, "delay")
+      println(f"[swalls] delay stream total ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val tb = System.nanoTime()
+      // batch twin: due = deliver_at within the partition's final clock
+      val clocks = envelope.groupBy(col("partition_id"))
+        .agg(max(col("publish_ms")).as("clk"))
+      val want = envelope.join(broadcast(clocks), Seq("partition_id"))
+        .filter(col("deliver_at_ms") <= col("clk")).select(col("msg_offset"))
+      val bad = mismatches(
+        spark.read.parquet(out).select(col("msg_offset")), want)
+      println(f"[swalls] delay converged mismatches=$bad " +
+        f"batchTwinWall=${(System.nanoTime() - tb) / 1e9}%.1f s")
+      require(bad == 0L, s"delayed delivery diverged: $bad mismatching rows")
+      Scratch.rm(srcDir); Scratch.rm(out)
+    }
+
+    // ------- A6 counters + A7 byte KV state (checks 34 and 48) ---------
+    // Per-key bound: A6 one Long per key (topic), A7 one opaque 8-byte
+    // value per key — state ROWS track keys, bytes are constant per key.
+    // Update-mode emissions land via foreachBatch appends (file sinks
+    // are append-only); both folds are monotone, so the final value per
+    // key is the distributed max over all emissions.
+    if (legs("kv")) {
+      println(s"[swalls] kv corpus=$dir rows=${envelope.count()}")
+      def runUpdate(label: String, stream: DataFrame => DataFrame,
+          srcDf: DataFrame): (String, org.apache.spark.sql.streaming.StreamingQuery, String) = {
+        val (src, srcDir) = fileStream(spark, srcDf, slices = 10,
+          orderCols = Seq("msg_offset"))
+        val out = tmp(s"graft-swalls-$label-out-")
+        val q = stream(src)
+          .writeStream.outputMode(OutputMode.Update())
+          .option("checkpointLocation", tmp(s"graft-swalls-$label-ck-"))
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        (out, q, srcDir)
+      }
+      val t0 = System.nanoTime()
+      val (ctrOut, ctrQ, ctrSrc) = runUpdate("ctr",
+        d => graft.streaming.StreamingOps
+          .keyedCounters(d.as[graft.model.MessageEnvelope], _.topic).toDF()
+          .toDF("k", "n"),
+        envelope)
+      telemetry(ctrQ, "ctr")
+      val badCtr = mismatches(
+        spark.read.parquet(ctrOut).groupBy(col("k"))
+          .agg(max(col("n")).as("n")),
+        envelope.groupBy(col("topic").as("k"))
+          .agg(count(lit(1)).as("n")))
+      println(f"[swalls] ctr converged mismatches=$badCtr " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      require(badCtr == 0L, s"counters diverged: $badCtr mismatching rows")
+      val t1 = System.nanoTime()
+      def be8(v: Long): Array[Byte] =
+        java.nio.ByteBuffer.allocate(8).putLong(v).array()
+      val (kvOut, kvQ, kvSrc) = runUpdate("byte",
+        d => graft.streaming.StreamingOps
+          .byteState(d.as[graft.model.MessageEnvelope], (st, m) => {
+            val cur = if (st == null) Long.MinValue
+              else java.nio.ByteBuffer.wrap(st).getLong
+            be8(math.max(cur, m.sequence_id))
+          }).toDF().toDF("k", "st"),
+        envelope)
+      telemetry(kvQ, "byte")
+      // sequence ids are non-negative, so hex(8-byte BE) decodes with conv
+      val badKv = mismatches(
+        spark.read.parquet(kvOut)
+          .select(col("k"), conv(hex(col("st")), 16, 10).cast("long").as("v"))
+          .groupBy(col("k")).agg(max(col("v")).as("v")),
+        envelope.groupBy(col("key").as("k"))
+          .agg(max(col("sequence_id")).as("v")))
+      println(f"[swalls] byte converged mismatches=$badKv " +
+        f"wall=${(System.nanoTime() - t1) / 1e9}%.1f s")
+      require(badKv == 0L, s"byte state diverged: $badKv mismatching rows")
+      Seq(ctrOut, ctrSrc, kvOut, kvSrc).foreach(Scratch.rm)
     }
 
     CacheScope.releaseRun()
