@@ -55,6 +55,15 @@ object GraftFunctions {
     GraftSqlBridge.column(MinKPairs(GraftSqlBridge.expression(distDst), k)
       .toAggregateExpression())
 
+  /** SET form of [[minKPairs]]: exact duplicate (dist, dst) pairs
+   * collapse inside the k-bounded buffer, so
+   * `agg(minKPairsDistinct(p, k))` ≡ `.distinct()` + `agg(minKPairs(p,
+   * k))` — with the distinct's own full-relation exchange deleted (the
+   * dedup happens in the map-side partials). */
+  def minKPairsDistinct(distDst: Column, k: Int): Column =
+    GraftSqlBridge.column(MinKPairs(GraftSqlBridge.expression(distDst), k,
+      dedup = true).toAggregateExpression())
+
   /** F15 — zlib-compress a BINARY payload (CompressionCodecZLib). */
   def zlibDeflate(payload: Column, level: Int = 6): Column =
     GraftSqlBridge.column(ZlibDeflate(GraftSqlBridge.expression(payload), level))

@@ -25,9 +25,20 @@ import org.apache.spark.sql.types._
  * The buffer is a flat long array of 2k slots kept sorted by
  * (dist, dst) — insertion into a ≤k-element sorted array beats a heap
  * at the k ≤ 64 sizes this serves.
+ *
+ * `dedup = true` is the SET form: exact duplicate (dist, dst) pairs
+ * collapse inside the buffer, so the result equals `.distinct()` on the
+ * input followed by the plain aggregate — with the distinct's own
+ * corpus-scale exchange deleted (the input is consumed pre-shuffle by
+ * the k-bounded partials). Dropping a duplicate is safe at any buffer
+ * state: a pair can only be evicted when k strictly-smaller pairs fill
+ * the buffer, and then the full-buffer bound check already rejects any
+ * later copy — so "already present" and "already evicted" cover every
+ * duplicate, at every partial/merge interleaving.
  */
 case class MinKPairs(child: Expression, k: Int,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0,
+    dedup: Boolean = false)
     extends TypedImperativeAggregate[MinKBuffer] {
 
   require(k > 0, s"need k > 0, got $k")
@@ -48,9 +59,11 @@ case class MinKPairs(child: Expression, k: Int,
     .add("dst", LongType, nullable = false), containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
-  override def prettyName: String = "min_k_pairs"
+  override def prettyName: String =
+    if (dedup) "min_k_pairs_distinct" else "min_k_pairs"
 
-  override def createAggregationBuffer(): MinKBuffer = new MinKBuffer(k)
+  override def createAggregationBuffer(): MinKBuffer =
+    new MinKBuffer(k, dedup)
 
   override def update(buf: MinKBuffer, input: InternalRow): MinKBuffer = {
     val v = child.eval(input)
@@ -89,7 +102,7 @@ case class MinKPairs(child: Expression, k: Int,
   override def deserialize(bytes: Array[Byte]): MinKBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new MinKBuffer(k)
+    val buf = new MinKBuffer(k, dedup)
     var i = 0
     while (i < n) { buf.insert(bb.getLong, bb.getLong); i += 1 }
     buf
@@ -105,8 +118,10 @@ case class MinKPairs(child: Expression, k: Int,
 }
 
 /** Sorted-by-(dist, dst) bounded buffer: parallel long arrays, binary
- * search + shift insertion (k is small; cache-friendly). */
-final class MinKBuffer(k: Int) {
+ * search + shift insertion (k is small; cache-friendly). With `dedup`,
+ * an insert equal to a resident pair is a no-op (see [[MinKPairs]] for
+ * why a previously-evicted duplicate needs no extra state). */
+final class MinKBuffer(k: Int, dedup: Boolean = false) {
   private val ds = new Array[Long](k)
   private val ts = new Array[Long](k)
   var size: Int = 0
@@ -128,6 +143,7 @@ final class MinKBuffer(k: Int) {
       if (ds(mid) < d || (ds(mid) == d && ts(mid) < t)) lo = mid + 1
       else hi = mid
     }
+    if (dedup && lo < size && ds(lo) == d && ts(lo) == t) return
     // shift start: the last slot when full (dropping the old maximum),
     // one past the end otherwise
     var i = math.min(size, k - 1)

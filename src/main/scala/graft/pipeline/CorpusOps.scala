@@ -2331,8 +2331,10 @@ object CorpusOps {
    * bucket, and fpCap bounds it.
    */
   def crossDocSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, fpCap: Int = 64): DataFrame = {
-    val spans = crossDocSpanRel(df, idCol, textCol, k, fpCap)
+      k: Int = 8, fpCap: Int = 64,
+      preSpans: Option[DataFrame] = None): DataFrame = {
+    val spans = preSpans.getOrElse(
+      crossDocSpanRel(df, idCol, textCol, k, fpCap))
     val covered = spans
       .select(col("doc_a"), col("doc_b"), explode(sequence(col("start_a"),
         col("start_a") + col("span_tokens") - 1)).as("pa"))
@@ -2349,9 +2351,15 @@ object CorpusOps {
   /** The shared maximal-span relation beneath [[crossDocSpans]] and
    * [[crossDocScrub]]: one row per maximal shared run — (doc_a < doc_b,
    * diag = ib − ia, start_a, span_tokens). The doc_b-side start is
-   * start_a + diag. Cached: both consumers aggregate it twice. */
+   * start_a + diag. Cached: both consumers aggregate it twice. A pure
+   * function of (df, idCol, textCol, k, fpCap), so a harness running
+   * BOTH consumers over the same corpus can memoize it run-scoped and
+   * hand it in via their `preSpans` hook (the hnswAssignedShared /
+   * corpusShingleShared reclaim pattern) — pass `persist = false` there
+   * so the per-query releaseAll cannot uncache the run-scoped entry.
+   * Oracles stay independent full replays. */
   def crossDocSpanRel(df: DataFrame, idCol: String, textCol: String,
-      k: Int, fpCap: Int): DataFrame = {
+      k: Int, fpCap: Int, persist: Boolean = true): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")
     require(fpCap >= 2, s"need fpCap >= 2, got $fpCap")
     val ws = df.filter(TextOps.normalized(col(textCol)) =!= "")
@@ -2371,11 +2379,12 @@ object CorpusOps {
         col("a.i").as("ia"), (col("b.i") - col("a.i")).as("diag"))
     val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("ia"))
-    graft.CacheScope.track(pairs
+    val rel = pairs
       .withColumn("grp", col("ia") - row_number().over(wIsl))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
       .agg(min(col("ia")).as("start_a"),
-        (count(lit(1)) + (k - 1)).as("span_tokens")))
+        (count(lit(1)) + (k - 1)).as("span_tokens"))
+    if (persist) graft.CacheScope.track(rel) else rel
   }
 
   /**
@@ -2395,8 +2404,10 @@ object CorpusOps {
    * only.
    */
   def crossDocScrub(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, fpCap: Int = 64): DataFrame = {
-    val spans = crossDocSpanRel(df, idCol, textCol, k, fpCap)
+      k: Int = 8, fpCap: Int = 64,
+      preSpans: Option[DataFrame] = None): DataFrame = {
+    val spans = preSpans.getOrElse(
+      crossDocSpanRel(df, idCol, textCol, k, fpCap))
     val covered = spans
       .select(col("doc_b").as("id"),
         explode(sequence(col("start_a") + col("diag"),

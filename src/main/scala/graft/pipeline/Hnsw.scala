@@ -151,12 +151,17 @@ object Hnsw {
         .as("tk"))
       .select(col("src"), explode(col("tk")).as("p"))
       .select(col("src"), col("p.dst").as("dst"), col("p.dist").as("dist"))
+    // the dedup of the symmetrized union ((a,b) present in both
+    // directions' top-M yields the same (src, dst, dist) row twice)
+    // happens INSIDE the k-bounded aggregate (the SET form), not as a
+    // .distinct() — which would shuffle the whole node×2M edge relation
+    // once more just to collapse those duplicates. Same relation, one
+    // exchange fewer per level build (guide §2.4).
     top.unionByName(top.select(col("dst").as("src"), col("src").as("dst"),
         col("dist")))
-      .distinct()
       .groupBy(col("src"))
-      .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")), 2 * m)
-        .as("tk"))
+      .agg(GraftFunctions.minKPairsDistinct(struct(col("dist"), col("dst")),
+        2 * m).as("tk"))
       .select(col("src"), explode(col("tk")).as("p"))
       .select(col("src"), col("p.dst").as("dst"), col("p.dist").as("dist"))
   }
@@ -248,8 +253,14 @@ object Hnsw {
   private def beamSearch(edges: Map[Int, DataFrame], queries: DataFrame,
       entry: DataFrame, nodeCodes: DataFrame, maxLevel: Int,
       hopsPerLevel: Int, beamSteps: Int, ef: Int, k: Int): DataFrame = {
+    // No .distinct() on the expanded frontier: several frontier nodes
+    // can point at the same dst, but every copy scores to the SAME
+    // (dist, node), and the consumers are duplicate-insensitive —
+    // min_by for the greedy hop, the SET-form min-k for the beam — so
+    // the dedup exchange per superstep is pure overhead. The broadcast
+    // stays |queries|·ef·(2M+1)-bounded either way.
     def scored(cand: DataFrame): DataFrame =
-      broadcast(cand.distinct())
+      broadcast(cand)
         .join(nodeCodes, col("node") === col("node_id"))
         .join(queries, Seq("qid"))
         .select(col("qid"), col("node"),
@@ -278,11 +289,13 @@ object Hnsw {
       .select(col("qid").as("query_id"), col("node").as("neighbor_id"))
   }
 
-  /** Bounded "keep the n closest per query" over (qid, node, dist). */
+  /** Bounded "keep the n closest per query" over (qid, node, dist) —
+   * SET form, so duplicate (dist, node) rows from the undeduped
+   * frontier expansion can never occupy two beam slots. */
   private def keepK(scoredDf: DataFrame, n: Int): DataFrame =
     scoredDf.groupBy(col("qid"))
-      .agg(GraftFunctions.minKPairs(struct(col("dist"), col("node")), n)
-        .as("tk"))
+      .agg(GraftFunctions.minKPairsDistinct(struct(col("dist"), col("node")),
+        n).as("tk"))
       .select(col("qid"), explode(col("tk")).as("p"))
       .select(col("qid"), col("p.dst").as("node"))
 

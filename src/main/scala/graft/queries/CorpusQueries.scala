@@ -2392,6 +2392,19 @@ object CorpusQueries extends QueryGroup {
       |FROM r, t WHERE rk IN (4, 8, 16)
       |ORDER BY top_k""".stripMargin))
 
+  /** The maximal-span relation shared by p124 (census) and p126
+   * (scrub), RUN-scoped: a pure function of (documents, k=8, fpCap=64),
+   * so one fingerprint self-join + islands pass serves both audits per
+   * harness run — the r16 audit-family reclaim pattern
+   * (hnswAssignedShared / corpusShingleShared). Oracles stay
+   * independent full replays. */
+  private def crossDocSpanShared(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.memoRun(
+      s"${s.sparkContext.applicationId}:crossdoc-spans:$d") {
+      CorpusOps.crossDocSpanRel(docs(s, d), "doc_id", "text",
+        k = 8, fpCap = 64, persist = false)
+    }
+
   private val p124 = QueryDef(
     // Cross-document exact-substring dedup (Lee et al. 2022 ExactSubstr,
     // at 8-token granularity): shingle fingerprints join across docs,
@@ -2401,7 +2414,7 @@ object CorpusQueries extends QueryGroup {
     // oracle). Bills per pair: span count, longest span, per-span token
     // sum, and the DISTINCT covered positions in doc_a.
     (s, d) => CorpusOps.crossDocSpans(docs(s, d), "doc_id", "text",
-        k = 8, fpCap = 64)
+        k = 8, fpCap = 64, preSpans = Some(crossDocSpanShared(s, d)))
       .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
       |wk AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 8),
@@ -2448,7 +2461,7 @@ object CorpusQueries extends QueryGroup {
     // with the rebuilt digest. Fully-covered documents drop out (their
     // rebuild is empty). Shares p124's span relation.
     (s, d) => CorpusOps.crossDocScrub(docs(s, d), "doc_id", "text",
-        k = 8, fpCap = 64)
+        k = 8, fpCap = 64, preSpans = Some(crossDocSpanShared(s, d)))
       .orderBy(col("doc_id")),
     Some(s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
       |wk AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 8),

@@ -49,6 +49,25 @@ class MinKPairsSpec extends AnyFunSuite {
     assert(out(2L) === Seq((1L, 1L)))
   }
 
+  test("SET form (dedup) equals .distinct() + window on duplicate-rich data") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.minKPairsDistinct
+    val rnd = new scala.util.Random(47)
+    // tiny domains force heavy exact duplicates AND (dist, dst) ties;
+    // 40 partitions force the partial/merge path through serialization
+    val rows = (0 until 8000).map(_ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(6).toLong, rnd.nextInt(9).toLong))
+    val df = rows.toDF("g", "dist", "dst").repartition(40)
+    for (k <- Seq(1, 3, 7, 64)) {
+      val viaSet = df.groupBy(col("g"))
+        .agg(minKPairsDistinct(struct(col("dist"), col("dst")), k).as("tk"))
+        .select(col("g"), explode(col("tk")).as("p"))
+        .select(col("g"), col("p.dist").as("dist"), col("p.dst").as("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaSet === viaWindow(df.distinct(), k), s"k=$k")
+    }
+  }
+
   test("null structs and null fields are skipped") {
     import spark.implicits._
     val df = Seq((1L, Some(3L), Some(4L)), (1L, None, Some(5L)),
