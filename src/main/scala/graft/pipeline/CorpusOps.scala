@@ -2362,9 +2362,17 @@ object CorpusOps {
       k: Int, fpCap: Int, persist: Boolean = true): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")
     require(fpCap >= 2, s"need fpCap >= 2, got $fpCap")
+    // spread BEFORE the fingerprint explode — the shingleRows
+    // discipline: the md5-per-position construction is the heavy
+    // per-row compute here, and a single-row-group parquet fixture (or
+    // AQE coalescing) would otherwise run it in ONE task (measured at
+    // sf0.1: a 46 s single-task stage; 32-way it is ~1.5 s)
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     val ws = df.filter(TextOps.normalized(col(textCol)) =!= "")
       .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= k)
+      .repartition(parts, col("id"))
     val sh = ws.select(col("id"),
         posexplode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
           i => md5(concat_ws(" ", slice(col("ws"), i, lit(k))))))
@@ -2413,9 +2421,14 @@ object CorpusOps {
         explode(sequence(col("start_a") + col("diag"),
           col("start_a") + col("diag") + col("span_tokens") - 1)).as("pos"))
       .distinct()
+    // same spread-before-explode as crossDocSpanRel: the word explode +
+    // rebuild below otherwise runs inside the single scan task of a
+    // one-row-group fixture (measured 4.3 s single-task at sf0.1)
     val posRel = df.filter(TextOps.normalized(col(textCol)) =!= "")
       .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= k)
+      .repartition(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt, col("id"))
       .select(col("id"), size(col("ws")).cast("long").as("n_tokens"),
         posexplode(col("ws")).as(Seq("p0", "word")))
       .select(col("id"), col("n_tokens"),

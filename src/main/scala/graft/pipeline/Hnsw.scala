@@ -214,9 +214,18 @@ object Hnsw {
     // grows — exactly HNSW's long-range upper layers. A flat adjacency
     // makes every layer equally myopic and the greedy descent can never
     // cross the corpus (measured: recall 0.66 → 1.00 at 2,000 vectors).
+    // localCheckpoint (lazy), not persist: every walk superstep's plan
+    // re-embeds the consumed edge relations, and AQE re-optimizes the
+    // WHOLE remaining logical plan after each stage — with full edge
+    // lineage the analyzer/optimizer walks the pair-join subtree once
+    // per superstep per replan (driver-side, serial). Truncating to a
+    // LogicalRDD keeps each superstep's plan constant-size (the p83
+    // discipline already applied to the frontier). The materialized
+    // relation is |nodes|·2M-bounded — the same size class the old
+    // MEMORY_AND_DISK persist stored.
     val edges = (0 to maxLevel).map { l =>
       val adjL = cellAdjacency(qcents, cellAdj << (2 * l))
-      l -> graft.CacheScope.track(levelEdges(assigned, adjL, l, m))
+      l -> levelEdges(assigned, adjL, l, m).localCheckpoint(false)
     }.toMap
 
     val queries = broadcast(graft.CacheScope.track(
@@ -381,7 +390,13 @@ object Hnsw {
       // (newToBaseEdges — the table path must match row for row).
       // tracked: newOut fans out three ways (precap twice — forward +
       // reverse — and the appended-edge census); without the persist
-      // the batch×cells candidate join would re-run per consumer
+      // the batch×cells candidate join would re-run per consumer.
+      // Persist, NOT localCheckpoint, deliberately: truncating these
+      // lineages was A/B-measured at only ~14% (warm 10.8 → 9.3 s) and
+      // it hides the builds' mod-50 broadcast evidence from
+      // SurfaceWalk's static-broadcast census (PlanShapeSpec's
+      // p128 group-mod50 entry went stale) — the plan-invariant
+      // protection is worth more than the driver-side replanning saved
       val newOut = graft.CacheScope.track(
         newToBaseEdges(nl, bl, adjL, m))
       val precap = graft.CacheScope.track(frozen
