@@ -28,4 +28,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS")
-  .map(_.trim.split("\\s+").toSeq).getOrElse(Nil)
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

@@ -152,10 +152,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The FULL summary (with the complete per-query map) always lands in
+    // a file: at 286 entries the map alone is ~7.9 kB, far past any
+    // bounded stdout tail capture.
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // durable artifact: the full JSON always lands in a file, regardless of
-    // how much stdout the harness captures
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
       val p = Paths.get(outPath)
@@ -164,8 +165,15 @@ object Bench {
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
         StandardOpenOption.WRITE)
     } catch { case _: Throwable => }
-    // summary JSON is the last stdout line (tail-capture friendly)
-    println(json)
+    // The final stdout line is a SHORT totals-only JSON. Rationale (r20
+    // verdict item 1): the driver keeps only the last ~2000 chars of
+    // stdout, so a final line carrying the full 286-entry map has been
+    // truncated mid-map — and therefore unparseable — since round 14
+    // (parsed: null in every BENCH_r*.json). A short line parses, and it
+    // leaves the tail budget to the per-query BENCHQ lines above, which
+    // are the machine-readable per-query record the tail can actually
+    // hold. The full map stays durable in target/bench.json (above).
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     CacheScope.releaseRun()
     spark.stop()
   }

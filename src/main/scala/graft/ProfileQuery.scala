@@ -24,7 +24,6 @@ object ProfileQuery {
     SparkEntry.prepare(spark)
 
     @volatile var jobInfo = Map.empty[Int, (Long, String, Int)] // start, site, nStages
-    @volatile var stageTasks = Map.empty[Int, (Int, Long)] // jobless: stageId -> (tasks, ms)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
@@ -35,7 +34,6 @@ object ProfileQuery {
         val si = sc.stageInfo
         val ms = (for {s <- si.submissionTime; c <- si.completionTime}
           yield c - s).getOrElse(0L)
-        stageTasks += si.stageId -> (si.numTasks, ms)
         val tm = si.taskMetrics
         if (ms >= 200 && tm != null)
           println(f"    STAGE ${si.stageId}%4d ${ms / 1e3}%7.2f s  tasks=${si.numTasks}%-3d " +
@@ -51,6 +49,7 @@ object ProfileQuery {
           if (sec >= 0.005)
             println(f"  JOB ${je.jobId}%4d ${sec}%8.3f s  stages=$nStages%-3d $site")
         }
+        jobInfo -= je.jobId // bound driver-map growth over a long session
       }
     })
 

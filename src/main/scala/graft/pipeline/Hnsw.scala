@@ -222,7 +222,12 @@ object Hnsw {
     // LogicalRDD keeps each superstep's plan constant-size (the p83
     // discipline already applied to the frontier). The materialized
     // relation is |nodes|·2M-bounded — the same size class the old
-    // MEMORY_AND_DISK persist stored.
+    // MEMORY_AND_DISK persist stored. Scale honesty: a localCheckpoint'd
+    // relation (here and in the walk supersteps) has NO lineage to
+    // recompute from — on a real cluster a lost executor fails the
+    // query instead of recomputing the block. Fine for local[*]; at the
+    // 100 TB design point use reliable checkpointing (or accept the
+    // retry) — the constant-size-plan trade is deliberate and disclosed.
     val edges = (0 to maxLevel).map { l =>
       val adjL = cellAdjacency(qcents, cellAdj << (2 * l))
       l -> levelEdges(assigned, adjL, l, m).localCheckpoint(false)

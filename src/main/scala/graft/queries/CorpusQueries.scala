@@ -2399,8 +2399,10 @@ object CorpusQueries extends QueryGroup {
    * (hnswAssignedShared / corpusShingleShared). Oracles stay
    * independent full replays. */
   private def crossDocSpanShared(s: SparkSession, d: String): DataFrame =
+    // k/fpCap are part of the memo key: a future caller diverging on
+    // those params must force a rebuild, not silently reuse this one
     graft.CacheScope.memoRun(
-      s"${s.sparkContext.applicationId}:crossdoc-spans:$d") {
+      s"${s.sparkContext.applicationId}:crossdoc-spans:$d:k8:fp64") {
       CorpusOps.crossDocSpanRel(docs(s, d), "doc_id", "text",
         k = 8, fpCap = 64, persist = false)
     }
