@@ -47,6 +47,13 @@ object GraftFunctions {
     GraftSqlBridge.column(DotLong(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Codegen'd seeded-hyperplane sign-LSH bucket over an array<long>
+   * e3 code column (see [[SignBucketPlanes]]) — one kernel call per row
+   * in place of the bits·dim-node unrolled Column form. */
+  def signBucketPlanes(codes: Column, bits: Int, dim: Int): Column =
+    GraftSqlBridge.column(SignBucketPlanes(
+      GraftSqlBridge.expression(codes), bits, dim))
+
   /** Bounded top-k-smallest aggregate over struct(dist, dst) by
    * (dist, dst) asc (see [[MinKPairs]]) — map-side-combine "rank and
    * keep k", shipping ≤ k pairs per group per map task where a window

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -117,6 +117,57 @@ object VectorMath {
       i += 1
     }
     acc
+  }
+
+  /** ±1 coefficient of seeded hyperplane `bit` at dimension `d`: the
+   * fixed-seed Knuth multiplicative mix whose 17th bit decides the sign
+   * (the [[graft.pipeline.Similarity.planeCoef]] formula — THE single
+   * definition; Similarity delegates here so the kernel, the Column
+   * form, the spec replay and any SQL-oracle generator can never
+   * drift). Pure integer arithmetic, no RNG state. */
+  def planeCoef(bit: Int, d: Int): Int = {
+    val x = (bit.toLong * 1000003L + d.toLong * 7919L + 982451653L) *
+      2654435761L
+    if (((x >>> 17) & 1L) == 0L) 1 else -1
+  }
+
+  /** Sign-LSH bucket from `bits` seeded hyperplanes over the first `dim`
+   * elements of an e3 long-code array — the tight-loop kernel behind
+   * [[graft.pipeline.Similarity.signBucketHyperplanes]]. Exact
+   * replication of the unrolled Column form's semantics:
+   *   - codes shorter than `dim`  → NULL bucket (drops out of the
+   *     bucket equi-join — the family's malformed-row contract);
+   *   - any NULL element among the first `dim` → every plane's dot is
+   *     NULL, the `when(dot >= 0)` of every bit falls to its otherwise
+   *     branch, bucket = 0 (NOT null — same as the unrolled form);
+   *   - else bucket = Σ_{i<bits} [dot_i ≥ 0]·2^i with
+   *     dot_i = Σ_{d<dim} planeCoef(i,d)·codes[d], exact long adds.
+   * The unrolled form was bits·dim (= 1088 at the 17-bit width)
+   * Catalyst nodes — a whole-stage-codegen method past janino's limits
+   * (observed: codegen compile ERROR + interpreted fallback, where
+   * projection collapse re-evaluates the interpreted q3 HOF per TERM).
+   * One static call per row replaces all of it. */
+  def signBucketPlanes(a: ArrayData, bits: Int, dim: Int): java.lang.Long = {
+    if (a.numElements() < dim) return null
+    var d = 0
+    while (d < dim) {
+      if (a.isNullAt(d)) return 0L
+      d += 1
+    }
+    var packed = 0L
+    var i = 0
+    while (i < bits) {
+      var dot = 0L
+      d = 0
+      while (d < dim) {
+        val q = a.getLong(d)
+        dot += (if (planeCoef(i, d) > 0) q else -q)
+        d += 1
+      }
+      if (dot >= 0L) packed += (1L << i)
+      i += 1
+    }
+    packed
   }
 
   /** array<double> variant of [[cosineFloat]]. */
@@ -334,4 +385,44 @@ case class DotLong(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotLong =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd sign-LSH bucket from `bits` seeded hyperplanes over the
+ * first `dim` elements of an array<long> e3 code column — semantics and
+ * rationale in [[VectorMath.signBucketPlanes]]. NULL input → NULL
+ * bucket; short array → NULL bucket; null element → bucket 0 (the
+ * unrolled form's exact contract). */
+case class SignBucketPlanes(child: Expression, bits: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sign_bucket_planes needs an array of BIGINT, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sign_bucket_planes"
+
+  override def nullSafeEval(a: Any): Any = {
+    val r = VectorMath.signBucketPlanes(a.asInstanceOf[ArrayData], bits, dim)
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |java.lang.Long ${ev.value}_r =
+         |  graft.functions.VectorMath.signBucketPlanes($a, $bits, $dim);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignBucketPlanes = copy(child = newChild)
 }

@@ -513,7 +513,10 @@ object CorpusOps {
    */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = TextOps.words(col(textCol))
-    val base = df
+    // conditional gate-scale spread (Spread.ifNarrow): the in-row
+    // sort+fold below is the heavy per-row compute, and a one-row-group
+    // fixture scan would run all of it in a single task
+    val base = Spread.ifNarrow(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), ws.as("ws"))
       .where(size(col("ws")) >= 2)
       .withColumn("n_words", size(col("ws")).cast("long"))
@@ -681,14 +684,11 @@ object CorpusOps {
    */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    // explicit repartition before the gram explode: the scan is a few
-    // parquet files, and AQE would otherwise run the compute-heavy
-    // n-gram construction on that handful of input splits (same
-    // rationale as DedupOps.shingleRows)
-    val parts = corpus.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    def grams(df: DataFrame): DataFrame = df
-      .repartition(parts, col(idCol))
+    // conditional spread before the gram explode ([[Spread.ifNarrow]]):
+    // a few-split gate-scale scan would otherwise run the compute-heavy
+    // n-gram construction on that handful of input splits; a splittable
+    // production source already parallelizes and skips the exchange
+    def grams(df: DataFrame): DataFrame = Spread.ifNarrow(df, col(idCol))
       // single-pass codegen'd kernel; < n words ⇒ empty ⇒ explodes to no
       // rows, same as the old size(ws) >= n filter
       .select(col(idCol),
@@ -793,9 +793,13 @@ object CorpusOps {
    */
   def repeatedSpanScrub(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minCount: Int = 3): DataFrame = {
-    val toks = graft.CacheScope.track(df.select(col(idCol).as("doc_id"),
-      filter(TextOps.words(coalesce(col(textCol), lit(""))),
-        w => length(w) > 0).as("ws")))
+    // conditional gate-scale spread before tokenization: toks is cached
+    // and fans out to three passes, so its (possibly single-split) scan
+    // partitioning would otherwise serialize every downstream explode
+    val toks = graft.CacheScope.track(Spread.ifNarrow(df, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        filter(TextOps.words(coalesce(col(textCol), lit(""))),
+          w => length(w) > 0).as("ws")))
     // guard short docs: sequence(0, size-n) with size < n would count DOWN
     val grams = toks
       .filter(size(col("ws")) >= n)
@@ -1003,10 +1007,7 @@ object CorpusOps {
    */
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val parts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    val toks = df
-      .repartition(parts, col(idCol))
+    val toks = Spread.ifNarrow(df, col(idCol))
       .select(col(idCol), explode(TextOps.words(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
     val tf = toks.groupBy(col(idCol), col("word"))
@@ -1043,10 +1044,7 @@ object CorpusOps {
    */
   def noveltyStats(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val parts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    val grams = df
-      .repartition(parts, col(idCol))
+    val grams = Spread.ifNarrow(df, col(idCol))
       .select(col(idCol),
         explode(TextOps.wordNGrams(col(textCol), n)).as("gram"))
     val first = grams.groupBy(col("gram"))
@@ -1274,9 +1272,12 @@ object CorpusOps {
           |                                   element_at(ws, i + 1))))"""
           .stripMargin)).as("b"): _*)
       .select(extra :+ col("b.w1").as("w1") :+ col("b.g").as("g"): _*)
-    def tokenized(df: DataFrame, extra: Seq[Column]): DataFrame = df
-      .select(extra :+ TextOps.words(col(textCol)).as("ws"): _*)
-      .where(size(col("ws")) >= 2)
+    // conditional gate-scale spread before tokenization (both sides
+    // carry idCol, so the spread key is always available)
+    def tokenized(df: DataFrame, extra: Seq[Column]): DataFrame =
+      Spread.ifNarrow(df, col(idCol))
+        .select(extra :+ TextOps.words(col(textCol)).as("ws"): _*)
+        .where(size(col("ws")) >= 2)
     // one train scan: the tokenized arrays feed bigram counts, unigram
     // counts, and the vocabulary size
     val tws = graft.CacheScope.track(tokenized(train, Nil))
@@ -1378,7 +1379,9 @@ object CorpusOps {
           |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"""
           .stripMargin))
         .otherwise(expr("array()").cast("array<string>"))
-      df.select(extra :+ TextOps.words(col(textCol)).as("ws"): _*)
+      // conditional gate-scale spread before the feature explode
+      Spread.ifNarrow(df, col(idCol))
+        .select(extra :+ TextOps.words(col(textCol)).as("ws"): _*)
         .select(extra :+ explode(concat(col("ws"), bigrams)).as("g"): _*)
         .filter(length(col("g")) > 0)
         .withColumn("b", Sketches.md5Hash32(col("g")) % m)
@@ -1675,9 +1678,12 @@ object CorpusOps {
     def h(pos: Column, salt: String): Column = Sketches.md5Hash32(
       concat(col(idCol).cast("string"), lit(":"), pos.cast("string"),
         lit(":" + salt)))
-    val posRel = graft.CacheScope.track(df
-      .filter(TextOps.normalized(col(textCol)) =!= "")
-      .select(col(idCol), TextOps.words(col(textCol)).as("ws"))
+    // conditional gate-scale spread before the word posexplode (posRel
+    // is cached and fans out to the draw + islands + digest passes)
+    val posRel = graft.CacheScope.track(Spread.ifNarrow(
+        df.filter(TextOps.normalized(col(textCol)) =!= "")
+          .select(col(idCol), TextOps.words(col(textCol)).as("ws")),
+        col(idCol))
       .select(col(idCol), size(col("ws")).cast("long").as("n_words"),
         posexplode(col("ws")).as(Seq("p0", "word")))
       .withColumn("pos", (col("p0") + 1).cast("long"))
@@ -2362,17 +2368,18 @@ object CorpusOps {
       k: Int, fpCap: Int, persist: Boolean = true): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")
     require(fpCap >= 2, s"need fpCap >= 2, got $fpCap")
-    // spread BEFORE the fingerprint explode — the shingleRows
-    // discipline: the md5-per-position construction is the heavy
-    // per-row compute here, and a single-row-group parquet fixture (or
-    // AQE coalescing) would otherwise run it in ONE task (measured at
-    // sf0.1: a 46 s single-task stage; 32-way it is ~1.5 s)
-    val parts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    val ws = df.filter(TextOps.normalized(col(textCol)) =!= "")
-      .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
-      .filter(size(col("ws")) >= k)
-      .repartition(parts, col("id"))
+    // conditional spread BEFORE the fingerprint explode
+    // ([[Spread.ifNarrow]]): the md5-per-position construction is the
+    // heavy per-row compute here, and a single-row-group gate fixture
+    // would otherwise run it in ONE task (measured at sf0.1: a 46 s
+    // single-task stage; 32-way it is ~1.5 s). A splittable production
+    // source already parallelizes the scan and skips the corpus-scale
+    // text exchange.
+    val ws = Spread.ifNarrow(
+      df.filter(TextOps.normalized(col(textCol)) =!= "")
+        .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
+        .filter(size(col("ws")) >= k),
+      col("id"))
     val sh = ws.select(col("id"),
         posexplode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
           i => md5(concat_ws(" ", slice(col("ws"), i, lit(k))))))
@@ -2421,14 +2428,15 @@ object CorpusOps {
         explode(sequence(col("start_a") + col("diag"),
           col("start_a") + col("diag") + col("span_tokens") - 1)).as("pos"))
       .distinct()
-    // same spread-before-explode as crossDocSpanRel: the word explode +
-    // rebuild below otherwise runs inside the single scan task of a
-    // one-row-group fixture (measured 4.3 s single-task at sf0.1)
-    val posRel = df.filter(TextOps.normalized(col(textCol)) =!= "")
-      .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
-      .filter(size(col("ws")) >= k)
-      .repartition(df.sparkSession.conf
-        .get("spark.sql.shuffle.partitions", "32").toInt, col("id"))
+    // same conditional spread-before-explode as crossDocSpanRel: the
+    // word explode + rebuild below otherwise runs inside the single
+    // scan task of a one-row-group fixture (measured 4.3 s single-task
+    // at sf0.1)
+    val posRel = Spread.ifNarrow(
+        df.filter(TextOps.normalized(col(textCol)) =!= "")
+          .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
+          .filter(size(col("ws")) >= k),
+        col("id"))
       .select(col("id"), size(col("ws")).cast("long").as("n_tokens"),
         posexplode(col("ws")).as(Seq("p0", "word")))
       .select(col("id"), col("n_tokens"),

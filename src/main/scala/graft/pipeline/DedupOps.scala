@@ -178,9 +178,14 @@ object DedupOps {
       n: Int): DataFrame = {
     // explicit partition counts: these exchanges carry few BYTES but gate
     // heavy downstream COMPUTE — AQE's size-based coalescing would fold
-    // them to one partition and serialize the shingle construction
+    // them to one partition and serialize the shingle construction. The
+    // FIRST exchange (the pre-explode spread) is conditional
+    // ([[Spread.ifNarrow]]): it exists only for a narrow gate-scale scan;
+    // a splittable production source parallelizes on its own. The second
+    // stays unconditional — it partitions the COMPUTED rows by doc for
+    // the downstream groupBys and for ReuseExchange across consumers.
     val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    docs.repartition(parts, col(idCol))
+    Spread.ifNarrow(docs, col(idCol))
       .select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("shingle"))
       .withColumn("h", murmur3Positive(col("shingle"), 0).cast("long"))
       .repartition(parts, col("doc"))
@@ -681,8 +686,7 @@ object DedupOps {
   /** The per-document simhash relation (doc, simhash) — one long per doc. */
   def simhashes(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame = {
-    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val words = docs.repartition(parts, col(idCol))
+    val words = Spread.ifNarrow(docs, col(idCol))
       .select(col(idCol).as("doc"), explode(TextOps.words(col(textCol))).as("word"))
       .withColumn("h", murmur3Positive(col("word"), 0))
     val voteCols = (0 until bits).map(b =>

@@ -101,11 +101,8 @@ object Similarity {
    * bit decides the sign. Pure integer arithmetic — any replay (spec,
    * future SQL oracle generator) re-derives the planes from this
    * formula, no RNG state to ship. */
-  def planeCoef(bit: Int, d: Int): Int = {
-    val x = (bit.toLong * 1000003L + d.toLong * 7919L + 982451653L) *
-      2654435761L
-    if (((x >>> 17) & 1L) == 0L) 1 else -1
-  }
+  def planeCoef(bit: Int, d: Int): Int =
+    graft.functions.VectorMath.planeCoef(bit, d) // ONE formula source
 
   /** Sign-LSH bucket from `bits` seeded random hyperplanes over ALL
    * `dim` dimensions of an ALREADY-QUANTIZED e3 code array (the
@@ -122,17 +119,21 @@ object Similarity {
    * vector drops out of the bucket equi-join (no pairs), mirroring the
    * family's cosine-undefined NULL contract, instead of every
    * malformed row silently collapsing into bucket 0 and re-creating
-   * the hot-bucket quadratic blowup. */
-  def signBucketHyperplanes(codes: Column, bits: Int, dim: Int): Column = {
-    val packed = (0 until bits).map { i =>
-      val dot = (0 until dim).map { d =>
-        val q = element_at(codes, d + 1)
-        if (planeCoef(i, d) > 0) q else -q
-      }.reduce(_ + _)
-      when(dot >= 0L, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    when(size(codes) >= dim, packed).otherwise(lit(null).cast("long"))
-  }
+   * the hot-bucket quadratic blowup.
+   *
+   * Implementation (r21): ONE codegen'd kernel call per row
+   * ([[graft.functions.VectorMath.signBucketPlanes]], same contract —
+   * short array → NULL, null element → bucket 0) instead of the
+   * bits·dim literal-unrolled Column tree. The unrolled form was 1088
+   * Catalyst nodes at the 17-bit width: its whole-stage-codegen method
+   * blew janino's limits (observed compile ERROR + interpreted
+   * fallback), and in interpreted mode projection collapse re-evaluated
+   * the upstream q3 transform() HOF once per TERM — the round-10
+   * inlining class, ×1088. PipelineSpec's independent driver replay
+   * (coef formula + exact long sums) pins the kernel to the published
+   * construction; the p138 oracle unrolls the same planeCoef literals. */
+  def signBucketHyperplanes(codes: Column, bits: Int, dim: Int): Column =
+    graft.functions.GraftFunctions.signBucketPlanes(codes, bits, dim)
 
   /** Sign-bit coarse bucket over the first `bits` dimensions — a random-
    * hyperplane LSH specialization (hyperplanes = axis planes), giving 2^bits

@@ -528,7 +528,10 @@ object CorpusQueries extends QueryGroup {
     // construction. Counters and estimates are integer-exact functions
     // of md5-prefix hashes, so the oracle rebuilds the identical sketch.
     (s, d) => {
-      val words = graft.CacheScope.track(docs(s, d)
+      // conditional gate-scale spread before the word explode — the
+      // cached word relation fans out to the sketch and the exact side
+      val words = graft.CacheScope.track(
+        graft.pipeline.Spread.ifNarrow(docs(s, d), col("doc_id"))
         .select(explode(graft.pipeline.TextOps.words(
           coalesce(col("text"), lit("")))).as("word"))
         .filter(length(col("word")) > 0))

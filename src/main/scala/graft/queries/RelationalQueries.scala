@@ -1699,20 +1699,39 @@ object RelationalQueries extends QueryGroup {
    * percent_rank/cume_dist are IEEE divisions of exact integers:
    * bit-identical across engines, no rounding needed. */
   private val q33 = QueryDef(
+    // Order statistics from the per-(flag, value) HISTOGRAM, not a
+    // row-level window (r21, guide §2.5): l_returnflag has 3 values, so
+    // the old rank/percent_rank window over every lineitem row ran in ≤3
+    // tasks (measured: two serial ~1 s single-task window stages at
+    // sf0.1), and at 100 TB one task would sort a third of the corpus.
+    // Every output is a pure function of the (flag, qty) counts: all
+    // rows of a group are window-ties, so rank = rows-below + 1 =
+    // cum − n_rows + 1, dense_rank = the group's position (row_number
+    // over the histogram), percent_rank = (rank−1)/(N−1) and cume_dist =
+    // cum/N with the SAME integer inputs and ONE final IEEE division
+    // each — bit-identical to the window form (oracle unchanged). The
+    // corpus-scale work is now one map-side-partial hash aggregate; the
+    // windows run over the ~150-row histogram.
     (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag")).orderBy(col("qty_e2"))
+      val byFlag = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+      val ordered = byFlag.orderBy(col("qty_e2"))
       t(s, d, "lineitem")
         .select(col("l_returnflag"),
           Exact.eRow(col("l_quantity"), 2).as("qty_e2"))
-        .withColumn("rnk", rank().over(w).cast("long"))
-        .withColumn("drnk", dense_rank().over(w).cast("long"))
-        .withColumn("prank", percent_rank().over(w))
-        .withColumn("cdist", cume_dist().over(w))
         .groupBy(col("l_returnflag"), col("qty_e2"))
-        .agg(count(lit(1)).as("n_rows"), first(col("rnk")).as("rnk"),
-          first(col("drnk")).as("drnk"), first(col("prank")).as("prank"),
-          first(col("cdist")).as("cdist"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("cum", sum(col("n_rows")).over(ordered))
+        .withColumn("n", sum(col("n_rows")).over(byFlag))
+        .withColumn("rnk", col("cum") - col("n_rows") + 1L)
+        .withColumn("drnk", row_number().over(ordered).cast("long"))
+        .withColumn("prank", when(col("n") === 1L, lit(0.0))
+          .otherwise((col("rnk") - 1L).cast("double") /
+            (col("n") - 1L).cast("double")))
+        .withColumn("cdist",
+          col("cum").cast("double") / col("n").cast("double"))
+        .select(col("l_returnflag"), col("qty_e2"), col("n_rows"),
+          col("rnk"), col("drnk"), col("prank"), col("cdist"))
         .orderBy(col("l_returnflag"), col("qty_e2"))
     },
     Some("""WITH r AS (

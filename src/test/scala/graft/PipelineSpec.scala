@@ -578,6 +578,19 @@ class PipelineSpec extends AnyFunSuite {
     val r = Similarity.withQ3(shortRow).select(
       Similarity.signBucketHyperplanes(col("codes"), bits, 64)).head
     assert(r.isNullAt(0), "short vector must bucket to NULL")
+    // a NULL element nulls every plane's dot; each bit's when(dot >= 0)
+    // falls to its otherwise branch, so the bucket is 0, not NULL (the
+    // unrolled form's contract, preserved by the kernel) — and a NULL
+    // codes array stays a NULL bucket
+    val nullElem = Seq(Tuple1(
+        Seq[java.lang.Long](null) ++ (1 until 64).map(Long.box(_))))
+      .toDF("codes")
+      .select(Similarity.signBucketHyperplanes(col("codes"), bits, 64)).head
+    assert(!nullElem.isNullAt(0) && nullElem.getLong(0) === 0L,
+      "null element must bucket to 0")
+    val nullArr = Seq(Tuple1[Option[Seq[Long]]](None)).toDF("codes")
+      .select(Similarity.signBucketHyperplanes(col("codes"), bits, 64)).head
+    assert(nullArr.isNullAt(0), "null codes must bucket to NULL")
   }
 
   test("ivfpqRecall: recall is exactly 1 when residuals are codebook-representable") {
