@@ -166,6 +166,89 @@ object Hnsw {
       .select(col("src"), col("p.dst").as("dst"), col("p.dist").as("dist"))
   }
 
+  /** The per-level cell adjacencies as ONE relation keyed by `glevel`
+   * (the graph level — named apart from the node-level column): level
+   * l's adjacency is [[cellAdjacency]] at width `cellAdj·4ˡ`. Built for
+   * the all-levels edge builds below, broadcast once instead of once
+   * per level. */
+  private def cellAdjacencyAll(qcents: DataFrame, maxLevel: Int,
+      cellAdj: Int): DataFrame =
+    (0 to maxLevel).map { l =>
+      cellAdjacency(qcents, cellAdj << (2 * l))
+        .select(lit(l).as("glevel"), col("cell"), col("cand_cell"))
+    }.reduce(_.unionByName(_))
+
+  /** ALL levels' [[levelEdgesD]] relations in ONE DataFrame keyed by
+   * `level` — row-for-row identical per level to the per-level builds
+   * (HnswSpec pins the equivalence), but executed as a single
+   * aggregate chain: one exchange per build stage instead of one per
+   * (stage × level), so the job/stage count of the audits stops
+   * scaling with maxLevel (r20 verdict item 5 — the fixed per-job
+   * latency of 3 sequential level builds was the measurable cost at
+   * gate scale, and the unioned exchanges carry the same total bytes).
+   * The level-l slice pairs nodes with level ≥ l through the level-l
+   * adjacency, exactly as [[levelEdgesD]] does. */
+  def levelEdgesAllD(assigned: DataFrame, qcents: DataFrame,
+      maxLevel: Int, m: Int, cellAdj: Int): DataFrame = {
+    val adjAll = cellAdjacencyAll(qcents, maxLevel, cellAdj)
+    val nodes = assigned.select(col("vec_id"), col("cluster"),
+      col("codes"), col("level"))
+    val top = nodes.as("a")
+      .join(broadcast(adjAll),
+        col("a.cluster") === col("cell") && col("a.level") >= col("glevel"))
+      .join(nodes.as("b"),
+        col("cand_cell") === col("b.cluster") &&
+          col("b.level") >= col("glevel") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("glevel").as("level"), col("a.vec_id").as("src"),
+        col("b.vec_id").as("dst"),
+        GraftFunctions.l2SqLong(col("a.codes"), col("b.codes")).as("dist"))
+      .groupBy(col("level"), col("src"))
+      .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")), m)
+        .as("tk"))
+      .select(col("level"), col("src"), explode(col("tk")).as("p"))
+      .select(col("level"), col("src"), col("p.dst").as("dst"),
+        col("p.dist").as("dist"))
+    top.unionByName(top.select(col("level"), col("dst").as("src"),
+        col("src").as("dst"), col("dist")))
+      .groupBy(col("level"), col("src"))
+      .agg(GraftFunctions.minKPairsDistinct(struct(col("dist"), col("dst")),
+        2 * m).as("tk"))
+      .select(col("level"), col("src"), explode(col("tk")).as("p"))
+      .select(col("level"), col("src"), col("p.dst").as("dst"),
+        col("p.dist").as("dist"))
+  }
+
+  /** ALL levels' [[newToBaseEdges]] relations in ONE DataFrame keyed by
+   * `level` — the batch-parallel insert's neighbor selection, executed
+   * as a single chain (same union rationale as [[levelEdgesAllD]]).
+   * ONE definition consumed by both the one-shot [[appendAudit]] and
+   * the persisted-table path ([[appendEdgeRows]]), preserving the
+   * row-for-row parity StreamingSmoke check 39 requires. */
+  def newToBaseEdgesAllD(batchNodes: DataFrame, baseNodes: DataFrame,
+      qcents: DataFrame, maxLevel: Int, m: Int, cellAdj: Int): DataFrame = {
+    val adjAll = cellAdjacencyAll(qcents, maxLevel, cellAdj)
+    val nl = batchNodes.select(col("vec_id"), col("cluster"),
+      col("codes"), col("level"))
+    val bl = baseNodes.select(col("vec_id"), col("cluster"),
+      col("codes"), col("level"))
+    nl.as("a")
+      .join(broadcast(adjAll),
+        col("a.cluster") === col("cell") && col("a.level") >= col("glevel"))
+      .join(bl.as("b"),
+        col("cand_cell") === col("b.cluster") &&
+          col("b.level") >= col("glevel"))
+      .select(col("glevel").as("level"), col("a.vec_id").as("src"),
+        col("b.vec_id").as("dst"),
+        GraftFunctions.l2SqLong(col("a.codes"), col("b.codes")).as("dist"))
+      .groupBy(col("level"), col("src"))
+      .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")), m)
+        .as("tk"))
+      .select(col("level"), col("src"), explode(col("tk")).as("p"))
+      .select(col("level"), col("src"), col("p.dst").as("dst"),
+        col("p.dist").as("dist"))
+  }
+
   /** Shared corpus preparation for [[recallAudit]] / [[appendAudit]]:
    * the e3-coded, cell-assigned, level-drawn node relation
    * (vec_id, cluster, codes, level). A pure function of
@@ -228,9 +311,16 @@ object Hnsw {
     // query instead of recomputing the block. Fine for local[*]; at the
     // 100 TB design point use reliable checkpointing (or accept the
     // retry) — the constant-size-plan trade is deliberate and disclosed.
+    // All levels build as ONE union chain ([[levelEdgesAllD]], r21):
+    // one exchange per build stage instead of one per (stage × level),
+    // one checkpointed relation instead of maxLevel+1 — per-level
+    // slices are narrow filters over it.
+    val edgesAll = levelEdgesAllD(assigned, qcents, maxLevel, m, cellAdj)
+      .select(col("level"), col("src"), col("dst"))
+      .localCheckpoint(false)
     val edges = (0 to maxLevel).map { l =>
-      val adjL = cellAdjacency(qcents, cellAdj << (2 * l))
-      l -> levelEdges(assigned, adjL, l, m).localCheckpoint(false)
+      l -> edgesAll.filter(col("level") === l)
+        .select(col("src"), col("dst"))
     }.toMap
 
     val queries = broadcast(graft.CacheScope.track(
@@ -383,40 +473,33 @@ object Hnsw {
     val nodeCodes = assigned.select(col("vec_id").as("node_id"),
       col("codes").as("ncodes"))
 
-    // per level: frozen base graph + the batch's new edges, then re-cap
-    val perLevel = (0 to maxLevel).map { l =>
-      val adjL = cellAdjacency(qcents, cellAdj << (2 * l))
-      val frozen = levelEdgesD(base, adjL, l, m)
-      val bl = base.filter(col("level") >= l)
-        .select(col("vec_id"), col("cluster"), col("codes"))
-      val nl = fresh.filter(col("level") >= l)
-        .select(col("vec_id"), col("cluster"), col("codes"))
-      // new node → top-M base neighbors via the SHARED selection
-      // (newToBaseEdges — the table path must match row for row).
-      // tracked: newOut fans out three ways (precap twice — forward +
-      // reverse — and the appended-edge census); without the persist
-      // the batch×cells candidate join would re-run per consumer.
-      // Persist, NOT localCheckpoint, deliberately: truncating these
-      // lineages was A/B-measured at only ~14% (warm 10.8 → 9.3 s) and
-      // it hides the builds' mod-50 broadcast evidence from
-      // SurfaceWalk's static-broadcast census (PlanShapeSpec's
-      // p128 group-mod50 entry went stale) — the plan-invariant
-      // protection is worth more than the driver-side replanning saved
-      val newOut = graft.CacheScope.track(
-        newToBaseEdges(nl, bl, adjL, m))
-      val precap = graft.CacheScope.track(frozen
-        .unionByName(newOut)
-        .unionByName(newOut.select(col("dst").as("src"),
-          col("src").as("dst"), col("dist"))))
-      val merged = precap
-        .groupBy(col("src"))
-        .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")),
-          2 * m).as("tk"))
-        .select(col("src"), explode(col("tk")).as("p"))
-        .select(col("src"), col("p.dst").as("dst"))
-      (l, graft.CacheScope.track(merged), newOut, precap)
-    }
-    val edges = perLevel.map { case (l, merged, _, _) => l -> merged }.toMap
+    // ALL levels' frozen graphs + new edges + re-cap as ONE union chain
+    // keyed by level ([[levelEdgesAllD]]/[[newToBaseEdgesAllD]], r21) —
+    // the per-level sequential builds paid fixed per-job latency ×
+    // (stages × levels); the unioned chain runs the same exchanges once
+    // with the same total bytes. Relations stay tracked (persist, NOT
+    // localCheckpoint) for the same reason as before: newOut fans out
+    // three ways (precap twice + the census), and truncating these
+    // lineages would hide the builds' mod-50 broadcast evidence from
+    // SurfaceWalk's static-broadcast census (the r20 A/B measured
+    // truncation at only ~14% and rejected it).
+    val frozenAll = levelEdgesAllD(base, qcents, maxLevel, m, cellAdj)
+    val newOutAll = graft.CacheScope.track(
+      newToBaseEdgesAllD(fresh, base, qcents, maxLevel, m, cellAdj))
+    val precapAll = graft.CacheScope.track(frozenAll
+      .unionByName(newOutAll)
+      .unionByName(newOutAll.select(col("level"), col("dst").as("src"),
+        col("src").as("dst"), col("dist"))))
+    val mergedAll = graft.CacheScope.track(precapAll
+      .groupBy(col("level"), col("src"))
+      .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")),
+        2 * m).as("tk"))
+      .select(col("level"), col("src"), explode(col("tk")).as("p"))
+      .select(col("level"), col("src"), col("p.dst").as("dst")))
+    val edges = (0 to maxLevel).map { l =>
+      l -> mergedAll.filter(col("level") === l)
+        .select(col("src"), col("dst"))
+    }.toMap
 
     val queries = broadcast(graft.CacheScope.track(
       coded.filter(col("vec_id") < queryMax)
@@ -428,17 +511,17 @@ object Hnsw {
       maxLevel, hopsPerLevel, beamSteps, ef, k), coded, queries, k)
 
     // append census: batch size, appended directed edges (out + reverse),
-    // and (level, node) lists the Mmax cap had to prune
+    // and (level, node) lists the Mmax cap had to prune. Same values as
+    // the old per-level sums (the outer sum() also keeps the columns'
+    // nullable schema identical to the unioned-partial form it replaces).
     val nNew = fresh.agg(count(lit(1)).as("n_new_nodes"))
-    val nAppended = perLevel.map { case (_, _, newOut, _) =>
-      newOut.agg((count(lit(1)) * 2).as("c")) }
-      .reduce(_.unionByName(_))
+    val nAppended = newOutAll
+      .agg((count(lit(1)) * 2).as("c"))
       .agg(sum(col("c")).as("n_appended_edges"))
-    val nCapped = perLevel.map { case (_, _, _, precap) =>
-      precap.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") > 2 * m)
-        .agg(count(lit(1)).as("c")) }
-      .reduce(_.unionByName(_))
+    val nCapped = precapAll
+      .groupBy(col("level"), col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > 2 * m)
+      .agg(count(lit(1)).as("c"))
       .agg(sum(col("c")).as("n_capped_lists"))
     audit
       .crossJoin(broadcast(nNew))
@@ -490,34 +573,9 @@ object Hnsw {
    * level). */
   def baseEdgeRows(baseNodes: DataFrame, qcents: DataFrame, maxLevel: Int,
       m: Int, cellAdj: Int): DataFrame =
-    (0 to maxLevel).map { l =>
-      levelEdgesD(baseNodes, cellAdjacency(qcents, cellAdj << (2 * l)),
-          l, m)
-        .select(lit(l).as("level"), col("src"), col("dst"), col("dist"),
-          lit(false).as("is_new"))
-    }.reduce(_.unionByName(_))
-
-  /** The batch-parallel insert's neighbor selection — each new node's
-   * top-M base neighbors, cell-bounded (k-bounded map-side top-M, the
-   * build's candidate rule). ONE definition shared by the one-shot
-   * [[appendAudit]] and the persisted-table path ([[appendEdgeRows]]),
-   * whose graphs StreamingSmoke check 39 requires to stay row-for-row
-   * identical — a tie-break or candidate-rule change must hit both or
-   * the parity check fails by name. `nl`/`bl` have (vec_id, cluster,
-   * codes), already filtered to level ≥ l. */
-  private def newToBaseEdges(nl: DataFrame, bl: DataFrame,
-      adjL: DataFrame, m: Int): DataFrame =
-    nl.as("a")
-      .join(broadcast(adjL), col("a.cluster") === col("cell"))
-      .join(bl.as("b"), col("cand_cell") === col("b.cluster"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        GraftFunctions.l2SqLong(col("a.codes"), col("b.codes"))
-          .as("dist"))
-      .groupBy(col("src"))
-      .agg(GraftFunctions.minKPairs(struct(col("dist"), col("dst")), m)
-        .as("tk"))
-      .select(col("src"), explode(col("tk")).as("p"))
-      .select(col("src"), col("p.dst").as("dst"), col("p.dist").as("dist"))
+    levelEdgesAllD(baseNodes, qcents, maxLevel, m, cellAdj)
+      .select(col("level"), col("src"), col("dst"), col("dist"),
+        lit(false).as("is_new"))
 
   /** One ingest increment: the batch's per-level new→base top-M
    * out-edges plus their reverses (appendAudit's newOut relation,
@@ -525,21 +583,19 @@ object Hnsw {
    * (is_new = false rows of the node table); `batchNodes` the batch's
    * own node rows ([[nodeRows]] output). The result's lineage scans the
    * node TABLE (via baseNodes), so materialize (localCheckpoint) before
-   * appending it to the edge table. */
+   * appending it to the edge table. The selection is
+   * [[newToBaseEdgesAllD]] — the SAME definition [[appendAudit]]
+   * consumes, so the graphs stay row-for-row identical (StreamingSmoke
+   * check 39). */
   def appendEdgeRows(baseNodes: DataFrame, batchNodes: DataFrame,
-      qcents: DataFrame, maxLevel: Int, m: Int, cellAdj: Int): DataFrame =
-    (0 to maxLevel).map { l =>
-      val adjL = cellAdjacency(qcents, cellAdj << (2 * l))
-      val bl = baseNodes.filter(col("level") >= l)
-        .select(col("vec_id"), col("cluster"), col("codes"))
-      val nl = batchNodes.filter(col("level") >= l)
-        .select(col("vec_id"), col("cluster"), col("codes"))
-      val newOut = newToBaseEdges(nl, bl, adjL, m)
-      newOut.unionByName(newOut.select(col("dst").as("src"),
-          col("src").as("dst"), col("dist")))
-        .select(lit(l).as("level"), col("src"), col("dst"), col("dist"),
-          lit(true).as("is_new"))
-    }.reduce(_.unionByName(_))
+      qcents: DataFrame, maxLevel: Int, m: Int, cellAdj: Int): DataFrame = {
+    val newOut = newToBaseEdgesAllD(batchNodes, baseNodes, qcents,
+      maxLevel, m, cellAdj)
+    newOut.unionByName(newOut.select(col("level"), col("dst").as("src"),
+        col("src").as("dst"), col("dist")))
+      .select(col("level"), col("src"), col("dst"), col("dist"),
+        lit(true).as("is_new"))
+  }
 
   /** Walk + recall + append-census over the persisted tables — the
    * table-backed twin of [[appendAudit]]'s audit stage. The Mmax cap is

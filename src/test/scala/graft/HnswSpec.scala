@@ -75,6 +75,23 @@ class HnswSpec extends AnyFunSuite {
       assert(bad2 === 0L, s"level $l has $bad2 under-leveled dst endpoints")
       e.unpersist()
     }
+    // the all-levels union build (levelEdgesAllD, the audits' r21 path)
+    // must slice row-for-row to the per-level builds above
+    val all = Hnsw.levelEdgesAllD(assigned, qcents, maxLevel = 2, m = m,
+      cellAdj = 2).cache()
+    for (l <- 0 to 2) {
+      val adj = Hnsw.cellAdjacency(qcents, 2 << (2 * l))
+      val per = Hnsw.levelEdgesD(assigned, adj, l, m)
+        .select(col("src"), col("dst"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val slice = all.filter(col("level") === l)
+        .select(col("src"), col("dst"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(slice === per, s"level $l union slice != per-level build")
+    }
+    all.unpersist()
     assigned.unpersist()
   }
 
