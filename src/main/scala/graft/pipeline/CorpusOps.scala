@@ -1123,22 +1123,30 @@ object CorpusOps {
    * across engines.
    *
    * Shape: the corpus collapses to (group, value, count) in one hash
-   * aggregate with map-side partials — histogram-scale, not row-scale
-   * (a 100 TB corpus of document lengths has thousands of distinct
-   * values, not trillions). The running-count window and the
-   * quantile-rank join both run on that small relation. Contrast with
-   * sort-based quantiles (a full shuffle-sort of every row) or
-   * approx_percentile (no exactness guarantee): this is the shape that
-   * answers "exact p99 doc length per source" at any corpus size whose
-   * value domain is bounded.
+   * aggregate with map-side partials. Selection then branches on the
+   * MEASURED histogram size (the localPageRank fast-path discipline —
+   * the histogram is tracked, so the count is a cheap cache action and
+   * both paths read the warmed cache):
+   *   - ndv ≤ 2²⁰: ONE running-count window over the histogram — two
+   *     histogram passes total, the cheapest plan at gate scale
+   *     (measured r21: the two-level form below costs +80 % on q27 here,
+   *     extra cached-histogram passes dominating);
+   *   - ndv > 2²⁰ (prices/e4 scores at corpus scale — the domains where
+   *     "histogram-scale" quietly means row-scale and the single window
+   *     becomes a per-GROUP single-task sort): TWO-LEVEL selection — a
+   *     bucket-scale cumulative window over 2^16-wide value buckets
+   *     locates each rank's bucket and the count strictly below it, and
+   *     a within-bucket running sum over ≤ 2^16 distinct values picks
+   *     the exact value. No window ever runs over the full histogram.
+   * Both paths select the identical value (cum decomposes exactly at
+   * bucket boundaries; CorpusSpec pins them against each other).
+   * Contrast with sort-based quantiles (a full shuffle-sort of every
+   * row) or approx_percentile (no exactness guarantee).
    */
   def exactQuantiles(df: DataFrame, group: Column, value: Column,
       quantiles: Seq[(Int, Int)]): DataFrame = {
-    require(quantiles.nonEmpty &&
-      quantiles.forall { case (n, d) => n >= 0 && n <= d && d > 0 },
-      s"quantiles must be rationals in [0,1], got $quantiles")
-    // one corpus scan: the histogram feeds both the running count and
-    // the per-group totals (it is tiny — distinct values, not rows).
+    // one corpus scan: the histogram feeds the running count, the
+    // per-group totals, and (on the large-ndv path) the bucket layer.
     // NULL values are excluded EXPLICITLY: Spark windows order NULLS
     // FIRST, DuckDB NULLS LAST, so a null value would silently shift
     // every rank between engines — the quantile domain is non-null.
@@ -1146,8 +1154,19 @@ object CorpusOps {
       .select(group.cast("string").as("source"), value.cast("long").as("v"))
       .where(col("v").isNotNull)
       .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c")))
-    val cum = hist.withColumn("cum",
-      sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("v"))))
+    // measured-size branch (scaladoc above): the count is an action on
+    // the tracked histogram — it materializes the cache both paths read
+    exactQuantilesOver(hist, quantiles, twoLevel = hist.count() > (1L << 20))
+  }
+
+  /** Selection over a prebuilt (source, v, c) histogram — split out so
+   * the spec can pin the single-level and two-level paths against each
+   * other on the same fixture. */
+  private[graft] def exactQuantilesOver(hist: DataFrame,
+      quantiles: Seq[(Int, Int)], twoLevel: Boolean): DataFrame = {
+    require(quantiles.nonEmpty &&
+      quantiles.forall { case (n, d) => n >= 0 && n <= d && d > 0 },
+      s"quantiles must be rationals in [0,1], got $quantiles")
     val totals = hist.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val qdf = totals
       .select(col("source"), col("n"), explode(array(quantiles.map {
@@ -1157,11 +1176,45 @@ object CorpusOps {
       .select(col("source"), col("n"),
         Exact.rRow(col("qq.qnum") / col("qq.qden"), 4).as("q"),
         expr("(qq.qnum * n + qq.qden - 1) div qq.qden").as("rank"))
-    qdf.join(cum, Seq("source"))
-      .where(col("cum") >= col("rank"))
-      .groupBy(col("source"), col("q"), col("n"), col("rank"))
-      .agg(min(col("v")).as("value"))
-      .select(col("source"), col("q"), col("n"), col("rank"), col("value"))
+    if (!twoLevel) {
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("v"))))
+      qdf.join(cum, Seq("source"))
+        .where(col("cum") >= col("rank"))
+        .groupBy(col("source"), col("q"), col("n"), col("rank"))
+        .agg(min(col("v")).as("value"))
+        .select(col("source"), col("q"), col("n"), col("rank"), col("value"))
+    } else {
+      // Level 1: 2^16-wide value buckets (ARITHMETIC shift — monotone
+      // for negative values too); the bucket-scale cumulative window
+      // locates each rank's bucket and the count strictly below it.
+      // Level 2: the running sum touches only the target bucket's
+      // ≤ 2^16 distinct values. Identical selection: the smallest v
+      // with cum(v) ≥ rank lies in the smallest bucket whose cumulative
+      // count reaches rank, at the smallest v with
+      // below + cumWithin(v) ≥ rank (cum decomposes exactly at bucket
+      // boundaries).
+      val bhist = hist
+        .groupBy(col("source"), shiftright(col("v"), 16).as("b"))
+        .agg(sum(col("c")).as("bc"))
+      val bcum = bhist.withColumn("bcum",
+        sum(col("bc")).over(Window.partitionBy(col("source")).orderBy(col("b"))))
+      val target = qdf.join(bcum, Seq("source"))
+        .where(col("bcum") >= col("rank"))
+        .groupBy(col("source"), col("q"), col("n"), col("rank"))
+        .agg(min(col("b")).as("tb"),
+          min_by(col("bcum") - col("bc"), col("b")).as("below"))
+      target
+        .join(hist.withColumn("b", shiftright(col("v"), 16)),
+          Seq("source"))
+        .where(col("b") === col("tb"))
+        .withColumn("cum", col("below") + sum(col("c")).over(
+          Window.partitionBy(col("source"), col("q")).orderBy(col("v"))))
+        .where(col("cum") >= col("rank"))
+        .groupBy(col("source"), col("q"), col("n"), col("rank"))
+        .agg(min(col("v")).as("value"))
+        .select(col("source"), col("q"), col("n"), col("rank"), col("value"))
+    }
   }
 
   // ------------------------------------------------- character entropy

@@ -475,6 +475,19 @@ class CorpusSpec extends AnyFunSuite {
       assert(got((g, rank)) === expected,
         s"g=$g q=$num/$den rank=$rank")
     }
+    // the measured-size branch: single-level and two-level selection
+    // must pick IDENTICAL rows from the same histogram — including
+    // values spread across several 2^16 buckets and negative values
+    // (arithmetic shift keeps bucket order monotone)
+    val wide = (rows.map { case (g, v) => (g, v * 100000L - 1500000L) } ++
+      Seq(("a", -3000000L), ("a", 9999999L)))
+    val hist = wide.toDF("source", "v").groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val one = CorpusOps.exactQuantilesOver(hist, qs, twoLevel = false)
+      .collect().map(_.toSeq).toSet
+    val two = CorpusOps.exactQuantilesOver(hist, qs, twoLevel = true)
+      .collect().map(_.toSeq).toSet
+    assert(one === two, "single-level and two-level selection diverged")
   }
 
   test("LM perplexity: hand-computed bigram scores, OOV and keep flag") {
